@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All algorithms are expressed as shuffle-on-key DataFrame transforms with
+  * no driver-side materialization: exact dedup is one hash aggregation;
+  * MinHash/SimHash candidate generation is an explode -> aggregate ->
+  * bucket-self-join pipeline whose cost is O(docs x shingles) map side and
+  * O(bucket^2) only within LSH buckets (with an explicit bucket-size cap to
+  * survive skew at 100 TB).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash-partitioned aggregation.
+    * Returns one row per distinct content with the kept (min) id and the
+    * number of duplicates folded in. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup after whitespace/case normalization (catches trivially
+    * reformatted copies). */
+  def normalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df.withColumn(textCol,
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " ")), textCol, idCol)
+
+  /** Distinct word n-gram (shingle) table: (id, gram). The base for MinHash
+    * and exact-Jaccard verification. */
+  def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    df.select(col(idCol).as("id"), words.as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(words)-$n), i -> concat_ws(' ', slice(words, i+1, $n)))")))
+        .as("gram"))
+      .distinct()
+  }
+
+  /** MinHash signatures: k independent hash "permutations" of the shingle
+    * set, each a seeded xxhash64 (no arithmetic, so ANSI overflow checking
+    * never trips). One explode + one groupBy(id) with k min() aggregates
+    * (map-side partial aggregation keeps the shuffle at k longs per doc). */
+  def minHashSignatures(shingles: DataFrame, k: Int = 32, seed: Long = 42L): DataFrame = {
+    val sigs = (0 until k).map { i =>
+      min(xxhash64(lit(seed + i), col("gram"))).as(s"mh$i")
+    }
+    shingles.groupBy(col("id")).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** LSH banding: candidate pairs whose signatures agree on at least one
+    * band of `rowsPerBand` consecutive minhashes. `maxBucket` caps
+    * pathological buckets (near-universal shingles) so the self-join can't
+    * quadratically blow up under skew. */
+  def minHashCandidates(signatures: DataFrame, k: Int = 32, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val bands = k / rowsPerBand
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((lit(j) +: (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))): _*)
+          .as("bh"))
+    }
+    val buckets = signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val sized = buckets.groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, maxBucket))
+    val inBuckets = buckets.join(sized.select("band", "bh"), Seq("band", "bh"))
+    inBuckets.as("a").join(inBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs = fraction of agreeing minhash
+    * positions. Two broadcast-or-shuffle hash joins against the signature
+    * table; deterministic integer comparisons only. */
+  def minHashVerify(candidates: DataFrame, signatures: DataFrame, k: Int = 32): DataFrame = {
+    val sigA = signatures.toDF(signatures.columns.map(c => s"a_$c"): _*)
+    val sigB = signatures.toDF(signatures.columns.map(c => s"b_$c"): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates
+      .join(sigA, col("id_a") === col("a_id"))
+      .join(sigB, col("id_b") === col("b_id"))
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / k).as("est_jaccard"))
+  }
+
+  /** Full MinHash near-dup pipeline: shingle -> sign -> band -> verify. */
+  def minHashDedup(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = minHashSignatures(wordShingles(df, textCol, idCol, shingleLen), k)
+    minHashVerify(minHashCandidates(sigs, k, rowsPerBand), sigs, k)
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: explode words, 64 signed bit-sums in one
+    * aggregation, reassembled into a long. */
+  def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val tokens = df.select(col(idCol).as("id"), explode(words).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("wh"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("wh"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"bit$i")
+    }
+    tokens.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => when(col(s"bit$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, found by exact-match
+    * joins on 16-bit bands (any pair within hamming<=3 of a 64-bit hash must
+    * agree on at least one of 4 bands — pigeonhole). */
+  def simHashCandidates(signatures: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = 4
+    val bandCols = (0 until bands).map(j =>
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("bh")))
+    val buckets = signatures
+      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.bh").as("bh"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-n-gram Jaccard similarity for pairs inside a blocking key
+    * (e.g. same lang+source): gram-level self-join, then |A∩B| /
+    * (|A|+|B|-|A∩B|) in exact integer arithmetic. */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.15): DataFrame = {
+    val grams = wordShingles(df, textCol, idCol, n)
+      .join(df.select((col(idCol).as("id") +: blockCols.map(col)): _*), Seq("id"))
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))(_ && _)
+    val inter = grams.as("a").join(grams.as("b"), joinCond)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — the query set is broadcast, the
+  * corpus streams partition-parallel, a per-query window takes top-k. Scale
+  * path: sign-random-projection LSH buckets (probe only matching buckets)
+  * and an IVF variant (route each corpus vector to its nearest centroid,
+  * probe the query's top centroids).
+  *
+  * All dot products run in double via zip_with + aggregate (sequential
+  * left-to-right fold: deterministic), kept in codegen — no UDFs.
+  */
+object Similarity {
+
+  /** dot(a, b) in double over two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a, b) = dot / (|a| * |b|). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus; rank per query on (rounded sim desc, id) so ties and float
+    * noise can't reorder results. O(|corpus| x |queries|) map work, no
+    * corpus shuffle until the final per-query top-k (k rows per query). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed integer hash mapped to [-1, 1). No RNG at execution time. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    var x = plane * 1000003L + dim * 7919L + 12345L
+    x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+    (x & ((1L << 52) - 1)).toDouble / (1L << 51).toDouble - 1.0
+  }
+
+  /** Sign-random-projection LSH signature: `nPlanes` sign bits packed into a
+    * long. Hyperplanes are compile-time deterministic literals, broadcast as
+    * an array-of-arrays literal column. */
+  def srpSignature(vec: Column, dims: Int, nPlanes: Int = 16): Column = {
+    val planes = (0 until nPlanes).map { p =>
+      array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+    }
+    (0 until nPlanes).map { p =>
+      when(dot(vec, planes(p)) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH-bucketed ANN: corpus vectors grouped by SRP signature; queries
+    * probe only their own bucket (plus Hamming-1 neighbors for recall).
+    * Bucket join replaces the cross join — at 100 TB this is the difference
+    * between |Q|x|C| and |Q|x|bucket|. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, dims: Int, k: Int, nPlanes: Int = 12): DataFrame = {
+    val sig = srpSignature(asDouble(col(vecCol)), dims, nPlanes)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), sig.as("bucket"))
+    // probe buckets: exact + each 1-bit flip of the query signature
+    val probes = array((lit(-1) +: (0 until nPlanes).map(lit(_))): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"), sig.as("qsig"))
+      .select(col("query_id"), col("qv"), explode(probes).as("flip"), col("qsig"))
+      .select(col("query_id"), col("qv"),
+        when(col("flip") === -1, col("qsig"))
+          .otherwise(col("qsig").bitwiseXOR(expr("shiftleft(1L, flip)")))
+          .as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF-style ANN: centroids = a deterministic sample of the corpus
+    * (ids ≡ 0 mod stride). Corpus rows route to their nearest centroid
+    * (one broadcast pass); queries probe their `nprobe` nearest centroid
+    * cells. Replaces global search with per-cell search. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val w0 = Window.orderBy(col("neighbor_id"))
+    val cent = broadcast(
+      c.withColumn("rn", row_number().over(w0)).filter(col("rn") <= nCentroids)
+        .select(col("rn").as("centroid_id"), col("cv").as("centv")))
+    def route(df: DataFrame, vec: String, keep: Int): DataFrame = {
+      val wr = Window.partitionBy(col("rid")).orderBy(col("csim").desc, col("centroid_id"))
+      df.crossJoin(cent)
+        .withColumn("csim", cosine(col(vec), col("centv")))
+        .withColumn("crk", row_number().over(wr))
+        .filter(col("crk") <= keep)
+        .drop("centv", "csim", "crk")
+    }
+    val routedC = route(c.withColumn("rid", col("neighbor_id")), "cv", 1)
+    val routedQ = route(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("rid", col("query_id")), "qv", nprobe)
+    val scored = routedC.join(broadcast(routedQ.drop("rid")), Seq("centroid_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * using SRP buckets to avoid the all-pairs join. */
+  def cosineNearDup(df: DataFrame, vecCol: String, idCol: String, dims: Int,
+      threshold: Double, nPlanes: Int = 8): DataFrame = {
+    val sig = srpSignature(asDouble(col(vecCol)), dims, nPlanes)
+    val t = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), sig.as("bucket"))
+    t.as("a").join(t.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Q._
+
+/** Training-data pipeline operators as oracle-checked queries over the
+  * `documents` and `embeddings` tables: dedup (exact / minhash / simhash /
+  * n-gram Jaccard / embedding-cosine), ANN search, text analysis,
+  * multimodal plumbing.
+  */
+object Pipeline {
+
+  /** Exact dedup by content md5 (one hash aggregation). */
+  def p01DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(documents(s, dir), "text", "doc_id")
+      .orderBy(col("content_hash"))
+
+  val p01Oracle: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  /** Dedup after whitespace/case normalization. */
+  def p02DedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.normalized(documents(s, dir), "text", "doc_id")
+      .orderBy(col("content_hash"))
+
+  val p02Oracle: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** MinHash + LSH near-duplicate pairs (no SQL oracle — the driver records
+    * a rows-only check; exactness is covered by DedupSpec). */
+  def p03DedupMinHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashDedup(documents(s, dir), "text", "doc_id", threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-duplicate pairs within hamming distance 3. */
+  def p04DedupSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashCandidates(
+      Dedup.simHashSignatures(documents(s, dir), "text", "doc_id"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact word-3-gram Jaccard over (lang, source) blocks. Exact integer
+    * arithmetic end-to-end, so it oracle-checks against DuckDB. */
+  def p05NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(documents(s, dir), "text", "doc_id",
+      Seq("lang", "source"), n = 3, threshold = 0.05)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val p05Oracle: String =
+    """WITH grams AS (
+      |  SELECT DISTINCT doc_id, lang, source, g FROM (
+      |    SELECT doc_id, lang, source,
+      |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |    FROM (SELECT doc_id, lang, source,
+      |            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |          FROM documents),
+      |         UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |    WHERE len(w) >= 3)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM grams a JOIN grams b
+      |    ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+      |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.05
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Brute-force cosine top-10 for 5 query vectors against the corpus —
+    * the ANN baseline. Oracle recomputes the identical double arithmetic
+    * with DuckDB list ops. */
+  def p06CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", k = 10)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val p06Oracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_dot_product(qv, cv) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+      |  FROM c CROSS JOIN q),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, neighbor_id, sim FROM ranked WHERE rk <= 10
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** LSH-bucketed ANN (scale path; checked against brute force in specs). */
+  def p07LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Similarity.lshTopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", dims = 64, k = 10)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** IVF-style ANN (centroid routing; checked against brute force in specs). */
+  def p08IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Similarity.ivfTopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", k = 10)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Language-ID heuristic: stopword-set scores per language + argmax. */
+  def p09LangId(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.langScore(col("text"), "en").as("score_en"),
+        TextAnalysis.langScore(col("text"), "es").as("score_es"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  val p09Oracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    len(list_intersect(w, ['the','a','and','of','to','is','in'])) AS s0,
+      |    len(list_intersect(w, ['el','la','de','que','y','en','los'])) AS s1,
+      |    len(list_intersect(w, ['le','la','et','les','des','un','du'])) AS s2,
+      |    len(list_intersect(w, ['der','die','und','das','ist','ein','mit'])) AS s3,
+      |    len(list_intersect(w, ['de5','shi4','le5','zai4','he2','you3','wo3'])) AS s4
+      |  FROM ws)
+      |SELECT doc_id, lang AS labeled_lang, s0 AS score_en, s1 AS score_es,
+      |  CASE WHEN s0 > 0 AND s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 >= s4 THEN 'en'
+      |       WHEN s1 > 0 AND s1 > s0 AND s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 'es'
+      |       WHEN s2 > 0 AND s2 > s0 AND s2 > s1 AND s2 >= s3 AND s2 >= s4 THEN 'fr'
+      |       WHEN s3 > 0 AND s3 > s0 AND s3 > s1 AND s3 > s2 AND s3 >= s4 THEN 'de'
+      |       WHEN s4 > 0 AND s4 > s0 AND s4 > s1 AND s4 > s2 AND s4 > s3 THEN 'zh'
+      |       ELSE 'und' END AS predicted_lang
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: alpha/punct/stopword ratios + composite score. */
+  def p10Quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(documents(s, dir), "text")
+      .select(col("doc_id"), col("n_chars_m"), col("n_words"),
+        col("alpha_ratio"), col("punct_ratio"), col("stop_ratio"),
+        col("avg_word_len"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val p10Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars_m,
+      |    len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_words,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+      |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |        x -> x IN ('the','a','and','of','to','is','in'))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_chars_m, n_words,
+      |  CASE WHEN n_chars_m = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_chars_m END AS alpha_ratio,
+      |  CASE WHEN n_chars_m = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/n_chars_m END AS punct_ratio,
+      |  CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE)/n_words END AS stop_ratio,
+      |  CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_words END AS avg_word_len,
+      |  (CASE WHEN n_chars_m = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_chars_m END) * 0.5
+      |    + (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE)/n_words END) * 0.3
+      |    + (1.0 - CASE WHEN n_chars_m = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/n_chars_m END) * 0.2 AS quality_score
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace + BPE-ish regex tokens. */
+  def p11TokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(documents(s, dir), "text")
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_ish_tokens"), col("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  val p11Oracle: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+      |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) = 0 THEN 0.0
+      |       ELSE CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+      |  END AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprints: normalized md5 (oracle-checked half) + rolling
+    * hash (covered by DedupSpec). */
+  def p12Fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("norm_md5"), col("rolling_hash"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal metadata over binary payloads (text bytes stand in for
+    * media payloads; the binary-column plumbing is what's exercised). */
+  def p13MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withMetadata(
+        documents(s, dir).withColumn("payload", encode(col("text"), "utf-8")),
+        "payload")
+      .select(col("doc_id"), col("n_bytes"), col("payload_sha256"), col("sniffed_kind"))
+      .orderBy(col("doc_id"))
+
+  val p13Oracle: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS payload_sha256,
+      |  CASE WHEN substr(text, 1, 3) = 'PNG' THEN 'png'
+      |       WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
+      |       ELSE 'unknown' END AS sniffed_kind
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal decode plumbing: typed Dataset -> mapPartitions stub decode
+    * -> feature rows (histogram flattened for parquet-stability). */
+  def p14MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir)
+      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+        encode(col("text"), "utf-8").as("payload"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeFeatures(media)
+      .select(col("media_id"), col("n_bytes"), col("sha256"), col("mean_byte"),
+        round(element_at(col("histogram"), 7), 6).as("hist_bin6"))
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "p01_dedup_exact" -> (p01DedupExact _),
+    "p02_dedup_normalized" -> (p02DedupNormalized _),
+    "p03_dedup_minhash" -> (p03DedupMinHash _),
+    "p04_dedup_simhash" -> (p04DedupSimHash _),
+    "p05_ngram_jaccard" -> (p05NgramJaccard _),
+    "p06_cosine_topk" -> (p06CosineTopK _),
+    "p07_lsh_topk" -> (p07LshTopK _),
+    "p08_ivf_topk" -> (p08IvfTopK _),
+    "p09_lang_id" -> (p09LangId _),
+    "p10_quality_score" -> (p10Quality _),
+    "p11_token_count" -> (p11TokenCount _),
+    "p12_fingerprint" -> (p12Fingerprint _),
+    "p13_multimodal_meta" -> (p13MultimodalMeta _),
+    "p14_multimodal_decode" -> (p14MultimodalDecode _))
+
+  val oracles: Map[String, String] = Map(
+    "p01_dedup_exact" -> p01Oracle,
+    "p02_dedup_normalized" -> p02Oracle,
+    "p05_ngram_jaccard" -> p05Oracle,
+    "p06_cosine_topk" -> p06Oracle,
+    "p09_lang_id" -> p09Oracle,
+    "p10_quality_score" -> p10Oracle,
+    "p11_token_count" -> p11Oracle,
+    "p13_multimodal_meta" -> p13Oracle)
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/** Time-windowed aggregation over the `events` table: tumbling / sliding /
+  * session windows (the batch twins of the Structured Streaming versions in
+  * graft.streaming), plus the reference's query-metrics aggregation
+  * (litebase pkg/logs/query_metric.go:17-160, B10-B12 in SURVEY §2B) with
+  * `events` standing in as the latency log (event_type = statement hash,
+  * value = latency).
+  */
+object Temporal {
+
+  /** Tumbling 1-hour windows per event type. */
+  def s01Tumbling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val s01Oracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** Sliding windows (1 hour long, every 30 minutes): each event lands in
+    * exactly two windows. */
+  def s02Sliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n"), col("total"))
+      .orderBy(col("w_start"))
+
+  val s02Oracle: String =
+    """SELECT strftime(make_timestamp(CAST((floor(epoch(ts)/1800) - k) * 1800 * 1000000 AS BIGINT)),
+      |    '%Y-%m-%d %H:%M:%S') AS w_start,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events, UNNEST([0, 1]) AS t(k)
+      |GROUP BY 1 ORDER BY w_start""".stripMargin
+
+  /** Session windows: 10-minute inactivity gap per user. The oracle is the
+    * classic gaps-and-islands rewrite, which matches Spark's session_window
+    * semantics (a session ends when the next event is >= gap away). */
+  def s03Session(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_end"),
+        col("n"), col("total"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  val s03Oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts >= COALESCE(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |                             TIMESTAMP '1970-01-01') + INTERVAL 10 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+      |  strftime(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM sessions GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
+  /** Query-metrics aggregation (B10): per (statement, second-bucket) count /
+    * avg / min / max / p50 / p90 / p99, reproducing the reference's
+    * nearest-rank percentile `sorted[int(n*p/100)]` — including its quirk
+    * that "p90" is computed at percentile 95
+    * (pkg/logs/query_metric.go:141-145).
+    *
+    * collect_list+sort is exact, as the reference is; at 100 TB the scale
+    * path swaps in percentile_approx (same query shape, sketch-mergeable).
+    */
+  def m01QueryMetrics(s: SparkSession, dir: String): DataFrame = {
+    def pRank(p: Double) =
+      element_at(col("lat_sorted"), (floor(col("n") * p).cast("int") + 1))
+    events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value"), 6).as("lat_sum"),
+        min(col("value")).as("lat_min"),
+        max(col("value")).as("lat_max"),
+        sort_array(collect_list(col("value"))).as("lat_sorted"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        (col("lat_sum") / col("n")).as("lat_avg"),
+        col("lat_min"), col("lat_max"),
+        pRank(0.50).as("lat_p50"),
+        pRank(0.95).as("lat_p90"),
+        pRank(0.99).as("lat_p99"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val m01Oracle: String =
+    """SELECT event_type, bucket, n,
+      |  lat_sum / n AS lat_avg, lat_min, lat_max,
+      |  lat_sorted[CAST(floor(n * 0.50) AS INT) + 1] AS lat_p50,
+      |  lat_sorted[CAST(floor(n * 0.95) AS INT) + 1] AS lat_p90,
+      |  lat_sorted[CAST(floor(n * 0.99) AS INT) + 1] AS lat_p99
+      |FROM (
+      |  SELECT event_type,
+      |    strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS lat_sum,
+      |    MIN(value) AS lat_min, MAX(value) AS lat_max,
+      |    list_sort(list(value)) AS lat_sorted
+      |  FROM events GROUP BY 1, 2) x
+      |ORDER BY event_type, bucket""".stripMargin
+
+  /** Per-minute query counts (B12, pkg/database/counter.go:17-60). */
+  def m02QueryCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm").as("minute"))
+      .agg(count(lit(1)).as("n_queries"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("minute"))
+
+  val m02Oracle: String =
+    """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+      |  COUNT(*) AS n_queries, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY minute""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "s01_tumbling_window" -> (s01Tumbling _),
+    "s02_sliding_window" -> (s02Sliding _),
+    "s03_session_window" -> (s03Session _),
+    "m01_query_metrics" -> (m01QueryMetrics _),
+    "m02_query_counts" -> (m02QueryCounts _))
+
+  val oracles: Map[String, String] = Map(
+    "s01_tumbling_window" -> s01Oracle,
+    "s02_sliding_window" -> s02Oracle,
+    "s03_session_window" -> s03Oracle,
+    "m01_query_metrics" -> m01Oracle,
+    "m02_query_counts" -> m02Oracle)
+}
