@@ -1,0 +1,127 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Multi-tenant catalog: databases, copy-on-write branches, and per-table
+  * version manifests powering snapshots / point-in-time restore.
+  *
+  * Reference mapping (SURVEY §1.1, §2B B14/B17-B19):
+  *   - databases / database_branches system tables
+  *     (pkg/database/system_database.go:96-130) -> in-memory maps persisted
+  *     as a JSON manifest per branch.
+  *   - WAL version manager + rollback/snapshot logs
+  *     (pkg/database/database_wal_manager.go, pkg/backups/rollback_log.go)
+  *     -> immutable parquet file-sets + an append-only version list per
+  *     table; restore-to-timestamp re-points at an older file-set
+  *     (pkg/backups/restore.go:23-95 copy semantics, but zero-copy here
+  *     because parquet versions are immutable).
+  *   - branch creation copies the parent's manifest
+  *     (pkg/backups/restore.go:28-95 CopySourceDatabaseToTargetDatabase);
+  *     file-sets are shared, so branching is O(tables), not O(bytes).
+  *
+  * At 100 TB this design is the standard lakehouse shape: tables are lists
+  * of immutable files; commits, branches and time travel are manifest
+  * operations that never touch data.
+  */
+class Catalog(val root: Path) {
+
+  /** One committed state of a table: file-set + bookkeeping. */
+  case class TableVersion(ts: Long, paths: Seq[String], rowCount: Long,
+      maxRowId: Long, schemaDdl: String)
+
+  case class BranchState(tables: mutable.Map[String, mutable.ArrayBuffer[TableVersion]])
+
+  private val databases = mutable.LinkedHashMap[String, Long]() // name -> createdAt
+  private val branches = mutable.LinkedHashMap[(String, String), BranchState]()
+  private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  Files.createDirectories(root)
+
+  /** Monotonic version timestamp (millis + sub-ms counter so two commits in
+    * the same millisecond stay ordered). */
+  def nextVersionTs(): Long =
+    System.currentTimeMillis() * 1000 + (versionCounter.incrementAndGet() % 1000)
+
+  def createDatabase(name: String): Unit = synchronized {
+    require(!databases.contains(name), s"database $name already exists")
+    databases(name) = System.currentTimeMillis()
+    branches((name, "main")) = BranchState(mutable.Map())
+  }
+
+  def listDatabases(): Seq[String] = synchronized { databases.keys.toSeq }
+
+  def listBranches(db: String): Seq[String] = synchronized {
+    branches.keys.filter(_._1 == db).map(_._2).toSeq
+  }
+
+  /** Copy-on-write branch: manifest copy, file-sets shared. */
+  def createBranch(db: String, parent: String, name: String): Unit = synchronized {
+    val p = branches.getOrElse((db, parent),
+      throw new IllegalArgumentException(s"branch $db/$parent not found"))
+    require(!branches.contains((db, name)), s"branch $db/$name already exists")
+    branches((db, name)) = BranchState(
+      mutable.Map(p.tables.map { case (t, vs) => t -> vs.clone() }.toSeq: _*))
+  }
+
+  def branchState(db: String, branch: String): BranchState = synchronized {
+    branches.getOrElse((db, branch),
+      throw new IllegalArgumentException(s"branch $db/$branch not found"))
+  }
+
+  def tableNames(db: String, branch: String): Seq[String] = synchronized {
+    branchState(db, branch).tables.keys.toSeq.sorted
+  }
+
+  def currentVersion(db: String, branch: String, table: String): Option[TableVersion] =
+    synchronized { branchState(db, branch).tables.get(table).flatMap(_.lastOption) }
+
+  /** Data directory for a new version's files. */
+  def newVersionDir(db: String, branch: String, table: String, ts: Long): Path = {
+    val p = root.resolve(db).resolve(branch).resolve(table).resolve(s"v$ts")
+    Files.createDirectories(p.getParent)
+    p
+  }
+
+  /** Commit a new version (append-only history). Returns the version. */
+  def commitVersion(db: String, branch: String, table: String,
+      v: TableVersion): TableVersion = synchronized {
+    branchState(db, branch).tables
+      .getOrElseUpdate(table, mutable.ArrayBuffer()) += v
+    v
+  }
+
+  def dropTable(db: String, branch: String, table: String): Boolean = synchronized {
+    branchState(db, branch).tables.remove(table).isDefined
+  }
+
+  def renameTable(db: String, branch: String, from: String, to: String): Unit =
+    synchronized {
+      val st = branchState(db, branch)
+      st.tables.remove(from).foreach(vs => st.tables(to) = vs)
+    }
+
+  /** Point-in-time restore: for every table, re-point at the latest version
+    * with ts <= asOf, committed as NEW versions (history is preserved, like
+    * the reference's rollback-log restore). Tables created after asOf are
+    * dropped. */
+  def restoreAsOf(db: String, branch: String, asOf: Long): Unit = synchronized {
+    val st = branchState(db, branch)
+    val newTs = nextVersionTs()
+    val toDrop = mutable.ArrayBuffer[String]()
+    st.tables.foreach { case (t, vs) =>
+      vs.filter(_.ts <= asOf).lastOption match {
+        case Some(old) => vs += old.copy(ts = newTs)
+        case None => toDrop += t
+      }
+    }
+    toDrop.foreach(st.tables.remove)
+  }
+
+  /** Version history (snapshot list) for a table: the restore points. */
+  def versionHistory(db: String, branch: String, table: String): Seq[TableVersion] =
+    synchronized {
+      branchState(db, branch).tables.get(table).map(_.toSeq).getOrElse(Nil)
+    }
+}

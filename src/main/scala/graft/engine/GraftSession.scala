@@ -1,0 +1,561 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The engine facade: litebase's query lifecycle re-expressed over Spark.
+  *
+  * Query resolution follows reference pkg/database/resolver.go:15-203:
+  * classify -> route (VACUUM rejected; PRAGMA allowlist; transaction verbs
+  * to the transaction manager; DDL/DML through the per-branch write queue;
+  * DQL straight to Spark SQL with positional parameter binding) -> attach
+  * changes / lastInsertRowId / latency -> log a query metric.
+  *
+  * Replica->primary forwarding (resolver.go:259-262) collapses to local
+  * execution on a single driver; the write queue keeps its FIFO semantics.
+  *
+  * DML is batch semantics over immutable parquet (SURVEY §7.3): INSERT
+  * appends a file to the table's file-set; UPDATE/DELETE rewrite to a new
+  * version via an equivalent SELECT. Every write commits a new manifest
+  * version, which is what powers snapshots/PITR in Catalog.
+  */
+class GraftSession(val spark: SparkSession, rootDir: Path) {
+
+  val catalog = new Catalog(rootDir)
+  val writeQueues = new WriteQueueManager
+  val metrics = new MetricsStore
+  val planCache = new StatementCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+  private val transactions = mutable.Map[String, Txn]()
+
+  case class Txn(id: String, db: String, branch: String,
+      staged: mutable.Map[String, Catalog#TableVersion],
+      baseTs: mutable.Map[String, Long],
+      createdAt: Long = System.currentTimeMillis()) {
+    def expired: Boolean = System.currentTimeMillis() - createdAt > 5 * 60 * 1000
+  }
+
+  // --- SQLite type mapping (SURVEY §1.2) ---------------------------------
+
+  private def sqliteTypeToSpark(t: String): DataType =
+    t.trim.toUpperCase.split("[\\s(]")(0) match {
+      case "INT" | "INTEGER" | "BIGINT" | "SMALLINT" | "TINYINT" => LongType
+      case "REAL" | "FLOAT" | "DOUBLE" | "NUMERIC" | "DECIMAL" => DoubleType
+      case "TEXT" | "VARCHAR" | "CHAR" | "CLOB" | "STRING" => StringType
+      case "BLOB" | "BINARY" => BinaryType
+      case "" => StringType
+      case _ => StringType
+    }
+
+  // --- public API ---------------------------------------------------------
+
+  def createDatabase(name: String): Unit = catalog.createDatabase(name)
+  def createBranch(db: String, parent: String, name: String): Unit =
+    catalog.createBranch(db, parent, name)
+
+  /** Begin an interactive transaction (B5); returns its id. */
+  def beginTransaction(db: String, branch: String): String = synchronized {
+    val id = UUID.randomUUID().toString
+    transactions(id) = Txn(id, db, branch, mutable.Map(), mutable.Map())
+    id
+  }
+
+  def commitTransaction(id: String): Unit = synchronized {
+    val txn = transactions.remove(id)
+      .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
+    // snapshot-isolation conflict check (reference error 11001,
+    // pkg/constants/error.go:8-32): the base version we staged from must
+    // still be current.
+    txn.staged.keys.foreach { t =>
+      val currentTs = catalog.currentVersion(txn.db, txn.branch, t).map(_.ts).getOrElse(-1L)
+      if (txn.baseTs(t) != currentTs)
+        throw new IllegalStateException("Litebase Error[11001]: snapshot isolation conflict")
+    }
+    txn.staged.foreach { case (t, v) =>
+      catalog.commitVersion(txn.db, txn.branch, t,
+        v.asInstanceOf[catalog.TableVersion])
+    }
+  }
+
+  def rollbackTransaction(id: String): Unit = synchronized {
+    transactions.remove(id)
+      .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
+  }
+
+  /** Execute one query against db/branch. Never throws: errors surface in
+    * QueryResponse.error (matching the reference's per-query error shape). */
+  def execute(db: String, branch: String, input: QueryInput,
+      key: AccessKey = AccessKey.root): QueryResponse = {
+    val t0 = System.nanoTime()
+    try {
+      Authorizer.authorize(spark, key, input.statement)
+      val r = route(db, branch, input, key)
+      val latency = (System.nanoTime() - t0) / 1e9
+      metrics.record(db, branch, input.statement, latency)
+      r.copy(latency = latency)
+    } catch {
+      case e: Throwable =>
+        QueryResponse(input.id, Nil, Nil, error = Option(e.getMessage).getOrElse(e.toString),
+          transactionId = input.transactionId)
+    }
+  }
+
+  // --- routing ------------------------------------------------------------
+
+  private def route(db: String, branch: String, input: QueryInput,
+      key: AccessKey): QueryResponse = {
+    val stmt = input.statement.trim
+    val k = Classifier.kind(stmt)
+    k match {
+      case "vacuum" =>
+        // reference resolver.go:100-103
+        throw new IllegalArgumentException("VACUUM is not supported from this context")
+      case "pragma" => pragma(db, branch, input)
+      case "begin" =>
+        val id = beginTransaction(db, branch)
+        QueryResponse(input.id, Nil, Nil, transactionId = id)
+      case "commit" =>
+        commitTransaction(input.transactionId)
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case "rollback" =>
+        rollbackTransaction(input.transactionId)
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case "ddl" | "dml" =>
+        writeQueues(db, branch).run(write(db, branch, input))
+      case "dql" => select(db, branch, input)
+      case _ =>
+        throw new IllegalArgumentException(s"unsupported statement: ${stmt.take(40)}")
+    }
+  }
+
+  // --- reads ---------------------------------------------------------------
+
+  private val registeredViews = mutable.Set[String]()
+
+  /** Register current (or transaction-staged) table versions as temp views.
+    * Views for tables that no longer exist (DROP/RENAME) are unregistered,
+    * otherwise a stale view would keep serving the old data. */
+  private def registerViews(db: String, branch: String, txn: Option[Txn]): Unit = {
+    val live = catalog.tableNames(db, branch).toSet ++
+      txn.map(_.staged.keySet.toSet).getOrElse(Set.empty)
+    synchronized {
+      (registeredViews -- live).foreach { v =>
+        spark.catalog.dropTempView(v); registeredViews -= v
+      }
+      registeredViews ++= live
+    }
+    catalog.tableNames(db, branch).foreach { t =>
+      val v = txn.flatMap(_.staged.get(t).map(_.asInstanceOf[catalog.TableVersion]))
+        .orElse(catalog.currentVersion(db, branch, t))
+      v.foreach(ver => readVersion(ver).createOrReplaceTempView(t))
+    }
+    txn.foreach(_.staged.foreach { case (t, ver) =>
+      readVersion(ver.asInstanceOf[catalog.TableVersion]).createOrReplaceTempView(t)
+    })
+  }
+
+  private def readVersion(v: Catalog#TableVersion): DataFrame =
+    if (v.paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType.fromDDL(v.schemaDdl))
+    else spark.read.schema(StructType.fromDDL(v.schemaDdl)).parquet(v.paths: _*)
+
+  private def txnFor(input: QueryInput): Option[Txn] =
+    if (input.transactionId.isEmpty) None
+    else synchronized {
+      val t = transactions.get(input.transactionId)
+      if (t.exists(_.expired)) {
+        transactions.remove(input.transactionId)
+        throw new IllegalStateException("transaction timed out")
+      }
+      t.orElse(throw new IllegalArgumentException(
+        s"no transaction ${input.transactionId}"))
+    }
+
+  private def select(db: String, branch: String, input: QueryInput): QueryResponse = {
+    val txn = txnFor(input)
+    registerViews(db, branch, txn)
+    // plan cache (B4): parse once per (sql, key) — Spark still analyzes per
+    // execution because view state may have changed.
+    planCache.get(input.statement, "root")(
+      spark.sessionState.sqlParser.parsePlan(input.statement))
+    val df =
+      if (input.parameters.isEmpty) spark.sql(input.statement)
+      else spark.sql(input.statement, input.parameters.map(paramToJvm).toArray)
+    val rows = df.collect()
+    QueryResponse(input.id, df.columns.toSeq,
+      rows.toSeq.map(r => (0 until r.length).map(i => SqlValue.fromAny(r.get(i)))),
+      transactionId = input.transactionId)
+  }
+
+  private def paramToJvm(p: Param): Any = p.value match {
+    case SqlValue.IntVal(v) => v
+    case SqlValue.RealVal(v) => v
+    case SqlValue.TextVal(v) => v
+    case SqlValue.BlobVal(v) => v
+    case SqlValue.NullVal => null
+  }
+
+  // --- writes ---------------------------------------------------------------
+
+  private val createTableRe =
+    """(?is)^\s*create\s+table\s+(if\s+not\s+exists\s+)?([\w"]+)\s*\((.*)\)\s*;?\s*$""".r
+  private val createIndexRe =
+    """(?is)^\s*create\s+(unique\s+)?index\s+.*$""".r
+  private val dropTableRe =
+    """(?is)^\s*drop\s+table\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
+  private val alterRenameRe =
+    """(?is)^\s*alter\s+table\s+([\w"]+)\s+rename\s+to\s+([\w"]+)\s*;?\s*$""".r
+  private val alterAddRe =
+    """(?is)^\s*alter\s+table\s+([\w"]+)\s+add\s+(column\s+)?([\w"]+)\s*(\w*)[^;]*;?\s*$""".r
+  private val insertValuesRe =
+    """(?is)^\s*insert\s+into\s+([\w"]+)\s*(\(([^)]*)\))?\s*values\s*(.+?)\s*;?\s*$""".r
+  private val insertSelectRe =
+    """(?is)^\s*insert\s+into\s+([\w"]+)\s*(\(([^)]*)\))?\s*(select\b.+?)\s*;?\s*$""".r
+  private val updateRe =
+    """(?is)^\s*update\s+([\w"]+)\s+set\s+(.+?)(\s+where\s+(.+?))?\s*;?\s*$""".r
+  private val deleteRe =
+    """(?is)^\s*delete\s+from\s+([\w"]+)(\s+where\s+(.+?))?\s*;?\s*$""".r
+
+  private def unquote(n: String): String = n.replace("\"", "").toLowerCase
+
+  private def write(db: String, branch: String, input: QueryInput): QueryResponse = {
+    val stmt = Sql.substituteParams(input.statement, input.parameters)
+    val txn = txnFor(input)
+    stmt match {
+      case createTableRe(ifNot, name, colDefs) =>
+        createTable(db, branch, unquote(name), colDefs, ifNot != null)
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case createIndexRe(_) =>
+        // accepted as a no-op: parquet stats + partition pruning fill the
+        // role of secondary indexes (SURVEY §2A row 2)
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case dropTableRe(ifExists, name) =>
+        val existed = catalog.dropTable(db, branch, unquote(name))
+        if (!existed && ifExists == null)
+          throw new IllegalArgumentException(s"no such table: ${unquote(name)}")
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case alterRenameRe(from, to) =>
+        catalog.renameTable(db, branch, unquote(from), unquote(to))
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case alterAddRe(name, _, colName, colType) =>
+        alterAddColumn(db, branch, unquote(name), unquote(colName), colType)
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case insertValuesRe(name, _, cols, valuesPart) =>
+        insertValues(db, branch, unquote(name), Option(cols), valuesPart, input, txn)
+      case insertSelectRe(name, _, cols, sel) =>
+        insertSelect(db, branch, unquote(name), Option(cols), sel, input, txn)
+      case updateRe(name, setPart, _, wherePart) =>
+        updateTable(db, branch, unquote(name), setPart, Option(wherePart), input, txn)
+      case deleteRe(name, _, wherePart) =>
+        deleteFrom(db, branch, unquote(name), Option(wherePart), input, txn)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported write statement: ${other.take(60)}")
+    }
+  }
+
+  private def createTable(db: String, branch: String, name: String,
+      colDefs: String, ifNotExists: Boolean): Unit = {
+    if (catalog.currentVersion(db, branch, name).isDefined ||
+        catalog.tableNames(db, branch).contains(name)) {
+      if (ifNotExists) return
+      throw new IllegalArgumentException(s"table $name already exists")
+    }
+    val fields = Sql.splitTopLevel(colDefs, ',').map(_.trim)
+      .filterNot(c => c.toUpperCase.startsWith("PRIMARY KEY") ||
+        c.toUpperCase.startsWith("FOREIGN KEY") || c.toUpperCase.startsWith("UNIQUE") ||
+        c.toUpperCase.startsWith("CHECK") || c.toUpperCase.startsWith("CONSTRAINT"))
+      .map { c =>
+        val parts = c.split("\\s+", 2)
+        StructField(unquote(parts(0)),
+          sqliteTypeToSpark(if (parts.length > 1) parts(1) else ""))
+      }
+    val ts = catalog.nextVersionTs()
+    catalog.commitVersion(db, branch, name,
+      catalog.TableVersion(ts, Nil, 0L, 0L, StructType(fields).toDDL))
+  }
+
+  private def alterAddColumn(db: String, branch: String, table: String,
+      colName: String, colType: String): Unit = {
+    val cur = catalog.currentVersion(db, branch, table)
+      .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+    val newSchema = StructType(StructType.fromDDL(cur.schemaDdl).fields :+
+      StructField(colName, sqliteTypeToSpark(colType)))
+    if (cur.paths.isEmpty) {
+      catalog.commitVersion(db, branch, table,
+        cur.copy(ts = catalog.nextVersionTs(), schemaDdl = newSchema.toDDL))
+    } else {
+      // rewrite with the new null-filled column
+      val ts = catalog.nextVersionTs()
+      val dir = catalog.newVersionDir(db, branch, table, ts)
+      readVersion(cur)
+        .withColumn(colName, org.apache.spark.sql.functions.lit(null)
+          .cast(sqliteTypeToSpark(colType)))
+        .write.parquet(dir.toString)
+      catalog.commitVersion(db, branch, table,
+        cur.copy(ts = ts, paths = Seq(dir.toString), schemaDdl = newSchema.toDDL))
+    }
+  }
+
+  private def currentOrStaged(db: String, branch: String, table: String,
+      txn: Option[Txn]): Catalog#TableVersion =
+    txn.flatMap(_.staged.get(table))
+      .orElse(catalog.currentVersion(db, branch, table))
+      .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+
+  /** Commit a new version either to the manifest or into the transaction's
+    * staging overlay. */
+  private def commitOrStage(db: String, branch: String, table: String,
+      v: Catalog#TableVersion, txn: Option[Txn]): Unit = txn match {
+    case Some(t) =>
+      if (!t.baseTs.contains(table))
+        t.baseTs(table) = catalog.currentVersion(db, branch, table).map(_.ts).getOrElse(-1L)
+      t.staged(table) = v
+    case None =>
+      catalog.commitVersion(db, branch, table, v.asInstanceOf[catalog.TableVersion])
+  }
+
+  private def insertValues(db: String, branch: String, table: String,
+      cols: Option[String], valuesPart: String, input: QueryInput,
+      txn: Option[Txn]): QueryResponse = {
+    val cur = currentOrStaged(db, branch, table, txn)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
+      .getOrElse(schema.fieldNames.toSeq)
+    // evaluate the VALUES tuples through Spark SQL so any expression works
+    val tuples = s"VALUES ${valuesPart}"
+    val valuesDf = spark.sql(
+      s"SELECT * FROM ($tuples) AS v(${colNames.mkString(", ")})")
+    val aligned = alignToSchema(valuesDf, colNames, schema)
+    appendRows(db, branch, table, cur, aligned, input, txn)
+  }
+
+  private def insertSelect(db: String, branch: String, table: String,
+      cols: Option[String], sel: String, input: QueryInput,
+      txn: Option[Txn]): QueryResponse = {
+    val cur = currentOrStaged(db, branch, table, txn)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    registerViews(db, branch, txn)
+    val df = spark.sql(sel)
+    val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
+      .getOrElse(schema.fieldNames.toSeq)
+    appendRows(db, branch, table, cur,
+      alignToSchema(df.toDF(colNames: _*), colNames, schema), input, txn)
+  }
+
+  /** Null-fill unmentioned columns and cast to the table schema. */
+  private def alignToSchema(df: DataFrame, colNames: Seq[String],
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val named = df.toDF(colNames: _*)
+    val projected = schema.fields.map { f =>
+      if (colNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    named.select(projected.toSeq: _*)
+  }
+
+  private def appendRows(db: String, branch: String, table: String,
+      cur: Catalog#TableVersion, rows: DataFrame, input: QueryInput,
+      txn: Option[Txn]): QueryResponse = {
+    val n = rows.count()
+    val ts = catalog.nextVersionTs()
+    val dir = catalog.newVersionDir(db, branch, table, ts)
+    rows.write.parquet(dir.toString)
+    val v = catalog.TableVersion(ts, cur.paths :+ dir.toString,
+      cur.rowCount + n, cur.maxRowId + n, cur.schemaDdl)
+    commitOrStage(db, branch, table, v, txn)
+    QueryResponse(input.id, Nil, Nil, changes = n,
+      lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
+  }
+
+  private def updateTable(db: String, branch: String, table: String,
+      setPart: String, wherePart: Option[String], input: QueryInput,
+      txn: Option[Txn]): QueryResponse = {
+    val cur = currentOrStaged(db, branch, table, txn)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    readVersion(cur).createOrReplaceTempView("__graft_target")
+    val cond = wherePart.getOrElse("TRUE")
+    val sets = Sql.splitTopLevel(setPart, ',').map { a =>
+      val Array(l, r) = a.split("=", 2)
+      unquote(l.trim) -> r.trim
+    }.toMap
+    val proj = schema.fieldNames.map { f =>
+      sets.get(f) match {
+        case Some(e) => s"CASE WHEN ($cond) THEN CAST(($e) AS ${schema(f).dataType.sql}) ELSE `$f` END AS `$f`"
+        case None => s"`$f`"
+      }
+    }
+    val changes = spark.sql(
+      s"SELECT COUNT(*) FROM __graft_target WHERE ($cond)").head().getLong(0)
+    val rewritten = spark.sql(
+      s"SELECT ${proj.mkString(", ")} FROM __graft_target")
+    val ts = catalog.nextVersionTs()
+    val dir = catalog.newVersionDir(db, branch, table, ts)
+    rewritten.write.parquet(dir.toString)
+    commitOrStage(db, branch, table,
+      catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount, cur.maxRowId,
+        cur.schemaDdl), txn)
+    QueryResponse(input.id, Nil, Nil, changes = changes,
+      transactionId = input.transactionId)
+  }
+
+  private def deleteFrom(db: String, branch: String, table: String,
+      wherePart: Option[String], input: QueryInput,
+      txn: Option[Txn]): QueryResponse = {
+    val cur = currentOrStaged(db, branch, table, txn)
+    readVersion(cur).createOrReplaceTempView("__graft_target")
+    val cond = wherePart.getOrElse("TRUE")
+    val changes = spark.sql(
+      s"SELECT COUNT(*) FROM __graft_target WHERE ($cond)").head().getLong(0)
+    val remaining = spark.sql(
+      s"SELECT * FROM __graft_target WHERE NOT COALESCE(($cond), FALSE)")
+    val ts = catalog.nextVersionTs()
+    val dir = catalog.newVersionDir(db, branch, table, ts)
+    remaining.write.parquet(dir.toString)
+    commitOrStage(db, branch, table,
+      catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount - changes,
+        cur.maxRowId, cur.schemaDdl), txn)
+    QueryResponse(input.id, Nil, Nil, changes = changes,
+      transactionId = input.transactionId)
+  }
+
+  // --- PRAGMA (allowlist of read-only pragmas, pkg/auth/pragma_list.go) ----
+
+  private val pragmaRe = """(?is)^\s*pragma\s+(\w+)\s*(\(\s*([^)]*)\s*\))?\s*;?\s*$""".r
+
+  private val allowedPragmas = Set(
+    "analysis_limit", "collation_list", "compile_options", "data_version",
+    "database_list", "defer_foreign_keys", "encoding", "foreign_key_check",
+    "foreign_key_list", "foreign_keys", "freelist_count", "function_list",
+    "ignore_check_constraints", "index_info", "index_list", "index_xinfo",
+    "integrity_check", "legacy_alter_table", "module_list", "page_count",
+    "query_only", "quick_check", "read_uncommitted", "recursive_triggers",
+    "reverse_unordered_selects", "table_info", "table_list", "table_xinfo",
+    "user_version")
+
+  private def pragma(db: String, branch: String, input: QueryInput): QueryResponse = {
+    input.statement.trim match {
+      case pragmaRe(name, _, arg) =>
+        val p = name.toLowerCase
+        if (!allowedPragmas.contains(p))
+          throw new DeniedException(s"pragma $p is not allowed")
+        p match {
+          case "table_list" =>
+            val rows = catalog.tableNames(db, branch).map(t =>
+              Seq(SqlValue.TextVal("main"), SqlValue.TextVal(t),
+                SqlValue.TextVal("table"),
+                SqlValue.IntVal(catalog.currentVersion(db, branch, t)
+                  .map(v => StructType.fromDDL(v.schemaDdl).length.toLong).getOrElse(0L)),
+                SqlValue.IntVal(0), SqlValue.IntVal(0)))
+            QueryResponse(input.id,
+              Seq("schema", "name", "type", "ncol", "wr", "strict"), rows)
+          case "table_info" =>
+            val t = Option(arg).map(a => unquote(a.trim)).getOrElse("")
+            val v = catalog.currentVersion(db, branch, t)
+              .getOrElse(throw new IllegalArgumentException(s"no such table: $t"))
+            val rows = StructType.fromDDL(v.schemaDdl).fields.zipWithIndex.map {
+              case (f, i) =>
+                Seq(SqlValue.IntVal(i.toLong), SqlValue.TextVal(f.name),
+                  SqlValue.TextVal(sparkTypeToSqlite(f.dataType)),
+                  SqlValue.IntVal(0), SqlValue.NullVal, SqlValue.IntVal(0))
+            }
+            QueryResponse(input.id,
+              Seq("cid", "name", "type", "notnull", "dflt_value", "pk"), rows.toSeq)
+          case "database_list" =>
+            QueryResponse(input.id, Seq("seq", "name", "file"),
+              Seq(Seq(SqlValue.IntVal(0), SqlValue.TextVal("main"),
+                SqlValue.TextVal(s"$db/$branch"))))
+          case "encoding" =>
+            QueryResponse(input.id, Seq("encoding"),
+              Seq(Seq(SqlValue.TextVal("UTF-8"))))
+          case "integrity_check" | "quick_check" =>
+            QueryResponse(input.id, Seq(p), Seq(Seq(SqlValue.TextVal("ok"))))
+          case _ =>
+            // allowed but with no engine counterpart: empty result
+            QueryResponse(input.id, Nil, Nil)
+        }
+      case _ => throw new IllegalArgumentException("malformed PRAGMA")
+    }
+  }
+
+  private def sparkTypeToSqlite(t: DataType): String = t match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
+    case DoubleType | FloatType | _: DecimalType => "REAL"
+    case BinaryType => "BLOB"
+    case _ => "TEXT"
+  }
+}
+
+/** Small SQL-text utilities shared by the write path. */
+object Sql {
+
+  /** Split on a separator at paren/quote top level. */
+  def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  /** Replace positional `?` markers with SQL literals (skipping string
+    * literals), binding the 5-type params (reference
+    * pkg/sqlite3/statement.go:87-167 bind semantics). */
+  def substituteParams(sql: String, params: Seq[Param]): String = {
+    if (params.isEmpty) return sql
+    val sb = new StringBuilder
+    var pi = 0
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        sb.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; sb.append(c)
+        case '?' =>
+          if (pi >= params.length)
+            throw new IllegalArgumentException("not enough parameters")
+          sb.append(literal(params(pi))); pi += 1
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def literal(p: Param): String = p.value match {
+    case SqlValue.IntVal(v) => v.toString
+    case SqlValue.RealVal(v) =>
+      if (v.isNaN || v.isInfinite) "CAST('NaN' AS DOUBLE)" else s"CAST($v AS DOUBLE)"
+    case SqlValue.TextVal(v) => "'" + v.replace("'", "''") + "'"
+    case SqlValue.BlobVal(v) => "X'" + v.map("%02X".format(_)).mkString + "'"
+    case SqlValue.NullVal => "NULL"
+  }
+}

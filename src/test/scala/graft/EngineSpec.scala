@@ -1,0 +1,240 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+
+/** End-to-end engine behavior: the reference's query lifecycle
+  * (pkg/database/resolver.go) re-expressed over Spark — DDL/DML/DQL,
+  * parameters, transactions, branches, PITR, pragmas, authorization. */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def newSession(): GraftSession = {
+    val dir = Files.createTempDirectory("graft-engine")
+    val s = new GraftSession(spark, dir)
+    s.createDatabase("db1")
+    s
+  }
+
+  private def q(stmt: String, params: Seq[Param] = Nil, txn: String = "") =
+    QueryInput("q-" + scala.util.Random.nextInt(1 << 24), stmt, params, txn)
+
+  test("create table, insert with typed params, select round-trip") {
+    val s = newSession()
+    val r1 = s.execute("db1", "main", q("CREATE TABLE test (id INTEGER PRIMARY KEY, name TEXT)"))
+    assert(r1.error.isEmpty, r1.error)
+    val r2 = s.execute("db1", "main",
+      q("INSERT INTO test (id, name) VALUES (?, ?), (?, ?)",
+        Seq(Param.integer(1), Param.text("John Doe"),
+          Param.integer(2), Param.text("O'Brien"))))
+    assert(r2.error.isEmpty, r2.error)
+    assert(r2.changes == 2)
+    val r3 = s.execute("db1", "main",
+      q("SELECT id, name FROM test WHERE id = ?", Seq(Param.integer(2))))
+    assert(r3.error.isEmpty, r3.error)
+    assert(r3.rows == Seq(Seq(SqlValue.IntVal(2), SqlValue.TextVal("O'Brien"))))
+    assert(r3.columns == Seq("id", "name"))
+  }
+
+  test("dynamic 5-type values: blob, null, float survive the round trip") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE vals (i INTEGER, f REAL, t TEXT, b BLOB)"))
+    val ins = s.execute("db1", "main",
+      q("INSERT INTO vals VALUES (?, ?, ?, ?)",
+        Seq(Param.integer(42), Param.float(2.5), Param.nul,
+          Param.blob(Array[Byte](1, 2, 0, -1)))))
+    assert(ins.error.isEmpty, ins.error)
+    val sel = s.execute("db1", "main", q("SELECT i, f, t, b FROM vals"))
+    assert(sel.rows.length == 1)
+    val row = sel.rows.head
+    assert(row(0) == SqlValue.IntVal(42))
+    assert(row(1) == SqlValue.RealVal(2.5))
+    assert(row(2) == SqlValue.NullVal)
+    assert(row(3).asInstanceOf[SqlValue.BlobVal].v.toSeq == Seq[Byte](1, 2, 0, -1))
+  }
+
+  test("update and delete report changes; data versions advance") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER, v TEXT)"))
+    s.execute("db1", "main",
+      q("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')"))
+    val up = s.execute("db1", "main", q("UPDATE t SET v = 'z' WHERE id >= 2"))
+    assert(up.error.isEmpty, up.error)
+    assert(up.changes == 2)
+    val del = s.execute("db1", "main", q("DELETE FROM t WHERE id = 1"))
+    assert(del.changes == 1)
+    val sel = s.execute("db1", "main", q("SELECT v FROM t ORDER BY id"))
+    assert(sel.rows.map(_.head) == Seq(SqlValue.TextVal("z"), SqlValue.TextVal("z")))
+  }
+
+  test("insert ... select appends from a query") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE src (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO src VALUES (1), (2), (3)"))
+    s.execute("db1", "main", q("CREATE TABLE dst (id INTEGER)"))
+    val r = s.execute("db1", "main", q("INSERT INTO dst SELECT id * 10 FROM src"))
+    assert(r.error.isEmpty, r.error)
+    assert(r.changes == 3)
+    val sel = s.execute("db1", "main", q("SELECT id FROM dst ORDER BY id"))
+    assert(sel.rows.map(_.head) == Seq(10L, 20L, 30L).map(SqlValue.IntVal))
+  }
+
+  test("VACUUM is rejected exactly like the reference") {
+    val s = newSession()
+    val r = s.execute("db1", "main", q("VACUUM"))
+    assert(r.error == "VACUUM is not supported from this context")
+  }
+
+  test("pragma allowlist: table_info works, journal_mode denied") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE test (id INTEGER, name TEXT, data BLOB)"))
+    val ti = s.execute("db1", "main", q("PRAGMA table_info(test)"))
+    assert(ti.error.isEmpty, ti.error)
+    assert(ti.columns == Seq("cid", "name", "type", "notnull", "dflt_value", "pk"))
+    assert(ti.rows.map(r => (r(1), r(2))) == Seq(
+      (SqlValue.TextVal("id"), SqlValue.TextVal("INTEGER")),
+      (SqlValue.TextVal("name"), SqlValue.TextVal("TEXT")),
+      (SqlValue.TextVal("data"), SqlValue.TextVal("BLOB"))))
+    val denied = s.execute("db1", "main", q("PRAGMA journal_mode(wal)"))
+    assert(denied.error.contains("not allowed"))
+  }
+
+  test("interactive transaction: staged writes invisible until commit") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    val begin = s.execute("db1", "main", q("BEGIN"))
+    val txn = begin.transactionId
+    assert(txn.nonEmpty)
+    s.execute("db1", "main", q("INSERT INTO t VALUES (1)", txn = txn))
+    // not visible outside the transaction
+    assert(s.execute("db1", "main", q("SELECT * FROM t")).rows.isEmpty)
+    // visible inside
+    assert(s.execute("db1", "main", q("SELECT * FROM t", txn = txn)).rows.length == 1)
+    s.execute("db1", "main", q("COMMIT", txn = txn))
+    assert(s.execute("db1", "main", q("SELECT * FROM t")).rows.length == 1)
+  }
+
+  test("transaction rollback discards staged writes") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    val txn = s.execute("db1", "main", q("BEGIN")).transactionId
+    s.execute("db1", "main", q("INSERT INTO t VALUES (1)", txn = txn))
+    s.execute("db1", "main", q("ROLLBACK", txn = txn))
+    assert(s.execute("db1", "main", q("SELECT * FROM t")).rows.isEmpty)
+  }
+
+  test("snapshot conflict: concurrent commit to same table fails with 11001") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    val txn = s.execute("db1", "main", q("BEGIN")).transactionId
+    s.execute("db1", "main", q("INSERT INTO t VALUES (1)", txn = txn))
+    // non-transactional write lands first
+    s.execute("db1", "main", q("INSERT INTO t VALUES (99)"))
+    val commit = s.execute("db1", "main", q("COMMIT", txn = txn))
+    assert(commit.error.contains("11001"), commit.error)
+  }
+
+  test("branches: copy-on-write isolation both directions") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO t VALUES (1)"))
+    s.createBranch("db1", "main", "dev")
+    s.execute("db1", "dev", q("INSERT INTO t VALUES (2)"))
+    assert(s.execute("db1", "main", q("SELECT * FROM t")).rows.length == 1)
+    assert(s.execute("db1", "dev", q("SELECT * FROM t")).rows.length == 2)
+    s.execute("db1", "main", q("INSERT INTO t VALUES (3)"))
+    assert(s.execute("db1", "dev", q("SELECT * FROM t")).rows.length == 2)
+  }
+
+  test("point-in-time restore re-points at an older version") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO t VALUES (1)"))
+    val asOf = s.catalog.currentVersion("db1", "main", "t").get.ts
+    s.execute("db1", "main", q("INSERT INTO t VALUES (2)"))
+    s.execute("db1", "main", q("INSERT INTO t VALUES (3)"))
+    assert(s.execute("db1", "main", q("SELECT * FROM t")).rows.length == 3)
+    s.catalog.restoreAsOf("db1", "main", asOf)
+    assert(s.execute("db1", "main", q("SELECT * FROM t")).rows.length == 1)
+    // history preserved: restore appended a version rather than truncating
+    // (create + 3 inserts + restore = 5)
+    assert(s.catalog.versionHistory("db1", "main", "t").length == 5)
+  }
+
+  test("authorizer: read-only key cannot write; table scoping enforced") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    s.execute("db1", "main", q("CREATE TABLE secret (id INTEGER)"))
+    val readonly = AccessKey("ro", Set("database:query", "database:select"),
+      tableAllow = Set("t"))
+    val w = s.execute("db1", "main", q("INSERT INTO t VALUES (1)"), readonly)
+    assert(w.error.contains("database:insert"))
+    val okRead = s.execute("db1", "main", q("SELECT * FROM t"), readonly)
+    assert(okRead.error.isEmpty, okRead.error)
+    val badRead = s.execute("db1", "main", q("SELECT * FROM secret"), readonly)
+    assert(badRead.error.contains("secret"))
+  }
+
+  test("create index is a no-op; drop table; alter table add/rename") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX idx_t ON t (id)")).error.isEmpty)
+    s.execute("db1", "main", q("INSERT INTO t VALUES (5)"))
+    assert(s.execute("db1", "main",
+      q("ALTER TABLE t ADD COLUMN name TEXT")).error.isEmpty)
+    val sel = s.execute("db1", "main", q("SELECT id, name FROM t"))
+    assert(sel.rows == Seq(Seq(SqlValue.IntVal(5), SqlValue.NullVal)))
+    assert(s.execute("db1", "main", q("ALTER TABLE t RENAME TO t2")).error.isEmpty)
+    assert(s.execute("db1", "main", q("SELECT id FROM t2")).rows.length == 1)
+    assert(s.execute("db1", "main", q("DROP TABLE t2")).error.isEmpty)
+    assert(s.execute("db1", "main", q("SELECT id FROM t2")).error.nonEmpty)
+  }
+
+  test("statement classifier matches reference semantics") {
+    assert(Classifier.kind("SELECT 1") == "dql")
+    assert(Classifier.kind("select * from t") == "dql")
+    assert(Classifier.kind("INSERT INTO t VALUES (1)") == "dml")
+    assert(Classifier.kind("Update t set a=1") == "dml")
+    assert(Classifier.kind("DELETE FROM t") == "dml")
+    assert(Classifier.kind("CREATE TABLE t (a)") == "ddl")
+    assert(Classifier.kind("DROP TABLE t") == "ddl")
+    assert(Classifier.kind("ALTER TABLE t RENAME TO u") == "ddl")
+    assert(Classifier.kind("PRAGMA table_info(t)") == "pragma")
+    assert(Classifier.kind("VACUUM") == "vacuum")
+    assert(Classifier.kind("BEGIN") == "begin")
+    assert(Classifier.kind("BEGIN IMMEDIATE") == "begin")
+    assert(Classifier.kind("COMMIT") == "commit")
+    assert(Classifier.kind("END") == "commit")
+    assert(Classifier.kind("ROLLBACK") == "rollback")
+    // length guards from query.go (statements shorter than the guard)
+    assert(!Classifier.isDQL("selec"))
+    assert(Classifier.isWrite("PRAGMA x") && !Classifier.isRead("PRAGMA x"))
+  }
+
+  test("metrics: latency recorded per statement with statement index") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    s.execute("db1", "main", q("SELECT * FROM t"))
+    s.execute("db1", "main", q("SELECT * FROM t"))
+    val flushed = s.metrics.flush()
+    assert(flushed.nonEmpty)
+    val crc = Classifier.checksum("SELECT * FROM t")
+    assert(flushed.exists(_.checksum == crc))
+    assert(s.metrics.statementFor(crc).contains("SELECT * FROM t"))
+  }
+
+  test("write queue serializes concurrent writers without loss") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        s.execute("db1", "main", q(s"INSERT INTO t VALUES ($i)"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val sel = s.execute("db1", "main", q("SELECT count(*) AS n FROM t"))
+    assert(sel.rows.head.head == SqlValue.IntVal(8))
+  }
+}
