@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Funcs, Pipeline, Q, Relational, Temporal}
+import graft.queries.{Extras, Funcs, Pipeline, Q, Relational, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Funcs.queries ++ Temporal.queries ++ Pipeline.queries
+    Relational.queries ++ Funcs.queries ++ Temporal.queries ++
+      Pipeline.queries ++ Extras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (minhash/simhash/LSH/IVF/stub
     * decode) get the driver's rows-only check; their exactness is asserted
     * in ScalaTest specs instead. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Funcs.oracles ++ Temporal.oracles ++ Pipeline.oracles
+    Relational.oracles ++ Funcs.oracles ++ Temporal.oracles ++
+      Pipeline.oracles ++ Extras.oracles
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** FTS5-style full-text search (SURVEY §2A row 5: the reference enables
+  * SQLite's FTS5 virtual tables, pkg/sqlite3/sqlite3.go:20-23).
+  *
+  * Spark-native design: the FTS "virtual table" becomes an inverted
+  * postings DataFrame (term, doc, tf) — one explode + hash aggregation to
+  * build, hash-partitioned by term so lookups and joins scale; MATCH
+  * becomes a postings join with AND/OR/NOT set semantics; ranking is BM25
+  * (what FTS5's rank column uses), computed with exact integer tf/df/len
+  * inputs so scores are reproducible across engines.
+  */
+object Fts {
+
+  private def words(c: Column): Column =
+    split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
+
+  /** Inverted index: one row per (term, doc) with term frequency. */
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), explode(words(col(textCol))).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+
+  /** Per-document token counts (BM25's |D|). */
+  def docLengths(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), size(words(col(textCol))).cast("long").as("dl"))
+
+  case class MatchQuery(must: Seq[String], should: Seq[String], mustNot: Seq[String])
+
+  /** Parse an FTS-ish query string: space = AND, OR alternates,
+    * -term = NOT. ("spark query OR merge -slow") */
+  def parse(q: String): MatchQuery = {
+    val toks = q.trim.toLowerCase.split("\\s+").toSeq
+    val mustNot = toks.filter(_.startsWith("-")).map(_.drop(1))
+    val rest = toks.filterNot(_.startsWith("-"))
+    val orIdx = rest.indexWhere(_ == "or")
+    if (orIdx >= 0) {
+      val should = rest.filterNot(_ == "or")
+      MatchQuery(Nil, should, mustNot)
+    } else MatchQuery(rest, Nil, mustNot)
+  }
+
+  /** MATCH + BM25 rank. Returns (doc, score, n_terms_hit) for documents
+    * satisfying the boolean query, highest score first.
+    *
+    * k1 = 1.2, b = 0.75 (FTS5 defaults). All BM25 inputs (tf, df, dl, N)
+    * are exact integers; avgdl and the final score are the only doubles.
+    */
+  def search(docs: DataFrame, textCol: String, idCol: String, query: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val mq = parse(query)
+    val post = postings(docs, textCol, idCol)
+    val dl = docLengths(docs, textCol, idCol)
+    val n = docs.count()
+    val avgdl = dl.agg(sum("dl")).head().getLong(0).toDouble / n
+
+    val positive = if (mq.must.nonEmpty) mq.must else mq.should
+    val hit = post.filter(col("term").isin(positive: _*))
+      .join(broadcast(post.filter(col("term").isin(positive: _*))
+        .groupBy("term").agg(countDistinct("doc").as("df"))), Seq("term"))
+      .join(dl, Seq("doc"))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val scored = hit
+      .withColumn("term_score", idf * tfNorm)
+      .groupBy(col("doc"))
+      .agg(round(sum(col("term_score")), 6).as("score"),
+        countDistinct(col("term")).as("n_terms_hit"))
+    val matched =
+      if (mq.must.nonEmpty) scored.filter(col("n_terms_hit") === mq.must.length)
+      else scored
+    val withoutNegated =
+      if (mq.mustNot.isEmpty) matched
+      else matched.join(
+        post.filter(col("term").isin(mq.mustNot: _*)).select("doc").distinct(),
+        Seq("doc"), "left_anti")
+    withoutNegated.orderBy(col("score").desc, col("doc"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.RecursiveCte
+import graft.queries.Q._
+
+/** Remaining §2A surface: recursive CTEs (native + driver loop),
+  * generators (json_each/explode), and the engine-dataflow demos that are
+  * expressible as queries (statement classifier decision table). */
+object Extras {
+
+  /** WITH RECURSIVE, executed natively by Spark 4's recursive CTE support. */
+  def q26RecursiveCte(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """WITH RECURSIVE seq(n, fib, prev) AS (
+        |  SELECT 1, 1, 0
+        |  UNION ALL
+        |  SELECT n + 1, fib + prev, fib FROM seq WHERE n < 40
+        |)
+        |SELECT n, fib FROM seq ORDER BY n""".stripMargin)
+
+  val q26Oracle: String =
+    """WITH RECURSIVE seq(n, fib, prev) AS (
+      |  SELECT 1, 1, 0
+      |  UNION ALL
+      |  SELECT n + 1, fib + prev, fib FROM seq WHERE n < 40
+      |)
+      |SELECT n, fib FROM seq ORDER BY n""".stripMargin
+
+  /** Graph reachability via the driver-loop fixpoint: BFS over a functional
+    * graph derived from nation keys (dst = (src*2+1) mod 25). The oracle is
+    * the equivalent WITH RECURSIVE with a depth bound; min(depth) per node
+    * equals BFS depth. */
+  def q27RecursiveLoop(s: SparkSession, dir: String): DataFrame = {
+    val edges = nation(s, dir).select(
+      col("n_nationkey").cast("long").as("src"),
+      ((col("n_nationkey") * 2 + 1) % 25).cast("long").as("dst"))
+    val seed = s.range(1).select(lit(0L).as("node"), lit(0L).as("depth"))
+    val reached = RecursiveCte.fixpoint(
+      seed,
+      frontier => frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"), (col("depth") + 1).as("depth")),
+      keyCols = Seq("node"))
+    reached.select(col("node"), col("depth")).orderBy(col("node"))
+  }
+
+  val q27Oracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+      |         CAST((n_nationkey * 2 + 1) % 25 AS BIGINT) AS dst
+      |  FROM nation),
+      |r(node, depth) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node
+      |  WHERE r.depth < 30)
+      |SELECT node, MIN(depth) AS depth FROM r GROUP BY node ORDER BY node""".stripMargin
+
+  /** Generator / LATERAL: explode word arrays (the json_each shape:
+    * SQLite's table-valued functions map onto Spark generators). */
+  def f11Explode(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n") >= 5)
+      .orderBy(col("word"))
+
+  val f11Oracle: String =
+    """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+      |  FROM documents WHERE doc_id < 20) t
+      |GROUP BY word HAVING COUNT(*) >= 5 ORDER BY word""".stripMargin
+
+  /** The statement classifier (B1) as a decision table over a VALUES list —
+    * oracle is the same prefix CASE in DuckDB, so the routing semantics are
+    * themselves oracle-checked. */
+  def e01Classifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Classifier
+    val stmts = Seq(
+      "SELECT * FROM t", "select count(*) from x", "INSERT INTO t VALUES (1)",
+      "Update t set a=1", "DELETE FROM t WHERE 1", "CREATE TABLE t (a)",
+      "DROP TABLE t", "ALTER TABLE t RENAME TO u", "PRAGMA table_info(t)",
+      "VACUUM", "BEGIN", "BEGIN IMMEDIATE", "COMMIT", "END", "ROLLBACK",
+      "WITH c AS (SELECT 1) SELECT * FROM c", "sel")
+    import s.implicits._
+    stmts.toDF("stmt")
+      .withColumn("kind", {
+        // same classification, expressed as a column for distributed use
+        val st = col("stmt")
+        when(lower(substring(st, 1, 6)) === "select", "dql")
+          .when(lower(substring(st, 1, 6)) === "insert", "dml")
+          .when(lower(substring(st, 1, 6)) === "update", "dml")
+          .when(lower(substring(st, 1, 6)) === "delete", "dml")
+          .when(lower(substring(st, 1, 6)) === "create", "ddl")
+          .when(lower(substring(st, 1, 4)) === "drop" && length(st) >= 6, "ddl")
+          .when(lower(substring(st, 1, 5)) === "alter" && length(st) >= 6, "ddl")
+          .when(lower(substring(st, 1, 6)) === "pragma", "pragma")
+          .when(lower(substring(st, 1, 6)) === "vacuum", "vacuum")
+          .when(lower(substring(st, 1, 5)) === "begin", "begin")
+          .when(lower(substring(st, 1, 8)) === "rollback", "rollback")
+          .when(lower(substring(st, 1, 6)) === "commit" ||
+            (lower(substring(st, 1, 3)) === "end" && length(st) >= 3), "commit")
+          .otherwise("other")
+      })
+      .withColumn("is_write", col("kind").isin("dml", "ddl", "pragma"))
+      .orderBy(col("stmt"))
+  }
+
+  val e01Oracle: String =
+    """SELECT stmt,
+      |  CASE WHEN lower(substr(stmt, 1, 6)) = 'select' THEN 'dql'
+      |       WHEN lower(substr(stmt, 1, 6)) = 'insert' THEN 'dml'
+      |       WHEN lower(substr(stmt, 1, 6)) = 'update' THEN 'dml'
+      |       WHEN lower(substr(stmt, 1, 6)) = 'delete' THEN 'dml'
+      |       WHEN lower(substr(stmt, 1, 6)) = 'create' THEN 'ddl'
+      |       WHEN lower(substr(stmt, 1, 4)) = 'drop' AND length(stmt) >= 6 THEN 'ddl'
+      |       WHEN lower(substr(stmt, 1, 5)) = 'alter' AND length(stmt) >= 6 THEN 'ddl'
+      |       WHEN lower(substr(stmt, 1, 6)) = 'pragma' THEN 'pragma'
+      |       WHEN lower(substr(stmt, 1, 6)) = 'vacuum' THEN 'vacuum'
+      |       WHEN lower(substr(stmt, 1, 5)) = 'begin' THEN 'begin'
+      |       WHEN lower(substr(stmt, 1, 8)) = 'rollback' THEN 'rollback'
+      |       WHEN lower(substr(stmt, 1, 6)) = 'commit'
+      |            OR (lower(substr(stmt, 1, 3)) = 'end' AND length(stmt) >= 3) THEN 'commit'
+      |       ELSE 'other' END AS kind,
+      |  CASE WHEN lower(substr(stmt, 1, 6)) = 'select' THEN FALSE
+      |       WHEN lower(substr(stmt, 1, 6)) IN ('insert','update','delete','create','pragma') THEN TRUE
+      |       WHEN lower(substr(stmt, 1, 4)) = 'drop' AND length(stmt) >= 6 THEN TRUE
+      |       WHEN lower(substr(stmt, 1, 5)) = 'alter' AND length(stmt) >= 6 THEN TRUE
+      |       ELSE FALSE END AS is_write
+      |FROM (VALUES
+      |  ('SELECT * FROM t'), ('select count(*) from x'), ('INSERT INTO t VALUES (1)'),
+      |  ('Update t set a=1'), ('DELETE FROM t WHERE 1'), ('CREATE TABLE t (a)'),
+      |  ('DROP TABLE t'), ('ALTER TABLE t RENAME TO u'), ('PRAGMA table_info(t)'),
+      |  ('VACUUM'), ('BEGIN'), ('BEGIN IMMEDIATE'), ('COMMIT'), ('END'), ('ROLLBACK'),
+      |  ('WITH c AS (SELECT 1) SELECT * FROM c'), ('sel')) AS v(stmt)
+      |ORDER BY stmt""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "q26_recursive_cte" -> (q26RecursiveCte _),
+    "q27_recursive_loop" -> (q27RecursiveLoop _),
+    "f11_explode" -> (f11Explode _),
+    "e01_classifier" -> (e01Classifier _))
+
+  val oracles: Map[String, String] = Map(
+    "q26_recursive_cte" -> q26Oracle,
+    "q27_recursive_loop" -> q27Oracle,
+    "f11_explode" -> f11Oracle,
+    "e01_classifier" -> e01Oracle)
+}

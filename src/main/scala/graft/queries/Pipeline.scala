@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Fts, Multimodal, Similarity, TextAnalysis}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -238,7 +238,72 @@ object Pipeline {
       .orderBy(col("media_id"))
   }
 
+  /** FTS5-style MATCH with BM25 ranking: "merge window" = AND semantics.
+    * The oracle mirrors the exact BM25 arithmetic (integer tf/df/dl inputs,
+    * identical expression shapes, round-6 output). */
+  def p15FtsMatch(s: SparkSession, dir: String): DataFrame =
+    Fts.search(documents(s, dir), "text", "doc_id", "merge window")
+      .select(col("doc"), col("score"), col("n_terms_hit"))
+
+  val p15Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |dl AS (SELECT doc_id AS doc, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      |post AS (SELECT doc_id AS doc, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM post GROUP BY 1, 2),
+      |stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+      |                 (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS sumdl),
+      |hit AS (
+      |  SELECT tf.doc, tf.term, tf.tf, df.df, dl.dl
+      |  FROM tf
+      |  JOIN (SELECT term, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df FROM tf
+      |        WHERE term IN ('merge','window') GROUP BY term) df USING (term)
+      |  JOIN dl ON dl.doc = tf.doc
+      |  WHERE tf.term IN ('merge','window')),
+      |scored AS (
+      |  SELECT doc,
+      |    round(SUM( ln((n - df + 0.5)/(df + 0.5) + 1.0) *
+      |      (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) ), 6) AS score,
+      |    COUNT(DISTINCT term) AS n_terms_hit
+      |  FROM hit, stats GROUP BY doc)
+      |SELECT doc, score, n_terms_hit FROM scored WHERE n_terms_hit = 2
+      |ORDER BY score DESC, doc""".stripMargin
+
+  /** FTS OR + NOT: "spark OR vector -slow". */
+  def p16FtsOrNot(s: SparkSession, dir: String): DataFrame =
+    Fts.search(documents(s, dir), "text", "doc_id", "spark OR vector -slow")
+      .select(col("doc"), col("score"), col("n_terms_hit"))
+
+  val p16Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |dl AS (SELECT doc_id AS doc, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      |post AS (SELECT doc_id AS doc, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM post GROUP BY 1, 2),
+      |stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+      |                 (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS sumdl),
+      |hit AS (
+      |  SELECT tf.doc, tf.term, tf.tf, df.df, dl.dl
+      |  FROM tf
+      |  JOIN (SELECT term, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df FROM tf
+      |        WHERE term IN ('spark','vector') GROUP BY term) df USING (term)
+      |  JOIN dl ON dl.doc = tf.doc
+      |  WHERE tf.term IN ('spark','vector')),
+      |scored AS (
+      |  SELECT doc,
+      |    round(SUM( ln((n - df + 0.5)/(df + 0.5) + 1.0) *
+      |      (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) ), 6) AS score,
+      |    COUNT(DISTINCT term) AS n_terms_hit
+      |  FROM hit, stats GROUP BY doc)
+      |SELECT doc, score, n_terms_hit FROM scored
+      |WHERE doc NOT IN (SELECT DISTINCT doc FROM post WHERE term = 'slow')
+      |ORDER BY score DESC, doc""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "p15_fts_match" -> (p15FtsMatch _),
+    "p16_fts_or_not" -> (p16FtsOrNot _),
     "p01_dedup_exact" -> (p01DedupExact _),
     "p02_dedup_normalized" -> (p02DedupNormalized _),
     "p03_dedup_minhash" -> (p03DedupMinHash _),
@@ -255,6 +320,8 @@ object Pipeline {
     "p14_multimodal_decode" -> (p14MultimodalDecode _))
 
   val oracles: Map[String, String] = Map(
+    "p15_fts_match" -> p15Oracle,
+    "p16_fts_or_not" -> p16Oracle,
     "p01_dedup_exact" -> p01Oracle,
     "p02_dedup_normalized" -> p02Oracle,
     "p05_ngram_jaccard" -> p05Oracle,

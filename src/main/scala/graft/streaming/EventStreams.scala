@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY §7.2 step 8: the
+  * driver-mandated streaming extension; the reference itself has no
+  * dataflow streaming — its /query/stream endpoint is transport-level,
+  * pkg/http/query_stream_controller.go).
+  *
+  * Each transform is the streaming twin of a batch query in
+  * graft.queries.Temporal, so results can be checked batch-vs-stream.
+  * Watermarks bound state; all aggregations are incremental (partial
+  * aggregation + state store), which is the 100 TB-friendly shape.
+  */
+object EventStreams {
+
+  /** The on-disk events schema (ts is TIMESTAMP(NANOS) -> read as long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over a directory of event parquet files. */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Session windows (10-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n"))
+
+  case class UserAgg(user_id: Long, events: Long, total: Double)
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+  /** Custom stateful aggregation: running per-user totals via
+    * flatMapGroupsWithState (the KeyValueGroupedDataset state API). */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
+    import spark.implicits._
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) => {
+          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+          var n = prev.events
+          var tot = prev.total
+          rows.foreach { r => n += 1; tot += r.value }
+          val next = UserAgg(user, n, tot)
+          state.update(next)
+          Iterator(next)
+        })
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Streaming-vs-batch equivalence: the streaming transforms must converge
+  * to the same results as their batch twins once all input is processed. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val eventsDir: String = {
+    // stage the events parquet into a directory (streaming sources read dirs)
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val src = java.nio.file.Paths.get(SparkTestSession.sfDir, "events.parquet")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(dir, "events.parquet"))
+    dir
+  }
+
+  test("streaming tumbling counts converge to the batch result") {
+    val q = EventStreams.tumblingCounts(EventStreams.source(spark, eventsDir))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT CAST(w_start AS STRING) w, event_type, n FROM tumbling")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Tables.load(spark, SparkTestSession.sfDir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful running totals: final per-user state matches batch totals") {
+    val q = EventStreams.runningUserTotals(spark,
+        EventStreams.source(spark, eventsDir))
+      .writeStream.format("memory").queryName("usertotals")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // last update per user is its final state
+      val streamed = spark.sql(
+        """SELECT user_id, events, total FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY events DESC) rn
+          |  FROM usertotals) WHERE rn = 1""".stripMargin)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batch = Tables.load(spark, SparkTestSession.sfDir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("t"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (u, (n, t)) =>
+        assert(n == batch(u)._1, s"user $u count")
+        assert(math.abs(t - batch(u)._2) < 1e-6, s"user $u total")
+      }
+    } finally q.stop()
+  }
+
+  test("session windows produce the same sessions as the batch twin") {
+    val q = EventStreams.sessionCounts(EventStreams.source(spark, eventsDir))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT COUNT(*), SUM(n) FROM sessions").head()
+      val batch = Tables.load(spark, SparkTestSession.sfDir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), sum("n")).head()
+      assert(streamed.getLong(0) == batch.getLong(0))
+      assert(streamed.getLong(1) == batch.getLong(1))
+    } finally q.stop()
+  }
+}
