@@ -54,6 +54,28 @@ object EngineDemo {
 
     val metrics = engine.metrics.flush()
     println(s"  metrics buckets: ${metrics.length}, record bytes: ${metrics.head.bytes.length}")
+
+    // binary streaming protocol (B8): a full client conversation
+    val conv = new java.io.ByteArrayOutputStream()
+    QueryStream.writeMessage(conv, QueryStream.Open, Array.emptyByteArray)
+    QueryStream.writeMessage(conv, QueryStream.Frame, QueryStream.encodeFrame(Seq(
+      QueryInput("s1", "SELECT name FROM users WHERE balance > ? ORDER BY id",
+        Seq(Param.float(5.0))),
+      QueryInput("s2", "SELECT * FROM missing_table"))))
+    QueryStream.writeMessage(conv, QueryStream.Close, Array.emptyByteArray)
+    val reply = new java.io.ByteArrayOutputStream()
+    QueryStream.serve(new java.io.ByteArrayInputStream(conv.toByteArray), reply,
+      q => engine.execute("app", "main", q))
+    val replyIn = new java.io.ByteArrayInputStream(reply.toByteArray)
+    replyIn.readNBytes(5) // open ack
+    val hdr = replyIn.readNBytes(5)
+    val flen = java.nio.ByteBuffer.wrap(hdr, 1, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    QueryStream.decodeResponseFrame(replyIn.readNBytes(flen)).foreach {
+      case (isErr, bytes) =>
+        if (isErr) println("  stream entry ERROR: " + new String(bytes).take(80))
+        else println("  stream entry OK: " + Wire.responseJson(Wire.decodeResponse(bytes)).take(120))
+    }
     println("ENGINE_DEMO_OK")
     spark.stop()
   }
