@@ -29,7 +29,8 @@ object Dedup {
       regexp_replace(lower(trim(col(textCol))), "\\s+", " ")), textCol, idCol)
 
   /** Distinct word n-gram (shingle) table: (id, gram). The base for MinHash
-    * and exact-Jaccard verification. */
+    * and exact-Jaccard verification. array_distinct dedups within a doc
+    * before the explode, so no post-explode shuffle is needed. */
   def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
     df.select(col(idCol).as("id"), words.as("words"))
@@ -37,7 +38,6 @@ object Dedup {
       .select(col("id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(words)-$n), i -> concat_ws(' ', slice(words, i+1, $n)))")))
         .as("gram"))
-      .distinct()
   }
 
   /** MinHash signatures: k independent hash "permutations" of the shingle

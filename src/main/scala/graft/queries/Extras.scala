@@ -141,13 +141,29 @@ object Extras {
       |  ('WITH c AS (SELECT 1) SELECT * FROM c'), ('sel')) AS v(stmt)
       |ORDER BY stmt""".stripMargin
 
+  /** SQLite NULL ordering semantics (SURVEY §7.4 item 1): NULLs sort FIRST
+    * ascending, LAST descending — Spark's default matches SQLite; DuckDB's
+    * does not, so the oracle pins it explicitly. */
+  def q28NullOrdering(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).filter(col("c_custkey") < 40)
+      .select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nullable"))
+      .orderBy(col("seg_nullable").asc_nulls_first, col("c_custkey"))
+
+  val q28Oracle: String =
+    """SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg_nullable
+      |FROM customer WHERE c_custkey < 40
+      |ORDER BY seg_nullable ASC NULLS FIRST, c_custkey""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "q28_null_ordering" -> (q28NullOrdering _),
     "q26_recursive_cte" -> (q26RecursiveCte _),
     "q27_recursive_loop" -> (q27RecursiveLoop _),
     "f11_explode" -> (f11Explode _),
     "e01_classifier" -> (e01Classifier _))
 
   val oracles: Map[String, String] = Map(
+    "q28_null_ordering" -> q28Oracle,
     "q26_recursive_cte" -> q26Oracle,
     "q27_recursive_loop" -> q27Oracle,
     "f11_explode" -> f11Oracle,
