@@ -125,6 +125,20 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
+    * with cosine >= threshold. O(n²) — this is the small-set verification
+    * baseline for cosineNearDup below; at 100 TB the SRP-bucketed variant
+    * is the only viable path (the bucket equi-join keeps the pair space to
+    * same-bucket candidates instead of the full cross product). */
+  def exactNearDup(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    t.as("a").join(t.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * using SRP buckets to avoid the all-pairs join. */
   def cosineNearDup(df: DataFrame, vecCol: String, idCol: String, dims: Int,

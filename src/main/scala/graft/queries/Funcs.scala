@@ -254,7 +254,123 @@ object Funcs {
       |  FROM customer GROUP BY c_mktsegment) x
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** SQLite date *modifiers* — the `date(x, '+3 days', 'start of month',
+    * 'weekday 0', ...)` surface (§2A row 28) via SqliteFunctions.dateModify.
+    * The oracle re-derives each modifier with DuckDB interval arithmetic. */
+  def f12DateModifiers(s: SparkSession, dir: String): DataFrame = {
+    import SqliteFunctions.dateModify
+    orders(s, dir).filter(col("o_orderkey") < 150)
+      .select(
+        col("o_orderkey"),
+        date_format(dateModify(col("o_orderdate"), "+3 days"),
+          "yyyy-MM-dd HH:mm:ss").as("plus3d"),
+        date_format(dateModify(col("o_orderdate"), "-2 months"),
+          "yyyy-MM-dd").as("minus2m"),
+        date_format(dateModify(col("o_orderdate"), "+12 hours", "+30 minutes"),
+          "yyyy-MM-dd HH:mm:ss").as("plus_hm"),
+        date_format(dateModify(col("o_orderdate"), "start of month"),
+          "yyyy-MM-dd").as("som"),
+        date_format(dateModify(col("o_orderdate"), "start of year"),
+          "yyyy-MM-dd").as("soy"),
+        date_format(dateModify(col("o_orderdate"), "weekday 0"),
+          "yyyy-MM-dd").as("next_sun"),
+        date_format(dateModify(col("o_orderdate"), "start of month", "+1 month", "-1 day"),
+          "yyyy-MM-dd").as("eom"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val f12Oracle: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S') AS plus3d,
+      |  strftime(o_orderdate - INTERVAL 2 MONTH, '%Y-%m-%d') AS minus2m,
+      |  strftime(o_orderdate + INTERVAL 12 HOUR + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus_hm,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS som,
+      |  strftime(date_trunc('year', o_orderdate), '%Y-%m-%d') AS soy,
+      |  strftime(o_orderdate + to_days(CAST((0 - dayofweek(o_orderdate) + 7) % 7 AS INT)), '%Y-%m-%d') AS next_sun,
+      |  strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH - INTERVAL 1 DAY, '%Y-%m-%d') AS eom
+      |FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey""".stripMargin
+
+  /** JSON construction (§2A row 29): json_object → to_json(struct),
+    * json_array → to_json(array), json_array_length. Output strings are
+    * byte-compared against DuckDB's json_object/json_array rendering, so
+    * this pins the wire format too (no spaces, insertion-ordered keys). */
+  def f13JsonConstruct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_id") < 300)
+      .select(
+        col("event_id"),
+        to_json(struct(col("event_type").as("t"), col("user_id").as("u"))).as("jo"),
+        to_json(array(col("user_id"), col("event_id"))).as("ja"),
+        json_array_length(to_json(array(col("user_id"), col("event_id"))))
+          .cast("long").as("jlen"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy(col("event_id"))
+
+  val f13Oracle: String =
+    """SELECT event_id,
+      |  CAST(json_object('t', event_type, 'u', user_id) AS VARCHAR) AS jo,
+      |  CAST(json_array(user_id, event_id) AS VARCHAR) AS ja,
+      |  CAST(json_array_length(json_array(user_id, event_id)) AS BIGINT) AS jlen,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin
+
+  /** JSON aggregate construction: json_group_array (ordered) and
+    * json_group_object (sorted keys) — SQLite JSON1 aggregates re-expressed
+    * as to_json over collect_list / map_from_entries. Two-level agg: the
+    * per-type counts aggregate map-side first, then a single tiny global
+    * row builds the object — no wide shuffle. */
+  def f15JsonGroup(s: SparkSession, dir: String): DataFrame = {
+    val perType = events(s, dir).filter(col("event_id") < 100)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        to_json(sort_array(collect_list(col("user_id")))).as("users_json"))
+    val obj = perType
+      .agg(to_json(map_from_entries(sort_array(
+        collect_list(struct(col("event_type"), col("n")))))).as("counts_json"))
+    perType.crossJoin(obj)
+      .select(col("event_type"), col("n"), col("users_json"), col("counts_json"))
+      .orderBy(col("event_type"))
+  }
+
+  val f15Oracle: String =
+    """WITH per_type AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(to_json(list(user_id ORDER BY user_id)) AS VARCHAR) AS users_json
+      |  FROM events WHERE event_id < 100 GROUP BY event_type),
+      |obj AS (
+      |  SELECT CAST(to_json(map_from_entries(
+      |    list(struct_pack(event_type := event_type, n := n) ORDER BY event_type)))
+      |    AS VARCHAR) AS counts_json
+      |  FROM per_type)
+      |SELECT event_type, n, users_json, counts_json
+      |FROM per_type CROSS JOIN obj ORDER BY event_type""".stripMargin
+
+  /** String extras (§2A row 26): char/unicode (chr/ascii), printf
+    * (format_string), quote, hex→unhex round trip. */
+  def f14StringExtras(s: SparkSession, dir: String): DataFrame =
+    part(s, dir).filter(col("p_partkey") < 80)
+      .select(
+        col("p_partkey"),
+        expr("char(65 + p_partkey % 26)").as("key_char"),
+        ascii(substring(col("p_name"), 1, 1)).cast("long").as("first_cp"),
+        format_string("%03d|%s", col("p_partkey"), col("p_brand")).as("pf"),
+        SqliteFunctions.quoteText(col("p_name")).as("quoted"),
+        unhex(lower(hex(col("p_name")))).cast("string").as("hex_roundtrip"))
+      .orderBy(col("p_partkey"))
+
+  val f14Oracle: String =
+    """SELECT p_partkey,
+      |  chr(CAST(65 + p_partkey % 26 AS INT)) AS key_char,
+      |  ascii(substr(p_name, 1, 1)) AS first_cp,
+      |  printf('%03d|%s', p_partkey, p_brand) AS pf,
+      |  '''' || replace(p_name, '''', '''''') || '''' AS quoted,
+      |  CAST(unhex(lower(hex(p_name))) AS VARCHAR) AS hex_roundtrip
+      |FROM part WHERE p_partkey < 80 ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "f12_date_modifiers" -> (f12DateModifiers _),
+    "f13_json_construct" -> (f13JsonConstruct _),
+    "f14_string_extras" -> (f14StringExtras _),
+    "f15_json_group" -> (f15JsonGroup _),
     "f01_string_funcs" -> (f01Strings _),
     "f02_patterns" -> (f02Patterns _),
     "f03_date_funcs" -> (f03Dates _),
@@ -267,6 +383,10 @@ object Funcs {
     "f10_stats_manual" -> (f10StatsManual _))
 
   val oracles: Map[String, String] = Map(
+    "f12_date_modifiers" -> f12Oracle,
+    "f13_json_construct" -> f13Oracle,
+    "f14_string_extras" -> f14Oracle,
+    "f15_json_group" -> f15Oracle,
     "f01_string_funcs" -> f01Oracle,
     "f02_patterns" -> f02Oracle,
     "f03_date_funcs" -> f03Oracle,

@@ -124,6 +124,24 @@ object Pipeline {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: the verification
+    * baseline for Similarity.cosineNearDup (SRP-bucketed scale path, whose
+    * subset/precision property OperatorsSpec asserts). Oracle recomputes
+    * the same double arithmetic with DuckDB list ops. */
+  def p17EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.exactNearDup(embeddings(s, dir), "embedding", "vec_id",
+        threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val p17Oracle: String =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT id_a, id_b, sim FROM (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |  FROM v a JOIN v b ON a.id < b.id)
+      |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
   /** Language-ID heuristic: stopword-set scores per language + argmax. */
   def p09LangId(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
@@ -317,7 +335,8 @@ object Pipeline {
     "p11_token_count" -> (p11TokenCount _),
     "p12_fingerprint" -> (p12Fingerprint _),
     "p13_multimodal_meta" -> (p13MultimodalMeta _),
-    "p14_multimodal_decode" -> (p14MultimodalDecode _))
+    "p14_multimodal_decode" -> (p14MultimodalDecode _),
+    "p17_embed_neardup" -> (p17EmbedNearDup _))
 
   val oracles: Map[String, String] = Map(
     "p15_fts_match" -> p15Oracle,
@@ -329,5 +348,6 @@ object Pipeline {
     "p09_lang_id" -> p09Oracle,
     "p10_quality_score" -> p10Oracle,
     "p11_token_count" -> p11Oracle,
-    "p13_multimodal_meta" -> p13Oracle)
+    "p13_multimodal_meta" -> p13Oracle,
+    "p17_embed_neardup" -> p17Oracle)
 }

@@ -354,6 +354,40 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** GROUPS window frames (SURVEY §2A row 20's documented gap, closed):
+    * SQLite 3.49.1 supports `GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW`;
+    * Spark (and DuckDB) lack GROUPS mode. Emulation: dense_rank over the
+    * frame's ORDER BY key gives each peer group an index, then a RANGE
+    * frame over that index is exactly a GROUPS frame. Two window passes
+    * over the same partitioning → one shuffle, second pass reuses the
+    * sort. The oracle applies the identical rewrite in DuckDB. */
+  def q29GroupsFrames(s: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val dr = dense_rank().over(byFlag.orderBy(col("l_shipdate")))
+    val groupsFrame = byFlag.orderBy(col("peer_idx")).rangeBetween(-1, 0)
+    lineitem(s, dir).filter(col("l_orderkey") < 200)
+      .withColumn("peer_idx", dr)
+      .withColumn("grp_qty",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(groupsFrame)
+          .cast("double"))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("peer_idx").cast("long").as("peer_idx"),
+        col("grp_qty"))
+      .orderBy(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  val q29Oracle: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate, peer_idx,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_returnflag ORDER BY peer_idx
+      |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_qty
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+      |    CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_shipdate) AS BIGINT) AS peer_idx
+      |  FROM lineitem WHERE l_orderkey < 200)
+      |ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
   val q17Oracle: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, running_qty, trail3_qty FROM (
       |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
@@ -520,7 +554,8 @@ object Relational {
     "q22_correlated_exists" -> (q22CorrelatedExists _),
     "q23_cte" -> (q23Cte _),
     "q24_values" -> (q24Values _),
-    "q25_using_join" -> (q25UsingJoin _))
+    "q25_using_join" -> (q25UsingJoin _),
+    "q29_groups_frames" -> (q29GroupsFrames _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Oracle,
@@ -547,5 +582,6 @@ object Relational {
     "q22_correlated_exists" -> q22Oracle,
     "q23_cte" -> q23Oracle,
     "q24_values" -> q24Oracle,
-    "q25_using_join" -> q25Oracle)
+    "q25_using_join" -> q25Oracle,
+    "q29_groups_frames" -> q29Oracle)
 }

@@ -145,6 +145,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!"xAy".matches(globToRegex("x.y"))) // dot is literal in glob
   }
 
+  test("cosineNearDup pairs are a subset of exactNearDup with identical sims") {
+    val vecs = (0 until 40).map { i =>
+      // 4 clusters of 10 near-identical vectors + per-item noise
+      val base = Array.tabulate(8)(d => math.sin(1.0 + (i % 4) * 3 + d))
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        (x + 0.02 * math.cos(i * 7 + d)).toFloat })
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.exactNearDup(vecs, "embedding", "vec_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Similarity.cosineNearDup(vecs, "embedding", "vec_id",
+      dims = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (pair, sim) =>
+      assert(exact.get(pair).contains(sim), s"$pair not in exact set")
+    }
+  }
+
+  test("dateModify: SQLite modifier semantics") {
+    import graft.functions.SqliteFunctions.dateModify
+    val df = Seq("1995-03-17 10:30:00", "1995-12-31 23:59:59", "1995-03-19 08:00:00")
+      .toDF("ts").select(col("ts").cast("timestamp").as("ts"))
+    def fmt(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")
+    val rows = df.select(
+      fmt(dateModify(col("ts"), "+3 days")).as("p3d"),
+      fmt(dateModify(col("ts"), "start of month")).as("som"),
+      fmt(dateModify(col("ts"), "start of year")).as("soy"),
+      fmt(dateModify(col("ts"), "weekday 0")).as("sun"),
+      fmt(dateModify(col("ts"), "start of month", "+1 month", "-1 day")).as("eom"),
+      fmt(dateModify(col("ts"), "-90 minutes")).as("m90"))
+      .collect()
+    assert(rows(0).getString(0) == "1995-03-20 10:30:00")
+    assert(rows(0).getString(1) == "1995-03-01 00:00:00")
+    assert(rows(1).getString(2) == "1995-01-01 00:00:00")
+    // 1995-03-17 is a Friday -> next Sunday is the 19th (time preserved)
+    assert(rows(0).getString(3) == "1995-03-19 10:30:00")
+    // 1995-03-19 IS a Sunday -> weekday 0 stays put
+    assert(rows(2).getString(3) == "1995-03-19 08:00:00")
+    assert(rows(0).getString(4) == "1995-03-31 00:00:00")
+    assert(rows(1).getString(4) == "1995-12-31 00:00:00")
+    assert(rows(1).getString(5) == "1995-12-31 22:29:59")
+    intercept[IllegalArgumentException] {
+      dateModify(col("ts"), "localtime")
+    }
+  }
+
   test("strftime token translation") {
     import graft.functions.SqliteFunctions.strftimeToJava
     assert(strftimeToJava("%Y-%m-%d") == "yyyy-MM-dd")
