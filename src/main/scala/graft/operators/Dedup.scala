@@ -92,11 +92,22 @@ object Dedup {
         (agree.cast("double") / k).as("est_jaccard"))
   }
 
-  /** Full MinHash near-dup pipeline: shingle -> sign -> band -> verify. */
+  /** Full MinHash near-dup pipeline: shingle -> sign -> band -> verify.
+    *
+    * The signature table feeds three branches (banding + both verify
+    * sides), so without persistence the corpus is scanned and shingled
+    * once per branch. `persistSignatures` trades a materialization barrier
+    * for single-scan behavior: signatures are k longs per doc — orders of
+    * magnitude smaller than the text — so at 100 TB persist is mandatory.
+    * It defaults off because below ~GB scale the re-scan is cheaper than
+    * the barrier (measured ~40% faster at sf0.1). */
   def minHashDedup(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val sigs = minHashSignatures(wordShingles(df, textCol, idCol, shingleLen), k)
+      threshold: Double = 0.5, persistSignatures: Boolean = false): DataFrame = {
+    val sigs0 = minHashSignatures(wordShingles(df, textCol, idCol, shingleLen), k)
+    val sigs = if (persistSignatures)
+      sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigs0
     minHashVerify(minHashCandidates(sigs, k, rowsPerBand), sigs, k)
       .filter(col("est_jaccard") >= threshold)
   }

@@ -155,8 +155,67 @@ object Extras {
       |FROM customer WHERE c_custkey < 40
       |ORDER BY seg_nullable ASC NULLS FIRST, c_custkey""".stripMargin
 
+  /** R-Tree virtual-table surface (SURVEY §2A row 5): an R-tree query IS a
+    * rectangle-overlap predicate (SQLite rtree docs); with Parquet min/max
+    * stats + partition pruning the same predicate prunes file ranges the
+    * way the R-tree prunes tree nodes. Both range filters reach the scan
+    * as PushedFilters (verified in PlanAudit). */
+  def q30RtreeBbox(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_extendedprice").between(20000.0, 30000.0) &&
+        col("l_discount").between(0.02, 0.06))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_in_box"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q30Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_in_box,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_extendedprice BETWEEN 20000.0 AND 30000.0
+      |  AND l_discount BETWEEN 0.02 AND 0.06
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Geopoly virtual-table surface (§2A row 5): geopoly_contains_point for
+    * a convex CCW polygon = every edge cross-product >= 0. Point =
+    * (l_extendedprice, l_quantity); the polygon is a compile-time literal,
+    * so the whole test is a codegen'd conjunction of arithmetic predicates
+    * — no UDF, trivially partition-parallel. The oracle spells out the
+    * identical edge tests (same literal deltas → identical IEEE ops). */
+  def q31GeopolyContains(s: SparkSession, dir: String): DataFrame = {
+    // pentagon vertices (x=price, y=qty), CCW; (dx, dy, x1, y1) per edge
+    val edges = Seq(
+      (40000.0, -3.0, 20000.0, 5.0), (40000.0, 18.0, 60000.0, 2.0),
+      (-30000.0, 25.0, 100000.0, 20.0), (-40000.0, -5.0, 70000.0, 45.0),
+      (-10000.0, -35.0, 30000.0, 40.0))
+    val px = col("l_extendedprice")
+    val py = col("l_quantity").cast("double")
+    val inside = edges.map { case (dx, dy, x1, y1) =>
+      (lit(dx) * (py - lit(y1)) - lit(dy) * (px - lit(x1))) >= 0.0
+    }.reduce(_ && _)
+    lineitem(s, dir).filter(inside)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_inside"), min(col("l_orderkey")).as("first_key"),
+        max(col("l_orderkey")).as("last_key"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q31Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_inside,
+      |  MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
+      |FROM lineitem
+      |WHERE 40000.0*(l_quantity - 5.0) - (-3.0)*(l_extendedprice - 20000.0) >= 0
+      |  AND 40000.0*(l_quantity - 2.0) - 18.0*(l_extendedprice - 60000.0) >= 0
+      |  AND (-30000.0)*(l_quantity - 20.0) - 25.0*(l_extendedprice - 100000.0) >= 0
+      |  AND (-40000.0)*(l_quantity - 45.0) - (-5.0)*(l_extendedprice - 70000.0) >= 0
+      |  AND (-10000.0)*(l_quantity - 40.0) - (-35.0)*(l_extendedprice - 30000.0) >= 0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q28_null_ordering" -> (q28NullOrdering _),
+    "q30_rtree_bbox" -> (q30RtreeBbox _),
+    "q31_geopoly_contains" -> (q31GeopolyContains _),
     "q26_recursive_cte" -> (q26RecursiveCte _),
     "q27_recursive_loop" -> (q27RecursiveLoop _),
     "f11_explode" -> (f11Explode _),
@@ -164,6 +223,8 @@ object Extras {
 
   val oracles: Map[String, String] = Map(
     "q28_null_ordering" -> q28Oracle,
+    "q30_rtree_bbox" -> q30Oracle,
+    "q31_geopoly_contains" -> q31Oracle,
     "q26_recursive_cte" -> q26Oracle,
     "q27_recursive_loop" -> q27Oracle,
     "f11_explode" -> f11Oracle,

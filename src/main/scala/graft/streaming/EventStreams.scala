@@ -48,6 +48,16 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("n"))
 
+  /** Streaming exact dedup — the ingestion shape of Dedup.exact for an
+    * at-least-once pipeline: keep the first occurrence of each content
+    * key. State is bounded by the watermark (a duplicate arriving more
+    * than the watermark delay after its first occurrence can re-emit —
+    * the standard contract that keeps state finite at 100 TB/day). */
+  def dedupByContent(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class UserAgg(user_id: Long, events: Long, total: Double)
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)

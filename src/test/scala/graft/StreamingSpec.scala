@@ -36,6 +36,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming content dedup emits exactly the batch-distinct keys") {
+    val q = EventStreams.dedupByContent(
+        EventStreams.source(spark, eventsDir), Seq("event_type", "props"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT event_type, props FROM dedup")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(streamed.length == streamed.toSet.size, "no duplicate keys emitted")
+      val batchDistinct = Tables.load(spark, SparkTestSession.sfDir, "events")
+        .select("event_type", "props").distinct().count()
+      assert(streamed.length == batchDistinct)
+    } finally q.stop()
+  }
+
   test("stateful running totals: final per-user state matches batch totals") {
     val q = EventStreams.runningUserTotals(spark,
         EventStreams.source(spark, eventsDir))
