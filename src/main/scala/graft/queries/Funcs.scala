@@ -136,7 +136,9 @@ object Funcs {
           .when(col("c_acctbal") < 7500, "mid")
           .otherwise("high").as("bal_case"),
         greatest(col("c_acctbal"), lit(5000.0)).as("bal_floor5k"),
-        least(col("c_nationkey"), lit(10)).as("nk_cap10"))
+        least(col("c_nationkey"), lit(10)).as("nk_cap10"),
+        SqliteFunctions.likelihood(col("c_acctbal"), 0.9).as("bal_hint"),
+        SqliteFunctions.sqliteVersion.as("dialect_ver"))
       .orderBy(col("c_custkey"))
 
   val f05Oracle: String =
@@ -146,7 +148,9 @@ object Funcs {
       |  CASE WHEN c_acctbal < 1000 THEN 'low'
       |       WHEN c_acctbal < 7500 THEN 'mid' ELSE 'high' END AS bal_case,
       |  GREATEST(c_acctbal, 5000.0) AS bal_floor5k,
-      |  LEAST(c_nationkey, 10) AS nk_cap10
+      |  LEAST(c_nationkey, 10) AS nk_cap10,
+      |  c_acctbal AS bal_hint,
+      |  '3.49.1' AS dialect_ver
       |FROM customer WHERE c_custkey < 80 ORDER BY c_custkey""".stripMargin
 
   /** group_concat with deterministic (sorted) order — SQLite's group_concat

@@ -162,6 +162,39 @@ class EngineSpec extends AnyFunSuite {
     assert(s.catalog.versionHistory("db1", "main", "t").length == 5)
   }
 
+  test("statement cache: repeated statements hit, keys partition the cache") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO t VALUES (1)"))
+    val (h0, m0) = (s.planCache.hits, s.planCache.misses)
+    s.execute("db1", "main", q("SELECT * FROM t"))
+    s.execute("db1", "main", q("SELECT * FROM t"))
+    s.execute("db1", "main", q("SELECT * FROM t"))
+    assert(s.planCache.misses == m0 + 1)
+    assert(s.planCache.hits == h0 + 2)
+    // composite key (crc32(sql), sha256(accessKey)): same SQL under a
+    // different key is a separate entry (reference database_connection.go:726-756)
+    val k1 = s.planCache.key("SELECT 1", "alice")
+    val k2 = s.planCache.key("SELECT 1", "bob")
+    assert(k1.crc == k2.crc && k1 != k2)
+  }
+
+  test("branch created from a restored state sees the restored data") {
+    // SURVEY §7.4 hard part 4: branch-from-restored-state composes
+    // restore (manifest re-point) with branch (manifest copy).
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO t VALUES (1)"))
+    val asOf = s.catalog.currentVersion("db1", "main", "t").get.ts
+    s.execute("db1", "main", q("INSERT INTO t VALUES (2)"))
+    s.catalog.restoreAsOf("db1", "main", asOf)
+    s.createBranch("db1", "main", "from-restore")
+    assert(s.execute("db1", "from-restore", q("SELECT * FROM t")).rows.length == 1)
+    s.execute("db1", "from-restore", q("INSERT INTO t VALUES (9)"))
+    assert(s.execute("db1", "main", q("SELECT * FROM t")).rows.length == 1)
+    assert(s.execute("db1", "from-restore", q("SELECT * FROM t")).rows.length == 2)
+  }
+
   test("authorizer: read-only key cannot write; table scoping enforced") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
