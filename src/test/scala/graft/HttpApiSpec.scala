@@ -1,0 +1,154 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.file.Files
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.HttpApi
+import graft.engine._
+
+/** The reference's HTTP surface end-to-end: database/branch CRUD, JSON
+  * query batches with typed parameters, interactive transactions, the
+  * binary query-stream endpoint, metrics, and access-key denial. */
+class HttpApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private lazy val (api, port) = {
+    val session = new GraftSession(spark, Files.createTempDirectory("graft-http"))
+    val readOnly = AccessKey("ro-key", Set("database:query", "database:select"))
+    val a = new HttpApi(session, Map("ro-key" -> readOnly))
+    (a, a.start())
+  }
+
+  private def post(path: String, body: String, headers: (String, String)*): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), BodyHandlers.ofString())
+  }
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      BodyHandlers.ofString())
+
+  test("database + branch creation, query batch with typed parameters") {
+    assert(post("/v1/databases", """{"name":"db1"}""").statusCode() == 201)
+    val ddl = post("/v1/databases/db1/main/query",
+      """{"queries":[{"id":"c1","statement":"CREATE TABLE t (id INTEGER, name TEXT)"}]}""")
+    assert(ddl.statusCode() == 200, ddl.body())
+    val ins = post("/v1/databases/db1/main/query",
+      """{"queries":[
+        |{"id":"i1","statement":"INSERT INTO t VALUES (?, ?)",
+        | "parameters":[{"type":"INTEGER","value":1},{"type":"TEXT","value":"ada"}]},
+        |{"id":"i2","statement":"INSERT INTO t VALUES (?, ?)",
+        | "parameters":[{"type":"INTEGER","value":2},{"type":"TEXT","value":"bob"}]}
+        |]}""".stripMargin)
+    assert(ins.statusCode() == 200, ins.body())
+    val root = mapper.readTree(ins.body())
+    assert(root.path("status").asText() == "success")
+    assert(root.path("data").get(0).path("changes").asLong() == 1L)
+
+    val sel = post("/v1/databases/db1/main/query",
+      """{"queries":[{"id":"s1","statement":"SELECT name FROM t ORDER BY id"}]}""")
+    val data = mapper.readTree(sel.body()).path("data").get(0)
+    assert(data.path("row_count").asInt() == 2)
+    assert(data.path("rows").get(0).get(0).asText() == "ada")
+
+    // branch fork is isolated
+    assert(post("/v1/databases/db1/branches",
+      """{"parent":"main","name":"dev"}""").statusCode() == 201)
+    post("/v1/databases/db1/dev/query",
+      """{"queries":[{"id":"i3","statement":"INSERT INTO t VALUES (3, 'eve')"}]}""")
+    val mainN = mapper.readTree(post("/v1/databases/db1/main/query",
+      """{"queries":[{"id":"s2","statement":"SELECT * FROM t"}]}""").body())
+      .path("data").get(0).path("row_count").asInt()
+    assert(mainN == 2)
+  }
+
+  test("interactive transaction over HTTP: staged until commit") {
+    post("/v1/databases", """{"name":"db2"}""")
+    post("/v1/databases/db2/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE tx (id INTEGER)"}]}""")
+    val txn = mapper.readTree(post("/v1/databases/db2/main/transactions", "").body())
+      .path("data").path("transaction_id").asText()
+    assert(txn.nonEmpty)
+    post("/v1/databases/db2/main/query",
+      s"""{"queries":[{"id":"i","statement":"INSERT INTO tx VALUES (1)","transaction_id":"$txn"}]}""")
+    def count(): Int = mapper.readTree(post("/v1/databases/db2/main/query",
+      """{"queries":[{"id":"s","statement":"SELECT * FROM tx"}]}""").body())
+      .path("data").get(0).path("row_count").asInt()
+    assert(count() == 0, "staged write visible before commit")
+    assert(post(s"/v1/databases/db2/main/transactions/$txn/commit", "").statusCode() == 200)
+    assert(count() == 1)
+  }
+
+  test("binary query-stream endpoint round trip") {
+    post("/v1/databases", """{"name":"db3"}""")
+    post("/v1/databases/db3/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE s (v INTEGER)"},
+        |{"id":"i","statement":"INSERT INTO s VALUES (7)"}]}""".stripMargin)
+    val body = new java.io.ByteArrayOutputStream()
+    QueryStream.writeMessage(body, QueryStream.Open, Array.emptyByteArray)
+    QueryStream.writeMessage(body, QueryStream.Frame,
+      QueryStream.encodeFrame(Seq(QueryInput("q1", "SELECT v FROM s"))))
+    QueryStream.writeMessage(body, QueryStream.Close, Array.emptyByteArray)
+    val resp = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/v1/databases/db3/main/query/stream"))
+      .POST(BodyPublishers.ofByteArray(body.toByteArray)).build(),
+      BodyHandlers.ofByteArray())
+    assert(resp.statusCode() == 200)
+    val in = new java.io.ByteArrayInputStream(resp.body())
+    // ack for Open
+    val ack = in.readNBytes(5)
+    assert((ack(0) & 0xFF) == QueryStream.Open)
+    // response frame with one entry
+    val hdr = in.readNBytes(5)
+    assert((hdr(0) & 0xFF) == QueryStream.Frame)
+    val len = java.nio.ByteBuffer.wrap(hdr, 1, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val entries = QueryStream.decodeResponseFrame(in.readNBytes(len))
+    assert(entries.length == 1 && !entries.head._1, "one non-error entry")
+    val qr = Wire.decodeResponse(entries.head._2)
+    assert(qr.rows == Seq(Seq(SqlValue.IntVal(7L))))
+  }
+
+  test("access keys: read-only key can select, cannot write; unknown key 401") {
+    post("/v1/databases", """{"name":"db4"}""")
+    post("/v1/databases/db4/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE a (id INTEGER)"}]}""")
+    val denied = post("/v1/databases/db4/main/query",
+      """{"queries":[{"id":"w","statement":"INSERT INTO a VALUES (1)"}]}""",
+      "X-Access-Key-Id" -> "ro-key")
+    assert(denied.statusCode() == 400)
+    assert(mapper.readTree(denied.body()).path("data").get(0)
+      .path("error").asText().nonEmpty)
+    val ok = post("/v1/databases/db4/main/query",
+      """{"queries":[{"id":"r","statement":"SELECT * FROM a"}]}""",
+      "X-Access-Key-Id" -> "ro-key")
+    assert(ok.statusCode() == 200)
+    assert(post("/v1/databases/db4/main/query",
+      """{"queries":[]}""", "X-Access-Key-Id" -> "nope").statusCode() == 401)
+  }
+
+  test("metrics endpoint returns step-merged latency buckets") {
+    post("/v1/databases", """{"name":"db5"}""")
+    post("/v1/databases/db5/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE m (id INTEGER)"},
+        |{"id":"s1","statement":"SELECT * FROM m"},
+        |{"id":"s2","statement":"SELECT * FROM m"}]}""".stripMargin)
+    val resp = get("/v1/databases/db5/main/logs/query?step=1")
+    assert(resp.statusCode() == 200)
+    val data = mapper.readTree(resp.body()).path("data")
+    assert(data.isArray && data.size() > 0)
+    val stmts = (0 until data.size()).map(i => data.get(i).path("statement").asText())
+    assert(stmts.exists(_.startsWith("SELECT * FROM m")))
+    val m = data.get(0)
+    assert(m.path("count").asInt() >= 1 && m.path("max").asDouble() >= m.path("min").asDouble())
+  }
+}
