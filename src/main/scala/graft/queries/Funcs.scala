@@ -370,7 +370,39 @@ object Funcs {
       |  CAST(unhex(lower(hex(p_name))) AS VARCHAR) AS hex_roundtrip
       |FROM part WHERE p_partkey < 80 ORDER BY p_partkey""".stripMargin
 
+  /** JSON1 mutation surface (§2A row 29): json_set/remove/patch/type/
+    * valid/quote via graft.functions.JsonFunctions (Jackson UDFs; the
+    * extraction hot path stays native, f04). DuckDB mirrors: set/remove/
+    * patch through json_merge_patch, type through a name mapping. */
+  def f16JsonMutation(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JsonFunctions._
+    events(s, dir).filter(col("event_id") < 200)
+      .select(
+        col("event_id"),
+        jsonSet(col("props"), "$.x", col("event_id").cast("string")).as("jset"),
+        jsonRemove(col("props"), "$.k").as("jrm"),
+        jsonPatch(col("props"), lit("""{"k":null,"y":2}""")).as("jpatch"),
+        jsonType(col("props"), "$.k").as("jtype"),
+        jsonValid(col("props")).as("jvalid"),
+        jsonQuote(col("event_type")).as("jquote"))
+      .orderBy(col("event_id"))
+  }
+
+  val f16Oracle: String =
+    """SELECT event_id,
+      |  CAST(json_merge_patch(props, json_object('x', event_id)) AS VARCHAR) AS jset,
+      |  CAST(json_merge_patch(props, '{"k":null}') AS VARCHAR) AS jrm,
+      |  CAST(json_merge_patch(props, '{"k":null,"y":2}') AS VARCHAR) AS jpatch,
+      |  CASE WHEN json_type(props, '$.k') IN ('UBIGINT','BIGINT') THEN 'integer'
+      |       WHEN json_type(props, '$.k') = 'DOUBLE' THEN 'real'
+      |       WHEN json_type(props, '$.k') = 'VARCHAR' THEN 'text'
+      |       ELSE lower(json_type(props, '$.k')) END AS jtype,
+      |  CAST(json_valid(props) AS BIGINT) AS jvalid,
+      |  CAST(to_json(event_type) AS VARCHAR) AS jquote
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "f16_json_mutation" -> (f16JsonMutation _),
     "f12_date_modifiers" -> (f12DateModifiers _),
     "f13_json_construct" -> (f13JsonConstruct _),
     "f14_string_extras" -> (f14StringExtras _),
@@ -387,6 +419,7 @@ object Funcs {
     "f10_stats_manual" -> (f10StatsManual _))
 
   val oracles: Map[String, String] = Map(
+    "f16_json_mutation" -> f16Oracle,
     "f12_date_modifiers" -> f12Oracle,
     "f13_json_construct" -> f13Oracle,
     "f14_string_extras" -> f14Oracle,

@@ -191,6 +191,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("json mutation functions follow SQLite JSON1 semantics") {
+    import graft.functions.JsonFunctions._
+    val df = Seq(("""{"a":2,"c":4}""", """[0,1,2,3,4]""")).toDF("obj", "arr")
+    val r = df.select(
+      jsonSet(col("obj"), "$.c", lit("[97,96]")).as("set_replace"),
+      jsonSet(col("obj"), "$.e", lit("99")).as("set_create"),
+      jsonInsert(col("obj"), "$.a", lit("99")).as("ins_existing"),
+      jsonInsert(col("obj"), "$.e", lit("99")).as("ins_new"),
+      jsonReplace(col("obj"), "$.a", lit("99")).as("rep_existing"),
+      jsonReplace(col("obj"), "$.e", lit("99")).as("rep_missing"),
+      jsonRemove(col("arr"), "$[2]").as("rm_arr"),
+      jsonRemove(col("obj"), "$.c").as("rm_key"),
+      jsonPatch(lit("""{"a":[1,2],"b":2}"""), lit("""{"a":9,"c":{"d":3}}""")).as("patch"),
+      jsonType(col("obj"), "$.a").as("t_int"),
+      jsonType(col("arr"), "$").as("t_arr"),
+      jsonType(col("obj"), "$.zz").as("t_missing"),
+      jsonValid(col("obj")).as("valid_ok"),
+      jsonValid(lit("{nope")).as("valid_bad"),
+      jsonQuote(lit("""he"llo""")).as("quoted")
+    ).collect()(0)
+    assert(r.getString(0) == """{"a":2,"c":[97,96]}""")
+    assert(r.getString(1) == """{"a":2,"c":4,"e":99}""")
+    assert(r.getString(2) == """{"a":2,"c":4}""")        // insert won't overwrite
+    assert(r.getString(3) == """{"a":2,"c":4,"e":99}""")
+    assert(r.getString(4) == """{"a":99,"c":4}""")
+    assert(r.getString(5) == """{"a":2,"c":4}""")        // replace won't create
+    assert(r.getString(6) == """[0,1,3,4]""")
+    assert(r.getString(7) == """{"a":2}""")
+    assert(r.getString(8) == """{"a":9,"b":2,"c":{"d":3}}""")
+    assert(r.getString(9) == "integer")
+    assert(r.getString(10) == "array")
+    assert(r.isNullAt(11))
+    assert(r.getLong(12) == 1L && r.getLong(13) == 0L)
+    assert(r.getString(14) == """"he\"llo"""")
+  }
+
   test("strftime token translation") {
     import graft.functions.SqliteFunctions.strftimeToJava
     assert(strftimeToJava("%Y-%m-%d") == "yyyy-MM-dd")
