@@ -112,6 +112,41 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair table ((id_a, id_b) edges), labeling every member with the
+    * smallest id in its component — the canonical "keep one per cluster"
+    * step of a dedup pipeline. Iterative min-label propagation: each
+    * round is one shuffle-join + one aggregation on id, O(component
+    * diameter) rounds. Near-dup components are shallow in practice;
+    * pathological diameters would call for the large-star/small-star
+    * variant, same building blocks. Labels are localCheckpoint()ed per
+    * round (see RecursiveCte.fixpoint) so lineage stays bounded; the
+    * per-round driver scalar is a single changed-row count. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy("src").agg(min("cluster").as("nmin"))
+      val updated = labels.join(neighborMin,
+          labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(labels("cluster"), coalesce(col("nmin"), labels("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      changed = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.cluster") < col("l.cluster")).count()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash per document: explode words, 64 signed bit-sums in one
     * aggregation, reassembled into a long. */
   def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {

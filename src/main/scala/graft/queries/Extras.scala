@@ -212,10 +212,33 @@ object Extras {
       |  AND (-10000.0)*(l_quantity - 40.0) - (-35.0)*(l_extendedprice - 30000.0) >= 0
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** NOCASE collation (SURVEY §7.4 item 1's last uncovered delta): SQLite
+    * `COLLATE NOCASE` maps to Spark 4's UTF8_LCASE collation — ordering
+    * and equality are case-folded natively (no lower() rewrite), with a
+    * binary tiebreak pinned for determinism. Oracle uses DuckDB's NOCASE,
+    * which agrees with UTF8_LCASE on ASCII. */
+  def q32NocaseCollation(s: SparkSession, dir: String): DataFrame =
+    part(s, dir).filter(col("p_partkey") < 100)
+      .select(col("p_partkey"),
+        when(col("p_partkey") % 2 === 0, upper(col("p_name")))
+          .otherwise(col("p_name")).as("mixed"))
+      .withColumn("eqfold",
+        expr("CAST((collate(mixed, 'UTF8_LCASE') = upper(mixed)) AS BIGINT)"))
+      .orderBy(expr("collate(mixed, 'UTF8_LCASE')"), col("mixed"), col("p_partkey"))
+
+  val q32Oracle: String =
+    """SELECT p_partkey, mixed,
+      |  CAST((mixed COLLATE NOCASE = upper(mixed)) AS BIGINT) AS eqfold
+      |FROM (SELECT p_partkey,
+      |        CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS mixed
+      |      FROM part WHERE p_partkey < 100)
+      |ORDER BY mixed COLLATE NOCASE, mixed, p_partkey""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q28_null_ordering" -> (q28NullOrdering _),
     "q30_rtree_bbox" -> (q30RtreeBbox _),
     "q31_geopoly_contains" -> (q31GeopolyContains _),
+    "q32_nocase_collation" -> (q32NocaseCollation _),
     "q26_recursive_cte" -> (q26RecursiveCte _),
     "q27_recursive_loop" -> (q27RecursiveLoop _),
     "f11_explode" -> (f11Explode _),
@@ -225,6 +248,7 @@ object Extras {
     "q28_null_ordering" -> q28Oracle,
     "q30_rtree_bbox" -> q30Oracle,
     "q31_geopoly_contains" -> q31Oracle,
+    "q32_nocase_collation" -> q32Oracle,
     "q26_recursive_cte" -> q26Oracle,
     "q27_recursive_loop" -> q27Oracle,
     "f11_explode" -> f11Oracle,

@@ -142,6 +142,32 @@ object Pipeline {
       |  FROM v a JOIN v b ON a.id < b.id)
       |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  /** Duplicate-cluster resolution over the exact near-dup pair graph:
+    * every clustered embedding labeled with its component's min id.
+    * Oracle computes the same closure with a DuckDB recursive CTE. */
+  def p18DupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Similarity.exactNearDup(embeddings(s, dir), "embedding", "vec_id", 0.4))
+      .orderBy(col("id"))
+
+  val p18Oracle: String =
+    """WITH RECURSIVE
+      |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.id AS id_a, b.id AS id_b,
+      |      round(list_dot_product(a.v, b.v) /
+      |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |    FROM v a JOIN v b ON a.id < b.id)
+      |  WHERE sim >= 0.4),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |walk(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, w.lab FROM edges e JOIN walk w ON e.dst = w.id)
+      |SELECT id, MIN(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin
+
   /** Language-ID heuristic: stopword-set scores per language + argmax. */
   def p09LangId(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
@@ -336,7 +362,8 @@ object Pipeline {
     "p12_fingerprint" -> (p12Fingerprint _),
     "p13_multimodal_meta" -> (p13MultimodalMeta _),
     "p14_multimodal_decode" -> (p14MultimodalDecode _),
-    "p17_embed_neardup" -> (p17EmbedNearDup _))
+    "p17_embed_neardup" -> (p17EmbedNearDup _),
+    "p18_dup_clusters" -> (p18DupClusters _))
 
   val oracles: Map[String, String] = Map(
     "p15_fts_match" -> p15Oracle,
@@ -349,5 +376,6 @@ object Pipeline {
     "p10_quality_score" -> p10Oracle,
     "p11_token_count" -> p11Oracle,
     "p13_multimodal_meta" -> p13Oracle,
-    "p17_embed_neardup" -> p17Oracle)
+    "p17_embed_neardup" -> p17Oracle,
+    "p18_dup_clusters" -> p18Oracle)
 }

@@ -191,6 +191,16 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters: connected components with min-id labels") {
+    // a 5-chain (needs multiple propagation rounds), a pair, a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("json mutation functions follow SQLite JSON1 semantics") {
     import graft.functions.JsonFunctions._
     val df = Seq(("""{"a":2,"c":4}""", """[0,1,2,3,4]""")).toDF("obj", "arr")
