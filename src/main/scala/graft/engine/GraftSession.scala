@@ -221,8 +221,20 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
 
   private def unquote(n: String): String = n.replace("\"", "").toLowerCase
 
+  private val returningRe = """(?is)^(.*)\s+returning\s+(.+?)\s*;?\s*$""".r
+
   private def write(db: String, branch: String, input: QueryInput): QueryResponse = {
-    val stmt = Sql.substituteParams(input.statement, input.parameters)
+    val full = Sql.substituteParams(input.statement, input.parameters)
+    // SQLite 3.35+ RETURNING on INSERT/UPDATE/DELETE (lang_returning.html):
+    // strip the trailing clause, evaluate it over the affected rows.
+    val (stmt, ret) = full match {
+      case returningRe(body, cols)
+          if full.trim.matches("(?is)^(insert|update|delete)\\b.*") &&
+            // keyword inside a string literal leaves an odd quote count
+            body.count(_ == '\'') % 2 == 0 && cols.count(_ == '\'') % 2 == 0 =>
+        (body, Some(cols))
+      case _ => (full, None)
+    }
     val txn = txnFor(input)
     stmt match {
       case createTableRe(ifNot, name, colDefs) =>
@@ -244,13 +256,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
         alterAddColumn(db, branch, unquote(name), unquote(colName), colType)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case insertValuesRe(name, _, cols, valuesPart) =>
-        insertValues(db, branch, unquote(name), Option(cols), valuesPart, input, txn)
+        insertValues(db, branch, unquote(name), Option(cols), valuesPart, input, txn, ret)
       case insertSelectRe(name, _, cols, sel) =>
-        insertSelect(db, branch, unquote(name), Option(cols), sel, input, txn)
+        insertSelect(db, branch, unquote(name), Option(cols), sel, input, txn, ret)
       case updateRe(name, setPart, _, wherePart) =>
-        updateTable(db, branch, unquote(name), setPart, Option(wherePart), input, txn)
+        updateTable(db, branch, unquote(name), setPart, Option(wherePart), input, txn, ret)
       case deleteRe(name, _, wherePart) =>
-        deleteFrom(db, branch, unquote(name), Option(wherePart), input, txn)
+        deleteFrom(db, branch, unquote(name), Option(wherePart), input, txn, ret)
       case other =>
         throw new IllegalArgumentException(s"unsupported write statement: ${other.take(60)}")
     }
@@ -317,9 +329,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
       catalog.commitVersion(db, branch, table, v.asInstanceOf[catalog.TableVersion])
   }
 
+  /** Evaluate a RETURNING column list over the affected-rows DataFrame. */
+  private def returningRows(df: DataFrame, ret: Option[String]):
+      (Seq[String], Seq[Seq[SqlValue]]) = ret match {
+    case None => (Nil, Nil)
+    case Some(cols) =>
+      df.createOrReplaceTempView("__graft_returning")
+      val r = spark.sql(s"SELECT $cols FROM __graft_returning")
+      val collected = r.collect()
+      (r.columns.toSeq, collected.toSeq.map(row =>
+        (0 until row.length).map(i => SqlValue.fromAny(row.get(i)))))
+  }
+
   private def insertValues(db: String, branch: String, table: String,
       cols: Option[String], valuesPart: String, input: QueryInput,
-      txn: Option[Txn]): QueryResponse = {
+      txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
@@ -329,12 +353,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     val valuesDf = spark.sql(
       s"SELECT * FROM ($tuples) AS v(${colNames.mkString(", ")})")
     val aligned = alignToSchema(valuesDf, colNames, schema)
-    appendRows(db, branch, table, cur, aligned, input, txn)
+    appendRows(db, branch, table, cur, aligned, input, txn, ret)
   }
 
   private def insertSelect(db: String, branch: String, table: String,
       cols: Option[String], sel: String, input: QueryInput,
-      txn: Option[Txn]): QueryResponse = {
+      txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     registerViews(db, branch, txn)
@@ -342,7 +366,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
       .getOrElse(schema.fieldNames.toSeq)
     appendRows(db, branch, table, cur,
-      alignToSchema(df.toDF(colNames: _*), colNames, schema), input, txn)
+      alignToSchema(df.toDF(colNames: _*), colNames, schema), input, txn, ret)
   }
 
   /** Null-fill unmentioned columns and cast to the table schema. */
@@ -359,7 +383,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
 
   private def appendRows(db: String, branch: String, table: String,
       cur: Catalog#TableVersion, rows: DataFrame, input: QueryInput,
-      txn: Option[Txn]): QueryResponse = {
+      txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
     val n = rows.count()
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
@@ -367,13 +391,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     val v = catalog.TableVersion(ts, cur.paths :+ dir.toString,
       cur.rowCount + n, cur.maxRowId + n, cur.schemaDdl)
     commitOrStage(db, branch, table, v, txn)
-    QueryResponse(input.id, Nil, Nil, changes = n,
+    // RETURNING reads the just-written file, not the input plan (cheap,
+    // and exactly the rows that landed)
+    val (rcols, rrows) = returningRows(spark.read.parquet(dir.toString), ret)
+    QueryResponse(input.id, rcols, rrows, changes = n,
       lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
   }
 
   private def updateTable(db: String, branch: String, table: String,
       setPart: String, wherePart: Option[String], input: QueryInput,
-      txn: Option[Txn]): QueryResponse = {
+      txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     readVersion(cur).createOrReplaceTempView("__graft_target")
@@ -398,13 +425,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     commitOrStage(db, branch, table,
       catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount, cur.maxRowId,
         cur.schemaDdl), txn)
-    QueryResponse(input.id, Nil, Nil, changes = changes,
+    // RETURNING sees the post-update values of the matched rows
+    val (rcols, rrows) = returningRows(spark.sql(
+      s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)"), ret)
+    QueryResponse(input.id, rcols, rrows, changes = changes,
       transactionId = input.transactionId)
   }
 
   private def deleteFrom(db: String, branch: String, table: String,
       wherePart: Option[String], input: QueryInput,
-      txn: Option[Txn]): QueryResponse = {
+      txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     readVersion(cur).createOrReplaceTempView("__graft_target")
     val cond = wherePart.getOrElse("TRUE")
@@ -418,7 +448,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     commitOrStage(db, branch, table,
       catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount - changes,
         cur.maxRowId, cur.schemaDdl), txn)
-    QueryResponse(input.id, Nil, Nil, changes = changes,
+    // RETURNING sees the deleted rows' (old) values
+    val (rcols, rrows) = returningRows(spark.sql(
+      s"SELECT * FROM __graft_target WHERE COALESCE(($cond), FALSE)"), ret)
+    QueryResponse(input.id, rcols, rrows, changes = changes,
       transactionId = input.transactionId)
   }
 

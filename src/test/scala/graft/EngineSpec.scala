@@ -162,6 +162,30 @@ class EngineSpec extends AnyFunSuite {
     assert(s.catalog.versionHistory("db1", "main", "t").length == 5)
   }
 
+  test("RETURNING on insert/update/delete yields the affected rows") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE r (id INTEGER, name TEXT)"))
+    val ins = s.execute("db1", "main",
+      q("INSERT INTO r VALUES (1, 'ada'), (2, 'bob') RETURNING id, upper(name) AS uname"))
+    assert(ins.error.isEmpty, ins.error)
+    assert(ins.columns == Seq("id", "uname"))
+    assert(ins.rows.map(_.map(_.asInstanceOf[Any])).toSet ==
+      Set(Seq(SqlValue.IntVal(1), SqlValue.TextVal("ADA")),
+        Seq(SqlValue.IntVal(2), SqlValue.TextVal("BOB"))))
+    val upd = s.execute("db1", "main",
+      q("UPDATE r SET name = 'eve' WHERE id = 1 RETURNING id, name"))
+    assert(upd.changes == 1 &&
+      upd.rows == Seq(Seq(SqlValue.IntVal(1), SqlValue.TextVal("eve"))))
+    val del = s.execute("db1", "main", q("DELETE FROM r WHERE id = 2 RETURNING id"))
+    assert(del.changes == 1 && del.rows == Seq(Seq(SqlValue.IntVal(2))))
+    // the keyword inside a text literal is data, not a clause
+    val lit = s.execute("db1", "main",
+      q("INSERT INTO r VALUES (9, 'not returning anything')"))
+    assert(lit.error.isEmpty && lit.rows.isEmpty && lit.changes == 1)
+    val got = s.execute("db1", "main", q("SELECT name FROM r WHERE id = 9"))
+    assert(got.rows == Seq(Seq(SqlValue.TextVal("not returning anything"))))
+  }
+
   test("statement cache: repeated statements hit, keys partition the cache") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
