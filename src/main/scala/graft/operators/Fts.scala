@@ -79,4 +79,35 @@ object Fts {
         Seq("doc"), "left_anti")
     withoutNegated.orderBy(col("score").desc, col("doc"))
   }
+
+  /** FTS5 phrase query (`"a b c"`: terms adjacent, in order). Scale shape:
+    * the postings index first prunes to docs containing EVERY phrase term
+    * (one filter + one aggregation, no joins per term), then adjacency is
+    * verified with a single normalized-substring test on those candidates
+    * only — the text re-scan never touches non-candidate documents. */
+  def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
+      phrase: String): DataFrame = {
+    val terms = phrase.trim.toLowerCase.split("\\s+").toSeq.distinct
+    val candidates = postings(docs, textCol, idCol)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc"))
+      .agg(count_distinct(col("term")).as("nt"))
+      .filter(col("nt") === terms.length)
+      .select(col("doc"))
+    val norm = concat(lit(" "),
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " "), lit(" "))
+    docs.join(candidates, docs(idCol) === candidates("doc"))
+      .filter(norm.contains(s" ${phrase.trim.toLowerCase.split("\\s+").mkString(" ")} "))
+      .select(col("doc"))
+  }
+
+  /** FTS5 prefix query (`tok*`): any term starting with the prefix; a
+    * prefix range over the term-partitioned postings. Returns
+    * (doc, hits = total matching-term occurrences). */
+  def prefixSearch(docs: DataFrame, textCol: String, idCol: String,
+      prefix: String): DataFrame =
+    postings(docs, textCol, idCol)
+      .filter(col("term").startsWith(prefix.toLowerCase))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("hits"))
 }

@@ -285,6 +285,33 @@ object Pipeline {
   /** FTS5-style MATCH with BM25 ranking: "merge window" = AND semantics.
     * The oracle mirrors the exact BM25 arithmetic (integer tf/df/dl inputs,
     * identical expression shapes, round-6 output). */
+  /** FTS5 phrase query: postings-pruned candidates + adjacency verify. */
+  def p19FtsPhrase(s: SparkSession, dir: String): DataFrame =
+    Fts.phraseSearch(documents(s, dir), "text", "doc_id", "spark query")
+      .orderBy(col("doc"))
+
+  val p19Oracle: String =
+    """SELECT doc_id AS doc FROM documents
+      |WHERE ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' '
+      |  LIKE '% spark query %'
+      |ORDER BY doc""".stripMargin
+
+  /** FTS5 prefix query: `dat*` over the postings index. */
+  def p20FtsPrefix(s: SparkSession, dir: String): DataFrame =
+    Fts.prefixSearch(documents(s, dir), "text", "doc_id", "dat")
+      .orderBy(col("doc"))
+
+  val p20Oracle: String =
+    """SELECT doc_id AS doc,
+      |  CAST(len(list_filter(
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |    w -> w LIKE 'dat%')) AS BIGINT) AS hits
+      |FROM documents
+      |WHERE len(list_filter(
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |    w -> w LIKE 'dat%')) > 0
+      |ORDER BY doc""".stripMargin
+
   def p15FtsMatch(s: SparkSession, dir: String): DataFrame =
     Fts.search(documents(s, dir), "text", "doc_id", "merge window")
       .select(col("doc"), col("score"), col("n_terms_hit"))
@@ -347,6 +374,8 @@ object Pipeline {
 
   val queries: Map[String, QueryFn] = Map(
     "p15_fts_match" -> (p15FtsMatch _),
+    "p19_fts_phrase" -> (p19FtsPhrase _),
+    "p20_fts_prefix" -> (p20FtsPrefix _),
     "p16_fts_or_not" -> (p16FtsOrNot _),
     "p01_dedup_exact" -> (p01DedupExact _),
     "p02_dedup_normalized" -> (p02DedupNormalized _),
@@ -367,6 +396,8 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "p15_fts_match" -> p15Oracle,
+    "p19_fts_phrase" -> p19Oracle,
+    "p20_fts_prefix" -> p20Oracle,
     "p16_fts_or_not" -> p16Oracle,
     "p01_dedup_exact" -> p01Oracle,
     "p02_dedup_normalized" -> p02Oracle,
