@@ -208,6 +208,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     """(?is)^\s*drop\s+table\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
   private val alterRenameRe =
     """(?is)^\s*alter\s+table\s+([\w"]+)\s+rename\s+to\s+([\w"]+)\s*;?\s*$""".r
+  private val alterRenameColRe =
+    """(?is)^\s*alter\s+table\s+([\w"]+)\s+rename\s+(column\s+)?([\w"]+)\s+to\s+([\w"]+)\s*;?\s*$""".r
+  private val alterDropRe =
+    """(?is)^\s*alter\s+table\s+([\w"]+)\s+drop\s+(column\s+)?([\w"]+)\s*;?\s*$""".r
   private val alterAddRe =
     """(?is)^\s*alter\s+table\s+([\w"]+)\s+add\s+(column\s+)?([\w"]+)\s*(\w*)[^;]*;?\s*$""".r
   private val insertValuesRe =
@@ -252,6 +256,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
       case alterRenameRe(from, to) =>
         catalog.renameTable(db, branch, unquote(from), unquote(to))
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case alterRenameColRe(name, _, from, to) =>
+        alterColumn(db, branch, unquote(name), unquote(from),
+          df => df.withColumnRenamed(unquote(from), unquote(to)),
+          sch => StructType(sch.fields.map(f =>
+            if (f.name == unquote(from)) f.copy(name = unquote(to)) else f)))
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case alterDropRe(name, _, colName) =>
+        alterColumn(db, branch, unquote(name), unquote(colName),
+          df => df.drop(unquote(colName)),
+          sch => StructType(sch.fields.filterNot(_.name == unquote(colName))))
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case alterAddRe(name, _, colName, colType) =>
         alterAddColumn(db, branch, unquote(name), unquote(colName), colType)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
@@ -287,6 +302,31 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     val ts = catalog.nextVersionTs()
     catalog.commitVersion(db, branch, name,
       catalog.TableVersion(ts, Nil, 0L, 0L, StructType(fields).toDDL))
+  }
+
+  /** Shared ALTER ... RENAME COLUMN / DROP COLUMN (SQLite 3.25/3.35):
+    * schema-only on empty tables, otherwise a one-time version rewrite
+    * (simple and correct; a metadata-only rename would need per-file
+    * column mapping, not worth it for a rare DDL verb). */
+  private def alterColumn(db: String, branch: String, table: String,
+      mustExist: String, transform: DataFrame => DataFrame,
+      reschema: StructType => StructType): Unit = {
+    val cur = catalog.currentVersion(db, branch, table)
+      .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    if (!schema.fieldNames.contains(mustExist))
+      throw new IllegalArgumentException(s"no such column: $mustExist")
+    val newSchema = reschema(schema)
+    if (cur.paths.isEmpty) {
+      catalog.commitVersion(db, branch, table,
+        cur.copy(ts = catalog.nextVersionTs(), schemaDdl = newSchema.toDDL))
+    } else {
+      val ts = catalog.nextVersionTs()
+      val dir = catalog.newVersionDir(db, branch, table, ts)
+      transform(readVersion(cur)).write.parquet(dir.toString)
+      catalog.commitVersion(db, branch, table,
+        cur.copy(ts = ts, paths = Seq(dir.toString), schemaDdl = newSchema.toDDL))
+    }
   }
 
   private def alterAddColumn(db: String, branch: String, table: String,

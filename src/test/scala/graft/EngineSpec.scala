@@ -243,6 +243,16 @@ class EngineSpec extends AnyFunSuite {
       q("ALTER TABLE t ADD COLUMN name TEXT")).error.isEmpty)
     val sel = s.execute("db1", "main", q("SELECT id, name FROM t"))
     assert(sel.rows == Seq(Seq(SqlValue.IntVal(5), SqlValue.NullVal)))
+    // SQLite 3.25 RENAME COLUMN / 3.35 DROP COLUMN
+    assert(s.execute("db1", "main",
+      q("ALTER TABLE t RENAME COLUMN name TO label")).error.isEmpty)
+    assert(s.execute("db1", "main", q("SELECT label FROM t")).rows ==
+      Seq(Seq(SqlValue.NullVal)))
+    assert(s.execute("db1", "main",
+      q("ALTER TABLE t DROP COLUMN label")).error.isEmpty)
+    assert(s.execute("db1", "main", q("SELECT label FROM t")).error.nonEmpty)
+    assert(s.execute("db1", "main",
+      q("ALTER TABLE t DROP COLUMN nope")).error.contains("no such column"))
     assert(s.execute("db1", "main", q("ALTER TABLE t RENAME TO t2")).error.isEmpty)
     assert(s.execute("db1", "main", q("SELECT id FROM t2")).rows.length == 1)
     assert(s.execute("db1", "main", q("DROP TABLE t2")).error.isEmpty)
