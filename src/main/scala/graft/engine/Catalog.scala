@@ -124,4 +124,44 @@ class Catalog(val root: Path) {
     synchronized {
       branchState(db, branch).tables.get(table).map(_.toSeq).getOrElse(Nil)
     }
+
+  // --- backups (B19) -------------------------------------------------------
+
+  case class Backup(id: String, db: String, branch: String,
+      tables: Map[String, TableVersion], createdAt: Long)
+
+  private val backups = mutable.LinkedHashMap[String, Backup]()
+
+  /** Full backup: snapshot every table's current version under a backup
+    * id. File-sets are immutable and never deleted here, so the manifest
+    * snapshot alone is a complete zero-copy backup — the reference tars
+    * its range files (pkg/backups/backup.go) because its storage mutates
+    * in place. */
+  def createBackup(db: String, branch: String): String = synchronized {
+    val id = java.util.UUID.randomUUID().toString
+    val tables = branchState(db, branch).tables.flatMap {
+      case (t, vs) => vs.lastOption.map(t -> _)
+    }.toMap
+    backups(id) = Backup(id, db, branch, tables, System.currentTimeMillis())
+    id
+  }
+
+  def listBackups(db: String, branch: String): Seq[Backup] = synchronized {
+    backups.values.filter(b => b.db == db && b.branch == branch).toSeq
+  }
+
+  /** Restore a backup into a branch: every backed-up table re-points at
+    * its backed-up version (committed as NEW versions, history preserved);
+    * tables created after the backup are dropped — the same contract as
+    * restoreAsOf / the reference's restore (pkg/backups/restore.go). */
+  def restoreBackup(backupId: String): Unit = synchronized {
+    val b = backups.getOrElse(backupId,
+      throw new IllegalArgumentException(s"no backup $backupId"))
+    val st = branchState(b.db, b.branch)
+    val newTs = nextVersionTs()
+    st.tables.keys.toSeq.filterNot(b.tables.contains).foreach(st.tables.remove)
+    b.tables.foreach { case (t, v) =>
+      st.tables.getOrElseUpdate(t, mutable.ArrayBuffer()) += v.copy(ts = newTs)
+    }
+  }
 }

@@ -84,6 +84,24 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
       .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
   }
 
+  /** Compaction (B15's Spark analog): INSERT appends one file-set entry
+    * per statement; compacting rewrites the table into a single fresh
+    * file-set so scans stop paying per-file open costs. The reference
+    * runs page-log compaction every 2s (pkg/storage/page_logger.go);
+    * here it is an explicit maintenance verb — at scale, a scheduled
+    * OPTIMIZE-style job. Returns the number of file-sets folded. */
+  def compact(db: String, branch: String, table: String): Int = {
+    val cur = catalog.currentVersion(db, branch, table)
+      .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+    if (cur.paths.size <= 1) return 0
+    val ts = catalog.nextVersionTs()
+    val dir = catalog.newVersionDir(db, branch, table, ts)
+    readVersion(cur).write.parquet(dir.toString)
+    catalog.commitVersion(db, branch, table,
+      cur.copy(ts = ts, paths = Seq(dir.toString)))
+    cur.paths.size
+  }
+
   /** Execute one query against db/branch. Never throws: errors surface in
     * QueryResponse.error (matching the reference's per-query error shape). */
   def execute(db: String, branch: String, input: QueryInput,

@@ -162,6 +162,34 @@ class EngineSpec extends AnyFunSuite {
     assert(s.catalog.versionHistory("db1", "main", "t").length == 5)
   }
 
+  test("backup and restore: manifest snapshot survives later writes and drops") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE b (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO b VALUES (1), (2)"))
+    val backupId = s.catalog.createBackup("db1", "main")
+    s.execute("db1", "main", q("INSERT INTO b VALUES (3)"))
+    s.execute("db1", "main", q("CREATE TABLE later (id INTEGER)"))
+    assert(s.execute("db1", "main", q("SELECT * FROM b")).rows.length == 3)
+    s.catalog.restoreBackup(backupId)
+    assert(s.execute("db1", "main", q("SELECT * FROM b")).rows.length == 2)
+    // table created after the backup is gone; history is preserved
+    assert(s.execute("db1", "main", q("SELECT * FROM later")).error.nonEmpty)
+    assert(s.catalog.versionHistory("db1", "main", "b").length == 4)
+    assert(s.catalog.listBackups("db1", "main").map(_.id) == Seq(backupId))
+  }
+
+  test("compact folds a multi-file table into one file-set") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE c (id INTEGER)"))
+    (1 to 4).foreach(i => s.execute("db1", "main", q(s"INSERT INTO c VALUES ($i)")))
+    assert(s.catalog.currentVersion("db1", "main", "c").get.paths.size == 4)
+    assert(s.compact("db1", "main", "c") == 4)
+    assert(s.catalog.currentVersion("db1", "main", "c").get.paths.size == 1)
+    val sel = s.execute("db1", "main", q("SELECT * FROM c ORDER BY id"))
+    assert(sel.rows.map(_.head) == (1 to 4).map(i => SqlValue.IntVal(i.toLong)))
+    assert(s.compact("db1", "main", "c") == 0)
+  }
+
   test("RETURNING on insert/update/delete yields the affected rows") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE r (id INTEGER, name TEXT)"))
