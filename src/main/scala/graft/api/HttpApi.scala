@@ -82,6 +82,15 @@ class HttpApi(session: GraftSession,
           session.commitTransaction(id); reply(ex, 200, okJson("null"))
         case ("POST", _ :: _ :: "transactions" :: id :: "rollback" :: Nil) =>
           session.rollbackTransaction(id); reply(ex, 200, okJson("null"))
+        case ("POST", db :: branch :: "backups" :: Nil) =>
+          val id = session.catalog.createBackup(db, branch)
+          reply(ex, 201, okJson(s"""{"backup_id":${jstr(id)}}"""))
+        case ("GET", db :: branch :: "backups" :: Nil) =>
+          val items = session.catalog.listBackups(db, branch).map(b =>
+            s"""{"backup_id":${jstr(b.id)},"created_at":${b.createdAt}}""")
+          reply(ex, 200, okJson(items.mkString("[", ",", "]")))
+        case ("POST", _ :: _ :: "backups" :: id :: "restore" :: Nil) =>
+          session.catalog.restoreBackup(id); reply(ex, 200, okJson("null"))
         case ("GET", _ :: _ :: "logs" :: "query" :: Nil) =>
           metricsJson(ex)
         case _ => reply(ex, 404, errorJson("not found"))

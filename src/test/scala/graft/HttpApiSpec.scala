@@ -136,6 +136,25 @@ class HttpApiSpec extends AnyFunSuite {
       """{"queries":[]}""", "X-Access-Key-Id" -> "nope").statusCode() == 401)
   }
 
+  test("backup endpoints: create, list, restore") {
+    post("/v1/databases", """{"name":"db6"}""")
+    post("/v1/databases/db6/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE bk (id INTEGER)"},
+        |{"id":"i","statement":"INSERT INTO bk VALUES (1)"}]}""".stripMargin)
+    val id = mapper.readTree(post("/v1/databases/db6/main/backups", "").body())
+      .path("data").path("backup_id").asText()
+    assert(id.nonEmpty)
+    post("/v1/databases/db6/main/query",
+      """{"queries":[{"id":"i2","statement":"INSERT INTO bk VALUES (2)"}]}""")
+    val listed = mapper.readTree(get("/v1/databases/db6/main/backups").body()).path("data")
+    assert(listed.size() == 1 && listed.get(0).path("backup_id").asText() == id)
+    assert(post(s"/v1/databases/db6/main/backups/$id/restore", "").statusCode() == 200)
+    val n = mapper.readTree(post("/v1/databases/db6/main/query",
+      """{"queries":[{"id":"s","statement":"SELECT * FROM bk"}]}""").body())
+      .path("data").get(0).path("row_count").asInt()
+    assert(n == 1)
+  }
+
   test("metrics endpoint returns step-merged latency buckets") {
     post("/v1/databases", """{"name":"db5"}""")
     post("/v1/databases/db5/main/query",
