@@ -33,17 +33,25 @@ class HttpApi(session: GraftSession,
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   /** Start on 127.0.0.1:`port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v1/databases", (ex: HttpExchange) => handleSafe(ex))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // daemon threads so an un-stopped server never pins the JVM
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r); t.setDaemon(true); t
+    })
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdownNow()
+  }
 
   private def handleSafe(ex: HttpExchange): Unit =
     try handle(ex)

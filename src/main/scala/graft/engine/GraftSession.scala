@@ -564,6 +564,49 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
               Seq(Seq(SqlValue.TextVal("UTF-8"))))
           case "integrity_check" | "quick_check" =>
             QueryResponse(input.id, Seq(p), Seq(Seq(SqlValue.TextVal("ok"))))
+          case "collation_list" =>
+            // BINARY/NOCASE/RTRIM are SQLite's built-ins; we honor the
+            // first two (NOCASE via UTF8_LCASE, q32)
+            QueryResponse(input.id, Seq("seq", "name"),
+              Seq("BINARY", "NOCASE", "RTRIM").zipWithIndex.map { case (n, i) =>
+                Seq(SqlValue.IntVal(i.toLong), SqlValue.TextVal(n))
+              })
+          case "compile_options" =>
+            // the dialect contract this engine implements: the reference's
+            // compile flags (pkg/sqlite3/sqlite3.go:4-27) + our runtime
+            val opts = Seq("ENABLE_FTS5", "ENABLE_RTREE", "ENABLE_GEOPOLY",
+              "ENABLE_JSON1", "OMIT_DECLTYPE", "OMIT_LOAD_EXTENSION",
+              "DQS=0", s"SPARK_${spark.version}")
+            QueryResponse(input.id, Seq("compile_options"),
+              opts.map(o => Seq(SqlValue.TextVal(o))))
+          case "function_list" =>
+            val fns = Seq("iif", "total", "group_concat", "unixepoch",
+              "julianday", "strftime", "glob", "typeof", "zeroblob", "quote",
+              "likely", "unlikely", "likelihood", "sqlite_version",
+              "json_set", "json_insert", "json_replace", "json_remove",
+              "json_patch", "json_type", "json_valid", "json_quote")
+            QueryResponse(input.id, Seq("name", "builtin"),
+              fns.sorted.map(f => Seq(SqlValue.TextVal(f), SqlValue.IntVal(1))))
+          case "data_version" =>
+            // monotone per-branch change counter: the max committed version
+            val v = catalog.tableNames(db, branch)
+              .flatMap(t => catalog.currentVersion(db, branch, t)).map(_.ts)
+            QueryResponse(input.id, Seq("data_version"),
+              Seq(Seq(SqlValue.IntVal(if (v.isEmpty) 0L else v.max))))
+          case "page_count" =>
+            // total data bytes / 4KB (the reference's page size)
+            val bytes = catalog.tableNames(db, branch)
+              .flatMap(t => catalog.currentVersion(db, branch, t))
+              .flatMap(_.paths).map { p =>
+                val f = new java.io.File(p)
+                if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
+              }.sum
+            QueryResponse(input.id, Seq("page_count"),
+              Seq(Seq(SqlValue.IntVal((bytes + 4095) / 4096))))
+          case "freelist_count" =>
+            // immutable parquet has no free pages
+            QueryResponse(input.id, Seq("freelist_count"),
+              Seq(Seq(SqlValue.IntVal(0L))))
           case _ =>
             // allowed but with no engine counterpart: empty result
             QueryResponse(input.id, Nil, Nil)

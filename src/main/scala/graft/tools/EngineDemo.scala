@@ -52,6 +52,27 @@ object EngineDemo {
     println("  dev count:  " + engine.execute("app", "dev",
       QueryInput("q", "SELECT count(*) AS n FROM users")).rows.head.head)
 
+    // RETURNING, backup/restore, compaction
+    run("INSERT INTO users VALUES (4, 'edsger', 7.5) RETURNING id, upper(name) AS who")
+    val backupId = engine.catalog.createBackup("app", "main")
+    run("DELETE FROM users WHERE id = 4")
+    engine.catalog.restoreBackup(backupId)
+    println("  count after backup restore: " +
+      run("SELECT count(*) AS n FROM users").rows.head.head)
+    println(s"  compacted file-sets: ${engine.compact("app", "main", "users")}")
+
+    // the HTTP surface end-to-end (JSON batch over a real socket)
+    val api = new graft.api.HttpApi(engine)
+    val port = api.start()
+    val http = java.net.http.HttpClient.newHttpClient()
+    val resp = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port/v1/databases/app/main/query"))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        """{"queries":[{"id":"h1","statement":"SELECT count(*) AS n FROM users"}]}"""))
+      .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    println(s"  HTTP ${resp.statusCode()}: ${resp.body().take(160)}")
+    api.stop()
+
     val metrics = engine.metrics.flush()
     println(s"  metrics buckets: ${metrics.length}, record bytes: ${metrics.head.bytes.length}")
 

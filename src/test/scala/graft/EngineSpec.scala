@@ -98,6 +98,20 @@ class EngineSpec extends AnyFunSuite {
       (SqlValue.TextVal("data"), SqlValue.TextVal("BLOB"))))
     val denied = s.execute("db1", "main", q("PRAGMA journal_mode(wal)"))
     assert(denied.error.contains("not allowed"))
+    // informational pragmas report real engine state
+    s.execute("db1", "main", q("INSERT INTO test VALUES (1, 'x', NULL)"))
+    val dv1 = s.execute("db1", "main", q("PRAGMA data_version")).rows.head.head
+    s.execute("db1", "main", q("INSERT INTO test VALUES (2, 'y', NULL)"))
+    val dv2 = s.execute("db1", "main", q("PRAGMA data_version")).rows.head.head
+    assert(dv2.asInstanceOf[SqlValue.IntVal].v > dv1.asInstanceOf[SqlValue.IntVal].v)
+    val pc = s.execute("db1", "main", q("PRAGMA page_count")).rows.head.head
+    assert(pc.asInstanceOf[SqlValue.IntVal].v > 0)
+    val fl = s.execute("db1", "main", q("PRAGMA function_list"))
+    assert(fl.rows.exists(_.head == SqlValue.TextVal("json_patch")))
+    val co = s.execute("db1", "main", q("PRAGMA compile_options"))
+    assert(co.rows.exists(_.head == SqlValue.TextVal("ENABLE_FTS5")))
+    val cl = s.execute("db1", "main", q("PRAGMA collation_list"))
+    assert(cl.rows.map(_(1)).contains(SqlValue.TextVal("NOCASE")))
   }
 
   test("interactive transaction: staged writes invisible until commit") {
