@@ -293,7 +293,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
       case insertSelectRe(name, _, cols, sel) =>
         insertSelect(db, branch, unquote(name), Option(cols), sel, input, txn, ret)
       case updateRe(name, setPart, _, wherePart) =>
-        updateTable(db, branch, unquote(name), setPart, Option(wherePart), input, txn, ret)
+        // SQLite 3.33 UPDATE...FROM: a top-level FROM inside the SET
+        // capture (never inside parens/strings) marks the join form
+        Sql.splitOnTopLevelKeyword(setPart, "from") match {
+          case Some((sets, fromPart)) =>
+            updateFrom(db, branch, unquote(name), sets, fromPart,
+              Option(wherePart), input, txn, ret)
+          case None =>
+            updateTable(db, branch, unquote(name), setPart, Option(wherePart), input, txn, ret)
+        }
       case deleteRe(name, _, wherePart) =>
         deleteFrom(db, branch, unquote(name), Option(wherePart), input, txn, ret)
       case other =>
@@ -461,6 +469,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
       txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
+    registerViews(db, branch, txn) // WHERE may contain subqueries on other tables
     readVersion(cur).createOrReplaceTempView("__graft_target")
     val cond = wherePart.getOrElse("TRUE")
     val sets = Sql.splitTopLevel(setPart, ',').map { a =>
@@ -490,10 +499,64 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
       transactionId = input.transactionId)
   }
 
+  /** SQLite 3.33 `UPDATE ... FROM`: SET expressions evaluate in the
+    * target × FROM join context; when several source rows match one
+    * target row, one is picked arbitrarily (SQLite's documented
+    * behavior — here: first by window rank). Implementation: tag target
+    * rows with a synthetic id, compute one match row per id, left-join
+    * the new values back. */
+  private def updateFrom(db: String, branch: String, table: String,
+      setPart: String, fromPart: String, wherePart: Option[String],
+      input: QueryInput, txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
+    val cur = currentOrStaged(db, branch, table, txn)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    registerViews(db, branch, txn)
+    readVersion(cur)
+      .withColumn("__rid", org.apache.spark.sql.functions.monotonically_increasing_id())
+      .createOrReplaceTempView("__graft_target")
+    val cond = wherePart.getOrElse("TRUE")
+    val sets = Sql.splitTopLevel(setPart, ',').map { a =>
+      val Array(l, r) = a.split("=", 2)
+      unquote(l.trim) -> r.trim
+    }
+    val setSelect = sets.map { case (c, e) =>
+      s"CAST(($e) AS ${schema(c).dataType.sql}) AS `__set_$c`"
+    }.mkString(", ")
+    // the target is visible under its own name (SQLite lets the WHERE say
+    // `acct.id = a.id`), the FROM sources under their aliases
+    val matches = spark.sql(
+      s"""SELECT * FROM (
+         |  SELECT `$table`.__rid AS __mrid, $setSelect,
+         |    ROW_NUMBER() OVER (PARTITION BY `$table`.__rid ORDER BY `$table`.__rid) AS __rn
+         |  FROM __graft_target AS `$table`, $fromPart WHERE ($cond)) WHERE __rn = 1""".stripMargin)
+    matches.createOrReplaceTempView("__graft_matches")
+    val changes = matches.count()
+    val proj = schema.fieldNames.map { f =>
+      if (sets.exists(_._1 == f))
+        s"CASE WHEN m.__mrid IS NOT NULL THEN m.`__set_$f` ELSE t.`$f` END AS `$f`"
+      else s"t.`$f`"
+    }
+    val rewritten = spark.sql(
+      s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
+         |LEFT JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)
+    val ts = catalog.nextVersionTs()
+    val dir = catalog.newVersionDir(db, branch, table, ts)
+    rewritten.write.parquet(dir.toString)
+    commitOrStage(db, branch, table,
+      catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount, cur.maxRowId,
+        cur.schemaDdl), txn)
+    val (rcols, rrows) = returningRows(spark.sql(
+      s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
+         |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin), ret)
+    QueryResponse(input.id, rcols, rrows, changes = changes,
+      transactionId = input.transactionId)
+  }
+
   private def deleteFrom(db: String, branch: String, table: String,
       wherePart: Option[String], input: QueryInput,
       txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
+    registerViews(db, branch, txn) // WHERE may contain subqueries on other tables
     readVersion(cur).createOrReplaceTempView("__graft_target")
     val cond = wherePart.getOrElse("TRUE")
     val changes = spark.sql(
@@ -625,6 +688,31 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
 
 /** Small SQL-text utilities shared by the write path. */
 object Sql {
+
+  /** Find a word-bounded keyword at paren/quote top level; returns the
+    * text before and after it, or None. */
+  def splitOnTopLevelKeyword(s: String, kw: String): Option[(String, String)] = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length ||
+                !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+            return Some((s.substring(0, i).trim, s.substring(i + kw.length).trim))
+      }
+      i += 1
+    }
+    None
+  }
 
   /** Split on a separator at paren/quote top level. */
   def splitTopLevel(s: String, sep: Char): Seq[String] = {

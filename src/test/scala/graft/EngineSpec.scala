@@ -176,6 +176,34 @@ class EngineSpec extends AnyFunSuite {
     assert(s.catalog.versionHistory("db1", "main", "t").length == 5)
   }
 
+  test("UPDATE ... FROM and subqueries in UPDATE/DELETE WHERE") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE acct (id INTEGER, bal REAL)"))
+    s.execute("db1", "main", q("CREATE TABLE adj (id INTEGER, delta REAL)"))
+    s.execute("db1", "main", q("INSERT INTO acct VALUES (1, 10.0), (2, 20.0), (3, 30.0)"))
+    s.execute("db1", "main", q("INSERT INTO adj VALUES (1, 5.0), (3, -10.0)"))
+    val uf = s.execute("db1", "main",
+      q("UPDATE acct SET bal = bal + a.delta FROM adj a WHERE acct.id = a.id"))
+    assert(uf.error.isEmpty, uf.error)
+    assert(uf.changes == 2)
+    val rows = s.execute("db1", "main", q("SELECT id, bal FROM acct ORDER BY id")).rows
+    assert(rows == Seq(
+      Seq(SqlValue.IntVal(1), SqlValue.RealVal(15.0)),
+      Seq(SqlValue.IntVal(2), SqlValue.RealVal(20.0)),
+      Seq(SqlValue.IntVal(3), SqlValue.RealVal(20.0))))
+    // subquery in DELETE WHERE referencing another table
+    val del = s.execute("db1", "main",
+      q("DELETE FROM acct WHERE id IN (SELECT id FROM adj WHERE delta < 0)"))
+    assert(del.error.isEmpty && del.changes == 1)
+    // subquery in plain UPDATE WHERE
+    val up = s.execute("db1", "main",
+      q("UPDATE acct SET bal = 0.0 WHERE id IN (SELECT id FROM adj)"))
+    assert(up.error.isEmpty && up.changes == 1)
+    assert(s.execute("db1", "main",
+      q("SELECT bal FROM acct WHERE id = 1")).rows ==
+      Seq(Seq(SqlValue.RealVal(0.0))))
+  }
+
   test("backup and restore: manifest snapshot survives later writes and drops") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE b (id INTEGER)"))
