@@ -100,9 +100,13 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
       idCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    // lowest-id rows via orderBy+limit = TakeOrderedAndProject (per-partition
+    // heap + driver merge of nCentroids rows) — the row_number pass then runs
+    // on just those rows, never a whole-corpus single-partition window
     val w0 = Window.orderBy(col("neighbor_id"))
     val cent = broadcast(
-      c.withColumn("rn", row_number().over(w0)).filter(col("rn") <= nCentroids)
+      c.orderBy(col("neighbor_id")).limit(nCentroids)
+        .withColumn("rn", row_number().over(w0))
         .select(col("rn").as("centroid_id"), col("cv").as("centv")))
     def route(df: DataFrame, vec: String, keep: Int): DataFrame = {
       val wr = Window.partitionBy(col("rid")).orderBy(col("csim").desc, col("centroid_id"))
