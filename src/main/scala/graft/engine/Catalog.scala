@@ -38,6 +38,90 @@ class Catalog(val root: Path) {
   private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   Files.createDirectories(root)
+  loadManifest()
+
+  // --- manifest persistence ------------------------------------------------
+  // Every catalog mutation rewrites root/_manifest.json (write temp +
+  // atomic rename, like the reference's WAL-index swap), so a process
+  // restart recovers databases/branches/version history from disk. The
+  // manifest is tiny — versions of table file-sets, not data.
+
+  private def manifestPath = root.resolve("_manifest.json")
+
+  // lazy: loadManifest() runs from the constructor, before plain vals init
+  private lazy val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def persist(): Unit = {
+    val rootNode = om.createObjectNode()
+    val dbs = rootNode.putObject("databases")
+    databases.foreach { case (n, ts) => dbs.put(n, ts) }
+    val brs = rootNode.putArray("branches")
+    branches.foreach { case ((db, br), st) =>
+      val b = brs.addObject()
+      b.put("db", db); b.put("branch", br)
+      val ts = b.putObject("tables")
+      st.tables.foreach { case (t, vs) =>
+        val arr = ts.putArray(t)
+        vs.foreach { v =>
+          val vn = arr.addObject()
+          vn.put("ts", v.ts); vn.put("rowCount", v.rowCount)
+          vn.put("maxRowId", v.maxRowId); vn.put("schemaDdl", v.schemaDdl)
+          val ps = vn.putArray("paths"); v.paths.foreach(ps.add)
+        }
+      }
+    }
+    val bks = rootNode.putArray("backups")
+    backups.values.foreach { b =>
+      val bn = bks.addObject()
+      bn.put("id", b.id); bn.put("db", b.db); bn.put("branch", b.branch)
+      bn.put("createdAt", b.createdAt)
+      val ts = bn.putObject("tables")
+      b.tables.foreach { case (t, v) =>
+        val vn = ts.putObject(t)
+        vn.put("ts", v.ts); vn.put("rowCount", v.rowCount)
+        vn.put("maxRowId", v.maxRowId); vn.put("schemaDdl", v.schemaDdl)
+        val ps = vn.putArray("paths"); v.paths.foreach(ps.add)
+      }
+    }
+    val tmp = root.resolve("_manifest.json.tmp")
+    Files.write(tmp, om.writeValueAsBytes(rootNode))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadManifest(): Unit = {
+    if (!Files.exists(manifestPath)) return
+    val rootNode = om.readTree(Files.readAllBytes(manifestPath))
+    rootNode.path("databases").properties().asScala.foreach { e =>
+      databases(e.getKey) = e.getValue.asLong()
+    }
+    rootNode.path("branches").elements().asScala.foreach { b =>
+      val st = BranchState(mutable.Map())
+      b.path("tables").properties().asScala.foreach { t =>
+        val vs = mutable.ArrayBuffer[TableVersion]()
+        t.getValue.elements().asScala.foreach { vn =>
+          vs += TableVersion(vn.path("ts").asLong(),
+            vn.path("paths").elements().asScala.map(_.asText()).toSeq,
+            vn.path("rowCount").asLong(), vn.path("maxRowId").asLong(),
+            vn.path("schemaDdl").asText())
+        }
+        st.tables(t.getKey) = vs
+      }
+      branches((b.path("db").asText(), b.path("branch").asText())) = st
+    }
+    rootNode.path("backups").elements().asScala.foreach { bn =>
+      val tables = bn.path("tables").properties().asScala.map { t =>
+        val vn = t.getValue
+        t.getKey -> TableVersion(vn.path("ts").asLong(),
+          vn.path("paths").elements().asScala.map(_.asText()).toSeq,
+          vn.path("rowCount").asLong(), vn.path("maxRowId").asLong(),
+          vn.path("schemaDdl").asText())
+      }.toMap
+      backups(bn.path("id").asText()) = Backup(bn.path("id").asText(),
+        bn.path("db").asText(), bn.path("branch").asText(), tables,
+        bn.path("createdAt").asLong())
+    }
+  }
 
   /** Monotonic version timestamp (millis + sub-ms counter so two commits in
     * the same millisecond stay ordered). */
@@ -48,6 +132,7 @@ class Catalog(val root: Path) {
     require(!databases.contains(name), s"database $name already exists")
     databases(name) = System.currentTimeMillis()
     branches((name, "main")) = BranchState(mutable.Map())
+    persist()
   }
 
   def listDatabases(): Seq[String] = synchronized { databases.keys.toSeq }
@@ -63,6 +148,7 @@ class Catalog(val root: Path) {
     require(!branches.contains((db, name)), s"branch $db/$name already exists")
     branches((db, name)) = BranchState(
       mutable.Map(p.tables.map { case (t, vs) => t -> vs.clone() }.toSeq: _*))
+    persist()
   }
 
   def branchState(db: String, branch: String): BranchState = synchronized {
@@ -89,17 +175,21 @@ class Catalog(val root: Path) {
       v: TableVersion): TableVersion = synchronized {
     branchState(db, branch).tables
       .getOrElseUpdate(table, mutable.ArrayBuffer()) += v
+    persist()
     v
   }
 
   def dropTable(db: String, branch: String, table: String): Boolean = synchronized {
-    branchState(db, branch).tables.remove(table).isDefined
+    val existed = branchState(db, branch).tables.remove(table).isDefined
+    if (existed) persist()
+    existed
   }
 
   def renameTable(db: String, branch: String, from: String, to: String): Unit =
     synchronized {
       val st = branchState(db, branch)
       st.tables.remove(from).foreach(vs => st.tables(to) = vs)
+      persist()
     }
 
   /** Point-in-time restore: for every table, re-point at the latest version
@@ -117,6 +207,7 @@ class Catalog(val root: Path) {
       }
     }
     toDrop.foreach(st.tables.remove)
+    persist()
   }
 
   /** Version history (snapshot list) for a table: the restore points. */
@@ -130,7 +221,8 @@ class Catalog(val root: Path) {
   case class Backup(id: String, db: String, branch: String,
       tables: Map[String, TableVersion], createdAt: Long)
 
-  private val backups = mutable.LinkedHashMap[String, Backup]()
+  // lazy: loadManifest() runs from the constructor, before plain vals init
+  private lazy val backups = mutable.LinkedHashMap[String, Backup]()
 
   /** Full backup: snapshot every table's current version under a backup
     * id. File-sets are immutable and never deleted here, so the manifest
@@ -143,6 +235,7 @@ class Catalog(val root: Path) {
       case (t, vs) => vs.lastOption.map(t -> _)
     }.toMap
     backups(id) = Backup(id, db, branch, tables, System.currentTimeMillis())
+    persist()
     id
   }
 
@@ -163,5 +256,6 @@ class Catalog(val root: Path) {
     b.tables.foreach { case (t, v) =>
       st.tables.getOrElseUpdate(t, mutable.ArrayBuffer()) += v.copy(ts = newTs)
     }
+    persist()
   }
 }

@@ -220,6 +220,26 @@ class EngineSpec extends AnyFunSuite {
     assert(s.catalog.listBackups("db1", "main").map(_.id) == Seq(backupId))
   }
 
+  test("catalog manifest survives a session restart") {
+    val dir = Files.createTempDirectory("graft-restart")
+    val s1 = new GraftSession(spark, dir)
+    s1.createDatabase("db1")
+    s1.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    s1.execute("db1", "main", q("INSERT INTO t VALUES (1), (2)"))
+    s1.createBranch("db1", "main", "dev")
+    val backupId = s1.catalog.createBackup("db1", "main")
+    // a brand-new session over the same root recovers everything from
+    // _manifest.json: tables, version history, branches, backups
+    val s2 = new GraftSession(spark, dir)
+    assert(s2.catalog.listDatabases() == Seq("db1"))
+    assert(s2.catalog.listBranches("db1").toSet == Set("main", "dev"))
+    assert(s2.execute("db1", "main", q("SELECT * FROM t")).rows.length == 2)
+    assert(s2.catalog.versionHistory("db1", "main", "t").length == 2)
+    assert(s2.catalog.listBackups("db1", "main").map(_.id) == Seq(backupId))
+    s2.execute("db1", "main", q("INSERT INTO t VALUES (3)"))
+    assert(s2.execute("db1", "main", q("SELECT * FROM t")).rows.length == 3)
+  }
+
   test("compact folds a multi-file table into one file-set") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE c (id INTEGER)"))
