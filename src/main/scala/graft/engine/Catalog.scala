@@ -151,6 +151,16 @@ class Catalog(val root: Path) {
     persist()
   }
 
+  /** Delete a branch (reference: database_branches CASCADE delete,
+    * system_database.go:115-130). Data dirs it referenced stay until a
+    * vacuumVersions pass finds them unreachable. */
+  def dropBranch(db: String, branch: String): Unit = synchronized {
+    require(branch != "main", "cannot drop the main branch")
+    branches.remove((db, branch))
+      .getOrElse(throw new IllegalArgumentException(s"branch $db/$branch not found"))
+    persist()
+  }
+
   def branchState(db: String, branch: String): BranchState = synchronized {
     branches.getOrElse((db, branch),
       throw new IllegalArgumentException(s"branch $db/$branch not found"))
@@ -215,6 +225,44 @@ class Catalog(val root: Path) {
     synchronized {
       branchState(db, branch).tables.get(table).map(_.toSeq).getOrElse(Nil)
     }
+
+  /** Version-retention GC (the reference's WAL-version GC, B14): trim each
+    * table's history in db/branch to its most recent `retain` versions,
+    * then delete data directories under this catalog root that no
+    * surviving version — in ANY branch — and no backup references.
+    * File-sets are shared by branch copies and backups, so reachability
+    * is computed globally before anything is deleted. Returns the number
+    * of directories removed. */
+  def vacuumVersions(db: String, branch: String, retain: Int): Int = synchronized {
+    require(retain >= 1, "retain must be >= 1")
+    val st = branchState(db, branch)
+    st.tables.foreach { case (_, vs) =>
+      if (vs.length > retain) vs.remove(0, vs.length - retain)
+    }
+    val referenced: Set[String] =
+      branches.values.flatMap(_.tables.values.flatMap(_.flatMap(_.paths))).toSet ++
+        backups.values.flatMap(_.tables.values.flatMap(_.paths))
+    val rootAbs = root.toAbsolutePath.toString
+    var deleted = 0
+    // version dirs live at root/<db>/<branch>/<table>/v<ts>
+    val stream = Files.walk(root, 4)
+    try {
+      stream.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("v") &&
+          p.getParent != null && p.getParent.getParent != null &&
+          p.getParent.getParent.getParent != null &&
+          p.getParent.getParent.getParent.getParent != null &&
+          p.getParent.getParent.getParent.getParent.toAbsolutePath.toString == rootAbs)
+        .filterNot(p => referenced.contains(p.toString))
+        .toSeq // materialize before mutating the tree under the walk
+        .foreach { p =>
+          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          deleted += 1
+        }
+    } finally stream.close()
+    persist()
+    deleted
+  }
 
   // --- backups (B19) -------------------------------------------------------
 

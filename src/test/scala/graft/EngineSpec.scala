@@ -220,6 +220,29 @@ class EngineSpec extends AnyFunSuite {
     assert(s.catalog.listBackups("db1", "main").map(_.id) == Seq(backupId))
   }
 
+  test("vacuumVersions trims history and deletes only unreachable file-sets") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE g (id INTEGER)"))
+    (1 to 5).foreach(i => s.execute("db1", "main", q(s"INSERT INTO g VALUES ($i)")))
+    // a branch shares the parent's current file-set; its data must survive
+    s.createBranch("db1", "main", "shared")
+    s.execute("db1", "main", q("UPDATE g SET id = id * 10 WHERE id = 1"))
+    assert(s.catalog.versionHistory("db1", "main", "g").length == 7)
+    // the shared branch still references every insert file-set: nothing
+    // is unreachable, so vacuum must delete NOTHING (safety)
+    assert(s.catalog.vacuumVersions("db1", "main", retain = 1) == 0)
+    assert(s.catalog.versionHistory("db1", "main", "g").length == 1)
+    assert(s.execute("db1", "main", q("SELECT * FROM g")).rows.length == 5)
+    assert(s.execute("db1", "shared", q("SELECT * FROM g")).rows.length == 5)
+    // dropping the branch releases its references; now the five insert
+    // file-sets are unreachable (main's current is the update rewrite)
+    s.catalog.dropBranch("db1", "shared")
+    val deleted = s.catalog.vacuumVersions("db1", "main", retain = 1)
+    assert(deleted == 5, s"expected 5 dirs deleted, got $deleted")
+    assert(s.execute("db1", "main", q("SELECT * FROM g")).rows.length == 5)
+    assert(s.execute("db1", "main", q("SELECT * FROM g WHERE id = 10")).rows.length == 1)
+  }
+
   test("catalog manifest survives a session restart") {
     val dir = Files.createTempDirectory("graft-restart")
     val s1 = new GraftSession(spark, dir)
