@@ -71,6 +71,12 @@ class HttpApi(session: GraftSession,
           val name = mapper.readTree(ex.getRequestBody).path("name").asText("")
           if (name.isEmpty) reply(ex, 400, errorJson("name required"))
           else { session.createDatabase(name); reply(ex, 201, okJson("null")) }
+        case ("GET", Nil) =>
+          reply(ex, 200, okJson(session.catalog.listDatabases()
+            .map(n => s"""{"name":${jstr(n)}}""").mkString("[", ",", "]")))
+        case ("GET", db :: "branches" :: Nil) =>
+          reply(ex, 200, okJson(session.catalog.listBranches(db)
+            .map(b => s"""{"name":${jstr(b)}}""").mkString("[", ",", "]")))
         case ("POST", db :: "branches" :: Nil) =>
           val body = mapper.readTree(ex.getRequestBody)
           session.createBranch(db, body.path("parent").asText("main"),

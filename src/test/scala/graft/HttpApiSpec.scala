@@ -63,6 +63,11 @@ class HttpApiSpec extends AnyFunSuite {
     // branch fork is isolated
     assert(post("/v1/databases/db1/branches",
       """{"parent":"main","name":"dev"}""").statusCode() == 201)
+    val dbs = mapper.readTree(get("/v1/databases").body()).path("data")
+    assert((0 until dbs.size()).exists(i => dbs.get(i).path("name").asText() == "db1"))
+    val brs = mapper.readTree(get("/v1/databases/db1/branches").body()).path("data")
+    assert((0 until brs.size()).map(i => brs.get(i).path("name").asText()).toSet ==
+      Set("main", "dev"))
     post("/v1/databases/db1/dev/query",
       """{"queries":[{"id":"i3","statement":"INSERT INTO t VALUES (3, 'eve')"}]}""")
     val mainN = mapper.readTree(post("/v1/databases/db1/main/query",
