@@ -92,23 +92,50 @@ object Dedup {
         (agree.cast("double") / k).as("est_jaccard"))
   }
 
-  /** Full MinHash near-dup pipeline: shingle -> sign -> band -> verify.
+  /** Full MinHash near-dup pipeline: shingle -> sign -> band -> verify,
+    * fused so every consumer shares ONE signature lineage.
     *
-    * The signature table feeds three branches (banding + both verify
-    * sides), so without persistence the corpus is scanned and shingled
-    * once per branch. `persistSignatures` trades a materialization barrier
-    * for single-scan behavior: signatures are k longs per doc — orders of
-    * magnitude smaller than the text — so at 100 TB persist is mandatory.
-    * It defaults off because below ~GB scale the re-scan is cheaper than
-    * the barrier (measured ~40% faster at sf0.1). */
+    * The signature vector (k longs) rides along through the band explode,
+    * so the bucket self-join already holds both sides' signatures and the
+    * estimate needs no join back to a signature table — the unfused
+    * composition (minHashCandidates + minHashVerify, kept public below)
+    * re-derives signatures from the text once per branch. All remaining
+    * consumers sit behind the same signature-aggregation exchange, which
+    * AQE's runtime stage reuse executes once — so the corpus text is
+    * scanned and shingled a single time. The ride-along cost is k longs
+    * per (doc, band) in the banding shuffle: orders of magnitude below
+    * re-scanning text at corpus scale, and measured no slower than the
+    * unfused pipeline even at sf0.1. */
   def minHashDedup(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, persistSignatures: Boolean = false): DataFrame = {
-    val sigs0 = minHashSignatures(wordShingles(df, textCol, idCol, shingleLen), k)
-    val sigs = if (persistSignatures)
-      sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sigs0
-    minHashVerify(minHashCandidates(sigs, k, rowsPerBand), sigs, k)
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val sigs = minHashSignatures(wordShingles(df, textCol, idCol, shingleLen), k)
+    val bands = k / rowsPerBand
+    val mhCols = (0 until k).map(i => col(s"mh$i"))
+    val bandCol = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((lit(j) +: (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))): _*)
+          .as("bh"))
+    }
+    val exploded = sigs
+      .select((col("id") +: explode(array(bandCol: _*)).as("b") +: mhCols): _*)
+      .select((col("id") +: col("b.band").as("band") +: col("b.bh").as("bh") +: mhCols): _*)
+    // bucket-size guard via groupBy + semi-join (hash agg + hash join, no
+    // sort — measured faster than a count() window, which sorts each
+    // partition); the two uses of `exploded` share one physical execution
+    // through exchange reuse
+    val sized = exploded.groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, maxBucket))
+    val inBuckets = exploded.join(sized.select("band", "bh"), Seq("band", "bh"))
+    val agree = (0 until k)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    inBuckets.as("a").join(inBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (agree.cast("double") / k).as("est_jaccard"))
+      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 
