@@ -341,13 +341,16 @@ object Relational {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     lineitem(s, dir)
-      .withColumn("running_qty",
+      // both frames in ONE projection so they share a single WindowExec
+      // (sequential withColumns leave a Project between the two Window
+      // operators that blocks CollapseWindow)
+      .select(col("*"),
         sum(col("l_quantity").cast("decimal(18,2)"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double"))
-      .withColumn("trail3_qty",
+          .cast("double").as("running_qty"),
         sum(col("l_quantity").cast("decimal(18,2)"))
-          .over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
+          .over(w.rowsBetween(-2, Window.currentRow)).cast("double")
+          .as("trail3_qty"))
       .filter(col("l_quantity") > 47)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("running_qty"), col("trail3_qty"))
