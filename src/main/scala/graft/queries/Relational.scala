@@ -292,9 +292,9 @@ object Relational {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
     customer(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("rnk", rank().over(w))
-      .withColumn("drnk", dense_rank().over(w))
+      // one projection -> one WindowExec for all three ranking functions
+      .select(col("*"), row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
       .filter(col("rn") <= 3)
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
         col("rn"), col("rnk"), col("drnk"))
@@ -315,10 +315,12 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     orders(s, dir).filter(col("o_custkey") < 50)
-      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
-      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
-      .withColumn("first_price", first(col("o_totalprice")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // one projection -> one WindowExec for all analytic functions
+      .select(col("*"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_price"))
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("o_totalprice"), col("prev_price"), col("next_price"), col("first_price"))
@@ -408,9 +410,10 @@ object Relational {
   def q18WindowDistribution(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     orders(s, dir).filter(col("o_orderkey") < 200)
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+      // one projection -> one WindowExec (global window, bounded by the
+      // filter; ntile/percent_rank semantics require the total order)
+      .select(col("*"), ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"), cume_dist().over(w).as("cume"))
       .select(col("o_orderkey"), col("o_totalprice"),
         col("quartile"), col("pct_rank"), col("cume"))
       .orderBy(col("o_orderkey"))
