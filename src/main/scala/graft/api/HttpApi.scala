@@ -77,6 +77,8 @@ class HttpApi(session: GraftSession,
         case ("GET", db :: "branches" :: Nil) =>
           reply(ex, 200, okJson(session.catalog.listBranches(db)
             .map(b => s"""{"name":${jstr(b)}}""").mkString("[", ",", "]")))
+        case ("DELETE", db :: "branches" :: name :: Nil) =>
+          session.catalog.dropBranch(db, name); reply(ex, 200, okJson("null"))
         case ("POST", db :: "branches" :: Nil) =>
           val body = mapper.readTree(ex.getRequestBody)
           session.createBranch(db, body.path("parent").asText("main"),

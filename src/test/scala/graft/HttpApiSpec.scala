@@ -68,6 +68,11 @@ class HttpApiSpec extends AnyFunSuite {
     val brs = mapper.readTree(get("/v1/databases/db1/branches").body()).path("data")
     assert((0 until brs.size()).map(i => brs.get(i).path("name").asText()).toSet ==
       Set("main", "dev"))
+    val delReq = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/v1/databases/db1/branches/dev")).DELETE().build()
+    assert(client.send(delReq, BodyHandlers.ofString()).statusCode() == 200)
+    val brs2 = mapper.readTree(get("/v1/databases/db1/branches").body()).path("data")
+    assert((0 until brs2.size()).map(i => brs2.get(i).path("name").asText()) == Seq("main"))
     post("/v1/databases/db1/dev/query",
       """{"queries":[{"id":"i3","statement":"INSERT INTO t VALUES (3, 'eve')"}]}""")
     val mainN = mapper.readTree(post("/v1/databases/db1/main/query",
