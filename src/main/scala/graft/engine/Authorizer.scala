@@ -76,7 +76,12 @@ object Authorizer {
       if (!key.can(p)) throw new DeniedException(s"access key lacks $p")
     }
     if (Classifier.isDQL(stmt)) {
-      val plan = spark.sessionState.sqlParser.parsePlan(stmt)
+      // best-effort plan walk: engine-dialect statements Spark's parser
+      // can't read (FTS MATCH) are table-checked by their own handlers
+      val plan =
+        try spark.sessionState.sqlParser.parsePlan(stmt)
+        catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+          return }
       referencedTables(plan).foreach { t =>
         if (!key.canReadTable(t))
           throw new DeniedException(s"access key cannot read table $t")

@@ -25,6 +25,15 @@ import scala.jdk.CollectionConverters._
   * of immutable files; commits, branches and time travel are manifest
   * operations that never touch data.
   */
+/** FTS5-style index definition (SURVEY §2A row 5): `table` is the indexed
+  * (content) table, `textCols` the indexed columns (comma-joined), `idCol`
+  * the document id. The index DATA lives in ordinary catalog tables
+  * (`__fts_<name>_{postings,dl,stats}`) so it is versioned, branched,
+  * backed up and vacuumed exactly like user data — this record is only the
+  * definition, mirroring how FTS5 keeps its schema in sqlite_master and
+  * its data in shadow tables. */
+case class FtsIndexDef(table: String, textCols: String, idCol: String)
+
 class Catalog(val root: Path) {
 
   /** One committed state of a table: file-set + bookkeeping. */
@@ -35,6 +44,7 @@ class Catalog(val root: Path) {
 
   private val databases = mutable.LinkedHashMap[String, Long]() // name -> createdAt
   private val branches = mutable.LinkedHashMap[(String, String), BranchState]()
+  private val ftsDefs = mutable.LinkedHashMap[(String, String, String), FtsIndexDef]()
   private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   Files.createDirectories(root)
@@ -69,6 +79,12 @@ class Catalog(val root: Path) {
           val ps = vn.putArray("paths"); v.paths.foreach(ps.add)
         }
       }
+    }
+    val fts = rootNode.putArray("ftsIndexes")
+    ftsDefs.foreach { case ((db, br, name), d) =>
+      val n = fts.addObject()
+      n.put("db", db); n.put("branch", br); n.put("name", name)
+      n.put("table", d.table); n.put("textCols", d.textCols); n.put("idCol", d.idCol)
     }
     val bks = rootNode.putArray("backups")
     backups.values.foreach { b =>
@@ -109,6 +125,11 @@ class Catalog(val root: Path) {
       }
       branches((b.path("db").asText(), b.path("branch").asText())) = st
     }
+    rootNode.path("ftsIndexes").elements().asScala.foreach { n =>
+      ftsDefs((n.path("db").asText(), n.path("branch").asText(),
+        n.path("name").asText())) = FtsIndexDef(n.path("table").asText(),
+        n.path("textCols").asText(), n.path("idCol").asText())
+    }
     rootNode.path("backups").elements().asScala.foreach { bn =>
       val tables = bn.path("tables").properties().asScala.map { t =>
         val vn = t.getValue
@@ -148,6 +169,9 @@ class Catalog(val root: Path) {
     require(!branches.contains((db, name)), s"branch $db/$name already exists")
     branches((db, name)) = BranchState(
       mutable.Map(p.tables.map { case (t, vs) => t -> vs.clone() }.toSeq: _*))
+    ftsDefs.toSeq.collect { case ((d, b, n), defn) if d == db && b == parent =>
+      ftsDefs((d, name, n)) = defn
+    }
     persist()
   }
 
@@ -158,8 +182,36 @@ class Catalog(val root: Path) {
     require(branch != "main", "cannot drop the main branch")
     branches.remove((db, branch))
       .getOrElse(throw new IllegalArgumentException(s"branch $db/$branch not found"))
+    ftsDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(ftsDefs.remove)
     persist()
   }
+
+  // --- FTS index definitions (data lives in ordinary catalog tables) -------
+
+  def putFtsIndex(db: String, branch: String, name: String,
+      d: FtsIndexDef): Unit = synchronized {
+    ftsDefs((db, branch, name)) = d
+    persist()
+  }
+
+  def ftsIndex(db: String, branch: String, name: String): Option[FtsIndexDef] =
+    synchronized(ftsDefs.get((db, branch, name)))
+
+  /** All index defs over a given content table in db/branch: (name, def). */
+  def ftsIndexesForTable(db: String, branch: String,
+      table: String): Seq[(String, FtsIndexDef)] = synchronized {
+    ftsDefs.toSeq.collect {
+      case ((d, b, n), defn) if d == db && b == branch && defn.table == table =>
+        (n, defn)
+    }
+  }
+
+  def dropFtsIndex(db: String, branch: String, name: String): Boolean =
+    synchronized {
+      val existed = ftsDefs.remove((db, branch, name)).isDefined
+      if (existed) persist()
+      existed
+    }
 
   def branchState(db: String, branch: String): BranchState = synchronized {
     branches.getOrElse((db, branch),

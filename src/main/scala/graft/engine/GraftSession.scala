@@ -4,6 +4,8 @@ import java.nio.file.{Files, Path}
 import java.util.UUID
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, monotonically_increasing_id, row_number, sum}
 import org.apache.spark.sql.types._
 
 /** The engine facade: litebase's query lifecycle re-expressed over Spark.
@@ -77,6 +79,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
       catalog.commitVersion(txn.db, txn.branch, t,
         v.asInstanceOf[catalog.TableVersion])
     }
+    // staged writes were not indexed during the transaction: rebuild any
+    // FTS index whose content table was touched, now that it is committed
+    txn.staged.keys.foreach(t => ftsOnRewrite(txn.db, txn.branch, t))
   }
 
   def rollbackTransaction(id: String): Unit = synchronized {
@@ -144,7 +149,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
         writeQueues(db, branch).run(write(db, branch, input))
       case "dql" => select(db, branch, input)
       case _ =>
-        throw new IllegalArgumentException(s"unsupported statement: ${stmt.take(40)}")
+        // the reference resolver executes unclassified statements through
+        // SQLite (pkg/database/resolver.go) — WITH ... SELECT, VALUES and
+        // parenthesized selects land here, so route them through the read
+        // path; genuinely malformed SQL surfaces as a parse error.
+        select(db, branch, input)
     }
   }
 
@@ -192,16 +201,40 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
         s"no transaction ${input.transactionId}"))
     }
 
+  /** The canonical FTS5 read shape, rewritten onto the stored index:
+    * SELECT <cols> FROM <idx> WHERE <idx> MATCH '<q>' [ORDER BY ...] [LIMIT n]
+    * (Spark's parser has no MATCH operator, so the rewrite happens before
+    * parsing — the reference hands the same statement to SQLite's vtable
+    * layer, pkg/sqlite3). */
+  private val matchRe =
+    ("""(?is)^\s*select\s+(.+?)\s+from\s+([\w"]+)\s+where\s+([\w"]+)\s+match\s+""" +
+      """'((?:[^']|'')*)'\s*(order\s+by\s+[\w\s,."]+?)?\s*(limit\s+\d+(?:\s+offset\s+\d+)?)?\s*;?\s*$""").r
+
   private def select(db: String, branch: String, input: QueryInput): QueryResponse = {
     val txn = txnFor(input)
-    registerViews(db, branch, txn)
-    // plan cache (B4): parse once per (sql, key) — Spark still analyzes per
-    // execution because view state may have changed.
-    planCache.get(input.statement, "root")(
-      spark.sessionState.sqlParser.parsePlan(input.statement))
-    val df =
-      if (input.parameters.isEmpty) spark.sql(input.statement)
-      else spark.sql(input.statement, input.parameters.map(paramToJvm).toArray)
+    input.statement.trim match {
+      case matchRe(cols, from, target, q, orderBy, limitPart)
+          if unquote(from) == unquote(target) &&
+            catalog.ftsIndex(db, branch, unquote(from)).isDefined =>
+        val result = ftsSearch(db, branch, unquote(from), q.replace("''", "'"))
+        result.createOrReplaceTempView("__fts_match")
+        val df = spark.sql(s"SELECT $cols FROM __fts_match " +
+          s"${Option(orderBy).getOrElse("")} ${Option(limitPart).getOrElse("")}")
+        collectResponse(df, input)
+      case _ =>
+        registerViews(db, branch, txn)
+        // plan cache (B4): parse once per (sql, key) — Spark still analyzes
+        // per execution because view state may have changed.
+        planCache.get(input.statement, "root")(
+          spark.sessionState.sqlParser.parsePlan(input.statement))
+        val df =
+          if (input.parameters.isEmpty) spark.sql(input.statement)
+          else spark.sql(input.statement, input.parameters.map(paramToJvm).toArray)
+        collectResponse(df, input)
+    }
+  }
+
+  private def collectResponse(df: DataFrame, input: QueryInput): QueryResponse = {
     val rows = df.collect()
     QueryResponse(input.id, df.columns.toSeq,
       rows.toSeq.map(r => (0 until r.length).map(i => SqlValue.fromAny(r.get(i)))),
@@ -218,6 +251,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
 
   // --- writes ---------------------------------------------------------------
 
+  private val createVirtualRe =
+    """(?is)^\s*create\s+virtual\s+table\s+(if\s+not\s+exists\s+)?([\w"]+)\s+using\s+fts5\s*\((.*)\)\s*;?\s*$""".r
   private val createTableRe =
     """(?is)^\s*create\s+table\s+(if\s+not\s+exists\s+)?([\w"]+)\s*\((.*)\)\s*;?\s*$""".r
   private val createIndexRe =
@@ -259,6 +294,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     }
     val txn = txnFor(input)
     stmt match {
+      case createVirtualRe(ifNot, name, argsPart) =>
+        createFtsVtable(db, branch, unquote(name), argsPart, ifNot != null)
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case createTableRe(ifNot, name, colDefs) =>
         createTable(db, branch, unquote(name), colDefs, ifNot != null)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
@@ -267,9 +305,19 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
         // role of secondary indexes (SURVEY §2A row 2)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case dropTableRe(ifExists, name) =>
-        val existed = catalog.dropTable(db, branch, unquote(name))
+        val t = unquote(name)
+        // DROP TABLE on an FTS vtable drops index + artifacts (+ bare
+        // backing table); on a content table, dependent indexes cascade
+        val existed =
+          if (catalog.ftsIndex(db, branch, t).isDefined) dropFtsVtable(db, branch, t)
+          else {
+            val e = catalog.dropTable(db, branch, t)
+            if (e) catalog.ftsIndexesForTable(db, branch, t)
+              .foreach { case (n, _) => dropFtsVtable(db, branch, n) }
+            e
+          }
         if (!existed && ifExists == null)
-          throw new IllegalArgumentException(s"no such table: ${unquote(name)}")
+          throw new IllegalArgumentException(s"no such table: $t")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case alterRenameRe(from, to) =>
         catalog.renameTable(db, branch, unquote(from), unquote(to))
@@ -450,13 +498,27 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
   private def appendRows(db: String, branch: String, table: String,
       cur: Catalog#TableVersion, rows: DataFrame, input: QueryInput,
       txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
-    val n = rows.count()
+    // bare FTS vtable backing tables auto-assign rowids (fts5's implicit
+    // rowid): fill nulls from the maxRowId counter. The row_number window
+    // spans only this INSERT batch, never the stored table.
+    val isBareFts = catalog.ftsIndex(db, branch, table).exists(_.table == table)
+    val toWrite =
+      if (isBareFts && rows.columns.contains("rowid"))
+        rows.withColumn("rowid", coalesce(col("rowid"),
+          lit(cur.maxRowId) +
+            row_number().over(Window.orderBy(monotonically_increasing_id()))
+              .cast("long")))
+      else rows
+    val n = toWrite.count()
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
-    rows.write.parquet(dir.toString)
+    toWrite.write.parquet(dir.toString)
     val v = catalog.TableVersion(ts, cur.paths :+ dir.toString,
       cur.rowCount + n, cur.maxRowId + n, cur.schemaDdl)
     commitOrStage(db, branch, table, v, txn)
+    // index maintenance: incremental append over just the new rows;
+    // transaction-staged writes are indexed at commit instead
+    if (txn.isEmpty) ftsOnAppend(db, branch, table, spark.read.parquet(dir.toString))
     // RETURNING reads the just-written file, not the input plan (cheap,
     // and exactly the rows that landed)
     val (rcols, rrows) = returningRows(spark.read.parquet(dir.toString), ret)
@@ -492,6 +554,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     commitOrStage(db, branch, table,
       catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount, cur.maxRowId,
         cur.schemaDdl), txn)
+    if (txn.isEmpty) ftsOnRewrite(db, branch, table)
     // RETURNING sees the post-update values of the matched rows
     val (rcols, rrows) = returningRows(spark.sql(
       s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)"), ret)
@@ -545,6 +608,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     commitOrStage(db, branch, table,
       catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount, cur.maxRowId,
         cur.schemaDdl), txn)
+    if (txn.isEmpty) ftsOnRewrite(db, branch, table)
     val (rcols, rrows) = returningRows(spark.sql(
       s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
          |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin), ret)
@@ -569,11 +633,193 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     commitOrStage(db, branch, table,
       catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount - changes,
         cur.maxRowId, cur.schemaDdl), txn)
+    if (txn.isEmpty) ftsOnRewrite(db, branch, table)
     // RETURNING sees the deleted rows' (old) values
     val (rcols, rrows) = returningRows(spark.sql(
       s"SELECT * FROM __graft_target WHERE COALESCE(($cond), FALSE)"), ret)
     QueryResponse(input.id, rcols, rrows, changes = changes,
       transactionId = input.transactionId)
+  }
+
+  // --- FTS5 virtual tables (SURVEY §2A row 5) ------------------------------
+  //
+  // The reference gets FTS5 from SQLite: a PERSISTED inverted index built
+  // on write and read by every MATCH (pkg/sqlite3/sqlite3.go:20-23 enables
+  // it; the vtable's shadow tables hold the postings). Same design here:
+  // the index is three ordinary catalog tables —
+  //   __fts_<name>_postings (term, doc, tf)   hash-distributed by term
+  //   __fts_<name>_dl       (doc, dl)
+  //   __fts_<name>_stats    1 row (n, sumdl)
+  // — built on CREATE VIRTUAL TABLE, appended incrementally on INSERT
+  // (postings/dl of just the new rows + a folded stats row: no corpus
+  // re-scan), rebuilt on UPDATE/DELETE (which rewrite the content table
+  // anyway), and versioned/branched/backed-up/vacuumed like user data.
+  // MATCH queries are single distributed plans against the stored index
+  // with zero driver-side actions.
+
+  private def ftsArtifacts(name: String): (String, String, String) =
+    (s"__fts_${name}_postings", s"__fts_${name}_dl", s"__fts_${name}_stats")
+
+  /** Multi-column fts5 indexes all listed columns: synthesize one text
+    * column (space-joined) when needed. */
+  private def withFtsText(docs: DataFrame, textCols: Seq[String]): (DataFrame, String) =
+    if (textCols.length == 1) (docs, textCols.head)
+    else (docs.withColumn("__fts_text", concat_ws(" ", textCols.map(col): _*)), "__fts_text")
+
+  /** CREATE VIRTUAL TABLE <name> USING fts5(...) — both fts5 forms:
+    *   - external content (SQLite fts5.html §4.4.2):
+    *     fts5(text, content='documents', content_rowid='doc_id') indexes an
+    *     existing table;
+    *   - bare: fts5(text) creates backing table <name>(rowid, text) with
+    *     rowids auto-assigned on INSERT, like fts5's implicit rowid. */
+  private def createFtsVtable(db: String, branch: String, name: String,
+      argsPart: String, ifNotExists: Boolean): Unit = {
+    if (catalog.ftsIndex(db, branch, name).isDefined) {
+      if (ifNotExists) return
+      throw new IllegalArgumentException(s"table $name already exists")
+    }
+    val args = Sql.splitTopLevel(argsPart, ',').map(_.trim).filter(_.nonEmpty)
+    val opts = args.filter(_.contains("=")).map { a =>
+      val Array(k, v) = a.split("=", 2)
+      k.trim.toLowerCase -> unquote(v.trim.stripPrefix("'").stripSuffix("'"))
+    }.toMap
+    val cols = args.filterNot(_.contains("=")).map(unquote)
+    require(cols.nonEmpty, "fts5 requires at least one indexed column")
+    opts.get("content") match {
+      case Some(contentTable) =>
+        val idCol = opts.getOrElse("content_rowid", "rowid")
+        val cur = catalog.currentVersion(db, branch, contentTable)
+          .getOrElse(throw new IllegalArgumentException(s"no such table: $contentTable"))
+        val schema = StructType.fromDDL(cur.schemaDdl)
+        (cols :+ idCol).foreach { c =>
+          if (!schema.fieldNames.contains(c))
+            throw new IllegalArgumentException(s"no such column: $c")
+        }
+        catalog.putFtsIndex(db, branch, name,
+          FtsIndexDef(contentTable, cols.mkString(","), idCol))
+      case None =>
+        commitNewTable(db, branch, name, StructType(
+          StructField("rowid", LongType) +: cols.map(c => StructField(c, StringType))))
+        catalog.putFtsIndex(db, branch, name,
+          FtsIndexDef(name, cols.mkString(","), "rowid"))
+    }
+    ftsRebuild(db, branch, name)
+  }
+
+  /** (Re)build an FTS index's three artifact tables from the content
+    * table's current version — the full-build path (CREATE, UPDATE/DELETE,
+    * restore). One corpus scan; postings are hash-distributed by term so
+    * MATCH lookups and df aggregation shuffle minimally. */
+  def ftsRebuild(db: String, branch: String, name: String): Unit = {
+    val ix = catalog.ftsIndex(db, branch, name)
+      .getOrElse(throw new IllegalArgumentException(s"no such fts table: $name"))
+    val cur = catalog.currentVersion(db, branch, ix.table)
+      .getOrElse(throw new IllegalArgumentException(s"no such table: ${ix.table}"))
+    val (docs, tc) = withFtsText(readVersion(cur), ix.textCols.split(",").toSeq)
+    val (pn, dn, sn) = ftsArtifacts(name)
+    val dl = graft.operators.Fts.docLengths(docs, tc, ix.idCol)
+    writeAsTable(db, branch, pn,
+      graft.operators.Fts.postings(docs, tc, ix.idCol).repartition(col("term")))
+    writeAsTable(db, branch, dn, dl)
+    writeAsTable(db, branch, sn, graft.operators.Fts.corpusStats(dl))
+  }
+
+  /** Incremental index maintenance for INSERT: postings/dl of ONLY the
+    * appended rows are added as new file-set entries, and the 1-row stats
+    * table is folded with the delta — no re-scan of the existing corpus
+    * (fts5 does the same: inserts only touch the new rows' postings).
+    * Assumes appended doc ids are fresh, as fts5 does for rowids. */
+  private def ftsOnAppend(db: String, branch: String, table: String,
+      appended: DataFrame): Unit =
+    catalog.ftsIndexesForTable(db, branch, table).foreach { case (name, ix) =>
+      val (docs, tc) = withFtsText(appended, ix.textCols.split(",").toSeq)
+      val (pn, dn, sn) = ftsArtifacts(name)
+      val dlNew = graft.operators.Fts.docLengths(docs, tc, ix.idCol)
+      appendToTable(db, branch, pn, graft.operators.Fts.postings(docs, tc, ix.idCol))
+      appendToTable(db, branch, dn, dlNew)
+      val folded = readTable(db, branch, sn)
+        .unionByName(graft.operators.Fts.corpusStats(dlNew))
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+      writeAsTable(db, branch, sn, folded)
+    }
+
+  /** Rebuild every index whose content table is `table` (UPDATE/DELETE
+    * rewrite the corpus, so the index follows). */
+  private def ftsOnRewrite(db: String, branch: String, table: String): Unit =
+    catalog.ftsIndexesForTable(db, branch, table)
+      .foreach { case (name, _) => ftsRebuild(db, branch, name) }
+
+  /** Drop an FTS vtable: definition, artifact tables, and (bare form) the
+    * backing table. Returns true if it existed. */
+  def dropFtsVtable(db: String, branch: String, name: String): Boolean = {
+    catalog.ftsIndex(db, branch, name) match {
+      case None => false
+      case Some(ix) =>
+        val (pn, dn, sn) = ftsArtifacts(name)
+        Seq(pn, dn, sn).foreach(catalog.dropTable(db, branch, _))
+        if (ix.table == name) catalog.dropTable(db, branch, name)
+        catalog.dropFtsIndex(db, branch, name)
+        true
+    }
+  }
+
+  /** MATCH against the stored index. Query forms follow fts5: bare terms =
+    * AND, OR, -term = NOT; `"a b"` = phrase; `tok*` = prefix. Match mode
+    * returns (doc, score, n_terms_hit, rank) where rank = -score (fts5's
+    * rank orders ascending = most relevant first). */
+  def ftsSearch(db: String, branch: String, name: String, query: String): DataFrame = {
+    val ix = catalog.ftsIndex(db, branch, name)
+      .getOrElse(throw new IllegalArgumentException(s"no such fts table: $name"))
+    val (pn, dn, sn) = ftsArtifacts(name)
+    val post = readTable(db, branch, pn)
+    val q = query.trim
+    if (q.length > 1 && q.startsWith("\"") && q.endsWith("\"")) {
+      val cur = catalog.currentVersion(db, branch, ix.table).get
+      val (docs, tc) = withFtsText(readVersion(cur), ix.textCols.split(",").toSeq)
+      graft.operators.Fts.phraseSearchIndex(docs, post, tc, ix.idCol,
+        q.substring(1, q.length - 1))
+    } else if (q.matches("""\w+\*""")) {
+      graft.operators.Fts.prefixSearchIndex(post, q.dropRight(1))
+    } else {
+      graft.operators.Fts.searchIndex(post, readTable(db, branch, dn),
+          readTable(db, branch, sn), q)
+        .withColumn("rank", -col("score"))
+    }
+  }
+
+  private def readTable(db: String, branch: String, t: String): DataFrame =
+    readVersion(catalog.currentVersion(db, branch, t)
+      .getOrElse(throw new IllegalArgumentException(s"no such table: $t")))
+
+  /** Commit an empty table with the given schema. */
+  private def commitNewTable(db: String, branch: String, name: String,
+      schema: StructType): Unit = {
+    if (catalog.currentVersion(db, branch, name).isDefined)
+      throw new IllegalArgumentException(s"table $name already exists")
+    catalog.commitVersion(db, branch, name,
+      catalog.TableVersion(catalog.nextVersionTs(), Nil, 0L, 0L, schema.toDDL))
+  }
+
+  /** Write `df` as a FRESH single-file-set version of table `t`. */
+  private def writeAsTable(db: String, branch: String, t: String,
+      df: DataFrame): Unit = {
+    val ts = catalog.nextVersionTs()
+    val dir = catalog.newVersionDir(db, branch, t, ts)
+    df.write.parquet(dir.toString)
+    catalog.commitVersion(db, branch, t,
+      catalog.TableVersion(ts, Seq(dir.toString), 0L, 0L, df.schema.toDDL))
+  }
+
+  /** Append `df` as an additional file-set entry of table `t`. */
+  private def appendToTable(db: String, branch: String, t: String,
+      df: DataFrame): Unit = {
+    val cur = catalog.currentVersion(db, branch, t)
+      .getOrElse(throw new IllegalArgumentException(s"no such table: $t"))
+    val ts = catalog.nextVersionTs()
+    val dir = catalog.newVersionDir(db, branch, t, ts)
+    df.write.parquet(dir.toString)
+    catalog.commitVersion(db, branch, t,
+      cur.copy(ts = ts, paths = cur.paths :+ dir.toString))
   }
 
   // --- PRAGMA (allowlist of read-only pragmas, pkg/auth/pragma_list.go) ----

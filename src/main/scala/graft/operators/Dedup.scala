@@ -192,15 +192,22 @@ object Dedup {
 
   /** SimHash near-dup pairs within `maxHamming` bits, found by exact-match
     * joins on 16-bit bands (any pair within hamming<=3 of a 64-bit hash must
-    * agree on at least one of 4 bands — pigeonhole). */
-  def simHashCandidates(signatures: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * agree on at least one of 4 bands — pigeonhole). `maxBucket` caps a
+    * degenerate band bucket (boilerplate-heavy corpora collapse many docs
+    * onto one 16-bit band value) so the self-join can't go quadratic under
+    * skew — same groupBy + semi-join guard as minHashDedup. */
+  def simHashCandidates(signatures: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val bands = 4
     val bandCols = (0 until bands).map(j =>
       struct(lit(j).as("band"),
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("bh")))
-    val buckets = signatures
+    val exploded = signatures
       .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val sized = exploded.groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, maxBucket))
+    val buckets = exploded.join(sized.select("band", "bh"), Seq("band", "bh"))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))

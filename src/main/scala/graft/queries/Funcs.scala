@@ -79,6 +79,9 @@ object Funcs {
         col("o_orderkey"),
         SqliteFunctions.strftime("%Y-%m-%d %H:%M:%S", col("o_orderdate")).as("odate_str"),
         SqliteFunctions.strftime("%Y-%m", col("o_orderdate")).as("omonth"),
+        SqliteFunctions.strftime("%w", col("o_orderdate")).as("wday"),
+        SqliteFunctions.strftime("%j", col("o_orderdate")).as("yday"),
+        SqliteFunctions.strftime("%H:%M:%f", col("o_orderdate")).as("tfrac"),
         year(col("o_orderdate")).cast("long").as("oyear"),
         month(col("o_orderdate")).cast("long").as("omonth_num"),
         dayofmonth(col("o_orderdate")).cast("long").as("oday"),
@@ -93,6 +96,9 @@ object Funcs {
     """SELECT o_orderkey,
       |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate_str,
       |  strftime(o_orderdate, '%Y-%m') AS omonth,
+      |  strftime(o_orderdate, '%w') AS wday,
+      |  strftime(o_orderdate, '%j') AS yday,
+      |  strftime(o_orderdate, '%H:%M:%S.%g') AS tfrac,
       |  EXTRACT(year FROM o_orderdate) AS oyear,
       |  EXTRACT(month FROM o_orderdate) AS omonth_num,
       |  EXTRACT(day FROM o_orderdate) AS oday,

@@ -124,6 +124,33 @@ object Temporal {
       |  FROM events GROUP BY 1, 2) x
       |ORDER BY event_type, bucket""".stripMargin
 
+  /** Scale-path metrics aggregation — the 100 TB default (SURVEY §2B B10).
+    * Same query shape as m01 but the per-bucket latency distribution is a
+    * percentile_approx sketch (mergeable, bounded memory) instead of
+    * collect_list (unbounded: a hot statement's bucket at production QPS
+    * would hold millions of latencies in one aggregation buffer). The exact
+    * m01 stays as the oracle-checked entry — the reference itself bounds
+    * its buckets to a 128-latency ring (pkg/logs/query_metric.go:17-29), so
+    * an approximation here matches its spirit. No SQL oracle: DuckDB's
+    * approx_quantile is a different sketch; QueriesSpec asserts
+    * approx-vs-exact agreement within tolerance instead. */
+  def m03QueryMetricsApprox(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value"), 6).as("lat_sum"),
+        min(col("value")).as("lat_min"),
+        max(col("value")).as("lat_max"),
+        percentile_approx(col("value"), lit(0.50), lit(10000)).as("lat_p50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("lat_p90"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("lat_p99"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        (col("lat_sum") / col("n")).as("lat_avg"),
+        col("lat_min"), col("lat_max"),
+        col("lat_p50"), col("lat_p90"), col("lat_p99"))
+      .orderBy(col("event_type"), col("bucket"))
+
   /** Per-minute query counts (B12, pkg/database/counter.go:17-60). */
   def m02QueryCounts(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -142,7 +169,8 @@ object Temporal {
     "s02_sliding_window" -> (s02Sliding _),
     "s03_session_window" -> (s03Session _),
     "m01_query_metrics" -> (m01QueryMetrics _),
-    "m02_query_counts" -> (m02QueryCounts _))
+    "m02_query_counts" -> (m02QueryCounts _),
+    "m03_query_metrics_approx" -> (m03QueryMetricsApprox _))
 
   val oracles: Map[String, String] = Map(
     "s01_tumbling_window" -> s01Oracle,

@@ -417,4 +417,69 @@ class EngineSpec extends AnyFunSuite {
     val sel = s.execute("db1", "main", q("SELECT count(*) AS n FROM t"))
     assert(sel.rows.head.head == SqlValue.IntVal(8))
   }
+
+  test("fts5 external-content vtable: persisted index, MATCH via SQL") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE docs (doc_id INTEGER, body TEXT)"))
+    s.execute("db1", "main", q(
+      "INSERT INTO docs VALUES (1, 'spark shuffles data'), " +
+        "(2, 'spark joins tables'), (3, 'duckdb is embedded')"))
+    val mk = s.execute("db1", "main", q(
+      "CREATE VIRTUAL TABLE docs_fts USING fts5(body, content='docs', content_rowid='doc_id')"))
+    assert(mk.error.isEmpty, mk.error)
+    // the index is stored as catalog tables, not rebuilt per query
+    assert(s.catalog.currentVersion("db1", "main", "__fts_docs_fts_postings").isDefined)
+    assert(s.catalog.currentVersion("db1", "main", "__fts_docs_fts_stats").isDefined)
+    val r = s.execute("db1", "main",
+      q("SELECT doc, score FROM docs_fts WHERE docs_fts MATCH 'spark' ORDER BY rank"))
+    assert(r.error.isEmpty, r.error)
+    assert(r.rows.map(_.head) == Seq(SqlValue.IntVal(1), SqlValue.IntVal(2)) ||
+      r.rows.map(_.head) == Seq(SqlValue.IntVal(2), SqlValue.IntVal(1)))
+  }
+
+  test("fts5 index updates incrementally after INSERT into the content table") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE docs (doc_id INTEGER, body TEXT)"))
+    s.execute("db1", "main", q("INSERT INTO docs VALUES (1, 'alpha beta')"))
+    s.execute("db1", "main", q(
+      "CREATE VIRTUAL TABLE dfts USING fts5(body, content='docs', content_rowid='doc_id')"))
+    val before = s.catalog.currentVersion("db1", "main", "__fts_dfts_postings").get
+    s.execute("db1", "main", q("INSERT INTO docs VALUES (2, 'beta gamma')"))
+    val after = s.catalog.currentVersion("db1", "main", "__fts_dfts_postings").get
+    // incremental: the postings file-set grew by one entry, no full rebuild
+    assert(after.paths.size == before.paths.size + 1)
+    val r = s.execute("db1", "main",
+      q("SELECT doc FROM dfts WHERE dfts MATCH 'gamma'"))
+    assert(r.rows.map(_.head) == Seq(SqlValue.IntVal(2)))
+    // stats folded: n = 2 docs
+    val st = s.execute("db1", "main", q("SELECT n FROM __fts_dfts_stats"))
+    assert(st.rows.head.head == SqlValue.RealVal(2.0))
+    // UPDATE rewrites the corpus -> index rebuilt, old term gone
+    s.execute("db1", "main", q("UPDATE docs SET body = 'delta' WHERE doc_id = 1"))
+    val gone = s.execute("db1", "main",
+      q("SELECT doc FROM dfts WHERE dfts MATCH 'alpha'"))
+    assert(gone.rows.isEmpty)
+    val found = s.execute("db1", "main",
+      q("SELECT doc FROM dfts WHERE dfts MATCH 'delta'"))
+    assert(found.rows.map(_.head) == Seq(SqlValue.IntVal(1)))
+  }
+
+  test("fts5 bare vtable: auto rowid, phrase and prefix queries, drop cascades") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE VIRTUAL TABLE notes USING fts5(body)"))
+    val ins = s.execute("db1", "main", q(
+      "INSERT INTO notes (body) VALUES ('merge join strategies'), " +
+        "('broadcast join wins'), ('window frames again')"))
+    assert(ins.error.isEmpty, ins.error)
+    val ids = s.execute("db1", "main", q("SELECT rowid FROM notes ORDER BY rowid"))
+    assert(ids.rows.map(_.head) == Seq(1L, 2L, 3L).map(SqlValue.IntVal))
+    val phrase = s.ftsSearch("db1", "main", "notes", "\"broadcast join\"")
+    assert(phrase.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val prefix = s.ftsSearch("db1", "main", "notes", "win*")
+    assert(prefix.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    s.execute("db1", "main", q("DROP TABLE notes"))
+    assert(s.catalog.ftsIndex("db1", "main", "notes").isEmpty)
+    assert(s.catalog.currentVersion("db1", "main", "__fts_notes_postings").isEmpty)
+    assert(s.catalog.currentVersion("db1", "main", "notes").isEmpty)
+  }
 }
