@@ -285,7 +285,8 @@ class Catalog(val root: Path) {
     * File-sets are shared by branch copies and backups, so reachability
     * is computed globally before anything is deleted. Returns the number
     * of directories removed. */
-  def vacuumVersions(db: String, branch: String, retain: Int): Int = synchronized {
+  def vacuumVersions(db: String, branch: String, retain: Int,
+      extraReachable: Set[String] = Set.empty): Int = synchronized {
     require(retain >= 1, "retain must be >= 1")
     val st = branchState(db, branch)
     st.tables.foreach { case (_, vs) =>
@@ -293,7 +294,8 @@ class Catalog(val root: Path) {
     }
     val referenced: Set[String] =
       branches.values.flatMap(_.tables.values.flatMap(_.flatMap(_.paths))).toSet ++
-        backups.values.flatMap(_.tables.values.flatMap(_.paths))
+        backups.values.flatMap(_.tables.values.flatMap(_.paths)) ++
+        extraReachable // open transactions' staged file-sets (engine-level)
     val rootAbs = root.toAbsolutePath.toString
     var deleted = 0
     // version dirs live at root/<db>/<branch>/<table>/v<ts>

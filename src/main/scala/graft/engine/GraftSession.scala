@@ -24,7 +24,8 @@ import org.apache.spark.sql.types._
   * version via an equivalent SELECT. Every write commits a new manifest
   * version, which is what powers snapshots/PITR in Catalog.
   */
-class GraftSession(val spark: SparkSession, rootDir: Path) {
+class GraftSession(val spark: SparkSession, rootDir: Path,
+    txnTimeoutMillis: Long = 5 * 60 * 1000) {
 
   val catalog = new Catalog(rootDir)
   val writeQueues = new WriteQueueManager
@@ -36,7 +37,32 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
       staged: mutable.Map[String, Catalog#TableVersion],
       baseTs: mutable.Map[String, Long],
       createdAt: Long = System.currentTimeMillis()) {
-    def expired: Boolean = System.currentTimeMillis() - createdAt > 5 * 60 * 1000
+    // the reference's transactions die on a 5-minute context deadline
+    // (pkg/database/transaction.go:55)
+    def expired: Boolean = System.currentTimeMillis() - createdAt > txnTimeoutMillis
+  }
+
+  /** Background reaper (the reference's context deadline, which fires even
+    * when nobody touches the transaction again): abandoned transactions
+    * disappear from the map, releasing their staged file-sets from the
+    * vacuum reachability set. Lazy expiry in txnFor stays as the fast
+    * path for a touch that races the sweep interval. */
+  private val reaper = {
+    val t = new Thread(() => {
+      while (true) {
+        Thread.sleep(math.max(1000L, txnTimeoutMillis / 4))
+        try sweepExpiredTransactions()
+        catch { case _: Throwable => () }
+      }
+    })
+    t.setDaemon(true); t.setName("graft-txn-reaper"); t.start(); t
+  }
+
+  /** Drop every expired transaction; returns how many were reaped. */
+  def sweepExpiredTransactions(): Int = synchronized {
+    val dead = transactions.values.filter(_.expired).map(_.id).toSeq
+    dead.foreach(transactions.remove)
+    dead.size
   }
 
   // --- SQLite type mapping (SURVEY §1.2) ---------------------------------
@@ -64,20 +90,28 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     id
   }
 
-  def commitTransaction(id: String): Unit = synchronized {
-    val txn = transactions.remove(id)
-      .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
-    // snapshot-isolation conflict check (reference error 11001,
-    // pkg/constants/error.go:8-32): the base version we staged from must
-    // still be current.
-    txn.staged.keys.foreach { t =>
-      val currentTs = catalog.currentVersion(txn.db, txn.branch, t).map(_.ts).getOrElse(-1L)
-      if (txn.baseTs(t) != currentTs)
-        throw new IllegalStateException("Litebase Error[11001]: snapshot isolation conflict")
+  def commitTransaction(id: String): Unit = {
+    val txn = synchronized {
+      transactions.remove(id)
+        .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
     }
-    txn.staged.foreach { case (t, v) =>
-      catalog.commitVersion(txn.db, txn.branch, t,
-        v.asInstanceOf[catalog.TableVersion])
+    // The conflict check + commit runs INSIDE the same per-branch write
+    // queue as direct writes: a direct write landing between the baseTs
+    // check and commitVersion would otherwise be silently overwritten
+    // (check-then-commit under a lock the direct path never took).
+    writeQueues(txn.db, txn.branch).run {
+      // snapshot-isolation conflict check (reference error 11001,
+      // pkg/constants/error.go:8-32): the base version we staged from must
+      // still be current.
+      txn.staged.keys.foreach { t =>
+        val currentTs = catalog.currentVersion(txn.db, txn.branch, t).map(_.ts).getOrElse(-1L)
+        if (txn.baseTs(t) != currentTs)
+          throw new IllegalStateException("Litebase Error[11001]: snapshot isolation conflict")
+      }
+      txn.staged.foreach { case (t, v) =>
+        catalog.commitVersion(txn.db, txn.branch, t,
+          v.asInstanceOf[catalog.TableVersion])
+      }
     }
     // staged writes were not indexed during the transaction: rebuild any
     // FTS index whose content table was touched, now that it is committed
@@ -87,6 +121,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
   def rollbackTransaction(id: String): Unit = synchronized {
     transactions.remove(id)
       .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
+  }
+
+  /** Version-retention GC, transaction-aware: open transactions' staged
+    * file-sets are part of the reachability set, so a concurrent vacuum
+    * can never delete data a transaction is about to commit (ADVICE r1). */
+  def vacuumVersions(db: String, branch: String, retain: Int): Int = {
+    val staged = synchronized {
+      transactions.values
+        .flatMap(_.staged.values.flatMap(_.paths)).toSet
+    }
+    catalog.vacuumVersions(db, branch, retain, staged)
   }
 
   /** Compaction (B15's Spark analog): INSERT appends one file-set entry
@@ -159,35 +204,58 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
 
   // --- reads ---------------------------------------------------------------
 
-  private val registeredViews = mutable.Set[String]()
+  /** Per-thread isolated Spark sessions (ADVICE r1, high): HttpApi serves
+    * requests on a thread pool against ONE GraftSession, and temp views
+    * used to be registered session-globally by bare table name — two
+    * concurrent queries on different databases/branches could clobber each
+    * other's views mid-query and read the wrong tenant's data. Each
+    * handler thread now gets its own `spark.newSession()` (same
+    * SparkContext/SharedState, private temp-view catalog + SQLConf), so
+    * view registration is isolated by construction. */
+  private val threadSession = new ThreadLocal[SparkSession] {
+    override def initialValue(): SparkSession = spark.newSession()
+  }
+  private def sess: SparkSession = threadSession.get()
 
-  /** Register current (or transaction-staged) table versions as temp views.
-    * Views for tables that no longer exist (DROP/RENAME) are unregistered,
-    * otherwise a stale view would keep serving the old data. */
+  /** What each thread session has registered: view name ->
+    * (db, branch, version ts). Registration is skipped when the committed
+    * version is unchanged — O(changed tables) Catalyst work per query
+    * instead of O(all tables). */
+  private val viewVersions = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, mutable.Map[String, (String, String, Long)]]()
+
+  /** Register current (or transaction-staged) table versions as temp views
+    * on the calling thread's session. Views for tables that no longer
+    * exist (DROP/RENAME) are unregistered, otherwise a stale view would
+    * keep serving the old data; unchanged versions are left as-is. */
   private def registerViews(db: String, branch: String, txn: Option[Txn]): Unit = {
+    val s = sess
+    val reg = viewVersions.computeIfAbsent(s, _ => mutable.Map())
     val live = catalog.tableNames(db, branch).toSet ++
       txn.map(_.staged.keySet.toSet).getOrElse(Set.empty)
-    synchronized {
-      (registeredViews -- live).foreach { v =>
-        spark.catalog.dropTempView(v); registeredViews -= v
-      }
-      registeredViews ++= live
+    (reg.keySet -- live).toSeq.foreach { v =>
+      s.catalog.dropTempView(v); reg -= v
     }
-    catalog.tableNames(db, branch).foreach { t =>
+    live.foreach { t =>
       val v = txn.flatMap(_.staged.get(t).map(_.asInstanceOf[catalog.TableVersion]))
         .orElse(catalog.currentVersion(db, branch, t))
-      v.foreach(ver => readVersion(ver).createOrReplaceTempView(t))
+      v.foreach { ver =>
+        val key = (db, branch, ver.ts)
+        if (!reg.get(t).contains(key)) {
+          readVersion(ver).createOrReplaceTempView(t)
+          reg(t) = key
+        }
+      }
     }
-    txn.foreach(_.staged.foreach { case (t, ver) =>
-      readVersion(ver.asInstanceOf[catalog.TableVersion]).createOrReplaceTempView(t)
-    })
   }
 
-  private def readVersion(v: Catalog#TableVersion): DataFrame =
+  private def readVersion(v: Catalog#TableVersion): DataFrame = {
+    val s = sess
     if (v.paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      s.createDataFrame(s.sparkContext.emptyRDD[Row],
         StructType.fromDDL(v.schemaDdl))
-    else spark.read.schema(StructType.fromDDL(v.schemaDdl)).parquet(v.paths: _*)
+    else s.read.schema(StructType.fromDDL(v.schemaDdl)).parquet(v.paths: _*)
+  }
 
   private def txnFor(input: QueryInput): Option[Txn] =
     if (input.transactionId.isEmpty) None
@@ -218,7 +286,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
             catalog.ftsIndex(db, branch, unquote(from)).isDefined =>
         val result = ftsSearch(db, branch, unquote(from), q.replace("''", "'"))
         result.createOrReplaceTempView("__fts_match")
-        val df = spark.sql(s"SELECT $cols FROM __fts_match " +
+        val df = sess.sql(s"SELECT $cols FROM __fts_match " +
           s"${Option(orderBy).getOrElse("")} ${Option(limitPart).getOrElse("")}")
         collectResponse(df, input)
       case _ =>
@@ -226,10 +294,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
         // plan cache (B4): parse once per (sql, key) — Spark still analyzes
         // per execution because view state may have changed.
         planCache.get(input.statement, "root")(
-          spark.sessionState.sqlParser.parsePlan(input.statement))
+          sess.sessionState.sqlParser.parsePlan(input.statement))
         val df =
-          if (input.parameters.isEmpty) spark.sql(input.statement)
-          else spark.sql(input.statement, input.parameters.map(paramToJvm).toArray)
+          if (input.parameters.isEmpty) sess.sql(input.statement)
+          else sess.sql(input.statement, input.parameters.map(paramToJvm).toArray)
         collectResponse(df, input)
     }
   }
@@ -449,7 +517,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     case None => (Nil, Nil)
     case Some(cols) =>
       df.createOrReplaceTempView("__graft_returning")
-      val r = spark.sql(s"SELECT $cols FROM __graft_returning")
+      val r = sess.sql(s"SELECT $cols FROM __graft_returning")
       val collected = r.collect()
       (r.columns.toSeq, collected.toSeq.map(row =>
         (0 until row.length).map(i => SqlValue.fromAny(row.get(i)))))
@@ -464,7 +532,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
       .getOrElse(schema.fieldNames.toSeq)
     // evaluate the VALUES tuples through Spark SQL so any expression works
     val tuples = s"VALUES ${valuesPart}"
-    val valuesDf = spark.sql(
+    val valuesDf = sess.sql(
       s"SELECT * FROM ($tuples) AS v(${colNames.mkString(", ")})")
     val aligned = alignToSchema(valuesDf, colNames, schema)
     appendRows(db, branch, table, cur, aligned, input, txn, ret)
@@ -476,7 +544,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     registerViews(db, branch, txn)
-    val df = spark.sql(sel)
+    val df = sess.sql(sel)
     val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
       .getOrElse(schema.fieldNames.toSeq)
     appendRows(db, branch, table, cur,
@@ -518,10 +586,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     commitOrStage(db, branch, table, v, txn)
     // index maintenance: incremental append over just the new rows;
     // transaction-staged writes are indexed at commit instead
-    if (txn.isEmpty) ftsOnAppend(db, branch, table, spark.read.parquet(dir.toString))
+    if (txn.isEmpty) ftsOnAppend(db, branch, table, sess.read.parquet(dir.toString))
     // RETURNING reads the just-written file, not the input plan (cheap,
     // and exactly the rows that landed)
-    val (rcols, rrows) = returningRows(spark.read.parquet(dir.toString), ret)
+    val (rcols, rrows) = returningRows(sess.read.parquet(dir.toString), ret)
     QueryResponse(input.id, rcols, rrows, changes = n,
       lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
   }
@@ -544,9 +612,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
         case None => s"`$f`"
       }
     }
-    val changes = spark.sql(
+    val changes = sess.sql(
       s"SELECT COUNT(*) FROM __graft_target WHERE ($cond)").head().getLong(0)
-    val rewritten = spark.sql(
+    val rewritten = sess.sql(
       s"SELECT ${proj.mkString(", ")} FROM __graft_target")
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
@@ -556,7 +624,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
         cur.schemaDdl), txn)
     if (txn.isEmpty) ftsOnRewrite(db, branch, table)
     // RETURNING sees the post-update values of the matched rows
-    val (rcols, rrows) = returningRows(spark.sql(
+    val (rcols, rrows) = returningRows(sess.sql(
       s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)"), ret)
     QueryResponse(input.id, rcols, rrows, changes = changes,
       transactionId = input.transactionId)
@@ -587,7 +655,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     }.mkString(", ")
     // the target is visible under its own name (SQLite lets the WHERE say
     // `acct.id = a.id`), the FROM sources under their aliases
-    val matches = spark.sql(
+    val matches = sess.sql(
       s"""SELECT * FROM (
          |  SELECT `$table`.__rid AS __mrid, $setSelect,
          |    ROW_NUMBER() OVER (PARTITION BY `$table`.__rid ORDER BY `$table`.__rid) AS __rn
@@ -599,7 +667,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
         s"CASE WHEN m.__mrid IS NOT NULL THEN m.`__set_$f` ELSE t.`$f` END AS `$f`"
       else s"t.`$f`"
     }
-    val rewritten = spark.sql(
+    val rewritten = sess.sql(
       s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
          |LEFT JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)
     val ts = catalog.nextVersionTs()
@@ -609,7 +677,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
       catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount, cur.maxRowId,
         cur.schemaDdl), txn)
     if (txn.isEmpty) ftsOnRewrite(db, branch, table)
-    val (rcols, rrows) = returningRows(spark.sql(
+    val (rcols, rrows) = returningRows(sess.sql(
       s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
          |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin), ret)
     QueryResponse(input.id, rcols, rrows, changes = changes,
@@ -623,9 +691,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
     registerViews(db, branch, txn) // WHERE may contain subqueries on other tables
     readVersion(cur).createOrReplaceTempView("__graft_target")
     val cond = wherePart.getOrElse("TRUE")
-    val changes = spark.sql(
+    val changes = sess.sql(
       s"SELECT COUNT(*) FROM __graft_target WHERE ($cond)").head().getLong(0)
-    val remaining = spark.sql(
+    val remaining = sess.sql(
       s"SELECT * FROM __graft_target WHERE NOT COALESCE(($cond), FALSE)")
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
@@ -635,7 +703,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path) {
         cur.maxRowId, cur.schemaDdl), txn)
     if (txn.isEmpty) ftsOnRewrite(db, branch, table)
     // RETURNING sees the deleted rows' (old) values
-    val (rcols, rrows) = returningRows(spark.sql(
+    val (rcols, rrows) = returningRows(sess.sql(
       s"SELECT * FROM __graft_target WHERE COALESCE(($cond), FALSE)"), ret)
     QueryResponse(input.id, rcols, rrows, changes = changes,
       transactionId = input.transactionId)
