@@ -12,33 +12,44 @@ import graft.engine._
   * the JDK's built-in HttpServer, so the library carries no extra
   * dependencies:
   *
-  *   POST /v1/databases                                  create database
-  *   POST /v1/databases/{db}/branches                    create branch
-  *   POST /v1/databases/{db}/{branch}/query              JSON query batch
-  *   POST /v1/databases/{db}/{branch}/query/stream       binary frames (B8)
-  *   POST /v1/databases/{db}/{branch}/transactions       begin txn (B5)
-  *   POST /v1/databases/{db}/{branch}/transactions/{id}/commit
-  *   POST /v1/databases/{db}/{branch}/transactions/{id}/rollback
-  *   GET  /v1/databases/{db}/{branch}/logs/query[?step=N] metrics (B10)
+  *   GET/POST        /v1/access-keys                       key CRUD
+  *   GET/PUT/DELETE  /v1/access-keys/{id}
+  *   GET/POST        /v1/databases                         list / create
+  *   GET/DELETE      /v1/databases/{db}                    show / destroy
+  *   GET/POST        /v1/databases/{db}/branches           list / create
+  *   GET/DELETE      /v1/databases/{db}/{branch}           branch show / destroy
+  *   POST            /v1/databases/{db}/{branch}/query     JSON query batch
+  *   POST            /v1/databases/{db}/{branch}/query/stream   binary frames (B8)
+  *   POST/DELETE     /v1/databases/{db}/{branch}/transactions[/{id}]
+  *   POST            .../transactions/{id}/commit|rollback
+  *   GET/POST        /v1/databases/{db}/{branch}/backups   list / create
+  *   GET/DELETE      /v1/databases/{db}/{branch}/backups/{id}
+  *   POST            .../backups/{id}/restore
+  *   POST            /v1/databases/{db}/{branch}/restore   PITR {timestamp}
+  *   GET             /v1/databases/{db}/{branch}/snapshots[/{timestamp}]
+  *   GET             /v1/databases/{db}/{branch}/logs/query[?step=N]
+  *   GET             /v1/health, /v1/status;  POST /v1/events
   *
-  * JSON request/response shapes follow pkg/http/query_controller.go and
-  * pkg/database/query_response.go: requests carry
-  * `{queries: [{id, statement, parameters: [{type, value}], transaction_id}]}`,
-  * responses `{status: "success"|"error", data: [...]}`. Access keys are
-  * passed via the X-Access-Key-Id header and resolved against `accessKeys`
-  * (unknown id → 401, absent header → root, mirroring the engine default).
+  * Authentication mirrors the reference: an `Authorization` header carries
+  * the base64 HMAC token (pkg/auth/request_signer.go — validated against
+  * the stored key secret over method/path/signed-headers/query/body), and
+  * keys themselves are policy-statement documents checked per privilege
+  * (pkg/auth/authorized.go). `X-Access-Key-Id` resolves a key WITHOUT a
+  * signature — a dev convenience. Anonymous root access requires the
+  * explicit `anonymousRoot` opt-in; by default an unauthenticated request
+  * is 401.
   */
-class HttpApi(session: GraftSession,
-    accessKeys: Map[String, AccessKey] = Map.empty) {
+class HttpApi(session: GraftSession, anonymousRoot: Boolean = false) {
 
   private val mapper = new ObjectMapper()
+  private val startedAt = System.currentTimeMillis()
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
 
   /** Start on 127.0.0.1:`port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/v1/databases", (ex: HttpExchange) => handleSafe(ex))
+    server.createContext("/v1", (ex: HttpExchange) => handleSafe(ex))
     // daemon threads so an un-stopped server never pins the JVM
     pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val t = new Thread(r); t.setDaemon(true); t
@@ -56,73 +67,279 @@ class HttpApi(session: GraftSession,
   private def handleSafe(ex: HttpExchange): Unit =
     try handle(ex)
     catch {
+      case e: DeniedException => reply(ex, 403, errorJson(e.getMessage))
       case e: Throwable =>
         reply(ex, 500, errorJson(Option(e.getMessage).getOrElse("internal error")))
     } finally ex.close()
 
-  private def handle(ex: HttpExchange): Unit = {
-    val segs = ex.getRequestURI.getPath.stripPrefix("/v1/databases")
-      .split("/").filter(_.nonEmpty).toList
-    val method = ex.getRequestMethod
-    keyFor(ex) match {
-      case None => reply(ex, 401, errorJson("unknown access key"))
-      case Some(key) => (method, segs) match {
-        case ("POST", Nil) =>
-          val name = mapper.readTree(ex.getRequestBody).path("name").asText("")
-          if (name.isEmpty) reply(ex, 400, errorJson("name required"))
-          else { session.createDatabase(name); reply(ex, 201, okJson("null")) }
-        case ("GET", Nil) =>
-          reply(ex, 200, okJson(session.catalog.listDatabases()
-            .map(n => s"""{"name":${jstr(n)}}""").mkString("[", ",", "]")))
-        case ("GET", db :: "branches" :: Nil) =>
-          reply(ex, 200, okJson(session.catalog.listBranches(db)
-            .map(b => s"""{"name":${jstr(b)}}""").mkString("[", ",", "]")))
-        case ("DELETE", db :: "branches" :: name :: Nil) =>
-          session.catalog.dropBranch(db, name); reply(ex, 200, okJson("null"))
-        case ("POST", db :: "branches" :: Nil) =>
-          val body = mapper.readTree(ex.getRequestBody)
-          session.createBranch(db, body.path("parent").asText("main"),
-            body.path("name").asText())
-          reply(ex, 201, okJson("null"))
-        case ("POST", db :: branch :: "query" :: Nil) =>
-          queryBatch(ex, db, branch, key)
-        case ("POST", db :: branch :: "query" :: "stream" :: Nil) =>
-          // B8: binary frames; serve reads the request stream until Close.
-          ex.sendResponseHeaders(200, 0)
-          QueryStream.serve(ex.getRequestBody, ex.getResponseBody,
-            q => session.execute(db, branch, q, key))
-        case ("POST", db :: branch :: "transactions" :: Nil) =>
-          val id = session.beginTransaction(db, branch)
-          reply(ex, 201, okJson(s"""{"transaction_id":${jstr(id)}}"""))
-        case ("POST", _ :: _ :: "transactions" :: id :: "commit" :: Nil) =>
-          session.commitTransaction(id); reply(ex, 200, okJson("null"))
-        case ("POST", _ :: _ :: "transactions" :: id :: "rollback" :: Nil) =>
-          session.rollbackTransaction(id); reply(ex, 200, okJson("null"))
-        case ("POST", db :: branch :: "backups" :: Nil) =>
-          val id = session.catalog.createBackup(db, branch)
-          reply(ex, 201, okJson(s"""{"backup_id":${jstr(id)}}"""))
-        case ("GET", db :: branch :: "backups" :: Nil) =>
-          val items = session.catalog.listBackups(db, branch).map(b =>
-            s"""{"backup_id":${jstr(b.id)},"created_at":${b.createdAt}}""")
-          reply(ex, 200, okJson(items.mkString("[", ",", "]")))
-        case ("POST", _ :: _ :: "backups" :: id :: "restore" :: Nil) =>
-          session.catalog.restoreBackup(id); reply(ex, 200, okJson("null"))
-        case ("GET", _ :: _ :: "logs" :: "query" :: Nil) =>
-          metricsJson(ex)
-        case _ => reply(ex, 404, errorJson("not found"))
+  // --- authentication ------------------------------------------------------
+
+  private def headerMap(ex: HttpExchange): Map[String, String] =
+    RequestAuth.SignedHeaderNames.flatMap { h =>
+      Option(ex.getRequestHeaders.getFirst(h)).map(h -> _)
+    }.toMap
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq.flatMap { p =>
+      p.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case Array(k) => Some(k -> "")
+        case _ => None
       }
+    }.toMap).getOrElse(Map.empty)
+
+  /** Resolve the caller's key: HMAC token > bare key id > opt-in root. */
+  private def keyFor(ex: HttpExchange, body: Array[Byte]): Option[AccessKey] = {
+    val auth = ex.getRequestHeaders.getFirst("Authorization")
+    if (auth != null && auth.nonEmpty) {
+      val token = RequestAuth.captureToken(auth)
+      if (!token.valid) None
+      else session.accessKeys.get(token.accessKeyId).filter { k =>
+        RequestAuth.validate(token, k.secret, ex.getRequestMethod,
+          ex.getRequestURI.getPath, headerMap(ex), body, queryParams(ex))
+      }
+    } else Option(ex.getRequestHeaders.getFirst("X-Access-Key-Id")) match {
+      case Some(id) if id.nonEmpty => session.accessKeys.get(id)
+      case _ => if (anonymousRoot) Some(AccessKey.root) else None
     }
   }
 
-  private def keyFor(ex: HttpExchange): Option[AccessKey] =
-    Option(ex.getRequestHeaders.getFirst("X-Access-Key-Id")) match {
-      case None | Some("") => Some(AccessKey.root)
-      case Some(id) => accessKeys.get(id)
+  private def demandDb(key: AccessKey, db: String, action: String): Unit =
+    if (!Authorizer.canOnDatabase(key, db, action))
+      throw new DeniedException(s"access key lacks $action")
+
+  private def demandBranch(key: AccessKey, db: String, branch: String,
+      action: String): Unit =
+    if (!Authorizer.canOnBranch(key, db, branch, action))
+      throw new DeniedException(s"access key lacks $action")
+
+  // --- routing -------------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    val segs = ex.getRequestURI.getPath.stripPrefix("/v1")
+      .split("/").filter(_.nonEmpty).toList
+    val method = ex.getRequestMethod
+    val streaming = segs.takeRight(2) == List("query", "stream")
+    // the stream endpoint must not have its body consumed for auth; the
+    // reference signs streaming requests over an empty body hash
+    // (request_signature_validator.go:27-31 reads the body only when
+    // Content-Length is present)
+    val body: Array[Byte] =
+      if (streaming || method == "GET" || method == "DELETE") Array.emptyByteArray
+      else ex.getRequestBody.readAllBytes()
+
+    (method, segs) match {
+      // unauthenticated ops endpoints (reference marks them Internal)
+      case ("GET", "health" :: Nil) =>
+        return reply(ex, 200, okJson("\"ok\""))
+      case ("GET", "status" :: Nil) =>
+        return reply(ex, 200, okJson(
+          s"""{"uptime_ms":${System.currentTimeMillis() - startedAt},""" +
+            s""""databases":${session.catalog.listDatabases().size}}"""))
+      case _ => ()
     }
 
+    keyFor(ex, body) match {
+      case None => reply(ex, 401, errorJson("unauthorized"))
+      case Some(key) => route(ex, method, segs, body, key)
+    }
+  }
+
+  private def route(ex: HttpExchange, method: String, segs: List[String],
+      body: Array[Byte], key: AccessKey): Unit = (method, segs) match {
+
+    // --- events (single-node: accepted, nothing to propagate) -------------
+    case ("POST", "events" :: Nil) =>
+      reply(ex, 200, okJson("null"))
+
+    // --- access keys -------------------------------------------------------
+    case ("GET", "access-keys" :: Nil) =>
+      demandDb(key, "*", "access-key:list")
+      reply(ex, 200, okJson(session.accessKeys.list()
+        .map(keyJson(_, withSecret = false)).mkString("[", ",", "]")))
+    case ("POST", "access-keys" :: Nil) =>
+      demandDb(key, "*", "access-key:create")
+      val n = mapper.readTree(body)
+      val created = session.accessKeys.create(
+        n.path("description").asText(""), parseStatements(n.path("statements")))
+      // the secret is returned ONCE, on creation (reference behavior)
+      reply(ex, 201, okJson(keyJson(created, withSecret = true)))
+    case ("GET", "access-keys" :: id :: Nil) =>
+      demandDb(key, "*", "access-key:list")
+      session.accessKeys.get(id) match {
+        case Some(k) => reply(ex, 200, okJson(keyJson(k, withSecret = false)))
+        case None => reply(ex, 404, errorJson("not found"))
+      }
+    case ("PUT", "access-keys" :: id :: Nil) =>
+      demandDb(key, "*", "access-key:update")
+      val n = mapper.readTree(body)
+      session.accessKeys.update(id,
+        Option(n.path("description").asText(null)),
+        if (n.has("statements")) Some(parseStatements(n.path("statements"))) else None)
+      match {
+        case Some(k) => reply(ex, 200, okJson(keyJson(k, withSecret = false)))
+        case None => reply(ex, 404, errorJson("not found"))
+      }
+    case ("DELETE", "access-keys" :: id :: Nil) =>
+      demandDb(key, "*", "access-key:delete")
+      if (session.accessKeys.delete(id)) reply(ex, 200, okJson("null"))
+      else reply(ex, 404, errorJson("not found"))
+
+    // --- databases ---------------------------------------------------------
+    case ("POST", "databases" :: Nil) =>
+      val name = mapper.readTree(body).path("name").asText("")
+      if (name.isEmpty) reply(ex, 400, errorJson("name required"))
+      else {
+        demandDb(key, name, "database:create")
+        session.createDatabase(name); reply(ex, 201, okJson("null"))
+      }
+    case ("GET", "databases" :: Nil) =>
+      demandDb(key, "*", "database:list")
+      reply(ex, 200, okJson(session.catalog.listDatabases()
+        .map(n => s"""{"name":${jstr(n)}}""").mkString("[", ",", "]")))
+    case ("GET", "databases" :: db :: Nil) =>
+      demandDb(key, db, "database:show")
+      session.catalog.databaseCreatedAt(db) match {
+        case Some(ts) =>
+          val brs = session.catalog.listBranches(db)
+          reply(ex, 200, okJson(s"""{"name":${jstr(db)},"created_at":$ts,""" +
+            s""""branches":${brs.map(jstr).mkString("[", ",", "]")}}"""))
+        case None => reply(ex, 404, errorJson("not found"))
+      }
+    case ("DELETE", "databases" :: db :: Nil) =>
+      demandDb(key, db, "database:manage")
+      session.catalog.dropDatabase(db); reply(ex, 200, okJson("null"))
+
+    // --- branches ----------------------------------------------------------
+    case ("GET", "databases" :: db :: "branches" :: Nil) =>
+      demandDb(key, db, "database:branch:list")
+      reply(ex, 200, okJson(session.catalog.listBranches(db)
+        .map(b => s"""{"name":${jstr(b)}}""").mkString("[", ",", "]")))
+    case ("POST", "databases" :: db :: "branches" :: Nil) =>
+      demandDb(key, db, "database:branch:create")
+      val b = mapper.readTree(body)
+      session.createBranch(db, b.path("parent").asText("main"), b.path("name").asText())
+      reply(ex, 201, okJson("null"))
+    case ("DELETE", "databases" :: db :: "branches" :: name :: Nil) =>
+      demandBranch(key, db, name, "database:branch:manage")
+      session.catalog.dropBranch(db, name); reply(ex, 200, okJson("null"))
+    case ("GET", "databases" :: db :: branch :: Nil) =>
+      demandBranch(key, db, branch, "database:branch:show")
+      val tables = session.catalog.tableNames(db, branch)
+      reply(ex, 200, okJson(s"""{"name":${jstr(branch)},""" +
+        s""""tables":${tables.map(jstr).mkString("[", ",", "]")}}"""))
+    case ("DELETE", "databases" :: db :: branch :: Nil) =>
+      demandBranch(key, db, branch, "database:branch:manage")
+      session.catalog.dropBranch(db, branch); reply(ex, 200, okJson("null"))
+
+    // --- queries -----------------------------------------------------------
+    case ("POST", "databases" :: db :: branch :: "query" :: Nil) =>
+      queryBatch(ex, db, branch, body, key)
+    case ("POST", "databases" :: db :: branch :: "query" :: "stream" :: Nil) =>
+      // B8: binary frames; serve reads the request stream until Close.
+      ex.sendResponseHeaders(200, 0)
+      QueryStream.serve(ex.getRequestBody, ex.getResponseBody,
+        q => session.execute(db, branch, q, key))
+
+    // --- transactions ------------------------------------------------------
+    case ("POST", "databases" :: db :: branch :: "transactions" :: Nil) =>
+      demandBranch(key, db, branch, "database:transaction")
+      val id = session.beginTransaction(db, branch)
+      reply(ex, 201, okJson(s"""{"transaction_id":${jstr(id)}}"""))
+    case ("POST", _ :: db :: branch :: "transactions" :: id :: "commit" :: Nil) =>
+      demandBranch(key, db, branch, "database:transaction")
+      session.commitTransaction(id); reply(ex, 200, okJson("null"))
+    case ("POST", _ :: db :: branch :: "transactions" :: id :: "rollback" :: Nil) =>
+      demandBranch(key, db, branch, "database:transaction")
+      session.rollbackTransaction(id); reply(ex, 200, okJson("null"))
+    case ("DELETE", _ :: db :: branch :: "transactions" :: id :: Nil) =>
+      // reference TransactionControllerDestroy (routes.go:291): rollback alias
+      demandBranch(key, db, branch, "database:transaction")
+      session.rollbackTransaction(id); reply(ex, 200, okJson("null"))
+
+    // --- backups -----------------------------------------------------------
+    case ("POST", "databases" :: db :: branch :: "backups" :: Nil) =>
+      demandBranch(key, db, branch, "database:backup")
+      val id = session.catalog.createBackup(db, branch)
+      reply(ex, 201, okJson(s"""{"backup_id":${jstr(id)}}"""))
+    case ("GET", "databases" :: db :: branch :: "backups" :: Nil) =>
+      demandBranch(key, db, branch, "database:backup")
+      val items = session.catalog.listBackups(db, branch).map(backupJson)
+      reply(ex, 200, okJson(items.mkString("[", ",", "]")))
+    case ("GET", "databases" :: db :: branch :: "backups" :: id :: Nil) =>
+      demandBranch(key, db, branch, "database:backup")
+      session.catalog.listBackups(db, branch).find(_.id == id) match {
+        case Some(b) => reply(ex, 200, okJson(backupJson(b)))
+        case None => reply(ex, 404, errorJson("not found"))
+      }
+    case ("DELETE", "databases" :: db :: branch :: "backups" :: id :: Nil) =>
+      demandBranch(key, db, branch, "database:backup")
+      if (session.catalog.deleteBackup(id)) reply(ex, 200, okJson("null"))
+      else reply(ex, 404, errorJson("not found"))
+    case ("POST", _ :: db :: branch :: "backups" :: id :: "restore" :: Nil) =>
+      demandBranch(key, db, branch, "database:restore")
+      session.catalog.restoreBackup(id); reply(ex, 200, okJson("null"))
+
+    // --- PITR + snapshots --------------------------------------------------
+    case ("POST", "databases" :: db :: branch :: "restore" :: Nil) =>
+      demandBranch(key, db, branch, "database:restore")
+      val ts = mapper.readTree(body).path("timestamp").asLong(-1L)
+      if (ts < 0) reply(ex, 400, errorJson("timestamp required"))
+      else { session.catalog.restoreAsOf(db, branch, ts); reply(ex, 200, okJson("null")) }
+    case ("GET", "databases" :: db :: branch :: "snapshots" :: Nil) =>
+      demandBranch(key, db, branch, "database:branch:show")
+      val items = snapshotTimestamps(db, branch).map(ts => s"""{"timestamp":$ts}""")
+      reply(ex, 200, okJson(items.mkString("[", ",", "]")))
+    case ("GET", "databases" :: db :: branch :: "snapshots" :: tsStr :: Nil) =>
+      demandBranch(key, db, branch, "database:branch:show")
+      val ts = tsStr.toLong
+      val tables = session.catalog.tableNames(db, branch).flatMap { t =>
+        session.catalog.versionHistory(db, branch, t)
+          .filter(_.ts <= ts).lastOption.map(v =>
+            s"""{"table":${jstr(t)},"version":${v.ts},"row_count":${v.rowCount}}""")
+      }
+      reply(ex, 200, okJson(s"""{"timestamp":$ts,""" +
+        s""""tables":${tables.mkString("[", ",", "]")}}"""))
+
+    // --- metrics -----------------------------------------------------------
+    case ("GET", "databases" :: _ :: _ :: "logs" :: "query" :: Nil) =>
+      metricsJson(ex)
+
+    case _ => reply(ex, 404, errorJson("not found"))
+  }
+
+  /** Distinct committed version timestamps (newest first) — the branch's
+    * restore points. */
+  private def snapshotTimestamps(db: String, branch: String): Seq[Long] =
+    session.catalog.tableNames(db, branch)
+      .flatMap(t => session.catalog.versionHistory(db, branch, t).map(_.ts))
+      .distinct.sorted(Ordering[Long].reverse)
+
+  private def backupJson(b: Catalog#Backup): String =
+    s"""{"backup_id":${jstr(b.id)},"created_at":${b.createdAt}}"""
+
+  private def parseStatements(n: JsonNode): Seq[AccessKeyStatement] =
+    if (!n.isArray) Nil
+    else n.elements().asScala.map { sn =>
+      AccessKeyStatement(sn.path("effect").asText("allow"),
+        sn.path("resource").asText("*"),
+        sn.path("actions").elements().asScala.map(_.asText()).toSeq)
+    }.toSeq
+
+  private def keyJson(k: AccessKey, withSecret: Boolean): String = {
+    val sts = k.statements.map { st =>
+      s"""{"effect":${jstr(st.effect)},"resource":${jstr(st.resource)},""" +
+        s""""actions":${st.actions.map(jstr).mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
+    s"""{"access_key_id":${jstr(k.id)}""" +
+      (if (withSecret) s""","access_key_secret":${jstr(k.secret)}""" else "") +
+      s""","description":${jstr(k.description)},"created_at":${k.createdAt},""" +
+      s""""updated_at":${k.updatedAt},"statements":$sts}"""
+  }
+
   private def queryBatch(ex: HttpExchange, db: String, branch: String,
-      key: AccessKey): Unit = {
-    val root = mapper.readTree(ex.getRequestBody)
+      body: Array[Byte], key: AccessKey): Unit = {
+    val root = mapper.readTree(body)
     val queries = root.path("queries")
     if (!queries.isArray)
       return reply(ex, 400, errorJson("queries array required"))
@@ -156,10 +373,7 @@ class HttpApi(session: GraftSession,
   }
 
   private def metricsJson(ex: HttpExchange): Unit = {
-    val step = Option(ex.getRequestURI.getQuery).flatMap(
-      _.split("&").collectFirst {
-        case s if s.startsWith("step=") => s.stripPrefix("step=").toLong
-      }).getOrElse(1L)
+    val step = queryParams(ex).get("step").map(_.toLong).getOrElse(1L)
     val ms = session.metrics.combineByStep(session.metrics.flush(), step)
     val items = ms.map { m =>
       val stmt = session.metrics.statementFor(m.checksum).getOrElse("")

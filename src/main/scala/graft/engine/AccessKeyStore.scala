@@ -1,0 +1,103 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Persisted access-key CRUD (reference pkg/auth/access_key_manager.go:
+  * keys live in object storage under access_keys/<id> and are served from
+  * an in-memory cache). Here: one JSON manifest under the catalog root,
+  * rewritten atomically on every mutation — tiny, like the catalog
+  * manifest, and it survives process restarts. */
+class AccessKeyStore(root: Path) {
+
+  private val keys = mutable.LinkedHashMap[String, AccessKey]()
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  Files.createDirectories(root)
+  load()
+
+  private def path = root.resolve("_access_keys.json")
+
+  private def persist(): Unit = synchronized {
+    val rootNode = om.createArrayNode()
+    keys.values.foreach { k =>
+      val n = rootNode.addObject()
+      n.put("access_key_id", k.id)
+      n.put("access_key_secret", k.secret)
+      n.put("description", k.description)
+      n.put("created_at", k.createdAt)
+      n.put("updated_at", k.updatedAt)
+      val sts = n.putArray("statements")
+      k.statements.foreach { st =>
+        val sn = sts.addObject()
+        sn.put("effect", st.effect)
+        sn.put("resource", st.resource)
+        val as = sn.putArray("actions"); st.actions.foreach(as.add)
+      }
+    }
+    val tmp = root.resolve("_access_keys.json.tmp")
+    Files.write(tmp, om.writeValueAsBytes(rootNode))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def load(): Unit = {
+    if (!Files.exists(path)) return
+    om.readTree(Files.readAllBytes(path)).elements().asScala.foreach { n =>
+      val statements = n.path("statements").elements().asScala.map { sn =>
+        AccessKeyStatement(sn.path("effect").asText(),
+          sn.path("resource").asText(),
+          sn.path("actions").elements().asScala.map(_.asText()).toSeq)
+      }.toSeq
+      val k = AccessKey(n.path("access_key_id").asText(),
+        n.path("access_key_secret").asText(), n.path("description").asText(),
+        statements, n.path("created_at").asLong(), n.path("updated_at").asLong())
+      keys(k.id) = k
+    }
+  }
+
+  /** Create a key with a generated id/secret (reference
+    * access_key_manager.go Create: random id + secret). */
+  def create(description: String, statements: Seq[AccessKeyStatement]): AccessKey =
+    synchronized {
+      val now = System.currentTimeMillis()
+      val k = AccessKey(
+        "lbdbak_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16),
+        java.util.UUID.randomUUID().toString.replace("-", "") +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        description, statements, now, now)
+      keys(k.id) = k
+      persist()
+      k
+    }
+
+  /** Insert a caller-constructed key (tests, bootstrap). */
+  def put(k: AccessKey): AccessKey = synchronized {
+    keys(k.id) = k; persist(); k
+  }
+
+  def get(id: String): Option[AccessKey] = synchronized(keys.get(id))
+
+  def list(): Seq[AccessKey] = synchronized(keys.values.toSeq)
+
+  def update(id: String, description: Option[String],
+      statements: Option[Seq[AccessKeyStatement]]): Option[AccessKey] =
+    synchronized {
+      keys.get(id).map { k =>
+        val nk = k.copy(
+          description = description.getOrElse(k.description),
+          statements = statements.getOrElse(k.statements),
+          updatedAt = System.currentTimeMillis())
+        keys(id) = nk
+        persist()
+        nk
+      }
+    }
+
+  def delete(id: String): Boolean = synchronized {
+    val existed = keys.remove(id).isDefined
+    if (existed) persist()
+    existed
+  }
+}

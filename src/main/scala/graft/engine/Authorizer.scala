@@ -4,42 +4,94 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** SQL authorizer (B9): per-statement access-key checks.
+/** Access-key authorization (B9 + reference pkg/auth).
   *
-  * The reference hooks SQLite's authorizer callback and checks 25 action
-  * codes against the access key's privileges
-  * (pkg/database/database_connection.go:608-690; privilege names
-  * pkg/auth/database_privileges.go:4-45). We get a better seam: the parsed
-  * Catalyst plan. The statement kind decides the required verb privilege;
-  * for reads we additionally walk the plan for every referenced relation
-  * and check table-granular read access.
+  * The reference's model (pkg/auth/access_key_statements.go:7-36): an
+  * access key carries policy STATEMENTS — (effect allow|deny, resource
+  * pattern, actions) — evaluated most-specific-first with deny precedence
+  * and default deny (pkg/auth/authorized.go:30-77). Resources form a
+  * hierarchy: `*`, `database:<db>`, `database:<db>:branch:<br>`,
+  * `database:<db>:branch:<br>:table:<t>`, with trailing-`*` prefix
+  * patterns at every level. Actions are the database privileges of
+  * pkg/auth/database_privileges.go.
   */
-case class AccessKey(id: String, privileges: Set[String],
-    tableAllow: Set[String] = Set("*")) {
-  def can(priv: String): Boolean =
-    privileges.contains("*") || privileges.contains(priv)
-  def canReadTable(t: String): Boolean =
-    tableAllow.contains("*") || tableAllow.contains(t.toLowerCase)
-}
+case class AccessKeyStatement(effect: String, resource: String, actions: Seq[String])
+
+case class AccessKey(id: String, secret: String = "",
+    description: String = "", statements: Seq[AccessKeyStatement] = Nil,
+    createdAt: Long = 0L, updatedAt: Long = 0L)
 
 object AccessKey {
   /** Root key: everything allowed. */
-  val root: AccessKey = AccessKey("root", Set("*"))
+  val root: AccessKey =
+    AccessKey("root", statements = Seq(AccessKeyStatement("allow", "*", Seq("*"))))
+
+  /** Convenience: a key allowing the given actions on every resource. */
+  def allowing(id: String, actions: Seq[String], resource: String = "*",
+      secret: String = ""): AccessKey =
+    AccessKey(id, secret = secret,
+      statements = Seq(AccessKeyStatement("allow", resource, actions)))
 }
 
 class DeniedException(msg: String) extends RuntimeException(msg)
 
 object Authorizer {
 
-  /** Privilege demanded by a statement kind (subset of
+  /** Resource pattern match (reference authorized.go:9-27): universal `*`,
+    * exact, or trailing-`*` prefix. */
+  def resourceMatches(pattern: String, resource: String): Boolean =
+    pattern == "*" || pattern == resource ||
+      (pattern.endsWith("*") && resource.startsWith(pattern.dropRight(1)))
+
+  /** Statement evaluation (reference authorized.go:30-77): statements
+    * sorted most-specific-first (segment count), deny always wins, default
+    * deny when nothing matches. */
+  def authorized(statements: Seq[AccessKeyStatement], resource: String,
+      action: String): Boolean = {
+    val sorted = statements.sortBy(s => -s.resource.count(_ == ':'))
+    var allowFound = false
+    sorted.foreach { st =>
+      if (resourceMatches(st.resource, resource)) {
+        val applies = st.actions.contains("*") || st.actions.contains(action)
+        if (applies) {
+          if (st.effect.equalsIgnoreCase("deny")) return false
+          if (st.effect.equalsIgnoreCase("allow")) allowFound = true
+        }
+      }
+    }
+    allowFound
+  }
+
+  /** Branch-scoped check: probe the resource ladder like the reference's
+    * authorizedForBranch (access_key_statements.go:42-70). */
+  def canOnBranch(key: AccessKey, db: String, branch: String, action: String): Boolean =
+    Seq("*", "database:*", s"database:$db", s"database:$db:*",
+      s"database:$db:branch:*", s"database:$db:branch:$branch:*",
+      s"database:$db:branch:$branch")
+      .exists(r => authorized(key.statements, r, action))
+
+  /** Table-scoped check (authorizedForTable, access_key_statements.go:118+). */
+  def canOnTable(key: AccessKey, db: String, branch: String, table: String,
+      action: String): Boolean =
+    Seq("*", "database:*", s"database:$db:*", s"database:$db:branch:$branch:*",
+      s"database:$db:branch:$branch:table:*",
+      s"database:$db:branch:$branch:table:$table:*",
+      s"database:$db:branch:$branch:table:$table")
+      .exists(r => authorized(key.statements, r, action))
+
+  /** Database-scoped check (authorizedForDatabase). */
+  def canOnDatabase(key: AccessKey, db: String, action: String): Boolean =
+    Seq("*", "database:*", s"database:$db")
+      .exists(r => authorized(key.statements, r, action))
+
+  /** Branch-level privileges demanded by a statement kind (subset of
     * database_privileges.go relevant to our engine). */
   def requiredPrivilege(stmt: String): Seq[String] = {
     val s = stmt.trim
-    val k = Classifier.kind(s)
-    k match {
+    Classifier.kind(s) match {
       case "dql" => Seq("database:query", "database:select")
       case "dml" =>
-        if (Classifier.isDML(s) && s.regionMatches(true, 0, "insert", 0, 6))
+        if (s.regionMatches(true, 0, "insert", 0, 6))
           Seq("database:query", "database:insert")
         else if (s.regionMatches(true, 0, "update", 0, 6))
           Seq("database:query", "database:update")
@@ -55,7 +107,7 @@ object Authorizer {
         } else Seq("database:query", "database:alter_table")
       case "pragma" => Seq("database:query", "database:pragma")
       case "begin" | "commit" | "rollback" => Seq("database:query", "database:transaction")
-      case _ => Seq("database:query")
+      case _ => Seq("database:query", "database:select")
     }
   }
 
@@ -70,20 +122,79 @@ object Authorizer {
     out.toSet
   }
 
-  /** Authorize or throw DeniedException (SQLITE_DENY analog). */
-  def authorize(spark: SparkSession, key: AccessKey, stmt: String): Unit = {
+  // DML/DDL target extraction (the reference gets this from SQLite's
+  // authorizer callback arg1; we regex the verb's target)
+  private val dmlTargetRe =
+    """(?is)^\s*(?:insert\s+into|update|delete\s+from)\s+([\w"]+).*$""".r
+  private val ddlTargetRe =
+    ("""(?is)^\s*(?:create\s+(?:virtual\s+)?table\s+(?:if\s+not\s+exists\s+)?|""" +
+      """drop\s+table\s+(?:if\s+exists\s+)?|alter\s+table\s+)([\w"]+).*$""").r
+  private val fromTargetRe = """(?is)^.*?\bfrom\s+([\w"]+).*$""".r
+
+  private def unq(n: String): String = n.replace("\"", "").toLowerCase
+
+  /** The table-granular ACTION a statement performs on its target
+    * (mirrors the SQLITE_INSERT/UPDATE/DELETE/CREATE_TABLE/... codes the
+    * reference checks per table, database_connection.go:608-690). */
+  private def targetAction(stmt: String): Option[String] = {
+    val s = stmt.trim
+    if (s.regionMatches(true, 0, "insert", 0, 6)) Some("database:insert")
+    else if (s.regionMatches(true, 0, "update", 0, 6)) Some("database:update")
+    else if (s.regionMatches(true, 0, "delete", 0, 6)) Some("database:delete")
+    else if (s.regionMatches(true, 0, "create", 0, 6) &&
+      !s.toLowerCase.contains(" index")) Some("database:create_table")
+    else if (s.regionMatches(true, 0, "drop", 0, 4)) Some("database:drop_table")
+    else if (s.regionMatches(true, 0, "alter", 0, 5)) Some("database:alter_table")
+    else None
+  }
+
+  /** Authorize or throw DeniedException (SQLITE_DENY analog).
+    *
+    * Checks, in order:
+    *  1. branch-level verb privileges (CanSelect/CanPragma/... analog);
+    *  2. the table-granular action on the DML/DDL target table;
+    *  3. `database:read` on every OTHER referenced relation — reads inside
+    *     INSERT ... SELECT, UPDATE/DELETE subqueries and plain queries all
+    *     hit this (the reference's SQLITE_READ fires per column read
+    *     regardless of the outer verb).
+    */
+  def authorize(spark: SparkSession, key: AccessKey, db: String, branch: String,
+      stmt: String): Unit = {
     requiredPrivilege(stmt).foreach { p =>
-      if (!key.can(p)) throw new DeniedException(s"access key lacks $p")
+      if (!canOnBranch(key, db, branch, p))
+        throw new DeniedException(s"access key lacks $p")
     }
-    if (Classifier.isDQL(stmt)) {
+    val s = stmt.trim
+    val kind = Classifier.kind(s)
+    val target: Option[String] = kind match {
+      case "dml" => s match {
+        case dmlTargetRe(t) => Some(unq(t))
+        case _ => None
+      }
+      case "ddl" => s match {
+        case ddlTargetRe(t) => Some(unq(t))
+        case _ => None
+      }
+      case _ => None
+    }
+    target.zip(targetAction(s)).foreach { case (t, action) =>
+      if (!canOnTable(key, db, branch, t, action))
+        throw new DeniedException(s"access key cannot $action on table $t")
+    }
+    if (kind == "dql" || kind == "dml" || kind == "other") {
       // best-effort plan walk: engine-dialect statements Spark's parser
-      // can't read (FTS MATCH) are table-checked by their own handlers
-      val plan =
-        try spark.sessionState.sqlParser.parsePlan(stmt)
-        catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
-          return }
-      referencedTables(plan).foreach { t =>
-        if (!key.canReadTable(t))
+      // can't read (FTS MATCH, RETURNING) fall back to the FROM target
+      val reads: Set[String] =
+        try referencedTables(spark.sessionState.sqlParser.parsePlan(s))
+        catch {
+          case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+            if (kind == "dql") s match {
+              case fromTargetRe(t) => Set(unq(t))
+              case _ => Set.empty
+            } else Set.empty
+        }
+      (reads -- target).foreach { t =>
+        if (!canOnTable(key, db, branch, t, "database:read"))
           throw new DeniedException(s"access key cannot read table $t")
       }
     }

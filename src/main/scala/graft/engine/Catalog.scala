@@ -158,6 +158,20 @@ class Catalog(val root: Path) {
 
   def listDatabases(): Seq[String] = synchronized { databases.keys.toSeq }
 
+  def databaseCreatedAt(name: String): Option[Long] =
+    synchronized(databases.get(name))
+
+  /** Drop a database and all of its branches (reference
+    * DatabaseDestroyController + system-table CASCADE). Data dirs stay
+    * until a vacuum pass finds them unreachable. */
+  def dropDatabase(name: String): Unit = synchronized {
+    require(databases.contains(name), s"database $name not found")
+    databases.remove(name)
+    branches.keys.toSeq.filter(_._1 == name).foreach(branches.remove)
+    ftsDefs.keys.toSeq.filter(_._1 == name).foreach(ftsDefs.remove)
+    persist()
+  }
+
   def listBranches(db: String): Seq[String] = synchronized {
     branches.keys.filter(_._1 == db).map(_._2).toSeq
   }
@@ -343,6 +357,14 @@ class Catalog(val root: Path) {
 
   def listBackups(db: String, branch: String): Seq[Backup] = synchronized {
     backups.values.filter(b => b.db == db && b.branch == branch).toSeq
+  }
+
+  /** Delete a backup record (reference DatabaseBackupDestroyController);
+    * file-sets it pinned become vacuum-eligible. */
+  def deleteBackup(backupId: String): Boolean = synchronized {
+    val existed = backups.remove(backupId).isDefined
+    if (existed) persist()
+    existed
   }
 
   /** Restore a backup into a branch: every backed-up table re-points at

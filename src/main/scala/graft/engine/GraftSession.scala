@@ -28,6 +28,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     txnTimeoutMillis: Long = 5 * 60 * 1000) {
 
   val catalog = new Catalog(rootDir)
+  val accessKeys = new AccessKeyStore(rootDir)
   val writeQueues = new WriteQueueManager
   val metrics = new MetricsStore
   val planCache = new StatementCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
@@ -158,7 +159,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       key: AccessKey = AccessKey.root): QueryResponse = {
     val t0 = System.nanoTime()
     try {
-      Authorizer.authorize(spark, key, input.statement)
+      Authorizer.authorize(sess, key, db, branch, input.statement)
       val r = route(db, branch, input, key)
       val latency = (System.nanoTime() - t0) / 1e9
       metrics.record(db, branch, input.statement, latency)

@@ -1,0 +1,173 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.HttpApi
+import graft.engine._
+
+/** Authenticated-mode HTTP surface: HMAC-signed request tokens
+  * (reference pkg/auth/request_signer.go chain), policy-statement
+  * authorization on management endpoints, and access-key CRUD —
+  * mirroring the allow/deny shape of
+  * pkg/auth/access_key_statements_test.go. */
+class AuthSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private lazy val (session, port) = {
+    val s = new GraftSession(spark, Files.createTempDirectory("graft-auth"))
+    val a = new HttpApi(s) // secure default: NO anonymous root
+    (s, a.start())
+  }
+
+  private lazy val admin = session.accessKeys.put(
+    AccessKey("admin-key", secret = "admin-secret", statements = Seq(
+      AccessKeyStatement("allow", "*", Seq("*")))))
+
+  private def signed(method: String, path: String, body: String,
+      keyId: String, secret: String): HttpResponse[String] = {
+    val date = "20260812T000000Z"
+    val headers = Map(
+      "content-type" -> "application/json",
+      "host" -> s"127.0.0.1:$port",
+      "x-lbdb-date" -> date)
+    val token = RequestAuth.signRequest(keyId, secret, method, path, headers,
+      body.getBytes(UTF_8))
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Authorization", token)
+      .header("Content-Type", "application/json")
+      .header("x-lbdb-date", date)
+    val req = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "PUT" => b.method("PUT", BodyPublishers.ofString(body))
+      case _ => b.POST(BodyPublishers.ofString(body))
+    }
+    client.send(req.build(), BodyHandlers.ofString())
+  }
+
+  test("anonymous requests are 401 by default (no silent root)") {
+    val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/v1/databases"))
+      .POST(BodyPublishers.ofString("""{"name":"x"}""")).build(),
+      BodyHandlers.ofString())
+    assert(r.statusCode() == 401)
+  }
+
+  test("a bad signature or unknown credential is 401") {
+    assert(admin.id == "admin-key")
+    val bad = signed("POST", "/v1/databases", """{"name":"x"}""",
+      "admin-key", "wrong-secret")
+    assert(bad.statusCode() == 401)
+    val unknown = signed("POST", "/v1/databases", """{"name":"x"}""",
+      "ghost", "s")
+    assert(unknown.statusCode() == 401)
+    val garbage = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/v1/databases"))
+      .header("Authorization", "not-base64!!")
+      .POST(BodyPublishers.ofString("""{"name":"x"}""")).build(),
+      BodyHandlers.ofString())
+    assert(garbage.statusCode() == 401)
+  }
+
+  test("a valid HMAC token authenticates; missing privilege is 403") {
+    val ok = signed("POST", "/v1/databases", """{"name":"authdb"}""",
+      "admin-key", "admin-secret")
+    assert(ok.statusCode() == 201, ok.body())
+    // a key with query-only privileges cannot manage databases
+    session.accessKeys.put(AccessKey("limited", secret = "limited-secret",
+      statements = Seq(AccessKeyStatement("allow", "*",
+        Seq("database:query", "database:select", "database:read")))))
+    val forbidden = signed("POST", "/v1/databases", """{"name":"nope"}""",
+      "limited", "limited-secret")
+    assert(forbidden.statusCode() == 403)
+    val alsoForbidden = signed("DELETE", "/v1/databases/authdb", "",
+      "limited", "limited-secret")
+    assert(alsoForbidden.statusCode() == 403)
+  }
+
+  test("signed query batch executes under the key's statement policy") {
+    signed("POST", "/v1/databases", """{"name":"qdb"}""", "admin-key", "admin-secret")
+    val mk = signed("POST", "/v1/databases/qdb/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE s (id INTEGER)"},
+        |{"id":"i","statement":"INSERT INTO s VALUES (5)"}]}""".stripMargin,
+      "admin-key", "admin-secret")
+    assert(mk.statusCode() == 200, mk.body())
+    session.accessKeys.put(AccessKey("reader", secret = "reader-secret",
+      statements = Seq(AccessKeyStatement("allow", "*",
+        Seq("database:query", "database:select", "database:read")))))
+    val sel = signed("POST", "/v1/databases/qdb/main/query",
+      """{"queries":[{"id":"s","statement":"SELECT id FROM s"}]}""",
+      "reader", "reader-secret")
+    assert(sel.statusCode() == 200, sel.body())
+    assert(mapper.readTree(sel.body()).path("data").get(0)
+      .path("rows").get(0).get(0).asLong() == 5L)
+    val ins = signed("POST", "/v1/databases/qdb/main/query",
+      """{"queries":[{"id":"w","statement":"INSERT INTO s VALUES (6)"}]}""",
+      "reader", "reader-secret")
+    assert(ins.statusCode() == 400) // per-query error shape
+    assert(mapper.readTree(ins.body()).path("data").get(0)
+      .path("error").asText().contains("database:insert"))
+  }
+
+  test("access-key CRUD over HTTP; secret only returned on create") {
+    val created = signed("POST", "/v1/access-keys",
+      """{"description":"ci key","statements":[
+        |{"effect":"allow","resource":"*",
+        | "actions":["database:query","database:select","database:read"]}]}""".stripMargin,
+      "admin-key", "admin-secret")
+    assert(created.statusCode() == 201, created.body())
+    val cn = mapper.readTree(created.body()).path("data")
+    val newId = cn.path("access_key_id").asText()
+    val newSecret = cn.path("access_key_secret").asText()
+    assert(newId.startsWith("lbdbak_") && newSecret.nonEmpty)
+    // the new key authenticates immediately (and is persisted)
+    signed("POST", "/v1/databases", """{"name":"ckdb"}""", "admin-key", "admin-secret")
+    val use = signed("POST", "/v1/databases/ckdb/main/query",
+      """{"queries":[{"id":"p","statement":"PRAGMA table_list"}]}""",
+      newId, newSecret)
+    assert(use.statusCode() == 400 || use.statusCode() == 200) // pragma needs database:pragma -> per-query deny
+    // list/show omit the secret
+    val shown = signed("GET", s"/v1/access-keys/$newId", "", "admin-key", "admin-secret")
+    assert(shown.statusCode() == 200)
+    assert(!shown.body().contains("access_key_secret"))
+    // update statements
+    val upd = signed("PUT", s"/v1/access-keys/$newId",
+      """{"statements":[{"effect":"allow","resource":"*","actions":["*"]}]}""",
+      "admin-key", "admin-secret")
+    assert(upd.statusCode() == 200)
+    // delete; the key stops authenticating
+    val del = signed("DELETE", s"/v1/access-keys/$newId", "", "admin-key", "admin-secret")
+    assert(del.statusCode() == 200)
+    val gone = signed("GET", s"/v1/access-keys/$newId", "", newId, newSecret)
+    assert(gone.statusCode() == 401)
+  }
+
+  test("request token round trip and store persistence across restart") {
+    val tok = RequestAuth.signRequest("k1", "s1", "POST", "/v1/x",
+      Map("content-type" -> "application/json", "host" -> "h",
+        "x-lbdb-date" -> "d"), "body".getBytes(UTF_8))
+    val cap = RequestAuth.captureToken(tok)
+    assert(cap.valid && cap.accessKeyId == "k1")
+    assert(cap.signedHeaders == Seq("content-type", "host", "x-lbdb-date"))
+    assert(RequestAuth.validate(cap, "s1", "POST", "/v1/x",
+      Map("content-type" -> "application/json", "host" -> "h",
+        "x-lbdb-date" -> "d"), "body".getBytes(UTF_8)))
+    assert(!RequestAuth.validate(cap, "s2", "POST", "/v1/x",
+      Map("content-type" -> "application/json", "host" -> "h",
+        "x-lbdb-date" -> "d"), "body".getBytes(UTF_8)))
+    // store persistence: a second store over the same root sees the keys
+    val dir = Files.createTempDirectory("graft-keys")
+    val st1 = new AccessKeyStore(dir)
+    val k = st1.create("persisted", Seq(AccessKeyStatement("allow", "*", Seq("*"))))
+    val st2 = new AccessKeyStore(dir)
+    assert(st2.get(k.id).map(_.secret) == Some(k.secret))
+  }
+}

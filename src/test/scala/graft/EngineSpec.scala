@@ -336,14 +336,58 @@ class EngineSpec extends AnyFunSuite {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
     s.execute("db1", "main", q("CREATE TABLE secret (id INTEGER)"))
-    val readonly = AccessKey("ro", Set("database:query", "database:select"),
-      tableAllow = Set("t"))
+    // statements model (reference pkg/auth): query/select at branch level,
+    // read scoped to table t only
+    val readonly = AccessKey("ro", statements = Seq(
+      AccessKeyStatement("allow", "*", Seq("database:query", "database:select")),
+      AccessKeyStatement("allow", "database:db1:branch:main:table:t",
+        Seq("database:read"))))
     val w = s.execute("db1", "main", q("INSERT INTO t VALUES (1)"), readonly)
     assert(w.error.contains("database:insert"))
     val okRead = s.execute("db1", "main", q("SELECT * FROM t"), readonly)
     assert(okRead.error.isEmpty, okRead.error)
     val badRead = s.execute("db1", "main", q("SELECT * FROM secret"), readonly)
     assert(badRead.error.contains("secret"))
+  }
+
+  test("authorizer: deny precedence, DML reads checked, per-table writes") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t1 (id INTEGER)"))
+    s.execute("db1", "main", q("CREATE TABLE t2 (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO t2 VALUES (7)"))
+    // SELECT allowed on t1 only; no insert anywhere
+    val selT1 = AccessKey("sel-t1", statements = Seq(
+      AccessKeyStatement("allow", "*", Seq("database:query", "database:select")),
+      AccessKeyStatement("allow", "database:db1:branch:main:table:t1",
+        Seq("database:read"))))
+    assert(s.execute("db1", "main", q("SELECT * FROM t1"), selT1).error.isEmpty)
+    // a key allowed SELECT-on-t1 cannot INSERT into t1...
+    assert(s.execute("db1", "main", q("INSERT INTO t1 VALUES (1)"), selT1)
+      .error.contains("database:insert"))
+    // ...and cannot read t2
+    assert(s.execute("db1", "main", q("SELECT * FROM t2"), selT1)
+      .error.contains("t2"))
+    // INSERT ... SELECT demands read on the SOURCE table too
+    val insNoRead = AccessKey("ins", statements = Seq(
+      AccessKeyStatement("allow", "*",
+        Seq("database:query", "database:insert", "database:select")),
+      AccessKeyStatement("allow", "database:db1:branch:main:table:t1",
+        Seq("database:read"))))
+    assert(s.execute("db1", "main",
+      q("INSERT INTO t1 SELECT id FROM t2"), insNoRead).error.contains("t2"))
+    // deny beats allow at the same resource (reference authorized.go:
+    // deny precedence within a matched resource key)
+    val denied = AccessKey("deny", statements = Seq(
+      AccessKeyStatement("allow", "*", Seq("database:query", "database:select")),
+      AccessKeyStatement("allow", "database:db1:branch:main:table:t1",
+        Seq("database:read")),
+      AccessKeyStatement("allow", "database:db1:branch:main:table:t2",
+        Seq("database:read")),
+      AccessKeyStatement("deny", "database:db1:branch:main:table:t2",
+        Seq("database:read"))))
+    assert(s.execute("db1", "main", q("SELECT * FROM t2"), denied)
+      .error.contains("t2"))
+    assert(s.execute("db1", "main", q("SELECT * FROM t1"), denied).error.isEmpty)
   }
 
   test("create index is a no-op; drop table; alter table add/rename") {

@@ -20,8 +20,11 @@ class HttpApiSpec extends AnyFunSuite {
 
   private lazy val (api, port) = {
     val session = new GraftSession(spark, Files.createTempDirectory("graft-http"))
-    val readOnly = AccessKey("ro-key", Set("database:query", "database:select"))
-    val a = new HttpApi(session, Map("ro-key" -> readOnly))
+    session.accessKeys.put(AccessKey("ro-key", statements = Seq(
+      AccessKeyStatement("allow", "*",
+        Seq("database:query", "database:select", "database:read")))))
+    // dev mode: anonymous root is an EXPLICIT opt-in (default is 401)
+    val a = new HttpApi(session, anonymousRoot = true)
     (a, a.start())
   }
 
@@ -163,6 +166,72 @@ class HttpApiSpec extends AnyFunSuite {
       """{"queries":[{"id":"s","statement":"SELECT * FROM bk"}]}""").body())
       .path("data").get(0).path("row_count").asInt()
     assert(n == 1)
+  }
+
+  test("database show/delete and branch show routes") {
+    post("/v1/databases", """{"name":"db7"}""")
+    post("/v1/databases/db7/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE x (id INTEGER)"}]}""")
+    val shown = mapper.readTree(get("/v1/databases/db7").body()).path("data")
+    assert(shown.path("name").asText() == "db7")
+    assert(shown.path("branches").get(0).asText() == "main")
+    val br = mapper.readTree(get("/v1/databases/db7/main").body()).path("data")
+    assert(br.path("tables").get(0).asText() == "x")
+    assert(get("/v1/databases/nope").statusCode() == 404)
+    val delReq = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/v1/databases/db7")).DELETE().build()
+    assert(client.send(delReq, BodyHandlers.ofString()).statusCode() == 200)
+    assert(get("/v1/databases/db7").statusCode() == 404)
+  }
+
+  test("snapshots + PITR restore over HTTP") {
+    post("/v1/databases", """{"name":"db8"}""")
+    post("/v1/databases/db8/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE p (id INTEGER)"},
+        |{"id":"i1","statement":"INSERT INTO p VALUES (1)"}]}""".stripMargin)
+    val snaps1 = mapper.readTree(get("/v1/databases/db8/main/snapshots").body()).path("data")
+    assert(snaps1.size() >= 1)
+    val cutoff = snaps1.get(0).path("timestamp").asLong() // newest first
+    post("/v1/databases/db8/main/query",
+      """{"queries":[{"id":"i2","statement":"INSERT INTO p VALUES (2)"}]}""")
+    val detail = mapper.readTree(
+      get(s"/v1/databases/db8/main/snapshots/$cutoff").body()).path("data")
+    assert(detail.path("tables").size() == 1)
+    assert(post("/v1/databases/db8/main/restore",
+      s"""{"timestamp":$cutoff}""").statusCode() == 200)
+    val n = mapper.readTree(post("/v1/databases/db8/main/query",
+      """{"queries":[{"id":"s","statement":"SELECT * FROM p"}]}""").body())
+      .path("data").get(0).path("row_count").asInt()
+    assert(n == 1)
+  }
+
+  test("backup show/delete; transaction DELETE aborts") {
+    post("/v1/databases", """{"name":"db9"}""")
+    post("/v1/databases/db9/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE b (id INTEGER)"}]}""")
+    val id = mapper.readTree(post("/v1/databases/db9/main/backups", "").body())
+      .path("data").path("backup_id").asText()
+    val shown = mapper.readTree(get(s"/v1/databases/db9/main/backups/$id").body())
+    assert(shown.path("data").path("backup_id").asText() == id)
+    val delBk = HttpRequest.newBuilder(URI.create(
+      s"http://127.0.0.1:$port/v1/databases/db9/main/backups/$id")).DELETE().build()
+    assert(client.send(delBk, BodyHandlers.ofString()).statusCode() == 200)
+    assert(get(s"/v1/databases/db9/main/backups/$id").statusCode() == 404)
+    // DELETE transaction = rollback alias (reference routes.go:291)
+    val txn = mapper.readTree(post("/v1/databases/db9/main/transactions", "").body())
+      .path("data").path("transaction_id").asText()
+    val delTx = HttpRequest.newBuilder(URI.create(
+      s"http://127.0.0.1:$port/v1/databases/db9/main/transactions/$txn")).DELETE().build()
+    assert(client.send(delTx, BodyHandlers.ofString()).statusCode() == 200)
+    // committing the aborted transaction now fails
+    assert(post(s"/v1/databases/db9/main/transactions/$txn/commit", "")
+      .statusCode() == 500)
+  }
+
+  test("health and status endpoints") {
+    assert(get("/v1/health").statusCode() == 200)
+    val st = mapper.readTree(get("/v1/status").body()).path("data")
+    assert(st.path("databases").asInt() >= 0)
   }
 
   test("metrics endpoint returns step-merged latency buckets") {
