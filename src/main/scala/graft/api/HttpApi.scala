@@ -237,9 +237,11 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false) {
       queryBatch(ex, db, branch, body, key)
     case ("POST", "databases" :: db :: branch :: "query" :: "stream" :: Nil) =>
       // B8: binary frames; serve reads the request stream until Close.
+      // Large DQL results stream as chunked entries with bounded driver
+      // memory (toLocalIterator + frame flushing) instead of collect().
       ex.sendResponseHeaders(200, 0)
-      QueryStream.serve(ex.getRequestBody, ex.getResponseBody,
-        q => session.execute(db, branch, q, key))
+      QueryStream.serveStreamed(ex.getRequestBody, ex.getResponseBody,
+        (q, emit) => session.executeStreamed(db, branch, q, key)(emit))
 
     // --- transactions ------------------------------------------------------
     case ("POST", "databases" :: db :: branch :: "transactions" :: Nil) =>

@@ -303,6 +303,53 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     }
   }
 
+  /** Execute with chunked result delivery — the scale path for large
+    * result sets (B8). DQL results are fetched with toLocalIterator (the
+    * driver holds one partition at a time, never the whole result — the
+    * reference streams rows from sqlite3_step the same way,
+    * pkg/sqlite3/statement.go:274-344) and emitted as QueryResponse
+    * batches of `batchSize` rows sharing the query id. Non-DQL statements
+    * and engine-dialect queries (MATCH) emit exactly one response. */
+  def executeStreamed(db: String, branch: String, input: QueryInput,
+      key: AccessKey = AccessKey.root, batchSize: Int = 4096)
+      (emit: QueryResponse => Unit): Unit = {
+    val stmt = input.statement.trim
+    val kind = Classifier.kind(stmt)
+    val plainDql = (kind == "dql" || kind == "other") &&
+      !matchRe.pattern.matcher(stmt).matches()
+    if (!plainDql) { emit(execute(db, branch, input, key)); return }
+    val t0 = System.nanoTime()
+    try {
+      Authorizer.authorize(sess, key, db, branch, stmt)
+      val txn = txnFor(input)
+      registerViews(db, branch, txn)
+      val df =
+        if (input.parameters.isEmpty) sess.sql(stmt)
+        else sess.sql(stmt, input.parameters.map(paramToJvm).toArray)
+      val cols = df.columns.toSeq
+      val it = df.toLocalIterator()
+      val buf = mutable.ArrayBuffer[Seq[SqlValue]]()
+      var emitted = false
+      def flush(): Unit = {
+        emit(QueryResponse(input.id, cols, buf.toSeq,
+          transactionId = input.transactionId))
+        buf.clear(); emitted = true
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        buf += (0 until r.length).map(i => SqlValue.fromAny(r.get(i)))
+        if (buf.length >= batchSize) flush()
+      }
+      if (buf.nonEmpty || !emitted) flush()
+      metrics.record(db, branch, input.statement, (System.nanoTime() - t0) / 1e9)
+    } catch {
+      case e: Throwable =>
+        emit(QueryResponse(input.id, Nil, Nil,
+          error = Option(e.getMessage).getOrElse(e.toString),
+          transactionId = input.transactionId))
+    }
+  }
+
   private def collectResponse(df: DataFrame, input: QueryInput): QueryResponse = {
     val rows = df.collect()
     QueryResponse(input.id, df.columns.toSeq,

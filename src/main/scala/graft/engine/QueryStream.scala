@@ -73,12 +73,25 @@ object QueryStream {
     out.toSeq
   }
 
+  /** Serve with a one-shot executor (each query produces one response). */
+  def serve(in: InputStream, out: OutputStream,
+      executor: QueryInput => QueryResponse): Unit =
+    serveStreamed(in, out, (q, emit) => emit(executor(q)))
+
   /** Serve one connection: read messages until close/EOF, execute each
     * frame's queries with `executor`, write response frames. Mirrors
     * readQueryStream's loop (open -> ack, close -> stop, frame -> entries,
-    * frame-level failure -> 0x03 message). */
-  def serve(in: InputStream, out: OutputStream,
-      executor: QueryInput => QueryResponse): Unit = {
+    * frame-level failure -> 0x03 message).
+    *
+    * The executor may emit MULTIPLE responses per query (chunked large
+    * results, GraftSession.executeStreamed): entries accumulate in an
+    * output buffer that is flushed as a complete 0x04 frame whenever it
+    * crosses `flushBytes` — so driver memory stays bounded by one chunk,
+    * not the result set. Small results keep the one-frame-per-request
+    * shape. */
+  def serveStreamed(in: InputStream, out: OutputStream,
+      executor: (QueryInput, QueryResponse => Unit) => Unit,
+      flushBytes: Int = 1 << 20): Unit = {
     var open = true
     while (open) {
       val header = in.readNBytes(5)
@@ -95,19 +108,20 @@ object QueryStream {
         case Frame =>
           try {
             val entries = new java.io.ByteArrayOutputStream()
-            decodeFrame(body).foreach { q =>
-              val r = executor(q)
-              if (r.error.nonEmpty) {
-                val eb = r.error.getBytes(UTF_8)
-                entries.write(Error)
-                entries.write(u32(eb.length), 0, 4)
-                entries.write(eb, 0, eb.length)
-              } else {
-                val rb = Wire.encodeResponse(r)
-                entries.write(FrameEntry)
-                entries.write(u32(rb.length), 0, 4)
-                entries.write(rb, 0, rb.length)
+            def writeEntry(tag: Int, b: Array[Byte]): Unit = {
+              entries.write(tag)
+              entries.write(u32(b.length), 0, 4)
+              entries.write(b, 0, b.length)
+              if (entries.size() >= flushBytes) {
+                writeMessage(out, Frame, entries.toByteArray)
+                entries.reset()
               }
+            }
+            decodeFrame(body).foreach { q =>
+              executor(q, { r =>
+                if (r.error.nonEmpty) writeEntry(Error, r.error.getBytes(UTF_8))
+                else writeEntry(FrameEntry, Wire.encodeResponse(r))
+              })
             }
             writeMessage(out, Frame, entries.toByteArray)
           } catch {

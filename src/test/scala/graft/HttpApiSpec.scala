@@ -131,6 +131,50 @@ class HttpApiSpec extends AnyFunSuite {
     assert(qr.rows == Seq(Seq(SqlValue.IntVal(7L))))
   }
 
+  test("large results stream as chunked entries with bounded frames") {
+    post("/v1/databases", """{"name":"dbbig"}""")
+    post("/v1/databases/dbbig/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE big (id INTEGER)"},
+        |{"id":"i","statement":"INSERT INTO big SELECT explode(sequence(1, 20000))"}
+        |]}""".stripMargin)
+    val body = new java.io.ByteArrayOutputStream()
+    QueryStream.writeMessage(body, QueryStream.Open, Array.emptyByteArray)
+    QueryStream.writeMessage(body, QueryStream.Frame,
+      QueryStream.encodeFrame(Seq(QueryInput("big1", "SELECT id FROM big"))))
+    QueryStream.writeMessage(body, QueryStream.Close, Array.emptyByteArray)
+    val resp = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/v1/databases/dbbig/main/query/stream"))
+      .POST(BodyPublishers.ofByteArray(body.toByteArray)).build(),
+      BodyHandlers.ofByteArray())
+    assert(resp.statusCode() == 200)
+    val in = new java.io.ByteArrayInputStream(resp.body())
+    assert((in.readNBytes(5)(0) & 0xFF) == QueryStream.Open)
+    var rows = 0L
+    var entries = 0
+    var done = false
+    while (!done) {
+      val hdr = in.readNBytes(5)
+      if (hdr.length < 5) done = true
+      else {
+        assert((hdr(0) & 0xFF) == QueryStream.Frame)
+        val len = java.nio.ByteBuffer.wrap(hdr, 1, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        QueryStream.decodeResponseFrame(in.readNBytes(len)).foreach {
+          case (isErr, bytes) =>
+            assert(!isErr, new String(bytes))
+            val qr = Wire.decodeResponse(bytes)
+            assert(qr.id == "big1")
+            rows += qr.rows.length
+            entries += 1
+        }
+      }
+    }
+    assert(rows == 20000L)
+    // 20000 rows at the 4096-row batch size -> multiple chunked entries,
+    // never one giant collect()ed response
+    assert(entries >= 5, s"expected chunked delivery, got $entries entries")
+  }
+
   test("access keys: read-only key can select, cannot write; unknown key 401") {
     post("/v1/databases", """{"name":"db4"}""")
     post("/v1/databases/db4/main/query",
