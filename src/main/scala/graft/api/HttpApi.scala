@@ -185,6 +185,43 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false) {
       if (session.accessKeys.delete(id)) reply(ex, 200, okJson("null"))
       else reply(ex, 404, errorJson("not found"))
 
+    // --- users -------------------------------------------------------------
+    case ("GET", "users" :: Nil) =>
+      demandDb(key, "*", "user:list")
+      reply(ex, 200, okJson(session.users.list()
+        .map(userJson).mkString("[", ",", "]")))
+    case ("POST", "users" :: Nil) =>
+      demandDb(key, "*", "user:create")
+      val n = mapper.readTree(body)
+      val username = n.path("username").asText("")
+      if (username.isEmpty || n.path("password").asText("").isEmpty)
+        reply(ex, 400, errorJson("username and password required"))
+      else {
+        val u = session.users.add(username, n.path("password").asText(),
+          parseStatements(n.path("statements")))
+        reply(ex, 201, okJson(userJson(u)))
+      }
+    case ("GET", "users" :: username :: Nil) =>
+      demandDb(key, "*", "user:list")
+      session.users.get(username) match {
+        case Some(u) => reply(ex, 200, okJson(userJson(u)))
+        case None => reply(ex, 404, errorJson("not found"))
+      }
+    case ("PUT", "users" :: username :: Nil) =>
+      demandDb(key, "*", "user:update")
+      val n = mapper.readTree(body)
+      session.users.update(username,
+        Option(n.path("password").asText(null)),
+        if (n.has("statements")) Some(parseStatements(n.path("statements"))) else None)
+      match {
+        case Some(u) => reply(ex, 200, okJson(userJson(u)))
+        case None => reply(ex, 404, errorJson("not found"))
+      }
+    case ("DELETE", "users" :: username :: Nil) =>
+      demandDb(key, "*", "user:delete")
+      if (session.users.remove(username)) reply(ex, 200, okJson("null"))
+      else reply(ex, 404, errorJson("not found"))
+
     // --- databases ---------------------------------------------------------
     case ("POST", "databases" :: Nil) =>
       val name = mapper.readTree(body).path("name").asText("")
@@ -327,6 +364,16 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false) {
         sn.path("resource").asText("*"),
         sn.path("actions").elements().asScala.map(_.asText()).toSeq)
     }.toSeq
+
+  /** User response shape (reference UserResponse: never the password). */
+  private def userJson(u: User): String = {
+    val sts = u.statements.map { st =>
+      s"""{"effect":${jstr(st.effect)},"resource":${jstr(st.resource)},""" +
+        s""""actions":${st.actions.map(jstr).mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
+    s"""{"username":${jstr(u.username)},"created_at":${u.createdAt},""" +
+      s""""updated_at":${u.updatedAt},"statements":$sts}"""
+  }
 
   private def keyJson(k: AccessKey, withSecret: Boolean): String = {
     val sts = k.statements.map { st =>

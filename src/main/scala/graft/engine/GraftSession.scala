@@ -29,6 +29,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   val catalog = new Catalog(rootDir)
   val accessKeys = new AccessKeyStore(rootDir)
+  val users = new UserStore(rootDir)
   val writeQueues = new WriteQueueManager
   val metrics = new MetricsStore
   val planCache = new StatementCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()

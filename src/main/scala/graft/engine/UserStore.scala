@@ -1,0 +1,110 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.security.MessageDigest
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Persisted user accounts (reference pkg/auth/user.go +
+  * user_manager.go): username, password, policy statements. Passwords are
+  * stored as salted SHA-256 digests, never in the clear; `authenticate`
+  * recomputes and constant-time-compares. The `root` username is reserved
+  * (reference user_controller.go:116). */
+case class User(username: String, passwordHash: String, salt: String,
+    statements: Seq[AccessKeyStatement], createdAt: Long, updatedAt: Long)
+
+class UserStore(root: Path) {
+
+  private val users = mutable.LinkedHashMap[String, User]()
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  Files.createDirectories(root)
+  load()
+
+  private def path = root.resolve("_users.json")
+
+  private def hash(password: String, salt: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest((salt + ":" + password).getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def persist(): Unit = {
+    val arr = om.createArrayNode()
+    users.values.foreach { u =>
+      val n = arr.addObject()
+      n.put("username", u.username)
+      n.put("password_hash", u.passwordHash)
+      n.put("salt", u.salt)
+      n.put("created_at", u.createdAt)
+      n.put("updated_at", u.updatedAt)
+      val sts = n.putArray("statements")
+      u.statements.foreach { st =>
+        val sn = sts.addObject()
+        sn.put("effect", st.effect); sn.put("resource", st.resource)
+        val as = sn.putArray("actions"); st.actions.foreach(as.add)
+      }
+    }
+    val tmp = root.resolve("_users.json.tmp")
+    Files.write(tmp, om.writeValueAsBytes(arr))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def load(): Unit = {
+    if (!Files.exists(path)) return
+    om.readTree(Files.readAllBytes(path)).elements().asScala.foreach { n =>
+      val statements = n.path("statements").elements().asScala.map { sn =>
+        AccessKeyStatement(sn.path("effect").asText(),
+          sn.path("resource").asText(),
+          sn.path("actions").elements().asScala.map(_.asText()).toSeq)
+      }.toSeq
+      val u = User(n.path("username").asText(), n.path("password_hash").asText(),
+        n.path("salt").asText(), statements,
+        n.path("created_at").asLong(), n.path("updated_at").asLong())
+      users(u.username) = u
+    }
+  }
+
+  def add(username: String, password: String,
+      statements: Seq[AccessKeyStatement]): User = synchronized {
+    require(username != "root", "cannot create root user")
+    require(!users.contains(username), s"user $username already exists")
+    val now = System.currentTimeMillis()
+    val salt = java.util.UUID.randomUUID().toString
+    val u = User(username, hash(password, salt), salt, statements, now, now)
+    users(username) = u
+    persist()
+    u
+  }
+
+  def get(username: String): Option[User] = synchronized(users.get(username))
+
+  def list(): Seq[User] = synchronized(users.values.toSeq)
+
+  def authenticate(username: String, password: String): Boolean = synchronized {
+    users.get(username).exists(u => MessageDigest.isEqual(
+      hash(password, u.salt).getBytes(UTF_8), u.passwordHash.getBytes(UTF_8)))
+  }
+
+  def update(username: String, password: Option[String],
+      statements: Option[Seq[AccessKeyStatement]]): Option[User] = synchronized {
+    users.get(username).map { u =>
+      val salt = java.util.UUID.randomUUID().toString
+      val nu = u.copy(
+        passwordHash = password.map(hash(_, salt)).getOrElse(u.passwordHash),
+        salt = password.map(_ => salt).getOrElse(u.salt),
+        statements = statements.getOrElse(u.statements),
+        updatedAt = System.currentTimeMillis())
+      users(username) = nu
+      persist()
+      nu
+    }
+  }
+
+  def remove(username: String): Boolean = synchronized {
+    val existed = users.remove(username).isDefined
+    if (existed) persist()
+    existed
+  }
+}

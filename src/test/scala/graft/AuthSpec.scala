@@ -150,6 +150,32 @@ class AuthSpec extends AnyFunSuite {
     assert(gone.statusCode() == 401)
   }
 
+  test("users CRUD: password never returned, authenticate round trip") {
+    val created = signed("POST", "/v1/users",
+      """{"username":"ada","password":"hunter2","statements":[
+        |{"effect":"allow","resource":"*","actions":["database:query"]}]}""".stripMargin,
+      "admin-key", "admin-secret")
+    assert(created.statusCode() == 201, created.body())
+    assert(!created.body().contains("hunter2"))
+    assert(session.users.authenticate("ada", "hunter2"))
+    assert(!session.users.authenticate("ada", "wrong"))
+    // root username reserved (reference user_controller.go:116)
+    val asRoot = signed("POST", "/v1/users",
+      """{"username":"root","password":"x"}""", "admin-key", "admin-secret")
+    assert(asRoot.statusCode() == 500 || asRoot.statusCode() == 400)
+    val listed = signed("GET", "/v1/users", "", "admin-key", "admin-secret")
+    assert(listed.body().contains("ada") && !listed.body().contains("password"))
+    val upd = signed("PUT", "/v1/users/ada",
+      """{"password":"better-pass"}""", "admin-key", "admin-secret")
+    assert(upd.statusCode() == 200)
+    assert(session.users.authenticate("ada", "better-pass"))
+    assert(!session.users.authenticate("ada", "hunter2"))
+    val del = signed("DELETE", "/v1/users/ada", "", "admin-key", "admin-secret")
+    assert(del.statusCode() == 200)
+    assert(signed("GET", "/v1/users/ada", "", "admin-key", "admin-secret")
+      .statusCode() == 404)
+  }
+
   test("request token round trip and store persistence across restart") {
     val tok = RequestAuth.signRequest("k1", "s1", "POST", "/v1/x",
       Map("content-type" -> "application/json", "host" -> "h",
