@@ -107,7 +107,12 @@ object Authorizer {
         } else Seq("database:query", "database:alter_table")
       case "pragma" => Seq("database:query", "database:pragma")
       case "begin" | "commit" | "rollback" => Seq("database:query", "database:transaction")
-      case _ => Seq("database:query", "database:select")
+      case _ =>
+        if (s.regionMatches(true, 0, "attach", 0, 6))
+          Seq("database:query", "database:attach")
+        else if (s.regionMatches(true, 0, "detach", 0, 6))
+          Seq("database:query", "database:detach")
+        else Seq("database:query", "database:select")
     }
   }
 

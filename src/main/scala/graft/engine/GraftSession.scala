@@ -195,14 +195,64 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       case "ddl" | "dml" =>
         writeQueues(db, branch).run(write(db, branch, input))
       case "dql" => select(db, branch, input)
-      case _ =>
-        // the reference resolver executes unclassified statements through
-        // SQLite (pkg/database/resolver.go) — WITH ... SELECT, VALUES and
-        // parenthesized selects land here, so route them through the read
-        // path; genuinely malformed SQL surfaces as a parse error.
-        select(db, branch, input)
+      case _ => stmt match {
+        case attachRe(_, target, alias) =>
+          attach(db, branch, unquote(alias), target)
+          QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+        case detachRe(_, alias) =>
+          detach(db, branch, unquote(alias))
+          QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+        case _ =>
+          // the reference resolver executes unclassified statements through
+          // SQLite (pkg/database/resolver.go) — WITH ... SELECT, VALUES and
+          // parenthesized selects land here, so route them through the read
+          // path; genuinely malformed SQL surfaces as a parse error.
+          select(db, branch, input)
+      }
     }
   }
+
+  // --- ATTACH/DETACH (SURVEY §2A row 4) ------------------------------------
+  //
+  // The reference delegates ATTACH to SQLite (a file path per database,
+  // gated by the database:attach privilege, database_connection.go:620).
+  // Databases here are catalog namespaces, not files, so ATTACH binds an
+  // alias to another (database[, branch]) of the SAME catalog:
+  //   ATTACH DATABASE 'db2' AS a2        -- main branch
+  //   ATTACH DATABASE 'db2/dev' AS a2    -- explicit branch
+  // Cross-database queries then say a2.t — rewritten onto per-alias views
+  // before parsing (Spark temp views are single-part names). Attachments
+  // are engine-scoped per home (db, branch), mirroring SQLite's
+  // per-connection scope on a single-driver engine; reads only.
+
+  private val attachRe =
+    """(?is)^\s*attach\s+(database\s+)?'([^']+)'\s+as\s+([\w"]+)\s*;?\s*$""".r
+  private val detachRe =
+    """(?is)^\s*detach\s+(database\s+)?([\w"]+)\s*;?\s*$""".r
+
+  private val attachments =
+    mutable.Map[(String, String), mutable.Map[String, (String, String)]]()
+
+  def attach(db: String, branch: String, alias: String, target: String): Unit = {
+    val (tdb, tbr) = target.split("/", 2) match {
+      case Array(d, b) => (d, b)
+      case Array(d) => (d, "main")
+    }
+    catalog.branchState(tdb, tbr) // throws if missing
+    synchronized {
+      attachments.getOrElseUpdate((db, branch), mutable.Map())(alias) = (tdb, tbr)
+    }
+  }
+
+  def detach(db: String, branch: String, alias: String): Unit = synchronized {
+    val m = attachments.getOrElse((db, branch),
+      throw new IllegalArgumentException(s"no such attached database: $alias"))
+    if (m.remove(alias).isEmpty)
+      throw new IllegalArgumentException(s"no such attached database: $alias")
+  }
+
+  private def attachmentsFor(db: String, branch: String): Map[String, (String, String)] =
+    synchronized(attachments.get((db, branch)).map(_.toMap).getOrElse(Map.empty))
 
   // --- reads ---------------------------------------------------------------
 
@@ -233,12 +283,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private def registerViews(db: String, branch: String, txn: Option[Txn]): Unit = {
     val s = sess
     val reg = viewVersions.computeIfAbsent(s, _ => mutable.Map())
+    // attached databases surface as per-alias views (__att_<alias>_<t>);
+    // the SQL text's alias.t references are rewritten onto them
+    val attached = attachmentsFor(db, branch).toSeq.flatMap {
+      case (alias, (tdb, tbr)) =>
+        catalog.tableNames(tdb, tbr).flatMap { t =>
+          catalog.currentVersion(tdb, tbr, t)
+            .map(v => (s"__att_${alias}_$t", tdb, tbr, v))
+        }
+    }
     val live = catalog.tableNames(db, branch).toSet ++
-      txn.map(_.staged.keySet.toSet).getOrElse(Set.empty)
+      txn.map(_.staged.keySet.toSet).getOrElse(Set.empty) ++ attached.map(_._1)
     (reg.keySet -- live).toSeq.foreach { v =>
       s.catalog.dropTempView(v); reg -= v
     }
-    live.foreach { t =>
+    (live -- attached.map(_._1)).foreach { t =>
       val v = txn.flatMap(_.staged.get(t).map(_.asInstanceOf[catalog.TableVersion]))
         .orElse(catalog.currentVersion(db, branch, t))
       v.foreach { ver =>
@@ -247,6 +306,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           readVersion(ver).createOrReplaceTempView(t)
           reg(t) = key
         }
+      }
+    }
+    attached.foreach { case (view, tdb, tbr, ver) =>
+      val key = (tdb, tbr, ver.ts)
+      if (!reg.get(view).contains(key)) {
+        readVersion(ver).createOrReplaceTempView(view)
+        reg(view) = key
       }
     }
   }
@@ -293,13 +359,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         collectResponse(df, input)
       case _ =>
         registerViews(db, branch, txn)
+        // attached-database references (alias.t) rewrite onto their views
+        val atts = attachmentsFor(db, branch)
+        val stmt =
+          if (atts.isEmpty) input.statement
+          else Sql.rewriteAttached(input.statement, atts.keySet)
         // plan cache (B4): parse once per (sql, key) — Spark still analyzes
         // per execution because view state may have changed.
-        planCache.get(input.statement, "root")(
-          sess.sessionState.sqlParser.parsePlan(input.statement))
+        planCache.get(stmt, "root")(
+          sess.sessionState.sqlParser.parsePlan(stmt))
         val df =
-          if (input.parameters.isEmpty) sess.sql(input.statement)
-          else sess.sql(input.statement, input.parameters.map(paramToJvm).toArray)
+          if (input.parameters.isEmpty) sess.sql(stmt)
+          else sess.sql(stmt, input.parameters.map(paramToJvm).toArray)
         collectResponse(df, input)
     }
   }
@@ -1131,6 +1202,45 @@ object Sql {
         case _ => sb.append(c)
       }
       i += 1
+    }
+    sb.toString
+  }
+
+  /** Rewrite `alias.ident` references onto their attached-view names
+    * (`__att_<alias>_<ident>`), skipping string literals. Word-bounded:
+    * `a2.t` rewrites, `fa2.t` and `'a2.t'` don't. */
+  def rewriteAttached(sql: String, aliases: Set[String]): String = {
+    if (aliases.isEmpty) return sql
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        sb.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+          else inStr = false
+        }
+        i += 1
+      } else if (c == '\'') { inStr = true; sb.append(c); i += 1 }
+      else {
+        val hit = aliases.find { a =>
+          sql.regionMatches(true, i, a, 0, a.length) &&
+            i + a.length < sql.length && sql.charAt(i + a.length) == '.' &&
+            (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+              sql.charAt(i - 1) != '_') &&
+            i + a.length + 1 < sql.length &&
+            (Character.isLetter(sql.charAt(i + a.length + 1)) ||
+              sql.charAt(i + a.length + 1) == '_')
+        }
+        hit match {
+          case Some(a) =>
+            sb.append("__att_").append(a.toLowerCase).append('_')
+            i += a.length + 1
+          case None => sb.append(c); i += 1
+        }
+      }
     }
     sb.toString
   }

@@ -511,6 +511,32 @@ class EngineSpec extends AnyFunSuite {
     assert(errs.isEmpty, errs.toString)
   }
 
+  test("ATTACH/DETACH: cross-database queries through an alias") {
+    val s = newSession()
+    s.createDatabase("other")
+    s.execute("db1", "main", q("CREATE TABLE home (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO home VALUES (1), (2)"))
+    s.execute("other", "main", q("CREATE TABLE t2 (id INTEGER, v TEXT)"))
+    s.execute("other", "main", q("INSERT INTO t2 VALUES (1, 'x'), (3, 'y')"))
+    val at = s.execute("db1", "main", q("ATTACH DATABASE 'other' AS a2"))
+    assert(at.error.isEmpty, at.error)
+    val joined = s.execute("db1", "main",
+      q("SELECT home.id, a2.t2.v FROM home JOIN a2.t2 ON home.id = a2.t2.id"))
+    assert(joined.error.isEmpty, joined.error)
+    assert(joined.rows == Seq(Seq(SqlValue.IntVal(1), SqlValue.TextVal("x"))))
+    // a write on the attached db is visible on the next query (re-registered)
+    s.execute("other", "main", q("INSERT INTO t2 VALUES (2, 'z')"))
+    val again = s.execute("db1", "main",
+      q("SELECT count(*) AS n FROM a2.t2"))
+    assert(again.rows.head.head == SqlValue.IntVal(3))
+    // detach: the alias stops resolving
+    assert(s.execute("db1", "main", q("DETACH DATABASE a2")).error.isEmpty)
+    assert(s.execute("db1", "main", q("SELECT * FROM a2.t2")).error.nonEmpty)
+    // attaching a missing database errors
+    assert(s.execute("db1", "main",
+      q("ATTACH DATABASE 'ghost' AS g")).error.nonEmpty)
+  }
+
   test("fts5 external-content vtable: persisted index, MATCH via SQL") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE docs (doc_id INTEGER, body TEXT)"))
