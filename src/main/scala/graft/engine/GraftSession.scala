@@ -145,13 +145,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   def compact(db: String, branch: String, table: String): Int = {
     val cur = catalog.currentVersion(db, branch, table)
       .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
-    if (cur.paths.size <= 1) return 0
+    // FTS artifact tables of this table compact alongside it (their
+    // file-sets grow one entry per INSERT, same as the content table's)
+    val artifactFolds = catalog.ftsIndexesForTable(db, branch, table)
+      .flatMap { case (name, _) =>
+        val (pn, dn, _) = ftsArtifacts(name)
+        Seq(pn, dn).filter(t => catalog.currentVersion(db, branch, t)
+          .exists(_.paths.size > 1))
+      }.map(compact(db, branch, _)).sum
+    if (cur.paths.size <= 1) return artifactFolds
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     readVersion(cur).write.parquet(dir.toString)
     catalog.commitVersion(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString)))
-    cur.paths.size
+    cur.paths.size + artifactFolds
   }
 
   /** Execute one query against db/branch. Never throws: errors surface in
@@ -1084,6 +1092,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
               "json_patch", "json_type", "json_valid", "json_quote")
             QueryResponse(input.id, Seq("name", "builtin"),
               fns.sorted.map(f => Seq(SqlValue.TextVal(f), SqlValue.IntVal(1))))
+          case "module_list" =>
+            // the vtable modules this engine implements (reference compiles
+            // FTS5/R-Tree/Geopoly/JSON1 in, pkg/sqlite3/sqlite3.go:20-23)
+            QueryResponse(input.id, Seq("name"),
+              Seq("fts5", "rtree", "geopoly", "json_each", "json_tree")
+                .map(m => Seq(SqlValue.TextVal(m))))
           case "data_version" =>
             // monotone per-branch change counter: the max committed version
             val v = catalog.tableNames(db, branch)

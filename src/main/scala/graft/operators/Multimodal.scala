@@ -72,4 +72,36 @@ object Multimodal {
           lit(frameSize * stride))))
       .withColumn("frame", expr(s"substring($payloadCol, frame_offset + 1, $frameSize)"))
       .withColumn("frame_sha", sha2(col("frame"), 256))
+
+  case class ResizedMedia(media_id: Long, kind: String, factor: Int,
+    n_bytes: Long, payload: Array[Byte])
+
+  /** STUB resize (a real implementation would decode, scale, re-encode):
+    * average-pools the raw bytes by `factor`, shrinking the payload
+    * deterministically so the downstream plumbing — typed schema,
+    * partition-parallel transform, re-encoded binary output — is fully
+    * exercised. Iterator-in/iterator-out like decodeFeatures. */
+  def resizeStub(media: Dataset[MediaRow], factor: Int)
+      (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(factor >= 1, s"resize factor must be >= 1: $factor")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = (r.payload.length + factor - 1) / factor
+        val outBytes = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          var sum = 0
+          var k = 0
+          while (k < factor && i * factor + k < r.payload.length) {
+            sum += r.payload(i * factor + k) & 0xFF
+            k += 1
+          }
+          outBytes(i) = (sum / math.max(k, 1)).toByte
+          i += 1
+        }
+        ResizedMedia(r.media_id, r.kind, factor, n.toLong, outBytes)
+      }
+    }
+  }
 }

@@ -282,6 +282,23 @@ object Pipeline {
       .orderBy(col("media_id"))
   }
 
+  /** Video-style frame sampling over binary payloads: every 4th 64-byte
+    * frame's offset (the sampling geometry is oracle-checked; frame
+    * content hashing is exactness-tested in OperatorsSpec). */
+  def p21FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        documents(s, dir).withColumn("payload", encode(col("text"), "utf-8")),
+        "payload", frameSize = 64, stride = 4)
+      .select(col("doc_id"), col("frame_offset"))
+      .orderBy(col("doc_id"), col("frame_offset"))
+
+  val p21Oracle: String =
+    """SELECT doc_id, frame_offset
+      |FROM documents,
+      |  UNNEST(generate_series(0,
+      |    greatest(octet_length(encode(text)) - 64, 0), 256)) AS t(frame_offset)
+      |ORDER BY doc_id, frame_offset""".stripMargin
+
   /** FTS5-style MATCH with BM25 ranking: "merge window" = AND semantics.
     * The oracle mirrors the exact BM25 arithmetic (integer tf/df/dl inputs,
     * identical expression shapes, round-6 output). */
@@ -392,7 +409,8 @@ object Pipeline {
     "p13_multimodal_meta" -> (p13MultimodalMeta _),
     "p14_multimodal_decode" -> (p14MultimodalDecode _),
     "p17_embed_neardup" -> (p17EmbedNearDup _),
-    "p18_dup_clusters" -> (p18DupClusters _))
+    "p18_dup_clusters" -> (p18DupClusters _),
+    "p21_frame_sample" -> (p21FrameSample _))
 
   val oracles: Map[String, String] = Map(
     "p15_fts_match" -> p15Oracle,
@@ -408,5 +426,6 @@ object Pipeline {
     "p11_token_count" -> p11Oracle,
     "p13_multimodal_meta" -> p13Oracle,
     "p17_embed_neardup" -> p17Oracle,
-    "p18_dup_clusters" -> p18Oracle)
+    "p18_dup_clusters" -> p18Oracle,
+    "p21_frame_sample" -> p21Oracle)
 }

@@ -243,4 +243,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(strftimeToJava("%H:%M:%S") == "HH:mm:ss")
     assert(strftimeToJava("%Y%%") == "yyyy'%'")
   }
+
+  test("sampleFrames extracts the exact byte slices at strided offsets") {
+    import graft.operators.Multimodal
+    val payload = (0 until 300).map(i => ('a' + i % 26).toChar).mkString
+    val df = Seq((1L, payload)).toDF("id", "text")
+      .withColumn("payload", encode(col("text"), "utf-8"))
+    val frames = Multimodal.sampleFrames(df, "payload", frameSize = 64, stride = 2)
+      .select(col("frame_offset"), col("frame")).collect()
+      .map(r => (r.getInt(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
+      .sortBy(_._1)
+    // offsets: 0, 128, 236 is not a multiple — sequence step 128 up to 300-64=236
+    assert(frames.map(_._1).toSeq == Seq(0, 128))
+    frames.foreach { case (off, s) => assert(s == payload.substring(off, off + 64)) }
+  }
+
+  test("resizeStub average-pools bytes deterministically") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    val media = Seq(
+      Multimodal.MediaRow(1L, "img", Array[Byte](0, 2, 4, 6, 8, 10)),
+      Multimodal.MediaRow(2L, "img", Array[Byte](100, 101, 102))) // odd tail
+      .toDS()
+    val out = Multimodal.resizeStub(media, factor = 2).collect()
+      .sortBy(_.media_id)
+    assert(out(0).payload.toSeq == Seq[Byte](1, 5, 9)) // pairwise means
+    assert(out(0).n_bytes == 3L)
+    assert(out(1).payload.toSeq == Seq[Byte]((100 + 101) / 2, 102))
+    // idempotent shape: factor 1 is the identity
+    val id = Multimodal.resizeStub(media, factor = 1).collect().sortBy(_.media_id)
+    assert(id(0).payload.toSeq == Seq[Byte](0, 2, 4, 6, 8, 10))
+  }
 }
