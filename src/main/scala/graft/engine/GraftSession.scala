@@ -202,7 +202,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case "ddl" | "dml" =>
         writeQueues(db, branch).run(write(db, branch, input))
-      case "dql" => select(db, branch, input)
+      case "dql" => select(db, branch, input, key)
       case _ => stmt match {
         case attachRe(_, target, alias) =>
           attach(db, branch, unquote(alias), target)
@@ -215,7 +215,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           // SQLite (pkg/database/resolver.go) — WITH ... SELECT, VALUES and
           // parenthesized selects land here, so route them through the read
           // path; genuinely malformed SQL surfaces as a parse error.
-          select(db, branch, input)
+          select(db, branch, input, key)
       }
     }
   }
@@ -354,7 +354,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     ("""(?is)^\s*select\s+(.+?)\s+from\s+([\w"]+)\s+where\s+([\w"]+)\s+match\s+""" +
       """'((?:[^']|'')*)'\s*(order\s+by\s+[\w\s,."]+?)?\s*(limit\s+\d+(?:\s+offset\s+\d+)?)?\s*;?\s*$""").r
 
-  private def select(db: String, branch: String, input: QueryInput): QueryResponse = {
+  private def select(db: String, branch: String, input: QueryInput,
+      key: AccessKey): QueryResponse = {
     val txn = txnFor(input)
     input.statement.trim match {
       case matchRe(cols, from, target, q, orderBy, limitPart)
@@ -374,7 +375,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           else Sql.rewriteAttached(input.statement, atts.keySet)
         // plan cache (B4): parse once per (sql, key) — Spark still analyzes
         // per execution because view state may have changed.
-        planCache.get(stmt, "root")(
+        planCache.get(stmt, key.id)(
           sess.sessionState.sqlParser.parsePlan(stmt))
         val df =
           if (input.parameters.isEmpty) sess.sql(stmt)

@@ -511,6 +511,21 @@ class EngineSpec extends AnyFunSuite {
     assert(errs.isEmpty, errs.toString)
   }
 
+  test("rewriteAttached: word-bounded, string literals untouched") {
+    val as = Set("a2")
+    assert(Sql.rewriteAttached("SELECT * FROM a2.t", as) ==
+      "SELECT * FROM __att_a2_t")
+    assert(Sql.rewriteAttached("SELECT a2.t.v FROM a2.t JOIN home ON a2.t.id = home.id", as) ==
+      "SELECT __att_a2_t.v FROM __att_a2_t JOIN home ON __att_a2_t.id = home.id")
+    // not word-bounded / inside string literals: untouched
+    assert(Sql.rewriteAttached("SELECT * FROM fa2.t", as) == "SELECT * FROM fa2.t")
+    assert(Sql.rewriteAttached("SELECT 'a2.t' FROM x", as) == "SELECT 'a2.t' FROM x")
+    assert(Sql.rewriteAttached("SELECT 'it''s a2.t' FROM x", as) ==
+      "SELECT 'it''s a2.t' FROM x")
+    // a2 followed by a non-identifier is not a table ref
+    assert(Sql.rewriteAttached("SELECT a2 . 3 FROM x", as) == "SELECT a2 . 3 FROM x")
+  }
+
   test("ATTACH/DETACH: cross-database queries through an alias") {
     val s = newSession()
     s.createDatabase("other")
