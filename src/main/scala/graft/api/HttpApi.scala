@@ -341,7 +341,8 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false) {
         s""""tables":${tables.mkString("[", ",", "]")}}"""))
 
     // --- metrics -----------------------------------------------------------
-    case ("GET", "databases" :: _ :: _ :: "logs" :: "query" :: Nil) =>
+    case ("GET", "databases" :: db :: branch :: "logs" :: "query" :: Nil) =>
+      demandBranch(key, db, branch, "database:query")
       metricsJson(ex)
 
     case _ => reply(ex, 404, errorJson("not found"))

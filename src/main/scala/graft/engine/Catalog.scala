@@ -239,10 +239,20 @@ class Catalog(val root: Path) {
   def currentVersion(db: String, branch: String, table: String): Option[TableVersion] =
     synchronized { branchState(db, branch).tables.get(table).flatMap(_.lastOption) }
 
+  /** Directories handed out for in-flight writes whose versions are not
+    * yet committed: vacuum must treat them as reachable, or a concurrent
+    * GC could delete a write between its parquet output and its
+    * commitVersion. Entries clear on commit; a failed write's entry stays
+    * until restart (its directory leaks either way and the next vacuum
+    * after restart collects it). */
+  private val pendingDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Data directory for a new version's files. */
   def newVersionDir(db: String, branch: String, table: String, ts: Long): Path = {
     val p = root.resolve(db).resolve(branch).resolve(table).resolve(s"v$ts")
     Files.createDirectories(p.getParent)
+    pendingDirs.add(p.toString)
     p
   }
 
@@ -251,6 +261,7 @@ class Catalog(val root: Path) {
       v: TableVersion): TableVersion = synchronized {
     branchState(db, branch).tables
       .getOrElseUpdate(table, mutable.ArrayBuffer()) += v
+    v.paths.foreach(pendingDirs.remove)
     persist()
     v
   }
@@ -309,6 +320,7 @@ class Catalog(val root: Path) {
     val referenced: Set[String] =
       branches.values.flatMap(_.tables.values.flatMap(_.flatMap(_.paths))).toSet ++
         backups.values.flatMap(_.tables.values.flatMap(_.paths)) ++
+        pendingDirs.asScala ++ // in-flight writes not yet committed
         extraReachable // open transactions' staged file-sets (engine-level)
     val rootAbs = root.toAbsolutePath.toString
     var deleted = 0

@@ -114,10 +114,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         catalog.commitVersion(txn.db, txn.branch, t,
           v.asInstanceOf[catalog.TableVersion])
       }
+      // staged writes were not indexed during the transaction: rebuild any
+      // touched FTS index inside the same queue slot, so a concurrent
+      // INSERT's incremental index append can't interleave with the rebuild
+      txn.staged.keys.foreach(t => ftsOnRewrite(txn.db, txn.branch, t))
     }
-    // staged writes were not indexed during the transaction: rebuild any
-    // FTS index whose content table was touched, now that it is committed
-    txn.staged.keys.foreach(t => ftsOnRewrite(txn.db, txn.branch, t))
   }
 
   def rollbackTransaction(id: String): Unit = synchronized {
@@ -142,7 +143,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * runs page-log compaction every 2s (pkg/storage/page_logger.go);
     * here it is an explicit maintenance verb — at scale, a scheduled
     * OPTIMIZE-style job. Returns the number of file-sets folded. */
-  def compact(db: String, branch: String, table: String): Int = {
+  def compact(db: String, branch: String, table: String): Int =
+    // serialized with writers: a concurrent INSERT committing between the
+    // read and the re-point would otherwise be folded away
+    writeQueues(db, branch).run(compactLocked(db, branch, table))
+
+  private def compactLocked(db: String, branch: String, table: String): Int = {
     val cur = catalog.currentVersion(db, branch, table)
       .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
     // FTS artifact tables of this table compact alongside it (their
@@ -152,7 +158,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         val (pn, dn, _) = ftsArtifacts(name)
         Seq(pn, dn).filter(t => catalog.currentVersion(db, branch, t)
           .exists(_.paths.size > 1))
-      }.map(compact(db, branch, _)).sum
+      }.map(compactLocked(db, branch, _)).sum
     if (cur.paths.size <= 1) return artifactFolds
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
