@@ -168,6 +168,30 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     cur.paths.size + artifactFolds
   }
 
+  /** Register existing parquet data as a table — the bulk-ingest path.
+    * Zero-copy: the manifest points at the files in place (the lakehouse
+    * external-table idiom), so importing 100 TB is a metadata commit, not
+    * a rewrite; `copy = true` materializes a private copy under the
+    * catalog root instead (then vacuum/branch lifecycles own the bytes).
+    * Subsequent DML versions the table like any other. */
+  def importParquet(db: String, branch: String, table: String, path: String,
+      copy: Boolean = false): Long = writeQueues(db, branch).run {
+    require(catalog.currentVersion(db, branch, table).isEmpty,
+      s"table $table already exists")
+    val df = sess.read.parquet(path)
+    val n = df.count()
+    val ts = catalog.nextVersionTs()
+    val paths =
+      if (copy) {
+        val dir = catalog.newVersionDir(db, branch, table, ts)
+        df.write.parquet(dir.toString)
+        Seq(dir.toString)
+      } else Seq(path)
+    catalog.commitVersion(db, branch, table,
+      catalog.TableVersion(ts, paths, n, n, df.schema.toDDL))
+    n
+  }
+
   /** Execute one query against db/branch. Never throws: errors surface in
     * QueryResponse.error (matching the reference's per-query error shape). */
   def execute(db: String, branch: String, input: QueryInput,

@@ -511,6 +511,24 @@ class EngineSpec extends AnyFunSuite {
     assert(errs.isEmpty, errs.toString)
   }
 
+  test("importParquet registers external data zero-copy and queries it") {
+    val s = newSession()
+    val n = s.importParquet("db1", "main", "region", "/root/testdata/sf0.001/region.parquet")
+    assert(n == 5L)
+    val r = s.execute("db1", "main",
+      q("SELECT r_name FROM region ORDER BY r_regionkey LIMIT 1"))
+    assert(r.error.isEmpty, r.error)
+    assert(r.rows.head.head == SqlValue.TextVal("AFRICA"))
+    // zero-copy: the manifest points at the source path, nothing under root
+    val ver = s.catalog.currentVersion("db1", "main", "region").get
+    assert(ver.paths == Seq("/root/testdata/sf0.001/region.parquet"))
+    // imported tables version like any other on DML
+    val del = s.execute("db1", "main", q("DELETE FROM region WHERE r_regionkey > 2"))
+    assert(del.changes == 2)
+    val n2 = s.execute("db1", "main", q("SELECT count(*) AS n FROM region"))
+    assert(n2.rows.head.head == SqlValue.IntVal(3))
+  }
+
   test("rewriteAttached: word-bounded, string literals untouched") {
     val as = Set("a2")
     assert(Sql.rewriteAttached("SELECT * FROM a2.t", as) ==
