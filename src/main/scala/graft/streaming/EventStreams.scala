@@ -58,6 +58,27 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming query-metrics aggregation — the live twin of
+    * Temporal.m03 (B10's 100 TB shape): per (statement, minute bucket)
+    * count/avg/min/max + percentile_approx sketches, incremental with
+    * watermark-bounded state. The reference computes these metrics from an
+    * in-memory log on a timer (pkg/logs/query_log.go); over a query-log
+    * STREAM this is the same dataflow with mergeable sketch state. */
+  def queryMetrics(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("lat_sum"),
+        min(col("value")).as("lat_min"),
+        max(col("value")).as("lat_max"),
+        percentile_approx(col("value"), lit(0.50), lit(10000)).as("lat_p50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("lat_p90"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("lat_p99"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"),
+        (col("lat_sum") / col("n")).as("lat_avg"),
+        col("lat_min"), col("lat_max"),
+        col("lat_p50"), col("lat_p90"), col("lat_p99"))
+
   case class UserAgg(user_id: Long, events: Long, total: Double)
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)

@@ -76,6 +76,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming query metrics converge to the batch m03 aggregation") {
+    val q = EventStreams.queryMetrics(EventStreams.source(spark, eventsDir))
+      .writeStream.format("memory").queryName("qmetrics")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT CAST(bucket AS STRING), event_type, n, lat_min, lat_max
+          |FROM qmetrics""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      val batch = Tables.load(spark, SparkTestSession.sfDir, "events")
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
+        .select(col("window.start").cast("string"), col("event_type"),
+          col("n"), col("mn"), col("mx"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, (n, mn, mx)) =>
+        assert((n, mn, mx) == batch(k), s"bucket $k")
+      }
+    } finally q.stop()
+  }
+
   test("session windows produce the same sessions as the batch twin") {
     val q = EventStreams.sessionCounts(EventStreams.source(spark, eventsDir))
       .writeStream.format("memory").queryName("sessions")
