@@ -376,6 +376,33 @@ object Funcs {
       |  CAST(unhex(lower(hex(p_name))) AS VARCHAR) AS hex_roundtrip
       |FROM part WHERE p_partkey < 80 ORDER BY p_partkey""".stripMargin
 
+  /** SQLite scalar odds and ends (§2A rows 26-27, 30): negative-index
+    * substr (counts from the end, lang_corefunc.html#substr), scalar
+    * multi-arg min/max (least/greatest), nullif, sign, charset ltrim. */
+  def f17ScalarEdge(s: SparkSession, dir: String): DataFrame =
+    part(s, dir).filter(col("p_partkey") < 80)
+      .select(
+        col("p_partkey"),
+        substring(col("p_name"), -5, 3).as("tail_sub"),
+        least(col("p_partkey"), lit(10), lit(25)).as("min3"),
+        greatest(col("p_partkey"), lit(10), lit(25)).as("max3"),
+        nullif(col("p_partkey") % 10, lit(0)).as("nz"),
+        signum(col("p_retailprice") - 1200.0).cast("long").as("sgn"),
+        ltrim(col("p_brand"), "Brand#").as("brand_id"),
+        abs(col("p_partkey") - lit(40)).as("dist40"))
+      .orderBy(col("p_partkey"))
+
+  val f17Oracle: String =
+    """SELECT p_partkey,
+      |  substring(p_name, -5, 3) AS tail_sub,
+      |  least(p_partkey, 10, 25) AS min3,
+      |  greatest(p_partkey, 10, 25) AS max3,
+      |  nullif(p_partkey % 10, 0) AS nz,
+      |  CAST(sign(p_retailprice - 1200.0) AS BIGINT) AS sgn,
+      |  ltrim(p_brand, 'Brand#') AS brand_id,
+      |  abs(p_partkey - 40) AS dist40
+      |FROM part WHERE p_partkey < 80 ORDER BY p_partkey""".stripMargin
+
   /** JSON1 mutation surface (§2A row 29): json_set/remove/patch/type/
     * valid/quote via graft.functions.JsonFunctions (Jackson UDFs; the
     * extraction hot path stays native, f04). DuckDB mirrors: set/remove/
@@ -409,6 +436,7 @@ object Funcs {
 
   val queries: Map[String, QueryFn] = Map(
     "f16_json_mutation" -> (f16JsonMutation _),
+    "f17_scalar_edge" -> (f17ScalarEdge _),
     "f12_date_modifiers" -> (f12DateModifiers _),
     "f13_json_construct" -> (f13JsonConstruct _),
     "f14_string_extras" -> (f14StringExtras _),
@@ -426,6 +454,7 @@ object Funcs {
 
   val oracles: Map[String, String] = Map(
     "f16_json_mutation" -> f16Oracle,
+    "f17_scalar_edge" -> f17Oracle,
     "f12_date_modifiers" -> f12Oracle,
     "f13_json_construct" -> f13Oracle,
     "f14_string_extras" -> f14Oracle,
