@@ -505,7 +505,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   private def unquote(n: String): String = n.replace("\"", "").toLowerCase
 
+  /** Parsed ON CONFLICT clause: conflict-target columns, optional SET
+    * assignments (None = DO NOTHING), optional DO UPDATE ... WHERE. */
+  case class Upsert(cols: Seq[String], set: Option[String], where: Option[String])
+
   private val returningRe = """(?is)^(.*)\s+returning\s+(.+?)\s*;?\s*$""".r
+  // SQLite UPSERT (3.24+, upsert.html): INSERT ... ON CONFLICT (cols)
+  // DO NOTHING | DO UPDATE SET assignments [WHERE cond]
+  private val onConflictRe =
+    """(?is)^(.*?)\s+on\s+conflict\s*\(([^)]*)\)\s*do\s+(nothing|update\s+set\s+.+?)\s*;?\s*$""".r
+  private val doUpdateRe =
+    """(?is)^update\s+set\s+(.+?)(\s+where\s+(.+?))?\s*$""".r
 
   private def write(db: String, branch: String, input: QueryInput): QueryResponse = {
     val full = Sql.substituteParams(input.statement, input.parameters)
@@ -520,7 +530,23 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       case _ => (full, None)
     }
     val txn = txnFor(input)
-    stmt match {
+    // peel a trailing ON CONFLICT clause off INSERT statements; the insert
+    // handlers receive it as the upsert spec
+    val (stmt2, conflict) = stmt match {
+      case onConflictRe(body, cols, action)
+          if stmt.trim.regionMatches(true, 0, "insert", 0, 6) =>
+        val cc = Sql.splitTopLevel(cols, ',').map(c => unquote(c.trim))
+        val act = action.trim
+        if (act.equalsIgnoreCase("nothing")) (body, Some(Upsert(cc, None, None)))
+        else act match {
+          case doUpdateRe(setPart, _, wherePart) =>
+            (body, Some(Upsert(cc, Some(setPart), Option(wherePart))))
+          case _ =>
+            throw new IllegalArgumentException(s"malformed ON CONFLICT: $act")
+        }
+      case _ => (stmt, None)
+    }
+    stmt2 match {
       case createVirtualRe(ifNot, name, argsPart) =>
         createFtsVtable(db, branch, unquote(name), argsPart, ifNot != null)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
@@ -564,9 +590,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         alterAddColumn(db, branch, unquote(name), unquote(colName), colType)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case insertValuesRe(name, _, cols, valuesPart) =>
-        insertValues(db, branch, unquote(name), Option(cols), valuesPart, input, txn, ret)
+        insertValues(db, branch, unquote(name), Option(cols), valuesPart, input, txn, ret, conflict)
       case insertSelectRe(name, _, cols, sel) =>
-        insertSelect(db, branch, unquote(name), Option(cols), sel, input, txn, ret)
+        insertSelect(db, branch, unquote(name), Option(cols), sel, input, txn, ret, conflict)
       case updateRe(name, setPart, _, wherePart) =>
         // SQLite 3.33 UPDATE...FROM: a top-level FROM inside the SET
         // capture (never inside parens/strings) marks the join form
@@ -684,7 +710,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   private def insertValues(db: String, branch: String, table: String,
       cols: Option[String], valuesPart: String, input: QueryInput,
-      txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
+      txn: Option[Txn], ret: Option[String] = None,
+      conflict: Option[Upsert] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
@@ -694,12 +721,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val valuesDf = sess.sql(
       s"SELECT * FROM ($tuples) AS v(${colNames.mkString(", ")})")
     val aligned = alignToSchema(valuesDf, colNames, schema)
-    appendRows(db, branch, table, cur, aligned, input, txn, ret)
+    appendRows(db, branch, table, cur, aligned, input, txn, ret, conflict)
   }
 
   private def insertSelect(db: String, branch: String, table: String,
       cols: Option[String], sel: String, input: QueryInput,
-      txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
+      txn: Option[Txn], ret: Option[String] = None,
+      conflict: Option[Upsert] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     registerViews(db, branch, txn)
@@ -707,7 +735,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
       .getOrElse(schema.fieldNames.toSeq)
     appendRows(db, branch, table, cur,
-      alignToSchema(df.toDF(colNames: _*), colNames, schema), input, txn, ret)
+      alignToSchema(df.toDF(colNames: _*), colNames, schema), input, txn, ret,
+      conflict)
   }
 
   /** Null-fill unmentioned columns and cast to the table schema. */
@@ -724,7 +753,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   private def appendRows(db: String, branch: String, table: String,
       cur: Catalog#TableVersion, rows: DataFrame, input: QueryInput,
-      txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
+      txn: Option[Txn], ret: Option[String] = None,
+      conflict: Option[Upsert] = None): QueryResponse = {
+    conflict.foreach { up =>
+      return doUpsert(db, branch, table, cur, rows, up, input, txn, ret)
+    }
     // bare FTS vtable backing tables auto-assign rowids (fts5's implicit
     // rowid): fill nulls from the maxRowId counter. The row_number window
     // spans only this INSERT batch, never the stored table.
@@ -751,6 +784,87 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val (rcols, rrows) = returningRows(sess.read.parquet(dir.toString), ret)
     QueryResponse(input.id, rcols, rrows, changes = n,
       lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
+  }
+
+  /** SQLite UPSERT (upsert.html), batch semantics: a "conflict" is an
+    * existing row (or earlier batch row — first survivor wins) with equal
+    * conflict-target column values. DO NOTHING appends only non-conflicting
+    * rows; DO UPDATE rewrites matched rows with the SET assignments —
+    * `excluded.c` reads the arriving row, bare columns read the target row,
+    * exactly SQLite's scoping — and appends the rest. `changes` counts
+    * updated + inserted rows, like SQLite's changes() after an upsert. */
+  private def doUpsert(db: String, branch: String, table: String,
+      cur: Catalog#TableVersion, aligned: DataFrame, up: Upsert,
+      input: QueryInput, txn: Option[Txn], ret: Option[String]): QueryResponse = {
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    up.cols.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(s"no such column: $c")
+    }
+    readVersion(cur).createOrReplaceTempView("__graft_target")
+    // one survivor per conflict key within the arriving batch
+    val exc = aligned.dropDuplicates(up.cols)
+      .select(schema.fieldNames.map(f => col(f).as(s"__exc_$f")) :+
+        lit(1).as("__exc_m"): _*)
+    exc.createOrReplaceTempView("__graft_excluded")
+    val joinCond = up.cols.map(c => s"t.`$c` <=> e.`__exc_$c`").mkString(" AND ")
+    val insertSelectList =
+      schema.fieldNames.map(f => s"e.`__exc_$f` AS `$f`").mkString(", ")
+    val toInsert = sess.sql(
+      s"""SELECT $insertSelectList FROM __graft_excluded e
+         |LEFT ANTI JOIN __graft_target t ON $joinCond""".stripMargin)
+    up.set match {
+      case None => // DO NOTHING: append the non-conflicting rows only
+        val n = toInsert.count()
+        val ts = catalog.nextVersionTs()
+        val dir = catalog.newVersionDir(db, branch, table, ts)
+        toInsert.write.parquet(dir.toString)
+        commitOrStage(db, branch, table,
+          catalog.TableVersion(ts, cur.paths :+ dir.toString,
+            cur.rowCount + n, cur.maxRowId + n, cur.schemaDdl), txn)
+        if (txn.isEmpty) ftsOnAppend(db, branch, table, sess.read.parquet(dir.toString))
+        val (rcols, rrows) = returningRows(sess.read.parquet(dir.toString), ret)
+        QueryResponse(input.id, rcols, rrows, changes = n,
+          lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
+      case Some(setPart) => // DO UPDATE SET ... [WHERE ...]
+        val whereCond = up.where
+          .map(w => Sql.rewriteExcluded(w)).getOrElse("TRUE")
+        val sets = Sql.splitTopLevel(setPart, ',').map { a =>
+          val Array(l, r) = a.split("=", 2)
+          unquote(l.trim) -> Sql.rewriteExcluded(r.trim)
+        }.toMap
+        val upd = s"(e.__exc_m IS NOT NULL AND ($whereCond))"
+        val proj = schema.fieldNames.map { f =>
+          sets.get(f) match {
+            case Some(e) =>
+              s"CASE WHEN $upd THEN CAST(($e) AS ${schema(f).dataType.sql}) ELSE t.`$f` END AS `$f`"
+            case None => s"t.`$f` AS `$f`"
+          }
+        }
+        val rewritten = sess.sql(
+          s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
+             |LEFT JOIN __graft_excluded e ON $joinCond""".stripMargin)
+        val updCount = sess.sql(
+          s"""SELECT count(*) FROM __graft_target t
+             |JOIN __graft_excluded e ON $joinCond WHERE ($whereCond)""".stripMargin)
+          .head().getLong(0)
+        val insCount = toInsert.count()
+        val ts = catalog.nextVersionTs()
+        val dir = catalog.newVersionDir(db, branch, table, ts)
+        rewritten.unionByName(toInsert).write.parquet(dir.toString)
+        commitOrStage(db, branch, table,
+          catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount + insCount,
+            cur.maxRowId + insCount, cur.schemaDdl), txn)
+        if (txn.isEmpty) ftsOnRewrite(db, branch, table)
+        // RETURNING sees post-update values of matched rows + inserted rows
+        val (rcols, rrows) = returningRows(sess.sql(
+          s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
+             |JOIN __graft_excluded e ON $joinCond WHERE ($whereCond)""".stripMargin)
+          .unionByName(toInsert), ret)
+        QueryResponse(input.id, rcols, rrows, changes = updCount + insCount,
+          lastInsertRowId = cur.maxRowId + insCount,
+          transactionId = input.transactionId)
+    }
   }
 
   private def updateTable(db: String, branch: String, table: String,
@@ -1247,6 +1361,35 @@ object Sql {
         case _ => sb.append(c)
       }
       i += 1
+    }
+    sb.toString
+  }
+
+  /** Rewrite `excluded.ident` references (SQLite upsert.html's arriving-row
+    * alias) onto the renamed excluded-view columns (`e.__exc_<ident>`),
+    * skipping string literals — so bare column names keep resolving to the
+    * target row like SQLite scopes them. */
+  def rewriteExcluded(sqlText: String): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < sqlText.length) {
+      val c = sqlText.charAt(i)
+      if (inStr) {
+        sb.append(c)
+        if (c == '\'') {
+          if (i + 1 < sqlText.length && sqlText.charAt(i + 1) == '\'') {
+            sb.append('\''); i += 1
+          } else inStr = false
+        }
+        i += 1
+      } else if (c == '\'') { inStr = true; sb.append(c); i += 1 }
+      else if (sqlText.regionMatches(true, i, "excluded.", 0, 9) &&
+          (i == 0 || (!Character.isLetterOrDigit(sqlText.charAt(i - 1)) &&
+            sqlText.charAt(i - 1) != '_' && sqlText.charAt(i - 1) != '.'))) {
+        sb.append("e.__exc_")
+        i += 9
+      } else { sb.append(c); i += 1 }
     }
     sb.toString
   }

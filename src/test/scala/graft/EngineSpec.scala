@@ -511,6 +511,47 @@ class EngineSpec extends AnyFunSuite {
     assert(errs.isEmpty, errs.toString)
   }
 
+  test("UPSERT: ON CONFLICT DO NOTHING and DO UPDATE with excluded refs") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE inv (sku INTEGER, qty INTEGER, note TEXT)"))
+    s.execute("db1", "main", q("INSERT INTO inv VALUES (1, 10, 'a'), (2, 20, 'b')"))
+    // DO NOTHING: conflicting row dropped, new row inserted
+    val dn = s.execute("db1", "main", q(
+      "INSERT INTO inv VALUES (1, 99, 'x'), (3, 30, 'c') ON CONFLICT (sku) DO NOTHING"))
+    assert(dn.error.isEmpty, dn.error)
+    assert(dn.changes == 1)
+    val afterDn = s.execute("db1", "main",
+      q("SELECT sku, qty FROM inv ORDER BY sku"))
+    assert(afterDn.rows.map(r => (r(0), r(1))) == Seq(
+      (SqlValue.IntVal(1), SqlValue.IntVal(10)),
+      (SqlValue.IntVal(2), SqlValue.IntVal(20)),
+      (SqlValue.IntVal(3), SqlValue.IntVal(30))))
+    // DO UPDATE: bare qty = target row, excluded.qty = arriving row
+    val du = s.execute("db1", "main", q(
+      "INSERT INTO inv VALUES (1, 5, 'new1'), (4, 40, 'd') " +
+        "ON CONFLICT (sku) DO UPDATE SET qty = qty + excluded.qty, note = excluded.note"))
+    assert(du.error.isEmpty, du.error)
+    assert(du.changes == 2) // 1 updated + 1 inserted
+    val afterDu = s.execute("db1", "main",
+      q("SELECT sku, qty, note FROM inv ORDER BY sku"))
+    assert(afterDu.rows.map(r => (r(0), r(1), r(2))) == Seq(
+      (SqlValue.IntVal(1), SqlValue.IntVal(15), SqlValue.TextVal("new1")),
+      (SqlValue.IntVal(2), SqlValue.IntVal(20), SqlValue.TextVal("b")),
+      (SqlValue.IntVal(3), SqlValue.IntVal(30), SqlValue.TextVal("c")),
+      (SqlValue.IntVal(4), SqlValue.IntVal(40), SqlValue.TextVal("d"))))
+    // DO UPDATE ... WHERE: update applies only when the predicate holds
+    val dw = s.execute("db1", "main", q(
+      "INSERT INTO inv VALUES (2, 1, 'z'), (3, 1, 'z') " +
+        "ON CONFLICT (sku) DO UPDATE SET qty = excluded.qty WHERE qty > 25"))
+    assert(dw.error.isEmpty, dw.error)
+    assert(dw.changes == 1) // only sku 3 (qty 30 > 25) updated; none inserted
+    val afterDw = s.execute("db1", "main",
+      q("SELECT sku, qty FROM inv WHERE sku IN (2, 3) ORDER BY sku"))
+    assert(afterDw.rows.map(r => (r(0), r(1))) == Seq(
+      (SqlValue.IntVal(2), SqlValue.IntVal(20)),
+      (SqlValue.IntVal(3), SqlValue.IntVal(1))))
+  }
+
   test("importParquet registers external data zero-copy and queries it") {
     val s = newSession()
     val n = s.importParquet("db1", "main", "region", "/root/testdata/sf0.001/region.parquet")
