@@ -130,7 +130,7 @@ object Authorizer {
   // DML/DDL target extraction (the reference gets this from SQLite's
   // authorizer callback arg1; we regex the verb's target)
   private val dmlTargetRe =
-    """(?is)^\s*(?:insert\s+into|update|delete\s+from)\s+([\w"]+).*$""".r
+    """(?is)^\s*(?:insert\s+(?:or\s+\w+\s+)?into|update|delete\s+from)\s+([\w"]+).*$""".r
   private val ddlTargetRe =
     ("""(?is)^\s*(?:create\s+(?:virtual\s+)?table\s+(?:if\s+not\s+exists\s+)?|""" +
       """drop\s+table\s+(?:if\s+exists\s+)?|alter\s+table\s+)([\w"]+).*$""").r

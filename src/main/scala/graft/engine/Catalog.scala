@@ -36,9 +36,13 @@ case class FtsIndexDef(table: String, textCols: String, idCol: String)
 
 class Catalog(val root: Path) {
 
-  /** One committed state of a table: file-set + bookkeeping. */
+  /** One committed state of a table: file-set + bookkeeping. `pk` records
+    * declared PRIMARY KEY columns (drives INSERT OR REPLACE/IGNORE's
+    * conflict target — not enforced as a constraint, SURVEY §7.5);
+    * `defaults` maps column -> DEFAULT expression text. */
   case class TableVersion(ts: Long, paths: Seq[String], rowCount: Long,
-      maxRowId: Long, schemaDdl: String)
+      maxRowId: Long, schemaDdl: String, pk: Seq[String] = Nil,
+      defaults: Map[String, String] = Map.empty)
 
   case class BranchState(tables: mutable.Map[String, mutable.ArrayBuffer[TableVersion]])
 
@@ -77,6 +81,11 @@ class Catalog(val root: Path) {
           vn.put("ts", v.ts); vn.put("rowCount", v.rowCount)
           vn.put("maxRowId", v.maxRowId); vn.put("schemaDdl", v.schemaDdl)
           val ps = vn.putArray("paths"); v.paths.foreach(ps.add)
+          if (v.pk.nonEmpty) { val pa = vn.putArray("pk"); v.pk.foreach(pa.add) }
+          if (v.defaults.nonEmpty) {
+            val dn = vn.putObject("defaults")
+            v.defaults.foreach { case (k, e) => dn.put(k, e) }
+          }
         }
       }
     }
@@ -119,7 +128,10 @@ class Catalog(val root: Path) {
           vs += TableVersion(vn.path("ts").asLong(),
             vn.path("paths").elements().asScala.map(_.asText()).toSeq,
             vn.path("rowCount").asLong(), vn.path("maxRowId").asLong(),
-            vn.path("schemaDdl").asText())
+            vn.path("schemaDdl").asText(),
+            vn.path("pk").elements().asScala.map(_.asText()).toSeq,
+            vn.path("defaults").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap)
         }
         st.tables(t.getKey) = vs
       }

@@ -516,6 +516,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     """(?is)^(.*?)\s+on\s+conflict\s*\(([^)]*)\)\s*do\s+(nothing|update\s+set\s+.+?)\s*;?\s*$""".r
   private val doUpdateRe =
     """(?is)^update\s+set\s+(.+?)(\s+where\s+(.+?))?\s*$""".r
+  // SQLite's older conflict clause (lang_conflict.html): OR REPLACE / OR
+  // IGNORE resolve against the declared PRIMARY KEY
+  private val insertOrRe =
+    """(?is)^\s*insert\s+or\s+(replace|ignore)\s+into\s+(.*)$""".r
 
   private def write(db: String, branch: String, input: QueryInput): QueryResponse = {
     val full = Sql.substituteParams(input.statement, input.parameters)
@@ -546,7 +550,28 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         }
       case _ => (stmt, None)
     }
-    stmt2 match {
+    // INSERT OR REPLACE/IGNORE: rewrite onto the upsert machinery with the
+    // table's declared PRIMARY KEY as the conflict target. REPLACE is
+    // full-row replacement (SQLite deletes + reinserts, so every non-pk
+    // column takes the arriving row's value); without a declared pk the
+    // statement degrades to a plain INSERT — no constraint, no conflict.
+    val (stmt3, conflict2) = stmt2 match {
+      case insertOrRe(how, rest) if conflict.isEmpty =>
+        val tableName = unquote(rest.trim.split("[\\s(]")(0))
+        val cur = currentOrStaged(db, branch, tableName, txn)
+        if (cur.pk.isEmpty) (s"INSERT INTO $rest", None)
+        else if (how.equalsIgnoreCase("ignore"))
+          (s"INSERT INTO $rest", Some(Upsert(cur.pk, None, None)))
+        else {
+          val nonPk = StructType.fromDDL(cur.schemaDdl).fieldNames
+            .filterNot(cur.pk.contains)
+          val sets = nonPk.map(f => s"$f = excluded.$f").mkString(", ")
+          (s"INSERT INTO $rest",
+            Some(Upsert(cur.pk, if (sets.isEmpty) None else Some(sets), None)))
+        }
+      case _ => (stmt2, conflict)
+    }
+    stmt3 match {
       case createVirtualRe(ifNot, name, argsPart) =>
         createFtsVtable(db, branch, unquote(name), argsPart, ifNot != null)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
@@ -590,9 +615,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         alterAddColumn(db, branch, unquote(name), unquote(colName), colType)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case insertValuesRe(name, _, cols, valuesPart) =>
-        insertValues(db, branch, unquote(name), Option(cols), valuesPart, input, txn, ret, conflict)
+        insertValues(db, branch, unquote(name), Option(cols), valuesPart, input, txn, ret, conflict2)
       case insertSelectRe(name, _, cols, sel) =>
-        insertSelect(db, branch, unquote(name), Option(cols), sel, input, txn, ret, conflict)
+        insertSelect(db, branch, unquote(name), Option(cols), sel, input, txn, ret, conflict2)
       case updateRe(name, setPart, _, wherePart) =>
         // SQLite 3.33 UPDATE...FROM: a top-level FROM inside the SET
         // capture (never inside parens/strings) marks the join form
@@ -610,6 +635,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     }
   }
 
+  private val defaultRe = """(?is).*\bdefault\s+('(?:[^']|'')*'|\([^)]*\)|\S+).*""".r
+  private val tablePkRe = """(?is)^primary\s+key\s*\(([^)]*)\).*$""".r
+
   private def createTable(db: String, branch: String, name: String,
       colDefs: String, ifNotExists: Boolean): Unit = {
     if (catalog.currentVersion(db, branch, name).isDefined ||
@@ -617,18 +645,36 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       if (ifNotExists) return
       throw new IllegalArgumentException(s"table $name already exists")
     }
-    val fields = Sql.splitTopLevel(colDefs, ',').map(_.trim)
+    val entries = Sql.splitTopLevel(colDefs, ',').map(_.trim)
+    // table-level PRIMARY KEY (a, b) — recorded for INSERT OR
+    // REPLACE/IGNORE's conflict target, never enforced (SURVEY §7.5)
+    val tablePk = entries.collectFirst {
+      case tablePkRe(cols) =>
+        Sql.splitTopLevel(cols, ',').map(c => unquote(c.trim))
+    }.getOrElse(Nil)
+    val colEntries = entries
       .filterNot(c => c.toUpperCase.startsWith("PRIMARY KEY") ||
         c.toUpperCase.startsWith("FOREIGN KEY") || c.toUpperCase.startsWith("UNIQUE") ||
         c.toUpperCase.startsWith("CHECK") || c.toUpperCase.startsWith("CONSTRAINT"))
-      .map { c =>
-        val parts = c.split("\\s+", 2)
-        StructField(unquote(parts(0)),
-          sqliteTypeToSpark(if (parts.length > 1) parts(1) else ""))
+    val fields = colEntries.map { c =>
+      val parts = c.split("\\s+", 2)
+      StructField(unquote(parts(0)),
+        sqliteTypeToSpark(if (parts.length > 1) parts(1) else ""))
+    }
+    val columnPk = colEntries.collect {
+      case c if c.toUpperCase.contains("PRIMARY KEY") =>
+        unquote(c.split("\\s+", 2)(0))
+    }
+    val defaults = colEntries.flatMap { c =>
+      c match {
+        case defaultRe(e) => Some(unquote(c.split("\\s+", 2)(0)) -> e)
+        case _ => None
       }
+    }.toMap
     val ts = catalog.nextVersionTs()
     catalog.commitVersion(db, branch, name,
-      catalog.TableVersion(ts, Nil, 0L, 0L, StructType(fields).toDDL))
+      catalog.TableVersion(ts, Nil, 0L, 0L, StructType(fields).toDDL,
+        if (tablePk.nonEmpty) tablePk else columnPk, defaults))
   }
 
   /** Shared ALTER ... RENAME COLUMN / DROP COLUMN (SQLite 3.25/3.35):
@@ -720,7 +766,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val tuples = s"VALUES ${valuesPart}"
     val valuesDf = sess.sql(
       s"SELECT * FROM ($tuples) AS v(${colNames.mkString(", ")})")
-    val aligned = alignToSchema(valuesDf, colNames, schema)
+    val aligned = alignToSchema(valuesDf, colNames, schema, cur.defaults)
     appendRows(db, branch, table, cur, aligned, input, txn, ret, conflict)
   }
 
@@ -735,18 +781,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
       .getOrElse(schema.fieldNames.toSeq)
     appendRows(db, branch, table, cur,
-      alignToSchema(df.toDF(colNames: _*), colNames, schema), input, txn, ret,
-      conflict)
+      alignToSchema(df.toDF(colNames: _*), colNames, schema, cur.defaults),
+      input, txn, ret, conflict)
   }
 
-  /** Null-fill unmentioned columns and cast to the table schema. */
+  /** Fill unmentioned columns with their declared DEFAULT (else null) and
+    * cast to the table schema. */
   private def alignToSchema(df: DataFrame, colNames: Seq[String],
-      schema: StructType): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+      schema: StructType, defaults: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
     val named = df.toDF(colNames: _*)
     val projected = schema.fields.map { f =>
       if (colNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      else defaults.get(f.name)
+        .map(d => expr(d).cast(f.dataType).as(f.name))
+        .getOrElse(lit(null).cast(f.dataType).as(f.name))
     }
     named.select(projected.toSeq: _*)
   }
@@ -773,8 +822,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     toWrite.write.parquet(dir.toString)
-    val v = catalog.TableVersion(ts, cur.paths :+ dir.toString,
-      cur.rowCount + n, cur.maxRowId + n, cur.schemaDdl)
+    val v = cur.copy(ts = ts, paths = cur.paths :+ dir.toString,
+      rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n)
+      .asInstanceOf[catalog.TableVersion]
     commitOrStage(db, branch, table, v, txn)
     // index maintenance: incremental append over just the new rows;
     // transaction-staged writes are indexed at commit instead
@@ -820,8 +870,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         val dir = catalog.newVersionDir(db, branch, table, ts)
         toInsert.write.parquet(dir.toString)
         commitOrStage(db, branch, table,
-          catalog.TableVersion(ts, cur.paths :+ dir.toString,
-            cur.rowCount + n, cur.maxRowId + n, cur.schemaDdl), txn)
+          cur.copy(ts = ts, paths = cur.paths :+ dir.toString,
+            rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n)
+            .asInstanceOf[catalog.TableVersion], txn)
         if (txn.isEmpty) ftsOnAppend(db, branch, table, sess.read.parquet(dir.toString))
         val (rcols, rrows) = returningRows(sess.read.parquet(dir.toString), ret)
         QueryResponse(input.id, rcols, rrows, changes = n,
@@ -853,8 +904,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         val dir = catalog.newVersionDir(db, branch, table, ts)
         rewritten.unionByName(toInsert).write.parquet(dir.toString)
         commitOrStage(db, branch, table,
-          catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount + insCount,
-            cur.maxRowId + insCount, cur.schemaDdl), txn)
+          cur.copy(ts = ts, paths = Seq(dir.toString),
+            rowCount = cur.rowCount + insCount,
+            maxRowId = cur.maxRowId + insCount)
+            .asInstanceOf[catalog.TableVersion], txn)
         if (txn.isEmpty) ftsOnRewrite(db, branch, table)
         // RETURNING sees post-update values of matched rows + inserted rows
         val (rcols, rrows) = returningRows(sess.sql(
@@ -893,8 +946,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
     commitOrStage(db, branch, table,
-      catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount, cur.maxRowId,
-        cur.schemaDdl), txn)
+      cur.copy(ts = ts, paths = Seq(dir.toString))
+        .asInstanceOf[catalog.TableVersion], txn)
     if (txn.isEmpty) ftsOnRewrite(db, branch, table)
     // RETURNING sees the post-update values of the matched rows
     val (rcols, rrows) = returningRows(sess.sql(
@@ -947,8 +1000,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
     commitOrStage(db, branch, table,
-      catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount, cur.maxRowId,
-        cur.schemaDdl), txn)
+      cur.copy(ts = ts, paths = Seq(dir.toString))
+        .asInstanceOf[catalog.TableVersion], txn)
     if (txn.isEmpty) ftsOnRewrite(db, branch, table)
     val (rcols, rrows) = returningRows(sess.sql(
       s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
@@ -972,8 +1025,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val dir = catalog.newVersionDir(db, branch, table, ts)
     remaining.write.parquet(dir.toString)
     commitOrStage(db, branch, table,
-      catalog.TableVersion(ts, Seq(dir.toString), cur.rowCount - changes,
-        cur.maxRowId, cur.schemaDdl), txn)
+      cur.copy(ts = ts, paths = Seq(dir.toString),
+        rowCount = cur.rowCount - changes)
+        .asInstanceOf[catalog.TableVersion], txn)
     if (txn.isEmpty) ftsOnRewrite(db, branch, table)
     // RETURNING sees the deleted rows' (old) values
     val (rcols, rrows) = returningRows(sess.sql(

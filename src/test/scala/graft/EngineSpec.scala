@@ -552,6 +552,39 @@ class EngineSpec extends AnyFunSuite {
       (SqlValue.IntVal(3), SqlValue.IntVal(1))))
   }
 
+  test("INSERT OR REPLACE/IGNORE resolve on the declared primary key; DEFAULTs fill") {
+    val s = newSession()
+    s.execute("db1", "main", q(
+      "CREATE TABLE cfg (k TEXT PRIMARY KEY, v INTEGER, tag TEXT DEFAULT 'std')"))
+    val i1 = s.execute("db1", "main",
+      q("INSERT INTO cfg (k, v) VALUES ('a', 1), ('b', 2)"))
+    assert(i1.error.isEmpty, i1.error)
+    // DEFAULT applied to the unmentioned column
+    val d = s.execute("db1", "main", q("SELECT tag FROM cfg WHERE k = 'a'"))
+    assert(d.rows.head.head == SqlValue.TextVal("std"))
+    // OR REPLACE: full-row replacement on pk conflict (tag resets to default)
+    val rep = s.execute("db1", "main",
+      q("INSERT OR REPLACE INTO cfg (k, v) VALUES ('a', 10), ('c', 3)"))
+    assert(rep.error.isEmpty, rep.error)
+    assert(rep.changes == 2)
+    val afterRep = s.execute("db1", "main",
+      q("SELECT k, v FROM cfg ORDER BY k"))
+    assert(afterRep.rows.map(r => (r(0), r(1))) == Seq(
+      (SqlValue.TextVal("a"), SqlValue.IntVal(10)),
+      (SqlValue.TextVal("b"), SqlValue.IntVal(2)),
+      (SqlValue.TextVal("c"), SqlValue.IntVal(3))))
+    // OR IGNORE: conflicting row dropped silently
+    val ign = s.execute("db1", "main",
+      q("INSERT OR IGNORE INTO cfg (k, v) VALUES ('b', 99), ('d', 4)"))
+    assert(ign.error.isEmpty, ign.error)
+    assert(ign.changes == 1)
+    val afterIgn = s.execute("db1", "main",
+      q("SELECT v FROM cfg WHERE k IN ('b', 'd') ORDER BY k"))
+    assert(afterIgn.rows.map(_.head) == Seq(SqlValue.IntVal(2), SqlValue.IntVal(4)))
+    // pk survives restarts via the manifest
+    assert(s.catalog.currentVersion("db1", "main", "cfg").get.pk == Seq("k"))
+  }
+
   test("importParquet registers external data zero-copy and queries it") {
     val s = newSession()
     val n = s.importParquet("db1", "main", "region", "/root/testdata/sf0.001/region.parquet")
