@@ -49,6 +49,9 @@ class Catalog(val root: Path) {
   private val databases = mutable.LinkedHashMap[String, Long]() // name -> createdAt
   private val branches = mutable.LinkedHashMap[(String, String), BranchState]()
   private val ftsDefs = mutable.LinkedHashMap[(String, String, String), FtsIndexDef]()
+  // SQL view definitions, insertion-ordered so views-on-views re-register
+  // in dependency order (a view can only reference names created before it)
+  private val viewDefs = mutable.LinkedHashMap[(String, String, String), String]()
   private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   Files.createDirectories(root)
@@ -88,6 +91,11 @@ class Catalog(val root: Path) {
           }
         }
       }
+    }
+    val vws = rootNode.putArray("views")
+    viewDefs.foreach { case ((db, br, name), sql) =>
+      val n = vws.addObject()
+      n.put("db", db); n.put("branch", br); n.put("name", name); n.put("sql", sql)
     }
     val fts = rootNode.putArray("ftsIndexes")
     ftsDefs.foreach { case ((db, br, name), d) =>
@@ -137,6 +145,10 @@ class Catalog(val root: Path) {
       }
       branches((b.path("db").asText(), b.path("branch").asText())) = st
     }
+    rootNode.path("views").elements().asScala.foreach { n =>
+      viewDefs((n.path("db").asText(), n.path("branch").asText(),
+        n.path("name").asText())) = n.path("sql").asText()
+    }
     rootNode.path("ftsIndexes").elements().asScala.foreach { n =>
       ftsDefs((n.path("db").asText(), n.path("branch").asText(),
         n.path("name").asText())) = FtsIndexDef(n.path("table").asText(),
@@ -181,6 +193,7 @@ class Catalog(val root: Path) {
     databases.remove(name)
     branches.keys.toSeq.filter(_._1 == name).foreach(branches.remove)
     ftsDefs.keys.toSeq.filter(_._1 == name).foreach(ftsDefs.remove)
+    viewDefs.keys.toSeq.filter(_._1 == name).foreach(viewDefs.remove)
     persist()
   }
 
@@ -198,6 +211,9 @@ class Catalog(val root: Path) {
     ftsDefs.toSeq.collect { case ((d, b, n), defn) if d == db && b == parent =>
       ftsDefs((d, name, n)) = defn
     }
+    viewDefs.toSeq.collect { case ((d, b, n), sql) if d == db && b == parent =>
+      viewDefs((d, name, n)) = sql
+    }
     persist()
   }
 
@@ -209,8 +225,31 @@ class Catalog(val root: Path) {
     branches.remove((db, branch))
       .getOrElse(throw new IllegalArgumentException(s"branch $db/$branch not found"))
     ftsDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(ftsDefs.remove)
+    viewDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(viewDefs.remove)
     persist()
   }
+
+  // --- SQL views -----------------------------------------------------------
+
+  def putView(db: String, branch: String, name: String, sql: String): Unit =
+    synchronized { viewDefs((db, branch, name)) = sql; persist() }
+
+  /** Views of db/branch in creation order. */
+  def views(db: String, branch: String): Seq[(String, String)] = synchronized {
+    viewDefs.toSeq.collect { case ((d, b, n), sql) if d == db && b == branch =>
+      (n, sql)
+    }
+  }
+
+  def viewDef(db: String, branch: String, name: String): Option[String] =
+    synchronized(viewDefs.get((db, branch, name)))
+
+  def dropView(db: String, branch: String, name: String): Boolean =
+    synchronized {
+      val existed = viewDefs.remove((db, branch, name)).isDefined
+      if (existed) persist()
+      existed
+    }
 
   // --- FTS index definitions (data lives in ordinary catalog tables) -------
 

@@ -330,8 +330,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             .map(v => (s"__att_${alias}_$t", tdb, tbr, v))
         }
     }
+    val sqlViews = catalog.views(db, branch)
     val live = catalog.tableNames(db, branch).toSet ++
-      txn.map(_.staged.keySet.toSet).getOrElse(Set.empty) ++ attached.map(_._1)
+      txn.map(_.staged.keySet.toSet).getOrElse(Set.empty) ++
+      attached.map(_._1) ++ sqlViews.map(_._1)
     (reg.keySet -- live).toSeq.foreach { v =>
       s.catalog.dropTempView(v); reg -= v
     }
@@ -352,6 +354,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         readVersion(ver).createOrReplaceTempView(view)
         reg(view) = key
       }
+    }
+    // SQL views re-register on every call, in creation order (their
+    // analyzed plans capture the underlying temp views as of NOW, so they
+    // must follow any table re-registration; a view can reference views
+    // created before it)
+    sqlViews.foreach { case (name, sql) =>
+      s.sql(sql).createOrReplaceTempView(name)
+      reg(name) = (db, branch, 0L)
     }
   }
 
@@ -482,6 +492,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     """(?is)^\s*create\s+virtual\s+table\s+(if\s+not\s+exists\s+)?([\w"]+)\s+using\s+fts5\s*\((.*)\)\s*;?\s*$""".r
   private val createTableRe =
     """(?is)^\s*create\s+table\s+(if\s+not\s+exists\s+)?([\w"]+)\s*\((.*)\)\s*;?\s*$""".r
+  private val ctasRe =
+    """(?is)^\s*create\s+table\s+(if\s+not\s+exists\s+)?([\w"]+)\s+as\s+((?:select|with)\b.+?)\s*;?\s*$""".r
+  private val createViewRe =
+    """(?is)^\s*create\s+view\s+(if\s+not\s+exists\s+)?([\w"]+)\s+as\s+((?:select|with)\b.+?)\s*;?\s*$""".r
+  private val dropViewRe =
+    """(?is)^\s*drop\s+view\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
   private val createIndexRe =
     """(?is)^\s*create\s+(unique\s+)?index\s+.*$""".r
   private val dropTableRe =
@@ -577,6 +593,41 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case createTableRe(ifNot, name, colDefs) =>
         createTable(db, branch, unquote(name), colDefs, ifNot != null)
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case ctasRe(ifNot, name, sel) =>
+        // CREATE TABLE ... AS SELECT (SQLite lang_createtable.html): the
+        // result is materialized as the new table's first version
+        val t = unquote(name)
+        if (catalog.currentVersion(db, branch, t).isDefined) {
+          if (ifNot == null)
+            throw new IllegalArgumentException(s"table $t already exists")
+        } else {
+          registerViews(db, branch, txn)
+          val df = sess.sql(sel)
+          val n = df.count()
+          val ts = catalog.nextVersionTs()
+          val dir = catalog.newVersionDir(db, branch, t, ts)
+          df.write.parquet(dir.toString)
+          catalog.commitVersion(db, branch, t,
+            catalog.TableVersion(ts, Seq(dir.toString), n, n, df.schema.toDDL))
+        }
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case createViewRe(ifNot, name, sel) =>
+        val v = unquote(name)
+        if (catalog.viewDef(db, branch, v).isDefined ||
+            catalog.currentVersion(db, branch, v).isDefined) {
+          if (ifNot == null)
+            throw new IllegalArgumentException(s"view $v already exists")
+        } else {
+          // validate the definition parses now, like SQLite prepares it
+          sess.sessionState.sqlParser.parsePlan(sel)
+          catalog.putView(db, branch, v, sel)
+        }
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case dropViewRe(ifExists, name) =>
+        val existed = catalog.dropView(db, branch, unquote(name))
+        if (!existed && ifExists == null)
+          throw new IllegalArgumentException(s"no such view: ${unquote(name)}")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case createIndexRe(_) =>
         // accepted as a no-op: parquet stats + partition pruning fill the
@@ -1253,9 +1304,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
               .getOrElse(throw new IllegalArgumentException(s"no such table: $t"))
             val rows = StructType.fromDDL(v.schemaDdl).fields.zipWithIndex.map {
               case (f, i) =>
+                // pk = 1-based position within the primary key, 0 otherwise;
+                // dflt_value = declared DEFAULT text (SQLite table_info shape)
                 Seq(SqlValue.IntVal(i.toLong), SqlValue.TextVal(f.name),
                   SqlValue.TextVal(sparkTypeToSqlite(f.dataType)),
-                  SqlValue.IntVal(0), SqlValue.NullVal, SqlValue.IntVal(0))
+                  SqlValue.IntVal(0),
+                  v.defaults.get(f.name).map(SqlValue.TextVal(_): SqlValue)
+                    .getOrElse(SqlValue.NullVal),
+                  SqlValue.IntVal((v.pk.indexOf(f.name) + 1).toLong))
             }
             QueryResponse(input.id,
               Seq("cid", "name", "type", "notnull", "dflt_value", "pk"), rows.toSeq)

@@ -552,6 +552,46 @@ class EngineSpec extends AnyFunSuite {
       (SqlValue.IntVal(3), SqlValue.IntVal(1))))
   }
 
+  test("CTAS, CREATE VIEW, views-on-views, DROP VIEW") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE src (id INTEGER, v INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO src VALUES (1, 10), (2, 20), (3, 30)"))
+    // CTAS materializes the select
+    val ctas = s.execute("db1", "main",
+      q("CREATE TABLE big AS SELECT id, v * 2 AS v2 FROM src WHERE v >= 20"))
+    assert(ctas.error.isEmpty, ctas.error)
+    val fromCtas = s.execute("db1", "main", q("SELECT id, v2 FROM big ORDER BY id"))
+    assert(fromCtas.rows.map(r => (r(0), r(1))) == Seq(
+      (SqlValue.IntVal(2), SqlValue.IntVal(40)),
+      (SqlValue.IntVal(3), SqlValue.IntVal(60))))
+    // views are stored definitions evaluated against CURRENT data
+    val mkView = s.execute("db1", "main",
+      q("CREATE VIEW totals AS SELECT count(*) AS n, sum(v) AS total FROM src"))
+    assert(mkView.error.isEmpty, mkView.error)
+    val v1 = s.execute("db1", "main", q("SELECT n, total FROM totals"))
+    assert(v1.rows.head == Seq(SqlValue.IntVal(3), SqlValue.IntVal(60)))
+    s.execute("db1", "main", q("INSERT INTO src VALUES (4, 40)"))
+    val v2 = s.execute("db1", "main", q("SELECT n, total FROM totals"))
+    assert(v2.rows.head == Seq(SqlValue.IntVal(4), SqlValue.IntVal(100)))
+    // view over view
+    s.execute("db1", "main",
+      q("CREATE VIEW avg_v AS SELECT total div n AS avg_v FROM totals"))
+    val v3 = s.execute("db1", "main", q("SELECT avg_v FROM avg_v"))
+    assert(v3.error.isEmpty, v3.error)
+    assert(v3.rows.head.head == SqlValue.IntVal(25))
+    // drop: the name stops resolving; the base table is untouched
+    assert(s.execute("db1", "main", q("DROP VIEW avg_v")).error.isEmpty)
+    assert(s.execute("db1", "main", q("SELECT * FROM avg_v")).error.nonEmpty)
+    assert(s.execute("db1", "main", q("DROP VIEW avg_v")).error.nonEmpty)
+    assert(s.execute("db1", "main", q("SELECT count(*) AS n FROM src"))
+      .rows.head.head == SqlValue.IntVal(4))
+    // a view survives a catalog restart via the manifest
+    val s2 = new GraftSession(spark, s.catalog.root)
+    val v4 = s2.execute("db1", "main", q("SELECT n FROM totals"))
+    assert(v4.error.isEmpty, v4.error)
+    assert(v4.rows.head.head == SqlValue.IntVal(4))
+  }
+
   test("INSERT OR REPLACE/IGNORE resolve on the declared primary key; DEFAULTs fill") {
     val s = newSession()
     s.execute("db1", "main", q(
