@@ -97,14 +97,19 @@ object Authorizer {
           Seq("database:query", "database:update")
         else Seq("database:query", "database:delete")
       case "ddl" =>
-        if (s.regionMatches(true, 0, "create", 0, 6)) {
-          if (s.toLowerCase.contains("index")) Seq("database:query", "database:create_index")
-          else if (s.toLowerCase.contains("view")) Seq("database:query", "database:create_view")
-          else Seq("database:query", "database:create_table")
-        } else if (s.regionMatches(true, 0, "drop", 0, 4)) {
-          if (s.toLowerCase.contains("view")) Seq("database:query", "database:drop_view")
-          else Seq("database:query", "database:drop_table")
-        } else Seq("database:query", "database:alter_table")
+        // verb-prefix matches only: a CTAS selecting from a table whose
+        // name contains "view" must still demand create_table
+        if (s.matches("(?is)^create\\s+(unique\\s+)?index\\b.*"))
+          Seq("database:query", "database:create_index")
+        else if (s.matches("(?is)^create\\s+view\\b.*"))
+          Seq("database:query", "database:create_view")
+        else if (s.regionMatches(true, 0, "create", 0, 6))
+          Seq("database:query", "database:create_table")
+        else if (s.matches("(?is)^drop\\s+view\\b.*"))
+          Seq("database:query", "database:drop_view")
+        else if (s.regionMatches(true, 0, "drop", 0, 4))
+          Seq("database:query", "database:drop_table")
+        else Seq("database:query", "database:alter_table")
       case "pragma" => Seq("database:query", "database:pragma")
       case "begin" | "commit" | "rollback" => Seq("database:query", "database:transaction")
       case _ =>

@@ -358,10 +358,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // SQL views re-register on every call, in creation order (their
     // analyzed plans capture the underlying temp views as of NOW, so they
     // must follow any table re-registration; a view can reference views
-    // created before it)
+    // created before it). A view whose base table was dropped stays
+    // unregistered — it errors when QUERIED, like SQLite, instead of
+    // breaking every statement on the branch.
     sqlViews.foreach { case (name, sql) =>
-      s.sql(sql).createOrReplaceTempView(name)
-      reg(name) = (db, branch, 0L)
+      try {
+        s.sql(sql).createOrReplaceTempView(name)
+        reg(name) = (db, branch, 0L)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          if (reg.contains(name)) { s.catalog.dropTempView(name); reg -= name }
+      }
     }
   }
 
