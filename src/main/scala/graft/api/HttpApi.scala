@@ -39,7 +39,8 @@ import graft.engine._
   * explicit `anonymousRoot` opt-in; by default an unauthenticated request
   * is 401.
   */
-class HttpApi(session: GraftSession, anonymousRoot: Boolean = false) {
+class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
+    allowUnsignedKeys: Boolean = false) {
 
   private val mapper = new ObjectMapper()
   private val startedAt = System.currentTimeMillis()
@@ -99,7 +100,10 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false) {
           ex.getRequestURI.getPath, headerMap(ex), body, queryParams(ex))
       }
     } else Option(ex.getRequestHeaders.getFirst("X-Access-Key-Id")) match {
-      case Some(id) if id.nonEmpty => session.accessKeys.get(id)
+      // key ids are public identifiers (listings return them); resolving
+      // one WITHOUT a signature is a dev-mode-only convenience and must be
+      // explicitly enabled, like anonymous root
+      case Some(id) if id.nonEmpty && allowUnsignedKeys => session.accessKeys.get(id)
       case _ => if (anonymousRoot) Some(AccessKey.root) else None
     }
   }
@@ -112,6 +116,16 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false) {
       action: String): Unit =
     if (!Authorizer.canOnBranch(key, db, branch, action))
       throw new DeniedException(s"access key lacks $action")
+
+  /** Transaction and backup ids are global; acting on one through another
+    * database's URL would turn a privilege on db A into an action on db B. */
+  private def demandOwnTxn(db: String, branch: String, id: String): Unit =
+    if (!session.transactionInfo(id).contains((db, branch)))
+      throw new DeniedException("transaction does not belong to this branch")
+
+  private def demandOwnBackup(db: String, branch: String, id: String): Unit =
+    if (!session.catalog.listBackups(db, branch).exists(_.id == id))
+      throw new DeniedException("backup does not belong to this branch")
 
   // --- routing -------------------------------------------------------------
 
@@ -287,13 +301,16 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false) {
       reply(ex, 201, okJson(s"""{"transaction_id":${jstr(id)}}"""))
     case ("POST", _ :: db :: branch :: "transactions" :: id :: "commit" :: Nil) =>
       demandBranch(key, db, branch, "database:transaction")
+      demandOwnTxn(db, branch, id)
       session.commitTransaction(id); reply(ex, 200, okJson("null"))
     case ("POST", _ :: db :: branch :: "transactions" :: id :: "rollback" :: Nil) =>
       demandBranch(key, db, branch, "database:transaction")
+      demandOwnTxn(db, branch, id)
       session.rollbackTransaction(id); reply(ex, 200, okJson("null"))
     case ("DELETE", _ :: db :: branch :: "transactions" :: id :: Nil) =>
       // reference TransactionControllerDestroy (routes.go:291): rollback alias
       demandBranch(key, db, branch, "database:transaction")
+      demandOwnTxn(db, branch, id)
       session.rollbackTransaction(id); reply(ex, 200, okJson("null"))
 
     // --- backups -----------------------------------------------------------
@@ -313,10 +330,12 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false) {
       }
     case ("DELETE", "databases" :: db :: branch :: "backups" :: id :: Nil) =>
       demandBranch(key, db, branch, "database:backup")
+      demandOwnBackup(db, branch, id)
       if (session.catalog.deleteBackup(id)) reply(ex, 200, okJson("null"))
       else reply(ex, 404, errorJson("not found"))
     case ("POST", _ :: db :: branch :: "backups" :: id :: "restore" :: Nil) =>
       demandBranch(key, db, branch, "database:restore")
+      demandOwnBackup(db, branch, id)
       session.catalog.restoreBackup(id); reply(ex, 200, okJson("null"))
 
     // --- PITR + snapshots --------------------------------------------------

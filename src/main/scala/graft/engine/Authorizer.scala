@@ -79,9 +79,11 @@ object Authorizer {
       s"database:$db:branch:$branch:table:$table")
       .exists(r => authorized(key.statements, r, action))
 
-  /** Database-scoped check (authorizedForDatabase). */
+  /** Database-scoped check (authorizedForDatabase) — the `database:<db>:*`
+    * probe keeps a key scoped "everything under db" consistent between
+    * database- and branch-level actions. */
   def canOnDatabase(key: AccessKey, db: String, action: String): Boolean =
-    Seq("*", "database:*", s"database:$db")
+    Seq("*", "database:*", s"database:$db", s"database:$db:*")
       .exists(r => authorized(key.statements, r, action))
 
   /** Branch-level privileges demanded by a statement kind (subset of
@@ -191,11 +193,21 @@ object Authorizer {
       if (!canOnTable(key, db, branch, t, action))
         throw new DeniedException(s"access key cannot $action on table $t")
     }
-    if (kind == "dql" || kind == "dml" || kind == "other") {
-      // best-effort plan walk: engine-dialect statements Spark's parser
-      // can't read (FTS MATCH, RETURNING) fall back to the FROM target
+    if (kind == "dql" || kind == "dml" || kind == "other" || kind == "ddl") {
+      // Normalize engine-dialect suffixes BEFORE parsing so their reads are
+      // still checked: ON CONFLICT / RETURNING / OR REPLACE|IGNORE would
+      // otherwise fail the parse and silently skip the source-table walk
+      // (e.g. INSERT INTO t1 SELECT * FROM secret ON CONFLICT ... must
+      // still read-check `secret`). CTAS parses natively and its SELECT
+      // sources land here too.
+      val normalized = s
+        .replaceAll("(?is)\\s+returning\\s+.+$", "")
+        .replaceAll("(?is)\\s+on\\s+conflict\\s*\\(.+$", "")
+        .replaceAll("(?is)^(\\s*insert\\s+)or\\s+\\w+\\s+", "$1")
+      // best-effort plan walk: statements Spark's parser still can't read
+      // (FTS MATCH) fall back to the FROM target
       val reads: Set[String] =
-        try referencedTables(spark.sessionState.sqlParser.parsePlan(s))
+        try referencedTables(spark.sessionState.sqlParser.parsePlan(normalized))
         catch {
           case _: org.apache.spark.sql.catalyst.parser.ParseException =>
             if (kind == "dql") s match {

@@ -60,6 +60,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     t.setDaemon(true); t.setName("graft-txn-reaper"); t.start(); t
   }
 
+  /** The (db, branch) a live transaction belongs to — lets the API layer
+    * reject a transaction id used under a different database's URL. */
+  def transactionInfo(id: String): Option[(String, String)] = synchronized {
+    transactions.get(id).map(t => (t.db, t.branch))
+  }
+
   /** Drop every expired transaction; returns how many were reaped. */
   def sweepExpiredTransactions(): Int = synchronized {
     val dead = transactions.values.filter(_.expired).map(_.id).toSeq
@@ -235,6 +241,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       case "dql" => select(db, branch, input, key)
       case _ => stmt match {
         case attachRe(_, target, alias) =>
+          // the key must be able to READ the target database: without this
+          // check an attach would launder cross-tenant reads through the
+          // home branch's table-level checks
+          val (tdb, tbr) = splitTarget(target)
+          if (!Authorizer.canOnBranch(key, tdb, tbr, "database:read") &&
+              !Authorizer.canOnBranch(key, tdb, tbr, "database:select"))
+            throw new DeniedException(s"access key cannot read database $tdb/$tbr")
           attach(db, branch, unquote(alias), target)
           QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
         case detachRe(_, alias) =>
@@ -271,11 +284,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private val attachments =
     mutable.Map[(String, String), mutable.Map[String, (String, String)]]()
 
-  def attach(db: String, branch: String, alias: String, target: String): Unit = {
-    val (tdb, tbr) = target.split("/", 2) match {
+  private def splitTarget(target: String): (String, String) =
+    target.split("/", 2) match {
       case Array(d, b) => (d, b)
       case Array(d) => (d, "main")
     }
+
+  def attach(db: String, branch: String, alias: String, target: String): Unit = {
+    val (tdb, tbr) = splitTarget(target)
     catalog.branchState(tdb, tbr) // throws if missing
     synchronized {
       attachments.getOrElseUpdate((db, branch), mutable.Map())(alias) = (tdb, tbr)
@@ -310,9 +326,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   /** What each thread session has registered: view name ->
     * (db, branch, version ts). Registration is skipped when the committed
     * version is unchanged — O(changed tables) Catalyst work per query
-    * instead of O(all tables). */
-  private val viewVersions = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, mutable.Map[String, (String, String, Long)]]()
+    * instead of O(all tables). Weak keys: a thread's session is strongly
+    * held only by its ThreadLocal, so entries for dead threads are
+    * GC-collected instead of accumulating when the embedding app issues
+    * queries from short-lived threads. */
+  private val viewVersions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, mutable.Map[String, (String, String, Long)]]())
 
   /** Register current (or transaction-staged) table versions as temp views
     * on the calling thread's session. Views for tables that no longer
@@ -443,17 +462,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       (emit: QueryResponse => Unit): Unit = {
     val stmt = input.statement.trim
     val kind = Classifier.kind(stmt)
-    val plainDql = (kind == "dql" || kind == "other") &&
-      !matchRe.pattern.matcher(stmt).matches()
+    // only plain SELECTs stream; 'other'-kind statements (WITH/VALUES,
+    // ATTACH/DETACH) and MATCH rewrites take the full routed path — a
+    // WITH query's result is collected rather than chunked, correct first
+    val plainDql = kind == "dql" && !matchRe.pattern.matcher(stmt).matches()
     if (!plainDql) { emit(execute(db, branch, input, key)); return }
     val t0 = System.nanoTime()
     try {
       Authorizer.authorize(sess, key, db, branch, stmt)
       val txn = txnFor(input)
       registerViews(db, branch, txn)
+      val atts = attachmentsFor(db, branch)
+      val stmtR = if (atts.isEmpty) stmt else Sql.rewriteAttached(stmt, atts.keySet)
       val df =
-        if (input.parameters.isEmpty) sess.sql(stmt)
-        else sess.sql(stmt, input.parameters.map(paramToJvm).toArray)
+        if (input.parameters.isEmpty) sess.sql(stmtR)
+        else sess.sql(stmtR, input.parameters.map(paramToJvm).toArray)
       val cols = df.columns.toSeq
       val it = df.toLocalIterator()
       val buf = mutable.ArrayBuffer[Seq[SqlValue]]()
@@ -910,8 +933,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         throw new IllegalArgumentException(s"no such column: $c")
     }
     readVersion(cur).createOrReplaceTempView("__graft_target")
-    // one survivor per conflict key within the arriving batch
-    val exc = aligned.dropDuplicates(up.cols)
+    // one survivor per conflict key within the arriving batch — the LAST
+    // by arrival order (SQLite applies rows serially, so a later duplicate
+    // overwrites an earlier one); monotonically_increasing_id preserves
+    // VALUES order, making the survivor deterministic where order exists
+    val lastWins = aligned
+      .withColumn("__seq", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(up.cols.map(col): _*).orderBy(col("__seq").desc)))
+      .filter(col("__rn") === 1).drop("__seq", "__rn")
+    val exc = lastWins
       .select(schema.fieldNames.map(f => col(f).as(s"__exc_$f")) :+
         lit(1).as("__exc_m"): _*)
     exc.createOrReplaceTempView("__graft_excluded")
@@ -1533,8 +1564,10 @@ object Sql {
         val hit = aliases.find { a =>
           sql.regionMatches(true, i, a, 0, a.length) &&
             i + a.length < sql.length && sql.charAt(i + a.length) == '.' &&
+            // a '.' predecessor means this is a qualified field access
+            // (t.a2.x), not a table reference
             (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) &&
-              sql.charAt(i - 1) != '_') &&
+              sql.charAt(i - 1) != '_' && sql.charAt(i - 1) != '.') &&
             i + a.length + 1 < sql.length &&
             (Character.isLetter(sql.charAt(i + a.length + 1)) ||
               sql.charAt(i + a.length + 1) == '_')

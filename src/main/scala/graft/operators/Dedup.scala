@@ -195,7 +195,13 @@ object Dedup {
     * agree on at least one of 4 bands — pigeonhole). `maxBucket` caps a
     * degenerate band bucket (boilerplate-heavy corpora collapse many docs
     * onto one 16-bit band value) so the self-join can't go quadratic under
-    * skew — same groupBy + semi-join guard as minHashDedup. */
+    * skew — same groupBy + semi-join guard as minHashDedup.
+    *
+    * Recall trade-off, shared with the MinHash path: pairs whose ONLY
+    * agreeing band exceeds `maxBucket` are not emitted (a >1000-member
+    * bucket is near-identical boilerplate, exactly what a dedup pass
+    * wants gone wholesale — run exact dedup first, or raise the cap, if
+    * that tail matters). */
   def simHashCandidates(signatures: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     val bands = 4

@@ -53,6 +53,18 @@ class AuthSpec extends AnyFunSuite {
     client.send(req.build(), BodyHandlers.ofString())
   }
 
+  test("bare X-Access-Key-Id is rejected unless unsigned keys are enabled") {
+    assert(admin.id == "admin-key")
+    // key ids are public identifiers; resolving one without a signature
+    // must be an explicit dev-mode opt-in
+    val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/v1/databases"))
+      .header("X-Access-Key-Id", "admin-key")
+      .POST(BodyPublishers.ofString("""{"name":"x"}""")).build(),
+      BodyHandlers.ofString())
+    assert(r.statusCode() == 401)
+  }
+
   test("anonymous requests are 401 by default (no silent root)") {
     val r = client.send(HttpRequest.newBuilder(
         URI.create(s"http://127.0.0.1:$port/v1/databases"))

@@ -643,6 +643,37 @@ class EngineSpec extends AnyFunSuite {
     assert(n2.rows.head.head == SqlValue.IntVal(3))
   }
 
+  test("authorizer closes the side doors: ATTACH, CTAS, ON CONFLICT sources") {
+    val s = newSession()
+    s.createDatabase("tenant2")
+    s.execute("db1", "main", q("CREATE TABLE t1 (id INTEGER)"))
+    s.execute("tenant2", "main", q("CREATE TABLE priv (id INTEGER)"))
+    s.execute("db1", "main", q("CREATE TABLE secret (id INTEGER)"))
+    // scoped to db1 only: attaching tenant2 must be denied, else the home
+    // branch's table checks would launder cross-tenant reads
+    val db1Only = AccessKey("db1-only", statements = Seq(
+      AccessKeyStatement("allow", "database:db1:*", Seq("*"))))
+    val at = s.execute("db1", "main",
+      q("ATTACH DATABASE 'tenant2' AS a2"), db1Only)
+    assert(at.error.contains("tenant2"))
+    // CTAS reads its SELECT sources: read scoped to t1 cannot copy secret
+    val maker = AccessKey("maker", statements = Seq(
+      AccessKeyStatement("allow", "*",
+        Seq("database:query", "database:select", "database:create_table",
+          "database:insert")),
+      AccessKeyStatement("allow", "database:db1:branch:main:table:t1",
+        Seq("database:read"))))
+    assert(s.execute("db1", "main",
+      q("CREATE TABLE stolen AS SELECT * FROM secret"), maker)
+      .error.contains("secret"))
+    // an engine-dialect suffix must not skip the source-read walk
+    assert(s.execute("db1", "main",
+      q("INSERT INTO t1 SELECT id FROM secret ON CONFLICT (id) DO NOTHING"), maker)
+      .error.contains("secret"))
+    assert(s.execute("db1", "main",
+      q("CREATE TABLE ok AS SELECT * FROM t1"), maker).error.isEmpty)
+  }
+
   test("rewriteAttached: word-bounded, string literals untouched") {
     val as = Set("a2")
     assert(Sql.rewriteAttached("SELECT * FROM a2.t", as) ==

@@ -23,8 +23,9 @@ class HttpApiSpec extends AnyFunSuite {
     session.accessKeys.put(AccessKey("ro-key", statements = Seq(
       AccessKeyStatement("allow", "*",
         Seq("database:query", "database:select", "database:read")))))
-    // dev mode: anonymous root is an EXPLICIT opt-in (default is 401)
-    val a = new HttpApi(session, anonymousRoot = true)
+    // dev mode: anonymous root + unsigned key ids are EXPLICIT opt-ins
+    // (the default is 401 / HMAC-only)
+    val a = new HttpApi(session, anonymousRoot = true, allowUnsignedKeys = true)
     (a, a.start())
   }
 
@@ -267,9 +268,10 @@ class HttpApiSpec extends AnyFunSuite {
     val delTx = HttpRequest.newBuilder(URI.create(
       s"http://127.0.0.1:$port/v1/databases/db9/main/transactions/$txn")).DELETE().build()
     assert(client.send(delTx, BodyHandlers.ofString()).statusCode() == 200)
-    // committing the aborted transaction now fails
+    // committing the aborted transaction now fails (the id no longer
+    // belongs to any branch -> 403 from the ownership check)
     assert(post(s"/v1/databases/db9/main/transactions/$txn/commit", "")
-      .statusCode() == 500)
+      .statusCode() == 403)
   }
 
   test("health and status endpoints") {
