@@ -119,6 +119,9 @@ object Authorizer {
           Seq("database:query", "database:attach")
         else if (s.regionMatches(true, 0, "detach", 0, 6))
           Seq("database:query", "database:detach")
+        else if (s.regionMatches(true, 0, "savepoint", 0, 9) ||
+            s.regionMatches(true, 0, "release", 0, 7))
+          Seq("database:query", "database:savepoint")
         else Seq("database:query", "database:select")
     }
   }

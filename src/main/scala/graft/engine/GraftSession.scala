@@ -38,7 +38,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   case class Txn(id: String, db: String, branch: String,
       staged: mutable.Map[String, Catalog#TableVersion],
       baseTs: mutable.Map[String, Long],
-      createdAt: Long = System.currentTimeMillis()) {
+      createdAt: Long = System.currentTimeMillis(),
+      // SAVEPOINT stack: (name, staged snapshot, baseTs snapshot) —
+      // copy-on-push is cheap, the maps hold manifest records, not data
+      savepoints: mutable.ArrayBuffer[
+        (String, Map[String, Catalog#TableVersion], Map[String, Long])] =
+        mutable.ArrayBuffer()) {
     // the reference's transactions die on a 5-minute context deadline
     // (pkg/database/transaction.go:55)
     def expired: Boolean = System.currentTimeMillis() - createdAt > txnTimeoutMillis
@@ -58,6 +63,37 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       }
     })
     t.setDaemon(true); t.setName("graft-txn-reaper"); t.start(); t
+  }
+
+  // --- savepoints (SQLite lang_savepoint.html, within an open txn) --------
+
+  def createSavepoint(txnId: String, name: String): Unit = synchronized {
+    val t = transactions.getOrElse(txnId,
+      throw new IllegalArgumentException("SAVEPOINT requires an open transaction"))
+    t.savepoints += ((name, t.staged.toMap, t.baseTs.toMap))
+  }
+
+  /** Revert the transaction's staged state to the savepoint; the savepoint
+    * itself survives (SQLite: ROLLBACK TO can be repeated), later ones die. */
+  def rollbackToSavepoint(txnId: String, name: String): Unit = synchronized {
+    val t = transactions.getOrElse(txnId,
+      throw new IllegalArgumentException("ROLLBACK TO requires an open transaction"))
+    val idx = t.savepoints.lastIndexWhere(_._1 == name)
+    if (idx < 0) throw new IllegalArgumentException(s"no such savepoint: $name")
+    val (_, staged, base) = t.savepoints(idx)
+    t.staged.clear(); t.staged ++= staged
+    t.baseTs.clear(); t.baseTs ++= base
+    t.savepoints.remove(idx + 1, t.savepoints.length - idx - 1)
+  }
+
+  /** Pop the savepoint (and everything after it), folding its changes into
+    * the enclosing scope — the staged state simply stays. */
+  def releaseSavepoint(txnId: String, name: String): Unit = synchronized {
+    val t = transactions.getOrElse(txnId,
+      throw new IllegalArgumentException("RELEASE requires an open transaction"))
+    val idx = t.savepoints.lastIndexWhere(_._1 == name)
+    if (idx < 0) throw new IllegalArgumentException(s"no such savepoint: $name")
+    t.savepoints.remove(idx, t.savepoints.length - idx)
   }
 
   /** The (db, branch) a live transaction belongs to — lets the API layer
@@ -233,13 +269,24 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       case "commit" =>
         commitTransaction(input.transactionId)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
-      case "rollback" =>
-        rollbackTransaction(input.transactionId)
-        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case "rollback" => stmt match {
+        case rollbackToRe(_, _, name) =>
+          rollbackToSavepoint(input.transactionId, unquote(name))
+          QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+        case _ =>
+          rollbackTransaction(input.transactionId)
+          QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      }
       case "ddl" | "dml" =>
         writeQueues(db, branch).run(write(db, branch, input))
       case "dql" => select(db, branch, input, key)
       case _ => stmt match {
+        case savepointRe(name) =>
+          createSavepoint(input.transactionId, unquote(name))
+          QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+        case releaseRe(_, name) =>
+          releaseSavepoint(input.transactionId, unquote(name))
+          QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
         case attachRe(_, target, alias) =>
           // the key must be able to READ the target database: without this
           // check an attach would launder cross-tenant reads through the
@@ -280,6 +327,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     """(?is)^\s*attach\s+(database\s+)?'([^']+)'\s+as\s+([\w"]+)\s*;?\s*$""".r
   private val detachRe =
     """(?is)^\s*detach\s+(database\s+)?([\w"]+)\s*;?\s*$""".r
+  private val savepointRe = """(?is)^\s*savepoint\s+([\w"]+)\s*;?\s*$""".r
+  private val releaseRe =
+    """(?is)^\s*release\s+(savepoint\s+)?([\w"]+)\s*;?\s*$""".r
+  private val rollbackToRe =
+    """(?is)^\s*rollback\s+(transaction\s+)?to\s+(savepoint\s+)?([\w"]+)\s*;?\s*$""".r
 
   private val attachments =
     mutable.Map[(String, String), mutable.Map[String, (String, String)]]()

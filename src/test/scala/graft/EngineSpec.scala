@@ -462,6 +462,40 @@ class EngineSpec extends AnyFunSuite {
     assert(sel.rows.head.head == SqlValue.IntVal(8))
   }
 
+  test("savepoints: nested rollback-to and release within a transaction") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    val txn = s.execute("db1", "main", q("BEGIN")).transactionId
+    s.execute("db1", "main", q("INSERT INTO t VALUES (1)", txn = txn))
+    assert(s.execute("db1", "main", q("SAVEPOINT sp1", txn = txn)).error.isEmpty)
+    s.execute("db1", "main", q("INSERT INTO t VALUES (2)", txn = txn))
+    assert(s.execute("db1", "main", q("SAVEPOINT sp2", txn = txn)).error.isEmpty)
+    s.execute("db1", "main", q("INSERT INTO t VALUES (3)", txn = txn))
+    def staged(): Seq[SqlValue] = s.execute("db1", "main",
+      q("SELECT id FROM t ORDER BY id", txn = txn)).rows.map(_.head)
+    assert(staged() == Seq(1L, 2L, 3L).map(SqlValue.IntVal))
+    // rollback to sp2 drops row 3 only; sp2 survives and can be hit again
+    assert(s.execute("db1", "main",
+      q("ROLLBACK TO SAVEPOINT sp2", txn = txn)).error.isEmpty)
+    assert(staged() == Seq(1L, 2L).map(SqlValue.IntVal))
+    s.execute("db1", "main", q("INSERT INTO t VALUES (4)", txn = txn))
+    assert(s.execute("db1", "main", q("ROLLBACK TO sp2", txn = txn)).error.isEmpty)
+    assert(staged() == Seq(1L, 2L).map(SqlValue.IntVal))
+    // rollback to sp1 kills sp2
+    assert(s.execute("db1", "main", q("ROLLBACK TO sp1", txn = txn)).error.isEmpty)
+    assert(staged() == Seq(1L).map(SqlValue.IntVal))
+    assert(s.execute("db1", "main", q("ROLLBACK TO sp2", txn = txn))
+      .error.contains("sp2"))
+    // release folds into the enclosing scope; commit lands the survivors
+    s.execute("db1", "main", q("INSERT INTO t VALUES (5)", txn = txn))
+    assert(s.execute("db1", "main", q("RELEASE sp1", txn = txn)).error.isEmpty)
+    assert(s.execute("db1", "main", q("COMMIT", txn = txn)).error.isEmpty)
+    val fin = s.execute("db1", "main", q("SELECT id FROM t ORDER BY id"))
+    assert(fin.rows.map(_.head) == Seq(1L, 5L).map(SqlValue.IntVal))
+    // savepoint outside a transaction errors, like our contract documents
+    assert(s.execute("db1", "main", q("SAVEPOINT nope")).error.nonEmpty)
+  }
+
   test("expired transactions are reaped; commit after expiry fails") {
     val dir = Files.createTempDirectory("graft-engine")
     val s = new GraftSession(spark, dir, txnTimeoutMillis = 1500)
