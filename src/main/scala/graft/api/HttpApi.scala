@@ -35,9 +35,10 @@ import graft.engine._
   * the stored key secret over method/path/signed-headers/query/body), and
   * keys themselves are policy-statement documents checked per privilege
   * (pkg/auth/authorized.go). `X-Access-Key-Id` resolves a key WITHOUT a
-  * signature — a dev convenience. Anonymous root access requires the
-  * explicit `anonymousRoot` opt-in; by default an unauthenticated request
-  * is 401.
+  * signature ONLY when the `allowUnsignedKeys` dev-mode opt-in is set
+  * (key ids are public identifiers); anonymous root access likewise
+  * requires the explicit `anonymousRoot` opt-in. By default an
+  * unauthenticated or unsigned request is 401.
   */
 class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
     allowUnsignedKeys: Boolean = false) {

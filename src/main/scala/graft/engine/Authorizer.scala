@@ -113,7 +113,12 @@ object Authorizer {
           Seq("database:query", "database:drop_table")
         else Seq("database:query", "database:alter_table")
       case "pragma" => Seq("database:query", "database:pragma")
-      case "begin" | "commit" | "rollback" => Seq("database:query", "database:transaction")
+      case "begin" | "commit" | "rollback" =>
+        // ROLLBACK TO SAVEPOINT is the savepoint privilege's verb, not a
+        // full-transaction rollback
+        if (s.matches("(?is)^rollback\\s+(transaction\\s+)?to\\b.*"))
+          Seq("database:query", "database:savepoint")
+        else Seq("database:query", "database:transaction")
       case _ =>
         if (s.regionMatches(true, 0, "attach", 0, 6))
           Seq("database:query", "database:attach")
@@ -202,11 +207,17 @@ object Authorizer {
       // otherwise fail the parse and silently skip the source-table walk
       // (e.g. INSERT INTO t1 SELECT * FROM secret ON CONFLICT ... must
       // still read-check `secret`). CTAS parses natively and its SELECT
-      // sources land here too.
-      val normalized = s
-        .replaceAll("(?is)\\s+returning\\s+.+$", "")
-        .replaceAll("(?is)\\s+on\\s+conflict\\s*\\(.+$", "")
-        .replaceAll("(?is)^(\\s*insert\\s+)or\\s+\\w+\\s+", "$1")
+      // sources land here too. Stripping is QUOTE-AWARE (top-level keyword
+      // scan) — a 'returning' inside a string literal must not truncate
+      // the statement, or the broken parse would skip the walk entirely.
+      val noReturning = Sql.splitOnTopLevelKeyword(s, "returning")
+        .map(_._1).getOrElse(s)
+      val noConflict = Sql.splitOnTopLevelKeyword(noReturning, "conflict")
+        .map { case (before, _) =>
+          before.replaceAll("(?is)\\s+on\\s*$", "") }
+        .getOrElse(noReturning)
+      val normalized =
+        noConflict.replaceAll("(?is)^(\\s*insert\\s+)or\\s+\\w+\\s+", "$1")
       // best-effort plan walk: statements Spark's parser still can't read
       // (FTS MATCH) fall back to the FROM target
       val reads: Set[String] =

@@ -102,6 +102,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     transactions.get(id).map(t => (t.db, t.branch))
   }
 
+  /** Transaction verbs arriving through the query path must target a
+    * transaction of the SAME db/branch (same rule as the REST layer's
+    * demandOwnTxn). */
+  private def demandTxnOwnership(db: String, branch: String, id: String): Unit =
+    if (!transactionInfo(id).contains((db, branch)))
+      throw new DeniedException("transaction does not belong to this branch")
+
   /** Drop every expired transaction; returns how many were reaped. */
   def sweepExpiredTransactions(): Int = synchronized {
     val dead = transactions.values.filter(_.expired).map(_.id).toSeq
@@ -267,9 +274,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         val id = beginTransaction(db, branch)
         QueryResponse(input.id, Nil, Nil, transactionId = id)
       case "commit" =>
+        demandTxnOwnership(db, branch, input.transactionId)
         commitTransaction(input.transactionId)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
-      case "rollback" => stmt match {
+      case "rollback" =>
+        demandTxnOwnership(db, branch, input.transactionId)
+        stmt match {
         case rollbackToRe(_, _, name) =>
           rollbackToSavepoint(input.transactionId, unquote(name))
           QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
@@ -282,9 +292,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       case "dql" => select(db, branch, input, key)
       case _ => stmt match {
         case savepointRe(name) =>
+          demandTxnOwnership(db, branch, input.transactionId)
           createSavepoint(input.transactionId, unquote(name))
           QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
         case releaseRe(_, name) =>
+          demandTxnOwnership(db, branch, input.transactionId)
           releaseSavepoint(input.transactionId, unquote(name))
           QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
         case attachRe(_, target, alias) =>
@@ -359,6 +371,25 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   private def attachmentsFor(db: String, branch: String): Map[String, (String, String)] =
     synchronized(attachments.get((db, branch)).map(_.toMap).getOrElse(Map.empty))
+
+  /** Table-granular read checks for attached references, resolved against
+    * the TARGET database's resource tree (the plan walk in Authorizer sees
+    * only bare table names and checks them against the HOME branch, which
+    * would let a home-side wildcard bypass a target-side table deny).
+    * Over-matching inside string literals only over-checks — safe. */
+  private def authorizeAttachedReads(key: AccessKey,
+      atts: Map[String, (String, String)], stmt: String): Unit =
+    atts.foreach { case (alias, (tdb, tbr)) =>
+      val re = ("(?i)(?<![\\w.])" +
+        java.util.regex.Pattern.quote(alias) + "\\.(\\w+)").r
+      val tables = catalog.tableNames(tdb, tbr).toSet
+      re.findAllMatchIn(stmt).map(_.group(1).toLowerCase).toSet
+        .intersect(tables).foreach { t =>
+          if (!Authorizer.canOnTable(key, tdb, tbr, t, "database:read"))
+            throw new DeniedException(
+              s"access key cannot read table $t of $tdb/$tbr")
+        }
+    }
 
   // --- reads ---------------------------------------------------------------
 
@@ -451,13 +482,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     else s.read.schema(StructType.fromDDL(v.schemaDdl)).parquet(v.paths: _*)
   }
 
-  private def txnFor(input: QueryInput): Option[Txn] =
+  /** Resolve a statement's transaction, enforcing OWNERSHIP: a
+    * transaction id minted for one db/branch cannot be used from another
+    * database's query path — otherwise a key privileged on db B could
+    * commit/read/stage db A's transaction by quoting its id. */
+  private def txnFor(db: String, branch: String, input: QueryInput): Option[Txn] =
     if (input.transactionId.isEmpty) None
     else synchronized {
       val t = transactions.get(input.transactionId)
       if (t.exists(_.expired)) {
         transactions.remove(input.transactionId)
         throw new IllegalStateException("transaction timed out")
+      }
+      t.foreach { txn =>
+        if (txn.db != db || txn.branch != branch)
+          throw new DeniedException("transaction does not belong to this branch")
       }
       t.orElse(throw new IllegalArgumentException(
         s"no transaction ${input.transactionId}"))
@@ -474,7 +513,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   private def select(db: String, branch: String, input: QueryInput,
       key: AccessKey): QueryResponse = {
-    val txn = txnFor(input)
+    val txn = txnFor(db, branch, input)
     input.statement.trim match {
       case matchRe(cols, from, target, q, orderBy, limitPart)
           if unquote(from) == unquote(target) &&
@@ -486,8 +525,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         collectResponse(df, input)
       case _ =>
         registerViews(db, branch, txn)
-        // attached-database references (alias.t) rewrite onto their views
+        // attached-database references (alias.t) rewrite onto their views;
+        // reads of attached tables authorize against the TARGET database
         val atts = attachmentsFor(db, branch)
+        if (atts.nonEmpty) authorizeAttachedReads(key, atts, input.statement)
         val stmt =
           if (atts.isEmpty) input.statement
           else Sql.rewriteAttached(input.statement, atts.keySet)
@@ -514,17 +555,24 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       (emit: QueryResponse => Unit): Unit = {
     val stmt = input.statement.trim
     val kind = Classifier.kind(stmt)
-    // only plain SELECTs stream; 'other'-kind statements (WITH/VALUES,
-    // ATTACH/DETACH) and MATCH rewrites take the full routed path — a
-    // WITH query's result is collected rather than chunked, correct first
-    val plainDql = kind == "dql" && !matchRe.pattern.matcher(stmt).matches()
+    // plain SELECTs and read-shaped 'other' statements (WITH ... SELECT,
+    // VALUES, parenthesized selects) stream; engine VERBS (ATTACH/DETACH,
+    // SAVEPOINT/RELEASE) and MATCH rewrites take the full routed path
+    val isVerb = kind == "other" &&
+      (attachRe.pattern.matcher(stmt).matches() ||
+        detachRe.pattern.matcher(stmt).matches() ||
+        savepointRe.pattern.matcher(stmt).matches() ||
+        releaseRe.pattern.matcher(stmt).matches())
+    val plainDql = (kind == "dql" || (kind == "other" && !isVerb)) &&
+      !matchRe.pattern.matcher(stmt).matches()
     if (!plainDql) { emit(execute(db, branch, input, key)); return }
     val t0 = System.nanoTime()
     try {
       Authorizer.authorize(sess, key, db, branch, stmt)
-      val txn = txnFor(input)
+      val txn = txnFor(db, branch, input)
       registerViews(db, branch, txn)
       val atts = attachmentsFor(db, branch)
+      if (atts.nonEmpty) authorizeAttachedReads(key, atts, stmt)
       val stmtR = if (atts.isEmpty) stmt else Sql.rewriteAttached(stmt, atts.keySet)
       val df =
         if (input.parameters.isEmpty) sess.sql(stmtR)
@@ -631,7 +679,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         (body, Some(cols))
       case _ => (full, None)
     }
-    val txn = txnFor(input)
+    val txn = txnFor(db, branch, input)
     // peel a trailing ON CONFLICT clause off INSERT statements; the insert
     // handlers receive it as the upsert spec
     val (stmt2, conflict) = stmt match {
@@ -970,7 +1018,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   }
 
   /** SQLite UPSERT (upsert.html), batch semantics: a "conflict" is an
-    * existing row (or earlier batch row — first survivor wins) with equal
+    * existing row (or earlier batch row — survivor order follows SQLite's
+    * serial application, see below) with equal
     * conflict-target column values. DO NOTHING appends only non-conflicting
     * rows; DO UPDATE rewrites matched rows with the SET assignments —
     * `excluded.c` reads the arriving row, bare columns read the target row,
@@ -985,14 +1034,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         throw new IllegalArgumentException(s"no such column: $c")
     }
     readVersion(cur).createOrReplaceTempView("__graft_target")
-    // one survivor per conflict key within the arriving batch — the LAST
-    // by arrival order (SQLite applies rows serially, so a later duplicate
-    // overwrites an earlier one); monotonically_increasing_id preserves
-    // VALUES order, making the survivor deterministic where order exists
+    // one survivor per conflict key within the arriving batch, chosen by
+    // SQLite's serial semantics: DO UPDATE keeps the LAST duplicate (each
+    // later row overwrites), DO NOTHING keeps the FIRST (each later row
+    // hits the conflict and is skipped); monotonically_increasing_id
+    // preserves VALUES order, making the survivor deterministic where
+    // order exists
+    val survivorOrder =
+      if (up.set.isDefined) col("__seq").desc else col("__seq").asc
     val lastWins = aligned
       .withColumn("__seq", monotonically_increasing_id())
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(up.cols.map(col): _*).orderBy(col("__seq").desc)))
+        Window.partitionBy(up.cols.map(col): _*).orderBy(survivorOrder)))
       .filter(col("__rn") === 1).drop("__seq", "__rn")
     val exc = lastWins
       .select(schema.fieldNames.map(f => col(f).as(s"__exc_$f")) :+

@@ -677,6 +677,69 @@ class EngineSpec extends AnyFunSuite {
     assert(n2.rows.head.head == SqlValue.IntVal(3))
   }
 
+  test("txn ids are branch-owned on the query path too") {
+    val s = newSession()
+    s.createDatabase("dbx")
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    val txn = s.execute("db1", "main", q("BEGIN")).transactionId
+    s.execute("db1", "main", q("INSERT INTO t VALUES (1)", txn = txn))
+    // commit/select/savepoint with the foreign id from another db all fail
+    assert(s.execute("dbx", "main", q("COMMIT", txn = txn)).error.nonEmpty)
+    assert(s.execute("dbx", "main",
+      q("SELECT 1 AS x", txn = txn)).error.contains("belong"))
+    assert(s.execute("dbx", "main",
+      q("SAVEPOINT sp", txn = txn)).error.nonEmpty)
+    // the rightful branch still commits
+    assert(s.execute("db1", "main", q("COMMIT", txn = txn)).error.isEmpty)
+  }
+
+  test("upsert DO NOTHING keeps the FIRST in-batch duplicate, DO UPDATE the last") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE u (k INTEGER, v TEXT)"))
+    s.execute("db1", "main", q(
+      "INSERT INTO u VALUES (1, 'a'), (1, 'b') ON CONFLICT (k) DO NOTHING"))
+    val dn = s.execute("db1", "main", q("SELECT v FROM u"))
+    assert(dn.rows.map(_.head) == Seq(SqlValue.TextVal("a")))
+    s.execute("db1", "main", q(
+      "INSERT INTO u VALUES (1, 'x'), (1, 'y') ON CONFLICT (k) DO UPDATE SET v = excluded.v"))
+    val du = s.execute("db1", "main", q("SELECT v FROM u"))
+    assert(du.rows.map(_.head) == Seq(SqlValue.TextVal("y")))
+  }
+
+  test("attached reads honor target-side table denies; literal suffixes don't skip checks") {
+    val s = newSession()
+    s.createDatabase("tenantb")
+    s.execute("tenantb", "main", q("CREATE TABLE open_t (id INTEGER)"))
+    s.execute("tenantb", "main", q("CREATE TABLE sec (id INTEGER)"))
+    s.execute("tenantb", "main", q("INSERT INTO sec VALUES (42)"))
+    s.execute("db1", "main", q("CREATE TABLE t1 (id INTEGER)"))
+    val key = AccessKey("mixed", statements = Seq(
+      AccessKeyStatement("allow", "database:db1:*", Seq("*")),
+      AccessKeyStatement("allow", "database:tenantb:branch:main",
+        Seq("database:read", "database:select", "database:query")),
+      AccessKeyStatement("allow", "database:tenantb:branch:main:table:open_t",
+        Seq("database:read")),
+      AccessKeyStatement("deny", "database:tenantb:branch:main:table:sec",
+        Seq("database:read"))))
+    assert(s.execute("db1", "main",
+      q("ATTACH DATABASE 'tenantb' AS tb"), key).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("SELECT * FROM tb.open_t"), key).error.isEmpty)
+    // home-side wildcard must not bypass the target-side table deny
+    assert(s.execute("db1", "main",
+      q("SELECT * FROM tb.sec"), key).error.contains("sec"))
+    // a 'returning' inside a string literal must not break the read walk
+    s.execute("db1", "main", q("CREATE TABLE secret (id INTEGER)"))
+    val t1Only = AccessKey("t1w", statements = Seq(
+      AccessKeyStatement("allow", "*",
+        Seq("database:query", "database:select", "database:insert")),
+      AccessKeyStatement("allow", "database:db1:branch:main:table:t1",
+        Seq("database:read"))))
+    assert(s.execute("db1", "main", q(
+      "INSERT INTO t1 SELECT id FROM secret WHERE 'x returning y' = 'x returning y'"),
+      t1Only).error.contains("secret"))
+  }
+
   test("authorizer closes the side doors: ATTACH, CTAS, ON CONFLICT sources") {
     val s = newSession()
     s.createDatabase("tenant2")
