@@ -361,9 +361,14 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
         s""""tables":${tables.mkString("[", ",", "]")}}"""))
 
     // --- metrics -----------------------------------------------------------
+    // reference path (pkg/http/routes.go:246-250), with logs/query kept as
+    // a back-compat alias
+    case ("GET", "databases" :: db :: branch :: "metrics" :: "query" :: Nil) =>
+      demandBranch(key, db, branch, "database:query")
+      metricsJson(ex, db, branch)
     case ("GET", "databases" :: db :: branch :: "logs" :: "query" :: Nil) =>
       demandBranch(key, db, branch, "database:query")
-      metricsJson(ex)
+      metricsJson(ex, db, branch)
 
     case _ => reply(ex, 404, errorJson("not found"))
   }
@@ -442,9 +447,9 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
       params, qn.path("transaction_id").asText(""))
   }
 
-  private def metricsJson(ex: HttpExchange): Unit = {
+  private def metricsJson(ex: HttpExchange, db: String, branch: String): Unit = {
     val step = queryParams(ex).get("step").map(_.toLong).getOrElse(1L)
-    val ms = session.metrics.combineByStep(session.metrics.flush(), step)
+    val ms = session.metrics.combineByStep(session.metrics.read(db, branch), step)
     val items = ms.map { m =>
       val stmt = session.metrics.statementFor(m.checksum).getOrElse("")
       s"""{"statement":${jstr(stmt)},"timestamp":${m.timestamp},""" +

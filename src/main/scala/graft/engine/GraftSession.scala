@@ -31,7 +31,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   val accessKeys = new AccessKeyStore(rootDir)
   val users = new UserStore(rootDir)
   val writeQueues = new WriteQueueManager
-  val metrics = new MetricsStore
+  val metrics = new MetricsStore(Some(rootDir.resolve("_metrics")))
   val planCache = new StatementCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
   private val transactions = mutable.Map[String, Txn]()
 
@@ -63,6 +63,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       }
     })
     t.setDaemon(true); t.setName("graft-txn-reaper"); t.start(); t
+  }
+
+  /** Background metrics flusher — the reference's QueryLogFlushInterval
+    * (pkg/logs/query_log.go:24-25): every 5 s, finished (checksum, second)
+    * buckets drain from the live map to the bounded metrics table + disk
+    * log, so driver memory stays flat even when nobody polls the API. */
+  private val metricsFlusher = {
+    val t = new Thread(() => {
+      while (true) {
+        Thread.sleep(MetricsStore.FlushIntervalMillis)
+        try metrics.flushFinished()
+        catch { case _: Throwable => () }
+      }
+    })
+    t.setDaemon(true); t.setName("graft-metrics-flusher"); t.start(); t
   }
 
   // --- savepoints (SQLite lang_savepoint.html, within an open txn) --------

@@ -1,7 +1,9 @@
 package graft.engine
 
 import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, StandardOpenOption}
 import scala.collection.mutable
+import scala.collection.immutable.ArraySeq
 
 /** Query-latency metrics (B10-B12), ported from reference
   * pkg/logs/query_metric.go:17-160 / query_log.go / counter.go.
@@ -15,6 +17,13 @@ import scala.collection.mutable
   *     p50,p90,p99 f64 | timestamp u32 (little-endian)
   *   - step merging: fold subsequent buckets within `step` seconds into the
   *     first (query_log_controller.go:84-116)
+  *   - per-bucket latency storage bounded at 128 slots
+  *     (query_metric.go:30 LatencyBufferSize) — we keep count/avg/min/max
+  *     exact and reservoir-sample the latencies, so percentiles are exact
+  *     for buckets of <=128 samples and statistically representative above
+  *   - finished buckets flushed every 5 s (query_log.go:24
+  *     QueryLogFlushInterval) to a bounded in-memory metrics table the read
+  *     API queries, mirrored as appended 64-byte records on disk
   */
 case class QueryMetric(checksum: Long, timestamp: Long, count: Int,
     avg: Double, min: Double, max: Double, p50: Double, p90: Double, p99: Double) {
@@ -65,10 +74,74 @@ object QueryMetric {
   }
 }
 
-/** In-memory metric accumulator + statement index + per-minute counters. */
-class MetricsStore {
-  private val buckets = mutable.Map[(Long, Long), mutable.ArrayBuffer[Double]]()
-  private val statementIndex = mutable.Map[Long, String]() // B11: hash -> SQL
+object MetricsStore {
+  /** query_metric.go:30 — per-bucket latency slots. */
+  val LatencyBufferSize = 128
+  /** query_log.go:24 — background flush cadence. */
+  val FlushIntervalMillis = 5000L
+  /** Bounded statement index (B11); the reference backs its index with an
+    * LFU cache over a disk file (query_statement_index.go:22-60). */
+  val StatementIndexCapacity = 8192
+  /** In-memory finished-metrics table retention (64 B/record → ~6 MB). */
+  val FinishedRetention = 100000
+  /** Per-minute query counters retained for 24 h. */
+  val CounterRetentionMinutes = 1440L
+}
+
+/** Bounded metric accumulator + statement index + per-minute counters.
+  *
+  * Memory is bounded regardless of QPS and polling: live buckets hold at
+  * most 128 latency slots each and are drained to `finished` by
+  * [[flushFinished]] (driven by the session's 5 s daemon); `finished` is a
+  * capped ring; the statement index is an LRU; minute counters expire after
+  * 24 h. If `persistDir` is set, finished buckets are also appended as the
+  * reference's 64-byte records to `query_metrics_<db>_<branch>.log`.
+  */
+class MetricsStore(persistDir: Option[Path] = None) {
+  import MetricsStore._
+
+  /** Exact count/sum/min/max + Algorithm-R reservoir over the latencies.
+    * Deterministic xorshift so tests are reproducible. */
+  private final class Bucket(seed: Long) {
+    var count = 0L; var sum = 0.0
+    var min = Double.PositiveInfinity; var max = Double.NegativeInfinity
+    val reservoir = new Array[Double](LatencyBufferSize)
+    private var rng = seed | 1L
+
+    def add(lat: Double): Unit = {
+      count += 1; sum += lat
+      if (lat < min) min = lat
+      if (lat > max) max = lat
+      if (count <= LatencyBufferSize) reservoir((count - 1).toInt) = lat
+      else {
+        rng ^= rng << 13; rng ^= rng >>> 7; rng ^= rng << 17
+        val j = java.lang.Math.floorMod(rng, count)
+        if (j < LatencyBufferSize) reservoir(j.toInt) = lat
+      }
+    }
+
+    def filled: Int = math.min(count, LatencyBufferSize.toLong).toInt
+
+    def metric(crc: Long, sec: Long): QueryMetric = {
+      val s = java.util.Arrays.copyOf(reservoir, filled)
+      java.util.Arrays.sort(s)
+      val sorted = ArraySeq.unsafeWrapArray(s)
+      QueryMetric(crc, sec, count.toInt, sum / count, min, max,
+        QueryMetric.percentile(sorted, 50),
+        QueryMetric.percentile(sorted, 95),
+        QueryMetric.percentile(sorted, 99))
+    }
+  }
+
+  // live buckets keyed (db, branch, checksum, second)
+  private val buckets = mutable.Map[(String, String, Long, Long), Bucket]()
+  // finished-metrics table the read API queries; capped ring
+  private val finished = mutable.ArrayDeque[(String, String, QueryMetric)]()
+  private val statementIndex = // B11: hash -> SQL, LRU-capped
+    new java.util.LinkedHashMap[Long, String](256, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, String]) =
+        size() > StatementIndexCapacity
+    }
   private val minuteCounts = mutable.Map[(String, String, Long), Long]() // B12
 
   def record(db: String, branch: String, statement: String,
@@ -76,26 +149,73 @@ class MetricsStore {
     synchronized {
       val crc = Classifier.checksum(statement)
       val sec = nowMillis / 1000
-      buckets.getOrElseUpdate((crc, sec), mutable.ArrayBuffer()) += latencySec
-      statementIndex.getOrElseUpdate(crc, statement)
+      buckets.getOrElseUpdate((db, branch, crc, sec),
+        new Bucket(crc ^ sec)).add(latencySec)
+      if (!statementIndex.containsKey(crc)) statementIndex.put(crc, statement)
       val minute = nowMillis / 60000
       minuteCounts((db, branch, minute)) =
         minuteCounts.getOrElse((db, branch, minute), 0L) + 1
     }
 
   def statementFor(checksum: Long): Option[String] =
-    synchronized(statementIndex.get(checksum))
+    synchronized(Option(statementIndex.get(checksum)))
 
   def queryCount(db: String, branch: String, minute: Long): Long =
     synchronized(minuteCounts.getOrElse((db, branch, minute), 0L))
 
-  /** Flush all buckets to finished metrics, ordered by (ts, checksum). */
-  def flush(): Seq[QueryMetric] = synchronized {
-    val out = buckets.toSeq.sortBy { case ((crc, sec), _) => (sec, crc) }
-      .map { case ((crc, sec), lats) => QueryMetric.of(crc, sec, lats.toSeq) }
-    buckets.clear()
-    out
+  /** Number of retained latency slots per live bucket — each is <=128 by
+    * construction; exposed so specs can assert the bound. */
+  def liveBucketSizes: Seq[Int] = synchronized(buckets.values.map(_.filled).toSeq)
+
+  /** Drain buckets for completed seconds (< now) into the finished table +
+    * disk log; the 5 s daemon calls this. Returns buckets flushed. */
+  def flushFinished(nowMillis: Long = System.currentTimeMillis()): Int =
+    synchronized {
+      val nowSec = nowMillis / 1000
+      val done = buckets.keys.filter(_._4 < nowSec).toSeq
+        .sortBy { case (d, b, crc, sec) => (d, b, sec, crc) }
+      done.foreach { case k @ (db, br, crc, sec) =>
+        val m = buckets.remove(k).get.metric(crc, sec)
+        finished += ((db, br, m))
+        persist(db, br, m)
+      }
+      while (finished.length > FinishedRetention) finished.removeHead()
+      val minMinute = nowMillis / 60000 - CounterRetentionMinutes
+      minuteCounts.keys.filter(_._3 < minMinute).toSeq
+        .foreach(minuteCounts.remove)
+      done.size
+    }
+
+  /** Non-destructive read of one branch's metrics table: finished buckets
+    * plus a snapshot of still-open live buckets, ordered (ts, checksum) —
+    * what the metrics/query endpoint serves. */
+  def read(db: String, branch: String): Seq[QueryMetric] = synchronized {
+    val fin = finished.collect { case (d, b, m) if d == db && b == branch => m }
+    val live = buckets.collect {
+      case ((d, b, crc, sec), bk) if d == db && b == branch => bk.metric(crc, sec)
+    }
+    (fin ++ live).toSeq.sortBy(m => (m.timestamp, m.checksum))
   }
+
+  /** Drain everything (live + finished) ordered by (ts, checksum) — used by
+    * tests/tools that want a full deterministic dump. */
+  def flush(): Seq[QueryMetric] = synchronized {
+    val live = buckets.toSeq.map { case ((_, _, crc, sec), bk) => bk.metric(crc, sec) }
+    val fin = finished.toSeq.map(_._3)
+    buckets.clear(); finished.clear()
+    (fin ++ live).sortBy(m => (m.timestamp, m.checksum))
+  }
+
+  private def persist(db: String, branch: String, m: QueryMetric): Unit =
+    persistDir.foreach { dir =>
+      try {
+        Files.createDirectories(dir)
+        val enc = (s: String) =>
+          java.net.URLEncoder.encode(s, "UTF-8").replace("*", "%2A")
+        val f = dir.resolve(s"query_metrics_${enc(db)}_${enc(branch)}.log")
+        Files.write(f, m.bytes, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      } catch { case _: java.io.IOException => () }
+    }
 
   /** Merge per-second metrics into `step`-second buckets (the read API's
     * combineQueryMeticsByStep, including step=1 passthrough). */

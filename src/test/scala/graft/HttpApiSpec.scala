@@ -294,5 +294,15 @@ class HttpApiSpec extends AnyFunSuite {
     assert(stmts.exists(_.startsWith("SELECT * FROM m")))
     val m = data.get(0)
     assert(m.path("count").asInt() >= 1 && m.path("max").asDouble() >= m.path("min").asDouble())
+    // the reference's route path (pkg/http/routes.go:246-250) serves the
+    // same payload; reads are non-destructive, per-branch
+    val ref = get("/v1/databases/db5/main/metrics/query?step=1")
+    assert(ref.statusCode() == 200)
+    val refData = mapper.readTree(ref.body()).path("data")
+    assert(refData.isArray && refData.size() > 0)
+    // a different branch's metrics table is empty
+    val other = mapper.readTree(
+      get("/v1/databases/db5/missing/metrics/query").body()).path("data")
+    assert(other.isArray && other.size() == 0)
   }
 }

@@ -53,4 +53,66 @@ class MetricsSpec extends AnyFunSuite {
     assert(store.queryCount("db", "main", 0L) == 3)
     assert(store.flush().isEmpty)
   }
+
+  test("memory bounded under 100k records of one hot statement") {
+    val store = new MetricsStore
+    val n = 100000
+    var i = 0
+    while (i < n) {
+      // all in one (statement, second) bucket — the hot-statement worst case
+      store.record("db", "main", "SELECT hot FROM t", (i % 997) / 1000.0, 42_000L)
+      i += 1
+    }
+    // live latency storage is capped at the reference's 128 slots
+    // (query_metric.go:30), regardless of how many records arrived
+    assert(store.liveBucketSizes == Seq(128))
+    val m = store.read("db", "main")
+    assert(m.length == 1)
+    assert(m.head.count == n)              // count/avg/min/max stay exact
+    assert(m.head.min == 0.0 && m.head.max == 0.996)
+    assert(math.abs(m.head.avg - (0 until n).map(j => (j % 997) / 1000.0).sum / n) < 1e-9)
+    assert(m.head.p50 > 0.0 && m.head.p50 <= m.head.p99) // sampled, plausible
+  }
+
+  test("percentiles unchanged for buckets of <=128 samples") {
+    val store = new MetricsStore
+    val lats = (1 to 100).map(i => (i * 37 % 100 + 1) / 100.0)
+    lats.foreach(l => store.record("db", "main", "SELECT x", l, 9_000L))
+    val got = store.read("db", "main").head
+    val want = QueryMetric.of(graft.engine.Classifier.checksum("SELECT x"), 9L, lats)
+    // avg differs only by float summation order (sorted vs arrival)
+    assert(math.abs(got.avg - want.avg) < 1e-12)
+    assert(got.copy(avg = 0) == want.copy(avg = 0))
+  }
+
+  test("flushFinished drains completed seconds to the finished table") {
+    val store = new MetricsStore
+    store.record("db", "main", "SELECT a", 0.010, 1_000L)
+    store.record("db", "main", "SELECT a", 0.020, 2_000L)
+    // second 1 is finished at now=2s; second 2 is still open
+    assert(store.flushFinished(2_000L) == 1)
+    assert(store.liveBucketSizes.length == 1)
+    // read() merges finished + live, and is non-destructive
+    assert(store.read("db", "main").length == 2)
+    assert(store.read("db", "main").length == 2)
+    assert(store.read("db", "other").isEmpty)
+    // expired minute counters are swept after the 24h retention window
+    assert(store.flushFinished(1_000L * 60 * 60 * 48) == 1)
+    assert(store.queryCount("db", "main", 0L) == 0)
+  }
+
+  test("finished metrics persist as 64-byte records on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-metrics")
+    val store = new MetricsStore(Some(dir))
+    store.record("db", "main", "SELECT a", 0.010, 1_000L)
+    store.record("db", "main", "SELECT b", 0.020, 1_500L)
+    store.flushFinished(2_000L)
+    val f = dir.resolve("query_metrics_db_main.log")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    assert(bytes.length == 128) // two 64-byte records
+    val m0 = QueryMetric.fromBytes(bytes.slice(0, 64))
+    val m1 = QueryMetric.fromBytes(bytes.slice(64, 128))
+    assert(Seq(m0, m1).map(_.timestamp).toSet == Set(1L))
+    assert(Seq(m0, m1).map(_.count).sum == 2)
+  }
 }
