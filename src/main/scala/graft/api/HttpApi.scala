@@ -90,12 +90,35 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
       }
     }.toMap).getOrElse(Map.empty)
 
-  /** Resolve the caller's key: HMAC token > bare key id > opt-in root. */
+  /** authentication_middleware.go ensureRequestIsNotExpired: a numeric
+    * x-lbdb-date (unix seconds) no older than 10 s is required on signed
+    * requests — without it a captured Authorization token replays forever. */
+  private def requestFresh(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("x-lbdb-date"))
+      .flatMap(_.toLongOption)
+      .exists(t => System.currentTimeMillis() / 1000 - t < 10)
+
+  /** Resolve the caller's key: Basic auth > HMAC token > bare key id >
+    * opt-in root (the reference's middleware checks basicAuth first,
+    * authentication_middleware.go:8-21). */
   private def keyFor(ex: HttpExchange, body: Array[Byte]): Option[AccessKey] = {
     val auth = ex.getRequestHeaders.getFirst("Authorization")
-    if (auth != null && auth.nonEmpty) {
+    if (auth != null && auth.startsWith("Basic ")) {
+      // user-account login: the user's policy statements become the
+      // request's effective key (UserManager.Authenticate analog)
+      try {
+        val dec = new String(java.util.Base64.getDecoder
+          .decode(auth.stripPrefix("Basic ").trim), UTF_8)
+        dec.split(":", 2) match {
+          case Array(u, p) if session.users.authenticate(u, p) =>
+            session.users.get(u).map(usr =>
+              AccessKey(s"user:$u", statements = usr.statements))
+          case _ => None
+        }
+      } catch { case _: IllegalArgumentException => None }
+    } else if (auth != null && auth.nonEmpty) {
       val token = RequestAuth.captureToken(auth)
-      if (!token.valid) None
+      if (!token.valid || !requestFresh(ex)) None
       else session.accessKeys.get(token.accessKeyId).filter { k =>
         RequestAuth.validate(token, k.secret, ex.getRequestMethod,
           ex.getRequestURI.getPath, headerMap(ex), body, queryParams(ex))
@@ -111,6 +134,17 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
 
   private def demandDb(key: AccessKey, db: String, action: String): Unit =
     if (!Authorizer.canOnDatabase(key, db, action))
+      throw new DeniedException(s"access key lacks $action")
+
+  /** Management-plane check: key/user CRUD authorizes against "*" /
+    * "access-key:*" (/"access-key:<id>") resources ONLY, per the
+    * reference (access_key_controller.go:13,65; user management is
+    * cluster-manage scope, which collapses to "*" on a single node) — a
+    * key allowed on database:* DATA resources must not manage keys, or
+    * data-plane scope escalates to full key management. */
+  private def demandManage(key: AccessKey, action: String,
+      resources: Seq[String] = Seq("*")): Unit =
+    if (!resources.exists(r => Authorizer.authorized(key.statements, r, action)))
       throw new DeniedException(s"access key lacks $action")
 
   private def demandBranch(key: AccessKey, db: String, branch: String,
@@ -169,24 +203,26 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
 
     // --- access keys -------------------------------------------------------
     case ("GET", "access-keys" :: Nil) =>
-      demandDb(key, "*", "access-key:list")
+      demandManage(key, "access-key:list", Seq("*", "access-key:*"))
       reply(ex, 200, okJson(session.accessKeys.list()
         .map(keyJson(_, withSecret = false)).mkString("[", ",", "]")))
     case ("POST", "access-keys" :: Nil) =>
-      demandDb(key, "*", "access-key:create")
+      demandManage(key, "access-key:create", Seq("*", "access-key:*"))
       val n = mapper.readTree(body)
       val created = session.accessKeys.create(
         n.path("description").asText(""), parseStatements(n.path("statements")))
       // the secret is returned ONCE, on creation (reference behavior)
       reply(ex, 201, okJson(keyJson(created, withSecret = true)))
     case ("GET", "access-keys" :: id :: Nil) =>
-      demandDb(key, "*", "access-key:list")
+      demandManage(key, "access-key:list",
+        Seq("*", "access-key:*", s"access-key:$id"))
       session.accessKeys.get(id) match {
         case Some(k) => reply(ex, 200, okJson(keyJson(k, withSecret = false)))
         case None => reply(ex, 404, errorJson("not found"))
       }
     case ("PUT", "access-keys" :: id :: Nil) =>
-      demandDb(key, "*", "access-key:update")
+      demandManage(key, "access-key:update",
+        Seq("*", "access-key:*", s"access-key:$id"))
       val n = mapper.readTree(body)
       session.accessKeys.update(id,
         Option(n.path("description").asText(null)),
@@ -196,17 +232,18 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
         case None => reply(ex, 404, errorJson("not found"))
       }
     case ("DELETE", "access-keys" :: id :: Nil) =>
-      demandDb(key, "*", "access-key:delete")
+      demandManage(key, "access-key:delete",
+        Seq("*", "access-key:*", s"access-key:$id"))
       if (session.accessKeys.delete(id)) reply(ex, 200, okJson("null"))
       else reply(ex, 404, errorJson("not found"))
 
     // --- users -------------------------------------------------------------
     case ("GET", "users" :: Nil) =>
-      demandDb(key, "*", "user:list")
+      demandManage(key, "user:list")
       reply(ex, 200, okJson(session.users.list()
         .map(userJson).mkString("[", ",", "]")))
     case ("POST", "users" :: Nil) =>
-      demandDb(key, "*", "user:create")
+      demandManage(key, "user:create")
       val n = mapper.readTree(body)
       val username = n.path("username").asText("")
       if (username.isEmpty || n.path("password").asText("").isEmpty)
@@ -217,13 +254,13 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
         reply(ex, 201, okJson(userJson(u)))
       }
     case ("GET", "users" :: username :: Nil) =>
-      demandDb(key, "*", "user:list")
+      demandManage(key, "user:list")
       session.users.get(username) match {
         case Some(u) => reply(ex, 200, okJson(userJson(u)))
         case None => reply(ex, 404, errorJson("not found"))
       }
     case ("PUT", "users" :: username :: Nil) =>
-      demandDb(key, "*", "user:update")
+      demandManage(key, "user:update")
       val n = mapper.readTree(body)
       session.users.update(username,
         Option(n.path("password").asText(null)),
@@ -233,7 +270,7 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
         case None => reply(ex, 404, errorJson("not found"))
       }
     case ("DELETE", "users" :: username :: Nil) =>
-      demandDb(key, "*", "user:delete")
+      demandManage(key, "user:delete")
       if (session.users.remove(username)) reply(ex, 200, okJson("null"))
       else reply(ex, 404, errorJson("not found"))
 

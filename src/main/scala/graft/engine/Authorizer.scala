@@ -153,6 +153,18 @@ object Authorizer {
 
   private def unq(n: String): String = n.replace("\"", "").toLowerCase
 
+  /** Reserved internal namespace. `__att_*` (attached-table views) and
+    * `__graft_*` (per-statement scratch views) are never addressable from
+    * user SQL — naming them directly would bypass target-side authorization
+    * or read another statement's scratch state. `__fts_match` is the FTS
+    * scratch view; the `__fts_<t>_*` CATALOG tables stay readable (SQLite
+    * exposes FTS shadow tables read-only the same way) but are never valid
+    * DML/DDL targets. */
+  private def reservedRead(t: String): Boolean =
+    t.startsWith("__att_") || t.startsWith("__graft_") || t == "__fts_match"
+  private def reservedWrite(t: String): Boolean =
+    t.startsWith("__att_") || t.startsWith("__graft_") || t.startsWith("__fts_")
+
   /** The table-granular ACTION a statement performs on its target
     * (mirrors the SQLITE_INSERT/UPDATE/DELETE/CREATE_TABLE/... codes the
     * reference checks per table, database_connection.go:608-690). */
@@ -197,6 +209,10 @@ object Authorizer {
       }
       case _ => None
     }
+    target.foreach { t =>
+      if (reservedWrite(t))
+        throw new DeniedException(s"table $t may not be modified")
+    }
     target.zip(targetAction(s)).foreach { case (t, action) =>
       if (!canOnTable(key, db, branch, t, action))
         throw new DeniedException(s"access key cannot $action on table $t")
@@ -229,6 +245,10 @@ object Authorizer {
               case _ => Set.empty
             } else Set.empty
         }
+      reads.foreach { t =>
+        if (reservedRead(t))
+          throw new DeniedException(s"no such table: $t")
+      }
       (reads -- target).foreach { t =>
         if (!canOnTable(key, db, branch, t, "database:read"))
           throw new DeniedException(s"access key cannot read table $t")

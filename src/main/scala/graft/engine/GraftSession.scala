@@ -271,7 +271,19 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       case e: Throwable =>
         QueryResponse(input.id, Nil, Nil, error = Option(e.getMessage).getOrElse(e.toString),
           transactionId = input.transactionId)
-    }
+    } finally dropScratchViews()
+  }
+
+  /** Per-statement scratch views (reserved `__graft_`/`__fts_match` space)
+    * are dropped when the statement ends: the pooled handler thread's Spark
+    * session outlives the request, and a lingering view would let the NEXT
+    * tenant on the thread read the previous statement's data (ADVICE r2). */
+  private val scratchViewNames = Seq("__fts_match", "__graft_returning",
+    "__graft_target", "__graft_excluded", "__graft_matches")
+  private def dropScratchViews(): Unit = {
+    val s = sess
+    try scratchViewNames.foreach(s.catalog.dropTempView(_))
+    catch { case _: Throwable => () }
   }
 
   // --- routing ------------------------------------------------------------
@@ -391,9 +403,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * the TARGET database's resource tree (the plan walk in Authorizer sees
     * only bare table names and checks them against the HOME branch, which
     * would let a home-side wildcard bypass a target-side table deny).
-    * Over-matching inside string literals only over-checks — safe. */
+    *
+    * Two passes: a textual `alias.table` scan over the original statement
+    * (over-matching inside string literals only over-checks — safe), and a
+    * plan walk over the REWRITTEN statement mapping every `__att_<alias>_<t>`
+    * relation back to canOnTable against the TARGET db/branch — catching
+    * reference forms (subqueries, odd whitespace/quoting) the regex misses. */
   private def authorizeAttachedReads(key: AccessKey,
-      atts: Map[String, (String, String)], stmt: String): Unit =
+      atts: Map[String, (String, String)], stmt: String,
+      rewritten: String): Unit = {
     atts.foreach { case (alias, (tdb, tbr)) =>
       val re = ("(?i)(?<![\\w.])" +
         java.util.regex.Pattern.quote(alias) + "\\.(\\w+)").r
@@ -405,6 +423,24 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
               s"access key cannot read table $t of $tdb/$tbr")
         }
     }
+    try {
+      val rels = Authorizer.referencedTables(
+        sess.sessionState.sqlParser.parsePlan(rewritten))
+      rels.filter(_.startsWith("__att_")).foreach { r =>
+        // longest-alias-first disambiguates underscores inside alias names
+        atts.toSeq.sortBy(-_._1.length).collectFirst {
+          case (a, (tdb, tbr)) if r.startsWith(s"__att_${a.toLowerCase}_") =>
+            (tdb, tbr, r.stripPrefix(s"__att_${a.toLowerCase}_"))
+        }.foreach { case (tdb, tbr, t) =>
+          if (!Authorizer.canOnTable(key, tdb, tbr, t, "database:read"))
+            throw new DeniedException(
+              s"access key cannot read table $t of $tdb/$tbr")
+        }
+      }
+    } catch {
+      case _: org.apache.spark.sql.catalyst.parser.ParseException => ()
+    }
+  }
 
   // --- reads ---------------------------------------------------------------
 
@@ -543,10 +579,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         // attached-database references (alias.t) rewrite onto their views;
         // reads of attached tables authorize against the TARGET database
         val atts = attachmentsFor(db, branch)
-        if (atts.nonEmpty) authorizeAttachedReads(key, atts, input.statement)
         val stmt =
           if (atts.isEmpty) input.statement
           else Sql.rewriteAttached(input.statement, atts.keySet)
+        if (atts.nonEmpty) authorizeAttachedReads(key, atts, input.statement, stmt)
         // plan cache (B4): parse once per (sql, key) — Spark still analyzes
         // per execution because view state may have changed.
         planCache.get(stmt, key.id)(
@@ -587,8 +623,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       val txn = txnFor(db, branch, input)
       registerViews(db, branch, txn)
       val atts = attachmentsFor(db, branch)
-      if (atts.nonEmpty) authorizeAttachedReads(key, atts, stmt)
       val stmtR = if (atts.isEmpty) stmt else Sql.rewriteAttached(stmt, atts.keySet)
+      if (atts.nonEmpty) authorizeAttachedReads(key, atts, stmt, stmtR)
       val df =
         if (input.parameters.isEmpty) sess.sql(stmtR)
         else sess.sql(stmtR, input.parameters.map(paramToJvm).toArray)
@@ -613,7 +649,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         emit(QueryResponse(input.id, Nil, Nil,
           error = Option(e.getMessage).getOrElse(e.toString),
           transactionId = input.transactionId))
-    }
+    } finally dropScratchViews()
   }
 
   private def collectResponse(df: DataFrame, input: QueryInput): QueryResponse = {

@@ -8,9 +8,13 @@ import scala.jdk.CollectionConverters._
 
 /** Persisted user accounts (reference pkg/auth/user.go +
   * user_manager.go): username, password, policy statements. Passwords are
-  * stored as salted SHA-256 digests, never in the clear; `authenticate`
-  * recomputes and constant-time-compares. The `root` username is reserved
-  * (reference user_controller.go:116). */
+  * stored as salted PBKDF2-HMAC-SHA256 digests (`pbkdf2$<iters>$<hex>`) —
+  * the JDK's adaptive KDF standing in for the reference's bcrypt
+  * (user_manager.go bcrypt.GenerateFromPassword) so offline brute-force of
+  * a leaked _users.json stays expensive. `authenticate` recomputes and
+  * constant-time-compares; hashes from older files (plain salted SHA-256)
+  * still verify and re-hash on the next password change. The `root`
+  * username is reserved (reference user_controller.go:116). */
 case class User(username: String, passwordHash: String, salt: String,
     statements: Seq[AccessKeyStatement], createdAt: Long, updatedAt: Long)
 
@@ -24,7 +28,20 @@ class UserStore(root: Path) {
 
   private def path = root.resolve("_users.json")
 
+  private val Pbkdf2Iterations = 100000
+
+  private def pbkdf2(password: String, salt: String, iterations: Int): String = {
+    val spec = new javax.crypto.spec.PBEKeySpec(password.toCharArray,
+      salt.getBytes(UTF_8), iterations, 256)
+    val derived = javax.crypto.SecretKeyFactory
+      .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
+    s"pbkdf2$$$iterations$$" + derived.map("%02x".format(_)).mkString
+  }
+
   private def hash(password: String, salt: String): String =
+    pbkdf2(password, salt, Pbkdf2Iterations)
+
+  private def legacyHash(password: String, salt: String): String =
     MessageDigest.getInstance("SHA-256")
       .digest((salt + ":" + password).getBytes(UTF_8))
       .map("%02x".format(_)).mkString
@@ -83,8 +100,15 @@ class UserStore(root: Path) {
   def list(): Seq[User] = synchronized(users.values.toSeq)
 
   def authenticate(username: String, password: String): Boolean = synchronized {
-    users.get(username).exists(u => MessageDigest.isEqual(
-      hash(password, u.salt).getBytes(UTF_8), u.passwordHash.getBytes(UTF_8)))
+    users.get(username).exists { u =>
+      val computed = u.passwordHash.split("\\$", 3) match {
+        case Array("pbkdf2", iters, _) if iters.nonEmpty && iters.forall(_.isDigit) =>
+          pbkdf2(password, u.salt, iters.toInt)
+        case _ => legacyHash(password, u.salt)
+      }
+      MessageDigest.isEqual(
+        computed.getBytes(UTF_8), u.passwordHash.getBytes(UTF_8))
+    }
   }
 
   def update(username: String, password: Option[String],

@@ -32,8 +32,11 @@ class AuthSpec extends AnyFunSuite {
       AccessKeyStatement("allow", "*", Seq("*")))))
 
   private def signed(method: String, path: String, body: String,
-      keyId: String, secret: String): HttpResponse[String] = {
-    val date = "20260812T000000Z"
+      keyId: String, secret: String,
+      dateOverride: Option[String] = None): HttpResponse[String] = {
+    // the reference requires a NUMERIC unix-seconds date within 10s
+    // (authentication_middleware.go ensureRequestIsNotExpired)
+    val date = dateOverride.getOrElse((System.currentTimeMillis() / 1000).toString)
     val headers = Map(
       "content-type" -> "application/json",
       "host" -> s"127.0.0.1:$port",
@@ -186,6 +189,63 @@ class AuthSpec extends AnyFunSuite {
     assert(del.statusCode() == 200)
     assert(signed("GET", "/v1/users/ada", "", "admin-key", "admin-secret")
       .statusCode() == 404)
+  }
+
+  test("stale, non-numeric or missing x-lbdb-date is 401 (replay window)") {
+    // a signed request whose date is outside the 10s window must not
+    // validate, even with a perfectly good signature
+    val stale = signed("GET", "/v1/databases", "", "admin-key", "admin-secret",
+      dateOverride = Some((System.currentTimeMillis() / 1000 - 60).toString))
+    assert(stale.statusCode() == 401)
+    val nonNumeric = signed("GET", "/v1/databases", "", "admin-key",
+      "admin-secret", dateOverride = Some("20260812T000000Z"))
+    assert(nonNumeric.statusCode() == 401)
+    val fresh = signed("GET", "/v1/databases", "", "admin-key", "admin-secret")
+    assert(fresh.statusCode() == 200)
+  }
+
+  test("HTTP Basic auth maps a user account to its policy statements") {
+    signed("POST", "/v1/users",
+      """{"username":"basil","password":"pw-basil","statements":[
+        |{"effect":"allow","resource":"*",
+        | "actions":["database:query","database:select","database:read","database:list"]}]}""".stripMargin,
+      "admin-key", "admin-secret")
+    def basic(user: String, pass: String, path: String): HttpResponse[String] = {
+      val cred = java.util.Base64.getEncoder.encodeToString(
+        s"$user:$pass".getBytes(UTF_8))
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Authorization", s"Basic $cred").GET().build(),
+        BodyHandlers.ofString())
+    }
+    assert(basic("basil", "pw-basil", "/v1/databases").statusCode() == 200)
+    // wrong password: 401; right password, unprivileged route: 403
+    assert(basic("basil", "nope", "/v1/databases").statusCode() == 401)
+    assert(basic("basil", "pw-basil", "/v1/access-keys").statusCode() == 403)
+  }
+
+  test("data-plane scope cannot manage keys or users (escalation gate)") {
+    // allow on ALL DATA resources with every action — the reference still
+    // refuses key management unless the key is scoped "*" or "access-key:*"
+    session.accessKeys.put(AccessKey("datawide", secret = "dw-secret",
+      statements = Seq(AccessKeyStatement("allow", "database:*", Seq("*")))))
+    val mk = signed("POST", "/v1/access-keys",
+      """{"description":"evil","statements":[
+        |{"effect":"allow","resource":"*","actions":["*"]}]}""".stripMargin,
+      "datawide", "dw-secret")
+    assert(mk.statusCode() == 403)
+    assert(signed("GET", "/v1/access-keys", "", "datawide", "dw-secret")
+      .statusCode() == 403)
+    assert(signed("POST", "/v1/users",
+      """{"username":"eve","password":"x"}""", "datawide", "dw-secret")
+      .statusCode() == 403)
+    // a key scoped access-key:* manages keys but not users or data
+    session.accessKeys.put(AccessKey("keyadmin", secret = "ka-secret",
+      statements = Seq(AccessKeyStatement("allow", "access-key:*", Seq("*")))))
+    assert(signed("GET", "/v1/access-keys", "", "keyadmin", "ka-secret")
+      .statusCode() == 200)
+    assert(signed("GET", "/v1/users", "", "keyadmin", "ka-secret")
+      .statusCode() == 403)
   }
 
   test("request token round trip and store persistence across restart") {

@@ -740,6 +740,66 @@ class EngineSpec extends AnyFunSuite {
       t1Only).error.contains("secret"))
   }
 
+  test("reserved internal views are not addressable from user SQL") {
+    val s = newSession()
+    s.createDatabase("tenantb")
+    s.execute("tenantb", "main", q("CREATE TABLE sec (id INTEGER)"))
+    s.execute("tenantb", "main", q("INSERT INTO sec VALUES (42)"))
+    s.execute("db1", "main", q("CREATE TABLE t1 (id INTEGER)"))
+    val key = AccessKey("homewild", statements = Seq(
+      AccessKeyStatement("allow", "database:db1:*", Seq("*")),
+      AccessKeyStatement("allow", "database:tenantb:branch:main",
+        Seq("database:read", "database:select", "database:query")),
+      AccessKeyStatement("deny", "database:tenantb:branch:main:table:sec",
+        Seq("database:read"))))
+    assert(s.execute("db1", "main",
+      q("ATTACH DATABASE 'tenantb' AS tb"), key).error.isEmpty)
+    // prime the attached view on this thread, then address it directly:
+    // the home-side wildcard must NOT authorize the internal view name
+    s.execute("db1", "main", q("SELECT 1"), key)
+    val direct = s.execute("db1", "main", q("SELECT * FROM __att_tb_sec"), key)
+    assert(direct.error.nonEmpty && !direct.rows.exists(_.nonEmpty))
+    // scratch views from a previous statement are dropped at statement end:
+    // a later caller on the same thread cannot read residue
+    s.execute("db1", "main", q("INSERT INTO t1 VALUES (7)"))
+    val scratch = s.execute("db1", "main", q("SELECT * FROM __graft_target"), key)
+    assert(scratch.error.nonEmpty && scratch.rows.isEmpty)
+    // FTS shadow catalog tables stay readable but are never write targets
+    s.execute("db1", "main",
+      q("CREATE VIRTUAL TABLE nfts USING fts5(body)"))
+    s.execute("db1", "main", q("INSERT INTO nfts (body) VALUES ('alpha')"))
+    val rd = s.execute("db1", "main", q("SELECT n FROM __fts_nfts_stats"))
+    assert(rd.error.isEmpty, rd.error)
+    val wr = s.execute("db1", "main",
+      q("INSERT INTO __fts_nfts_stats VALUES (99)"))
+    assert(wr.error.contains("may not be modified"))
+    val dr = s.execute("db1", "main", q("DROP TABLE __fts_nfts_postings"))
+    assert(dr.error.contains("may not be modified"))
+  }
+
+  test("attached deny holds for reference forms the textual scan misses") {
+    val s = newSession()
+    s.createDatabase("tenantc")
+    s.execute("tenantc", "main", q("CREATE TABLE sec (id INTEGER)"))
+    s.execute("tenantc", "main", q("INSERT INTO sec VALUES (1)"))
+    s.execute("db1", "main", q("CREATE TABLE home (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO home VALUES (1)"))
+    val key = AccessKey("subq", statements = Seq(
+      AccessKeyStatement("allow", "database:db1:*", Seq("*")),
+      AccessKeyStatement("allow", "database:tenantc:branch:main",
+        Seq("database:read", "database:select", "database:query",
+          "database:attach")),
+      AccessKeyStatement("deny", "database:tenantc:branch:main:table:sec",
+        Seq("database:read"))))
+    assert(s.execute("db1", "main",
+      q("ATTACH DATABASE 'tenantc' AS tc"), key).error.isEmpty)
+    // subquery reference — the rewritten-plan walk must still map the
+    // __att_ relation back to the target-side deny
+    val viaSubq = s.execute("db1", "main",
+      q("SELECT * FROM home WHERE id IN (SELECT id FROM tc.sec)"), key)
+    assert(viaSubq.error.nonEmpty && viaSubq.rows.isEmpty)
+  }
+
   test("authorizer closes the side doors: ATTACH, CTAS, ON CONFLICT sources") {
     val s = newSession()
     s.createDatabase("tenant2")
