@@ -161,7 +161,7 @@ object Authorizer {
     * exposes FTS shadow tables read-only the same way) but are never valid
     * DML/DDL targets. */
   private def reservedRead(t: String): Boolean =
-    t.startsWith("__att_") || t.startsWith("__graft_") || t == "__fts_match"
+    t.startsWith("__att_") || t.startsWith("__graft_") || t.startsWith("__fts_match")
   private def reservedWrite(t: String): Boolean =
     t.startsWith("__att_") || t.startsWith("__graft_") || t.startsWith("__fts_")
 

@@ -389,7 +389,48 @@ object Pipeline {
       |WHERE doc NOT IN (SELECT DISTINCT doc FROM post WHERE term = 'slow')
       |ORDER BY score DESC, doc""".stripMargin
 
+  /** FTS hits joined back to content columns — the query shape the
+    * engine's generalized MATCH rewrite produces for
+    * `SELECT d.* FROM docs d JOIN fts f ON d.id = f.rowid WHERE f MATCH q`
+    * (the reference runs arbitrary SQL around the fts5 vtable). */
+  def q33FtsJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    Fts.search(docs, "text", "doc_id", "merge window")
+      .join(docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        col("doc") === col("doc_id"))
+      .select(col("doc"), col("score"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("score").desc, col("doc"))
+  }
+
+  val q33Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |dl AS (SELECT doc_id AS doc, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      |post AS (SELECT doc_id AS doc, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM post GROUP BY 1, 2),
+      |stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+      |                 (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS sumdl),
+      |hit AS (
+      |  SELECT tf.doc, tf.term, tf.tf, df.df, dl.dl
+      |  FROM tf
+      |  JOIN (SELECT term, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df FROM tf
+      |        WHERE term IN ('merge','window') GROUP BY term) df USING (term)
+      |  JOIN dl ON dl.doc = tf.doc
+      |  WHERE tf.term IN ('merge','window')),
+      |scored AS (
+      |  SELECT doc,
+      |    round(SUM( ln((n - df + 0.5)/(df + 0.5) + 1.0) *
+      |      (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))) ), 6) AS score,
+      |    COUNT(DISTINCT term) AS n_terms_hit
+      |  FROM hit, stats GROUP BY doc)
+      |SELECT s.doc, s.score, d.lang, d.source, d.n_chars
+      |FROM scored s JOIN documents d ON s.doc = d.doc_id
+      |WHERE s.n_terms_hit = 2
+      |ORDER BY s.score DESC, s.doc""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "q33_fts_join" -> (q33FtsJoin _),
     "p15_fts_match" -> (p15FtsMatch _),
     "p19_fts_phrase" -> (p19FtsPhrase _),
     "p20_fts_prefix" -> (p20FtsPrefix _),
@@ -413,6 +454,7 @@ object Pipeline {
     "p21_frame_sample" -> (p21FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "q33_fts_join" -> q33Oracle,
     "p15_fts_match" -> p15Oracle,
     "p19_fts_phrase" -> p19Oracle,
     "p20_fts_prefix" -> p20Oracle,

@@ -918,6 +918,39 @@ class EngineSpec extends AnyFunSuite {
     assert(found.rows.map(_.head) == Seq(SqlValue.IntVal(1)))
   }
 
+  test("fts5 MATCH inside joins and subqueries (arbitrary-SQL vtable parity)") {
+    val s = newSession()
+    s.execute("db1", "main", q(
+      "CREATE TABLE docs (doc_id INTEGER, body TEXT, topic TEXT)"))
+    s.execute("db1", "main", q(
+      "INSERT INTO docs VALUES (1, 'spark shuffles data', 'eng'), " +
+        "(2, 'spark joins tables', 'eng'), (3, 'duckdb is embedded', 'db')"))
+    s.execute("db1", "main", q(
+      "CREATE VIRTUAL TABLE dfx USING fts5(body, content='docs', content_rowid='doc_id')"))
+    // join form, aliased: select content columns + rank columns together
+    val joined = s.execute("db1", "main", q(
+      "SELECT d.doc_id, d.topic, f.score FROM docs d " +
+        "JOIN dfx f ON d.doc_id = f.rowid WHERE f MATCH 'spark' " +
+        "ORDER BY f.score DESC, d.doc_id"))
+    assert(joined.error.isEmpty, joined.error)
+    assert(joined.rows.length == 2 &&
+      joined.rows.forall(_(1) == SqlValue.TextVal("eng")))
+    // IN-subquery form, unaliased
+    val sub = s.execute("db1", "main", q(
+      "SELECT doc_id FROM docs WHERE doc_id IN " +
+        "(SELECT rowid FROM dfx WHERE dfx MATCH 'embedded') ORDER BY doc_id"))
+    assert(sub.error.isEmpty, sub.error)
+    assert(sub.rows.map(_.head) == Seq(SqlValue.IntVal(3)))
+    // MATCH inside a string literal is NOT a predicate
+    val lit = s.execute("db1", "main", q(
+      "SELECT count(*) AS n FROM docs WHERE body <> 'x MATCH ''y'''"))
+    assert(lit.error.isEmpty, lit.error)
+    assert(lit.rows.head.head == SqlValue.IntVal(3))
+    // the per-statement match view is scratch: gone for the next statement
+    val residue = s.execute("db1", "main", q("SELECT * FROM __fts_match0"))
+    assert(residue.error.nonEmpty)
+  }
+
   test("fts5 bare vtable: auto rowid, phrase and prefix queries, drop cascades") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE VIRTUAL TABLE notes USING fts5(body)"))
