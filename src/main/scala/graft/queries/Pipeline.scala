@@ -267,20 +267,43 @@ object Pipeline {
       |       ELSE 'unknown' END AS sniffed_kind
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Multimodal decode plumbing: typed Dataset -> mapPartitions stub decode
-    * -> feature rows (histogram flattened for parquet-stability). */
+  /** REAL multimodal decode: deterministic fixture images are synthesized
+    * per document (pixel i of doc d = (d*31 + i) % 256; even docs encode
+    * as PPM P6, odd as BMP via javax.imageio), then decoded by the actual
+    * container parsers behind the mapPartitions seam. The oracle computes
+    * the same width/height/mean CLOSED-FORM from doc_id, so the decoders'
+    * output is hash-checked — a wrong header parse, row padding slip or
+    * channel swap all change the stats. */
   def p14MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir)
-      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
-        encode(col("text"), "utf-8").as("payload"))
-      .as[Multimodal.MediaRow]
-    Multimodal.decodeFeatures(media)
-      .select(col("media_id"), col("n_bytes"), col("sha256"), col("mean_byte"),
-        round(element_at(col("histogram"), 7), 6).as("hist_bin6"))
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 6 + (id % 5).toInt
+      val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
+      if (id % 2 == 0)
+        Multimodal.MediaRow(id, "ppm", Multimodal.encodePpm(w, h, rgb))
+      else
+        Multimodal.MediaRow(id, "bmp", Multimodal.encodeBmp(w, h, rgb))
+    }
+    Multimodal.decodeImages(media)
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        round(col("mean_pixel"), 6).as("mean_pixel"))
       .orderBy(col("media_id"))
   }
+
+  val p14Oracle: String =
+    """WITH series AS (SELECT unnest(generate_series(0, 479)) AS i),
+      |dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+      |         FROM documents)
+      |SELECT d.doc_id AS media_id,
+      |  CASE WHEN d.doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+      |  d.w AS width, d.h AS height,
+      |  round(CAST(sum((d.doc_id*31 + s.i) % 256) AS DOUBLE) / (d.w*d.h*3), 6)
+      |    AS mean_pixel
+      |FROM dims d JOIN series s ON s.i < d.w*d.h*3
+      |GROUP BY d.doc_id, d.w, d.h
+      |ORDER BY media_id""".stripMargin
 
   /** Video-style frame sampling over binary payloads: every 4th 64-byte
     * frame's offset (the sampling geometry is oracle-checked; frame
@@ -455,6 +478,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
+    "p14_multimodal_decode" -> p14Oracle,
     "p15_fts_match" -> p15Oracle,
     "p19_fts_phrase" -> p19Oracle,
     "p20_fts_prefix" -> p20Oracle,

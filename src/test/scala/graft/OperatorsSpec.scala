@@ -274,4 +274,35 @@ class OperatorsSpec extends AnyFunSuite {
     val id = Multimodal.resizeStub(media, factor = 1).collect().sortBy(_.media_id)
     assert(id(0).payload.toSeq == Seq[Byte](0, 2, 4, 6, 8, 10))
   }
+
+  test("PPM and BMP codecs round-trip pixels exactly and agree on stats") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    val w = 11; val h = 7
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + 5) % 256).toByte)
+    // ppm round trip
+    val ppm = Multimodal.encodePpm(w, h, rgb)
+    assert(new String(ppm.take(2), "US-ASCII") == "P6")
+    val (pw, ph, prgb) = Multimodal.decodePpm(ppm)
+    assert(pw == w && ph == h && prgb.toSeq == rgb.toSeq)
+    // ppm comments/whitespace per netpbm spec
+    val commented = ("P6\n# fixture\n 3 1 \n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    val (cw, ch, crgb) = Multimodal.decodePpm(commented)
+    assert(cw == 3 && ch == 1 && crgb.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    // bmp round trip through javax.imageio (24-bit lossless)
+    val bmp = Multimodal.encodeBmp(w, h, rgb)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val (bw, bh, brgb) = Multimodal.decodeBmp(bmp)
+    assert(bw == w && bh == h && brgb.toSeq == rgb.toSeq)
+    // decodeImages: both containers yield identical stats for same pixels
+    val media = Seq(
+      Multimodal.MediaRow(1L, "ppm", ppm),
+      Multimodal.MediaRow(2L, "bmp", bmp)).toDS()
+    val out = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(out.forall(d => d.width == w && d.height == h))
+    assert(out(0).mean_pixel == out(1).mean_pixel)
+    val expectedMean = rgb.map(_ & 0xFF).map(_.toLong).sum.toDouble / (w * h * 3)
+    assert(math.abs(out(0).mean_pixel - expectedMean) < 1e-12)
+  }
 }
