@@ -449,6 +449,71 @@ class EngineSpec extends AnyFunSuite {
     assert(s.metrics.statementFor(crc).contains("SELECT * FROM t"))
   }
 
+  test("per-branch manifests: no cross-branch persist amplification") {
+    val dir = Files.createTempDirectory("graft-manifests")
+    val s = new GraftSession(spark, dir)
+    s.createDatabase("dbm")
+    s.execute("dbm", "main", q("CREATE TABLE t (id INTEGER)"))
+    s.execute("dbm", "main", q("INSERT INTO t VALUES (1)"))
+    s.createBranch("dbm", "main", "dev")
+    s.execute("dbm", "dev", q("INSERT INTO t VALUES (2)"))
+    val mainManifest = dir.resolve("dbm").resolve("main").resolve("_manifest.json")
+    val devManifest = dir.resolve("dbm").resolve("dev").resolve("_manifest.json")
+    val catalogFile = dir.resolve("_catalog.json")
+    assert(Files.exists(mainManifest) && Files.exists(devManifest) &&
+      Files.exists(catalogFile))
+    // writes to dev touch NEITHER main's manifest NOR the catalog file —
+    // the r2 full-catalog-rewrite-per-INSERT amplification is gone
+    val mainBefore = Files.readAllBytes(mainManifest)
+    val catBefore = Files.readAllBytes(catalogFile)
+    (1 to 5).foreach(i => s.execute("dbm", "dev", q(s"INSERT INTO t VALUES ($i)")))
+    assert(Files.readAllBytes(mainManifest).sameElements(mainBefore))
+    assert(Files.readAllBytes(catalogFile).sameElements(catBefore))
+    // concurrent writers on DIFFERENT branches both land every commit
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq("main", "dev").map { br =>
+      new Thread(() => (1 to 10).foreach { i =>
+        val r = s.execute("dbm", br, q(s"INSERT INTO t VALUES (${100 + i})"))
+        if (r.error.nonEmpty) errs.add(r.error)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs)
+    // a fresh catalog over the same root recovers the split-manifest state
+    val reopened = new graft.engine.Catalog(dir)
+    val mainRows = reopened.currentVersion("dbm", "main", "t").get.rowCount
+    val devRows = reopened.currentVersion("dbm", "dev", "t").get.rowCount
+    assert(mainRows == 11L, s"main rows $mainRows") // 1 + 10 concurrent
+    assert(devRows == 17L, s"dev rows $devRows")    // 1 branched + 1 + 5 + 10
+  }
+
+  test("view registration is version-keyed: unchanged state registers nothing") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE base (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO base VALUES (1), (2)"))
+    s.execute("db1", "main", q("CREATE VIEW v1 AS SELECT id * 2 AS d FROM base"))
+    // first read registers base + v1
+    assert(s.execute("db1", "main", q("SELECT d FROM v1")).error.isEmpty)
+    val after1 = s.viewRegistrations.get()
+    // identical repeat on the same thread: zero Catalyst registrations
+    assert(s.execute("db1", "main", q("SELECT d FROM v1")).error.isEmpty)
+    assert(s.viewRegistrations.get() == after1)
+    // a write bumps the table version -> base AND v1 re-register (views
+    // capture their underlying plans at registration time)
+    s.execute("db1", "main", q("INSERT INTO base VALUES (3)"))
+    val r = s.execute("db1", "main", q("SELECT count(*) AS n FROM v1"))
+    assert(r.rows.head.head == SqlValue.IntVal(3))
+    assert(s.viewRegistrations.get() > after1)
+    // CREATE VIEW bumps the views version even with no table writes
+    val after2 = s.viewRegistrations.get()
+    s.execute("db1", "main", q("CREATE VIEW v2 AS SELECT d FROM v1"))
+    assert(s.execute("db1", "main", q("SELECT * FROM v2")).error.isEmpty)
+    assert(s.viewRegistrations.get() > after2)
+    val after3 = s.viewRegistrations.get()
+    assert(s.execute("db1", "main", q("SELECT * FROM v2")).error.isEmpty)
+    assert(s.viewRegistrations.get() == after3)
+  }
+
   test("write queue serializes concurrent writers without loss") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))

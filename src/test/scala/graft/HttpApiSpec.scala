@@ -274,6 +274,54 @@ class HttpApiSpec extends AnyFunSuite {
       .statusCode() == 403)
   }
 
+  test("batch results are capped; the stream endpoint carries the same query") {
+    // a session with a tiny cap: the JSON batch path must refuse, the
+    // binary stream path must deliver
+    val session = new GraftSession(spark,
+      Files.createTempDirectory("graft-cap"), maxBatchRows = 10)
+    val a = new HttpApi(session, anonymousRoot = true)
+    val p = a.start()
+    try {
+      def postp(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+          .POST(BodyPublishers.ofString(body)).build(), BodyHandlers.ofString())
+      postp("/v1/databases", """{"name":"capdb"}""")
+      postp("/v1/databases/capdb/main/query",
+        """{"queries":[{"id":"c","statement":"CREATE TABLE big (v INTEGER)"},
+          |{"id":"i","statement":
+          |"INSERT INTO big SELECT explode(sequence(1, 50)) AS v"}]}""".stripMargin)
+      val over = postp("/v1/databases/capdb/main/query",
+        """{"queries":[{"id":"s","statement":"SELECT v FROM big"}]}""")
+      assert(over.statusCode() == 400)
+      assert(over.body().contains("query/stream"))
+      // under the cap still works
+      val under = postp("/v1/databases/capdb/main/query",
+        """{"queries":[{"id":"s","statement":"SELECT v FROM big LIMIT 5"}]}""")
+      assert(under.statusCode() == 200, under.body())
+      // the stream endpoint delivers all 50 rows of the refused query
+      val body = new java.io.ByteArrayOutputStream()
+      QueryStream.writeMessage(body, QueryStream.Open, Array.emptyByteArray)
+      QueryStream.writeMessage(body, QueryStream.Frame,
+        QueryStream.encodeFrame(Seq(QueryInput("q1", "SELECT v FROM big"))))
+      QueryStream.writeMessage(body, QueryStream.Close, Array.emptyByteArray)
+      val resp = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p/v1/databases/capdb/main/query/stream"))
+        .POST(BodyPublishers.ofByteArray(body.toByteArray)).build(),
+        BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      val in = new java.io.ByteArrayInputStream(resp.body())
+      assert((in.readNBytes(5)(0) & 0xFF) == QueryStream.Open) // ack
+      val hdr = in.readNBytes(5)
+      assert((hdr(0) & 0xFF) == QueryStream.Frame)
+      val frameLen = java.nio.ByteBuffer.wrap(hdr, 1, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val entries = QueryStream.decodeResponseFrame(in.readNBytes(frameLen))
+      assert(entries.forall(!_._1)) // no error entries
+      val rows = entries.map(e => Wire.decodeResponse(e._2).rows.length).sum
+      assert(rows == 50, s"streamed $rows rows")
+    } finally a.stop()
+  }
+
   test("health and status endpoints") {
     assert(get("/v1/health").statusCode() == 200)
     val st = mapper.readTree(get("/v1/status").body()).path("data")
