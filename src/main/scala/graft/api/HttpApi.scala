@@ -237,6 +237,37 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
       if (session.accessKeys.delete(id)) reply(ex, 200, okJson("null"))
       else reply(ex, 404, errorJson("not found"))
 
+    // --- encryption-key rotation (routes.go:154-167) -----------------------
+    // cluster-manage scope; the cluster:<id> resource collapses to "*" on a
+    // single-node engine
+    case ("POST", "keys" :: Nil) =>
+      demandManage(key, "cluster:manage")
+      val n = mapper.readTree(body)
+      val ek = n.path("encryption_key").asText("")
+      val sig = n.path("signature").asText("")
+      if (ek.isEmpty || sig.isEmpty)
+        reply(ex, 400, errorJson("encryption_key and signature are required"))
+      else {
+        try {
+          session.keyManager.storeNext(ek, sig)
+          reply(ex, 200, okJson("\"next encryption key stored successfully\""))
+        } catch {
+          case e: IllegalArgumentException => reply(ex, 400, errorJson(e.getMessage))
+          case e: IllegalStateException => reply(ex, 400, errorJson(e.getMessage))
+        }
+      }
+    case ("POST", "keys" :: "activate" :: Nil) =>
+      demandManage(key, "cluster:manage")
+      val ek = mapper.readTree(body).path("encryption_key").asText("")
+      if (ek.isEmpty)
+        reply(ex, 400, errorJson("encryption_key is required"))
+      else if (!session.keyManager.hasStaged(ek))
+        reply(ex, 400, errorJson("the encryption key is invalid"))
+      else {
+        session.keyManager.activate(ek)
+        reply(ex, 200, okJson("\"encryption key activated successfully\""))
+      }
+
     // --- users -------------------------------------------------------------
     case ("GET", "users" :: Nil) =>
       demandManage(key, "user:list")

@@ -9,13 +9,22 @@ import scala.jdk.CollectionConverters._
   * an in-memory cache). Here: one JSON manifest under the catalog root,
   * rewritten atomically on every mutation — tiny, like the catalog
   * manifest, and it survives process restarts. */
-class AccessKeyStore(root: Path) {
+class AccessKeyStore(root: Path, keyManager: Option[KeyManager] = None) {
 
   private val keys = mutable.LinkedHashMap[String, AccessKey]()
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
   Files.createDirectories(root)
   load()
+  keyManager.foreach(_.registerStore(() => repersist()))
+
+  /** Re-write the store (a key rotation re-encrypts under the new key). */
+  def repersist(): Unit = synchronized(persist())
+
+  private def encode(b: Array[Byte]): Array[Byte] =
+    keyManager.map(_.encrypt(b)).getOrElse(b)
+  private def decode(b: Array[Byte]): Array[Byte] =
+    keyManager.map(_.decrypt(b)).getOrElse(b)
 
   private def path = root.resolve("_access_keys.json")
 
@@ -37,14 +46,14 @@ class AccessKeyStore(root: Path) {
       }
     }
     val tmp = root.resolve("_access_keys.json.tmp")
-    Files.write(tmp, om.writeValueAsBytes(rootNode))
+    Files.write(tmp, encode(om.writeValueAsBytes(rootNode)))
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def load(): Unit = {
     if (!Files.exists(path)) return
-    om.readTree(Files.readAllBytes(path)).elements().asScala.foreach { n =>
+    om.readTree(decode(Files.readAllBytes(path))).elements().asScala.foreach { n =>
       val statements = n.path("statements").elements().asScala.map { sn =>
         AccessKeyStatement(sn.path("effect").asText(),
           sn.path("resource").asText(),

@@ -1,8 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, UpdateTable}
 
 /** Access-key authorization (B9 + reference pkg/auth).
   *
@@ -87,9 +87,10 @@ object Authorizer {
       .exists(r => authorized(key.statements, r, action))
 
   /** Branch-level privileges demanded by a statement kind (subset of
-    * database_privileges.go relevant to our engine). */
+    * database_privileges.go relevant to our engine). Comment-stripped: a
+    * `/* hint */`-prefixed DML must demand DML privileges. */
   def requiredPrivilege(stmt: String): Seq[String] = {
-    val s = stmt.trim
+    val s = Sql.stripLeadingComments(stmt.trim)
     Classifier.kind(s) match {
       case "dql" => Seq("database:query", "database:select")
       case "dml" =>
@@ -180,6 +181,31 @@ object Authorizer {
     else None
   }
 
+  /** DML/DDL target via Spark's parser — the analog of the reference
+    * reading the table argument of SQLite's authorizer callback instead of
+    * regexing SQL text: robust to comments, odd whitespace and quoting.
+    * Engine-dialect forms the parser rejects (CREATE VIRTUAL TABLE, ...)
+    * return None and the caller falls back to the verb regexes. */
+  private def parsedTarget(spark: SparkSession, stmt: String): Option[String] =
+    try {
+      spark.sessionState.sqlParser.parsePlan(stmt) match {
+        // DML: the target relation, never the SELECT sources
+        case i: InsertIntoStatement => i.table.collectFirst {
+          case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
+        case u: UpdateTable => u.table.collectFirst {
+          case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
+        case d: DeleteFromTable => d.table.collectFirst {
+          case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
+        // DDL commands carry their target as an unresolved identifier/table
+        // node (CreateTable, CTAS, DropTable, AlterTable variants)
+        case other => other.collectFirst {
+          case u: UnresolvedIdentifier => u.nameParts.last.toLowerCase
+          case t: UnresolvedTable => t.multipartIdentifier.last.toLowerCase
+          case tv: UnresolvedTableOrView => tv.multipartIdentifier.last.toLowerCase
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** Authorize or throw DeniedException (SQLITE_DENY analog).
     *
     * Checks, in order:
@@ -189,6 +215,10 @@ object Authorizer {
     *     INSERT ... SELECT, UPDATE/DELETE subqueries and plain queries all
     *     hit this (the reference's SQLITE_READ fires per column read
     *     regardless of the outer verb).
+    *
+    * All checks see through leading comments (the reference's run inside
+    * SQLite's callback, which comments can't disarm); routing still
+    * prefix-matches the raw text for reference parity.
     */
   def authorize(spark: SparkSession, key: AccessKey, db: String, branch: String,
       stmt: String): Unit = {
@@ -196,17 +226,33 @@ object Authorizer {
       if (!canOnBranch(key, db, branch, p))
         throw new DeniedException(s"access key lacks $p")
     }
-    val s = stmt.trim
+    val s = Sql.stripLeadingComments(stmt.trim)
     val kind = Classifier.kind(s)
+    // Normalize engine-dialect suffixes BEFORE parsing so their reads are
+    // still checked: ON CONFLICT / RETURNING / OR REPLACE|IGNORE would
+    // otherwise fail the parse and silently skip the source-table walk
+    // (e.g. INSERT INTO t1 SELECT * FROM secret ON CONFLICT ... must
+    // still read-check `secret`). CTAS parses natively and its SELECT
+    // sources land here too. Stripping is QUOTE-AWARE (top-level keyword
+    // scan) — a 'returning' inside a string literal must not truncate
+    // the statement, or the broken parse would skip the walk entirely.
+    val noReturning = Sql.splitOnTopLevelKeyword(s, "returning")
+      .map(_._1).getOrElse(s)
+    val noConflict = Sql.splitOnTopLevelKeyword(noReturning, "conflict")
+      .map { case (before, _) =>
+        before.replaceAll("(?is)\\s+on\\s*$", "") }
+      .getOrElse(noReturning)
+    val normalized =
+      noConflict.replaceAll("(?is)^(\\s*insert\\s+)or\\s+\\w+\\s+", "$1")
     val target: Option[String] = kind match {
-      case "dml" => s match {
+      case "dml" => parsedTarget(spark, normalized).orElse(s match {
         case dmlTargetRe(t) => Some(unq(t))
         case _ => None
-      }
-      case "ddl" => s match {
+      })
+      case "ddl" => parsedTarget(spark, normalized).orElse(s match {
         case ddlTargetRe(t) => Some(unq(t))
         case _ => None
-      }
+      })
       case _ => None
     }
     target.foreach { t =>
@@ -218,22 +264,6 @@ object Authorizer {
         throw new DeniedException(s"access key cannot $action on table $t")
     }
     if (kind == "dql" || kind == "dml" || kind == "other" || kind == "ddl") {
-      // Normalize engine-dialect suffixes BEFORE parsing so their reads are
-      // still checked: ON CONFLICT / RETURNING / OR REPLACE|IGNORE would
-      // otherwise fail the parse and silently skip the source-table walk
-      // (e.g. INSERT INTO t1 SELECT * FROM secret ON CONFLICT ... must
-      // still read-check `secret`). CTAS parses natively and its SELECT
-      // sources land here too. Stripping is QUOTE-AWARE (top-level keyword
-      // scan) — a 'returning' inside a string literal must not truncate
-      // the statement, or the broken parse would skip the walk entirely.
-      val noReturning = Sql.splitOnTopLevelKeyword(s, "returning")
-        .map(_._1).getOrElse(s)
-      val noConflict = Sql.splitOnTopLevelKeyword(noReturning, "conflict")
-        .map { case (before, _) =>
-          before.replaceAll("(?is)\\s+on\\s*$", "") }
-        .getOrElse(noReturning)
-      val normalized =
-        noConflict.replaceAll("(?is)^(\\s*insert\\s+)or\\s+\\w+\\s+", "$1")
       // best-effort plan walk: statements Spark's parser still can't read
       // (FTS MATCH) fall back to the FROM target
       val reads: Set[String] =

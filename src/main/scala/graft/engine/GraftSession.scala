@@ -30,11 +30,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // the streaming endpoint (B8). The reference is memory-bound by its
     // SQLite result the same way; our rows are wider, so the bound is
     // explicit and configurable.
-    val maxBatchRows: Int = 1 << 20) {
+    val maxBatchRows: Int = 1 << 20,
+    // secrets-at-rest encryption key (LITEBASE_ENCRYPTION_KEY analog);
+    // None = plaintext stores, Some = AES-GCM-encrypted stores with the
+    // /v1/keys + /v1/keys/activate rotation contract
+    encryptionKey: Option[String] = None) {
 
+  val keyManager = new KeyManager(rootDir, encryptionKey)
   val catalog = new Catalog(rootDir)
-  val accessKeys = new AccessKeyStore(rootDir)
-  val users = new UserStore(rootDir)
+  val accessKeys = new AccessKeyStore(rootDir, Some(keyManager))
+  val users = new UserStore(rootDir, Some(keyManager))
   val writeQueues = new WriteQueueManager
   val metrics = new MetricsStore(Some(rootDir.resolve("_metrics")))
   val planCache = new StatementCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
@@ -1724,6 +1729,29 @@ object Sql {
       i += 1
     }
     None
+  }
+
+  /** Drop leading SQL comments (`-- line` and block) and whitespace. The
+    * routing classifier stays prefix-on-raw-text for reference parity
+    * (pkg/database/query.go:46-102 does the same), but AUTHORIZATION must
+    * see through comments — the reference's checks run inside SQLite's
+    * authorizer callback, which a comment can't disarm. */
+  def stripLeadingComments(s: String): String = {
+    var i = 0
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < s.length && Character.isWhitespace(s.charAt(i))) { i += 1; moved = true }
+      if (s.regionMatches(i, "--", 0, 2)) {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+        moved = true
+      } else if (s.regionMatches(i, "/*", 0, 2)) {
+        val end = s.indexOf("*/", i + 2)
+        i = if (end < 0) s.length else end + 2
+        moved = true
+      }
+    }
+    s.substring(i)
   }
 
   /** Mask string-literal CONTENTS with spaces (same length, quote chars

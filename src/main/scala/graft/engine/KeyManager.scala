@@ -1,0 +1,140 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.security.MessageDigest
+import javax.crypto.Cipher
+import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
+
+/** Encryption-at-rest for the engine's secret stores, with the reference's
+  * two-step key-rotation contract (pkg/auth/key.go, key_manager.go;
+  * routes POST /v1/keys + /v1/keys/activate, pkg/http/routes.go:154-167):
+  *
+  *   1. `storeNext(newKey, signature)` — the caller proves possession of
+  *      the CURRENT key by signing the new one with it
+  *      (hex(hmacSha256(current, new)), pkg/http/key_controller.go) and the
+  *      new key is staged (`NextEncryptionKey`).
+  *   2. `activate(newKey)` — only a staged key activates (`HasKey` check,
+  *      key_activate_controller.go); the stores re-encrypt under it.
+  *
+  * The reference encrypts its secrets tree per key under object storage;
+  * here the secret stores are single JSON manifests, so encryption is
+  * whole-file AES-256-GCM (key = sha256(encryptionKey), random 96-bit
+  * nonce, versioned magic header). `.graft_key` persists the active key's
+  * hash (InitKey parity) so a restart with the wrong key fails loudly
+  * instead of serving garbage. With no key configured everything stays
+  * plaintext — encryption is an opt-in, like LITEBASE_ENCRYPTION_KEY.
+  */
+class KeyManager(root: Path, initialKey: Option[String] = None) {
+
+  private val Magic = "GRAFTENC1".getBytes(UTF_8)
+
+  @volatile private var active: Option[String] = initialKey
+  @volatile private var next: Option[String] = None
+  private var onRotate: Seq[() => Unit] = Nil
+
+  Files.createDirectories(root)
+  private def keyHashPath = root.resolve(".graft_key")
+  private def nextHashPath = root.resolve(".graft_key_next")
+
+  private def sha256hex(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+
+  // InitKey (pkg/auth/key.go:12-36): record the active key's hash; reject
+  // a restart under a key that doesn't match what encrypted the stores.
+  initialKey.foreach { k =>
+    if (Files.exists(keyHashPath)) {
+      val stored = new String(Files.readAllBytes(keyHashPath), UTF_8)
+      require(stored == sha256hex(k),
+        "encryption key does not match the stored key hash")
+    } else writeHash(keyHashPath, k)
+    if (Files.exists(nextHashPath))
+      next = None // staged-but-unactivated keys don't survive restart
+  }
+
+  private def writeHash(p: Path, key: String): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, sha256hex(key).getBytes(UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def encryptionEnabled: Boolean = active.isDefined
+
+  /** Stores call this so a rotation can re-persist them under the new
+    * key. */
+  def registerStore(repersist: () => Unit): Unit = synchronized {
+    onRotate = onRotate :+ repersist
+  }
+
+  private def aesKey(k: String): SecretKeySpec =
+    new SecretKeySpec(
+      MessageDigest.getInstance("SHA-256").digest(k.getBytes(UTF_8)), "AES")
+
+  def encrypt(plain: Array[Byte]): Array[Byte] = active match {
+    case None => plain
+    case Some(k) =>
+      val iv = new Array[Byte](12)
+      new java.security.SecureRandom().nextBytes(iv)
+      val c = Cipher.getInstance("AES/GCM/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, aesKey(k), new GCMParameterSpec(128, iv))
+      val ct = c.doFinal(plain)
+      val out = new Array[Byte](Magic.length + iv.length + ct.length)
+      System.arraycopy(Magic, 0, out, 0, Magic.length)
+      System.arraycopy(iv, 0, out, Magic.length, iv.length)
+      System.arraycopy(ct, 0, out, Magic.length + iv.length, ct.length)
+      out
+  }
+
+  /** Decrypt a store file. Plaintext files (pre-encryption, or encryption
+    * not enabled) pass through, so enabling encryption on an existing root
+    * upgrades the files on their next persist. */
+  def decrypt(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < Magic.length + 12 ||
+        !java.util.Arrays.equals(bytes.take(Magic.length), Magic)) return bytes
+    val k = active.getOrElse(
+      throw new IllegalStateException("store is encrypted but no encryption key is configured"))
+    val iv = java.util.Arrays.copyOfRange(bytes, Magic.length, Magic.length + 12)
+    val c = Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(Cipher.DECRYPT_MODE, aesKey(k), new GCMParameterSpec(128, iv))
+    c.doFinal(java.util.Arrays.copyOfRange(bytes, Magic.length + 12, bytes.length))
+  }
+
+  /** Stage the next encryption key (NextEncryptionKey): `signature` must
+    * be hex(hmacSha256(currentKey, newKey)) — possession of the current
+    * key authorizes the rotation (key_controller.go:43-50). */
+  def storeNext(newKey: String, signature: String): Unit = synchronized {
+    val cur = active.getOrElse(
+      throw new IllegalStateException("encryption is not enabled on this engine"))
+    if (cur == newKey)
+      throw new IllegalArgumentException(
+        "the encryption key is already the current encryption key")
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(cur.getBytes(UTF_8), "HmacSHA256"))
+    val expected = mac.doFinal(newKey.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    if (!MessageDigest.isEqual(expected.getBytes(UTF_8), signature.getBytes(UTF_8)))
+      throw new DeniedException("invalid signature")
+    next = Some(newKey)
+    writeHash(nextHashPath, newKey)
+  }
+
+  /** HasKey analog: only a key staged by storeNext may activate. */
+  def hasStaged(key: String): Boolean = synchronized(next.contains(key))
+
+  /** Activate a staged key: it becomes current and every registered store
+    * re-persists (re-encrypts) under it (StoreEncryptionKey + the
+    * key:activate broadcast collapse to this single-driver swap). */
+  def activate(key: String): Unit = {
+    val stores = synchronized {
+      if (!next.contains(key))
+        throw new IllegalArgumentException("the encryption key is invalid")
+      active = Some(key)
+      next = None
+      writeHash(keyHashPath, key)
+      Files.deleteIfExists(nextHashPath)
+      onRotate
+    }
+    stores.foreach(_())
+  }
+}

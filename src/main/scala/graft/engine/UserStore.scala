@@ -18,13 +18,22 @@ import scala.jdk.CollectionConverters._
 case class User(username: String, passwordHash: String, salt: String,
     statements: Seq[AccessKeyStatement], createdAt: Long, updatedAt: Long)
 
-class UserStore(root: Path) {
+class UserStore(root: Path, keyManager: Option[KeyManager] = None) {
 
   private val users = mutable.LinkedHashMap[String, User]()
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
   Files.createDirectories(root)
   load()
+  keyManager.foreach(_.registerStore(() => repersist()))
+
+  /** Re-write the store (a key rotation re-encrypts under the new key). */
+  def repersist(): Unit = synchronized(persist())
+
+  private def encode(b: Array[Byte]): Array[Byte] =
+    keyManager.map(_.encrypt(b)).getOrElse(b)
+  private def decode(b: Array[Byte]): Array[Byte] =
+    keyManager.map(_.decrypt(b)).getOrElse(b)
 
   private def path = root.resolve("_users.json")
 
@@ -63,14 +72,14 @@ class UserStore(root: Path) {
       }
     }
     val tmp = root.resolve("_users.json.tmp")
-    Files.write(tmp, om.writeValueAsBytes(arr))
+    Files.write(tmp, encode(om.writeValueAsBytes(arr)))
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def load(): Unit = {
     if (!Files.exists(path)) return
-    om.readTree(Files.readAllBytes(path)).elements().asScala.foreach { n =>
+    om.readTree(decode(Files.readAllBytes(path))).elements().asScala.foreach { n =>
       val statements = n.path("statements").elements().asScala.map { sn =>
         AccessKeyStatement(sn.path("effect").asText(),
           sn.path("resource").asText(),

@@ -248,6 +248,58 @@ class AuthSpec extends AnyFunSuite {
       .statusCode() == 403)
   }
 
+  test("encryption key store + activate rotation (/v1/keys contract)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def hmacHex(k: String, msg: String): String = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(k.getBytes(UTF_8), "HmacSHA256"))
+      mac.doFinal(msg.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    }
+    val dir = Files.createTempDirectory("graft-enc")
+    val s1 = new GraftSession(spark, dir, encryptionKey = Some("key-one"))
+    s1.accessKeys.put(AccessKey("enc-admin", secret = "enc-secret",
+      statements = Seq(AccessKeyStatement("allow", "*", Seq("*")))))
+    // the store file is ciphertext: no secret substring on disk
+    val raw = Files.readAllBytes(dir.resolve("_access_keys.json"))
+    assert(new String(raw.take(9), UTF_8) == "GRAFTENC1")
+    assert(!new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("enc-secret"))
+    // rotation: stage with the current key's signature, then activate
+    intercept[DeniedException](s1.keyManager.storeNext("key-two", "bad-sig"))
+    s1.keyManager.storeNext("key-two", hmacHex("key-one", "key-two"))
+    intercept[IllegalArgumentException](s1.keyManager.activate("key-three"))
+    assert(s1.keyManager.hasStaged("key-two"))
+    s1.keyManager.activate("key-two")
+    // a restart under the NEW key reads the re-encrypted stores
+    val s2 = new GraftSession(spark, dir, encryptionKey = Some("key-two"))
+    assert(s2.accessKeys.get("enc-admin").map(_.secret) == Some("enc-secret"))
+    // a restart under the OLD key is refused by the stored key hash
+    intercept[IllegalArgumentException](
+      new GraftSession(spark, dir, encryptionKey = Some("key-one")))
+    // staging the current key again is rejected (reference
+    // NextEncryptionKey: "already the current encryption key")
+    intercept[IllegalArgumentException](
+      s2.keyManager.storeNext("key-two", hmacHex("key-two", "key-two")))
+  }
+
+  test("keys routes demand cluster-manage scope over HTTP") {
+    // data-plane keys (even database:* with all actions) cannot rotate
+    session.accessKeys.put(AccessKey("dataonly", secret = "d-secret",
+      statements = Seq(AccessKeyStatement("allow", "database:*", Seq("*")))))
+    assert(signed("POST", "/v1/keys",
+      """{"encryption_key":"x","signature":"y"}""", "dataonly", "d-secret")
+      .statusCode() == 403)
+    // admin reaches the handler; encryption is not enabled on this engine
+    val r = signed("POST", "/v1/keys",
+      """{"encryption_key":"x","signature":"y"}""", "admin-key", "admin-secret")
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("not enabled"))
+    val a = signed("POST", "/v1/keys/activate",
+      """{"encryption_key":"x"}""", "admin-key", "admin-secret")
+    assert(a.statusCode() == 400)
+    assert(a.body().contains("invalid"))
+  }
+
   test("request token round trip and store persistence across restart") {
     val tok = RequestAuth.signRequest("k1", "s1", "POST", "/v1/x",
       Map("content-type" -> "application/json", "host" -> "h",

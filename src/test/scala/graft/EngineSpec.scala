@@ -805,6 +805,39 @@ class EngineSpec extends AnyFunSuite {
       t1Only).error.contains("secret"))
   }
 
+  test("authorizer targets survive comments, odd whitespace and quoting") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE tguard (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO tguard VALUES (0)"))
+    // branch-scoped writes + table-scoped read: the reference's ladder
+    // grants per-table actions only through table-level probes, so writes
+    // to tguard must fail the table check while reads pass
+    val key = AccessKey("guarded", statements = Seq(
+      AccessKeyStatement("allow", "database:db1:branch:main",
+        Seq("database:query", "database:insert", "database:update",
+          "database:delete", "database:read", "database:select")),
+      AccessKeyStatement("allow", "database:db1:branch:main:table:tguard",
+        Seq("database:read")),
+      AccessKeyStatement("deny", "database:db1:branch:main:table:tguard",
+        Seq("database:insert", "database:update", "database:delete"))))
+    assert(s.execute("db1", "main",
+      q("INSERT INTO tguard VALUES (1)"), key).error.contains("tguard"))
+    // a leading comment must not disarm the per-table check (the
+    // reference's runs inside SQLite's authorizer callback)
+    assert(s.execute("db1", "main",
+      q("/* hint */ INSERT INTO tguard VALUES (1)"), key).error.contains("tguard"))
+    assert(s.execute("db1", "main",
+      q("-- lead\nDELETE FROM tguard"), key).error.contains("tguard"))
+    // odd whitespace and quoted names: parser-based extraction
+    assert(s.execute("db1", "main",
+      q("INSERT\n\tINTO\n   tguard VALUES (2)"), key).error.contains("tguard"))
+    assert(s.execute("db1", "main",
+      q("UPDATE \"tguard\" SET id = 3"), key).error.contains("tguard"))
+    // reads stay allowed
+    assert(s.execute("db1", "main",
+      q("SELECT * FROM tguard"), key).error.isEmpty)
+  }
+
   test("reserved internal views are not addressable from user SQL") {
     val s = newSession()
     s.createDatabase("tenantb")
