@@ -142,36 +142,80 @@ object Dedup {
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair table ((id_a, id_b) edges), labeling every member with the
     * smallest id in its component — the canonical "keep one per cluster"
-    * step of a dedup pipeline. Iterative min-label propagation: each
-    * round is one shuffle-join + one aggregation on id, O(component
-    * diameter) rounds. Near-dup components are shallow in practice;
-    * pathological diameters would call for the large-star/small-star
-    * variant, same building blocks. Labels are localCheckpoint()ed per
-    * round (see RecursiveCte.fixpoint) so lineage stays bounded; the
-    * per-round driver scalar is a single changed-row count. */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy("src").agg(min("cluster").as("nmin"))
-      val updated = labels.join(neighborMin,
-          labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          least(labels("cluster"), coalesce(col("nmin"), labels("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
-      changed = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.cluster") < col("l.cluster")).count()
-      labels = updated
-      i += 1
+    * step of a dedup pipeline.
+    *
+    * Large-star/small-star alternation (the MapReduce connected-components
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): edges point larger→smaller; large-star hangs every
+    * strictly-larger neighbor off the minimum of a node's neighborhood,
+    * small-star re-hangs the smaller neighbors. Converges in O(log n)
+    * rounds regardless of component DIAMETER — a 100M-node chain labels in
+    * ~30 rounds where min-label propagation needs 100M. Each round is two
+    * grouped aggregations + joins on the edge set; edges are
+    * localCheckpoint()ed per round so lineage stays bounded, and the only
+    * driver scalar is a (count, checksum) fingerprint for convergence. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    dupClustersWithRounds(pairs, maxIter)._1
+
+  /** dupClusters plus the number of rounds it took to converge (specs
+    * assert the O(log n) bound on deep path graphs). */
+  def dupClustersWithRounds(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    // canonical edge direction: u (larger) -> v (smaller)
+    var edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var fingerprint = (-1L, 0L)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      // large-star: over the UNDIRECTED neighborhood of each node n,
+      // connect neighbors x > n to m = min(neighborhood + n)
+      val nbrs = edges.select(col("u").as("n"), col("v").as("x"))
+        .union(edges.select(col("v").as("n"), col("u").as("x")))
+      val bigMin = nbrs.groupBy("n").agg(min("x").as("mn"))
+        .select(col("n"), least(col("mn"), col("n")).as("m"))
+      val afterLarge = nbrs.join(bigMin, "n")
+        .filter(col("x") > col("n"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: per larger endpoint u with smaller neighbors N-,
+      // m = min(N-), re-hang u and every other small neighbor onto m
+      val smallMin = afterLarge.groupBy("u").agg(min("v").as("m"))
+      val smallStar = afterLarge.join(smallMin, "u")
+        .select(col("v").as("x"), col("m"))
+        .union(smallMin.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+      // pointer jump: compose u->v->w into u->w (edges stay within the
+      // component, so adding them is always safe); doubles the per-round
+      // compression, beating plain alternation's ~log2(n) rounds
+      val jumped = smallStar.as("e1")
+        .join(smallStar.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("u"), col("e2.v").as("v"))
+      val afterSmall = smallStar.union(jumped)
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      val fp = afterSmall
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      val newFp = (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
+      converged = newFp == fingerprint
+      fingerprint = newFp
+      edges = afterSmall
+      rounds += 1
     }
-    labels
+    // converged edges form stars: member u -> center v; centers label
+    // themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster")))
+      .union(pairs.select(col("id_a").as("id")) // isolated self-pairs
+        .union(pairs.select(col("id_b").as("id"))).distinct()
+        .join(edges.select(col("u").as("id"))
+          .union(edges.select(col("v").as("id"))).distinct(), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** 64-bit SimHash per document: explode words, 64 signed bit-sums in one

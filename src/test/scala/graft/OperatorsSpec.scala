@@ -275,6 +275,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(id(0).payload.toSeq == Seq[Byte](0, 2, 4, 6, 8, 10))
   }
 
+  test("dupClusters converges in O(log n) rounds on a deep path graph") {
+    import graft.operators.Dedup
+    // a 1000-node chain: diameter 999 — min-label propagation would need
+    // ~999 rounds; large-star/small-star must label it in under 10
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.dupClustersWithRounds(pairs, maxIter = 25)
+    assert(rounds < 10, s"took $rounds rounds")
+    val rows = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 1000)
+    assert(rows.forall(_._2 == 0L)) // one component, min id 0
+    // two components + a self-pair singleton
+    val multi = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(multi).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L))
+  }
+
   test("PPM and BMP codecs round-trip pixels exactly and agree on stats") {
     import graft.operators.Multimodal
     implicit val s = spark
