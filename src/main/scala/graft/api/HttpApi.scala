@@ -429,14 +429,16 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
         s""""tables":${tables.mkString("[", ",", "]")}}"""))
 
     // --- metrics -----------------------------------------------------------
-    // reference path (pkg/http/routes.go:246-250), with logs/query kept as
-    // a back-compat alias
+    // reference path (pkg/http/routes.go:246-250) with the reference's
+    // REQUIRED start/end window and step validation
+    // (query_log_controller.go:18-63); logs/query stays as a lenient
+    // back-compat alias defaulting to the full window
     case ("GET", "databases" :: db :: branch :: "metrics" :: "query" :: Nil) =>
       demandBranch(key, db, branch, "database:query")
-      metricsJson(ex, db, branch)
+      metricsJson(ex, db, branch, windowRequired = true)
     case ("GET", "databases" :: db :: branch :: "logs" :: "query" :: Nil) =>
       demandBranch(key, db, branch, "database:query")
-      metricsJson(ex, db, branch)
+      metricsJson(ex, db, branch, windowRequired = false)
 
     case _ => reply(ex, 404, errorJson("not found"))
   }
@@ -515,16 +517,35 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
       params, qn.path("transaction_id").asText(""))
   }
 
-  private def metricsJson(ex: HttpExchange, db: String, branch: String): Unit = {
-    val step = queryParams(ex).get("step").map(_.toLong).getOrElse(1L)
-    val ms = session.metrics.combineByStep(session.metrics.read(db, branch), step)
+  private def metricsJson(ex: HttpExchange, db: String, branch: String,
+      windowRequired: Boolean): Unit = {
+    val params = queryParams(ex)
+    val step = params.get("step").getOrElse("1").toLongOption.getOrElse(-1L)
+    if (step < 1)
+      return reply(ex, 400, errorJson("Invalid step value"))
+    val start = params.get("start").flatMap(_.toLongOption).filter(_ >= 0)
+    val end = params.get("end").flatMap(_.toLongOption).filter(_ >= 0)
+    if (windowRequired && start.isEmpty)
+      return reply(ex, 400, errorJson("Invalid start timestamp"))
+    if (windowRequired && end.isEmpty)
+      return reply(ex, 400, errorJson("Invalid end timestamp"))
+    val lo = start.getOrElse(0L)
+    val hi = end.getOrElse(Long.MaxValue)
+    val ms = session.metrics.combineByStep(
+      session.metrics.read(db, branch)
+        .filter(m => m.timestamp >= lo && m.timestamp <= hi), step)
     val items = ms.map { m =>
       val stmt = session.metrics.statementFor(m.checksum).getOrElse("")
       s"""{"statement":${jstr(stmt)},"timestamp":${m.timestamp},""" +
         s""""count":${m.count},"avg":${m.avg},"min":${m.min},"max":${m.max},""" +
         s""""p50":${m.p50},"p90":${m.p90},"p99":${m.p99}}"""
     }.mkString("[", ",", "]")
-    reply(ex, 200, okJson(items))
+    // meta.keys mirrors the reference's response shape
+    // (query_log_controller.go:72-79, logs.QueryMetricKeys)
+    reply(ex, 200,
+      """{"status":"success","meta":{"keys":["id","count","latency_avg",""" +
+        """"latency_min","latency_max","latency_p50","latency_p90",""" +
+        s""""latency_p99","timestamp"]},"data":$items}""")
   }
 
   private def jstr(s: String): String = {

@@ -343,14 +343,27 @@ class HttpApiSpec extends AnyFunSuite {
     val m = data.get(0)
     assert(m.path("count").asInt() >= 1 && m.path("max").asDouble() >= m.path("min").asDouble())
     // the reference's route path (pkg/http/routes.go:246-250) serves the
-    // same payload; reads are non-destructive, per-branch
-    val ref = get("/v1/databases/db5/main/metrics/query?step=1")
+    // same payload; it REQUIRES the start/end window and validates step
+    // (query_log_controller.go:18-63)
+    assert(get("/v1/databases/db5/main/metrics/query?step=1")
+      .statusCode() == 400) // missing start/end, like the reference
+    assert(get("/v1/databases/db5/main/metrics/query?step=0&start=0&end=9999999999")
+      .statusCode() == 400) // invalid step
+    val ref = get("/v1/databases/db5/main/metrics/query?step=1&start=0&end=9999999999")
     assert(ref.statusCode() == 200)
-    val refData = mapper.readTree(ref.body()).path("data")
+    val refTree = mapper.readTree(ref.body())
+    val refData = refTree.path("data")
     assert(refData.isArray && refData.size() > 0)
-    // a different branch's metrics table is empty
+    assert(refTree.path("meta").path("keys").isArray) // reference shape
+    // reads are non-destructive, per-branch: another branch is empty
     val other = mapper.readTree(
-      get("/v1/databases/db5/missing/metrics/query").body()).path("data")
+      get("/v1/databases/db5/missing/metrics/query?start=0&end=9999999999")
+        .body()).path("data")
     assert(other.isArray && other.size() == 0)
+    // a window excluding everything filters all buckets
+    val none = mapper.readTree(
+      get("/v1/databases/db5/main/metrics/query?start=1&end=2").body())
+      .path("data")
+    assert(none.isArray && none.size() == 0)
   }
 }
