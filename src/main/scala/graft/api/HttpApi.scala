@@ -534,14 +534,15 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
     val ms = session.metrics.combineByStep(
       session.metrics.read(db, branch)
         .filter(m => m.timestamp >= lo && m.timestamp <= hi), step)
+    // the reference serializes each metric as a POSITIONAL array keyed by
+    // meta.keys, with id = the statement checksum in hex
+    // (QueryMetric.MarshalJSON, query_metric.go:171-183;
+    // query_log_controller.go:72-79)
     val items = ms.map { m =>
-      val stmt = session.metrics.statementFor(m.checksum).getOrElse("")
-      s"""{"statement":${jstr(stmt)},"timestamp":${m.timestamp},""" +
-        s""""count":${m.count},"avg":${m.avg},"min":${m.min},"max":${m.max},""" +
-        s""""p50":${m.p50},"p90":${m.p90},"p99":${m.p99}}"""
+      s"""[${jstr(java.lang.Long.toHexString(m.checksum))},${m.count},""" +
+        s"""${m.avg},${m.min},${m.max},${m.p50},${m.p90},${m.p99},""" +
+        s"""${m.timestamp}]"""
     }.mkString("[", ",", "]")
-    // meta.keys mirrors the reference's response shape
-    // (query_log_controller.go:72-79, logs.QueryMetricKeys)
     reply(ex, 200,
       """{"status":"success","meta":{"keys":["id","count","latency_avg",""" +
         """"latency_min","latency_max","latency_p50","latency_p90",""" +

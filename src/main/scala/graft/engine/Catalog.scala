@@ -286,9 +286,17 @@ class Catalog(val root: Path) {
   def dropDatabase(name: String): Unit = synchronized {
     require(databases.contains(name), s"database $name not found")
     databases.remove(name)
-    branches.keys.toSeq.filter(_._1 == name).foreach(branches.remove)
+    val dead = branches.keys.toSeq.filter(_._1 == name)
+    dead.foreach(branches.remove)
     ftsDefs.keys.toSeq.filter(_._1 == name).foreach(ftsDefs.remove)
     viewDefs.keys.toSeq.filter(_._1 == name).foreach(viewDefs.remove)
+    viewVersions.keys.toSeq.filter(_._1 == name).foreach(viewVersions.remove)
+    // drop the per-branch manifest files too (same resurrection guard as
+    // dropBranch): a re-created database must start empty
+    dead.foreach { case (d, b) =>
+      try Files.deleteIfExists(branchManifestPath(d, b))
+      catch { case _: java.io.IOException => () }
+    }
     persistCatalog()
   }
 
@@ -309,7 +317,7 @@ class Catalog(val root: Path) {
     viewDefs.toSeq.collect { case ((d, b, n), sql) if d == db && b == parent =>
       viewDefs((d, name, n)) = sql
     }
-    viewVersions((db, name)) = viewVersions.getOrElse((db, parent), 0L) + 1
+    viewVersions((db, name)) = viewVersionCounter.incrementAndGet()
     // the new branch's manifest lands before the catalog lists it, so a
     // crash between the two writes never yields a listed-but-empty branch
     snapshotBranch(db, name)()
@@ -325,6 +333,7 @@ class Catalog(val root: Path) {
       .getOrElse(throw new IllegalArgumentException(s"branch $db/$branch not found"))
     ftsDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(ftsDefs.remove)
     viewDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(viewDefs.remove)
+    viewVersions.remove((db, branch))
     // drop the manifest file too, or a later branch of the same name could
     // resurrect this state if a crash lands between its two writes
     try Files.deleteIfExists(branchManifestPath(db, branch))
@@ -334,10 +343,13 @@ class Catalog(val root: Path) {
 
   // --- SQL views -----------------------------------------------------------
 
-  // monotonic per-branch views version: registerViews skips re-registering
-  // a branch's SQL views when this hasn't moved (same skip tables get from
-  // their committed-version key)
+  // views version per branch: registerViews skips re-registering a
+  // branch's SQL views when this hasn't moved (same skip tables get from
+  // their committed-version key). Values come from a GLOBALLY monotonic
+  // counter so a dropped-and-recreated branch can never replay an old
+  // version number (ABA) and serve a stale registered view.
   private val viewVersions = mutable.Map[(String, String), Long]()
+  private val viewVersionCounter = new java.util.concurrent.atomic.AtomicLong()
 
   def viewsVersion(db: String, branch: String): Long =
     synchronized(viewVersions.getOrElse((db, branch), 0L))
@@ -345,7 +357,7 @@ class Catalog(val root: Path) {
   def putView(db: String, branch: String, name: String, sql: String): Unit = {
     val w = synchronized {
       viewDefs((db, branch, name)) = sql
-      viewVersions((db, branch)) = viewVersions.getOrElse((db, branch), 0L) + 1
+      viewVersions((db, branch)) = viewVersionCounter.incrementAndGet()
       snapshotBranch(db, branch)
     }
     w()
@@ -364,8 +376,7 @@ class Catalog(val root: Path) {
   def dropView(db: String, branch: String, name: String): Boolean = {
     val (existed, w) = synchronized {
       val e = viewDefs.remove((db, branch, name)).isDefined
-      if (e) viewVersions((db, branch)) =
-        viewVersions.getOrElse((db, branch), 0L) + 1
+      if (e) viewVersions((db, branch)) = viewVersionCounter.incrementAndGet()
       (e, if (e) snapshotBranch(db, branch) else () => ())
     }
     w(); existed

@@ -595,6 +595,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   // a MATCH predicate's target + opening quote, found over the
   // literal-masked text
   private val matchPredRe = """(?i)(?<![\w."'])("?\w+"?)\s+match\s+(')""".r
+  private val matchWordRe = """(?i)\bmatch\b""".r
 
   /** Generalized FTS MATCH (r2 VERDICT missing #3): the reference hands
     * arbitrary SQL around the fts5 vtable to SQLite, so MATCH predicates
@@ -668,8 +669,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       .select(contentCols.map(content(_)) ++ extras.map(res(_)): _*)
   }
 
-  private def select(db: String, branch: String, input: QueryInput,
+  private def select(db: String, branch: String, input0: QueryInput,
       key: AccessKey): QueryResponse = {
+    // `fts MATCH ?` binds through SQLite's normal parameter path in the
+    // reference; the MATCH rewrites here need the literal, so bind the
+    // 5-type params into the text first (quote-aware) on MATCH statements
+    val input =
+      if (input0.parameters.nonEmpty &&
+          matchWordRe.findFirstIn(Sql.maskLiterals(input0.statement)).isDefined)
+        input0.copy(
+          statement = Sql.substituteParams(input0.statement, input0.parameters),
+          parameters = Nil)
+      else input0
     val txn = txnFor(db, branch, input)
     input.statement.trim match {
       case matchRe(cols, from, target, q, orderBy, limitPart)
@@ -711,9 +722,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * pkg/sqlite3/statement.go:274-344) and emitted as QueryResponse
     * batches of `batchSize` rows sharing the query id. Non-DQL statements
     * and engine-dialect queries (MATCH) emit exactly one response. */
-  def executeStreamed(db: String, branch: String, input: QueryInput,
+  def executeStreamed(db: String, branch: String, input0: QueryInput,
       key: AccessKey = AccessKey.root, batchSize: Int = 4096)
       (emit: QueryResponse => Unit): Unit = {
+    // parameterized MATCH binds into the text exactly as on the batch
+    // path — the rewrites need the literal
+    val input =
+      if (input0.parameters.nonEmpty &&
+          matchWordRe.findFirstIn(Sql.maskLiterals(input0.statement)).isDefined)
+        input0.copy(
+          statement = Sql.substituteParams(input0.statement, input0.parameters),
+          parameters = Nil)
+      else input0
     val stmt = input.statement.trim
     val kind = Classifier.kind(stmt)
     // plain SELECTs and read-shaped 'other' statements (WITH ... SELECT,
@@ -950,6 +970,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           throw new IllegalArgumentException(s"no such table: $t")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case alterRenameRe(from, to) =>
+        // the authorizer checks the SOURCE table; the destination must not
+        // land in the reserved namespace or it would shadow internal
+        // attached/scratch/fts views and become unreachable
+        if (unquote(to).startsWith("__att_") || unquote(to).startsWith("__graft_") ||
+            unquote(to).startsWith("__fts_"))
+          throw new DeniedException(s"table ${unquote(to)} may not be modified")
         catalog.renameTable(db, branch, unquote(from), unquote(to))
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case alterRenameColRe(name, _, from, to) =>
@@ -1934,7 +1960,12 @@ object Sql {
     case SqlValue.IntVal(v) => v.toString
     case SqlValue.RealVal(v) =>
       if (v.isNaN || v.isInfinite) "CAST('NaN' AS DOUBLE)" else s"CAST($v AS DOUBLE)"
-    case SqlValue.TextVal(v) => "'" + v.replace("'", "''") + "'"
+    // Spark's default parser treats backslash as an escape inside string
+    // literals (escapedStringLiterals=false), so backslashes must be
+    // doubled BEFORE quote-doubling — a value ending in \ would otherwise
+    // swallow the closing quote and execute the tail as SQL
+    case SqlValue.TextVal(v) =>
+      "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     case SqlValue.BlobVal(v) => "X'" + v.map("%02X".format(_)).mkString + "'"
     case SqlValue.NullVal => "NULL"
   }

@@ -43,14 +43,21 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
 
   // InitKey (pkg/auth/key.go:12-36): record the active key's hash; reject
   // a restart under a key that doesn't match what encrypted the stores.
+  // A key matching the STAGED hash is accepted too: activate() re-persists
+  // the stores before committing the hash swap, so a crash in that window
+  // leaves stores under the new key with .graft_key still old — restarting
+  // with the new key completes the rotation instead of bricking the root.
   initialKey.foreach { k =>
-    if (Files.exists(keyHashPath)) {
+    val stagedMatch = Files.exists(nextHashPath) &&
+      new String(Files.readAllBytes(nextHashPath), UTF_8) == sha256hex(k)
+    if (Files.exists(keyHashPath) && !stagedMatch) {
       val stored = new String(Files.readAllBytes(keyHashPath), UTF_8)
       require(stored == sha256hex(k),
         "encryption key does not match the stored key hash")
-    } else writeHash(keyHashPath, k)
-    if (Files.exists(nextHashPath))
-      next = None // staged-but-unactivated keys don't survive restart
+    }
+    if (stagedMatch || !Files.exists(keyHashPath)) writeHash(keyHashPath, k)
+    Files.deleteIfExists(nextHashPath) // staged keys don't survive restart
+    next = None
   }
 
   private def writeHash(p: Path, key: String): Unit = {
@@ -116,7 +123,10 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
     if (!MessageDigest.isEqual(expected.getBytes(UTF_8), signature.getBytes(UTF_8)))
       throw new DeniedException("invalid signature")
     next = Some(newKey)
-    writeHash(nextHashPath, newKey)
+    // no on-disk marker yet: .graft_key_next appears only inside
+    // activate()'s re-encryption window, so the constructor's
+    // staged-key acceptance can't mistake a never-activated staging
+    // for an interrupted rotation
   }
 
   /** HasKey analog: only a key staged by storeNext may activate. */
@@ -124,17 +134,25 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
 
   /** Activate a staged key: it becomes current and every registered store
     * re-persists (re-encrypts) under it (StoreEncryptionKey + the
-    * key:activate broadcast collapse to this single-driver swap). */
+    * key:activate broadcast collapse to this single-driver swap).
+    *
+    * Ordering is crash-safe: stores re-encrypt FIRST and the `.graft_key`
+    * hash commits LAST — a crash mid-rotation leaves `.graft_key_next` in
+    * place, and the constructor accepts a restart under the new key to
+    * finish the swap. */
   def activate(key: String): Unit = {
     val stores = synchronized {
       if (!next.contains(key))
         throw new IllegalArgumentException("the encryption key is invalid")
+      writeHash(nextHashPath, key) // rotation-in-progress marker
       active = Some(key)
       next = None
-      writeHash(keyHashPath, key)
-      Files.deleteIfExists(nextHashPath)
       onRotate
     }
     stores.foreach(_())
+    synchronized {
+      writeHash(keyHashPath, key)
+      Files.deleteIfExists(nextHashPath)
+    }
   }
 }

@@ -84,6 +84,11 @@ object MetricsStore {
   val StatementIndexCapacity = 8192
   /** In-memory finished-metrics table retention (64 B/record → ~6 MB). */
   val FinishedRetention = 100000
+  /** Disk-log rotation threshold per (db, branch): when the append log
+    * passes this, it rolls to a single `.1` generation (bounding disk at
+    * 2x per branch — the reference's log files are time-partitioned and
+    * similarly finite). */
+  val LogRotateBytes: Long = 16L * 1024 * 1024
   /** Per-minute query counters retained for 24 h. */
   val CounterRetentionMinutes = 1440L
 }
@@ -213,6 +218,9 @@ class MetricsStore(persistDir: Option[Path] = None) {
         val enc = (s: String) =>
           java.net.URLEncoder.encode(s, "UTF-8").replace("*", "%2A")
         val f = dir.resolve(s"query_metrics_${enc(db)}_${enc(branch)}.log")
+        if (Files.exists(f) && Files.size(f) >= LogRotateBytes)
+          Files.move(f, f.resolveSibling(f.getFileName.toString + ".1"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Files.write(f, m.bytes, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       } catch { case _: java.io.IOException => () }
     }

@@ -108,17 +108,25 @@ class UserStore(root: Path, keyManager: Option[KeyManager] = None) {
 
   def list(): Seq[User] = synchronized(users.values.toSeq)
 
-  def authenticate(username: String, password: String): Boolean = synchronized {
-    users.get(username).exists { u =>
-      val computed = u.passwordHash.split("\\$", 3) match {
-        case Array("pbkdf2", iters, _) if iters.nonEmpty && iters.forall(_.isDigit) =>
-          pbkdf2(password, u.salt, iters.toInt)
-        case _ => legacyHash(password, u.salt)
-      }
-      MessageDigest.isEqual(
-        computed.getBytes(UTF_8), u.passwordHash.getBytes(UTF_8))
+  /** Verify a password. The (deliberately slow) key derivation runs
+    * OUTSIDE the store lock — holding the monitor for ~100 ms per Basic
+    * request would serialize every handler thread behind one login — and
+    * unknown usernames burn the same derivation so response timing does
+    * not reveal which accounts exist. */
+  def authenticate(username: String, password: String): Boolean =
+    synchronized(users.get(username)) match {
+      case Some(u) =>
+        val computed = u.passwordHash.split("\\$", 3) match {
+          case Array("pbkdf2", iters, _) if iters.nonEmpty && iters.forall(_.isDigit) =>
+            pbkdf2(password, u.salt, iters.toInt)
+          case _ => legacyHash(password, u.salt)
+        }
+        MessageDigest.isEqual(
+          computed.getBytes(UTF_8), u.passwordHash.getBytes(UTF_8))
+      case None =>
+        pbkdf2(password, "graft-no-such-user", Pbkdf2Iterations)
+        false
     }
-  }
 
   def update(username: String, password: Option[String],
       statements: Option[Seq[AccessKeyStatement]]): Option[User] = synchronized {

@@ -1047,6 +1047,37 @@ class EngineSpec extends AnyFunSuite {
     // the per-statement match view is scratch: gone for the next statement
     val residue = s.execute("db1", "main", q("SELECT * FROM __fts_match0"))
     assert(residue.error.nonEmpty)
+    // MATCH binds a parameter like any other predicate (reference: the
+    // statement flows to sqlite3_bind with the vtable handling MATCH)
+    val bound = s.execute("db1", "main", q(
+      "SELECT doc FROM dfx WHERE dfx MATCH ?", Seq(Param.text("embedded"))))
+    assert(bound.error.isEmpty, bound.error)
+    assert(bound.rows.map(_.head) == Seq(SqlValue.IntVal(3)))
+    // two DIFFERENT fts tables compose in one statement
+    s.execute("db1", "main", q("CREATE TABLE notes2 (note_id INTEGER, body TEXT)"))
+    s.execute("db1", "main", q(
+      "INSERT INTO notes2 VALUES (1, 'spark tuning'), (2, 'other things')"))
+    s.execute("db1", "main", q(
+      "CREATE VIRTUAL TABLE nfx USING fts5(body, content='notes2', content_rowid='note_id')"))
+    val twoFts = s.execute("db1", "main", q(
+      "SELECT d.rowid AS a, n.rowid AS b FROM dfx d JOIN nfx n ON 1=1 " +
+        "WHERE d MATCH 'shuffles' AND n MATCH 'tuning'"))
+    assert(twoFts.error.isEmpty, twoFts.error)
+    assert(twoFts.rows == Seq(Seq(SqlValue.IntVal(1), SqlValue.IntVal(1))))
+    // two different queries against the SAME fts table are rejected
+    val sameTwice = s.execute("db1", "main", q(
+      "SELECT rowid FROM dfx WHERE dfx MATCH 'spark' AND dfx MATCH 'embedded'"))
+    assert(sameTwice.error.contains("not supported"))
+    // the param-inlining path keeps hostile text as DATA: a value ending
+    // in a backslash must not swallow the closing quote (Spark's parser
+    // treats \ as an escape in string literals), and a quote-breaking
+    // value must not splice SQL
+    val hostile = s.execute("db1", "main", q(
+      "SELECT ? AS match, ? AS b",
+      Seq(Param.text("x\\"), Param.text("' UNION SELECT 'i','j' --"))))
+    assert(hostile.error.isEmpty, hostile.error)
+    assert(hostile.rows == Seq(Seq(SqlValue.TextVal("x\\"),
+      SqlValue.TextVal("' UNION SELECT 'i','j' --"))))
   }
 
   test("fts5 bare vtable: auto rowid, phrase and prefix queries, drop cascades") {

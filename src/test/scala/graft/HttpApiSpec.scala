@@ -338,10 +338,14 @@ class HttpApiSpec extends AnyFunSuite {
     assert(resp.statusCode() == 200)
     val data = mapper.readTree(resp.body()).path("data")
     assert(data.isArray && data.size() > 0)
-    val stmts = (0 until data.size()).map(i => data.get(i).path("statement").asText())
-    assert(stmts.exists(_.startsWith("SELECT * FROM m")))
+    // reference shape: positional rows keyed by meta.keys, id = hex checksum
+    val ids = (0 until data.size()).map(i => data.get(i).get(0).asText())
+    val selCrc = java.lang.Long.toHexString(
+      graft.engine.Classifier.checksum("SELECT * FROM m"))
+    assert(ids.contains(selCrc))
     val m = data.get(0)
-    assert(m.path("count").asInt() >= 1 && m.path("max").asDouble() >= m.path("min").asDouble())
+    assert(m.get(1).asInt() >= 1 && // count
+      m.get(4).asDouble() >= m.get(3).asDouble()) // max >= min
     // the reference's route path (pkg/http/routes.go:246-250) serves the
     // same payload; it REQUIRES the start/end window and validates step
     // (query_log_controller.go:18-63)
