@@ -135,8 +135,10 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (agree.cast("double") / k).as("est_jaccard"))
-      .distinct()
+      // threshold BEFORE the dedup exchange: est_jaccard is deterministic
+      // per pair, so filtering first only shrinks the distinct's shuffle
       .filter(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
