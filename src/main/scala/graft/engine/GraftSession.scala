@@ -472,7 +472,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * SparkContext/SharedState, private temp-view catalog + SQLConf), so
     * view registration is isolated by construction. */
   private val threadSession = new ThreadLocal[SparkSession] {
-    override def initialValue(): SparkSession = spark.newSession()
+    override def initialValue(): SparkSession = {
+      val s = spark.newSession()
+      // the engine's SQL dialect accepts SQLite's core-function NAMES
+      // (iif/strftime/group_concat/json_set/...), resolved to the same
+      // codegen'd compositions the oracle pack checks
+      graft.functions.SqliteRegistry.register(s)
+      s
+    }
   }
   private def sess: SparkSession = threadSession.get()
 
@@ -1680,11 +1687,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             QueryResponse(input.id, Seq("compile_options"),
               opts.map(o => Seq(SqlValue.TextVal(o))))
           case "function_list" =>
+            // the SQLite names SqliteRegistry resolves in this engine's SQL
+            // dialect (Spark's own built-ins are additionally available)
             val fns = Seq("iif", "total", "group_concat", "unixepoch",
-              "julianday", "strftime", "glob", "typeof", "zeroblob", "quote",
+              "julianday", "strftime", "date", "datetime", "glob", "typeof",
+              "zeroblob", "randomblob", "quote",
               "likely", "unlikely", "likelihood", "sqlite_version",
-              "json_set", "json_insert", "json_replace", "json_remove",
-              "json_patch", "json_type", "json_valid", "json_quote")
+              "json_extract", "json_set", "json_insert", "json_replace",
+              "json_remove", "json_patch", "json_type", "json_valid",
+              "json_quote")
             QueryResponse(input.id, Seq("name", "builtin"),
               fns.sorted.map(f => Seq(SqlValue.TextVal(f), SqlValue.IntVal(1))))
           case "module_list" =>

@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager Column -> Expression conversion. `expression` wraps the
+    * Column's node lazily (ColumnNodeExpression) and relies on plan
+    * building to convert it — inside a FunctionRegistry builder nothing
+    * ever does, so codegen would meet the raw wrapper. This runs the
+    * converter immediately. */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

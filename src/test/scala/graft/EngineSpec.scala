@@ -514,6 +514,53 @@ class EngineSpec extends AnyFunSuite {
     assert(s.viewRegistrations.get() == after3)
   }
 
+  test("SQLite core-function names resolve in the engine's SQL dialect") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE fx (id INTEGER, name TEXT)"))
+    s.execute("db1", "main",
+      q("INSERT INTO fx VALUES (1, 'bob'), (2, 'ann'), (3, NULL)"))
+    val r = s.execute("db1", "main", q(
+      "SELECT iif(id > 1, 'hi', 'lo') AS a, typeof(id) AS t, typeof(name) AS tn, " +
+        "quote(name) AS qn, sqlite_version() AS v, " +
+        "glob('a*', name) AS g, likely(id) AS lk " +
+        "FROM fx WHERE id = 2"))
+    assert(r.error.isEmpty, r.error)
+    assert(r.rows.head == Seq(SqlValue.TextVal("hi"), SqlValue.TextVal("integer"),
+      SqlValue.TextVal("text"), SqlValue.TextVal("'ann'"),
+      SqlValue.TextVal("3.49.1"), SqlValue.IntVal(1), SqlValue.IntVal(2)))
+    // typeof(NULL) = 'null'; zeroblob returns n zero bytes
+    val nul = s.execute("db1", "main", q(
+      "SELECT typeof(name) AS t, zeroblob(3) AS z FROM fx WHERE id = 3"))
+    assert(nul.rows.head.head == SqlValue.TextVal("null"))
+    assert(nul.rows.head(1) match {
+      case SqlValue.BlobVal(b) => b.toSeq == Seq[Byte](0, 0, 0)
+      case _ => false
+    })
+    // aggregates: total() and ordered group_concat
+    val agg = s.execute("db1", "main", q(
+      "SELECT total(id) AS tt, group_concat(name, '|') AS gc FROM fx"))
+    assert(agg.error.isEmpty, agg.error)
+    assert(agg.rows.head == Seq(SqlValue.RealVal(6.0), SqlValue.TextVal("ann|bob")))
+    // date/time: strftime with modifiers, unixepoch, julianday
+    val dt = s.execute("db1", "main", q(
+      "SELECT strftime('%Y-%m-%d', '2024-03-15', '+1 month') AS m, " +
+        "unixepoch('1970-01-01 00:01:00') AS ue, " +
+        "CAST(julianday('2000-01-01 12:00:00') AS INTEGER) AS jd"))
+    assert(dt.error.isEmpty, dt.error)
+    assert(dt.rows.head == Seq(SqlValue.TextVal("2024-04-15"),
+      SqlValue.IntVal(60), SqlValue.IntVal(2451545)))
+    // JSON1 under SQLite names, including variadic json_set pairs
+    val js = s.execute("db1", "main", q(
+      """SELECT json_set('{"a":1}', '$.b', '2', '$.c', '"x"') AS d,
+        |json_extract('{"a":{"b":7}}', '$.a.b') AS e,
+        |json_type('[1,2]') AS ty, json_valid('{') AS bad,
+        |json_quote('it''s') AS jq""".stripMargin.replace("\n", " ")))
+    assert(js.error.isEmpty, js.error)
+    assert(js.rows.head == Seq(SqlValue.TextVal("""{"a":1,"b":2,"c":"x"}"""),
+      SqlValue.TextVal("7"), SqlValue.TextVal("array"), SqlValue.IntVal(0),
+      SqlValue.TextVal("\"it's\"")))
+  }
+
   test("write queue serializes concurrent writers without loss") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
