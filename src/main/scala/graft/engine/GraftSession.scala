@@ -603,6 +603,38 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   // literal-masked text
   private val matchPredRe = """(?i)(?<![\w."'])("?\w+"?)\s+match\s+(')""".r
   private val matchWordRe = """(?i)\bmatch\b""".r
+  // SQLite's infix GLOB operator (expr.html): `X [NOT] GLOB 'pat'` over an
+  // identifier/qualified-column left side
+  private val globPredRe =
+    """(?i)(?<![\w."'])([\w"]+(?:\.[\w"]+)*)\s+(not\s+)?glob\s+(')""".r
+
+  /** Rewrite SQLite's infix `X [NOT] GLOB 'pat'` onto the registered
+    * glob() function (Spark's parser has no GLOB operator). Literal-masked
+    * scan like the MATCH rewrite; non-identifier left sides are left for
+    * the parser to reject, as SQLite's own error would. */
+  private def rewriteGlobOperator(stmt0: String): String = {
+    if (!stmt0.toLowerCase.contains("glob")) return stmt0
+    var stmt = stmt0
+    var guard = 0
+    var done = false
+    while (!done && guard < 64) {
+      guard += 1
+      val mask = Sql.maskLiterals(stmt)
+      globPredRe.findFirstMatchIn(mask) match {
+        case None => done = true
+        case Some(m) =>
+          val openQ = m.end - 1
+          val closeQ = mask.indexOf('\'', openQ + 1)
+          if (closeQ < 0) return stmt
+          val pat = stmt.substring(openQ, closeQ + 1) // literal incl quotes
+          val lhs = m.group(1)
+          val neg = m.group(2) != null
+          val call = (if (neg) "NOT " else "") + s"glob($pat, $lhs)"
+          stmt = stmt.substring(0, m.start(1)) + call + stmt.substring(closeQ + 1)
+      }
+    }
+    stmt
+  }
 
   /** Generalized FTS MATCH (r2 VERDICT missing #3): the reference hands
     * arbitrary SQL around the fts5 vtable to SQLite, so MATCH predicates
@@ -709,8 +741,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         if (atts.nonEmpty) authorizeAttachedReads(key, atts, input.statement, stmt)
         // MATCH predicates in joins/subqueries resolve against the stored
         // fts index before parsing (the canonical single-table shape took
-        // the fast path above)
-        val stmtM = rewriteMatchAnywhere(db, branch, stmt).getOrElse(stmt)
+        // the fast path above); infix GLOB rewrites onto the glob() function
+        val stmtM = rewriteGlobOperator(
+          rewriteMatchAnywhere(db, branch, stmt).getOrElse(stmt))
         // plan cache (B4): parse once per (sql, key) — Spark still analyzes
         // per execution because view state may have changed.
         planCache.get(stmtM, key.id)(
@@ -762,7 +795,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       val atts = attachmentsFor(db, branch)
       val stmtR0 = if (atts.isEmpty) stmt else Sql.rewriteAttached(stmt, atts.keySet)
       if (atts.nonEmpty) authorizeAttachedReads(key, atts, stmt, stmtR0)
-      val stmtR = rewriteMatchAnywhere(db, branch, stmtR0).getOrElse(stmtR0)
+      val stmtR = rewriteGlobOperator(
+        rewriteMatchAnywhere(db, branch, stmtR0).getOrElse(stmtR0))
       val df =
         if (input.parameters.isEmpty) sess.sql(stmtR)
         else sess.sql(stmtR, input.parameters.map(paramToJvm).toArray)

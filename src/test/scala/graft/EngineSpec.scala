@@ -549,6 +549,17 @@ class EngineSpec extends AnyFunSuite {
     assert(dt.error.isEmpty, dt.error)
     assert(dt.rows.head == Seq(SqlValue.TextVal("2024-04-15"),
       SqlValue.IntVal(60), SqlValue.IntVal(2451545)))
+    // infix GLOB operator (SQLite expr.html), including NOT GLOB and
+    // a literal containing the word glob
+    val gl = s.execute("db1", "main", q(
+      "SELECT id FROM fx WHERE name GLOB 'a*' ORDER BY id"))
+    assert(gl.error.isEmpty, gl.error)
+    assert(gl.rows.map(_.head) == Seq(SqlValue.IntVal(2)))
+    val ngl = s.execute("db1", "main", q(
+      "SELECT id FROM fx WHERE name NOT GLOB 'a*' AND name <> 'x GLOB y' " +
+        "ORDER BY id"))
+    assert(ngl.error.isEmpty, ngl.error)
+    assert(ngl.rows.map(_.head) == Seq(SqlValue.IntVal(1)))
     // JSON1 under SQLite names, including variadic json_set pairs
     val js = s.execute("db1", "main", q(
       """SELECT json_set('{"a":1}', '$.b', '2', '$.c', '"x"') AS d,
