@@ -186,25 +186,23 @@ object Authorizer {
     * regexing SQL text: robust to comments, odd whitespace and quoting.
     * Engine-dialect forms the parser rejects (CREATE VIRTUAL TABLE, ...)
     * return None and the caller falls back to the verb regexes. */
-  private def parsedTarget(spark: SparkSession, stmt: String): Option[String] =
-    try {
-      spark.sessionState.sqlParser.parsePlan(stmt) match {
-        // DML: the target relation, never the SELECT sources
-        case i: InsertIntoStatement => i.table.collectFirst {
-          case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
-        case u: UpdateTable => u.table.collectFirst {
-          case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
-        case d: DeleteFromTable => d.table.collectFirst {
-          case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
-        // DDL commands carry their target as an unresolved identifier/table
-        // node (CreateTable, CTAS, DropTable, AlterTable variants)
-        case other => other.collectFirst {
-          case u: UnresolvedIdentifier => u.nameParts.last.toLowerCase
-          case t: UnresolvedTable => t.multipartIdentifier.last.toLowerCase
-          case tv: UnresolvedTableOrView => tv.multipartIdentifier.last.toLowerCase
-        }
+  private def parsedTarget(plan: LogicalPlan): Option[String] =
+    plan match {
+      // DML: the target relation, never the SELECT sources
+      case i: InsertIntoStatement => i.table.collectFirst {
+        case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
+      case u: UpdateTable => u.table.collectFirst {
+        case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
+      case d: DeleteFromTable => d.table.collectFirst {
+        case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
+      // DDL commands carry their target as an unresolved identifier/table
+      // node (CreateTable, CTAS, DropTable, AlterTable variants)
+      case other => other.collectFirst {
+        case u: UnresolvedIdentifier => u.nameParts.last.toLowerCase
+        case t: UnresolvedTable => t.multipartIdentifier.last.toLowerCase
+        case tv: UnresolvedTableOrView => tv.multipartIdentifier.last.toLowerCase
       }
-    } catch { case _: Exception => None }
+    }
 
   /** Authorize or throw DeniedException (SQLITE_DENY analog).
     *
@@ -244,12 +242,16 @@ object Authorizer {
       .getOrElse(noReturning)
     val normalized =
       noConflict.replaceAll("(?is)^(\\s*insert\\s+)or\\s+\\w+\\s+", "$1")
+    // ONE parse serves both the target extraction and the read walk
+    val parsed: Option[LogicalPlan] =
+      try Some(spark.sessionState.sqlParser.parsePlan(normalized))
+      catch { case _: Exception => None }
     val target: Option[String] = kind match {
-      case "dml" => parsedTarget(spark, normalized).orElse(s match {
+      case "dml" => parsed.flatMap(parsedTarget).orElse(s match {
         case dmlTargetRe(t) => Some(unq(t))
         case _ => None
       })
-      case "ddl" => parsedTarget(spark, normalized).orElse(s match {
+      case "ddl" => parsed.flatMap(parsedTarget).orElse(s match {
         case ddlTargetRe(t) => Some(unq(t))
         case _ => None
       })
@@ -264,17 +266,14 @@ object Authorizer {
         throw new DeniedException(s"access key cannot $action on table $t")
     }
     if (kind == "dql" || kind == "dml" || kind == "other" || kind == "ddl") {
-      // best-effort plan walk: statements Spark's parser still can't read
+      // best-effort plan walk: statements Spark's parser can't read
       // (FTS MATCH) fall back to the FROM target
-      val reads: Set[String] =
-        try referencedTables(spark.sessionState.sqlParser.parsePlan(normalized))
-        catch {
-          case _: org.apache.spark.sql.catalyst.parser.ParseException =>
-            if (kind == "dql") s match {
-              case fromTargetRe(t) => Set(unq(t))
-              case _ => Set.empty
-            } else Set.empty
-        }
+      val reads: Set[String] = parsed.map(referencedTables).getOrElse {
+        if (kind == "dql") s match {
+          case fromTargetRe(t) => Set(unq(t))
+          case _ => Set.empty
+        } else Set.empty
+      }
       reads.foreach { t =>
         if (reservedRead(t))
           throw new DeniedException(s"no such table: $t")

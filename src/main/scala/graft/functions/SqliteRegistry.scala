@@ -96,6 +96,17 @@ object SqliteRegistry {
         strLit(a(1), "likelihood probability").toDouble)
     }
     put("sqlite_version") { _ => SqliteFunctions.sqliteVersion }
+    // printf/format (lang_corefunc.html; format is the 3.38 alias) — C-style
+    // %d/%s/%f tokens match java.util.Formatter's for the common cases
+    put("printf") { a =>
+      c(org.apache.spark.sql.catalyst.expressions.FormatString(a: _*))
+    }
+    put("format") { a =>
+      c(org.apache.spark.sql.catalyst.expressions.FormatString(a: _*))
+    }
+    // unicode(X) = first code point; char(X1, X2, ...) = string from points
+    put("unicode") { a => ascii(c(a(0))) }
+    put("char") { a => concat(a.map(x => chr(c(x))): _*) }
     // JSON1 (SURVEY §2A row 29): extraction maps to Spark's native
     // get_json_object; mutation/inspection to the native Catalyst pack
     put("json_extract") { a =>

@@ -549,6 +549,14 @@ class EngineSpec extends AnyFunSuite {
     assert(dt.error.isEmpty, dt.error)
     assert(dt.rows.head == Seq(SqlValue.TextVal("2024-04-15"),
       SqlValue.IntVal(60), SqlValue.IntVal(2451545)))
+    // printf/format, unicode, char
+    val pf = s.execute("db1", "main", q(
+      "SELECT printf('%d-%s', 7, 'x') AS p, " +
+        "format('%.2f', CAST(1.5 AS DOUBLE)) AS f, " +
+        "unicode('Abc') AS u, char(72, 105) AS ch"))
+    assert(pf.error.isEmpty, pf.error)
+    assert(pf.rows.head == Seq(SqlValue.TextVal("7-x"), SqlValue.TextVal("1.50"),
+      SqlValue.IntVal(65), SqlValue.TextVal("Hi")))
     // infix GLOB operator (SQLite expr.html), including NOT GLOB and
     // a literal containing the word glob
     val gl = s.execute("db1", "main", q(
