@@ -239,7 +239,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     if (cur.paths.size <= 1) return artifactFolds
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
-    readVersion(cur).write.parquet(dir.toString)
+    // FTS artifacts also collapse UPDATE/DELETE fold deltas (negative-tf
+    // rows) back to the raw one-row-per-key form — still no corpus re-scan,
+    // just the same aggregation readers apply on the fly
+    val folded =
+      if (table.startsWith("__fts_") && table.endsWith("_postings"))
+        graft.operators.Fts.livePostings(readVersion(cur))
+      else if (table.startsWith("__fts_") && table.endsWith("_dl"))
+        graft.operators.Fts.liveDl(readVersion(cur)).filter(col("dl") > 0)
+      else readVersion(cur)
+    folded.write.parquet(dir.toString)
     catalog.commitVersion(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString)))
     cur.paths.size + artifactFolds
@@ -1340,7 +1349,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             rowCount = cur.rowCount + insCount,
             maxRowId = cur.maxRowId + insCount)
             .asInstanceOf[catalog.TableVersion], txn)
-        if (txn.isEmpty) ftsOnRewrite(db, branch, table)
+        if (txn.isEmpty && updCount + insCount > 0 &&
+            catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
+          // updated rows fold old→new; inserted rows append positive-only
+          ftsOnDelta(db, branch, table,
+            sess.sql(
+              s"""SELECT t.* FROM __graft_target t
+                 |JOIN __graft_excluded e ON $joinCond WHERE ($whereCond)""".stripMargin),
+            Some(sess.sql(
+              s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
+                 |JOIN __graft_excluded e ON $joinCond WHERE ($whereCond)""".stripMargin)
+              .unionByName(toInsert)))
         // RETURNING sees post-update values of matched rows + inserted rows
         val (rcols, rrows) = returningRows(sess.sql(
           s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
@@ -1380,7 +1399,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     commitOrStage(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString))
         .asInstanceOf[catalog.TableVersion], txn)
-    if (txn.isEmpty) ftsOnRewrite(db, branch, table)
+    if (txn.isEmpty && changes > 0 &&
+        catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
+      ftsOnDelta(db, branch, table,
+        sess.sql(s"SELECT * FROM __graft_target WHERE ($cond)"),
+        Some(sess.sql(
+          s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)")))
     // RETURNING sees the post-update values of the matched rows
     val (rcols, rrows) = returningRows(sess.sql(
       s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)"), ret)
@@ -1434,7 +1458,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     commitOrStage(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString))
         .asInstanceOf[catalog.TableVersion], txn)
-    if (txn.isEmpty) ftsOnRewrite(db, branch, table)
+    if (txn.isEmpty && changes > 0 &&
+        catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
+      ftsOnDelta(db, branch, table,
+        sess.sql(
+          s"""SELECT t.* FROM __graft_target t
+             |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)
+          .drop("__rid"),
+        Some(sess.sql(
+          s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
+             |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)))
     val (rcols, rrows) = returningRows(sess.sql(
       s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
          |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin), ret)
@@ -1460,7 +1493,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       cur.copy(ts = ts, paths = Seq(dir.toString),
         rowCount = cur.rowCount - changes)
         .asInstanceOf[catalog.TableVersion], txn)
-    if (txn.isEmpty) ftsOnRewrite(db, branch, table)
+    if (txn.isEmpty && changes > 0 &&
+        catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
+      ftsOnDelta(db, branch, table,
+        sess.sql(s"SELECT * FROM __graft_target WHERE COALESCE(($cond), FALSE)"),
+        None)
     // RETURNING sees the deleted rows' (old) values
     val (rcols, rrows) = returningRows(sess.sql(
       s"SELECT * FROM __graft_target WHERE COALESCE(($cond), FALSE)"), ret)
@@ -1479,8 +1516,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   //   __fts_<name>_stats    1 row (n, sumdl)
   // — built on CREATE VIRTUAL TABLE, appended incrementally on INSERT
   // (postings/dl of just the new rows + a folded stats row: no corpus
-  // re-scan), rebuilt on UPDATE/DELETE (which rewrite the content table
-  // anyway), and versioned/branched/backed-up/vacuumed like user data.
+  // re-scan), delta-maintained on UPDATE/DELETE (negative folds for the
+  // touched docs only, see ftsOnDelta — O(changed docs), never O(corpus)),
+  // and versioned/branched/backed-up/vacuumed like user data.
   // MATCH queries are single distributed plans against the stored index
   // with zero driver-side actions.
 
@@ -1570,11 +1608,51 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       writeAsTable(db, branch, sn, folded)
     }
 
-  /** Rebuild every index whose content table is `table` (UPDATE/DELETE
-    * rewrite the corpus, so the index follows). */
+  /** Rebuild every index whose content table is `table` — the full-build
+    * escape hatch (transaction commit of arbitrary staged DML, restore).
+    * Single-statement UPDATE/DELETE go through `ftsOnDelta` instead. */
   private def ftsOnRewrite(db: String, branch: String, table: String): Unit =
     catalog.ftsIndexesForTable(db, branch, table)
       .foreach { case (name, _) => ftsRebuild(db, branch, name) }
+
+  /** Incremental index maintenance for UPDATE/DELETE — O(changed docs),
+    * never a corpus re-scan. The touched documents' OLD text (read from
+    * the pre-statement version, which the statement already has in hand)
+    * is re-tokenized and appended as NEGATIVE postings/dl folds; the
+    * post-statement replacements (UPDATE only) append as ordinary positive
+    * rows; the 1-row stats table folds the (Δn, Δsumdl). Readers collapse
+    * folds via Fts.livePostings/liveDl; compaction collapses them
+    * physically. This mirrors fts5's transactional per-row maintenance
+    * (delete-markers folded into segments, fts5.html "Data Structures")
+    * instead of the O(corpus) rebuild a takedown-delete would otherwise
+    * trigger at 100 TB. */
+  private def ftsOnDelta(db: String, branch: String, table: String,
+      oldTouched: DataFrame, newTouched: Option[DataFrame]): Unit =
+    catalog.ftsIndexesForTable(db, branch, table).foreach { case (name, ix) =>
+      val cols = ix.textCols.split(",").toSeq
+      val (pn, dn, sn) = ftsArtifacts(name)
+      val (oldDocs, otc) = withFtsText(oldTouched, cols)
+      val negPost = graft.operators.Fts.postings(oldDocs, otc, ix.idCol)
+        .withColumn("tf", -col("tf"))
+      val negDl = graft.operators.Fts.docLengths(oldDocs, otc, ix.idCol)
+        .select(col("doc"), (-col("dl")).as("dl"), lit(-1L).as("__sign"))
+      val dlDelta = newTouched match {
+        case None => negDl
+        case Some(newRows) =>
+          val (newDocs, ntc) = withFtsText(newRows, cols)
+          appendToTable(db, branch, pn,
+            graft.operators.Fts.postings(newDocs, ntc, ix.idCol))
+          negDl.unionByName(graft.operators.Fts.docLengths(newDocs, ntc, ix.idCol)
+            .select(col("doc"), col("dl"), lit(1L).as("__sign")))
+      }
+      appendToTable(db, branch, pn, negPost)
+      appendToTable(db, branch, dn, dlDelta.select(col("doc"), col("dl")))
+      val folded = readTable(db, branch, sn).unionByName(
+        dlDelta.agg(sum(col("__sign")).cast("double").as("n"),
+          sum(col("dl")).cast("double").as("sumdl")))
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+      writeAsTable(db, branch, sn, folded)
+    }
 
   /** Drop an FTS vtable: definition, artifact tables, and (bare form) the
     * backing table. Returns true if it existed. */
@@ -1598,7 +1676,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val ix = catalog.ftsIndex(db, branch, name)
       .getOrElse(throw new IllegalArgumentException(s"no such fts table: $name"))
     val (pn, dn, sn) = ftsArtifacts(name)
-    val post = readTable(db, branch, pn)
+    // collapse UPDATE/DELETE fold deltas (see Fts.livePostings) — a no-op
+    // aggregation over the term-filtered slice when the index has no folds
+    val post = graft.operators.Fts.livePostings(readTable(db, branch, pn))
     val q = query.trim
     if (q.length > 1 && q.startsWith("\"") && q.endsWith("\"")) {
       val cur = catalog.currentVersion(db, branch, ix.table).get
@@ -1608,7 +1688,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     } else if (q.matches("""\w+\*""")) {
       graft.operators.Fts.prefixSearchIndex(post, q.dropRight(1))
     } else {
-      graft.operators.Fts.searchIndex(post, readTable(db, branch, dn),
+      graft.operators.Fts.searchIndex(post,
+          graft.operators.Fts.liveDl(readTable(db, branch, dn)),
           readTable(db, branch, sn), q)
         .withColumn("rank", -col("score"))
     }

@@ -44,6 +44,29 @@ object Fts {
     docLengths.agg(count(lit(1)).cast("double").as("n"),
       sum(col("dl")).cast("double").as("sumdl"))
 
+  /** Collapse fold-maintenance deltas into the live postings view.
+    *
+    * UPDATE/DELETE maintain the stored index by APPENDING the touched
+    * documents' old postings with negated tf (and the re-tokenized
+    * replacements with positive tf) — O(changed docs) write work, the
+    * same shape as SQLite fts5's transactional per-row index maintenance
+    * (it folds delete-markers into its shadow-table segments rather than
+    * rebuilding; fts5.html "Data Structures"). Readers sum the folds:
+    * a live (term, doc) nets to its true tf; a dead one nets to <= 0 and
+    * is dropped. The aggregation runs AFTER the term predicate (Catalyst
+    * pushes filters on grouping keys below the Aggregate), so a MATCH
+    * still touches only its terms' postings. Compaction collapses folds
+    * physically, restoring the raw one-row-per-(term,doc) form. */
+  def livePostings(post: DataFrame): DataFrame =
+    post.groupBy(col("term"), col("doc")).agg(sum(col("tf")).as("tf"))
+      .filter(col("tf") > 0)
+
+  /** Collapse fold deltas in the doc-lengths table: a live doc nets to its
+    * current length; a deleted one nets to 0 and (having no live postings)
+    * never joins into a score. */
+  def liveDl(dl: DataFrame): DataFrame =
+    dl.groupBy(col("doc")).agg(sum(col("dl")).as("dl"))
+
   case class MatchQuery(must: Seq[String], should: Seq[String], mustNot: Seq[String])
 
   /** Parse an FTS-ish query string: space = AND, OR alternates,

@@ -1072,7 +1072,7 @@ class EngineSpec extends AnyFunSuite {
     // stats folded: n = 2 docs
     val st = s.execute("db1", "main", q("SELECT n FROM __fts_dfts_stats"))
     assert(st.rows.head.head == SqlValue.RealVal(2.0))
-    // UPDATE rewrites the corpus -> index rebuilt, old term gone
+    // UPDATE delta-maintains the index: old term gone, new term found
     s.execute("db1", "main", q("UPDATE docs SET body = 'delta' WHERE doc_id = 1"))
     val gone = s.execute("db1", "main",
       q("SELECT doc FROM dfts WHERE dfts MATCH 'alpha'"))
@@ -1144,6 +1144,74 @@ class EngineSpec extends AnyFunSuite {
     assert(hostile.error.isEmpty, hostile.error)
     assert(hostile.rows == Seq(Seq(SqlValue.TextVal("x\\"),
       SqlValue.TextVal("' UNION SELECT 'i','j' --"))))
+  }
+
+  test("fts5 UPDATE/DELETE maintenance is O(changed docs), not a rebuild") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE docs (doc_id INTEGER, body TEXT)"))
+    // 200-doc corpus; each doc carries a unique term plus shared filler
+    val values = (1 to 200)
+      .map(i => s"($i, 'term$i filler alpha beta gamma')").mkString(", ")
+    s.execute("db1", "main", q(s"INSERT INTO docs VALUES $values"))
+    s.execute("db1", "main", q(
+      "CREATE VIRTUAL TABLE bigfts USING fts5(body, content='docs', content_rowid='doc_id')"))
+    val spark = s.spark
+    def postingsVer = s.catalog.currentVersion("db1", "main", "__fts_bigfts_postings").get
+
+    // --- 1-row UPDATE: the index is APPENDED (old file-sets untouched),
+    // and the appended delta holds only the touched doc's fold rows ---
+    val before = postingsVer
+    s.execute("db1", "main",
+      q("UPDATE docs SET body = 'replaced zeta' WHERE doc_id = 7"))
+    val after = postingsVer
+    assert(after.paths.startsWith(before.paths),
+      "UPDATE must append index deltas, not rewrite the index")
+    val deltaRows = after.paths.drop(before.paths.size)
+      .map(p => spark.read.parquet(p).count()).sum
+    // old row: 5 distinct terms (negated) + new row: 2 terms — O(1), never
+    // the ~1000-row corpus postings
+    assert(deltaRows <= 10, s"delta touched $deltaRows postings rows")
+    val upd = s.execute("db1", "main",
+      q("SELECT doc FROM bigfts WHERE bigfts MATCH 'zeta'"))
+    assert(upd.rows.map(_.head) == Seq(SqlValue.IntVal(7)))
+    assert(s.execute("db1", "main",
+      q("SELECT doc FROM bigfts WHERE bigfts MATCH 'term7'")).rows.isEmpty)
+    // untouched docs unaffected; folded stats keep n = 200
+    assert(s.execute("db1", "main",
+      q("SELECT doc FROM bigfts WHERE bigfts MATCH 'term8'"))
+      .rows.map(_.head) == Seq(SqlValue.IntVal(8)))
+    assert(s.execute("db1", "main", q("SELECT n FROM __fts_bigfts_stats"))
+      .rows.head.head == SqlValue.RealVal(200.0))
+
+    // --- 1-row DELETE: same shape, negative folds only ---
+    val beforeDel = postingsVer
+    s.execute("db1", "main", q("DELETE FROM docs WHERE doc_id = 42"))
+    val afterDel = postingsVer
+    assert(afterDel.paths.startsWith(beforeDel.paths))
+    val delRows = afterDel.paths.drop(beforeDel.paths.size)
+      .map(p => spark.read.parquet(p).count()).sum
+    assert(delRows <= 5, s"delete delta touched $delRows postings rows")
+    assert(s.execute("db1", "main",
+      q("SELECT doc FROM bigfts WHERE bigfts MATCH 'term42'")).rows.isEmpty)
+    assert(s.execute("db1", "main", q("SELECT n FROM __fts_bigfts_stats"))
+      .rows.head.head == SqlValue.RealVal(199.0))
+    // deleted doc is excluded from multi-term and prefix paths too
+    val pref = s.ftsSearch("db1", "main", "bigfts", "term42*")
+    assert(pref.collect().isEmpty)
+
+    // --- compaction collapses the folds physically: one file-set whose
+    // row count equals a from-scratch rebuild's ---
+    s.compact("db1", "main", "docs")
+    val compacted = postingsVer
+    assert(compacted.paths.size == 1)
+    val compactedRows = spark.read.parquet(compacted.paths.head).count()
+    s.ftsRebuild("db1", "main", "bigfts")
+    val rebuiltRows = spark.read.parquet(postingsVer.paths.head).count()
+    assert(compactedRows == rebuiltRows,
+      s"compacted=$compactedRows rebuilt=$rebuiltRows")
+    assert(s.execute("db1", "main",
+      q("SELECT doc FROM bigfts WHERE bigfts MATCH 'zeta'"))
+      .rows.map(_.head) == Seq(SqlValue.IntVal(7)))
   }
 
   test("fts5 bare vtable: auto rowid, phrase and prefix queries, drop cascades") {
