@@ -654,11 +654,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * per-statement view of the match results joined back to the content
     * row — so `f.rowid`, the content columns, `score` and `rank` all
     * resolve. Returns None when the statement has no resolvable MATCH. */
+  private case class MatchPred(view: String, ft: String,
+      alias: Option[String], query: String)
+
   private def rewriteMatchAnywhere(db: String, branch: String,
       stmt0: String): Option[String] = {
     if (!stmt0.toLowerCase.contains("match")) return None
     var stmt = stmt0
-    val found = mutable.ArrayBuffer[(String, String, String)]() // view, fts, query
+    val found = mutable.ArrayBuffer[MatchPred]()
     var done = false
     while (!done) {
       val mask = Sql.maskLiterals(stmt)
@@ -670,35 +673,59 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           if (closeQ < 0) return None // unterminated literal: let the parser complain
           val query = stmt.substring(openQ + 1, closeQ).replace("''", "'")
           val target = unquote(m.group(1))
-          // the MATCH target is the fts table itself or a FROM/JOIN alias
-          val ftsTable =
-            if (catalog.ftsIndex(db, branch, target).isDefined) Some(target)
+          // the MATCH target is the fts table itself or a relation alias
+          // (`FROM fts a`, `JOIN fts AS b`, or a comma-list entry `, fts c`)
+          val resolved: Option[(String, Option[String])] =
+            if (catalog.ftsIndex(db, branch, target).isDefined)
+              Some((target, None))
             else {
-              val aliasRe = ("""(?i)\b(?:from|join)\s+("?\w+"?)\s+(?:as\s+)?""" +
+              val aliasRe = ("""(?i)(?:\bfrom|\bjoin|,)\s*("?\w+"?)\s+(?:as\s+)?""" +
                 java.util.regex.Pattern.quote(m.group(1)) + """\b""").r
               aliasRe.findFirstMatchIn(mask).map(am => unquote(am.group(1)))
                 .filter(t => catalog.ftsIndex(db, branch, t).isDefined)
+                .map(t => (t, Some(m.group(1))))
             }
-          ftsTable match {
+          resolved match {
             case None => return None // not an fts MATCH — normal path errors
-            case Some(ft) =>
-              val view = s"__fts_match${found.length}"
-              found += ((view, ft, query))
+            case Some((ft, alias)) =>
+              if (!found.exists(f =>
+                  f.ft == ft && f.alias == alias && f.query == query))
+                found += MatchPred(s"__fts_match${found.length}", ft, alias, query)
               stmt = stmt.substring(0, m.start(1)) + "TRUE" + stmt.substring(closeQ + 1)
           }
       }
     }
     if (found.isEmpty) return None
-    found.groupBy(_._2).foreach { case (ft, fs) =>
-      if (fs.map(_._3).distinct.length > 1)
+    // two different queries against the SAME relation (one alias, or the
+    // bare table name) are genuinely ambiguous — distinct aliases are not:
+    // each alias gets its own match view below, the way the reference's
+    // vtable resolves each cursor independently
+    found.groupBy(f => (f.ft, f.alias)).foreach { case ((ft, _), fs) =>
+      if (fs.map(_.query).distinct.length > 1)
         throw new IllegalArgumentException(
           s"multiple MATCH queries against fts table $ft in one statement are not supported")
     }
-    // one view per fts table; redirect its relation references
-    found.distinctBy(_._2).foreach { case (view, ft, query) =>
-      ftsMatchView(db, branch, ft, query).createOrReplaceTempView(view)
-      threadScratch.get() += view
-      stmt = Sql.replaceIdent(stmt, ft, view)
+    // aliased predicates first: ONLY that alias's relation source becomes
+    // its match view (`FROM fts a, fts b WHERE a MATCH 'x' AND b MATCH 'y'`
+    // → `FROM __fts_match0 a, __fts_match1 b`)
+    found.filter(_.alias.isDefined).foreach { f =>
+      ftsMatchView(db, branch, f.ft, f.query).createOrReplaceTempView(f.view)
+      threadScratch.get() += f.view
+      val relRe = ("""(?i)(\bfrom\s+|\bjoin\s+|,\s*)("?""" +
+        java.util.regex.Pattern.quote(f.ft) + """"?)(\s+(?:as\s+)?""" +
+        java.util.regex.Pattern.quote(f.alias.get) + """\b)""").r
+      relRe.findFirstMatchIn(Sql.maskLiterals(stmt)) match {
+        case Some(rm) =>
+          stmt = stmt.substring(0, rm.start(2)) + f.view + stmt.substring(rm.end(2))
+        case None => throw new IllegalArgumentException(
+          s"cannot resolve the relation for MATCH alias ${f.alias.get}")
+      }
+    }
+    // bare-table predicates: blanket redirect of the remaining references
+    found.filter(_.alias.isEmpty).foreach { f =>
+      ftsMatchView(db, branch, f.ft, f.query).createOrReplaceTempView(f.view)
+      threadScratch.get() += f.view
+      stmt = Sql.replaceIdent(stmt, f.ft, f.view)
     }
     Some(stmt)
   }

@@ -142,6 +142,8 @@ class MetricsStore(persistDir: Option[Path] = None) {
   private val buckets = mutable.Map[(String, String, Long, Long), Bucket]()
   // finished-metrics table the read API queries; capped ring
   private val finished = mutable.ArrayDeque[(String, String, QueryMetric)]()
+  // branches whose persisted log has been recovered into `finished`
+  private val recovered = mutable.Set[(String, String)]()
   private val statementIndex = // B11: hash -> SQL, LRU-capped
     new java.util.LinkedHashMap[Long, String](256, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[Long, String]) =
@@ -193,13 +195,64 @@ class MetricsStore(persistDir: Option[Path] = None) {
 
   /** Non-destructive read of one branch's metrics table: finished buckets
     * plus a snapshot of still-open live buckets, ordered (ts, checksum) —
-    * what the metrics/query endpoint serves. */
-  def read(db: String, branch: String): Seq[QueryMetric] = synchronized {
-    val fin = finished.collect { case (d, b, m) if d == db && b == branch => m }
-    val live = buckets.collect {
-      case ((d, b, crc, sec), bk) if d == db && b == branch => bk.metric(crc, sec)
+    * what the metrics/query endpoint serves. Pre-restart history is
+    * recovered from the branch's persisted log on first access, the way
+    * the reference's metrics API reads its persisted log files
+    * (pkg/logs/query_log.go:25-48, query_log_controller.go:64-83). */
+  def read(db: String, branch: String): Seq[QueryMetric] = {
+    ensureRecovered(db, branch)
+    // snapshot under the lock, sort outside it: a hot metrics endpoint
+    // polling a high-cardinality branch must not stall record() while it
+    // sorts thousands of buckets
+    val snap = synchronized {
+      val fin = finished.collect { case (d, b, m) if d == db && b == branch => m }
+      val live = buckets.collect {
+        case ((d, b, crc, sec), bk) if d == db && b == branch => bk.metric(crc, sec)
+      }
+      (fin ++ live).toSeq
     }
-    (fin ++ live).toSeq.sortBy(m => (m.timestamp, m.checksum))
+    snap.sortBy(m => (m.timestamp, m.checksum))
+  }
+
+  /** Load the branch's persisted 64-byte records into `finished` once per
+    * store lifetime — restart recovery. Prepended so the capped ring
+    * evicts the oldest history first; new appends to the same log only
+    * happen after this mark, so recovered and freshly-flushed records
+    * never duplicate. File IO runs outside the store lock (except when
+    * reached re-entrantly from a flush, which happens at most once per
+    * branch). */
+  private def ensureRecovered(db: String, branch: String): Unit = {
+    if (persistDir.isEmpty) return
+    val need = synchronized { !recovered.contains((db, branch)) }
+    if (!need) return
+    val recs = readPersisted(db, branch)
+    synchronized {
+      if (recovered.add((db, branch)) && recs.nonEmpty) {
+        finished.prependAll(recs.map(m => (db, branch, m)))
+        while (finished.length > FinishedRetention) finished.removeHead()
+      }
+    }
+  }
+
+  /** Parse a branch's rotated + current log generations (oldest first). */
+  private def readPersisted(db: String, branch: String): Seq[QueryMetric] =
+    persistDir.toSeq.flatMap { dir =>
+      val f = logFile(dir, db, branch)
+      Seq(f.resolveSibling(f.getFileName.toString + ".1"), f)
+        .filter(Files.exists(_))
+        .flatMap { p =>
+          try {
+            val bytes = Files.readAllBytes(p)
+            (0 until bytes.length / 64).map(i => QueryMetric.fromBytes(
+              java.util.Arrays.copyOfRange(bytes, i * 64, i * 64 + 64)))
+          } catch { case _: java.io.IOException => Nil }
+        }
+    }
+
+  private def logFile(dir: Path, db: String, branch: String): Path = {
+    val enc = (s: String) =>
+      java.net.URLEncoder.encode(s, "UTF-8").replace("*", "%2A")
+    dir.resolve(s"query_metrics_${enc(db)}_${enc(branch)}.log")
   }
 
   /** Drain everything (live + finished) ordered by (ts, checksum) — used by
@@ -213,11 +266,12 @@ class MetricsStore(persistDir: Option[Path] = None) {
 
   private def persist(db: String, branch: String, m: QueryMetric): Unit =
     persistDir.foreach { dir =>
+      // recover BEFORE the first append: pre-restart records must land in
+      // `finished` exactly once, never re-read after we extend the log
+      ensureRecovered(db, branch)
       try {
         Files.createDirectories(dir)
-        val enc = (s: String) =>
-          java.net.URLEncoder.encode(s, "UTF-8").replace("*", "%2A")
-        val f = dir.resolve(s"query_metrics_${enc(db)}_${enc(branch)}.log")
+        val f = logFile(dir, db, branch)
         if (Files.exists(f) && Files.size(f) >= LogRotateBytes)
           Files.move(f, f.resolveSibling(f.getFileName.toString + ".1"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)

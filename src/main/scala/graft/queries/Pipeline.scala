@@ -452,8 +452,47 @@ object Pipeline {
       |WHERE s.n_terms_hit = 2
       |ORDER BY s.score DESC, s.doc""".stripMargin
 
+  /** Two MATCH predicates against the SAME fts table, split by alias —
+    * the self-join shape the engine's generalized MATCH rewrite produces
+    * for `SELECT ... FROM fts a, fts b WHERE a.rowid = b.rowid AND
+    * a MATCH 'merge' AND b MATCH 'vector'` (each alias resolves to its own
+    * vtable cursor in the reference). */
+  def q34FtsSelfJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val a = Fts.search(docs, "text", "doc_id", "merge")
+      .select(col("doc"), col("score").as("score_a"))
+    val b = Fts.search(docs, "text", "doc_id", "vector")
+      .select(col("doc"), col("score").as("score_b"))
+    a.join(b, Seq("doc")).orderBy(col("doc"))
+      .select(col("doc"), col("score_a"), col("score_b"))
+  }
+
+  val q34Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |dl AS (SELECT doc_id AS doc, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      |post AS (SELECT doc_id AS doc, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM post GROUP BY 1, 2),
+      |stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+      |                 (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS sumdl),
+      |score_t AS (
+      |  SELECT tf.doc, tf.term,
+      |    round( ln((n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+      |      (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (sumdl / n))), 6) AS score
+      |  FROM tf
+      |  JOIN (SELECT term, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df FROM tf
+      |        WHERE term IN ('merge','vector') GROUP BY term) df USING (term)
+      |  JOIN dl ON dl.doc = tf.doc, stats
+      |  WHERE tf.term IN ('merge','vector'))
+      |SELECT a.doc, a.score AS score_a, b.score AS score_b
+      |FROM score_t a JOIN score_t b ON a.doc = b.doc
+      |WHERE a.term = 'merge' AND b.term = 'vector'
+      |ORDER BY a.doc""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
+    "q34_fts_self_join" -> (q34FtsSelfJoin _),
     "p15_fts_match" -> (p15FtsMatch _),
     "p19_fts_phrase" -> (p19FtsPhrase _),
     "p20_fts_prefix" -> (p20FtsPrefix _),
@@ -478,6 +517,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
+    "q34_fts_self_join" -> q34Oracle,
     "p14_multimodal_decode" -> p14Oracle,
     "p15_fts_match" -> p15Oracle,
     "p19_fts_phrase" -> p19Oracle,

@@ -1130,7 +1130,22 @@ class EngineSpec extends AnyFunSuite {
         "WHERE d MATCH 'shuffles' AND n MATCH 'tuning'"))
     assert(twoFts.error.isEmpty, twoFts.error)
     assert(twoFts.rows == Seq(Seq(SqlValue.IntVal(1), SqlValue.IntVal(1))))
-    // two different queries against the SAME fts table are rejected
+    // two MATCH queries against the SAME fts table, split by ALIAS: each
+    // alias resolves to its own match view (reference: each vtable cursor
+    // is independent). docs 1,2 match 'spark'; docs 1 matches 'shuffles'.
+    val aliased = s.execute("db1", "main", q(
+      "SELECT a.rowid AS ra, b.rowid AS rb FROM dfx a, dfx b " +
+        "WHERE a.rowid = b.rowid AND a MATCH 'spark' AND b MATCH 'shuffles'"))
+    assert(aliased.error.isEmpty, aliased.error)
+    assert(aliased.rows == Seq(Seq(SqlValue.IntVal(1), SqlValue.IntVal(1))))
+    // JOIN ... AS form, and the joined-back content columns resolve per alias
+    val aliasedJoin = s.execute("db1", "main", q(
+      "SELECT a.body, b.score FROM dfx AS a JOIN dfx AS b ON a.rowid = b.rowid " +
+        "WHERE a MATCH 'joins' AND b MATCH 'tables'"))
+    assert(aliasedJoin.error.isEmpty, aliasedJoin.error)
+    assert(aliasedJoin.rows.length == 1)
+    // two different queries against the SAME unaliased relation stay
+    // rejected — that form is genuinely ambiguous
     val sameTwice = s.execute("db1", "main", q(
       "SELECT rowid FROM dfx WHERE dfx MATCH 'spark' AND dfx MATCH 'embedded'"))
     assert(sameTwice.error.contains("not supported"))

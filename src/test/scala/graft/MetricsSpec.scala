@@ -115,4 +115,60 @@ class MetricsSpec extends AnyFunSuite {
     assert(Seq(m0, m1).map(_.timestamp).toSet == Set(1L))
     assert(Seq(m0, m1).map(_.count).sum == 2)
   }
+
+  test("persisted metrics survive restart: a new store reads the log back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-metrics")
+    val store = new MetricsStore(Some(dir))
+    store.record("db", "main", "SELECT a", 0.010, 1_000L)
+    store.record("db", "main", "SELECT b", 0.020, 1_500L)
+    store.record("db", "other", "SELECT c", 0.030, 1_000L)
+    store.flushFinished(2_000L)
+
+    // "restart": a fresh store over the same persist dir serves the
+    // pre-restart history (reference reads its persisted query logs,
+    // pkg/logs/query_log.go:25-48)
+    val reborn = new MetricsStore(Some(dir))
+    val hist = reborn.read("db", "main")
+    assert(hist.length == 2, s"expected 2 recovered records, got $hist")
+    assert(hist.map(_.count).sum == 2)
+    assert(reborn.read("db", "other").length == 1)
+    // recovery is once-only: repeated reads don't re-ingest the log
+    assert(reborn.read("db", "main").length == 2)
+
+    // new records after recovery append cleanly and never duplicate the
+    // recovered history (persist marks the branch recovered before its
+    // first append)
+    reborn.record("db", "main", "SELECT a", 0.040, 5_000L)
+    reborn.flushFinished(6_000L)
+    val merged = reborn.read("db", "main")
+    assert(merged.length == 3)
+    assert(merged.map(_.timestamp).sorted == Seq(1L, 1L, 5L))
+
+    // and a third incarnation sees everything the second one persisted
+    val third = new MetricsStore(Some(dir))
+    assert(third.read("db", "main").length == 3)
+  }
+
+  test("record() stays correct under a concurrent polling reader") {
+    val store = new MetricsStore
+    val total = 20000
+    val writer = new Thread(() => {
+      var i = 0
+      while (i < total) {
+        // spread across seconds so read() has many buckets to snapshot+sort
+        store.record("db", "main", s"SELECT ${i % 50}", 0.001 * (i % 7),
+          1_000L + (i % 200) * 1000L)
+        i += 1
+      }
+    })
+    writer.start()
+    // hammer the read path while the writer runs; read snapshots under the
+    // lock and sorts outside it, so neither side can corrupt the other
+    var polls = 0
+    while (writer.isAlive) { store.read("db", "main"); polls += 1 }
+    writer.join()
+    assert(polls > 0)
+    val all = store.read("db", "main")
+    assert(all.map(_.count.toLong).sum == total.toLong)
+  }
 }
