@@ -109,8 +109,9 @@ class Catalog(val root: Path) {
         .map(e => e.getKey -> e.getValue.asText()).toMap)
 
   /** Serialize one branch's state under the caller's (global) lock;
-    * the returned thunk does the file IO without it. */
-  private def snapshotBranch(db: String, branch: String): () => Unit =
+    * the returned thunk does the file IO without it. (`private[engine]`
+    * so the drop-vs-pending-snapshot race is testable deterministically.) */
+  private[engine] def snapshotBranch(db: String, branch: String): () => Unit =
     branches.get((db, branch)) match {
       case None => () => () // branch dropped concurrently: nothing to write
       case Some(st) =>
@@ -147,7 +148,7 @@ class Catalog(val root: Path) {
     val io = branchIoLocks.computeIfAbsent((db, branch), _ => new Object)
     io.synchronized {
       val last = Option(branchWritten.get((db, branch))).map(_.longValue).getOrElse(0L)
-      if (seq <= last) return // a newer snapshot already reached disk
+      if (seq <= last) return // a newer snapshot already reached disk, or dropped
       val p = branchManifestPath(db, branch)
       Files.createDirectories(p.getParent)
       val tmp = p.resolveSibling(s"_manifest.json.tmp")
@@ -156,6 +157,29 @@ class Catalog(val root: Path) {
         StandardCopyOption.REPLACE_EXISTING)
       branchWritten.put((db, branch), java.lang.Long.valueOf(seq))
     }
+  }
+
+  /** Remove a dropped branch's manifest so a later branch of the same name
+    * can't resurrect its state. The write fence advances to Long.MaxValue
+    * under the branch IO lock BEFORE the delete, so a snapshot thunk from
+    * an earlier mutation that hasn't reached disk yet is discarded by the
+    * seq check instead of re-creating the file after it. */
+  private def tombstoneBranchManifest(db: String, branch: String): Unit = {
+    val io = branchIoLocks.computeIfAbsent((db, branch), _ => new Object)
+    io.synchronized {
+      branchWritten.put((db, branch), java.lang.Long.valueOf(Long.MaxValue))
+      try Files.deleteIfExists(branchManifestPath(db, branch))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Lift a drop tombstone when a branch name is (re-)created. Safe
+    * against stale pre-drop thunks: branchSeqs is monotonic and never
+    * reset, so every snapshot of the new incarnation outnumbers — and
+    * therefore overwrites or fences out — anything from the old one. */
+  private def reviveBranchManifest(db: String, branch: String): Unit = {
+    val io = branchIoLocks.computeIfAbsent((db, branch), _ => new Object)
+    io.synchronized { branchWritten.remove((db, branch)) }
   }
 
   /** Catalog-level state (databases, branch list, backups) — rare writes,
@@ -271,6 +295,7 @@ class Catalog(val root: Path) {
     require(!databases.contains(name), s"database $name already exists")
     databases(name) = System.currentTimeMillis()
     branches((name, "main")) = BranchState(mutable.Map())
+    reviveBranchManifest(name, "main")
     snapshotBranch(name, "main")()
     persistCatalog()
   }
@@ -293,10 +318,7 @@ class Catalog(val root: Path) {
     viewVersions.keys.toSeq.filter(_._1 == name).foreach(viewVersions.remove)
     // drop the per-branch manifest files too (same resurrection guard as
     // dropBranch): a re-created database must start empty
-    dead.foreach { case (d, b) =>
-      try Files.deleteIfExists(branchManifestPath(d, b))
-      catch { case _: java.io.IOException => () }
-    }
+    dead.foreach { case (d, b) => tombstoneBranchManifest(d, b) }
     persistCatalog()
   }
 
@@ -320,6 +342,7 @@ class Catalog(val root: Path) {
     viewVersions((db, name)) = viewVersionCounter.incrementAndGet()
     // the new branch's manifest lands before the catalog lists it, so a
     // crash between the two writes never yields a listed-but-empty branch
+    reviveBranchManifest(db, name)
     snapshotBranch(db, name)()
     persistCatalog()
   }
@@ -336,8 +359,7 @@ class Catalog(val root: Path) {
     viewVersions.remove((db, branch))
     // drop the manifest file too, or a later branch of the same name could
     // resurrect this state if a crash lands between its two writes
-    try Files.deleteIfExists(branchManifestPath(db, branch))
-    catch { case _: java.io.IOException => () }
+    tombstoneBranchManifest(db, branch)
     persistCatalog()
   }
 

@@ -499,8 +499,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * held only by its ThreadLocal, so entries for dead threads are
     * GC-collected instead of accumulating when the embedding app issues
     * queries from short-lived threads. */
+  private final class SessionViews {
+    val reg = mutable.Map[String, (String, String, Long)]()
+    // which (db, branch, viewsVersion) the SQL views were last registered
+    // for — its own field, NOT a sentinel entry in `reg`, so a user table
+    // that happens to be named like the bookkeeping key still registers
+    var viewsState: Option[(String, String, Long)] = None
+  }
   private val viewVersions = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, mutable.Map[String, (String, String, Long)]]())
+    new java.util.WeakHashMap[SparkSession, SessionViews]())
 
   /** Register current (or transaction-staged) table versions as temp views
     * on the calling thread's session. Views for tables that no longer
@@ -508,7 +515,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * keep serving the old data; unchanged versions are left as-is. */
   private def registerViews(db: String, branch: String, txn: Option[Txn]): Unit = {
     val s = sess
-    val reg = viewVersions.computeIfAbsent(s, _ => mutable.Map())
+    val sv = viewVersions.computeIfAbsent(s, _ => new SessionViews)
+    val reg = sv.reg
     // attached databases surface as per-alias views (__att_<alias>_<t>);
     // the SQL text's alias.t references are rewritten onto them
     val attached = attachmentsFor(db, branch).toSeq.flatMap {
@@ -521,12 +529,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val sqlViews = catalog.views(db, branch)
     val live = catalog.tableNames(db, branch).toSet ++
       txn.map(_.staged.keySet.toSet).getOrElse(Set.empty) ++
-      attached.map(_._1) ++ sqlViews.map(_._1) + "__views_state"
+      attached.map(_._1) ++ sqlViews.map(_._1)
     var anyChanged = false
     (reg.keySet -- live).toSeq.foreach { v =>
       s.catalog.dropTempView(v); reg -= v; anyChanged = true
     }
-    (live -- attached.map(_._1) - "__views_state" -- sqlViews.map(_._1)).foreach { t =>
+    (live -- attached.map(_._1) -- sqlViews.map(_._1)).foreach { t =>
       val v = txn.flatMap(_.staged.get(t).map(_.asInstanceOf[catalog.TableVersion]))
         .orElse(catalog.currentVersion(db, branch, t))
       v.foreach { ver =>
@@ -556,7 +564,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // base table was dropped stays unregistered — it errors when QUERIED,
     // like SQLite, instead of breaking every statement on the branch.
     val vv = catalog.viewsVersion(db, branch)
-    if (anyChanged || !reg.get("__views_state").contains((db, branch, vv))) {
+    if (anyChanged || !sv.viewsState.contains((db, branch, vv))) {
       sqlViews.foreach { case (name, sql) =>
         try {
           s.sql(sql).createOrReplaceTempView(name)
@@ -567,7 +575,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             if (reg.contains(name)) { s.catalog.dropTempView(name); reg -= name }
         }
       }
-      reg("__views_state") = (db, branch, vv)
+      sv.viewsState = Some((db, branch, vv))
     }
   }
 

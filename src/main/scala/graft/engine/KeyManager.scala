@@ -31,6 +31,10 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
 
   @volatile private var active: Option[String] = initialKey
   @volatile private var next: Option[String] = None
+  // previous key kept for the duration of a rotation: store files not yet
+  // re-persisted decrypt via this fallback, so a half-rotated root stays
+  // readable in-process and the activation can be retried
+  @volatile private var fallback: Option[String] = None
   private var onRotate: Seq[() => Unit] = Nil
 
   Files.createDirectories(root)
@@ -43,10 +47,14 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
 
   // InitKey (pkg/auth/key.go:12-36): record the active key's hash; reject
   // a restart under a key that doesn't match what encrypted the stores.
-  // A key matching the STAGED hash is accepted too: activate() re-persists
-  // the stores before committing the hash swap, so a crash in that window
-  // leaves stores under the new key with .graft_key still old — restarting
-  // with the new key completes the rotation instead of bricking the root.
+  // The `.graft_key_next` marker appears only AFTER every store has
+  // re-persisted under the staged key (see activate()), so its presence
+  // means exactly "stores are under the staged key; `.graft_key` may still
+  // hold the old hash". A restart with the staged key therefore completes
+  // the rotation; a restart with the OLD key is refused with a pointer to
+  // the staged key — its hash check would pass, but the stores are no
+  // longer readable under it, and silently deleting the marker here would
+  // strand them.
   initialKey.foreach { k =>
     val stagedMatch = Files.exists(nextHashPath) &&
       new String(Files.readAllBytes(nextHashPath), UTF_8) == sha256hex(k)
@@ -54,6 +62,11 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
       val stored = new String(Files.readAllBytes(keyHashPath), UTF_8)
       require(stored == sha256hex(k),
         "encryption key does not match the stored key hash")
+      if (Files.exists(nextHashPath))
+        throw new IllegalStateException(
+          "an interrupted key rotation left the stores encrypted under the " +
+            "staged key; restart with the staged (new) encryption key to " +
+            "complete the rotation")
     }
     if (stagedMatch || !Files.exists(keyHashPath)) writeHash(keyHashPath, k)
     Files.deleteIfExists(nextHashPath) // staged keys don't survive restart
@@ -102,6 +115,27 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
         !java.util.Arrays.equals(bytes.take(Magic.length), Magic)) return bytes
     val k = active.getOrElse(
       throw new IllegalStateException("store is encrypted but no encryption key is configured"))
+    try gcmDecrypt(k, bytes)
+    catch {
+      case e: javax.crypto.AEADBadTagException =>
+        // mid-rotation: this store hasn't re-persisted yet, so its file is
+        // still under the previous key — fall back so a partially-rotated
+        // root stays readable and the activation can be retried
+        fallback match {
+          case Some(fk) =>
+            try gcmDecrypt(fk, bytes)
+            catch { case _: javax.crypto.AEADBadTagException => throw wrongKey(e) }
+          case None => throw wrongKey(e)
+        }
+    }
+  }
+
+  private def wrongKey(cause: Throwable): IllegalStateException =
+    new IllegalStateException(
+      "store file was encrypted under a different key (possibly an " +
+        "interrupted rotation — try the other rotation key)", cause)
+
+  private def gcmDecrypt(k: String, bytes: Array[Byte]): Array[Byte] = {
     val iv = java.util.Arrays.copyOfRange(bytes, Magic.length, Magic.length + 12)
     val c = Cipher.getInstance("AES/GCM/NoPadding")
     c.init(Cipher.DECRYPT_MODE, aesKey(k), new GCMParameterSpec(128, iv))
@@ -136,23 +170,38 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
     * re-persists (re-encrypts) under it (StoreEncryptionKey + the
     * key:activate broadcast collapse to this single-driver swap).
     *
-    * Ordering is crash-safe: stores re-encrypt FIRST and the `.graft_key`
-    * hash commits LAST — a crash mid-rotation leaves `.graft_key_next` in
-    * place, and the constructor accepts a restart under the new key to
-    * finish the swap. */
+    * Ordering is crash-safe: stores re-encrypt FIRST, the
+    * `.graft_key_next` marker is written only once ALL of them hold the
+    * new key, and the `.graft_key` hash commits LAST. A crash before the
+    * marker leaves `.graft_key` pointing at the old key, which still reads
+    * every store that hadn't flipped (the flipped ones fail loudly, and
+    * the operator holds both keys); a crash after the marker is finished
+    * by restarting with the new key. Writing the marker BEFORE the
+    * re-encryption would let that restart commit the new hash while the
+    * files were still under the old key — an unreadable root. If a store's
+    * re-persist throws, the key stays staged so the activation can simply
+    * be retried, and reads of not-yet-flipped stores fall back to the
+    * previous key meanwhile. */
   def activate(key: String): Unit = {
     val stores = synchronized {
       if (!next.contains(key))
         throw new IllegalArgumentException("the encryption key is invalid")
-      writeHash(nextHashPath, key) // rotation-in-progress marker
+      fallback = active
       active = Some(key)
       next = None
       onRotate
     }
-    stores.foreach(_())
+    try stores.foreach(_())
+    catch {
+      case e: Throwable =>
+        synchronized { next = Some(key) } // re-stage so activate() can retry
+        throw e
+    }
     synchronized {
+      writeHash(nextHashPath, key) // stores all hold the new key from here
       writeHash(keyHashPath, key)
       Files.deleteIfExists(nextHashPath)
+      fallback = None
     }
   }
 }

@@ -104,9 +104,15 @@ object SqliteRegistry {
     put("format") { a =>
       c(org.apache.spark.sql.catalyst.expressions.FormatString(a: _*))
     }
-    // unicode(X) = first code point; char(X1, X2, ...) = string from points
+    // unicode(X) = first code point; char(X1, X2, ...) = string from FULL
+    // Unicode code points (Spark's chr() wraps modulo 256, so it can't
+    // build char(955) = 'λ' — the native expression can)
     put("unicode") { a => ascii(c(a(0))) }
-    put("char") { a => concat(a.map(x => chr(c(x))): _*) }
+    put("char") { a =>
+      concat(a.map(x => c(StringExpressions.CodePointChar(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          x, org.apache.spark.sql.types.LongType)))): _*)
+    }
     // JSON1 (SURVEY §2A row 29): extraction maps to Spark's native
     // get_json_object; mutation/inspection to the native Catalyst pack
     put("json_extract") { a =>

@@ -282,6 +282,74 @@ class AuthSpec extends AnyFunSuite {
       s2.keyManager.storeNext("key-two", hmacHex("key-two", "key-two")))
   }
 
+  test("interrupted rotation: marker present means stores hold the staged key") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def sha256hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    def hmacHex(k: String, msg: String): String = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(k.getBytes(UTF_8), "HmacSHA256"))
+      mac.doFinal(msg.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    }
+    val dir = Files.createTempDirectory("graft-rot")
+    val km1 = new KeyManager(dir, Some("key-one"))
+    val store1 = new AccessKeyStore(dir, Some(km1))
+    store1.put(AccessKey("rot-key", secret = "rot-secret"))
+    km1.storeNext("key-two", hmacHex("key-one", "key-two"))
+    km1.activate("key-two")
+    // simulate the crash window between marker write and .graft_key swap:
+    // stores re-encrypted under key-two, .graft_key still key-one, marker up
+    Files.write(dir.resolve(".graft_key"), sha256hex("key-one").getBytes(UTF_8))
+    Files.write(dir.resolve(".graft_key_next"), sha256hex("key-two").getBytes(UTF_8))
+    // restart with the OLD key is refused with a pointer to the staged key
+    // (its hash matches .graft_key, but the stores are under key-two —
+    // accepting it and deleting the marker would strand them)
+    val refuse = intercept[IllegalStateException](new KeyManager(dir, Some("key-one")))
+    assert(refuse.getMessage.contains("staged"))
+    assert(Files.exists(dir.resolve(".graft_key_next")), "marker must survive the refusal")
+    // restart with the STAGED key completes the rotation and reads the stores
+    val km2 = new KeyManager(dir, Some("key-two"))
+    assert(!Files.exists(dir.resolve(".graft_key_next")))
+    assert(new String(Files.readAllBytes(dir.resolve(".graft_key")), UTF_8)
+      == sha256hex("key-two"))
+    assert(new AccessKeyStore(dir, Some(km2)).get("rot-key")
+      .map(_.secret) == Some("rot-secret"))
+  }
+
+  test("failed re-encryption keeps the root readable and the rotation retryable") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def hmacHex(k: String, msg: String): String = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(k.getBytes(UTF_8), "HmacSHA256"))
+      mac.doFinal(msg.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    }
+    val dir = Files.createTempDirectory("graft-rotfail")
+    val km = new KeyManager(dir, Some("key-one"))
+    // a store that fails its first re-persist, registered BEFORE the real
+    // store: activation dies with the access-key file still under key-one
+    var failures = 1
+    km.registerStore(() =>
+      if (failures > 0) { failures -= 1; sys.error("simulated repersist crash") })
+    val store = new AccessKeyStore(dir, Some(km))
+    store.put(AccessKey("fb-key", secret = "fb-secret"))
+    km.storeNext("key-two", hmacHex("key-one", "key-two"))
+    intercept[RuntimeException](km.activate("key-two"))
+    // no marker and no hash swap happened — the durable state is untouched
+    assert(!Files.exists(dir.resolve(".graft_key_next")))
+    // the active key is already key-two, but the store file is still under
+    // key-one: decrypt falls back to the previous key, so reads still work
+    assert(new AccessKeyStore(dir, Some(km)).get("fb-key")
+      .map(_.secret) == Some("fb-secret"))
+    // the key stayed staged, so the activation is simply retried
+    assert(km.hasStaged("key-two"))
+    km.activate("key-two")
+    val km2 = new KeyManager(dir, Some("key-two"))
+    assert(new AccessKeyStore(dir, Some(km2)).get("fb-key")
+      .map(_.secret) == Some("fb-secret"))
+    intercept[IllegalArgumentException](new KeyManager(dir, Some("key-one")))
+  }
+
   test("keys routes demand cluster-manage scope over HTTP") {
     // data-plane keys (even database:* with all actions) cannot rotate
     session.accessKeys.put(AccessKey("dataonly", secret = "d-secret",

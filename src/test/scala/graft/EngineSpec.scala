@@ -553,10 +553,16 @@ class EngineSpec extends AnyFunSuite {
     val pf = s.execute("db1", "main", q(
       "SELECT printf('%d-%s', 7, 'x') AS p, " +
         "format('%.2f', CAST(1.5 AS DOUBLE)) AS f, " +
-        "unicode('Abc') AS u, char(72, 105) AS ch"))
+        "unicode('Abc') AS u, char(72, 105) AS ch, " +
+        // full code points, not modulo-256: BMP ('λ'), a supplementary
+        // plane point (surrogate pair in the JVM), and the invalid-value
+        // clamp to U+FFFD (SQLite lang_corefunc.html#char)
+        "char(955) AS greek, char(128169) AS astral, char(1114200) AS bad"))
     assert(pf.error.isEmpty, pf.error)
     assert(pf.rows.head == Seq(SqlValue.TextVal("7-x"), SqlValue.TextVal("1.50"),
-      SqlValue.IntVal(65), SqlValue.TextVal("Hi")))
+      SqlValue.IntVal(65), SqlValue.TextVal("Hi"), SqlValue.TextVal("λ"),
+      SqlValue.TextVal(new String(Character.toChars(128169))),
+      SqlValue.TextVal("�")))
     // infix GLOB operator (SQLite expr.html), including NOT GLOB and
     // a literal containing the word glob
     val gl = s.execute("db1", "main", q(
@@ -902,6 +908,27 @@ class EngineSpec extends AnyFunSuite {
     // reads stay allowed
     assert(s.execute("db1", "main",
       q("SELECT * FROM tguard"), key).error.isEmpty)
+  }
+
+  test("a user table named like the view-registration bookkeeping works") {
+    // the views-version state is tracked in its own per-session field, not
+    // as a sentinel entry in the registration map — so this name is just a
+    // (strange) table name, registered and queried like any other
+    val s = newSession()
+    assert(s.execute("db1", "main",
+      q("CREATE TABLE __views_state (id INTEGER, v TEXT)")).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("INSERT INTO __views_state VALUES (1, 'a'), (2, 'b')")).error.isEmpty)
+    val r = s.execute("db1", "main",
+      q("SELECT v FROM __views_state WHERE id = 2"))
+    assert(r.error.isEmpty, r.error)
+    assert(r.rows == Seq(Seq(SqlValue.TextVal("b"))))
+    // and the SQL-view skip logic still works around it: a view re-queries
+    s.execute("db1", "main",
+      q("CREATE VIEW vv AS SELECT count(*) AS n FROM __views_state"))
+    val rv = s.execute("db1", "main", q("SELECT n FROM vv"))
+    assert(rv.error.isEmpty, rv.error)
+    assert(rv.rows == Seq(Seq(SqlValue.IntVal(2))))
   }
 
   test("reserved internal views are not addressable from user SQL") {
