@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: PPM (P6) via a hand parser and BMP via
   * javax.imageio's pure-JDK reader, both behind the partition-parallel
-  * mapPartitions seam ([[decodeImages]]). Audio/video codecs aren't in the
-  * JDK, so those decode steps remain clearly-marked deterministic STUBS
-  * (byte-histogram "features") with the same plumbing — binary columns,
-  * typed Dataset schema, iterator-in/iterator-out batching — so swapping a
-  * real codec in changes nothing else.
+  * mapPartitions seam ([[decodeImages]]). AUDIO decode is REAL for WAV/PCM:
+  * the RIFF container is parsed by javax.sound.sampled's pure-JDK reader
+  * ([[decodeAudio]]). Video codecs aren't in the JDK, so that decode step
+  * remains a clearly-marked deterministic STUB (byte-histogram "features")
+  * with the same plumbing — binary columns, typed Dataset schema,
+  * iterator-in/iterator-out batching — so swapping a real codec in changes
+  * nothing else.
   */
 object Multimodal {
 
@@ -167,6 +169,77 @@ object Multimodal {
         while (i < rgb.length) { sum += rgb(i) & 0xFF; i += 1 }
         DecodedImage(r.media_id, r.kind, w.toLong, h.toLong,
           sum.toDouble / math.max(rgb.length, 1))
+      }
+    }
+  }
+
+  // --- real audio codec (WAV / 16-bit PCM) ---------------------------------
+
+  /** Encode mono 16-bit PCM samples as a canonical RIFF/WAVE container
+    * (44-byte header + little-endian data chunk) — the format every audio
+    * tool reads. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Decode a WAV via javax.sound.sampled (pure JDK): returns
+    * (sampleRate, channels, interleaved 16-bit samples). */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16, s"unsupported wav encoding $fmt")
+      val data = ais.readAllBytes()
+      val out = new Array[Short](data.length / 2)
+      val bb = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+      (fmt.getSampleRate.toInt, fmt.getChannels, out)
+    } finally ais.close()
+  }
+
+  case class DecodedAudio(media_id: Long, sample_rate: Long, channels: Long,
+    n_samples: Long, duration_ms: Double, mean_amp: Double, rms: Double)
+
+  /** REAL audio decode behind the mapPartitions seam: WAV payloads are
+    * parsed by the JDK's audio reader; the decoded stats (duration, mean
+    * amplitude, RMS energy) are what downstream loudness/quality filters
+    * consume. Iterator-in/iterator-out like [[decodeImages]]. */
+  def decodeAudio(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        require(r.kind == "wav", s"no codec for kind ${r.kind}")
+        val (rate, channels, samples) = decodeWav(r.payload)
+        val frames = samples.length / channels
+        var sum = 0L
+        var sumSq = 0L
+        var i = 0
+        while (i < samples.length) {
+          sum += samples(i); sumSq += samples(i).toLong * samples(i); i += 1
+        }
+        val n = math.max(samples.length, 1)
+        DecodedAudio(r.media_id, rate.toLong, channels.toLong, frames.toLong,
+          frames.toDouble * 1000.0 / rate, sum.toDouble / n,
+          math.sqrt(sumSq.toDouble / n))
       }
     }
   }

@@ -305,6 +305,47 @@ object Pipeline {
       |GROUP BY d.doc_id, d.w, d.h
       |ORDER BY media_id""".stripMargin
 
+  /** REAL audio decode over synthesized WAV/PCM payloads: deterministic
+    * 16-bit mono tones are containerized as RIFF/WAVE per doc, decoded by
+    * the JDK's audio reader inside mapPartitions, and the decoded stats
+    * (rate, duration, mean amplitude, RMS) are oracle-checked the same way
+    * p14's image stats are. */
+  def p22AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val rate = 8000 + (id % 3).toInt * 4000
+      val n = 256 + (id % 128).toInt
+      val samples = Array.tabulate[Short](n)(i =>
+        (((id * 37 + i.toLong * 13) % 2003) - 1001).toShort)
+      Multimodal.MediaRow(id, "wav", Multimodal.encodeWavPcm16(rate, samples))
+    }
+    Multimodal.decodeAudio(media)
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_samples"),
+        round(col("duration_ms"), 6).as("duration_ms"),
+        round(col("mean_amp"), 6).as("mean_amp"),
+        round(col("rms"), 6).as("rms"))
+      .orderBy(col("media_id"))
+  }
+
+  val p22Oracle: String =
+    """WITH series AS (SELECT unnest(generate_series(0, 382)) AS i),
+      |par AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+      |               256 + doc_id % 128 AS n
+      |        FROM documents),
+      |samp AS (SELECT p.doc_id, p.rate, p.n,
+      |                ((p.doc_id * 37 + s.i * 13) % 2003) - 1001 AS amp
+      |         FROM par p JOIN series s ON s.i < p.n)
+      |SELECT doc_id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_samples,
+      |  round(CAST(n AS DOUBLE) * 1000.0 / rate, 6) AS duration_ms,
+      |  round(CAST(sum(amp) AS DOUBLE) / n, 6) AS mean_amp,
+      |  round(sqrt(CAST(sum(amp * amp) AS DOUBLE) / n), 6) AS rms
+      |FROM samp
+      |GROUP BY doc_id, rate, n
+      |ORDER BY media_id""".stripMargin
+
   /** Video-style frame sampling over binary payloads: every 4th 64-byte
     * frame's offset (the sampling geometry is oracle-checked; frame
     * content hashing is exactness-tested in OperatorsSpec). */
@@ -513,7 +554,8 @@ object Pipeline {
     "p14_multimodal_decode" -> (p14MultimodalDecode _),
     "p17_embed_neardup" -> (p17EmbedNearDup _),
     "p18_dup_clusters" -> (p18DupClusters _),
-    "p21_frame_sample" -> (p21FrameSample _))
+    "p21_frame_sample" -> (p21FrameSample _),
+    "p22_audio_decode" -> (p22AudioDecode _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -533,5 +575,6 @@ object Pipeline {
     "p13_multimodal_meta" -> p13Oracle,
     "p17_embed_neardup" -> p17Oracle,
     "p18_dup_clusters" -> p18Oracle,
-    "p21_frame_sample" -> p21Oracle)
+    "p21_frame_sample" -> p21Oracle,
+    "p22_audio_decode" -> p22Oracle)
 }

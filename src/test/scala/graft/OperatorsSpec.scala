@@ -323,4 +323,29 @@ class OperatorsSpec extends AnyFunSuite {
     val expectedMean = rgb.map(_ & 0xFF).map(_.toLong).sum.toDouble / (w * h * 3)
     assert(math.abs(out(0).mean_pixel - expectedMean) < 1e-12)
   }
+
+  test("WAV codec round-trips PCM16 samples exactly; decodeAudio stats match") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    val rate = 12000
+    val samples = Array.tabulate[Short](384)(i => ((i * 131) % 2003 - 1001).toShort)
+    val wav = Multimodal.encodeWavPcm16(rate, samples)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // decoded by the JDK's real RIFF parser, not our own encoder inverted
+    val (dRate, dChannels, dSamples) = Multimodal.decodeWav(wav)
+    assert(dRate == rate && dChannels == 1)
+    assert(dSamples.toSeq == samples.toSeq)
+    // distributed decode: duration / mean / RMS from the decoded samples
+    val out = Multimodal.decodeAudio(Seq(
+      Multimodal.MediaRow(7L, "wav", wav)).toDS()).collect()
+    assert(out.length == 1)
+    val d = out.head
+    assert(d.sample_rate == rate && d.channels == 1 && d.n_samples == 384)
+    assert(math.abs(d.duration_ms - 384.0 * 1000.0 / rate) < 1e-12)
+    val mean = samples.map(_.toLong).sum.toDouble / samples.length
+    val rms = math.sqrt(samples.map(v => v.toLong * v).sum.toDouble / samples.length)
+    assert(math.abs(d.mean_amp - mean) < 1e-12)
+    assert(math.abs(d.rms - rms) < 1e-12)
+  }
 }
