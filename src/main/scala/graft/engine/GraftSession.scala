@@ -788,13 +788,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         // the fast path above); infix GLOB rewrites onto the glob() function
         val stmtM = rewriteGlobOperator(
           rewriteMatchAnywhere(db, branch, stmt).getOrElse(stmt))
-        // plan cache (B4): parse once per (sql, key) — Spark still analyzes
-        // per execution because view state may have changed.
-        planCache.get(stmtM, key.id)(
+        // plan cache (B4): parse once per (sql, key), then EXECUTE the
+        // cached parsed plan (Dataset.ofRows) — analysis still runs per
+        // execution because view state may have changed, but a hot point
+        // query skips the ANTLR parse entirely
+        val plan = planCache.get(stmtM, key.id)(
           sess.sessionState.sqlParser.parsePlan(stmtM))
-        val df =
-          if (input.parameters.isEmpty) sess.sql(stmtM)
-          else sess.sql(stmtM, input.parameters.map(paramToJvm).toArray)
+        val df = org.apache.spark.sql.GraftSqlBridge.ofRows(
+          sess, plan, input.parameters.map(paramToJvm).toArray)
         collectResponse(df, input)
     }
   }

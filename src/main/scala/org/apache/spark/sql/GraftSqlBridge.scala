@@ -19,4 +19,23 @@ object GraftSqlBridge {
     * converter immediately. */
   def eagerExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Execute an already-parsed logical plan, with optional positional
+    * parameters — what `SparkSession.sql(text, args)` does after its own
+    * parse (parsedPlan -> PosParameterizedQuery -> Dataset.ofRows), minus
+    * the parse. Lets the engine's statement cache (B4) actually skip the
+    * ANTLR work on a hit; analysis still runs per execution, picking up
+    * whatever temp views are registered NOW. */
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      args: Array[Any] = Array.empty): DataFrame = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    val wrapped =
+      if (args.isEmpty) plan
+      else org.apache.spark.sql.catalyst.analysis.PosParameterizedQuery(
+        // eager conversion: the arg validator demands real Literal nodes,
+        // not the lazy ColumnNodeExpression wrapper `expression` returns
+        plan, args.toSeq.map(a => eagerExpression(functions.lit(a))))
+    classic.Dataset.ofRows(cs, wrapped)
+  }
 }

@@ -350,6 +350,59 @@ class AuthSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new KeyManager(dir, Some("key-one")))
   }
 
+  test("parameterized MATCH binds adversarial payloads as data, never SQL") {
+    // MATCH parameters are the one place user-supplied VALUES are spliced
+    // into SQL text (the rewrite needs the literal); these payloads pin
+    // the escaping so a future edit can't silently reopen the vector
+    val s = new GraftSession(spark, Files.createTempDirectory("graft-matchparam"))
+    s.createDatabase("dbm")
+    def qx(stmt: String, params: Seq[Param] = Nil) =
+      QueryInput("q-" + scala.util.Random.nextInt(1 << 24), stmt, params, "")
+    s.execute("dbm", "main", qx("CREATE TABLE docs (doc_id INTEGER, body TEXT)"))
+    s.execute("dbm", "main", qx(
+      "INSERT INTO docs VALUES (1, 'spark shuffles data'), " +
+        "(2, 'duckdb is embedded'), (3, 'secret value row')"))
+    s.execute("dbm", "main", qx(
+      "CREATE VIRTUAL TABLE dfx USING fts5(body, content='docs', content_rowid='doc_id')"))
+    val matchQ = "SELECT doc FROM dfx WHERE dfx MATCH ?"
+    // baseline: the parameter binds and matches
+    val base = s.execute("dbm", "main", qx(matchQ, Seq(Param.text("embedded"))))
+    assert(base.error.isEmpty, base.error)
+    assert(base.rows.map(_.head) == Seq(SqlValue.IntVal(2)))
+    // quote breakout attempt: must stay one FTS query string (no doc has
+    // these tokens), never become `... MATCH 'x' OR '1'='1'`
+    val quote = s.execute("dbm", "main",
+      qx(matchQ, Seq(Param.text("embedded' OR '1'='1"))))
+    assert(quote.error.isEmpty, quote.error)
+    assert(quote.rows.isEmpty, s"quote payload leaked rows: ${quote.rows}")
+    // trailing backslash: pre-r3 escaping emitted 'x\' where the backslash
+    // escaped the closing quote under Spark's parser, swallowing the rest
+    // of the statement into the literal — the canonical breakout primer
+    val bs = s.execute("dbm", "main", qx(matchQ, Seq(Param.text("embedded\\"))))
+    assert(bs.error.isEmpty, bs.error)
+    assert(bs.rows.isEmpty, s"backslash payload leaked rows: ${bs.rows}")
+    val bsQuote = s.execute("dbm", "main",
+      qx(matchQ, Seq(Param.text("x\\' OR rowid > 0 --"))))
+    assert(bsQuote.error.isEmpty, bsQuote.error)
+    assert(bsQuote.rows.isEmpty, s"backslash-quote payload leaked rows: ${bsQuote.rows}")
+    // statement-terminator + comment payload: stays data, table survives
+    val drop = s.execute("dbm", "main",
+      qx(matchQ, Seq(Param.text("x'; DROP TABLE docs; --"))))
+    assert(drop.error.isEmpty, drop.error)
+    assert(drop.rows.isEmpty)
+    val intact = s.execute("dbm", "main", qx("SELECT count(*) AS n FROM docs"))
+    assert(intact.error.isEmpty, intact.error)
+    assert(intact.rows == Seq(Seq(SqlValue.IntVal(3))))
+    // comment-only payload can't truncate the statement tail (the ORDER BY
+    // must still apply — a swallowed tail would parse-error or reorder)
+    val cm = s.execute("dbm", "main", qx(
+      "SELECT doc FROM dfx WHERE dfx MATCH ? ORDER BY doc",
+      Seq(Param.text("spark -- junk"))))
+    assert(cm.error.isEmpty, cm.error)
+    val cmIds = cm.rows.map(_.head.asInstanceOf[SqlValue.IntVal].v)
+    assert(cmIds == cmIds.sorted)
+  }
+
   test("keys routes demand cluster-manage scope over HTTP") {
     // data-plane keys (even database:* with all actions) cannot rotate
     session.accessKeys.put(AccessKey("dataonly", secret = "d-secret",

@@ -309,11 +309,30 @@ class EngineSpec extends AnyFunSuite {
     s.execute("db1", "main", q("SELECT * FROM t"))
     assert(s.planCache.misses == m0 + 1)
     assert(s.planCache.hits == h0 + 2)
+    // the cached plan is EXECUTED, not just stored: a hit must still see
+    // data committed after the plan was cached (analysis is per-execution)
+    s.execute("db1", "main", q("INSERT INTO t VALUES (2)"))
+    val after = s.execute("db1", "main", q("SELECT * FROM t"))
+    assert(s.planCache.hits == h0 + 3, "post-insert SELECT should hit the cache")
+    assert(after.rows.map(_.head).toSet ==
+      Set(SqlValue.IntVal(1), SqlValue.IntVal(2)))
+    // parameters bind through the cached plan too
+    s.execute("db1", "main", q("SELECT id FROM t WHERE id = ?", Seq(Param.integer(1))))
+    val p2 = s.execute("db1", "main",
+      q("SELECT id FROM t WHERE id = ?", Seq(Param.integer(2))))
+    assert(p2.rows == Seq(Seq(SqlValue.IntVal(2))))
     // composite key (crc32(sql), sha256(accessKey)): same SQL under a
     // different key is a separate entry (reference database_connection.go:726-756)
     val k1 = s.planCache.key("SELECT 1", "alice")
     val k2 = s.planCache.key("SELECT 1", "bob")
     assert(k1.crc == k2.crc && k1 != k2)
+    // checksum collisions never serve another statement's plan: with a
+    // constant checksum every key collides, and the text-equality guard
+    // forces a re-parse instead of cross-statement reuse
+    val collide = new StatementCache[String](checksum = _ => 42L)
+    assert(collide.get("SELECT a", "k")("plan-a") == "plan-a")
+    assert(collide.get("SELECT b", "k")("plan-b") == "plan-b")
+    assert(collide.get("SELECT b", "k")("reparsed-b") == "plan-b")
   }
 
   test("branch created from a restored state sees the restored data") {

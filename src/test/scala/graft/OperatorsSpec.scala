@@ -324,6 +324,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(0).mean_pixel - expectedMean) < 1e-12)
   }
 
+  test("recursive fixpoint: 200-level recursion keeps the plan flat") {
+    // every round localCheckpoint()s the accumulated set, so iteration N's
+    // plan must NOT embed the N-1 predecessors — on a 200-edge path graph
+    // the recursion bottoms out with a constant-size logical plan (without
+    // the checkpoints the optimizer would face a 200-deep union tree and
+    // choke long before the data does)
+    import graft.operators.RecursiveCte
+    val edges = spark.range(0, 200)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val seed = Seq(0L).toDF("node")
+    val out = RecursiveCte.fixpoint(
+      seed,
+      f => f.join(edges, f("node") === edges("src")).select(col("dst").as("node")),
+      Seq("node"), maxIter = 210)
+    assert(out.count() == 201) // nodes 0..200 all reached, one per round
+    val planNodes = out.queryExecution.logical.collect { case n => n }.length
+    assert(planNodes <= 5,
+      s"lineage grew to $planNodes logical nodes after 200 rounds")
+  }
+
   test("WAV codec round-trips PCM16 samples exactly; decodeAudio stats match") {
     import graft.operators.Multimodal
     implicit val s = spark
