@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and mixture construction for training-data
+  * pipelines.
+  *
+  * Everything here is hash-based, NOT random: a row's fate is a pure
+  * function of its key, so samples are reproducible across runs and
+  * clusters, stable under joins (the same document is in or out
+  * everywhere), and resumable after partial failures — the properties a
+  * 100 TB data-mixing job actually needs. Execution is a codegen'd filter:
+  * zero shuffle, zero state, fully pushdown-composable; the only exchange
+  * in the mixture report is the final tiny aggregation.
+  */
+object Sampling {
+
+  /** Deterministic sample key in [0x0000, 0xffff]: the first 4 hex digits
+    * of md5(key). Hex-string comparison equals numeric comparison at fixed
+    * width, and md5 is identical everywhere (engine, oracle, any future
+    * system), so thresholds mean the same fraction in every engine. */
+  def sampleKey(key: Column): Column = substring(md5(key.cast("string")), 1, 4)
+
+  /** Threshold for `rate` as a 4-hex-digit lower bound: rows with
+    * sampleKey < threshold are kept. Granularity 1/65536. Rates >= 1 keep
+    * everything (callers skip the filter — "10000" would compare wrong as
+    * a string). */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0 && rate < 1, s"rate must be in [0, 1): $rate")
+    f"${math.round(rate * 65536)}%04x"
+  }
+
+  /** Bernoulli-style deterministic sample: keep ~rate of rows, chosen by
+    * key hash. One codegen'd filter, no shuffle, no RNG state. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    if (rate >= 1.0) df
+    else df.filter(sampleKey(col(keyCol)) < lit(thresholdHex(rate)))
+
+  /** Mixture construction: per-source sampling rates (training-data
+    * recipes like "20% of crawl, all of books"). One scan, one map-side
+    * CASE over the rate table — the rate map is tiny and lives in the
+    * plan, not in a join. */
+  def sourceMix(df: DataFrame, keyCol: String, sourceCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double): DataFrame = {
+    val key = sampleKey(col(keyCol))
+    val keep = rates.foldLeft(
+      when(lit(false), lit(true))) { case (acc, (src, r)) =>
+        acc.when(col(sourceCol) === src,
+          if (r >= 1.0) lit(true) else key < lit(thresholdHex(r)))
+      }.otherwise(
+        if (defaultRate >= 1.0) lit(true)
+        else key < lit(thresholdHex(defaultRate)))
+    df.filter(keep)
+  }
+
+  /** Train/eval contamination check (the standard pre-training hygiene
+    * pass): a training document is contaminated by an eval document when
+    * they share at least one word n-gram — the 13-gram-overlap criterion
+    * benchmark decontamination commonly uses. The eval side is small by
+    * construction, so its (distinct) grams broadcast — the 100 TB
+    * training side is a single scan + explode with a map-side hash probe;
+    * the only shuffle is the final aggregation, keyed by hit pairs, not by
+    * corpus size. Returns (train_id, eval_id, shared_grams). */
+  def contamination(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    val tg = Dedup.wordShingles(train, textCol, idCol, n)
+      .withColumnRenamed("id", "train_id")
+    val eg = Dedup.wordShingles(eval, textCol, idCol, n)
+      .withColumnRenamed("id", "eval_id")
+    tg.join(broadcast(eg), "gram")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Fts, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Fts, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -305,6 +305,91 @@ object Pipeline {
       |GROUP BY d.doc_id, d.w, d.h
       |ORDER BY media_id""".stripMargin
 
+  /** Deterministic hash sampling (training-data subsetting at 100 TB): a
+    * row is kept iff the first 4 hex digits of md5(doc_id) fall below the
+    * rate threshold — reproducible, join-stable, zero shuffle, no RNG.
+    * The sample key is emitted so the oracle proves determinism, not just
+    * cardinality. */
+  def p23HashSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(documents(s, dir), "doc_id", 0.1)
+      .select(col("doc_id"), Sampling.sampleKey(col("doc_id")).as("skey"),
+        col("source"))
+      .orderBy(col("doc_id"))
+
+  val p23Oracle: String =
+    """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS skey, source
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+      |ORDER BY doc_id""".stripMargin
+
+  /** Unicode canonicalization (NFC) + fingerprint over it — the native
+    * codegen'd NormalizeText expression, oracle-checked against DuckDB's
+    * nfc_normalize (non-ASCII exactness is additionally pinned in
+    * OperatorsSpec with composed/decomposed/ligature fixtures). */
+  def p24TextNormalize(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(col("text"), "nfc")).as("nfc_md5"),
+        length(TextAnalysis.normalizeText(col("text"), "nfc")).cast("long")
+          .as("nfc_len"))
+      .orderBy(col("doc_id"))
+
+  val p24Oracle: String =
+    """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+      |  CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Train/eval contamination: src0 is the held-out eval set; a training
+    * doc (any other source) is contaminated when it shares a word 13-gram
+    * with an eval doc — the overlap criterion benchmark decontamination
+    * uses. Eval grams broadcast; the training side is one scan + explode
+    * with a map-side probe. */
+  def p25Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    Sampling.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "text", "doc_id", n = 13)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val p25Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    list_aggregate(ws[i:i+12], 'string_agg', ' ') AS gram
+      |  FROM w, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+      |  WHERE len(ws) >= 13)
+      |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+      |  CAST(count(*) AS BIGINT) AS shared_grams
+      |FROM g t JOIN g e ON t.gram = e.gram
+      |WHERE t.source <> 'src0' AND e.source = 'src0'
+      |GROUP BY 1, 2
+      |ORDER BY train_id, eval_id""".stripMargin
+
+  /** Mixture construction: per-source rates (keep all of src1, half of
+    * src2, 10% of everything else), reported as kept counts per
+    * (source, lang) — the shape of a training-data recipe. One scan, a
+    * map-side CASE filter, one tiny aggregation. */
+  def p26SourceMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.sourceMix(documents(s, dir), "doc_id", "source",
+        Seq("src1" -> 1.0, "src2" -> 0.5), defaultRate = 0.1)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("kept"))
+      .orderBy(col("source"), col("lang"))
+
+  val p26Oracle: String =
+    """SELECT source, lang, count(*) AS kept
+      |FROM documents
+      |WHERE CASE WHEN source = 'src1' THEN TRUE
+      |           WHEN source = 'src2' THEN
+      |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+      |           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' END
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   /** REAL audio decode over synthesized WAV/PCM payloads: deterministic
     * 16-bit mono tones are containerized as RIFF/WAVE per doc, decoded by
     * the JDK's audio reader inside mapPartitions, and the decoded stats
@@ -555,7 +640,11 @@ object Pipeline {
     "p17_embed_neardup" -> (p17EmbedNearDup _),
     "p18_dup_clusters" -> (p18DupClusters _),
     "p21_frame_sample" -> (p21FrameSample _),
-    "p22_audio_decode" -> (p22AudioDecode _))
+    "p22_audio_decode" -> (p22AudioDecode _),
+    "p23_hash_sample" -> (p23HashSample _),
+    "p24_text_normalize" -> (p24TextNormalize _),
+    "p25_contamination" -> (p25Contamination _),
+    "p26_source_mix" -> (p26SourceMix _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -576,5 +665,9 @@ object Pipeline {
     "p17_embed_neardup" -> p17Oracle,
     "p18_dup_clusters" -> p18Oracle,
     "p21_frame_sample" -> p21Oracle,
-    "p22_audio_decode" -> p22Oracle)
+    "p22_audio_decode" -> p22Oracle,
+    "p23_hash_sample" -> p23Oracle,
+    "p24_text_normalize" -> p24Oracle,
+    "p25_contamination" -> p25Oracle,
+    "p26_source_mix" -> p26Oracle)
 }

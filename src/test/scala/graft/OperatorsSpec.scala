@@ -324,6 +324,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(0).mean_pixel - expectedMean) < 1e-12)
   }
 
+  test("hash sampling is deterministic, join-stable and near the target rate") {
+    import graft.operators.Sampling
+    val ids = spark.range(0, 20000).toDF("id")
+    val a = Sampling.hashSample(ids, "id", 0.1).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(ids, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(a == b, "same rate must select the same rows every run")
+    // binomial(20000, 0.1): observed rate within 5 sigma (~±0.0106)
+    assert(math.abs(a.size / 20000.0 - 0.1) < 0.011, s"rate off: ${a.size}")
+    // nested rates: a 5% sample is a SUBSET of the 10% sample (thresholds
+    // nest), the property that makes sample sizes tunable without resampling
+    val c = Sampling.hashSample(ids, "id", 0.05).select("id").as[Long].collect().toSet
+    assert(c.subsetOf(a))
+    // rate >= 1 keeps everything, no string-comparison edge at "10000"
+    assert(Sampling.hashSample(ids, "id", 1.0).count() == 20000)
+    // sourceMix applies per-source thresholds exactly
+    val mixed = Sampling.sourceMix(
+      ids.withColumn("src", when(col("id") % 2 === 0, "a").otherwise("b")),
+      "id", "src", Seq("a" -> 1.0), defaultRate = 0.0)
+    assert(mixed.filter(col("src") === "b").count() == 0)
+    assert(mixed.filter(col("src") === "a").count() == 10000)
+  }
+
+  test("normalizeText: NFC/NFKC/strip/casefold unicode semantics") {
+    import graft.operators.TextAnalysis.normalizeText
+    val composed = "éclair"            // é precomposed
+    val decomposed = "éclair"         // e + COMBINING ACUTE
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "ﬁle"), // ﬁle ligature
+      (4L, "STRAßE")).toDF("id", "t")
+    val out = df.select(col("id"),
+        normalizeText(col("t"), "nfc").as("nfc"),
+        normalizeText(col("t"), "nfkc").as("nfkc"),
+        normalizeText(col("t"), "strip").as("strip"),
+        normalizeText(col("t"), "casefold").as("fold"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // NFC unifies composed and decomposed forms
+    assert(out(1).getString(1) == out(2).getString(1))
+    assert(out(2).getString(1) == composed)
+    // NFKC folds compatibility ligatures; NFC must not
+    assert(out(3).getString(1) == "ﬁle" && out(3).getString(2) == "file")
+    // strip drops the accent entirely; casefold also lowercases
+    assert(out(1).getString(3) == "eclair" && out(2).getString(3) == "eclair")
+    assert(out(4).getString(4) == "straße")
+    // null propagates
+    val n = Seq((1L, null: String)).toDF("id", "t")
+      .select(normalizeText(col("t"), "nfc")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("contamination finds exactly the cross-set n-gram overlaps") {
+    import graft.operators.Sampling
+    val train = Seq(
+      (10L, "alpha beta  gamma delta"),   // shares 'alpha beta gamma' + 'beta gamma delta' with 90
+      (11L, "totally unique training words only"),
+      (12L, "the Quick brown FOX jumps")) // case/ws-folded overlap with 91
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (90L, "ALPHA BETA GAMMA DELTA"),
+      (91L, "quick brown fox leaps"),     // shares only 'quick brown fox'
+      (92L, "clean eval document text")).toDF("doc_id", "text")
+    val hits = Sampling.contamination(train, eval, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (10,90): two shared 3-grams after normalization; (12,91): one;
+    // 11 and 92 are clean
+    assert(hits == Set((10L, 90L, 2L), (12L, 91L, 1L)))
+  }
+
   test("recursive fixpoint: 200-level recursion keeps the plan flat") {
     // every round localCheckpoint()s the accumulated set, so iteration N's
     // plan must NOT embed the N-1 predecessors — on a 200-edge path graph
