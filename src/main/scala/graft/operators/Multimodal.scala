@@ -6,15 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata.
   *
-  * IMAGE decode is REAL: PPM (P6) via a hand parser and BMP via
-  * javax.imageio's pure-JDK reader, both behind the partition-parallel
-  * mapPartitions seam ([[decodeImages]]). AUDIO decode is REAL for WAV/PCM:
-  * the RIFF container is parsed by javax.sound.sampled's pure-JDK reader
-  * ([[decodeAudio]]). Video codecs aren't in the JDK, so that decode step
-  * remains a clearly-marked deterministic STUB (byte-histogram "features")
-  * with the same plumbing — binary columns, typed Dataset schema,
-  * iterator-in/iterator-out batching — so swapping a real codec in changes
-  * nothing else.
+  * Every modality has a REAL container codec behind the partition-parallel
+  * mapPartitions seam: IMAGE — PPM (P6) via a hand parser and BMP via
+  * javax.imageio ([[decodeImages]]); AUDIO — WAV/PCM16 via
+  * javax.sound.sampled ([[decodeAudio]]); VIDEO — uncompressed AVI (RIFF
+  * walker over raw DIB 'vids' frames, [[decodeVideos]]). COMPRESSED
+  * codecs (JPEG beyond imageio, MP3, H.264) need native libraries this
+  * sandbox lacks, so [[stubDecode]]/[[resizeStub]] keep a clearly-marked
+  * deterministic seam with identical plumbing — binary columns, typed
+  * Dataset schema, iterator-in/iterator-out batching — so swapping such a
+  * codec in changes nothing else.
   */
 object Multimodal {
 
@@ -240,6 +241,145 @@ object Multimodal {
         DecodedAudio(r.media_id, rate.toLong, channels.toLong, frames.toLong,
           frames.toDouble * 1000.0 / rate, sum.toDouble / n,
           math.sqrt(sumSq.toDouble / n))
+      }
+    }
+  }
+
+  // --- real video codec (AVI / raw DIB frames) -----------------------------
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Encode RGB frames as an uncompressed AVI (RIFF container, 'vids'/
+    * 'DIB ' stream, BI_RGB BITMAPINFOHEADER, one '00db' chunk per frame
+    * holding bottom-up BGR rows padded to 4 bytes) — the canonical
+    * raw-video container every tool reads. */
+  def encodeAvi(width: Int, height: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height * 3),
+      "each frame must be w*h*3 rgb bytes")
+    val stride = (width * 3 + 3) / 4 * 4
+    val frameBytes = stride * height
+    def dib(rgb: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < height) {
+        val srcRow = (height - 1 - y) * width * 3 // bottom-up
+        var x = 0
+        while (x < width) {
+          out(y * stride + x * 3) = rgb(srcRow + x * 3 + 2)     // B
+          out(y * stride + x * 3 + 1) = rgb(srcRow + x * 3 + 1) // G
+          out(y * stride + x * 3 + 2) = rgb(srcRow + x * 3)     // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+        12 + 8 + 4 + 64 + 8 + 4 + 64 + 48 + 12 +
+          frames.length * (8 + frameBytes))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(fourcc("RIFF")).putInt(0).put(fourcc("AVI ")) // size patched below
+    // LIST hdrl: avih + LIST strl(strh, strf)
+    bb.put(fourcc("LIST")).putInt(4 + 64 + 8 + 4 + 64 + 48).put(fourcc("hdrl"))
+    bb.put(fourcc("avih")).putInt(56)
+      .putInt(1000000 / fps).putInt(frameBytes * fps).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put(fourcc("LIST")).putInt(4 + 64 + 48).put(fourcc("strl"))
+    bb.put(fourcc("strh")).putInt(56)
+      .put(fourcc("vids")).put(fourcc("DIB "))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(fps) // scale, rate -> fps frames/sec
+      .putInt(0).putInt(frames.length).putInt(frameBytes)
+      .putInt(-1).putInt(0)
+      .putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort)
+    bb.put(fourcc("strf")).putInt(40)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put(fourcc("LIST")).putInt(4 + frames.length * (8 + frameBytes))
+      .put(fourcc("movi"))
+    frames.foreach { f =>
+      bb.put(fourcc("00db")).putInt(frameBytes).put(dib(f))
+    }
+    val out = bb.array()
+    // RIFF size = file length minus the 8-byte RIFF chunk header
+    java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, out.length - 8)
+    out
+  }
+
+  /** Parse an uncompressed AVI: returns (width, height, fps, top-down RGB
+    * frames). A generic RIFF chunk walk — reads avih for dimensions, strh
+    * for the rate/scale clock, and every 00db/00dc chunk in the movi list
+    * as one bottom-up BGR DIB frame. */
+  def decodeAvi(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(cc(0) == "RIFF" && cc(8) == "AVI ", "not an AVI")
+    var width = 0; var height = 0; var fps = 0
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = cc(off)
+        val size = bb.getInt(off + 4)
+        if (id == "LIST") walk(off + 12, off + 8 + size)
+        else id match {
+          case "avih" =>
+            width = bb.getInt(off + 8 + 32); height = bb.getInt(off + 8 + 36)
+          case "strh" if cc(off + 8) == "vids" =>
+            val scale = bb.getInt(off + 8 + 20); val rate = bb.getInt(off + 8 + 24)
+            if (scale > 0) fps = rate / scale
+          case "00db" | "00dc" =>
+            val stride = (width * 3 + 3) / 4 * 4
+            val rgb = new Array[Byte](width * height * 3)
+            var y = 0
+            while (y < height) {
+              val src = off + 8 + (height - 1 - y) * stride
+              var x = 0
+              while (x < width) {
+                rgb(y * width * 3 + x * 3) = bytes(src + x * 3 + 2)     // R
+                rgb(y * width * 3 + x * 3 + 1) = bytes(src + x * 3 + 1) // G
+                rgb(y * width * 3 + x * 3 + 2) = bytes(src + x * 3)     // B
+                x += 1
+              }
+              y += 1
+            }
+            frames += rgb
+          case _ => () // unknown chunk: skip (idx1, JUNK, ...)
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    require(width > 0 && height > 0 && frames.nonEmpty, "no video stream")
+    (width, height, fps, frames.toSeq)
+  }
+
+  case class DecodedVideo(media_id: Long, width: Long, height: Long,
+    n_frames: Long, fps: Long, mean_pixel: Double)
+
+  /** REAL video decode behind the mapPartitions seam: AVI payloads are
+    * parsed by the RIFF walker; per-video stats (dimensions, frame count,
+    * fps, channel mean over all frames) feed downstream sampling/quality
+    * filters. Iterator-in/iterator-out like [[decodeImages]]. */
+  def decodeVideos(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[DecodedVideo] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        require(r.kind == "avi", s"no codec for kind ${r.kind}")
+        val (w, h, fps, frames) = decodeAvi(r.payload)
+        var sum = 0L
+        var n = 0L
+        frames.foreach { f =>
+          var i = 0
+          while (i < f.length) { sum += f(i) & 0xFF; i += 1 }
+          n += f.length
+        }
+        DecodedVideo(r.media_id, w.toLong, h.toLong, frames.length.toLong,
+          fps.toLong, sum.toDouble / math.max(n, 1))
       }
     }
   }

@@ -431,6 +431,43 @@ object Pipeline {
       |GROUP BY doc_id, rate, n
       |ORDER BY media_id""".stripMargin
 
+  /** REAL video decode over synthesized uncompressed AVIs: deterministic
+    * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
+    * stream) per doc, decoded by the RIFF walker inside mapPartitions,
+    * and the decoded stats (dimensions, frame count, fps, mean pixel over
+    * all frames) are oracle-checked closed-form like p14's images. */
+  def p27VideoDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 6 + (id % 5).toInt
+      val nf = 2 + (id % 4).toInt
+      val fps = 10 + (id % 5).toInt
+      val frames = (0 until nf).map(f =>
+        Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + f * 17 + i) % 256).toByte))
+      Multimodal.MediaRow(id, "avi", Multimodal.encodeAvi(w, h, fps, frames))
+    }
+    Multimodal.decodeVideos(media)
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        col("fps"), round(col("mean_pixel"), 6).as("mean_pixel"))
+      .orderBy(col("media_id"))
+  }
+
+  val p27Oracle: String =
+    """WITH si AS (SELECT unnest(generate_series(0, 479)) AS i),
+      |sf AS (SELECT unnest(generate_series(0, 4)) AS f),
+      |dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+      |                2 + doc_id % 4 AS nf, 10 + doc_id % 5 AS fps
+      |         FROM documents)
+      |SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
+      |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.fps AS BIGINT) AS fps,
+      |  round(CAST(sum((d.doc_id * 31 + sf.f * 17 + si.i) % 256) AS DOUBLE)
+      |        / (d.nf * d.w * d.h * 3), 6) AS mean_pixel
+      |FROM dims d JOIN sf ON sf.f < d.nf JOIN si ON si.i < d.w * d.h * 3
+      |GROUP BY d.doc_id, d.w, d.h, d.nf, d.fps
+      |ORDER BY media_id""".stripMargin
+
   /** Video-style frame sampling over binary payloads: every 4th 64-byte
     * frame's offset (the sampling geometry is oracle-checked; frame
     * content hashing is exactness-tested in OperatorsSpec). */
@@ -644,7 +681,8 @@ object Pipeline {
     "p23_hash_sample" -> (p23HashSample _),
     "p24_text_normalize" -> (p24TextNormalize _),
     "p25_contamination" -> (p25Contamination _),
-    "p26_source_mix" -> (p26SourceMix _))
+    "p26_source_mix" -> (p26SourceMix _),
+    "p27_video_decode" -> (p27VideoDecode _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -669,5 +707,6 @@ object Pipeline {
     "p23_hash_sample" -> p23Oracle,
     "p24_text_normalize" -> p24Oracle,
     "p25_contamination" -> p25Oracle,
-    "p26_source_mix" -> p26Oracle)
+    "p26_source_mix" -> p26Oracle,
+    "p27_video_decode" -> p27Oracle)
 }

@@ -410,6 +410,29 @@ class OperatorsSpec extends AnyFunSuite {
       s"lineage grew to $planNodes logical nodes after 200 rounds")
   }
 
+  test("AVI codec round-trips RGB frames exactly; decodeVideos stats match") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    // w=10 -> row stride 30 pads to 32: the DIB row-padding path is exercised
+    val w = 10; val h = 3; val fps = 12
+    val frames = (0 until 3).map(f =>
+      Array.tabulate[Byte](w * h * 3)(i => ((f * 53 + i * 7) % 256).toByte))
+    val avi = Multimodal.encodeAvi(w, h, fps, frames)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val (dw, dh, dFps, dFrames) = Multimodal.decodeAvi(avi)
+    assert(dw == w && dh == h && dFps == fps && dFrames.length == 3)
+    dFrames.zip(frames).foreach { case (d, o) => assert(d.toSeq == o.toSeq) }
+    val out = Multimodal.decodeVideos(Seq(
+      Multimodal.MediaRow(3L, "avi", avi)).toDS()).collect()
+    assert(out.length == 1)
+    val v = out.head
+    assert(v.width == w && v.height == h && v.n_frames == 3 && v.fps == fps)
+    val mean = frames.flatMap(_.map(_ & 0xFF)).map(_.toLong).sum.toDouble /
+      (3 * w * h * 3)
+    assert(math.abs(v.mean_pixel - mean) < 1e-12)
+  }
+
   test("WAV codec round-trips PCM16 samples exactly; decodeAudio stats match") {
     import graft.operators.Multimodal
     implicit val s = spark
