@@ -394,6 +394,62 @@ object Multimodal {
       .withColumn("frame", expr(s"substring($payloadCol, frame_offset + 1, $frameSize)"))
       .withColumn("frame_sha", sha2(col("frame"), 256))
 
+  case class ResizedImage(media_id: Long, kind: String, width: Long,
+    height: Long, n_bytes: Long, mean_pixel: Double, payload: Array[Byte])
+
+  /** REAL image resize: decode (PPM/BMP) -> box-filter downscale by an
+    * integer factor (each output channel = floor of the factor×factor
+    * block average; trailing edge pixels that don't fill a block drop, the
+    * standard integer-pooling convention) -> re-encode as PPM. Same
+    * iterator-in/iterator-out mapPartitions shape as the decoders. */
+  def resizeImages(media: Dataset[MediaRow], factor: Int)
+      (implicit spark: SparkSession): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(factor >= 1, s"resize factor must be >= 1: $factor")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = r.kind match {
+          case "ppm" => decodePpm(r.payload)
+          case "bmp" => decodeBmp(r.payload)
+          case k => throw new IllegalArgumentException(s"no image codec for kind $k")
+        }
+        val w2 = w / factor
+        val h2 = h / factor
+        require(w2 > 0 && h2 > 0, s"factor $factor collapses a ${w}x$h image")
+        val out = new Array[Byte](w2 * h2 * 3)
+        var by = 0
+        while (by < h2) {
+          var bx = 0
+          while (bx < w2) {
+            var c = 0
+            while (c < 3) {
+              var sum = 0
+              var dy = 0
+              while (dy < factor) {
+                var dx = 0
+                while (dx < factor) {
+                  sum += rgb(((by * factor + dy) * w + bx * factor + dx) * 3 + c) & 0xFF
+                  dx += 1
+                }
+                dy += 1
+              }
+              out((by * w2 + bx) * 3 + c) = (sum / (factor * factor)).toByte
+              c += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val ppm = encodePpm(w2, h2, out)
+        var s = 0L
+        var i = 0
+        while (i < out.length) { s += out(i) & 0xFF; i += 1 }
+        ResizedImage(r.media_id, "ppm", w2.toLong, h2.toLong, ppm.length.toLong,
+          s.toDouble / math.max(out.length, 1), ppm)
+      }
+    }
+  }
+
   case class ResizedMedia(media_id: Long, kind: String, factor: Int,
     n_bytes: Long, payload: Array[Byte])
 

@@ -468,6 +468,51 @@ object Pipeline {
       |GROUP BY d.doc_id, d.w, d.h, d.nf, d.fps
       |ORDER BY media_id""".stripMargin
 
+  /** REAL image resize: the p14 fixture images (PPM even docs, BMP odd)
+    * are decoded, box-filter downscaled by 2, and re-encoded as PPM; the
+    * resized dimensions, payload size and pixel mean are oracle-checked
+    * closed-form (each output channel = floor of its 2x2 block average,
+    * edge pixels outside full blocks dropped). */
+  def p28ImageResize(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 6 + (id % 5).toInt
+      val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
+      if (id % 2 == 0)
+        Multimodal.MediaRow(id, "ppm", Multimodal.encodePpm(w, h, rgb))
+      else
+        Multimodal.MediaRow(id, "bmp", Multimodal.encodeBmp(w, h, rgb))
+    }
+    Multimodal.resizeImages(media, factor = 2)
+      .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
+        round(col("mean_pixel"), 6).as("mean_pixel"))
+      .orderBy(col("media_id"))
+  }
+
+  val p28Oracle: String =
+    """WITH si AS (SELECT unnest(generate_series(0, 479)) AS i),
+      |dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+      |         FROM documents),
+      |px AS (SELECT d.doc_id, d.w, d.h,
+      |              (s.i // 3) % d.w AS x, (s.i // 3) // d.w AS y, s.i % 3 AS c,
+      |              (d.doc_id * 31 + s.i) % 256 AS v
+      |       FROM dims d JOIN si s ON s.i < d.w * d.h * 3),
+      |blocks AS (SELECT doc_id, w // 2 AS w2, h // 2 AS h2,
+      |                  x // 2 AS bx, y // 2 AS by, c, sum(v) // 4 AS bv
+      |           FROM px
+      |           WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
+      |           GROUP BY doc_id, w // 2, h // 2, x // 2, y // 2, c)
+      |SELECT doc_id AS media_id, CAST(w2 AS BIGINT) AS width,
+      |  CAST(h2 AS BIGINT) AS height,
+      |  CAST(3 + length(CAST(w2 AS VARCHAR)) + 1 + length(CAST(h2 AS VARCHAR))
+      |       + 1 + 4 + w2 * h2 * 3 AS BIGINT) AS n_bytes,
+      |  round(CAST(sum(bv) AS DOUBLE) / (w2 * h2 * 3), 6) AS mean_pixel
+      |FROM blocks
+      |GROUP BY doc_id, w2, h2
+      |ORDER BY media_id""".stripMargin
+
   /** Video-style frame sampling over binary payloads: every 4th 64-byte
     * frame's offset (the sampling geometry is oracle-checked; frame
     * content hashing is exactness-tested in OperatorsSpec). */
@@ -682,7 +727,8 @@ object Pipeline {
     "p24_text_normalize" -> (p24TextNormalize _),
     "p25_contamination" -> (p25Contamination _),
     "p26_source_mix" -> (p26SourceMix _),
-    "p27_video_decode" -> (p27VideoDecode _))
+    "p27_video_decode" -> (p27VideoDecode _),
+    "p28_image_resize" -> (p28ImageResize _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -708,5 +754,6 @@ object Pipeline {
     "p24_text_normalize" -> p24Oracle,
     "p25_contamination" -> p25Oracle,
     "p26_source_mix" -> p26Oracle,
-    "p27_video_decode" -> p27Oracle)
+    "p27_video_decode" -> p27Oracle,
+    "p28_image_resize" -> p28Oracle)
 }

@@ -410,6 +410,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"lineage grew to $planNodes logical nodes after 200 rounds")
   }
 
+  test("resizeImages box-filters pixels exactly and drops edge remainders") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    // 5x3 -> factor 2 -> 2x1: block (by,bx,c) = floor(mean of 2x2), the
+    // 5th column and 3rd row fall outside full blocks and drop
+    val w = 5; val h = 3
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => (i * 11 % 256).toByte)
+    def src(x: Int, y: Int, c: Int) = rgb((y * w + x) * 3 + c) & 0xFF
+    val media = Seq(
+      Multimodal.MediaRow(1L, "ppm", Multimodal.encodePpm(w, h, rgb)),
+      Multimodal.MediaRow(2L, "bmp", Multimodal.encodeBmp(w, h, rgb))).toDS()
+    val out = Multimodal.resizeImages(media, factor = 2).collect().sortBy(_.media_id)
+    assert(out.forall(r => r.width == 2 && r.height == 1 && r.kind == "ppm"))
+    // identical pixels in, identical resized payloads out, both containers
+    assert(out(0).payload.toSeq == out(1).payload.toSeq)
+    val (rw, rh, rp) = Multimodal.decodePpm(out(0).payload)
+    assert(rw == 2 && rh == 1)
+    for (bx <- 0 until 2; c <- 0 until 3) {
+      val expected = (src(2 * bx, 0, c) + src(2 * bx + 1, 0, c) +
+        src(2 * bx, 1, c) + src(2 * bx + 1, 1, c)) / 4
+      assert((rp((bx * 3) + c) & 0xFF) == expected, s"block $bx channel $c")
+    }
+  }
+
   test("AVI codec round-trips RGB frames exactly; decodeVideos stats match") {
     import graft.operators.Multimodal
     implicit val s = spark
