@@ -54,7 +54,8 @@ object Bench {
     // inflates individual runs but never deflates them, so the minimum is
     // the stable estimate; the spread (max-min) is emitted per query so a
     // regression outside the noise band is distinguishable from variance
-    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val results = names.map { n =>
       val times = (1 to runsPerQuery).map(_ => run(n, sfDir)).filter(_ >= 0)
       if (times.isEmpty) n -> (-1.0, 0.0)

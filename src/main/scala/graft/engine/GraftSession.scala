@@ -722,12 +722,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       val relRe = ("""(?i)(\bfrom\s+|\bjoin\s+|,\s*)("?""" +
         java.util.regex.Pattern.quote(f.ft) + """"?)(\s+(?:as\s+)?""" +
         java.util.regex.Pattern.quote(f.alias.get) + """\b)""").r
-      relRe.findFirstMatchIn(Sql.maskLiterals(stmt)) match {
-        case Some(rm) =>
-          stmt = stmt.substring(0, rm.start(2)) + f.view + stmt.substring(rm.end(2))
-        case None => throw new IllegalArgumentException(
-          s"cannot resolve the relation for MATCH alias ${f.alias.get}")
+      // redirect EVERY `FROM ft alias` source: an identical predicate in
+      // two subqueries dedups to one MatchPred, but each subquery's
+      // relation must still point at the match view (the ambiguity check
+      // above guarantees one query per (ft, alias), so all-occurrence
+      // replacement is unambiguous)
+      var replaced = false
+      var hit = relRe.findFirstMatchIn(Sql.maskLiterals(stmt))
+      while (hit.isDefined) {
+        val rm = hit.get
+        stmt = stmt.substring(0, rm.start(2)) + f.view + stmt.substring(rm.end(2))
+        replaced = true
+        hit = relRe.findFirstMatchIn(Sql.maskLiterals(stmt))
       }
+      if (!replaced) throw new IllegalArgumentException(
+        s"cannot resolve the relation for MATCH alias ${f.alias.get}")
     }
     // bare-table predicates: blanket redirect of the remaining references
     found.filter(_.alias.isEmpty).foreach { f =>
@@ -1663,8 +1672,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * instead of the O(corpus) rebuild a takedown-delete would otherwise
     * trigger at 100 TB. */
   private def ftsOnDelta(db: String, branch: String, table: String,
-      oldTouched: DataFrame, newTouched: Option[DataFrame]): Unit =
-    catalog.ftsIndexesForTable(db, branch, table).foreach { case (name, ix) =>
+      oldTouched0: DataFrame, newTouched0: Option[DataFrame]): Unit = {
+    val indexes = catalog.ftsIndexesForTable(db, branch, table)
+    if (indexes.isEmpty) return
+    // the touched sets are small (one statement's changed docs) but their
+    // lineage can join the whole base table; materialize each ONCE so the
+    // two postings/dl appends and the stats fold — per index — reuse the
+    // rows instead of re-running the derivation 3-4 times
+    val oldTouched = oldTouched0.localCheckpoint()
+    val newTouched = newTouched0.map(_.localCheckpoint())
+    indexes.foreach { case (name, ix) =>
       val cols = ix.textCols.split(",").toSeq
       val (pn, dn, sn) = ftsArtifacts(name)
       val (oldDocs, otc) = withFtsText(oldTouched, cols)
@@ -1689,6 +1706,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
       writeAsTable(db, branch, sn, folded)
     }
+  }
 
   /** Drop an FTS vtable: definition, artifact tables, and (bare form) the
     * backing table. Returns true if it existed. */

@@ -35,7 +35,7 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
   // re-persisted decrypt via this fallback, so a half-rotated root stays
   // readable in-process and the activation can be retried
   @volatile private var fallback: Option[String] = None
-  private var onRotate: Seq[() => Unit] = Nil
+  private var onRotate: Seq[(() => Unit, () => Unit)] = Nil
 
   Files.createDirectories(root)
   private def keyHashPath = root.resolve(".graft_key")
@@ -82,11 +82,19 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
 
   def encryptionEnabled: Boolean = active.isDefined
 
-  /** Stores call this so a rotation can re-persist them under the new
-    * key. */
-  def registerStore(repersist: () => Unit): Unit = synchronized {
-    onRotate = onRotate :+ repersist
-  }
+  /** Stores call this so a rotation can re-encrypt them under the new key
+    * in two phases: `prepare` writes the re-encrypted bytes to a SIDECAR
+    * (the live file stays under the old key), `commit` atomically renames
+    * the sidecar over the live file. The split is what makes a crash at
+    * any instant leave a root that boots under at least one of the two
+    * rotation keys (see activate()). */
+  def registerStore(prepare: () => Unit, commit: () => Unit): Unit =
+    synchronized { onRotate = onRotate :+ ((prepare, commit)) }
+
+  /** Single-step store (no sidecar): its re-persist runs in the prepare
+    * phase. Used by tests and stores whose loss is acceptable. */
+  def registerStore(repersist: () => Unit): Unit =
+    registerStore(repersist, () => ())
 
   private def aesKey(k: String): SecretKeySpec =
     new SecretKeySpec(
@@ -170,35 +178,37 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
     * re-persists (re-encrypts) under it (StoreEncryptionKey + the
     * key:activate broadcast collapse to this single-driver swap).
     *
-    * Ordering is crash-safe: stores re-encrypt FIRST, the
-    * `.graft_key_next` marker is written only once ALL of them hold the
-    * new key, and the `.graft_key` hash commits LAST. A crash before the
-    * marker leaves `.graft_key` pointing at the old key, which still reads
-    * every store that hadn't flipped (the flipped ones fail loudly, and
-    * the operator holds both keys); a crash after the marker is finished
-    * by restarting with the new key. Writing the marker BEFORE the
-    * re-encryption would let that restart commit the new hash while the
-    * files were still under the old key — an unreadable root. If a store's
-    * re-persist throws, the key stays staged so the activation can simply
-    * be retried, and reads of not-yet-flipped stores fall back to the
-    * previous key meanwhile. */
+    * Ordering is crash-safe at every instant, two-phase like the stores:
+    * phase 1 (prepare) writes each store's re-encrypted bytes to a
+    * sidecar while every LIVE file stays under the old key — a crash here
+    * boots under the OLD key (stale sidecars fail decryption on load and
+    * are discarded). Phase 2 writes the `.graft_key_next` marker (meaning
+    * "every sidecar holds the staged key"), atomically renames the
+    * sidecars over the live files, commits the `.graft_key` hash and
+    * drops the marker — a crash anywhere in phase 2 boots under the NEW
+    * key (the constructor's stagedMatch path completes the swap; store
+    * loaders adopt a sidecar that decrypts under the active key). If a
+    * prepare throws, the key stays staged so the activation can simply be
+    * retried, and reads fall back to the previous key meanwhile; a retry
+    * preserves the ORIGINAL old key as the fallback. */
   def activate(key: String): Unit = {
     val stores = synchronized {
       if (!next.contains(key))
         throw new IllegalArgumentException("the encryption key is invalid")
-      fallback = active
+      if (!active.contains(key)) fallback = active
       active = Some(key)
       next = None
       onRotate
     }
-    try stores.foreach(_())
+    try stores.foreach(_._1()) // phase 1: sidecars under the new key
     catch {
       case e: Throwable =>
         synchronized { next = Some(key) } // re-stage so activate() can retry
         throw e
     }
     synchronized {
-      writeHash(nextHashPath, key) // stores all hold the new key from here
+      writeHash(nextHashPath, key) // every sidecar holds the new key
+      stores.foreach(_._2()) // phase 2: atomic renames
       writeHash(keyHashPath, key)
       Files.deleteIfExists(nextHashPath)
       fallback = None

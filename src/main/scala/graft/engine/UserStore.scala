@@ -25,10 +25,23 @@ class UserStore(root: Path, keyManager: Option[KeyManager] = None) {
 
   Files.createDirectories(root)
   load()
-  keyManager.foreach(_.registerStore(() => repersist()))
+  keyManager.foreach(_.registerStore(() => prepareRotation(), () => commitRotation()))
 
   /** Re-write the store (a key rotation re-encrypts under the new key). */
   def repersist(): Unit = synchronized(persist())
+
+  /** Rotation phase 1: write the re-encrypted bytes to a sidecar; the
+    * live file stays under the previous key until commitRotation(). */
+  def prepareRotation(): Unit = synchronized {
+    Files.write(rotPath, encode(serialize()))
+  }
+
+  /** Rotation phase 2: atomically adopt the sidecar. */
+  def commitRotation(): Unit = synchronized {
+    if (Files.exists(rotPath))
+      Files.move(rotPath, path, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def encode(b: Array[Byte]): Array[Byte] =
     keyManager.map(_.encrypt(b)).getOrElse(b)
@@ -36,6 +49,7 @@ class UserStore(root: Path, keyManager: Option[KeyManager] = None) {
     keyManager.map(_.decrypt(b)).getOrElse(b)
 
   private def path = root.resolve("_users.json")
+  private def rotPath = root.resolve("_users.json.rot")
 
   private val Pbkdf2Iterations = 100000
 
@@ -55,7 +69,7 @@ class UserStore(root: Path, keyManager: Option[KeyManager] = None) {
       .digest((salt + ":" + password).getBytes(UTF_8))
       .map("%02x".format(_)).mkString
 
-  private def persist(): Unit = {
+  private def serialize(): Array[Byte] = {
     val arr = om.createArrayNode()
     users.values.foreach { u =>
       val n = arr.addObject()
@@ -71,15 +85,41 @@ class UserStore(root: Path, keyManager: Option[KeyManager] = None) {
         val as = sn.putArray("actions"); st.actions.foreach(as.add)
       }
     }
+    om.writeValueAsBytes(arr)
+  }
+
+  private def persist(): Unit = {
     val tmp = root.resolve("_users.json.tmp")
-    Files.write(tmp, encode(om.writeValueAsBytes(arr)))
+    Files.write(tmp, encode(serialize()))
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** A rotation sidecar that decrypts under the ACTIVE key and parses is
+    * an interrupted phase-2 rename — adopt it. One that doesn't is debris
+    * from a rotation that never committed — discard it. */
+  private def adoptRotationSidecar(): Option[Array[Byte]] = {
+    if (!Files.exists(rotPath)) return None
+    try {
+      val bytes = decode(Files.readAllBytes(rotPath))
+      om.readTree(bytes) // validate BEFORE adopting
+      Files.move(rotPath, path, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      Some(bytes)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        try Files.deleteIfExists(rotPath)
+        catch { case _: java.io.IOException => () }
+        None
+    }
+  }
+
   private def load(): Unit = {
-    if (!Files.exists(path)) return
-    om.readTree(decode(Files.readAllBytes(path))).elements().asScala.foreach { n =>
+    val bytes = adoptRotationSidecar().orElse {
+      if (Files.exists(path)) Some(decode(Files.readAllBytes(path))) else None
+    }
+    if (bytes.isEmpty) return
+    om.readTree(bytes.get).elements().asScala.foreach { n =>
       val statements = n.path("statements").elements().asScala.map { sn =>
         AccessKeyStatement(sn.path("effect").asText(),
           sn.path("resource").asText(),

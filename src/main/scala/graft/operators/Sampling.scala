@@ -25,10 +25,11 @@ object Sampling {
   /** Threshold for `rate` as a 4-hex-digit lower bound: rows with
     * sampleKey < threshold are kept. Granularity 1/65536. Rates >= 1 keep
     * everything (callers skip the filter — "10000" would compare wrong as
-    * a string). */
+    * a string), and the rounded value is clamped to 0xffff so a rate just
+    * under 1 can't produce the same 5-digit string. */
   def thresholdHex(rate: Double): String = {
     require(rate >= 0 && rate < 1, s"rate must be in [0, 1): $rate")
-    f"${math.round(rate * 65536)}%04x"
+    f"${math.min(math.round(rate * 65536), 0xFFFFL)}%04x"
   }
 
   /** Bernoulli-style deterministic sample: keep ~rate of rows, chosen by

@@ -43,9 +43,6 @@ object TextAnalysis {
     }
   }
 
-  /** Quality metrics: char/word counts, alpha & punctuation & stopword
-    * ratios, and a linear composite score. Integer counts divided in double
-    * — deterministic on any engine. */
   /** Unicode canonicalization (dedup/fingerprint hygiene): "nfc", "nfkc",
     * "strip" (accent folding) or "casefold" — a codegen'd native
     * expression ([[graft.functions.StringExpressions.NormalizeText]]),
@@ -55,6 +52,9 @@ object TextAnalysis {
       graft.functions.StringExpressions.NormalizeText(
         org.apache.spark.sql.GraftSqlBridge.expression(c), form))
 
+  /** Quality metrics: char/word counts, alpha & punctuation & stopword
+    * ratios, and a linear composite score. Integer counts divided in double
+    * — deterministic on any engine. */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val nChars = length(t).cast("long")

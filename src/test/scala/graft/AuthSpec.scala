@@ -326,9 +326,10 @@ class AuthSpec extends AnyFunSuite {
     }
     val dir = Files.createTempDirectory("graft-rotfail")
     val km = new KeyManager(dir, Some("key-one"))
-    // a store that fails its first re-persist, registered BEFORE the real
-    // store: activation dies with the access-key file still under key-one
-    var failures = 1
+    // a store that fails its first TWO re-persists, registered BEFORE the
+    // real store: each activation dies with the access-key file still
+    // under key-one
+    var failures = 2
     km.registerStore(() =>
       if (failures > 0) { failures -= 1; sys.error("simulated repersist crash") })
     val store = new AccessKeyStore(dir, Some(km))
@@ -341,13 +342,57 @@ class AuthSpec extends AnyFunSuite {
     // key-one: decrypt falls back to the previous key, so reads still work
     assert(new AccessKeyStore(dir, Some(km)).get("fb-key")
       .map(_.secret) == Some("fb-secret"))
-    // the key stayed staged, so the activation is simply retried
+    // the key stayed staged, so the activation is simply retried; a retry
+    // that fails AGAIN must preserve key-one as the fallback (active is
+    // already key-two on the retry — clobbering fallback with it would
+    // strand the still-unflipped file)
     assert(km.hasStaged("key-two"))
+    intercept[RuntimeException](km.activate("key-two"))
+    assert(new AccessKeyStore(dir, Some(km)).get("fb-key")
+      .map(_.secret) == Some("fb-secret"))
     km.activate("key-two")
     val km2 = new KeyManager(dir, Some("key-two"))
     assert(new AccessKeyStore(dir, Some(km2)).get("fb-key")
       .map(_.secret) == Some("fb-secret"))
     intercept[IllegalArgumentException](new KeyManager(dir, Some("key-one")))
+  }
+
+  test("rotation sidecars: every crash instant leaves a bootable root") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def hmacHex(k: String, msg: String): String = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(k.getBytes(UTF_8), "HmacSHA256"))
+      mac.doFinal(msg.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    }
+    // phase-1 debris: a sidecar under a key that never activated is
+    // discarded on load and the OLD key boots
+    val d1 = Files.createTempDirectory("graft-rot-p1")
+    val km1 = new KeyManager(d1, Some("key-one"))
+    new AccessKeyStore(d1, Some(km1)).put(AccessKey("k", secret = "s1"))
+    Files.write(d1.resolve("_access_keys.json.rot"),
+      Array[Byte](71, 82, 65, 70, 84, 69, 78, 67, 49, 9, 9, 9)) // garbage
+    val km1b = new KeyManager(d1, Some("key-one"))
+    assert(new AccessKeyStore(d1, Some(km1b)).get("k").map(_.secret) == Some("s1"))
+    assert(!Files.exists(d1.resolve("_access_keys.json.rot")), "debris must be discarded")
+    // phase-2 crash: marker written, a store's sidecar staged under the
+    // new key but not yet renamed — restarting with the STAGED key adopts
+    // the sidecar and completes; the old key is refused with a pointer
+    val d2 = Files.createTempDirectory("graft-rot-p2")
+    val km2 = new KeyManager(d2, Some("key-one"))
+    // commit-crasher registered FIRST: its phase-2 commit throws before
+    // the real store's rename runs
+    km2.registerStore(() => (), () => sys.error("simulated phase-2 crash"))
+    val store2 = new AccessKeyStore(d2, Some(km2))
+    store2.put(AccessKey("k2", secret = "s2"))
+    km2.storeNext("key-two", hmacHex("key-one", "key-two"))
+    intercept[RuntimeException](km2.activate("key-two"))
+    assert(Files.exists(d2.resolve(".graft_key_next")), "marker marks staged sidecars")
+    assert(Files.exists(d2.resolve("_access_keys.json.rot")), "sidecar still pending")
+    intercept[IllegalStateException](new KeyManager(d2, Some("key-one")))
+    val reborn = new KeyManager(d2, Some("key-two"))
+    assert(new AccessKeyStore(d2, Some(reborn)).get("k2").map(_.secret) == Some("s2"))
+    assert(!Files.exists(d2.resolve("_access_keys.json.rot")), "sidecar adopted")
+    assert(!Files.exists(d2.resolve(".graft_key_next")))
   }
 
   test("parameterized MATCH binds adversarial payloads as data, never SQL") {

@@ -1190,6 +1190,14 @@ class EngineSpec extends AnyFunSuite {
         "WHERE a MATCH 'joins' AND b MATCH 'tables'"))
     assert(aliasedJoin.error.isEmpty, aliasedJoin.error)
     assert(aliasedJoin.rows.length == 1)
+    // an IDENTICAL aliased predicate in two subqueries dedups to ONE match
+    // view, but BOTH relation sources must redirect onto it — a partial
+    // rewrite would silently scan the raw table with its predicate gone
+    val dedupTwice = s.execute("db1", "main", q(
+      "SELECT (SELECT count(*) FROM dfx x WHERE x MATCH 'spark') AS a, " +
+        "(SELECT count(*) FROM dfx x WHERE x MATCH 'spark') AS b"))
+    assert(dedupTwice.error.isEmpty, dedupTwice.error)
+    assert(dedupTwice.rows == Seq(Seq(SqlValue.IntVal(2), SqlValue.IntVal(2))))
     // two different queries against the SAME unaliased relation stay
     // rejected — that form is genuinely ambiguous
     val sameTwice = s.execute("db1", "main", q(

@@ -338,6 +338,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c.subsetOf(a))
     // rate >= 1 keeps everything, no string-comparison edge at "10000"
     assert(Sampling.hashSample(ids, "id", 1.0).count() == 20000)
+    // a rate just under 1 rounds to 65536 — the threshold must clamp to
+    // "ffff", not emit the 5-char "10000" that compares lexicographically
+    // BELOW most 4-char keys and would invert the sample
+    assert(Sampling.thresholdHex(0.9999999) == "ffff")
+    assert(Sampling.hashSample(ids, "id", 0.9999999).count() >= 19990)
     // sourceMix applies per-source thresholds exactly
     val mixed = Sampling.sourceMix(
       ids.withColumn("src", when(col("id") % 2 === 0, "a").otherwise("b")),
