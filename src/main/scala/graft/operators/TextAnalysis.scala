@@ -43,6 +43,39 @@ object TextAnalysis {
     }
   }
 
+  /** Email/IPv4 patterns kept RE2-compatible (no backrefs/lookaround) so
+    * the exact same regex runs in Spark, DuckDB and any other engine. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII redaction (pre-training hygiene): emails and IPv4 literals are
+    * replaced with typed placeholder tokens. Pure codegen'd
+    * regexp_replace — per-row, zero shuffle. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+
+  /** Context-window chunking (training-sample prep): each document's
+    * normalized word sequence is split into windows of `chunkSize` words
+    * with `overlap` words shared between neighbors (stride = size -
+    * overlap); the final window may be partial. One explode, output rows
+    * ∝ chunks — no shuffle, no driver involvement. */
+  def chunkWords(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0: $chunkSize, $overlap")
+    val stride = chunkSize - overlap
+    val ws = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    df.select(col(idCol), ws.as("ws"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("ws")) - 1, lit(stride))))
+      .select(col(idCol),
+        expr(s"start div $stride").as("chunk_idx"),
+        least(lit(chunkSize), size(col("ws")) - col("start")).cast("long")
+          .as("n_words"),
+        md5(concat_ws(" ", slice(col("ws"), col("start") + 1, lit(chunkSize))))
+          .as("chunk_md5"))
+  }
+
   /** Unicode canonicalization (dedup/fingerprint hygiene): "nfc", "nfkc",
     * "strip" (accent folding) or "casefold" — a codegen'd native
     * expression ([[graft.functions.StringExpressions.NormalizeText]]),

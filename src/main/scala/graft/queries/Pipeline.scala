@@ -390,6 +390,66 @@ object Pipeline {
       |GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
 
+  /** Context-window chunking: 64-word windows, 16-word overlap (stride
+    * 48), trailing partial window kept — the shape context-length
+    * packing jobs consume. Chunk text is md5'd so the oracle pins exact
+    * window CONTENT, not just geometry. */
+  def p29Chunking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWords(documents(s, dir), "text", "doc_id",
+        chunkSize = 64, overlap = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val p29Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |c AS (SELECT doc_id, ws,
+      |             unnest(generate_series(0, len(ws) - 1, 48)) AS start
+      |      FROM w)
+      |SELECT doc_id, start // 48 AS chunk_idx,
+      |  CAST(least(64, len(ws) - start) AS BIGINT) AS n_words,
+      |  md5(list_aggregate(ws[start + 1 : start + 64], 'string_agg', ' ')) AS chunk_md5
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** PII redaction over documents decorated with deterministic synthetic
+    * emails and IPs (the corpus itself is word soup, so real hits are
+    * injected per doc): the oracle applies the IDENTICAL RE2-compatible
+    * regexes and compares redacted-text hashes and per-kind counts. */
+  def p30PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10.0."),
+      (col("doc_id") % 256).cast("string"), lit(".7"))
+    documents(s, dir)
+      .select(col("doc_id"),
+        md5(TextAnalysis.redactPii(decorated)).as("redacted_md5"),
+        regexp_count(decorated, lit(TextAnalysis.EmailRe)).cast("long")
+          .as("n_email"),
+        regexp_count(decorated, lit(TextAnalysis.Ipv4Re)).cast("long")
+          .as("n_ip"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p30Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  md5(regexp_replace(
+      |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |                       '<EMAIL>', 'g'),
+      |        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_md5,
+      |  CAST(len(regexp_extract_all(t,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(t,
+      |        '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
   /** REAL audio decode over synthesized WAV/PCM payloads: deterministic
     * 16-bit mono tones are containerized as RIFF/WAVE per doc, decoded by
     * the JDK's audio reader inside mapPartitions, and the decoded stats
@@ -728,7 +788,9 @@ object Pipeline {
     "p25_contamination" -> (p25Contamination _),
     "p26_source_mix" -> (p26SourceMix _),
     "p27_video_decode" -> (p27VideoDecode _),
-    "p28_image_resize" -> (p28ImageResize _))
+    "p28_image_resize" -> (p28ImageResize _),
+    "p29_chunking" -> (p29Chunking _),
+    "p30_pii_redact" -> (p30PiiRedact _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -755,5 +817,7 @@ object Pipeline {
     "p25_contamination" -> p25Oracle,
     "p26_source_mix" -> p26Oracle,
     "p27_video_decode" -> p27Oracle,
-    "p28_image_resize" -> p28Oracle)
+    "p28_image_resize" -> p28Oracle,
+    "p29_chunking" -> p29Oracle,
+    "p30_pii_redact" -> p30Oracle)
 }

@@ -415,6 +415,37 @@ class OperatorsSpec extends AnyFunSuite {
       s"lineage grew to $planNodes logical nodes after 200 rounds")
   }
 
+  test("chunkWords windows overlap correctly and keep the partial tail") {
+    import graft.operators.TextAnalysis
+    // 10 words, chunkSize 4, overlap 2 -> stride 2 -> starts 0,2,4,6,8
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWords(df, "text", "doc_id", 4, 2)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 4L, 2L)) // tail partial
+    // window content: chunk 1 covers words 3-6
+    val md5of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1).getString(3) == md5of("w3 w4 w5 w6"))
+    assert(out(4).getString(3) == md5of("w9 w10"))
+    // neighboring chunks share exactly `overlap` words by construction:
+    // chunk 0 = w1..w4, chunk 1 = w3..w6
+    assert(out(0).getString(3) == md5of("w1 w2 w3 w4"))
+  }
+
+  test("redactPii replaces emails and IPv4s, leaves lookalikes alone") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and host 192.168.1.254 end"),
+      (2L, "no pii here, just v1.2 and name@ invalid and 300.1.2 partial"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1) == "mail <EMAIL> and host <IP> end")
+    assert(out(2) == "no pii here, just v1.2 and name@ invalid and 300.1.2 partial")
+  }
+
   test("resizeImages box-filters pixels exactly and drops edge remainders") {
     import graft.operators.Multimodal
     implicit val s = spark
