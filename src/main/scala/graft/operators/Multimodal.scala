@@ -325,15 +325,24 @@ object Multimodal {
       while (off + 8 <= end) {
         val id = cc(off)
         val size = bb.getInt(off + 4)
+        // a malformed/truncated chunk must fail cleanly, not read OOB
+        // (long arithmetic: a ~2 GiB claimed size would overflow int)
+        require(size >= 0 && off + 8L + size <= bytes.length,
+          s"corrupt AVI: chunk $id at $off claims $size bytes")
         if (id == "LIST") walk(off + 12, off + 8 + size)
         else id match {
           case "avih" =>
+            require(size >= 40, "corrupt AVI: short avih")
             width = bb.getInt(off + 8 + 32); height = bb.getInt(off + 8 + 36)
-          case "strh" if cc(off + 8) == "vids" =>
+            require(width > 0 && height > 0 && width * height <= (1 << 26),
+              s"corrupt AVI: dimensions ${width}x$height")
+          case "strh" if size >= 28 && cc(off + 8) == "vids" =>
             val scale = bb.getInt(off + 8 + 20); val rate = bb.getInt(off + 8 + 24)
             if (scale > 0) fps = rate / scale
           case "00db" | "00dc" =>
             val stride = (width * 3 + 3) / 4 * 4
+            require(width > 0 && height > 0 && size >= stride * height,
+              s"corrupt AVI: frame chunk of $size bytes for ${width}x$height")
             val rgb = new Array[Byte](width * height * 3)
             var y = 0
             while (y < height) {

@@ -491,6 +491,16 @@ class OperatorsSpec extends AnyFunSuite {
     val mean = frames.flatMap(_.map(_ & 0xFF)).map(_.toLong).sum.toDouble /
       (3 * w * h * 3)
     assert(math.abs(v.mean_pixel - mean) < 1e-12)
+    // malformed containers fail CLEANLY (IllegalArgumentException from the
+    // bounds checks), never with a raw out-of-bounds read
+    val truncated = avi.take(avi.length - 40)
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(truncated))
+    val lying = avi.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue) // avih chunk claims a 2 GiB payload
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(lying))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAvi("RIFFxxxxAVI corrupt".getBytes("US-ASCII")))
   }
 
   test("WAV codec round-trips PCM16 samples exactly; decodeAudio stats match") {

@@ -52,6 +52,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pipeline prep ops (sample/redact/chunk) run unchanged in a stream") {
+    // deterministic sampling, PII redaction and chunking are stateless
+    // codegen'd row transforms, so the SAME operator code runs inside a
+    // Structured Streaming ingest — the shape a 100 TB/day pipeline needs
+    // (filter/transform in the stream, no batch re-pass). Stream output
+    // must equal the batch run on identical data.
+    import graft.operators.{Sampling, TextAnalysis}
+    val docsDir = Files.createTempDirectory("graft-stream-docs").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestSession.sfDir, "documents.parquet"),
+      java.nio.file.Paths.get(docsDir, "documents.parquet"))
+    val batchDocs = spark.read.parquet(docsDir)
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunkWords(
+        Sampling.hashSample(df, "doc_id", 0.2)
+          .withColumn("text", TextAnalysis.redactPii(col("text"))),
+        "text", "doc_id", chunkSize = 32, overlap = 8)
+    val q = prep(spark.readStream.schema(batchDocs.schema).parquet(docsDir))
+      .writeStream.format("memory").queryName("prep").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, chunk_idx, n_words, chunk_md5 FROM prep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val batch = prep(batchDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful running totals: final per-user state matches batch totals") {
     val q = EventStreams.runningUserTotals(spark,
         EventStreams.source(spark, eventsDir))
