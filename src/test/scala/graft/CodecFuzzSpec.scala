@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Seeded-random fuzz over the multimodal codecs and chunking geometry:
+  * encode→decode must be the identity for ARBITRARY payloads (not just
+  * the oracle fixtures), across dimension edge cases (1-pixel images,
+  * row strides that need padding, single-sample audio, single-frame
+  * video). Deterministic seed — failures reproduce. */
+class CodecFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def rnd = new scala.util.Random(0xC0DEC5EEDL)
+
+  test("PPM round-trips arbitrary images") {
+    val r = rnd
+    for (_ <- 1 to 100) {
+      val w = 1 + r.nextInt(32); val h = 1 + r.nextInt(32)
+      val rgb = Array.fill[Byte](w * h * 3)(r.nextInt(256).toByte)
+      val (dw, dh, drgb) = Multimodal.decodePpm(Multimodal.encodePpm(w, h, rgb))
+      assert(dw == w && dh == h && drgb.toSeq == rgb.toSeq, s"${w}x$h")
+    }
+  }
+
+  test("BMP round-trips arbitrary images") {
+    val r = rnd
+    for (_ <- 1 to 50) {
+      val w = 1 + r.nextInt(24); val h = 1 + r.nextInt(24)
+      val rgb = Array.fill[Byte](w * h * 3)(r.nextInt(256).toByte)
+      val (dw, dh, drgb) = Multimodal.decodeBmp(Multimodal.encodeBmp(w, h, rgb))
+      assert(dw == w && dh == h && drgb.toSeq == rgb.toSeq, s"${w}x$h")
+    }
+  }
+
+  test("WAV round-trips arbitrary PCM16 streams") {
+    val r = rnd
+    for (_ <- 1 to 50) {
+      val rate = Seq(8000, 11025, 16000, 44100)(r.nextInt(4))
+      val n = 1 + r.nextInt(2048)
+      val samples = Array.fill[Short](n)(r.nextInt(65536).toShort)
+      val (dRate, dCh, dSamples) =
+        Multimodal.decodeWav(Multimodal.encodeWavPcm16(rate, samples))
+      assert(dRate == rate && dCh == 1 && dSamples.toSeq == samples.toSeq,
+        s"rate=$rate n=$n")
+    }
+  }
+
+  test("AVI round-trips arbitrary frame stacks") {
+    val r = rnd
+    for (_ <- 1 to 40) {
+      val w = 1 + r.nextInt(24); val h = 1 + r.nextInt(16)
+      val fps = 1 + r.nextInt(60)
+      val nf = 1 + r.nextInt(6)
+      val frames = Seq.fill(nf)(Array.fill[Byte](w * h * 3)(r.nextInt(256).toByte))
+      val (dw, dh, dFps, dFrames) =
+        Multimodal.decodeAvi(Multimodal.encodeAvi(w, h, fps, frames))
+      assert(dw == w && dh == h && dFps == fps && dFrames.length == nf,
+        s"${w}x$h fps=$fps nf=$nf")
+      dFrames.zip(frames).foreach { case (d, o) =>
+        assert(d.toSeq == o.toSeq, s"${w}x$h frame mismatch")
+      }
+    }
+  }
+
+  test("chunkWords geometry holds for arbitrary sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = rnd
+    val md5of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (_ <- 1 to 12) {
+      val n = 1 + r.nextInt(300)
+      val chunkSize = 2 + r.nextInt(60)
+      val overlap = r.nextInt(chunkSize) // 0 .. chunkSize-1
+      val stride = chunkSize - overlap
+      val words = (1 to n).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = TextAnalysis.chunkWords(df, "text", "doc_id", chunkSize, overlap)
+        .orderBy(col("chunk_idx"))
+        .collect().map(row => (row.getLong(1), row.getLong(2), row.getString(3)))
+      val expected = (0 until n by stride).zipWithIndex.map { case (start, idx) =>
+        val slice = words.slice(start, start + chunkSize)
+        (idx.toLong, slice.length.toLong, md5of(slice.mkString(" ")))
+      }
+      assert(got.toSeq == expected,
+        s"n=$n chunkSize=$chunkSize overlap=$overlap")
+    }
+  }
+}
