@@ -138,6 +138,87 @@ class EngineSpec extends AnyFunSuite {
     assert(s.execute("db1", "main", q("SELECT * FROM t")).rows.isEmpty)
   }
 
+  test("transactional DML on an FTS-indexed table: commit reindexes, rollback doesn't") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE fdoc (doc_id INTEGER, body TEXT)"))
+    s.execute("db1", "main", q(
+      "INSERT INTO fdoc VALUES (1, 'alpha topic'), (2, 'beta topic')"))
+    s.execute("db1", "main", q(
+      "CREATE VIRTUAL TABLE ffx USING fts5(body, content='fdoc', content_rowid='doc_id')"))
+    def hits(term: String): Seq[Long] =
+      s.execute("db1", "main", q(s"SELECT doc FROM ffx WHERE ffx MATCH '$term'"))
+        .rows.map(_.head.asInstanceOf[SqlValue.IntVal].v).sorted
+    assert(hits("alpha") == Seq(1L))
+    // staged UPDATE must NOT touch the live index until commit
+    val txn = s.execute("db1", "main", q("BEGIN")).transactionId
+    s.execute("db1", "main",
+      q("UPDATE fdoc SET body = 'gamma topic' WHERE doc_id = 1", txn = txn))
+    assert(hits("alpha") == Seq(1L), "live index changed before commit")
+    assert(hits("gamma").isEmpty)
+    val c = s.execute("db1", "main", q("COMMIT", txn = txn))
+    assert(c.error.isEmpty, c.error)
+    assert(hits("gamma") == Seq(1L))
+    assert(hits("alpha").isEmpty, "committed update must reindex")
+    // rolled-back DML leaves the index exactly as it was
+    val txn2 = s.execute("db1", "main", q("BEGIN")).transactionId
+    s.execute("db1", "main",
+      q("UPDATE fdoc SET body = 'delta topic' WHERE doc_id = 2", txn = txn2))
+    s.execute("db1", "main", q("ROLLBACK", txn = txn2))
+    assert(hits("beta") == Seq(2L))
+    assert(hits("delta").isEmpty, "rollback must not leak index deltas")
+  }
+
+  test("incremental FTS maintenance stays consistent under random DML") {
+    // seeded random INSERT/UPDATE/DELETE sequence against a driver-side
+    // mirror: after every delta-maintained mutation the index must answer
+    // exactly like a fresh index over the current table — and compaction
+    // must fold the accumulated deltas without changing any answer
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE rdoc (doc_id INTEGER, body TEXT)"))
+    s.execute("db1", "main", q(
+      "CREATE VIRTUAL TABLE rfx USING fts5(body, content='rdoc', content_rowid='doc_id')"))
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox")
+    val r = new scala.util.Random(42)
+    var mirror = Map[Long, String]()
+    var nextId = 1L
+    def randBody() =
+      Seq.fill(1 + r.nextInt(4))(vocab(r.nextInt(vocab.size))).mkString(" ")
+    for (_ <- 1 to 24) {
+      val op = r.nextInt(3)
+      if (op == 0 || mirror.isEmpty) {
+        val b = randBody()
+        assert(s.execute("db1", "main",
+          q(s"INSERT INTO rdoc VALUES ($nextId, '$b')")).error.isEmpty)
+        mirror += nextId -> b; nextId += 1
+      } else if (op == 1) {
+        val id = mirror.keys.toSeq(r.nextInt(mirror.size))
+        val b = randBody()
+        assert(s.execute("db1", "main",
+          q(s"UPDATE rdoc SET body = '$b' WHERE doc_id = $id")).error.isEmpty)
+        mirror += id -> b
+      } else {
+        val id = mirror.keys.toSeq(r.nextInt(mirror.size))
+        assert(s.execute("db1", "main",
+          q(s"DELETE FROM rdoc WHERE doc_id = $id")).error.isEmpty)
+        mirror -= id
+      }
+    }
+    def check(): Unit = vocab.foreach { term =>
+      val got = s.execute("db1", "main",
+        q(s"SELECT doc FROM rfx WHERE rfx MATCH '$term'"))
+        .rows.map(_.head.asInstanceOf[SqlValue.IntVal].v).sorted
+      val expected = mirror.collect {
+        case (id, b) if b.split(" ").contains(term) => id
+      }.toSeq.sorted
+      assert(got == expected, s"term '$term': got $got, expected $expected")
+    }
+    check()
+    // compaction folds the postings/dl deltas physically; answers identical
+    Seq("__fts_rfx_postings", "__fts_rfx_dl").foreach(t =>
+      s.compact("db1", "main", t))
+    check()
+  }
+
   test("snapshot conflict: concurrent commit to same table fails with 11001") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
