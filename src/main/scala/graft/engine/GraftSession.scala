@@ -191,10 +191,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         catalog.commitVersion(txn.db, txn.branch, t,
           v.asInstanceOf[catalog.TableVersion])
       }
-      // staged writes were not indexed during the transaction: rebuild any
-      // touched FTS index inside the same queue slot, so a concurrent
-      // INSERT's incremental index append can't interleave with the rebuild
-      txn.staged.keys.foreach(t => ftsOnRewrite(txn.db, txn.branch, t))
+      // staged writes were not indexed during the transaction: fold the
+      // base→committed DIFF through the delta path inside the same queue
+      // slot, so a concurrent INSERT's incremental index append can't
+      // interleave with the maintenance
+      txn.staged.keys.foreach(t =>
+        ftsOnTxnCommit(txn.db, txn.branch, t,
+          txn.baseTs.getOrElse(t, -1L)))
     }
   }
 
@@ -1659,6 +1662,41 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private def ftsOnRewrite(db: String, branch: String, table: String): Unit =
     catalog.ftsIndexesForTable(db, branch, table)
       .foreach { case (name, _) => ftsRebuild(db, branch, name) }
+
+  /** Transactional-commit index maintenance: diff the base version the
+    * transaction staged from against the committed result and fold the
+    * difference through the same delta path single-statement DML uses —
+    * an O(table) diff scan but only O(changed rows) of tokenization and
+    * postings/dl writes, where the old rebuild re-tokenized the corpus
+    * and REWROTE the whole postings table. Naturally savepoint-proof:
+    * the diff sees only the net surviving changes. Falls back to a
+    * rebuild when the diff is impossible — schema changed mid-transaction
+    * (ALTER), the base version's history was vacuumed away, or its files
+    * were GC'd. */
+  private def ftsOnTxnCommit(db: String, branch: String, table: String,
+      baseTs: Long): Unit = {
+    if (catalog.ftsIndexesForTable(db, branch, table).isEmpty) return
+    val curV = catalog.currentVersion(db, branch, table).get
+    val baseV =
+      if (baseTs < 0) None // table created inside the transaction
+      else catalog.versionHistory(db, branch, table).find(_.ts == baseTs) match {
+        case Some(v) => Some(v)
+        case None => ftsOnRewrite(db, branch, table); return // history trimmed
+      }
+    if (baseV.exists(_.schemaDdl != curV.schemaDdl)) {
+      ftsOnRewrite(db, branch, table); return
+    }
+    try {
+      val cur = readVersion(curV)
+      val base = baseV.map(readVersion).getOrElse(
+        sess.createDataFrame(sess.sparkContext.emptyRDD[Row], cur.schema))
+      ftsOnDelta(db, branch, table,
+        base.exceptAll(cur), Some(cur.exceptAll(base)))
+    } catch {
+      // base files vacuumed between stage and commit: rebuild from current
+      case scala.util.control.NonFatal(_) => ftsOnRewrite(db, branch, table)
+    }
+  }
 
   /** Incremental index maintenance for UPDATE/DELETE — O(changed docs),
     * never a corpus re-scan. The touched documents' OLD text (read from

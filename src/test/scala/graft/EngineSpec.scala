@@ -159,6 +159,13 @@ class EngineSpec extends AnyFunSuite {
     assert(c.error.isEmpty, c.error)
     assert(hits("gamma") == Seq(1L))
     assert(hits("alpha").isEmpty, "committed update must reindex")
+    // and the commit maintained the index by DELTA (negative-tf folds for
+    // the changed doc), not by rebuilding the postings from scratch
+    val neg = s.execute("db1", "main", q(
+      "SELECT count(*) AS n FROM __fts_ffx_postings WHERE tf < 0"))
+    assert(neg.error.isEmpty, neg.error)
+    assert(neg.rows.head.head.asInstanceOf[SqlValue.IntVal].v > 0,
+      "txn commit should fold deltas, not rebuild")
     // rolled-back DML leaves the index exactly as it was
     val txn2 = s.execute("db1", "main", q("BEGIN")).transactionId
     s.execute("db1", "main",
@@ -213,6 +220,40 @@ class EngineSpec extends AnyFunSuite {
       assert(got == expected, s"term '$term': got $got, expected $expected")
     }
     check()
+    // transactional episodes: the commit-time base→current diff must fold
+    // exactly the net surviving changes; rollbacks must leave no trace
+    for (round <- 1 to 4) {
+      val txn = s.execute("db1", "main", q("BEGIN")).transactionId
+      var pending = mirror
+      for (_ <- 1 to 3) {
+        val op = r.nextInt(3)
+        if (op == 0 || pending.isEmpty) {
+          val b = randBody()
+          assert(s.execute("db1", "main",
+            q(s"INSERT INTO rdoc VALUES ($nextId, '$b')", txn = txn)).error.isEmpty)
+          pending += nextId -> b; nextId += 1
+        } else if (op == 1) {
+          val id = pending.keys.toSeq(r.nextInt(pending.size))
+          val b = randBody()
+          assert(s.execute("db1", "main",
+            q(s"UPDATE rdoc SET body = '$b' WHERE doc_id = $id", txn = txn)).error.isEmpty)
+          pending += id -> b
+        } else {
+          val id = pending.keys.toSeq(r.nextInt(pending.size))
+          assert(s.execute("db1", "main",
+            q(s"DELETE FROM rdoc WHERE doc_id = $id", txn = txn)).error.isEmpty)
+          pending -= id
+        }
+      }
+      if (round % 2 == 0) {
+        val c = s.execute("db1", "main", q("COMMIT", txn = txn))
+        assert(c.error.isEmpty, c.error)
+        mirror = pending
+      } else {
+        s.execute("db1", "main", q("ROLLBACK", txn = txn))
+      }
+      check()
+    }
     // compaction folds the postings/dl deltas physically; answers identical
     Seq("__fts_rfx_postings", "__fts_rfx_dl").foreach(t =>
       s.compact("db1", "main", t))
