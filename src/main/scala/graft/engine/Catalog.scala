@@ -34,6 +34,14 @@ import scala.jdk.CollectionConverters._
   * its data in shadow tables. */
 case class FtsIndexDef(table: String, textCols: String, idCol: String)
 
+/** Secondary-index definition (SURVEY §2A row 2). No b-tree exists — the
+  * recorded columns drive CLUSTERING: compaction rewrites the table
+  * range-sorted on them, so parquet file/row-group min-max statistics
+  * prune scans on the indexed columns (the lakehouse OPTIMIZE/Z-ORDER
+  * idiom standing in for SQLite's secondary index). `cols` is empty for
+  * expression indexes, which are accepted but drive no clustering. */
+case class ClusterIndexDef(table: String, cols: Seq[String])
+
 class Catalog(val root: Path) {
 
   /** One committed state of a table: file-set + bookkeeping. `pk` records
@@ -49,6 +57,7 @@ class Catalog(val root: Path) {
   private val databases = mutable.LinkedHashMap[String, Long]() // name -> createdAt
   private val branches = mutable.LinkedHashMap[(String, String), BranchState]()
   private val ftsDefs = mutable.LinkedHashMap[(String, String, String), FtsIndexDef]()
+  private val indexDefs = mutable.LinkedHashMap[(String, String, String), ClusterIndexDef]()
   // SQL view definitions, insertion-ordered so views-on-views re-register
   // in dependency order (a view can only reference names created before it)
   private val viewDefs = mutable.LinkedHashMap[(String, String, String), String]()
@@ -133,6 +142,14 @@ class Catalog(val root: Path) {
             val n = fts.addObject()
             n.put("name", name); n.put("table", defn.table)
             n.put("textCols", defn.textCols); n.put("idCol", defn.idCol)
+          }
+        }
+        val cixs = node.putArray("clusterIndexes")
+        indexDefs.foreach { case ((d, b, name), defn) =>
+          if (d == db && b == branch) {
+            val n = cixs.addObject()
+            n.put("name", name); n.put("table", defn.table)
+            val cs = n.putArray("cols"); defn.cols.foreach(cs.add)
           }
         }
         val bytes = om.writeValueAsBytes(node)
@@ -244,6 +261,11 @@ class Catalog(val root: Path) {
         FtsIndexDef(n.path("table").asText(), n.path("textCols").asText(),
           n.path("idCol").asText())
     }
+    node.path("clusterIndexes").elements().asScala.foreach { n =>
+      indexDefs((db, branch, n.path("name").asText())) =
+        ClusterIndexDef(n.path("table").asText(),
+          n.path("cols").elements().asScala.map(_.asText()).toSeq)
+    }
   }
 
   /** Read a pre-split whole-catalog manifest (round <=2 layout) once; the
@@ -314,6 +336,7 @@ class Catalog(val root: Path) {
     val dead = branches.keys.toSeq.filter(_._1 == name)
     dead.foreach(branches.remove)
     ftsDefs.keys.toSeq.filter(_._1 == name).foreach(ftsDefs.remove)
+    indexDefs.keys.toSeq.filter(_._1 == name).foreach(indexDefs.remove)
     viewDefs.keys.toSeq.filter(_._1 == name).foreach(viewDefs.remove)
     viewVersions.keys.toSeq.filter(_._1 == name).foreach(viewVersions.remove)
     // drop the per-branch manifest files too (same resurrection guard as
@@ -336,6 +359,9 @@ class Catalog(val root: Path) {
     ftsDefs.toSeq.collect { case ((d, b, n), defn) if d == db && b == parent =>
       ftsDefs((d, name, n)) = defn
     }
+    indexDefs.toSeq.collect { case ((d, b, n), defn) if d == db && b == parent =>
+      indexDefs((d, name, n)) = defn
+    }
     viewDefs.toSeq.collect { case ((d, b, n), sql) if d == db && b == parent =>
       viewDefs((d, name, n)) = sql
     }
@@ -355,6 +381,7 @@ class Catalog(val root: Path) {
     branches.remove((db, branch))
       .getOrElse(throw new IllegalArgumentException(s"branch $db/$branch not found"))
     ftsDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(ftsDefs.remove)
+    indexDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(indexDefs.remove)
     viewDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(viewDefs.remove)
     viewVersions.remove((db, branch))
     // drop the manifest file too, or a later branch of the same name could
@@ -482,6 +509,10 @@ class Catalog(val root: Path) {
   def dropTable(db: String, branch: String, table: String): Boolean = {
     val (existed, w) = synchronized {
       val e = branchState(db, branch).tables.remove(table).isDefined
+      if (e) indexDefs.keys.toSeq
+        .filter(k => k._1 == db && k._2 == branch &&
+          indexDefs(k).table == table)
+        .foreach(indexDefs.remove) // indexes cascade with their table
       (e, if (e) snapshotBranch(db, branch) else () => ())
     }
     w(); existed
@@ -491,9 +522,45 @@ class Catalog(val root: Path) {
     val w = synchronized {
       val st = branchState(db, branch)
       st.tables.remove(from).foreach(vs => st.tables(to) = vs)
+      indexDefs.toSeq.collect {
+        case (k @ (d, b, _), defn) if d == db && b == branch && defn.table == from =>
+          indexDefs(k) = defn.copy(table = to) // indexes follow a rename
+      }
       snapshotBranch(db, branch)
     }
     w()
+  }
+
+  // --- clustering-index definitions (SURVEY §2A row 2) ---------------------
+
+  def putClusterIndex(db: String, branch: String, name: String,
+      d: ClusterIndexDef): Unit = {
+    val w = synchronized {
+      indexDefs((db, branch, name)) = d; snapshotBranch(db, branch)
+    }
+    w()
+  }
+
+  def clusterIndex(db: String, branch: String, name: String): Option[ClusterIndexDef] =
+    synchronized(indexDefs.get((db, branch, name)))
+
+  /** The clustering order compaction applies to a table: the MOST RECENT
+    * index on it (SQLite allows many indexes; physical layout can only
+    * follow one — documented delta). */
+  def clusterColsFor(db: String, branch: String, table: String): Seq[String] =
+    synchronized {
+      indexDefs.toSeq.collect {
+        case ((d, b, _), defn) if d == db && b == branch && defn.table == table &&
+          defn.cols.nonEmpty => defn.cols
+      }.lastOption.getOrElse(Nil)
+    }
+
+  def dropClusterIndex(db: String, branch: String, name: String): Boolean = {
+    val (existed, w) = synchronized {
+      val e = indexDefs.remove((db, branch, name)).isDefined
+      (e, if (e) snapshotBranch(db, branch) else () => ())
+    }
+    w(); existed
   }
 
   /** Point-in-time restore: for every table, re-point at the latest version

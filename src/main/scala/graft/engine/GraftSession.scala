@@ -251,7 +251,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       else if (table.startsWith("__fts_") && table.endsWith("_dl"))
         graft.operators.Fts.liveDl(readVersion(cur)).filter(col("dl") > 0)
       else readVersion(cur)
-    folded.write.parquet(dir.toString)
+    // clustering index (SURVEY §2A row 2): compaction is where the
+    // recorded index order becomes physical — a range-partitioned sort
+    // makes every output file's min/max on the indexed columns disjoint,
+    // so scans with predicates on them prune files before reading
+    val clusterCols = catalog.clusterColsFor(db, branch, table)
+      .filter(folded.columns.contains)
+    val laidOut =
+      if (clusterCols.isEmpty) folded
+      else folded.sort(clusterCols.map(col): _*)
+    laidOut.write.parquet(dir.toString)
     catalog.commitVersion(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString)))
     cur.paths.size + artifactFolds
@@ -918,7 +927,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private val dropViewRe =
     """(?is)^\s*drop\s+view\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
   private val createIndexRe =
-    """(?is)^\s*create\s+(unique\s+)?index\s+.*$""".r
+    """(?is)^\s*create\s+(?:unique\s+)?index\s+(if\s+not\s+exists\s+)?([\w"]+)\s+on\s+([\w"]+)\s*\(([^)]*)\)\s*(?:where\b.*?)?;?\s*$""".r
+  private val dropIndexRe =
+    """(?is)^\s*drop\s+index\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
   private val dropTableRe =
     """(?is)^\s*drop\s+table\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
   private val alterRenameRe =
@@ -1048,9 +1059,40 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         if (!existed && ifExists == null)
           throw new IllegalArgumentException(s"no such view: ${unquote(name)}")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
-      case createIndexRe(_) =>
-        // accepted as a no-op: parquet stats + partition pruning fill the
-        // role of secondary indexes (SURVEY §2A row 2)
+      case createIndexRe(ifNotExists, idxName, tbl, colList) =>
+        // no b-tree: the index RECORDS a clustering order — the next
+        // compaction rewrites the table range-sorted on these columns, so
+        // parquet min/max statistics prune scans (SURVEY §2A row 2)
+        val ixn = unquote(idxName)
+        val table = unquote(tbl)
+        require(catalog.currentVersion(db, branch, table).isDefined,
+          s"no such table: $table")
+        if (catalog.clusterIndex(db, branch, ixn).isDefined) {
+          if (ifNotExists == null)
+            throw new IllegalArgumentException(s"index $ixn already exists")
+        } else {
+          val schemaCols = StructType.fromDDL(
+            catalog.currentVersion(db, branch, table).get.schemaDdl)
+            .fieldNames.toSet
+          // plain column names (with optional COLLATE/ASC/DESC) cluster;
+          // expression terms are accepted (SQLite does) but drive no
+          // clustering — `id + v` must not silently cluster on `id`
+          val cols = Sql.splitTopLevel(colList, ',').map(_.trim).flatMap { term =>
+            val parts = term.split("\\s+", 2)
+            val name = unquote(parts(0))
+            val tail = if (parts.length > 1) parts(1).trim.toLowerCase else ""
+            val tailOk = tail.isEmpty ||
+              tail.matches("(collate\\s+\\w+\\s*)?(asc|desc)?")
+            if (tailOk && schemaCols.contains(name)) Some(name) else None
+          }
+          catalog.putClusterIndex(db, branch, ixn,
+            ClusterIndexDef(table, cols))
+        }
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case dropIndexRe(ifExists, idxName) =>
+        val existed = catalog.dropClusterIndex(db, branch, unquote(idxName))
+        if (!existed && ifExists == null)
+          throw new IllegalArgumentException(s"no such index: ${unquote(idxName)}")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case dropTableRe(ifExists, name) =>
         val t = unquote(name)

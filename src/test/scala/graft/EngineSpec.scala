@@ -138,6 +138,68 @@ class EngineSpec extends AnyFunSuite {
     assert(s.execute("db1", "main", q("SELECT * FROM t")).rows.isEmpty)
   }
 
+  test("CREATE INDEX clusters the table at compaction and survives restart") {
+    val dir = Files.createTempDirectory("graft-cluster")
+    val s = new GraftSession(spark, dir)
+    s.createDatabase("db1")
+    s.execute("db1", "main", q("CREATE TABLE ct (id INTEGER, v INTEGER)"))
+    // three unsorted batches -> three file-set entries
+    Seq(Seq(9, 1, 5), Seq(2, 8, 3), Seq(7, 0, 6)).zipWithIndex.foreach {
+      case (vs, i) =>
+        val rows = vs.zipWithIndex
+          .map { case (v, j) => s"(${i * 3 + j}, $v)" }.mkString(", ")
+        assert(s.execute("db1", "main",
+          q(s"INSERT INTO ct VALUES $rows")).error.isEmpty)
+    }
+    assert(s.execute("db1", "main", q("CREATE INDEX ctv ON ct(v)")).error.isEmpty)
+    // SQLite semantics: duplicate name errors, IF NOT EXISTS doesn't,
+    // unknown target table errors
+    assert(s.execute("db1", "main", q("CREATE INDEX ctv ON ct(v)")).error.nonEmpty)
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX IF NOT EXISTS ctv ON ct(v)")).error.isEmpty)
+    assert(s.execute("db1", "main", q("CREATE INDEX nix ON nope(v)")).error.nonEmpty)
+    // SQLite partial / expression / collated index forms are accepted
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX pix ON ct(v) WHERE v > 2")).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX eix ON ct(id + v, v COLLATE NOCASE DESC)")).error.isEmpty)
+    assert(s.execute("db1", "main", q("DROP INDEX pix")).error.isEmpty)
+    assert(s.execute("db1", "main", q("DROP INDEX eix")).error.isEmpty)
+    s.compact("db1", "main", "ct")
+    // the physical layout follows the index: within every parquet file the
+    // indexed column is sorted, and file [min,max] ranges are disjoint —
+    // exactly what lets min/max statistics prune a predicate scan
+    val cur = s.catalog.currentVersion("db1", "main", "ct").get
+    assert(cur.paths.size == 1)
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(cur.paths.head))
+    val parquets =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+        .asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+      finally listing.close()
+    assert(parquets.nonEmpty)
+    val ranges = parquets.map { f =>
+      val vs = spark.read.parquet(f).select("v").collect().map(_.getLong(0))
+      assert(vs.toSeq == vs.toSeq.sorted, s"file $f not sorted on v")
+      (vs.min, vs.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"file ranges overlap: $ranges")
+      case _ => ()
+    }
+    // data unchanged by the re-layout
+    val sum = s.execute("db1", "main", q("SELECT sum(v) AS sv FROM ct"))
+    assert(sum.rows.head.head == SqlValue.IntVal(41))
+    // defs persist: a fresh session over the same root still clusters
+    val s2 = new GraftSession(spark, dir)
+    assert(s2.catalog.clusterColsFor("db1", "main", "ct") == Seq("v"))
+    // DROP INDEX removes the clustering directive (SQLite error shapes)
+    assert(s2.execute("db1", "main", q("DROP INDEX ctv")).error.isEmpty)
+    assert(s2.execute("db1", "main", q("DROP INDEX ctv")).error.nonEmpty)
+    assert(s2.execute("db1", "main", q("DROP INDEX IF EXISTS ctv")).error.isEmpty)
+    assert(s2.catalog.clusterColsFor("db1", "main", "ct").isEmpty)
+  }
+
   test("transactional DML on an FTS-indexed table: commit reindexes, rollback doesn't") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE fdoc (doc_id INTEGER, body TEXT)"))
