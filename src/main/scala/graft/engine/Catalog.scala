@@ -555,6 +555,15 @@ class Catalog(val root: Path) {
       }.lastOption.getOrElse(Nil)
     }
 
+  /** All recorded indexes on a table, insertion-ordered: (name, def). */
+  def clusterIndexesForTable(db: String, branch: String,
+      table: String): Seq[(String, ClusterIndexDef)] = synchronized {
+    indexDefs.toSeq.collect {
+      case ((d, b, n), defn) if d == db && b == branch && defn.table == table =>
+        (n, defn)
+    }
+  }
+
   def dropClusterIndex(db: String, branch: String, name: String): Boolean = {
     val (existed, w) = synchronized {
       val e = indexDefs.remove((db, branch, name)).isDefined

@@ -1953,6 +1953,30 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             QueryResponse(input.id, Seq("name"),
               Seq("fts5", "rtree", "geopoly", "json_each", "json_tree")
                 .map(m => Seq(SqlValue.TextVal(m))))
+          case "index_list" =>
+            // SQLite shape (seq, name, unique, origin, partial) over the
+            // recorded clustering indexes for the table
+            val t = Option(arg).map(a => unquote(a.trim)).getOrElse("")
+            val rows = catalog.clusterIndexesForTable(db, branch, t)
+              .zipWithIndex.map { case ((n, _), i) =>
+                Seq(SqlValue.IntVal(i.toLong), SqlValue.TextVal(n),
+                  SqlValue.IntVal(0), SqlValue.TextVal("c"), SqlValue.IntVal(0))
+              }
+            QueryResponse(input.id,
+              Seq("seq", "name", "unique", "origin", "partial"), rows)
+          case "index_info" =>
+            val n = Option(arg).map(a => unquote(a.trim)).getOrElse("")
+            val rows = catalog.clusterIndex(db, branch, n).toSeq.flatMap { d =>
+              val schema = catalog.currentVersion(db, branch, d.table)
+                .map(v => StructType.fromDDL(v.schemaDdl).fieldNames.toSeq)
+                .getOrElse(Nil)
+              d.cols.zipWithIndex.map { case (c, i) =>
+                Seq(SqlValue.IntVal(i.toLong),
+                  SqlValue.IntVal(schema.indexOf(c).toLong),
+                  SqlValue.TextVal(c))
+              }
+            }
+            QueryResponse(input.id, Seq("seqno", "cid", "name"), rows)
           case "data_version" =>
             // monotone per-branch change counter: the max committed version
             val v = catalog.tableNames(db, branch)

@@ -190,6 +190,14 @@ class EngineSpec extends AnyFunSuite {
     // data unchanged by the re-layout
     val sum = s.execute("db1", "main", q("SELECT sum(v) AS sv FROM ct"))
     assert(sum.rows.head.head == SqlValue.IntVal(41))
+    // PRAGMA index_list / index_info report the recorded indexes
+    val il = s.execute("db1", "main", q("PRAGMA index_list(ct)"))
+    assert(il.error.isEmpty, il.error)
+    assert(il.rows.map(_(1)) == Seq(SqlValue.TextVal("ctv")))
+    val ii = s.execute("db1", "main", q("PRAGMA index_info(ctv)"))
+    assert(ii.error.isEmpty, ii.error)
+    assert(ii.rows == Seq(Seq(SqlValue.IntVal(0), SqlValue.IntVal(1),
+      SqlValue.TextVal("v"))))
     // defs persist: a fresh session over the same root still clusters
     val s2 = new GraftSession(spark, dir)
     assert(s2.catalog.clusterColsFor("db1", "main", "ct") == Seq("v"))
