@@ -110,6 +110,10 @@ object Authorizer {
           Seq("database:query", "database:create_table")
         else if (s.matches("(?is)^drop\\s+view\\b.*"))
           Seq("database:query", "database:drop_view")
+        else if (s.matches("(?is)^drop\\s+index\\b.*"))
+          // symmetric with create_index (SQLITE_DROP_INDEX action code) —
+          // a table-only drop grant must not remove clustering directives
+          Seq("database:query", "database:drop_index")
         else if (s.regionMatches(true, 0, "drop", 0, 4))
           Seq("database:query", "database:drop_table")
         else Seq("database:query", "database:alter_table")

@@ -40,7 +40,8 @@ case class FtsIndexDef(table: String, textCols: String, idCol: String)
   * prune scans on the indexed columns (the lakehouse OPTIMIZE/Z-ORDER
   * idiom standing in for SQLite's secondary index). `cols` is empty for
   * expression indexes, which are accepted but drive no clustering. */
-case class ClusterIndexDef(table: String, cols: Seq[String])
+case class ClusterIndexDef(table: String, cols: Seq[String],
+  unique: Boolean = false, partial: Boolean = false)
 
 class Catalog(val root: Path) {
 
@@ -149,6 +150,7 @@ class Catalog(val root: Path) {
           if (d == db && b == branch) {
             val n = cixs.addObject()
             n.put("name", name); n.put("table", defn.table)
+            n.put("unique", defn.unique); n.put("partial", defn.partial)
             val cs = n.putArray("cols"); defn.cols.foreach(cs.add)
           }
         }
@@ -264,7 +266,8 @@ class Catalog(val root: Path) {
     node.path("clusterIndexes").elements().asScala.foreach { n =>
       indexDefs((db, branch, n.path("name").asText())) =
         ClusterIndexDef(n.path("table").asText(),
-          n.path("cols").elements().asScala.map(_.asText()).toSeq)
+          n.path("cols").elements().asScala.map(_.asText()).toSeq,
+          n.path("unique").asBoolean(false), n.path("partial").asBoolean(false))
     }
   }
 
@@ -561,6 +564,34 @@ class Catalog(val root: Path) {
     indexDefs.toSeq.collect {
       case ((d, b, n), defn) if d == db && b == branch && defn.table == table =>
         (n, defn)
+    }
+  }
+
+  /** Follow a column rename into the index definitions (SQLite renames
+    * the column inside its indexes). */
+  def renameColumnInIndexes(db: String, branch: String, table: String,
+      from: String, to: String): Unit = {
+    val w = synchronized {
+      val touched = indexDefs.toSeq.collect {
+        case (k @ (d, b, _), defn)
+            if d == db && b == branch && defn.table == table &&
+              defn.cols.exists(_.equalsIgnoreCase(from)) =>
+          indexDefs(k) = defn.copy(cols = defn.cols.map(c =>
+            if (c.equalsIgnoreCase(from)) to else c))
+      }
+      if (touched.nonEmpty) snapshotBranch(db, branch) else () => ()
+    }
+    w()
+  }
+
+  /** Indexes that reference a column — DROP COLUMN refuses while any
+    * exist, like SQLite's "cannot drop column: indexed". */
+  def indexesOnColumn(db: String, branch: String, table: String,
+      column: String): Seq[String] = synchronized {
+    indexDefs.toSeq.collect {
+      case ((d, b, n), defn)
+          if d == db && b == branch && defn.table == table &&
+            defn.cols.exists(_.equalsIgnoreCase(column)) => n
     }
   }
 

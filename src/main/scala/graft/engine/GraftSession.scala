@@ -239,7 +239,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         Seq(pn, dn).filter(t => catalog.currentVersion(db, branch, t)
           .exists(_.paths.size > 1))
       }.map(compactLocked(db, branch, _)).sum
-    if (cur.paths.size <= 1) return artifactFolds
+    // clustering index (SURVEY §2A row 2): compaction is where the
+    // recorded index order becomes physical; a single-fileset table still
+    // rewrites when an index is recorded (a CTAS result or a post-UPDATE
+    // rewrite is one fileset but unsorted — skipping would leave the index
+    // permanently inert)
+    val clusterCols = catalog.clusterColsFor(db, branch, table)
+    if (cur.paths.size <= 1 && clusterCols.isEmpty) return artifactFolds
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     // FTS artifacts also collapse UPDATE/DELETE fold deltas (negative-tf
@@ -251,15 +257,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       else if (table.startsWith("__fts_") && table.endsWith("_dl"))
         graft.operators.Fts.liveDl(readVersion(cur)).filter(col("dl") > 0)
       else readVersion(cur)
-    // clustering index (SURVEY §2A row 2): compaction is where the
-    // recorded index order becomes physical — a range-partitioned sort
-    // makes every output file's min/max on the indexed columns disjoint,
-    // so scans with predicates on them prune files before reading
-    val clusterCols = catalog.clusterColsFor(db, branch, table)
-      .filter(folded.columns.contains)
+    // a range-partitioned sort makes every output file's min/max on the
+    // indexed columns disjoint, so scans with predicates on them prune
+    // files before reading
+    val sortCols = clusterCols.filter(c =>
+      folded.columns.exists(_.equalsIgnoreCase(c)))
     val laidOut =
-      if (clusterCols.isEmpty) folded
-      else folded.sort(clusterCols.map(col): _*)
+      if (sortCols.isEmpty) folded
+      else folded.sort(sortCols.map(col): _*)
     laidOut.write.parquet(dir.toString)
     catalog.commitVersion(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString)))
@@ -927,9 +932,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private val dropViewRe =
     """(?is)^\s*drop\s+view\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
   private val createIndexRe =
-    """(?is)^\s*create\s+(?:unique\s+)?index\s+(if\s+not\s+exists\s+)?([\w"]+)\s+on\s+([\w"]+)\s*\(([^)]*)\)\s*(?:where\b.*?)?;?\s*$""".r
+    """(?is)^\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?("[^"]+"|[\w.]+)\s+on\s+("[^"]+"|\w+)\s*\((.*)\)\s*(where\b.*?)?;?\s*$""".r
   private val dropIndexRe =
-    """(?is)^\s*drop\s+index\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
+    """(?is)^\s*drop\s+index\s+(if\s+exists\s+)?("[^"]+"|[\w.]+)\s*;?\s*$""".r
   private val dropTableRe =
     """(?is)^\s*drop\s+table\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
   private val alterRenameRe =
@@ -1059,11 +1064,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         if (!existed && ifExists == null)
           throw new IllegalArgumentException(s"no such view: ${unquote(name)}")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
-      case createIndexRe(ifNotExists, idxName, tbl, colList) =>
+      case createIndexRe(uniq, ifNotExists, idxName, tbl, colList, whereTail) =>
         // no b-tree: the index RECORDS a clustering order — the next
         // compaction rewrites the table range-sorted on these columns, so
-        // parquet min/max statistics prune scans (SURVEY §2A row 2)
-        val ixn = unquote(idxName)
+        // parquet min/max statistics prune scans (SURVEY §2A row 2).
+        // Like all DDL in this engine, immediate (non-transactional).
+        val ixn = unquote(idxName).split("\\.").last // main.ix -> ix
         val table = unquote(tbl)
         require(catalog.currentVersion(db, branch, table).isDefined,
           s"no such table: $table")
@@ -1071,9 +1077,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           if (ifNotExists == null)
             throw new IllegalArgumentException(s"index $ixn already exists")
         } else {
-          val schemaCols = StructType.fromDDL(
+          // resolve case-insensitively against the schema (SQLite and
+          // Spark's resolver both treat V and v as the same column)
+          val byLower = StructType.fromDDL(
             catalog.currentVersion(db, branch, table).get.schemaDdl)
-            .fieldNames.toSet
+            .fieldNames.map(f => f.toLowerCase -> f).toMap
           // plain column names (with optional COLLATE/ASC/DESC) cluster;
           // expression terms are accepted (SQLite does) but drive no
           // clustering — `id + v` must not silently cluster on `id`
@@ -1083,16 +1091,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             val tail = if (parts.length > 1) parts(1).trim.toLowerCase else ""
             val tailOk = tail.isEmpty ||
               tail.matches("(collate\\s+\\w+\\s*)?(asc|desc)?")
-            if (tailOk && schemaCols.contains(name)) Some(name) else None
+            if (tailOk) byLower.get(name.toLowerCase) else None
           }
           catalog.putClusterIndex(db, branch, ixn,
-            ClusterIndexDef(table, cols))
+            ClusterIndexDef(table, cols,
+              unique = uniq != null, partial = whereTail != null))
         }
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case dropIndexRe(ifExists, idxName) =>
-        val existed = catalog.dropClusterIndex(db, branch, unquote(idxName))
+        val ixn = unquote(idxName).split("\\.").last
+        val existed = catalog.dropClusterIndex(db, branch, ixn)
         if (!existed && ifExists == null)
-          throw new IllegalArgumentException(s"no such index: ${unquote(idxName)}")
+          throw new IllegalArgumentException(s"no such index: $ixn")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case dropTableRe(ifExists, name) =>
         val t = unquote(name)
@@ -1123,8 +1133,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           df => df.withColumnRenamed(unquote(from), unquote(to)),
           sch => StructType(sch.fields.map(f =>
             if (f.name == unquote(from)) f.copy(name = unquote(to)) else f)))
+        // SQLite renames the column inside its indexes too
+        catalog.renameColumnInIndexes(db, branch, unquote(name),
+          unquote(from), unquote(to))
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case alterDropRe(name, _, colName) =>
+        // SQLite refuses to drop an indexed column ("cannot drop column")
+        val ixs = catalog.indexesOnColumn(db, branch, unquote(name), unquote(colName))
+        if (ixs.nonEmpty)
+          throw new IllegalArgumentException(
+            s"cannot drop column ${unquote(colName)}: indexed by ${ixs.mkString(", ")}")
         alterColumn(db, branch, unquote(name), unquote(colName),
           df => df.drop(unquote(colName)),
           sch => StructType(sch.fields.filterNot(_.name == unquote(colName))))
@@ -1958,9 +1976,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             // recorded clustering indexes for the table
             val t = Option(arg).map(a => unquote(a.trim)).getOrElse("")
             val rows = catalog.clusterIndexesForTable(db, branch, t)
-              .zipWithIndex.map { case ((n, _), i) =>
+              .zipWithIndex.map { case ((n, d), i) =>
                 Seq(SqlValue.IntVal(i.toLong), SqlValue.TextVal(n),
-                  SqlValue.IntVal(0), SqlValue.TextVal("c"), SqlValue.IntVal(0))
+                  SqlValue.IntVal(if (d.unique) 1 else 0),
+                  SqlValue.TextVal("c"),
+                  SqlValue.IntVal(if (d.partial) 1 else 0))
               }
             QueryResponse(input.id,
               Seq("seq", "name", "unique", "origin", "partial"), rows)

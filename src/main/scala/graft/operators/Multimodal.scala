@@ -320,7 +320,10 @@ object Multimodal {
     require(cc(0) == "RIFF" && cc(8) == "AVI ", "not an AVI")
     var width = 0; var height = 0; var fps = 0
     val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      // honest containers nest hdrl/strl/movi a handful deep; a crafted
+      // LIST chain must fail cleanly, not blow the stack
+      require(depth <= 32, "corrupt AVI: LIST nesting too deep")
       var off = start
       while (off + 8 <= end) {
         val id = cc(off)
@@ -329,19 +332,22 @@ object Multimodal {
         // (long arithmetic: a ~2 GiB claimed size would overflow int)
         require(size >= 0 && off + 8L + size <= bytes.length,
           s"corrupt AVI: chunk $id at $off claims $size bytes")
-        if (id == "LIST") walk(off + 12, off + 8 + size)
+        if (id == "LIST") walk(off + 12, off + 8 + size, depth + 1)
         else id match {
           case "avih" =>
             require(size >= 40, "corrupt AVI: short avih")
             width = bb.getInt(off + 8 + 32); height = bb.getInt(off + 8 + 36)
-            require(width > 0 && height > 0 && width * height <= (1 << 26),
+            // long multiply: lying dimensions must not wrap past the guard
+            require(width > 0 && height > 0 &&
+              width.toLong * height <= (1L << 26),
               s"corrupt AVI: dimensions ${width}x$height")
           case "strh" if size >= 28 && cc(off + 8) == "vids" =>
             val scale = bb.getInt(off + 8 + 20); val rate = bb.getInt(off + 8 + 24)
             if (scale > 0) fps = rate / scale
           case "00db" | "00dc" =>
             val stride = (width * 3 + 3) / 4 * 4
-            require(width > 0 && height > 0 && size >= stride * height,
+            require(width > 0 && height > 0 &&
+              size >= stride.toLong * height,
               s"corrupt AVI: frame chunk of $size bytes for ${width}x$height")
             val rgb = new Array[Byte](width * height * 3)
             var y = 0
@@ -362,7 +368,7 @@ object Multimodal {
         off += 8 + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, bytes.length)
+    walk(12, bytes.length, 0)
     require(width > 0 && height > 0 && frames.nonEmpty, "no video stream")
     (width, height, fps, frames.toSeq)
   }

@@ -198,6 +198,23 @@ class EngineSpec extends AnyFunSuite {
     assert(ii.error.isEmpty, ii.error)
     assert(ii.rows == Seq(Seq(SqlValue.IntVal(0), SqlValue.IntVal(1),
       SqlValue.TextVal("v"))))
+    // UNIQUE/partial flags surface through index_list in SQLite's shape
+    assert(s.execute("db1", "main",
+      q("CREATE UNIQUE INDEX uix ON ct(id) WHERE id > 0")).error.isEmpty)
+    val il2 = s.execute("db1", "main", q("PRAGMA index_list(ct)"))
+    val uixRow = il2.rows.find(_(1) == SqlValue.TextVal("uix")).get
+    assert(uixRow(2) == SqlValue.IntVal(1) && uixRow(4) == SqlValue.IntVal(1))
+    // nested-paren expression indexes and exotic names are accepted (the
+    // round-3 no-op accepted them; the clustering upgrade must too)
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX elix ON ct(lower(v))")).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX \"spaced ix\" ON ct(v)")).error.isEmpty)
+    // column names resolve case-insensitively, like SQLite and Spark
+    assert(s.execute("db1", "main", q("CREATE INDEX csx ON ct(V)")).error.isEmpty)
+    assert(s.catalog.clusterIndex("db1", "main", "csx").map(_.cols) == Some(Seq("v")))
+    Seq("uix", "elix", "\"spaced ix\"", "csx").foreach(n =>
+      assert(s.execute("db1", "main", q(s"DROP INDEX $n")).error.isEmpty))
     // defs persist: a fresh session over the same root still clusters
     val s2 = new GraftSession(spark, dir)
     assert(s2.catalog.clusterColsFor("db1", "main", "ct") == Seq("v"))
@@ -206,6 +223,35 @@ class EngineSpec extends AnyFunSuite {
     assert(s2.execute("db1", "main", q("DROP INDEX ctv")).error.nonEmpty)
     assert(s2.execute("db1", "main", q("DROP INDEX IF EXISTS ctv")).error.isEmpty)
     assert(s2.catalog.clusterColsFor("db1", "main", "ct").isEmpty)
+    // ALTER interplay (SQLite semantics): a column rename follows into the
+    // index; an indexed column refuses to drop
+    s2.execute("db1", "main", q("CREATE TABLE ct2 (a INTEGER, b INTEGER)"))
+    s2.execute("db1", "main", q("INSERT INTO ct2 VALUES (1, 2)"))
+    assert(s2.execute("db1", "main", q("CREATE INDEX c2x ON ct2(b)")).error.isEmpty)
+    assert(s2.execute("db1", "main",
+      q("ALTER TABLE ct2 RENAME COLUMN b TO bb")).error.isEmpty)
+    assert(s2.catalog.clusterIndex("db1", "main", "c2x").map(_.cols) == Some(Seq("bb")))
+    val refuse = s2.execute("db1", "main", q("ALTER TABLE ct2 DROP COLUMN bb"))
+    assert(refuse.error.contains("cannot drop column"), refuse.error)
+    assert(s2.execute("db1", "main", q("DROP INDEX c2x")).error.isEmpty)
+    assert(s2.execute("db1", "main",
+      q("ALTER TABLE ct2 DROP COLUMN bb")).error.isEmpty)
+    // single-fileset tables still get clustered (a CTAS or post-UPDATE
+    // rewrite is one unsorted fileset — the index must not be inert)
+    s2.execute("db1", "main",
+      q("CREATE TABLE ct3 AS SELECT id, (9 - id) % 7 AS v3 FROM ct"))
+    assert(s2.execute("db1", "main", q("CREATE INDEX c3x ON ct3(v3)")).error.isEmpty)
+    s2.compact("db1", "main", "ct3")
+    val v3 = s2.catalog.currentVersion("db1", "main", "ct3").get
+    val l3 = java.nio.file.Files.list(java.nio.file.Paths.get(v3.paths.head))
+    val p3 =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(l3.iterator())
+        .asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+      finally l3.close()
+    p3.foreach { f =>
+      val vs = spark.read.parquet(f).select("v3").collect().map(_.getLong(0))
+      assert(vs.toSeq == vs.toSeq.sorted, s"single-fileset table not clustered: $f")
+    }
   }
 
   test("transactional DML on an FTS-indexed table: commit reindexes, rollback doesn't") {
