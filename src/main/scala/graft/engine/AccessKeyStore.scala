@@ -18,8 +18,16 @@ class AccessKeyStore(root: Path, keyManager: Option[KeyManager] = None) {
   load()
   keyManager.foreach(_.registerStore(() => prepareRotation(), () => commitRotation()))
 
+  /** Mutations serialize against an in-flight key rotation (the gate is
+    * entered BEFORE the store monitor — see KeyManager.guardMutation for
+    * the lock order): a persist between the rotation's sidecar prepare
+    * and its commit rename would otherwise land under the new key and be
+    * clobbered by the stale sidecar. */
+  private def guarded[T](f: => T): T =
+    keyManager.map(_.guardMutation(f)).getOrElse(f)
+
   /** Re-write the store (a key rotation re-encrypts under the new key). */
-  def repersist(): Unit = synchronized(persist())
+  def repersist(): Unit = guarded(synchronized(persist()))
 
   /** Rotation phase 1: write the re-encrypted bytes to a sidecar; the
     * live file stays under the previous key until commitRotation(). */
@@ -109,7 +117,7 @@ class AccessKeyStore(root: Path, keyManager: Option[KeyManager] = None) {
   /** Create a key with a generated id/secret (reference
     * access_key_manager.go Create: random id + secret). */
   def create(description: String, statements: Seq[AccessKeyStatement]): AccessKey =
-    synchronized {
+    guarded(synchronized {
       val now = System.currentTimeMillis()
       val k = AccessKey(
         "lbdbak_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16),
@@ -119,12 +127,12 @@ class AccessKeyStore(root: Path, keyManager: Option[KeyManager] = None) {
       keys(k.id) = k
       persist()
       k
-    }
+    })
 
   /** Insert a caller-constructed key (tests, bootstrap). */
-  def put(k: AccessKey): AccessKey = synchronized {
+  def put(k: AccessKey): AccessKey = guarded(synchronized {
     keys(k.id) = k; persist(); k
-  }
+  })
 
   def get(id: String): Option[AccessKey] = synchronized(keys.get(id))
 
@@ -132,7 +140,7 @@ class AccessKeyStore(root: Path, keyManager: Option[KeyManager] = None) {
 
   def update(id: String, description: Option[String],
       statements: Option[Seq[AccessKeyStatement]]): Option[AccessKey] =
-    synchronized {
+    guarded(synchronized {
       keys.get(id).map { k =>
         val nk = k.copy(
           description = description.getOrElse(k.description),
@@ -142,11 +150,11 @@ class AccessKeyStore(root: Path, keyManager: Option[KeyManager] = None) {
         persist()
         nk
       }
-    }
+    })
 
-  def delete(id: String): Boolean = synchronized {
+  def delete(id: String): Boolean = guarded(synchronized {
     val existed = keys.remove(id).isDefined
     if (existed) persist()
     existed
-  }
+  })
 }

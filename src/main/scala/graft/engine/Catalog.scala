@@ -48,10 +48,15 @@ class Catalog(val root: Path) {
   /** One committed state of a table: file-set + bookkeeping. `pk` records
     * declared PRIMARY KEY columns (drives INSERT OR REPLACE/IGNORE's
     * conflict target — not enforced as a constraint, SURVEY §7.5);
-    * `defaults` maps column -> DEFAULT expression text. */
+    * `defaults` maps column -> DEFAULT expression text. `clusteredBy` is
+    * the clustering order THIS version's files were physically laid out
+    * in (set by compaction, cleared by any rewrite that doesn't sort) —
+    * lets compaction skip re-sorting a version that already matches the
+    * recorded index instead of churning identical versions. */
   case class TableVersion(ts: Long, paths: Seq[String], rowCount: Long,
       maxRowId: Long, schemaDdl: String, pk: Seq[String] = Nil,
-      defaults: Map[String, String] = Map.empty)
+      defaults: Map[String, String] = Map.empty,
+      clusteredBy: Seq[String] = Nil)
 
   case class BranchState(tables: mutable.Map[String, mutable.ArrayBuffer[TableVersion]])
 
@@ -107,6 +112,9 @@ class Catalog(val root: Path) {
       val dn = vn.putObject("defaults")
       v.defaults.foreach { case (k, e) => dn.put(k, e) }
     }
+    if (v.clusteredBy.nonEmpty) {
+      val ca = vn.putArray("clusteredBy"); v.clusteredBy.foreach(ca.add)
+    }
   }
 
   private def readVersionNode(vn: com.fasterxml.jackson.databind.JsonNode): TableVersion =
@@ -116,7 +124,8 @@ class Catalog(val root: Path) {
       vn.path("schemaDdl").asText(),
       vn.path("pk").elements().asScala.map(_.asText()).toSeq,
       vn.path("defaults").properties().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .map(e => e.getKey -> e.getValue.asText()).toMap,
+      vn.path("clusteredBy").elements().asScala.map(_.asText()).toSeq)
 
   /** Serialize one branch's state under the caller's (global) lock;
     * the returned thunk does the file IO without it. (`private[engine]`

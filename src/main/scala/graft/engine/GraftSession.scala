@@ -5,7 +5,7 @@ import java.util.UUID
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, monotonically_increasing_id, row_number, sum}
+import org.apache.spark.sql.functions.{col, concat_ws, lit, monotonically_increasing_id, row_number, sum}
 import org.apache.spark.sql.types._
 
 /** The engine facade: litebase's query lifecycle re-expressed over Spark.
@@ -34,7 +34,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // secrets-at-rest encryption key (LITEBASE_ENCRYPTION_KEY analog);
     // None = plaintext stores, Some = AES-GCM-encrypted stores with the
     // /v1/keys + /v1/keys/activate rotation contract
-    encryptionKey: Option[String] = None) {
+    encryptionKey: Option[String] = None,
+    // auto-compaction trigger (B15): fold a table's file-sets when an
+    // append pushes the list to this size; 0 disables
+    val autoCompactThreshold: Int = 64) {
 
   val keyManager = new KeyManager(rootDir, encryptionKey)
   val catalog = new Catalog(rootDir)
@@ -198,6 +201,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       txn.staged.keys.foreach(t =>
         ftsOnTxnCommit(txn.db, txn.branch, t,
           txn.baseTs.getOrElse(t, -1L)))
+      txn.staged.keys.foreach(t => maybeAutoCompact(txn.db, txn.branch, t))
     }
   }
 
@@ -243,9 +247,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // recorded index order becomes physical; a single-fileset table still
     // rewrites when an index is recorded (a CTAS result or a post-UPDATE
     // rewrite is one fileset but unsorted — skipping would leave the index
-    // permanently inert)
+    // permanently inert). A single-fileset version whose RECORDED layout
+    // (clusteredBy) already matches the current index is a no-op: skip
+    // instead of churning an identical version on every compact/vacuum.
     val clusterCols = catalog.clusterColsFor(db, branch, table)
-    if (cur.paths.size <= 1 && clusterCols.isEmpty) return artifactFolds
+    val schemaCols = StructType.fromDDL(cur.schemaDdl).fieldNames
+    val sortCols = clusterCols.filter(c =>
+      schemaCols.exists(_.equalsIgnoreCase(c)))
+    if (cur.paths.size <= 1 &&
+        (sortCols.isEmpty || cur.clusteredBy == sortCols)) return artifactFolds
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     // FTS artifacts also collapse UPDATE/DELETE fold deltas (negative-tf
@@ -260,16 +270,26 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // a range-partitioned sort makes every output file's min/max on the
     // indexed columns disjoint, so scans with predicates on them prune
     // files before reading
-    val sortCols = clusterCols.filter(c =>
-      folded.columns.exists(_.equalsIgnoreCase(c)))
     val laidOut =
       if (sortCols.isEmpty) folded
       else folded.sort(sortCols.map(col): _*)
     laidOut.write.parquet(dir.toString)
     catalog.commitVersion(db, branch, table,
-      cur.copy(ts = ts, paths = Seq(dir.toString)))
+      cur.copy(ts = ts, paths = Seq(dir.toString), clusteredBy = sortCols))
     cur.paths.size + artifactFolds
   }
+
+  /** Post-append small-file control (r4 ask #5; the reference compacts
+    * its page logs on a 2 s cadence, pkg/storage/page_logger.go:17-18):
+    * when a table's file-set list reaches the threshold, fold it inside
+    * the SAME write-queue slot as the append that crossed it, so
+    * sustained single-row INSERTs can never accrete unbounded small
+    * file-sets waiting for an explicit compact verb. 0 disables. */
+  private def maybeAutoCompact(db: String, branch: String, table: String): Unit =
+    if (autoCompactThreshold > 0 &&
+        catalog.currentVersion(db, branch, table)
+          .exists(_.paths.size >= autoCompactThreshold))
+      compactLocked(db, branch, table)
 
   /** Register existing parquet data as a table — the bulk-ingest path.
     * Zero-copy: the manifest points at the files in place (the lakehouse
@@ -282,14 +302,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     require(catalog.currentVersion(db, branch, table).isEmpty,
       s"table $table already exists")
     val df = sess.read.parquet(path)
-    val n = df.count()
     val ts = catalog.nextVersionTs()
-    val paths =
+    // copy mode counts the copied files (one source pass: the write);
+    // zero-copy counts the source in place (footer metadata, no rewrite)
+    val (paths, n) =
       if (copy) {
         val dir = catalog.newVersionDir(db, branch, table, ts)
         df.write.parquet(dir.toString)
-        Seq(dir.toString)
-      } else Seq(path)
+        (Seq(dir.toString),
+          sess.read.schema(df.schema).parquet(dir.toString).count())
+      } else (Seq(path), df.count())
     catalog.commitVersion(db, branch, table,
       catalog.TableVersion(ts, paths, n, n, df.schema.toDDL))
     n
@@ -931,8 +953,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     """(?is)^\s*create\s+view\s+(if\s+not\s+exists\s+)?([\w"]+)\s+as\s+((?:select|with)\b.+?)\s*;?\s*$""".r
   private val dropViewRe =
     """(?is)^\s*drop\s+view\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
+  // the column list is captured from the first '(' to END OF STATEMENT and
+  // split on the BALANCED close paren in the handler — a greedy `\((.*)\)`
+  // would swallow parenthesized partial-index WHERE clauses
+  // (`... ON t(a) WHERE (a > 0)`, `WHERE a IN (1,2)`) into the column list
   private val createIndexRe =
-    """(?is)^\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?("[^"]+"|[\w.]+)\s+on\s+("[^"]+"|\w+)\s*\((.*)\)\s*(where\b.*?)?;?\s*$""".r
+    """(?is)^\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?("[^"]+"|[\w.]+)\s+on\s+("[^"]+"|\w+)\s*(\(.*)$""".r
   private val dropIndexRe =
     """(?is)^\s*drop\s+index\s+(if\s+exists\s+)?("[^"]+"|[\w.]+)\s*;?\s*$""".r
   private val dropTableRe =
@@ -1039,10 +1065,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         } else {
           registerViews(db, branch, txn)
           val df = sess.sql(sel)
-          val n = df.count()
           val ts = catalog.nextVersionTs()
           val dir = catalog.newVersionDir(db, branch, t, ts)
+          // single-pass: write, then count the written files (the SELECT
+          // can be arbitrarily expensive; never execute it twice)
           df.write.parquet(dir.toString)
+          val n = sess.read.schema(df.schema).parquet(dir.toString).count()
           catalog.commitVersion(db, branch, t,
             catalog.TableVersion(ts, Seq(dir.toString), n, n, df.schema.toDDL))
         }
@@ -1064,11 +1092,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         if (!existed && ifExists == null)
           throw new IllegalArgumentException(s"no such view: ${unquote(name)}")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
-      case createIndexRe(uniq, ifNotExists, idxName, tbl, colList, whereTail) =>
+      case createIndexRe(uniq, ifNotExists, idxName, tbl, rest) =>
         // no b-tree: the index RECORDS a clustering order — the next
         // compaction rewrites the table range-sorted on these columns, so
         // parquet min/max statistics prune scans (SURVEY §2A row 2).
-        // Like all DDL in this engine, immediate (non-transactional).
+        val close = Sql.matchingParen(rest, 0)
+        if (close < 0)
+          throw new IllegalArgumentException(
+            "malformed CREATE INDEX: unbalanced column list")
+        val colList = rest.substring(1, close)
+        val tail = rest.substring(close + 1).trim
+          .stripSuffix(";").stripSuffix(" ").trim
+        val isPartial = tail.toLowerCase.startsWith("where")
+        if (tail.nonEmpty && !isPartial)
+          throw new IllegalArgumentException(
+            s"malformed CREATE INDEX near: ${tail.take(40)}")
         val ixn = unquote(idxName).split("\\.").last // main.ix -> ix
         val table = unquote(tbl)
         require(catalog.currentVersion(db, branch, table).isDefined,
@@ -1095,7 +1133,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           }
           catalog.putClusterIndex(db, branch, ixn,
             ClusterIndexDef(table, cols,
-              unique = uniq != null, partial = whereTail != null))
+              unique = uniq != null, partial = isPartial))
         }
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case dropIndexRe(ifExists, idxName) =>
@@ -1234,7 +1272,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       val dir = catalog.newVersionDir(db, branch, table, ts)
       transform(readVersion(cur)).write.parquet(dir.toString)
       catalog.commitVersion(db, branch, table,
-        cur.copy(ts = ts, paths = Seq(dir.toString), schemaDdl = newSchema.toDDL))
+        cur.copy(ts = ts, paths = Seq(dir.toString),
+          schemaDdl = newSchema.toDDL, clusteredBy = Nil))
     }
   }
 
@@ -1256,7 +1295,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           .cast(sqliteTypeToSpark(colType)))
         .write.parquet(dir.toString)
       catalog.commitVersion(db, branch, table,
-        cur.copy(ts = ts, paths = Seq(dir.toString), schemaDdl = newSchema.toDDL))
+        cur.copy(ts = ts, paths = Seq(dir.toString),
+          schemaDdl = newSchema.toDDL, clusteredBy = Nil))
     }
   }
 
@@ -1276,6 +1316,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       t.staged(table) = v
     case None =>
       catalog.commitVersion(db, branch, table, v.asInstanceOf[catalog.TableVersion])
+      maybeAutoCompact(db, branch, table)
   }
 
   /** Evaluate a RETURNING column list over the affected-rows DataFrame. */
@@ -1344,32 +1385,51 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       return doUpsert(db, branch, table, cur, rows, up, input, txn, ret)
     }
     // bare FTS vtable backing tables auto-assign rowids (fts5's implicit
-    // rowid): fill nulls from the maxRowId counter. The row_number window
-    // spans only this INSERT batch, never the stored table.
+    // rowid): fill nulls from the maxRowId counter, per-partition (no
+    // global window — a bulk load must not funnel through one task).
     val isBareFts = catalog.ftsIndex(db, branch, table).exists(_.table == table)
     val toWrite =
       if (isBareFts && rows.columns.contains("rowid"))
-        rows.withColumn("rowid", coalesce(col("rowid"),
-          lit(cur.maxRowId) +
-            row_number().over(Window.orderBy(monotonically_increasing_id()))
-              .cast("long")))
+        assignRowIds(rows, cur.maxRowId)
       else rows
-    val n = toWrite.count()
+    // single-pass INSERT: the source plan executes exactly once (the
+    // write); `changes` comes from counting the files just written — an
+    // empty-projection parquet scan, never a re-execution of an
+    // arbitrarily expensive INSERT ... SELECT source
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     toWrite.write.parquet(dir.toString)
+    val written = sess.read.schema(toWrite.schema).parquet(dir.toString)
+    val n = written.count()
     val v = cur.copy(ts = ts, paths = cur.paths :+ dir.toString,
-      rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n)
-      .asInstanceOf[catalog.TableVersion]
+      rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n,
+      clusteredBy = Nil).asInstanceOf[catalog.TableVersion]
     commitOrStage(db, branch, table, v, txn)
     // index maintenance: incremental append over just the new rows;
     // transaction-staged writes are indexed at commit instead
-    if (txn.isEmpty) ftsOnAppend(db, branch, table, sess.read.parquet(dir.toString))
+    if (txn.isEmpty) ftsOnAppend(db, branch, table, written)
     // RETURNING reads the just-written file, not the input plan (cheap,
     // and exactly the rows that landed)
-    val (rcols, rrows) = returningRows(sess.read.parquet(dir.toString), ret)
+    val (rcols, rrows) = returningRows(written, ret)
     QueryResponse(input.id, rcols, rrows, changes = n,
       lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
+  }
+
+  /** Fill null rowids with maxRowId + batch position — the scale-safe
+    * form: the batch is pinned once (localCheckpoint, so the source plan
+    * runs exactly once), then ids are assigned per-partition via
+    * zipWithIndex (a per-partition count + a cumulative offset), never a
+    * single-partition global window. Rows that arrive with an explicit
+    * rowid keep it and still consume a position, matching the previous
+    * row_number-over-the-batch semantics. */
+  private def assignRowIds(rows: DataFrame, base: Long): DataFrame = {
+    val snap = rows.localCheckpoint()
+    val schema = snap.schema
+    val idx = schema.fieldIndex("rowid")
+    val assigned = snap.rdd.zipWithIndex().map { case (r, i) =>
+      if (r.isNullAt(idx)) Row.fromSeq(r.toSeq.updated(idx, base + i + 1)) else r
+    }
+    sess.createDataFrame(assigned, schema)
   }
 
   /** SQLite UPSERT (upsert.html), batch semantics: a "conflict" is an
@@ -1414,16 +1474,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
          |LEFT ANTI JOIN __graft_target t ON $joinCond""".stripMargin)
     up.set match {
       case None => // DO NOTHING: append the non-conflicting rows only
-        val n = toInsert.count()
         val ts = catalog.nextVersionTs()
         val dir = catalog.newVersionDir(db, branch, table, ts)
         toInsert.write.parquet(dir.toString)
+        val written = sess.read.schema(toInsert.schema).parquet(dir.toString)
+        val n = written.count() // from the written files — single-pass
         commitOrStage(db, branch, table,
           cur.copy(ts = ts, paths = cur.paths :+ dir.toString,
-            rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n)
-            .asInstanceOf[catalog.TableVersion], txn)
-        if (txn.isEmpty) ftsOnAppend(db, branch, table, sess.read.parquet(dir.toString))
-        val (rcols, rrows) = returningRows(sess.read.parquet(dir.toString), ret)
+            rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n,
+            clusteredBy = Nil).asInstanceOf[catalog.TableVersion], txn)
+        if (txn.isEmpty) ftsOnAppend(db, branch, table, written)
+        val (rcols, rrows) = returningRows(written, ret)
         QueryResponse(input.id, rcols, rrows, changes = n,
           lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
       case Some(setPart) => // DO UPDATE SET ... [WHERE ...]
@@ -1455,8 +1516,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         commitOrStage(db, branch, table,
           cur.copy(ts = ts, paths = Seq(dir.toString),
             rowCount = cur.rowCount + insCount,
-            maxRowId = cur.maxRowId + insCount)
-            .asInstanceOf[catalog.TableVersion], txn)
+            maxRowId = cur.maxRowId + insCount,
+            clusteredBy = Nil).asInstanceOf[catalog.TableVersion], txn)
         if (txn.isEmpty && updCount + insCount > 0 &&
             catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
           // updated rows fold old→new; inserted rows append positive-only
@@ -1505,7 +1566,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
     commitOrStage(db, branch, table,
-      cur.copy(ts = ts, paths = Seq(dir.toString))
+      cur.copy(ts = ts, paths = Seq(dir.toString), clusteredBy = Nil)
         .asInstanceOf[catalog.TableVersion], txn)
     if (txn.isEmpty && changes > 0 &&
         catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
@@ -1564,7 +1625,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
     commitOrStage(db, branch, table,
-      cur.copy(ts = ts, paths = Seq(dir.toString))
+      cur.copy(ts = ts, paths = Seq(dir.toString), clusteredBy = Nil)
         .asInstanceOf[catalog.TableVersion], txn)
     if (txn.isEmpty && changes > 0 &&
         catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
@@ -1599,7 +1660,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     remaining.write.parquet(dir.toString)
     commitOrStage(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString),
-        rowCount = cur.rowCount - changes)
+        rowCount = cur.rowCount - changes, clusteredBy = Nil)
         .asInstanceOf[catalog.TableVersion], txn)
     if (txn.isEmpty && changes > 0 &&
         catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
@@ -1879,7 +1940,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val dir = catalog.newVersionDir(db, branch, t, ts)
     df.write.parquet(dir.toString)
     catalog.commitVersion(db, branch, t,
-      cur.copy(ts = ts, paths = cur.paths :+ dir.toString))
+      cur.copy(ts = ts, paths = cur.paths :+ dir.toString, clusteredBy = Nil))
+    maybeAutoCompact(db, branch, t)
   }
 
   // --- PRAGMA (allowlist of read-only pragmas, pkg/auth/pragma_list.go) ----
@@ -2130,6 +2192,34 @@ object Sql {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** Index of the close paren matching the open paren at `openIdx`
+    * (string-literal-aware), or -1 when unbalanced. */
+  def matchingParen(s: String, openIdx: Int): Int = {
+    require(openIdx < s.length && s.charAt(openIdx) == '(',
+      s"no open paren at $openIdx")
+    var depth = 0
+    var inStr = false
+    var i = openIdx
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Split on a separator at paren/quote top level. */

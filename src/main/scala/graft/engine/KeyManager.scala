@@ -31,6 +31,16 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
 
   @volatile private var active: Option[String] = initialKey
   @volatile private var next: Option[String] = None
+  // store mutations vs. in-flight rotation: a store persist() between a
+  // sidecar prepare and its commit rename would write the LIVE file under
+  // the NEW key (encrypt() follows `active`, which flips before phase 1)
+  // and then be clobbered by the stale sidecar — and a crash in that
+  // window leaves a file under the new key with `.graft_key` still
+  // holding the old hash and no marker, bricking the root. Mutators take
+  // the read side BEFORE their store monitor; activate() holds the write
+  // side for the whole two-phase swap, so no store can persist mid-swap.
+  private val rotationGate =
+    new java.util.concurrent.locks.ReentrantReadWriteLock()
   // previous key kept for the duration of a rotation: store files not yet
   // re-persisted decrypt via this fallback, so a half-rotated root stays
   // readable in-process and the activation can be retried
@@ -81,6 +91,15 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
   }
 
   def encryptionEnabled: Boolean = active.isDefined
+
+  /** Run a store mutation (anything that persists a live store file)
+    * serialized against an in-flight rotation. MUST be entered before the
+    * store's own monitor — activate() acquires store monitors while
+    * holding the write side, so the reverse order would deadlock. */
+  def guardMutation[T](f: => T): T = {
+    rotationGate.readLock().lock()
+    try f finally rotationGate.readLock().unlock()
+  }
 
   /** Stores call this so a rotation can re-encrypt them under the new key
     * in two phases: `prepare` writes the re-encrypted bytes to a SIDECAR
@@ -192,26 +211,32 @@ class KeyManager(root: Path, initialKey: Option[String] = None) {
     * retried, and reads fall back to the previous key meanwhile; a retry
     * preserves the ORIGINAL old key as the fallback. */
   def activate(key: String): Unit = {
-    val stores = synchronized {
-      if (!next.contains(key))
-        throw new IllegalArgumentException("the encryption key is invalid")
-      if (!active.contains(key)) fallback = active
-      active = Some(key)
-      next = None
-      onRotate
-    }
-    try stores.foreach(_._1()) // phase 1: sidecars under the new key
-    catch {
-      case e: Throwable =>
-        synchronized { next = Some(key) } // re-stage so activate() can retry
-        throw e
-    }
-    synchronized {
-      writeHash(nextHashPath, key) // every sidecar holds the new key
-      stores.foreach(_._2()) // phase 2: atomic renames
-      writeHash(keyHashPath, key)
-      Files.deleteIfExists(nextHashPath)
-      fallback = None
-    }
+    // hold the write side across BOTH phases: no store mutation may
+    // persist a live file while `active` is the new key but the live
+    // files are still under the old one (see rotationGate)
+    rotationGate.writeLock().lock()
+    try {
+      val stores = synchronized {
+        if (!next.contains(key))
+          throw new IllegalArgumentException("the encryption key is invalid")
+        if (!active.contains(key)) fallback = active
+        active = Some(key)
+        next = None
+        onRotate
+      }
+      try stores.foreach(_._1()) // phase 1: sidecars under the new key
+      catch {
+        case e: Throwable =>
+          synchronized { next = Some(key) } // re-stage so activate() can retry
+          throw e
+      }
+      synchronized {
+        writeHash(nextHashPath, key) // every sidecar holds the new key
+        stores.foreach(_._2()) // phase 2: atomic renames
+        writeHash(keyHashPath, key)
+        Files.deleteIfExists(nextHashPath)
+        fallback = None
+      }
+    } finally rotationGate.writeLock().unlock()
   }
 }

@@ -27,8 +27,15 @@ class UserStore(root: Path, keyManager: Option[KeyManager] = None) {
   load()
   keyManager.foreach(_.registerStore(() => prepareRotation(), () => commitRotation()))
 
+  /** Mutations serialize against an in-flight key rotation (gate entered
+    * BEFORE the store monitor — see KeyManager.guardMutation): a persist
+    * mid-rotation would land under the new key and be clobbered by the
+    * stale sidecar rename. */
+  private def guarded[T](f: => T): T =
+    keyManager.map(_.guardMutation(f)).getOrElse(f)
+
   /** Re-write the store (a key rotation re-encrypts under the new key). */
-  def repersist(): Unit = synchronized(persist())
+  def repersist(): Unit = guarded(synchronized(persist()))
 
   /** Rotation phase 1: write the re-encrypted bytes to a sidecar; the
     * live file stays under the previous key until commitRotation(). */
@@ -133,7 +140,7 @@ class UserStore(root: Path, keyManager: Option[KeyManager] = None) {
   }
 
   def add(username: String, password: String,
-      statements: Seq[AccessKeyStatement]): User = synchronized {
+      statements: Seq[AccessKeyStatement]): User = guarded(synchronized {
     require(username != "root", "cannot create root user")
     require(!users.contains(username), s"user $username already exists")
     val now = System.currentTimeMillis()
@@ -142,7 +149,7 @@ class UserStore(root: Path, keyManager: Option[KeyManager] = None) {
     users(username) = u
     persist()
     u
-  }
+  })
 
   def get(username: String): Option[User] = synchronized(users.get(username))
 
@@ -169,23 +176,24 @@ class UserStore(root: Path, keyManager: Option[KeyManager] = None) {
     }
 
   def update(username: String, password: Option[String],
-      statements: Option[Seq[AccessKeyStatement]]): Option[User] = synchronized {
-    users.get(username).map { u =>
-      val salt = java.util.UUID.randomUUID().toString
-      val nu = u.copy(
-        passwordHash = password.map(hash(_, salt)).getOrElse(u.passwordHash),
-        salt = password.map(_ => salt).getOrElse(u.salt),
-        statements = statements.getOrElse(u.statements),
-        updatedAt = System.currentTimeMillis())
-      users(username) = nu
-      persist()
-      nu
-    }
-  }
+      statements: Option[Seq[AccessKeyStatement]]): Option[User] =
+    guarded(synchronized {
+      users.get(username).map { u =>
+        val salt = java.util.UUID.randomUUID().toString
+        val nu = u.copy(
+          passwordHash = password.map(hash(_, salt)).getOrElse(u.passwordHash),
+          salt = password.map(_ => salt).getOrElse(u.salt),
+          statements = statements.getOrElse(u.statements),
+          updatedAt = System.currentTimeMillis())
+        users(username) = nu
+        persist()
+        nu
+      }
+    })
 
-  def remove(username: String): Boolean = synchronized {
+  def remove(username: String): Boolean = guarded(synchronized {
     val existed = users.remove(username).isDefined
     if (existed) persist()
     existed
-  }
+  })
 }

@@ -486,4 +486,45 @@ class AuthSpec extends AnyFunSuite {
     val st2 = new AccessKeyStore(dir)
     assert(st2.get(k.id).map(_.secret) == Some(k.secret))
   }
+
+  test("store writes serialize against an in-flight rotation") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def hmacHex(k: String, msg: String): String = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(k.getBytes(UTF_8), "HmacSHA256"))
+      mac.doFinal(msg.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    }
+    val dir = Files.createTempDirectory("graft-rot-race")
+    val km = new KeyManager(dir, Some("key-one"))
+    val store = new AccessKeyStore(dir, Some(km))
+    store.put(AccessKey("pre", secret = "s-pre"))
+    // a slow store holds the rotation open mid-swap: a concurrent put used
+    // to persist the live file under the NEW key here and then be
+    // clobbered by the stale phase-2 sidecar rename (lost write) — or, if
+    // the process died, brick the root (live file under the new key,
+    // .graft_key still the old hash, no marker)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    km.registerStore(() => { entered.countDown(); gate.await() }, () => ())
+    km.storeNext("key-two", hmacHex("key-one", "key-two"))
+    val rot = new Thread(() => km.activate("key-two"))
+    rot.start()
+    entered.await()
+    val putDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val putter = new Thread(() => {
+      store.put(AccessKey("mid", secret = "s-mid")); putDone.set(true)
+    })
+    putter.start()
+    Thread.sleep(300)
+    assert(!putDone.get, "a store write ran inside an in-flight rotation")
+    gate.countDown()
+    rot.join(20000); putter.join(20000)
+    assert(putDone.get, "the blocked write must complete after the rotation")
+    // nothing was lost or left under the wrong key: a restart with the
+    // new key reads BOTH writes
+    val km2 = new KeyManager(dir, Some("key-two"))
+    val store2 = new AccessKeyStore(dir, Some(km2))
+    assert(store2.get("pre").map(_.secret) == Some("s-pre"))
+    assert(store2.get("mid").map(_.secret) == Some("s-mid"))
+  }
 }

@@ -1539,4 +1539,137 @@ class EngineSpec extends AnyFunSuite {
     assert(s.catalog.currentVersion("db1", "main", "__fts_notes_postings").isEmpty)
     assert(s.catalog.currentVersion("db1", "main", "notes").isEmpty)
   }
+
+  test("INSERT ... SELECT executes its source plan exactly once") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE src1p (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO src1p VALUES (1), (2), (3), (4)"))
+    s.execute("db1", "main", q("CREATE TABLE dst1p (id INTEGER)"))
+    val srcPath = s.catalog.currentVersion("db1", "main", "src1p").get.paths.head
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case st: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          descs.add(st.physicalPlanDescription)
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the setup INSERT's own write execution has srcPath as its OUTPUT;
+      // let stragglers drain off the async bus, then start counting
+      Thread.sleep(1000)
+      descs.clear()
+      val r = s.execute("db1", "main",
+        q("INSERT INTO dst1p SELECT id * 2 FROM src1p"))
+      assert(r.error.isEmpty, r.error)
+      assert(r.changes == 4)
+      // the listener bus is async: wait until the source scan appears,
+      // then a grace period in which a second execution would land
+      def scans = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(descs).asScala.count(_.contains(srcPath))
+      var tries = 0
+      while (scans == 0 && tries < 200) { Thread.sleep(25); tries += 1 }
+      Thread.sleep(500)
+      assert(scans == 1, s"INSERT source executed $scans times, expected 1")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val sel = s.execute("db1", "main", q("SELECT id FROM dst1p ORDER BY id"))
+    assert(sel.rows.map(_.head) == Seq(2L, 4L, 6L, 8L).map(SqlValue.IntVal))
+  }
+
+  test("bare FTS rowid assignment is continuous without a global window") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE VIRTUAL TABLE memos USING fts5(body)"))
+    val vals = (1 to 50).map(i => s"('note word$i')").mkString(", ")
+    assert(s.execute("db1", "main",
+      q(s"INSERT INTO memos(body) VALUES $vals")).error.isEmpty)
+    val r1 = s.execute("db1", "main", q("SELECT rowid FROM memos ORDER BY rowid"))
+    assert(r1.rows.map(_.head) == (1 to 50).map(i => SqlValue.IntVal(i.toLong)))
+    // the next batch continues from maxRowId, no gaps and no collisions
+    val ins2 = s.execute("db1", "main",
+      q("INSERT INTO memos(body) VALUES ('alpha'), ('beta')"))
+    assert(ins2.error.isEmpty, ins2.error)
+    assert(ins2.lastInsertRowId == 52)
+    val r2 = s.execute("db1", "main",
+      q("SELECT count(DISTINCT rowid) AS c, max(rowid) AS m FROM memos"))
+    assert(r2.rows.head == Seq(SqlValue.IntVal(52), SqlValue.IntVal(52)))
+  }
+
+  test("partial-index WHERE with parens keeps the column list intact") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE pt (a INTEGER, b TEXT)"))
+    s.execute("db1", "main", q("INSERT INTO pt VALUES (1, 'x')"))
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX pip ON pt(a) WHERE (a > 0)")).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX pin ON pt(b) WHERE a IN (1, 2)")).error.isEmpty)
+    // both record their actual columns (a greedy regex used to swallow
+    // the parenthesized WHERE into the column list, leaving no columns)
+    val ii1 = s.execute("db1", "main", q("PRAGMA index_info(pip)"))
+    assert(ii1.rows == Seq(Seq(SqlValue.IntVal(0), SqlValue.IntVal(0),
+      SqlValue.TextVal("a"))))
+    val ii2 = s.execute("db1", "main", q("PRAGMA index_info(pin)"))
+    assert(ii2.rows == Seq(Seq(SqlValue.IntVal(0), SqlValue.IntVal(1),
+      SqlValue.TextVal("b"))))
+    // and both report partial=1 through index_list
+    val il = s.execute("db1", "main", q("PRAGMA index_list(pt)"))
+    assert(il.error.isEmpty, il.error)
+    assert(il.rows.map(r => (r(1), r(4))).toSet ==
+      Set((SqlValue.TextVal("pip"), SqlValue.IntVal(1)),
+        (SqlValue.TextVal("pin"), SqlValue.IntVal(1))))
+    // malformed trailing garbage is rejected, not silently recorded
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX bad ON pt(a) BOGUS trailing")).error.nonEmpty)
+  }
+
+  test("auto-compaction folds file-sets when appends cross the threshold") {
+    val dir = Files.createTempDirectory("graft-autocompact")
+    val s = new GraftSession(spark, dir, autoCompactThreshold = 4)
+    s.createDatabase("db1")
+    s.execute("db1", "main", q("CREATE TABLE ac (id INTEGER, v INTEGER)"))
+    (1 to 10).foreach { i =>
+      assert(s.execute("db1", "main",
+        q(s"INSERT INTO ac VALUES ($i, ${i * 2})")).error.isEmpty)
+    }
+    val cur = s.catalog.currentVersion("db1", "main", "ac").get
+    assert(cur.paths.size < 4, s"file-sets grew to ${cur.paths.size}")
+    assert(cur.rowCount == 10)
+    val sel = s.execute("db1", "main",
+      q("SELECT count(*) AS c, sum(v) AS sv FROM ac"))
+    assert(sel.rows.head == Seq(SqlValue.IntVal(10), SqlValue.IntVal(110)))
+    // clustering is still applied when the fold runs with an index recorded
+    s.execute("db1", "main", q("CREATE INDEX acv ON ac(v)"))
+    (11 to 20).foreach { i =>
+      s.execute("db1", "main", q(s"INSERT INTO ac VALUES ($i, ${(21 - i) * 2})"))
+    }
+    val cur2 = s.catalog.currentVersion("db1", "main", "ac").get
+    assert(cur2.paths.size < 4)
+    // trailing appends since the last auto-fold cleared the recorded
+    // layout; an explicit compact restores it
+    s.compact("db1", "main", "ac")
+    assert(s.catalog.currentVersion("db1", "main", "ac").get
+      .clusteredBy == Seq("v"))
+    val sel2 = s.execute("db1", "main", q("SELECT count(*) AS c FROM ac"))
+    assert(sel2.rows.head.head == SqlValue.IntVal(20))
+  }
+
+  test("compact skips the rewrite when the layout already matches the index") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE ctn (id INTEGER, v INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO ctn VALUES (1, 9), (2, 3)"))
+    s.execute("db1", "main", q("INSERT INTO ctn VALUES (3, 7), (4, 1)"))
+    s.execute("db1", "main", q("CREATE INDEX ctnv ON ctn(v)"))
+    assert(s.compact("db1", "main", "ctn") == 2) // folds + lays out
+    val h1 = s.catalog.versionHistory("db1", "main", "ctn").length
+    // already single-fileset AND laid out on v: a second compact must not
+    // churn a new identical version
+    assert(s.compact("db1", "main", "ctn") == 0)
+    assert(s.catalog.versionHistory("db1", "main", "ctn").length == h1)
+    // any unsorted rewrite clears the recorded layout; compact re-sorts
+    s.execute("db1", "main", q("UPDATE ctn SET v = 0 WHERE id = 1"))
+    assert(s.catalog.currentVersion("db1", "main", "ctn").get.clusteredBy.isEmpty)
+    assert(s.compact("db1", "main", "ctn") == 1)
+    assert(s.catalog.currentVersion("db1", "main", "ctn").get.clusteredBy == Seq("v"))
+  }
 }
