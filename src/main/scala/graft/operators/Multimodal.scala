@@ -105,8 +105,8 @@ object Multimodal {
     (w, h, rgb)
   }
 
-  /** Encode RGB pixels as 24-bit BMP via javax.imageio (pure JDK). */
-  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+  private def toBufferedImage(width: Int, height: Int,
+      rgb: Array[Byte]): java.awt.image.BufferedImage = {
     require(rgb.length == width * height * 3, "rgb length must be w*h*3")
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -121,12 +121,48 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  private def writeImage(img: java.awt.image.RenderedImage,
+      format: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", bos)
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no imageio writer for $format")
     bos.toByteArray
   }
 
-  /** Decode a BMP via javax.imageio: returns (width, height, rgb). */
+  /** Encode RGB pixels as 24-bit BMP via javax.imageio (pure JDK). */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    writeImage(toBufferedImage(width, height, rgb), "bmp")
+
+  /** Encode RGB pixels as PNG (lossless) via javax.imageio (pure JDK). */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    writeImage(toBufferedImage(width, height, rgb), "png")
+
+  /** Encode RGB pixels as JPEG via javax.imageio (pure JDK — the stock
+    * JDK ships a JPEG plugin). Lossy: decoded stats are approximate, so
+    * JPEG is exercised by tolerance specs, not the hash oracle. */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    writeImage(toBufferedImage(width, height, rgb), "jpeg")
+
+  /** Encode 8-bit grayscale pixels as GIF with an explicit 256-entry gray
+    * palette: every sample maps to its own palette slot, so the encode is
+    * LOSSLESS (arbitrary-RGB GIF would quantize to 256 colors — not
+    * oracle-checkable; grayscale is). */
+  def encodeGifGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height, "pixel length must be w*h")
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    img.getRaster.setDataElements(0, 0, width, height, pixels)
+    writeImage(img, "gif")
+  }
+
+  /** Decode any stock-JDK imageio format (BMP, PNG, GIF, JPEG) into
+    * (width, height, rgb). Named for its first client; the path is the
+    * generic ImageIO reader. */
   def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "not a decodable image")
@@ -151,18 +187,19 @@ object Multimodal {
   case class DecodedImage(media_id: Long, format: String, width: Long,
     height: Long, mean_pixel: Double)
 
-  /** REAL image decode behind the mapPartitions seam: payloads whose kind
-    * is "ppm" or "bmp" are parsed by actual container decoders; the
-    * decoded stats (dimensions + channel mean) are what downstream quality
-    * filters consume. Iterator-in/iterator-out, no partition
-    * materialization — the same shape real codec fleets run at 100 TB. */
+  /** REAL image decode behind the mapPartitions seam: PPM by a hand
+    * container parser; BMP/PNG/GIF/JPEG by the stock JDK's imageio
+    * readers. The decoded stats (dimensions + channel mean) are what
+    * downstream quality filters consume. Iterator-in/iterator-out, no
+    * partition materialization — the same shape real codec fleets run at
+    * 100 TB. */
   def decodeImages(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[DecodedImage] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val (w, h, rgb) = r.kind match {
           case "ppm" => decodePpm(r.payload)
-          case "bmp" => decodeBmp(r.payload)
+          case "bmp" | "png" | "gif" | "jpeg" | "jpg" => decodeBmp(r.payload)
           case k => throw new IllegalArgumentException(s"no codec for kind $k")
         }
         var sum = 0L
@@ -425,7 +462,7 @@ object Multimodal {
       rows.map { r =>
         val (w, h, rgb) = r.kind match {
           case "ppm" => decodePpm(r.payload)
-          case "bmp" => decodeBmp(r.payload)
+          case "bmp" | "png" | "gif" | "jpeg" | "jpg" => decodeBmp(r.payload)
           case k => throw new IllegalArgumentException(s"no image codec for kind $k")
         }
         val w2 = w / factor

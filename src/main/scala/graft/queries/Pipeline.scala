@@ -305,6 +305,49 @@ object Pipeline {
       |GROUP BY d.doc_id, d.w, d.h
       |ORDER BY media_id""".stripMargin
 
+  /** PNG + GIF decode through the same seam as p14 — the stock JDK's
+    * imageio readers handle both losslessly, so the stats are closed-form
+    * oracle-checkable: even docs carry RGB PNGs (pixel i = (d*31+i)%256
+    * over w*h*3 bytes), odd docs 8-bit grayscale GIFs with an identity
+    * palette (pixel i = (d*31+i)%256 over w*h; decoded r=g=b so the
+    * channel mean equals the grayscale mean). JPEG decodes through the
+    * same dispatch but is lossy — pinned by tolerance specs instead. */
+  def p31PngGifDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 6 + (id % 5).toInt
+      if (id % 2 == 0) {
+        val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
+        Multimodal.MediaRow(id, "png", Multimodal.encodePng(w, h, rgb))
+      } else {
+        val px = Array.tabulate[Byte](w * h)(i => ((id * 31 + i) % 256).toByte)
+        Multimodal.MediaRow(id, "gif", Multimodal.encodeGifGray(w, h, px))
+      }
+    }
+    Multimodal.decodeImages(media)
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        round(col("mean_pixel"), 6).as("mean_pixel"))
+      .orderBy(col("media_id"))
+  }
+
+  val p31Oracle: String =
+    """WITH series AS (SELECT unnest(generate_series(0, 479)) AS i),
+      |dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN (8 + doc_id % 9) * (6 + doc_id % 5) * 3
+      |       ELSE (8 + doc_id % 9) * (6 + doc_id % 5) END AS n
+      |         FROM documents)
+      |SELECT d.doc_id AS media_id,
+      |  CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+      |  d.w AS width, d.h AS height,
+      |  round(CAST(sum((d.doc_id*31 + s.i) % 256) AS DOUBLE) / d.n, 6)
+      |    AS mean_pixel
+      |FROM dims d JOIN series s ON s.i < d.n
+      |GROUP BY d.doc_id, d.w, d.h, d.n
+      |ORDER BY media_id""".stripMargin
+
   /** Deterministic hash sampling (training-data subsetting at 100 TB): a
     * row is kept iff the first 4 hex digits of md5(doc_id) fall below the
     * rate threshold — reproducible, join-stable, zero shuffle, no RNG.
@@ -790,12 +833,14 @@ object Pipeline {
     "p27_video_decode" -> (p27VideoDecode _),
     "p28_image_resize" -> (p28ImageResize _),
     "p29_chunking" -> (p29Chunking _),
-    "p30_pii_redact" -> (p30PiiRedact _))
+    "p30_pii_redact" -> (p30PiiRedact _),
+    "p31_pnggif_decode" -> (p31PngGifDecode _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
     "q34_fts_self_join" -> q34Oracle,
     "p14_multimodal_decode" -> p14Oracle,
+    "p31_pnggif_decode" -> p31Oracle,
     "p15_fts_match" -> p15Oracle,
     "p19_fts_phrase" -> p19Oracle,
     "p20_fts_prefix" -> p20Oracle,

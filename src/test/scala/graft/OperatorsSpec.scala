@@ -324,6 +324,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(0).mean_pixel - expectedMean) < 1e-12)
   }
 
+  test("PNG and grayscale GIF are lossless; JPEG decodes within tolerance") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    val w = 13; val h = 9
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 53 + 11) % 256).toByte)
+    // png: lossless RGB through the stock JDK reader
+    val png = Multimodal.encodePng(w, h, rgb)
+    assert(png.length > 8 && (png(1) & 0xFF) == 'P'.toInt) // \x89PNG magic
+    val (pw, ph, prgb) = Multimodal.decodeBmp(png)
+    assert(pw == w && ph == h && prgb.toSeq == rgb.toSeq)
+    // gif: 8-bit grayscale with an identity palette is lossless; decoded
+    // channels replicate the gray value
+    val gray = Array.tabulate[Byte](w * h)(i => ((i * 19 + 3) % 256).toByte)
+    val gif = Multimodal.encodeGifGray(w, h, gray)
+    assert(new String(gif.take(3), "US-ASCII") == "GIF")
+    val (gw, gh, grgb) = Multimodal.decodeBmp(gif)
+    assert(gw == w && gh == h)
+    (0 until w * h).foreach { i =>
+      assert(grgb(i * 3) == gray(i) && grgb(i * 3 + 1) == gray(i) &&
+        grgb(i * 3 + 2) == gray(i), s"gif pixel $i not preserved")
+    }
+    // jpeg: lossy — dimensions exact, mean within a few levels
+    val jpg = Multimodal.encodeJpeg(w, h, rgb)
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8) // SOI marker
+    val (jw, jh, jrgb) = Multimodal.decodeBmp(jpg)
+    assert(jw == w && jh == h)
+    val srcMean = rgb.map(_ & 0xFF).map(_.toLong).sum.toDouble / rgb.length
+    val jpgMean = jrgb.map(_ & 0xFF).map(_.toLong).sum.toDouble / jrgb.length
+    assert(math.abs(srcMean - jpgMean) < 8.0, s"jpeg mean drifted: $srcMean vs $jpgMean")
+    // the decodeImages dispatch accepts all three kinds
+    val media = Seq(
+      Multimodal.MediaRow(1L, "png", png),
+      Multimodal.MediaRow(2L, "gif", gif),
+      Multimodal.MediaRow(3L, "jpeg", jpg)).toDS()
+    val out = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(out.length == 3 && out.forall(d => d.width == w && d.height == h))
+  }
+
   test("hash sampling is deterministic, join-stable and near the target rate") {
     import graft.operators.Sampling
     val ids = spark.range(0, 20000).toDF("id")
