@@ -66,7 +66,62 @@ object Bench {
     val spreads = results.map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runsPerQuery,"sf":"$sfDir"}""")
+
+    // Previous-round comparison: load the latest BENCH_r{N}.json (or
+    // SPARK_GRAFT_BENCH_PREV) and flag any query whose min exceeds the
+    // previous min by more than the NOISE BAND — the larger of the two
+    // runs' spreads, floored at 50 ms — so regressions are machine-caught
+    // instead of eyeballed. The comparison fields always land in the JSON;
+    // the non-zero exit is opt-in (SPARK_GRAFT_BENCH_STRICT=1) so a
+    // slower HOST doesn't turn the recording run itself into a failure.
+    val benchFileRe = "BENCH_r(\\d+)\\.json".r
+    val prevFile = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(new java.io.File(_))
+      .orElse(Option(new java.io.File(".").listFiles()).flatMap(_.toSeq
+        .flatMap(f => f.getName match {
+          case benchFileRe(n) => Some((n.toInt, f))
+          case _ => None
+        }).sortBy(-_._1).headOption.map(_._2)))
+      .filter(_.isFile)
+    val prevNode = prevFile.flatMap { f =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        if (root.has("queries")) Some(root)
+        else {
+          // driver wrapper: our own JSON line is embedded in its "tail"
+          val tail = Option(root.get("tail")).map(_.asText()).getOrElse("")
+          val at = tail.lastIndexOf("{\"metric\"")
+          if (at < 0) None
+          else {
+            val line = tail.substring(at).takeWhile(_ != '\n')
+            try Some(om.readTree(line)) catch { case _: Throwable => None }
+          }
+        }
+      } catch { case _: Throwable => None }
+    }
+    def prevOf(section: String, k: String): Option[Double] =
+      prevNode.flatMap(p => Option(p.get(section)))
+        .flatMap(n => Option(n.get(k))).map(_.asDouble)
+    val regressions = results.collect {
+      case (k, (v, s)) if v >= 0 && prevOf("queries", k).exists { pv =>
+        pv >= 0 && v - pv >
+          math.max(0.05, math.max(s, prevOf("spread", k).getOrElse(0.0)))
+      } => k
+    }
+    val prevQs = results.flatMap { case (k, _) =>
+      prevOf("queries", k).map(pv => "\"" + k + "\":" + f"$pv%.3f")
+    }.mkString("{", ",", "}")
+    val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val prevName = prevFile.map(f => "\"" + f.getName + "\"").getOrElse("null")
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runsPerQuery,"prev":$prevQs,"prev_file":$prevName,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
+    if (regressions.nonEmpty &&
+        sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
+      System.err.println(s"[bench] regressions outside noise band: " +
+        regressions.mkString(", "))
+      sys.exit(3)
+    }
   }
 }
