@@ -494,6 +494,12 @@ class Catalog(val root: Path) {
   private val pendingDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Forget in-flight dirs a rolled-back transaction created: their files
+    * are deleted by the engine; keeping the entries would only grow the
+    * vacuum reachability set unboundedly. */
+  def releasePendingDirs(paths: Seq[String]): Unit =
+    paths.foreach(pendingDirs.remove)
+
   /** Data directory for a new version's files. */
   def newVersionDir(db: String, branch: String, table: String, ts: Long): Path = {
     val p = root.resolve(db).resolve(branch).resolve(table).resolve(s"v$ts")

@@ -1,8 +1,9 @@
 package graft.engine
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{col, concat_ws, lit, monotonically_increasing_id, row_number, sum}
@@ -51,18 +52,79 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   val viewRegistrations = new java.util.concurrent.atomic.AtomicLong()
   private val transactions = mutable.Map[String, Txn]()
 
+  /** Everything a savepoint must be able to restore: the staged data
+    * versions AND the staged catalog (DDL) overlay AND the FTS pending
+    * deltas. Immutable snapshots — copy-on-push is cheap, these hold
+    * manifest records and paths, not data. */
+  case class TxnSnapshot(staged: Map[String, Catalog#TableVersion],
+      baseTs: Map[String, Long], droppedTables: Set[String],
+      stagedViews: Vector[(String, Option[String])],
+      stagedIndexes: Vector[(String, Option[ClusterIndexDef])],
+      stagedFts: Vector[(String, Option[FtsIndexDef])],
+      ftsPending: Vector[(String, Option[String], Option[String])],
+      ftsDirty: Set[String])
+
+  /** Interactive transaction (B5): staged data versions plus a staged
+    * CATALOG overlay, so DDL executed inside the transaction is visible
+    * to its own reads and discarded on ROLLBACK — the reference gets this
+    * for free from SQLite's transactional DDL through the pinned
+    * connection (pkg/database/transaction.go:125-131).
+    *   - staged/baseTs: per-table staged versions + snapshot-isolation base
+    *   - droppedTables: tables DROPped (or renamed away) inside the txn
+    *   - stagedViews/stagedIndexes/stagedFts: name -> Some(def)=create,
+    *     None=drop, insertion-ordered
+    *   - ftsPending: per-statement touched-row deltas (table, oldDir,
+    *     newDir) materialized to scratch parquet — commit-time FTS
+    *     maintenance reads THESE, never the whole table
+    *   - ftsDirty: tables whose pending deltas were invalidated (ALTER);
+    *     commit falls back to the base-vs-current diff for them
+    *   - newDirs: version-data dirs created by staged statements — deleted
+    *     on rollback (staged data must leave no files behind)
+    *   - scratchDirs: ftsPending materializations — deleted on BOTH
+    *     commit (consumed) and rollback */
   case class Txn(id: String, db: String, branch: String,
       staged: mutable.Map[String, Catalog#TableVersion],
       baseTs: mutable.Map[String, Long],
       createdAt: Long = System.currentTimeMillis(),
-      // SAVEPOINT stack: (name, staged snapshot, baseTs snapshot) —
-      // copy-on-push is cheap, the maps hold manifest records, not data
-      savepoints: mutable.ArrayBuffer[
-        (String, Map[String, Catalog#TableVersion], Map[String, Long])] =
+      droppedTables: mutable.Set[String] = mutable.Set(),
+      stagedViews: mutable.LinkedHashMap[String, Option[String]] =
+        mutable.LinkedHashMap(),
+      stagedIndexes: mutable.LinkedHashMap[String, Option[ClusterIndexDef]] =
+        mutable.LinkedHashMap(),
+      stagedFts: mutable.LinkedHashMap[String, Option[FtsIndexDef]] =
+        mutable.LinkedHashMap(),
+      ftsPending: mutable.ArrayBuffer[(String, Option[String], Option[String])] =
+        mutable.ArrayBuffer(),
+      ftsDirty: mutable.Set[String] = mutable.Set(),
+      newDirs: mutable.ArrayBuffer[String] = mutable.ArrayBuffer(),
+      scratchDirs: mutable.ArrayBuffer[String] = mutable.ArrayBuffer(),
+      savepoints: mutable.ArrayBuffer[(String, TxnSnapshot)] =
         mutable.ArrayBuffer()) {
     // the reference's transactions die on a 5-minute context deadline
     // (pkg/database/transaction.go:55)
     def expired: Boolean = System.currentTimeMillis() - createdAt > txnTimeoutMillis
+
+    def snapshot(): TxnSnapshot = TxnSnapshot(staged.toMap, baseTs.toMap,
+      droppedTables.toSet, stagedViews.toVector, stagedIndexes.toVector,
+      stagedFts.toVector, ftsPending.toVector, ftsDirty.toSet)
+
+    def restore(s: TxnSnapshot): Unit = {
+      staged.clear(); staged ++= s.staged
+      baseTs.clear(); baseTs ++= s.baseTs
+      droppedTables.clear(); droppedTables ++= s.droppedTables
+      stagedViews.clear(); stagedViews ++= s.stagedViews
+      stagedIndexes.clear(); stagedIndexes ++= s.stagedIndexes
+      stagedFts.clear(); stagedFts ++= s.stagedFts
+      ftsPending.clear(); ftsPending ++= s.ftsPending
+      ftsDirty.clear(); ftsDirty ++= s.ftsDirty
+      // newDirs/scratchDirs deliberately NOT restored: dirs created after
+      // the savepoint stay on disk until full rollback (or commit for the
+      // still-referenced ones) — reachability, not staging state
+    }
+
+    /** Has this transaction staged any DDL? (drives commit-time work) */
+    def hasDdl: Boolean = droppedTables.nonEmpty || stagedViews.nonEmpty ||
+      stagedIndexes.nonEmpty || stagedFts.nonEmpty
   }
 
   /** Background reaper (the reference's context deadline, which fires even
@@ -101,19 +163,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   def createSavepoint(txnId: String, name: String): Unit = synchronized {
     val t = transactions.getOrElse(txnId,
       throw new IllegalArgumentException("SAVEPOINT requires an open transaction"))
-    t.savepoints += ((name, t.staged.toMap, t.baseTs.toMap))
+    t.savepoints += ((name, t.snapshot()))
   }
 
-  /** Revert the transaction's staged state to the savepoint; the savepoint
-    * itself survives (SQLite: ROLLBACK TO can be repeated), later ones die. */
+  /** Revert the transaction's staged state (data AND catalog overlay) to
+    * the savepoint; the savepoint itself survives (SQLite: ROLLBACK TO
+    * can be repeated), later ones die. */
   def rollbackToSavepoint(txnId: String, name: String): Unit = synchronized {
     val t = transactions.getOrElse(txnId,
       throw new IllegalArgumentException("ROLLBACK TO requires an open transaction"))
     val idx = t.savepoints.lastIndexWhere(_._1 == name)
     if (idx < 0) throw new IllegalArgumentException(s"no such savepoint: $name")
-    val (_, staged, base) = t.savepoints(idx)
-    t.staged.clear(); t.staged ++= staged
-    t.baseTs.clear(); t.baseTs ++= base
+    t.restore(t.savepoints(idx)._2)
     t.savepoints.remove(idx + 1, t.savepoints.length - idx - 1)
   }
 
@@ -140,10 +201,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     if (!transactionInfo(id).contains((db, branch)))
       throw new DeniedException("transaction does not belong to this branch")
 
-  /** Drop every expired transaction; returns how many were reaped. */
-  def sweepExpiredTransactions(): Int = synchronized {
-    val dead = transactions.values.filter(_.expired).map(_.id).toSeq
-    dead.foreach(transactions.remove)
+  /** Drop every expired transaction; returns how many were reaped. A
+    * reaped transaction never committed, so its staged files are deleted
+    * like a rollback's. */
+  def sweepExpiredTransactions(): Int = {
+    val dead = synchronized {
+      val d = transactions.values.filter(_.expired).toSeq
+      d.foreach(t => transactions.remove(t.id))
+      d
+    }
+    dead.foreach(releaseTxnDirs(_, deleteNewDirs = true))
     dead.size
   }
 
@@ -177,37 +244,109 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       transactions.remove(id)
         .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
     }
+    val (db, branch) = (txn.db, txn.branch)
     // The conflict check + commit runs INSIDE the same per-branch write
     // queue as direct writes: a direct write landing between the baseTs
     // check and commitVersion would otherwise be silently overwritten
     // (check-then-commit under a lock the direct path never took).
-    writeQueues(txn.db, txn.branch).run {
+    writeQueues(db, branch).run {
       // snapshot-isolation conflict check (reference error 11001,
-      // pkg/constants/error.go:8-32): the base version we staged from must
-      // still be current.
-      txn.staged.keys.foreach { t =>
-        val currentTs = catalog.currentVersion(txn.db, txn.branch, t).map(_.ts).getOrElse(-1L)
-        if (txn.baseTs(t) != currentTs)
+      // pkg/constants/error.go:8-32): EVERY table this transaction staged
+      // from — written, created or dropped — must still be at the version
+      // it saw (a created table records base -1: it must still be absent).
+      txn.baseTs.foreach { case (t, ts) =>
+        val currentTs = catalog.currentVersion(db, branch, t).map(_.ts).getOrElse(-1L)
+        if (ts != currentTs)
           throw new IllegalStateException("Litebase Error[11001]: snapshot isolation conflict")
       }
-      txn.staged.foreach { case (t, v) =>
-        catalog.commitVersion(txn.db, txn.branch, t,
-          v.asInstanceOf[catalog.TableVersion])
+      // 1. staged catalog DDL, drops before creates so DROP+reCREATE of a
+      // name inside one transaction lands as a fresh table
+      txn.droppedTables.foreach(catalog.dropTable(db, branch, _))
+      txn.stagedFts.foreach { case (n, None) =>
+        catalog.dropFtsIndex(db, branch, n)
+        case _ => ()
       }
-      // staged writes were not indexed during the transaction: fold the
-      // base→committed DIFF through the delta path inside the same queue
-      // slot, so a concurrent INSERT's incremental index append can't
-      // interleave with the maintenance
-      txn.staged.keys.foreach(t =>
-        ftsOnTxnCommit(txn.db, txn.branch, t,
-          txn.baseTs.getOrElse(t, -1L)))
-      txn.staged.keys.foreach(t => maybeAutoCompact(txn.db, txn.branch, t))
+      txn.stagedIndexes.foreach {
+        case (n, None) => catalog.dropClusterIndex(db, branch, n)
+        case (n, Some(d)) => catalog.putClusterIndex(db, branch, n, d)
+      }
+      txn.stagedViews.foreach {
+        case (n, None) => catalog.dropView(db, branch, n)
+        case (n, Some(sql)) => catalog.putView(db, branch, n, sql)
+      }
+      txn.stagedFts.foreach { case (n, Some(d)) =>
+        catalog.putFtsIndex(db, branch, n, d)
+        case _ => ()
+      }
+      // 2. staged data versions
+      txn.staged.foreach { case (t, v) =>
+        catalog.commitVersion(db, branch, t, v.asInstanceOf[catalog.TableVersion])
+      }
+      // 3. FTS maintenance. Indexes CREATED in this transaction rebuild
+      // from the committed state (their in-txn artifacts may predate later
+      // staged DML). Pre-existing indexes fold the per-statement touched-
+      // row deltas the transaction materialized as it ran — O(changed
+      // rows), never a whole-table diff — falling back to the base-vs-
+      // current diff only where a mid-txn ALTER invalidated the deltas.
+      val createdFts = txn.stagedFts.collect { case (n, Some(_)) => n }.toSet
+      createdFts.foreach(ftsRebuild(db, branch, _))
+      val touched = (txn.staged.keySet ++ txn.ftsPending.map(_._1)).toSeq
+      val dirtyDone = mutable.Set[String]()
+      touched.foreach { t =>
+        val preexisting = catalog.ftsIndexesForTable(db, branch, t)
+          .filterNot { case (n, _) => createdFts.contains(n) }
+        if (preexisting.nonEmpty && txn.ftsDirty.contains(t) && !dirtyDone.contains(t)) {
+          dirtyDone += t
+          ftsTxnDiffFallback(db, branch, t, txn.baseTs.getOrElse(t, -1L),
+            preexisting.map(_._1).toSet)
+        }
+      }
+      txn.ftsPending.foreach { case (t, oldDir, newDir) =>
+        if (!txn.ftsDirty.contains(t)) {
+          val preexisting = catalog.ftsIndexesForTable(db, branch, t)
+            .filterNot { case (n, _) => createdFts.contains(n) }
+          if (preexisting.nonEmpty) {
+            val cur = catalog.currentVersion(db, branch, t)
+            val schema = StructType.fromDDL(cur.get.schemaDdl)
+            def readDelta(d: Option[String]): Option[DataFrame] =
+              d.map(p => sess.read.schema(schema).parquet(p))
+            ftsOnDelta(db, branch, t,
+              readDelta(oldDir).getOrElse(sess.createDataFrame(
+                sess.sparkContext.emptyRDD[Row], schema)),
+              readDelta(newDir), only = Some(preexisting.map(_._1).toSet))
+          }
+        }
+      }
+      txn.staged.keys.foreach(t => maybeAutoCompact(db, branch, t))
     }
+    releaseTxnDirs(txn, deleteNewDirs = false)
   }
 
-  def rollbackTransaction(id: String): Unit = synchronized {
-    transactions.remove(id)
-      .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
+  def rollbackTransaction(id: String): Unit = {
+    val txn = synchronized {
+      transactions.remove(id)
+        .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
+    }
+    releaseTxnDirs(txn, deleteNewDirs = true)
+  }
+
+  /** Drop a finished transaction's disk footprint: FTS scratch deltas
+    * always; staged version dirs only when the transaction did NOT commit
+    * (committed versions own their dirs now). */
+  private def releaseTxnDirs(txn: Txn, deleteNewDirs: Boolean): Unit = {
+    val doomed = txn.scratchDirs.toSeq ++
+      (if (deleteNewDirs) txn.newDirs.toSeq else Nil)
+    doomed.foreach { d =>
+      try {
+        val p = Paths.get(d)
+        if (Files.exists(p)) {
+          val walked = Files.walk(p)
+          try walked.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          finally walked.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    catalog.releasePendingDirs(txn.newDirs.toSeq)
   }
 
   /** Version-retention GC, transaction-aware: open transactions' staged
@@ -565,17 +704,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             .map(v => (s"__att_${alias}_$t", tdb, tbr, v))
         }
     }
-    val sqlViews = catalog.views(db, branch)
-    val live = catalog.tableNames(db, branch).toSet ++
-      txn.map(_.staged.keySet.toSet).getOrElse(Set.empty) ++
+    // the transaction's staged DDL overlays the committed catalog: staged
+    // creations appear, staged drops disappear, staged view defs override
+    val sqlViews = effViewsList(db, branch, txn)
+    val live = effTableNames(db, branch, txn).toSet ++
       attached.map(_._1) ++ sqlViews.map(_._1)
     var anyChanged = false
     (reg.keySet -- live).toSeq.foreach { v =>
       s.catalog.dropTempView(v); reg -= v; anyChanged = true
     }
     (live -- attached.map(_._1) -- sqlViews.map(_._1)).foreach { t =>
-      val v = txn.flatMap(_.staged.get(t).map(_.asInstanceOf[catalog.TableVersion]))
-        .orElse(catalog.currentVersion(db, branch, t))
+      val v = effVersion(db, branch, t, txn)
       v.foreach { ver =>
         val key = (db, branch, ver.ts)
         if (!reg.get(t).contains(key)) {
@@ -603,7 +742,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // base table was dropped stays unregistered — it errors when QUERIED,
     // like SQLite, instead of breaking every statement on the branch.
     val vv = catalog.viewsVersion(db, branch)
-    if (anyChanged || !sv.viewsState.contains((db, branch, vv))) {
+    val txnViewOverlay = txn.exists(_.stagedViews.nonEmpty)
+    if (anyChanged || txnViewOverlay ||
+        !sv.viewsState.contains((db, branch, vv))) {
       sqlViews.foreach { case (name, sql) =>
         try {
           s.sql(sql).createOrReplaceTempView(name)
@@ -614,7 +755,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             if (reg.contains(name)) { s.catalog.dropTempView(name); reg -= name }
         }
       }
-      sv.viewsState = Some((db, branch, vv))
+      // an overlaid registration must NOT satisfy the skip key: the next
+      // statement without this transaction needs the committed views back
+      sv.viewsState = if (txnViewOverlay) None else Some((db, branch, vv))
     }
   }
 
@@ -630,21 +773,25 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * transaction id minted for one db/branch cannot be used from another
     * database's query path — otherwise a key privileged on db B could
     * commit/read/stage db A's transaction by quoting its id. */
-  private def txnFor(db: String, branch: String, input: QueryInput): Option[Txn] =
-    if (input.transactionId.isEmpty) None
-    else synchronized {
+  private def txnFor(db: String, branch: String, input: QueryInput): Option[Txn] = {
+    if (input.transactionId.isEmpty) return None
+    val expired = synchronized {
       val t = transactions.get(input.transactionId)
       if (t.exists(_.expired)) {
         transactions.remove(input.transactionId)
-        throw new IllegalStateException("transaction timed out")
+        t
+      } else {
+        t.foreach { txn =>
+          if (txn.db != db || txn.branch != branch)
+            throw new DeniedException("transaction does not belong to this branch")
+        }
+        return t.orElse(throw new IllegalArgumentException(
+          s"no transaction ${input.transactionId}"))
       }
-      t.foreach { txn =>
-        if (txn.db != db || txn.branch != branch)
-          throw new DeniedException("transaction does not belong to this branch")
-      }
-      t.orElse(throw new IllegalArgumentException(
-        s"no transaction ${input.transactionId}"))
     }
+    expired.foreach(releaseTxnDirs(_, deleteNewDirs = true))
+    throw new IllegalStateException("transaction timed out")
+  }
 
   /** The canonical FTS5 read shape, rewritten onto the stored index:
     * SELECT <cols> FROM <idx> WHERE <idx> MATCH '<q>' [ORDER BY ...] [LIMIT n]
@@ -705,7 +852,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       alias: Option[String], query: String)
 
   private def rewriteMatchAnywhere(db: String, branch: String,
-      stmt0: String): Option[String] = {
+      stmt0: String, txn: Option[Txn] = None): Option[String] = {
     if (!stmt0.toLowerCase.contains("match")) return None
     var stmt = stmt0
     val found = mutable.ArrayBuffer[MatchPred]()
@@ -723,13 +870,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           // the MATCH target is the fts table itself or a relation alias
           // (`FROM fts a`, `JOIN fts AS b`, or a comma-list entry `, fts c`)
           val resolved: Option[(String, Option[String])] =
-            if (catalog.ftsIndex(db, branch, target).isDefined)
+            if (effFtsIndex(db, branch, target, txn).isDefined)
               Some((target, None))
             else {
               val aliasRe = ("""(?i)(?:\bfrom|\bjoin|,)\s*("?\w+"?)\s+(?:as\s+)?""" +
                 java.util.regex.Pattern.quote(m.group(1)) + """\b""").r
               aliasRe.findFirstMatchIn(mask).map(am => unquote(am.group(1)))
-                .filter(t => catalog.ftsIndex(db, branch, t).isDefined)
+                .filter(t => effFtsIndex(db, branch, t, txn).isDefined)
                 .map(t => (t, Some(m.group(1))))
             }
           resolved match {
@@ -756,7 +903,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // its match view (`FROM fts a, fts b WHERE a MATCH 'x' AND b MATCH 'y'`
     // → `FROM __fts_match0 a, __fts_match1 b`)
     found.filter(_.alias.isDefined).foreach { f =>
-      ftsMatchView(db, branch, f.ft, f.query).createOrReplaceTempView(f.view)
+      ftsMatchView(db, branch, f.ft, f.query, txn).createOrReplaceTempView(f.view)
       threadScratch.get() += f.view
       val relRe = ("""(?i)(\bfrom\s+|\bjoin\s+|,\s*)("?""" +
         java.util.regex.Pattern.quote(f.ft) + """"?)(\s+(?:as\s+)?""" +
@@ -779,7 +926,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     }
     // bare-table predicates: blanket redirect of the remaining references
     found.filter(_.alias.isEmpty).foreach { f =>
-      ftsMatchView(db, branch, f.ft, f.query).createOrReplaceTempView(f.view)
+      ftsMatchView(db, branch, f.ft, f.query, txn).createOrReplaceTempView(f.view)
       threadScratch.get() += f.view
       stmt = Sql.replaceIdent(stmt, f.ft, f.view)
     }
@@ -790,10 +937,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * then the search columns (rowid/doc/score/n_terms_hit/rank or hits)
     * that don't collide with content names. */
   private def ftsMatchView(db: String, branch: String, ftsTable: String,
-      query: String): DataFrame = {
-    val ix = catalog.ftsIndex(db, branch, ftsTable).get
-    val content = readTable(db, branch, ix.table)
-    val res = ftsSearch(db, branch, ftsTable, query).withColumn("rowid", col("doc"))
+      query: String, txn: Option[Txn] = None): DataFrame = {
+    val ix = effFtsIndex(db, branch, ftsTable, txn).get
+    val content = readTable(db, branch, ix.table, txn)
+    val res = ftsSearch(db, branch, ftsTable, query, txn)
+      .withColumn("rowid", col("doc"))
     val contentCols = content.columns.toSeq
     val extras = res.columns.toSeq.filterNot(contentCols.contains)
     content.join(res, content(ix.idCol) === res("doc"))
@@ -816,8 +964,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     input.statement.trim match {
       case matchRe(cols, from, target, q, orderBy, limitPart)
           if unquote(from) == unquote(target) &&
-            catalog.ftsIndex(db, branch, unquote(from)).isDefined =>
-        val result = ftsSearch(db, branch, unquote(from), q.replace("''", "'"))
+            effFtsIndex(db, branch, unquote(from), txn).isDefined =>
+        val result = ftsSearch(db, branch, unquote(from), q.replace("''", "'"), txn)
         result.createOrReplaceTempView("__fts_match")
         val df = sess.sql(s"SELECT $cols FROM __fts_match " +
           s"${Option(orderBy).getOrElse("")} ${Option(limitPart).getOrElse("")}")
@@ -835,7 +983,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         // fts index before parsing (the canonical single-table shape took
         // the fast path above); infix GLOB rewrites onto the glob() function
         val stmtM = rewriteGlobOperator(
-          rewriteMatchAnywhere(db, branch, stmt).getOrElse(stmt))
+          rewriteMatchAnywhere(db, branch, stmt, txn).getOrElse(stmt))
         // plan cache (B4): parse once per (sql, key), then EXECUTE the
         // cached parsed plan (Dataset.ofRows) — analysis still runs per
         // execution because view state may have changed, but a hot point
@@ -889,7 +1037,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       val stmtR0 = if (atts.isEmpty) stmt else Sql.rewriteAttached(stmt, atts.keySet)
       if (atts.nonEmpty) authorizeAttachedReads(key, atts, stmt, stmtR0)
       val stmtR = rewriteGlobOperator(
-        rewriteMatchAnywhere(db, branch, stmtR0).getOrElse(stmtR0))
+        rewriteMatchAnywhere(db, branch, stmtR0, txn).getOrElse(stmtR0))
       val df =
         if (input.parameters.isEmpty) sess.sql(stmtR)
         else sess.sql(stmtR, input.parameters.map(paramToJvm).toArray)
@@ -1050,16 +1198,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     }
     stmt3 match {
       case createVirtualRe(ifNot, name, argsPart) =>
-        createFtsVtable(db, branch, unquote(name), argsPart, ifNot != null)
+        createFtsVtable(db, branch, unquote(name), argsPart, ifNot != null, txn)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case createTableRe(ifNot, name, colDefs) =>
-        createTable(db, branch, unquote(name), colDefs, ifNot != null)
+        createTable(db, branch, unquote(name), colDefs, ifNot != null, txn)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case ctasRe(ifNot, name, sel) =>
         // CREATE TABLE ... AS SELECT (SQLite lang_createtable.html): the
         // result is materialized as the new table's first version
         val t = unquote(name)
-        if (catalog.currentVersion(db, branch, t).isDefined) {
+        if (effVersion(db, branch, t, txn).isDefined) {
           if (ifNot == null)
             throw new IllegalArgumentException(s"table $t already exists")
         } else {
@@ -1071,26 +1219,38 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           // can be arbitrarily expensive; never execute it twice)
           df.write.parquet(dir.toString)
           val n = sess.read.schema(df.schema).parquet(dir.toString).count()
-          catalog.commitVersion(db, branch, t,
-            catalog.TableVersion(ts, Seq(dir.toString), n, n, df.schema.toDDL))
+          txn.foreach(_.newDirs += dir.toString)
+          commitOrStage(db, branch, t,
+            catalog.TableVersion(ts, Seq(dir.toString), n, n, df.schema.toDDL),
+            txn)
         }
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case createViewRe(ifNot, name, sel) =>
         val v = unquote(name)
-        if (catalog.viewDef(db, branch, v).isDefined ||
-            catalog.currentVersion(db, branch, v).isDefined) {
+        if (effViewDef(db, branch, v, txn).isDefined ||
+            effVersion(db, branch, v, txn).isDefined) {
           if (ifNot == null)
             throw new IllegalArgumentException(s"view $v already exists")
         } else {
           // validate the definition parses now, like SQLite prepares it
           sess.sessionState.sqlParser.parsePlan(sel)
-          catalog.putView(db, branch, v, sel)
+          txn match {
+            case Some(x) => x.stagedViews(v) = Some(sel)
+            case None => catalog.putView(db, branch, v, sel)
+          }
         }
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case dropViewRe(ifExists, name) =>
-        val existed = catalog.dropView(db, branch, unquote(name))
+        val v = unquote(name)
+        val existed = txn match {
+          case Some(x) =>
+            val e = effViewDef(db, branch, v, txn).isDefined
+            if (e) x.stagedViews(v) = None
+            e
+          case None => catalog.dropView(db, branch, v)
+        }
         if (!existed && ifExists == null)
-          throw new IllegalArgumentException(s"no such view: ${unquote(name)}")
+          throw new IllegalArgumentException(s"no such view: $v")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case createIndexRe(uniq, ifNotExists, idxName, tbl, rest) =>
         // no b-tree: the index RECORDS a clustering order — the next
@@ -1109,16 +1269,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             s"malformed CREATE INDEX near: ${tail.take(40)}")
         val ixn = unquote(idxName).split("\\.").last // main.ix -> ix
         val table = unquote(tbl)
-        require(catalog.currentVersion(db, branch, table).isDefined,
+        require(effVersion(db, branch, table, txn).isDefined,
           s"no such table: $table")
-        if (catalog.clusterIndex(db, branch, ixn).isDefined) {
+        if (effClusterIndex(db, branch, ixn, txn).isDefined) {
           if (ifNotExists == null)
             throw new IllegalArgumentException(s"index $ixn already exists")
         } else {
           // resolve case-insensitively against the schema (SQLite and
           // Spark's resolver both treat V and v as the same column)
           val byLower = StructType.fromDDL(
-            catalog.currentVersion(db, branch, table).get.schemaDdl)
+            effVersion(db, branch, table, txn).get.schemaDdl)
             .fieldNames.map(f => f.toLowerCase -> f).toMap
           // plain column names (with optional COLLATE/ASC/DESC) cluster;
           // expression terms are accepted (SQLite does) but drive no
@@ -1131,14 +1291,23 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
               tail.matches("(collate\\s+\\w+\\s*)?(asc|desc)?")
             if (tailOk) byLower.get(name.toLowerCase) else None
           }
-          catalog.putClusterIndex(db, branch, ixn,
-            ClusterIndexDef(table, cols,
-              unique = uniq != null, partial = isPartial))
+          val d = ClusterIndexDef(table, cols,
+            unique = uniq != null, partial = isPartial)
+          txn match {
+            case Some(x) => x.stagedIndexes(ixn) = Some(d)
+            case None => catalog.putClusterIndex(db, branch, ixn, d)
+          }
         }
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case dropIndexRe(ifExists, idxName) =>
         val ixn = unquote(idxName).split("\\.").last
-        val existed = catalog.dropClusterIndex(db, branch, ixn)
+        val existed = txn match {
+          case Some(x) =>
+            val e = effClusterIndex(db, branch, ixn, txn).isDefined
+            if (e) x.stagedIndexes(ixn) = None
+            e
+          case None => catalog.dropClusterIndex(db, branch, ixn)
+        }
         if (!existed && ifExists == null)
           throw new IllegalArgumentException(s"no such index: $ixn")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
@@ -1146,14 +1315,36 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         val t = unquote(name)
         // DROP TABLE on an FTS vtable drops index + artifacts (+ bare
         // backing table); on a content table, dependent indexes cascade
-        val existed =
-          if (catalog.ftsIndex(db, branch, t).isDefined) dropFtsVtable(db, branch, t)
-          else {
-            val e = catalog.dropTable(db, branch, t)
-            if (e) catalog.ftsIndexesForTable(db, branch, t)
-              .foreach { case (n, _) => dropFtsVtable(db, branch, n) }
-            e
-          }
+        val existed = txn match {
+          case Some(x) =>
+            effFtsIndex(db, branch, t, txn) match {
+              case Some(ix) =>
+                val (pn, dn, sn) = ftsArtifacts(t)
+                Seq(pn, dn, sn).foreach(stagedDropTable(db, branch, x, _))
+                if (ix.table == t) stagedDropTable(db, branch, x, t)
+                x.stagedFts(t) = None
+                true
+              case None if effVersion(db, branch, t, txn).isDefined =>
+                stagedDropTable(db, branch, x, t)
+                effFtsIndexesForTable(db, branch, t, txn).foreach { case (n, _) =>
+                  val (pn, dn, sn) = ftsArtifacts(n)
+                  Seq(pn, dn, sn).foreach(stagedDropTable(db, branch, x, _))
+                  x.stagedFts(n) = None
+                }
+                effClusterIndexesForTable(db, branch, t, txn)
+                  .foreach { case (n, _) => x.stagedIndexes(n) = None }
+                true
+              case None => false
+            }
+          case None =>
+            if (catalog.ftsIndex(db, branch, t).isDefined) dropFtsVtable(db, branch, t)
+            else {
+              val e = catalog.dropTable(db, branch, t)
+              if (e) catalog.ftsIndexesForTable(db, branch, t)
+                .foreach { case (n, _) => dropFtsVtable(db, branch, n) }
+              e
+            }
+        }
         if (!existed && ifExists == null)
           throw new IllegalArgumentException(s"no such table: $t")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
@@ -1164,29 +1355,58 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         if (unquote(to).startsWith("__att_") || unquote(to).startsWith("__graft_") ||
             unquote(to).startsWith("__fts_"))
           throw new DeniedException(s"table ${unquote(to)} may not be modified")
-        catalog.renameTable(db, branch, unquote(from), unquote(to))
+        txn match {
+          case Some(x) =>
+            val f = unquote(from); val t2 = unquote(to)
+            val ver = effVersion(db, branch, f, txn).getOrElse(
+              throw new IllegalArgumentException(s"no such table: $f"))
+            if (effVersion(db, branch, t2, txn).isDefined)
+              throw new IllegalArgumentException(s"table $t2 already exists")
+            stagedDropTable(db, branch, x, f)
+            if (!x.baseTs.contains(t2))
+              x.baseTs(t2) = catalog.currentVersion(db, branch, t2)
+                .map(_.ts).getOrElse(-1L)
+            x.staged(t2) = ver
+            // indexes follow the rename (same as catalog.renameTable)
+            effClusterIndexesForTable(db, branch, f, txn).foreach {
+              case (n, d) => x.stagedIndexes(n) = Some(d.copy(table = t2))
+            }
+          case None => catalog.renameTable(db, branch, unquote(from), unquote(to))
+        }
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case alterRenameColRe(name, _, from, to) =>
         alterColumn(db, branch, unquote(name), unquote(from),
           df => df.withColumnRenamed(unquote(from), unquote(to)),
           sch => StructType(sch.fields.map(f =>
-            if (f.name == unquote(from)) f.copy(name = unquote(to)) else f)))
+            if (f.name == unquote(from)) f.copy(name = unquote(to)) else f)),
+          txn)
         // SQLite renames the column inside its indexes too
-        catalog.renameColumnInIndexes(db, branch, unquote(name),
-          unquote(from), unquote(to))
+        txn match {
+          case Some(x) =>
+            effClusterIndexesForTable(db, branch, unquote(name), txn).foreach {
+              case (n, d) if d.cols.exists(_.equalsIgnoreCase(unquote(from))) =>
+                x.stagedIndexes(n) = Some(d.copy(cols = d.cols.map(c =>
+                  if (c.equalsIgnoreCase(unquote(from))) unquote(to) else c)))
+              case _ => ()
+            }
+          case None =>
+            catalog.renameColumnInIndexes(db, branch, unquote(name),
+              unquote(from), unquote(to))
+        }
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case alterDropRe(name, _, colName) =>
         // SQLite refuses to drop an indexed column ("cannot drop column")
-        val ixs = catalog.indexesOnColumn(db, branch, unquote(name), unquote(colName))
+        val ixs = effIndexesOnColumn(db, branch, unquote(name), unquote(colName), txn)
         if (ixs.nonEmpty)
           throw new IllegalArgumentException(
             s"cannot drop column ${unquote(colName)}: indexed by ${ixs.mkString(", ")}")
         alterColumn(db, branch, unquote(name), unquote(colName),
           df => df.drop(unquote(colName)),
-          sch => StructType(sch.fields.filterNot(_.name == unquote(colName))))
+          sch => StructType(sch.fields.filterNot(_.name == unquote(colName))),
+          txn)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case alterAddRe(name, _, colName, colType) =>
-        alterAddColumn(db, branch, unquote(name), unquote(colName), colType)
+        alterAddColumn(db, branch, unquote(name), unquote(colName), colType, txn)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case insertValuesRe(name, _, cols, valuesPart) =>
         insertValues(db, branch, unquote(name), Option(cols), valuesPart, input, txn, ret, conflict2)
@@ -1213,9 +1433,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private val tablePkRe = """(?is)^primary\s+key\s*\(([^)]*)\).*$""".r
 
   private def createTable(db: String, branch: String, name: String,
-      colDefs: String, ifNotExists: Boolean): Unit = {
-    if (catalog.currentVersion(db, branch, name).isDefined ||
-        catalog.tableNames(db, branch).contains(name)) {
+      colDefs: String, ifNotExists: Boolean, txn: Option[Txn] = None): Unit = {
+    if (effVersion(db, branch, name, txn).isDefined ||
+        effTableNames(db, branch, txn).contains(name)) {
       if (ifNotExists) return
       throw new IllegalArgumentException(s"table $name already exists")
     }
@@ -1246,9 +1466,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       }
     }.toMap
     val ts = catalog.nextVersionTs()
-    catalog.commitVersion(db, branch, name,
+    commitOrStage(db, branch, name,
       catalog.TableVersion(ts, Nil, 0L, 0L, StructType(fields).toDDL,
-        if (tablePk.nonEmpty) tablePk else columnPk, defaults))
+        if (tablePk.nonEmpty) tablePk else columnPk, defaults), txn)
   }
 
   /** Shared ALTER ... RENAME COLUMN / DROP COLUMN (SQLite 3.25/3.35):
@@ -1257,35 +1477,37 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * column mapping, not worth it for a rare DDL verb). */
   private def alterColumn(db: String, branch: String, table: String,
       mustExist: String, transform: DataFrame => DataFrame,
-      reschema: StructType => StructType): Unit = {
-    val cur = catalog.currentVersion(db, branch, table)
-      .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      reschema: StructType => StructType, txn: Option[Txn] = None): Unit = {
+    val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     if (!schema.fieldNames.contains(mustExist))
       throw new IllegalArgumentException(s"no such column: $mustExist")
     val newSchema = reschema(schema)
     if (cur.paths.isEmpty) {
-      catalog.commitVersion(db, branch, table,
-        cur.copy(ts = catalog.nextVersionTs(), schemaDdl = newSchema.toDDL))
+      commitOrStage(db, branch, table,
+        cur.copy(ts = catalog.nextVersionTs(), schemaDdl = newSchema.toDDL), txn)
     } else {
       val ts = catalog.nextVersionTs()
       val dir = catalog.newVersionDir(db, branch, table, ts)
       transform(readVersion(cur)).write.parquet(dir.toString)
-      catalog.commitVersion(db, branch, table,
+      txn.foreach(_.newDirs += dir.toString)
+      commitOrStage(db, branch, table,
         cur.copy(ts = ts, paths = Seq(dir.toString),
-          schemaDdl = newSchema.toDDL, clusteredBy = Nil))
+          schemaDdl = newSchema.toDDL, clusteredBy = Nil), txn)
     }
+    // a schema change invalidates this transaction's recorded FTS deltas
+    // for the table — commit falls back to the base-vs-current diff
+    txn.foreach(_.ftsDirty += table)
   }
 
   private def alterAddColumn(db: String, branch: String, table: String,
-      colName: String, colType: String): Unit = {
-    val cur = catalog.currentVersion(db, branch, table)
-      .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      colName: String, colType: String, txn: Option[Txn] = None): Unit = {
+    val cur = currentOrStaged(db, branch, table, txn)
     val newSchema = StructType(StructType.fromDDL(cur.schemaDdl).fields :+
       StructField(colName, sqliteTypeToSpark(colType)))
     if (cur.paths.isEmpty) {
-      catalog.commitVersion(db, branch, table,
-        cur.copy(ts = catalog.nextVersionTs(), schemaDdl = newSchema.toDDL))
+      commitOrStage(db, branch, table,
+        cur.copy(ts = catalog.nextVersionTs(), schemaDdl = newSchema.toDDL), txn)
     } else {
       // rewrite with the new null-filled column
       val ts = catalog.nextVersionTs()
@@ -1294,16 +1516,142 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         .withColumn(colName, org.apache.spark.sql.functions.lit(null)
           .cast(sqliteTypeToSpark(colType)))
         .write.parquet(dir.toString)
-      catalog.commitVersion(db, branch, table,
+      txn.foreach(_.newDirs += dir.toString)
+      commitOrStage(db, branch, table,
         cur.copy(ts = ts, paths = Seq(dir.toString),
-          schemaDdl = newSchema.toDDL, clusteredBy = Nil))
+          schemaDdl = newSchema.toDDL, clusteredBy = Nil), txn)
+    }
+    txn.foreach(_.ftsDirty += table)
+  }
+
+  // --- effective catalog: the transaction's staged DDL overlaid on the
+  // committed state — what this transaction's statements see ------------
+
+  /** The table version a statement in `txn` sees: staged wins, a staged
+    * DROP hides the committed version, otherwise the committed state. */
+  private def effVersion(db: String, branch: String, table: String,
+      txn: Option[Txn]): Option[Catalog#TableVersion] =
+    txn.flatMap(_.staged.get(table)).orElse {
+      if (txn.exists(_.droppedTables.contains(table))) None
+      else catalog.currentVersion(db, branch, table)
+    }
+
+  private def effTableNames(db: String, branch: String,
+      txn: Option[Txn]): Seq[String] = {
+    val base = catalog.tableNames(db, branch)
+    txn match {
+      case None => base
+      case Some(x) =>
+        (base.filterNot(x.droppedTables.contains) ++ x.staged.keys).distinct.sorted
     }
   }
 
+  private def effViewDef(db: String, branch: String, name: String,
+      txn: Option[Txn]): Option[String] =
+    txn.flatMap(_.stagedViews.get(name))
+      .getOrElse(catalog.viewDef(db, branch, name))
+
+  /** Views in registration order: committed survivors first (creation
+    * order), then the transaction's creations in statement order. */
+  private def effViewsList(db: String, branch: String,
+      txn: Option[Txn]): Seq[(String, String)] = txn match {
+    case None => catalog.views(db, branch)
+    case Some(x) =>
+      catalog.views(db, branch).filterNot { case (n, _) => x.stagedViews.contains(n) } ++
+        x.stagedViews.toSeq.collect { case (n, Some(sql)) => (n, sql) }
+  }
+
+  private def effFtsIndex(db: String, branch: String, name: String,
+      txn: Option[Txn]): Option[FtsIndexDef] =
+    txn.flatMap(_.stagedFts.get(name))
+      .getOrElse(catalog.ftsIndex(db, branch, name))
+
+  private def effFtsIndexesForTable(db: String, branch: String, table: String,
+      txn: Option[Txn]): Seq[(String, FtsIndexDef)] = txn match {
+    case None => catalog.ftsIndexesForTable(db, branch, table)
+    case Some(x) =>
+      catalog.ftsIndexesForTable(db, branch, table)
+        .filterNot { case (n, _) => x.stagedFts.contains(n) } ++
+        x.stagedFts.toSeq.collect { case (n, Some(d)) if d.table == table => (n, d) }
+  }
+
+  private def effClusterIndex(db: String, branch: String, name: String,
+      txn: Option[Txn]): Option[ClusterIndexDef] =
+    txn.flatMap(_.stagedIndexes.get(name))
+      .getOrElse(catalog.clusterIndex(db, branch, name))
+
+  private def effClusterIndexesForTable(db: String, branch: String,
+      table: String, txn: Option[Txn]): Seq[(String, ClusterIndexDef)] =
+    txn match {
+      case None => catalog.clusterIndexesForTable(db, branch, table)
+      case Some(x) =>
+        catalog.clusterIndexesForTable(db, branch, table)
+          .filterNot { case (n, _) => x.stagedIndexes.contains(n) } ++
+          x.stagedIndexes.toSeq.collect {
+            case (n, Some(d)) if d.table == table => (n, d)
+          }
+    }
+
+  /** Stage a table drop: record the snapshot base, remove any staged
+    * version, and mark the committed table (if any) for drop at commit. */
+  private def stagedDropTable(db: String, branch: String, x: Txn,
+      t: String): Unit = {
+    if (!x.baseTs.contains(t))
+      x.baseTs(t) = catalog.currentVersion(db, branch, t).map(_.ts).getOrElse(-1L)
+    x.staged.remove(t)
+    x.droppedTables += t
+  }
+
+  private def effIndexesOnColumn(db: String, branch: String, table: String,
+      column: String, txn: Option[Txn]): Seq[String] = txn match {
+    case None => catalog.indexesOnColumn(db, branch, table, column)
+    case Some(x) =>
+      catalog.indexesOnColumn(db, branch, table, column)
+        .filterNot(x.stagedIndexes.contains) ++
+        x.stagedIndexes.toSeq.collect {
+          case (n, Some(d)) if d.table == table &&
+            d.cols.exists(_.equalsIgnoreCase(column)) => n
+        }
+  }
+
+  /** Scratch dir for a transaction's materialized FTS touched-row deltas.
+    * Deliberately NOT a version dir: vacuum's walker only considers
+    * `v<ts>` dirs, and these are deleted by the transaction's own
+    * commit/rollback (the reaper covers abandoned ones). */
+  private def txnScratchDir(db: String, branch: String, txn: Txn): Path = {
+    val p = catalog.root.resolve(db).resolve(branch)
+      .resolve("__txn_scratch").resolve(UUID.randomUUID().toString)
+    Files.createDirectories(p.getParent)
+    txn.scratchDirs += p.toString
+    p
+  }
+
+  /** Record one statement's FTS touched-row delta inside a transaction:
+    * the old/new touched rows are materialized to scratch parquet NOW
+    * (O(changed rows)), so commit-time maintenance never re-derives them
+    * from the whole table (r4 "what's wrong" #1). */
+  private def recordFtsPending(db: String, branch: String, table: String,
+      txn: Txn, oldTouched: Option[DataFrame],
+      newTouched: Option[DataFrame]): Unit = {
+    if (effFtsIndexesForTable(db, branch, table, Some(txn)).isEmpty) return
+    def materialize(d: Option[DataFrame]): Option[String] = d.map { df =>
+      val dir = txnScratchDir(db, branch, txn)
+      df.write.parquet(dir.toString)
+      dir.toString
+    }
+    txn.ftsPending += ((table, materialize(oldTouched), materialize(newTouched)))
+  }
+
+  /** Record an INSERT's delta without re-writing anything: the appended
+    * file-set entry IS the new-rows delta. */
+  private def recordFtsPendingAppend(db: String, branch: String, table: String,
+      txn: Txn, writtenDir: String): Unit =
+    if (effFtsIndexesForTable(db, branch, table, Some(txn)).nonEmpty)
+      txn.ftsPending += ((table, None, Some(writtenDir)))
+
   private def currentOrStaged(db: String, branch: String, table: String,
       txn: Option[Txn]): Catalog#TableVersion =
-    txn.flatMap(_.staged.get(table))
-      .orElse(catalog.currentVersion(db, branch, table))
+    effVersion(db, branch, table, txn)
       .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
 
   /** Commit a new version either to the manifest or into the transaction's
@@ -1387,7 +1735,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // bare FTS vtable backing tables auto-assign rowids (fts5's implicit
     // rowid): fill nulls from the maxRowId counter, per-partition (no
     // global window — a bulk load must not funnel through one task).
-    val isBareFts = catalog.ftsIndex(db, branch, table).exists(_.table == table)
+    val isBareFts = effFtsIndex(db, branch, table, txn).exists(_.table == table)
     val toWrite =
       if (isBareFts && rows.columns.contains("rowid"))
         assignRowIds(rows, cur.maxRowId)
@@ -1404,10 +1752,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val v = cur.copy(ts = ts, paths = cur.paths :+ dir.toString,
       rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n,
       clusteredBy = Nil).asInstanceOf[catalog.TableVersion]
+    txn.foreach(_.newDirs += dir.toString)
     commitOrStage(db, branch, table, v, txn)
-    // index maintenance: incremental append over just the new rows;
-    // transaction-staged writes are indexed at commit instead
+    // index maintenance: incremental append over just the new rows; a
+    // transaction records the written dir as its pending delta instead —
+    // commit folds it through the same path, never re-deriving from the
+    // whole table
     if (txn.isEmpty) ftsOnAppend(db, branch, table, written)
+    else if (n > 0) recordFtsPendingAppend(db, branch, table, txn.get, dir.toString)
     // RETURNING reads the just-written file, not the input plan (cheap,
     // and exactly the rows that landed)
     val (rcols, rrows) = returningRows(written, ret)
@@ -1479,11 +1831,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         toInsert.write.parquet(dir.toString)
         val written = sess.read.schema(toInsert.schema).parquet(dir.toString)
         val n = written.count() // from the written files — single-pass
+        txn.foreach(_.newDirs += dir.toString)
         commitOrStage(db, branch, table,
           cur.copy(ts = ts, paths = cur.paths :+ dir.toString,
             rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n,
             clusteredBy = Nil).asInstanceOf[catalog.TableVersion], txn)
         if (txn.isEmpty) ftsOnAppend(db, branch, table, written)
+        else if (n > 0) recordFtsPendingAppend(db, branch, table, txn.get, dir.toString)
         val (rcols, rrows) = returningRows(written, ret)
         QueryResponse(input.id, rcols, rrows, changes = n,
           lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
@@ -1513,22 +1867,32 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         val ts = catalog.nextVersionTs()
         val dir = catalog.newVersionDir(db, branch, table, ts)
         rewritten.unionByName(toInsert).write.parquet(dir.toString)
+        txn.foreach(_.newDirs += dir.toString)
         commitOrStage(db, branch, table,
           cur.copy(ts = ts, paths = Seq(dir.toString),
             rowCount = cur.rowCount + insCount,
             maxRowId = cur.maxRowId + insCount,
             clusteredBy = Nil).asInstanceOf[catalog.TableVersion], txn)
-        if (txn.isEmpty && updCount + insCount > 0 &&
-            catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
-          // updated rows fold old→new; inserted rows append positive-only
-          ftsOnDelta(db, branch, table,
-            sess.sql(
-              s"""SELECT t.* FROM __graft_target t
-                 |JOIN __graft_excluded e ON $joinCond WHERE ($whereCond)""".stripMargin),
-            Some(sess.sql(
-              s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
-                 |JOIN __graft_excluded e ON $joinCond WHERE ($whereCond)""".stripMargin)
-              .unionByName(toInsert)))
+        if (updCount + insCount > 0) {
+          // updated rows fold old→new; inserted rows append positive-only;
+          // a transaction materializes the same touched sets as its
+          // pending delta for commit-time maintenance
+          def oldTouched = sess.sql(
+            s"""SELECT t.* FROM __graft_target t
+               |JOIN __graft_excluded e ON $joinCond WHERE ($whereCond)""".stripMargin)
+          def newTouched = sess.sql(
+            s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
+               |JOIN __graft_excluded e ON $joinCond WHERE ($whereCond)""".stripMargin)
+            .unionByName(toInsert)
+          txn match {
+            case None =>
+              if (catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
+                ftsOnDelta(db, branch, table, oldTouched, Some(newTouched))
+            case Some(x) =>
+              recordFtsPending(db, branch, table, x,
+                Some(oldTouched), Some(newTouched))
+          }
+        }
         // RETURNING sees post-update values of matched rows + inserted rows
         val (rcols, rrows) = returningRows(sess.sql(
           s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
@@ -1565,15 +1929,22 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
+    txn.foreach(_.newDirs += dir.toString)
     commitOrStage(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString), clusteredBy = Nil)
         .asInstanceOf[catalog.TableVersion], txn)
-    if (txn.isEmpty && changes > 0 &&
-        catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
-      ftsOnDelta(db, branch, table,
-        sess.sql(s"SELECT * FROM __graft_target WHERE ($cond)"),
-        Some(sess.sql(
-          s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)")))
+    if (changes > 0) {
+      def oldTouched = sess.sql(s"SELECT * FROM __graft_target WHERE ($cond)")
+      def newTouched = sess.sql(
+        s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)")
+      txn match {
+        case None =>
+          if (catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
+            ftsOnDelta(db, branch, table, oldTouched, Some(newTouched))
+        case Some(x) =>
+          recordFtsPending(db, branch, table, x, Some(oldTouched), Some(newTouched))
+      }
+    }
     // RETURNING sees the post-update values of the matched rows
     val (rcols, rrows) = returningRows(sess.sql(
       s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)"), ret)
@@ -1624,19 +1995,26 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
+    txn.foreach(_.newDirs += dir.toString)
     commitOrStage(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString), clusteredBy = Nil)
         .asInstanceOf[catalog.TableVersion], txn)
-    if (txn.isEmpty && changes > 0 &&
-        catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
-      ftsOnDelta(db, branch, table,
-        sess.sql(
-          s"""SELECT t.* FROM __graft_target t
-             |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)
-          .drop("__rid"),
-        Some(sess.sql(
-          s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
-             |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)))
+    if (changes > 0) {
+      def oldTouched = sess.sql(
+        s"""SELECT t.* FROM __graft_target t
+           |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)
+        .drop("__rid")
+      def newTouched = sess.sql(
+        s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
+           |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)
+      txn match {
+        case None =>
+          if (catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
+            ftsOnDelta(db, branch, table, oldTouched, Some(newTouched))
+        case Some(x) =>
+          recordFtsPending(db, branch, table, x, Some(oldTouched), Some(newTouched))
+      }
+    }
     val (rcols, rrows) = returningRows(sess.sql(
       s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
          |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin), ret)
@@ -1658,15 +2036,22 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     remaining.write.parquet(dir.toString)
+    txn.foreach(_.newDirs += dir.toString)
     commitOrStage(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString),
         rowCount = cur.rowCount - changes, clusteredBy = Nil)
         .asInstanceOf[catalog.TableVersion], txn)
-    if (txn.isEmpty && changes > 0 &&
-        catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
-      ftsOnDelta(db, branch, table,
-        sess.sql(s"SELECT * FROM __graft_target WHERE COALESCE(($cond), FALSE)"),
-        None)
+    if (changes > 0) {
+      def deleted = sess.sql(
+        s"SELECT * FROM __graft_target WHERE COALESCE(($cond), FALSE)")
+      txn match {
+        case None =>
+          if (catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
+            ftsOnDelta(db, branch, table, deleted, None)
+        case Some(x) =>
+          recordFtsPending(db, branch, table, x, Some(deleted), None)
+      }
+    }
     // RETURNING sees the deleted rows' (old) values
     val (rcols, rrows) = returningRows(sess.sql(
       s"SELECT * FROM __graft_target WHERE COALESCE(($cond), FALSE)"), ret)
@@ -1707,8 +2092,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     *   - bare: fts5(text) creates backing table <name>(rowid, text) with
     *     rowids auto-assigned on INSERT, like fts5's implicit rowid. */
   private def createFtsVtable(db: String, branch: String, name: String,
-      argsPart: String, ifNotExists: Boolean): Unit = {
-    if (catalog.ftsIndex(db, branch, name).isDefined) {
+      argsPart: String, ifNotExists: Boolean, txn: Option[Txn] = None): Unit = {
+    if (effFtsIndex(db, branch, name, txn).isDefined) {
       if (ifNotExists) return
       throw new IllegalArgumentException(s"table $name already exists")
     }
@@ -1719,43 +2104,59 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     }.toMap
     val cols = args.filterNot(_.contains("=")).map(unquote)
     require(cols.nonEmpty, "fts5 requires at least one indexed column")
+    def putDef(d: FtsIndexDef): Unit = txn match {
+      case Some(x) => x.stagedFts(name) = Some(d)
+      case None => catalog.putFtsIndex(db, branch, name, d)
+    }
     opts.get("content") match {
       case Some(contentTable) =>
         val idCol = opts.getOrElse("content_rowid", "rowid")
-        val cur = catalog.currentVersion(db, branch, contentTable)
+        val cur = effVersion(db, branch, contentTable, txn)
           .getOrElse(throw new IllegalArgumentException(s"no such table: $contentTable"))
         val schema = StructType.fromDDL(cur.schemaDdl)
         (cols :+ idCol).foreach { c =>
           if (!schema.fieldNames.contains(c))
             throw new IllegalArgumentException(s"no such column: $c")
         }
-        catalog.putFtsIndex(db, branch, name,
-          FtsIndexDef(contentTable, cols.mkString(","), idCol))
+        putDef(FtsIndexDef(contentTable, cols.mkString(","), idCol))
       case None =>
-        commitNewTable(db, branch, name, StructType(
-          StructField("rowid", LongType) +: cols.map(c => StructField(c, StringType))))
-        catalog.putFtsIndex(db, branch, name,
-          FtsIndexDef(name, cols.mkString(","), "rowid"))
+        val schema = StructType(
+          StructField("rowid", LongType) +: cols.map(c => StructField(c, StringType)))
+        if (effVersion(db, branch, name, txn).isDefined)
+          throw new IllegalArgumentException(s"table $name already exists")
+        commitOrStage(db, branch, name,
+          catalog.TableVersion(catalog.nextVersionTs(), Nil, 0L, 0L,
+            schema.toDDL), txn)
+        putDef(FtsIndexDef(name, cols.mkString(","), "rowid"))
     }
-    ftsRebuild(db, branch, name)
+    // in a transaction the artifacts are STAGED tables, so the index is
+    // readable by this transaction's own MATCHes and vanishes on rollback;
+    // commit rebuilds from the final committed state
+    ftsRebuild(db, branch, name, txn)
   }
 
   /** (Re)build an FTS index's three artifact tables from the content
-    * table's current version — the full-build path (CREATE, UPDATE/DELETE,
-    * restore). One corpus scan; postings are hash-distributed by term so
-    * MATCH lookups and df aggregation shuffle minimally. */
-  def ftsRebuild(db: String, branch: String, name: String): Unit = {
-    val ix = catalog.ftsIndex(db, branch, name)
+    * table's current (or transaction-staged) version — the full-build
+    * path (CREATE, restore, transactional-ALTER fallback). One corpus
+    * scan; postings are hash-distributed by term so MATCH lookups and df
+    * aggregation shuffle minimally. */
+  def ftsRebuild(db: String, branch: String, name: String): Unit =
+    ftsRebuild(db, branch, name, None)
+
+  private def ftsRebuild(db: String, branch: String, name: String,
+      txn: Option[Txn]): Unit = {
+    val ix = effFtsIndex(db, branch, name, txn)
       .getOrElse(throw new IllegalArgumentException(s"no such fts table: $name"))
-    val cur = catalog.currentVersion(db, branch, ix.table)
+    val cur = effVersion(db, branch, ix.table, txn)
       .getOrElse(throw new IllegalArgumentException(s"no such table: ${ix.table}"))
     val (docs, tc) = withFtsText(readVersion(cur), ix.textCols.split(",").toSeq)
     val (pn, dn, sn) = ftsArtifacts(name)
     val dl = graft.operators.Fts.docLengths(docs, tc, ix.idCol)
     writeAsTable(db, branch, pn,
-      graft.operators.Fts.postings(docs, tc, ix.idCol).repartition(col("term")))
-    writeAsTable(db, branch, dn, dl)
-    writeAsTable(db, branch, sn, graft.operators.Fts.corpusStats(dl))
+      graft.operators.Fts.postings(docs, tc, ix.idCol).repartition(col("term")),
+      txn)
+    writeAsTable(db, branch, dn, dl, txn)
+    writeAsTable(db, branch, sn, graft.operators.Fts.corpusStats(dl), txn)
   }
 
   /** Incremental index maintenance for INSERT: postings/dl of ONLY the
@@ -1777,45 +2178,49 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       writeAsTable(db, branch, sn, folded)
     }
 
-  /** Rebuild every index whose content table is `table` — the full-build
-    * escape hatch (transaction commit of arbitrary staged DML, restore).
-    * Single-statement UPDATE/DELETE go through `ftsOnDelta` instead. */
-  private def ftsOnRewrite(db: String, branch: String, table: String): Unit =
+  /** Rebuild every index (or the named subset) whose content table is
+    * `table` — the full-build escape hatch (restore, transactional-ALTER
+    * fallback). Single-statement UPDATE/DELETE go through `ftsOnDelta`;
+    * transaction commits go through the recorded pending deltas. */
+  private def ftsOnRewrite(db: String, branch: String, table: String,
+      only: Option[Set[String]] = None): Unit =
     catalog.ftsIndexesForTable(db, branch, table)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, _) => ftsRebuild(db, branch, name) }
 
-  /** Transactional-commit index maintenance: diff the base version the
+  /** Commit-time FALLBACK for transactions whose recorded per-statement
+    * deltas were invalidated (mid-txn ALTER): diff the base version the
     * transaction staged from against the committed result and fold the
-    * difference through the same delta path single-statement DML uses —
-    * an O(table) diff scan but only O(changed rows) of tokenization and
-    * postings/dl writes, where the old rebuild re-tokenized the corpus
-    * and REWROTE the whole postings table. Naturally savepoint-proof:
-    * the diff sees only the net surviving changes. Falls back to a
-    * rebuild when the diff is impossible — schema changed mid-transaction
-    * (ALTER), the base version's history was vacuumed away, or its files
-    * were GC'd. */
-  private def ftsOnTxnCommit(db: String, branch: String, table: String,
-      baseTs: Long): Unit = {
-    if (catalog.ftsIndexesForTable(db, branch, table).isEmpty) return
+    * difference through the delta path — an O(table) diff scan but only
+    * O(changed rows) of tokenization, where a rebuild would re-tokenize
+    * the corpus. The MAIN commit path applies the transaction's recorded
+    * ftsPending deltas instead and never reads the whole table. Falls
+    * back to a rebuild when even the diff is impossible — schema changed,
+    * base version vacuumed away, or its files GC'd. */
+  private def ftsTxnDiffFallback(db: String, branch: String, table: String,
+      baseTs: Long, only: Set[String]): Unit = {
+    if (only.isEmpty) return
     val curV = catalog.currentVersion(db, branch, table).get
     val baseV =
       if (baseTs < 0) None // table created inside the transaction
       else catalog.versionHistory(db, branch, table).find(_.ts == baseTs) match {
         case Some(v) => Some(v)
-        case None => ftsOnRewrite(db, branch, table); return // history trimmed
+        case None => // history trimmed
+          ftsOnRewrite(db, branch, table, Some(only)); return
       }
     if (baseV.exists(_.schemaDdl != curV.schemaDdl)) {
-      ftsOnRewrite(db, branch, table); return
+      ftsOnRewrite(db, branch, table, Some(only)); return
     }
     try {
       val cur = readVersion(curV)
       val base = baseV.map(readVersion).getOrElse(
         sess.createDataFrame(sess.sparkContext.emptyRDD[Row], cur.schema))
       ftsOnDelta(db, branch, table,
-        base.exceptAll(cur), Some(cur.exceptAll(base)))
+        base.exceptAll(cur), Some(cur.exceptAll(base)), only = Some(only))
     } catch {
       // base files vacuumed between stage and commit: rebuild from current
-      case scala.util.control.NonFatal(_) => ftsOnRewrite(db, branch, table)
+      case scala.util.control.NonFatal(_) =>
+        ftsOnRewrite(db, branch, table, Some(only))
     }
   }
 
@@ -1831,8 +2236,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * instead of the O(corpus) rebuild a takedown-delete would otherwise
     * trigger at 100 TB. */
   private def ftsOnDelta(db: String, branch: String, table: String,
-      oldTouched0: DataFrame, newTouched0: Option[DataFrame]): Unit = {
+      oldTouched0: DataFrame, newTouched0: Option[DataFrame],
+      only: Option[Set[String]] = None): Unit = {
     val indexes = catalog.ftsIndexesForTable(db, branch, table)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     if (indexes.isEmpty) return
     // the touched sets are small (one statement's changed docs) but their
     // lineage can join the whole base table; materialize each ONCE so the
@@ -1885,16 +2292,20 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * AND, OR, -term = NOT; `"a b"` = phrase; `tok*` = prefix. Match mode
     * returns (doc, score, n_terms_hit, rank) where rank = -score (fts5's
     * rank orders ascending = most relevant first). */
-  def ftsSearch(db: String, branch: String, name: String, query: String): DataFrame = {
-    val ix = catalog.ftsIndex(db, branch, name)
+  def ftsSearch(db: String, branch: String, name: String, query: String): DataFrame =
+    ftsSearch(db, branch, name, query, None)
+
+  private def ftsSearch(db: String, branch: String, name: String,
+      query: String, txn: Option[Txn]): DataFrame = {
+    val ix = effFtsIndex(db, branch, name, txn)
       .getOrElse(throw new IllegalArgumentException(s"no such fts table: $name"))
     val (pn, dn, sn) = ftsArtifacts(name)
     // collapse UPDATE/DELETE fold deltas (see Fts.livePostings) — a no-op
     // aggregation over the term-filtered slice when the index has no folds
-    val post = graft.operators.Fts.livePostings(readTable(db, branch, pn))
+    val post = graft.operators.Fts.livePostings(readTable(db, branch, pn, txn))
     val q = query.trim
     if (q.length > 1 && q.startsWith("\"") && q.endsWith("\"")) {
-      val cur = catalog.currentVersion(db, branch, ix.table).get
+      val cur = currentOrStaged(db, branch, ix.table, txn)
       val (docs, tc) = withFtsText(readVersion(cur), ix.textCols.split(",").toSeq)
       graft.operators.Fts.phraseSearchIndex(docs, post, tc, ix.idCol,
         q.substring(1, q.length - 1))
@@ -1902,15 +2313,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       graft.operators.Fts.prefixSearchIndex(post, q.dropRight(1))
     } else {
       graft.operators.Fts.searchIndex(post,
-          graft.operators.Fts.liveDl(readTable(db, branch, dn)),
-          readTable(db, branch, sn), q)
+          graft.operators.Fts.liveDl(readTable(db, branch, dn, txn)),
+          readTable(db, branch, sn, txn), q)
         .withColumn("rank", -col("score"))
     }
   }
 
-  private def readTable(db: String, branch: String, t: String): DataFrame =
-    readVersion(catalog.currentVersion(db, branch, t)
-      .getOrElse(throw new IllegalArgumentException(s"no such table: $t")))
+  private def readTable(db: String, branch: String, t: String,
+      txn: Option[Txn] = None): DataFrame =
+    readVersion(currentOrStaged(db, branch, t, txn))
 
   /** Commit an empty table with the given schema. */
   private def commitNewTable(db: String, branch: String, name: String,
@@ -1921,14 +2332,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       catalog.TableVersion(catalog.nextVersionTs(), Nil, 0L, 0L, schema.toDDL))
   }
 
-  /** Write `df` as a FRESH single-file-set version of table `t`. */
+  /** Write `df` as a FRESH single-file-set version of table `t` (staged
+    * when a transaction is supplied). */
   private def writeAsTable(db: String, branch: String, t: String,
-      df: DataFrame): Unit = {
+      df: DataFrame, txn: Option[Txn] = None): Unit = {
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, t, ts)
     df.write.parquet(dir.toString)
-    catalog.commitVersion(db, branch, t,
-      catalog.TableVersion(ts, Seq(dir.toString), 0L, 0L, df.schema.toDDL))
+    txn.foreach(_.newDirs += dir.toString)
+    commitOrStage(db, branch, t,
+      catalog.TableVersion(ts, Seq(dir.toString), 0L, 0L, df.schema.toDDL), txn)
   }
 
   /** Append `df` as an additional file-set entry of table `t`. */
@@ -1959,6 +2372,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     "user_version")
 
   private def pragma(db: String, branch: String, input: QueryInput): QueryResponse = {
+    // schema pragmas issued INSIDE a transaction see its staged DDL, the
+    // way SQLite's pragmas read through the pinned connection
+    val txn = txnFor(db, branch, input)
     input.statement.trim match {
       case pragmaRe(name, _, arg) =>
         val p = name.toLowerCase
@@ -1966,17 +2382,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           throw new DeniedException(s"pragma $p is not allowed")
         p match {
           case "table_list" =>
-            val rows = catalog.tableNames(db, branch).map(t =>
+            val rows = effTableNames(db, branch, txn).map(t =>
               Seq(SqlValue.TextVal("main"), SqlValue.TextVal(t),
                 SqlValue.TextVal("table"),
-                SqlValue.IntVal(catalog.currentVersion(db, branch, t)
+                SqlValue.IntVal(effVersion(db, branch, t, txn)
                   .map(v => StructType.fromDDL(v.schemaDdl).length.toLong).getOrElse(0L)),
                 SqlValue.IntVal(0), SqlValue.IntVal(0)))
             QueryResponse(input.id,
               Seq("schema", "name", "type", "ncol", "wr", "strict"), rows)
           case "table_info" =>
             val t = Option(arg).map(a => unquote(a.trim)).getOrElse("")
-            val v = catalog.currentVersion(db, branch, t)
+            val v = effVersion(db, branch, t, txn)
               .getOrElse(throw new IllegalArgumentException(s"no such table: $t"))
             val rows = StructType.fromDDL(v.schemaDdl).fields.zipWithIndex.map {
               case (f, i) =>
@@ -2037,7 +2453,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             // SQLite shape (seq, name, unique, origin, partial) over the
             // recorded clustering indexes for the table
             val t = Option(arg).map(a => unquote(a.trim)).getOrElse("")
-            val rows = catalog.clusterIndexesForTable(db, branch, t)
+            val rows = effClusterIndexesForTable(db, branch, t, txn)
               .zipWithIndex.map { case ((n, d), i) =>
                 Seq(SqlValue.IntVal(i.toLong), SqlValue.TextVal(n),
                   SqlValue.IntVal(if (d.unique) 1 else 0),
@@ -2048,8 +2464,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
               Seq("seq", "name", "unique", "origin", "partial"), rows)
           case "index_info" =>
             val n = Option(arg).map(a => unquote(a.trim)).getOrElse("")
-            val rows = catalog.clusterIndex(db, branch, n).toSeq.flatMap { d =>
-              val schema = catalog.currentVersion(db, branch, d.table)
+            val rows = effClusterIndex(db, branch, n, txn).toSeq.flatMap { d =>
+              val schema = effVersion(db, branch, d.table, txn)
                 .map(v => StructType.fromDDL(v.schemaDdl).fieldNames.toSeq)
                 .getOrElse(Nil)
               d.cols.zipWithIndex.map { case (c, i) =>

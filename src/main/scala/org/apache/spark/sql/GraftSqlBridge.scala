@@ -30,12 +30,17 @@ object GraftSqlBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       args: Array[Any] = Array.empty): DataFrame = {
     val cs = s.asInstanceOf[classic.SparkSession]
+    // clone the cached tree: analysis mutates per-node state (tags /
+    // resolution bookkeeping), so re-executing the SAME object after an
+    // earlier failed analysis can replay the stale failure even though
+    // the catalog has since changed
+    val fresh = plan.clone()
     val wrapped =
-      if (args.isEmpty) plan
+      if (args.isEmpty) fresh
       else org.apache.spark.sql.catalyst.analysis.PosParameterizedQuery(
         // eager conversion: the arg validator demands real Literal nodes,
         // not the lazy ColumnNodeExpression wrapper `expression` returns
-        plan, args.toSeq.map(a => eagerExpression(functions.lit(a))))
+        fresh, args.toSeq.map(a => eagerExpression(functions.lit(a))))
     classic.Dataset.ofRows(cs, wrapped)
   }
 }

@@ -1540,6 +1540,163 @@ class EngineSpec extends AnyFunSuite {
     assert(s.catalog.currentVersion("db1", "main", "notes").isEmpty)
   }
 
+  test("DDL inside a transaction stages: visible to the txn, gone on rollback") {
+    val dir = Files.createTempDirectory("graft-txn-ddl")
+    val s = new GraftSession(spark, dir)
+    s.createDatabase("db1")
+    val tid = s.execute("db1", "main", q("BEGIN")).transactionId
+    // CREATE TABLE + INSERT inside the transaction
+    assert(s.execute("db1", "main",
+      q("CREATE TABLE mig (id INTEGER, v TEXT)", txn = tid)).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("INSERT INTO mig VALUES (1, 'a'), (2, 'b')", txn = tid)).error.isEmpty)
+    // the txn reads its own DDL + data
+    val in = s.execute("db1", "main", q("SELECT count(*) AS c FROM mig", txn = tid))
+    assert(in.error.isEmpty, in.error)
+    assert(in.rows.head.head == SqlValue.IntVal(2))
+    val plIn = s.execute("db1", "main", q("PRAGMA table_list", txn = tid))
+    assert(plIn.rows.exists(_(1) == SqlValue.TextVal("mig")))
+    // other connections see nothing
+    assert(s.execute("db1", "main", q("SELECT * FROM mig")).error.nonEmpty)
+    assert(!s.execute("db1", "main", q("PRAGMA table_list"))
+      .rows.exists(_(1) == SqlValue.TextVal("mig")))
+    // CREATE VIEW + CREATE INDEX stage the same way
+    assert(s.execute("db1", "main",
+      q("CREATE VIEW migv AS SELECT id FROM mig WHERE id > 1", txn = tid)).error.isEmpty)
+    val vIn = s.execute("db1", "main", q("SELECT count(*) AS c FROM migv", txn = tid))
+    assert(vIn.error.isEmpty, vIn.error)
+    assert(vIn.rows.head.head == SqlValue.IntVal(1))
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX migi ON mig(id)", txn = tid)).error.isEmpty)
+    assert(s.execute("db1", "main", q("PRAGMA index_list(mig)", txn = tid))
+      .rows.exists(_(1) == SqlValue.TextVal("migi")))
+    // FTS vtable created in the txn is MATCHable by the txn only
+    assert(s.execute("db1", "main",
+      q("CREATE VIRTUAL TABLE migf USING fts5(v, content='mig', content_rowid='id')",
+        txn = tid)).error.isEmpty)
+    val m = s.execute("db1", "main",
+      q("SELECT doc FROM migf WHERE migf MATCH 'a'", txn = tid))
+    assert(m.error.isEmpty, m.error)
+    assert(m.rows.map(_.head) == Seq(SqlValue.IntVal(1)))
+    assert(s.execute("db1", "main",
+      q("SELECT doc FROM migf WHERE migf MATCH 'a'")).error.nonEmpty)
+    // ROLLBACK discards everything: catalog entries, views, indexes, fts
+    // definitions AND every file the staged statements wrote
+    s.execute("db1", "main", q("ROLLBACK", txn = tid))
+    assert(s.catalog.currentVersion("db1", "main", "mig").isEmpty)
+    assert(s.catalog.viewDef("db1", "main", "migv").isEmpty)
+    assert(s.catalog.clusterIndex("db1", "main", "migi").isEmpty)
+    assert(s.catalog.ftsIndex("db1", "main", "migf").isEmpty)
+    assert(s.catalog.currentVersion("db1", "main", "__fts_migf_postings").isEmpty)
+    val leftovers = java.nio.file.Files.walk(dir).iterator()
+    val files = scala.jdk.CollectionConverters.IteratorHasAsScala(leftovers)
+      .asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+    assert(files.isEmpty, s"rolled-back txn left files: $files")
+    // a fresh statement outside any txn sees the pre-txn world
+    assert(s.execute("db1", "main", q("SELECT * FROM mig")).error.nonEmpty)
+  }
+
+  test("DDL inside a transaction commits atomically with its data") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE keep (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO keep VALUES (1)"))
+    val tid = s.execute("db1", "main", q("BEGIN")).transactionId
+    s.execute("db1", "main", q("CREATE TABLE mt (id INTEGER, body TEXT)", txn = tid))
+    s.execute("db1", "main",
+      q("INSERT INTO mt VALUES (1, 'hello world'), (2, 'spark engine')", txn = tid))
+    s.execute("db1", "main",
+      q("CREATE VIRTUAL TABLE mtf USING fts5(body, content='mt', content_rowid='id')",
+        txn = tid))
+    s.execute("db1", "main",
+      q("INSERT INTO mt VALUES (3, 'hello again')", txn = tid))
+    s.execute("db1", "main", q("CREATE VIEW mtv AS SELECT id FROM mt", txn = tid))
+    s.execute("db1", "main", q("DROP TABLE keep", txn = tid))
+    // pre-commit: other connections still see `keep`, not `mt`
+    assert(s.execute("db1", "main", q("SELECT * FROM keep")).error.isEmpty)
+    assert(s.execute("db1", "main", q("SELECT * FROM mt")).error.nonEmpty)
+    val c = s.execute("db1", "main", q("COMMIT", txn = tid))
+    assert(c.error.isEmpty, c.error)
+    // post-commit: the whole DDL+DML batch is live, including the index
+    // rebuilt over data inserted AFTER the CREATE VIRTUAL TABLE
+    assert(s.execute("db1", "main", q("SELECT * FROM keep")).error.nonEmpty)
+    val hits = s.execute("db1", "main",
+      q("SELECT doc FROM mtf WHERE mtf MATCH 'hello' ORDER BY doc"))
+    assert(hits.error.isEmpty, hits.error)
+    assert(hits.rows.map(_.head) == Seq(SqlValue.IntVal(1), SqlValue.IntVal(3)))
+    val v = s.execute("db1", "main", q("SELECT count(*) AS c FROM mtv"))
+    assert(v.rows.head.head == SqlValue.IntVal(3))
+  }
+
+  test("DROP TABLE staged in a txn; savepoints roll staged DDL back too") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE dt (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO dt VALUES (1)"))
+    val tid = s.execute("db1", "main", q("BEGIN")).transactionId
+    s.execute("db1", "main", q("SAVEPOINT sp1", txn = tid))
+    assert(s.execute("db1", "main", q("DROP TABLE dt", txn = tid)).error.isEmpty)
+    // dropped for the txn, alive for everyone else
+    assert(s.execute("db1", "main", q("SELECT * FROM dt", txn = tid)).error.nonEmpty)
+    assert(s.execute("db1", "main", q("SELECT * FROM dt")).error.isEmpty)
+    // ROLLBACK TO restores the staged catalog overlay
+    s.execute("db1", "main", q("ROLLBACK TO sp1", txn = tid))
+    val back = s.execute("db1", "main", q("SELECT count(*) AS c FROM dt", txn = tid))
+    assert(back.error.isEmpty, back.error)
+    assert(back.rows.head.head == SqlValue.IntVal(1))
+    // drop again and commit: now it's really gone
+    s.execute("db1", "main", q("DROP TABLE dt", txn = tid))
+    s.execute("db1", "main", q("COMMIT", txn = tid))
+    assert(s.catalog.currentVersion("db1", "main", "dt").isEmpty)
+  }
+
+  test("txn-commit FTS maintenance reads O(changed rows), not the corpus") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE big (doc_id INTEGER, body TEXT)"))
+    val ins = s.execute("db1", "main",
+      q("INSERT INTO big SELECT id, concat('word', CAST(id AS STRING), ' shared') FROM range(2000)"))
+    assert(ins.error.isEmpty, ins.error)
+    assert(s.execute("db1", "main",
+      q("CREATE VIRTUAL TABLE bigf USING fts5(body, content='big', content_rowid='doc_id')"))
+      .error.isEmpty)
+    val tid = s.execute("db1", "main", q("BEGIN")).transactionId
+    // the staged 1-row UPDATE pays its own statement cost here (inherent:
+    // an UPDATE rewrites the table) and materializes its touched rows
+    assert(s.execute("db1", "main",
+      q("UPDATE big SET body = 'replacement text' WHERE doc_id = 7", txn = tid))
+      .error.isEmpty)
+    // measure ONLY the commit: with per-statement pending deltas it reads
+    // the touched rows + the 1-row stats table, never the 2000-doc corpus
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(500) // drain stragglers from the UPDATE's own jobs
+      read.set(0)
+      val c = s.execute("db1", "main", q("COMMIT", txn = tid))
+      assert(c.error.isEmpty, c.error)
+      var tries = 0
+      while (tries < 100 && { Thread.sleep(50); tries += 1; false }) ()
+      Thread.sleep(1000) // let the listener bus drain
+      val total = read.get()
+      assert(total < 500,
+        s"commit-time FTS maintenance read $total records for a 1-row update " +
+          "on a 2000-doc corpus — looks like a whole-table diff")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the index is actually correct after the delta fold
+    val hit = s.execute("db1", "main",
+      q("SELECT doc FROM bigf WHERE bigf MATCH 'replacement'"))
+    assert(hit.rows.map(_.head) == Seq(SqlValue.IntVal(7)))
+    val miss = s.execute("db1", "main",
+      q("SELECT doc FROM bigf WHERE bigf MATCH 'word7'"))
+    assert(miss.rows.isEmpty)
+    val still = s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM (SELECT doc FROM bigf WHERE bigf MATCH 'shared')"))
+    assert(still.rows.head.head == SqlValue.IntVal(1999))
+  }
+
   test("INSERT ... SELECT executes its source plan exactly once") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE src1p (id INTEGER)"))
