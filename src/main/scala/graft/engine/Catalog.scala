@@ -500,6 +500,15 @@ class Catalog(val root: Path) {
   def releasePendingDirs(paths: Seq[String]): Unit =
     paths.foreach(pendingDirs.remove)
 
+  /** Depth-first recursive delete, shared by vacuum and the engine's
+    * transaction-dir cleanup. Missing paths are a no-op. */
+  private[engine] def deleteTree(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val walked = Files.walk(p)
+    try walked.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally walked.close()
+  }
+
   /** Data directory for a new version's files. */
   def newVersionDir(db: String, branch: String, table: String, ts: Long): Path = {
     val p = root.resolve(db).resolve(branch).resolve(table).resolve(s"v$ts")
@@ -675,7 +684,7 @@ class Catalog(val root: Path) {
         .filterNot(p => referenced.contains(p.toString))
         .toSeq // materialize before mutating the tree under the walk
         .foreach { p =>
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          deleteTree(p)
           deleted += 1
         }
     } finally stream.close()

@@ -3,7 +3,6 @@ package graft.engine
 import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import scala.collection.mutable
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{col, concat_ws, lit, monotonically_increasing_id, row_number, sum}
@@ -62,7 +61,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       stagedIndexes: Vector[(String, Option[ClusterIndexDef])],
       stagedFts: Vector[(String, Option[FtsIndexDef])],
       ftsPending: Vector[(String, Option[String], Option[String])],
-      ftsDirty: Set[String])
+      ftsDirty: Set[String], dmlCount: Map[String, Int])
 
   /** Interactive transaction (B5): staged data versions plus a staged
     * CATALOG overlay, so DDL executed inside the transaction is visible
@@ -96,6 +95,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       ftsPending: mutable.ArrayBuffer[(String, Option[String], Option[String])] =
         mutable.ArrayBuffer(),
       ftsDirty: mutable.Set[String] = mutable.Set(),
+      // changed-row-producing DML statements per table — commit compares
+      // this against the recorded ftsPending entries to detect an index
+      // that appeared mid-transaction (created by ANOTHER connection):
+      // such statements never materialized a delta, so commit must fall
+      // back to the base-vs-current diff for that table's indexes
+      dmlCount: mutable.Map[String, Int] = mutable.Map(),
       newDirs: mutable.ArrayBuffer[String] = mutable.ArrayBuffer(),
       scratchDirs: mutable.ArrayBuffer[String] = mutable.ArrayBuffer(),
       savepoints: mutable.ArrayBuffer[(String, TxnSnapshot)] =
@@ -104,9 +109,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // (pkg/database/transaction.go:55)
     def expired: Boolean = System.currentTimeMillis() - createdAt > txnTimeoutMillis
 
+    /** Statements currently executing against this transaction — the
+      * reaper must not delete staged files out from under one. */
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    /** Bumped on every staged-view mutation (and savepoint restore) so
+      * registerViews' skip key can cache overlaid registrations. */
+    var viewEpoch: Int = 0
+
     def snapshot(): TxnSnapshot = TxnSnapshot(staged.toMap, baseTs.toMap,
       droppedTables.toSet, stagedViews.toVector, stagedIndexes.toVector,
-      stagedFts.toVector, ftsPending.toVector, ftsDirty.toSet)
+      stagedFts.toVector, ftsPending.toVector, ftsDirty.toSet, dmlCount.toMap)
 
     def restore(s: TxnSnapshot): Unit = {
       staged.clear(); staged ++= s.staged
@@ -117,6 +130,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       stagedFts.clear(); stagedFts ++= s.stagedFts
       ftsPending.clear(); ftsPending ++= s.ftsPending
       ftsDirty.clear(); ftsDirty ++= s.ftsDirty
+      dmlCount.clear(); dmlCount ++= s.dmlCount
+      viewEpoch += 1
       // newDirs/scratchDirs deliberately NOT restored: dirs created after
       // the savepoint stay on disk until full rollback (or commit for the
       // still-referenced ones) — reachability, not staging state
@@ -203,10 +218,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   /** Drop every expired transaction; returns how many were reaped. A
     * reaped transaction never committed, so its staged files are deleted
-    * like a rollback's. */
+    * like a rollback's — but never under a statement still executing
+    * against it (inFlight): that one is left for the next sweep, so an
+    * in-flight write can't have its files deleted out from under it. */
   def sweepExpiredTransactions(): Int = {
     val dead = synchronized {
-      val d = transactions.values.filter(_.expired).toSeq
+      val d = transactions.values
+        .filter(t => t.expired && t.inFlight.get() == 0).toSeq
       d.foreach(t => transactions.remove(t.id))
       d
     }
@@ -245,69 +263,87 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
     }
     val (db, branch) = (txn.db, txn.branch)
-    // The conflict check + commit runs INSIDE the same per-branch write
-    // queue as direct writes: a direct write landing between the baseTs
-    // check and commitVersion would otherwise be silently overwritten
-    // (check-then-commit under a lock the direct path never took).
-    writeQueues(db, branch).run {
-      // snapshot-isolation conflict check (reference error 11001,
-      // pkg/constants/error.go:8-32): EVERY table this transaction staged
-      // from — written, created or dropped — must still be at the version
-      // it saw (a created table records base -1: it must still be absent).
-      txn.baseTs.foreach { case (t, ts) =>
-        val currentTs = catalog.currentVersion(db, branch, t).map(_.ts).getOrElse(-1L)
-        if (ts != currentTs)
-          throw new IllegalStateException("Litebase Error[11001]: snapshot isolation conflict")
-      }
-      // 1. staged catalog DDL, drops before creates so DROP+reCREATE of a
-      // name inside one transaction lands as a fresh table
-      txn.droppedTables.foreach(catalog.dropTable(db, branch, _))
-      txn.stagedFts.foreach { case (n, None) =>
-        catalog.dropFtsIndex(db, branch, n)
-        case _ => ()
-      }
-      txn.stagedIndexes.foreach {
-        case (n, None) => catalog.dropClusterIndex(db, branch, n)
-        case (n, Some(d)) => catalog.putClusterIndex(db, branch, n, d)
-      }
-      txn.stagedViews.foreach {
-        case (n, None) => catalog.dropView(db, branch, n)
-        case (n, Some(sql)) => catalog.putView(db, branch, n, sql)
-      }
-      txn.stagedFts.foreach { case (n, Some(d)) =>
-        catalog.putFtsIndex(db, branch, n, d)
-        case _ => ()
-      }
-      // 2. staged data versions
-      txn.staged.foreach { case (t, v) =>
-        catalog.commitVersion(db, branch, t, v.asInstanceOf[catalog.TableVersion])
-      }
-      // 3. FTS maintenance. Indexes CREATED in this transaction rebuild
-      // from the committed state (their in-txn artifacts may predate later
-      // staged DML). Pre-existing indexes fold the per-statement touched-
-      // row deltas the transaction materialized as it ran — O(changed
-      // rows), never a whole-table diff — falling back to the base-vs-
-      // current diff only where a mid-txn ALTER invalidated the deltas.
-      val createdFts = txn.stagedFts.collect { case (n, Some(_)) => n }.toSet
-      createdFts.foreach(ftsRebuild(db, branch, _))
-      val touched = (txn.staged.keySet ++ txn.ftsPending.map(_._1)).toSeq
-      val dirtyDone = mutable.Set[String]()
-      touched.foreach { t =>
-        val preexisting = catalog.ftsIndexesForTable(db, branch, t)
-          .filterNot { case (n, _) => createdFts.contains(n) }
-        if (preexisting.nonEmpty && txn.ftsDirty.contains(t) && !dirtyDone.contains(t)) {
-          dirtyDone += t
-          ftsTxnDiffFallback(db, branch, t, txn.baseTs.getOrElse(t, -1L),
-            preexisting.map(_._1).toSet)
+    // Once any catalog mutation has applied, staged dirs may be referenced
+    // by committed versions — a failure after that point must NOT delete
+    // them. A failure BEFORE (the designed 11001 conflict path) cleans up
+    // like a rollback, or the conflict-aborted transaction would leak its
+    // staged files and their vacuum-immunity entries forever.
+    var applied = false
+    try {
+      // The conflict check + commit runs INSIDE the same per-branch write
+      // queue as direct writes: a direct write landing between the baseTs
+      // check and commitVersion would otherwise be silently overwritten
+      // (check-then-commit under a lock the direct path never took).
+      writeQueues(db, branch).run {
+        // snapshot-isolation conflict check (reference error 11001,
+        // pkg/constants/error.go:8-32): EVERY table this transaction staged
+        // from — written, created or dropped — must still be at the version
+        // it saw (a created table records base -1: it must still be absent).
+        txn.baseTs.foreach { case (t, ts) =>
+          val currentTs = catalog.currentVersion(db, branch, t).map(_.ts).getOrElse(-1L)
+          if (ts != currentTs)
+            throw new IllegalStateException("Litebase Error[11001]: snapshot isolation conflict")
         }
-      }
-      txn.ftsPending.foreach { case (t, oldDir, newDir) =>
-        if (!txn.ftsDirty.contains(t)) {
-          val preexisting = catalog.ftsIndexesForTable(db, branch, t)
+        applied = true
+        // 1. staged catalog DDL, drops before creates so DROP+reCREATE of a
+        // name inside one transaction lands as a fresh table
+        txn.droppedTables.foreach(catalog.dropTable(db, branch, _))
+        txn.stagedFts.foreach { case (n, None) =>
+          catalog.dropFtsIndex(db, branch, n)
+          case _ => ()
+        }
+        txn.stagedIndexes.foreach {
+          case (n, None) => catalog.dropClusterIndex(db, branch, n)
+          case (n, Some(d)) => catalog.putClusterIndex(db, branch, n, d)
+        }
+        txn.stagedViews.foreach {
+          case (n, None) => catalog.dropView(db, branch, n)
+          case (n, Some(sql)) => catalog.putView(db, branch, n, sql)
+        }
+        txn.stagedFts.foreach { case (n, Some(d)) =>
+          catalog.putFtsIndex(db, branch, n, d)
+          case _ => ()
+        }
+        // 2. staged data versions
+        txn.staged.foreach { case (t, v) =>
+          catalog.commitVersion(db, branch, t, v.asInstanceOf[catalog.TableVersion])
+        }
+        // 3. FTS maintenance. Indexes CREATED in this transaction rebuild
+        // from the committed state (their in-txn artifacts may predate
+        // later staged DML). Pre-existing indexes fold the per-statement
+        // touched-row deltas the transaction materialized as it ran —
+        // O(changed rows), never a whole-table diff. The base-vs-current
+        // diff fallback covers the two cases deltas can't: a mid-txn ALTER
+        // invalidated them (ftsDirty), or an index appeared mid-txn from
+        // another connection, so early statements recorded no delta
+        // (pending count < DML count).
+        val createdFts = txn.stagedFts.collect { case (n, Some(_)) => n }.toSet
+        createdFts.foreach(ftsRebuild(db, branch, _))
+        val touched = (txn.staged.keySet ++ txn.ftsPending.map(_._1) ++
+          txn.dmlCount.keySet).toSeq.distinct
+        val preexistingFor = touched.map { t =>
+          t -> catalog.ftsIndexesForTable(db, branch, t)
             .filterNot { case (n, _) => createdFts.contains(n) }
-          if (preexisting.nonEmpty) {
-            val cur = catalog.currentVersion(db, branch, t)
-            val schema = StructType.fromDDL(cur.get.schemaDdl)
+        }.toMap
+        val pendingCounts = txn.ftsPending.groupBy(_._1)
+          .view.mapValues(_.size).toMap
+        val fallbackDone = mutable.Set[String]()
+        touched.foreach { t =>
+          val preexisting = preexistingFor(t)
+          val incomplete = txn.ftsDirty.contains(t) ||
+            pendingCounts.getOrElse(t, 0) < txn.dmlCount.getOrElse(t, 0)
+          if (preexisting.nonEmpty && incomplete) {
+            fallbackDone += t
+            ftsTxnDiffFallback(db, branch, t, txn.baseTs.getOrElse(t, -1L),
+              preexisting.map(_._1).toSet)
+          }
+        }
+        val schemaFor = mutable.Map[String, StructType]()
+        txn.ftsPending.foreach { case (t, oldDir, newDir) =>
+          val preexisting = preexistingFor.getOrElse(t, Nil)
+          if (!fallbackDone.contains(t) && preexisting.nonEmpty) {
+            val schema = schemaFor.getOrElseUpdate(t, StructType.fromDDL(
+              catalog.currentVersion(db, branch, t).get.schemaDdl))
             def readDelta(d: Option[String]): Option[DataFrame] =
               d.map(p => sess.read.schema(schema).parquet(p))
             ftsOnDelta(db, branch, t,
@@ -316,10 +352,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
               readDelta(newDir), only = Some(preexisting.map(_._1).toSet))
           }
         }
+        txn.staged.keys.foreach(t => maybeAutoCompact(db, branch, t))
       }
-      txn.staged.keys.foreach(t => maybeAutoCompact(db, branch, t))
+      releaseTxnDirs(txn, deleteNewDirs = false)
+    } catch {
+      case e: Throwable =>
+        releaseTxnDirs(txn, deleteNewDirs = !applied)
+        throw e
     }
-    releaseTxnDirs(txn, deleteNewDirs = false)
   }
 
   def rollbackTransaction(id: String): Unit = {
@@ -337,14 +377,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val doomed = txn.scratchDirs.toSeq ++
       (if (deleteNewDirs) txn.newDirs.toSeq else Nil)
     doomed.foreach { d =>
-      try {
-        val p = Paths.get(d)
-        if (Files.exists(p)) {
-          val walked = Files.walk(p)
-          try walked.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          finally walked.close()
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
+      try catalog.deleteTree(Paths.get(d))
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     catalog.releasePendingDirs(txn.newDirs.toSeq)
   }
@@ -461,6 +495,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   def execute(db: String, branch: String, input: QueryInput,
       key: AccessKey = AccessKey.root): QueryResponse = {
     val t0 = System.nanoTime()
+    // pin the statement's transaction for the statement's duration: the
+    // expiry reaper never deletes a pinned transaction's staged files, so
+    // a long-running statement can't have them vanish mid-flight
+    val pinned =
+      if (input.transactionId.isEmpty) None
+      else synchronized(transactions.get(input.transactionId))
+    pinned.foreach(_.inFlight.incrementAndGet())
     try {
       Authorizer.authorize(sess, key, db, branch, input.statement)
       val r = route(db, branch, input, key)
@@ -471,7 +512,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       case e: Throwable =>
         QueryResponse(input.id, Nil, Nil, error = Option(e.getMessage).getOrElse(e.toString),
           transactionId = input.transactionId)
-    } finally dropScratchViews()
+    } finally {
+      pinned.foreach(_.inFlight.decrementAndGet())
+      dropScratchViews()
+    }
   }
 
   /** Per-statement scratch views (reserved `__graft_`/`__fts_match` space)
@@ -679,10 +723,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * queries from short-lived threads. */
   private final class SessionViews {
     val reg = mutable.Map[String, (String, String, Long)]()
-    // which (db, branch, viewsVersion) the SQL views were last registered
-    // for — its own field, NOT a sentinel entry in `reg`, so a user table
-    // that happens to be named like the bookkeeping key still registers
-    var viewsState: Option[(String, String, Long)] = None
+    // which (db, branch, viewsVersion, txnOverlayTag) the SQL views were
+    // last registered for — its own field, NOT a sentinel entry in `reg`,
+    // so a user table that happens to be named like the bookkeeping key
+    // still registers. The tag is empty outside transactions; inside one
+    // with staged views it is (txn id, view epoch), so overlaid
+    // registrations cache per-statement and invalidate on txn end or on
+    // further staged view DDL.
+    var viewsState: Option[(String, String, Long, String)] = None
   }
   private val viewVersions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, SessionViews]())
@@ -742,9 +790,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // base table was dropped stays unregistered — it errors when QUERIED,
     // like SQLite, instead of breaking every statement on the branch.
     val vv = catalog.viewsVersion(db, branch)
-    val txnViewOverlay = txn.exists(_.stagedViews.nonEmpty)
-    if (anyChanged || txnViewOverlay ||
-        !sv.viewsState.contains((db, branch, vv))) {
+    val txnTag = txn.filter(_.stagedViews.nonEmpty)
+      .map(x => s"${x.id}#${x.viewEpoch}").getOrElse("")
+    if (anyChanged || !sv.viewsState.contains((db, branch, vv, txnTag))) {
       sqlViews.foreach { case (name, sql) =>
         try {
           s.sql(sql).createOrReplaceTempView(name)
@@ -755,9 +803,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             if (reg.contains(name)) { s.catalog.dropTempView(name); reg -= name }
         }
       }
-      // an overlaid registration must NOT satisfy the skip key: the next
-      // statement without this transaction needs the committed views back
-      sv.viewsState = if (txnViewOverlay) None else Some((db, branch, vv))
+      // the tag keys overlaid registrations to THIS transaction's staged
+      // view state: the first statement without it (or after more staged
+      // view DDL) re-registers the right set
+      sv.viewsState = Some((db, branch, vv, txnTag))
     }
   }
 
@@ -773,25 +822,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * transaction id minted for one db/branch cannot be used from another
     * database's query path — otherwise a key privileged on db B could
     * commit/read/stage db A's transaction by quoting its id. */
-  private def txnFor(db: String, branch: String, input: QueryInput): Option[Txn] = {
-    if (input.transactionId.isEmpty) return None
-    val expired = synchronized {
+  private def txnFor(db: String, branch: String, input: QueryInput): Option[Txn] =
+    if (input.transactionId.isEmpty) None
+    else synchronized {
       val t = transactions.get(input.transactionId)
-      if (t.exists(_.expired)) {
-        transactions.remove(input.transactionId)
-        t
-      } else {
-        t.foreach { txn =>
-          if (txn.db != db || txn.branch != branch)
-            throw new DeniedException("transaction does not belong to this branch")
-        }
-        return t.orElse(throw new IllegalArgumentException(
-          s"no transaction ${input.transactionId}"))
+      // expired: refuse the statement but leave removal AND file deletion
+      // to the reaper, which skips transactions with statements in flight
+      if (t.exists(_.expired))
+        throw new IllegalStateException("transaction timed out")
+      t.foreach { txn =>
+        if (txn.db != db || txn.branch != branch)
+          throw new DeniedException("transaction does not belong to this branch")
       }
+      t.orElse(throw new IllegalArgumentException(
+        s"no transaction ${input.transactionId}"))
     }
-    expired.foreach(releaseTxnDirs(_, deleteNewDirs = true))
-    throw new IllegalStateException("transaction timed out")
-  }
 
   /** The canonical FTS5 read shape, rewritten onto the stored index:
     * SELECT <cols> FROM <idx> WHERE <idx> MATCH '<q>' [ORDER BY ...] [LIMIT n]
@@ -1029,6 +1074,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       !matchRe.pattern.matcher(stmt).matches()
     if (!plainDql) { emit(execute(db, branch, input, key)); return }
     val t0 = System.nanoTime()
+    val pinned =
+      if (input.transactionId.isEmpty) None
+      else synchronized(transactions.get(input.transactionId))
+    pinned.foreach(_.inFlight.incrementAndGet())
     try {
       Authorizer.authorize(sess, key, db, branch, stmt)
       val txn = txnFor(db, branch, input)
@@ -1062,7 +1111,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         emit(QueryResponse(input.id, Nil, Nil,
           error = Option(e.getMessage).getOrElse(e.toString),
           transactionId = input.transactionId))
-    } finally dropScratchViews()
+    } finally {
+      pinned.foreach(_.inFlight.decrementAndGet())
+      dropScratchViews()
+    }
   }
 
   /** Batch results are driver-bounded (r2 VERDICT "wrong #3"): the JSON
@@ -1235,7 +1287,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           // validate the definition parses now, like SQLite prepares it
           sess.sessionState.sqlParser.parsePlan(sel)
           txn match {
-            case Some(x) => x.stagedViews(v) = Some(sel)
+            case Some(x) => x.stagedViews(v) = Some(sel); x.viewEpoch += 1
             case None => catalog.putView(db, branch, v, sel)
           }
         }
@@ -1245,7 +1297,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         val existed = txn match {
           case Some(x) =>
             val e = effViewDef(db, branch, v, txn).isDefined
-            if (e) x.stagedViews(v) = None
+            if (e) { x.stagedViews(v) = None; x.viewEpoch += 1 }
             e
           case None => catalog.dropView(db, branch, v)
         }
@@ -1551,14 +1603,26 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     txn.flatMap(_.stagedViews.get(name))
       .getOrElse(catalog.viewDef(db, branch, name))
 
-  /** Views in registration order: committed survivors first (creation
-    * order), then the transaction's creations in statement order. */
+  /** Views in registration order: committed views keep their creation
+    * positions — a view REDEFINED in the transaction keeps its slot (like
+    * the committed path, where putView updates in place), so views that
+    * depend on it still register after it — then the transaction's truly
+    * new creations in statement order. */
   private def effViewsList(db: String, branch: String,
       txn: Option[Txn]): Seq[(String, String)] = txn match {
     case None => catalog.views(db, branch)
     case Some(x) =>
-      catalog.views(db, branch).filterNot { case (n, _) => x.stagedViews.contains(n) } ++
-        x.stagedViews.toSeq.collect { case (n, Some(sql)) => (n, sql) }
+      val committed = catalog.views(db, branch)
+      val committedNames = committed.map(_._1).toSet
+      committed.flatMap { case (n, sql) =>
+        x.stagedViews.get(n) match {
+          case None => Some((n, sql)) // untouched
+          case Some(Some(redef)) => Some((n, redef)) // redefined in place
+          case Some(None) => None // dropped
+        }
+      } ++ x.stagedViews.toSeq.collect {
+        case (n, Some(sql)) if !committedNames.contains(n) => (n, sql)
+      }
   }
 
   private def effFtsIndex(db: String, branch: String, name: String,
@@ -1626,14 +1690,28 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     p
   }
 
+  /** Does a COMMITTED index not overridden by this transaction cover
+    * `table`? Only those consume pending deltas at commit — indexes the
+    * transaction itself created (or dropped/re-created) rebuild from the
+    * committed state instead, so materializing deltas for them would be
+    * dead writes. */
+  private def ftsPendingRelevant(db: String, branch: String, table: String,
+      txn: Txn): Boolean =
+    catalog.ftsIndexesForTable(db, branch, table)
+      .exists { case (n, _) => !txn.stagedFts.contains(n) }
+
   /** Record one statement's FTS touched-row delta inside a transaction:
     * the old/new touched rows are materialized to scratch parquet NOW
     * (O(changed rows)), so commit-time maintenance never re-derives them
-    * from the whole table (r4 "what's wrong" #1). */
+    * from the whole table (r4 "what's wrong" #1). Every changed-row DML
+    * statement counts in dmlCount even when no index exists yet — commit
+    * compares the counts to catch an index created mid-transaction by
+    * another connection. */
   private def recordFtsPending(db: String, branch: String, table: String,
       txn: Txn, oldTouched: Option[DataFrame],
       newTouched: Option[DataFrame]): Unit = {
-    if (effFtsIndexesForTable(db, branch, table, Some(txn)).isEmpty) return
+    txn.dmlCount(table) = txn.dmlCount.getOrElse(table, 0) + 1
+    if (!ftsPendingRelevant(db, branch, table, txn)) return
     def materialize(d: Option[DataFrame]): Option[String] = d.map { df =>
       val dir = txnScratchDir(db, branch, txn)
       df.write.parquet(dir.toString)
@@ -1645,9 +1723,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   /** Record an INSERT's delta without re-writing anything: the appended
     * file-set entry IS the new-rows delta. */
   private def recordFtsPendingAppend(db: String, branch: String, table: String,
-      txn: Txn, writtenDir: String): Unit =
-    if (effFtsIndexesForTable(db, branch, table, Some(txn)).nonEmpty)
+      txn: Txn, writtenDir: String): Unit = {
+    txn.dmlCount(table) = txn.dmlCount.getOrElse(table, 0) + 1
+    if (ftsPendingRelevant(db, branch, table, txn))
       txn.ftsPending += ((table, None, Some(writtenDir)))
+  }
 
   private def currentOrStaged(db: String, branch: String, table: String,
       txn: Option[Txn]): Catalog#TableVersion =

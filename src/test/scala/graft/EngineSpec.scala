@@ -1697,6 +1697,59 @@ class EngineSpec extends AnyFunSuite {
     assert(still.rows.head.head == SqlValue.IntVal(1999))
   }
 
+  test("a conflict-aborted commit cleans up its staged files like a rollback") {
+    val dir = Files.createTempDirectory("graft-txn-conflict")
+    val s = new GraftSession(spark, dir)
+    s.createDatabase("db1")
+    s.execute("db1", "main", q("CREATE TABLE cc (id INTEGER)"))
+    val tid = s.execute("db1", "main", q("BEGIN")).transactionId
+    assert(s.execute("db1", "main",
+      q("INSERT INTO cc VALUES (1)", txn = tid)).error.isEmpty)
+    // a direct write bumps the version: the commit must fail with 11001
+    s.execute("db1", "main", q("INSERT INTO cc VALUES (99)"))
+    val c = s.execute("db1", "main", q("COMMIT", txn = tid))
+    assert(c.error.contains("11001"), c.error)
+    // the aborted transaction's staged version dir is deleted — only the
+    // committed write's files remain under the table
+    val live = s.catalog.currentVersion("db1", "main", "cc").get.paths.toSet
+    val tableDir = dir.resolve("db1").resolve("main").resolve("cc")
+    val listing = java.nio.file.Files.list(tableDir)
+    val vdirs =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+        .asScala.map(_.toString).filter(_.contains("/v")).toSet
+      finally listing.close()
+    assert(vdirs == live, s"leaked staged dirs: ${vdirs -- live}")
+    val sel = s.execute("db1", "main", q("SELECT id FROM cc"))
+    assert(sel.rows.map(_.head) == Seq(SqlValue.IntVal(99)))
+  }
+
+  test("an FTS index created mid-txn by another connection folds at commit") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE ft2 (doc_id INTEGER, body TEXT)"))
+    s.execute("db1", "main", q("INSERT INTO ft2 VALUES (1, 'alpha base')"))
+    val tid = s.execute("db1", "main", q("BEGIN")).transactionId
+    // staged BEFORE the index exists: no pending delta is recorded
+    assert(s.execute("db1", "main",
+      q("INSERT INTO ft2 VALUES (2, 'bravo staged')", txn = tid)).error.isEmpty)
+    // another connection creates the index now — it sees only row 1, and
+    // it does not bump ft2's version, so the commit won't conflict
+    assert(s.execute("db1", "main",
+      q("CREATE VIRTUAL TABLE ftf2 USING fts5(body, content='ft2', content_rowid='doc_id')"))
+      .error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("SELECT doc FROM ftf2 WHERE ftf2 MATCH 'bravo'")).rows.isEmpty)
+    val c = s.execute("db1", "main", q("COMMIT", txn = tid))
+    assert(c.error.isEmpty, c.error)
+    // the commit detected the uncovered statements (pending < dml count)
+    // and diff-folded them into the concurrently-created index
+    val hit = s.execute("db1", "main",
+      q("SELECT doc FROM ftf2 WHERE ftf2 MATCH 'bravo'"))
+    assert(hit.rows.map(_.head) == Seq(SqlValue.IntVal(2)))
+    val base = s.execute("db1", "main",
+      q("SELECT doc FROM ftf2 WHERE ftf2 MATCH 'alpha'"))
+    assert(base.rows.map(_.head) == Seq(SqlValue.IntVal(1)))
+  }
+
   test("INSERT ... SELECT executes its source plan exactly once") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE src1p (id INTEGER)"))
