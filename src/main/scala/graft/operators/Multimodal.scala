@@ -157,7 +157,19 @@ object Multimodal {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
     img.getRaster.setDataElements(0, 0, width, height, pixels)
-    writeImage(img, "gif")
+    // explicit writer with interlace OFF: the JDK GIF writer's default
+    // progressive mode scrambles rows for heights < 5
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    if (param.canWriteProgressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Decode any stock-JDK imageio format (BMP, PNG, GIF, JPEG) into
@@ -234,9 +246,11 @@ object Multimodal {
     bb.array()
   }
 
-  /** Decode a WAV via javax.sound.sampled (pure JDK): returns
+  /** Decode a WAV: PCM16 via javax.sound.sampled (pure JDK); IMA-ADPCM
+    * (format tag 0x11 — the JDK reader can't) via the hand codec. Returns
     * (sampleRate, channels, interleaved 16-bit samples). */
   def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    if (wavFormatTag(bytes) == 0x11) return decodeWavImaAdpcm(bytes)
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -252,6 +266,170 @@ object Multimodal {
       while (i < out.length) { out(i) = bb.getShort(); i += 1 }
       (fmt.getSampleRate.toInt, fmt.getChannels, out)
     } finally ais.close()
+  }
+
+  // --- compressed audio codec (IMA ADPCM, WAVE format tag 0x11) ------------
+  //
+  // The first COMPRESSED audio format the engine decodes for real, in pure
+  // JVM: IMA/DVI ADPCM stores one 4-bit adaptive delta per 16-bit sample
+  // (4:1). The JDK's AudioSystem cannot read it, so both sides are hand
+  // implementations of the public IMA algorithm (step/index tables).
+
+  private val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val imaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  private def imaClampIndex(i: Int): Int = math.min(88, math.max(0, i))
+  private def imaClampSample(s: Int): Int = math.min(32767, math.max(-32768, s))
+
+  /** Reconstruct the sample a 4-bit IMA code stands for; returns the new
+    * (predictor, stepIndex). Shared verbatim by encode and decode so the
+    * encoder's predictor never drifts from the decoder's. */
+  private def imaStep(code: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = imaStepTable(index)
+    var diff = step >> 3
+    if ((code & 1) != 0) diff += step >> 2
+    if ((code & 2) != 0) diff += step >> 1
+    if ((code & 4) != 0) diff += step
+    val p = imaClampSample(if ((code & 8) != 0) pred - diff else pred + diff)
+    (p, imaClampIndex(index + imaIndexTable(code & 7)))
+  }
+
+  /** Encode mono 16-bit samples as an IMA-ADPCM WAVE (format tag 0x11,
+    * 256-byte blocks: 4-byte header = first sample + step index, then one
+    * nibble per sample, low nibble first; `fact` chunk carries the true
+    * sample count so a partial last block decodes exactly). */
+  def encodeWavImaAdpcm(sampleRate: Int, samples: Array[Short],
+      blockAlign: Int = 256): Array[Byte] = {
+    require(samples.nonEmpty, "no samples")
+    require(blockAlign >= 8 && blockAlign % 4 == 0, s"bad blockAlign $blockAlign")
+    val samplesPerBlock = (blockAlign - 4) * 2 + 1
+    val nBlocks = (samples.length + samplesPerBlock - 1) / samplesPerBlock
+    val dataLen = nBlocks * blockAlign
+    val byteRate = math.max(1, sampleRate * blockAlign / samplesPerBlock)
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + 4 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 20 + 8 + 4 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11) // WAVE_FORMAT_IMA_ADPCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(byteRate)
+      .putShort(blockAlign.toShort)
+      .putShort(4) // bits per (encoded) sample
+      .putShort(2) // cbSize
+      .putShort(samplesPerBlock.toShort)
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var s = 0
+    while (s < samples.length) {
+      var pred: Int = samples(s)
+      var index = 0
+      bb.putShort(pred.toShort).put(0.toByte).put(0.toByte) // block header
+      s += 1
+      var nib = 0
+      var lowNibble = -1
+      while (nib < (blockAlign - 4) * 2) {
+        val target: Int = if (s < samples.length) samples(s) else pred
+        if (s < samples.length) s += 1
+        // pick the code whose reconstruction lands closest (standard
+        // greedy IMA encoder: magnitude thresholds against the step)
+        val step = imaStepTable(index)
+        var delta = target - pred
+        var code = 0
+        if (delta < 0) { code = 8; delta = -delta }
+        if (delta >= step) { code |= 4; delta -= step }
+        if (delta >= (step >> 1)) { code |= 2; delta -= step >> 1 }
+        if (delta >= (step >> 2)) { code |= 1 }
+        val (p2, i2) = imaStep(code, pred, index)
+        pred = p2; index = i2
+        if (lowNibble < 0) lowNibble = code
+        else { bb.put((lowNibble | (code << 4)).toByte); lowNibble = -1 }
+        nib += 1
+      }
+    }
+    bb.array()
+  }
+
+  /** Decode an IMA-ADPCM WAVE produced by any conforming encoder: walks
+    * the RIFF chunks, honors blockAlign/samplesPerBlock/fact, returns
+    * (sampleRate, channels, pcm16 samples). */
+  def decodeWavImaAdpcm(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "WAVE", "not a WAVE")
+    var rate = 0; var blockAlign = 0; var samplesPerBlock = 0
+    var nSamples = -1
+    var dataOff = -1; var dataLen = 0
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = cc(off); val size = bb.getInt(off + 4)
+      require(size >= 0 && off + 8L + size <= bytes.length,
+        s"corrupt WAVE: chunk $id claims $size bytes")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "corrupt WAVE: short fmt")
+          require(bb.getShort(off + 8) == 0x11, "not IMA ADPCM")
+          require(bb.getShort(off + 10) == 1, "only mono IMA ADPCM supported")
+          rate = bb.getInt(off + 12)
+          blockAlign = bb.getShort(off + 20) & 0xFFFF
+          samplesPerBlock =
+            if (size >= 22) bb.getShort(off + 26) & 0xFFFF
+            else (blockAlign - 4) * 2 + 1
+        case "fact" if size >= 4 => nSamples = bb.getInt(off + 8)
+        case "data" => dataOff = off + 8; dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(rate > 0 && blockAlign >= 8 && dataOff >= 0, "no ADPCM stream")
+    val total =
+      if (nSamples >= 0) nSamples
+      else (dataLen / blockAlign) * samplesPerBlock
+    val out = new Array[Short](total)
+    var produced = 0
+    var blockOff = dataOff
+    while (produced < total && blockOff + blockAlign <= dataOff + dataLen) {
+      var pred: Int = bb.getShort(blockOff)
+      var index = imaClampIndex(bytes(blockOff + 2) & 0xFF)
+      out(produced) = pred.toShort; produced += 1
+      var i = 0
+      while (i < (blockAlign - 4) * 2 && produced < total) {
+        val b = bytes(blockOff + 4 + (i >> 1)) & 0xFF
+        val code = if ((i & 1) == 0) b & 0xF else (b >> 4) & 0xF
+        val (p2, i2) = imaStep(code, pred, index)
+        pred = p2; index = i2
+        out(produced) = pred.toShort; produced += 1
+        i += 1
+      }
+      blockOff += blockAlign
+    }
+    require(produced == total, s"short ADPCM stream: $produced of $total samples")
+    (rate, 1, out)
+  }
+
+  /** WAVE fmt-chunk format tag, or -1 when the payload isn't RIFF/WAVE. */
+  private def wavFormatTag(bytes: Array[Byte]): Int = {
+    if (bytes.length < 12 ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE") return -1
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8L + size > bytes.length) return -1
+      if (id == "fmt " && size >= 2) return bb.getShort(off + 8) & 0xFFFF
+      off += 8 + size + (size & 1)
+    }
+    -1
   }
 
   case class DecodedAudio(media_id: Long, sample_rate: Long, channels: Long,
@@ -347,15 +525,61 @@ object Multimodal {
     out
   }
 
-  /** Parse an uncompressed AVI: returns (width, height, fps, top-down RGB
-    * frames). A generic RIFF chunk walk — reads avih for dimensions, strh
-    * for the rate/scale clock, and every 00db/00dc chunk in the movi list
-    * as one bottom-up BGR DIB frame. */
+  /** Encode RGB frames as a MOTION-JPEG AVI ('MJPG' handler + biCompression,
+    * one JPEG image per '00dc' chunk) — the first COMPRESSED video format
+    * the engine writes/reads for real: the container is the same RIFF walk
+    * as the raw form, the frames go through the stock JDK's JPEG codec. */
+  def encodeAviMjpeg(width: Int, height: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height * 3),
+      "each frame must be w*h*3 rgb bytes")
+    val jpegs = frames.map(encodeJpeg(width, height, _))
+    val moviPayload = jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val bb = java.nio.ByteBuffer.allocate(
+        12 + 8 + 4 + 64 + 8 + 4 + 64 + 48 + 12 + moviPayload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(fourcc("RIFF")).putInt(0).put(fourcc("AVI ")) // size patched below
+    bb.put(fourcc("LIST")).putInt(4 + 64 + 8 + 4 + 64 + 48).put(fourcc("hdrl"))
+    bb.put(fourcc("avih")).putInt(56)
+      .putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put(fourcc("LIST")).putInt(4 + 64 + 48).put(fourcc("strl"))
+    bb.put(fourcc("strh")).putInt(56)
+      .put(fourcc("vids")).put(fourcc("MJPG"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(fps) // scale, rate -> fps frames/sec
+      .putInt(0).putInt(frames.length).putInt(0)
+      .putInt(-1).putInt(0)
+      .putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort)
+    bb.put(fourcc("strf")).putInt(40)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .put(fourcc("MJPG")) // biCompression
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put(fourcc("LIST")).putInt(4 + moviPayload).put(fourcc("movi"))
+    jpegs.foreach { j =>
+      bb.put(fourcc("00dc")).putInt(j.length).put(j)
+      if ((j.length & 1) == 1) bb.put(0.toByte) // word alignment
+    }
+    val out = bb.array()
+    java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, out.length - 8)
+    out
+  }
+
+  /** Parse an AVI: returns (width, height, fps, top-down RGB frames). A
+    * generic RIFF chunk walk — reads avih for dimensions, strh for the
+    * rate/scale clock and handler, and every 00db/00dc chunk in the movi
+    * list as one frame: a bottom-up BGR DIB for the raw form, a JPEG
+    * image (decoded via the stock JDK codec) when the stream handler is
+    * 'MJPG' or the chunk opens with a JPEG SOI marker. */
   def decodeAvi(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
     require(cc(0) == "RIFF" && cc(8) == "AVI ", "not an AVI")
     var width = 0; var height = 0; var fps = 0
+    var mjpeg = false
     val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     def walk(start: Int, end: Int, depth: Int): Unit = {
       // honest containers nest hdrl/strl/movi a handful deep; a crafted
@@ -379,27 +603,38 @@ object Multimodal {
               width.toLong * height <= (1L << 26),
               s"corrupt AVI: dimensions ${width}x$height")
           case "strh" if size >= 28 && cc(off + 8) == "vids" =>
+            if (cc(off + 12) == "MJPG") mjpeg = true
             val scale = bb.getInt(off + 8 + 20); val rate = bb.getInt(off + 8 + 24)
             if (scale > 0) fps = rate / scale
           case "00db" | "00dc" =>
-            val stride = (width * 3 + 3) / 4 * 4
-            require(width > 0 && height > 0 &&
-              size >= stride.toLong * height,
-              s"corrupt AVI: frame chunk of $size bytes for ${width}x$height")
-            val rgb = new Array[Byte](width * height * 3)
-            var y = 0
-            while (y < height) {
-              val src = off + 8 + (height - 1 - y) * stride
-              var x = 0
-              while (x < width) {
-                rgb(y * width * 3 + x * 3) = bytes(src + x * 3 + 2)     // R
-                rgb(y * width * 3 + x * 3 + 1) = bytes(src + x * 3 + 1) // G
-                rgb(y * width * 3 + x * 3 + 2) = bytes(src + x * 3)     // B
-                x += 1
+            val isJpegFrame = mjpeg || (size >= 2 &&
+              (bytes(off + 8) & 0xFF) == 0xFF && (bytes(off + 9) & 0xFF) == 0xD8)
+            if (isJpegFrame) {
+              val (fw, fh, rgb) = decodeBmp(
+                java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size))
+              require(fw == width && fh == height,
+                s"corrupt AVI: MJPEG frame ${fw}x$fh in a ${width}x$height stream")
+              frames += rgb
+            } else {
+              val stride = (width * 3 + 3) / 4 * 4
+              require(width > 0 && height > 0 &&
+                size >= stride.toLong * height,
+                s"corrupt AVI: frame chunk of $size bytes for ${width}x$height")
+              val rgb = new Array[Byte](width * height * 3)
+              var y = 0
+              while (y < height) {
+                val src = off + 8 + (height - 1 - y) * stride
+                var x = 0
+                while (x < width) {
+                  rgb(y * width * 3 + x * 3) = bytes(src + x * 3 + 2)     // R
+                  rgb(y * width * 3 + x * 3 + 1) = bytes(src + x * 3 + 1) // G
+                  rgb(y * width * 3 + x * 3 + 2) = bytes(src + x * 3)     // B
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              frames += rgb
             }
-            frames += rgb
           case _ => () // unknown chunk: skip (idx1, JUNK, ...)
         }
         off += 8 + size + (size & 1) // chunks are word-aligned

@@ -348,6 +348,63 @@ object Pipeline {
       |GROUP BY d.doc_id, d.w, d.h, d.n
       |ORDER BY media_id""".stripMargin
 
+  /** COMPRESSED video decode: Motion-JPEG AVI — same RIFF walk as p27,
+    * frames through the stock JDK's JPEG codec. JPEG is lossy, so the
+    * oracle pins the exact geometry (dimensions, frame count, fps); pixel
+    * fidelity is pinned by tolerance specs in OperatorsSpec. */
+  def p32MjpegDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 6 + (id % 5).toInt
+      val nf = 2 + (id % 4).toInt
+      val fps = 10 + (id % 5).toInt
+      val frames = (0 until nf).map(f =>
+        Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + f * 17 + i) % 256).toByte))
+      Multimodal.MediaRow(id, "avi", Multimodal.encodeAviMjpeg(w, h, fps, frames))
+    }
+    Multimodal.decodeVideos(media)
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        col("fps"))
+      .orderBy(col("media_id"))
+  }
+
+  val p32Oracle: String =
+    """SELECT doc_id AS media_id, 8 + doc_id % 9 AS width,
+      |  6 + doc_id % 5 AS height, CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+      |  CAST(10 + doc_id % 5 AS BIGINT) AS fps
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** COMPRESSED audio decode: IMA-ADPCM WAVE (format tag 0x11, 4 bits per
+    * sample) through the hand codec — the JDK reader can't parse it. The
+    * oracle pins the exact container-derived fields (rate, sample count,
+    * duration); waveform fidelity is pinned by tolerance specs. */
+  def p33AdpcmDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val rate = 8000 + (id % 3).toInt * 4000
+      val n = 600 + (id % 200).toInt // spans a full + a partial ADPCM block
+      val samples = Array.tabulate[Short](n)(i =>
+        (((id * 37 + i.toLong * 13) % 2003) - 1001).toShort)
+      Multimodal.MediaRow(id, "wav", Multimodal.encodeWavImaAdpcm(rate, samples))
+    }
+    Multimodal.decodeAudio(media)
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  val p33Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(600 + doc_id % 200 AS BIGINT) AS n_samples,
+      |  round(CAST(600 + doc_id % 200 AS DOUBLE) * 1000.0
+      |        / (8000 + (doc_id % 3) * 4000), 6) AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Deterministic hash sampling (training-data subsetting at 100 TB): a
     * row is kept iff the first 4 hex digits of md5(doc_id) fall below the
     * rate threshold — reproducible, join-stable, zero shuffle, no RNG.
@@ -834,13 +891,17 @@ object Pipeline {
     "p28_image_resize" -> (p28ImageResize _),
     "p29_chunking" -> (p29Chunking _),
     "p30_pii_redact" -> (p30PiiRedact _),
-    "p31_pnggif_decode" -> (p31PngGifDecode _))
+    "p31_pnggif_decode" -> (p31PngGifDecode _),
+    "p32_mjpeg_decode" -> (p32MjpegDecode _),
+    "p33_adpcm_decode" -> (p33AdpcmDecode _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
     "q34_fts_self_join" -> q34Oracle,
     "p14_multimodal_decode" -> p14Oracle,
     "p31_pnggif_decode" -> p31Oracle,
+    "p32_mjpeg_decode" -> p32Oracle,
+    "p33_adpcm_decode" -> p33Oracle,
     "p15_fts_match" -> p15Oracle,
     "p19_fts_phrase" -> p19Oracle,
     "p20_fts_prefix" -> p20Oracle,

@@ -63,6 +63,49 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG and grayscale GIF round-trip arbitrary images") {
+    val r = rnd
+    for (_ <- 1 to 40) {
+      val w = 1 + r.nextInt(24); val h = 1 + r.nextInt(24)
+      val rgb = Array.fill[Byte](w * h * 3)(r.nextInt(256).toByte)
+      val (pw, ph, prgb) = Multimodal.decodeBmp(Multimodal.encodePng(w, h, rgb))
+      assert(pw == w && ph == h && prgb.toSeq == rgb.toSeq, s"png ${w}x$h")
+      val gray = Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      val (gw, gh, grgb) = Multimodal.decodeBmp(Multimodal.encodeGifGray(w, h, gray))
+      assert(gw == w && gh == h, s"gif ${w}x$h")
+      (0 until w * h).foreach(i => assert(grgb(i * 3) == gray(i), s"gif ${w}x$h px $i"))
+    }
+  }
+
+  test("MJPEG AVI decodes arbitrary frame stacks with exact geometry") {
+    val r = rnd
+    for (_ <- 1 to 15) {
+      val w = 1 + r.nextInt(20); val h = 1 + r.nextInt(16)
+      val fps = 1 + r.nextInt(60); val nf = 1 + r.nextInt(4)
+      val frames = Seq.fill(nf)(Array.fill[Byte](w * h * 3)(r.nextInt(256).toByte))
+      val (dw, dh, dfps, df) =
+        Multimodal.decodeAvi(Multimodal.encodeAviMjpeg(w, h, fps, frames))
+      assert(dw == w && dh == h && dfps == fps && df.length == nf, s"${w}x$h@$fps x$nf")
+      df.foreach(f => assert(f.length == w * h * 3))
+    }
+  }
+
+  test("IMA-ADPCM decodes arbitrary PCM16 streams deterministically") {
+    val r = rnd
+    for (_ <- 1 to 40) {
+      val rate = Seq(8000, 16000, 22050)(r.nextInt(3))
+      val n = 1 + r.nextInt(1400)
+      val samples = Array.fill[Short](n)((r.nextInt(65536) - 32768).toShort)
+      val wav = Multimodal.encodeWavImaAdpcm(rate, samples)
+      val (dr, ch, d1) = Multimodal.decodeWav(wav)
+      assert(dr == rate && ch == 1 && d1.length == n, s"$rate/$n")
+      val (_, _, d2) = Multimodal.decodeWav(wav)
+      assert(d1.toSeq == d2.toSeq, "non-deterministic decode")
+      // the first sample is stored verbatim in the block header
+      assert(d1(0) == samples(0))
+    }
+  }
+
   test("chunkWords geometry holds for arbitrary sizes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

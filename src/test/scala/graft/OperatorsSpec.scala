@@ -362,6 +362,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length == 3 && out.forall(d => d.width == w && d.height == h))
   }
 
+  test("MJPEG AVI: exact geometry, per-frame pixels within JPEG tolerance") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    val w = 12; val h = 8; val fps = 12
+    val src = (0 until 3).map(f =>
+      Array.tabulate[Byte](w * h * 3)(i => ((f * 17 + i * 3) % 256).toByte))
+    val avi = Multimodal.encodeAviMjpeg(w, h, fps, src)
+    val (dw, dh, dfps, frames) = Multimodal.decodeAvi(avi)
+    assert(dw == w && dh == h && dfps == fps && frames.length == 3)
+    src.zip(frames).foreach { case (a, b) =>
+      val ma = a.map(_ & 0xFF).map(_.toLong).sum.toDouble / a.length
+      val mb = b.map(_ & 0xFF).map(_.toLong).sum.toDouble / b.length
+      assert(math.abs(ma - mb) < 8.0, s"jpeg frame mean drifted: $ma vs $mb")
+    }
+    // decodeVideos consumes MJPEG through the same 'avi' kind
+    val out = Multimodal.decodeVideos(
+      Seq(Multimodal.MediaRow(1L, "avi", avi)).toDS()).collect()
+    assert(out.head.n_frames == 3 && out.head.width == w && out.head.fps == fps)
+  }
+
+  test("IMA-ADPCM round-trips header exactly and tracks the waveform") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    // smooth sine: the adaptive step locks onto the slope and the error
+    // stays a few quantization steps (a signal with cliffs pays a
+    // transient per cliff — that's the codec, not a bug)
+    val ramp = Array.tabulate[Short](1500)(i =>
+      (8000 * math.sin(i * 2 * math.Pi / 100)).toShort)
+    val wav = Multimodal.encodeWavImaAdpcm(16000, ramp)
+    val (rate, ch, decoded) = Multimodal.decodeWav(wav) // dispatches on fmt tag
+    assert(rate == 16000 && ch == 1 && decoded.length == ramp.length)
+    val errs = ramp.zip(decoded).map { case (a, b) => math.abs(a - b) }
+    val rmsSig = math.sqrt(ramp.map(v => v.toDouble * v).sum / ramp.length)
+    val rmsErr = math.sqrt(errs.map(e => e.toDouble * e).sum / errs.length)
+    assert(rmsErr < rmsSig * 0.05, s"ADPCM rms error $rmsErr vs signal $rmsSig")
+    // decode is deterministic and honors the fact chunk on partial blocks
+    val (_, _, again) = Multimodal.decodeWav(wav)
+    assert(decoded.toSeq == again.toSeq)
+    val short = Array.tabulate[Short](37)(i => (i * 100).toShort) // << one block
+    val (_, _, dshort) = Multimodal.decodeWav(
+      Multimodal.encodeWavImaAdpcm(8000, short))
+    assert(dshort.length == 37)
+    // 4:1-ish compression actually happened (plus fixed headers)
+    assert(wav.length < ramp.length * 2 / 3,
+      s"ADPCM payload ${wav.length} not compressed vs ${ramp.length * 2} pcm bytes")
+    // decodeAudio consumes it through the same 'wav' kind
+    val out = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaRow(1L, "wav", wav)).toDS()).collect()
+    assert(out.head.n_samples == 1500 && out.head.sample_rate == 16000)
+  }
+
   test("hash sampling is deterministic, join-stable and near the target rate") {
     import graft.operators.Sampling
     val ids = spark.range(0, 20000).toDF("id")
