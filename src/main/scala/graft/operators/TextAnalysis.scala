@@ -138,4 +138,75 @@ object TextAnalysis {
           lit(2147483647L)))
         .as("rolling_hash"))
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models", appendix A1.1): per document, how much of the word-n-gram
+    * stream is covered by the single most frequent gram (`top_frac`) and
+    * by all grams occurring more than once (`dup_frac`) — the classic
+    * filters for boilerplate / degenerate repetition in pre-training
+    * corpora. Shape: explode → aggregate on (doc, gram) → aggregate on
+    * doc; the shuffle carries one row per DISTINCT gram per doc, never
+    * all-pairs, and map-side partial aggregation collapses repeats before
+    * the exchange. All counts are integers; the fractions are single
+    * final IEEE divisions, so results are bit-deterministic on any
+    * engine and any partitioning. */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1: $n")
+    val grams = df
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__ws) - $n), " +
+          s"i -> concat_ws(' ', slice(__ws, i + 1, $n)))")).as("gram"))
+    grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_count"))
+      .withColumn("top_frac", col("top_count").cast("double") / col("n_grams"))
+      .withColumn("dup_frac", col("dup_count").cast("double") / col("n_grams"))
+  }
+
+  /** Corpus-shape statistics per group: document count, char totals and
+    * EXACT length percentiles via Spark's interpolating `percentile`
+    * aggregate — the same ((n-1)·p)-position linear interpolation DuckDB's
+    * quantile_cont computes, built only from correctly-rounded IEEE
+    * +,-,*,/ so the two engines agree bitwise. Partial+final aggregation;
+    * percentile state per group is a value→count map bounded by the
+    * number of DISTINCT lengths, not rows (lengths cluster heavily, so
+    * this stays small even at corpus scale — switch to approx_percentile
+    * if a group's distinct-value count ever rivals its row count). */
+  def corpusStats(df: DataFrame, lenCol: String,
+      groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(lenCol)).as("total_chars"),
+      avg(col(lenCol)).as("avg_chars"),
+      expr(s"percentile($lenCol, 0.5)").as("median_chars"),
+      expr(s"percentile($lenCol, 0.95)").as("p95_chars"))
+
+  /** TF-IDF keyword extraction: top-k terms per document scored by
+    * tf/doc_freq (term frequency in the doc ÷ number of docs containing
+    * the term — the rarer corpus-wide, the higher). The score is ONE IEEE
+    * division of two integers, which is correctly rounded, so the ranking
+    * is bit-identical on any engine — no transcendental log-idf whose
+    * last-ulp could differ between libms. Ties break lexicographically.
+    * Shape: two keyed aggregations (doc×term, then term) + a term-keyed
+    * join + a per-document window whose state is bounded by one doc's
+    * distinct terms. */
+  def tfidfTopK(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy((col("tf").cast("double") / col("doc_freq")).desc, col("term").asc)
+    tf.join(docFreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("doc_freq"))
+  }
 }

@@ -405,6 +405,72 @@ object Pipeline {
       |        / (8000 + (doc_id % 3) * 4000), 6) AS duration_ms
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Gopher-style repetition signals over word 2-grams: the classic
+    * boilerplate/degenerate-repetition filters (top-gram coverage and
+    * duplicated-gram coverage). Integer counts end-to-end; the two
+    * fractions are single IEEE divisions, so the DuckDB oracle
+    * hash-matches exactly. */
+  def p34Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(documents(s, dir), "text", "doc_id", n = 2)
+      .orderBy(col("doc_id"))
+
+  val p34Oracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(w) - 1),
+      |                        i -> w[i] || ' ' || w[i + 1])) AS gram
+      |  FROM (SELECT doc_id,
+      |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 2),
+      |c AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM g GROUP BY doc_id, gram)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(MAX(c) AS BIGINT) AS top_count,
+      |  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_count,
+      |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac,
+      |  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / SUM(c) AS dup_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Corpus-shape report per (lang, source): doc counts, char totals,
+    * exact interpolated length percentiles (Spark `percentile` ==
+    * DuckDB `quantile_cont` arithmetic). */
+  def p35CorpusStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(documents(s, dir), "n_chars", Seq("lang", "source"))
+      .orderBy(col("lang"), col("source"))
+
+  val p35Oracle: String =
+    """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  AVG(n_chars) AS avg_chars,
+      |  quantile_cont(n_chars, 0.5) AS median_chars,
+      |  quantile_cont(n_chars, 0.95) AS p95_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** TF-IDF keyword extraction: top-3 terms per document by tf/doc_freq
+    * (one correctly-rounded division — no libm log in the ranking), ties
+    * broken lexicographically, so the oracle is exact. */
+  def p36TfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(documents(s, dir), "text", "doc_id", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  val p36Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM t GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term),
+      |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |          ORDER BY CAST(tf.tf AS DOUBLE) / df.doc_freq DESC, tf.term ASC)
+      |          AS INT) AS rank
+      |      FROM tf JOIN df USING (term))
+      |SELECT doc_id, rank, term, tf, doc_freq FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Deterministic hash sampling (training-data subsetting at 100 TB): a
     * row is kept iff the first 4 hex digits of md5(doc_id) fall below the
     * rate threshold — reproducible, join-stable, zero shuffle, no RNG.
@@ -893,7 +959,10 @@ object Pipeline {
     "p30_pii_redact" -> (p30PiiRedact _),
     "p31_pnggif_decode" -> (p31PngGifDecode _),
     "p32_mjpeg_decode" -> (p32MjpegDecode _),
-    "p33_adpcm_decode" -> (p33AdpcmDecode _))
+    "p33_adpcm_decode" -> (p33AdpcmDecode _),
+    "p34_repetition" -> (p34Repetition _),
+    "p35_corpus_stats" -> (p35CorpusStats _),
+    "p36_tfidf_keywords" -> (p36TfidfKeywords _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -925,5 +994,8 @@ object Pipeline {
     "p27_video_decode" -> p27Oracle,
     "p28_image_resize" -> p28Oracle,
     "p29_chunking" -> p29Oracle,
-    "p30_pii_redact" -> p30Oracle)
+    "p30_pii_redact" -> p30Oracle,
+    "p34_repetition" -> p34Oracle,
+    "p35_corpus_stats" -> p35Oracle,
+    "p36_tfidf_keywords" -> p36Oracle)
 }

@@ -523,6 +523,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(0).getString(3) == md5of("w1 w2 w3 w4"))
   }
 
+  test("repetitionSignals counts gram coverage exactly") {
+    import graft.operators.TextAnalysis
+    // 2-grams of "a b a b c": [a b, b a, a b, b c] -> top "a b" x2
+    val df = Seq((1L, "a b a b c"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text", "doc_id", n = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2) // doc 3 has 1 word -> no 2-grams -> excluded
+    val r1 = out(0)
+    assert(r1.getLong(1) == 4L && r1.getLong(2) == 3L) // n_grams, n_distinct
+    assert(r1.getLong(3) == 2L && r1.getLong(4) == 2L) // top_count, dup_count
+    assert(r1.getDouble(5) == 0.5 && r1.getDouble(6) == 0.5)
+    val r2 = out(1) // all grams unique
+    assert(r2.getLong(1) == 2L && r2.getLong(3) == 1L && r2.getLong(4) == 0L)
+    assert(r2.getDouble(6) == 0.0)
+  }
+
+  test("corpusStats interpolates exact percentiles per group") {
+    import graft.operators.TextAnalysis
+    val df = Seq(("en", 1L), ("en", 2L), ("en", 3L), ("en", 4L), ("fr", 10L))
+      .toDF("lang", "n_chars")
+    val out = TextAnalysis.corpusStats(df, "n_chars", Seq("lang"))
+      .orderBy("lang").collect()
+    val en = out(0)
+    assert(en.getLong(1) == 4L && en.getLong(2) == 10L)
+    assert(en.getDouble(3) == 2.5)          // avg
+    assert(en.getDouble(4) == 2.5)          // median: (n-1)*0.5 = 1.5 -> 2+(3-2)*0.5
+    // p95: pos = (n-1)*0.95 = 2.8499999999999996 -> 3 + 1*frac; the exact
+    // IEEE double — DuckDB quantile_cont computes the identical value
+    assert(en.getDouble(5) == 3.8499999999999996)
+    val fr = out(1)
+    assert(fr.getLong(1) == 1L && fr.getDouble(4) == 10.0 && fr.getDouble(5) == 10.0)
+  }
+
+  test("tfidfTopK ranks by tf/doc_freq with lexicographic tie-break") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "apple apple banana common"), // apple tf=2 df=1; banana df=2; common df=3
+      (2L, "banana common common"),
+      (3L, "common cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(df, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 1: apple 2/1=2.0 > banana 1/2=0.5 > common 1/3
+    // doc 2: common 2/3=0.667 > banana 1/2=0.5
+    // doc 3: cherry 1/1=1.0 > common 1/3
+    assert(out.toSeq == Seq(
+      (1L, 1, "apple"), (1L, 2, "banana"),
+      (2L, 1, "common"), (2L, 2, "banana"),
+      (3L, 1, "cherry"), (3L, 2, "common")))
+  }
+
+  test("tfidfTopK breaks exact score ties lexicographically") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "zebra alpha"), (2L, "other")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(df, "text", "doc_id", k = 2)
+      .where(col("doc_id") === 1L).orderBy("rank")
+      .collect().map(_.getString(2)).toSeq
+    assert(out == Seq("alpha", "zebra")) // both 1/1 -> term asc
+  }
+
   test("redactPii replaces emails and IPv4s, leaves lookalikes alone") {
     import graft.operators.TextAnalysis
     val df = Seq(
