@@ -209,4 +209,32 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("doc_freq"))
   }
+
+  /** Cross-document duplicated spans (the inter-document complement of
+    * [[repetitionSignals]], after Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": exact substring dedup at the
+    * word-n-gram granularity). For each document: how many of its n-gram
+    * positions carry a gram that also appears in at least one OTHER
+    * document — the signal used to strip boilerplate/licence spans that
+    * exact whole-doc dedup misses. Shape: explode → distinct-doc count
+    * per gram (shuffle keyed on gram, one row per distinct gram out) →
+    * gram-keyed join back → per-doc aggregate. No all-pairs comparison
+    * anywhere; integer counts with one final IEEE division. */
+  def crossDocSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1: $n")
+    val grams = df
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__ws) - $n), " +
+          s"i -> concat_ws(' ', slice(__ws, i + 1, $n)))")).as("gram"))
+    val sharing = grams.groupBy(col("gram"))
+      .agg(count_distinct(col(idCol)).as("gram_docs"))
+    grams.join(sharing, "gram")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("gram_docs") > 1, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac", col("dup_spans").cast("double") / col("n_spans"))
+  }
 }

@@ -471,6 +471,28 @@ object Pipeline {
       |SELECT doc_id, rank, term, tf, doc_freq FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Cross-document duplicated spans (word 5-grams): per document, the
+    * fraction of its 5-gram positions shared with at least one other
+    * document — exact-substring dedup signal at span granularity. */
+  def p37DupSpans(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.crossDocSpans(documents(s, dir), "text", "doc_id", n = 5)
+      .orderBy(col("doc_id"))
+
+  val p37Oracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(w) - 4),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+      |  FROM (SELECT doc_id,
+      |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 5),
+      |s AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS gram_docs
+      |      FROM g GROUP BY gram)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(SUM(CASE WHEN gram_docs > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_spans,
+      |  CAST(COALESCE(SUM(CASE WHEN gram_docs > 1 THEN 1 ELSE 0 END), 0) AS DOUBLE) / COUNT(*) AS dup_frac
+      |FROM g JOIN s USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Deterministic hash sampling (training-data subsetting at 100 TB): a
     * row is kept iff the first 4 hex digits of md5(doc_id) fall below the
     * rate threshold — reproducible, join-stable, zero shuffle, no RNG.
@@ -962,7 +984,8 @@ object Pipeline {
     "p33_adpcm_decode" -> (p33AdpcmDecode _),
     "p34_repetition" -> (p34Repetition _),
     "p35_corpus_stats" -> (p35CorpusStats _),
-    "p36_tfidf_keywords" -> (p36TfidfKeywords _))
+    "p36_tfidf_keywords" -> (p36TfidfKeywords _),
+    "p37_dup_spans" -> (p37DupSpans _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -997,5 +1020,6 @@ object Pipeline {
     "p30_pii_redact" -> p30Oracle,
     "p34_repetition" -> p34Oracle,
     "p35_corpus_stats" -> p35Oracle,
-    "p36_tfidf_keywords" -> p36Oracle)
+    "p36_tfidf_keywords" -> p36Oracle,
+    "p37_dup_spans" -> p37Oracle)
 }

@@ -164,10 +164,34 @@ object Temporal {
       |  COUNT(*) AS n_queries, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY minute""".stripMargin
 
+  /** Interval join (click-attribution): purchases joined to the same
+    * user's clicks within the preceding 6 hours — the batch twin of
+    * [[graft.streaming.EventStreams.clickAttribution]] (same code path;
+    * StreamingSpec proves stream==batch). */
+  def s04IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.streaming.EventStreams.clickAttribution(ev, ev)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val s04Oracle: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "s01_tumbling_window" -> (s01Tumbling _),
     "s02_sliding_window" -> (s02Sliding _),
     "s03_session_window" -> (s03Session _),
+    "s04_interval_join" -> (s04IntervalJoin _),
     "m01_query_metrics" -> (m01QueryMetrics _),
     "m02_query_counts" -> (m02QueryCounts _),
     "m03_query_metrics_approx" -> (m03QueryMetricsApprox _))
@@ -176,6 +200,7 @@ object Temporal {
     "s01_tumbling_window" -> s01Oracle,
     "s02_sliding_window" -> s02Oracle,
     "s03_session_window" -> s03Oracle,
+    "s04_interval_join" -> s04Oracle,
     "m01_query_metrics" -> m01Oracle,
     "m02_query_counts" -> m02Oracle)
 }

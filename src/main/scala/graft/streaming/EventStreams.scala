@@ -79,6 +79,32 @@ object EventStreams {
         col("lat_min"), col("lat_max"),
         col("lat_p50"), col("lat_p90"), col("lat_p99"))
 
+  /** Stream-stream interval join (click-attribution shape): each purchase
+    * joins the SAME user's clicks from the preceding `window`. Both sides
+    * carry watermarks and the join condition bounds event time on both
+    * ends, so Spark can expire state — the state store holds only the
+    * watermark-deep tail of each side, which is what keeps a
+    * 100 TB/day × 30 min join finite. The same code runs on batch
+    * DataFrames (Catalyst plans it as a plain range join), which is how
+    * the batch twin s04 and StreamingSpec prove equivalence. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      window: String = "6 hours", watermark: String = "12 hours"): DataFrame = {
+    val c = (if (clicks.isStreaming) clicks.withWatermark("ts", watermark) else clicks)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = (if (purchases.isStreaming) purchases.withWatermark("ts", watermark) else purchases)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   case class UserAgg(user_id: Long, events: Long, total: Double)
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)

@@ -584,6 +584,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq("alpha", "zebra")) // both 1/1 -> term asc
   }
 
+  test("crossDocSpans counts spans shared across documents exactly") {
+    import graft.operators.TextAnalysis
+    // doc 1 and 2 share the 3-gram "a b c" (and only it); doc 3 shares none
+    val df = Seq(
+      (1L, "a b c d e"), // grams: [a b c, b c d, c d e]
+      (2L, "x a b c y"), // grams: [x a b, a b c, b c y]
+      (3L, "q r s t")).toDF("doc_id", "text")
+    val out = TextAnalysis.crossDocSpans(df, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 1.0 / 3), (2L, 3L, 1L, 1.0 / 3), (3L, 2L, 0L, 0.0)))
+  }
+
+  test("crossDocSpans counts a doc-internal repeat of a shared gram per position") {
+    import graft.operators.TextAnalysis
+    // "a b a b" has 2-grams [a b, b a, a b]: "a b" occurs twice in doc 1
+    // and once in doc 2 -> all three of doc 1's "a b" positions are dup
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.crossDocSpans(df, "text", "doc_id", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 2L), (2L, 1L, 1L)))
+  }
+
   test("redactPii replaces emails and IPv4s, leaves lookalikes alone") {
     import graft.operators.TextAnalysis
     val df = Seq(

@@ -82,6 +82,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits exactly the batch join pairs") {
+    val src = EventStreams.source(spark, eventsDir)
+    val q = EventStreams.clickAttribution(src, src)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT purchase_id, click_id FROM attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = Tables.load(spark, SparkTestSession.sfDir, "events")
+      val batch = EventStreams.clickAttribution(ev, ev)
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful running totals: final per-user state matches batch totals") {
     val q = EventStreams.runningUserTotals(spark,
         EventStreams.source(spark, eventsDir))
