@@ -22,7 +22,8 @@ object Bench {
     "m01_query_metrics",   // metrics aggregation
     "p03_dedup_minhash",   // MinHash LSH dedup
     "p06_cosine_topk",     // ANN brute-force baseline
-    "p10_quality_score")   // text analysis scan
+    "p10_quality_score",   // text analysis scan
+    "p37_dup_spans")       // cross-doc span dedup (gram-keyed join-back)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

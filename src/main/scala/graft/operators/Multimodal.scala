@@ -247,10 +247,15 @@ object Multimodal {
   }
 
   /** Decode a WAV: PCM16 via javax.sound.sampled (pure JDK); IMA-ADPCM
-    * (format tag 0x11 — the JDK reader can't) via the hand codec. Returns
-    * (sampleRate, channels, interleaved 16-bit samples). */
+    * (format tag 0x11 — the JDK reader can't) and G.711 µ-law/A-law
+    * (tags 7/6) via the hand codecs. Returns (sampleRate, channels,
+    * interleaved 16-bit samples). */
   def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
-    if (wavFormatTag(bytes) == 0x11) return decodeWavImaAdpcm(bytes)
+    wavFormatTag(bytes) match {
+      case 0x11 => return decodeWavImaAdpcm(bytes)
+      case 6 | 7 => return decodeWavG711(bytes)
+      case _ => ()
+    }
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -413,6 +418,97 @@ object Multimodal {
     }
     require(produced == total, s"short ADPCM stream: $produced of $total samples")
     (rate, 1, out)
+  }
+
+  // --- compressed audio codec (G.711 µ-law / A-law, WAVE tags 7 / 6) -------
+  //
+  // The ITU-T G.711 telephony companding codecs: 8 bits per sample, 2:1
+  // vs PCM16. Unlike ADPCM's stateful predictor, decode is a pure
+  // per-byte integer mapping — so the decoded WAVEFORM is reproducible in
+  // plain SQL and p38's oracle checks sample statistics, not just
+  // container fields. The expansion formulas below are the public G.711
+  // definitions; OperatorsSpec cross-checks all 256 code points of both
+  // laws against the JDK's own ULAW/ALAW converters.
+
+  /** µ-law byte → linear PCM16: undo the complement, then expand
+    * mantissa/exponent around bias 0x84. */
+  def ulawDecode(b: Int): Short = {
+    val u = ~b & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** A-law byte → linear PCM16: undo the 0x55 toggle, then per-segment
+    * expansion. */
+  def alawDecode(b: Int): Short = {
+    val a = b ^ 0x55
+    val base = (a & 0x0F) << 4
+    val t = ((a & 0x70) >> 4) match {
+      case 0 => base + 8
+      case 1 => base + 0x108
+      case s => (base + 0x108) << (s - 1)
+    }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  /** Wrap raw G.711 code bytes in a WAVE (format tag 7 = µ-law, 6 =
+    * A-law; 8 bits/sample, mono). */
+  def encodeWavG711(sampleRate: Int, codes: Array[Byte],
+      aLaw: Boolean): Array[Byte] = {
+    require(codes.nonEmpty, "no samples")
+    val pad = codes.length & 1 // RIFF chunks pad to even
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + codes.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + 8 + 18 + 8 + codes.length + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(if (aLaw) 6 else 7)
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate: 1 byte per sample
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+      .putShort(0) // cbSize
+    bb.put("data".getBytes("US-ASCII")).putInt(codes.length)
+    bb.put(codes)
+    bb.array()
+  }
+
+  /** Decode a G.711 WAVE (µ-law tag 7 / A-law tag 6) to PCM16. */
+  def decodeWavG711(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "WAVE", "not a WAVE")
+    var tag = -1; var rate = 0; var channels = 0
+    var dataOff = -1; var dataLen = 0
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = cc(off); val size = bb.getInt(off + 4)
+      require(size >= 0 && off + 8L + size <= bytes.length,
+        s"corrupt WAVE: chunk $id claims $size bytes")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "corrupt WAVE: short fmt")
+          tag = bb.getShort(off + 8) & 0xFFFF
+          channels = bb.getShort(off + 10) & 0xFFFF
+          rate = bb.getInt(off + 12)
+          require((bb.getShort(off + 22) & 0xFFFF) == 8, "G.711 is 8 bits/sample")
+        case "data" => dataOff = off + 8; dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1)
+    }
+    require((tag == 6 || tag == 7) && rate > 0 && channels >= 1 && dataOff >= 0,
+      "no G.711 stream")
+    val out = new Array[Short](dataLen)
+    var i = 0
+    while (i < dataLen) {
+      val c = bytes(dataOff + i) & 0xFF
+      out(i) = if (tag == 7) ulawDecode(c) else alawDecode(c)
+      i += 1
+    }
+    (rate, channels, out)
   }
 
   /** WAVE fmt-chunk format tag, or -1 when the payload isn't RIFF/WAVE. */

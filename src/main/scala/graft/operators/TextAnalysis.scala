@@ -210,6 +210,20 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("doc_freq"))
   }
 
+  /** Gzip a text column ([[graft.functions.CompressionExpressions]] —
+    * codegen'd, per-row, zero shuffle). */
+  def gzipText(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CompressionExpressions.GzipCompress(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** Decompress a gzip binary column back to text — the ingest seam for
+    * WET/WARC-style compressed corpora. */
+  def gunzipText(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CompressionExpressions.GzipDecompress(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
   /** Cross-document duplicated spans (the inter-document complement of
     * [[repetitionSignals]], after Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better": exact substring dedup at the

@@ -471,6 +471,70 @@ object Pipeline {
       |SELECT doc_id, rank, term, tf, doc_freq FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** G.711 µ-law/A-law audio decode — the waveform itself is
+    * oracle-checked: the companding expansion is pure integer arithmetic,
+    * so the DuckDB oracle reproduces every decoded sample from the same
+    * generated code bytes and the mean/RMS statistics hash-match. Even
+    * doc_ids get µ-law payloads, odd get A-law. */
+  def p38G711Decode(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val n = 400 + (id % 100).toInt
+      val codes = Array.tabulate[Byte](n)(i => ((id * 7 + i.toLong * 11) % 256).toByte)
+      Multimodal.MediaRow(id, "wav",
+        Multimodal.encodeWavG711(8000, codes, aLaw = id % 2 == 1))
+    }
+    Multimodal.decodeAudio(media)
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        round(col("mean_amp"), 6).as("mean_amp"), round(col("rms"), 6).as("rms"))
+      .orderBy(col("media_id"))
+  }
+
+  val p38Oracle: String =
+    """WITH series AS (SELECT unnest(generate_series(0, 499)) AS i),
+      |par AS (SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
+      |codes AS (SELECT p.doc_id, p.n, CAST((p.doc_id * 7 + s.i * 11) % 256 AS INT) AS c
+      |          FROM par p JOIN series s ON s.i < p.n),
+      |ulaw AS (SELECT doc_id, n, c, 255 - c AS u FROM codes WHERE doc_id % 2 = 0),
+      |udec AS (SELECT doc_id, n,
+      |           CASE WHEN (u & 128) != 0
+      |                THEN 132 - (((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7)))
+      |                ELSE ((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7)) - 132 END AS samp
+      |         FROM ulaw),
+      |alaw AS (SELECT doc_id, n, xor(c, 85) AS a FROM codes WHERE doc_id % 2 = 1),
+      |adec AS (SELECT doc_id, n,
+      |           CASE WHEN (a & 128) != 0 THEN 1 ELSE -1 END *
+      |           CASE ((a & 112) >> 4)
+      |             WHEN 0 THEN ((a & 15) << 4) + 8
+      |             WHEN 1 THEN ((a & 15) << 4) + 264
+      |             ELSE (((a & 15) << 4) + 264) * (1 << (((a & 112) >> 4) - 1)) END AS samp
+      |         FROM alaw),
+      |dec AS (SELECT * FROM udec UNION ALL SELECT * FROM adec)
+      |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  round(CAST(SUM(samp) AS DOUBLE) / n, 6) AS mean_amp,
+      |  round(sqrt(CAST(SUM(samp * samp) AS DOUBLE) / n), 6) AS rms
+      |FROM dec GROUP BY doc_id, n ORDER BY media_id""".stripMargin
+
+  /** Gzip round-trip through the codegen'd compression expressions: the
+    * text column is compressed and decompressed in ONE projection (real
+    * java.util.zip both ways); the oracle checks the round-tripped md5
+    * equals the original's — the ingest-path guarantee a compressed
+    * corpus needs. */
+  def p39GzipRoundtrip(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        md5(TextAnalysis.gunzipText(TextAnalysis.gzipText(col("text"))))
+          .as("rt_md5"),
+        length(TextAnalysis.gunzipText(TextAnalysis.gzipText(col("text"))))
+          .cast("long").as("rt_len"))
+      .orderBy(col("doc_id"))
+
+  val p39Oracle: String =
+    """SELECT doc_id, md5(text) AS rt_md5, CAST(length(text) AS BIGINT) AS rt_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Cross-document duplicated spans (word 5-grams): per document, the
     * fraction of its 5-gram positions shared with at least one other
     * document — exact-substring dedup signal at span granularity. */
@@ -985,7 +1049,9 @@ object Pipeline {
     "p34_repetition" -> (p34Repetition _),
     "p35_corpus_stats" -> (p35CorpusStats _),
     "p36_tfidf_keywords" -> (p36TfidfKeywords _),
-    "p37_dup_spans" -> (p37DupSpans _))
+    "p37_dup_spans" -> (p37DupSpans _),
+    "p38_g711_decode" -> (p38G711Decode _),
+    "p39_gzip_roundtrip" -> (p39GzipRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1021,5 +1087,7 @@ object Pipeline {
     "p34_repetition" -> p34Oracle,
     "p35_corpus_stats" -> p35Oracle,
     "p36_tfidf_keywords" -> p36Oracle,
-    "p37_dup_spans" -> p37Oracle)
+    "p37_dup_spans" -> p37Oracle,
+    "p38_g711_decode" -> p38Oracle,
+    "p39_gzip_roundtrip" -> p39Oracle)
 }

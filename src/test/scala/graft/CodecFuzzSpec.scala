@@ -46,6 +46,32 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("G.711 WAVs round-trip arbitrary code streams through decodeWav") {
+    val r = rnd
+    for (_ <- 1 to 50) {
+      val n = 1 + r.nextInt(2048)
+      val codes = Array.fill[Byte](n)(r.nextInt(256).toByte)
+      val aLaw = r.nextBoolean()
+      val (rate, ch, samples) =
+        Multimodal.decodeWav(Multimodal.encodeWavG711(8000, codes, aLaw))
+      assert(rate == 8000 && ch == 1 && samples.length == n)
+      val expect = codes.map(b =>
+        if (aLaw) Multimodal.alawDecode(b & 0xFF) else Multimodal.ulawDecode(b & 0xFF))
+      assert(samples.toSeq == expect.toSeq, s"aLaw=$aLaw n=$n")
+    }
+  }
+
+  test("truncated G.711 WAVs are rejected, not mis-decoded") {
+    val r = rnd
+    val full = Multimodal.encodeWavG711(8000,
+      Array.fill[Byte](64)(r.nextInt(256).toByte), aLaw = false)
+    for (cut <- Seq(4, 12, 20, full.length - 8, full.length - 1)) {
+      // an error (bad header, corrupt chunk, unreadable stream) — never a
+      // silently wrong decode
+      intercept[Exception] { Multimodal.decodeWav(full.take(cut)) }
+    }
+  }
+
   test("AVI round-trips arbitrary frame stacks") {
     val r = rnd
     for (_ <- 1 to 40) {

@@ -609,6 +609,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 2L), (2L, 1L, 1L)))
   }
 
+  test("G.711 ulaw/alaw decode matches the JDK converters on all 256 codes") {
+    import graft.operators.Multimodal
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    for (aLaw <- Seq(false, true)) {
+      val wav = Multimodal.encodeWavG711(8000, codes, aLaw)
+      val (rate, ch, mine) = Multimodal.decodeWav(wav)
+      assert(rate == 8000 && ch == 1 && mine.length == 256)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val pcm = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, ais)
+      val data = try conv.readAllBytes() finally conv.close()
+      val jdk = Array.tabulate[Short](data.length / 2)(i =>
+        ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort)
+      assert(jdk.length == 256, s"JDK decoded ${jdk.length} samples")
+      assert(mine.toSeq == jdk.toSeq, s"aLaw=$aLaw table mismatch")
+    }
+  }
+
+  test("gzip expressions round-trip text exactly, including non-ASCII") {
+    import graft.operators.TextAnalysis.{gzipText, gunzipText}
+    val df = Seq((1L, "hello gzip world " * 40), (2L, "héllo wörld — ünïcödé"),
+      (3L, "")).toDF("id", "t")
+    val out = df.select(col("id"), gunzipText(gzipText(col("t"))).as("rt"),
+        length(gzipText(col("t"))).as("clen"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1)._1 == "hello gzip world " * 40)
+    assert(out(1)._2 < ("hello gzip world " * 40).length) // actually compresses
+    assert(out(2)._1 == "héllo wörld — ünïcödé")
+    assert(out(3)._1 == "")
+  }
+
   test("redactPii replaces emails and IPv4s, leaves lookalikes alone") {
     import graft.operators.TextAnalysis
     val df = Seq(
