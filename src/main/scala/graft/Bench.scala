@@ -101,8 +101,13 @@ object Bench {
         }
       } catch { case _: Throwable => None }
     }
+    // a prior round recorded at a DIFFERENT scale factor is not comparable
+    // — every min would differ by the scale ratio and the "regressions"
+    // list would be pure noise (worse, a strict run would exit non-zero)
+    val prevComparable = prevNode.filter(p =>
+      Option(p.get("sf")).map(_.asText()).contains(sfDir))
     def prevOf(section: String, k: String): Option[Double] =
-      prevNode.flatMap(p => Option(p.get(section)))
+      prevComparable.flatMap(p => Option(p.get(section)))
         .flatMap(n => Option(n.get(k))).map(_.asDouble)
     val regressions = results.collect {
       case (k, (v, s)) if v >= 0 && prevOf("queries", k).exists { pv =>

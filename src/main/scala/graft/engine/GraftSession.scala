@@ -229,7 +229,55 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       d
     }
     dead.foreach(releaseTxnDirs(_, deleteNewDirs = true))
+    // drain rollbacks/commits that had to defer deletion because a
+    // statement was still executing against the transaction
+    val drained = synchronized {
+      val (ready, still) = doomedTxns.partition(_._1.inFlight.get() == 0)
+      doomedTxns.clear(); doomedTxns ++= still
+      ready.toSeq
+    }
+    drained.foreach { case (t, del) => releaseTxnDirs(t, del) }
     dead.size
+  }
+
+  /** Finished transactions whose disk footprint couldn't be released yet
+    * because a statement was still in flight against them. Once a txn is
+    * out of `transactions`, no NEW statement can pin it (pinning happens
+    * under the same lock as removal), so inFlight only drains — the next
+    * sweep deletes. Without this, a ROLLBACK arriving on one connection
+    * would delete staged parquet out from under another connection's
+    * still-running statement. */
+  private val doomedTxns = mutable.Buffer[(Txn, Boolean)]()
+
+  /** Pins held by the CURRENT thread's statement, per txn id: a ROLLBACK
+    * or COMMIT verb arriving through execute() pins its own transaction
+    * like any statement — that self-pin must not make releaseOrDefer
+    * defer deletion to the sweep on the ordinary single-connection path. */
+  private val threadPins = new ThreadLocal[mutable.Map[String, Int]] {
+    override def initialValue(): mutable.Map[String, Int] = mutable.Map()
+  }
+  private def notePin(id: String, delta: Int): Unit = {
+    val m = threadPins.get()
+    val next = m.getOrElse(id, 0) + delta
+    if (next == 0) m.remove(id) else m(id) = next
+  }
+
+  private def releaseOrDefer(txn: Txn, deleteNewDirs: Boolean): Unit =
+    if (txn.inFlight.get() - threadPins.get().getOrElse(txn.id, 0) <= 0)
+      releaseTxnDirs(txn, deleteNewDirs)
+    else synchronized { doomedTxns += ((txn, deleteNewDirs)) }
+
+  /** Test seam for the statement-pin protocol: runs `body` with `id`
+    * pinned exactly as execute() pins a statement's transaction
+    * (increment under the reaper's lock, decrement when done) — lets
+    * specs hold a statement "in flight" deterministically. */
+  private[graft] def withTransactionPinned[A](id: String)(body: => A): A = {
+    val t = synchronized {
+      val x = transactions.get(id)
+      x.foreach(_.inFlight.incrementAndGet())
+      x
+    }
+    try body finally t.foreach(_.inFlight.decrementAndGet())
   }
 
   // --- SQLite type mapping (SURVEY §1.2) ---------------------------------
@@ -354,10 +402,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         }
         txn.staged.keys.foreach(t => maybeAutoCompact(db, branch, t))
       }
-      releaseTxnDirs(txn, deleteNewDirs = false)
+      releaseOrDefer(txn, deleteNewDirs = false)
     } catch {
       case e: Throwable =>
-        releaseTxnDirs(txn, deleteNewDirs = !applied)
+        releaseOrDefer(txn, deleteNewDirs = !applied)
         throw e
     }
   }
@@ -367,7 +415,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       transactions.remove(id)
         .getOrElse(throw new IllegalArgumentException(s"no transaction $id"))
     }
-    releaseTxnDirs(txn, deleteNewDirs = true)
+    releaseOrDefer(txn, deleteNewDirs = true)
   }
 
   /** Drop a finished transaction's disk footprint: FTS scratch deltas
@@ -497,11 +545,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val t0 = System.nanoTime()
     // pin the statement's transaction for the statement's duration: the
     // expiry reaper never deletes a pinned transaction's staged files, so
-    // a long-running statement can't have them vanish mid-flight
+    // a long-running statement can't have them vanish mid-flight. The
+    // increment happens INSIDE the same lock as the lookup — done after,
+    // the reaper could observe inFlight==0 between the two and reap
     val pinned =
       if (input.transactionId.isEmpty) None
-      else synchronized(transactions.get(input.transactionId))
-    pinned.foreach(_.inFlight.incrementAndGet())
+      else synchronized {
+        val t = transactions.get(input.transactionId)
+        t.foreach(_.inFlight.incrementAndGet())
+        t
+      }
+    pinned.foreach(t => notePin(t.id, +1))
     try {
       Authorizer.authorize(sess, key, db, branch, input.statement)
       val r = route(db, branch, input, key)
@@ -513,7 +567,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         QueryResponse(input.id, Nil, Nil, error = Option(e.getMessage).getOrElse(e.toString),
           transactionId = input.transactionId)
     } finally {
-      pinned.foreach(_.inFlight.decrementAndGet())
+      pinned.foreach { t => t.inFlight.decrementAndGet(); notePin(t.id, -1) }
       dropScratchViews()
     }
   }
@@ -1074,10 +1128,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       !matchRe.pattern.matcher(stmt).matches()
     if (!plainDql) { emit(execute(db, branch, input, key)); return }
     val t0 = System.nanoTime()
-    val pinned =
+    val pinned = // pin under the reaper's lock, like execute()
       if (input.transactionId.isEmpty) None
-      else synchronized(transactions.get(input.transactionId))
-    pinned.foreach(_.inFlight.incrementAndGet())
+      else synchronized {
+        val t = transactions.get(input.transactionId)
+        t.foreach(_.inFlight.incrementAndGet())
+        t
+      }
+    pinned.foreach(t => notePin(t.id, +1))
     try {
       Authorizer.authorize(sess, key, db, branch, stmt)
       val txn = txnFor(db, branch, input)
@@ -1112,7 +1170,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           error = Option(e.getMessage).getOrElse(e.toString),
           transactionId = input.transactionId))
     } finally {
-      pinned.foreach(_.inFlight.decrementAndGet())
+      pinned.foreach { t => t.inFlight.decrementAndGet(); notePin(t.id, -1) }
       dropScratchViews()
     }
   }
@@ -1407,6 +1465,21 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         if (unquote(to).startsWith("__att_") || unquote(to).startsWith("__graft_") ||
             unquote(to).startsWith("__fts_"))
           throw new DeniedException(s"table ${unquote(to)} may not be modified")
+        // an FTS vtable, or a content table an FTS index references by
+        // name, refuses to rename (like the DROP COLUMN refusal below):
+        // fts5's content= option doesn't follow renames in SQLite either —
+        // there the index silently breaks; here the statement fails fast.
+        // Without this, committing a txn that renamed a pending-delta
+        // table would crash AFTER applying (index def pointing at the
+        // dropped old name).
+        locally {
+          val f = unquote(from)
+          val deps = effFtsIndexesForTable(db, branch, f, txn).map(_._1) ++
+            (if (effFtsIndex(db, branch, f, txn).isDefined) Seq(f) else Nil)
+          if (deps.nonEmpty)
+            throw new IllegalArgumentException(
+              s"cannot rename table $f: referenced by FTS index ${deps.distinct.mkString(", ")}")
+        }
         txn match {
           case Some(x) =>
             val f = unquote(from); val t2 = unquote(to)
@@ -1427,6 +1500,19 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         }
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case alterRenameColRe(name, _, from, to) =>
+        // a column an FTS index tokenizes (or uses as rowid) refuses to
+        // rename — the index def references it by name and maintenance
+        // would break (same fail-fast stance as the table-rename guard)
+        locally {
+          val t = unquote(name); val f = unquote(from)
+          val deps = effFtsIndexesForTable(db, branch, t, txn).collect {
+            case (n, d) if d.idCol.equalsIgnoreCase(f) ||
+              d.textCols.split(",").exists(_.trim.equalsIgnoreCase(f)) => n
+          }
+          if (deps.nonEmpty)
+            throw new IllegalArgumentException(
+              s"cannot rename column $f: indexed by FTS index ${deps.mkString(", ")}")
+        }
         alterColumn(db, branch, unquote(name), unquote(from),
           df => df.withColumnRenamed(unquote(from), unquote(to)),
           sch => StructType(sch.fields.map(f =>
@@ -2691,12 +2777,15 @@ object Sql {
   }
 
   /** Index of the close paren matching the open paren at `openIdx`
-    * (string-literal-aware), or -1 when unbalanced. */
+    * (aware of both string literals and double-quoted identifiers — a
+    * paren inside `"a)b"` must not close the scan), or -1 when
+    * unbalanced. */
   def matchingParen(s: String, openIdx: Int): Int = {
     require(openIdx < s.length && s.charAt(openIdx) == '(',
       s"no open paren at $openIdx")
     var depth = 0
     var inStr = false
+    var inIdent = false
     var i = openIdx
     while (i < s.length) {
       val c = s.charAt(i)
@@ -2705,8 +2794,14 @@ object Sql {
           if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
           else inStr = false
         }
+      } else if (inIdent) {
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') i += 1
+          else inIdent = false
+        }
       } else c match {
         case '\'' => inStr = true
+        case '"' => inIdent = true
         case '(' => depth += 1
         case ')' =>
           depth -= 1

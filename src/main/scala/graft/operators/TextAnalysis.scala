@@ -150,15 +150,22 @@ object TextAnalysis {
     * the exchange. All counts are integers; the fractions are single
     * final IEEE divisions, so results are bit-deterministic on any
     * engine and any partitioning. */
-  def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
+  /** One row per word-n-gram position: (idCol, gram). Shared by the
+    * repetition and cross-document span operators so their gram shape
+    * (and the matching DuckDB oracles) can never diverge. */
+  private def wordGrams(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1: $n")
-    val grams = df
-      .select(col(idCol), words(col(textCol)).as("__ws"))
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
       .where(size(col("__ws")) >= n)
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(__ws) - $n), " +
           s"i -> concat_ws(' ', slice(__ws, i + 1, $n)))")).as("gram"))
+  }
+
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val grams = wordGrams(df, textCol, idCol, n)
     grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(
         sum("c").as("n_grams"),
@@ -236,13 +243,7 @@ object TextAnalysis {
     * anywhere; integer counts with one final IEEE division. */
   def crossDocSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
-    require(n >= 1, s"need n >= 1: $n")
-    val grams = df
-      .select(col(idCol), words(col(textCol)).as("__ws"))
-      .where(size(col("__ws")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(__ws) - $n), " +
-          s"i -> concat_ws(' ', slice(__ws, i + 1, $n)))")).as("gram"))
+    val grams = wordGrams(df, textCol, idCol, n)
     val sharing = grams.groupBy(col("gram"))
       .agg(count_distinct(col(idCol)).as("gram_docs"))
     grams.join(sharing, "gram")

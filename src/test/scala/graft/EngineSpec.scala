@@ -1540,6 +1540,84 @@ class EngineSpec extends AnyFunSuite {
     assert(s.catalog.currentVersion("db1", "main", "notes").isEmpty)
   }
 
+  test("ROLLBACK with a statement in flight defers file deletion to the sweep") {
+    val dir = Files.createTempDirectory("graft-txn-pin")
+    val s = new GraftSession(spark, dir)
+    s.createDatabase("db1")
+    val tid = s.execute("db1", "main", q("BEGIN")).transactionId
+    assert(s.execute("db1", "main",
+      q("CREATE TABLE pint (id INTEGER)", txn = tid)).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("INSERT INTO pint VALUES (1), (2)", txn = tid)).error.isEmpty)
+    def stagedFiles() = {
+      val it = java.nio.file.Files.walk(dir).iterator()
+      scala.jdk.CollectionConverters.IteratorHasAsScala(it)
+        .asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+    }
+    assert(stagedFiles().nonEmpty)
+    s.withTransactionPinned(tid) {
+      // a concurrent ROLLBACK must not delete files a running statement
+      // may still be reading — deletion defers until the pin drains
+      s.execute("db1", "main", q("ROLLBACK", txn = tid))
+      assert(stagedFiles().nonEmpty, "files deleted under an in-flight statement")
+      // the txn is gone for new statements immediately
+      assert(s.execute("db1", "main",
+        q("SELECT 1", txn = tid)).error.nonEmpty)
+    }
+    s.sweepExpiredTransactions()
+    assert(stagedFiles().isEmpty, "deferred deletion never happened")
+  }
+
+  test("renaming an FTS content table or its indexed column is refused") {
+    val s = newSession()
+    assert(s.execute("db1", "main",
+      q("CREATE TABLE rnd (doc_id INTEGER, body TEXT, note TEXT)")).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("INSERT INTO rnd VALUES (1, 'alpha beta', 'n1')")).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("CREATE VIRTUAL TABLE rnx USING fts5(body, content='rnd', content_rowid='doc_id')"))
+      .error.isEmpty)
+    // table rename: refused while an FTS index references the name (both
+    // the content table and the vtable itself), outside and inside a txn
+    val r1 = s.execute("db1", "main", q("ALTER TABLE rnd RENAME TO rnd2"))
+    assert(r1.error.contains("cannot rename table"), r1.error)
+    val r2 = s.execute("db1", "main", q("ALTER TABLE rnx RENAME TO rnx2"))
+    assert(r2.error.contains("cannot rename table"), r2.error)
+    val tid = s.execute("db1", "main", q("BEGIN")).transactionId
+    val r3 = s.execute("db1", "main", q("ALTER TABLE rnd RENAME TO rnd3", txn = tid))
+    assert(r3.error.contains("cannot rename table"), r3.error)
+    s.execute("db1", "main", q("ROLLBACK", txn = tid))
+    // column rename: the tokenized column and the rowid column refuse;
+    // an unrelated column renames fine
+    val c1 = s.execute("db1", "main", q("ALTER TABLE rnd RENAME COLUMN body TO b2"))
+    assert(c1.error.contains("cannot rename column"), c1.error)
+    val c2 = s.execute("db1", "main", q("ALTER TABLE rnd RENAME COLUMN doc_id TO id2"))
+    assert(c2.error.contains("cannot rename column"), c2.error)
+    assert(s.execute("db1", "main",
+      q("ALTER TABLE rnd RENAME COLUMN note TO note2")).error.isEmpty)
+    // dropping the index unblocks the rename
+    assert(s.execute("db1", "main", q("DROP TABLE rnx")).error.isEmpty)
+    assert(s.execute("db1", "main", q("ALTER TABLE rnd RENAME TO rnd2")).error.isEmpty)
+    assert(s.catalog.currentVersion("db1", "main", "rnd2").isDefined)
+  }
+
+  test("matchingParen honors double-quoted identifiers and string literals") {
+    import graft.engine.Sql
+    assert(Sql.matchingParen("""("a)b")""", 0) == 6)
+    assert(Sql.matchingParen("""(a, "x))y", b)""", 0) == 13)
+    assert(Sql.matchingParen("(a ')' b)", 0) == 8)
+    assert(Sql.matchingParen("""("a""b)", c)""", 0) == 11) // "" escape
+    assert(Sql.matchingParen("""("open)""", 0) == -1) // unbalanced
+    // end-to-end: a partial-index WHERE with parens in a string literal
+    val s = newSession()
+    assert(s.execute("db1", "main",
+      q("CREATE TABLE pqt (a INTEGER, b TEXT)")).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("CREATE INDEX pqx ON pqt(a) WHERE (b = ')')")).error.isEmpty)
+    assert(s.catalog.clusterIndex("db1", "main", "pqx")
+      .exists(d => d.cols == Seq("a") && d.partial))
+  }
+
   test("DDL inside a transaction stages: visible to the txn, gone on rollback") {
     val dir = Files.createTempDirectory("graft-txn-ddl")
     val s = new GraftSession(spark, dir)
