@@ -363,36 +363,57 @@ object Multimodal {
     bb.array()
   }
 
+  /** Walk a WAVE's flat top-level RIFF sub-chunks, calling
+    * f(id, payloadOffset, size) for each. `strict` decoders throw on a
+    * malformed header or corrupt chunk; lenient sniffers get `false` for
+    * a non-WAVE payload and a silently stopped walk on corruption. One
+    * shared loop so a bounds/padding fix can never diverge between the
+    * ADPCM, G.711 and format-tag paths (the AVI walker stays separate:
+    * it recurses into LIST containers). */
+  private def walkWaveChunks(bytes: Array[Byte], strict: Boolean)(
+      f: (String, Int, Int) => Unit): Boolean = {
+    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (bytes.length < 12 || cc(0) != "RIFF" || cc(8) != "WAVE") {
+      require(!strict, "not a WAVE")
+      return false
+    }
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = cc(off); val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8L + size > bytes.length) {
+        require(!strict, s"corrupt WAVE: chunk $id claims $size bytes")
+        return true
+      }
+      f(id, off + 8, size)
+      off += 8 + size + (size & 1)
+    }
+    true
+  }
+
   /** Decode an IMA-ADPCM WAVE produced by any conforming encoder: walks
     * the RIFF chunks, honors blockAlign/samplesPerBlock/fact, returns
     * (sampleRate, channels, pcm16 samples). */
   def decodeWavImaAdpcm(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
-    require(bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "WAVE", "not a WAVE")
     var rate = 0; var blockAlign = 0; var samplesPerBlock = 0
     var nSamples = -1
     var dataOff = -1; var dataLen = 0
-    var off = 12
-    while (off + 8 <= bytes.length) {
-      val id = cc(off); val size = bb.getInt(off + 4)
-      require(size >= 0 && off + 8L + size <= bytes.length,
-        s"corrupt WAVE: chunk $id claims $size bytes")
+    walkWaveChunks(bytes, strict = true) { (id, off, size) =>
       id match {
         case "fmt " =>
           require(size >= 16, "corrupt WAVE: short fmt")
-          require(bb.getShort(off + 8) == 0x11, "not IMA ADPCM")
-          require(bb.getShort(off + 10) == 1, "only mono IMA ADPCM supported")
-          rate = bb.getInt(off + 12)
-          blockAlign = bb.getShort(off + 20) & 0xFFFF
+          require(bb.getShort(off) == 0x11, "not IMA ADPCM")
+          require(bb.getShort(off + 2) == 1, "only mono IMA ADPCM supported")
+          rate = bb.getInt(off + 4)
+          blockAlign = bb.getShort(off + 12) & 0xFFFF
           samplesPerBlock =
-            if (size >= 22) bb.getShort(off + 26) & 0xFFFF
+            if (size >= 22) bb.getShort(off + 18) & 0xFFFF
             else (blockAlign - 4) * 2 + 1
-        case "fact" if size >= 4 => nSamples = bb.getInt(off + 8)
-        case "data" => dataOff = off + 8; dataLen = size
+        case "fact" if size >= 4 => nSamples = bb.getInt(off)
+        case "data" => dataOff = off; dataLen = size
         case _ => ()
       }
-      off += 8 + size + (size & 1)
     }
     require(rate > 0 && blockAlign >= 8 && dataOff >= 0, "no ADPCM stream")
     val total =
@@ -478,26 +499,19 @@ object Multimodal {
   /** Decode a G.711 WAVE (µ-law tag 7 / A-law tag 6) to PCM16. */
   def decodeWavG711(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
-    require(bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "WAVE", "not a WAVE")
     var tag = -1; var rate = 0; var channels = 0
     var dataOff = -1; var dataLen = 0
-    var off = 12
-    while (off + 8 <= bytes.length) {
-      val id = cc(off); val size = bb.getInt(off + 4)
-      require(size >= 0 && off + 8L + size <= bytes.length,
-        s"corrupt WAVE: chunk $id claims $size bytes")
+    walkWaveChunks(bytes, strict = true) { (id, off, size) =>
       id match {
         case "fmt " =>
           require(size >= 16, "corrupt WAVE: short fmt")
-          tag = bb.getShort(off + 8) & 0xFFFF
-          channels = bb.getShort(off + 10) & 0xFFFF
-          rate = bb.getInt(off + 12)
-          require((bb.getShort(off + 22) & 0xFFFF) == 8, "G.711 is 8 bits/sample")
-        case "data" => dataOff = off + 8; dataLen = size
+          tag = bb.getShort(off) & 0xFFFF
+          channels = bb.getShort(off + 2) & 0xFFFF
+          rate = bb.getInt(off + 4)
+          require((bb.getShort(off + 14) & 0xFFFF) == 8, "G.711 is 8 bits/sample")
+        case "data" => dataOff = off; dataLen = size
         case _ => ()
       }
-      off += 8 + size + (size & 1)
     }
     require((tag == 6 || tag == 7) && rate > 0 && channels >= 1 && dataOff >= 0,
       "no G.711 stream")
@@ -513,19 +527,12 @@ object Multimodal {
 
   /** WAVE fmt-chunk format tag, or -1 when the payload isn't RIFF/WAVE. */
   private def wavFormatTag(bytes: Array[Byte]): Int = {
-    if (bytes.length < 12 ||
-        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
-        new String(bytes, 8, 4, "US-ASCII") != "WAVE") return -1
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var off = 12
-    while (off + 8 <= bytes.length) {
-      val id = new String(bytes, off, 4, "US-ASCII")
-      val size = bb.getInt(off + 4)
-      if (size < 0 || off + 8L + size > bytes.length) return -1
-      if (id == "fmt " && size >= 2) return bb.getShort(off + 8) & 0xFFFF
-      off += 8 + size + (size & 1)
+    var tag = -1
+    walkWaveChunks(bytes, strict = false) { (id, off, size) =>
+      if (tag < 0 && id == "fmt " && size >= 2) tag = bb.getShort(off) & 0xFFFF
     }
-    -1
+    tag
   }
 
   case class DecodedAudio(media_id: Long, sample_rate: Long, channels: Long,
