@@ -132,6 +132,14 @@ object Authorizer {
         else if (s.regionMatches(true, 0, "savepoint", 0, 9) ||
             s.regionMatches(true, 0, "release", 0, 7))
           Seq("database:query", "database:savepoint")
+        else if (s.regionMatches(true, 0, "analyze", 0, 7))
+          // SQLITE_ANALYZE action code (reference
+          // database_connection.go:618, database_privileges.go:19)
+          Seq("database:query", "database:analyze")
+        else if (s.regionMatches(true, 0, "reindex", 0, 7))
+          // SQLITE_REINDEX (database_connection.go:664,
+          // database_privileges.go:41)
+          Seq("database:query", "database:reindex")
         else Seq("database:query", "database:select")
     }
   }
@@ -167,8 +175,11 @@ object Authorizer {
     * DML/DDL targets. */
   private def reservedRead(t: String): Boolean =
     t.startsWith("__att_") || t.startsWith("__graft_") || t.startsWith("__fts_match")
+  /** `sqlite_*` mirrors SQLite's "object name reserved" rule: only the
+    * engine itself writes sqlite_stat1 (via ANALYZE); reads stay open. */
   private def reservedWrite(t: String): Boolean =
-    t.startsWith("__att_") || t.startsWith("__graft_") || t.startsWith("__fts_")
+    t.startsWith("__att_") || t.startsWith("__graft_") || t.startsWith("__fts_") ||
+      t.startsWith("sqlite_")
 
   /** The table-granular ACTION a statement performs on its target
     * (mirrors the SQLITE_INSERT/UPDATE/DELETE/CREATE_TABLE/... codes the

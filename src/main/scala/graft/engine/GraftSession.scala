@@ -5,7 +5,7 @@ import java.util.UUID
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, concat_ws, lit, monotonically_increasing_id, row_number, sum}
+import org.apache.spark.sql.functions.{col, concat_ws, count, count_distinct, lit, lower, monotonically_increasing_id, row_number, struct, sum}
 import org.apache.spark.sql.types._
 
 /** The engine facade: litebase's query lifecycle re-expressed over Spark.
@@ -453,7 +453,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // read and the re-point would otherwise be folded away
     writeQueues(db, branch).run(compactLocked(db, branch, table))
 
-  private def compactLocked(db: String, branch: String, table: String): Int = {
+  private def compactLocked(db: String, branch: String, table: String,
+      force: Boolean = false): Int = {
     val cur = catalog.currentVersion(db, branch, table)
       .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
     // FTS artifact tables of this table compact alongside it (their
@@ -475,8 +476,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val schemaCols = StructType.fromDDL(cur.schemaDdl).fieldNames
     val sortCols = clusterCols.filter(c =>
       schemaCols.exists(_.equalsIgnoreCase(c)))
+    // `force` (REINDEX) bypasses the already-clustered skip: a rebuild
+    // verb must rewrite even a layout the manifest believes is current
     if (cur.paths.size <= 1 &&
-        (sortCols.isEmpty || cur.clusteredBy == sortCols)) return artifactFolds
+        (sortCols.isEmpty || (!force && cur.clusteredBy == sortCols)))
+      return artifactFolds
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     // FTS artifacts also collapse UPDATE/DELETE fold deltas (negative-tf
@@ -511,6 +515,127 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         catalog.currentVersion(db, branch, table)
           .exists(_.paths.size >= autoCompactThreshold))
       compactLocked(db, branch, table)
+
+  // --- ANALYZE / REINDEX (SURVEY §2A row 32; SQLITE_ANALYZE /
+  // SQLITE_REINDEX action codes, reference database_connection.go:618,664)
+
+  private val Stat1Table = "sqlite_stat1"
+  private val stat1Schema = StructType(Seq(
+    StructField("tbl", StringType), StructField("idx", StringType),
+    StructField("stat", StringType)))
+
+  /** SQLite ANALYZE: write index statistics into `sqlite_stat1` — a REAL
+    * table of this engine (queryable, versioned, PITR'd, staged inside
+    * transactions like any other write). Row shapes follow SQLite's
+    * documented format: per index, `stat = "N d1 .. dk"` where N is the
+    * table's row count and d_i the average number of rows sharing a
+    * value on the first i index columns (ceil); a table with no indexes
+    * records `(tbl, NULL, "N")`. Cost shape: tables with no indexes use
+    * the manifest's exact rowCount (no scan); an indexed table pays ONE
+    * aggregation computing all its prefix cardinalities in a single pass
+    * (partial+final, no row ever leaves its executor before the combine). */
+  private def analyzeCmd(db: String, branch: String, target: Option[String],
+      txn: Option[Txn]): Unit = {
+    val userTables = effTableNames(db, branch, txn)
+      .filterNot(t => t.startsWith("__") || t.startsWith("sqlite_"))
+    val tables = target match {
+      case None => userTables
+      // ANALYZE <schema> (SQLite's whole-schema form) — our namespaces
+      case Some(n) if n.equalsIgnoreCase(db) || n.equalsIgnoreCase("main") =>
+        userTables
+      case Some(n) =>
+        userTables.find(_.equalsIgnoreCase(n)).map(Seq(_))
+          .orElse(effClusterIndex(db, branch, n, txn).map(d => Seq(d.table)))
+          .getOrElse(throw new IllegalArgumentException(s"no such table: $n"))
+    }
+    val rows = mutable.ArrayBuffer[Row]()
+    tables.foreach { t =>
+      val cur = currentOrStaged(db, branch, t, txn)
+      val schemaCols = StructType.fromDDL(cur.schemaDdl).fieldNames
+      val resolved = effClusterIndexesForTable(db, branch, t, txn)
+        .map { case (name, d) =>
+          name -> d.cols.flatMap(c => schemaCols.find(_.equalsIgnoreCase(c)))
+        }.filter(_._2.nonEmpty)
+      if (resolved.isEmpty) {
+        // SQLite skips empty tables entirely
+        if (cur.rowCount > 0) rows += Row(t, null, cur.rowCount.toString)
+      } else {
+        val aggs = count(lit(1)).as("__n") +:
+          resolved.zipWithIndex.flatMap { case ((_, cols), i) =>
+            cols.indices.map(j =>
+              count_distinct(struct(cols.take(j + 1).map(col): _*))
+                .as(s"__d_${i}_$j"))
+          }
+        val r = readVersion(cur).agg(aggs.head, aggs.tail: _*).collect()(0)
+        val n = r.getLong(0)
+        if (n > 0) {
+          var k = 1
+          resolved.foreach { case (name, cols) =>
+            val ds = cols.indices.map { _ => val d = r.getLong(k); k += 1; d }
+            rows += Row(t, name,
+              (n +: ds.map(d => (n + d - 1) / d)).mkString(" "))
+          }
+        }
+      }
+    }
+    // full ANALYZE replaces the whole stats table (stale rows for dropped
+    // tables disappear); a targeted one keeps other tables' rows
+    val newDf = sess.createDataFrame(
+      sess.sparkContext.parallelize(rows.toSeq, 1), stat1Schema)
+    val merged = target match {
+      case Some(_) =>
+        effVersion(db, branch, Stat1Table, txn)
+          .map(v => readVersion(v)
+            .filter(!lower(col("tbl")).isin(tables.map(_.toLowerCase): _*))
+            .unionByName(newDf))
+          .getOrElse(newDf)
+      case None => newDf
+    }
+    val ts = catalog.nextVersionTs()
+    val dir = catalog.newVersionDir(db, branch, Stat1Table, ts)
+    merged.write.parquet(dir.toString)
+    val cnt = sess.read.schema(stat1Schema).parquet(dir.toString).count()
+    txn.foreach(_.newDirs += dir.toString)
+    commitOrStage(db, branch, Stat1Table,
+      catalog.TableVersion(ts, Seq(dir.toString), cnt, cnt,
+        stat1Schema.toDDL), txn)
+  }
+
+  /** SQLite REINDEX: rebuild index structures from scratch. Cluster
+    * indexes force a physical re-layout (bypassing the already-clustered
+    * skip — a rebuild verb must not trust the manifest's recorded
+    * layout); FTS indexes rebuild their artifact tables from the content
+    * table. Target may be an index name, a table name (all its indexes),
+    * or absent (every index on the branch). Returns file-sets folded. */
+  private def reindexCmd(db: String, branch: String,
+      target: Option[String]): Int = {
+    val tables = catalog.tableNames(db, branch)
+      .filterNot(t => t.startsWith("__") || t.startsWith("sqlite_"))
+    def clustersOf(t: String) = catalog.clusterIndexesForTable(db, branch, t)
+    def ftsOf(t: String) = catalog.ftsIndexesForTable(db, branch, t)
+    val (clusterTables, ftsNames) = target match {
+      case None =>
+        (tables.filter(t => clustersOf(t).nonEmpty),
+          tables.flatMap(t => ftsOf(t).map(_._1)))
+      case Some(n) =>
+        catalog.clusterIndex(db, branch, n) match {
+          case Some(d) => (Seq(d.table), Nil)
+          case None => catalog.ftsIndex(db, branch, n) match {
+            case Some(_) => (Nil, Seq(n))
+            case None => tables.find(_.equalsIgnoreCase(n)) match {
+              case Some(t) =>
+                (if (clustersOf(t).nonEmpty) Seq(t) else Nil, ftsOf(t).map(_._1))
+              case None => throw new IllegalArgumentException(
+                s"unable to identify the object to be reindexed: $n")
+            }
+          }
+        }
+    }
+    val folds = clusterTables.distinct
+      .map(compactLocked(db, branch, _, force = true)).sum
+    ftsNames.distinct.foreach(ftsRebuild(db, branch, _))
+    folds
+  }
 
   /** Register existing parquet data as a table — the bulk-ingest path.
     * Zero-copy: the manifest points at the files in place (the lakehouse
@@ -643,6 +768,25 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         case detachRe(_, alias) =>
           detach(db, branch, unquote(alias))
           QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+        case analyzeRe(targetRaw) =>
+          // SQLite ANALYZE (lang_analyze.html): gather index statistics
+          // into the sqlite_stat1 table. Transactional like the reference's
+          // (stat rows stage with the txn and roll back with it).
+          val txn = txnFor(db, branch, input)
+          val t = Option(targetRaw).map(x => unquote(x.split("\\.").last))
+          writeQueues(db, branch).run(analyzeCmd(db, branch, t, txn))
+          QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+        case reindexRe(targetRaw) =>
+          // SQLite REINDEX: rebuild index structures from scratch. Here:
+          // force the clustering layout rewrite and rebuild FTS artifacts.
+          // Refused inside a transaction (artifact rebuilds apply
+          // engine-wide; documented delta in COVERAGE.md).
+          if (input.transactionId.nonEmpty)
+            throw new IllegalArgumentException(
+              "REINDEX inside a transaction is not supported")
+          val t = Option(targetRaw).map(x => unquote(x.split("\\.").last))
+          writeQueues(db, branch).run(reindexCmd(db, branch, t))
+          QueryResponse(input.id, Nil, Nil)
         case _ =>
           // the reference resolver executes unclassified statements through
           // SQLite (pkg/database/resolver.go) — WITH ... SELECT, VALUES and
@@ -675,6 +819,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     """(?is)^\s*release\s+(savepoint\s+)?([\w"]+)\s*;?\s*$""".r
   private val rollbackToRe =
     """(?is)^\s*rollback\s+(transaction\s+)?to\s+(savepoint\s+)?([\w"]+)\s*;?\s*$""".r
+  private val analyzeRe = """(?is)^\s*analyze(?:\s+([\w".]+))?\s*;?\s*$""".r
+  private val reindexRe = """(?is)^\s*reindex(?:\s+([\w".]+))?\s*;?\s*$""".r
 
   private val attachments =
     mutable.Map[(String, String), mutable.Map[String, (String, String)]]()

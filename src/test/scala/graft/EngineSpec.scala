@@ -1960,4 +1960,99 @@ class EngineSpec extends AnyFunSuite {
     assert(s.compact("db1", "main", "ctn") == 1)
     assert(s.catalog.currentVersion("db1", "main", "ctn").get.clusteredBy == Seq("v"))
   }
+
+  test("ANALYZE writes sqlite_stat1 rows: plain row count and index prefix stats") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE plain (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO plain VALUES (1), (2), (3)"))
+    s.execute("db1", "main", q("CREATE TABLE idxd (a INTEGER, b INTEGER)"))
+    // a: 2 distinct over 6 rows -> d1 = 3; (a,b): 4 distinct -> d2 = ceil(6/4) = 2
+    s.execute("db1", "main",
+      q("INSERT INTO idxd VALUES (1, 1), (1, 1), (1, 2), (2, 1), (2, 1), (2, 2)"))
+    s.execute("db1", "main", q("CREATE INDEX iab ON idxd(a, b)"))
+    val an = s.execute("db1", "main", q("ANALYZE"))
+    assert(an.error.isEmpty, an.error)
+    val st = s.execute("db1", "main",
+      q("SELECT tbl, idx, stat FROM sqlite_stat1 ORDER BY tbl"))
+    assert(st.error.isEmpty, st.error)
+    assert(st.rows == Seq(
+      Seq(SqlValue.TextVal("idxd"), SqlValue.TextVal("iab"), SqlValue.TextVal("6 3 2")),
+      Seq(SqlValue.TextVal("plain"), SqlValue.NullVal, SqlValue.TextVal("3"))))
+    // targeted re-ANALYZE replaces only that table's rows
+    s.execute("db1", "main", q("INSERT INTO plain VALUES (4)"))
+    val an2 = s.execute("db1", "main", q("ANALYZE plain"))
+    assert(an2.error.isEmpty, an2.error)
+    val st2 = s.execute("db1", "main",
+      q("SELECT stat FROM sqlite_stat1 ORDER BY tbl"))
+    assert(st2.rows.map(_.head) ==
+      Seq(SqlValue.TextVal("6 3 2"), SqlValue.TextVal("4")))
+    // unknown target errors like SQLite
+    assert(s.execute("db1", "main", q("ANALYZE nope")).error.nonEmpty)
+  }
+
+  test("ANALYZE inside a transaction stages; rollback discards the stats") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE at (id INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO at VALUES (1), (2)"))
+    val txn = s.execute("db1", "main", q("BEGIN")).transactionId
+    val an = s.execute("db1", "main", q("ANALYZE", txn = txn))
+    assert(an.error.isEmpty, an.error)
+    // the txn's own reads see the staged stats
+    val in = s.execute("db1", "main",
+      q("SELECT stat FROM sqlite_stat1", txn = txn))
+    assert(in.rows.map(_.head) == Seq(SqlValue.TextVal("2")))
+    // other connections don't
+    assert(s.execute("db1", "main",
+      q("SELECT * FROM sqlite_stat1")).error.nonEmpty)
+    s.execute("db1", "main", q("ROLLBACK", txn = txn))
+    assert(s.execute("db1", "main",
+      q("SELECT * FROM sqlite_stat1")).error.nonEmpty)
+    assert(s.catalog.currentVersion("db1", "main", "sqlite_stat1").isEmpty)
+  }
+
+  test("sqlite_stat1 is readable but never a user write target") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE st (id INTEGER)"))
+    s.execute("db1", "main", q("ANALYZE"))
+    assert(s.execute("db1", "main",
+      q("INSERT INTO sqlite_stat1 VALUES ('x', 'y', 'z')")).error.nonEmpty)
+    assert(s.execute("db1", "main",
+      q("DROP TABLE sqlite_stat1")).error.nonEmpty)
+    assert(s.execute("db1", "main",
+      q("CREATE TABLE sqlite_master (x INTEGER)")).error.nonEmpty)
+    assert(s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM sqlite_stat1")).error.isEmpty)
+  }
+
+  test("REINDEX forces the clustering rewrite and rebuilds FTS artifacts") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE rt (id INTEGER, v INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO rt VALUES (1, 9), (2, 3)"))
+    s.execute("db1", "main", q("CREATE INDEX rtv ON rt(v)"))
+    s.compact("db1", "main", "rt") // lays out; second compact would skip
+    val before = s.catalog.versionHistory("db1", "main", "rt").length
+    val r = s.execute("db1", "main", q("REINDEX rtv"))
+    assert(r.error.isEmpty, r.error)
+    // the rebuild verb rewrote even the already-clustered single fileset
+    assert(s.catalog.versionHistory("db1", "main", "rt").length == before + 1)
+    assert(s.catalog.currentVersion("db1", "main", "rt").get.clusteredBy == Seq("v"))
+    // FTS: REINDEX by table name rebuilds the index artifacts
+    s.execute("db1", "main", q("CREATE TABLE docs (id INTEGER, body TEXT)"))
+    s.execute("db1", "main", q("INSERT INTO docs VALUES (1, 'hello world')"))
+    s.execute("db1", "main",
+      q("CREATE VIRTUAL TABLE dix USING fts5(body, content='docs', content_rowid='id')"))
+    val pTs = s.catalog.currentVersion("db1", "main", "__fts_dix_postings").get.ts
+    val r2 = s.execute("db1", "main", q("REINDEX docs"))
+    assert(r2.error.isEmpty, r2.error)
+    assert(s.catalog.currentVersion("db1", "main", "__fts_dix_postings").get.ts > pTs)
+    val m = s.execute("db1", "main",
+      q("SELECT doc FROM dix WHERE dix MATCH 'hello'"))
+    assert(m.error.isEmpty, m.error)
+    assert(m.rows.map(_.head) == Seq(SqlValue.IntVal(1)))
+    // unknown object + in-transaction refusal
+    assert(s.execute("db1", "main", q("REINDEX ghost")).error.nonEmpty)
+    val txn = s.execute("db1", "main", q("BEGIN")).transactionId
+    assert(s.execute("db1", "main", q("REINDEX", txn = txn)).error.nonEmpty)
+    s.execute("db1", "main", q("ROLLBACK", txn = txn))
+  }
 }
