@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def words(c: Column): Column =
+  /** Canonical whitespace pretokenizer shared by every text operator
+    * (lower, trim, collapse runs) — Bpe reuses it so subword training and
+    * the gram/TF-IDF operators agree on word boundaries. */
+  private[operators] def words(c: Column): Column =
     split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID

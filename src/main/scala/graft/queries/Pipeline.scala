@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Fts, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Fts, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -557,6 +557,23 @@ object Pipeline {
       |  CAST(COALESCE(SUM(CASE WHEN gram_docs > 1 THEN 1 ELSE 0 END), 0) AS DOUBLE) / COUNT(*) AS dup_frac
       |FROM g JOIN s USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Real BPE subword tokenization (Sennrich et al. 2016): learn 200
+    * merges from the corpus's word-frequency dictionary (one scan,
+    * driver-side merge learning over the capped dict), then tokenize
+    * every document with the broadcast merge table. Fully deterministic
+    * (tie-breaks pinned) but not SQL-expressible -> rows-only check here;
+    * OperatorsSpec pins exact merges, encodings and the round-trip law. */
+  def p40BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 200, maxVocabWords = 20000)
+    Bpe.encode(docs, "text", "doc_id", merges)
+      .select(col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_unique"),
+        element_at(col("tokens"), 1).as("first_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic hash sampling (training-data subsetting at 100 TB): a
     * row is kept iff the first 4 hex digits of md5(doc_id) fall below the
     * rate threshold — reproducible, join-stable, zero shuffle, no RNG.
@@ -1051,7 +1068,8 @@ object Pipeline {
     "p36_tfidf_keywords" -> (p36TfidfKeywords _),
     "p37_dup_spans" -> (p37DupSpans _),
     "p38_g711_decode" -> (p38G711Decode _),
-    "p39_gzip_roundtrip" -> (p39GzipRoundtrip _))
+    "p39_gzip_roundtrip" -> (p39GzipRoundtrip _),
+    "p40_bpe_tokens" -> (p40BpeTokens _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,

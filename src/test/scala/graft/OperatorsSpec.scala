@@ -641,6 +641,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3)._1 == "")
   }
 
+  test("BPE training learns the textbook merges with pinned tie-breaks") {
+    import graft.operators.Bpe
+    // the Sennrich et al. worked example's dictionary shape
+    val dict = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.trainFromDict(dict, 4)
+    // pair counts round 1: es=9, st=9 (tie -> "es" first lexicographically),
+    // lo=7, ow=7, ...; after (e,s): (es,t)=9; then lo=7/ow=7 tie -> (l,o)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encodeWord("lowest", ranks) == Vector("low", "est"))
+    assert(Bpe.encodeWord("newest", ranks) == Vector("n", "e", "w", "est"))
+    assert(Bpe.encodeWord("slowest", ranks) == Vector("s", "low", "est"))
+    assert(Bpe.encodeWord("", ranks).isEmpty)
+    // merge exhaustion: asking for more merges than pairs exist stops early
+    assert(Bpe.trainFromDict(Seq(("ab", 1L)), 10) == Seq(("a", "b")))
+  }
+
+  test("BPE tokens always concatenate back to the word (round-trip law)") {
+    import graft.operators.Bpe
+    val dict = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val ranks = Bpe.trainFromDict(dict, 4).zipWithIndex.toMap
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      assert(Bpe.encodeWord(w, ranks).mkString == w)
+    }
+  }
+
+  test("distributed BPE train matches the dict path; encode matches encodeWord") {
+    import graft.operators.Bpe
+    val df = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    val ranks = merges.zipWithIndex.toMap
+    val out = Bpe.encode(df, "text", "doc_id", merges)
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) ==
+      Seq.fill(5)("low") ++ Seq("low", "e", "r", "low", "e", "r"))
+    assert(out(1).getSeq[String](1) ==
+      Seq.fill(6)(Seq("n", "e", "w", "est")).flatten)
+    // per-word equality with the scalar path on every row
+    df.collect().foreach { r =>
+      val expected = r.getString(1).split("\\s+").toSeq
+        .flatMap(w => Bpe.encodeWord(w, ranks))
+      val got = out.find(_.getLong(0) == r.getLong(0)).get.getSeq[String](1)
+      assert(got == expected)
+    }
+  }
+
   test("redactPii replaces emails and IPv4s, leaves lookalikes alone") {
     import graft.operators.TextAnalysis
     val df = Seq(
