@@ -31,6 +31,7 @@ object Multimodal {
       .withColumn("sniffed_kind",
         when(substring(col(payloadCol), 1, 4) === lit("PNG".getBytes("ISO-8859-1")), "png")
           .when(substring(col(payloadCol), 1, 3) === lit("ID3".getBytes("ISO-8859-1")), "mp3")
+          .when(substring(col(payloadCol), 1, 4) === lit("fLaC".getBytes("ISO-8859-1")), "flac")
           .otherwise("unknown"))
 
   /** STUB decoder: a real implementation would decode the codec here.
@@ -539,15 +540,19 @@ object Multimodal {
     n_samples: Long, duration_ms: Double, mean_amp: Double, rms: Double)
 
   /** REAL audio decode behind the mapPartitions seam: WAV payloads are
-    * parsed by the JDK's audio reader; the decoded stats (duration, mean
-    * amplitude, RMS energy) are what downstream loudness/quality filters
-    * consume. Iterator-in/iterator-out like [[decodeImages]]. */
+    * parsed by the JDK's audio reader (ADPCM/G.711 by the hand codecs),
+    * FLAC by the hand decoder in [[Flac]]; the decoded stats (duration,
+    * mean amplitude, RMS energy) are what downstream loudness/quality
+    * filters consume. Iterator-in/iterator-out like [[decodeImages]]. */
   def decodeAudio(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[DecodedAudio] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        require(r.kind == "wav", s"no codec for kind ${r.kind}")
-        val (rate, channels, samples) = decodeWav(r.payload)
+        require(r.kind == "wav" || r.kind == "flac",
+          s"no codec for kind ${r.kind}")
+        val (rate, channels, samples) =
+          if (r.kind == "flac") Flac.decode(r.payload)
+          else decodeWav(r.payload)
         val frames = samples.length / channels
         var sum = 0L
         var sumSq = 0L

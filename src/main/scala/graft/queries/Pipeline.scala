@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Dedup, Fts, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Flac, Fts, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -760,6 +760,47 @@ object Pipeline {
       |GROUP BY doc_id, rate, n
       |ORDER BY media_id""".stripMargin
 
+  /** REAL compressed-audio decode: deterministic PCM16 is FLAC-encoded
+    * per doc (hand encoder: FIXED predictors + Rice residuals + real
+    * CRC-8/CRC-16/MD5), decoded by the hand FLAC decoder, and — because
+    * FLAC is lossless — the decoded stats check against the same
+    * closed-form SQL as the uncompressed p22 path. */
+  def p41FlacDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val rate = 16000 + (id % 2).toInt * 16000
+      val n = 300 + (id % 200).toInt
+      val samples = Array.tabulate[Short](n)(i =>
+        (((id * 53 + i.toLong * 29) % 4001) - 2000).toShort)
+      Multimodal.MediaRow(id, "flac", Flac.encode(rate, samples, blockSize = 128))
+    }
+    Multimodal.decodeAudio(media)
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_samples"),
+        round(col("duration_ms"), 6).as("duration_ms"),
+        round(col("mean_amp"), 6).as("mean_amp"),
+        round(col("rms"), 6).as("rms"))
+      .orderBy(col("media_id"))
+  }
+
+  val p41Oracle: String =
+    """WITH series AS (SELECT unnest(generate_series(0, 498)) AS i),
+      |par AS (SELECT doc_id, 16000 + (doc_id % 2) * 16000 AS rate,
+      |               300 + doc_id % 200 AS n
+      |        FROM documents),
+      |samp AS (SELECT p.doc_id, p.rate, p.n,
+      |                ((p.doc_id * 53 + s.i * 29) % 4001) - 2000 AS amp
+      |         FROM par p JOIN series s ON s.i < p.n)
+      |SELECT doc_id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_samples,
+      |  round(CAST(n AS DOUBLE) * 1000.0 / rate, 6) AS duration_ms,
+      |  round(CAST(sum(amp) AS DOUBLE) / n, 6) AS mean_amp,
+      |  round(sqrt(CAST(sum(amp * amp) AS DOUBLE) / n), 6) AS rms
+      |FROM samp
+      |GROUP BY doc_id, rate, n
+      |ORDER BY media_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1069,7 +1110,8 @@ object Pipeline {
     "p37_dup_spans" -> (p37DupSpans _),
     "p38_g711_decode" -> (p38G711Decode _),
     "p39_gzip_roundtrip" -> (p39GzipRoundtrip _),
-    "p40_bpe_tokens" -> (p40BpeTokens _))
+    "p40_bpe_tokens" -> (p40BpeTokens _),
+    "p41_flac_decode" -> (p41FlacDecode _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1107,5 +1149,6 @@ object Pipeline {
     "p36_tfidf_keywords" -> p36Oracle,
     "p37_dup_spans" -> p37Oracle,
     "p38_g711_decode" -> p38Oracle,
-    "p39_gzip_roundtrip" -> p39Oracle)
+    "p39_gzip_roundtrip" -> p39Oracle,
+    "p41_flac_decode" -> p41Oracle)
 }

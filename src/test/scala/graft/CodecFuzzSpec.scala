@@ -132,6 +132,75 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC round-trips arbitrary PCM16 streams across block sizes") {
+    import graft.operators.Flac
+    val r = rnd
+    for (_ <- 1 to 40) {
+      val rate = Seq(8000, 16000, 44100, 48000)(r.nextInt(4))
+      val n = 1 + r.nextInt(4000)
+      val blockSize = Seq(16, 64, 256, 1024, 4096)(r.nextInt(5))
+      // mix of signal shapes so every predictor order gets exercised:
+      // white noise, constant runs, ramps, smooth sine-ish curves
+      val kind = r.nextInt(4)
+      val samples = Array.tabulate[Short](n) { i =>
+        kind match {
+          case 0 => r.nextInt(65536).toShort
+          case 1 => 1234.toShort
+          case 2 => ((i * 7 - 5000) % 32768).toShort
+          case _ => (math.sin(i / 50.0) * 20000).toShort
+        }
+      }
+      val flac = Flac.encode(rate, samples, blockSize)
+      val (dRate, dCh, dSamples) = Flac.decode(flac)
+      assert(dRate == rate && dCh == 1 && dSamples.toSeq == samples.toSeq,
+        s"rate=$rate n=$n block=$blockSize kind=$kind")
+      // compression sanity: smooth signals actually shrink vs raw PCM
+      if (kind == 1 && n > 512) assert(flac.length < n * 2)
+    }
+  }
+
+  test("FLAC decodes through the decodeAudio operator seam") {
+    import graft.operators.Flac
+    import spark.implicits._
+    implicit val s = spark
+    val r = rnd
+    val rows = (0 until 8).map { id =>
+      val samples = Array.tabulate[Short](200 + id)(i => ((id * 31 + i * 17) % 3000).toShort)
+      Multimodal.MediaRow(id.toLong, "flac", Flac.encode(8000, samples, 64))
+    }
+    val out = Multimodal.decodeAudio(rows.toDS()).collect().sortBy(_.media_id)
+    out.zipWithIndex.foreach { case (d, id) =>
+      assert(d.sample_rate == 8000L && d.channels == 1L &&
+        d.n_samples == 200L + id)
+    }
+  }
+
+  test("corrupt FLAC payloads are rejected, not mis-decoded") {
+    import graft.operators.Flac
+    val r = rnd
+    val samples = Array.tabulate[Short](500)(i => (i * 13 % 2000).toShort)
+    val good = Flac.encode(16000, samples, 128)
+    // control: the pristine stream decodes
+    assert(Flac.decode(good)._3.length == 500)
+    intercept[IllegalArgumentException](Flac.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      Flac.decode(good.take(good.length / 2))) // truncated
+    for (_ <- 1 to 30) {
+      // flip one random byte anywhere: header CRC-8, frame CRC-16 or the
+      // STREAMINFO MD5 must catch it (never a silent wrong answer)
+      val bad = good.clone()
+      val at = r.nextInt(bad.length)
+      bad(at) = (bad(at) ^ (1 + r.nextInt(255))).toByte
+      val caught = try {
+        val (_, _, d) = Flac.decode(bad)
+        // if it decoded, the samples must still be EXACT (the flip hit
+        // e.g. ignorable STREAMINFO fields like min/max frame size)
+        d.toSeq == samples.toSeq
+      } catch { case _: IllegalArgumentException => true }
+      assert(caught, s"flip at $at silently mis-decoded")
+    }
+  }
+
   test("chunkWords geometry holds for arbitrary sizes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
