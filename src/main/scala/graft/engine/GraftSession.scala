@@ -909,6 +909,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       // (iif/strftime/group_concat/json_set/...), resolved to the same
       // codegen'd compositions the oracle pack checks
       graft.functions.SqliteRegistry.register(s)
+      // COLLATE RTRIM maps onto Spark's trim collations (rewriteCollate)
+      s.conf.set("spark.sql.collation.trim.enabled", "true")
       s
     }
   }
@@ -931,6 +933,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // registrations cache per-statement and invalidate on txn end or on
     // further staged view DDL.
     var viewsState: Option[(String, String, Long, String)] = None
+    // content hash of the sqlite_master rows last registered on this
+    // session — schema DDL of any kind (tables, views, indexes, staged or
+    // committed) changes the rows, so hashing the rows themselves needs
+    // no extra version counters and can never go stale
+    var masterState: Option[Int] = None
   }
   private val viewVersions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, SessionViews]())
@@ -1008,6 +1015,87 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       // view DDL) re-registers the right set
       sv.viewsState = Some((db, branch, vv, txnTag))
     }
+    // sqlite_master / sqlite_schema (SQLite's schema-introspection table),
+    // synthesized from the transaction-overlaid catalog. Registered only
+    // when the row content actually changed (driver-side row build is a
+    // few map lookups; the temp-view registration is what's worth
+    // skipping). Not in `reg`, so the stale-view sweep never drops it.
+    val masterRows = buildSqliteMaster(db, branch, txn)
+    val mKey = (db, branch, masterRows).hashCode()
+    if (!sv.masterState.contains(mKey)) {
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(masterRows, 1), sqliteMasterSchema)
+      df.createOrReplaceTempView("sqlite_master")
+      // SQLite 3.33+ alias
+      df.createOrReplaceTempView("sqlite_schema")
+      viewRegistrations.incrementAndGet()
+      sv.masterState = Some(mKey)
+    }
+  }
+
+  private val sqliteMasterSchema = StructType(Seq(
+    StructField("type", StringType), StructField("name", StringType),
+    StructField("tbl_name", StringType), StructField("rootpage", LongType),
+    StructField("sql", StringType)))
+
+  private def sparkTypeToSqliteName(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => "INTEGER"
+    case DoubleType | FloatType => "REAL"
+    case BinaryType => "BLOB"
+    case _ => "TEXT"
+  }
+
+  /** The sqlite_master rows for the current (txn-overlaid) catalog state.
+    * `sql` is RECONSTRUCTED canonical DDL (the catalog stores parsed
+    * definitions, not original statement text — unlike SQLite, which
+    * stores the text verbatim; same information, normalized spelling).
+    * rootpage is always 0: there are no b-tree pages in this engine. */
+  private def buildSqliteMaster(db: String, branch: String,
+      txn: Option[Txn]): Seq[Row] = {
+    val tableNames = effTableNames(db, branch, txn).sorted
+    // a bare fts5 vtable IS its backing table: like SQLite, it gets ONE
+    // row (the CREATE VIRTUAL TABLE), not an extra plain-table row
+    val bareFts = tableNames
+      .filter(t => effFtsIndex(db, branch, t, txn).exists(_.table == t)).toSet
+    val tables = tableNames.filterNot(bareFts).flatMap { t =>
+      effVersion(db, branch, t, txn).map { v =>
+        val schema = StructType.fromDDL(v.schemaDdl)
+        val cols = schema.fields.map { f =>
+          val pk = if (v.pk == Seq(f.name)) " PRIMARY KEY" else ""
+          val dflt = v.defaults.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
+          s"${f.name} ${sparkTypeToSqliteName(f.dataType)}$pk$dflt"
+        }
+        val pkTail =
+          if (v.pk.length > 1) s", PRIMARY KEY (${v.pk.mkString(", ")})" else ""
+        Row("table", t, t, 0L,
+          s"CREATE TABLE $t (${cols.mkString(", ")}$pkTail)")
+      }
+    }
+    val views = effViewsList(db, branch, txn).map { case (n, sql) =>
+      Row("view", n, n, 0L, s"CREATE VIEW $n AS $sql")
+    }
+    val ftsSeen = mutable.Set[String]()
+    val fts = tableNames.flatMap { t =>
+      effFtsIndexesForTable(db, branch, t, txn).collect {
+        case (n, d) if ftsSeen.add(n) =>
+          val content =
+            if (d.table == n) ""
+            else s", content='${d.table}', content_rowid='${d.idCol}'"
+          Row("table", n, n, 0L,
+            s"CREATE VIRTUAL TABLE $n USING fts5(${d.textCols}$content)")
+      }
+    }
+    val idxSeen = mutable.Set[String]()
+    val idx = tableNames.flatMap { t =>
+      effClusterIndexesForTable(db, branch, t, txn).collect {
+        case (n, d) if idxSeen.add(n) =>
+          val uq = if (d.unique) "UNIQUE " else ""
+          val part = if (d.partial) " /* partial */" else ""
+          Row("index", n, d.table, 0L,
+            s"CREATE ${uq}INDEX $n ON ${d.table} (${d.cols.mkString(", ")})$part")
+      }
+    }
+    tables ++ views ++ fts ++ idx
   }
 
   private def readVersion(v: Catalog#TableVersion): DataFrame = {
@@ -1082,6 +1170,36 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       }
     }
     stmt
+  }
+
+  // SQLite's three built-in collation names (datatype3.html §7.1), as
+  // they appear after a COLLATE keyword in expressions / ORDER BY terms
+  private val collateRe = """(?i)\bcollate\s+(nocase|binary|rtrim)\b""".r
+
+  /** Map SQLite collation spellings onto Spark 4 collations: NOCASE →
+    * UTF8_LCASE (case-insensitive compare/order), BINARY → UTF8_BINARY
+    * (memcmp — Spark's default, kept for explicit spellings), RTRIM →
+    * UTF8_BINARY_RTRIM (trailing-space-insensitive; Spark's trim
+    * collations, enabled via spark.sql.collation.trim.enabled). Spark's
+    * postfix `expr COLLATE name` binds exactly like SQLite's, so only the
+    * name needs translating. Literal-masked so 'COLLATE NOCASE' inside a
+    * string survives; mask positions equal source positions. */
+  private def rewriteCollate(stmt0: String): String = {
+    if (!stmt0.toLowerCase.contains("collate")) return stmt0
+    val mask = Sql.maskLiterals(stmt0)
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- collateRe.findAllMatchIn(mask)) {
+      sb.append(stmt0.substring(last, m.start(1)))
+      sb.append(m.group(1).toUpperCase match {
+        case "NOCASE" => "UTF8_LCASE"
+        case "BINARY" => "UTF8_BINARY"
+        case "RTRIM" => "UTF8_BINARY_RTRIM"
+      })
+      last = m.end(1)
+    }
+    sb.append(stmt0.substring(last))
+    sb.toString
   }
 
   /** Generalized FTS MATCH (r2 VERDICT missing #3): the reference hands
@@ -1227,8 +1345,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         // MATCH predicates in joins/subqueries resolve against the stored
         // fts index before parsing (the canonical single-table shape took
         // the fast path above); infix GLOB rewrites onto the glob() function
-        val stmtM = rewriteGlobOperator(
-          rewriteMatchAnywhere(db, branch, stmt, txn).getOrElse(stmt))
+        val stmtM = rewriteCollate(rewriteGlobOperator(
+          rewriteMatchAnywhere(db, branch, stmt, txn).getOrElse(stmt)))
         // plan cache (B4): parse once per (sql, key), then EXECUTE the
         // cached parsed plan (Dataset.ofRows) — analysis still runs per
         // execution because view state may have changed, but a hot point
@@ -1289,8 +1407,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       val atts = attachmentsFor(db, branch)
       val stmtR0 = if (atts.isEmpty) stmt else Sql.rewriteAttached(stmt, atts.keySet)
       if (atts.nonEmpty) authorizeAttachedReads(key, atts, stmt, stmtR0)
-      val stmtR = rewriteGlobOperator(
-        rewriteMatchAnywhere(db, branch, stmtR0, txn).getOrElse(stmtR0))
+      val stmtR = rewriteCollate(rewriteGlobOperator(
+        rewriteMatchAnywhere(db, branch, stmtR0, txn).getOrElse(stmtR0)))
       val df =
         if (input.parameters.isEmpty) sess.sql(stmtR)
         else sess.sql(stmtR, input.parameters.map(paramToJvm).toArray)
@@ -1488,11 +1606,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           if (ifNot == null)
             throw new IllegalArgumentException(s"view $v already exists")
         } else {
+          // SQLite dialect spellings that are STATIC rewrites (infix GLOB,
+          // collation names) translate once here so the stored definition
+          // replays through bare s.sql() at registration; MATCH stays
+          // dynamic and is resolved per-query by rewriteMatchAnywhere
+          val selR = rewriteCollate(rewriteGlobOperator(sel))
           // validate the definition parses now, like SQLite prepares it
-          sess.sessionState.sqlParser.parsePlan(sel)
+          sess.sessionState.sqlParser.parsePlan(selR)
           txn match {
-            case Some(x) => x.stagedViews(v) = Some(sel); x.viewEpoch += 1
-            case None => catalog.putView(db, branch, v, sel)
+            case Some(x) => x.stagedViews(v) = Some(selR); x.viewEpoch += 1
+            case None => catalog.putView(db, branch, v, selR)
           }
         }
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)

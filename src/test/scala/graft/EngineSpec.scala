@@ -1961,6 +1961,85 @@ class EngineSpec extends AnyFunSuite {
     assert(s.catalog.currentVersion("db1", "main", "ctn").get.clusteredBy == Seq("v"))
   }
 
+  test("sqlite_master reflects tables, views, indexes and vtables — txn-overlaid") {
+    val s = newSession()
+    s.execute("db1", "main",
+      q("CREATE TABLE m1 (id INTEGER PRIMARY KEY, name TEXT DEFAULT 'x')"))
+    s.execute("db1", "main", q("CREATE VIEW mv AS SELECT id FROM m1"))
+    s.execute("db1", "main", q("CREATE UNIQUE INDEX mix ON m1(name)"))
+    s.execute("db1", "main",
+      q("CREATE VIRTUAL TABLE mf USING fts5(body)")) // bare fts: ONE row
+    val r = s.execute("db1", "main",
+      q("SELECT type, name, tbl_name, sql FROM sqlite_master " +
+        "WHERE substr(name, 1, 2) <> '__' ORDER BY type, name"))
+    assert(r.error.isEmpty, r.error)
+    val rows = r.rows.map(_.map(_.asInstanceOf[SqlValue.TextVal].v))
+    assert(rows == Seq(
+      Seq("index", "mix", "m1", "CREATE UNIQUE INDEX mix ON m1 (name)"),
+      Seq("table", "m1", "m1",
+        "CREATE TABLE m1 (id INTEGER PRIMARY KEY, name TEXT DEFAULT 'x')"),
+      Seq("table", "mf", "mf", "CREATE VIRTUAL TABLE mf USING fts5(body)"),
+      Seq("view", "mv", "mv", "CREATE VIEW mv AS SELECT id FROM m1")))
+    // sqlite_schema alias sees the same thing
+    val alias = s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM sqlite_schema"))
+    assert(alias.error.isEmpty, alias.error)
+    // staged DDL overlays: a txn's CREATE TABLE appears only to the txn
+    val txn = s.execute("db1", "main", q("BEGIN")).transactionId
+    s.execute("db1", "main", q("CREATE TABLE staged_t (a INTEGER)", txn = txn))
+    def names(t: String) = s.execute("db1", "main",
+      q("SELECT name FROM sqlite_master WHERE type = 'table' ORDER BY name", txn = t))
+      .rows.map(_.head.asInstanceOf[SqlValue.TextVal].v)
+    assert(names(txn).contains("staged_t"))
+    assert(!names("").contains("staged_t"))
+    s.execute("db1", "main", q("ROLLBACK", txn = txn))
+    assert(!names("").contains("staged_t"))
+    // DROP disappears from the listing
+    s.execute("db1", "main", q("DROP VIEW mv"))
+    val afterDrop = s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM sqlite_master WHERE type = 'view'"))
+    assert(afterDrop.rows.head.head == SqlValue.IntVal(0))
+  }
+
+  test("COLLATE NOCASE/BINARY/RTRIM spellings rewrite onto Spark collations") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE ct (v TEXT)"))
+    s.execute("db1", "main",
+      q("INSERT INTO ct VALUES ('apple'), ('Banana'), ('cherry'), ('APPLE')"))
+    // NOCASE equality: case-insensitive, like SQLite
+    val eq = s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM ct WHERE v = 'apple' COLLATE NOCASE"))
+    assert(eq.error.isEmpty, eq.error)
+    assert(eq.rows.head.head == SqlValue.IntVal(2))
+    // NOCASE ordering groups case-folded equals; binary tiebreak pins order
+    val ord = s.execute("db1", "main",
+      q("SELECT v FROM ct ORDER BY v COLLATE NOCASE, v"))
+    assert(ord.error.isEmpty, ord.error)
+    assert(ord.rows.map(_.head.asInstanceOf[SqlValue.TextVal].v) ==
+      Seq("APPLE", "apple", "Banana", "cherry"))
+    // RTRIM: trailing spaces insignificant (SQLite datatype3.html §7.1)
+    val rt = s.execute("db1", "main",
+      q("SELECT ('abc   ' = 'abc' COLLATE RTRIM) AS e, " +
+        "(' abc' = 'abc' COLLATE RTRIM) AS l"))
+    assert(rt.error.isEmpty, rt.error)
+    assert(rt.rows.head == Seq(SqlValue.IntVal(1), SqlValue.IntVal(0)))
+    // explicit BINARY spelling is accepted (Spark's default semantics)
+    val bin = s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM ct WHERE v = 'apple' COLLATE BINARY"))
+    assert(bin.error.isEmpty, bin.error)
+    assert(bin.rows.head.head == SqlValue.IntVal(1))
+    // the words inside a string literal are data, not syntax
+    val lit = s.execute("db1", "main", q("SELECT 'COLLATE NOCASE' AS t"))
+    assert(lit.rows.head.head == SqlValue.TextVal("COLLATE NOCASE"))
+    // a view DEFINITION may use the SQLite spellings — stored rewritten,
+    // replayed through bare registration
+    s.execute("db1", "main",
+      q("CREATE VIEW cv AS SELECT v FROM ct WHERE v = 'apple' COLLATE NOCASE"))
+    val vr = s.execute("db1", "main", q("SELECT count(*) AS c FROM cv"))
+    assert(vr.error.isEmpty, vr.error)
+    assert(vr.rows.head.head == SqlValue.IntVal(2))
+  }
+
   test("ANALYZE writes sqlite_stat1 rows: plain row count and index prefix stats") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE plain (id INTEGER)"))
