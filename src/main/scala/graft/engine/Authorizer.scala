@@ -104,6 +104,12 @@ object Authorizer {
         // name contains "view" must still demand create_table
         if (s.matches("(?is)^create\\s+(unique\\s+)?index\\b.*"))
           Seq("database:query", "database:create_index")
+        else if (s.matches("(?is)^create\\s+(temp(orary)?\\s+)?trigger\\b.*"))
+          // reference: DatabasePrivilegeCreateTrigger
+          // (pkg/auth/access_key_statements.go:280)
+          Seq("database:query", "database:create_trigger")
+        else if (s.matches("(?is)^drop\\s+trigger\\b.*"))
+          Seq("database:query", "database:drop_trigger")
         else if (s.matches("(?is)^create\\s+view\\b.*"))
           Seq("database:query", "database:create_view")
         else if (s.regionMatches(true, 0, "create", 0, 6))
@@ -159,6 +165,10 @@ object Authorizer {
   // authorizer callback arg1; we regex the verb's target)
   private val dmlTargetRe =
     """(?is)^\s*(?:insert\s+(?:or\s+\w+\s+)?into|update|delete\s+from)\s+([\w"]+).*$""".r
+  // a trigger's authorization subject is the table it is ON (reference
+  // CanCreateTrigger(databaseId, branchId, tableName, triggerName))
+  private val createTriggerTargetRe =
+    """(?is)^\s*create\s+(?:temp(?:orary)?\s+)?trigger\s+.*?\bon\s+([\w"]+).*$""".r
   private val ddlTargetRe =
     ("""(?is)^\s*(?:create\s+(?:virtual\s+)?table\s+(?:if\s+not\s+exists\s+)?|""" +
       """drop\s+table\s+(?:if\s+exists\s+)?|alter\s+table\s+)([\w"]+).*$""").r
@@ -189,6 +199,10 @@ object Authorizer {
     if (s.regionMatches(true, 0, "insert", 0, 6)) Some("database:insert")
     else if (s.regionMatches(true, 0, "update", 0, 6)) Some("database:update")
     else if (s.regionMatches(true, 0, "delete", 0, 6)) Some("database:delete")
+    else if (s.matches("(?is)^create\\s+(temp(orary)?\\s+)?trigger\\b.*"))
+      Some("database:create_trigger")
+    else if (s.matches("(?is)^drop\\s+trigger\\b.*"))
+      Some("database:drop_trigger")
     else if (s.regionMatches(true, 0, "create", 0, 6) &&
       !s.toLowerCase.contains(" index")) Some("database:create_table")
     else if (s.regionMatches(true, 0, "drop", 0, 4)) Some("database:drop_table")
@@ -267,6 +281,7 @@ object Authorizer {
         case _ => None
       })
       case "ddl" => parsed.flatMap(parsedTarget).orElse(s match {
+        case createTriggerTargetRe(t) => Some(unq(t))
         case ddlTargetRe(t) => Some(unq(t))
         case _ => None
       })

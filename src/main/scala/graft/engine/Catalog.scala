@@ -43,6 +43,17 @@ case class FtsIndexDef(table: String, textCols: String, idCol: String)
 case class ClusterIndexDef(table: String, cols: Seq[String],
   unique: Boolean = false, partial: Boolean = false)
 
+/** A stored CREATE TRIGGER definition (SQLite lang_createtrigger.html;
+  * reference authorizes the verb at pkg/auth/access_key_statements.go:280).
+  * timing ∈ {BEFORE, AFTER}; event ∈ {INSERT, UPDATE, DELETE}; updateCols
+  * non-empty only for UPDATE OF; `when` is the raw WHEN expression text;
+  * `body` is the BEGIN...END statements in order. FOR EACH ROW semantics
+  * are evaluated SET-WISE at fire time: the body runs once per triggering
+  * STATEMENT against the affected-row delta (NEW/OLD resolve per row
+  * through a join), so a trigger is one distributed plan, not a row loop. */
+case class TriggerDef(table: String, timing: String, event: String,
+  updateCols: Seq[String], when: Option[String], body: Seq[String])
+
 class Catalog(val root: Path) {
 
   /** One committed state of a table: file-set + bookkeeping. `pk` records
@@ -67,6 +78,10 @@ class Catalog(val root: Path) {
   // SQL view definitions, insertion-ordered so views-on-views re-register
   // in dependency order (a view can only reference names created before it)
   private val viewDefs = mutable.LinkedHashMap[(String, String, String), String]()
+  // trigger definitions, insertion-ordered: SQLite fires same-event
+  // triggers in an unspecified order in the docs but creation order in
+  // practice, and tests depend on it
+  private val triggerDefs = mutable.LinkedHashMap[(String, String, String), TriggerDef]()
   private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   Files.createDirectories(root)
@@ -161,6 +176,17 @@ class Catalog(val root: Path) {
             n.put("name", name); n.put("table", defn.table)
             n.put("unique", defn.unique); n.put("partial", defn.partial)
             val cs = n.putArray("cols"); defn.cols.foreach(cs.add)
+          }
+        }
+        val trgs = node.putArray("triggers")
+        triggerDefs.foreach { case ((d, b, name), defn) =>
+          if (d == db && b == branch) {
+            val n = trgs.addObject()
+            n.put("name", name); n.put("table", defn.table)
+            n.put("timing", defn.timing); n.put("event", defn.event)
+            val uc = n.putArray("updateCols"); defn.updateCols.foreach(uc.add)
+            defn.when.foreach(w => n.put("when", w))
+            val bs = n.putArray("body"); defn.body.foreach(bs.add)
           }
         }
         val bytes = om.writeValueAsBytes(node)
@@ -278,6 +304,14 @@ class Catalog(val root: Path) {
           n.path("cols").elements().asScala.map(_.asText()).toSeq,
           n.path("unique").asBoolean(false), n.path("partial").asBoolean(false))
     }
+    node.path("triggers").elements().asScala.foreach { n =>
+      triggerDefs((db, branch, n.path("name").asText())) =
+        TriggerDef(n.path("table").asText(), n.path("timing").asText(),
+          n.path("event").asText(),
+          n.path("updateCols").elements().asScala.map(_.asText()).toSeq,
+          if (n.has("when")) Some(n.path("when").asText()) else None,
+          n.path("body").elements().asScala.map(_.asText()).toSeq)
+    }
   }
 
   /** Read a pre-split whole-catalog manifest (round <=2 layout) once; the
@@ -350,6 +384,7 @@ class Catalog(val root: Path) {
     ftsDefs.keys.toSeq.filter(_._1 == name).foreach(ftsDefs.remove)
     indexDefs.keys.toSeq.filter(_._1 == name).foreach(indexDefs.remove)
     viewDefs.keys.toSeq.filter(_._1 == name).foreach(viewDefs.remove)
+    triggerDefs.keys.toSeq.filter(_._1 == name).foreach(triggerDefs.remove)
     viewVersions.keys.toSeq.filter(_._1 == name).foreach(viewVersions.remove)
     // drop the per-branch manifest files too (same resurrection guard as
     // dropBranch): a re-created database must start empty
@@ -377,6 +412,9 @@ class Catalog(val root: Path) {
     viewDefs.toSeq.collect { case ((d, b, n), sql) if d == db && b == parent =>
       viewDefs((d, name, n)) = sql
     }
+    triggerDefs.toSeq.collect { case ((d, b, n), defn) if d == db && b == parent =>
+      triggerDefs((d, name, n)) = defn
+    }
     viewVersions((db, name)) = viewVersionCounter.incrementAndGet()
     // the new branch's manifest lands before the catalog lists it, so a
     // crash between the two writes never yields a listed-but-empty branch
@@ -395,6 +433,8 @@ class Catalog(val root: Path) {
     ftsDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(ftsDefs.remove)
     indexDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(indexDefs.remove)
     viewDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch).foreach(viewDefs.remove)
+    triggerDefs.keys.toSeq.filter(k => k._1 == db && k._2 == branch)
+      .foreach(triggerDefs.remove)
     viewVersions.remove((db, branch))
     // drop the manifest file too, or a later branch of the same name could
     // resurrect this state if a crash lands between its two writes
@@ -438,6 +478,36 @@ class Catalog(val root: Path) {
     val (existed, w) = synchronized {
       val e = viewDefs.remove((db, branch, name)).isDefined
       if (e) viewVersions((db, branch)) = viewVersionCounter.incrementAndGet()
+      (e, if (e) snapshotBranch(db, branch) else () => ())
+    }
+    w(); existed
+  }
+
+  // --- triggers ------------------------------------------------------------
+
+  def putTrigger(db: String, branch: String, name: String,
+      d: TriggerDef): Unit = {
+    val w = synchronized {
+      triggerDefs((db, branch, name)) = d
+      snapshotBranch(db, branch)
+    }
+    w()
+  }
+
+  def triggerDef(db: String, branch: String, name: String): Option[TriggerDef] =
+    synchronized(triggerDefs.get((db, branch, name)))
+
+  /** Triggers of db/branch in creation order. */
+  def triggers(db: String, branch: String): Seq[(String, TriggerDef)] =
+    synchronized {
+      triggerDefs.toSeq.collect {
+        case ((d, b, n), defn) if d == db && b == branch => (n, defn)
+      }
+    }
+
+  def dropTrigger(db: String, branch: String, name: String): Boolean = {
+    val (existed, w) = synchronized {
+      val e = triggerDefs.remove((db, branch, name)).isDefined
       (e, if (e) snapshotBranch(db, branch) else () => ())
     }
     w(); existed
@@ -540,6 +610,10 @@ class Catalog(val root: Path) {
         .filter(k => k._1 == db && k._2 == branch &&
           indexDefs(k).table == table)
         .foreach(indexDefs.remove) // indexes cascade with their table
+      if (e) triggerDefs.keys.toSeq // triggers cascade too (SQLite)
+        .filter(k => k._1 == db && k._2 == branch &&
+          triggerDefs(k).table == table)
+        .foreach(triggerDefs.remove)
       (e, if (e) snapshotBranch(db, branch) else () => ())
     }
     w(); existed
@@ -552,6 +626,10 @@ class Catalog(val root: Path) {
       indexDefs.toSeq.collect {
         case (k @ (d, b, _), defn) if d == db && b == branch && defn.table == from =>
           indexDefs(k) = defn.copy(table = to) // indexes follow a rename
+      }
+      triggerDefs.toSeq.collect { // triggers follow too (SQLite 3.25 ALTER)
+        case (k @ (d, b, _), defn) if d == db && b == branch && defn.table == from =>
+          triggerDefs(k) = defn.copy(table = to)
       }
       snapshotBranch(db, branch)
     }

@@ -60,6 +60,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       stagedViews: Vector[(String, Option[String])],
       stagedIndexes: Vector[(String, Option[ClusterIndexDef])],
       stagedFts: Vector[(String, Option[FtsIndexDef])],
+      stagedTriggers: Vector[(String, Option[TriggerDef])],
       ftsPending: Vector[(String, Option[String], Option[String])],
       ftsDirty: Set[String], dmlCount: Map[String, Int])
 
@@ -92,6 +93,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         mutable.LinkedHashMap(),
       stagedFts: mutable.LinkedHashMap[String, Option[FtsIndexDef]] =
         mutable.LinkedHashMap(),
+      stagedTriggers: mutable.LinkedHashMap[String, Option[TriggerDef]] =
+        mutable.LinkedHashMap(),
       ftsPending: mutable.ArrayBuffer[(String, Option[String], Option[String])] =
         mutable.ArrayBuffer(),
       ftsDirty: mutable.Set[String] = mutable.Set(),
@@ -119,7 +122,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
     def snapshot(): TxnSnapshot = TxnSnapshot(staged.toMap, baseTs.toMap,
       droppedTables.toSet, stagedViews.toVector, stagedIndexes.toVector,
-      stagedFts.toVector, ftsPending.toVector, ftsDirty.toSet, dmlCount.toMap)
+      stagedFts.toVector, stagedTriggers.toVector, ftsPending.toVector,
+      ftsDirty.toSet, dmlCount.toMap)
 
     def restore(s: TxnSnapshot): Unit = {
       staged.clear(); staged ++= s.staged
@@ -128,6 +132,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       stagedViews.clear(); stagedViews ++= s.stagedViews
       stagedIndexes.clear(); stagedIndexes ++= s.stagedIndexes
       stagedFts.clear(); stagedFts ++= s.stagedFts
+      stagedTriggers.clear(); stagedTriggers ++= s.stagedTriggers
       ftsPending.clear(); ftsPending ++= s.ftsPending
       ftsDirty.clear(); ftsDirty ++= s.ftsDirty
       dmlCount.clear(); dmlCount ++= s.dmlCount
@@ -139,7 +144,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
     /** Has this transaction staged any DDL? (drives commit-time work) */
     def hasDdl: Boolean = droppedTables.nonEmpty || stagedViews.nonEmpty ||
-      stagedIndexes.nonEmpty || stagedFts.nonEmpty
+      stagedIndexes.nonEmpty || stagedFts.nonEmpty || stagedTriggers.nonEmpty
   }
 
   /** Background reaper (the reference's context deadline, which fires even
@@ -347,6 +352,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         txn.stagedViews.foreach {
           case (n, None) => catalog.dropView(db, branch, n)
           case (n, Some(sql)) => catalog.putView(db, branch, n, sql)
+        }
+        txn.stagedTriggers.foreach {
+          case (n, None) => catalog.dropTrigger(db, branch, n)
+          case (n, Some(d)) => catalog.putTrigger(db, branch, n, d)
         }
         txn.stagedFts.foreach { case (n, Some(d)) =>
           catalog.putFtsIndex(db, branch, n, d)
@@ -1095,7 +1104,19 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             s"CREATE ${uq}INDEX $n ON ${d.table} (${d.cols.mkString(", ")})$part")
       }
     }
-    tables ++ views ++ fts ++ idx
+    val trgSeen = mutable.Set[String]()
+    val trg = tableNames.flatMap { t =>
+      effTriggersForTable(db, branch, t, txn).collect {
+        case (n, d) if trgSeen.add(n) =>
+          val of = if (d.updateCols.nonEmpty)
+            s" OF ${d.updateCols.mkString(", ")}" else ""
+          val whenPart = d.when.map(w => s" WHEN $w").getOrElse("")
+          Row("trigger", n, d.table, 0L,
+            s"CREATE TRIGGER $n ${d.timing} ${d.event}$of ON ${d.table}" +
+              s"$whenPart BEGIN ${d.body.mkString("; ")}; END")
+      }
+    }
+    tables ++ views ++ fts ++ idx ++ trg
   }
 
   private def readVersion(v: Catalog#TableVersion): DataFrame = {
@@ -1200,6 +1221,244 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     }
     sb.append(stmt0.substring(last))
     sb.toString
+  }
+
+  // --- triggers (SURVEY §2A row 32's declared scope cut, now closed) -------
+  //
+  // SQLite fires FOR EACH ROW triggers once per affected row through its
+  // b-tree cursor (lang_createtrigger.html; the reference authorizes the
+  // verbs at pkg/auth/access_key_statements.go:262-345 and passes the SQL
+  // to SQLite). A per-row loop cannot scale on a distributed engine, so
+  // the semantics are re-expressed SET-WISE: one DML statement produces
+  // one affected-row DELTA (a DataFrame carrying each row's __old_*/
+  // __new_* values), the WHEN clause becomes a filter on the delta, and
+  // each body statement executes ONCE as a distributed plan joined
+  // against the delta — NEW.c / OLD.c resolve per delta row through the
+  // join, exactly the values SQLite's row loop would see. Deltas:
+  //   INSERT -> __new_*;  UPDATE -> __old_* + __new_* correlated per
+  //   row;  DELETE -> __old_*.
+  // Guarantees, and the documented deltas vs SQLite:
+  //   - statement atomicity: a failing body (incl. RAISE(ABORT)) rolls
+  //     back the triggering statement AND every body effect — outside a
+  //     user transaction the statement runs in an internal one; inside
+  //     one, an implicit savepoint restores the overlay
+  //   - BEFORE bodies run before the statement's version lands (their
+  //     reads of the target table see the pre-statement state), AFTER
+  //     bodies after; a BEFORE body writing the trigger's OWN table is
+  //     overwritten by the statement (which snapshotted first) — AFTER
+  //     bodies compose correctly
+  //   - body statements with no NEW/OLD reference execute once per
+  //     STATEMENT, not once per affected row (set semantics); RAISE
+  //     (IGNORE)'s per-row skip has no set-wise form and is rejected
+  //   - trigger chains fire; a trigger never re-fires itself (SQLite's
+  //     default recursive_triggers=OFF); depth capped at 32
+
+  /** Trigger names currently firing on this thread (self-refire guard +
+    * depth cap); thread-confined because writes serialize per-branch. */
+  private val firingTriggers = new ThreadLocal[List[String]] {
+    override def initialValue(): List[String] = Nil
+  }
+  private val trigViewCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  private val newRefRe = """(?i)\bnew\s*\.\s*("[^"]+"|\w+)""".r
+  private val oldRefRe = """(?i)\bold\s*\.\s*("[^"]+"|\w+)""".r
+
+  /** NEW.c / OLD.c -> <view>.`__new_c` / <view>.`__old_c`, literal-masked
+    * (mask positions equal source positions, like the other rewrites). */
+  private def rewriteRowRefs(stmt: String, view: String): String = {
+    def one(s: String, re: scala.util.matching.Regex, pfx: String): String = {
+      val mask = Sql.maskLiterals(s)
+      val sb = new StringBuilder
+      var last = 0
+      for (m <- re.findAllMatchIn(mask)) {
+        sb.append(s.substring(last, m.start))
+        sb.append(s"$view.`$pfx${unquote(m.group(1))}`")
+        last = m.end
+      }
+      sb.append(s.substring(last)); sb.toString
+    }
+    one(one(stmt, newRefRe, "__new_"), oldRefRe, "__old_")
+  }
+
+  // RAISE in its two idiomatic body shapes (lang_createtrigger.html §2):
+  //   SELECT RAISE(kind, 'msg') WHERE cond;
+  //   SELECT CASE WHEN cond THEN RAISE(kind, 'msg') END;
+  private val raiseSelectRe =
+    ("""(?is)^\s*select\s+raise\s*\(\s*(abort|fail|rollback|ignore)\s*""" +
+      """(?:,\s*('(?:[^']|'')*'))?\s*\)\s*(?:where\s+(.+?))?\s*;?\s*$""").r
+  private val caseRaiseRe =
+    ("""(?is)^\s*select\s+case\s+when\s+(.+?)\s+then\s+raise\s*\(\s*""" +
+      """(abort|fail|rollback|ignore)\s*(?:,\s*('(?:[^']|'')*'))?\s*\)\s*""" +
+      """(?:else\s+null\s+)?end\s*;?\s*$""").r
+
+  /** Per-statement firing context created by withTriggers. DML handlers
+    * call before()/after() with the affected-row deltas they computed;
+    * firing filters to the due (timing, event) triggers. */
+  private final class TriggerHooks(db: String, branch: String,
+      trigs: Seq[(String, TriggerDef)], txn: Txn) {
+    def before(event: String, delta: => DataFrame): Unit =
+      fire("BEFORE", event, delta)
+    def after(event: String, delta: => DataFrame): Unit =
+      fire("AFTER", event, delta)
+    private def fire(timing: String, event: String,
+        delta0: => DataFrame): Unit = {
+      val due = trigs.filter { case (_, d) =>
+        d.timing == timing && d.event == event }
+      if (due.isEmpty) return
+      val delta = delta0
+      due.foreach { case (n, d) => fireOne(db, branch, n, d, delta, txn) }
+    }
+  }
+
+  private def fireOne(db: String, branch: String, name: String,
+      d: TriggerDef, delta: DataFrame, txn: Txn): Unit = {
+    val raw = s"__trig_r${trigViewCounter.incrementAndGet()}"
+    delta.createOrReplaceTempView(raw)
+    val filtered = d.when match {
+      case Some(w) => sess.sql(s"SELECT * FROM $raw WHERE (${rewriteRowRefs(w, raw)})")
+      case None => sess.table(raw)
+    }
+    if (filtered.take(1).isEmpty) return // zero affected rows: no firing
+    val view = s"__trig_d${trigViewCounter.incrementAndGet()}"
+    filtered.createOrReplaceTempView(view)
+    firingTriggers.set(name :: firingTriggers.get())
+    try d.body.foreach(st => execTriggerStmt(db, branch, st, view, txn))
+    finally firingTriggers.set(firingTriggers.get().filterNot(_ == name))
+  }
+
+  private def execTriggerStmt(db: String, branch: String, stmt0: String,
+      view: String, txn: Txn): Unit = {
+    val (kind, msg, cond) = stmt0 match {
+      case raiseSelectRe(k, m, c) => (Some(k), Option(m), Option(c))
+      case caseRaiseRe(c, k, m) => (Some(k), Option(m), Some(c))
+      case _ => (None, None, None)
+    }
+    kind match {
+      case Some(k) =>
+        if (k.equalsIgnoreCase("ignore"))
+          throw new IllegalArgumentException(
+            "RAISE(IGNORE) is not supported: its per-row skip has no set-wise form")
+        val c = cond.map(c0 => s" WHERE (${rewriteRowRefs(c0, view)})").getOrElse("")
+        val hit = sess.sql(s"SELECT count(*) FROM $view$c").head().getLong(0)
+        // ABORT/FAIL/ROLLBACK all surface as the statement-atomic abort:
+        // withTriggers rolls back the statement and every body effect
+        if (hit > 0)
+          throw new IllegalArgumentException(
+            msg.map(s => s.substring(1, s.length - 1).replace("''", "'"))
+              .getOrElse("trigger raised " + k.toUpperCase))
+      case None => execTriggerDml(db, branch, stmt0, view, txn)
+    }
+  }
+
+  /** Execute one non-RAISE body statement set-wise against the delta
+    * view. INSERT VALUES tuples become SELECTs over the delta (one insert
+    * per delta row); INSERT SELECT / bare SELECT cross-join the delta into
+    * their FROM; UPDATE gains the delta as an UPDATE...FROM source; DELETE
+    * moves its WHERE into an EXISTS over the delta (target columns
+    * resolve through outer correlation). The rewritten statement goes back
+    * through write(), so chained triggers fire naturally. */
+  private def execTriggerDml(db: String, branch: String, stmt0: String,
+      view: String, txn: Txn): Unit = {
+    val stmt = rewriteRowRefs(stmt0.trim, view)
+    val verb = stmt.split("[\\s(]")(0).toLowerCase
+    val rewritten = verb match {
+      case "insert" => stmt match {
+        case insertValuesRe(t, _, cols, valuesPart) =>
+          val tuples = Sql.splitTopLevel(valuesPart, ',').map(_.trim).map { tp =>
+            s"SELECT ${tp.stripPrefix("(").stripSuffix(")")} FROM $view"
+          }
+          val colsPart = Option(cols).map(c => s" ($c)").getOrElse("")
+          s"INSERT INTO $t$colsPart ${tuples.mkString(" UNION ALL ")}"
+        case insertSelectRe(t, _, cols, sel) =>
+          val colsPart = Option(cols).map(c => s" ($c)").getOrElse("")
+          val spliced = Sql.splitOnTopLevelKeyword(sel, "from") match {
+            case Some((head, tail)) => s"$head FROM $view, $tail"
+            case None => s"$sel FROM $view"
+          }
+          s"INSERT INTO $t$colsPart $spliced"
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported INSERT shape in trigger body: ${other.take(60)}")
+      }
+      case "update" => stmt match {
+        case updateRe(t, setPart, _, wherePart) =>
+          val wherePart2 = Option(wherePart).map(w => s" WHERE $w").getOrElse("")
+          Sql.splitOnTopLevelKeyword(setPart, "from") match {
+            case Some((sets, fromPart)) =>
+              s"UPDATE $t SET $sets FROM $view, $fromPart$wherePart2"
+            case None => s"UPDATE $t SET $setPart FROM $view$wherePart2"
+          }
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported UPDATE shape in trigger body: ${other.take(60)}")
+      }
+      case "delete" => stmt match {
+        case deleteRe(t, _, wherePart) =>
+          val cond = Option(wherePart)
+            .map(w => s"EXISTS (SELECT 1 FROM $view WHERE ($w))")
+            .getOrElse(s"EXISTS (SELECT 1 FROM $view)")
+          s"DELETE FROM $t WHERE $cond"
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported DELETE shape in trigger body: ${other.take(60)}")
+      }
+      case "select" =>
+        // evaluated and discarded, like SQLite — errors still abort
+        val spliced = Sql.splitOnTopLevelKeyword(stmt, "from") match {
+          case Some((head, tail)) => s"$head FROM $view, $tail"
+          case None => s"$stmt FROM $view"
+        }
+        registerViews(db, branch, Some(txn))
+        sess.sql(spliced).count()
+        return
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported statement in trigger body: $other")
+    }
+    write(db, branch, QueryInput(UUID.randomUUID().toString, rewritten,
+      transactionId = txn.id))
+  }
+
+  /** Wrap one DML statement with trigger firing. Resolves the due
+    * triggers (event match, UPDATE OF column overlap, no self-refire) and
+    * guarantees statement atomicity: outside a user transaction the
+    * statement + bodies run in an INTERNAL transaction committed as one
+    * (the write-queue lock is reentrant, so the nested commit is safe);
+    * inside one, an implicit savepoint restores the overlay on failure —
+    * SQLite's statement-level ABORT semantics at batch granularity. */
+  private def withTriggers(db: String, branch: String, table: String,
+      events: Set[String], setCols: Seq[String], input: QueryInput,
+      txn: Option[Txn])(
+      run: (Option[Txn], Option[TriggerHooks]) => QueryResponse): QueryResponse = {
+    val firing = firingTriggers.get()
+    val due = effTriggersForTable(db, branch, table, txn).filter { case (n, d) =>
+      events.contains(d.event) &&
+        (d.event != "UPDATE" || d.updateCols.isEmpty || setCols.isEmpty ||
+          d.updateCols.exists(c => setCols.exists(_.equalsIgnoreCase(c)))) &&
+        !firing.contains(n)
+    }
+    if (due.isEmpty) return run(txn, None)
+    if (firing.length >= 32)
+      throw new IllegalStateException("too many levels of trigger recursion")
+    txn match {
+      case Some(x) =>
+        val snap = x.snapshot()
+        try run(txn, Some(new TriggerHooks(db, branch, due, x)))
+        catch { case e: Throwable => x.restore(snap); throw e }
+      case None =>
+        val id = beginTransaction(db, branch)
+        val x = synchronized(transactions(id))
+        try {
+          val resp = run(Some(x), Some(new TriggerHooks(db, branch, due, x)))
+          commitTransaction(id)
+          resp.copy(transactionId = input.transactionId)
+        } catch {
+          case e: Throwable =>
+            try rollbackTransaction(id)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
+    }
   }
 
   /** Generalized FTS MATCH (r2 VERDICT missing #3): the reference hands
@@ -1483,6 +1742,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     """(?is)^\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?("[^"]+"|[\w.]+)\s+on\s+("[^"]+"|\w+)\s*(\(.*)$""".r
   private val dropIndexRe =
     """(?is)^\s*drop\s+index\s+(if\s+exists\s+)?("[^"]+"|[\w.]+)\s*;?\s*$""".r
+  // CREATE TRIGGER (lang_createtrigger.html). The body capture is GREEDY
+  // and the END anchor is end-of-statement, so CASE ... END expressions
+  // inside body statements don't terminate the match early.
+  private val createTriggerRe =
+    ("""(?is)^\s*create\s+(?:temp(?:orary)?\s+)?trigger\s+(if\s+not\s+exists\s+)?""" +
+      """([\w"]+)\s+(?:(before|after|instead\s+of)\s+)?(delete|insert|update)""" +
+      """(?:\s+of\s+(.+?))?\s+on\s+([\w"]+)(?:\s+for\s+each\s+row)?""" +
+      """(?:\s+when\s+(.+?))?\s+begin\s+(.+)\s+end\s*;?\s*$""").r
+  private val dropTriggerRe =
+    """(?is)^\s*drop\s+trigger\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
   private val dropTableRe =
     """(?is)^\s*drop\s+table\s+(if\s+exists\s+)?([\w"]+)\s*;?\s*$""".r
   private val alterRenameRe =
@@ -1630,6 +1899,61 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         }
         if (!existed && ifExists == null)
           throw new IllegalArgumentException(s"no such view: $v")
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case createTriggerRe(ifNot, name, timing0, event0, ofCols, tbl, whenExpr, bodyPart) =>
+        val trg = unquote(name)
+        val table = unquote(tbl)
+        if (effTriggerDef(db, branch, trg, txn).isDefined) {
+          if (ifNot == null)
+            throw new IllegalArgumentException(s"trigger $trg already exists")
+        } else {
+          val timing = Option(timing0)
+            .map(_.trim.toUpperCase.replaceAll("\\s+", " "))
+            .getOrElse("BEFORE") // SQLite's default when unspecified
+          if (timing == "INSTEAD OF")
+            throw new IllegalArgumentException(
+              "INSTEAD OF triggers are not supported")
+          val ver = effVersion(db, branch, table, txn).getOrElse(
+            throw new IllegalArgumentException(s"no such table: $table"))
+          val event = event0.toUpperCase
+          val cols = Option(ofCols)
+            .map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim))).getOrElse(Nil)
+          if (cols.nonEmpty && event != "UPDATE")
+            throw new IllegalArgumentException(
+              "cannot use OF on " + event + " triggers")
+          val schema = StructType.fromDDL(ver.schemaDdl)
+          cols.foreach { c =>
+            if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+              throw new IllegalArgumentException(s"no such column: $c")
+          }
+          val body = Sql.splitTopLevel(bodyPart, ';').map(_.trim).filter(_.nonEmpty)
+          if (body.isEmpty)
+            throw new IllegalArgumentException("empty trigger body")
+          body.foreach { st =>
+            val verb = st.split("[\\s(]")(0).toLowerCase
+            if (!Set("insert", "update", "delete", "select").contains(verb))
+              throw new IllegalArgumentException(
+                s"unsupported statement in trigger body: $verb")
+          }
+          val d = TriggerDef(table, timing, event, cols,
+            Option(whenExpr).map(_.trim), body)
+          txn match {
+            case Some(x) => x.stagedTriggers(trg) = Some(d)
+            case None => catalog.putTrigger(db, branch, trg, d)
+          }
+        }
+        QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
+      case dropTriggerRe(ifExists, name) =>
+        val trg = unquote(name)
+        val existed = txn match {
+          case Some(x) =>
+            val e = effTriggerDef(db, branch, trg, txn).isDefined
+            if (e) x.stagedTriggers(trg) = None
+            e
+          case None => catalog.dropTrigger(db, branch, trg)
+        }
+        if (!existed && ifExists == null)
+          throw new IllegalArgumentException(s"no such trigger: $trg")
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case createIndexRe(uniq, ifNotExists, idxName, tbl, rest) =>
         // no b-tree: the index RECORDS a clustering order — the next
@@ -1816,21 +2140,49 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         alterAddColumn(db, branch, unquote(name), unquote(colName), colType, txn)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case insertValuesRe(name, _, cols, valuesPart) =>
-        insertValues(db, branch, unquote(name), Option(cols), valuesPart, input, txn, ret, conflict2)
+        // an upsert can update matched rows, so UPDATE triggers are due too
+        val evs: Set[String] =
+          if (conflict2.exists(_.set.isDefined)) Set("INSERT", "UPDATE")
+          else Set("INSERT")
+        withTriggers(db, branch, unquote(name), evs, Nil, input, txn) { (t2, hooks) =>
+          insertValues(db, branch, unquote(name), Option(cols), valuesPart,
+            input, t2, ret, conflict2, hooks)
+        }
       case insertSelectRe(name, _, cols, sel) =>
-        insertSelect(db, branch, unquote(name), Option(cols), sel, input, txn, ret, conflict2)
+        val evs: Set[String] =
+          if (conflict2.exists(_.set.isDefined)) Set("INSERT", "UPDATE")
+          else Set("INSERT")
+        withTriggers(db, branch, unquote(name), evs, Nil, input, txn) { (t2, hooks) =>
+          insertSelect(db, branch, unquote(name), Option(cols), sel,
+            input, t2, ret, conflict2, hooks)
+        }
       case updateRe(name, setPart, _, wherePart) =>
         // SQLite 3.33 UPDATE...FROM: a top-level FROM inside the SET
         // capture (never inside parens/strings) marks the join form
         Sql.splitOnTopLevelKeyword(setPart, "from") match {
           case Some((sets, fromPart)) =>
-            updateFrom(db, branch, unquote(name), sets, fromPart,
-              Option(wherePart), input, txn, ret)
+            val setCols = Sql.splitTopLevel(sets, ',')
+              .map(a => unquote(a.split("=", 2)(0).trim))
+            withTriggers(db, branch, unquote(name), Set("UPDATE"), setCols,
+                input, txn) { (t2, hooks) =>
+              updateFrom(db, branch, unquote(name), sets, fromPart,
+                Option(wherePart), input, t2, ret, hooks)
+            }
           case None =>
-            updateTable(db, branch, unquote(name), setPart, Option(wherePart), input, txn, ret)
+            val setCols = Sql.splitTopLevel(setPart, ',')
+              .map(a => unquote(a.split("=", 2)(0).trim))
+            withTriggers(db, branch, unquote(name), Set("UPDATE"), setCols,
+                input, txn) { (t2, hooks) =>
+              updateTable(db, branch, unquote(name), setPart,
+                Option(wherePart), input, t2, ret, hooks)
+            }
         }
       case deleteRe(name, _, wherePart) =>
-        deleteFrom(db, branch, unquote(name), Option(wherePart), input, txn, ret)
+        withTriggers(db, branch, unquote(name), Set("DELETE"), Nil,
+            input, txn) { (t2, hooks) =>
+          deleteFrom(db, branch, unquote(name), Option(wherePart),
+            input, t2, ret, hooks)
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported write statement: ${other.take(60)}")
     }
@@ -1980,6 +2332,24 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       }
   }
 
+  private def effTriggerDef(db: String, branch: String, name: String,
+      txn: Option[Txn]): Option[TriggerDef] =
+    txn.flatMap(_.stagedTriggers.get(name))
+      .getOrElse(catalog.triggerDef(db, branch, name))
+
+  /** Triggers on a table, creation-ordered, with the txn's staged trigger
+    * DDL overlaid (committed first, then the txn's new creations). */
+  private def effTriggersForTable(db: String, branch: String, table: String,
+      txn: Option[Txn]): Seq[(String, TriggerDef)] = txn match {
+    case None => catalog.triggers(db, branch).filter(_._2.table == table)
+    case Some(x) =>
+      catalog.triggers(db, branch).filter(_._2.table == table)
+        .filterNot { case (n, _) => x.stagedTriggers.contains(n) } ++
+        x.stagedTriggers.toSeq.collect {
+          case (n, Some(d)) if d.table == table => (n, d)
+        }
+  }
+
   private def effFtsIndex(db: String, branch: String, name: String,
       txn: Option[Txn]): Option[FtsIndexDef] =
     txn.flatMap(_.stagedFts.get(name))
@@ -2117,7 +2487,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private def insertValues(db: String, branch: String, table: String,
       cols: Option[String], valuesPart: String, input: QueryInput,
       txn: Option[Txn], ret: Option[String] = None,
-      conflict: Option[Upsert] = None): QueryResponse = {
+      conflict: Option[Upsert] = None,
+      hooks: Option[TriggerHooks] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
@@ -2127,13 +2498,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val valuesDf = sess.sql(
       s"SELECT * FROM ($tuples) AS v(${colNames.mkString(", ")})")
     val aligned = alignToSchema(valuesDf, colNames, schema, cur.defaults)
-    appendRows(db, branch, table, cur, aligned, input, txn, ret, conflict)
+    appendRows(db, branch, table, cur, aligned, input, txn, ret, conflict, hooks)
   }
 
   private def insertSelect(db: String, branch: String, table: String,
       cols: Option[String], sel: String, input: QueryInput,
       txn: Option[Txn], ret: Option[String] = None,
-      conflict: Option[Upsert] = None): QueryResponse = {
+      conflict: Option[Upsert] = None,
+      hooks: Option[TriggerHooks] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     registerViews(db, branch, txn)
@@ -2142,7 +2514,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       .getOrElse(schema.fieldNames.toSeq)
     appendRows(db, branch, table, cur,
       alignToSchema(df.toDF(colNames: _*), colNames, schema, cur.defaults),
-      input, txn, ret, conflict)
+      input, txn, ret, conflict, hooks)
   }
 
   /** Fill unmentioned columns with their declared DEFAULT (else null) and
@@ -2163,9 +2535,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private def appendRows(db: String, branch: String, table: String,
       cur: Catalog#TableVersion, rows: DataFrame, input: QueryInput,
       txn: Option[Txn], ret: Option[String] = None,
-      conflict: Option[Upsert] = None): QueryResponse = {
+      conflict: Option[Upsert] = None,
+      hooks: Option[TriggerHooks] = None): QueryResponse = {
     conflict.foreach { up =>
-      return doUpsert(db, branch, table, cur, rows, up, input, txn, ret)
+      return doUpsert(db, branch, table, cur, rows, up, input, txn, ret, hooks)
     }
     // bare FTS vtable backing tables auto-assign rowids (fts5's implicit
     // rowid): fill nulls from the maxRowId counter, per-partition (no
@@ -2184,6 +2557,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     toWrite.write.parquet(dir.toString)
     val written = sess.read.schema(toWrite.schema).parquet(dir.toString)
     val n = written.count()
+    // trigger delta: the rows that landed, as __new_* (plan bound NOW so
+    // later temp-view churn by body statements can't re-resolve it)
+    val newDelta = hooks.map(_ => written.select(
+      written.columns.toSeq.map(c => col(c).as(s"__new_$c")): _*))
+    hooks.foreach(_.before("INSERT", newDelta.get))
     val v = cur.copy(ts = ts, paths = cur.paths :+ dir.toString,
       rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n,
       clusteredBy = Nil).asInstanceOf[catalog.TableVersion]
@@ -2198,6 +2576,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // RETURNING reads the just-written file, not the input plan (cheap,
     // and exactly the rows that landed)
     val (rcols, rrows) = returningRows(written, ret)
+    hooks.foreach(_.after("INSERT", newDelta.get))
     QueryResponse(input.id, rcols, rrows, changes = n,
       lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
   }
@@ -2229,7 +2608,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * updated + inserted rows, like SQLite's changes() after an upsert. */
   private def doUpsert(db: String, branch: String, table: String,
       cur: Catalog#TableVersion, aligned: DataFrame, up: Upsert,
-      input: QueryInput, txn: Option[Txn], ret: Option[String]): QueryResponse = {
+      input: QueryInput, txn: Option[Txn], ret: Option[String],
+      hooks: Option[TriggerHooks] = None): QueryResponse = {
     val schema = StructType.fromDDL(cur.schemaDdl)
     up.cols.foreach { c =>
       if (!schema.fieldNames.contains(c))
@@ -2266,6 +2646,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         toInsert.write.parquet(dir.toString)
         val written = sess.read.schema(toInsert.schema).parquet(dir.toString)
         val n = written.count() // from the written files — single-pass
+        val insDelta = hooks.map(_ => written.select(
+          written.columns.toSeq.map(c => col(c).as(s"__new_$c")): _*))
+        hooks.foreach(_.before("INSERT", insDelta.get))
         txn.foreach(_.newDirs += dir.toString)
         commitOrStage(db, branch, table,
           cur.copy(ts = ts, paths = cur.paths :+ dir.toString,
@@ -2274,6 +2657,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         if (txn.isEmpty) ftsOnAppend(db, branch, table, written)
         else if (n > 0) recordFtsPendingAppend(db, branch, table, txn.get, dir.toString)
         val (rcols, rrows) = returningRows(written, ret)
+        hooks.foreach(_.after("INSERT", insDelta.get))
         QueryResponse(input.id, rcols, rrows, changes = n,
           lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
       case Some(setPart) => // DO UPDATE SET ... [WHERE ...]
@@ -2302,6 +2686,25 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         val ts = catalog.nextVersionTs()
         val dir = catalog.newVersionDir(db, branch, table, ts)
         rewritten.unionByName(toInsert).write.parquet(dir.toString)
+        // trigger deltas, bound before any body runs: updated rows carry
+        // correlated __old_*/__new_* from ONE join; inserted rows __new_*
+        val updDeltaCols =
+          (schema.fieldNames.map(f => s"t.`$f` AS `__old_$f`") ++
+            schema.fieldNames.map { f =>
+              sets.get(f) match {
+                case Some(e) =>
+                  s"CAST(($e) AS ${schema(f).dataType.sql}) AS `__new_$f`"
+                case None => s"t.`$f` AS `__new_$f`"
+              }
+            }).mkString(", ")
+        val updDelta = hooks.map(_ => sess.sql(
+          s"""SELECT $updDeltaCols FROM __graft_target t
+             |JOIN __graft_excluded e ON $joinCond WHERE ($whereCond)""".stripMargin))
+        val insDelta = hooks.map(_ => toInsert.select(
+          toInsert.columns.toSeq.map(c => col(c).as(s"__new_$c")): _*))
+        hooks.foreach { h =>
+          h.before("INSERT", insDelta.get); h.before("UPDATE", updDelta.get)
+        }
         txn.foreach(_.newDirs += dir.toString)
         commitOrStage(db, branch, table,
           cur.copy(ts = ts, paths = Seq(dir.toString),
@@ -2333,6 +2736,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
              |JOIN __graft_excluded e ON $joinCond WHERE ($whereCond)""".stripMargin)
           .unionByName(toInsert), ret)
+        hooks.foreach { h =>
+          h.after("INSERT", insDelta.get); h.after("UPDATE", updDelta.get)
+        }
         QueryResponse(input.id, rcols, rrows, changes = updCount + insCount,
           lastInsertRowId = cur.maxRowId + insCount,
           transactionId = input.transactionId)
@@ -2341,7 +2747,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   private def updateTable(db: String, branch: String, table: String,
       setPart: String, wherePart: Option[String], input: QueryInput,
-      txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
+      txn: Option[Txn], ret: Option[String] = None,
+      hooks: Option[TriggerHooks] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     registerViews(db, branch, txn) // WHERE may contain subqueries on other tables
@@ -2364,6 +2771,20 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
+    // trigger delta: each touched row's old and new values from ONE scan
+    // of the pre-statement state, bound before any body runs
+    val updDeltaCols =
+      (schema.fieldNames.map(f => s"`$f` AS `__old_$f`") ++
+        schema.fieldNames.map { f =>
+          sets.get(f) match {
+            case Some(e) =>
+              s"CAST(($e) AS ${schema(f).dataType.sql}) AS `__new_$f`"
+            case None => s"`$f` AS `__new_$f`"
+          }
+        }).mkString(", ")
+    val updDelta = hooks.map(_ => sess.sql(
+      s"SELECT $updDeltaCols FROM __graft_target WHERE ($cond)"))
+    hooks.foreach(_.before("UPDATE", updDelta.get))
     txn.foreach(_.newDirs += dir.toString)
     commitOrStage(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString), clusteredBy = Nil)
@@ -2383,6 +2804,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // RETURNING sees the post-update values of the matched rows
     val (rcols, rrows) = returningRows(sess.sql(
       s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)"), ret)
+    hooks.foreach(_.after("UPDATE", updDelta.get))
     QueryResponse(input.id, rcols, rrows, changes = changes,
       transactionId = input.transactionId)
   }
@@ -2395,7 +2817,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * the new values back. */
   private def updateFrom(db: String, branch: String, table: String,
       setPart: String, fromPart: String, wherePart: Option[String],
-      input: QueryInput, txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
+      input: QueryInput, txn: Option[Txn], ret: Option[String] = None,
+      hooks: Option[TriggerHooks] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     registerViews(db, branch, txn)
@@ -2430,6 +2853,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
+    // trigger delta: matched rows' old values + their one chosen match's
+    // new values, correlated through the __rid join
+    val updDeltaCols =
+      (schema.fieldNames.map(f => s"t.`$f` AS `__old_$f`") ++
+        schema.fieldNames.map { f =>
+          if (sets.exists(_._1 == f)) s"m.`__set_$f` AS `__new_$f`"
+          else s"t.`$f` AS `__new_$f`"
+        }).mkString(", ")
+    val updDelta = hooks.map(_ => sess.sql(
+      s"""SELECT $updDeltaCols FROM __graft_target t
+         |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin))
+    hooks.foreach(_.before("UPDATE", updDelta.get))
     txn.foreach(_.newDirs += dir.toString)
     commitOrStage(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString), clusteredBy = Nil)
@@ -2453,13 +2888,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val (rcols, rrows) = returningRows(sess.sql(
       s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
          |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin), ret)
+    hooks.foreach(_.after("UPDATE", updDelta.get))
     QueryResponse(input.id, rcols, rrows, changes = changes,
       transactionId = input.transactionId)
   }
 
   private def deleteFrom(db: String, branch: String, table: String,
       wherePart: Option[String], input: QueryInput,
-      txn: Option[Txn], ret: Option[String] = None): QueryResponse = {
+      txn: Option[Txn], ret: Option[String] = None,
+      hooks: Option[TriggerHooks] = None): QueryResponse = {
     val cur = currentOrStaged(db, branch, table, txn)
     registerViews(db, branch, txn) // WHERE may contain subqueries on other tables
     readVersion(cur).createOrReplaceTempView("__graft_target")
@@ -2471,6 +2908,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     remaining.write.parquet(dir.toString)
+    // trigger delta: the doomed rows' old values, bound pre-commit
+    val delCols = StructType.fromDDL(cur.schemaDdl).fieldNames
+      .map(f => s"`$f` AS `__old_$f`").mkString(", ")
+    val delDelta = hooks.map(_ => sess.sql(
+      s"SELECT $delCols FROM __graft_target WHERE COALESCE(($cond), FALSE)"))
+    hooks.foreach(_.before("DELETE", delDelta.get))
     txn.foreach(_.newDirs += dir.toString)
     commitOrStage(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString),
@@ -2490,6 +2933,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // RETURNING sees the deleted rows' (old) values
     val (rcols, rrows) = returningRows(sess.sql(
       s"SELECT * FROM __graft_target WHERE COALESCE(($cond), FALSE)"), ret)
+    hooks.foreach(_.after("DELETE", delDelta.get))
     QueryResponse(input.id, rcols, rrows, changes = changes,
       transactionId = input.transactionId)
   }

@@ -448,6 +448,44 @@ class AuthSpec extends AnyFunSuite {
     assert(cmIds == cmIds.sorted)
   }
 
+  test("CREATE/DROP TRIGGER demand the trigger privileges, not create_table") {
+    assert(admin.id == "admin-key") // force the lazy admin key
+    assert(Authorizer.requiredPrivilege(
+      "CREATE TRIGGER tr AFTER INSERT ON t BEGIN SELECT 1; END")
+      .contains("database:create_trigger"))
+    assert(Authorizer.requiredPrivilege("DROP TRIGGER tr")
+      .contains("database:drop_trigger"))
+    val mkdb = signed("POST", "/v1/databases", """{"name":"trgdb"}""",
+      "admin-key", "admin-secret")
+    assert(mkdb.statusCode() == 201, mkdb.body())
+    val mkt = signed("POST", "/v1/databases/trgdb/main/query",
+      """{"queries":[{"id":"c","statement":"CREATE TABLE tt (id INTEGER)"}]}""",
+      "admin-key", "admin-secret")
+    assert(mkt.statusCode() == 200, mkt.body())
+    // table DDL rights alone do not grant trigger DDL (reference keeps
+    // separate DatabasePrivilegeCreateTrigger/DropTrigger privileges)
+    session.accessKeys.put(AccessKey("ddler", secret = "ddl-secret",
+      statements = Seq(AccessKeyStatement("allow", "*",
+        Seq("database:query", "database:select", "database:read",
+          "database:create_table", "database:insert")))))
+    val denied = signed("POST", "/v1/databases/trgdb/main/query",
+      """{"queries":[{"id":"t","statement":
+        |"CREATE TRIGGER trx AFTER INSERT ON tt BEGIN SELECT 1; END"}]}""".stripMargin,
+      "ddler", "ddl-secret")
+    assert(mapper.readTree(denied.body()).path("data").get(0)
+      .path("error").asText().contains("database:create_trigger"), denied.body())
+    // with the privilege granted, the same statement lands
+    session.accessKeys.put(AccessKey("trigmaker", secret = "tm-secret",
+      statements = Seq(AccessKeyStatement("allow", "*",
+        Seq("database:query", "database:select", "database:read",
+          "database:create_trigger")))))
+    val ok = signed("POST", "/v1/databases/trgdb/main/query",
+      """{"queries":[{"id":"t","statement":
+        |"CREATE TRIGGER trx AFTER INSERT ON tt BEGIN SELECT 1; END"}]}""".stripMargin,
+      "trigmaker", "tm-secret")
+    assert(ok.statusCode() == 200, ok.body())
+  }
+
   test("keys routes demand cluster-manage scope over HTTP") {
     // data-plane keys (even database:* with all actions) cannot rotate
     session.accessKeys.put(AccessKey("dataonly", secret = "d-secret",

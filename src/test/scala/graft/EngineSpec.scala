@@ -2040,6 +2040,188 @@ class EngineSpec extends AnyFunSuite {
     assert(vr.rows.head.head == SqlValue.IntVal(2))
   }
 
+  // --- triggers (SURVEY §2A row 32, set-based) -----------------------------
+
+  test("AFTER INSERT trigger audits each inserted row with NEW values") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE acct (id INTEGER, bal INTEGER)"))
+    s.execute("db1", "main", q("CREATE TABLE audit (aid INTEGER, note TEXT)"))
+    val ct = s.execute("db1", "main",
+      q("CREATE TRIGGER tr_ins AFTER INSERT ON acct BEGIN " +
+        "INSERT INTO audit VALUES (NEW.id, 'ins:' || NEW.bal); END"))
+    assert(ct.error.isEmpty, ct.error)
+    val ins = s.execute("db1", "main",
+      q("INSERT INTO acct VALUES (1, 100), (2, 200)"))
+    assert(ins.error.isEmpty, ins.error)
+    assert(ins.changes == 2)
+    val a = s.execute("db1", "main",
+      q("SELECT aid, note FROM audit ORDER BY aid"))
+    assert(a.rows == Seq(
+      Seq(SqlValue.IntVal(1), SqlValue.TextVal("ins:100")),
+      Seq(SqlValue.IntVal(2), SqlValue.TextVal("ins:200"))))
+  }
+
+  test("WHEN clause filters which affected rows fire the body") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER, v INTEGER)"))
+    s.execute("db1", "main", q("CREATE TABLE big (id INTEGER)"))
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_big AFTER INSERT ON t WHEN NEW.v > 10 BEGIN " +
+        "INSERT INTO big VALUES (NEW.id); END"))
+    s.execute("db1", "main",
+      q("INSERT INTO t VALUES (1, 5), (2, 50), (3, 7), (4, 40)"))
+    val r = s.execute("db1", "main", q("SELECT id FROM big ORDER BY id"))
+    assert(r.rows.map(_.head) == Seq(SqlValue.IntVal(2), SqlValue.IntVal(4)))
+  }
+
+  test("UPDATE trigger sees correlated OLD and NEW per row; UPDATE OF filters") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE acct (id INTEGER, bal INTEGER, note TEXT)"))
+    s.execute("db1", "main",
+      q("CREATE TABLE hist (id INTEGER, frm INTEGER, tto INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO acct VALUES (1, 100, 'a'), (2, 200, 'b')"))
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_bal AFTER UPDATE OF bal ON acct BEGIN " +
+        "INSERT INTO hist VALUES (OLD.id, OLD.bal, NEW.bal); END"))
+    s.execute("db1", "main", q("UPDATE acct SET bal = bal + 10 WHERE id = 2"))
+    val h = s.execute("db1", "main", q("SELECT id, frm, tto FROM hist"))
+    assert(h.rows == Seq(Seq(SqlValue.IntVal(2), SqlValue.IntVal(200),
+      SqlValue.IntVal(210))))
+    // an UPDATE not touching `bal` does not fire the OF trigger
+    s.execute("db1", "main", q("UPDATE acct SET note = 'x' WHERE id = 2"))
+    val h2 = s.execute("db1", "main", q("SELECT count(*) AS c FROM hist"))
+    assert(h2.rows.head.head == SqlValue.IntVal(1))
+  }
+
+  test("DELETE trigger archives OLD rows; body DELETE correlates via EXISTS") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER, v TEXT)"))
+    s.execute("db1", "main", q("CREATE TABLE graveyard (id INTEGER, v TEXT)"))
+    s.execute("db1", "main", q("CREATE TABLE child (pid INTEGER, x INTEGER)"))
+    s.execute("db1", "main",
+      q("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')"))
+    s.execute("db1", "main",
+      q("INSERT INTO child VALUES (1, 10), (2, 20), (3, 30), (2, 21)"))
+    // archive the deleted row AND cascade-delete its children
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_del AFTER DELETE ON t BEGIN " +
+        "INSERT INTO graveyard VALUES (OLD.id, OLD.v); " +
+        "DELETE FROM child WHERE pid = OLD.id; END"))
+    val del = s.execute("db1", "main", q("DELETE FROM t WHERE id >= 2"))
+    assert(del.error.isEmpty, del.error)
+    val g = s.execute("db1", "main", q("SELECT id FROM graveyard ORDER BY id"))
+    assert(g.rows.map(_.head) == Seq(SqlValue.IntVal(2), SqlValue.IntVal(3)))
+    val c = s.execute("db1", "main", q("SELECT pid, x FROM child"))
+    assert(c.rows == Seq(Seq(SqlValue.IntVal(1), SqlValue.IntVal(10))))
+  }
+
+  test("RAISE(ABORT) rolls back the whole statement including body effects") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE acct (id INTEGER, bal INTEGER)"))
+    s.execute("db1", "main", q("CREATE TABLE audit (aid INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO acct VALUES (1, 100)"))
+    // body writes audit BEFORE the raise: the raise must undo that too
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_guard BEFORE UPDATE ON acct BEGIN " +
+        "INSERT INTO audit VALUES (NEW.id); " +
+        "SELECT RAISE(ABORT, 'negative balance') WHERE NEW.bal < 0; END"))
+    val ok = s.execute("db1", "main", q("UPDATE acct SET bal = 50 WHERE id = 1"))
+    assert(ok.error.isEmpty, ok.error)
+    val bad = s.execute("db1", "main", q("UPDATE acct SET bal = -1 WHERE id = 1"))
+    assert(bad.error.contains("negative balance"), bad.error)
+    val r = s.execute("db1", "main", q("SELECT bal FROM acct"))
+    assert(r.rows.head.head == SqlValue.IntVal(50)) // rejected update undone
+    val a = s.execute("db1", "main", q("SELECT count(*) AS c FROM audit"))
+    assert(a.rows.head.head == SqlValue.IntVal(1)) // only the ok statement's
+    // the CASE WHEN ... THEN RAISE shape works too
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_guard2 BEFORE INSERT ON acct BEGIN " +
+        "SELECT CASE WHEN NEW.id <= 0 THEN RAISE(ABORT, 'bad id') END; END"))
+    val bad2 = s.execute("db1", "main", q("INSERT INTO acct VALUES (0, 1)"))
+    assert(bad2.error.contains("bad id"), bad2.error)
+    assert(s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM acct")).rows.head.head == SqlValue.IntVal(1))
+  }
+
+  test("trigger chains fire; a trigger never re-fires itself") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE a (x INTEGER)"))
+    s.execute("db1", "main", q("CREATE TABLE b (x INTEGER)"))
+    s.execute("db1", "main", q("CREATE TABLE c (x INTEGER)"))
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_a AFTER INSERT ON a BEGIN " +
+        "INSERT INTO b VALUES (NEW.x * 10); END"))
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_b AFTER INSERT ON b BEGIN " +
+        "INSERT INTO c VALUES (NEW.x * 10); END"))
+    // self-referencing trigger: fires once, does not recurse
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_c AFTER INSERT ON c BEGIN " +
+        "INSERT INTO c VALUES (NEW.x + 1); END"))
+    val ins = s.execute("db1", "main", q("INSERT INTO a VALUES (1)"))
+    assert(ins.error.isEmpty, ins.error)
+    assert(s.execute("db1", "main",
+      q("SELECT x FROM b")).rows.head.head == SqlValue.IntVal(10))
+    val cs = s.execute("db1", "main", q("SELECT x FROM c ORDER BY x"))
+    assert(cs.rows.map(_.head) == Seq(SqlValue.IntVal(100), SqlValue.IntVal(101)))
+  }
+
+  test("triggers stage in transactions, persist across restart, list in sqlite_master") {
+    val dir = Files.createTempDirectory("graft-engine")
+    val s = new GraftSession(spark, dir)
+    s.createDatabase("db1")
+    s.execute("db1", "main", q("CREATE TABLE t (id INTEGER)"))
+    s.execute("db1", "main", q("CREATE TABLE log (id INTEGER)"))
+    // staged: visible to the txn, fires for the txn's DML, gone on rollback
+    val txn = s.execute("db1", "main", q("BEGIN")).transactionId
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_t AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log VALUES (NEW.id); END", txn = txn))
+    s.execute("db1", "main", q("INSERT INTO t VALUES (7)", txn = txn))
+    val inTxn = s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM log", txn = txn))
+    assert(inTxn.rows.head.head == SqlValue.IntVal(1))
+    s.execute("db1", "main", q("ROLLBACK", txn = txn))
+    assert(s.catalog.triggerDef("db1", "main", "tr_t").isEmpty)
+    assert(s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM log")).rows.head.head == SqlValue.IntVal(0))
+    // committed: fires, lists, survives restart, drops
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_t AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log VALUES (NEW.id); END"))
+    val m = s.execute("db1", "main",
+      q("SELECT type, name, tbl_name FROM sqlite_master WHERE type = 'trigger'"))
+    assert(m.rows == Seq(Seq(SqlValue.TextVal("trigger"),
+      SqlValue.TextVal("tr_t"), SqlValue.TextVal("t"))))
+    val s2 = new GraftSession(spark, dir)
+    s2.execute("db1", "main", q("INSERT INTO t VALUES (9)"))
+    assert(s2.execute("db1", "main",
+      q("SELECT id FROM log")).rows.head.head == SqlValue.IntVal(9))
+    s2.execute("db1", "main", q("DROP TRIGGER tr_t"))
+    assert(s2.catalog.triggerDef("db1", "main", "tr_t").isEmpty)
+    val gone = s2.execute("db1", "main", q("DROP TRIGGER tr_t"))
+    assert(gone.error.contains("no such trigger"))
+  }
+
+  test("body UPDATE joins the delta: per-row counter maintenance") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE orders (cust INTEGER, amt INTEGER)"))
+    s.execute("db1", "main",
+      q("CREATE TABLE totals (cust INTEGER, total INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO totals VALUES (1, 0), (2, 0)"))
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tr_sum AFTER INSERT ON orders BEGIN " +
+        "UPDATE totals SET total = total + NEW.amt WHERE cust = NEW.cust; END"))
+    s.execute("db1", "main", q("INSERT INTO orders VALUES (1, 5)"))
+    s.execute("db1", "main", q("INSERT INTO orders VALUES (2, 7)"))
+    s.execute("db1", "main", q("INSERT INTO orders VALUES (1, 3)"))
+    val r = s.execute("db1", "main",
+      q("SELECT cust, total FROM totals ORDER BY cust"))
+    assert(r.rows == Seq(
+      Seq(SqlValue.IntVal(1), SqlValue.IntVal(8)),
+      Seq(SqlValue.IntVal(2), SqlValue.IntVal(7))))
+  }
+
   test("ANALYZE writes sqlite_stat1 rows: plain row count and index prefix stats") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE plain (id INTEGER)"))
