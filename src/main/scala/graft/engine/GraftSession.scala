@@ -1105,7 +1105,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       }
     }
     val trgSeen = mutable.Set[String]()
-    val trg = tableNames.flatMap { t =>
+    // triggers hang off tables AND views (INSTEAD OF)
+    val trg = (tableNames ++ views.map(_.getString(1))).flatMap { t =>
       effTriggersForTable(db, branch, t, txn).collect {
         case (n, d) if trgSeen.add(n) =>
           val of = if (d.updateCols.nonEmpty)
@@ -1459,6 +1460,69 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             throw e
         }
     }
+  }
+
+  /** INSTEAD OF triggers = updatable views (lang_createtrigger.html §1).
+    * DML that names a view never touches storage: the statement builds
+    * the delta it WOULD have produced from the view's rows and the
+    * INSTEAD OF bodies perform the real writes — same set-wise delta
+    * contract as table triggers, same statement atomicity. Returns None
+    * when the target is not a view (the caller proceeds as table DML);
+    * a view without a matching INSTEAD OF trigger raises SQLite's
+    * "cannot modify ... because it is a view". `changes` reports the
+    * delta row count (the rows the statement addressed). */
+  private def insteadOfOrNone(db: String, branch: String, table: String,
+      event: String, setCols: Seq[String], input: QueryInput,
+      txn: Option[Txn], ret: Option[String])(
+      mkDelta: () => DataFrame): Option[QueryResponse] = {
+    if (effViewDef(db, branch, table, txn).isEmpty) return None
+    val firing = firingTriggers.get()
+    val due = effTriggersForTable(db, branch, table, txn).filter { case (n, d) =>
+      d.timing == "INSTEAD OF" && d.event == event &&
+        (d.event != "UPDATE" || d.updateCols.isEmpty || setCols.isEmpty ||
+          d.updateCols.exists(c => setCols.exists(_.equalsIgnoreCase(c)))) &&
+        !firing.contains(n)
+    }
+    if (due.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot modify $table because it is a view")
+    if (firing.length >= 32)
+      throw new IllegalStateException("too many levels of trigger recursion")
+    def runBodies(x: Txn): QueryResponse = {
+      registerViews(db, branch, Some(x))
+      val delta = mkDelta()
+      val n = delta.count()
+      due.foreach { case (nm, d) => fireOne(db, branch, nm, d, delta, x) }
+      // RETURNING reads the delta under the statement's own column names
+      // (INSERT/UPDATE expose the new values, DELETE the old)
+      val (rcols, rrows) = returningRows(delta.select(
+        delta.columns.toSeq.collect {
+          case c if event != "DELETE" && c.startsWith("__new_") =>
+            col(c).as(c.stripPrefix("__new_"))
+          case c if event == "DELETE" && c.startsWith("__old_") =>
+            col(c).as(c.stripPrefix("__old_"))
+        }: _*), ret)
+      QueryResponse(input.id, rcols, rrows, changes = n,
+        transactionId = input.transactionId)
+    }
+    Some(txn match {
+      case Some(x) =>
+        val snap = x.snapshot()
+        try runBodies(x)
+        catch { case e: Throwable => x.restore(snap); throw e }
+      case None =>
+        val id = beginTransaction(db, branch)
+        val x = synchronized(transactions(id))
+        try {
+          val r = runBodies(x); commitTransaction(id)
+          r.copy(transactionId = input.transactionId)
+        } catch {
+          case e: Throwable =>
+            try rollbackTransaction(id)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
+    })
   }
 
   /** Generalized FTS MATCH (r2 VERDICT missing #3): the reference hands
@@ -1910,18 +1974,30 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           val timing = Option(timing0)
             .map(_.trim.toUpperCase.replaceAll("\\s+", " "))
             .getOrElse("BEFORE") // SQLite's default when unspecified
-          if (timing == "INSTEAD OF")
-            throw new IllegalArgumentException(
-              "INSTEAD OF triggers are not supported")
-          val ver = effVersion(db, branch, table, txn).getOrElse(
-            throw new IllegalArgumentException(s"no such table: $table"))
+          // INSTEAD OF belongs to views (updatable-view machinery),
+          // BEFORE/AFTER to tables — exactly SQLite's split
+          val isView = effViewDef(db, branch, table, txn).isDefined
+          val schema =
+            if (isView) {
+              if (timing != "INSTEAD OF")
+                throw new IllegalArgumentException(
+                  s"cannot create $timing trigger on view: $table")
+              registerViews(db, branch, txn)
+              sess.table(table).schema
+            } else {
+              if (timing == "INSTEAD OF")
+                throw new IllegalArgumentException(
+                  s"cannot create INSTEAD OF trigger on table: $table")
+              val ver = effVersion(db, branch, table, txn).getOrElse(
+                throw new IllegalArgumentException(s"no such table: $table"))
+              StructType.fromDDL(ver.schemaDdl)
+            }
           val event = event0.toUpperCase
           val cols = Option(ofCols)
             .map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim))).getOrElse(Nil)
           if (cols.nonEmpty && event != "UPDATE")
             throw new IllegalArgumentException(
               "cannot use OF on " + event + " triggers")
-          val schema = StructType.fromDDL(ver.schemaDdl)
           cols.foreach { c =>
             if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
               throw new IllegalArgumentException(s"no such column: $c")
@@ -2140,48 +2216,118 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         alterAddColumn(db, branch, unquote(name), unquote(colName), colType, txn)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case insertValuesRe(name, _, cols, valuesPart) =>
-        // an upsert can update matched rows, so UPDATE triggers are due too
-        val evs: Set[String] =
-          if (conflict2.exists(_.set.isDefined)) Set("INSERT", "UPDATE")
-          else Set("INSERT")
-        withTriggers(db, branch, unquote(name), evs, Nil, input, txn) { (t2, hooks) =>
-          insertValues(db, branch, unquote(name), Option(cols), valuesPart,
-            input, t2, ret, conflict2, hooks)
+        val t = unquote(name)
+        insteadOfOrNone(db, branch, t, "INSERT", Nil, input, txn, ret) { () =>
+          if (conflict2.isDefined)
+            throw new IllegalArgumentException(
+              "ON CONFLICT is not supported on views")
+          val schema = sess.table(t).schema
+          val colNames = Option(cols)
+            .map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
+            .getOrElse(schema.fieldNames.toSeq)
+          val valuesDf = sess.sql(
+            s"SELECT * FROM (VALUES $valuesPart) AS v(${colNames.mkString(", ")})")
+          valuesDf.select(schema.fields.map { f =>
+            if (colNames.contains(f.name))
+              col(f.name).cast(f.dataType).as(s"__new_${f.name}")
+            else lit(null).cast(f.dataType).as(s"__new_${f.name}")
+          }.toSeq: _*)
+        }.getOrElse {
+          // an upsert can update matched rows, so UPDATE triggers are due too
+          val evs: Set[String] =
+            if (conflict2.exists(_.set.isDefined)) Set("INSERT", "UPDATE")
+            else Set("INSERT")
+          withTriggers(db, branch, t, evs, Nil, input, txn) { (t2, hooks) =>
+            insertValues(db, branch, t, Option(cols), valuesPart,
+              input, t2, ret, conflict2, hooks)
+          }
         }
       case insertSelectRe(name, _, cols, sel) =>
-        val evs: Set[String] =
-          if (conflict2.exists(_.set.isDefined)) Set("INSERT", "UPDATE")
-          else Set("INSERT")
-        withTriggers(db, branch, unquote(name), evs, Nil, input, txn) { (t2, hooks) =>
-          insertSelect(db, branch, unquote(name), Option(cols), sel,
-            input, t2, ret, conflict2, hooks)
+        val t = unquote(name)
+        insteadOfOrNone(db, branch, t, "INSERT", Nil, input, txn, ret) { () =>
+          if (conflict2.isDefined)
+            throw new IllegalArgumentException(
+              "ON CONFLICT is not supported on views")
+          val schema = sess.table(t).schema
+          val colNames = Option(cols)
+            .map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
+            .getOrElse(schema.fieldNames.toSeq)
+          val df = sess.sql(sel).toDF(colNames: _*)
+          df.select(schema.fields.map { f =>
+            if (colNames.contains(f.name))
+              col(f.name).cast(f.dataType).as(s"__new_${f.name}")
+            else lit(null).cast(f.dataType).as(s"__new_${f.name}")
+          }.toSeq: _*)
+        }.getOrElse {
+          val evs: Set[String] =
+            if (conflict2.exists(_.set.isDefined)) Set("INSERT", "UPDATE")
+            else Set("INSERT")
+          withTriggers(db, branch, t, evs, Nil, input, txn) { (t2, hooks) =>
+            insertSelect(db, branch, t, Option(cols), sel,
+              input, t2, ret, conflict2, hooks)
+          }
         }
       case updateRe(name, setPart, _, wherePart) =>
         // SQLite 3.33 UPDATE...FROM: a top-level FROM inside the SET
         // capture (never inside parens/strings) marks the join form
         Sql.splitOnTopLevelKeyword(setPart, "from") match {
           case Some((sets, fromPart)) =>
+            val t = unquote(name)
+            if (effViewDef(db, branch, t, txn).isDefined)
+              throw new IllegalArgumentException(
+                "UPDATE...FROM is not supported on views")
             val setCols = Sql.splitTopLevel(sets, ',')
               .map(a => unquote(a.split("=", 2)(0).trim))
-            withTriggers(db, branch, unquote(name), Set("UPDATE"), setCols,
+            withTriggers(db, branch, t, Set("UPDATE"), setCols,
                 input, txn) { (t2, hooks) =>
-              updateFrom(db, branch, unquote(name), sets, fromPart,
+              updateFrom(db, branch, t, sets, fromPart,
                 Option(wherePart), input, t2, ret, hooks)
             }
           case None =>
+            val t = unquote(name)
             val setCols = Sql.splitTopLevel(setPart, ',')
               .map(a => unquote(a.split("=", 2)(0).trim))
-            withTriggers(db, branch, unquote(name), Set("UPDATE"), setCols,
-                input, txn) { (t2, hooks) =>
-              updateTable(db, branch, unquote(name), setPart,
-                Option(wherePart), input, t2, ret, hooks)
+            insteadOfOrNone(db, branch, t, "UPDATE", setCols, input, txn, ret) { () =>
+              val schema = sess.table(t).schema
+              val sets = Sql.splitTopLevel(setPart, ',').map { a =>
+                val Array(l, r) = a.split("=", 2)
+                unquote(l.trim) -> r.trim
+              }.toMap
+              sess.table(t).createOrReplaceTempView("__graft_vtarget")
+              val cond = Option(wherePart).getOrElse("TRUE")
+              val colsSel =
+                (schema.fieldNames.map(f => s"`$f` AS `__old_$f`") ++
+                  schema.fieldNames.map { f =>
+                    sets.get(f) match {
+                      case Some(e) =>
+                        s"CAST(($e) AS ${schema(f).dataType.sql}) AS `__new_$f`"
+                      case None => s"`$f` AS `__new_$f`"
+                    }
+                  }).mkString(", ")
+              sess.sql(s"SELECT $colsSel FROM __graft_vtarget WHERE ($cond)")
+            }.getOrElse {
+              withTriggers(db, branch, t, Set("UPDATE"), setCols,
+                  input, txn) { (t2, hooks) =>
+                updateTable(db, branch, t, setPart,
+                  Option(wherePart), input, t2, ret, hooks)
+              }
             }
         }
       case deleteRe(name, _, wherePart) =>
-        withTriggers(db, branch, unquote(name), Set("DELETE"), Nil,
-            input, txn) { (t2, hooks) =>
-          deleteFrom(db, branch, unquote(name), Option(wherePart),
-            input, t2, ret, hooks)
+        val t = unquote(name)
+        insteadOfOrNone(db, branch, t, "DELETE", Nil, input, txn, ret) { () =>
+          val schema = sess.table(t).schema
+          sess.table(t).createOrReplaceTempView("__graft_vtarget")
+          val cond = Option(wherePart).getOrElse("TRUE")
+          val colsSel = schema.fieldNames
+            .map(f => s"`$f` AS `__old_$f`").mkString(", ")
+          sess.sql(s"SELECT $colsSel FROM __graft_vtarget WHERE ($cond)")
+        }.getOrElse {
+          withTriggers(db, branch, t, Set("DELETE"), Nil,
+              input, txn) { (t2, hooks) =>
+            deleteFrom(db, branch, t, Option(wherePart),
+              input, t2, ret, hooks)
+          }
         }
       case other =>
         throw new IllegalArgumentException(s"unsupported write statement: ${other.take(60)}")

@@ -2203,6 +2203,58 @@ class EngineSpec extends AnyFunSuite {
     assert(gone.error.contains("no such trigger"))
   }
 
+  test("INSTEAD OF triggers make views updatable; plain views stay read-only") {
+    val s = newSession()
+    s.execute("db1", "main",
+      q("CREATE TABLE people (id INTEGER, first TEXT, last TEXT)"))
+    s.execute("db1", "main",
+      q("INSERT INTO people VALUES (1, 'Ada', 'Lovelace')"))
+    s.execute("db1", "main",
+      q("CREATE VIEW names AS SELECT id, first || ' ' || last AS full FROM people"))
+    // DML on a view without INSTEAD OF: SQLite's exact complaint
+    val ro = s.execute("db1", "main", q("DELETE FROM names"))
+    assert(ro.error.contains("cannot modify names because it is a view"), ro.error)
+    // INSTEAD OF INSERT splits the incoming full name back into columns
+    s.execute("db1", "main",
+      q("CREATE TRIGGER names_ins INSTEAD OF INSERT ON names BEGIN " +
+        "INSERT INTO people VALUES (NEW.id, " +
+        "substr(NEW.full, 1, instr(NEW.full, ' ') - 1), " +
+        "substr(NEW.full, instr(NEW.full, ' ') + 1)); END"))
+    val ins = s.execute("db1", "main",
+      q("INSERT INTO names VALUES (2, 'Grace Hopper')"))
+    assert(ins.error.isEmpty, ins.error)
+    assert(ins.changes == 1)
+    val p = s.execute("db1", "main",
+      q("SELECT first, last FROM people WHERE id = 2"))
+    assert(p.rows == Seq(Seq(SqlValue.TextVal("Grace"), SqlValue.TextVal("Hopper"))))
+    // INSTEAD OF DELETE routes to the base table via OLD
+    s.execute("db1", "main",
+      q("CREATE TRIGGER names_del INSTEAD OF DELETE ON names BEGIN " +
+        "DELETE FROM people WHERE id = OLD.id; END"))
+    val del = s.execute("db1", "main", q("DELETE FROM names WHERE id = 1"))
+    assert(del.error.isEmpty, del.error)
+    assert(s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM people")).rows.head.head == SqlValue.IntVal(1))
+    // INSTEAD OF UPDATE sees OLD and NEW view rows
+    s.execute("db1", "main",
+      q("CREATE TRIGGER names_upd INSTEAD OF UPDATE ON names BEGIN " +
+        "UPDATE people SET last = substr(NEW.full, instr(NEW.full, ' ') + 1) " +
+        "WHERE id = OLD.id; END"))
+    val upd = s.execute("db1", "main",
+      q("UPDATE names SET full = 'Grace Murray' WHERE id = 2"))
+    assert(upd.error.isEmpty, upd.error)
+    assert(s.execute("db1", "main",
+      q("SELECT last FROM people WHERE id = 2")).rows.head.head ==
+      SqlValue.TextVal("Murray"))
+    // timing/target validation mirrors SQLite
+    val badT = s.execute("db1", "main",
+      q("CREATE TRIGGER x AFTER INSERT ON names BEGIN SELECT 1; END"))
+    assert(badT.error.contains("cannot create AFTER trigger on view"), badT.error)
+    val badV = s.execute("db1", "main",
+      q("CREATE TRIGGER x INSTEAD OF INSERT ON people BEGIN SELECT 1; END"))
+    assert(badV.error.contains("cannot create INSTEAD OF trigger on table"), badV.error)
+  }
+
   test("body UPDATE joins the delta: per-row counter maintenance") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE orders (cust INTEGER, amt INTEGER)"))
