@@ -67,7 +67,11 @@ class Catalog(val root: Path) {
   case class TableVersion(ts: Long, paths: Seq[String], rowCount: Long,
       maxRowId: Long, schemaDdl: String, pk: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty,
-      clusteredBy: Seq[String] = Nil)
+      clusteredBy: Seq[String] = Nil,
+      // SQLite 3.37 table options: STRICT enforces declared column types
+      // on write; WITHOUT ROWID is recorded for dialect fidelity (there
+      // are no rowid b-trees here to begin with)
+      strict: Boolean = false, withoutRowid: Boolean = false)
 
   case class BranchState(tables: mutable.Map[String, mutable.ArrayBuffer[TableVersion]])
 
@@ -130,6 +134,8 @@ class Catalog(val root: Path) {
     if (v.clusteredBy.nonEmpty) {
       val ca = vn.putArray("clusteredBy"); v.clusteredBy.foreach(ca.add)
     }
+    if (v.strict) vn.put("strict", true)
+    if (v.withoutRowid) vn.put("withoutRowid", true)
   }
 
   private def readVersionNode(vn: com.fasterxml.jackson.databind.JsonNode): TableVersion =
@@ -140,7 +146,9 @@ class Catalog(val root: Path) {
       vn.path("pk").elements().asScala.map(_.asText()).toSeq,
       vn.path("defaults").properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap,
-      vn.path("clusteredBy").elements().asScala.map(_.asText()).toSeq)
+      vn.path("clusteredBy").elements().asScala.map(_.asText()).toSeq,
+      vn.path("strict").asBoolean(false),
+      vn.path("withoutRowid").asBoolean(false))
 
   /** Serialize one branch's state under the caller's (global) lock;
     * the returned thunk does the file IO without it. (`private[engine]`

@@ -39,6 +39,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // append pushes the list to this size; 0 disables
     val autoCompactThreshold: Int = 64) {
 
+  // trim collations (COLLATE RTRIM columns/expressions) are parser-gated;
+  // set on the SHARED conf too so StructType.fromDDL of a stored schema
+  // succeeds on any thread, not just ones with an engine thread-session
+  spark.conf.set("spark.sql.collation.trim.enabled", "true")
+
   val keyManager = new KeyManager(rootDir, encryptionKey)
   val catalog = new Catalog(rootDir)
   val accessKeys = new AccessKeyStore(rootDir, Some(keyManager))
@@ -287,8 +292,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   // --- SQLite type mapping (SURVEY §1.2) ---------------------------------
 
-  private def sqliteTypeToSpark(t: String): DataType =
-    t.trim.toUpperCase.split("[\\s(]")(0) match {
+  // a column declaration's COLLATE (datatype3.html §7.1) rides on the
+  // column TYPE as a Spark collated string type, so every comparison,
+  // GROUP BY and ORDER BY on the column is collation-aware with no
+  // per-query rewriting — the schema DDL round-trips it through the
+  // manifest ("name STRING COLLATE UTF8_LCASE")
+  private val columnCollateRe = """(?i)\bcollate\s+(nocase|binary|rtrim)\b""".r
+
+  private def sqliteTypeToSpark(t: String): DataType = {
+    val base = t.trim.toUpperCase.split("[\\s(]")(0) match {
       case "INT" | "INTEGER" | "BIGINT" | "SMALLINT" | "TINYINT" => LongType
       case "REAL" | "FLOAT" | "DOUBLE" | "NUMERIC" | "DECIMAL" => DoubleType
       case "TEXT" | "VARCHAR" | "CHAR" | "CLOB" | "STRING" => StringType
@@ -296,6 +308,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       case "" => StringType
       case _ => StringType
     }
+    if (base != StringType) base
+    else columnCollateRe.findFirstMatchIn(t).map(_.group(1).toUpperCase) match {
+      case Some("NOCASE") => StringType("UTF8_LCASE")
+      case Some("RTRIM") => StringType("UTF8_BINARY_RTRIM")
+      case _ => StringType
+    }
+  }
 
   // --- public API ---------------------------------------------------------
 
@@ -1076,8 +1095,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         }
         val pkTail =
           if (v.pk.length > 1) s", PRIMARY KEY (${v.pk.mkString(", ")})" else ""
+        val opts = (if (v.withoutRowid) Seq("WITHOUT ROWID") else Nil) ++
+          (if (v.strict) Seq("STRICT") else Nil)
+        val optsTail = if (opts.isEmpty) "" else opts.mkString(" ", ", ", "")
         Row("table", t, t, 0L,
-          s"CREATE TABLE $t (${cols.mkString(", ")}$pkTail)")
+          s"CREATE TABLE $t (${cols.mkString(", ")}$pkTail)$optsTail")
       }
     }
     val views = effViewsList(db, branch, txn).map { case (n, sql) =>
@@ -1791,7 +1813,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private val createVirtualRe =
     """(?is)^\s*create\s+virtual\s+table\s+(if\s+not\s+exists\s+)?([\w"]+)\s+using\s+fts5\s*\((.*)\)\s*;?\s*$""".r
   private val createTableRe =
-    """(?is)^\s*create\s+table\s+(if\s+not\s+exists\s+)?([\w"]+)\s*\((.*)\)\s*;?\s*$""".r
+    ("""(?is)^\s*create\s+table\s+(if\s+not\s+exists\s+)?([\w"]+)\s*\((.*)\)""" +
+      """\s*((?:without\s+rowid|strict)(?:\s*,\s*(?:without\s+rowid|strict))*)?\s*;?\s*$""").r
   private val ctasRe =
     """(?is)^\s*create\s+table\s+(if\s+not\s+exists\s+)?([\w"]+)\s+as\s+((?:select|with)\b.+?)\s*;?\s*$""".r
   private val createViewRe =
@@ -1907,8 +1930,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       case createVirtualRe(ifNot, name, argsPart) =>
         createFtsVtable(db, branch, unquote(name), argsPart, ifNot != null, txn)
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
-      case createTableRe(ifNot, name, colDefs) =>
-        createTable(db, branch, unquote(name), colDefs, ifNot != null, txn)
+      case createTableRe(ifNot, name, colDefs, tblOpts) =>
+        createTable(db, branch, unquote(name), colDefs, ifNot != null, txn,
+          Option(tblOpts).getOrElse(""))
         QueryResponse(input.id, Nil, Nil, transactionId = input.transactionId)
       case ctasRe(ifNot, name, sel) =>
         // CREATE TABLE ... AS SELECT (SQLite lang_createtable.html): the
@@ -2338,7 +2362,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private val tablePkRe = """(?is)^primary\s+key\s*\(([^)]*)\).*$""".r
 
   private def createTable(db: String, branch: String, name: String,
-      colDefs: String, ifNotExists: Boolean, txn: Option[Txn] = None): Unit = {
+      colDefs: String, ifNotExists: Boolean, txn: Option[Txn] = None,
+      tblOpts: String = ""): Unit = {
     if (effVersion(db, branch, name, txn).isDefined ||
         effTableNames(db, branch, txn).contains(name)) {
       if (ifNotExists) return
@@ -2371,9 +2396,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       }
     }.toMap
     val ts = catalog.nextVersionTs()
+    val optsU = tblOpts.toUpperCase
     commitOrStage(db, branch, name,
       catalog.TableVersion(ts, Nil, 0L, 0L, StructType(fields).toDDL,
-        if (tablePk.nonEmpty) tablePk else columnPk, defaults), txn)
+        if (tablePk.nonEmpty) tablePk else columnPk, defaults,
+        strict = optsU.contains("STRICT"),
+        withoutRowid = optsU.contains("WITHOUT")), txn)
   }
 
   /** Shared ALTER ... RENAME COLUMN / DROP COLUMN (SQLite 3.25/3.35):
@@ -2643,7 +2671,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val tuples = s"VALUES ${valuesPart}"
     val valuesDf = sess.sql(
       s"SELECT * FROM ($tuples) AS v(${colNames.mkString(", ")})")
-    val aligned = alignToSchema(valuesDf, colNames, schema, cur.defaults)
+    val aligned = alignToSchema(valuesDf, colNames, schema, cur.defaults, cur.strict)
     appendRows(db, branch, table, cur, aligned, input, txn, ret, conflict, hooks)
   }
 
@@ -2659,18 +2687,36 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
       .getOrElse(schema.fieldNames.toSeq)
     appendRows(db, branch, table, cur,
-      alignToSchema(df.toDF(colNames: _*), colNames, schema, cur.defaults),
+      alignToSchema(df.toDF(colNames: _*), colNames, schema, cur.defaults, cur.strict),
       input, txn, ret, conflict, hooks)
   }
 
   /** Fill unmentioned columns with their declared DEFAULT (else null) and
-    * cast to the table schema. */
+    * cast to the table schema. For a STRICT table (SQLite 3.37) a value
+    * a numeric column cannot represent fails the WRITE via a codegen'd
+    * raise_error branch — single-pass, distributed, no pre-scan. */
   private def alignToSchema(df: DataFrame, colNames: Seq[String],
-      schema: StructType, defaults: Map[String, String] = Map.empty): DataFrame = {
+      schema: StructType, defaults: Map[String, String] = Map.empty,
+      strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val named = df.toDF(colNames: _*)
     val projected = schema.fields.map { f =>
-      if (colNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (colNames.contains(f.name)) {
+        val numeric = f.dataType == LongType || f.dataType == DoubleType
+        if (strict && numeric)
+          // STRICT: a value the column cannot represent fails the write
+          expr(s"CASE WHEN `${f.name}` IS NOT NULL AND " +
+            s"TRY_CAST(`${f.name}` AS ${f.dataType.sql}) IS NULL THEN " +
+            s"CAST(raise_error('cannot store value in ${f.dataType.sql} " +
+            s"column ${f.name} (STRICT table)') AS ${f.dataType.sql}) " +
+            s"ELSE TRY_CAST(`${f.name}` AS ${f.dataType.sql}) END").as(f.name)
+        else if (numeric && df.schema(colNames.indexOf(f.name)).dataType == StringType)
+          // non-strict: SQLite's type affinity never errors — a string a
+          // numeric column can't hold degrades to NULL (TRY_CAST), it
+          // does not abort the statement under ANSI mode
+          expr(s"TRY_CAST(`${f.name}` AS ${f.dataType.sql})").as(f.name)
+        else col(f.name).cast(f.dataType).as(f.name)
+      }
       else defaults.get(f.name)
         .map(d => expr(d).cast(f.dataType).as(f.name))
         .getOrElse(lit(null).cast(f.dataType).as(f.name))
@@ -3407,12 +3453,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           throw new DeniedException(s"pragma $p is not allowed")
         p match {
           case "table_list" =>
-            val rows = effTableNames(db, branch, txn).map(t =>
+            val rows = effTableNames(db, branch, txn).map { t =>
+              val v = effVersion(db, branch, t, txn)
               Seq(SqlValue.TextVal("main"), SqlValue.TextVal(t),
                 SqlValue.TextVal("table"),
-                SqlValue.IntVal(effVersion(db, branch, t, txn)
-                  .map(v => StructType.fromDDL(v.schemaDdl).length.toLong).getOrElse(0L)),
-                SqlValue.IntVal(0), SqlValue.IntVal(0)))
+                SqlValue.IntVal(v.map(x =>
+                  StructType.fromDDL(x.schemaDdl).length.toLong).getOrElse(0L)),
+                SqlValue.IntVal(if (v.exists(_.withoutRowid)) 1 else 0),
+                SqlValue.IntVal(if (v.exists(_.strict)) 1 else 0))
+            }
             QueryResponse(input.id,
               Seq("schema", "name", "type", "ncol", "wr", "strict"), rows)
           case "table_info" =>
@@ -3442,8 +3491,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           case "integrity_check" | "quick_check" =>
             QueryResponse(input.id, Seq(p), Seq(Seq(SqlValue.TextVal("ok"))))
           case "collation_list" =>
-            // BINARY/NOCASE/RTRIM are SQLite's built-ins; we honor the
-            // first two (NOCASE via UTF8_LCASE, q32)
+            // BINARY/NOCASE/RTRIM are SQLite's built-ins; all three are
+            // honored (rewriteCollate + column-level COLLATE declarations
+            // onto Spark collations: UTF8_BINARY/UTF8_LCASE/
+            // UTF8_BINARY_RTRIM)
             QueryResponse(input.id, Seq("seq", "name"),
               Seq("BINARY", "NOCASE", "RTRIM").zipWithIndex.map { case (n, i) =>
                 Seq(SqlValue.IntVal(i.toLong), SqlValue.TextVal(n))

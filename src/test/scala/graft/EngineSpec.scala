@@ -2001,6 +2001,76 @@ class EngineSpec extends AnyFunSuite {
     assert(afterDrop.rows.head.head == SqlValue.IntVal(0))
   }
 
+  test("STRICT and WITHOUT ROWID table options: recorded, reported, enforced") {
+    val s = newSession()
+    val ct = s.execute("db1", "main",
+      q("CREATE TABLE st (id INTEGER, v REAL, t TEXT) STRICT"))
+    assert(ct.error.isEmpty, ct.error)
+    val ct2 = s.execute("db1", "main",
+      q("CREATE TABLE wr (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID"))
+    assert(ct2.error.isEmpty, ct2.error)
+    // table_list reports the flags (schema, name, type, ncol, wr, strict)
+    val tl = s.execute("db1", "main", q("PRAGMA table_list"))
+    val byName = tl.rows.map(r =>
+      r(1).asInstanceOf[SqlValue.TextVal].v -> (r(4), r(5))).toMap
+    assert(byName("st") == (SqlValue.IntVal(0), SqlValue.IntVal(1)))
+    assert(byName("wr") == (SqlValue.IntVal(1), SqlValue.IntVal(0)))
+    // sqlite_master reconstructs the options
+    val m = s.execute("db1", "main",
+      q("SELECT sql FROM sqlite_master WHERE name = 'st'"))
+    assert(m.rows.head.head.asInstanceOf[SqlValue.TextVal].v.endsWith("STRICT"))
+    // a STRICT table rejects a value its numeric column cannot represent;
+    // the statement lands nothing
+    val ok = s.execute("db1", "main",
+      q("INSERT INTO st VALUES (1, 1.5, 'a')"))
+    assert(ok.error.isEmpty, ok.error)
+    val ok2 = s.execute("db1", "main",
+      q("INSERT INTO st VALUES ('2', 2.5, 'b')")) // numeric text coerces
+    assert(ok2.error.isEmpty, ok2.error)
+    val bad = s.execute("db1", "main",
+      q("INSERT INTO st VALUES ('oops', 4.5, 'd')"))
+    assert(bad.error.contains("STRICT"), bad.error)
+    assert(s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM st")).rows.head.head == SqlValue.IntVal(2))
+    // a non-strict table keeps SQLite's forgiving NULL-on-miscast behavior
+    s.execute("db1", "main", q("CREATE TABLE loose (id INTEGER)"))
+    val loose = s.execute("db1", "main", q("INSERT INTO loose VALUES ('nah')"))
+    assert(loose.error.isEmpty, loose.error)
+  }
+
+  test("column-level COLLATE NOCASE: comparisons on the column fold case implicitly") {
+    val dir = Files.createTempDirectory("graft-engine")
+    val s = new GraftSession(spark, dir)
+    s.createDatabase("db1")
+    s.execute("db1", "main",
+      q("CREATE TABLE cc (name TEXT COLLATE NOCASE, rt TEXT COLLATE RTRIM)"))
+    s.execute("db1", "main",
+      q("INSERT INTO cc VALUES ('Apple', 'x  '), ('apple', 'x'), ('BANANA', 'y')"))
+    // equality with NO explicit COLLATE is case-insensitive on this column
+    val eq = s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM cc WHERE name = 'APPLE'"))
+    assert(eq.error.isEmpty, eq.error)
+    assert(eq.rows.head.head == SqlValue.IntVal(2))
+    // GROUP BY folds case on the collated column
+    val g = s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM cc GROUP BY name ORDER BY c DESC"))
+    assert(g.rows.map(_.head) == Seq(SqlValue.IntVal(2), SqlValue.IntVal(1)))
+    // RTRIM column: trailing spaces insignificant in comparisons
+    val rt = s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM cc WHERE rt = 'x'"))
+    assert(rt.error.isEmpty, rt.error)
+    assert(rt.rows.head.head == SqlValue.IntVal(2))
+    // the collation survives a restart (schema DDL round-trips it)
+    val s2 = new GraftSession(spark, dir)
+    val eq2 = s2.execute("db1", "main",
+      q("SELECT count(*) AS c FROM cc WHERE name = 'APPLE'"))
+    assert(eq2.error.isEmpty, eq2.error)
+    assert(eq2.rows.head.head == SqlValue.IntVal(2))
+    // table_info still reports plain TEXT, like SQLite
+    val ti = s2.execute("db1", "main", q("PRAGMA table_info(cc)"))
+    assert(ti.rows.forall(_(2) == SqlValue.TextVal("TEXT")))
+  }
+
   test("COLLATE NOCASE/BINARY/RTRIM spellings rewrite onto Spark collations") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE ct (v TEXT)"))
