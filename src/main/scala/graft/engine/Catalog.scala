@@ -71,7 +71,12 @@ class Catalog(val root: Path) {
       // SQLite 3.37 table options: STRICT enforces declared column types
       // on write; WITHOUT ROWID is recorded for dialect fidelity (there
       // are no rowid b-trees here to begin with)
-      strict: Boolean = false, withoutRowid: Boolean = false)
+      strict: Boolean = false, withoutRowid: Boolean = false,
+      // GENERATED ALWAYS AS columns: column -> expression text. Both
+      // VIRTUAL and STORED materialize at write time here (every write
+      // rewrites whole immutable files anyway, so storing the computed
+      // value is free and keeps reads plain scans)
+      generated: Map[String, String] = Map.empty)
 
   case class BranchState(tables: mutable.Map[String, mutable.ArrayBuffer[TableVersion]])
 
@@ -136,6 +141,10 @@ class Catalog(val root: Path) {
     }
     if (v.strict) vn.put("strict", true)
     if (v.withoutRowid) vn.put("withoutRowid", true)
+    if (v.generated.nonEmpty) {
+      val gn = vn.putObject("generated")
+      v.generated.foreach { case (k, e) => gn.put(k, e) }
+    }
   }
 
   private def readVersionNode(vn: com.fasterxml.jackson.databind.JsonNode): TableVersion =
@@ -148,7 +157,9 @@ class Catalog(val root: Path) {
         .map(e => e.getKey -> e.getValue.asText()).toMap,
       vn.path("clusteredBy").elements().asScala.map(_.asText()).toSeq,
       vn.path("strict").asBoolean(false),
-      vn.path("withoutRowid").asBoolean(false))
+      vn.path("withoutRowid").asBoolean(false),
+      vn.path("generated").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
 
   /** Serialize one branch's state under the caller's (global) lock;
     * the returned thunk does the file IO without it. (`private[engine]`

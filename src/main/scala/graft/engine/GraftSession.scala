@@ -1091,7 +1091,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         val cols = schema.fields.map { f =>
           val pk = if (v.pk == Seq(f.name)) " PRIMARY KEY" else ""
           val dflt = v.defaults.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
-          s"${f.name} ${sparkTypeToSqliteName(f.dataType)}$pk$dflt"
+          val gen = v.generated.get(f.name)
+            .map(e => s" GENERATED ALWAYS AS ($e)").getOrElse("")
+          s"${f.name} ${sparkTypeToSqliteName(f.dataType)}$pk$dflt$gen"
         }
         val pkTail =
           if (v.pk.length > 1) s", PRIMARY KEY (${v.pk.mkString(", ")})" else ""
@@ -2359,6 +2361,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   }
 
   private val defaultRe = """(?is).*\bdefault\s+('(?:[^']|'')*'|\([^)]*\)|\S+).*""".r
+  private val generatedColRe = """(?is)\b(?:generated\s+always\s+)?as\s*\(""".r
   private val tablePkRe = """(?is)^primary\s+key\s*\(([^)]*)\).*$""".r
 
   private def createTable(db: String, branch: String, name: String,
@@ -2395,13 +2398,25 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         case _ => None
       }
     }.toMap
+    // GENERATED ALWAYS AS (expr) [VIRTUAL|STORED] (SQLite 3.31,
+    // gencol.html): the expression is recorded and computed at WRITE time
+    // for both kinds (writes rewrite whole immutable files, so storing
+    // the value is free and keeps every read a plain scan)
+    val generated = colEntries.flatMap { c =>
+      generatedColRe.findFirstMatchIn(c).map { m =>
+        val open = m.end - 1
+        val close = Sql.matchingParen(c, open)
+        unquote(c.split("\\s+", 2)(0)) -> c.substring(open + 1, close).trim
+      }
+    }.toMap
     val ts = catalog.nextVersionTs()
     val optsU = tblOpts.toUpperCase
     commitOrStage(db, branch, name,
       catalog.TableVersion(ts, Nil, 0L, 0L, StructType(fields).toDDL,
         if (tablePk.nonEmpty) tablePk else columnPk, defaults,
         strict = optsU.contains("STRICT"),
-        withoutRowid = optsU.contains("WITHOUT")), txn)
+        withoutRowid = optsU.contains("WITHOUT"),
+        generated = generated), txn)
   }
 
   /** Shared ALTER ... RENAME COLUMN / DROP COLUMN (SQLite 3.25/3.35):
@@ -2666,12 +2681,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val cur = currentOrStaged(db, branch, table, txn)
     val schema = StructType.fromDDL(cur.schemaDdl)
     val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
-      .getOrElse(schema.fieldNames.toSeq)
+      .getOrElse(schema.fieldNames.toSeq.filterNot(cur.generated.contains))
+    colNames.find(cur.generated.contains).foreach { g =>
+      throw new IllegalArgumentException(s"cannot INSERT into generated column: $g")
+    }
     // evaluate the VALUES tuples through Spark SQL so any expression works
     val tuples = s"VALUES ${valuesPart}"
     val valuesDf = sess.sql(
       s"SELECT * FROM ($tuples) AS v(${colNames.mkString(", ")})")
-    val aligned = alignToSchema(valuesDf, colNames, schema, cur.defaults, cur.strict)
+    val aligned = alignToSchema(valuesDf, colNames, schema, cur.defaults,
+      cur.strict, cur.generated)
     appendRows(db, branch, table, cur, aligned, input, txn, ret, conflict, hooks)
   }
 
@@ -2685,9 +2704,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     registerViews(db, branch, txn)
     val df = sess.sql(sel)
     val colNames = cols.map(Sql.splitTopLevel(_, ',').map(c => unquote(c.trim)))
-      .getOrElse(schema.fieldNames.toSeq)
+      .getOrElse(schema.fieldNames.toSeq.filterNot(cur.generated.contains))
+    colNames.find(cur.generated.contains).foreach { g =>
+      throw new IllegalArgumentException(s"cannot INSERT into generated column: $g")
+    }
     appendRows(db, branch, table, cur,
-      alignToSchema(df.toDF(colNames: _*), colNames, schema, cur.defaults, cur.strict),
+      alignToSchema(df.toDF(colNames: _*), colNames, schema, cur.defaults,
+        cur.strict, cur.generated),
       input, txn, ret, conflict, hooks)
   }
 
@@ -2697,7 +2720,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * raise_error branch — single-pass, distributed, no pre-scan. */
   private def alignToSchema(df: DataFrame, colNames: Seq[String],
       schema: StructType, defaults: Map[String, String] = Map.empty,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      generated: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val named = df.toDF(colNames: _*)
     val projected = schema.fields.map { f =>
@@ -2721,7 +2745,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         .map(d => expr(d).cast(f.dataType).as(f.name))
         .getOrElse(lit(null).cast(f.dataType).as(f.name))
     }
-    named.select(projected.toSeq: _*)
+    val base = named.select(projected.toSeq: _*)
+    // generated columns compute over the aligned row in a second
+    // projection (one plan, still a single pass — Catalyst collapses
+    // adjacent projects)
+    if (generated.isEmpty) base
+    else base.select(schema.fields.map { f =>
+      generated.get(f.name)
+        .map(e => expr(e).cast(f.dataType).as(f.name))
+        .getOrElse(col(f.name))
+    }.toSeq: _*)
   }
 
   private def appendRows(db: String, branch: String, table: String,
@@ -2859,6 +2892,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           val Array(l, r) = a.split("=", 2)
           unquote(l.trim) -> Sql.rewriteExcluded(r.trim)
         }.toMap
+        sets.keys.find(cur.generated.contains).foreach { g =>
+          throw new IllegalArgumentException(s"cannot UPDATE generated column: $g")
+        }
         val upd = s"(e.__exc_m IS NOT NULL AND ($whereCond))"
         val proj = schema.fieldNames.map { f =>
           sets.get(f) match {
@@ -2950,16 +2986,28 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       val Array(l, r) = a.split("=", 2)
       unquote(l.trim) -> r.trim
     }.toMap
+    sets.keys.find(cur.generated.contains).foreach { g =>
+      throw new IllegalArgumentException(s"cannot UPDATE generated column: $g")
+    }
     val proj = schema.fieldNames.map { f =>
       sets.get(f) match {
         case Some(e) => s"CASE WHEN ($cond) THEN CAST(($e) AS ${schema(f).dataType.sql}) ELSE `$f` END AS `$f`"
         case None => s"`$f`"
       }
     }
+    // generated columns recompute from the POST-update row: wrap the
+    // update projection so their expressions see the new values
+    def withGen(sel: String): String =
+      if (cur.generated.isEmpty) sel
+      else s"SELECT ${schema.fieldNames.map { f =>
+        cur.generated.get(f)
+          .map(e => s"CAST(($e) AS ${schema(f).dataType.sql}) AS `$f`")
+          .getOrElse(s"`$f`")
+      }.mkString(", ")} FROM ($sel)"
     val changes = sess.sql(
       s"SELECT COUNT(*) FROM __graft_target WHERE ($cond)").head().getLong(0)
     val rewritten = sess.sql(
-      s"SELECT ${proj.mkString(", ")} FROM __graft_target")
+      withGen(s"SELECT ${proj.mkString(", ")} FROM __graft_target"))
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
@@ -2984,7 +3032,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     if (changes > 0) {
       def oldTouched = sess.sql(s"SELECT * FROM __graft_target WHERE ($cond)")
       def newTouched = sess.sql(
-        s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)")
+        withGen(s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)"))
       txn match {
         case None =>
           if (catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
@@ -2995,7 +3043,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     }
     // RETURNING sees the post-update values of the matched rows
     val (rcols, rrows) = returningRows(sess.sql(
-      s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)"), ret)
+      withGen(s"SELECT ${proj.mkString(", ")} FROM __graft_target WHERE ($cond)")), ret)
     hooks.foreach(_.after("UPDATE", updDelta.get))
     QueryResponse(input.id, rcols, rrows, changes = changes,
       transactionId = input.transactionId)
@@ -3022,6 +3070,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       val Array(l, r) = a.split("=", 2)
       unquote(l.trim) -> r.trim
     }
+    sets.map(_._1).find(cur.generated.contains).foreach { g =>
+      throw new IllegalArgumentException(s"cannot UPDATE generated column: $g")
+    }
     val setSelect = sets.map { case (c, e) =>
       s"CAST(($e) AS ${schema(c).dataType.sql}) AS `__set_$c`"
     }.mkString(", ")
@@ -3039,9 +3090,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         s"CASE WHEN m.__mrid IS NOT NULL THEN m.`__set_$f` ELSE t.`$f` END AS `$f`"
       else s"t.`$f`"
     }
-    val rewritten = sess.sql(
+    def withGen(sel: String): String =
+      if (cur.generated.isEmpty) sel
+      else s"SELECT ${schema.fieldNames.map { f =>
+        cur.generated.get(f)
+          .map(e => s"CAST(($e) AS ${schema(f).dataType.sql}) AS `$f`")
+          .getOrElse(s"`$f`")
+      }.mkString(", ")} FROM ($sel)"
+    val rewritten = sess.sql(withGen(
       s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
-         |LEFT JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)
+         |LEFT JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin))
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
@@ -3066,9 +3124,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         s"""SELECT t.* FROM __graft_target t
            |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)
         .drop("__rid")
-      def newTouched = sess.sql(
+      def newTouched = sess.sql(withGen(
         s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
-           |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)
+           |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin))
       txn match {
         case None =>
           if (catalog.ftsIndexesForTable(db, branch, table).nonEmpty)
@@ -3077,9 +3135,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           recordFtsPending(db, branch, table, x, Some(oldTouched), Some(newTouched))
       }
     }
-    val (rcols, rrows) = returningRows(sess.sql(
+    val (rcols, rrows) = returningRows(sess.sql(withGen(
       s"""SELECT ${proj.mkString(", ")} FROM __graft_target t
-         |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin), ret)
+         |JOIN __graft_matches m ON t.__rid = m.__mrid""".stripMargin)), ret)
     hooks.foreach(_.after("UPDATE", updDelta.get))
     QueryResponse(input.id, rcols, rrows, changes = changes,
       transactionId = input.transactionId)
@@ -3464,23 +3522,37 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             }
             QueryResponse(input.id,
               Seq("schema", "name", "type", "ncol", "wr", "strict"), rows)
-          case "table_info" =>
+          case "table_info" | "table_xinfo" =>
             val t = Option(arg).map(a => unquote(a.trim)).getOrElse("")
             val v = effVersion(db, branch, t, txn)
               .getOrElse(throw new IllegalArgumentException(s"no such table: $t"))
-            val rows = StructType.fromDDL(v.schemaDdl).fields.zipWithIndex.map {
-              case (f, i) =>
-                // pk = 1-based position within the primary key, 0 otherwise;
-                // dflt_value = declared DEFAULT text (SQLite table_info shape)
-                Seq(SqlValue.IntVal(i.toLong), SqlValue.TextVal(f.name),
-                  SqlValue.TextVal(sparkTypeToSqlite(f.dataType)),
-                  SqlValue.IntVal(0),
-                  v.defaults.get(f.name).map(SqlValue.TextVal(_): SqlValue)
-                    .getOrElse(SqlValue.NullVal),
-                  SqlValue.IntVal((v.pk.indexOf(f.name) + 1).toLong))
+            // table_info lists normal columns only — generated columns are
+            // hidden (SQLite pragma.html#pragma_table_info); table_xinfo
+            // includes them with hidden=2
+            val fields0 = StructType.fromDDL(v.schemaDdl).fields.zipWithIndex
+            val fields =
+              if (p == "table_info")
+                fields0.filterNot { case (f, _) => v.generated.contains(f.name) }
+              else fields0
+            val rows = fields.map { case (f, i) =>
+              // pk = 1-based position within the primary key, 0 otherwise;
+              // dflt_value = declared DEFAULT text (SQLite table_info shape)
+              val base = Seq(SqlValue.IntVal(i.toLong), SqlValue.TextVal(f.name),
+                SqlValue.TextVal(sparkTypeToSqlite(f.dataType)),
+                SqlValue.IntVal(0),
+                v.defaults.get(f.name).map(SqlValue.TextVal(_): SqlValue)
+                  .getOrElse(SqlValue.NullVal),
+                SqlValue.IntVal((v.pk.indexOf(f.name) + 1).toLong))
+              if (p == "table_info") base
+              else base :+ SqlValue.IntVal(
+                if (v.generated.contains(f.name)) 2L else 0L)
             }
             QueryResponse(input.id,
-              Seq("cid", "name", "type", "notnull", "dflt_value", "pk"), rows.toSeq)
+              if (p == "table_info")
+                Seq("cid", "name", "type", "notnull", "dflt_value", "pk")
+              else
+                Seq("cid", "name", "type", "notnull", "dflt_value", "pk", "hidden"),
+              rows.toSeq)
           case "database_list" =>
             QueryResponse(input.id, Seq("seq", "name", "file"),
               Seq(Seq(SqlValue.IntVal(0), SqlValue.TextVal("main"),

@@ -2001,6 +2001,58 @@ class EngineSpec extends AnyFunSuite {
     assert(afterDrop.rows.head.head == SqlValue.IntVal(0))
   }
 
+  test("GENERATED ALWAYS AS columns compute at write and follow updates") {
+    val dir = Files.createTempDirectory("graft-engine")
+    val s = new GraftSession(spark, dir)
+    s.createDatabase("db1")
+    val ct = s.execute("db1", "main",
+      q("CREATE TABLE inv (qty INTEGER, price REAL, " +
+        "total REAL GENERATED ALWAYS AS (qty * price) STORED, " +
+        "label TEXT AS (qty || ' x'))")) // shorthand AS form
+    assert(ct.error.isEmpty, ct.error)
+    // bare INSERT supplies only the non-generated columns
+    val ins = s.execute("db1", "main",
+      q("INSERT INTO inv VALUES (2, 1.5), (3, 2.0)"))
+    assert(ins.error.isEmpty, ins.error)
+    val r = s.execute("db1", "main",
+      q("SELECT qty, total, label FROM inv ORDER BY qty"))
+    assert(r.rows == Seq(
+      Seq(SqlValue.IntVal(2), SqlValue.RealVal(3.0), SqlValue.TextVal("2 x")),
+      Seq(SqlValue.IntVal(3), SqlValue.RealVal(6.0), SqlValue.TextVal("3 x"))))
+    // explicit insert into a generated column is refused, like SQLite
+    val bad = s.execute("db1", "main",
+      q("INSERT INTO inv (qty, price, total) VALUES (1, 1.0, 99.0)"))
+    assert(bad.error.contains("cannot INSERT into generated column"), bad.error)
+    // UPDATE of a source column recomputes the generated one
+    val upd = s.execute("db1", "main", q("UPDATE inv SET qty = 10 WHERE qty = 2"))
+    assert(upd.error.isEmpty, upd.error)
+    assert(s.execute("db1", "main",
+      q("SELECT total FROM inv WHERE qty = 10")).rows.head.head ==
+      SqlValue.RealVal(15.0))
+    // UPDATE of the generated column itself is refused
+    val badU = s.execute("db1", "main", q("UPDATE inv SET total = 1.0"))
+    assert(badU.error.contains("cannot UPDATE generated column"), badU.error)
+    // table_info hides generated columns; table_xinfo shows hidden=2
+    val ti = s.execute("db1", "main", q("PRAGMA table_info(inv)"))
+    assert(ti.rows.map(_(1)) ==
+      Seq(SqlValue.TextVal("qty"), SqlValue.TextVal("price")))
+    val tx = s.execute("db1", "main", q("PRAGMA table_xinfo(inv)"))
+    assert(tx.rows.map(r => (r(1), r(6))).collect {
+      case (SqlValue.TextVal(n), SqlValue.IntVal(2)) => n
+    } == Seq("total", "label"))
+    // definition survives restart and lists in sqlite_master
+    val s2 = new GraftSession(spark, dir)
+    val ins2 = s2.execute("db1", "main", q("INSERT INTO inv VALUES (4, 0.5)"))
+    assert(ins2.error.isEmpty, ins2.error)
+    assert(s2.execute("db1", "main",
+      q("SELECT total FROM inv WHERE qty = 4")).rows.head.head ==
+      SqlValue.RealVal(2.0))
+    val m = s2.execute("db1", "main",
+      q("SELECT sql FROM sqlite_master WHERE name = 'inv'"))
+    assert(m.rows.head.head.asInstanceOf[SqlValue.TextVal].v
+      .contains("GENERATED ALWAYS AS (qty * price)"), m.rows)
+  }
+
   test("STRICT and WITHOUT ROWID table options: recorded, reported, enforced") {
     val s = newSession()
     val ct = s.execute("db1", "main",
