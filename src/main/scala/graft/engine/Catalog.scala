@@ -76,7 +76,11 @@ class Catalog(val root: Path) {
       // VIRTUAL and STORED materialize at write time here (every write
       // rewrites whole immutable files anyway, so storing the computed
       // value is free and keeps reads plain scans)
-      generated: Map[String, String] = Map.empty)
+      generated: Map[String, String] = Map.empty,
+      // declared NOT NULL columns and CHECK expressions — enforced at
+      // write time through the same raise_error guard as STRICT (no
+      // validation pre-scan; a violating row fails the write job)
+      notNull: Seq[String] = Nil, checks: Seq[String] = Nil)
 
   case class BranchState(tables: mutable.Map[String, mutable.ArrayBuffer[TableVersion]])
 
@@ -145,6 +149,12 @@ class Catalog(val root: Path) {
       val gn = vn.putObject("generated")
       v.generated.foreach { case (k, e) => gn.put(k, e) }
     }
+    if (v.notNull.nonEmpty) {
+      val nn = vn.putArray("notNull"); v.notNull.foreach(nn.add)
+    }
+    if (v.checks.nonEmpty) {
+      val cn = vn.putArray("checks"); v.checks.foreach(cn.add)
+    }
   }
 
   private def readVersionNode(vn: com.fasterxml.jackson.databind.JsonNode): TableVersion =
@@ -159,7 +169,9 @@ class Catalog(val root: Path) {
       vn.path("strict").asBoolean(false),
       vn.path("withoutRowid").asBoolean(false),
       vn.path("generated").properties().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .map(e => e.getKey -> e.getValue.asText()).toMap,
+      vn.path("notNull").elements().asScala.map(_.asText()).toSeq,
+      vn.path("checks").elements().asScala.map(_.asText()).toSeq)
 
   /** Serialize one branch's state under the caller's (global) lock;
     * the returned thunk does the file IO without it. (`private[engine]`

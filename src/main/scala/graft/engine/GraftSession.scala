@@ -2362,6 +2362,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   private val defaultRe = """(?is).*\bdefault\s+('(?:[^']|'')*'|\([^)]*\)|\S+).*""".r
   private val generatedColRe = """(?is)\b(?:generated\s+always\s+)?as\s*\(""".r
+  private val checkRe = """(?is)\bcheck\s*\(""".r
   private val tablePkRe = """(?is)^primary\s+key\s*\(([^)]*)\).*$""".r
 
   private def createTable(db: String, branch: String, name: String,
@@ -2409,14 +2410,38 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         unquote(c.split("\\s+", 2)(0)) -> c.substring(open + 1, close).trim
       }
     }.toMap
+    val pk = if (tablePk.nonEmpty) tablePk else columnPk
+    // NOT NULL declarations. A single INTEGER PRIMARY KEY is the rowid
+    // alias — exempt, because a NULL there means "assign the next id"
+    // (appendRows fills it before the guard would see it)
+    val rowidAlias = pk match {
+      case Seq(c) if fields.exists(f => f.name == c && f.dataType == LongType) =>
+        Some(c)
+      case _ => None
+    }
+    val notNull = colEntries.collect {
+      case c if c.toUpperCase.contains("NOT NULL") =>
+        unquote(c.split("\\s+", 2)(0))
+    }.filterNot(rowidAlias.contains)
+    // CHECK constraints: column-level ride on the declaration, table-level
+    // arrive as CHECK (...) / CONSTRAINT <name> CHECK (...) entries
+    val checks = (colEntries ++ entries.filter(e =>
+      e.toUpperCase.startsWith("CHECK") ||
+        e.toUpperCase.startsWith("CONSTRAINT"))).flatMap { c =>
+      checkRe.findFirstMatchIn(c).map { m =>
+        val open = m.end - 1
+        val close = Sql.matchingParen(c, open)
+        c.substring(open + 1, close).trim
+      }
+    }
     val ts = catalog.nextVersionTs()
     val optsU = tblOpts.toUpperCase
     commitOrStage(db, branch, name,
       catalog.TableVersion(ts, Nil, 0L, 0L, StructType(fields).toDDL,
-        if (tablePk.nonEmpty) tablePk else columnPk, defaults,
+        pk, defaults,
         strict = optsU.contains("STRICT"),
         withoutRowid = optsU.contains("WITHOUT"),
-        generated = generated), txn)
+        generated = generated, notNull = notNull, checks = checks), txn)
   }
 
   /** Shared ALTER ... RENAME COLUMN / DROP COLUMN (SQLite 3.25/3.35):
@@ -2713,6 +2738,32 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         cur.strict, cur.generated),
       input, txn, ret, conflict, hooks)
   }
+
+  /** Per-column SELECT expressions enforcing NOT NULL + CHECK over a
+    * full-row relation: the guard CASE is folded into the FIRST column
+    * (a standalone guard column would be pruned by the optimizer, and
+    * the raise_error would never fire). NULL check results pass, like
+    * SQLite. Returns None when the table has no constraints. */
+  private def constraintGuardCols(schema: StructType, notNull: Seq[String],
+      checks: Seq[String], table: String): Option[Seq[String]] = {
+    if (notNull.isEmpty && checks.isEmpty) return None
+    val f0 = schema.fields.head
+    val whens =
+      notNull.map(c => s"WHEN `$c` IS NULL THEN CAST(raise_error(" +
+        s"'NOT NULL constraint failed: $table.$c') AS ${f0.dataType.sql})") ++
+      checks.map(e => s"WHEN NOT COALESCE(($e), TRUE) THEN CAST(raise_error(" +
+        s"'CHECK constraint failed: $table') AS ${f0.dataType.sql})")
+    val head = s"CASE ${whens.mkString(" ")} ELSE `${f0.name}` END AS `${f0.name}`"
+    Some(head +: schema.fields.tail.map(f => s"`${f.name}`").toSeq)
+  }
+
+  /** Wrap a full-row SELECT so constraint violations abort the write. */
+  private def guardSql(schema: StructType, notNull: Seq[String],
+      checks: Seq[String], table: String)(sel: String): String =
+    constraintGuardCols(schema, notNull, checks, table) match {
+      case None => sel
+      case Some(cols) => s"SELECT ${cols.mkString(", ")} FROM ($sel)"
+    }
 
   /** Fill unmentioned columns with their declared DEFAULT (else null) and
     * cast to the table schema. For a STRICT table (SQLite 3.37) a value
