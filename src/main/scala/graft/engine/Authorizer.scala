@@ -184,12 +184,13 @@ object Authorizer {
     * exposes FTS shadow tables read-only the same way) but are never valid
     * DML/DDL targets. */
   private def reservedRead(t: String): Boolean =
-    t.startsWith("__att_") || t.startsWith("__graft_") || t.startsWith("__fts_match")
+    t.startsWith("__att_") || t.startsWith("__graft_") || t.startsWith("__fts_match") ||
+      t.startsWith("__trig_")
   /** `sqlite_*` mirrors SQLite's "object name reserved" rule: only the
     * engine itself writes sqlite_stat1 (via ANALYZE); reads stay open. */
   private def reservedWrite(t: String): Boolean =
     t.startsWith("__att_") || t.startsWith("__graft_") || t.startsWith("__fts_") ||
-      t.startsWith("sqlite_")
+      t.startsWith("__trig_") || t.startsWith("sqlite_")
 
   /** The table-granular ACTION a statement performs on its target
     * (mirrors the SQLITE_INSERT/UPDATE/DELETE/CREATE_TABLE/... codes the

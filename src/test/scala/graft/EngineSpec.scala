@@ -2490,4 +2490,147 @@ class EngineSpec extends AnyFunSuite {
     assert(s.execute("db1", "main", q("REINDEX", txn = txn)).error.nonEmpty)
     s.execute("db1", "main", q("ROLLBACK", txn = txn))
   }
+
+  /** Count SQL executions whose physical plan scans `path` while `body`
+    * runs — the single-pass DML contract is exactly one such execution. */
+  private def countScansOf(path: String)(body: => Unit): Int = {
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case st: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          descs.add(st.physicalPlanDescription)
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(1000) // drain stragglers off the async bus
+      descs.clear()
+      body
+      def scans = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(descs).asScala.count(_.contains(path))
+      var tries = 0
+      while (scans == 0 && tries < 200) { Thread.sleep(25); tries += 1 }
+      Thread.sleep(500) // grace period in which a re-execution would land
+      scans
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("UPDATE ... FROM executes the target x source match join exactly once") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE sp_acct (id INTEGER, bal REAL)"))
+    s.execute("db1", "main",
+      q("INSERT INTO sp_acct VALUES (1, 10.0), (2, 20.0), (3, 30.0)"))
+    s.execute("db1", "main", q("CREATE TABLE sp_adj (id INTEGER, delta REAL)"))
+    s.execute("db1", "main", q("INSERT INTO sp_adj VALUES (1, 5.0), (3, -5.0)"))
+    val srcPath = s.catalog.currentVersion("db1", "main", "sp_adj").get.paths.head
+    val scans = countScansOf(srcPath) {
+      val r = s.execute("db1", "main",
+        q("UPDATE sp_acct SET bal = bal + a.delta FROM sp_adj a WHERE sp_acct.id = a.id"))
+      assert(r.error.isEmpty, r.error)
+      assert(r.changes == 2)
+    }
+    assert(scans == 1, s"UPDATE...FROM scanned the source $scans times, expected 1")
+    val sel = s.execute("db1", "main", q("SELECT bal FROM sp_acct ORDER BY id"))
+    assert(sel.rows.map(_.head) ==
+      Seq(SqlValue.RealVal(15.0), SqlValue.RealVal(20.0), SqlValue.RealVal(25.0)))
+  }
+
+  test("upsert DO UPDATE executes its target match join exactly once") {
+    val s = newSession()
+    s.execute("db1", "main",
+      q("CREATE TABLE sp_inv (sku INTEGER PRIMARY KEY, qty INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO sp_inv VALUES (1, 10), (2, 20)"))
+    val tgtPath = s.catalog.currentVersion("db1", "main", "sp_inv").get.paths.head
+    val scans = countScansOf(tgtPath) {
+      val r = s.execute("db1", "main", q(
+        "INSERT INTO sp_inv VALUES (1, 5), (3, 30) " +
+          "ON CONFLICT (sku) DO UPDATE SET qty = qty + excluded.qty"))
+      assert(r.error.isEmpty, r.error)
+      assert(r.changes == 2) // one updated + one inserted
+    }
+    assert(scans == 1, s"upsert scanned the target $scans times, expected 1")
+    val sel = s.execute("db1", "main", q("SELECT qty FROM sp_inv ORDER BY sku"))
+    assert(sel.rows.map(_.head) ==
+      Seq(SqlValue.IntVal(15), SqlValue.IntVal(20), SqlValue.IntVal(30)))
+  }
+
+  test("plain UPDATE scans the pre-state once: count comes from written files") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE sp_u (id INTEGER, v INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO sp_u VALUES (1, 1), (2, 2), (3, 3)"))
+    val tgtPath = s.catalog.currentVersion("db1", "main", "sp_u").get.paths.head
+    val scans = countScansOf(tgtPath) {
+      val r = s.execute("db1", "main", q("UPDATE sp_u SET v = v * 10 WHERE id >= 2"))
+      assert(r.error.isEmpty, r.error)
+      assert(r.changes == 2)
+    }
+    assert(scans == 1, s"UPDATE scanned the target $scans times, expected 1")
+    val sel = s.execute("db1", "main", q("SELECT v FROM sp_u ORDER BY id"))
+    assert(sel.rows.map(_.head) ==
+      Seq(SqlValue.IntVal(1), SqlValue.IntVal(20), SqlValue.IntVal(30)))
+  }
+
+  test("RETURNING is driver-bounded like the DQL batch path") {
+    val dir = Files.createTempDirectory("graft-retcap")
+    val s = new GraftSession(spark, dir, maxBatchRows = 5)
+    s.createDatabase("db1")
+    s.execute("db1", "main", q("CREATE TABLE rc (id INTEGER)"))
+    s.execute("db1", "main",
+      q("INSERT INTO rc VALUES (1), (2), (3), (4), (5), (6), (7), (8)"))
+    // bulk RETURNING over more than maxBatchRows affected rows errors with
+    // the same streaming-endpoint pointer as an oversized SELECT
+    val big = s.execute("db1", "main", q("UPDATE rc SET id = id + 10 RETURNING id"))
+    assert(big.error.contains("query/stream"), big.error)
+    // small RETURNING is unchanged
+    val small = s.execute("db1", "main",
+      q("DELETE FROM rc WHERE id = 11 RETURNING id"))
+    assert(small.error.isEmpty, small.error)
+    assert(small.rows == Seq(Seq(SqlValue.IntVal(11))))
+  }
+
+  test("trigger delta views are reserved and leave no residue across statements") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE tg (id INTEGER, v INTEGER)"))
+    s.execute("db1", "main", q("CREATE TABLE tg_log (id INTEGER)"))
+    s.execute("db1", "main",
+      q("CREATE TRIGGER tg_tr AFTER INSERT ON tg WHEN NEW.v > 0 BEGIN " +
+        "INSERT INTO tg_log VALUES (NEW.id); END"))
+    assert(s.execute("db1", "main", q("INSERT INTO tg VALUES (1, 5)")).error.isEmpty)
+    // the fired trigger's __trig_r*/__trig_d* views are not addressable
+    // from user SQL afterwards (reserved prefix + statement-end drop)
+    for (n <- 1 to 4) {
+      val r = s.execute("db1", "main", q(s"SELECT * FROM __trig_r$n"))
+      assert(r.error.nonEmpty && r.rows.isEmpty, s"__trig_r$n leaked: ${r.rows}")
+      val d = s.execute("db1", "main", q(s"SELECT * FROM __trig_d$n"))
+      assert(d.error.nonEmpty && d.rows.isEmpty, s"__trig_d$n leaked: ${d.rows}")
+    }
+    assert(s.execute("db1", "main",
+      q("INSERT INTO __trig_d1 VALUES (1)")).error.nonEmpty)
+  }
+
+  test("a BEFORE trigger writing another table does not clobber the outer statement") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE cb_acct (id INTEGER, bal REAL)"))
+    s.execute("db1", "main", q("INSERT INTO cb_acct VALUES (1, 10.0), (2, 20.0)"))
+    s.execute("db1", "main", q("CREATE TABLE cb_audit (id INTEGER, note TEXT)"))
+    s.execute("db1", "main",
+      q("INSERT INTO cb_audit VALUES (1, 'clean'), (2, 'clean')"))
+    // the nested UPDATE re-registers a write-target scratch view; the outer
+    // statement's RETURNING and change accounting must still see cb_acct
+    s.execute("db1", "main",
+      q("CREATE TRIGGER cb_tr BEFORE UPDATE ON cb_acct BEGIN " +
+        "UPDATE cb_audit SET note = 'touched' WHERE id = OLD.id; END"))
+    val r = s.execute("db1", "main",
+      q("UPDATE cb_acct SET bal = bal + 1.0 WHERE id = 1 RETURNING id, bal"))
+    assert(r.error.isEmpty, r.error)
+    assert(r.changes == 1)
+    assert(r.rows == Seq(Seq(SqlValue.IntVal(1), SqlValue.RealVal(11.0))))
+    val audit = s.execute("db1", "main", q("SELECT note FROM cb_audit ORDER BY id"))
+    assert(audit.rows.map(_.head) ==
+      Seq(SqlValue.TextVal("touched"), SqlValue.TextVal("clean")))
+    val acct = s.execute("db1", "main", q("SELECT bal FROM cb_acct ORDER BY id"))
+    assert(acct.rows.map(_.head) == Seq(SqlValue.RealVal(11.0), SqlValue.RealVal(20.0)))
+  }
 }
