@@ -80,7 +80,16 @@ class Catalog(val root: Path) {
       // declared NOT NULL columns and CHECK expressions — enforced at
       // write time through the same raise_error guard as STRICT (no
       // validation pre-scan; a violating row fails the write job)
-      notNull: Seq[String] = Nil, checks: Seq[String] = Nil)
+      notNull: Seq[String] = Nil, checks: Seq[String] = Nil,
+      // INTEGER PRIMARY KEY AUTOINCREMENT (SQLite lang_createtable.html
+      // #rowid): maxRowId becomes the never-decreasing sequence — DELETE
+      // does not lower it, so rowids are never reused; surfaced through
+      // the synthesized sqlite_sequence table
+      autoincrement: Boolean = false,
+      // declared UNIQUE key sets (column-level UNIQUE + table-level
+      // UNIQUE(a, b)) — enforced at write time by a post-write probe job
+      // over the files just written (never a pre-scan of the source plan)
+      uniques: Seq[Seq[String]] = Nil)
 
   case class BranchState(tables: mutable.Map[String, mutable.ArrayBuffer[TableVersion]])
 
@@ -155,6 +164,11 @@ class Catalog(val root: Path) {
     if (v.checks.nonEmpty) {
       val cn = vn.putArray("checks"); v.checks.foreach(cn.add)
     }
+    if (v.autoincrement) vn.put("autoincrement", true)
+    if (v.uniques.nonEmpty) {
+      val ua = vn.putArray("uniques")
+      v.uniques.foreach { ks => val kn = ua.addArray(); ks.foreach(kn.add) }
+    }
   }
 
   private def readVersionNode(vn: com.fasterxml.jackson.databind.JsonNode): TableVersion =
@@ -171,7 +185,10 @@ class Catalog(val root: Path) {
       vn.path("generated").properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap,
       vn.path("notNull").elements().asScala.map(_.asText()).toSeq,
-      vn.path("checks").elements().asScala.map(_.asText()).toSeq)
+      vn.path("checks").elements().asScala.map(_.asText()).toSeq,
+      vn.path("autoincrement").asBoolean(false),
+      vn.path("uniques").elements().asScala
+        .map(kn => kn.elements().asScala.map(_.asText()).toSeq).toSeq)
 
   /** Serialize one branch's state under the caller's (global) lock;
     * the returned thunk does the file IO without it. (`private[engine]`

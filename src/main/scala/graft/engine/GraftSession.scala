@@ -1062,13 +1062,28 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // few map lookups; the temp-view registration is what's worth
     // skipping). Not in `reg`, so the stale-view sweep never drops it.
     val masterRows = buildSqliteMaster(db, branch, txn)
-    val mKey = (db, branch, masterRows).hashCode()
+    // sqlite_sequence (lang_createtable.html#rowid): (name, seq) per
+    // AUTOINCREMENT table; like SQLite it exists only when at least one
+    // such table does
+    val seqRows = effTableNames(db, branch, txn).sorted.flatMap { t =>
+      effVersion(db, branch, t, txn).filter(_.autoincrement)
+        .map(v => Row(t, v.maxRowId))
+    }
+    val mKey = (db, branch, masterRows, seqRows).hashCode()
     if (!sv.masterState.contains(mKey)) {
       val df = s.createDataFrame(
         s.sparkContext.parallelize(masterRows, 1), sqliteMasterSchema)
       df.createOrReplaceTempView("sqlite_master")
       // SQLite 3.33+ alias
       df.createOrReplaceTempView("sqlite_schema")
+      if (seqRows.nonEmpty)
+        s.createDataFrame(s.sparkContext.parallelize(seqRows, 1),
+          StructType(Seq(StructField("name", StringType),
+            StructField("seq", LongType))))
+          .createOrReplaceTempView("sqlite_sequence")
+      else // last AUTOINCREMENT table gone: the sequence table goes too
+        try s.catalog.dropTempView("sqlite_sequence")
+        catch { case _: Throwable => () }
       viewRegistrations.incrementAndGet()
       sv.masterState = Some(mKey)
     }
@@ -1102,7 +1117,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       effVersion(db, branch, t, txn).map { v =>
         val schema = StructType.fromDDL(v.schemaDdl)
         val cols = schema.fields.map { f =>
-          val pk = if (v.pk == Seq(f.name)) " PRIMARY KEY" else ""
+          val pk =
+            if (v.pk == Seq(f.name))
+              if (v.autoincrement && f.dataType == LongType)
+                " PRIMARY KEY AUTOINCREMENT"
+              else " PRIMARY KEY"
+            else ""
           val dflt = v.defaults.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
           val gen = v.generated.get(f.name)
             .map(e => s" GENERATED ALWAYS AS ($e)").getOrElse("")
@@ -1883,13 +1903,22 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   /** Parsed ON CONFLICT clause: conflict-target columns, optional SET
     * assignments (None = DO NOTHING), optional DO UPDATE ... WHERE. */
-  case class Upsert(cols: Seq[String], set: Option[String], where: Option[String])
+  /** Parsed conflict clause. `cols` is the explicit conflict target;
+    * `ignoreSets` (OR IGNORE / targetless ON CONFLICT DO NOTHING) lists
+    * EVERY unique key set to resolve against — a row conflicting on any
+    * of them is skipped; `resolveAll` defers that set lookup to the
+    * insert path (the parse site has no table version in hand). */
+  case class Upsert(cols: Seq[String], set: Option[String], where: Option[String],
+      ignoreSets: Seq[Seq[String]] = Nil, resolveAll: Boolean = false)
 
   private val returningRe = """(?is)^(.*)\s+returning\s+(.+?)\s*;?\s*$""".r
   // SQLite UPSERT (3.24+, upsert.html): INSERT ... ON CONFLICT (cols)
   // DO NOTHING | DO UPDATE SET assignments [WHERE cond]
   private val onConflictRe =
     """(?is)^(.*?)\s+on\s+conflict\s*\(([^)]*)\)\s*do\s+(nothing|update\s+set\s+.+?)\s*;?\s*$""".r
+  // targetless form (upsert.html): conflict on ANY unique index skips the row
+  private val onConflictNoTargetRe =
+    """(?is)^(.*?)\s+on\s+conflict\s+do\s+nothing\s*;?\s*$""".r
   private val doUpdateRe =
     """(?is)^update\s+set\s+(.+?)(\s+where\s+(.+?))?\s*$""".r
   // SQLite's older conflict clause (lang_conflict.html): OR REPLACE / OR
@@ -1924,26 +1953,34 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           case _ =>
             throw new IllegalArgumentException(s"malformed ON CONFLICT: $act")
         }
+      case onConflictNoTargetRe(body)
+          if stmt.trim.regionMatches(true, 0, "insert", 0, 6) =>
+        (body, Some(Upsert(Nil, None, None, resolveAll = true)))
       case _ => (stmt, None)
     }
-    // INSERT OR REPLACE/IGNORE: rewrite onto the upsert machinery with the
-    // table's declared PRIMARY KEY as the conflict target. REPLACE is
-    // full-row replacement (SQLite deletes + reinserts, so every non-pk
-    // column takes the arriving row's value); without a declared pk the
-    // statement degrades to a plain INSERT — no constraint, no conflict.
+    // INSERT OR REPLACE/IGNORE (lang_conflict.html): rewrite onto the
+    // upsert machinery. IGNORE skips a row conflicting on ANY unique key
+    // set (pk, UNIQUE constraints, unique indexes); REPLACE is full-row
+    // replacement resolved against the PRIMARY KEY (or the first declared
+    // unique set — SQLite's delete-across-ALL-indexes is a documented
+    // delta); with no unique key sets at all the statement degrades to a
+    // plain INSERT — no constraint, no conflict.
     val (stmt3, conflict2) = stmt2 match {
       case insertOrRe(how, rest) if conflict.isEmpty =>
         val tableName = unquote(rest.trim.split("[\\s(]")(0))
         val cur = currentOrStaged(db, branch, tableName, txn)
-        if (cur.pk.isEmpty) (s"INSERT INTO $rest", None)
+        val allSets = uniqueSetsOf(db, branch, tableName, cur, txn)
+        if (allSets.isEmpty) (s"INSERT INTO $rest", None)
         else if (how.equalsIgnoreCase("ignore"))
-          (s"INSERT INTO $rest", Some(Upsert(cur.pk, None, None)))
-        else {
-          val nonPk = StructType.fromDDL(cur.schemaDdl).fieldNames
-            .filterNot(cur.pk.contains)
-          val sets = nonPk.map(f => s"$f = excluded.$f").mkString(", ")
           (s"INSERT INTO $rest",
-            Some(Upsert(cur.pk, if (sets.isEmpty) None else Some(sets), None)))
+            Some(Upsert(allSets.head, None, None, ignoreSets = allSets)))
+        else {
+          val key = allSets.head
+          val nonKey = StructType.fromDDL(cur.schemaDdl).fieldNames
+            .filterNot(key.contains).filterNot(cur.generated.contains)
+          val sets = nonKey.map(f => s"$f = excluded.$f").mkString(", ")
+          (s"INSERT INTO $rest",
+            Some(Upsert(key, if (sets.isEmpty) None else Some(sets), None)))
         }
       case _ => (stmt2, conflict)
     }
@@ -2117,6 +2154,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           }
           val d = ClusterIndexDef(table, cols,
             unique = uniq != null, partial = isPartial)
+          // CREATE UNIQUE INDEX validates the EXISTING rows first, like
+          // SQLite's index build (one aggregation over the key columns —
+          // pruned scan; partial unique indexes are recorded, not
+          // enforced: the probe would need their WHERE predicate)
+          if (d.unique && !d.partial && cols.nonEmpty)
+            enforceUnique(table, Seq(cols),
+              readVersion(currentOrStaged(db, branch, table, txn)), _ => None)
           txn match {
             case Some(x) => x.stagedIndexes(ixn) = Some(d)
             case None => catalog.putClusterIndex(db, branch, ixn, d)
@@ -2383,6 +2427,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private val generatedColRe = """(?is)\b(?:generated\s+always\s+)?as\s*\(""".r
   private val checkRe = """(?is)\bcheck\s*\(""".r
   private val tablePkRe = """(?is)^primary\s+key\s*\(([^)]*)\).*$""".r
+  private val tableUniqueRe = """(?is)\bunique\s*\(""".r
 
   private def createTable(db: String, branch: String, name: String,
       colDefs: String, ifNotExists: Boolean, txn: Option[Txn] = None,
@@ -2438,10 +2483,35 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         Some(c)
       case _ => None
     }
+    // scan for the keyword pair OUTSIDE literals and parenthesized
+    // sub-expressions, so `v INTEGER CHECK (v IS NOT NULL OR ...)` or a
+    // DEFAULT string containing the phrase doesn't record a spurious
+    // NOT NULL column
+    def stripParens(s: String): String = {
+      val sb = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1
+        case ')' => if (depth > 0) depth -= 1
+        case ch => if (depth == 0) sb.append(ch)
+      }
+      sb.toString
+    }
     val notNull = colEntries.collect {
-      case c if c.toUpperCase.contains("NOT NULL") =>
+      case c if stripParens(Sql.maskLiterals(c)).toUpperCase.contains("NOT NULL") =>
         unquote(c.split("\\s+", 2)(0))
     }.filterNot(rowidAlias.contains)
+    // AUTOINCREMENT (lang_createtable.html#rowid): legal ONLY on the
+    // INTEGER PRIMARY KEY rowid alias; flips the id counter to the
+    // never-reuse sequence surfaced through sqlite_sequence
+    val autoIncCol = colEntries.find(c =>
+      stripParens(Sql.maskLiterals(c)).toUpperCase.contains("AUTOINCREMENT"))
+      .map(c => unquote(c.split("\\s+", 2)(0)))
+    autoIncCol.foreach { c =>
+      if (!rowidAlias.contains(c))
+        throw new IllegalArgumentException(
+          "AUTOINCREMENT is only allowed on an INTEGER PRIMARY KEY")
+    }
     // CHECK constraints: column-level ride on the declaration, table-level
     // arrive as CHECK (...) / CONSTRAINT <name> CHECK (...) entries
     val checks = (colEntries ++ entries.filter(e =>
@@ -2453,6 +2523,30 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         c.substring(open + 1, close).trim
       }
     }
+    // UNIQUE key sets: column-level `v TEXT UNIQUE` (keyword scan is
+    // literal- and paren-masked like NOT NULL, so a CHECK body containing
+    // the word records nothing) + table-level UNIQUE (a, b) /
+    // CONSTRAINT n UNIQUE (a, b). The rowid alias is skipped — its
+    // uniqueness is the PRIMARY KEY's, enforced through `pk`.
+    val colUniques = colEntries.collect {
+      case c if stripParens(Sql.maskLiterals(c)).toUpperCase
+          .matches(".*\\bUNIQUE\\b.*") =>
+        Seq(unquote(c.split("\\s+", 2)(0)))
+    }
+    val tableUniques = entries.filter(e =>
+      e.toUpperCase.matches("(?s)^(UNIQUE|CONSTRAINT)\\b.*")).flatMap { e =>
+      tableUniqueRe.findFirstMatchIn(e).map { m =>
+        val open = m.end - 1
+        val close = Sql.matchingParen(e, open)
+        Sql.splitTopLevel(e.substring(open + 1, close), ',')
+          .map(c => unquote(c.trim.split("\\s+")(0)))
+      }
+    }
+    val uniques = (colUniques ++ tableUniques).distinct
+    uniques.flatten.foreach { c =>
+      if (!fields.exists(_.name == c))
+        throw new IllegalArgumentException(s"no such column in UNIQUE: $c")
+    }
     val ts = catalog.nextVersionTs()
     val optsU = tblOpts.toUpperCase
     commitOrStage(db, branch, name,
@@ -2460,7 +2554,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         pk, defaults,
         strict = optsU.contains("STRICT"),
         withoutRowid = optsU.contains("WITHOUT"),
-        generated = generated, notNull = notNull, checks = checks), txn)
+        generated = generated, notNull = notNull, checks = checks,
+        autoincrement = autoIncCol.isDefined, uniques = uniques), txn)
   }
 
   /** Shared ALTER ... RENAME COLUMN / DROP COLUMN (SQLite 3.25/3.35):
@@ -2741,7 +2836,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val valuesDf = sess.sql(
       s"SELECT * FROM ($tuples) AS v(${colNames.mkString(", ")})")
     val aligned = alignToSchema(valuesDf, colNames, schema, cur.defaults,
-      cur.strict, cur.generated)
+      cur.strict, cur.generated, cur.notNull, cur.checks, table)
     appendRows(db, branch, table, cur, aligned, input, txn, ret, conflict, hooks)
   }
 
@@ -2761,7 +2856,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     }
     appendRows(db, branch, table, cur,
       alignToSchema(df.toDF(colNames: _*), colNames, schema, cur.defaults,
-        cur.strict, cur.generated),
+        cur.strict, cur.generated, cur.notNull, cur.checks, table),
       input, txn, ret, conflict, hooks)
   }
 
@@ -2769,26 +2864,34 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * full-row relation: the guard CASE is folded into the FIRST column
     * (a standalone guard column would be pruned by the optimizer, and
     * the raise_error would never fire). NULL check results pass, like
-    * SQLite. Returns None when the table has no constraints. */
+    * SQLite. `onlyWhen` gates the guard to a row subset — UPDATE rewrites
+    * the whole table, but SQLite checks only the MODIFIED rows, so the
+    * rewrite gates on its `__graft_changed` marker. Returns None when the
+    * table has no constraints. */
   private def constraintGuardCols(schema: StructType, notNull: Seq[String],
-      checks: Seq[String], table: String): Option[Seq[String]] = {
+      checks: Seq[String], table: String,
+      onlyWhen: Option[String] = None): Option[Seq[String]] = {
     if (notNull.isEmpty && checks.isEmpty) return None
     val f0 = schema.fields.head
+    val gate = onlyWhen.map(g => s"($g) AND ").getOrElse("")
     val whens =
-      notNull.map(c => s"WHEN `$c` IS NULL THEN CAST(raise_error(" +
+      notNull.map(c => s"WHEN $gate`$c` IS NULL THEN CAST(raise_error(" +
         s"'NOT NULL constraint failed: $table.$c') AS ${f0.dataType.sql})") ++
-      checks.map(e => s"WHEN NOT COALESCE(($e), TRUE) THEN CAST(raise_error(" +
+      checks.map(e => s"WHEN ${gate}NOT COALESCE(($e), TRUE) THEN CAST(raise_error(" +
         s"'CHECK constraint failed: $table') AS ${f0.dataType.sql})")
     val head = s"CASE ${whens.mkString(" ")} ELSE `${f0.name}` END AS `${f0.name}`"
     Some(head +: schema.fields.tail.map(f => s"`${f.name}`").toSeq)
   }
 
-  /** Wrap a full-row SELECT so constraint violations abort the write. */
+  /** Wrap a full-row SELECT so constraint violations abort the write;
+    * `extra` columns (the single-pass `__graft_changed` marker) pass
+    * through the wrapper untouched. */
   private def guardSql(schema: StructType, notNull: Seq[String],
-      checks: Seq[String], table: String)(sel: String): String =
-    constraintGuardCols(schema, notNull, checks, table) match {
+      checks: Seq[String], table: String, onlyWhen: Option[String] = None,
+      extra: Seq[String] = Nil)(sel: String): String =
+    constraintGuardCols(schema, notNull, checks, table, onlyWhen) match {
       case None => sel
-      case Some(cols) => s"SELECT ${cols.mkString(", ")} FROM ($sel)"
+      case Some(cols) => s"SELECT ${(cols ++ extra).mkString(", ")} FROM ($sel)"
     }
 
   /** Fill unmentioned columns with their declared DEFAULT (else null) and
@@ -2798,7 +2901,9 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
   private def alignToSchema(df: DataFrame, colNames: Seq[String],
       schema: StructType, defaults: Map[String, String] = Map.empty,
       strict: Boolean = false,
-      generated: Map[String, String] = Map.empty): DataFrame = {
+      generated: Map[String, String] = Map.empty,
+      notNull: Seq[String] = Nil, checks: Seq[String] = Nil,
+      table: String = ""): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val named = df.toDF(colNames: _*)
     val projected = schema.fields.map { f =>
@@ -2826,12 +2931,19 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // generated columns compute over the aligned row in a second
     // projection (one plan, still a single pass — Catalyst collapses
     // adjacent projects)
-    if (generated.isEmpty) base
-    else base.select(schema.fields.map { f =>
-      generated.get(f.name)
-        .map(e => expr(e).cast(f.dataType).as(f.name))
-        .getOrElse(col(f.name))
-    }.toSeq: _*)
+    val withGen =
+      if (generated.isEmpty) base
+      else base.select(schema.fields.map { f =>
+        generated.get(f.name)
+          .map(e => expr(e).cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*)
+    // NOT NULL / CHECK enforcement at write time, through the same
+    // codegen'd raise_error branch as STRICT — single-pass, distributed
+    constraintGuardCols(schema, notNull, checks, table) match {
+      case None => withGen
+      case Some(cols) => withGen.selectExpr(cols.toSeq: _*)
+    }
   }
 
   private def appendRows(db: String, branch: String, table: String,
@@ -2839,17 +2951,41 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       txn: Option[Txn], ret: Option[String] = None,
       conflict: Option[Upsert] = None,
       hooks: Option[TriggerHooks] = None): QueryResponse = {
-    conflict.foreach { up =>
-      return doUpsert(db, branch, table, cur, rows, up, input, txn, ret, hooks)
+    conflict.foreach { up0 =>
+      // targetless ON CONFLICT DO NOTHING resolves against every unique
+      // key set HERE (the parse site had no table version); with none
+      // declared there is nothing to conflict with — plain INSERT
+      val up =
+        if (!up0.resolveAll) Some(up0)
+        else uniqueSetsOf(db, branch, table, cur, txn) match {
+          case Seq() => None
+          case all => Some(up0.copy(cols = all.head, ignoreSets = all))
+        }
+      up.foreach { u =>
+        // pre-assign rowid-alias ids on the SOURCE batch (SQLite: NULL id
+        // means "next rowid", and upsert insert arms must land concrete
+        // ids). One localCheckpoint of the arriving rows — the TARGET is
+        // never re-scanned for this, preserving the single-pass contract.
+        val src = rowidAliasOf(cur) match {
+          case Some(a) => assignRowIds(rows, cur.maxRowId, a)
+          case None => rows
+        }
+        return doUpsert(db, branch, table, cur, src, u, input, txn, ret, hooks)
+      }
     }
-    // bare FTS vtable backing tables auto-assign rowids (fts5's implicit
-    // rowid): fill nulls from the maxRowId counter, per-partition (no
-    // global window — a bulk load must not funnel through one task).
+    // rowid assignment: bare FTS vtable backing tables auto-assign their
+    // implicit fts5 rowid, and a table with an INTEGER PRIMARY KEY rowid
+    // alias fills NULL ids from the maxRowId counter (SQLite's "NULL
+    // means assign the next rowid") — per-partition, no global window.
     val isBareFts = effFtsIndex(db, branch, table, txn).exists(_.table == table)
+    val alias = rowidAliasOf(cur)
     val toWrite =
       if (isBareFts && rows.columns.contains("rowid"))
         assignRowIds(rows, cur.maxRowId)
-      else rows
+      else alias match {
+        case Some(a) => assignRowIds(rows, cur.maxRowId, a)
+        case None => rows
+      }
     // single-pass INSERT: the source plan executes exactly once (the
     // write); `changes` comes from counting the files just written — an
     // empty-projection parquet scan, never a re-execution of an
@@ -2858,14 +2994,43 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val dir = catalog.newVersionDir(db, branch, table, ts)
     toWrite.write.parquet(dir.toString)
     val written = sess.read.schema(toWrite.schema).parquet(dir.toString)
-    val n = written.count()
+    // for a rowid-alias table the id high-water mark must also absorb
+    // EXPLICIT ids larger than the counter (SQLite: next rowid is one
+    // above the largest ever used) — count, max AND min come from ONE
+    // aggregation over the written files (min drives the uniqueness
+    // probe below: all-above-the-old-high-water-mark ids cannot collide
+    // with existing rows)
+    val (n, newMaxRowId, minId) = alias match {
+      case Some(a) =>
+        val r = written.agg(count(lit(1)),
+          org.apache.spark.sql.functions.max(col(a)),
+          org.apache.spark.sql.functions.min(col(a))).head()
+        val mx = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val mn = if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)
+        (r.getLong(0), math.max(cur.maxRowId + r.getLong(0), mx), mn)
+      case None =>
+        val c = written.count()
+        (c, cur.maxRowId + c, Long.MaxValue)
+    }
+    // UNIQUE / PRIMARY KEY enforcement (lang_conflict.html), set-based:
+    // one probe job over the batch just written. The rowid-alias pk set
+    // skips the against-existing side when every arriving id is above
+    // the old high-water mark (auto-assigned ids always are, so a plain
+    // bulk INSERT pays nothing beyond the in-batch aggregation).
+    val uniqSets = uniqueSetsOf(db, branch, table, cur, txn)
+    if (uniqSets.nonEmpty)
+      enforceUnique(table, uniqSets, written,
+        ks => if (ks.sizeIs == 1 && alias.contains(ks.head) &&
+                  minId > cur.maxRowId) None
+              else Some(readVersion(cur)),
+        Some(dir))
     // trigger delta: the rows that landed, as __new_* (plan bound NOW so
     // later temp-view churn by body statements can't re-resolve it)
     val newDelta = hooks.map(_ => written.select(
       written.columns.toSeq.map(c => col(c).as(s"__new_$c")): _*))
     hooks.foreach(_.before("INSERT", newDelta.get))
     val v = cur.copy(ts = ts, paths = cur.paths :+ dir.toString,
-      rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n,
+      rowCount = cur.rowCount + n, maxRowId = newMaxRowId,
       clusteredBy = Nil).asInstanceOf[catalog.TableVersion]
     txn.foreach(_.newDirs += dir.toString)
     commitOrStage(db, branch, table, v, txn)
@@ -2880,7 +3045,65 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val (rcols, rrows) = returningRows(written, ret)
     hooks.foreach(_.after("INSERT", newDelta.get))
     QueryResponse(input.id, rcols, rrows, changes = n,
-      lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
+      lastInsertRowId = newMaxRowId, transactionId = input.transactionId)
+  }
+
+  /** The rowid-alias column: a single-column PRIMARY KEY declared INTEGER
+    * (SQLite lang_createtable.html#rowid). */
+  private def rowidAliasOf(v: Catalog#TableVersion): Option[String] = v.pk match {
+    case Seq(c) =>
+      StructType.fromDDL(v.schemaDdl).fields
+        .find(f => f.name == c && f.dataType == LongType).map(_.name)
+    case _ => None
+  }
+
+  /** Every enforced UNIQUE key set for a table: the declared PRIMARY KEY,
+    * column/table-level UNIQUE constraints, and non-partial UNIQUE
+    * indexes (a partial index would need its WHERE predicate at probe
+    * time — recorded, not enforced, and documented in COVERAGE.md). */
+  private def uniqueSetsOf(db: String, branch: String, table: String,
+      cur: Catalog#TableVersion, txn: Option[Txn]): Seq[Seq[String]] =
+    ((if (cur.pk.nonEmpty) Seq(cur.pk) else Nil) ++ cur.uniques ++
+      effClusterIndexesForTable(db, branch, table, txn).collect {
+        case (_, d) if d.unique && !d.partial && d.cols.nonEmpty => d.cols
+      }).distinct
+
+  /** Abort — with SQLite's error shape, dropping the just-written dir —
+    * when a UNIQUE key set is violated. `fresh` is what THIS statement
+    * wrote; `existing` the untouched remainder (None when fresh already
+    * IS the whole table). ONE probe job covers every set: within-fresh
+    * duplicates by aggregation (map-side partials make the hot-key case
+    * cheap), fresh-vs-existing by a key-pruned semi-join that Catalyst
+    * broadcasts when the written batch is small — the set-wise analog of
+    * SQLite's per-row b-tree probe, paid only by tables that DECLARE
+    * uniqueness. SQL NULLs never collide (index.html#uniqueidx: NULLs
+    * are distinct from everything, including other NULLs). */
+  private def enforceUnique(table: String, sets: Seq[Seq[String]],
+      fresh: DataFrame, existingFor: Seq[String] => Option[DataFrame],
+      dropOnViolation: Option[java.nio.file.Path] = None): Unit = {
+    if (sets.isEmpty) return
+    def keys(df: DataFrame, ks: Seq[String]) =
+      ks.foldLeft(df.select(ks.map(col): _*))((d, k) => d.filter(col(k).isNotNull))
+    val probes = sets.map { ks =>
+      val label = lit(ks.mkString(",")).as("__ks")
+      val freshKeys = keys(fresh, ks)
+      val inBatch = freshKeys.groupBy(ks.map(col): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+        .select(label).limit(1)
+      existingFor(ks) match {
+        case Some(ex) =>
+          inBatch.unionByName(
+            keys(ex, ks).join(freshKeys.distinct(), ks.toSeq, "left_semi")
+              .select(label).limit(1))
+        case None => inBatch
+      }
+    }
+    val hit = probes.reduce(_ unionByName _).limit(1).collect()
+    hit.headOption.foreach { r =>
+      dropOnViolation.foreach(catalog.deleteTree)
+      val cols = r.getString(0).split(",").map(c => s"$table.$c").mkString(", ")
+      throw new IllegalArgumentException(s"UNIQUE constraint failed: $cols")
+    }
   }
 
   /** Fill null rowids with maxRowId + batch position — the scale-safe
@@ -2890,10 +3113,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * single-partition global window. Rows that arrive with an explicit
     * rowid keep it and still consume a position, matching the previous
     * row_number-over-the-batch semantics. */
-  private def assignRowIds(rows: DataFrame, base: Long): DataFrame = {
+  private def assignRowIds(rows: DataFrame, base: Long,
+      idCol: String = "rowid"): DataFrame = {
     val snap = rows.localCheckpoint()
     val schema = snap.schema
-    val idx = schema.fieldIndex("rowid")
+    val idx = schema.fieldIndex(idCol)
     val assigned = snap.rdd.zipWithIndex().map { case (r, i) =>
       if (r.isNullAt(idx)) Row.fromSeq(r.toSeq.updated(idx, base + i + 1)) else r
     }
@@ -2923,45 +3147,97 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // later row overwrites), DO NOTHING keeps the FIRST (each later row
     // hits the conflict and is skipped); monotonically_increasing_id
     // preserves VALUES order, making the survivor deterministic where
-    // order exists
+    // order exists. A NULL anywhere in the key NEVER conflicts (SQLite
+    // index.html#uniqueidx: NULLs are distinct from everything) — such
+    // rows bypass the dedup and, via the `=` join below, always insert.
+    val anyNullKey = up.cols.map(col(_).isNull).reduce(_ || _)
     val survivorOrder =
       if (up.set.isDefined) col("__seq").desc else col("__seq").asc
     val lastWins = aligned
       .withColumn("__seq", monotonically_increasing_id())
       .withColumn("__rn", row_number().over(
         Window.partitionBy(up.cols.map(col): _*).orderBy(survivorOrder)))
-      .filter(col("__rn") === 1).drop("__seq", "__rn")
+      .filter(col("__rn") === 1 || anyNullKey).drop("__seq", "__rn")
     val exc = lastWins
       .select(schema.fieldNames.map(f => col(f).as(s"__exc_$f")) :+
         lit(1).as("__exc_m"): _*)
     val ev = scratchView("__graft_excluded", exc)
-    val joinCond = up.cols.map(c => s"t.`$c` <=> e.`__exc_$c`").mkString(" AND ")
+    val joinCond = up.cols.map(c => s"t.`$c` = e.`__exc_$c`").mkString(" AND ")
     val insertSelectList =
       schema.fieldNames.map(f => s"e.`__exc_$f` AS `$f`").mkString(", ")
     val toInsert = sess.sql(
       s"""SELECT $insertSelectList FROM $ev e
          |LEFT ANTI JOIN $tv t ON $joinCond""".stripMargin)
     up.set match {
-      case None => // DO NOTHING: append the non-conflicting rows only
+      case None =>
+        // DO NOTHING: append only the non-conflicting rows. OR IGNORE /
+        // targetless ON CONFLICT resolve against EVERY unique key set
+        // (`ignoreSets`), skipping conflicts with existing rows and with
+        // earlier batch rows set by set (survivor choice under multi-set
+        // IN-BATCH conflict chains is set-wise, not row-serial — a
+        // documented delta, COVERAGE.md)
+        val survivors =
+          if (up.ignoreSets.sizeIs <= 1) toInsert
+          else {
+            val existingDf = readVersion(cur)
+            var kept = aligned.withColumn("__seq", monotonically_increasing_id())
+            up.ignoreSets.foreach { ks =>
+              val nn = ks.map(col(_).isNull).reduce(_ || _)
+              val exKeys = ks.foldLeft(existingDf.select(ks.map(col): _*))(
+                (d, k) => d.filter(col(k).isNotNull)).distinct()
+              kept = kept.join(exKeys, ks.toSeq, "left_anti")
+                .withColumn("__rn", row_number().over(
+                  Window.partitionBy(ks.map(col): _*).orderBy(col("__seq").asc)))
+                .filter(col("__rn") === 1 || nn).drop("__rn")
+            }
+            kept.select(schema.fieldNames.map(col).toSeq: _*)
+          }
+        val alias = rowidAliasOf(cur) // ids pre-assigned at dispatch
+        val toWrite = survivors
         val ts = catalog.nextVersionTs()
         val dir = catalog.newVersionDir(db, branch, table, ts)
-        toInsert.write.parquet(dir.toString)
-        val written = sess.read.schema(toInsert.schema).parquet(dir.toString)
-        val n = written.count() // from the written files — single-pass
+        toWrite.write.parquet(dir.toString)
+        val written = sess.read.schema(toWrite.schema).parquet(dir.toString)
+        // count + id bounds in ONE aggregation over the written files
+        val (n, newMaxRowId, minId) = alias match {
+          case Some(a) =>
+            val r = written.agg(count(lit(1)),
+              org.apache.spark.sql.functions.max(col(a)),
+              org.apache.spark.sql.functions.min(col(a))).head()
+            val mx = if (r.isNullAt(1)) 0L else r.getLong(1)
+            val mn = if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)
+            (r.getLong(0), math.max(cur.maxRowId + r.getLong(0), mx), mn)
+          case None =>
+            val c = written.count()
+            (c, cur.maxRowId + c, Long.MaxValue)
+        }
+        // unique sets NOT conflict-resolved by this statement still
+        // enforce — SQLite errors when a surviving row violates another
+        // unique index (lang_conflict.html)
+        val resolved = (if (up.ignoreSets.nonEmpty) up.ignoreSets
+          else Seq(up.cols)).map(_.toSet)
+        val others = uniqueSetsOf(db, branch, table, cur, txn)
+          .filterNot(ks => resolved.contains(ks.toSet))
+        if (others.nonEmpty)
+          enforceUnique(table, others, written,
+            ks => if (ks.sizeIs == 1 && alias.contains(ks.head) &&
+                      minId > cur.maxRowId) None
+                  else Some(readVersion(cur)),
+            Some(dir))
         val insDelta = hooks.map(_ => written.select(
           written.columns.toSeq.map(c => col(c).as(s"__new_$c")): _*))
         hooks.foreach(_.before("INSERT", insDelta.get))
         txn.foreach(_.newDirs += dir.toString)
         commitOrStage(db, branch, table,
           cur.copy(ts = ts, paths = cur.paths :+ dir.toString,
-            rowCount = cur.rowCount + n, maxRowId = cur.maxRowId + n,
+            rowCount = cur.rowCount + n, maxRowId = newMaxRowId,
             clusteredBy = Nil).asInstanceOf[catalog.TableVersion], txn)
         if (txn.isEmpty) ftsOnAppend(db, branch, table, written)
         else if (n > 0) recordFtsPendingAppend(db, branch, table, txn.get, dir.toString)
         val (rcols, rrows) = returningRows(written, ret)
         hooks.foreach(_.after("INSERT", insDelta.get))
         QueryResponse(input.id, rcols, rrows, changes = n,
-          lastInsertRowId = cur.maxRowId + n, transactionId = input.transactionId)
+          lastInsertRowId = newMaxRowId, transactionId = input.transactionId)
       case Some(setPart) => // DO UPDATE SET ... [WHERE ...]
         val whereCond = up.where
           .map(w => Sql.rewriteExcluded(w)).getOrElse("TRUE")
@@ -2987,22 +3263,58 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         // that marker column, and RETURNING + FTS new-values read the
         // written files instead of re-running the join. readVersion
         // projects the declared schema, so the marker never surfaces.
-        val rewritten = sess.sql(
+        val rewritten = sess.sql(guardSql(schema, cur.notNull, cur.checks,
+          table, Some("`__graft_changed` = 1"), Seq("`__graft_changed`"))(
           s"""SELECT ${proj.mkString(", ")},
              |  CASE WHEN $upd THEN 1 ELSE 0 END AS `__graft_changed`
-             |FROM $tv t LEFT JOIN $ev e ON $joinCond""".stripMargin)
+             |FROM $tv t LEFT JOIN $ev e ON $joinCond""".stripMargin))
         val ts = catalog.nextVersionTs()
         val dir = catalog.newVersionDir(db, branch, table, ts)
+        val alias = rowidAliasOf(cur) // ids pre-assigned at dispatch
         rewritten.unionByName(
             toInsert.withColumn("__graft_changed", lit(2)))
           .write.parquet(dir.toString)
         val written = sess.read
           .schema(schema.add("__graft_changed", IntegerType)).parquet(dir.toString)
-        val markerCounts = written.filter(col("__graft_changed") > 0)
-          .groupBy(col("__graft_changed")).count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val updCount = markerCounts.getOrElse(1, 0L)
-        val insCount = markerCounts.getOrElse(2, 0L)
+        // per-marker count + inserted-id bounds in ONE aggregation (the
+        // id max absorbs EXPLICIT inserted ids above the counter; the min
+        // lets the pk probe below skip the against-existing side)
+        val markerStats = written.filter(col("__graft_changed") > 0)
+          .groupBy(col("__graft_changed"))
+          .agg(count(lit(1)).as("__c"),
+            alias.map(a => org.apache.spark.sql.functions.max(col(a)))
+              .getOrElse(org.apache.spark.sql.functions.max(lit(0L))).as("__mx"),
+            alias.map(a => org.apache.spark.sql.functions.min(col(a)))
+              .getOrElse(org.apache.spark.sql.functions.min(lit(0L))).as("__mn"))
+          .collect().map(r => r.getInt(0) ->
+            (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2),
+              if (r.isNullAt(3)) Long.MaxValue else r.getLong(3))).toMap
+        val updCount = markerStats.get(1).map(_._1).getOrElse(0L)
+        val insCount = markerStats.get(2).map(_._1).getOrElse(0L)
+        val insMax = markerStats.get(2).map(_._2).getOrElse(0L)
+        val insMin = markerStats.get(2).map(_._3).getOrElse(Long.MaxValue)
+        val newMaxRowId = math.max(cur.maxRowId + insCount, insMax)
+        // UNIQUE enforcement over the touched rows: a set matters when a
+        // SET assignment rewrote one of its columns, or when rows were
+        // inserted and the set is not the conflict target itself (target
+        // conflicts were just resolved). Untouched rows are the probe's
+        // existing side — both read the files just written.
+        val setColsL = sets.keys.map(_.toLowerCase).toSet
+        val checkSets = uniqueSetsOf(db, branch, table, cur, txn).filter(ks =>
+          ks.exists(c => setColsL.contains(c.toLowerCase)) ||
+            (insCount > 0 && ks.toSet != up.cols.toSet))
+        if (checkSets.nonEmpty) {
+          val freshRows = written.filter(col("__graft_changed") > 0)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+          val untouched = written.filter(col("__graft_changed") === 0)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+          enforceUnique(table, checkSets, freshRows,
+            ks => if (ks.sizeIs == 1 && alias.contains(ks.head) &&
+                      !ks.exists(c => setColsL.contains(c.toLowerCase)) &&
+                      insMin > cur.maxRowId) None
+                  else Some(untouched),
+            Some(dir))
+        }
         def newTouched = written.filter(col("__graft_changed") > 0)
           .select(schema.fieldNames.map(col).toSeq: _*)
         // trigger deltas, bound before any body runs: updated rows carry
@@ -3028,7 +3340,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         commitOrStage(db, branch, table,
           cur.copy(ts = ts, paths = Seq(dir.toString),
             rowCount = cur.rowCount + insCount,
-            maxRowId = cur.maxRowId + insCount,
+            maxRowId = newMaxRowId,
             clusteredBy = Nil).asInstanceOf[catalog.TableVersion], txn)
         if (updCount + insCount > 0) {
           // updated rows fold old→new; inserted rows append positive-only;
@@ -3055,7 +3367,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           h.after("INSERT", insDelta.get); h.after("UPDATE", updDelta.get)
         }
         QueryResponse(input.id, rcols, rrows, changes = updCount + insCount,
-          lastInsertRowId = cur.maxRowId + insCount,
+          lastInsertRowId = newMaxRowId,
           transactionId = input.transactionId)
     }
   }
@@ -3098,10 +3410,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // change count and the touched-rows NEW values then come from the
     // written files (readVersion projects the declared schema, so the
     // marker column is invisible to every subsequent read of the version)
-    val rewritten = sess.sql(withGen(
+    // NOT NULL / CHECK re-checked on the MODIFIED rows only (gated on the
+    // marker — SQLite never re-validates untouched rows)
+    val rewritten = sess.sql(guardSql(schema, cur.notNull, cur.checks, table,
+      Some("`__graft_changed`"), Seq("`__graft_changed`"))(withGen(
       s"""SELECT ${proj.mkString(", ")},
          |  COALESCE(($cond), FALSE) AS `__graft_changed`
-         |FROM $tv""".stripMargin))
+         |FROM $tv""".stripMargin)))
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
     rewritten.write.parquet(dir.toString)
@@ -3110,6 +3425,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val changes = written.filter(col("__graft_changed")).count()
     def newTouched = written.filter(col("__graft_changed"))
       .select(schema.fieldNames.map(col).toSeq: _*)
+    // UNIQUE enforcement, modified rows only: a set matters only when a
+    // SET assignment rewrote one of its columns (unchanged keys cannot
+    // create a collision); the untouched remainder is the probe's
+    // existing side — both sides read the files just written
+    val setColsL = sets.keys.map(_.toLowerCase).toSet
+    val checkSets = uniqueSetsOf(db, branch, table, cur, txn)
+      .filter(_.exists(c => setColsL.contains(c.toLowerCase)))
+    if (checkSets.nonEmpty && changes > 0)
+      enforceUnique(table, checkSets, newTouched,
+        _ => Some(written.filter(!col("__graft_changed"))
+          .select(schema.fieldNames.map(col).toSeq: _*)),
+        Some(dir))
     // trigger delta: each touched row's old and new values from ONE scan
     // of the pre-statement state, bound before any body runs
     val updDeltaCols =
@@ -3208,10 +3535,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             .map(e => s"CAST(($e) AS ${schema(f).dataType.sql}) AS `$f`")
             .getOrElse(s"`$f`")
         } :+ "`__graft_changed`").mkString(", ")} FROM ($sel)"
-      val rewritten = sess.sql(withGen(
+      val rewritten = sess.sql(guardSql(schema, cur.notNull, cur.checks, table,
+        Some("`__graft_changed`"), Seq("`__graft_changed`"))(withGen(
         s"""SELECT ${proj.mkString(", ")},
            |  (m.__mrid IS NOT NULL) AS `__graft_changed`
-           |FROM $tv t LEFT JOIN $mv m ON t.__rid = m.__mrid""".stripMargin))
+           |FROM $tv t LEFT JOIN $mv m ON t.__rid = m.__mrid""".stripMargin)))
       val ts = catalog.nextVersionTs()
       val dir = catalog.newVersionDir(db, branch, table, ts)
       rewritten.write.parquet(dir.toString)
@@ -3220,6 +3548,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       val changes = written.filter(col("__graft_changed")).count()
       def newTouched = written.filter(col("__graft_changed"))
         .select(schema.fieldNames.map(col).toSeq: _*)
+      // UNIQUE enforcement, modified rows only (same shape as updateTable)
+      val setColsL = sets.map(_._1.toLowerCase).toSet
+      val checkSets = uniqueSetsOf(db, branch, table, cur, txn)
+        .filter(_.exists(c => setColsL.contains(c.toLowerCase)))
+      if (checkSets.nonEmpty && changes > 0)
+        enforceUnique(table, checkSets, newTouched,
+          _ => Some(written.filter(!col("__graft_changed"))
+            .select(schema.fieldNames.map(col).toSeq: _*)),
+          Some(dir))
       // trigger delta: matched rows' old values + their one chosen match's
       // new values, correlated through the __rid join (matches is cached)
       val updDeltaCols =
@@ -3280,9 +3617,23 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       s"SELECT $delCols FROM $tv WHERE COALESCE(($cond), FALSE)"))
     hooks.foreach(_.before("DELETE", delDelta.get))
     txn.foreach(_.newDirs += dir.toString)
+    // rowid accounting (lang_createtable.html#rowid): without
+    // AUTOINCREMENT the next rowid is one above the largest CURRENT
+    // rowid, so deleting the top rows frees their ids — recompute the
+    // high-water mark from the written remainder (one column scan).
+    // AUTOINCREMENT keeps the sequence: ids are never reused.
+    val newMaxRowId = rowidAliasOf(cur) match {
+      case Some(a) if !cur.autoincrement && changes > 0 =>
+        val r = sess.read.schema(StructType.fromDDL(cur.schemaDdl))
+          .parquet(dir.toString)
+          .agg(org.apache.spark.sql.functions.max(col(a))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      case _ => cur.maxRowId
+    }
     commitOrStage(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString),
-        rowCount = cur.rowCount - changes, clusteredBy = Nil)
+        rowCount = cur.rowCount - changes, maxRowId = newMaxRowId,
+        clusteredBy = Nil)
         .asInstanceOf[catalog.TableVersion], txn)
     if (changes > 0) {
       def deleted = sess.sql(

@@ -147,6 +147,29 @@ object Multimodal {
   def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
     writeImage(toBufferedImage(width, height, rgb), "jpeg")
 
+  /** Encode RGB pixels as baseline TIFF via the JDK-9+ imageio TIFF
+    * plugin (pure JDK). `compression` exercises the writer's real
+    * codecs — "Deflate" and "LZW" are LOSSLESS, so decoded stats stay
+    * closed-form oracle-checkable either way; None writes uncompressed
+    * strips. */
+  def encodeTiff(width: Int, height: Int, rgb: Array[Byte],
+      compression: Option[String] = None): Array[Byte] = {
+    val img = toBufferedImage(width, height, rgb)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    compression.foreach { c =>
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType(c)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Encode 8-bit grayscale pixels as GIF with an explicit 256-entry gray
     * palette: every sample maps to its own palette slot, so the encode is
     * LOSSLESS (arbitrary-RGB GIF would quantize to 256 colors — not
@@ -212,7 +235,8 @@ object Multimodal {
       rows.map { r =>
         val (w, h, rgb) = r.kind match {
           case "ppm" => decodePpm(r.payload)
-          case "bmp" | "png" | "gif" | "jpeg" | "jpg" => decodeBmp(r.payload)
+          case "bmp" | "png" | "gif" | "jpeg" | "jpg" | "tiff" | "tif" =>
+            decodeBmp(r.payload)
           case k => throw new IllegalArgumentException(s"no codec for kind $k")
         }
         var sum = 0L
@@ -805,7 +829,8 @@ object Multimodal {
       rows.map { r =>
         val (w, h, rgb) = r.kind match {
           case "ppm" => decodePpm(r.payload)
-          case "bmp" | "png" | "gif" | "jpeg" | "jpg" => decodeBmp(r.payload)
+          case "bmp" | "png" | "gif" | "jpeg" | "jpg" | "tiff" | "tif" =>
+            decodeBmp(r.payload)
           case k => throw new IllegalArgumentException(s"no image codec for kind $k")
         }
         val w2 = w / factor

@@ -247,12 +247,33 @@ object TextAnalysis {
   def crossDocSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val grams = wordGrams(df, textCol, idCol, n)
-    val sharing = grams.groupBy(col("gram"))
-      .agg(count_distinct(col(idCol)).as("gram_docs"))
-    grams.join(sharing, "gram")
-      .groupBy(col(idCol)).agg(
-        count(lit(1)).as("n_spans"),
-        sum(when(col("gram_docs") > 1, 1L).otherwise(0L)).as("dup_spans"))
+    // Skew-proof shape: NOTHING is ever joined or repartitioned on the
+    // bare gram key. A boilerplate gram (license header in half the
+    // corpus) makes `gram` an inherently hot key — a gram-keyed join
+    // would land #docs-with-gram rows on one partition no matter how
+    // positions were pre-collapsed. Instead:
+    //   1. collapse positions to one row per (gram, doc);
+    //   2. find SINGLETON grams (confined to one doc) by pure
+    //      aggregation — hash aggregation with map-side partials is
+    //      skew-immune (the hot gram arrives at its reducer as at most
+    //      one partial row per map task), and for a count==1 group the
+    //      min(doc)/min(occ) partials ARE the only doc and its count;
+    //   3. dup_spans = total spans − unique spans, joined per DOC (a
+    //      well-distributed key).
+    // OperatorsSpec pins this with a synthetic half-corpus boilerplate
+    // gram and a per-task shuffle-read bound.
+    val perDocGram = grams.groupBy(col("gram"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+    val uniquePerDoc = perDocGram.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__docs"), min(col(idCol)).as(idCol),
+        min(col("__occ")).as("__uocc"))
+      .filter(col("__docs") === 1)
+      .groupBy(col(idCol)).agg(sum(col("__uocc")).as("__unique"))
+    val totals = perDocGram.groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("n_spans"))
+    totals.join(uniquePerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        (col("n_spans") - coalesce(col("__unique"), lit(0L))).as("dup_spans"))
       .withColumn("dup_frac", col("dup_spans").cast("double") / col("n_spans"))
   }
 }

@@ -801,6 +801,40 @@ object Pipeline {
       |GROUP BY doc_id, rate, n
       |ORDER BY media_id""".stripMargin
 
+  /** TIFF decode through the JDK-9+ imageio TIFF plugin (same seam as
+    * p14/p31): even docs uncompressed baseline TIFF, odd docs
+    * Deflate-COMPRESSED TIFF — both lossless (pixel i = (d*31+i)%256 over
+    * w*h*3 bytes), so the decoded stats stay closed-form
+    * oracle-checkable, and the odd branch exercises a real compressed
+    * codec path end-to-end. */
+  def p42TiffDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 6 + (id % 5).toInt
+      val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
+      val comp = if (id % 2 == 0) None else Some("Deflate")
+      Multimodal.MediaRow(id, "tiff", Multimodal.encodeTiff(w, h, rgb, comp))
+    }
+    Multimodal.decodeImages(media)
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        round(col("mean_pixel"), 6).as("mean_pixel"))
+      .orderBy(col("media_id"))
+  }
+
+  val p42Oracle: String =
+    """WITH series AS (SELECT unnest(generate_series(0, 479)) AS i),
+      |dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+      |         FROM documents)
+      |SELECT d.doc_id AS media_id, 'tiff' AS format,
+      |  d.w AS width, d.h AS height,
+      |  round(CAST(sum((d.doc_id*31 + s.i) % 256) AS DOUBLE) / (d.w*d.h*3), 6)
+      |    AS mean_pixel
+      |FROM dims d JOIN series s ON s.i < d.w*d.h*3
+      |GROUP BY d.doc_id, d.w, d.h
+      |ORDER BY media_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1111,7 +1145,8 @@ object Pipeline {
     "p38_g711_decode" -> (p38G711Decode _),
     "p39_gzip_roundtrip" -> (p39GzipRoundtrip _),
     "p40_bpe_tokens" -> (p40BpeTokens _),
-    "p41_flac_decode" -> (p41FlacDecode _))
+    "p41_flac_decode" -> (p41FlacDecode _),
+    "p42_tiff_decode" -> (p42TiffDecode _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1150,5 +1185,6 @@ object Pipeline {
     "p37_dup_spans" -> p37Oracle,
     "p38_g711_decode" -> p38Oracle,
     "p39_gzip_roundtrip" -> p39Oracle,
-    "p41_flac_decode" -> p41Oracle)
+    "p41_flac_decode" -> p41Oracle,
+    "p42_tiff_decode" -> p42Oracle)
 }

@@ -393,6 +393,62 @@ object Relational {
       |  FROM lineitem WHERE l_orderkey < 200)
       |ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber""".stripMargin
 
+  /** Window frame EXCLUDE clause (SQLite 3.28 windowfunctions.html#exclude;
+    * SURVEY §2A row 20's last documented gap, closed): Spark has no EXCLUDE
+    * mode, so each variant is recomposed from sums Spark CAN express. Over
+    * a RANGE frame, peer groups lie entirely inside or outside the frame
+    * and the current group is always inside, so with
+    *   full = sum over the frame,   grp = sum over the current peer group
+    *   (RANGE BETWEEN CURRENT ROW AND CURRENT ROW), cur = this row's value:
+    *   EXCLUDE CURRENT ROW = full - cur   (NULL when the frame was only
+    *                                       this row — empty set sums NULL)
+    *   EXCLUDE GROUP       = full - grp   (NULL when frame == group)
+    *   EXCLUDE TIES        = full - grp + cur  (never empty)
+    * All four window columns share one partitioning and ORDER BY → one
+    * shuffle, one sort, one WindowExec after CollapseWindow. Exact decimal
+    * arithmetic end-to-end; the oracle uses DuckDB's NATIVE EXCLUDE, so
+    * this checks the emulation against a real implementation, not against
+    * itself. */
+  def q35ExcludeFrames(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("decimal(18,2)")
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val frame = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = w.rangeBetween(Window.currentRow, Window.currentRow)
+    lineitem(s, dir).filter(col("l_orderkey") < 200)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        sum(q).over(frame).as("__full"),
+        count(lit(1)).over(frame).as("__cnt"),
+        sum(q).over(grp).as("__gsum"),
+        count(lit(1)).over(grp).as("__gcnt"))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        when(col("__cnt") === 1, lit(null))
+          .otherwise(col("__full") - q).cast("double").as("excl_cur"),
+        when(col("__cnt") === col("__gcnt"), lit(null))
+          .otherwise(col("__full") - col("__gsum")).cast("double").as("excl_grp"),
+        (col("__full") - col("__gsum") + q).cast("double").as("excl_ties"))
+      .orderBy(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  val q35Oracle: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_returnflag ORDER BY l_quantity
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |    EXCLUDE CURRENT ROW) AS DOUBLE) AS excl_cur,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_returnflag ORDER BY l_quantity
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |    EXCLUDE GROUP) AS DOUBLE) AS excl_grp,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_returnflag ORDER BY l_quantity
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |    EXCLUDE TIES) AS DOUBLE) AS excl_ties
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin
+
   val q17Oracle: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, running_qty, trail3_qty FROM (
       |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
@@ -561,7 +617,8 @@ object Relational {
     "q23_cte" -> (q23Cte _),
     "q24_values" -> (q24Values _),
     "q25_using_join" -> (q25UsingJoin _),
-    "q29_groups_frames" -> (q29GroupsFrames _))
+    "q29_groups_frames" -> (q29GroupsFrames _),
+    "q35_exclude_frames" -> (q35ExcludeFrames _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Oracle,
@@ -589,5 +646,6 @@ object Relational {
     "q23_cte" -> q23Oracle,
     "q24_values" -> q24Oracle,
     "q25_using_join" -> q25Oracle,
-    "q29_groups_frames" -> q29Oracle)
+    "q29_groups_frames" -> q29Oracle,
+    "q35_exclude_frames" -> q35Oracle)
 }

@@ -110,20 +110,47 @@ object EventStreams {
     event_type: String, value: Double, props: String)
 
   /** Custom stateful aggregation: running per-user totals via
-    * flatMapGroupsWithState (the KeyValueGroupedDataset state API). */
-  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
+    * flatMapGroupsWithState (the KeyValueGroupedDataset state API).
+    *
+    * State is BOUNDED by an event-time TTL (r5 VERDICT): a user idle for
+    * `ttl` past the watermark has its state dropped — without this,
+    * per-user state grows with lifetime user cardinality and a
+    * 100 TB/day stream with unbounded users eventually OOMs the state
+    * store. An expired user that reappears simply starts a fresh running
+    * total. Batch runs (the equivalence twin) process everything in one
+    * group pass — no watermark, no timeout, same totals. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame,
+      watermark: String = "1 hour",
+      ttlMs: Long = 24 * 3600 * 1000L): Dataset[UserAgg] = {
     import spark.implicits._
-    events.as[EventRow]
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.as[EventRow]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         (user: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) => {
-          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
-          var n = prev.events
-          var tot = prev.total
-          rows.foreach { r => n += 1; tot += r.value }
-          val next = UserAgg(user, n, tot)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            state.remove() // idle past TTL: drop the state, emit nothing
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+            var n = prev.events
+            var tot = prev.total
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              n += 1; tot += r.value
+              if (r.ts != null && r.ts.getTime > maxTs) maxTs = r.ts.getTime
+            }
+            val next = UserAgg(user, n, tot)
+            state.update(next)
+            // expire when the watermark passes the user's last event + ttl
+            if (streaming && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs + ttlMs)
+            Iterator(next)
+          }
         })
   }
 }

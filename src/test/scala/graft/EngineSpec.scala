@@ -2610,6 +2610,228 @@ class EngineSpec extends AnyFunSuite {
       q("INSERT INTO __trig_d1 VALUES (1)")).error.nonEmpty)
   }
 
+  test("AUTOINCREMENT never reuses rowids; plain rowid tables do") {
+    val s = newSession()
+    // plain INTEGER PRIMARY KEY: next id is one above the largest CURRENT
+    // id, so deleting the top row frees its id for reuse
+    s.execute("db1", "main",
+      q("CREATE TABLE plain_t (id INTEGER PRIMARY KEY, v TEXT)"))
+    s.execute("db1", "main",
+      q("INSERT INTO plain_t (v) VALUES ('a'), ('b'), ('c')"))
+    assert(s.execute("db1", "main", q("SELECT id FROM plain_t ORDER BY id"))
+      .rows.map(_.head) == Seq(1L, 2L, 3L).map(SqlValue.IntVal))
+    s.execute("db1", "main", q("DELETE FROM plain_t WHERE id = 3"))
+    val p = s.execute("db1", "main",
+      q("INSERT INTO plain_t (v) VALUES ('d') RETURNING id"))
+    assert(p.rows == Seq(Seq(SqlValue.IntVal(3))), s"expected reuse, got ${p.rows}")
+    // AUTOINCREMENT: the sequence survives the delete — fresh id
+    s.execute("db1", "main",
+      q("CREATE TABLE auto_t (id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT)"))
+    s.execute("db1", "main",
+      q("INSERT INTO auto_t (v) VALUES ('a'), ('b'), ('c')"))
+    s.execute("db1", "main", q("DELETE FROM auto_t WHERE id = 3"))
+    val a = s.execute("db1", "main",
+      q("INSERT INTO auto_t (v) VALUES ('d') RETURNING id"))
+    assert(a.rows == Seq(Seq(SqlValue.IntVal(4))), s"expected fresh id, got ${a.rows}")
+    // explicit ids above the counter advance the sequence
+    s.execute("db1", "main", q("INSERT INTO auto_t VALUES (100, 'e')"))
+    val afterHigh = s.execute("db1", "main",
+      q("INSERT INTO auto_t (v) VALUES ('f') RETURNING id"))
+    assert(afterHigh.rows == Seq(Seq(SqlValue.IntVal(101))), afterHigh.rows.toString)
+    // sqlite_sequence reports (name, seq); only AUTOINCREMENT tables appear
+    val seq = s.execute("db1", "main",
+      q("SELECT name, seq FROM sqlite_sequence ORDER BY name"))
+    assert(seq.error.isEmpty, seq.error)
+    assert(seq.rows == Seq(Seq(SqlValue.TextVal("auto_t"), SqlValue.IntVal(101))))
+    // reserved: never a user write target; keyword misuse rejected
+    assert(s.execute("db1", "main",
+      q("INSERT INTO sqlite_sequence VALUES ('x', 1)")).error.nonEmpty)
+    val bad = s.execute("db1", "main",
+      q("CREATE TABLE bad_t (v TEXT AUTOINCREMENT)"))
+    assert(bad.error.contains("AUTOINCREMENT is only allowed on an INTEGER PRIMARY KEY"),
+      bad.error)
+    // the DDL round-trips through sqlite_master
+    val ddl = s.execute("db1", "main",
+      q("SELECT sql FROM sqlite_master WHERE name = 'auto_t'"))
+    assert(ddl.rows.head.head.asInstanceOf[SqlValue.TextVal].v
+      .contains("PRIMARY KEY AUTOINCREMENT"), ddl.rows.toString)
+  }
+
+  test("NOT NULL and CHECK constraints are enforced at write time") {
+    val s = newSession()
+    s.execute("db1", "main",
+      q("CREATE TABLE nn (id INTEGER PRIMARY KEY, name TEXT NOT NULL, " +
+        "qty INTEGER CHECK (qty >= 0))"))
+    // violating INSERTs abort with the SQLite message shape
+    val nul = s.execute("db1", "main", q("INSERT INTO nn VALUES (1, NULL, 5)"))
+    assert(nul.error.contains("NOT NULL constraint failed: nn.name"), nul.error)
+    val chk = s.execute("db1", "main", q("INSERT INTO nn VALUES (1, 'a', -2)"))
+    assert(chk.error.contains("CHECK constraint failed: nn"), chk.error)
+    // nothing landed; valid rows do; NULL check results pass like SQLite
+    assert(s.execute("db1", "main",
+      q("SELECT count(*) AS c FROM nn")).rows.head.head == SqlValue.IntVal(0))
+    assert(s.execute("db1", "main",
+      q("INSERT INTO nn VALUES (1, 'a', 5), (2, 'b', NULL)")).error.isEmpty)
+    // UPDATE re-validates the modified rows (and only them)
+    val bad = s.execute("db1", "main",
+      q("UPDATE nn SET qty = -1 WHERE id = 1"))
+    assert(bad.error.contains("CHECK constraint failed"), bad.error)
+    val badNull = s.execute("db1", "main",
+      q("UPDATE nn SET name = NULL WHERE id = 2"))
+    assert(badNull.error.contains("NOT NULL constraint failed"), badNull.error)
+    val ok = s.execute("db1", "main", q("UPDATE nn SET qty = 7 WHERE id = 1"))
+    assert(ok.error.isEmpty, ok.error)
+    // upsert DO UPDATE validates its post-update values too
+    val up = s.execute("db1", "main",
+      q("INSERT INTO nn VALUES (1, 'a', 1) " +
+        "ON CONFLICT (id) DO UPDATE SET qty = -9"))
+    assert(up.error.contains("CHECK constraint failed"), up.error)
+    val sel = s.execute("db1", "main", q("SELECT qty FROM nn ORDER BY id"))
+    assert(sel.rows.map(_.head) == Seq(SqlValue.IntVal(7), SqlValue.NullVal))
+    // the keyword inside a CHECK body is not a spurious NOT NULL marker
+    s.execute("db1", "main",
+      q("CREATE TABLE nn2 (v INTEGER CHECK (v IS NOT NULL OR 1=1))"))
+    assert(s.execute("db1", "main",
+      q("INSERT INTO nn2 VALUES (NULL)")).error.isEmpty)
+  }
+
+  test("UNIQUE constraints enforce on INSERT; NULLs never collide") {
+    val s = newSession()
+    s.execute("db1", "main",
+      q("CREATE TABLE uq (id INTEGER PRIMARY KEY, email TEXT UNIQUE, " +
+        "a INTEGER, b INTEGER, UNIQUE (a, b))"))
+    assert(s.execute("db1", "main",
+      q("INSERT INTO uq VALUES (1, 'x@e.c', 1, 1), (2, 'y@e.c', 1, 2)"))
+      .error.isEmpty)
+    // column-level UNIQUE: vs existing and within one batch
+    val dup = s.execute("db1", "main",
+      q("INSERT INTO uq VALUES (3, 'x@e.c', 2, 1)"))
+    assert(dup.error.contains("UNIQUE constraint failed: uq.email"), dup.error)
+    val dupBatch = s.execute("db1", "main",
+      q("INSERT INTO uq VALUES (3, 'z@e.c', 2, 1), (4, 'z@e.c', 2, 2)"))
+    assert(dupBatch.error.contains("UNIQUE constraint failed: uq.email"),
+      dupBatch.error)
+    // table-level composite UNIQUE
+    val dupAb = s.execute("db1", "main",
+      q("INSERT INTO uq VALUES (3, 'z@e.c', 1, 2)"))
+    assert(dupAb.error.contains("UNIQUE constraint failed: uq.a, uq.b"),
+      dupAb.error)
+    // the failed statements left NOTHING behind
+    assert(s.execute("db1", "main", q("SELECT count(*) AS c FROM uq"))
+      .rows.head.head == SqlValue.IntVal(2))
+    // explicit duplicate PRIMARY KEY ids are caught too
+    val dupPk = s.execute("db1", "main",
+      q("INSERT INTO uq VALUES (1, 'w@e.c', 9, 9)"))
+    assert(dupPk.error.contains("UNIQUE constraint failed: uq.id"), dupPk.error)
+    // NULLs are distinct from everything, including other NULLs
+    assert(s.execute("db1", "main",
+      q("INSERT INTO uq (id, email, a, b) VALUES (5, NULL, NULL, 7), " +
+        "(6, NULL, NULL, 7)")).error.isEmpty)
+    assert(s.execute("db1", "main", q("SELECT count(*) AS c FROM uq"))
+      .rows.head.head == SqlValue.IntVal(4))
+  }
+
+  test("UNIQUE constraints enforce on UPDATE and upsert, modified rows only") {
+    val s = newSession()
+    s.execute("db1", "main",
+      q("CREATE TABLE uu (id INTEGER PRIMARY KEY, tag TEXT UNIQUE, n INTEGER)"))
+    s.execute("db1", "main",
+      q("INSERT INTO uu VALUES (1, 'a', 0), (2, 'b', 0), (3, 'c', 0)"))
+    // UPDATE that creates a duplicate aborts and leaves the table alone
+    val bad = s.execute("db1", "main",
+      q("UPDATE uu SET tag = 'a' WHERE id = 2"))
+    assert(bad.error.contains("UNIQUE constraint failed: uu.tag"), bad.error)
+    assert(s.execute("db1", "main",
+      q("SELECT tag FROM uu ORDER BY id")).rows.map(_.head) ==
+      Seq("a", "b", "c").map(SqlValue.TextVal))
+    // UPDATE not touching the unique column runs no probe and succeeds
+    assert(s.execute("db1", "main",
+      q("UPDATE uu SET n = 9 WHERE id = 2")).error.isEmpty)
+    // swapping values within ONE statement is fine set-wise (both rows
+    // modified; no duplicate among them)
+    assert(s.execute("db1", "main",
+      q("UPDATE uu SET tag = CASE id WHEN 1 THEN 'b' WHEN 2 THEN 'a' " +
+        "ELSE tag END WHERE id IN (1, 2)")).error.isEmpty)
+    // upsert DO UPDATE that lands on another row's unique value aborts
+    val upBad = s.execute("db1", "main",
+      q("INSERT INTO uu VALUES (3, 'z', 0) " +
+        "ON CONFLICT (id) DO UPDATE SET tag = 'a'"))
+    assert(upBad.error.contains("UNIQUE constraint failed: uu.tag"), upBad.error)
+    // upsert whose INSERT arm violates a non-target unique set aborts
+    val insBad = s.execute("db1", "main",
+      q("INSERT INTO uu VALUES (9, 'c', 0) " +
+        "ON CONFLICT (id) DO UPDATE SET n = 1"))
+    assert(insBad.error.contains("UNIQUE constraint failed: uu.tag"),
+      insBad.error)
+  }
+
+  test("OR IGNORE and targetless ON CONFLICT skip conflicts on ANY unique set") {
+    val s = newSession()
+    s.execute("db1", "main",
+      q("CREATE TABLE ig (id INTEGER PRIMARY KEY, u TEXT UNIQUE, v INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO ig VALUES (1, 'a', 0)"))
+    // OR IGNORE: row 1 conflicts on pk, row 'a' conflicts on the UNIQUE
+    // column, the third row is clean — exactly one lands
+    val r = s.execute("db1", "main",
+      q("INSERT OR IGNORE INTO ig VALUES (1, 'x', 1), (7, 'a', 2), (8, 'n', 3)"))
+    assert(r.error.isEmpty, r.error)
+    assert(r.changes == 1, s"changes=${r.changes}")
+    assert(s.execute("db1", "main", q("SELECT id, u FROM ig ORDER BY id")).rows ==
+      Seq(Seq(SqlValue.IntVal(1), SqlValue.TextVal("a")),
+        Seq(SqlValue.IntVal(8), SqlValue.TextVal("n"))))
+    // targetless ON CONFLICT DO NOTHING behaves the same
+    val r2 = s.execute("db1", "main",
+      q("INSERT INTO ig VALUES (8, 'q', 4), (9, 'n', 5), (10, 'p', 6) " +
+        "ON CONFLICT DO NOTHING"))
+    assert(r2.error.isEmpty, r2.error)
+    assert(r2.changes == 1, s"changes=${r2.changes}")
+    // explicit-target DO NOTHING still ERRORS on a non-target violation
+    val r3 = s.execute("db1", "main",
+      q("INSERT INTO ig VALUES (11, 'p', 7) ON CONFLICT (id) DO NOTHING"))
+    assert(r3.error.contains("UNIQUE constraint failed: ig.u"), r3.error)
+  }
+
+  test("CREATE UNIQUE INDEX validates existing rows and then enforces") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE ci (id INTEGER, v TEXT)"))
+    s.execute("db1", "main",
+      q("INSERT INTO ci VALUES (1, 'a'), (2, 'a'), (3, 'b')"))
+    // existing duplicates refuse the index build
+    val bad = s.execute("db1", "main",
+      q("CREATE UNIQUE INDEX ci_v ON ci (v)"))
+    assert(bad.error.contains("UNIQUE constraint failed: ci.v"), bad.error)
+    s.execute("db1", "main", q("DELETE FROM ci WHERE id = 2"))
+    assert(s.execute("db1", "main",
+      q("CREATE UNIQUE INDEX ci_v ON ci (v)")).error.isEmpty)
+    // and from then on the index enforces like a declared constraint
+    val dup = s.execute("db1", "main", q("INSERT INTO ci VALUES (4, 'b')"))
+    assert(dup.error.contains("UNIQUE constraint failed: ci.v"), dup.error)
+    assert(s.execute("db1", "main",
+      q("INSERT INTO ci VALUES (4, 'c')")).error.isEmpty)
+    // dropping the index drops the enforcement
+    s.execute("db1", "main", q("DROP INDEX ci_v"))
+    assert(s.execute("db1", "main",
+      q("INSERT INTO ci VALUES (5, 'c')")).error.isEmpty)
+  }
+
+  test("upsert with a NULL conflict key always inserts (NULLs never conflict)") {
+    val s = newSession()
+    s.execute("db1", "main",
+      q("CREATE TABLE nk (id INTEGER PRIMARY KEY, u TEXT UNIQUE, n INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO nk VALUES (1, NULL, 0)"))
+    // SQLite: a NULL key never matches, so DO UPDATE's update arm never
+    // fires — the row INSERTS even though an existing row has NULL u
+    val r = s.execute("db1", "main",
+      q("INSERT INTO nk (u, n) VALUES (NULL, 5) " +
+        "ON CONFLICT (u) DO UPDATE SET n = excluded.n"))
+    assert(r.error.isEmpty, r.error)
+    assert(s.execute("db1", "main", q("SELECT count(*) AS c FROM nk"))
+      .rows.head.head == SqlValue.IntVal(2))
+    assert(s.execute("db1", "main",
+      q("SELECT n FROM nk ORDER BY id")).rows.map(_.head) ==
+      Seq(SqlValue.IntVal(0), SqlValue.IntVal(5)))
+  }
+
   test("a BEFORE trigger writing another table does not clobber the outer statement") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE cb_acct (id INTEGER, bal REAL)"))

@@ -362,6 +362,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length == 3 && out.forall(d => d.width == w && d.height == h))
   }
 
+  test("TIFF is lossless uncompressed, Deflate- and LZW-compressed") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    val w = 13; val h = 9
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 53 + 11) % 256).toByte)
+    for (comp <- Seq(None, Some("Deflate"), Some("LZW"))) {
+      val tiff = Multimodal.encodeTiff(w, h, rgb, comp)
+      // little- or big-endian TIFF magic (II*\0 / MM\0*)
+      val magic = new String(tiff.take(2), "US-ASCII")
+      assert(magic == "II" || magic == "MM", s"bad TIFF magic for $comp")
+      val (tw, th, trgb) = Multimodal.decodeBmp(tiff)
+      assert(tw == w && th == h, s"dims for $comp")
+      assert(trgb.toSeq == rgb.toSeq, s"pixels not preserved for $comp")
+    }
+    // compression actually happened: a flat 64x64 image deflates far
+    // below its 12 KiB of raw strip data
+    val flat = Array.fill[Byte](64 * 64 * 3)(42)
+    val plain = Multimodal.encodeTiff(64, 64, flat, None)
+    val packed = Multimodal.encodeTiff(64, 64, flat, Some("Deflate"))
+    assert(packed.length < plain.length / 4,
+      s"Deflate TIFF not smaller: ${packed.length} vs ${plain.length}")
+    // the decodeImages dispatch accepts the kind
+    val media = Seq(Multimodal.MediaRow(1L, "tiff", packed)).toDS()
+    val out = Multimodal.decodeImages(media).collect()
+    assert(out.length == 1 && out.head.width == 64 && out.head.height == 64)
+    assert(out.head.mean_pixel == 42.0)
+  }
+
   test("MJPEG AVI: exact geometry, per-frame pixels within JPEG tolerance") {
     import graft.operators.Multimodal
     implicit val s = spark
@@ -607,6 +635,81 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 3L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("crossDocSpans survives a boilerplate gram in half the corpus without a straggler") {
+    import graft.operators.TextAnalysis
+    // synthetic skew: every EVEN doc carries the same boilerplate sentence
+    // repeated 10x (the licence-header shape), odd docs are fully unique.
+    // The hot grams appear in 50% of all docs; the operator must shuffle
+    // one row per (gram, doc) — not one per POSITION — through the
+    // gram-keyed join, or the hot partition absorbs 10x the rows and a
+    // straggler task dominates at 100x scale.
+    val boiler = Array.fill(10)("common license header applies here").mkString(" ")
+    val docs = spark.range(20000).selectExpr("id AS doc_id",
+      s"""CASE WHEN id % 2 = 0
+         |  THEN concat('$boiler', ' tail', id, 'a tail', id, 'b tail', id, 'c')
+         |  ELSE concat('u', id, 'a u', id, 'b u', id, 'c u', id, 'd u', id, 'e')
+         |END AS text""".stripMargin)
+    val stageRead = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+    val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) {
+          val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
+          stageRead.computeIfAbsent(e.stageId, _ => new java.util.concurrent.atomic.LongAdder())
+            .add(recs)
+          taskMax.computeIfAbsent(e.stageId, _ => new java.util.concurrent.atomic.AtomicLong())
+            .accumulateAndGet(recs, math.max)
+        }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageName.put(e.stageInfo.stageId,
+          e.stageInfo.name + " @ " + e.stageInfo.details.linesIterator.take(1).mkString)
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // force the shuffled-join path: at 100 TB the per-gram doc-count
+      // side is corpus-sized and cannot broadcast, so the skew question
+      // only exists on the gram-keyed exchange this disables-into
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // keep the 32-partition layout observable: at TEST data volumes AQE
+      // would coalesce every tiny exchange into one partition (one task
+      // reading 100% of a stage is small-data coalescing, not skew) —
+      // what this spec measures is how the KEYS distribute
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val out = TextAnalysis.crossDocSpans(docs, "text", "doc_id", n = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      // correctness under skew: even docs are boilerplate-dominated,
+      // odd docs share nothing
+      assert(out.size == 20000)
+      assert(out(0L) > 0.8 && out(2L) > 0.8, s"even-doc dup_frac: ${out(0L)}")
+      assert(out(1L) == 0.0 && out(3L) == 0.0)
+      Thread.sleep(1000) // listener bus is async
+      // no straggler: in every shuffle-reading stage the hottest task
+      // carries at most 2x its FAIR share of that stage's records (the
+      // test session shuffles over few partitions, so the bound is
+      // relative — before the skew-proof rewrite, the gram-keyed join
+      // put 59-100% of a stage on one task; even spread is 1x fair)
+      import scala.jdk.CollectionConverters._
+      val fairShare =
+        1.0 / spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val checked = stageRead.asScala.filter(_._2.sum() > 10000)
+      assert(checked.nonEmpty, "expected at least one shuffle-heavy stage")
+      checked.foreach { case (stage, total) =>
+        val mx = taskMax.get(stage).get()
+        assert(mx.toDouble / total.sum() <= 2.0 * fairShare,
+          s"stage $stage (${stageName.get(stage)}): hottest task read $mx " +
+            s"of ${total.sum()} shuffle records (fair share $fairShare)")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("G.711 ulaw/alaw decode matches the JDK converters on all 256 codes") {

@@ -166,4 +166,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.getLong(1) == batch.getLong(1))
     } finally q.stop()
   }
+
+  test("running totals state is bounded: idle users expire via event-time TTL") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventRow]
+    def wave(users: Range, hour: Int): Seq[EventStreams.EventRow] =
+      users.map(u => EventStreams.EventRow(u.toLong * 10 + hour,
+        new java.sql.Timestamp(hour * 3600000L), u.toLong, "click", 1.0, "{}"))
+    // 1s TTL, zero watermark delay: each hour-apart wave pushes the
+    // watermark far past the previous wave's timeout, so churned users'
+    // state must be dropped, not accumulated
+    val q = EventStreams.runningUserTotals(spark, ms.toDF(),
+        watermark = "0 seconds", ttlMs = 1000L)
+      .writeStream.format("memory").queryName("ttl_totals")
+      .outputMode("update").start()
+    try {
+      ms.addData(wave(1 to 50, 0)); q.processAllAvailable()
+      ms.addData(wave(51 to 100, 1)); q.processAllAvailable()
+      ms.addData(wave(101 to 150, 2)); q.processAllAvailable()
+      ms.addData(wave(151 to 151, 3)); q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows < 150, s"state grew with lifetime user cardinality: $stateRows")
+      assert(stateRows <= 60, s"idle users did not expire: $stateRows rows in state")
+      // the live wave's totals still came through
+      val last = spark.sql(
+        "SELECT count(DISTINCT user_id) FROM ttl_totals WHERE user_id > 100").head()
+      assert(last.getLong(0) == 51)
+    } finally q.stop()
+  }
 }
