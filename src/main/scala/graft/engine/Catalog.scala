@@ -41,7 +41,11 @@ case class FtsIndexDef(table: String, textCols: String, idCol: String)
   * idiom standing in for SQLite's secondary index). `cols` is empty for
   * expression indexes, which are accepted but drive no clustering. */
 case class ClusterIndexDef(table: String, cols: Seq[String],
-  unique: Boolean = false, partial: Boolean = false)
+  unique: Boolean = false, partial: Boolean = false,
+  // raw WHERE predicate of a partial index (lang_createindex.html#partialidx)
+  // — kept so partial UNIQUE indexes enforce over exactly the predicate's
+  // row subset at write time
+  where: Option[String] = None)
 
 /** A stored CREATE TRIGGER definition (SQLite lang_createtrigger.html;
   * reference authorizes the verb at pkg/auth/access_key_statements.go:280).
@@ -223,6 +227,7 @@ class Catalog(val root: Path) {
             val n = cixs.addObject()
             n.put("name", name); n.put("table", defn.table)
             n.put("unique", defn.unique); n.put("partial", defn.partial)
+            defn.where.foreach(w => n.put("where", w))
             val cs = n.putArray("cols"); defn.cols.foreach(cs.add)
           }
         }
@@ -350,7 +355,8 @@ class Catalog(val root: Path) {
       indexDefs((db, branch, n.path("name").asText())) =
         ClusterIndexDef(n.path("table").asText(),
           n.path("cols").elements().asScala.map(_.asText()).toSeq,
-          n.path("unique").asBoolean(false), n.path("partial").asBoolean(false))
+          n.path("unique").asBoolean(false), n.path("partial").asBoolean(false),
+          if (n.has("where")) Some(n.path("where").asText()) else None)
     }
     node.path("triggers").elements().asScala.foreach { n =>
       triggerDefs((db, branch, n.path("name").asText())) =

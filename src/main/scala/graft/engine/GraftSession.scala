@@ -5,7 +5,7 @@ import java.util.UUID
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, concat_ws, count, count_distinct, lit, lower, monotonically_increasing_id, row_number, struct, sum}
+import org.apache.spark.sql.functions.{col, concat_ws, count, count_distinct, expr, lit, lower, monotonically_increasing_id, row_number, struct, sum}
 import org.apache.spark.sql.types._
 
 /** The engine facade: litebase's query lifecycle re-expressed over Spark.
@@ -1969,7 +1969,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       case insertOrRe(how, rest) if conflict.isEmpty =>
         val tableName = unquote(rest.trim.split("[\\s(]")(0))
         val cur = currentOrStaged(db, branch, tableName, txn)
+        // conflict RESOLUTION targets full-table sets only; a partial
+        // index's predicate-scoped uniqueness still ENFORCES (below, in
+        // the write path) but is never the implicit resolution target
         val allSets = uniqueSetsOf(db, branch, tableName, cur, txn)
+          .collect { case UniqueKey(cs, None) => cs }
         if (allSets.isEmpty) (s"INSERT INTO $rest", None)
         else if (how.equalsIgnoreCase("ignore"))
           (s"INSERT INTO $rest",
@@ -2152,14 +2156,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
               tail.matches("(collate\\s+\\w+\\s*)?(asc|desc)?")
             if (tailOk) byLower.get(name.toLowerCase) else None
           }
+          val pred =
+            if (isPartial) Some(tail.replaceFirst("(?i)^where\\s+", "").trim)
+            else None
           val d = ClusterIndexDef(table, cols,
-            unique = uniq != null, partial = isPartial)
+            unique = uniq != null, partial = isPartial, where = pred)
           // CREATE UNIQUE INDEX validates the EXISTING rows first, like
           // SQLite's index build (one aggregation over the key columns —
-          // pruned scan; partial unique indexes are recorded, not
-          // enforced: the probe would need their WHERE predicate)
-          if (d.unique && !d.partial && cols.nonEmpty)
-            enforceUnique(table, Seq(cols),
+          // pruned scan; a partial index's predicate scopes the probe)
+          if (d.unique && cols.nonEmpty && (!d.partial || pred.isDefined))
+            enforceUnique(table, Seq(UniqueKey(cols, pred)),
               readVersion(currentOrStaged(db, branch, table, txn)), _ => None)
           txn match {
             case Some(x) => x.stagedIndexes(ixn) = Some(d)
@@ -2957,7 +2963,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       // declared there is nothing to conflict with — plain INSERT
       val up =
         if (!up0.resolveAll) Some(up0)
-        else uniqueSetsOf(db, branch, table, cur, txn) match {
+        else uniqueSetsOf(db, branch, table, cur, txn)
+            .collect { case UniqueKey(cs, None) => cs } match {
           case Seq() => None
           case all => Some(up0.copy(cols = all.head, ignoreSets = all))
         }
@@ -3020,8 +3027,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val uniqSets = uniqueSetsOf(db, branch, table, cur, txn)
     if (uniqSets.nonEmpty)
       enforceUnique(table, uniqSets, written,
-        ks => if (ks.sizeIs == 1 && alias.contains(ks.head) &&
-                  minId > cur.maxRowId) None
+        k => if (k.cols.sizeIs == 1 && alias.contains(k.cols.head) &&
+                  k.pred.isEmpty && minId > cur.maxRowId) None
               else Some(readVersion(cur)),
         Some(dir))
     // trigger delta: the rows that landed, as __new_* (plan bound NOW so
@@ -3057,15 +3064,22 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     case _ => None
   }
 
+  /** One enforced UNIQUE key set: its columns plus, for a partial UNIQUE
+    * index, the index's WHERE predicate — uniqueness then applies only
+    * within the predicate's row subset (lang_createindex.html#partialidx). */
+  case class UniqueKey(cols: Seq[String], pred: Option[String] = None)
+
   /** Every enforced UNIQUE key set for a table: the declared PRIMARY KEY,
-    * column/table-level UNIQUE constraints, and non-partial UNIQUE
-    * indexes (a partial index would need its WHERE predicate at probe
-    * time — recorded, not enforced, and documented in COVERAGE.md). */
+    * column/table-level UNIQUE constraints, and UNIQUE indexes (partial
+    * ones carry their predicate, applied at probe time). */
   private def uniqueSetsOf(db: String, branch: String, table: String,
-      cur: Catalog#TableVersion, txn: Option[Txn]): Seq[Seq[String]] =
-    ((if (cur.pk.nonEmpty) Seq(cur.pk) else Nil) ++ cur.uniques ++
+      cur: Catalog#TableVersion, txn: Option[Txn]): Seq[UniqueKey] =
+    ((if (cur.pk.nonEmpty) Seq(UniqueKey(cur.pk)) else Nil) ++
+      cur.uniques.map(UniqueKey(_)) ++
       effClusterIndexesForTable(db, branch, table, txn).collect {
-        case (_, d) if d.unique && !d.partial && d.cols.nonEmpty => d.cols
+        case (_, d) if d.unique && d.cols.nonEmpty &&
+            (!d.partial || d.where.isDefined) =>
+          UniqueKey(d.cols, if (d.partial) d.where else None)
       }).distinct
 
   /** Abort — with SQLite's error shape, dropping the just-written dir —
@@ -3077,23 +3091,29 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * broadcasts when the written batch is small — the set-wise analog of
     * SQLite's per-row b-tree probe, paid only by tables that DECLARE
     * uniqueness. SQL NULLs never collide (index.html#uniqueidx: NULLs
-    * are distinct from everything, including other NULLs). */
-  private def enforceUnique(table: String, sets: Seq[Seq[String]],
-      fresh: DataFrame, existingFor: Seq[String] => Option[DataFrame],
+    * are distinct from everything, including other NULLs). A partial
+    * set's predicate filters BOTH sides before the key projection, so
+    * rows outside the subset never conflict. */
+  private def enforceUnique(table: String, sets: Seq[UniqueKey],
+      fresh: DataFrame, existingFor: UniqueKey => Option[DataFrame],
       dropOnViolation: Option[java.nio.file.Path] = None): Unit = {
     if (sets.isEmpty) return
-    def keys(df: DataFrame, ks: Seq[String]) =
-      ks.foldLeft(df.select(ks.map(col): _*))((d, k) => d.filter(col(k).isNotNull))
-    val probes = sets.map { ks =>
+    def keys(df: DataFrame, k: UniqueKey) = {
+      val scoped = k.pred.map(p => df.filter(expr(p))).getOrElse(df)
+      k.cols.foldLeft(scoped.select(k.cols.map(col): _*))(
+        (d, c) => d.filter(col(c).isNotNull))
+    }
+    val probes = sets.map { k =>
+      val ks = k.cols
       val label = lit(ks.mkString(",")).as("__ks")
-      val freshKeys = keys(fresh, ks)
+      val freshKeys = keys(fresh, k)
       val inBatch = freshKeys.groupBy(ks.map(col): _*)
         .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
         .select(label).limit(1)
-      existingFor(ks) match {
+      existingFor(k) match {
         case Some(ex) =>
           inBatch.unionByName(
-            keys(ex, ks).join(freshKeys.distinct(), ks.toSeq, "left_semi")
+            keys(ex, k).join(freshKeys.distinct(), ks.toSeq, "left_semi")
               .select(label).limit(1))
         case None => inBatch
       }
@@ -3217,11 +3237,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         val resolved = (if (up.ignoreSets.nonEmpty) up.ignoreSets
           else Seq(up.cols)).map(_.toSet)
         val others = uniqueSetsOf(db, branch, table, cur, txn)
-          .filterNot(ks => resolved.contains(ks.toSet))
+          .filterNot(k => k.pred.isEmpty && resolved.contains(k.cols.toSet))
         if (others.nonEmpty)
           enforceUnique(table, others, written,
-            ks => if (ks.sizeIs == 1 && alias.contains(ks.head) &&
-                      minId > cur.maxRowId) None
+            k => if (k.cols.sizeIs == 1 && alias.contains(k.cols.head) &&
+                      k.pred.isEmpty && minId > cur.maxRowId) None
                   else Some(readVersion(cur)),
             Some(dir))
         val insDelta = hooks.map(_ => written.select(
@@ -3300,17 +3320,19 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         // conflicts were just resolved). Untouched rows are the probe's
         // existing side — both read the files just written.
         val setColsL = sets.keys.map(_.toLowerCase).toSet
-        val checkSets = uniqueSetsOf(db, branch, table, cur, txn).filter(ks =>
-          ks.exists(c => setColsL.contains(c.toLowerCase)) ||
-            (insCount > 0 && ks.toSet != up.cols.toSet))
+        val checkSets = uniqueSetsOf(db, branch, table, cur, txn).filter(k =>
+          k.pred.isDefined || // SET/insert may move rows into the subset
+            k.cols.exists(c => setColsL.contains(c.toLowerCase)) ||
+            (insCount > 0 && k.cols.toSet != up.cols.toSet))
         if (checkSets.nonEmpty) {
           val freshRows = written.filter(col("__graft_changed") > 0)
             .select(schema.fieldNames.map(col).toSeq: _*)
           val untouched = written.filter(col("__graft_changed") === 0)
             .select(schema.fieldNames.map(col).toSeq: _*)
           enforceUnique(table, checkSets, freshRows,
-            ks => if (ks.sizeIs == 1 && alias.contains(ks.head) &&
-                      !ks.exists(c => setColsL.contains(c.toLowerCase)) &&
+            k => if (k.cols.sizeIs == 1 && alias.contains(k.cols.head) &&
+                      k.pred.isEmpty &&
+                      !k.cols.exists(c => setColsL.contains(c.toLowerCase)) &&
                       insMin > cur.maxRowId) None
                   else Some(untouched),
             Some(dir))
@@ -3429,9 +3451,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // SET assignment rewrote one of its columns (unchanged keys cannot
     // create a collision); the untouched remainder is the probe's
     // existing side — both sides read the files just written
+    // a PARTIAL set always re-checks: the SET may move rows INTO its
+    // predicate subset without touching the key columns themselves
     val setColsL = sets.keys.map(_.toLowerCase).toSet
     val checkSets = uniqueSetsOf(db, branch, table, cur, txn)
-      .filter(_.exists(c => setColsL.contains(c.toLowerCase)))
+      .filter(k => k.pred.isDefined ||
+        k.cols.exists(c => setColsL.contains(c.toLowerCase)))
     if (checkSets.nonEmpty && changes > 0)
       enforceUnique(table, checkSets, newTouched,
         _ => Some(written.filter(!col("__graft_changed"))
@@ -3551,7 +3576,8 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
       // UNIQUE enforcement, modified rows only (same shape as updateTable)
       val setColsL = sets.map(_._1.toLowerCase).toSet
       val checkSets = uniqueSetsOf(db, branch, table, cur, txn)
-        .filter(_.exists(c => setColsL.contains(c.toLowerCase)))
+        .filter(k => k.pred.isDefined ||
+          k.cols.exists(c => setColsL.contains(c.toLowerCase)))
       if (checkSets.nonEmpty && changes > 0)
         enforceUnique(table, checkSets, newTouched,
           _ => Some(written.filter(!col("__graft_changed"))

@@ -2814,6 +2814,39 @@ class EngineSpec extends AnyFunSuite {
       q("INSERT INTO ci VALUES (5, 'c')")).error.isEmpty)
   }
 
+  test("partial UNIQUE index enforces only within its predicate subset") {
+    val s = newSession()
+    s.execute("db1", "main",
+      q("CREATE TABLE pu (id INTEGER PRIMARY KEY, email TEXT, active INTEGER)"))
+    s.execute("db1", "main",
+      q("INSERT INTO pu VALUES (1, 'x@e.c', 1), (2, 'x@e.c', 0)"))
+    // existing duplicate OUTSIDE the subset does not block the build
+    assert(s.execute("db1", "main",
+      q("CREATE UNIQUE INDEX pu_email ON pu (email) WHERE active = 1"))
+      .error.isEmpty)
+    // a second inactive duplicate is fine; an active one conflicts
+    assert(s.execute("db1", "main",
+      q("INSERT INTO pu VALUES (3, 'x@e.c', 0)")).error.isEmpty)
+    val dup = s.execute("db1", "main",
+      q("INSERT INTO pu VALUES (4, 'x@e.c', 1)"))
+    assert(dup.error.contains("UNIQUE constraint failed: pu.email"), dup.error)
+    // UPDATE moving a row INTO the subset collides even though the key
+    // column itself is untouched
+    val moved = s.execute("db1", "main",
+      q("UPDATE pu SET active = 1 WHERE id = 2"))
+    assert(moved.error.contains("UNIQUE constraint failed: pu.email"),
+      moved.error)
+    // moving the ACTIVE row out frees the slot
+    assert(s.execute("db1", "main",
+      q("UPDATE pu SET active = 0 WHERE id = 1")).error.isEmpty)
+    assert(s.execute("db1", "main",
+      q("UPDATE pu SET active = 1 WHERE id = 2")).error.isEmpty)
+    // build-time validation sees in-subset duplicates
+    val bad = s.execute("db1", "main",
+      q("CREATE UNIQUE INDEX pu_em2 ON pu (email) WHERE active = 0"))
+    assert(bad.error.contains("UNIQUE constraint failed: pu.email"), bad.error)
+  }
+
   test("upsert with a NULL conflict key always inserts (NULLs never conflict)") {
     val s = newSession()
     s.execute("db1", "main",
