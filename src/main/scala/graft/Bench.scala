@@ -51,13 +51,18 @@ object Bench {
 
     val names = headline.filter(SparkEntry.queries.contains)
     names.foreach(run(_, "/root/testdata/sf0.001")) // JIT/classloader warmup
-    // min-of-3 per query: environment noise (GC, page cache, host wobble)
-    // inflates individual runs but never deflates them, so the minimum is
-    // the stable estimate; the spread (max-min) is emitted per query so a
-    // regression outside the noise band is distinguishable from variance
+    // min-of-5 per query after one UNTIMED warmup run at the target SF
+    // (pulls the input into page cache and finishes codegen/JIT for this
+    // exact plan): environment noise (GC, page cache, host wobble) inflates
+    // individual runs but never deflates them, so the minimum is the stable
+    // estimate; the spread (max-min) is emitted per query so a regression
+    // outside the noise band is distinguishable from variance. r6 showed
+    // min-of-3 with cold cache can carry spreads >2× the min on a
+    // contended box — unjudgeable.
     val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(5)
     val results = names.map { n =>
+      run(n, sfDir) // per-query warmup at target SF, untimed
       val times = (1 to runsPerQuery).map(_ => run(n, sfDir)).filter(_ >= 0)
       if (times.isEmpty) n -> (-1.0, 0.0)
       else n -> (times.min, times.max - times.min)

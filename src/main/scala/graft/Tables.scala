@@ -1,43 +1,172 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated TPC-H-ish corpus (TESTDATA.md).
   *
   * All queries read straight from parquet so Catalyst can push filters and
   * prune columns at the scan (verified via `.explain("formatted")`); nothing
   * is cached driver-side, so the same code paths hold at 100 TB.
+  *
+  * The loaders are defensive about testdata regeneration: critical column
+  * types are asserted at load with one clear "testdata schema changed"
+  * message, and `events.ts` adapts to either encoding the driver has shipped
+  * (legacy parquet TIMESTAMP(NANOS) vs current timestamp[us]).
   */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir) else
-      spark.read.parquet(s"$dir/$name.parquet")
+  /** How `events.ts` is physically encoded on disk. */
+  sealed trait TsEncoding
+  /** Parquet TIMESTAMP(NANOS): Spark's reader rejects it unless
+    * spark.sql.legacy.parquet.nanosAsLong=true maps it to a nanosecond
+    * long. */
+  case object TsLegacyNanos extends TsEncoding
+  /** A type the default reader accepts (timestamp[us] → Timestamp(NTZ)Type,
+    * or a plain int64 if a future regen writes raw longs). */
+  final case class TsNative(t: DataType) extends TsEncoding
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a nanosecond long
-    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to a microsecond
-    * TimestampType — the same ns→µs truncation DuckDB applies when casting
-    * TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
+  /** Probe the on-disk encoding of `ts` by asking the default reader for
+    * the schema (footer-only — no data read). Only the NANOS rejection is
+    * caught; any other failure (missing file, corrupt footer) propagates. */
+  def eventsTsEncoding(spark: SparkSession, path: String): TsEncoding =
+    try {
+      val schema = spark.read.parquet(path).schema
+      val f = schema.find(_.name == "ts").getOrElse(throw new IllegalStateException(
+        s"testdata schema changed: events at $path has no `ts` column " +
+          s"(found ${schema.fieldNames.mkString(", ")})"))
+      TsNative(f.dataType)
+    } catch {
+      case e: Exception if Option(e.getMessage).exists(m =>
+          m.contains("NANOS") || m.contains("PARQUET_TYPE_ILLEGAL")) =>
+        TsLegacyNanos
+    }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    checkSchema(name, df)
+    df
+  }
+
+  /** Normalize `events.ts` to TIMESTAMP_NTZ microseconds regardless of the
+    * on-disk encoding — the same ns→µs truncation DuckDB applies when
+    * casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
+    * The legacy nanosAsLong flag is only touched when the file actually is
+    * TIMESTAMP(NANOS); the current timestamp[us] path is side-effect free.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts",
-          // integer div: double division would lose precision at 1e18 ns
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val path = s"$dir/events.parquet"
+    eventsTsEncoding(spark, path) match {
+      case TsNative(TimestampType) | TsNative(TimestampNTZType) =>
+        spark.read.parquet(path)
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case TsNative(LongType) =>
+        // raw nanosecond longs (integer div: double division would lose
+        // precision at 1e18 ns)
+        spark.read.parquet(path)
+          .withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case TsNative(other) =>
+        throw new IllegalStateException(
+          s"testdata schema changed: events.ts is $other, expected a " +
+            "timestamp or a nanosecond long")
+      case TsLegacyNanos =>
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try spark.read.parquet(path)
+          .withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
     }
   }
 
-  /** Register every table as a temp view (idempotent). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  /** Critical (table, column) → acceptable types the query pack relies on.
+    * Checked on every load so a testdata regeneration that shifts a type
+    * fails with ONE obvious message instead of dozens of scattered
+    * analysis errors (the r6 failure mode). Only load-bearing columns are
+    * pinned; additive schema changes stay non-fatal. */
+  private val expectedTypes: Map[String, Seq[(String, DataType => Boolean, String)]] = {
+    def is(t: DataType) = (d: DataType) => d == t
+    val ts = (d: DataType) =>
+      d == TimestampType || d == TimestampNTZType
+    Map(
+      "region" -> Seq(("r_regionkey", is(IntegerType), "int"),
+        ("r_name", is(StringType), "string")),
+      "nation" -> Seq(("n_nationkey", is(IntegerType), "int"),
+        ("n_regionkey", is(IntegerType), "int")),
+      "customer" -> Seq(("c_custkey", is(LongType), "bigint"),
+        ("c_acctbal", is(DoubleType), "double")),
+      "supplier" -> Seq(("s_suppkey", is(LongType), "bigint")),
+      "part" -> Seq(("p_partkey", is(LongType), "bigint"),
+        ("p_retailprice", is(DoubleType), "double")),
+      "orders" -> Seq(("o_orderkey", is(LongType), "bigint"),
+        ("o_totalprice", is(DoubleType), "double"),
+        ("o_orderdate", ts, "timestamp")),
+      "lineitem" -> Seq(("l_orderkey", is(LongType), "bigint"),
+        ("l_quantity", is(DoubleType), "double"),
+        ("l_extendedprice", is(DoubleType), "double"),
+        ("l_shipdate", ts, "timestamp")),
+      "events" -> Seq(("event_id", is(LongType), "bigint"),
+        ("ts", is(TimestampNTZType), "timestamp_ntz (post-normalization)"),
+        ("user_id", is(LongType), "bigint"),
+        ("value", is(DoubleType), "double"),
+        ("props", is(StringType), "string")),
+      "documents" -> Seq(("doc_id", is(LongType), "bigint"),
+        ("text", is(StringType), "string")),
+      "embeddings" -> Seq(("vec_id", is(LongType), "bigint"),
+        ("embedding", {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }: DataType => Boolean, "array<float>")))
+  }
+
+  private def checkSchema(name: String, df: DataFrame): Unit =
+    expectedTypes.getOrElse(name, Nil).foreach { case (colName, ok, want) =>
+      df.schema.find(_.name == colName) match {
+        case None => throw new IllegalStateException(
+          s"testdata schema changed: $name is missing column `$colName` " +
+            s"(found ${df.schema.fieldNames.mkString(", ")})")
+        case Some(f) if !ok(f.dataType) => throw new IllegalStateException(
+          s"testdata schema changed: $name.$colName is ${f.dataType.sql}, " +
+            s"expected $want")
+        case _ => ()
+      }
+    }
+
+  /** Register every table as a temp view (idempotent). Each table is
+    * registered independently: one broken loader must not take down queries
+    * that never touch it (the r6 cascade). Failures are NOT swallowed — all
+    * collected errors are rethrown after the good tables are registered, so
+    * a caller that can tolerate a partial registry must catch explicitly. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val failures = all.flatMap { n =>
+      try { load(spark, dir, n).createOrReplaceTempView(n); None }
+      catch { case e: Exception => Some(n -> e) }
+    }
+    failures.headOption.foreach { case (_, first) =>
+      val names = failures.map(_._1).mkString(", ")
+      throw new IllegalStateException(
+        s"failed to register table(s): $names (others registered fine)", first)
+    }
+  }
+
+  /** Register only the tables `query` references (word match against the
+    * corpus table names — a referenced table must appear literally in the
+    * SQL, so false negatives are impossible; a false positive merely
+    * registers an extra healthy view). A broken loader therefore only
+    * fails the queries that actually read it, loudly. */
+  def registerReferenced(spark: SparkSession, dir: String, query: String): Unit = {
+    val lower = query.toLowerCase
+    all.filter(n => ("""\b""" + n + """\b""").r.findFirstIn(lower).isDefined)
+      .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  }
 }

@@ -15,13 +15,38 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // On failure, write a loud sentinel dir + _ERROR file so a broken entry
+    // shows up as an artifact the driver/judge can count, never as a
+    // silently-missing key (the r6 failure mode: 17 broken entries simply
+    // vanished from the correctness JSON).
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = Paths.get(outDir, name)
+        try {
+          // clear any stale parquet so a previous run's result can't be
+          // mistaken for this run's
+          def rm(p: java.nio.file.Path): Unit = {
+            if (Files.isDirectory(p))
+              Files.list(p).forEach(c => rm(c))
+            Files.deleteIfExists(p)
+          }
+          rm(d)
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_ERROR"),
+            s"$name failed: ${e}\n")
+        } catch { case w: Throwable =>
+          System.err.println(s"[verify] $name: could not write _ERROR: $w")
+        }
       }
     }
+    if (failed > 0)
+      System.err.println(s"[verify] $failed of ${SparkEntry.queries.size} " +
+        "queries FAILED (see _ERROR sentinels)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

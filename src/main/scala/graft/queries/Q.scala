@@ -42,9 +42,12 @@ object Q {
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
-  /** Run a SQL query with all corpus tables registered as temp views. */
+  /** Run a SQL query with the corpus tables it references registered as
+    * temp views. Only the referenced tables are loaded, so one broken
+    * loader cannot cascade into unrelated SQL entries (r6 lesson) — a
+    * query that truly needs the broken table still fails loudly at load. */
   def sql(s: SparkSession, dir: String, query: String): DataFrame = {
-    graft.Tables.registerAll(s, dir)
+    graft.Tables.registerReferenced(s, dir, query)
     s.sql(query)
   }
 }

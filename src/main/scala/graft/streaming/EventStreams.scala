@@ -17,20 +17,42 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The on-disk events schema (ts is TIMESTAMP(NANOS) -> read as long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The on-disk events schema, parameterized by the `ts` encoding (legacy
+    * testdata wrote parquet TIMESTAMP(NANOS) → read as long; current
+    * testdata writes timestamp[us]). */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over a directory of event parquet files. */
-  def source(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "4")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Streaming source over a directory of event parquet files. Probes the
+    * batch reader's schema once (footer-only) and adapts, normalizing `ts`
+    * to a microsecond TimestampType either way — identical to the batch
+    * loader's normalization so stream-vs-batch equivalence holds. */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.eventsTsEncoding(spark, dir) match {
+      case graft.Tables.TsNative(t @ (TimestampType | TimestampNTZType)) =>
+        spark.readStream.schema(rawSchema(t))
+          .option("maxFilesPerTrigger", "4")
+          .parquet(dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case graft.Tables.TsNative(LongType) =>
+        spark.readStream.schema(rawSchema(LongType))
+          .option("maxFilesPerTrigger", "4")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case graft.Tables.TsNative(other) =>
+        throw new IllegalStateException(
+          s"testdata schema changed: events.ts is $other, expected a " +
+            "timestamp or a nanosecond long")
+      case graft.Tables.TsLegacyNanos =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.readStream.schema(rawSchema(LongType))
+          .option("maxFilesPerTrigger", "4")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   /** Tumbling 1-hour counts per event type with a 2-hour watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Testdata defensiveness (r6 lessons):
+  *   - one broken table loader must not cascade into SQL queries that never
+  *     touch it (the r6 `registerAll` coupling took down q20–q26);
+  *   - a regenerated testdata schema must fail with ONE clear
+  *     "testdata schema changed" message, not scattered analysis errors;
+  *   - `events.ts` loads under either encoding the driver has shipped.
+  */
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** A corpus dir where `events.parquet` is garbage but everything else is
+    * the real sf0.001 data (symlinked to avoid copies). */
+  private lazy val brokenEventsDir: String = {
+    val dir = Files.createTempDirectory("graft-broken-events")
+    Tables.all.filter(_ != "events").foreach { n =>
+      Files.createSymbolicLink(dir.resolve(s"$n.parquet"),
+        Paths.get(SparkTestSession.sfDir, s"$n.parquet"))
+    }
+    Files.writeString(dir.resolve("events.parquet"), "not a parquet file")
+    dir.toString
+  }
+
+  test("a broken events loader does not take down SQL that ignores events") {
+    // the r6 cascade: q20-style subqueries read only orders/customer
+    val df = graft.queries.Q.sql(spark, brokenEventsDir,
+      """SELECT o_orderstatus, count(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(df.count() > 0)
+  }
+
+  test("SQL that actually reads the broken table still fails loudly") {
+    val e = intercept[Exception] {
+      graft.queries.Q.sql(spark, brokenEventsDir,
+        "SELECT count(*) FROM events").collect()
+    }
+    assert(e != null)
+  }
+
+  test("registerAll registers healthy tables before reporting the broken one") {
+    val e = intercept[IllegalStateException] {
+      Tables.registerAll(spark, brokenEventsDir)
+    }
+    assert(e.getMessage.contains("events"))
+    // the healthy tables made it in despite the failure
+    assert(spark.sql("SELECT count(*) FROM orders").head().getLong(0) > 0)
+  }
+
+  test("events.ts loads as timestamp_ntz from the current timestamp[us] data") {
+    val df = Tables.load(spark, SparkTestSession.sfDir, "events")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(df.count() > 0)
+  }
+
+  test("events.ts loads from a raw nanosecond-long encoding too") {
+    import org.apache.spark.sql.functions._
+    // synthesize the legacy shape: same rows, ts as a bigint of nanos
+    val dir = Files.createTempDirectory("graft-nanos-events")
+    Tables.all.filter(_ != "events").foreach { n =>
+      Files.createSymbolicLink(dir.resolve(s"$n.parquet"),
+        Paths.get(SparkTestSession.sfDir, s"$n.parquet"))
+    }
+    val real = Tables.load(spark, SparkTestSession.sfDir, "events")
+    real.withColumn("ts",
+        (unix_micros(col("ts").cast("timestamp")) * 1000L).as("ts"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    val back = Tables.load(spark, dir.toString, "events")
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // normalization must reproduce the original instants exactly
+    val a = real.select("event_id", "ts").collect().map(r => (r.getLong(0), r.get(1))).toMap
+    val b = back.select("event_id", "ts").collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(a == b)
+  }
+
+  test("a schema drift fails with one clear message") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-drift")
+    // orders with o_orderkey retyped to string — the kind of silent regen
+    // drift that broke r6
+    spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+      .withColumn("o_orderkey", col("o_orderkey").cast("string"))
+      .write.mode("overwrite").parquet(dir.resolve("orders.parquet").toString)
+    val e = intercept[IllegalStateException] {
+      Tables.load(spark, dir.toString, "orders")
+    }
+    assert(e.getMessage.contains("testdata schema changed"))
+    assert(e.getMessage.contains("o_orderkey"))
+  }
+
+  test("an unexpected events.ts type names itself in the error") {
+    val dir = Files.createTempDirectory("graft-drift-ts")
+    spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("string"))
+      .write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+    val e = intercept[IllegalStateException] {
+      Tables.load(spark, dir.toString, "events")
+    }
+    assert(e.getMessage.contains("testdata schema changed"))
+  }
+}
