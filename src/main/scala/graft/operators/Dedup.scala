@@ -40,15 +40,42 @@ object Dedup {
         .as("gram"))
   }
 
+  /** Distinct word n-gram HASHES: (id, gram64) with no gram string ever
+    * materialized — each window's words feed one xxhash64 call directly
+    * (order-sensitive), and array_distinct dedups 8-byte longs instead of
+    * strings. The map-side-cheap base for MinHash at corpus scale; use
+    * [[wordShingles]] when the gram text itself is needed (exact Jaccard,
+    * oracles). */
+  def wordShingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val gramHash = (0 until n).map(j => s"element_at(ws, i+1+$j)").mkString(", ")
+    df.select(col(idCol).as("id"), words.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> xxhash64($gramHash))")))
+        .as("gram64"))
+  }
+
   /** MinHash signatures: k independent hash "permutations" of the shingle
     * set, each a seeded xxhash64 (no arithmetic, so ANSI overflow checking
     * never trips). One explode + one groupBy(id) with k min() aggregates
-    * (map-side partial aggregation keeps the shuffle at k longs per doc). */
+    * (map-side partial aggregation keeps the shuffle at k longs per doc).
+    *
+    * Accepts either a (id, gram) string shingle table or a (id, gram64)
+    * hash table from [[wordShingleHashes]]. A gram string is hashed
+    * exactly once; each of the k permutations then hashes only
+    * (seed+i, gram64) — 16 fixed-width bytes instead of re-walking the
+    * string k times, cutting the dominant map-side cost by ~k× on long
+    * shingles while staying minwise-independent (xxhash64 over a seeded
+    * 64-bit input is as uniform as over the string). */
   def minHashSignatures(shingles: DataFrame, k: Int = 32, seed: Long = 42L): DataFrame = {
+    val hashed =
+      if (shingles.columns.contains("gram64")) shingles
+      else shingles.withColumn("gram64", xxhash64(col("gram")))
     val sigs = (0 until k).map { i =>
-      min(xxhash64(lit(seed + i), col("gram"))).as(s"mh$i")
+      min(xxhash64(lit(seed + i), col("gram64"))).as(s"mh$i")
     }
-    shingles.groupBy(col("id")).agg(sigs.head, sigs.tail: _*)
+    hashed.groupBy(col("id")).agg(sigs.head, sigs.tail: _*)
   }
 
   /** LSH banding: candidate pairs whose signatures agree on at least one
@@ -109,7 +136,7 @@ object Dedup {
   def minHashDedup(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val sigs = minHashSignatures(wordShingles(df, textCol, idCol, shingleLen), k)
+    val sigs = minHashSignatures(wordShingleHashes(df, textCol, idCol, shingleLen), k)
     val bands = k / rowsPerBand
     val mhCols = (0 until k).map(i => col(s"mh$i"))
     val bandCol = (0 until bands).map { j =>
