@@ -156,19 +156,30 @@ object TextAnalysis {
   /** One row per word-n-gram position: (idCol, gram). Shared by the
     * repetition and cross-document span operators so their gram shape
     * (and the matching DuckDB oracles) can never diverge. */
-  private def wordGrams(df: DataFrame, textCol: String, idCol: String,
+  /** Word n-grams reduced to 64-bit identities at explode time: each
+    * window's words feed one xxhash64 call (order-sensitive), so no gram
+    * string is ever allocated and every downstream group/shuffle key is 8
+    * fixed bytes instead of an n-word string (~4× less shuffle for 3-grams
+    * of English text). Identity-only consumers (span counting, repetition
+    * ratios) lose nothing: a collision needs ~2^32 distinct grams to
+    * become likely; even at 10^12 distinct grams the expected number of
+    * colliding PAIRS is ~3·10^4 — a relative error of ~10^-8 on dup
+    * counts, far below the sampling noise of any corpus-quality signal. */
+  private def wordGramHashes(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1: $n")
+    val gramHash = (0 until n).map(j => s"element_at(__ws, i + 1 + $j)")
+      .mkString(", ")
     df.select(col(idCol), words(col(textCol)).as("__ws"))
       .where(size(col("__ws")) >= n)
       .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(__ws) - $n), " +
-          s"i -> concat_ws(' ', slice(__ws, i + 1, $n)))")).as("gram"))
+        s"transform(sequence(0, size(__ws) - $n), i -> xxhash64($gramHash))"))
+        .as("gram"))
   }
 
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
-    val grams = wordGrams(df, textCol, idCol, n)
+    val grams = wordGramHashes(df, textCol, idCol, n)
     grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(
         sum("c").as("n_grams"),
@@ -246,7 +257,7 @@ object TextAnalysis {
     * anywhere; integer counts with one final IEEE division. */
   def crossDocSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
-    val grams = wordGrams(df, textCol, idCol, n)
+    val grams = wordGramHashes(df, textCol, idCol, n)
     // Skew-proof shape: NOTHING is ever joined or repartitioned on the
     // bare gram key. A boilerplate gram (license header in half the
     // corpus) makes `gram` an inherently hot key — a gram-keyed join
