@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -93,9 +94,12 @@ object Dedup {
     val buckets = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val sized = buckets.groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+    // window-count guard over one exchange — see minHashDedup for why a
+    // groupBy + semi-join guard defeats AQE stage reuse
+    val inBuckets = buckets
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("band", "bh")))
       .filter(col("sz").between(2, maxBucket))
-    val inBuckets = buckets.join(sized.select("band", "bh"), Seq("band", "bh"))
+      .drop("sz")
     inBuckets.as("a").join(inBuckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -147,13 +151,20 @@ object Dedup {
     val exploded = sigs
       .select((col("id") +: explode(array(bandCol: _*)).as("b") +: mhCols): _*)
       .select((col("id") +: col("b.band").as("band") +: col("b.bh").as("bh") +: mhCols): _*)
-    // bucket-size guard via groupBy + semi-join (hash agg + hash join, no
-    // sort — measured faster than a count() window, which sorts each
-    // partition); the two uses of `exploded` share one physical execution
-    // through exchange reuse
-    val sized = exploded.groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+    // bucket-size guard via a count() window over ONE (band, bh) exchange.
+    // The r5 groupBy + semi-join guard planned `exploded` twice with
+    // asymmetric column pruning (the count branch drops the mh columns),
+    // so the canonical subtrees differed and AQE could NOT reuse the
+    // stage: the whole scan→shingle→signature pipeline executed twice
+    // (verified in the final adaptive plan — two ShuffleQueryStages each
+    // owning a FileScan). With the window, both self-join branches ARE
+    // the same plan, the signature pipeline runs once, and the window's
+    // (band, bh) exchange doubles as the join's co-partitioning, whose
+    // sort order the merge join reuses.
+    val inBuckets = exploded
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("band", "bh")))
       .filter(col("sz").between(2, maxBucket))
-    val inBuckets = exploded.join(sized.select("band", "bh"), Seq("band", "bh"))
+      .drop("sz")
     val agree = (0 until k)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -284,9 +295,12 @@ object Dedup {
     val exploded = signatures
       .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val sized = exploded.groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+    // window-count guard over one exchange — see minHashDedup for why a
+    // groupBy + semi-join guard defeats AQE stage reuse
+    val buckets = exploded
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("band", "bh")))
       .filter(col("sz").between(2, maxBucket))
-    val buckets = exploded.join(sized.select("band", "bh"), Seq("band", "bh"))
+      .drop("sz")
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))

@@ -7,7 +7,12 @@ import org.apache.spark.sql.SparkSession
   * unexpected shuffle/broadcast choices). */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.toSeq else graft.Bench.headline
+    // -x: execute each query and dump the FINAL adaptive plan too — the
+    // only way to see whether AQE actually reused an exchange (the static
+    // plan always shows duplicated subtrees; reuse happens at runtime).
+    val execute = args.contains("-x")
+    val named = args.filterNot(_ == "-x")
+    val names = if (named.nonEmpty) named.toSeq else graft.Bench.headline
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -27,6 +32,18 @@ object PlanAudit {
           t.startsWith("ReadSchema") || t.startsWith("Location") ||
           t.contains("Exchange") || t.contains("Broadcast"))
           println(l.take(200))
+      }
+      if (execute) {
+        // execute THIS QueryExecution (a .write would plan a separate one,
+        // leaving df's adaptive plan un-finalized)
+        df.queryExecution.toRdd.foreach(_ => ())
+        println("---- final adaptive plan (executed) ----")
+        df.queryExecution.executedPlan.toString.linesIterator.foreach { l =>
+          val t = l.trim
+          if (t.contains("Reused") || t.contains("Exchange") ||
+            t.contains("QueryStage") || t.contains("Scan parquet"))
+            println(l.take(200))
+        }
       }
     }
     spark.stop()
