@@ -1,9 +1,41 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump one query's result to `outDir/name` as parquet. On failure the
+    * entry becomes a loud sentinel dir holding only `_ERROR` (any stale
+    * parquet from a previous run is cleared first), so a broken entry
+    * shows up as an artifact the driver/judge can count — never as a
+    * silently-missing key (the r6 failure mode: 17 broken entries simply
+    * vanished from the correctness JSON). Returns true on success. */
+  def dumpOne(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => DataFrame,
+      sfDir: String, outDir: String): Boolean =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val d = Paths.get(outDir, name)
+      try {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p))
+            Files.list(p).forEach(c => rm(c))
+          Files.deleteIfExists(p)
+        }
+        rm(d)
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_ERROR"), s"$name failed: ${e}\n")
+      } catch { case w: Throwable =>
+        System.err.println(s"[verify] $name: could not write _ERROR: $w")
+      }
+      false
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,34 +47,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // On failure, write a loud sentinel dir + _ERROR file so a broken entry
-    // shows up as an artifact the driver/judge can count, never as a
-    // silently-missing key (the r6 failure mode: 17 broken entries simply
-    // vanished from the correctness JSON).
-    var failed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failed += 1
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        val d = Paths.get(outDir, name)
-        try {
-          // clear any stale parquet so a previous run's result can't be
-          // mistaken for this run's
-          def rm(p: java.nio.file.Path): Unit = {
-            if (Files.isDirectory(p))
-              Files.list(p).forEach(c => rm(c))
-            Files.deleteIfExists(p)
-          }
-          rm(d)
-          Files.createDirectories(d)
-          Files.writeString(d.resolve("_ERROR"),
-            s"$name failed: ${e}\n")
-        } catch { case w: Throwable =>
-          System.err.println(s"[verify] $name: could not write _ERROR: $w")
-        }
-      }
+    val failed = SparkEntry.queries.count { case (name, fn) =>
+      !dumpOne(spark, name, fn, sfDir, outDir)
     }
     if (failed > 0)
       System.err.println(s"[verify] $failed of ${SparkEntry.queries.size} " +

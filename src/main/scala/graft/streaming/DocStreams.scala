@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming document-ingest operators: the near-dup admission
+  * filter a 100 TB/day training-data pipeline runs AT INGEST, so duplicate
+  * documents never reach storage. The batch twins live in
+  * [[graft.operators.Dedup]]; signatures come from the stateless per-row
+  * path ([[graft.operators.Dedup.minHashSignaturesPerDoc]]) so the only
+  * stateful operators are the bucket dedup and the admission count, both
+  * watermark-bounded.
+  */
+object DocStreams {
+
+  /** Streaming LSH near-dup admission: a document is ADMITTED iff it is
+    * the first arrival in EVERY one of its MinHash band buckets within the
+    * watermark.
+    *
+    * Semantics — the standard streaming relaxation of greedy LSH dedup:
+    * a document colliding with ANY earlier arrival's bucket is dropped,
+    * whether or not that earlier arrival was itself admitted, so admission
+    * needs no feedback loop. Two properties follow (pinned by
+    * StreamingSpec):
+    *   - admitted documents pairwise share no band bucket;
+    *   - every dropped document shares a bucket with some earlier arrival.
+    * Slightly over-drops transitive chains versus offline greedy dedup —
+    * the accepted trade for single-pass ingest.
+    *
+    * Plan shape: per-row signatures (zero state) → band explode (×bands)
+    * → dropDuplicatesWithinWatermark on (band, bh) → windowed per-doc
+    * count == bands. State in both stateful stages is bounded by the
+    * watermark; a duplicate arriving later than the watermark delay after
+    * its twin can be re-admitted (same contract as
+    * [[EventStreams.dedupByContent]]).
+    *
+    * Returns (id, ts) of admitted documents, emitted when the watermark
+    * passes their `bucketWindow`. */
+  def nearDupAdmitted(docs: DataFrame, textCol: String, idCol: String,
+      tsCol: String, shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
+      watermark: String = "2 hours", bucketWindow: String = "10 minutes",
+      seed: Long = 42L): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val bands = k / rowsPerBand
+    val sigs = graft.operators.Dedup.minHashSignaturesPerDoc(
+      docs, textCol, idCol, shingleLen, k, seed, carryCols = Seq(tsCol))
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((lit(j) +: (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))): _*)
+          .as("bh"))
+    }
+    sigs
+      .select(col("id"), col(tsCol), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col(tsCol), col("b.band").as("band"), col("b.bh").as("bh"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("band", "bh"))
+      .groupBy(window(col(tsCol), bucketWindow), col("id"))
+      .agg(count(lit(1)).as("__nb"), min(col(tsCol)).as("ts"))
+      .filter(col("__nb") === bands)
+      .select(col("id"), col("ts"))
+  }
+}

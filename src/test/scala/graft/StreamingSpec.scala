@@ -195,4 +195,69 @@ class StreamingSpec extends AnyFunSuite {
       assert(last.getLong(0) == 51)
     } finally q.stop()
   }
+
+  test("streaming near-dup admission matches the batch first-in-every-bucket twin") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import org.apache.spark.sql.expressions.Window
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (0L, base, "2024-01-01 00:00:00"),
+      (1L, "one completely different document about spark adaptive execution and shuffle partition choices", "2024-01-01 00:01:00"),
+      (2L, base, "2024-01-01 00:02:00"), // exact dup of 0 -> must drop
+      (3L, base.replace("alpha", "zulu"), "2024-01-01 00:03:00"), // near dup of 0
+      (4L, "third unrelated text mentioning parquet row groups column chunks and page headers only", "2024-01-01 00:04:00"),
+      (5L, base.replace("tango", "whiskey"), "2024-01-01 00:05:00")) // near dup of 0
+      .map { case (id, t, ts) => (id, t, java.sql.Timestamp.valueOf(ts)) }
+
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    val q = DocStreams.nearDupAdmitted(
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1").parquet(dir),
+        "text", "doc_id", "ts")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      // one file + drain per doc: stream arrival order == ts order, so the
+      // batch rank-by-ts twin below sees the same "first arrival"
+      docs.foreach { d =>
+        Seq(d).toDF("doc_id", "text", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      // sentinel 3h later pushes the watermark past every bucket window
+      Seq((99L, "late sentinel document full of its own entirely novel wording here",
+          java.sql.Timestamp.valueOf("2024-01-01 03:30:00")))
+        .toDF("doc_id", "text", "ts").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val admitted = spark.sql("SELECT id FROM neardup")
+        .collect().map(_.getLong(0)).toSet - 99L
+
+      // batch twin: same per-row signatures + banding, admitted iff first
+      // (by ts) in EVERY band bucket
+      val k = 32; val rowsPerBand = 4; val bands = k / rowsPerBand
+      val sigs = graft.operators.Dedup.minHashSignaturesPerDoc(
+        docs.toDF("doc_id", "text", "ts"), "text", "doc_id", 3, k, 42L, Seq("ts"))
+      val bandCols = (0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          xxhash64((lit(j) +: (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))): _*)
+            .as("bh"))
+      }
+      val exploded = sigs
+        .select(col("id"), col("ts"), explode(array(bandCols: _*)).as("b"))
+        .select(col("id"), col("ts"), col("b.band").as("band"), col("b.bh").as("bh"))
+      val batchAdmitted = exploded
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("band", "bh").orderBy("ts")))
+        .groupBy("id").agg(max("rn").as("worst"))
+        .filter(col("worst") === 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted == batchAdmitted,
+        s"stream=$admitted batch=$batchAdmitted")
+      // the invariants the operator contract promises
+      assert(!admitted.contains(2L), "exact duplicate must be dropped")
+      assert(Set(0L, 1L, 4L).subsetOf(admitted), "novel docs must be admitted")
+    } finally q.stop()
+  }
 }

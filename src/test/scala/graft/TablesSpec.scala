@@ -105,4 +105,27 @@ class TablesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("testdata schema changed"))
   }
+
+  test("Verify.dumpOne writes parquet on success and an _ERROR sentinel on failure") {
+    import org.apache.spark.sql.functions.lit
+    val out = Files.createTempDirectory("graft-verify").toString
+    // success: result parquet lands, no sentinel
+    val ok = Verify.dumpOne(spark, "good",
+      (s, _) => s.range(3).toDF("n"), "unused", out)
+    assert(ok)
+    assert(Files.list(Paths.get(out, "good")).anyMatch(_.toString.endsWith(".parquet")))
+    assert(!Files.exists(Paths.get(out, "good", "_ERROR")))
+    // failure AFTER a previous good run: stale parquet is cleared, only the
+    // sentinel remains, and the message lands inside it
+    val stale = Verify.dumpOne(spark, "flaky",
+      (s, _) => s.range(2).toDF("n"), "unused", out)
+    assert(stale)
+    val bad = Verify.dumpOne(spark, "flaky",
+      (_, _) => throw new RuntimeException("boom-42"), "unused", out)
+    assert(!bad)
+    val entries = Files.list(Paths.get(out, "flaky")).toArray.map(_.toString)
+    assert(entries.length == 1 && entries.head.endsWith("_ERROR"),
+      s"expected only _ERROR, got ${entries.mkString(", ")}")
+    assert(Files.readString(Paths.get(out, "flaky", "_ERROR")).contains("boom-42"))
+  }
 }
