@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Dedup, Flac, Fts, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Flac, Fts, Mp3, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -835,6 +835,50 @@ object Pipeline {
       |GROUP BY d.doc_id, d.w, d.h
       |ORDER BY media_id""".stripMargin
 
+  /** MP3 frame-chain metadata probe ([[graft.operators.Mp3]]): each doc
+    * gets a synthesized MPEG-1 Layer III chain (varying per-frame bitrate
+    * index and padding bit), and the prober must recover frame count,
+    * total frame bytes (pins the ISO frame-length arithmetic), duration
+    * and bitrate stats by actually WALKING the bytes — the oracle computes
+    * the same quantities in closed form. Integer kbps sums keep the
+    * double averages exact, so no rounding is needed. */
+  def p43Mp3Probe(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val n = 3 + (id % 4).toInt
+      val brIdx = (0 until n).map(i => 1 + ((id + i) % 14).toInt)
+      val pads = (0 until n).map(i => ((id + i) % 2).toInt)
+      Multimodal.MediaRow(id, "mp3",
+        Mp3.encodeFrames(1, 3, 0, brIdx, pads, stereo = true))
+    }
+    Mp3.probeMp3s(media)
+      .select(col("media_id"), col("n_frames"), col("total_frame_bytes"),
+        col("duration_s"), col("avg_bitrate_kbps"),
+        col("vbr").cast("long").as("vbr_flag"))
+      .orderBy(col("media_id"))
+  }
+
+  val p43Oracle: String =
+    """WITH brt AS (SELECT * FROM (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),
+      |    (6,80),(7,96),(8,112),(9,128),(10,160),(11,192),(12,224),(13,256),
+      |    (14,320)) t(idx, kbps)),
+      |d AS (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents),
+      |f AS (SELECT d.doc_id, d.n, s.i,
+      |             1 + (d.doc_id + s.i) % 14 AS bidx,
+      |             (d.doc_id + s.i) % 2 AS pad
+      |      FROM d, unnest(generate_series(0, CAST(d.n - 1 AS BIGINT))) s(i)),
+      |agg AS (SELECT f.doc_id, count(*) AS n_frames,
+      |               sum((144 * brt.kbps * 1000) // 44100 + f.pad) AS total_frame_bytes,
+      |               sum(brt.kbps) AS kbps_sum,
+      |               count(DISTINCT brt.kbps) AS n_distinct_br
+      |        FROM f JOIN brt ON brt.idx = f.bidx GROUP BY f.doc_id)
+      |SELECT doc_id AS media_id, n_frames, total_frame_bytes,
+      |  n_frames * 1152.0 / 44100 AS duration_s,
+      |  CAST(kbps_sum AS DOUBLE) / n_frames AS avg_bitrate_kbps,
+      |  CAST(n_distinct_br > 1 AS BIGINT) AS vbr_flag
+      |FROM agg ORDER BY media_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1146,7 +1190,8 @@ object Pipeline {
     "p39_gzip_roundtrip" -> (p39GzipRoundtrip _),
     "p40_bpe_tokens" -> (p40BpeTokens _),
     "p41_flac_decode" -> (p41FlacDecode _),
-    "p42_tiff_decode" -> (p42TiffDecode _))
+    "p42_tiff_decode" -> (p42TiffDecode _),
+    "p43_mp3_probe" -> (p43Mp3Probe _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1186,5 +1231,6 @@ object Pipeline {
     "p38_g711_decode" -> p38Oracle,
     "p39_gzip_roundtrip" -> p39Oracle,
     "p41_flac_decode" -> p41Oracle,
+    "p43_mp3_probe" -> p43Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

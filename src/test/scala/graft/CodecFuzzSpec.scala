@@ -225,4 +225,65 @@ class CodecFuzzSpec extends AnyFunSuite {
         s"n=$n chunkSize=$chunkSize overlap=$overlap")
     }
   }
+
+  test("MP3 probe recovers synthesized frame chains exactly (fuzzed)") {
+    import graft.operators.Mp3
+    val r = rnd
+    for (_ <- 1 to 60) {
+      val version = 1 + r.nextInt(2)
+      val layer = 1 + r.nextInt(3)
+      val srIdx = r.nextInt(3)
+      val stereo = r.nextBoolean()
+      val n = 1 + r.nextInt(12)
+      val brIdx = Seq.fill(n)(1 + r.nextInt(14))
+      val pads = Seq.fill(n)(r.nextInt(2))
+      val bytes = Mp3.encodeFrames(version, layer, srIdx, brIdx, pads, stereo)
+      val m = Mp3.probe(7L, bytes)
+      assert(m.valid && m.n_frames == n, s"v$version L$layer sr=$srIdx n=$n -> $m")
+      assert(m.layer == layer && m.channels == (if (stereo) 2 else 1))
+      assert(m.total_frame_bytes == bytes.length, "walk must cover every byte")
+      // every bitrate table is injective over indices 1-14, so distinct
+      // indices <=> distinct kbps
+      assert(m.vbr == (brIdx.distinct.size > 1))
+      val expSamples = (version, layer) match {
+        case (_, 1) => 384
+        case (_, 2) => 1152
+        case (1, _) => 1152
+        case _ => 576
+      }
+      assert(math.abs(m.duration_s - n.toDouble * expSamples / m.sample_rate) < 1e-12)
+    }
+  }
+
+  test("MP3 probe survives leading junk, ID3v2 tags, and truncated tails") {
+    import graft.operators.Mp3
+    val clean = Mp3.encodeFrames(1, 3, 0, Seq(9, 9, 9), Seq(0, 0, 0), stereo = true)
+    // leading junk: resync finds the first frame
+    val junk = Array.fill[Byte](37)(0x55) ++ clean
+    assert(Mp3.probe(1L, junk).n_frames == 3)
+    // ID3v2 tag: skipped via the syncsafe size, not byte-scanned
+    val tagBody = Array.fill[Byte](200)(0x41)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0,
+      0, 0, (200 >> 7).toByte, (200 & 0x7F).toByte) ++ tagBody ++ clean
+    assert(Mp3.probe(2L, id3).n_frames == 3)
+    // truncated final frame does not count; full frames before it do
+    val cut = clean.dropRight(5)
+    assert(Mp3.probe(3L, cut).n_frames == 2)
+    // trailing ID3v1 tag stops the walk cleanly
+    val v1tag = "TAG".getBytes("US-ASCII") ++ Array.fill[Byte](125)(0)
+    assert(Mp3.probe(4L, clean ++ v1tag).n_frames == 3)
+    // garbage-only input is invalid, not an exception
+    assert(!Mp3.probe(5L, Array.fill[Byte](64)(0x11)).valid)
+    assert(!Mp3.probe(6L, Array.emptyByteArray).valid)
+  }
+
+  test("MP3 probe parses a real-world file when one is available") {
+    import graft.operators.Mp3
+    val p = java.nio.file.Paths.get(
+      "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3")
+    assume(java.nio.file.Files.exists(p), "fixture not on this machine")
+    val m = Mp3.probe(0L, java.nio.file.Files.readAllBytes(p))
+    assert(m.valid && m.n_frames > 0 && m.sample_rate > 0 && m.duration_s > 0,
+      s"real-world parse: $m")
+  }
 }
