@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Dedup, Flac, Fts, Mp3, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Flac, Fts, Mp3, Mp4, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -879,6 +879,39 @@ object Pipeline {
       |  CAST(n_distinct_br > 1 AS BIGINT) AS vbr_flag
       |FROM agg ORDER BY media_id""".stripMargin
 
+  /** MP4 container metadata probe ([[graft.operators.Mp4]]): each doc gets
+    * a synthesized ISO-BMFF container (movie header, video track with
+    * per-doc dimensions, audio track on even ids) and the prober must
+    * recover brand/duration/tracks/codecs/dims by WALKING the box tree —
+    * the oracle states the same quantities in closed form. */
+  def p44Mp4Probe(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = 160 + (id % 8).toInt * 16
+      val h = 120 + (id % 5).toInt * 24
+      val tracks = Seq(("vide", "avc1", w, h)) ++
+        (if (id % 2 == 0) Seq(("soun", "mp4a", 0, 0)) else Nil)
+      Multimodal.MediaRow(id, "mp4",
+        Mp4.encode("isom", 1000L, 1000L * (1 + id % 30), tracks))
+    }
+    Mp4.probeMp4s(media)
+      .select(col("media_id"), col("brand"), col("duration_s"),
+        col("n_tracks"), col("video_codec"), col("width"), col("height"),
+        col("audio_codec"))
+      .orderBy(col("media_id"))
+  }
+
+  val p44Oracle: String =
+    """SELECT doc_id AS media_id, 'isom' AS brand,
+      |  CAST(1 + doc_id % 30 AS DOUBLE) AS duration_s,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+      |  'avc1' AS video_codec,
+      |  CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
+      |  CAST(120 + (doc_id % 5) * 24 AS BIGINT) AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE '' END AS audio_codec
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1191,7 +1224,8 @@ object Pipeline {
     "p40_bpe_tokens" -> (p40BpeTokens _),
     "p41_flac_decode" -> (p41FlacDecode _),
     "p42_tiff_decode" -> (p42TiffDecode _),
-    "p43_mp3_probe" -> (p43Mp3Probe _))
+    "p43_mp3_probe" -> (p43Mp3Probe _),
+    "p44_mp4_probe" -> (p44Mp4Probe _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1232,5 +1266,6 @@ object Pipeline {
     "p39_gzip_roundtrip" -> p39Oracle,
     "p41_flac_decode" -> p41Oracle,
     "p43_mp3_probe" -> p43Oracle,
+    "p44_mp4_probe" -> p44Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

@@ -286,4 +286,45 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(m.valid && m.n_frames > 0 && m.sample_rate > 0 && m.duration_s > 0,
       s"real-world parse: $m")
   }
+
+  test("MP4 probe recovers synthesized containers exactly (fuzzed)") {
+    import graft.operators.Mp4
+    val r = rnd
+    val handlers = Seq("vide", "soun", "text")
+    val codecs = Map("vide" -> Seq("avc1", "hev1", "mp4v"),
+      "soun" -> Seq("mp4a", "opus"), "text" -> Seq("tx3g"))
+    for (_ <- 1 to 60) {
+      val timescale = Seq(600L, 1000L, 90000L)(r.nextInt(3))
+      val durUnits = 1L + r.nextInt(100000)
+      val n = 1 + r.nextInt(4)
+      val tracks = Seq.fill(n) {
+        val hd = handlers(r.nextInt(3))
+        (hd, codecs(hd)(r.nextInt(codecs(hd).size)),
+          if (hd == "vide") 16 * (1 + r.nextInt(120)) else 0,
+          if (hd == "vide") 16 * (1 + r.nextInt(68)) else 0)
+      }
+      val m = Mp4.probe(5L, Mp4.encode("mp42", timescale, durUnits, tracks))
+      assert(m.valid && m.brand == "mp42" && m.n_tracks == n, s"$tracks -> $m")
+      assert(math.abs(m.duration_s - durUnits.toDouble / timescale) < 1e-12)
+      tracks.find(_._1 == "vide") match {
+        case Some((_, codec, w, h)) =>
+          assert(m.video_codec == codec && m.width == w && m.height == h)
+        case None => assert(m.video_codec == "" && m.width == 0)
+      }
+      tracks.find(_._1 == "soun") match {
+        case Some((_, codec, _, _)) => assert(m.audio_codec == codec)
+        case None => assert(m.audio_codec == "")
+      }
+    }
+  }
+
+  test("MP4 probe rejects malformed input without throwing") {
+    import graft.operators.Mp4
+    assert(!Mp4.probe(1L, Array.emptyByteArray).valid)
+    assert(!Mp4.probe(2L, Array.fill[Byte](64)(0x42)).valid)
+    // truncated mid-moov: walk stops, stays invalid instead of overrunning
+    val good = Mp4.encode("isom", 1000L, 5000L, Seq(("vide", "avc1", 320, 240)))
+    assert(!Mp4.probe(3L, good.take(40)).valid)
+    assert(Mp4.probe(4L, good).valid)
+  }
 }
