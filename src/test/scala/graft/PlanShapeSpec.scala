@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executed-plan SHAPE pins: these encode the SCALE.md plan-audit claims
+  * as CI, so a refactor cannot silently reintroduce a scale problem that
+  * correctness tests would never notice (results stay right, the plan
+  * goes quadratic / double-executes / stops pushing filters).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("p03's signature pipeline executes once (AQE exchange reuse)") {
+    // the r5-r6 groupBy+semi-join bucket guard planned the whole
+    // scan->shingle->signature pipeline twice; the window-count guard
+    // makes both self-join branches the same plan, visible as a
+    // ReusedExchange in the FINAL adaptive plan (the static plan cannot
+    // show this - reuse happens at runtime)
+    val df = SparkEntry.queries("p03_dedup_minhash")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "expected the (band, bh) exchange to be reused across the self-join")
+  }
+
+  test("headline plans are cartesian-free") {
+    Bench.headline.filter(SparkEntry.queries.contains).foreach { name =>
+      val plan = formatted(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("selective scans push their filters into the parquet reader") {
+    // q02 filters lineitem on shipdate+discount+quantity; all of it must
+    // reach the scan, not run as a post-scan Filter over full rows
+    val plan = formatted("q02_filter_agg")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      s"q02 scan lost its pushed filters:\n$plan")
+  }
+
+  test("projection pruning reaches the scan (no full-width reads)") {
+    // q01 touches 7 of lineitem's 11 columns; the ReadSchema must not
+    // carry the unused join keys
+    val plan = formatted("q01_pricing_summary")
+    val read = plan.linesIterator.find(_.trim.startsWith("ReadSchema"))
+      .getOrElse(fail("no ReadSchema line"))
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"q01 reads columns it never uses: $read")
+  }
+}
