@@ -30,6 +30,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected the (band, bh) exchange to be reused across the self-join")
   }
 
+  test("p37's per-(gram, doc) aggregate executes once (AQE exchange reuse)") {
+    // totals and singleton-detection both consume the perDocGram
+    // aggregation; the (gram, doc) exchange must be planned once and
+    // reused, or the corpus gets scanned and shingled twice
+    val df = SparkEntry.queries("p37_dup_spans")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "expected the (gram, doc) exchange to be reused across consumers")
+  }
+
   test("headline plans are cartesian-free") {
     Bench.headline.filter(SparkEntry.queries.contains).foreach { name =>
       val plan = formatted(name)
