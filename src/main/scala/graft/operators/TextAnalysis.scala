@@ -251,6 +251,88 @@ object TextAnalysis {
       graft.functions.CompressionExpressions.GzipDecompress(
         org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
+  /** One row per word-n-gram position with BOTH the gram identity and its
+    * (n-1)-word prefix identity (same xxhash64-at-explode scheme as
+    * [[wordGramHashes]]): the shape an n-gram language model needs —
+    * `gram` keys the joint count, `prefix` keys the context count, and
+    * conditional probability is their ratio. */
+  private def wordGramPrefixHashes(df: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"need n >= 2 for a conditional LM: $n")
+    val gramHash = (0 until n).map(j => s"element_at(__ws, i + 1 + $j)")
+      .mkString(", ")
+    val prefHash = (0 until n - 1).map(j => s"element_at(__ws, i + 1 + $j)")
+      .mkString(", ")
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__ws) - $n),
+           |  i -> struct(xxhash64($gramHash) AS gram,
+           |              xxhash64($prefHash) AS prefix))""".stripMargin))
+        .as("__g"))
+      .select(col(idCol), col("__g.gram").as("gram"),
+        col("__g.prefix").as("prefix"))
+  }
+
+  /** CCNet-style n-gram language-model scoring (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" — there a KenLM 5-gram; here a count-based conditional n-gram
+    * model trained distributedly on `ref`). Per document in `docs`:
+    *
+    *   - `n_positions` — word-n-gram positions scored;
+    *   - `lm_hits` / `hit_frac` — positions whose gram survives in the
+    *     pruned model (integer counts + ONE final IEEE division, so a SQL
+    *     oracle reproduces them bitwise);
+    *   - `avg_nll` — average negative log-likelihood in nats, where a hit
+    *     contributes -ln(c(gram)/c(prefix)) (prefix counts are summed over
+    *     CONTINUATION positions, so probabilities are properly normalized:
+    *     Σ_w p(w|prefix) = 1 over the unpruned model) and a miss the fixed
+    *     `oovNll` penalty. This column is the perplexity signal real
+    *     pipelines threshold on; it sums libm logs, so it is validated in
+    *     OperatorsSpec against a scalar reimplementation rather than
+    *     hash-compared cross-engine (the oracle checks the integer columns).
+    *
+    * Pruning is COUNT-threshold based (`minCount`), never top-K: a k-th/
+    * (k+1)-th boundary tie would make the kept set depend on engine sort
+    * order, while "count >= minCount" is engine-independent. A gram that
+    * survives implies its prefix count >= minCount, so the prefix table
+    * pruned at the same threshold always covers every hit.
+    *
+    * Scale shape: training is two keyed aggregations over the reference
+    * corpus (map-side partials absorb hot grams); scoring collapses
+    * positions to one row per (doc, gram) BEFORE the model joins, then
+    * joins on gram/prefix — the pruned model is orders of magnitude
+    * smaller than the corpus (and bounded by vocabulary², further shrunk
+    * by minCount), so stats drive these to broadcasts at moderate model
+    * sizes, and a giant model degrades to a shuffled join AQE can
+    * skew-split. No all-pairs, no driver materialization. */
+  def lmScore(docs: DataFrame, ref: DataFrame, textCol: String,
+      idCol: String, n: Int = 2, minCount: Long = 2L,
+      oovNll: Double = 20.0): DataFrame = {
+    require(minCount >= 1L, s"need minCount >= 1: $minCount")
+    val refG = wordGramPrefixHashes(ref, textCol, idCol, n)
+    val gramCounts = refG.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cg")).filter(col("__cg") >= minCount)
+    val prefixCounts = refG.groupBy(col("prefix"))
+      .agg(count(lit(1)).as("__cp")).filter(col("__cp") >= minCount)
+    val perDoc = wordGramPrefixHashes(docs, textCol, idCol, n)
+      .groupBy(col(idCol), col("gram"), col("prefix"))
+      .agg(count(lit(1)).as("__occ"))
+    val nll = when(col("__cg").isNotNull,
+      -log(col("__cg").cast("double") / col("__cp"))).otherwise(lit(oovNll))
+    perDoc.join(gramCounts, Seq("gram"), "left")
+      .join(prefixCounts, Seq("prefix"), "left")
+      .groupBy(col(idCol)).agg(
+        sum(col("__occ")).as("n_positions"),
+        sum(when(col("__cg").isNotNull, col("__occ")).otherwise(0L))
+          .as("lm_hits"),
+        sum(col("__occ").cast("double") * nll).as("__nll_sum"))
+      .withColumn("hit_frac",
+        col("lm_hits").cast("double") / col("n_positions"))
+      .withColumn("avg_nll", col("__nll_sum") / col("n_positions"))
+      .drop("__nll_sum")
+  }
+
   /** Cross-document duplicated spans (the inter-document complement of
     * [[repetitionSignals]], after Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better": exact substring dedup at the

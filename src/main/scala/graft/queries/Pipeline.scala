@@ -912,6 +912,35 @@ object Pipeline {
       |  CASE WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE '' END AS audio_codec
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** CCNet-style n-gram LM scoring ([[TextAnalysis.lmScore]]): a bigram
+    * model is trained distributedly on the corpus itself (count >= 2
+    * pruning — threshold-based, so the kept set is engine-independent),
+    * then every document is scored against it. The oracle reproduces the
+    * integer coverage columns bitwise (counts + one final division); the
+    * log-likelihood column sums libm logs and is pinned in OperatorsSpec
+    * instead. */
+  def p45LmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(documents(s, dir), documents(s, dir),
+        "text", "doc_id", n = 2, minCount = 2L)
+      .select(col("doc_id"), col("n_positions"), col("lm_hits"),
+        col("hit_frac"))
+      .orderBy(col("doc_id"))
+
+  val p45Oracle: String =
+    """WITH w AS (SELECT doc_id,
+      |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |      FROM documents),
+      |g AS (SELECT doc_id, UNNEST(list_transform(generate_series(1, len(w) - 1),
+      |        i -> w[i] || ' ' || w[i + 1])) AS gram
+      |      FROM w WHERE len(w) >= 2),
+      |lm AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions,
+      |  CAST(COALESCE(SUM(CASE WHEN lm.gram IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS lm_hits,
+      |  CAST(COALESCE(SUM(CASE WHEN lm.gram IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+      |    / COUNT(*) AS hit_frac
+      |FROM g LEFT JOIN lm ON g.gram = lm.gram
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1225,7 +1254,8 @@ object Pipeline {
     "p41_flac_decode" -> (p41FlacDecode _),
     "p42_tiff_decode" -> (p42TiffDecode _),
     "p43_mp3_probe" -> (p43Mp3Probe _),
-    "p44_mp4_probe" -> (p44Mp4Probe _))
+    "p44_mp4_probe" -> (p44Mp4Probe _),
+    "p45_lm_score" -> (p45LmScore _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1267,5 +1297,6 @@ object Pipeline {
     "p41_flac_decode" -> p41Oracle,
     "p43_mp3_probe" -> p43Oracle,
     "p44_mp4_probe" -> p44Oracle,
+    "p45_lm_score" -> p45Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

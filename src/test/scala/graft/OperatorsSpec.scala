@@ -890,4 +890,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(d.mean_amp - mean) < 1e-12)
     assert(math.abs(d.rms - rms) < 1e-12)
   }
+
+  test("lmScore: coverage and avg_nll match a scalar bigram LM") {
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat ran on the mat"),
+      (2L, "a dog sat on a log"),
+      (3L, "zebras juggle quantum kazoos"), // all-OOV bigrams
+      (4L, "single"))                       // < 2 words: no positions
+    val df = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(df, df, "text", "doc_id",
+        n = 2, minCount = 2L, oovNll = 20.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    // scalar reimplementation: bigram/prefix counts over CONTINUATION
+    // positions, pruned at minCount=2, p = c(gram)/c(prefix)
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+").toSeq
+    val positions = corpus.flatMap { case (id, t) =>
+      val w = toks(t); w.sliding(2).filter(_.length == 2)
+        .map(g => (id, (g(0), g(1)))).toSeq
+    }
+    val cg = positions.groupBy(_._2).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L).toMap
+    val cp = positions.groupBy(_._2._1).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L).toMap
+    val expected = positions.groupBy(_._1).map { case (id, ps) =>
+      val n = ps.size
+      val hits = ps.count(p => cg.contains(p._2))
+      val nll = ps.map { p =>
+        cg.get(p._2) match {
+          case Some(c) => -math.log(c.toDouble / cp(p._2._1))
+          case None => 20.0
+        }
+      }.sum
+      id -> (n.toLong, hits.toLong, hits.toDouble / n, nll / n)
+    }
+    assert(got.keySet == expected.keySet && !got.contains(4L))
+    expected.foreach { case (id, (n, hits, frac, nll)) =>
+      val (gn, gh, gf, gnll) = got(id)
+      assert(gn == n && gh == hits, s"doc $id coverage")
+      assert(math.abs(gf - frac) < 1e-15, s"doc $id hit_frac")
+      assert(math.abs(gnll - nll) < 1e-9, s"doc $id avg_nll: $gnll vs $nll")
+    }
+    // sanity on the shape: shared phrasing scores far better than OOV junk
+    assert(got(0L)._4 < got(3L)._4)
+    assert(got(3L)._3 == 0.0 && got(3L)._4 == 20.0)
+  }
 }
