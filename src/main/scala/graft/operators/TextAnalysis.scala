@@ -333,6 +333,131 @@ object TextAnalysis {
       .drop("__nll_sum")
   }
 
+  /** HTML entity decoding for the named entities that dominate real web
+    * text; applied AFTER tag stripping so `&lt;p&gt;` can never become a
+    * live tag. `&amp;` decodes last for the same reason. Numeric
+    * references (`&#...;`) are left as-is — a documented simplification
+    * (handling them exactly needs a per-row code-point builder, not a
+    * replace chain). */
+  private def decodeHtmlEntities(c: Column): Column = {
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+    val decoded = named.foldLeft(c) { case (acc, (e, r)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(e), r)
+    }
+    regexp_replace(decoded, "&amp;", "&")
+  }
+
+  /** Boilerplate-aware HTML→text extraction (the trafilatura/jusText seam
+    * of a web-crawl pipeline, reduced to its regex-expressible core):
+    * drop comments and `<script>`/`<style>` subtrees, replace every
+    * remaining tag with a space (so `</p><p>` never glues words), decode
+    * the common named entities, collapse whitespace. Pure per-row
+    * codegen'd regex — zero shuffle, runs at scan speed; the pattern
+    * subset is RE2-compatible (no lookaround/backrefs) so an oracle
+    * engine applies the identical chain. */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    trim(regexp_replace(decodeHtmlEntities(noTags), "\\s+", " "))
+  }
+
+  /** Inner texts of `<a>` anchors (entity-decoded, whitespace-collapsed),
+    * one array element per link — the raw material for link-density
+    * boilerplate scoring (jusText/boilerpipe's core signal: navigation
+    * chrome is link-dense, body prose is not). */
+  def htmlLinkTexts(c: Column): Column = {
+    val inner = regexp_extract_all(c, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
+    transform(inner, s =>
+      trim(regexp_replace(decodeHtmlEntities(regexp_replace(s, "<[^>]*>", " ")),
+        "\\s+", " ")))
+  }
+
+  /** Per-document HTML extraction report: clean text, its length, link
+    * count and link density (anchor-text chars ÷ total text chars — the
+    * classic boilerplate threshold). One projection, no shuffle. */
+  def extractHtml(df: DataFrame, htmlCol: String): DataFrame = {
+    val links = htmlLinkTexts(col(htmlCol))
+    df.withColumn("text", htmlToText(col(htmlCol)))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_links", size(links).cast("long"))
+      .withColumn("link_chars",
+        coalesce(aggregate(links, lit(0L), (acc, s) => acc + length(s)),
+          lit(0L)))
+      .withColumn("link_density",
+        when(col("n_chars") > 0,
+          col("link_chars").cast("double") / col("n_chars")).otherwise(0.0))
+  }
+
+  /** URL scheme, lowercased ("" when `c` is not a scheme://... URL). */
+  def urlScheme(c: Column): Column =
+    lower(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Canonical host: lowercased, default port (:80 http / :443 https)
+    * and a leading "www." stripped — the key web-crawl pipelines group,
+    * dedup and rate-limit on. Userinfo (`user@host`) is not split out (a
+    * documented simplification; crawl corpora do not carry credentials). */
+  def urlHost(c: Column): Column = {
+    val raw = lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val noPort = when(urlScheme(c) === "http", regexp_replace(raw, ":80$", ""))
+      .when(urlScheme(c) === "https", regexp_replace(raw, ":443$", ""))
+      .otherwise(raw)
+    regexp_replace(noPort, "^www\\.", "")
+  }
+
+  /** Second-level public suffixes recognized by [[registeredDomain]].
+    * Deliberately a small built-in subset of the Mozilla Public Suffix
+    * List (like [[stopwords]]: the point is the operator shape — a
+    * broadcast-free per-row lookup — not lexicon completeness; swap in
+    * the full PSL to productionize). */
+  val secondLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in", "co.kr",
+    "com.mx")
+
+  /** Registered (pay-level) domain of a host column: last two labels, or
+    * last three when the last two are a listed second-level suffix —
+    * the grouping key for per-site dedup/quality stats (RefinedWeb-style
+    * URL dedup operates here, not on full URLs). */
+  def registeredDomain(hostCol: Column): Column = {
+    val host = regexp_replace(hostCol, ":\\d+$", "") // port is not a label
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3),
+      element_at(labels, -2), element_at(labels, -1))
+    when(n >= 3 && last2.isInCollection(secondLevelSuffixes), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Query string with tracking parameters (utm_*, fbclid, gclid, ref)
+    * removed, remaining params in ORIGINAL order (sorting would be a
+    * different engine-dependent normalization), as an array of
+    * "k=v" strings. */
+  def urlQueryParams(c: Column): Column = {
+    val rawQ = regexp_extract(c, "\\?([^#]*)", 1)
+    filter(split(rawQ, "&"), x =>
+      length(x) > 0 && !x.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))
+  }
+
+  /** URL normalization (crawl-dedup canonical form): lowercased scheme +
+    * canonical host, path ("" → "/", case preserved — paths are
+    * case-sensitive), tracking-stripped query, fragment dropped. Pure
+    * per-row codegen'd regex/array ops, zero shuffle; composes with
+    * [[Dedup.exact]] for RefinedWeb-style URL-level dedup. */
+  def normalizeUrl(c: Column): Column = {
+    val path0 = regexp_extract(c,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(length(path0) === 0, lit("/")).otherwise(path0)
+    val params = urlQueryParams(c)
+    val q = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(urlScheme(c), lit("://"), urlHost(c), path, q)
+  }
+
   /** Cross-document duplicated spans (the inter-document complement of
     * [[repetitionSignals]], after Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better": exact substring dedup at the

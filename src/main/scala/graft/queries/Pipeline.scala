@@ -941,6 +941,97 @@ object Pipeline {
       |FROM g LEFT JOIN lm ON g.gram = lm.gram
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
+  /** HTML→text extraction ([[TextAnalysis.extractHtml]]): each doc is
+    * wrapped in a realistic page (comment, title, style + script subtrees
+    * containing tag-like noise, heading, paragraph, a nav link with an
+    * entity), and the extractor must recover the clean text + link-density
+    * signals. The regex chain is RE2-compatible and the oracle applies the
+    * IDENTICAL chain (the p30 shared-regex pattern), so results
+    * hash-match; nastier nesting/entity cases are pinned in OperatorsSpec. */
+  def p46HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><!-- nav --><head><title>"), col("source"),
+      lit("</title><style>p{margin:0}</style>" +
+        "<script>if(1<2){var a=\"&amp;\";}</script></head><body><h1>"),
+      col("source"), lit("</h1><p>"), col("text"),
+      lit("</p><a href=\"/doc?id="), col("doc_id"),
+      lit("\">more &amp; info</a></body></html>"))
+    TextAnalysis.extractHtml(
+        documents(s, dir).select(col("doc_id"), html.as("html")), "html")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+        col("n_chars"), col("n_links"), col("link_chars"),
+        col("link_density"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p46Oracle: String =
+    """WITH h AS (SELECT doc_id,
+      |  '<html><!-- nav --><head><title>' || source ||
+      |  '</title><style>p{margin:0}</style><script>if(1<2){var a="&amp;";}</script></head><body><h1>'
+      |  || source || '</h1><p>' || text || '</p><a href="/doc?id=' ||
+      |  CAST(doc_id AS VARCHAR) || '">more &amp; info</a></body></html>' AS html
+      |  FROM documents),
+      |t AS (SELECT doc_id, trim(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(html,
+      |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g'),
+      |    '<[^>]*>', ' ', 'g'),
+      |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+      |    '&#39;', CHR(39), 'g'), '&apos;', CHR(39), 'g'),
+      |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+      |  '\s+', ' ', 'g')) AS txt FROM h)
+      |SELECT doc_id, md5(txt) AS text_md5,
+      |  CAST(length(txt) AS BIGINT) AS n_chars,
+      |  CAST(1 AS BIGINT) AS n_links, CAST(11 AS BIGINT) AS link_chars,
+      |  11.0 / length(txt) AS link_density
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** URL normalization + registered-domain extraction
+    * ([[TextAnalysis.normalizeUrl]]): each doc gets a synthesized messy
+    * URL (uppercase scheme/host, www prefix, default and non-default
+    * ports, tracking params interleaved with real ones, fragments) and
+    * the operator must produce the canonical form — the oracle states the
+    * expected values in closed form. Even ids exercise the https/:443/
+    * www/co.uk path, odd ids the http/non-default-port/empty-path path. */
+  def p47UrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val url = when(col("doc_id") % 2 === 0, concat(
+      lit("HTTPS://WWW.News"), col("doc_id") % 7,
+      lit(".Example.CO.UK:443/Articles/"), col("doc_id"),
+      lit("?utm_source=feed&id="), col("doc_id"),
+      lit("&utm_campaign=x&ref=tw&page=2#sec")))
+      .otherwise(concat(
+        lit("http://Site"), col("doc_id") % 5, lit(".ORG:8080?q="),
+        col("doc_id"), lit("&utm_medium=a#frag")))
+    val docs = documents(s, dir).select(col("doc_id"), url.as("url"))
+    docs.select(col("doc_id"),
+        TextAnalysis.normalizeUrl(col("url")).as("url_norm"),
+        TextAnalysis.urlHost(col("url")).as("host"),
+        TextAnalysis.registeredDomain(
+          TextAnalysis.urlHost(col("url"))).as("registered_domain"),
+        size(TextAnalysis.urlQueryParams(col("url"))).cast("long")
+          .as("n_params"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p47Oracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    'https://news' || CAST(doc_id % 7 AS VARCHAR) || '.example.co.uk/Articles/'
+      |      || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&page=2'
+      |  ELSE
+      |    'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.org:8080/?q='
+      |      || CAST(doc_id AS VARCHAR) END AS url_norm,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    'news' || CAST(doc_id % 7 AS VARCHAR) || '.example.co.uk'
+      |  ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.org:8080' END AS host,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'example.co.uk'
+      |  ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.org' END AS registered_domain,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_params
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1255,7 +1346,9 @@ object Pipeline {
     "p42_tiff_decode" -> (p42TiffDecode _),
     "p43_mp3_probe" -> (p43Mp3Probe _),
     "p44_mp4_probe" -> (p44Mp4Probe _),
-    "p45_lm_score" -> (p45LmScore _))
+    "p45_lm_score" -> (p45LmScore _),
+    "p46_html_extract" -> (p46HtmlExtract _),
+    "p47_url_normalize" -> (p47UrlNormalize _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1298,5 +1391,7 @@ object Pipeline {
     "p43_mp3_probe" -> p43Oracle,
     "p44_mp4_probe" -> p44Oracle,
     "p45_lm_score" -> p45Oracle,
+    "p46_html_extract" -> p46Oracle,
+    "p47_url_normalize" -> p47Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

@@ -937,4 +937,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0L)._4 < got(3L)._4)
     assert(got(3L)._3 == 0.0 && got(3L)._4 == 20.0)
   }
+
+  test("extractHtml strips boilerplate subtrees and scores link density") {
+    val pages = Seq(
+      // scripts/styles with tag-like payloads, comments, entities, nesting
+      (0L, """<html><head><script type="text/javascript">
+             |if (a < b && c > d) { document.write("<p>fake</p>"); }
+             |</script><style media="all">h1 > span { color: #fff; }
+             |</style></head><body>
+             |<!-- header --><h1>Title &amp; Subtitle</h1>
+             |<p>Body   with
+             |   spaced&nbsp;words &lt;kept&gt; 'as' &quot;is&quot;.</p>
+             |<a href="/x"><b>bold</b> link</a> tail</body></html>""".stripMargin),
+      // no links, nothing but boilerplate
+      (1L, "<script>x</script><style>y</style><!-- z -->"),
+      // multiple links back to back, SCRIPT in caps, unclosed style attr
+      (2L, """<SCRIPT>s</SCRIPT><a href=1>one</a><a href=2>t&amp;o</a><p x="y">end"""))
+      .toDF("doc_id", "html")
+    val got = TextAnalysis.extractHtml(pages, "html")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_links"), r.getAs[Long]("link_chars"),
+          r.getAs[Double]("link_density"))).toMap
+
+    val t0 = "Title & Subtitle Body with spaced words <kept> 'as' \"is\". bold link tail"
+    assert(got(0L)._1 == t0, s"got: ${got(0L)._1}")
+    assert(got(0L)._2 == t0.length && got(0L)._3 == 1L)
+    assert(got(0L)._4 == "bold link".length)
+    assert(math.abs(got(0L)._5 - 9.0 / t0.length) < 1e-15)
+
+    assert(got(1L)._1 == "" && got(1L)._2 == 0L && got(1L)._3 == 0L &&
+      got(1L)._5 == 0.0)
+
+    assert(got(2L)._1 == "one t&o end")
+    assert(got(2L)._3 == 2L && got(2L)._4 == ("one".length + "t&o".length))
+  }
+
+  test("normalizeUrl canonicalizes scheme/host/port/query/fragment") {
+    val cases = Seq(
+      // default port + www + tracking params + fragment
+      (0L, "HTTPS://WWW.Example.COM:443/A/B?utm_source=x&id=1&gclid=z#f",
+        "https://example.com/A/B?id=1", "example.com", "example.com"),
+      // non-default port kept; empty path becomes /
+      (1L, "http://Host.ORG:8080?q=2",
+        "http://host.org:8080/?q=2", "host.org:8080", "host.org"),
+      // tracking-only query vanishes (no trailing ?); path case preserved
+      (2L, "https://a.b.co.uk/Path?utm_a=1&ref=2&fbclid=3",
+        "https://a.b.co.uk/Path", "a.b.co.uk", "b.co.uk"),
+      // bare host, no path/query/fragment; single-label host
+      (3L, "http://localhost", "http://localhost/", "localhost", "localhost"),
+      // :80 is default only for http, kept on https; ref=x vs refresh=x
+      (4L, "https://h.io:80/p?refresh=1&ref=2",
+        "https://h.io:80/p?refresh=1", "h.io:80", "h.io"),
+      // valueless tracking param is dropped too; & runs collapse
+      (5L, "http://www.x.com/p?ref&&a=1", "http://x.com/p?a=1",
+        "x.com", "x.com"))
+    val df = cases.map(c => (c._1, c._2)).toDF("id", "url")
+    val got = df.select(col("id"),
+        TextAnalysis.normalizeUrl(col("url")),
+        TextAnalysis.urlHost(col("url")),
+        TextAnalysis.registeredDomain(TextAnalysis.urlHost(col("url"))))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    cases.foreach { case (id, url, norm, host, dom) =>
+      assert(got(id) == ((norm, host, dom)), s"case $id: $url -> ${got(id)}")
+    }
+    // normalization is idempotent: a second pass is a fixpoint
+    val again = df.select(col("id"), TextAnalysis.normalizeUrl(
+        TextAnalysis.normalizeUrl(col("url"))).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, norm, _, _) => assert(again(id) == norm) }
+  }
 }
