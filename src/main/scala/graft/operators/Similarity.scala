@@ -143,6 +143,69 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): spherical k-means over
+    * the embedding space, then near-duplicate removal WITHIN each cluster
+    * — the cluster partition shrinks the pair space from |corpus|² to
+    * Σ|cluster|², which is the paper's entire scaling argument (they run
+    * 50k clusters over LAION; `nClusters` plays that role here).
+    *
+    * Determinism: centroids init from the `nClusters` lowest-id vectors
+    * (no RNG; on a corpus whose ids follow ingest order this is as good
+    * as a uniform sample — ids CORRELATED with content degrade the
+    * seeding like any non-++ init, so shuffle ids or raise `iters` if
+    * that's your corpus), Lloyd iterations are fixed-count, assignment
+    * ties break on
+    * centroid id, and similarities are rounded before thresholding (the
+    * repo-wide float-noise damper). The keep policy is set-based: a doc
+    * is dropped iff some SMALLER-id doc in its cluster is within the
+    * threshold — one self-join + one distinct, no sequential sweep.
+    *
+    * Scale shape: centroids are nClusters×dims doubles — broadcast;
+    * assignment is a map-side cross join + per-id top-1; centroid
+    * recomputation is a keyed aggregation over (cluster, dim) rows. The
+    * in-cluster pair join shuffles on cluster; a skewed (huge) cluster is
+    * AQE skew-join territory, and [[cosineNearDup]]'s SRP bucketing
+    * composes inside a cluster if one ever dominates. */
+  def semDeDup(df: DataFrame, vecCol: String, idCol: String,
+      nClusters: Int = 16, threshold: Double = 0.97,
+      iters: Int = 3): DataFrame = {
+    require(nClusters >= 1 && iters >= 0,
+      s"need nClusters >= 1, iters >= 0: $nClusters, $iters")
+    val t = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val w0 = Window.orderBy(col("id"))
+    var cent = t.orderBy(col("id")).limit(nClusters)
+      .withColumn("centroid_id", row_number().over(w0))
+      .select(col("centroid_id"), col("v").as("centv"))
+    def assign(c: DataFrame): DataFrame = {
+      val wr = Window.partitionBy(col("id"))
+        .orderBy(col("csim").desc, col("centroid_id"))
+      t.crossJoin(broadcast(c))
+        .withColumn("csim", round(cosine(col("v"), col("centv")), 9))
+        .withColumn("crk", row_number().over(wr))
+        .filter(col("crk") === 1)
+        .select(col("id"), col("v"), col("centroid_id").as("cluster"))
+    }
+    for (_ <- 0 until iters) {
+      val assigned = assign(cent)
+      cent = assigned
+        .select(col("cluster").as("centroid_id"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id")).agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("centv"))
+    }
+    val assigned = assign(cent)
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dropped.withColumn("__drop", lit(1L)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        col("__drop").isNull.as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * using SRP buckets to avoid the all-pairs join. */
   def cosineNearDup(df: DataFrame, vecCol: String, idCol: String, dims: Int,

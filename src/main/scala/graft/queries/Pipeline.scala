@@ -142,6 +142,41 @@ object Pipeline {
       |  FROM v a JOIN v b ON a.id < b.id)
       |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup ([[Similarity.semDeDup]]): embedding-space semantic dedup —
+    * cluster, then drop in-cluster near-duplicates. The query runs with
+    * iters = 0 (pure deterministic centroid assignment, no Lloyd float
+    * averaging) precisely so the WHOLE pipeline — assignment, in-cluster
+    * pair join, keep policy — hash-matches a DuckDB oracle; the Lloyd
+    * refinement path (iters > 0, whose centroid means sum doubles in
+    * engine-dependent order) is pinned in OperatorsSpec instead. */
+  def p48SemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDeDup(embeddings(s, dir), "embedding", "vec_id",
+        nClusters = 8, threshold = 0.5, iters = 0)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("keep").cast("long").as("keep_flag"))
+      .orderBy(col("vec_id"))
+
+  val p48Oracle: String =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY id) AS centroid_id, v AS centv
+      |         FROM (SELECT * FROM v ORDER BY id LIMIT 8)),
+      |scored AS (SELECT v.id, v.v, c.centroid_id,
+      |    round(list_dot_product(v.v, c.centv) /
+      |      (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.centv, c.centv))), 9) AS csim
+      |  FROM v CROSS JOIN cent c),
+      |asg AS (SELECT id, v, centroid_id AS cluster FROM (
+      |    SELECT id, v, centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, centroid_id) AS crk
+      |    FROM scored) WHERE crk = 1),
+      |drp AS (SELECT DISTINCT b.id FROM asg a JOIN asg b
+      |    ON a.cluster = b.cluster AND a.id < b.id
+      |  WHERE round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5)
+      |SELECT asg.id AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+      |  CAST(CASE WHEN drp.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+      |FROM asg LEFT JOIN drp ON asg.id = drp.id
+      |ORDER BY vec_id""".stripMargin
+
   /** Duplicate-cluster resolution over the exact near-dup pair graph:
     * every clustered embedding labeled with its component's min id.
     * Oracle computes the same closure with a DuckDB recursive CTE. */
@@ -1348,7 +1383,8 @@ object Pipeline {
     "p44_mp4_probe" -> (p44Mp4Probe _),
     "p45_lm_score" -> (p45LmScore _),
     "p46_html_extract" -> (p46HtmlExtract _),
-    "p47_url_normalize" -> (p47UrlNormalize _))
+    "p47_url_normalize" -> (p47UrlNormalize _),
+    "p48_semdedup" -> (p48SemDedup _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1393,5 +1429,6 @@ object Pipeline {
     "p45_lm_score" -> p45Oracle,
     "p46_html_extract" -> p46Oracle,
     "p47_url_normalize" -> p47Oracle,
+    "p48_semdedup" -> p48Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

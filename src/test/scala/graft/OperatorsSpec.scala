@@ -1008,4 +1008,43 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     cases.foreach { case (id, _, norm, _, _) => assert(again(id) == norm) }
   }
+
+  test("semDeDup clusters well-separated groups and keeps min-id per dup set") {
+    // three orthogonal directions; within each, exact/near duplicates plus
+    // one distinct member that must survive
+    def v(axis: Int, jitter: Double, d: Int = 6): Array[Float] = {
+      val a = Array.fill(d)(0.0f); a(axis) = 1.0f
+      a((axis + 3) % d) = jitter.toFloat; a
+    }
+    // ids 0/1/2 span the three groups: init is a lowest-id sample, so the
+    // fixture interleaves ids the way an assignment-ordered corpus would
+    val rows = Seq(
+      (0L, v(0, 0.0)), (3L, v(0, 0.01)), (4L, v(0, 0.02)), // near-dups of 0
+      (5L, v(0, 2.0)),                                     // same cell, distinct
+      (1L, v(1, 0.0)), (10L, v(1, 0.01)),                  // near-dups
+      (2L, v(2, 0.0)),                                     // kept
+      (21L, v(2, 2.0)))                                    // same cell, distinct
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semDeDup(df, "embedding", "vec_id",
+        nClusters = 3, threshold = 0.9, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(got.size == rows.size)
+    // groups land in distinct clusters
+    assert(Set(got(0L)._1, got(1L)._1, got(2L)._1).size == 3)
+    assert(got(3L)._1 == got(0L)._1 && got(4L)._1 == got(0L)._1 &&
+      got(5L)._1 == got(0L)._1)
+    assert(got(10L)._1 == got(1L)._1 && got(21L)._1 == got(2L)._1)
+    // min id of each dup set kept, the rest dropped; distinct members kept
+    assert(got(0L)._2 && !got(3L)._2 && !got(4L)._2 && got(5L)._2)
+    assert(got(1L)._2 && !got(10L)._2)
+    assert(got(2L)._2 && got(21L)._2)
+    // keep decisions agree with the exact pair graph at the same threshold
+    val pairs = Similarity.exactNearDup(df, "embedding", "vec_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.map(_._1).foreach { id =>
+      val hasSmallerDup = pairs.exists { case (a, b) =>
+        b == id && got(a)._1 == got(id)._1 }
+      assert(got(id)._2 == !hasSmallerDup, s"id $id keep flag")
+    }
+  }
 }
