@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Dedup, Flac, Fts, Mp3, Mp4, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Flac, Fts, Mp3, Mp4, Multimodal, Quality, Sampling, Similarity, TextAnalysis}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -176,6 +176,43 @@ object Pipeline {
       |  CAST(CASE WHEN drp.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
       |FROM asg LEFT JOIN drp ON asg.id = drp.id
       |ORDER BY vec_id""".stripMargin
+
+  /** Model-based quality filtering ([[graft.operators.Quality]]): score
+    * every document with a quality classifier's FIXED weight vector over
+    * the p10 feature ratios (the GPT-3-style serving path — training is
+    * pinned in OperatorsSpec since trained weights carry float
+    * reduction-order noise). The logit is a fixed-order IEEE chain over
+    * integer-derived ratios, so the oracle reproduces it bitwise; the
+    * keep decision thresholds the logit, never the libm sigmoid. */
+  def p49QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    Quality.score(documents(s, dir), "text",
+        Seq(-2.0, 3.0, -4.0, 2.0, 0.1))
+      .select(col("doc_id"), col("quality_logit"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  val p49Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars_m,
+      |    len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_words,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+      |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |        x -> x IN ('the','a','and','of','to','is','in'))) AS n_stop
+      |  FROM documents),
+      |f AS (SELECT doc_id,
+      |  CASE WHEN n_chars_m = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_chars_m END AS alpha_ratio,
+      |  CASE WHEN n_chars_m = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/n_chars_m END AS punct_ratio,
+      |  CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE)/n_words END AS stop_ratio,
+      |  CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_words END AS avg_word_len
+      |  FROM base)
+      |SELECT doc_id,
+      |  -2.0 + alpha_ratio * 3.0 + punct_ratio * -4.0 + stop_ratio * 2.0
+      |    + avg_word_len * 0.1 AS quality_logit,
+      |  CAST(CASE WHEN -2.0 + alpha_ratio * 3.0 + punct_ratio * -4.0
+      |    + stop_ratio * 2.0 + avg_word_len * 0.1 > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
 
   /** Duplicate-cluster resolution over the exact near-dup pair graph:
     * every clustered embedding labeled with its component's min id.
@@ -1384,7 +1421,8 @@ object Pipeline {
     "p45_lm_score" -> (p45LmScore _),
     "p46_html_extract" -> (p46HtmlExtract _),
     "p47_url_normalize" -> (p47UrlNormalize _),
-    "p48_semdedup" -> (p48SemDedup _))
+    "p48_semdedup" -> (p48SemDedup _),
+    "p49_quality_classifier" -> (p49QualityClassifier _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1430,5 +1468,6 @@ object Pipeline {
     "p46_html_extract" -> p46Oracle,
     "p47_url_normalize" -> p47Oracle,
     "p48_semdedup" -> p48Oracle,
+    "p49_quality_classifier" -> p49Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

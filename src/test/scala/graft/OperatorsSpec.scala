@@ -1047,4 +1047,45 @@ class OperatorsSpec extends AnyFunSuite {
       assert(got(id)._2 == !hasSmallerDup, s"id $id keep flag")
     }
   }
+
+  test("quality classifier: fixed-weight scoring is exact, training separates") {
+    import graft.operators.Quality
+    val clean = Seq(
+      "the cat is in the garden and the dog is there too",
+      "a tale of two cities is a novel of the french revolution",
+      "the quick brown fox jumps over the lazy dog in the field",
+      "rain in spain falls mainly on the plain and the hills")
+    val junk = Seq(
+      "$$$ !!! ### buy now %%% @@@ ^^^ &&& *** ((()))",
+      "~~~ ||| ??? <<< >>> === +++ --- ___ {{{ }}}",
+      "!!!!!! ?????? ;;;;;; :::::: ...... ,,,,,, //////",
+      "@#$%^& *()_+ {}|:\"<> ?~`-= [][]\\ ;',./ !!@@##")
+    val df = (clean.zipWithIndex.map { case (t, i) => (i.toLong, t, 1L) } ++
+      junk.zipWithIndex.map { case (t, i) => (100L + i, t, 0L) })
+      .toDF("doc_id", "text", "label")
+
+    // fixed-weight scoring matches a scalar recomputation BITWISE
+    val w = Seq(-2.0, 3.0, -4.0, 2.0, 0.1)
+    val scored = Quality.score(df, "text", w)
+      .select(col("doc_id"), col("alpha_ratio"), col("punct_ratio"),
+        col("stop_ratio"), col("avg_word_len"), col("quality_logit"),
+        col("keep"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    scored.values.foreach { r =>
+      val z = w(0) + r.getDouble(1) * w(1) + r.getDouble(2) * w(2) +
+        r.getDouble(3) * w(3) + r.getDouble(4) * w(4)
+      assert(r.getDouble(5) == z, s"doc ${r.getLong(0)} logit not bitwise")
+      assert(r.getLong(6) == (if (z > 0) 1L else 0L))
+    }
+
+    // training separates clean from junk perfectly on this fixture
+    val trained = Quality.trainLogistic(df, "text", "label", iters = 80)
+    val preds = Quality.score(df, "text", trained.toSeq)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clean.indices.foreach(i => assert(preds(i.toLong) == 1L, s"clean $i"))
+    junk.indices.foreach(i => assert(preds(100L + i) == 0L, s"junk $i"))
+    // learned direction: alphabetic prose up, punctuation down
+    assert(trained(1) > 0 && trained(2) < 0)
+  }
 }
