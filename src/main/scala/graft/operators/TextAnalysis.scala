@@ -310,11 +310,18 @@ object TextAnalysis {
       idCol: String, n: Int = 2, minCount: Long = 2L,
       oovNll: Double = 20.0): DataFrame = {
     require(minCount >= 1L, s"need minCount >= 1: $minCount")
-    val refG = wordGramPrefixHashes(ref, textCol, idCol, n)
-    val gramCounts = refG.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__cg")).filter(col("__cg") >= minCount)
-    val prefixCounts = refG.groupBy(col("prefix"))
-      .agg(count(lit(1)).as("__cp")).filter(col("__cp") >= minCount)
+    // ONE full-corpus shuffle: count (gram, prefix) pairs — a gram
+    // determines its prefix, so this is the gram-count table — then roll
+    // prefix totals up from THAT (distinct-gram-sized) table instead of
+    // re-shuffling every position row a second time. Prefix totals sum
+    // over all continuations BEFORE pruning, keeping Σ_w p(w|prefix) = 1
+    // over the unpruned model.
+    val gp = wordGramPrefixHashes(ref, textCol, idCol, n)
+      .groupBy(col("gram"), col("prefix")).agg(count(lit(1)).as("__cg"))
+    val gramCounts = gp.filter(col("__cg") >= minCount)
+      .select(col("gram"), col("__cg"))
+    val prefixCounts = gp.groupBy(col("prefix"))
+      .agg(sum(col("__cg")).as("__cp")).filter(col("__cp") >= minCount)
     val perDoc = wordGramPrefixHashes(docs, textCol, idCol, n)
       .groupBy(col(idCol), col("gram"), col("prefix"))
       .agg(count(lit(1)).as("__occ"))
