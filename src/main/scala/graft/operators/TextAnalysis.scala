@@ -340,6 +340,34 @@ object TextAnalysis {
       .drop("__nll_sum")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * under a TARGET-domain n-gram LM and a RAW-corpus n-gram LM (both via
+    * [[lmScore]]); the importance log-weight log p_target(x)/p_raw(x) =
+    * n·(avg_nll_raw − avg_nll_target) ranks documents by how much more
+    * target-like than crawl-like they are — the resampling key for
+    * building a target-matched training mixture. Coverage columns from
+    * both models are integer+single-division (oracle-exact); `log_weight`
+    * inherits `avg_nll`'s libm logs and is spec-pinned. Scale shape: two
+    * lmScore passes (each one full-corpus shuffle for its model, broadcast
+    * scoring joins) plus one doc-keyed join. */
+  def dsirScores(docs: DataFrame, target: DataFrame, raw: DataFrame,
+      textCol: String, idCol: String, n: Int = 2, minCount: Long = 2L,
+      oovNll: Double = 20.0): DataFrame = {
+    val t = lmScore(docs, target, textCol, idCol, n, minCount, oovNll)
+      .select(col(idCol), col("n_positions"),
+        col("lm_hits").as("hits_target"),
+        col("hit_frac").as("hit_frac_target"),
+        col("avg_nll").as("avg_nll_target"))
+    val r = lmScore(docs, raw, textCol, idCol, n, minCount, oovNll)
+      .select(col(idCol), col("lm_hits").as("hits_raw"),
+        col("hit_frac").as("hit_frac_raw"),
+        col("avg_nll").as("avg_nll_raw"))
+    t.join(r, Seq(idCol))
+      .withColumn("log_weight",
+        (col("avg_nll_raw") - col("avg_nll_target")) * col("n_positions"))
+  }
+
   /** HTML entity decoding for the named entities that dominate real web
     * text; applied AFTER tag stripping so `&lt;p&gt;` can never become a
     * live tag. `&amp;` decodes last for the same reason. Numeric

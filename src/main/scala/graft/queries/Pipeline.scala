@@ -1104,6 +1104,39 @@ object Pipeline {
       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_params
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** DSIR importance weighting ([[TextAnalysis.dsirScores]]): every doc
+    * scored under a TARGET bigram LM (trained on the English subset) and
+    * the RAW-corpus LM; the coverage columns of both models are
+    * integer+single-division and hash-match the oracle, while the
+    * libm-log `log_weight` itself is pinned in OperatorsSpec. */
+  def p50DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    TextAnalysis.dsirScores(d, d.filter(col("lang") === "en"), d,
+        "text", "doc_id", n = 2, minCount = 2L)
+      .select(col("doc_id"), col("n_positions"), col("hits_target"),
+        col("hit_frac_target"), col("hits_raw"), col("hit_frac_raw"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p50Oracle: String =
+    """WITH w AS (SELECT doc_id, lang,
+      |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |      FROM documents),
+      |g AS (SELECT doc_id, lang, UNNEST(list_transform(generate_series(1, len(w) - 1),
+      |        i -> w[i] || ' ' || w[i + 1])) AS gram
+      |      FROM w WHERE len(w) >= 2),
+      |lmt AS (SELECT gram FROM g WHERE lang = 'en' GROUP BY gram HAVING COUNT(*) >= 2),
+      |lmr AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions,
+      |  CAST(COALESCE(SUM(CASE WHEN lmt.gram IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits_target,
+      |  CAST(COALESCE(SUM(CASE WHEN lmt.gram IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+      |    / COUNT(*) AS hit_frac_target,
+      |  CAST(COALESCE(SUM(CASE WHEN lmr.gram IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits_raw,
+      |  CAST(COALESCE(SUM(CASE WHEN lmr.gram IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+      |    / COUNT(*) AS hit_frac_raw
+      |FROM g LEFT JOIN lmt ON g.gram = lmt.gram LEFT JOIN lmr ON g.gram = lmr.gram
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1422,7 +1455,8 @@ object Pipeline {
     "p46_html_extract" -> (p46HtmlExtract _),
     "p47_url_normalize" -> (p47UrlNormalize _),
     "p48_semdedup" -> (p48SemDedup _),
-    "p49_quality_classifier" -> (p49QualityClassifier _))
+    "p49_quality_classifier" -> (p49QualityClassifier _),
+    "p50_dsir_weights" -> (p50DsirWeights _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1469,5 +1503,6 @@ object Pipeline {
     "p47_url_normalize" -> p47Oracle,
     "p48_semdedup" -> p48Oracle,
     "p49_quality_classifier" -> p49Oracle,
+    "p50_dsir_weights" -> p50Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

@@ -1088,4 +1088,39 @@ class OperatorsSpec extends AnyFunSuite {
     // learned direction: alphabetic prose up, punctuation down
     assert(trained(1) > 0 && trained(2) < 0)
   }
+
+  test("dsirScores: importance log-weight prefers target-like documents") {
+    // target domain: cooking prose; raw mixes cooking with code-ish text
+    val target = Seq(
+      (100L, "stir the sauce and add the butter to the pan"),
+      (101L, "add the salt and stir the soup in the pan"),
+      (102L, "heat the pan and add the sauce to the butter")).toDF("doc_id", "text")
+    // raw shares the target's prefixes ("the ...", "to the ...") with
+    // DIFFERENT continuations, so cooking continuations are strictly more
+    // probable under the target LM than under the diluted raw LM
+    val raw = target.union(Seq(
+      (200L, "int main the code return the stack end int main"),
+      (201L, "void loop the register to the buffer end void loop"))
+      .toDF("doc_id", "text"))
+    val docs = Seq(
+      (0L, "stir the sauce and add the salt to the pan"), // target-like
+      (1L, "int main void return index end int loop"))    // raw-only-like
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dsirScores(docs, target, raw, "text", "doc_id",
+        n = 2, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val w0 = got(0L).getAs[Double]("log_weight")
+    val w1 = got(1L).getAs[Double]("log_weight")
+    // the cooking doc is far more target-like than the code doc
+    assert(w0 > w1, s"w0=$w0 w1=$w1")
+    assert(w0 > 0, s"target-like doc should upweight: $w0")
+    // code bigrams never hit the target LM
+    assert(got(1L).getAs[Long]("hits_target") == 0L)
+    assert(got(1L).getAs[Long]("hits_raw") > 0L)
+    // log_weight consistency with its defining identity
+    val r0 = got(0L)
+    val expected = (r0.getAs[Double]("avg_nll_raw") -
+      r0.getAs[Double]("avg_nll_target")) * r0.getAs[Long]("n_positions")
+    assert(math.abs(w0 - expected) < 1e-12)
+  }
 }
