@@ -368,6 +368,47 @@ object TextAnalysis {
         (col("avg_nll_raw") - col("avg_nll_target")) * col("n_positions"))
   }
 
+  /** Sequence packing (dataloader prep): GPT-style concat-and-split —
+    * documents are laid end-to-end in `idCol` order and the token stream
+    * is cut every `seqLen` tokens; each document learns its global token
+    * span and which training sequences it lands in. This is the exact
+    * cumulative sum every pre-training dataloader needs, computed WITHOUT
+    * a single-partition global window: the total sort range-partitions
+    * the (id, count) rows, a per-partition window does the local running
+    * sum, and cross-partition offsets come from a #partitions-row
+    * aggregate (the zipWithIndex pattern the engine's rowid assignment
+    * uses) joined back by broadcast. Shuffles carry 16-byte rows — the
+    * doc-count table, never the corpus. Deterministic at any
+    * partitioning: integer sums over a total order. */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"need seqLen >= 1: $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val sorted = df.select(col(idCol), col(nTokensCol).cast("long").as("__n"))
+      .orderBy(col(idCol))
+      .withColumn("__p", spark_partition_id())
+    val wIn = Window.partitionBy(col("__p")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-partition totals -> cumulative offsets; this window runs over
+    // #partitions rows, not data rows, so its single partition is bounded
+    val wOff = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__p")).agg(sum(col("__n")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+      .select(col("__p"), col("__off"))
+    sorted.withColumn("__cum", sum(col("__n")).over(wIn))
+      .join(broadcast(offsets), Seq("__p"))
+      .withColumn("end_token", col("__cum") + col("__off"))
+      .withColumn("start_token", col("end_token") - col("__n"))
+      .withColumn("first_seq", expr(s"start_token div $seqLen"))
+      .withColumn("last_seq", when(col("__n") === 0, col("first_seq"))
+        .otherwise(expr(s"(end_token - 1) div $seqLen")))
+      .withColumn("n_seqs", when(col("__n") === 0, lit(0L))
+        .otherwise(col("last_seq") - col("first_seq") + 1))
+      .select(col(idCol), col("__n").as("n_tokens"), col("start_token"),
+        col("end_token"), col("first_seq"), col("last_seq"), col("n_seqs"))
+  }
+
   /** HTML entity decoding for the named entities that dominate real web
     * text; applied AFTER tag stripping so `&lt;p&gt;` can never become a
     * live tag. `&amp;` decodes last for the same reason. Numeric

@@ -1137,6 +1137,37 @@ object Pipeline {
       |FROM g LEFT JOIN lmt ON g.gram = lmt.gram LEFT JOIN lmr ON g.gram = lmr.gram
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing ([[TextAnalysis.packSequences]]): whitespace token
+    * counts laid end-to-end in doc order, cut every 512 tokens — each
+    * doc's global token span and sequence range. Pure integer cumulative
+    * sums over a total order, so the oracle's window cumsum reproduces
+    * every column bitwise. */
+  def p51PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"))
+    TextAnalysis.packSequences(d, "doc_id", "ws_tokens", seqLen = 512)
+      .orderBy(col("doc_id"))
+  }
+
+  val p51Oracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, n,
+      |    COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token
+      |  FROM t)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(start_token AS BIGINT) AS start_token,
+      |  CAST(start_token + n AS BIGINT) AS end_token,
+      |  CAST(start_token // 512 AS BIGINT) AS first_seq,
+      |  CAST(CASE WHEN n = 0 THEN start_token // 512
+      |    ELSE (start_token + n - 1) // 512 END AS BIGINT) AS last_seq,
+      |  CAST(CASE WHEN n = 0 THEN 0
+      |    ELSE (start_token + n - 1) // 512 - start_token // 512 + 1 END AS BIGINT) AS n_seqs
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1456,7 +1487,8 @@ object Pipeline {
     "p47_url_normalize" -> (p47UrlNormalize _),
     "p48_semdedup" -> (p48SemDedup _),
     "p49_quality_classifier" -> (p49QualityClassifier _),
-    "p50_dsir_weights" -> (p50DsirWeights _))
+    "p50_dsir_weights" -> (p50DsirWeights _),
+    "p51_pack_sequences" -> (p51PackSequences _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1504,5 +1536,6 @@ object Pipeline {
     "p48_semdedup" -> p48Oracle,
     "p49_quality_classifier" -> p49Oracle,
     "p50_dsir_weights" -> p50Oracle,
+    "p51_pack_sequences" -> p51Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

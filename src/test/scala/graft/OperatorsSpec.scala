@@ -1123,4 +1123,29 @@ class OperatorsSpec extends AnyFunSuite {
       r0.getAs[Double]("avg_nll_target")) * r0.getAs[Long]("n_positions")
     assert(math.abs(w0 - expected) < 1e-12)
   }
+
+  test("packSequences: global spans match a scalar cumsum at any partitioning") {
+    // counts exercise: multi-sequence spans (25 > seqLen), zero tokens,
+    // exact-boundary landings; scrambled input order + many partitions
+    val counts = Seq(0L -> 3L, 1L -> 25L, 2L -> 0L, 3L -> 10L, 4L -> 2L,
+      5L -> 10L, 6L -> 1L, 7L -> 9L, 8L -> 40L, 9L -> 5L)
+    val seqLen = 10
+    val df = scala.util.Random.shuffle(counts).toDF("doc_id", "n")
+      .repartition(7)
+    val got = TextAnalysis.packSequences(df, "doc_id", "n", seqLen)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    var acc = 0L
+    counts.foreach { case (id, n) =>
+      val (start, end) = (acc, acc + n); acc = end
+      val firstSeq = start / seqLen
+      val lastSeq = if (n == 0) firstSeq else (end - 1) / seqLen
+      val nSeqs = if (n == 0) 0L else lastSeq - firstSeq + 1
+      assert(got(id) == ((n, start, end, firstSeq, lastSeq, nSeqs)),
+        s"doc $id: ${got(id)}")
+    }
+    // spans tile the stream: ends and starts chain with no gaps
+    assert(got(9L)._3 == counts.map(_._2).sum)
+  }
 }
