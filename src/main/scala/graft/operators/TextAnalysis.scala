@@ -409,6 +409,37 @@ object TextAnalysis {
         col("end_token"), col("first_seq"), col("last_seq"), col("n_seqs"))
   }
 
+  /** C4-style page cleanup (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning...", §2.2): line-level filtering — keep only lines
+    * that end in a terminal punctuation mark, have at least `minWords`
+    * words, and don't mention javascript — plus the page-level drops
+    * (too few surviving lines, "lorem ipsum", a curly brace). Everything
+    * is per-row `filter`/`rlike` over the line array — zero shuffle,
+    * scan-speed, and the whole rule set is RE2-expressible so an oracle
+    * engine applies the identical semantics. Returns the cleaned text,
+    * line counts and the page keep/drop decision (dropping is the
+    * caller's `.filter(col("page_kept"))` so the decision stays
+    * auditable). */
+  def c4Clean(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 3, minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, ln => {
+      val t = trim(ln)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minWords &&
+        !lower(t).contains("javascript")
+    })
+    // page-level drops look at the ORIGINAL page (a brace on an
+    // already-dropped line still kills the page, per the paper)
+    df.select(col(idCol),
+        array_join(kept, "\n").as("clean_text"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_lines_kept"),
+        (size(kept) >= minLines &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{")).as("page_kept"))
+  }
+
   /** HTML entity decoding for the named entities that dominate real web
     * text; applied AFTER tag stripping so `&lt;p&gt;` can never become a
     * live tag. `&amp;` decodes last for the same reason. Numeric

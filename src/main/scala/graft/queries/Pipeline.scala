@@ -1168,6 +1168,35 @@ object Pipeline {
       |    ELSE (start_token + n - 1) // 512 - start_token // 512 + 1 END AS BIGINT) AS n_seqs
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** C4 page cleanup ([[TextAnalysis.c4Clean]]): each doc becomes a
+    * multi-line page (body line, a too-short line, a javascript notice, a
+    * good closing line, and — on every 7th doc — a curly-brace code
+    * line); the operator must keep exactly the two well-formed lines and
+    * drop brace pages, which the oracle states in closed form. */
+  def p52C4Clean(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(col("text"), lit(".\ntoo short\n" +
+      "Enable javascript to continue reading this page.\n" +
+      "A good closing sentence appears right here."),
+      when(col("doc_id") % 7 === 0, lit("\nfunction() { return; }"))
+        .otherwise(lit("")))
+    TextAnalysis.c4Clean(
+        documents(s, dir).select(col("doc_id"), page.as("page")),
+        "page", "doc_id", minWords = 3, minLines = 2)
+      .select(col("doc_id"), md5(col("clean_text").cast("binary")).as("clean_md5"),
+        col("n_lines"), col("n_lines_kept"),
+        col("page_kept").cast("long").as("page_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p52Oracle: String =
+    """SELECT doc_id,
+      |  md5(text || '.' || chr(10) ||
+      |      'A good closing sentence appears right here.') AS clean_md5,
+      |  CAST(CASE WHEN doc_id % 7 = 0 THEN 5 ELSE 4 END AS BIGINT) AS n_lines,
+      |  CAST(2 AS BIGINT) AS n_lines_kept,
+      |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS page_kept
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1488,7 +1517,8 @@ object Pipeline {
     "p48_semdedup" -> (p48SemDedup _),
     "p49_quality_classifier" -> (p49QualityClassifier _),
     "p50_dsir_weights" -> (p50DsirWeights _),
-    "p51_pack_sequences" -> (p51PackSequences _))
+    "p51_pack_sequences" -> (p51PackSequences _),
+    "p52_c4_clean" -> (p52C4Clean _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1537,5 +1567,6 @@ object Pipeline {
     "p49_quality_classifier" -> p49Oracle,
     "p50_dsir_weights" -> p50Oracle,
     "p51_pack_sequences" -> p51Oracle,
+    "p52_c4_clean" -> p52Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

@@ -1148,4 +1148,35 @@ class OperatorsSpec extends AnyFunSuite {
     // spans tile the stream: ends and starts chain with no gaps
     assert(got(9L)._3 == counts.map(_._2).sum)
   }
+
+  test("c4Clean applies the line and page rules exactly") {
+    val pages = Seq(
+      // mixed lines: punctuation rule, min-words rule, javascript rule
+      (0L, "This line survives the cleanup with ease.\nno\n" +
+        "Ends mid sentence without punctuation\n" +
+        "Please enable JavaScript in your browser!\n" +
+        "Quoted lines also count as sentences, she said.\"\n" +
+        "Is a question fine too?"),
+      // page killed by brace ON A DROPPED LINE (original-page rule)
+      (1L, "A perfectly good first sentence sits here.\n" +
+        "A perfectly good second sentence sits here.\nif (x) { y() }"),
+      // page killed by lorem ipsum, case-insensitive
+      (2L, "Lorem Ipsum dolor sit amet as usual.\n" +
+        "Another fine sentence follows the filler text."),
+      // too few surviving lines
+      (3L, "Only one good line lives on this page.\nand\nnope"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(pages, "text", "doc_id",
+        minWords = 3, minLines = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(0L)._1 ==
+      "This line survives the cleanup with ease.\n" +
+      "Quoted lines also count as sentences, she said.\"\n" +
+      "Is a question fine too?")
+    assert(got(0L)._2 == 6L && got(0L)._3 == 3L && got(0L)._4)
+    assert(!got(1L)._4 && got(1L)._3 == 2L) // lines fine, page braced out
+    assert(!got(2L)._4)                     // lorem ipsum page drop
+    assert(!got(3L)._4 && got(3L)._3 == 1L) // below minLines
+  }
 }
