@@ -82,6 +82,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("web-curation ops (c4/html/url/quality) run unchanged in a stream") {
+    // the r7 curation stages are stateless per-row chains, so the SAME
+    // operator code filters a live ingest: C4 cleanup -> HTML of the
+    // survivors -> URL canonicalization -> quality-classifier scoring
+    import graft.operators.{Quality, TextAnalysis}
+    val docsDir = Files.createTempDirectory("graft-stream-web").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestSession.sfDir, "documents.parquet"),
+      java.nio.file.Paths.get(docsDir, "documents.parquet"))
+    val batchDocs = spark.read.parquet(docsDir)
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val paged = df.select(col("doc_id"),
+        concat(col("text"), lit(".\nshort\nGood closing line right here."),
+          when(col("doc_id") % 5 === 0, lit("\n{ }")).otherwise(lit("")))
+          .as("page"),
+        concat(lit("HTTP://WWW.S"), col("doc_id") % 3,
+          lit(".example.com:80/d?utm_s=1&id="), col("doc_id")).as("url"))
+      val cleaned = TextAnalysis.c4Clean(paged, "page", "doc_id",
+          minWords = 3, minLines = 2)
+        .filter(col("page_kept"))
+      Quality.score(
+          cleaned.withColumn("text",
+            TextAnalysis.htmlToText(concat(lit("<p>"), col("clean_text"),
+              lit("</p>")))),
+          "text", Seq(-2.0, 3.0, -4.0, 2.0, 0.1))
+        .join(paged.select(col("doc_id"),
+          TextAnalysis.normalizeUrl(col("url")).as("url_norm")), Seq("doc_id"))
+        .select(col("doc_id"), col("quality_logit"), col("keep"),
+          col("url_norm"))
+    }
+    val q = curate(spark.readStream.schema(batchDocs.schema).parquet(docsDir))
+      .writeStream.format("memory").queryName("webcurate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT doc_id, quality_logit, keep, url_norm FROM webcurate")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getString(3))).toSet
+      val batch = curate(batchDocs)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // brace pages were dropped in-stream
+      assert(!streamed.exists(_._1 % 5 == 0))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch join pairs") {
     val src = EventStreams.source(spark, eventsDir)
     val q = EventStreams.clickAttribution(src, src)
