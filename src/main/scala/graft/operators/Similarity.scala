@@ -161,9 +161,11 @@ object Similarity {
     * is dropped iff some SMALLER-id doc in its cluster is within the
     * threshold — one self-join + one distinct, no sequential sweep.
     *
-    * Scale shape: centroids are nClusters×dims doubles — broadcast;
-    * assignment is a map-side cross join + per-id top-1; centroid
-    * recomputation is a keyed aggregation over (cluster, dim) rows. The
+    * Scale shape: the centroid matrix is nClusters×dims doubles on the
+    * driver (the k-means model itself — bounded like BPE's merge table),
+    * shipped into the plan as one literal, so ASSIGNMENT IS A PER-ROW
+    * ARGMAX FOLD: zero shuffle, and each Lloyd iteration costs exactly
+    * one keyed (cluster, dim) aggregation plus a k×dims collect. The
     * in-cluster pair join shuffles on cluster; a skewed (huge) cluster is
     * AQE skew-join territory, and [[cosineNearDup]]'s SRP bucketing
     * composes inside a cluster if one ever dominates. */
@@ -173,28 +175,41 @@ object Similarity {
     require(nClusters >= 1 && iters >= 0,
       s"need nClusters >= 1, iters >= 0: $nClusters, $iters")
     val t = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val w0 = Window.orderBy(col("id"))
-    var cent = t.orderBy(col("id")).limit(nClusters)
-      .withColumn("centroid_id", row_number().over(w0))
-      .select(col("centroid_id"), col("v").as("centv"))
-    def assign(c: DataFrame): DataFrame = {
-      val wr = Window.partitionBy(col("id"))
-        .orderBy(col("csim").desc, col("centroid_id"))
-      t.crossJoin(broadcast(c))
-        .withColumn("csim", round(cosine(col("v"), col("centv")), 9))
-        .withColumn("crk", row_number().over(wr))
-        .filter(col("crk") === 1)
-        .select(col("id"), col("v"), col("centroid_id").as("cluster"))
+    // Centroids live on the DRIVER as a k×dims literal matrix (bounded —
+    // the k-means model, exactly what any k-means keeps), which makes
+    // assignment a PER-ROW argmax fold over the matrix: zero shuffle, no
+    // per-id window, and the self-join below can re-derive assignments as
+    // a map over the scan instead of re-executing a shuffled subtree
+    // (lambda-bearing plans don't canonicalize equal, so exchange reuse
+    // can't save a window-based formulation).
+    var cent: Seq[Seq[Double]] = t.orderBy(col("id")).limit(nClusters)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    def assignCol(c: Seq[Seq[Double]]): Column = {
+      val m = typedLit(c)
+      // fold keeps the FIRST best on ties -> lowest centroid id, like the
+      // (csim desc, centroid_id asc) ordering it replaces
+      val best = aggregate(
+        sequence(lit(1), lit(c.length)),
+        struct(lit(-2.0).as("csim"), lit(0).as("cid")),
+        (b, i) => {
+          val s = round(cosine(col("v"), element_at(m, i)), 9)
+          when(s > b.getField("csim"),
+            struct(s.as("csim"), i.cast("int").as("cid"))).otherwise(b)
+        })
+      best.getField("cid")
     }
+    def assign(c: Seq[Seq[Double]]): DataFrame =
+      t.withColumn("cluster", assignCol(c))
     for (_ <- 0 until iters) {
-      val assigned = assign(cent)
-      cent = assigned
+      cent = assign(cent)
         .select(col("cluster").as("centroid_id"),
           posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("centroid_id")).agg(
           transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             s => s.getField("m")).as("centv"))
+        .orderBy(col("centroid_id"))
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
     }
     val assigned = assign(cent)
     val dropped = assigned.as("a").join(assigned.as("b"),
