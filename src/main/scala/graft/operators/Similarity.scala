@@ -100,26 +100,41 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
       idCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    // lowest-id rows via orderBy+limit = TakeOrderedAndProject (per-partition
-    // heap + driver merge of nCentroids rows) — the row_number pass then runs
-    // on just those rows, never a whole-corpus single-partition window
-    val w0 = Window.orderBy(col("neighbor_id"))
-    val cent = broadcast(
-      c.orderBy(col("neighbor_id")).limit(nCentroids)
-        .withColumn("rn", row_number().over(w0))
-        .select(col("rn").as("centroid_id"), col("cv").as("centv")))
-    def route(df: DataFrame, vec: String, keep: Int): DataFrame = {
-      val wr = Window.partitionBy(col("rid")).orderBy(col("csim").desc, col("centroid_id"))
-      df.crossJoin(cent)
-        .withColumn("csim", cosine(col(vec), col("centv")))
-        .withColumn("crk", row_number().over(wr))
-        .filter(col("crk") <= keep)
-        .drop("centv", "csim", "crk")
-    }
-    val routedC = route(c.withColumn("rid", col("neighbor_id")), "cv", 1)
-    val routedQ = route(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-        .withColumn("rid", col("query_id")), "qv", nprobe)
+    // the centroid table is the bounded IVF model (nCentroids×dims):
+    // lowest-id rows via orderBy+limit = TakeOrderedAndProject, collected
+    // once and shipped into the plan as ONE literal matrix
+    val centMat: Seq[Seq[Double]] = c.orderBy(col("neighbor_id"))
+      .limit(nCentroids).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val m = typedLit(centMat)
+    // corpus routing is a PER-ROW argmax fold over the matrix — zero
+    // shuffle, no per-row window; ties keep the first (lowest) centroid
+    // id, matching the (csim desc, centroid_id asc) ordering it replaces
+    def nearestCentroid(vec: String): Column =
+      aggregate(
+        sequence(lit(1), lit(centMat.length)),
+        struct(lit(-2.0).as("csim"), lit(0).as("cid")),
+        (b, i) => {
+          val s = cosine(col(vec), element_at(m, i))
+          when(s > b.getField("csim"),
+            struct(s.as("csim"), i.cast("int").as("cid"))).otherwise(b)
+        }).getField("cid")
+    val routedC = c.withColumn("centroid_id", nearestCentroid("cv"))
+    // queries probe their nprobe nearest cells: the query set is small,
+    // so the top-nprobe cut stays a per-query window over an exploded
+    // (query × centroid) frame — |Q|×k rows, never corpus-sized
+    val centExploded = explode(transform(sequence(lit(1), lit(centMat.length)),
+      i => struct(i.cast("int").as("centroid_id"),
+        element_at(m, i).as("centv"))))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val routedQ = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("ce", centExploded)
+      .withColumn("centroid_id", col("ce.centroid_id"))
+      .withColumn("csim", cosine(col("qv"), col("ce.centv")))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= nprobe)
+      .drop("ce", "csim", "crk")
     val scored = routedC.join(broadcast(routedQ.drop("rid")), Seq("centroid_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("sim"))
