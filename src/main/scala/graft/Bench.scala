@@ -23,7 +23,8 @@ object Bench {
     "p03_dedup_minhash",   // MinHash LSH dedup
     "p06_cosine_topk",     // ANN brute-force baseline
     "p10_quality_score",   // text analysis scan
-    "p37_dup_spans")       // cross-doc span dedup (gram-keyed join-back)
+    "p37_dup_spans",       // cross-doc span dedup (gram-keyed join-back)
+    "p45_lm_score")        // n-gram LM train + score (r7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -526,7 +526,17 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val laidOut =
       if (sortCols.isEmpty) folded
       else folded.sort(sortCols.map(col): _*)
-    laidOut.write.parquet(dir.toString)
+    // indexed columns also get parquet BLOOM FILTERS: the range sort gives
+    // the LEADING column disjoint file min/max (range pruning), but point
+    // predicates on secondary cluster columns — and equality probes whose
+    // value happens to fall inside a file's [min,max] — prune via the
+    // bloom filter's row-group check instead of reading the group. This
+    // is the per-file analog of the b-tree point lookup, paid only at
+    // compaction time and only for declared-index columns.
+    val writer = sortCols.foldLeft(laidOut.write) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.parquet(dir.toString)
     catalog.commitVersion(db, branch, table,
       cur.copy(ts = ts, paths = Seq(dir.toString), clusteredBy = sortCols))
     cur.paths.size + artifactFolds

@@ -187,6 +187,26 @@ class EngineSpec extends AnyFunSuite {
         assert(aMax <= bMin, s"file ranges overlap: $ranges")
       case _ => ()
     }
+    // indexed columns carry parquet bloom filters (point-lookup pruning);
+    // non-indexed columns don't pay for them
+    locally {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(parquets.head), conf)
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val block = rdr.getFooter.getBlocks.get(0)
+        val cols = scala.jdk.CollectionConverters
+          .ListHasAsScala(block.getColumns).asScala
+        val vCol = cols.find(_.getPath.toDotString == "v").get
+        val idCol = cols.find(_.getPath.toDotString == "id").get
+        val bfr = rdr.getBloomFilterDataReader(block)
+        assert(bfr.readBloomFilter(vCol) != null,
+          "indexed column v should carry a bloom filter")
+        assert(bfr.readBloomFilter(idCol) == null,
+          "unindexed column id should not pay for a bloom filter")
+      } finally rdr.close()
+    }
     // data unchanged by the re-layout
     val sum = s.execute("db1", "main", q("SELECT sum(v) AS sv FROM ct"))
     assert(sum.rows.head.head == SqlValue.IntVal(41))
