@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Dedup, Flac, Fts, Mp3, Mp4, Multimodal, Quality, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Exif, Flac, Fts, Mp3, Mp4, Multimodal, Quality, Sampling, Similarity, TextAnalysis}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -1197,6 +1197,50 @@ object Pipeline {
       |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS page_kept
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** EXIF metadata probe ([[graft.operators.Exif]]): each doc gets a REAL
+    * baseline JPEG (stock JDK codec) carrying a hand-built EXIF APP1 —
+    * even ids little-endian ("II"), odd ids big-endian ("MM"), so both
+    * TIFF byte orders are exercised — and the prober must recover every
+    * field by walking JPEG markers + TIFF IFDs; the oracle states the
+    * closed forms. */
+  def p53ExifProbe(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val base = Multimodal.encodeJpeg(4, 3,
+        Array.tabulate[Byte](36)(i => ((id + i) % 256).toByte))
+      Multimodal.MediaRow(id, "jpg", Exif.encodeJpegWithExif(
+        base, littleEndian = id % 2 == 0,
+        make = s"Maker${id % 5}", model = s"Cam ${id % 9}",
+        orientation = 1 + (id % 8).toInt,
+        datetime = f"2024:01:${1 + id % 28}%02d 12:00:00",
+        exposureDen = 100 + id % 400, fnumberX10 = 10 + id % 90,
+        iso = (100 * (1 + id % 32)).toInt,
+        pixelX = 640 + id % 7, pixelY = 480 + id % 11))
+    }
+    Exif.probeExif(media)
+      .select(col("media_id"), col("has_exif").cast("long").as("has_exif"),
+        col("byte_order"), col("make"), col("model"), col("orientation"),
+        col("datetime"), col("exposure_den"), col("fnumber_x10"),
+        col("iso"), col("pixel_x"), col("pixel_y"))
+      .orderBy(col("media_id"))
+  }
+
+  val p53Oracle: String =
+    """SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS has_exif,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  'Maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
+      |  'Cam ' || CAST(doc_id % 9 AS VARCHAR) AS model,
+      |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+      |  '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+      |    || ' 12:00:00' AS datetime,
+      |  CAST(100 + doc_id % 400 AS BIGINT) AS exposure_den,
+      |  CAST(10 + doc_id % 90 AS BIGINT) AS fnumber_x10,
+      |  CAST(100 * (1 + doc_id % 32) AS BIGINT) AS iso,
+      |  CAST(640 + doc_id % 7 AS BIGINT) AS pixel_x,
+      |  CAST(480 + doc_id % 11 AS BIGINT) AS pixel_y
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1518,7 +1562,8 @@ object Pipeline {
     "p49_quality_classifier" -> (p49QualityClassifier _),
     "p50_dsir_weights" -> (p50DsirWeights _),
     "p51_pack_sequences" -> (p51PackSequences _),
-    "p52_c4_clean" -> (p52C4Clean _))
+    "p52_c4_clean" -> (p52C4Clean _),
+    "p53_exif_probe" -> (p53ExifProbe _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1568,5 +1613,6 @@ object Pipeline {
     "p50_dsir_weights" -> p50Oracle,
     "p51_pack_sequences" -> p51Oracle,
     "p52_c4_clean" -> p52Oracle,
+    "p53_exif_probe" -> p53Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

@@ -327,4 +327,56 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(!Mp4.probe(3L, good.take(40)).valid)
     assert(Mp4.probe(4L, good).valid)
   }
+
+  test("EXIF probe recovers fields in both byte orders (fuzzed)") {
+    import graft.operators.Exif
+    val r = rnd
+    val base = Multimodal.encodeJpeg(4, 3,
+      Array.tabulate[Byte](36)(i => (i * 7).toByte))
+    for (i <- 1 to 60) {
+      val le = r.nextBoolean()
+      val make = "Mk" + r.nextInt(100)
+      val model = "Model " + r.nextInt(100) // spaces survive (NUL-terminated)
+      val orient = 1 + r.nextInt(8)
+      val dt = f"20${r.nextInt(30)}%02d:0${1 + r.nextInt(9)}:10 08:30:00"
+      val den = 1 + r.nextInt(4000).toLong
+      val f10 = 10 + r.nextInt(300).toLong
+      val iso = 50 * (1 + r.nextInt(100))
+      val (px, py) = (1 + r.nextInt(9999).toLong, 1 + r.nextInt(9999).toLong)
+      val jpg = Exif.encodeJpegWithExif(base, le, make, model, orient, dt,
+        den, f10, iso, px, py)
+      val m = Exif.probe(i.toLong, jpg)
+      assert(m.has_exif && m.byte_order == (if (le) "II" else "MM"), s"i=$i")
+      assert(m.make == make && m.model == model && m.orientation == orient)
+      assert(m.datetime == dt && m.exposure_den == den &&
+        m.fnumber_x10 == f10 && m.iso == iso)
+      assert(m.pixel_x == px && m.pixel_y == py)
+      // the JPEG stays decodable by a stock reader after APP1 insertion
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assert(img != null && img.getWidth == 4 && img.getHeight == 3)
+    }
+  }
+
+  test("EXIF probe is safe on missing, foreign and truncated segments") {
+    import graft.operators.Exif
+    val base = Multimodal.encodeJpeg(4, 3,
+      Array.tabulate[Byte](36)(i => (i * 3).toByte))
+    assert(!Exif.probe(1L, base).has_exif)            // plain JPEG
+    assert(!Exif.probe(2L, Array.emptyByteArray).has_exif)
+    assert(!Exif.probe(3L, "not a jpeg at all".getBytes).has_exif)
+    val good = Exif.encodeJpegWithExif(base, littleEndian = true,
+      "M", "C", 1, "2024:01:01 00:00:00", 250L, 28L, 200, 640L, 480L)
+    // truncation anywhere must not throw; cut inside the APP1 loses EXIF
+    (2 until good.length by 7).foreach { cut =>
+      Exif.probe(4L, good.take(cut)) // must not throw
+    }
+    assert(!Exif.probe(5L, good.take(12)).has_exif)
+    // a non-EXIF APP1 (XMP-style) is skipped, not mis-parsed
+    val xmp = "http://ns.adobe.com/xap/1.0/".getBytes("US-ASCII")
+    val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      (((xmp.length + 2) >> 8) & 0xFF).toByte,
+      ((xmp.length + 2) & 0xFF).toByte) ++ xmp
+    val withXmp = base.take(2) ++ app1 ++ base.drop(2)
+    assert(!Exif.probe(6L, withXmp).has_exif)
+  }
 }
