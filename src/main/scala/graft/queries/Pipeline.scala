@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Dedup, Exif, Flac, Fts, Mp3, Mp4, Multimodal, Quality, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Exif, Flac, Fts, Mp3, Mp4, Multimodal, Quality, Sampling, Similarity, TextAnalysis, Warc}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -1241,6 +1241,47 @@ object Pipeline {
       |  CAST(480 + doc_id % 11 AS BIGINT) AS pixel_y
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** WARC ingest ([[graft.operators.Warc]]): each doc becomes a .warc.gz
+    * blob — two records (an HTTP response carrying the doc text and a
+    * metadata record), each its OWN gzip member like real crawl archives
+    * — and the parser must split members, walk headers and recover
+    * payloads exactly; the oracle states both rows per doc in closed
+    * form. */
+  def p54WarcParse(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].map {
+        case (id, text) =>
+          val rec0 = Warc.encodeRecord("response",
+            s"https://example.com/doc/$id", "2024-03-01T00:00:00Z",
+            s"<urn:uuid:$id>", text.getBytes("UTF-8"))
+          val rec1 = Warc.encodeRecord("metadata", "",
+            "2024-03-01T00:00:01Z", s"<urn:uuid:$id-meta>",
+            "fetchTimeMs=77".getBytes("UTF-8"))
+          Multimodal.MediaRow(id, "warc", Warc.gzipMembers(Seq(rec0, rec1)))
+      }
+    Warc.parseWarcs(media)
+      .select(col("media_id"), col("rec_index").cast("long").as("rec_index"),
+        col("warc_type"), col("target_uri"), col("warc_date"),
+        col("content_length"), md5(col("payload")).as("payload_md5"))
+      .orderBy(col("media_id"), col("rec_index"))
+  }
+
+  val p54Oracle: String =
+    """SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS rec_index,
+      |  'response' AS warc_type,
+      |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  '2024-03-01T00:00:00Z' AS warc_date,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_length,
+      |  md5(text) AS payload_md5
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS BIGINT), 'metadata', '',
+      |  '2024-03-01T00:00:01Z', CAST(14 AS BIGINT), md5('fetchTimeMs=77')
+      |FROM documents
+      |ORDER BY media_id, rec_index""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1563,7 +1604,8 @@ object Pipeline {
     "p50_dsir_weights" -> (p50DsirWeights _),
     "p51_pack_sequences" -> (p51PackSequences _),
     "p52_c4_clean" -> (p52C4Clean _),
-    "p53_exif_probe" -> (p53ExifProbe _))
+    "p53_exif_probe" -> (p53ExifProbe _),
+    "p54_warc_parse" -> (p54WarcParse _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1614,5 +1656,6 @@ object Pipeline {
     "p51_pack_sequences" -> p51Oracle,
     "p52_c4_clean" -> p52Oracle,
     "p53_exif_probe" -> p53Oracle,
+    "p54_warc_parse" -> p54Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

@@ -379,4 +379,50 @@ class CodecFuzzSpec extends AnyFunSuite {
     val withXmp = base.take(2) ++ app1 ++ base.drop(2)
     assert(!Exif.probe(6L, withXmp).has_exif)
   }
+
+  test("WARC round-trips arbitrary record chains, plain and gzipped") {
+    import graft.operators.Warc
+    val r = rnd
+    for (i <- 1 to 40) {
+      val n = 1 + r.nextInt(5)
+      val recs = (0 until n).map { j =>
+        val payload = Array.fill[Byte](r.nextInt(300))(r.nextInt(256).toByte)
+        (s"type$j", s"https://h/$i/$j", s"2024-02-0${1 + j % 9}T00:00:00Z",
+          s"<urn:uuid:$i-$j>", payload)
+      }
+      val encoded = recs.map { case (t, u, d, id, p) =>
+        Warc.encodeRecord(t, u, d, id, p,
+          extraHeaders = Seq("X-Custom" -> "v")) }
+      Seq(encoded.reduce(_ ++ _), Warc.gzipMembers(encoded)).foreach { blob =>
+        val got = Warc.parse(i.toLong, blob)
+        assert(got.length == n && got.forall(_.valid), s"i=$i n=$n")
+        got.zip(recs).zipWithIndex.foreach { case ((g, (t, u, d, id, p)), j) =>
+          assert(g.rec_index == j && g.warc_type == t && g.target_uri == u)
+          assert(g.warc_date == d && g.record_id == id)
+          assert(g.content_length == p.length && g.payload.toSeq == p.toSeq)
+        }
+      }
+    }
+  }
+
+  test("malformed WARC blobs end in one visible invalid row, never a throw") {
+    import graft.operators.Warc
+    assert(Warc.parse(1L, Array.emptyByteArray).isEmpty)
+    assert(Warc.parse(2L, "HTTP/1.1 200 OK\r\n\r\n".getBytes)
+      .exists(!_.valid))
+    val good = Warc.encodeRecord("response", "https://h/x",
+      "2024-01-01T00:00:00Z", "<urn:uuid:x>", "hello world".getBytes)
+    // truncation anywhere parses the intact prefix then flags the cut
+    (1 until good.length).foreach { cut =>
+      val rs = Warc.parse(3L, good.take(cut))
+      assert(rs.isEmpty || !rs.last.valid || rs.last.content_length == 11L)
+    }
+    // bad content-length (overruns) is invalid, not an overread
+    val lied = new String(good, "UTF-8").replace("Content-Length: 11",
+      "Content-Length: 9999").getBytes("UTF-8")
+    assert(Warc.parse(4L, lied).exists(!_.valid))
+    // corrupt gzip magic with garbage behind it
+    assert(Warc.parse(5L, Array[Byte](0x1F, 0x8B.toByte, 1, 2, 3))
+      .exists(!_.valid))
+  }
 }
