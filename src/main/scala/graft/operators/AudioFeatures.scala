@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Log-mel spectrogram featurization — the Whisper/wav2vec-style audio
+  * front end: PCM → Hann-windowed STFT (radix-2 Cooley–Tukey FFT) →
+  * triangular mel filterbank (HTK mel scale, mel = 2595·log10(1+f/700))
+  * → log energies. All public textbook DSP (Oppenheim & Schafer;
+  * Davis & Mermelstein 1980 for the mel filterbank).
+  *
+  * Everything is per-row double arithmetic inside mapPartitions — the
+  * same iterator-in/iterator-out codec seam as the decoders: zero
+  * shuffle, rows ∝ clips, scan-bandwidth-bound. Deterministic: fixed
+  * evaluation order per row, no RNG, no engine-dependent reductions.
+  */
+object AudioFeatures {
+
+  /** In-place iterative radix-2 FFT; n must be a power of two. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0, s"power-of-two FFT: $n")
+    // bit-reversal permutation
+    var j = 0
+    for (i <- 0 until n - 1) {
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      var m = n >> 1
+      while (m >= 1 && j >= m) { j -= m; m >>= 1 }
+      j += m
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var i = 0
+      while (i < n) {
+        var cwr = 1.0; var cwi = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val er = re(i + k); val ei = im(i + k)
+          val or_ = re(i + k + len / 2); val oi = im(i + k + len / 2)
+          val tr = or_ * cwr - oi * cwi
+          val ti = or_ * cwi + oi * cwr
+          re(i + k) = er + tr; im(i + k) = ei + ti
+          re(i + k + len / 2) = er - tr; im(i + k + len / 2) = ei - ti
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr; cwr = nwr
+          k += 1
+        }
+        i += len
+      }
+      len <<= 1
+    }
+  }
+
+  def hann(n: Int): Array[Double] =
+    Array.tabulate(n)(i => 0.5 - 0.5 * math.cos(2.0 * math.Pi * i / n))
+
+  /** Power spectrum frames: (1 + (n-frameLen)/hop) rows × (frameLen/2+1)
+    * bins; Hann window per frame. Clips shorter than one frame give zero
+    * frames. */
+  def stftPower(samples: Array[Short], frameLen: Int,
+      hop: Int): Array[Array[Double]] = {
+    require(frameLen > 0 && (frameLen & (frameLen - 1)) == 0, "pow2 frame")
+    require(hop > 0, "hop > 0")
+    if (samples.length < frameLen) return Array.empty
+    val w = hann(frameLen)
+    val nFrames = 1 + (samples.length - frameLen) / hop
+    Array.tabulate(nFrames) { f =>
+      val re = Array.tabulate(frameLen)(i => samples(f * hop + i) * w(i))
+      val im = new Array[Double](frameLen)
+      fft(re, im)
+      Array.tabulate(frameLen / 2 + 1)(k => re(k) * re(k) + im(k) * im(k))
+    }
+  }
+
+  def hzToMel(f: Double): Double = 2595.0 * math.log10(1.0 + f / 700.0)
+  def melToHz(m: Double): Double = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+
+  /** Triangular mel filterbank: nMels × (nFft/2+1) weights over
+    * [fMin, fMax]. */
+  def melFilterbank(nMels: Int, nFft: Int, sampleRate: Double,
+      fMin: Double = 0.0, fMax: Double = -1.0): Array[Array[Double]] = {
+    val top = if (fMax > 0) fMax else sampleRate / 2.0
+    val (mLo, mHi) = (hzToMel(fMin), hzToMel(top))
+    // nMels+2 edge points, filter k spans edges [k, k+2] peaking at k+1
+    val edges = Array.tabulate(nMels + 2)(i =>
+      melToHz(mLo + i * (mHi - mLo) / (nMels + 1)))
+    val binHz = sampleRate / nFft
+    Array.tabulate(nMels) { k =>
+      Array.tabulate(nFft / 2 + 1) { b =>
+        val f = b * binHz
+        val (lo, c, hi) = (edges(k), edges(k + 1), edges(k + 2))
+        if (f <= lo || f >= hi) 0.0
+        else if (f <= c) (f - lo) / (c - lo)
+        else (hi - f) / (hi - c)
+      }
+    }
+  }
+
+  /** Filter-bank centre frequency of mel bin k (the peak of triangle k) —
+    * fixture generators place test tones exactly here. */
+  def melCenterHz(k: Int, nMels: Int, sampleRate: Double,
+      fMin: Double = 0.0, fMax: Double = -1.0): Double = {
+    val top = if (fMax > 0) fMax else sampleRate / 2.0
+    val (mLo, mHi) = (hzToMel(fMin), hzToMel(top))
+    melToHz(mLo + (k + 1) * (mHi - mLo) / (nMels + 1))
+  }
+
+  /** Log-mel spectrogram: frames × nMels, log10 floored at 1e-10. */
+  def logMel(samples: Array[Short], sampleRate: Double, frameLen: Int,
+      hop: Int, nMels: Int): Array[Array[Double]] = {
+    val power = stftPower(samples, frameLen, hop)
+    if (power.isEmpty) return Array.empty
+    val fb = melFilterbank(nMels, frameLen, sampleRate)
+    power.map { frame =>
+      Array.tabulate(nMels) { k =>
+        var acc = 0.0
+        val w = fb(k)
+        var b = 0
+        while (b < frame.length) { acc += w(b) * frame(b); b += 1 }
+        math.log10(math.max(acc, 1e-10))
+      }
+    }
+  }
+
+  final case class MelFeatures(media_id: Long, sample_rate: Long,
+    n_frames: Long, n_mels: Long, dominant_bin: Long,
+    mel: Seq[Seq[Double]])
+
+  /** Partition-parallel featurization of WAV blobs (via the JDK RIFF
+    * reader): the full log-mel matrix plus the dominant mel bin (argmax
+    * of summed energy, ties to the lowest bin — the integer summary an
+    * oracle can state in closed form). */
+  def melFeaturesWav(media: Dataset[Multimodal.MediaRow], frameLen: Int,
+      hop: Int, nMels: Int)(implicit spark: SparkSession): Dataset[MelFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val (rate, _, samples) = Multimodal.decodeWav(r.payload)
+      val mel = logMel(samples, rate.toDouble, frameLen, hop, nMels)
+      val sums = Array.tabulate(nMels)(k => mel.map(_(k)).sum)
+      val dom = if (mel.isEmpty) -1L
+        else sums.zipWithIndex.maxBy(t => (t._1, -t._2))._2.toLong
+      MelFeatures(r.media_id, rate.toLong, mel.length.toLong, nMels.toLong,
+        dom, mel.map(_.toSeq).toSeq)
+    })
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Dedup, Exif, Flac, Fts, Mp3, Mp4, Multimodal, Quality, Sampling, Similarity, TextAnalysis, Warc}
+import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, Mp3, Mp4, Multimodal, Quality, Sampling, Similarity, TextAnalysis, Warc}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -1282,6 +1282,37 @@ object Pipeline {
       |FROM documents
       |ORDER BY media_id, rec_index""".stripMargin
 
+  /** Log-mel audio featurization ([[graft.operators.AudioFeatures]]):
+    * each doc gets a WAV carrying a pure tone placed EXACTLY at the
+    * centre frequency of mel filter (doc_id % 16), so the dominant mel
+    * bin — an integer the FFT + filterbank must earn — is stated by the
+    * oracle in closed form, along with the frame-count arithmetic. The
+    * float spectrogram itself is pinned in OperatorsSpec (FFT vs naive
+    * DFT, Parseval, tone placement). */
+  def p55MelSpectrogram(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val rate = 16000
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val n = 2048 + (id % 3).toInt * 512
+      val f = AudioFeatures.melCenterHz((id % 16).toInt, 16, rate)
+      val samples = Array.tabulate[Short](n)(i =>
+        math.round(8000.0 * math.sin(2.0 * math.Pi * f * i / rate)).toShort)
+      Multimodal.MediaRow(id, "wav", Multimodal.encodeWavPcm16(rate, samples))
+    }
+    AudioFeatures.melFeaturesWav(media, frameLen = 512, hop = 256, nMels = 16)
+      .select(col("media_id"), col("sample_rate"), col("n_frames"),
+        col("n_mels"), col("dominant_bin"))
+      .orderBy(col("media_id"))
+  }
+
+  val p55Oracle: String =
+    """SELECT doc_id AS media_id, CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(1 + (2048 + (doc_id % 3) * 512 - 512) // 256 AS BIGINT) AS n_frames,
+      |  CAST(16 AS BIGINT) AS n_mels,
+      |  CAST(doc_id % 16 AS BIGINT) AS dominant_bin
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1605,7 +1636,8 @@ object Pipeline {
     "p51_pack_sequences" -> (p51PackSequences _),
     "p52_c4_clean" -> (p52C4Clean _),
     "p53_exif_probe" -> (p53ExifProbe _),
-    "p54_warc_parse" -> (p54WarcParse _))
+    "p54_warc_parse" -> (p54WarcParse _),
+    "p55_mel_spectrogram" -> (p55MelSpectrogram _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1657,5 +1689,6 @@ object Pipeline {
     "p52_c4_clean" -> p52Oracle,
     "p53_exif_probe" -> p53Oracle,
     "p54_warc_parse" -> p54Oracle,
+    "p55_mel_spectrogram" -> p55Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

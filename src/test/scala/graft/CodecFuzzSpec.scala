@@ -425,4 +425,48 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(Warc.parse(5L, Array[Byte](0x1F, 0x8B.toByte, 1, 2, 3))
       .exists(!_.valid))
   }
+
+  test("FFT matches a naive DFT and preserves energy (Parseval)") {
+    import graft.operators.AudioFeatures
+    val r = rnd
+    for (_ <- 1 to 20) {
+      val n = 1 << (3 + r.nextInt(5)) // 8..128
+      val x = Array.fill(n)(r.nextDouble() * 2 - 1)
+      val re = x.clone(); val im = new Array[Double](n)
+      AudioFeatures.fft(re, im)
+      // naive O(n²) DFT as the independent reference
+      for (k <- 0 until n) {
+        var dr = 0.0; var di = 0.0
+        for (t <- 0 until n) {
+          val a = -2.0 * math.Pi * k * t / n
+          dr += x(t) * math.cos(a); di += x(t) * math.sin(a)
+        }
+        assert(math.abs(re(k) - dr) < 1e-8 && math.abs(im(k) - di) < 1e-8,
+          s"n=$n k=$k")
+      }
+      val timeE = x.map(v => v * v).sum
+      val freqE = (0 until n).map(k => re(k) * re(k) + im(k) * im(k)).sum / n
+      assert(math.abs(timeE - freqE) < 1e-8 * n)
+    }
+  }
+
+  test("log-mel: tones at filter centres land in their own bin, edges behave") {
+    import graft.operators.AudioFeatures
+    val rate = 16000.0
+    val nMels = 16
+    for (k <- 0 until nMels) {
+      val f = AudioFeatures.melCenterHz(k, nMels, rate)
+      val samples = Array.tabulate[Short](2048)(i =>
+        math.round(8000.0 * math.sin(2.0 * math.Pi * f * i / rate)).toShort)
+      val mel = AudioFeatures.logMel(samples, rate, 512, 256, nMels)
+      assert(mel.nonEmpty && mel.head.length == nMels)
+      val sums = Array.tabulate(nMels)(b => mel.map(_(b)).sum)
+      val dom = sums.zipWithIndex.maxBy(t => (t._1, -t._2))._2
+      assert(dom == k, s"tone at centre of bin $k dominated bin $dom")
+    }
+    // silence floors every bin; a clip shorter than one frame has 0 frames
+    val silent = AudioFeatures.logMel(new Array[Short](1024), rate, 512, 256, nMels)
+    assert(silent.flatten.forall(v => math.abs(v + 10.0) < 1e-9))
+    assert(AudioFeatures.logMel(new Array[Short](100), rate, 512, 256, nMels).isEmpty)
+  }
 }
