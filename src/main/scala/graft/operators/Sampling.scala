@@ -55,6 +55,36 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Temperature-balanced keep-rates: sampled mass ∝ count^alpha (the
+    * multilingual mixture-balancing rule of mT5/XLM-R — alpha < 1 tames
+    * head sources so tail languages/domains aren't drowned), anchored so
+    * the SMALLEST source keeps everything: rate_s = (c_min/c_s)^(1-alpha).
+    * One tiny aggregation + a #sources-row collect (the mixture recipe
+    * itself — bounded like the BPE dict). alpha = 0.5 goes through
+    * `sqrt`, which is IEEE-correctly-rounded in every engine, so rates
+    * and thresholds are bit-reproducible cross-engine; other alphas go
+    * through libm `pow` (last-ulp engine-dependent — fine for sampling,
+    * not for hash-compared oracles). */
+  def temperatureRates(df: DataFrame, sourceCol: String,
+      alpha: Double = 0.5): Seq[(String, Double)] = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1]: $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "empty input")
+    val cMin = counts.map(_._2).min.toDouble
+    def apow(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, 1.0 - alpha)
+    counts.map { case (s, c) => (s, apow(cMin / c)) }.toSeq
+  }
+
+  /** Temperature-balanced mixture: [[temperatureRates]] applied through
+    * the same deterministic hash filter as [[sourceMix]] — reproducible,
+    * join-stable, zero shuffle beyond the one counting aggregation. */
+  def temperatureMix(df: DataFrame, keyCol: String, sourceCol: String,
+      alpha: Double = 0.5): DataFrame =
+    sourceMix(df, keyCol, sourceCol, temperatureRates(df, sourceCol, alpha),
+      defaultRate = 1.0)
+
   /** Train/eval contamination check (the standard pre-training hygiene
     * pass): a training document is contaminated by an eval document when
     * they share at least one word n-gram — the 13-gram-overlap criterion

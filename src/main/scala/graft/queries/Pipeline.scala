@@ -1313,6 +1313,40 @@ object Pipeline {
       |  CAST(doc_id % 16 AS BIGINT) AS dominant_bin
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Temperature-balanced mixture ([[Sampling.temperatureMix]], α = 0.5):
+    * keep-rates (c_min/c_s)^0.5 anchor the smallest source at 1.0 and
+    * downsample the head; α = 0.5 computes through IEEE-correctly-rounded
+    * sqrt, so thresholds — and therefore the sampled sets — are
+    * bit-reproducible and the oracle recomputes them exactly. */
+  def p56TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val sampled = Sampling.temperatureMix(d, "doc_id", "source", alpha = 0.5)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  val p56Oracle: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |m AS (SELECT MIN(n) AS cmin FROM c),
+      |t AS (SELECT source, n,
+      |        lower(lpad(to_hex(CAST(LEAST(round(
+      |          sqrt(CAST(cmin AS DOUBLE) / n) * 65536), 65535) AS BIGINT)),
+      |          4, '0')) AS thr,
+      |        n = cmin AS keep_all
+      |      FROM c, m),
+      |s AS (SELECT d.source, COUNT(*) AS n_sampled
+      |      FROM documents d JOIN t ON d.source = t.source
+      |      WHERE t.keep_all
+      |         OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t.thr
+      |      GROUP BY d.source)
+      |SELECT t.source, CAST(t.n AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+      |FROM t LEFT JOIN s ON t.source = s.source ORDER BY t.source""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1637,7 +1671,8 @@ object Pipeline {
     "p52_c4_clean" -> (p52C4Clean _),
     "p53_exif_probe" -> (p53ExifProbe _),
     "p54_warc_parse" -> (p54WarcParse _),
-    "p55_mel_spectrogram" -> (p55MelSpectrogram _))
+    "p55_mel_spectrogram" -> (p55MelSpectrogram _),
+    "p56_temperature_mix" -> (p56TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1690,5 +1725,6 @@ object Pipeline {
     "p53_exif_probe" -> p53Oracle,
     "p54_warc_parse" -> p54Oracle,
     "p55_mel_spectrogram" -> p55Oracle,
+    "p56_temperature_mix" -> p56Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

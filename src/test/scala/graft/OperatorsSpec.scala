@@ -1179,4 +1179,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got(2L)._4)                     // lorem ipsum page drop
     assert(!got(3L)._4 && got(3L)._3 == 1L) // below minLines
   }
+
+  test("temperatureMix tames head sources and keeps the tail whole") {
+    import graft.operators.Sampling
+    // head 4000 docs, mid 1000, tail 40
+    val rows = (0 until 4000).map(i => (i.toLong, "head")) ++
+      (10000 until 11000).map(i => (i.toLong, "mid")) ++
+      (20000 until 20040).map(i => (i.toLong, "tail"))
+    val df = rows.toDF("doc_id", "source")
+    val rates = Sampling.temperatureRates(df, "source", alpha = 0.5).toMap
+    assert(rates("tail") == 1.0)
+    assert(math.abs(rates("head") - math.sqrt(40.0 / 4000)) < 1e-15)
+    assert(math.abs(rates("mid") - math.sqrt(40.0 / 1000)) < 1e-15)
+    val kept = Sampling.temperatureMix(df, "doc_id", "source", alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("tail") == 40L) // smallest source fully kept
+    // sampled masses land near c_min-anchored targets: ~sqrt(c_s * c_min)
+    def target(c: Int) = math.sqrt(c * 40.0)
+    assert(math.abs(kept("head") - target(4000)) < 0.25 * target(4000))
+    assert(math.abs(kept("mid") - target(1000)) < 0.3 * target(1000))
+    // determinism: a second run keeps the identical set
+    val again = Sampling.temperatureMix(df, "doc_id", "source", alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureMix(df, "doc_id", "source", alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
 }
