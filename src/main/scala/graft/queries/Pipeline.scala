@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, Mp3, Mp4, Multimodal, Quality, Sampling, Similarity, TextAnalysis, Warc}
+import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, Mp3, Mp4, Multimodal, Quality, Robots, Sampling, Similarity, TextAnalysis, Warc}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -1347,6 +1347,48 @@ object Pipeline {
       |  CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
       |FROM t LEFT JOIN s ON t.source = s.source ORDER BY t.source""".stripMargin
 
+  /** robots.txt politeness gate ([[graft.operators.Robots]]): even docs
+    * carry a wildcard-group robots (prefix + longest-match-allow +
+    * `$`-anchored wildcard rules), odd docs add a named `graftbot` group
+    * that — per the most-specific-agent rule — REPLACES the `*` group
+    * entirely; four path shapes per doc exercise each rule. The oracle
+    * states every verdict in closed form over (doc_id % 2, doc_id % 4). */
+  def p57RobotsGate(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val star = "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
+      "Disallow: /*.zip$\n"
+    val named = star + "\nUser-agent: graftbot\nDisallow: /tmp/\n"
+    val pages = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val robots = if (id % 2 == 0) star else named
+      val path = (id % 4) match {
+        case 0 => s"/private/f$id"
+        case 1 => s"/private/ok/f$id"
+        case 2 => s"/d/f$id.zip"
+        case _ => s"/tmp/f$id"
+      }
+      Robots.PageFetch(id, robots, path)
+    }
+    Robots.evaluate(pages, "graftbot/1.0")
+      .select(col("media_id"), col("path"),
+        col("allowed").cast("long").as("allowed"))
+      .orderBy(col("media_id"))
+  }
+
+  val p57Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN '/private/f' || CAST(doc_id AS VARCHAR)
+      |    WHEN 1 THEN '/private/ok/f' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN '/d/f' || CAST(doc_id AS VARCHAR) || '.zip'
+      |    ELSE '/tmp/f' || CAST(doc_id AS VARCHAR) END AS path,
+      |  CAST(CASE
+      |    WHEN doc_id % 2 = 0 AND doc_id % 4 = 0 THEN 0  -- * disallows /private/
+      |    WHEN doc_id % 2 = 0 AND doc_id % 4 = 2 THEN 0  -- * disallows *.zip$
+      |    WHEN doc_id % 2 = 1 AND doc_id % 4 = 3 THEN 0  -- graftbot disallows /tmp/
+      |    ELSE 1 END AS BIGINT) AS allowed
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1672,7 +1714,8 @@ object Pipeline {
     "p53_exif_probe" -> (p53ExifProbe _),
     "p54_warc_parse" -> (p54WarcParse _),
     "p55_mel_spectrogram" -> (p55MelSpectrogram _),
-    "p56_temperature_mix" -> (p56TemperatureMix _))
+    "p56_temperature_mix" -> (p56TemperatureMix _),
+    "p57_robots_gate" -> (p57RobotsGate _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1726,5 +1769,6 @@ object Pipeline {
     "p54_warc_parse" -> p54Oracle,
     "p55_mel_spectrogram" -> p55Oracle,
     "p56_temperature_mix" -> p56Oracle,
+    "p57_robots_gate" -> p57Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

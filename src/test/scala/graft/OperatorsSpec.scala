@@ -1206,4 +1206,48 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == first)
   }
+
+  test("robots.txt: group selection, longest-match rules, wildcards") {
+    import graft.operators.Robots
+    val robots =
+      """# corpus crawl policy
+        |User-agent: *
+        |Disallow: /private/
+        |Allow: /private/ok/
+        |Disallow: /*.zip$
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /tmp/
+        |Allow: /tmp/pub
+        |
+        |User-agent: graftbot
+        |Disallow: /extra/
+        |""".stripMargin
+    def ok(agent: String, path: String) =
+      Robots.isAllowed(robots, agent, path)
+    // '*' group governs unknown agents
+    assert(!ok("randombot", "/private/x"))
+    assert(ok("randombot", "/private/ok/x"))  // longer allow wins
+    assert(!ok("randombot", "/files/a.zip"))  // * wildcard + $ anchor
+    assert(ok("randombot", "/files/a.zipx"))  // $ means END
+    assert(ok("randombot", "/tmp/x"))         // other group's rule ignored
+    // named group REPLACES '*' entirely and merges same-name groups
+    assert(ok("graftbot/2.1", "/private/x"))
+    assert(!ok("graftbot/2.1", "/tmp/x"))
+    assert(ok("graftbot/2.1", "/tmp/pub/x"))  // longest match is the allow
+    assert(!ok("graftbot/2.1", "/extra/y"))   // second graftbot group merged
+    assert(ok("graftbot/2.1", "/files/a.zip"))
+    // adjacent user-agent lines share one group
+    assert(!ok("otherbot", "/tmp/x") && ok("otherbot", "/private/x"))
+    // empty / missing robots allows all; empty Disallow matches nothing
+    assert(Robots.isAllowed("", "anybot", "/anything"))
+    assert(Robots.isAllowed("User-agent: *\nDisallow:\n", "b", "/x"))
+    // pattern engine corner cases
+    assert(Robots.patternMatches("/a*b*c", "/aXbYc-tail"))
+    assert(!Robots.patternMatches("/a*b$", "/aXbY"))
+    assert(Robots.patternMatches("*", "/whatever"))
+    assert(Robots.patternMatches("/p", "/path"))  // plain prefix
+    assert(!Robots.patternMatches("/path$", "/path/x"))
+  }
 }
