@@ -467,8 +467,19 @@ object TextAnalysis {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
-    trim(regexp_replace(decodeHtmlEntities(noTags), "\\s+", " "))
+    // closing block-level tags and <br> become NEWLINES, so the block
+    // structure survives extraction — which is what lets the line-based
+    // C4 rules ([[c4Clean]]) and jusText-style per-block scoring compose
+    // directly on the output
+    val blocks = regexp_replace(noComment,
+      "(?i)</p>|</div>|</h[1-6]>|</li>|</tr>|</blockquote>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val decoded = decodeHtmlEntities(noTags)
+    // collapse horizontal whitespace, then fold blank-line runs into one
+    // newline, keeping line boundaries intact
+    val hSpace = regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " ")
+    val lines = regexp_replace(hSpace, " *\\n[ \\n]*", "\n")
+    trim(regexp_replace(lines, "^\\n+|\\n+$", ""))
   }
 
   /** Inner texts of `<a>` anchors (entity-decoded, whitespace-collapsed),

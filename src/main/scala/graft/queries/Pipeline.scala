@@ -1043,18 +1043,22 @@ object Pipeline {
       |  || source || '</h1><p>' || text || '</p><a href="/doc?id=' ||
       |  CAST(doc_id AS VARCHAR) || '">more &amp; info</a></body></html>' AS html
       |  FROM documents),
-      |t AS (SELECT doc_id, trim(regexp_replace(
+      |t AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |  regexp_replace(regexp_replace(regexp_replace(html,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(html,
       |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
       |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
       |    '(?s)<!--.*?-->', ' ', 'g'),
+      |    '(?i)</p>|</div>|</h[1-6]>|</li>|</tr>|</blockquote>|<br[^>]*>', chr(10), 'g'),
       |    '<[^>]*>', ' ', 'g'),
       |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
       |    '&#39;', CHR(39), 'g'), '&apos;', CHR(39), 'g'),
       |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
-      |  '\s+', ' ', 'g')) AS txt FROM h)
+      |  '[ \t\x0B\f\r]+', ' ', 'g'),
+      |  ' *\n[ \n]*', chr(10), 'g'),
+      |  '^\n+|\n+$', '', 'g')) AS txt FROM h)
       |SELECT doc_id, md5(txt) AS text_md5,
       |  CAST(length(txt) AS BIGINT) AS n_chars,
       |  CAST(1 AS BIGINT) AS n_links, CAST(11 AS BIGINT) AS link_chars,
@@ -1389,6 +1393,96 @@ object Pipeline {
       |    ELSE 1 END AS BIGINT) AS allowed
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** END-TO-END curation funnel — the operators composed the way a real
+    * crawl pipeline chains them, in ONE declarative plan: WARC records
+    * (robots resource + HTML response per doc) → robots politeness gate
+    * on the normalized URL's path → HTML→text extraction (line-aware) →
+    * C4 line/page rules → quality-classifier logit gate. Every stage's
+    * effect is a closed-form function of doc_id and the doc text, so the
+    * oracle reproduces the ENTIRE funnel — survivors, canonical URLs,
+    * clean-text hashes and exact logits — bitwise. Drop reasons by
+    * construction: id%7==3 → robots-denied path; id%5==0 → curly-brace
+    * code line kills the page; the rest survive iff their text's quality
+    * logit clears 0. */
+  def p58CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].map {
+        case (id, text) =>
+          val robots = Warc.encodeRecord("resource",
+            s"https://site${id % 5}.com/robots.txt", "2024-03-02T00:00:00Z",
+            s"<urn:uuid:$id-robots>",
+            "User-agent: *\nDisallow: /deny/\n".getBytes("UTF-8"))
+          val path = if (id % 7 == 3) s"/deny/p/$id" else s"/p/$id"
+          val html = "<html><head><script>var x = 1 < 2;</script></head>" +
+            "<body><h1>Heading</h1><p>" + text + ".</p>" +
+            (if (id % 5 == 0) "<p>if (x) { y } done here.</p>" else "") +
+            "<p>no</p><p>A good closing sentence appears right here.</p>" +
+            "</body></html>"
+          val page = Warc.encodeRecord("response",
+            s"HTTPS://WWW.Site${id % 5}.COM:443$path?utm_x=1&id=$id",
+            "2024-03-02T00:00:01Z", s"<urn:uuid:$id>", html.getBytes("UTF-8"))
+          Multimodal.MediaRow(id, "warc", Warc.gzipMembers(Seq(robots, page)))
+      }
+    val recs = Warc.parseWarcs(media).toDF()
+    val robots = recs.filter(col("warc_type") === "resource")
+      .select(col("media_id"), col("payload").cast("string").as("robots"))
+    val pages = recs.filter(col("warc_type") === "response")
+      .select(col("media_id"), col("target_uri"),
+        col("payload").cast("string").as("html"))
+      .withColumn("url_norm", TextAnalysis.normalizeUrl(col("target_uri")))
+      .withColumn("path",
+        regexp_extract(col("url_norm"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+    val gated = Robots.evaluate(
+        pages.join(robots, Seq("media_id"))
+          .select(col("media_id"), col("robots"), col("path"))
+          .as[Robots.PageFetch], "graftbot/1.0")
+      .toDF().filter(col("allowed")).select(col("media_id"))
+    val extracted = pages.join(gated, Seq("media_id"))
+      .withColumn("page_text", TextAnalysis.htmlToText(col("html")))
+    val cleaned = TextAnalysis.c4Clean(
+        extracted.select(col("media_id"), col("page_text")),
+        "page_text", "media_id", minWords = 3, minLines = 2)
+      .filter(col("page_kept"))
+      .join(extracted.select(col("media_id"), col("url_norm")),
+        Seq("media_id"))
+    Quality.score(cleaned.withColumnRenamed("clean_text", "text"), "text",
+        Seq(-2.0, 3.0, -4.0, 2.0, 0.1))
+      .filter(col("keep") === 1)
+      .select(col("media_id").as("doc_id"), col("url_norm"),
+        md5(col("text").cast("binary")).as("clean_md5"),
+        col("n_lines_kept"), col("quality_logit"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p58Oracle: String =
+    """WITH clean AS (
+      |  SELECT doc_id,
+      |    'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
+      |      CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) AS url_norm,
+      |    text || '.' || chr(10) ||
+      |      'A good closing sentence appears right here.' AS ct
+      |  FROM documents
+      |  WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 0),
+      |f AS (SELECT doc_id, url_norm, ct,
+      |    length(ct) AS n_chars,
+      |    len(string_split(regexp_replace(lower(trim(ct)), '\s+', ' ', 'g'), ' ')) AS n_words,
+      |    length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(ct, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+      |    len(list_filter(string_split(regexp_replace(lower(trim(ct)), '\s+', ' ', 'g'), ' '),
+      |        x -> x IN ('the','a','and','of','to','is','in'))) AS n_stop
+      |  FROM clean),
+      |z AS (SELECT doc_id, url_norm, ct,
+      |    -2.0 + (CAST(n_alpha AS DOUBLE)/n_chars) * 3.0
+      |      + (CAST(n_punct AS DOUBLE)/n_chars) * -4.0
+      |      + (CAST(n_stop AS DOUBLE)/n_words) * 2.0
+      |      + (CAST(n_alpha AS DOUBLE)/n_words) * 0.1 AS logit
+      |  FROM f)
+      |SELECT doc_id, url_norm, md5(ct) AS clean_md5,
+      |  CAST(2 AS BIGINT) AS n_lines_kept, logit AS quality_logit
+      |FROM z WHERE logit > 0 ORDER BY doc_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1715,7 +1809,8 @@ object Pipeline {
     "p54_warc_parse" -> (p54WarcParse _),
     "p55_mel_spectrogram" -> (p55MelSpectrogram _),
     "p56_temperature_mix" -> (p56TemperatureMix _),
-    "p57_robots_gate" -> (p57RobotsGate _))
+    "p57_robots_gate" -> (p57RobotsGate _),
+    "p58_curation_funnel" -> (p58CurationFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1770,5 +1865,6 @@ object Pipeline {
     "p55_mel_spectrogram" -> p55Oracle,
     "p56_temperature_mix" -> p56Oracle,
     "p57_robots_gate" -> p57Oracle,
+    "p58_curation_funnel" -> p58Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

@@ -960,7 +960,9 @@ class OperatorsSpec extends AnyFunSuite {
           r.getAs[Long]("n_links"), r.getAs[Long]("link_chars"),
           r.getAs[Double]("link_density"))).toMap
 
-    val t0 = "Title & Subtitle Body with spaced words <kept> 'as' \"is\". bold link tail"
+    // block-closing tags and in-text newlines become line breaks, so the
+    // extraction output feeds the line-based C4 rules directly
+    val t0 = "Title & Subtitle\nBody with\nspaced words <kept> 'as' \"is\".\nbold link tail"
     assert(got(0L)._1 == t0, s"got: ${got(0L)._1}")
     assert(got(0L)._2 == t0.length && got(0L)._3 == 1L)
     assert(got(0L)._4 == "bold link".length)
