@@ -440,6 +440,46 @@ object TextAnalysis {
           !col(textCol).contains("{")).as("page_kept"))
   }
 
+  /** Cross-document LINE dedup (the RefinedWeb/CCNet line-level pass):
+    * a line occurring in more than `maxDocs` DISTINCT documents is
+    * boilerplate (nav chrome, subscribe prompts, license footers) and is
+    * REMOVED from every document; each document's text is rebuilt from
+    * its surviving lines in order. This is the stage that actually edits
+    * text, complementing [[crossDocSpans]]' scoring.
+    *
+    * Shape: lines explode with positions and reduce to 64-bit xxhash
+    * identities; the common set comes from a (hash → distinct-doc count)
+    * aggregation — map-side partials absorb hot lines — and is small by
+    * construction (only boilerplate crosses the threshold), so Catalyst
+    * broadcasts the anti-join build side; the rebuild is ONE doc-keyed
+    * aggregation whose state is bounded by a document's own lines. No
+    * all-pairs anything. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"need maxDocs >= 1: $maxDocs")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val common = lines.groupBy(col("lh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs).select(col("lh"))
+    val rebuilt = lines.join(common, Seq("lh"), "left_anti")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("kept_lines"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        (col("n_lines") - coalesce(col("kept_lines"), lit(0L)))
+          .as("removed_lines"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** HTML entity decoding for the named entities that dominate real web
     * text; applied AFTER tag stripping so `&lt;p&gt;` can never become a
     * live tag. `&amp;` decodes last for the same reason. Numeric

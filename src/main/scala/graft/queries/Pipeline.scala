@@ -1483,6 +1483,40 @@ object Pipeline {
       |  CAST(2 AS BIGINT) AS n_lines_kept, logit AS quality_logit
       |FROM z WHERE logit > 0 ORDER BY doc_id""".stripMargin
 
+  /** Cross-document line dedup ([[TextAnalysis.dedupLines]]): pages built
+    * from each doc's unique text plus shared boilerplate lines (a
+    * subscribe prompt everywhere; a rights footer on every third doc);
+    * lines in more than 2 distinct docs are removed and the text rebuilt.
+    * The oracle accounts for genuinely duplicated doc TEXTS too (the
+    * dedup fixtures in the corpus), so every removal count and rebuilt
+    * hash is closed-form. */
+  def p59LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(col("text"),
+      lit("\nSubscribe to our newsletter today please.\nDoc "),
+      col("doc_id"), lit(" unique trailer line."),
+      when(col("doc_id") % 3 === 0, lit("\nAll rights reserved worldwide."))
+        .otherwise(lit("")))
+    TextAnalysis.dedupLines(
+        documents(s, dir).select(col("doc_id"), page.as("page")),
+        "page", "doc_id", maxDocs = 2)
+      .select(col("doc_id"), col("n_lines"), col("kept_lines"),
+        col("removed_lines"), md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p59Oracle: String =
+    """WITH tc AS (SELECT text, COUNT(*) AS c FROM documents GROUP BY text)
+      |SELECT d.doc_id,
+      |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_lines,
+      |  CAST(CASE WHEN tc.c > 2 THEN 1 ELSE 2 END AS BIGINT) AS kept_lines,
+      |  CAST((CASE WHEN d.doc_id % 3 = 0 THEN 4 ELSE 3 END)
+      |    - (CASE WHEN tc.c > 2 THEN 1 ELSE 2 END) AS BIGINT) AS removed_lines,
+      |  md5(CASE WHEN tc.c > 2 THEN '' ELSE d.text || chr(10) END
+      |      || 'Doc ' || CAST(d.doc_id AS VARCHAR) || ' unique trailer line.')
+      |    AS text_md5
+      |FROM documents d JOIN tc ON d.text = tc.text
+      |ORDER BY d.doc_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1810,7 +1844,8 @@ object Pipeline {
     "p55_mel_spectrogram" -> (p55MelSpectrogram _),
     "p56_temperature_mix" -> (p56TemperatureMix _),
     "p57_robots_gate" -> (p57RobotsGate _),
-    "p58_curation_funnel" -> (p58CurationFunnel _))
+    "p58_curation_funnel" -> (p58CurationFunnel _),
+    "p59_line_dedup" -> (p59LineDedup _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1866,5 +1901,6 @@ object Pipeline {
     "p56_temperature_mix" -> p56Oracle,
     "p57_robots_gate" -> p57Oracle,
     "p58_curation_funnel" -> p58Oracle,
+    "p59_line_dedup" -> p59Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

@@ -1252,4 +1252,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Robots.patternMatches("/p", "/path"))  // plain prefix
     assert(!Robots.patternMatches("/path$", "/path/x"))
   }
+
+  test("dedupLines removes cross-document boilerplate, rebuilds in order") {
+    val nav = "Home | About | Contact"
+    val pages = Seq(
+      (0L, s"$nav\nUnique first body line here.\n$nav\nTail zero."),
+      (1L, s"$nav\nAnother body entirely.\nTail one."),
+      (2L, s"$nav\nThird body text line.\nTail two."),
+      (3L, "No boilerplate at all on this page.\nJust two lines."))
+      .toDF("doc_id", "page")
+    val got = TextAnalysis.dedupLines(pages, "page", "doc_id", maxDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // nav is in 3 docs (> 2) -> removed EVERYWHERE, incl. doc 0's repeat;
+    // within-doc repetition alone (doc 0 has nav twice) wouldn't trigger
+    assert(got(0L) == ((4L, 2L, 2L, "Unique first body line here.\nTail zero.")))
+    assert(got(1L) == ((3L, 2L, 1L, "Another body entirely.\nTail one.")))
+    assert(got(2L) == ((3L, 2L, 1L, "Third body text line.\nTail two.")))
+    // untouched page round-trips byte-identical
+    assert(got(3L) == ((2L, 2L, 0L,
+      "No boilerplate at all on this page.\nJust two lines.")))
+  }
 }
