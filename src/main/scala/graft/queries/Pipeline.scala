@@ -1517,6 +1517,60 @@ object Pipeline {
       |FROM documents d JOIN tc ON d.text = tc.text
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Multimodal ingest funnel — the image-side composition twin of p58,
+    * one declarative plan: WARC archives carrying JPEG+EXIF payloads →
+    * record explosion → EXIF probe (no pixel decode) → metadata gate
+    * (keep orientation 1, the unrotated images a training set wants) →
+    * REAL pixel decode of only the survivors → geometry cross-check.
+    * Every surviving field is exact (EXIF integers + decoded geometry —
+    * JPEG is lossy in VALUES, never in dimensions), so the oracle states
+    * the funnel in closed form. */
+  def p60MediaFunnel(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      val base = Multimodal.encodeJpeg(w, h,
+        Array.tabulate[Byte](w * h * 3)(i => ((id * 13 + i) % 256).toByte))
+      val jpg = Exif.encodeJpegWithExif(base, littleEndian = id % 2 == 0,
+        make = s"Maker${id % 3}", model = "Cam",
+        orientation = 1 + (id % 4).toInt,
+        datetime = "2024:05:01 10:00:00", exposureDen = 125L,
+        fnumberX10 = 28L, iso = 400, pixelX = w.toLong, pixelY = h.toLong)
+      val rec = Warc.encodeRecord("response",
+        s"https://img.example.com/i/$id.jpg", "2024-05-01T00:00:00Z",
+        s"<urn:uuid:img-$id>", jpg)
+      Multimodal.MediaRow(id, "warc", Warc.gzipMembers(Seq(rec)))
+    }
+    val payloads = Warc.parseWarcs(media).toDF()
+      .filter(col("valid") && col("warc_type") === "response")
+      .select(col("media_id"), col("target_uri"), col("payload"))
+    val probed = Exif.probeExif(
+        payloads.select(col("media_id"), lit("jpg").as("kind"),
+          col("payload")).as[Multimodal.MediaRow])
+      .toDF().filter(col("has_exif") && col("orientation") === 1)
+      .select(col("media_id"), col("make"), col("pixel_x"), col("pixel_y"))
+    val decoded = Multimodal.decodeImages(
+        payloads.join(probed.select(col("media_id")), Seq("media_id"))
+          .select(col("media_id"), lit("jpeg").as("kind"), col("payload"))
+          .as[Multimodal.MediaRow])
+      .toDF().select(col("media_id"), col("width"), col("height"))
+    probed.join(decoded, Seq("media_id"))
+      .select(col("media_id"), col("make"), col("pixel_x"), col("pixel_y"),
+        col("width"), col("height"))
+      .orderBy(col("media_id"))
+  }
+
+  val p60Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  'Maker' || CAST(doc_id % 3 AS VARCHAR) AS make,
+      |  CAST(4 + doc_id % 5 AS BIGINT) AS pixel_x,
+      |  CAST(3 + doc_id % 4 AS BIGINT) AS pixel_y,
+      |  CAST(4 + doc_id % 5 AS BIGINT) AS width,
+      |  CAST(3 + doc_id % 4 AS BIGINT) AS height
+      |FROM documents WHERE doc_id % 4 = 0 ORDER BY media_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1845,7 +1899,8 @@ object Pipeline {
     "p56_temperature_mix" -> (p56TemperatureMix _),
     "p57_robots_gate" -> (p57RobotsGate _),
     "p58_curation_funnel" -> (p58CurationFunnel _),
-    "p59_line_dedup" -> (p59LineDedup _))
+    "p59_line_dedup" -> (p59LineDedup _),
+    "p60_media_funnel" -> (p60MediaFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1902,5 +1957,6 @@ object Pipeline {
     "p57_robots_gate" -> p57Oracle,
     "p58_curation_funnel" -> p58Oracle,
     "p59_line_dedup" -> p59Oracle,
+    "p60_media_funnel" -> p60Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }
