@@ -23,6 +23,28 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Quality-aware duplicate resolution: one survivor per exact-content
+    * group, chosen by HIGHEST score (ties → lowest id) rather than the
+    * arbitrary min-id policy — the "keep the best copy" rule real
+    * curation pipelines apply (the cleanest extraction of a page, the
+    * longest of near-identical mirrors). One hash aggregation with a
+    * max-of-struct partial state (score, -id), so the shuffle carries one
+    * row per content group — same cost as [[exact]]. Returns every doc
+    * with its group key and keep flag, so the drop set stays auditable. */
+  def keepBestPerGroup(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val hashed = df.select(md5(col(textCol)).as("content_hash"), col(idCol),
+      col(scoreCol).cast("double").as("__score"))
+    val best = hashed.groupBy(col("content_hash"))
+      .agg(max(struct(col("__score"), (-col(idCol)).as("__negid")))
+        .as("__best"), count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), (-col("__best.__negid")).as("keep_id"),
+        col("n_copies"))
+    hashed.join(best, Seq("content_hash"))
+      .select(col("content_hash"), col(idCol), col("n_copies"),
+        (col(idCol) === col("keep_id")).as("keep"))
+  }
+
   /** Exact dedup after whitespace/case normalization (catches trivially
     * reformatted copies). */
   def normalized(df: DataFrame, textCol: String, idCol: String): DataFrame =

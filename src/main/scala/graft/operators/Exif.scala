@@ -42,9 +42,8 @@ object Exif {
     inline: Option[Long], data: Array[Byte])
 
   private def ascii(tag: Int, s: String): Entry = {
-    val b = (s + "\u0000").getBytes("US-ASCII")
-    if (b.length <= 4) Entry(tag, 2, b.length, None, b)
-    else Entry(tag, 2, b.length, None, b)
+    val b = (s + "\u0000").getBytes("US-ASCII") // TIFF ASCII: NUL-terminated
+    Entry(tag, 2, b.length, None, b)
   }
   private def short(tag: Int, v: Int): Entry =
     Entry(tag, 3, 1, Some(v.toLong), Array.emptyByteArray)

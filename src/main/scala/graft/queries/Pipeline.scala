@@ -1571,6 +1571,43 @@ object Pipeline {
       |  CAST(3 + doc_id % 4 AS BIGINT) AS height
       |FROM documents WHERE doc_id % 4 = 0 ORDER BY media_id""".stripMargin
 
+  /** Quality-aware duplicate resolution ([[Dedup.keepBestPerGroup]]):
+    * every doc scored with the fixed-weight quality logit, then one
+    * survivor per exact-content group by highest logit (ties → lowest
+    * id). Exact duplicates share a logit, so the corpus's dup groups
+    * exercise the tie path while the oracle reproduces the whole
+    * decision bitwise (the logit chain is exact cross-engine). */
+  def p61DedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestPerGroup(
+        Quality.score(documents(s, dir), "text",
+          Seq(-2.0, 3.0, -4.0, 2.0, 0.1)),
+        "text", "doc_id", "quality_logit")
+      .select(col("content_hash"), col("doc_id"), col("n_copies"),
+        col("keep").cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+
+  val p61Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, md5(text) AS content_hash,
+      |    length(text) AS n_chars_m,
+      |    len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_words,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+      |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |        x -> x IN ('the','a','and','of','to','is','in'))) AS n_stop
+      |  FROM documents),
+      |z AS (SELECT doc_id, content_hash,
+      |    -2.0 + (CAST(n_alpha AS DOUBLE)/n_chars_m) * 3.0
+      |      + (CAST(n_punct AS DOUBLE)/n_chars_m) * -4.0
+      |      + (CAST(n_stop AS DOUBLE)/n_words) * 2.0
+      |      + (CAST(n_alpha AS DOUBLE)/n_words) * 0.1 AS logit
+      |  FROM base)
+      |SELECT content_hash, doc_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY content_hash) AS BIGINT) AS n_copies,
+      |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY content_hash
+      |      ORDER BY logit DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM z ORDER BY doc_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1900,7 +1937,8 @@ object Pipeline {
     "p57_robots_gate" -> (p57RobotsGate _),
     "p58_curation_funnel" -> (p58CurationFunnel _),
     "p59_line_dedup" -> (p59LineDedup _),
-    "p60_media_funnel" -> (p60MediaFunnel _))
+    "p60_media_funnel" -> (p60MediaFunnel _),
+    "p61_dedup_keep_best" -> (p61DedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1958,5 +1996,6 @@ object Pipeline {
     "p58_curation_funnel" -> p58Oracle,
     "p59_line_dedup" -> p59Oracle,
     "p60_media_funnel" -> p60Oracle,
+    "p61_dedup_keep_best" -> p61Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }

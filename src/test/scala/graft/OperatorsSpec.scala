@@ -1273,4 +1273,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 2L, 0L,
       "No boilerplate at all on this page.\nJust two lines.")))
   }
+
+  test("keepBestPerGroup keeps the highest score, min id on ties") {
+    import graft.operators.Dedup
+    val rows = Seq(
+      (1L, "same text", 0.5), (2L, "same text", 0.9), (3L, "same text", 0.7),
+      (10L, "tied text", 0.4), (11L, "tied text", 0.4),  // tie -> min id
+      (20L, "solo", 0.1))
+      .toDF("doc_id", "text", "score")
+    val got = Dedup.keepBestPerGroup(rows, "text", "doc_id", "score")
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.size == 6)
+    assert(got(2L) == ((3L, true)) && !got(1L)._2 && !got(3L)._2)
+    assert(got(10L) == ((2L, true)) && !got(11L)._2)
+    assert(got(20L) == ((1L, true)))
+  }
 }
