@@ -59,4 +59,44 @@ object DocStreams {
       .filter(col("__nb") === bands)
       .select(col("id"), col("ts"))
   }
+
+  /** Streaming LM scoring at ingest: documents flowing through a stream
+    * are scored against a PRE-TRAINED n-gram model held as two static
+    * DataFrames (gram → count, prefix → count — train them offline with
+    * [[graft.operators.TextAnalysis.lmScore]]'s shape and persist). The
+    * stream side stays stateless: per-row gram explode + doc-windowed
+    * collapse would need state, so scoring aggregates WITHIN each row via
+    * a static-stream join on the exploded grams and a per-(doc, window)
+    * aggregation bounded by the watermark. Catalyst broadcasts the
+    * (pruned, bounded) model to every micro-batch — the stream never
+    * shuffles against it. Emits (id, ts, n_positions, lm_hits, hit_frac)
+    * when the watermark closes the window — the same coverage columns as
+    * the batch operator, proven equal in StreamingSpec. */
+  def lmScoredStream(docs: DataFrame, gramCounts: DataFrame,
+      textCol: String, idCol: String, tsCol: String,
+      n: Int = 2, watermark: String = "2 hours",
+      bucketWindow: String = "10 minutes"): DataFrame = {
+    val gramHash = (0 until n).map(j => s"element_at(__ws, i + 1 + $j)")
+      .mkString(", ")
+    val grams = docs
+      .select(col(idCol).as("id"), col(tsCol),
+        split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+          .as("__ws"))
+      .where(size(col("__ws")) >= n)
+      .select(col("id"), col(tsCol), explode(expr(
+        s"transform(sequence(0, size(__ws) - $n), i -> xxhash64($gramHash))"))
+        .as("gram"))
+    grams
+      .join(broadcast(gramCounts.select(col("gram"),
+        lit(1L).as("__hit"))), Seq("gram"), "left")
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), bucketWindow), col("id"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(coalesce(col("__hit"), lit(0L))).as("lm_hits"),
+        min(col(tsCol)).as("ts"))
+      .withColumn("hit_frac",
+        col("lm_hits").cast("double") / col("n_positions"))
+      .select(col("id"), col("ts"), col("n_positions"), col("lm_hits"),
+        col("hit_frac"))
+  }
 }

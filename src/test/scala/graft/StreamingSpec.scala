@@ -245,6 +245,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM scoring against a static model matches the batch scorer") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.TextAnalysis
+    val ref = Seq(
+      (100L, "the cat sat on the mat while the dog ran on the mat"),
+      (101L, "a cat ran on a mat and the dog sat on the mat"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "the cat sat on the mat", "2024-01-01 00:00:00"),
+      (1L, "quantum kazoo ensembles juggle", "2024-01-01 00:01:00"),
+      (2L, "the dog ran on the mat today", "2024-01-01 00:02:00"))
+      .map { case (id, t, ts) => (id, t, java.sql.Timestamp.valueOf(ts)) }
+    // the pre-trained model: the batch operator's pruned gram table shape
+    val model = {
+      val g = ref.select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("__ws"))
+        .where(size(col("__ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__ws) - 2), i -> " +
+            "xxhash64(element_at(__ws, i + 1), element_at(__ws, i + 2)))"))
+          .as("gram"))
+      g.groupBy("gram").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("gram")
+    }
+    val dir = Files.createTempDirectory("graft-lmstream").toString
+    Seq(docs.head).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = DocStreams.lmScoredStream(
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .parquet(dir), model, "text", "doc_id", "ts")
+      .writeStream.format("memory").queryName("lmstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      docs.tail.foreach { d =>
+        Seq(d).toDF("doc_id", "text", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      // sentinel pushes the watermark past every window
+      Seq((99L, "late late sentinel", java.sql.Timestamp.valueOf("2024-01-01 04:00:00")))
+        .toDF("doc_id", "text", "ts").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT id, n_positions, lm_hits, hit_frac FROM lmstream WHERE id < 99")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      // batch twin: score the same docs against the same ref corpus
+      val batch = TextAnalysis.lmScore(
+          docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), ref,
+          "text", "doc_id", n = 2, minCount = 2L)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (id, (np, hits, frac)) =>
+        assert(streamed(id) == ((np, hits, frac)), s"doc $id")
+      }
+      assert(streamed(1L)._2 == 0L) // all-OOV doc scores zero hits
+    } finally q.stop()
+  }
+
   test("streaming near-dup admission matches the batch first-in-every-bucket twin") {
     import spark.implicits._
     import graft.streaming.DocStreams
