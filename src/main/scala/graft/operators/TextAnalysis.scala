@@ -480,6 +480,60 @@ object TextAnalysis {
         coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, appendix A1.1) as one
+    * per-row pass — the published heuristic gate most open pipelines
+    * (Gopher, RefinedWeb, Dolma) start from. Implemented rules, each a
+    * flag plus the composite keep:
+    *
+    *   - word count within [minWords, maxWords] (paper: 50..100,000);
+    *   - mean word length within [3, 10];
+    *   - hash-or-ellipsis symbol-to-word ratio <= 0.1;
+    *   - lines starting with a bullet <= 90%, ending with "..." <= 30%;
+    *   - >= 80% of words contain an alphabetic character;
+    *   - >= 2 distinct common stopwords present;
+    *   - within-doc duplicate-LINE fraction <= 30% (the intra-doc
+    *     repetition rule; the n-gram variants live in
+    *     [[repetitionSignals]]).
+    *
+    * All ratios are integer counts over integer counts (single IEEE
+    * divisions compared against decimal literals), so a SQL oracle
+    * reproduces every flag bitwise. Zero shuffle. */
+  def gopherQuality(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws).cast("long")
+    val meanLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
+      .cast("double") / nWords
+    val symbolish = size(filter(ws,
+      w => w.contains("#") || w.contains("..."))).cast("long")
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("long")
+    val ellipsisLines = size(filter(lines,
+      l => trim(l).endsWith("..."))).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = size(array_intersect(array_distinct(ws),
+      array(stopwords("en").map(lit): _*))).cast("long")
+    val dupLines = (nLines - size(array_distinct(lines))).cast("long")
+    df.select(col(idCol),
+        nWords.as("n_words"),
+        (nWords >= minWords && nWords <= maxWords).as("ok_word_count"),
+        (meanLen >= 3.0 && meanLen <= 10.0).as("ok_mean_word_len"),
+        (symbolish.cast("double") / nWords <= 0.1).as("ok_symbol_ratio"),
+        (bulletLines.cast("double") / nLines <= 0.9).as("ok_bullets"),
+        (ellipsisLines.cast("double") / nLines <= 0.3).as("ok_ellipsis"),
+        (alphaWords.cast("double") / nWords >= 0.8).as("ok_alpha_words"),
+        (stopHits >= 2).as("ok_stopwords"),
+        (dupLines.cast("double") / nLines <= 0.3).as("ok_dup_lines"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_bullets") &&
+          col("ok_ellipsis") && col("ok_alpha_words") &&
+          col("ok_stopwords") && col("ok_dup_lines"))
+  }
+
   /** HTML entity decoding for the named entities that dominate real web
     * text; applied AFTER tag stripping so `&lt;p&gt;` can never become a
     * live tag. `&amp;` decodes last for the same reason. Numeric

@@ -1608,6 +1608,83 @@ object Pipeline {
       |      ORDER BY logit DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM z ORDER BY doc_id""".stripMargin
 
+  /** Gopher quality rules ([[TextAnalysis.gopherQuality]]): each doc
+    * becomes a page exercising one failure mode by residue — bullet
+    * walls, symbol spam, ellipsis endings, within-doc duplicate lines —
+    * and the oracle MIRRORS every count on the same constructed page
+    * (the p30 shared-semantics pattern), so all flags and the composite
+    * keep hash-match. */
+  def p62GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val page = when(col("doc_id") % 6 === 0,
+        concat(col("text"), expr("repeat('\\n- promo bullet item', 30)")))
+      .when(col("doc_id") % 6 === 1,
+        concat(col("text"), expr("repeat(' ###tagged', 60)")))
+      .when(col("doc_id") % 6 === 2,
+        concat(col("text"), expr("repeat('\\nand so the story continues...', 2)")))
+      .when(col("doc_id") % 6 === 3,
+        concat(col("text"), expr("repeat('\\nrepeated filler line for dup test', 5)")))
+      .otherwise(col("text"))
+    TextAnalysis.gopherQuality(
+        documents(s, dir).select(col("doc_id"), page.as("page")),
+        "page", "doc_id", minWords = 10)
+      .select(col("doc_id"), col("n_words"),
+        col("ok_word_count").cast("long").as("ok_word_count"),
+        col("ok_mean_word_len").cast("long").as("ok_mean_word_len"),
+        col("ok_symbol_ratio").cast("long").as("ok_symbol_ratio"),
+        col("ok_bullets").cast("long").as("ok_bullets"),
+        col("ok_ellipsis").cast("long").as("ok_ellipsis"),
+        col("ok_alpha_words").cast("long").as("ok_alpha_words"),
+        col("ok_stopwords").cast("long").as("ok_stopwords"),
+        col("ok_dup_lines").cast("long").as("ok_dup_lines"),
+        col("keep").cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p62Oracle: String =
+    """WITH p AS (SELECT doc_id,
+      |    CASE
+      |      WHEN doc_id % 6 = 0 THEN text || repeat(chr(10) || '- promo bullet item', 30)
+      |      WHEN doc_id % 6 = 1 THEN text || repeat(' ###tagged', 60)
+      |      WHEN doc_id % 6 = 2 THEN text || repeat(chr(10) || 'and so the story continues...', 2)
+      |      WHEN doc_id % 6 = 3 THEN text || repeat(chr(10) || 'repeated filler line for dup test', 5)
+      |      ELSE text END AS page
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(page)), '\s+', ' ', 'g'), ' ') AS w,
+      |    string_split(page, chr(10)) AS ls
+      |  FROM p),
+      |m AS (SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_len,
+      |    len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS symbolish,
+      |    len(ls) AS n_lines,
+      |    len(list_filter(ls, x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*')
+      |        OR starts_with(trim(x), '•'))) AS bullets,
+      |    len(list_filter(ls, x -> ends_with(trim(x), '...'))) AS ellipses,
+      |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+      |    len(list_intersect(list_distinct(w),
+      |        ['the','a','and','of','to','is','in'])) AS stop_hits,
+      |    len(ls) - len(list_distinct(ls)) AS dup_lines
+      |  FROM c)
+      |SELECT doc_id, n_words,
+      |  CAST(n_words >= 10 AND n_words <= 100000 AS BIGINT) AS ok_word_count,
+      |  CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS BIGINT) AS ok_mean_word_len,
+      |  CAST(CAST(symbolish AS DOUBLE) / n_words <= 0.1 AS BIGINT) AS ok_symbol_ratio,
+      |  CAST(CAST(bullets AS DOUBLE) / n_lines <= 0.9 AS BIGINT) AS ok_bullets,
+      |  CAST(CAST(ellipses AS DOUBLE) / n_lines <= 0.3 AS BIGINT) AS ok_ellipsis,
+      |  CAST(CAST(alpha_words AS DOUBLE) / n_words >= 0.8 AS BIGINT) AS ok_alpha_words,
+      |  CAST(stop_hits >= 2 AS BIGINT) AS ok_stopwords,
+      |  CAST(CAST(dup_lines AS DOUBLE) / n_lines <= 0.3 AS BIGINT) AS ok_dup_lines,
+      |  CAST((n_words >= 10 AND n_words <= 100000)
+      |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+      |    AND (CAST(symbolish AS DOUBLE) / n_words <= 0.1)
+      |    AND (CAST(bullets AS DOUBLE) / n_lines <= 0.9)
+      |    AND (CAST(ellipses AS DOUBLE) / n_lines <= 0.3)
+      |    AND (CAST(alpha_words AS DOUBLE) / n_words >= 0.8)
+      |    AND (stop_hits >= 2)
+      |    AND (CAST(dup_lines AS DOUBLE) / n_lines <= 0.3) AS BIGINT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** REAL video decode over synthesized uncompressed AVIs: deterministic
     * RGB frame stacks are containerized as RIFF/AVI (raw DIB 'vids'
     * stream) per doc, decoded by the RIFF walker inside mapPartitions,
@@ -1938,7 +2015,8 @@ object Pipeline {
     "p58_curation_funnel" -> (p58CurationFunnel _),
     "p59_line_dedup" -> (p59LineDedup _),
     "p60_media_funnel" -> (p60MediaFunnel _),
-    "p61_dedup_keep_best" -> (p61DedupKeepBest _))
+    "p61_dedup_keep_best" -> (p61DedupKeepBest _),
+    "p62_gopher_rules" -> (p62GopherRules _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -1997,5 +2075,6 @@ object Pipeline {
     "p59_line_dedup" -> p59Oracle,
     "p60_media_funnel" -> p60Oracle,
     "p61_dedup_keep_best" -> p61Oracle,
+    "p62_gopher_rules" -> p62Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }
