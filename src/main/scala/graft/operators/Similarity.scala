@@ -54,6 +54,12 @@ object Similarity {
     (x & ((1L << 52) - 1)).toDouble / (1L << 51).toDouble - 1.0
   }
 
+  /** The SRP hyperplane matrix as plain values — lets an oracle engine
+    * reproduce signatures exactly (Double.toString round-trips, so the
+    * rendered literals parse back to identical bits). */
+  def srpPlanes(dims: Int, nPlanes: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dims).map(d => planeComponent(p, d)))
+
   /** Sign-random-projection LSH signature: `nPlanes` sign bits packed into a
     * long. Hyperplanes are compile-time deterministic literals, broadcast as
     * an array-of-arrays literal column. */

@@ -114,6 +114,66 @@ object Pipeline {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** The LSH oracle is GENERATED: the SRP hyperplanes are compile-time
+    * deterministic doubles, and Double.toString round-trips, so rendering
+    * them as SQL list literals lets DuckDB reproduce signatures, bucket
+    * probes (exact + every 1-bit flip) and the final ranking bitwise —
+    * upgrading p07 from a rows-only check to a full hash-matched oracle. */
+  val p07Oracle: String = {
+    val planes = Similarity.srpPlanes(dims = 64, nPlanes = 12)
+    def sig(v: String): String = planes.zipWithIndex.map { case (pl, p) =>
+      s"(CASE WHEN list_dot_product($v, [${pl.mkString(", ")}]) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+       |c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+       |c AS (SELECT neighbor_id, cv, ${sig("cv")} AS bucket FROM c0),
+       |q AS (SELECT query_id, qv, ${sig("qv")} AS qsig FROM q0),
+       |probes AS (SELECT query_id, qv,
+       |    CASE WHEN t.f = -1 THEN qsig ELSE xor(qsig, (CAST(1 AS BIGINT) << t.f)) END AS bucket
+       |  FROM q, UNNEST(generate_series(-1, 11)) t(f)),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    max(round(list_dot_product(qv, cv) /
+       |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)) AS sim
+       |  FROM c JOIN probes USING (bucket) GROUP BY query_id, neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, neighbor_id, sim FROM ranked WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** IVF oracle: centroids, routing (top-1 corpus cell / top-4 query
+    * probes with the same tie-breaks as the argmax fold) and ranking all
+    * restated from the data itself — p08 upgraded to hash-matched. */
+  val p08Oracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+      |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY neighbor_id) AS centroid_id, cv AS centv
+      |         FROM (SELECT * FROM c ORDER BY neighbor_id LIMIT 16)),
+      |rc AS (SELECT neighbor_id, cv, centroid_id FROM (
+      |    SELECT c.neighbor_id, c.cv, cent.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id ORDER BY
+      |        list_dot_product(c.cv, cent.centv) /
+      |          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+      |        cent.centroid_id) AS crk
+      |    FROM c CROSS JOIN cent) WHERE crk = 1),
+      |rq AS (SELECT query_id, qv, centroid_id FROM (
+      |    SELECT q.query_id, q.qv, cent.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      |        list_dot_product(q.qv, cent.centv) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.centv, cent.centv))) DESC,
+      |        cent.centroid_id) AS crk
+      |    FROM q CROSS JOIN cent) WHERE crk <= 4),
+      |scored AS (SELECT query_id, neighbor_id,
+      |    max(round(list_dot_product(qv, cv) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)) AS sim
+      |  FROM rc JOIN rq USING (centroid_id) GROUP BY query_id, neighbor_id),
+      |ranked AS (SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, neighbor_id, sim FROM ranked WHERE rk <= 10
+      |ORDER BY query_id, rk""".stripMargin
+
   /** IVF-style ANN (centroid routing; checked against brute force in specs). */
   def p08IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
@@ -2076,5 +2136,7 @@ object Pipeline {
     "p60_media_funnel" -> p60Oracle,
     "p61_dedup_keep_best" -> p61Oracle,
     "p62_gopher_rules" -> p62Oracle,
+    "p07_lsh_topk" -> p07Oracle,
+    "p08_ivf_topk" -> p08Oracle,
     "p42_tiff_decode" -> p42Oracle)
 }
