@@ -64,9 +64,13 @@ object Robots {
   /** Pattern match per RFC 9309: literal prefix with `*` = any sequence,
     * trailing `$` = end anchor. Greedy backtracking over the (few) stars. */
   def patternMatches(pattern: String, path: String): Boolean = {
-    val (pat, anchored) =
+    val (pat0, anchored) =
       if (pattern.endsWith("$")) (pattern.dropRight(1), true)
       else (pattern, false)
+    // '**' ≡ '*': collapsing star runs removes the empty middle segments
+    // whose zero-width matches would make backtracking exponential on
+    // adversarial patterns (fuzz-pinned in CodecFuzzSpec)
+    val pat = pat0.replaceAll("\\*{2,}", "*")
     val parts = pat.split("\\*", -1)
     def go(segIdx: Int, pos: Int): Boolean = {
       if (segIdx == parts.length)

@@ -426,6 +426,27 @@ class CodecFuzzSpec extends AnyFunSuite {
       .exists(!_.valid))
   }
 
+  test("robots pattern matching agrees with a regex reference (fuzzed)") {
+    import graft.operators.Robots
+    val r = rnd
+    val alphabet = "ab/.z*"
+    def randStr(maxLen: Int): String =
+      (0 until r.nextInt(maxLen)).map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+    for (_ <- 1 to 3000) {
+      val pat0 = "/" + randStr(8)
+      val pat = if (r.nextBoolean()) pat0 + "$" else pat0
+      val path = "/" + randStr(10).replace("*", "x") // paths have no wildcards
+      val (core, anchored) =
+        if (pat.endsWith("$")) (pat.dropRight(1), true) else (pat, false)
+      val rx = core.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*") // quoted segments joined by wildcard gaps
+      val full = "^" + rx + (if (anchored) "$" else ".*") + "$"
+      val expected = path.matches(full)
+      assert(Robots.patternMatches(pat, path) == expected,
+        s"pattern '$pat' vs path '$path': expected $expected")
+    }
+  }
+
   test("FFT matches a naive DFT and preserves energy (Parseval)") {
     import graft.operators.AudioFeatures
     val r = rnd
