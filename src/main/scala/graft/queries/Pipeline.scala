@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, Mp3, Mp4, Multimodal, Quality, Robots, Sampling, Similarity, TextAnalysis, Warc}
+import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, TextAnalysis, Warc}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -2012,6 +2012,105 @@ object Pipeline {
       |WHERE a.term = 'merge' AND b.term = 'vector'
       |ORDER BY a.doc""".stripMargin
 
+  /** Perceptual image near-dup dedup ([[ImageHash]]): deterministic 18×16
+    * fixture images per doc (pixel i = mid-bits of a squared 16-bit mix of
+    * (seed, i)); docs with doc_id % 7 == 1 are PERTURBED TWINS of doc_id-1
+    * (two pixels shifted by 60–180) — the re-encoded/retouched duplicate a
+    * byte-hash can never catch. Even docs encode as PPM, odd as BMP, so
+    * every planted pair crosses container formats: the match is on decoded
+    * CONTENT. Decode → integer luma → 9×8 box grid → 64-bit dHash →
+    * 4×16-bit-band pigeonhole join (hamming ≤ 3). The oracle recomputes
+    * the hashes closed-form from doc_id and takes exact all-pairs hamming —
+    * pigeonhole banding provably loses no recall at this threshold, so the
+    * outputs hash-match. */
+  def p63ImagePhash(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val seed = if (id % 7 == 1) id - 1 else id
+      val delta = if (id % 7 == 1) (60 + (id % 3) * 60).toInt else 0
+      val px = Array.tabulate[Byte](18 * 16 * 3) { i =>
+        val x = (seed * 131 + i.toLong * 7919 + 12345) % 65536
+        val v = ((x * x) / 4096) % 256
+        (if (delta > 0 && (i == 0 || i == 437)) (v + delta) % 256 else v).toByte
+      }
+      if (id % 2 == 0) Multimodal.MediaRow(id, "ppm", Multimodal.encodePpm(18, 16, px))
+      else Multimodal.MediaRow(id, "bmp", Multimodal.encodeBmp(18, 16, px))
+    }
+    ImageHash.nearDupPairs(ImageHash.dHashImages(media).toDF())
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Recomputes the dHashes closed-form (same pixel formula, integer luma,
+    * 2×2 pooling, gradient bits — split into 32-bit halves because DuckDB's
+    * `<<` rejects shifts into the sign bit) and emits exact all-pairs
+    * hamming ≤ 3. */
+  val p63Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+      |    CASE WHEN doc_id % 7 = 1 THEN 60 + (doc_id % 3) * 60
+      |         ELSE CAST(0 AS BIGINT) END AS delta
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, s.i // 3 AS p, s.i % 3 AS ch,
+      |    CASE WHEN d.delta > 0 AND (s.i = 0 OR s.i = 437)
+      |      THEN ((((d.seed*131 + s.i*7919 + 12345) % 65536) * ((d.seed*131 + s.i*7919 + 12345) % 65536) // 4096) % 256 + d.delta) % 256
+      |      ELSE (((d.seed*131 + s.i*7919 + 12345) % 65536) * ((d.seed*131 + s.i*7919 + 12345) % 65536) // 4096) % 256
+      |    END AS v
+      |  FROM docs d CROSS JOIN (SELECT unnest(generate_series(0, 863)) AS i) s),
+      |lum AS (
+      |  SELECT doc_id, p % 18 AS x, p // 18 AS y,
+      |    (299*sum(CASE WHEN ch=0 THEN v ELSE 0 END)
+      |     + 587*sum(CASE WHEN ch=1 THEN v ELSE 0 END)
+      |     + 114*sum(CASE WHEN ch=2 THEN v ELSE 0 END)) // 1000 AS l
+      |  FROM px GROUP BY doc_id, p),
+      |cells AS (
+      |  SELECT doc_id, y//2 AS r, x//2 AS c, sum(l)//4 AS g
+      |  FROM lum GROUP BY doc_id, y//2, x//2),
+      |bits AS (
+      |  SELECT a.doc_id, a.r, a.c, CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8),
+      |dh AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN r*8+c < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(r*8+c AS INTEGER)) ELSE 0 END) AS lo,
+      |    sum(CASE WHEN r*8+c >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(r*8+c-32 AS INTEGER)) ELSE 0 END) AS hi
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** PDF→text ingest ([[Pdf]]): every document's text is written as a real
+    * PDF (FlateDecode content streams, Tj shows for even docs, kerned TJ
+    * chunk arrays for odd — both extraction paths exercised), then parsed
+    * back by the hand-written extractor. The oracle is the round-trip
+    * contract itself: extracted text equals the source text, page/object
+    * counts follow the line count closed-form. */
+  def p64PdfExtract(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        Multimodal.MediaRow(id, "pdf", Pdf.encodePdf(text, chunked = id % 2 == 1))
+      }
+    Pdf.extractPdfs(media).toDF()
+      .select(col("media_id").as("doc_id"), col("n_pages"), col("n_objects"),
+        col("extracted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p64Oracle: String =
+    """WITH pages AS (
+      |  SELECT doc_id, text,
+      |    CAST(ceil(len(string_split(text, chr(10))) / 50.0) AS BIGINT) AS n_pages
+      |  FROM documents)
+      |SELECT doc_id, n_pages, 3 + 2 * n_pages AS n_objects, text AS extracted
+      |FROM pages ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2076,7 +2175,9 @@ object Pipeline {
     "p59_line_dedup" -> (p59LineDedup _),
     "p60_media_funnel" -> (p60MediaFunnel _),
     "p61_dedup_keep_best" -> (p61DedupKeepBest _),
-    "p62_gopher_rules" -> (p62GopherRules _))
+    "p62_gopher_rules" -> (p62GopherRules _),
+    "p63_image_phash" -> (p63ImagePhash _),
+    "p64_pdf_extract" -> (p64PdfExtract _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2138,5 +2239,7 @@ object Pipeline {
     "p62_gopher_rules" -> p62Oracle,
     "p07_lsh_topk" -> p07Oracle,
     "p08_ivf_topk" -> p08Oracle,
-    "p42_tiff_decode" -> p42Oracle)
+    "p42_tiff_decode" -> p42Oracle,
+    "p63_image_phash" -> p63Oracle,
+    "p64_pdf_extract" -> p64Oracle)
 }
