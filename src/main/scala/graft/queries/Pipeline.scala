@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, TextAnalysis, Warc}
+import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, TextAnalysis, Warc}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -2111,6 +2111,44 @@ object Pipeline {
       |SELECT doc_id, n_pages, 3 + 2 * n_pages AS n_objects, text AS extracted
       |FROM pages ORDER BY doc_id""".stripMargin
 
+  /** Subtitle ingest ([[Srt]]): each document's words become 5-word cues
+    * with deterministic timings (cue length 1500 + (doc_id % 5)·250 ms),
+    * written as real SRT for even docs and WebVTT for odd (comma vs dot
+    * millisecond separators, WEBVTT header), then parsed back cue-by-cue.
+    * The oracle rebuilds the cue table closed-form from the text. */
+  def p65SubtitleCues(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val dur = 1500L + (id % 5) * 250L
+        val cues = text.trim.split("\\s+").toSeq.grouped(5).toSeq.zipWithIndex
+          .map { case (ws, i) => (i * dur, (i + 1) * dur, ws.mkString(" ")) }
+        Multimodal.MediaRow(id, if (id % 2 == 0) "srt" else "vtt",
+          Srt.encode(cues, vtt = id % 2 == 1).getBytes("UTF-8"))
+      }
+    Srt.parseSubtitles(media).toDF()
+      .select(col("media_id").as("doc_id"), col("cue_index"), col("start_ms"),
+        col("end_ms"), col("cue_text"))
+      .orderBy(col("doc_id"), col("cue_index"))
+  }
+
+  val p65Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, 1500 + (doc_id % 5) * 250 AS dur,
+      |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |words AS (
+      |  SELECT doc_id, dur, (i-1) // 5 AS cue0, i, ws[i] AS word
+      |  FROM (SELECT doc_id, dur, ws, unnest(generate_series(1, len(ws))) AS i
+      |        FROM w))
+      |SELECT doc_id, CAST(cue0 + 1 AS BIGINT) AS cue_index,
+      |  CAST(cue0 * dur AS BIGINT) AS start_ms,
+      |  CAST((cue0 + 1) * dur AS BIGINT) AS end_ms,
+      |  string_agg(word, ' ' ORDER BY i) AS cue_text
+      |FROM words GROUP BY doc_id, cue0, dur
+      |ORDER BY doc_id, cue_index""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2177,7 +2215,8 @@ object Pipeline {
     "p61_dedup_keep_best" -> (p61DedupKeepBest _),
     "p62_gopher_rules" -> (p62GopherRules _),
     "p63_image_phash" -> (p63ImagePhash _),
-    "p64_pdf_extract" -> (p64PdfExtract _))
+    "p64_pdf_extract" -> (p64PdfExtract _),
+    "p65_subtitle_cues" -> (p65SubtitleCues _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2241,5 +2280,6 @@ object Pipeline {
     "p08_ivf_topk" -> p08Oracle,
     "p42_tiff_decode" -> p42Oracle,
     "p63_image_phash" -> p63Oracle,
-    "p64_pdf_extract" -> p64Oracle)
+    "p64_pdf_extract" -> p64Oracle,
+    "p65_subtitle_cues" -> p65Oracle)
 }
