@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, TextAnalysis, Warc}
+import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, Warc}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -2149,6 +2149,55 @@ object Pipeline {
       |FROM words GROUP BY doc_id, cue0, dur
       |ORDER BY doc_id, cue_index""".stripMargin
 
+  /** WebDataset shard ingest ([[Tar]]): each document becomes a real ustar
+    * shard holding one sample — `sampleNNNNNN.txt` (the text),
+    * `sampleNNNNNN.json` (metadata) and `sampleNNNNNN.cls` (a deterministic
+    * printable-byte payload standing in for the opaque modality) — then the
+    * shard walk explodes members back out with their sample keys. The
+    * oracle states every member's size and payload md5 closed-form. */
+  def p66WebdatasetShards(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val key = f"sample$id%06d"
+        val cls = Array.tabulate[Byte]((16 + id % 7).toInt)(j =>
+          (32 + (id * 7 + j * 13) % 95).toByte)
+        Multimodal.MediaRow(id, "tar", Tar.encode(Seq(
+          s"$key.txt" -> text.getBytes("UTF-8"),
+          s"$key.json" -> s"""{"id":$id}""".getBytes("UTF-8"),
+          s"$key.cls" -> cls)))
+      }
+    Tar.webdatasetMembers(media).toDF()
+      .select(col("media_id").as("doc_id"), col("key"), col("ext"),
+        col("member_size"), md5(col("payload")).as("payload_md5"))
+      .orderBy(col("doc_id"), col("ext"))
+  }
+
+  val p66Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    'sample' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key
+      |  FROM documents),
+      |cls AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 7 AS BIGINT) AS member_size,
+      |    md5(string_agg(chr(CAST(32 + (doc_id*7 + j*13) % 95 AS INTEGER)), '' ORDER BY j)) AS payload_md5
+      |  FROM (SELECT doc_id, unnest(generate_series(0, CAST(15 + doc_id % 7 AS INTEGER))) AS j
+      |        FROM base)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, b.key, 'cls' AS ext, c.member_size, c.payload_md5
+      |FROM base b JOIN cls c USING (doc_id)
+      |UNION ALL
+      |SELECT doc_id, key, 'json' AS ext,
+      |  CAST(len('{"id":' || doc_id || '}') AS BIGINT), md5('{"id":' || doc_id || '}')
+      |FROM base
+      |UNION ALL
+      |SELECT doc_id, key, 'txt' AS ext,
+      |  CAST(octet_length(encode(text)) AS BIGINT), md5(text)
+      |FROM base
+      |ORDER BY doc_id, ext""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2216,7 +2265,8 @@ object Pipeline {
     "p62_gopher_rules" -> (p62GopherRules _),
     "p63_image_phash" -> (p63ImagePhash _),
     "p64_pdf_extract" -> (p64PdfExtract _),
-    "p65_subtitle_cues" -> (p65SubtitleCues _))
+    "p65_subtitle_cues" -> (p65SubtitleCues _),
+    "p66_webdataset_shards" -> (p66WebdatasetShards _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2281,5 +2331,6 @@ object Pipeline {
     "p42_tiff_decode" -> p42Oracle,
     "p63_image_phash" -> p63Oracle,
     "p64_pdf_extract" -> p64Oracle,
-    "p65_subtitle_cues" -> p65Oracle)
+    "p65_subtitle_cues" -> p65Oracle,
+    "p66_webdataset_shards" -> p66Oracle)
 }
