@@ -127,6 +127,53 @@ object AudioFeatures {
     }
   }
 
+  /** Orthonormal DCT-II of `x`, truncated to the first `nCoeffs`
+    * cepstral coefficients — the step that turns log-mel into MFCCs
+    * (Davis & Mermelstein 1980; the HTK/librosa `dct(..., norm='ortho')`
+    * convention: c_u = s(u) · Σ_j x_j · cos(π(2j+1)u / 2N), with
+    * s(0)=√(1/N), s(u>0)=√(2/N)). */
+  def dct2(x: Array[Double], nCoeffs: Int): Array[Double] = {
+    val n = x.length
+    Array.tabulate(math.min(nCoeffs, n)) { u =>
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += x(j) * math.cos(math.Pi * (2 * j + 1) * u / (2.0 * n))
+        j += 1
+      }
+      acc * (if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n))
+    }
+  }
+
+  /** MFCC matrix: frames × nCoeffs, DCT-II over each log-mel frame. */
+  def mfcc(samples: Array[Short], sampleRate: Double, frameLen: Int,
+      hop: Int, nMels: Int, nCoeffs: Int): Array[Array[Double]] =
+    logMel(samples, sampleRate, frameLen, hop, nMels).map(dct2(_, nCoeffs))
+
+  final case class MfccFeatures(media_id: Long, sample_rate: Long,
+    n_frames: Long, n_coeffs: Long, dominant_bin: Long,
+    mfcc: Seq[Seq[Double]])
+
+  /** Partition-parallel MFCC featurization of WAV blobs — the classical
+    * speech front end stacked on [[logMel]]. `dominant_bin` (argmax of the
+    * summed PRE-DCT mel energy) rides along as the integer summary an
+    * oracle can state closed-form; the cepstral values themselves are
+    * pinned by AudioFeatures specs (DCT orthogonality + concentration). */
+  def mfccWav(media: Dataset[Multimodal.MediaRow], frameLen: Int, hop: Int,
+      nMels: Int, nCoeffs: Int)
+      (implicit spark: SparkSession): Dataset[MfccFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val (rate, _, samples) = Multimodal.decodeWav(r.payload)
+      val mel = logMel(samples, rate.toDouble, frameLen, hop, nMels)
+      val sums = Array.tabulate(nMels)(k => mel.map(_(k)).sum)
+      val dom = if (mel.isEmpty) -1L
+        else sums.zipWithIndex.maxBy(t => (t._1, -t._2))._2.toLong
+      MfccFeatures(r.media_id, rate.toLong, mel.length.toLong,
+        nCoeffs.toLong, dom, mel.map(f => dct2(f, nCoeffs).toSeq).toSeq)
+    })
+  }
+
   final case class MelFeatures(media_id: Long, sample_rate: Long,
     n_frames: Long, n_mels: Long, dominant_bin: Long,
     mel: Seq[Seq[Double]])

@@ -2198,6 +2198,38 @@ object Pipeline {
       |FROM base
       |ORDER BY doc_id, ext""".stripMargin
 
+  /** MFCC featurization ([[AudioFeatures.mfccWav]]) over the p55 tone
+    * fixtures: the classical speech front end (log-mel → orthonormal
+    * DCT-II → 13 cepstra). The hash-matched columns are the structural
+    * ones an oracle can state closed-form (frame count from clip length,
+    * coefficient count, dominant pre-DCT mel bin = the injected tone's
+    * bin); the cepstral VALUES are pinned by CodecFuzzSpec (DCT basis
+    * concentration, Parseval, silence cepstrum). */
+  def p67Mfcc(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val rate = 16000
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val n = 2048 + (id % 3).toInt * 512
+      val f = AudioFeatures.melCenterHz((id % 16).toInt, 16, rate)
+      val samples = Array.tabulate[Short](n)(i =>
+        math.round(8000.0 * math.sin(2.0 * math.Pi * f * i / rate)).toShort)
+      Multimodal.MediaRow(id, "wav", Multimodal.encodeWavPcm16(rate, samples))
+    }
+    AudioFeatures.mfccWav(media, frameLen = 512, hop = 256, nMels = 16,
+        nCoeffs = 13)
+      .select(col("media_id"), col("sample_rate"), col("n_frames"),
+        col("n_coeffs"), col("dominant_bin"))
+      .orderBy(col("media_id"))
+  }
+
+  val p67Oracle: String =
+    """SELECT doc_id AS media_id, CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(1 + (2048 + (doc_id % 3) * 512 - 512) // 256 AS BIGINT) AS n_frames,
+      |  CAST(13 AS BIGINT) AS n_coeffs,
+      |  CAST(doc_id % 16 AS BIGINT) AS dominant_bin
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2266,7 +2298,8 @@ object Pipeline {
     "p63_image_phash" -> (p63ImagePhash _),
     "p64_pdf_extract" -> (p64PdfExtract _),
     "p65_subtitle_cues" -> (p65SubtitleCues _),
-    "p66_webdataset_shards" -> (p66WebdatasetShards _))
+    "p66_webdataset_shards" -> (p66WebdatasetShards _),
+    "p67_mfcc" -> (p67Mfcc _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2332,5 +2365,6 @@ object Pipeline {
     "p63_image_phash" -> p63Oracle,
     "p64_pdf_extract" -> p64Oracle,
     "p65_subtitle_cues" -> p65Oracle,
-    "p66_webdataset_shards" -> p66Oracle)
+    "p66_webdataset_shards" -> p66Oracle,
+    "p67_mfcc" -> p67Oracle)
 }

@@ -490,4 +490,38 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(silent.flatten.forall(v => math.abs(v + 10.0) < 1e-9))
     assert(AudioFeatures.logMel(new Array[Short](100), rate, 512, 256, nMels).isEmpty)
   }
+
+  test("DCT-II is orthonormal: basis vectors concentrate, energy is preserved") {
+    import graft.operators.AudioFeatures
+    val n = 16
+    // input = orthonormal DCT basis vector u ⇒ coefficient u is 1, rest 0
+    for (u <- 0 until n) {
+      val s = if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      val x = Array.tabulate(n)(j => s * math.cos(math.Pi * (2 * j + 1) * u / (2.0 * n)))
+      val c = AudioFeatures.dct2(x, n)
+      for (v <- 0 until n)
+        assert(math.abs(c(v) - (if (v == u) 1.0 else 0.0)) < 1e-10, s"u=$u v=$v")
+    }
+    // Parseval on random vectors; truncation = plain prefix
+    val r = rnd
+    for (_ <- 1 to 10) {
+      val x = Array.fill(n)(r.nextDouble() * 4 - 2)
+      val c = AudioFeatures.dct2(x, n)
+      assert(math.abs(x.map(v => v * v).sum - c.map(v => v * v).sum) < 1e-9)
+      assert(AudioFeatures.dct2(x, 13).toSeq == c.take(13).toSeq)
+    }
+  }
+
+  test("mfcc: c0 is the scaled frame mean of log-mel; silence gives flat cepstrum") {
+    import graft.operators.AudioFeatures
+    val rate = 16000.0
+    val silent = new Array[Short](2048)
+    val m = AudioFeatures.mfcc(silent, rate, 512, 256, 16, 13)
+    assert(m.nonEmpty)
+    // silence: every mel bin is the -10 floor ⇒ c0 = -10·√16, higher = 0
+    m.foreach { frame =>
+      assert(math.abs(frame(0) - (-10.0 * math.sqrt(16.0))) < 1e-9)
+      frame.drop(1).foreach(v => assert(math.abs(v) < 1e-9))
+    }
+  }
 }

@@ -41,6 +41,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected the (gram, doc) exchange to be reused across consumers")
   }
 
+  test("p63's image near-dup join is banded, never a cross product") {
+    // the dHash pair join must stay an exact-match equi-join on
+    // (band, bh) buckets; losing the band key would plan an all-pairs
+    // cartesian/broadcast-nested-loop over the corpus
+    val plan = formatted("p63_image_phash")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"p63 lost its band-bucket equi-join:\n$plan")
+  }
+
   test("headline plans are cartesian-free") {
     Bench.headline.filter(SparkEntry.queries.contains).foreach { name =>
       val plan = formatted(name)
