@@ -131,6 +131,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multimodal shard ingest (tar/pdf/srt/dhash) runs unchanged in a stream") {
+    // the r7 ingest codecs are stateless per-row walks, so the SAME
+    // operator code unpacks live shard arrivals: each doc becomes a
+    // WebDataset tar (pdf + subtitle + image members), the stream
+    // explodes members and routes each extension to its decoder
+    import graft.operators.{ImageHash, Multimodal, Pdf, Srt, Tar}
+    import spark.implicits._
+    implicit val s = spark
+    val docsDir = Files.createTempDirectory("graft-stream-shard").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestSession.sfDir, "documents.parquet"),
+      java.nio.file.Paths.get(docsDir, "documents.parquet"))
+    val batchDocs = spark.read.parquet(docsDir)
+    def ingest(df: org.apache.spark.sql.DataFrame) = {
+      val media = df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val key = f"s$id%06d"
+          val px = Array.tabulate[Byte](18 * 16 * 3)(i => ((id * 31 + i) % 256).toByte)
+          val cues = text.trim.split("\\s+").toSeq.grouped(8).toSeq.zipWithIndex
+            .map { case (ws, i) => (i * 1000L, (i + 1) * 1000L, ws.mkString(" ")) }
+          Multimodal.MediaRow(id, "tar", Tar.encode(Seq(
+            s"$key.pdf" -> Pdf.encodePdf(text),
+            s"$key.srt" -> Srt.encode(cues, vtt = false).getBytes("UTF-8"),
+            s"$key.ppm" -> Multimodal.encodePpm(18, 16, px))))
+        }
+      val members = Tar.webdatasetMembers(media)
+      val pdfText = Pdf.extractPdfs(
+          members.filter(_.ext == "pdf")
+            .map(m => Multimodal.MediaRow(m.media_id, "pdf", m.payload))).toDF()
+        .select(col("media_id").as("doc_id"), lit("pdf").as("kind"),
+          md5(col("extracted")).as("value"))
+      val srtCues = Srt.parseSubtitles(
+          members.filter(_.ext == "srt")
+            .map(m => Multimodal.MediaRow(m.media_id, "srt", m.payload))).toDF()
+        .select(col("media_id").as("doc_id"), lit("srt").as("kind"),
+          concat_ws(":", col("cue_index"), col("start_ms"),
+            md5(col("cue_text"))).as("value"))
+      val imgHash = ImageHash.dHashImages(
+          members.filter(_.ext == "ppm")
+            .map(m => Multimodal.MediaRow(m.media_id, "ppm", m.payload))).toDF()
+        .select(col("media_id").as("doc_id"), lit("ppm").as("kind"),
+          col("dhash").cast("string").as("value"))
+      pdfText.unionByName(srtCues).unionByName(imgHash)
+    }
+    val q = ingest(spark.readStream.schema(batchDocs.schema).parquet(docsDir))
+      .writeStream.format("memory").queryName("shardingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, kind, value FROM shardingest")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val batch = ingest(batchDocs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.count(_._2 == "pdf") > 0)
+      assert(streamed.count(_._2 == "srt") > 0)
+      assert(streamed.count(_._2 == "ppm") > 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch join pairs") {
     val src = EventStreams.source(spark, eventsDir)
     val q = EventStreams.clickAttribution(src, src)
