@@ -45,7 +45,14 @@ case class ClusterIndexDef(table: String, cols: Seq[String],
   // raw WHERE predicate of a partial index (lang_createindex.html#partialidx)
   // — kept so partial UNIQUE indexes enforce over exactly the predicate's
   // row subset at write time
-  where: Option[String] = None)
+  where: Option[String] = None,
+  // multi-dimensional layout: CREATE INDEX ix ON t (zorder(a, b)) — SQLite
+  // expression-index syntax recording a Z-ORDER (Morton) clustering, so
+  // compaction interleaves the columns' bucket bits instead of sorting
+  // lexicographically. Every indexed column then gets blocky per-file
+  // min/max ranges (range pruning on ALL of them), where a lexicographic
+  // sort prunes by min/max only on the leading column.
+  zorder: Boolean = false)
 
 /** A stored CREATE TRIGGER definition (SQLite lang_createtrigger.html;
   * reference authorizes the verb at pkg/auth/access_key_statements.go:280).
@@ -227,6 +234,7 @@ class Catalog(val root: Path) {
             val n = cixs.addObject()
             n.put("name", name); n.put("table", defn.table)
             n.put("unique", defn.unique); n.put("partial", defn.partial)
+            if (defn.zorder) n.put("zorder", true)
             defn.where.foreach(w => n.put("where", w))
             val cs = n.putArray("cols"); defn.cols.foreach(cs.add)
           }
@@ -356,7 +364,8 @@ class Catalog(val root: Path) {
         ClusterIndexDef(n.path("table").asText(),
           n.path("cols").elements().asScala.map(_.asText()).toSeq,
           n.path("unique").asBoolean(false), n.path("partial").asBoolean(false),
-          if (n.has("where")) Some(n.path("where").asText()) else None)
+          if (n.has("where")) Some(n.path("where").asText()) else None,
+          n.path("zorder").asBoolean(false))
     }
     node.path("triggers").elements().asScala.foreach { n =>
       triggerDefs((db, branch, n.path("name").asText())) =
@@ -707,12 +716,17 @@ class Catalog(val root: Path) {
     * index on it (SQLite allows many indexes; physical layout can only
     * follow one — documented delta). */
   def clusterColsFor(db: String, branch: String, table: String): Seq[String] =
-    synchronized {
-      indexDefs.toSeq.collect {
-        case ((d, b, _), defn) if d == db && b == branch && defn.table == table &&
-          defn.cols.nonEmpty => defn.cols
-      }.lastOption.getOrElse(Nil)
-    }
+    clusterLayoutFor(db, branch, table)._1
+
+  /** The physical layout compaction applies: (columns, isZorder) of the
+    * MOST RECENT clustering index on the table. */
+  def clusterLayoutFor(db: String, branch: String,
+      table: String): (Seq[String], Boolean) = synchronized {
+    indexDefs.toSeq.collect {
+      case ((d, b, _), defn) if d == db && b == branch && defn.table == table &&
+        defn.cols.nonEmpty => (defn.cols, defn.zorder)
+    }.lastOption.getOrElse((Nil, false))
+  }
 
   /** All recorded indexes on a table, insertion-ordered: (name, def). */
   def clusterIndexesForTable(db: String, branch: String,

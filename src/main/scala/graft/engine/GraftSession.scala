@@ -3,9 +3,9 @@ package graft.engine
 import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, concat_ws, count, count_distinct, expr, lit, lower, monotonically_increasing_id, row_number, struct, sum}
+import org.apache.spark.sql.functions.{ascii, coalesce, col, concat_ws, count, count_distinct, expr, floor, greatest, least, lit, lower, max, min, monotonically_increasing_id, row_number, shiftleft, shiftrightunsigned, substring, struct, sum}
 import org.apache.spark.sql.types._
 
 /** The engine facade: litebase's query lifecycle re-expressed over Spark.
@@ -500,14 +500,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // permanently inert). A single-fileset version whose RECORDED layout
     // (clusteredBy) already matches the current index is a no-op: skip
     // instead of churning an identical version on every compact/vacuum.
-    val clusterCols = catalog.clusterColsFor(db, branch, table)
+    val (clusterCols, zorderLayout) = catalog.clusterLayoutFor(db, branch, table)
     val schemaCols = StructType.fromDDL(cur.schemaDdl).fieldNames
     val sortCols = clusterCols.filter(c =>
       schemaCols.exists(_.equalsIgnoreCase(c)))
+    val useZorder = zorderLayout && sortCols.size >= 2
+    // the recorded layout tag distinguishes lexicographic from z-order so
+    // switching index KINDS on the same columns still rewrites
+    val layoutTag = if (useZorder) "zorder" +: sortCols else sortCols
     // `force` (REINDEX) bypasses the already-clustered skip: a rebuild
     // verb must rewrite even a layout the manifest believes is current
     if (cur.paths.size <= 1 &&
-        (sortCols.isEmpty || (!force && cur.clusteredBy == sortCols)))
+        (sortCols.isEmpty || (!force && cur.clusteredBy == layoutTag)))
       return artifactFolds
     val ts = catalog.nextVersionTs()
     val dir = catalog.newVersionDir(db, branch, table, ts)
@@ -525,6 +529,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // files before reading
     val laidOut =
       if (sortCols.isEmpty) folded
+      else if (useZorder) folded.sort(zorderValue(folded, sortCols))
       else folded.sort(sortCols.map(col): _*)
     // indexed columns also get parquet BLOOM FILTERS: the range sort gives
     // the LEADING column disjoint file min/max (range pruning), but point
@@ -538,8 +543,50 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     }
     writer.parquet(dir.toString)
     catalog.commitVersion(db, branch, table,
-      cur.copy(ts = ts, paths = Seq(dir.toString), clusteredBy = sortCols))
+      cur.copy(ts = ts, paths = Seq(dir.toString), clusteredBy = layoutTag))
     cur.paths.size + artifactFolds
+  }
+
+  /** Z-order (Morton) sort key: each column maps to a 256-bucket rank
+    * (numerics/timestamps by value between the column's min and max;
+    * strings by an order-preserving 8-byte prefix key), and the buckets'
+    * bits interleave — bit i of column c lands at position i·ncols + c —
+    * so a range sort on the result lays the table out in hyper-rectangular
+    * blocks with narrow per-file min/max on EVERY indexed column. One
+    * bounded min/max aggregation (2·ncols scalars to the driver) feeds the
+    * literal bounds; the key itself is a pure codegen'd expression. */
+  private def zorderValue(df: DataFrame, cols: Seq[String]): Column = {
+    def key(c: String): Column = {
+      val dt = df.schema.fields(df.schema.fieldIndex(
+        df.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c))).dataType
+      dt match {
+        case StringType =>
+          // order-preserving numeric key from the first 8 bytes (code
+          // points clamped to one byte; exact order within ASCII, where
+          // SQLite's BINARY collation lives)
+          (0 until 8).map(i =>
+            least(lit(255), coalesce(ascii(substring(col(c), i + 1, 1)), lit(0)))
+              .cast("double") * lit(math.pow(256.0, (7 - i).toDouble)))
+            .reduce(_ + _)
+        case _ => col(c).cast("double")
+      }
+    }
+    val aggs = cols.flatMap(c => Seq(min(key(c)), max(key(c))))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, ci) =>
+      val lo = Option(bounds.get(ci * 2)).map(_.toString.toDouble).getOrElse(0.0)
+      val hi = Option(bounds.get(ci * 2 + 1)).map(_.toString.toDouble).getOrElse(0.0)
+      val bucket =
+        if (hi <= lo) lit(0L)
+        else coalesce(
+          least(lit(255L), greatest(lit(0L),
+            floor((key(c) - lit(lo)) * lit(256.0 / (hi - lo))).cast("long"))),
+          lit(0L))
+      (0 until 8).map(i =>
+        shiftleft(shiftrightunsigned(bucket, i).bitwiseAND(lit(1L)),
+          i * cols.size + ci))
+        .reduce[Column](_ bitwiseOR _)
+    }.reduce[Column](_ bitwiseOR _)
   }
 
   /** Post-append small-file control (r4 ask #5; the reference compacts
@@ -2157,20 +2204,44 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             .fieldNames.map(f => f.toLowerCase -> f).toMap
           // plain column names (with optional COLLATE/ASC/DESC) cluster;
           // expression terms are accepted (SQLite does) but drive no
-          // clustering — `id + v` must not silently cluster on `id`
-          val cols = Sql.splitTopLevel(colList, ',').map(_.trim).flatMap { term =>
-            val parts = term.split("\\s+", 2)
-            val name = unquote(parts(0))
-            val tail = if (parts.length > 1) parts(1).trim.toLowerCase else ""
-            val tailOk = tail.isEmpty ||
-              tail.matches("(collate\\s+\\w+\\s*)?(asc|desc)?")
-            if (tailOk) byLower.get(name.toLowerCase) else None
+          // clustering — `id + v` must not silently cluster on `id`.
+          // EXCEPTION: a single zorder(a, b[, ...]) expression term is this
+          // engine's multi-dimensional clustering directive (the lakehouse
+          // OPTIMIZE ZORDER idiom in SQLite's expression-index syntax):
+          // compaction interleaves the columns' bucket bits so EVERY listed
+          // column gets blocky per-file min/max ranges.
+          val terms = Sql.splitTopLevel(colList, ',').map(_.trim)
+          val zorderRe = """(?i)zorder\s*\((.*)\)""".r
+          val (cols, isZorder) = terms match {
+            case Seq(zorderRe(inner)) =>
+              val zc = Sql.splitTopLevel(inner, ',').map(_.trim).map { t =>
+                byLower.getOrElse(unquote(t).toLowerCase,
+                  throw new IllegalArgumentException(
+                    s"zorder references unknown column: $t"))
+              }
+              if (zc.size < 2 || zc.size > 4)
+                throw new IllegalArgumentException(
+                  "zorder takes 2-4 plain columns")
+              if (uniq != null)
+                throw new IllegalArgumentException(
+                  "UNIQUE cannot combine with a zorder layout index")
+              (zc.toSeq, true)
+            case _ =>
+              (terms.flatMap { term =>
+                val parts = term.split("\\s+", 2)
+                val name = unquote(parts(0))
+                val tail = if (parts.length > 1) parts(1).trim.toLowerCase else ""
+                val tailOk = tail.isEmpty ||
+                  tail.matches("(collate\\s+\\w+\\s*)?(asc|desc)?")
+                if (tailOk) byLower.get(name.toLowerCase) else None
+              }, false)
           }
           val pred =
             if (isPartial) Some(tail.replaceFirst("(?i)^where\\s+", "").trim)
             else None
           val d = ClusterIndexDef(table, cols,
-            unique = uniq != null, partial = isPartial, where = pred)
+            unique = uniq != null, partial = isPartial, where = pred,
+            zorder = isZorder)
           // CREATE UNIQUE INDEX validates the EXISTING rows first, like
           // SQLite's index build (one aggregation over the key columns —
           // pruned scan; a partial index's predicate scopes the probe)
