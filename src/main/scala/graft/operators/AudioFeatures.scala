@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Log-mel spectrogram featurization — the Whisper/wav2vec-style audio
   * front end: PCM → Hann-windowed STFT (radix-2 Cooley–Tukey FFT) →
@@ -172,6 +173,64 @@ object AudioFeatures {
       MfccFeatures(r.media_id, rate.toLong, mel.length.toLong,
         nCoeffs.toLong, dom, mel.map(f => dct2(f, nCoeffs).toSeq).toSeq)
     })
+  }
+
+  /** Per-frame dominant mel bin (argmax, ties to the LOWEST bin — the
+    * deterministic contract oracles rely on). */
+  def peakBins(samples: Array[Short], sampleRate: Double, frameLen: Int,
+      hop: Int, nMels: Int): Array[Int] =
+    logMel(samples, sampleRate, frameLen, hop, nMels).map { frame =>
+      var best = 0
+      var i = 1
+      while (i < frame.length) { if (frame(i) > frame(best)) best = i; i += 1 }
+      best
+    }
+
+  final case class Landmark(media_id: Long, t: Long, h: Long)
+
+  /** Shazam-style constellation landmarks (Wang 2003, "An Industrial-
+    * Strength Audio Search Algorithm"): anchor each frame's spectral peak
+    * and pair it with the peaks `dts` frames ahead; the (peak sequence)
+    * tuple packs into one integer fingerprint per anchor —
+    * h = Σ_k peak[t + dt_k] · nMels^k (dt_0 = 0). Robust to amplitude /
+    * encoding changes because only PEAK POSITIONS survive into the hash.
+    * Per-row decode+hash behind the mapPartitions seam, zero shuffle. */
+  def landmarkHashes(media: Dataset[Multimodal.MediaRow], frameLen: Int,
+      hop: Int, nMels: Int, dts: Seq[Int])
+      (implicit spark: SparkSession): Dataset[Landmark] = {
+    import spark.implicits._
+    val offsets = 0 +: dts
+    media.mapPartitions(rows => rows.flatMap { r =>
+      val (rate, _, samples) = Multimodal.decodeWav(r.payload)
+      val peaks = peakBins(samples, rate.toDouble, frameLen, hop, nMels)
+      val maxDt = offsets.max
+      (0 until peaks.length - maxDt).map { t =>
+        val h = offsets.zipWithIndex.foldLeft(0L) { case (acc, (dt, k)) =>
+          acc + peaks(t + dt) * math.pow(nMels.toDouble, k.toDouble).toLong
+        }
+        Landmark(r.media_id, t.toLong, h)
+      }
+    })
+  }
+
+  /** Audio near-dup pairs: clips sharing >= `minShared` DISTINCT landmark
+    * fingerprints. Candidate generation is an equi-join on the fingerprint
+    * value — never all-pairs — with the same bucket cap the text/image
+    * dedup paths use (a ubiquitous fingerprint, e.g. silence, would
+    * otherwise square the join). */
+  def audioNearDup(landmarks: DataFrame, minShared: Int = 5,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val distinctLm = landmarks.select(col("media_id"), col("h")).distinct()
+    val buckets = distinctLm
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("sz").between(2, maxBucket))
+      .drop("sz")
+    buckets.as("a").join(buckets.as("b"),
+        col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   final case class MelFeatures(media_id: Long, sample_rate: Long,

@@ -2230,6 +2230,80 @@ object Pipeline {
       |  CAST(doc_id % 16 AS BIGINT) AS dominant_bin
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Audio fingerprint near-dup ([[AudioFeatures.landmarkHashes]] /
+    * [[AudioFeatures.audioNearDup]], Wang 2003): each doc becomes a tone
+    * SEQUENCE — 7+(id%3) segments of 4 frames, segment k's pitch at the
+    * mel-centre of bin md5(seed:k)[0] — and docs with id % 9 == 1 are
+    * QUIETER TWINS of id-1 (amplitude 6000 vs 8000): every byte differs,
+    * the constellation is identical, which is exactly what landmark
+    * hashing is for. Decode → per-frame peak mel bin → 6-frame-offset
+    * landmark integers → equi-join on the fingerprint, pairs sharing ≥ 5
+    * distinct landmarks. The oracle recomputes every landmark closed-form
+    * (same md5 nibbles) and takes exact pair counts. */
+  def p68AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val rate = 16000
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val seed = if (id % 9 == 1) id - 1 else id
+      val amp = if (id % 9 == 1) 6000.0 else 8000.0
+      val nSegs = (7 + id % 3).toInt
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val samples = new Array[Short](nSegs * 2048)
+      (0 until nSegs).foreach { k =>
+        val hex = md.digest(s"$seed:$k".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val bin = Integer.parseInt(hex.substring(0, 1), 16)
+        val f = AudioFeatures.melCenterHz(bin, 16, rate)
+        (0 until 2048).foreach { i =>
+          samples(k * 2048 + i) =
+            math.round(amp * math.sin(2.0 * math.Pi * f * i / rate)).toShort
+        }
+      }
+      Multimodal.MediaRow(id, "wav", Multimodal.encodeWavPcm16(rate, samples))
+    }
+    val lm = AudioFeatures.landmarkHashes(media, frameLen = 512, hop = 512,
+      nMels = 16, dts = Seq(2, 5, 9, 13, 18)).toDF()
+    AudioFeatures.audioNearDup(lm, minShared = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Rebuilds the landmark table closed-form: segment bins from the same
+    * md5 nibble, anchors over frames, 6 bins packed base-16, then exact
+    * shared-fingerprint counts per pair. */
+  val p68Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+      |    CAST(7 + doc_id % 3 AS BIGINT) AS nsegs
+      |  FROM documents),
+      |segs AS (
+      |  SELECT d.doc_id, s.k,
+      |    strpos('0123456789abcdef',
+      |      substr(md5(d.seed || ':' || s.k), 1, 1)) - 1 AS bin
+      |  FROM docs d
+      |  JOIN (SELECT unnest(generate_series(0, 9)) AS k) s ON s.k < d.nsegs),
+      |anchors AS (
+      |  SELECT d.doc_id, t.t,
+      |    b0.bin + 16*b2.bin + 256*b5.bin + 4096*b9.bin
+      |      + 65536*b13.bin + 1048576*b18.bin AS h
+      |  FROM docs d
+      |  JOIN (SELECT unnest(generate_series(0, 39)) AS t) t
+      |    ON t.t < 4*d.nsegs - 18
+      |  JOIN segs b0  ON b0.doc_id  = d.doc_id AND b0.k  = (t.t) // 4
+      |  JOIN segs b2  ON b2.doc_id  = d.doc_id AND b2.k  = (t.t + 2) // 4
+      |  JOIN segs b5  ON b5.doc_id  = d.doc_id AND b5.k  = (t.t + 5) // 4
+      |  JOIN segs b9  ON b9.doc_id  = d.doc_id AND b9.k  = (t.t + 9) // 4
+      |  JOIN segs b13 ON b13.doc_id = d.doc_id AND b13.k = (t.t + 13) // 4
+      |  JOIN segs b18 ON b18.doc_id = d.doc_id AND b18.k = (t.t + 18) // 4),
+      |lm AS (SELECT DISTINCT doc_id, h FROM anchors)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM lm a JOIN lm b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING COUNT(*) >= 5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2299,7 +2373,8 @@ object Pipeline {
     "p64_pdf_extract" -> (p64PdfExtract _),
     "p65_subtitle_cues" -> (p65SubtitleCues _),
     "p66_webdataset_shards" -> (p66WebdatasetShards _),
-    "p67_mfcc" -> (p67Mfcc _))
+    "p67_mfcc" -> (p67Mfcc _),
+    "p68_audio_fingerprint" -> (p68AudioFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2366,5 +2441,6 @@ object Pipeline {
     "p64_pdf_extract" -> p64Oracle,
     "p65_subtitle_cues" -> p65Oracle,
     "p66_webdataset_shards" -> p66Oracle,
-    "p67_mfcc" -> p67Oracle)
+    "p67_mfcc" -> p67Oracle,
+    "p68_audio_fingerprint" -> p68Oracle)
 }

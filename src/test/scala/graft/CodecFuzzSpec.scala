@@ -512,6 +512,45 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("audio landmarks: amplitude-invariant, twins pair, unrelated don't") {
+    import graft.operators.{AudioFeatures, Multimodal}
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val s = spark
+    val rate = 16000
+    def clip(id: Long, binSeq: Seq[Int], amp: Double): Multimodal.MediaRow = {
+      val samples = new Array[Short](binSeq.length * 2048)
+      binSeq.zipWithIndex.foreach { case (bin, k) =>
+        val f = AudioFeatures.melCenterHz(bin, 16, rate)
+        (0 until 2048).foreach { i =>
+          samples(k * 2048 + i) =
+            math.round(amp * math.sin(2.0 * math.Pi * f * i / rate)).toShort
+        }
+      }
+      Multimodal.MediaRow(id, "wav", Multimodal.encodeWavPcm16(rate, samples))
+    }
+    val seqA = Seq(3, 11, 7, 0, 14, 9, 5, 12)
+    val seqB = Seq(8, 2, 15, 6, 1, 13, 4, 10)
+    val media = Seq(
+      clip(0L, seqA, 8000.0),
+      clip(1L, seqA, 3000.0), // same constellation, very different bytes
+      clip(2L, seqB, 8000.0)).toDS()
+    val lm = AudioFeatures.landmarkHashes(media, 512, 512, 16,
+      dts = Seq(2, 5, 9, 13, 18)).toDF()
+    // amplitude invariance: identical landmark SETS for the quiet twin
+    val sets = lm.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert(sets(0L) == sets(1L))
+    assert((sets(0L) & sets(2L)).size < 5)
+    val pairs = AudioFeatures.audioNearDup(lm, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+    // per-frame peaks are the injected bins (4 frames per segment)
+    val (_, _, samples) = Multimodal.decodeWav(clip(9L, seqA, 8000.0).payload)
+    val peaks = AudioFeatures.peakBins(samples, rate.toDouble, 512, 512, 16)
+    assert(peaks.toSeq == seqA.flatMap(b => Seq.fill(4)(b)))
+  }
+
   test("mfcc: c0 is the scaled frame mean of log-mel; silence gives flat cepstrum") {
     import graft.operators.AudioFeatures
     val rate = 16000.0
