@@ -680,6 +680,61 @@ object TextAnalysis {
     * per gram (shuffle keyed on gram, one row per distinct gram out) →
     * gram-keyed join back → per-doc aggregate. No all-pairs comparison
     * anywhere; integer counts with one final IEEE division. */
+  /** ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — there a
+    * suffix array over bytes; here the same policy at word-n-gram
+    * granularity): every word position covered by a window that appears
+    * in MORE THAN ONE document is cut, and the document is rebuilt from
+    * the surviving words in order. [[crossDocSpans]] is the detection
+    * signal; this is the rewrite a cleaning pipeline actually applies.
+    *
+    * Returns one row per input doc: (id, n_words, n_removed, kept_text) —
+    * docs shorter than one window are passed through untouched, docs that
+    * are entirely boilerplate come back empty (never dropped: the caller
+    * decides what to do with emptied docs).
+    *
+    * Scale shape: windows collapse to one row per (gram, doc) before the
+    * gram-keyed doc-count; the flag joins back on gram (a hot boilerplate
+    * gram lands its per-doc rows — one per DOC, positions already
+    * collapsed — on one partition; AQE skew-split owns that tail, and the
+    * flag side is one row per gram). Position expansion is bounded by n×
+    * the shared-window count; the rebuild is ONE doc-keyed aggregation
+    * bounded by a document's own words. */
+  def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val gramHash = (0 until n).map(j => s"element_at(__ws, q + 1 + $j)")
+      .mkString(", ")
+    val base = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    val wins = base
+      .where(size(col("__ws")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__ws) - $n), q -> struct(q AS q, xxhash64($gramHash) AS gram))"))
+        .as("__w"))
+      .select(col(idCol), col("__w.q").as("q"), col("__w.gram").as("gram"))
+    // one row per (gram, doc) BEFORE the doc-count aggregation
+    val perDocGram = wins.select(col("gram"), col(idCol)).distinct()
+    val sharedGrams = perDocGram.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select(col("gram"))
+    val removedPos = wins.join(sharedGrams, Seq("gram"), "left_semi")
+      .select(col(idCol), explode(expr(s"sequence(q, q + ${n - 1})")).as("p"))
+      .distinct()
+    val allWords = base.select(col(idCol),
+        posexplode(col("__ws")).as(Seq("p", "__word")))
+    val rebuilt = allWords.join(removedPos, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(p, __word))), x -> x.__word)"))
+          .as("kept_text"))
+    base.select(col(idCol), size(col("__ws")).cast("long").as("n_words"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   def crossDocSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val grams = wordGramHashes(df, textCol, idCol, n)

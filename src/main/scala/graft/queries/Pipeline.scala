@@ -2304,6 +2304,102 @@ object Pipeline {
       |HAVING COUNT(*) >= 5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** CSV ingest round-trip: each doc serialized as an RFC 4180 line
+    * (text quoted, embedded quotes doubled) and parsed back by Spark's
+    * NATIVE `from_csv` — the codegen-adjacent structured-text path a
+    * JSONL/CSV data lake ingest runs, no hand parser. The oracle is the
+    * identity contract on the parsed fields. */
+  def p69CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val line = concat_ws(",",
+      col("doc_id"),
+      concat(lit("\""), regexp_replace(col("text"), "\"", "\"\""), lit("\"")),
+      col("lang"), col("source"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING")
+    documents(s, dir)
+      .select(col("doc_id").as("orig_id"),
+        from_csv(line, schema, Map.empty[String, String]).as("p"))
+      .select(col("orig_id"), col("p.doc_id").as("parsed_id"),
+        col("p.text").as("text"), col("p.lang").as("lang"),
+        col("p.source").as("source"))
+      .orderBy(col("orig_id"))
+  }
+
+  val p69Oracle: String =
+    """SELECT doc_id AS orig_id, doc_id AS parsed_id, text, lang, source
+      |FROM documents ORDER BY orig_id""".stripMargin
+
+  /** JSONL round-trip: `to_json(struct(...))` → `from_json` — Spark's
+    * native JSON line codec, the other structured-text ingest format.
+    * Identity oracle again. */
+  def p70JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, n_words BIGINT")
+    documents(s, dir)
+      .select(col("doc_id").as("orig_id"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words")))
+          .as("line"))
+      .select(col("orig_id"),
+        from_json(col("line"), schema, Map.empty[String, String]).as("p"))
+      .select(col("orig_id"), col("p.doc_id").as("parsed_id"),
+        col("p.text").as("text"), col("p.lang").as("lang"),
+        col("p.n_words").as("n_words"))
+      .orderBy(col("orig_id"))
+  }
+
+  val p70Oracle: String =
+    """SELECT doc_id AS orig_id, doc_id AS parsed_id, text, lang,
+      |  CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words
+      |FROM documents ORDER BY orig_id""".stripMargin
+
+  /** Duplicate-span removal ([[TextAnalysis.removeDupSpans]], the Lee
+    * et al. 2022 rewrite step at word-5-gram granularity): positions
+    * covered by any cross-document window are cut and the text rebuilt.
+    * The oracle reproduces the full rewrite — per-doc word/removal counts
+    * AND the rebuilt text — in closed form over gram strings (the Spark
+    * side uses 64-bit gram identities; equal up to a ~10^-8 collision
+    * tail, deterministic either way). */
+  def p71SpanRemoval(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.removeDupSpans(documents(s, dir), "text", "doc_id", n = 5)
+      .orderBy(col("doc_id"))
+
+  val p71Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, q,
+      |    ws[q+1] || ' ' || ws[q+2] || ' ' || ws[q+3] || ' ' || ws[q+4] || ' ' || ws[q+5] AS gram
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 5)) AS q
+      |        FROM w WHERE len(ws) >= 5)),
+      |shared AS (
+      |  SELECT gram FROM (
+      |    SELECT gram, COUNT(DISTINCT doc_id) AS d FROM wins GROUP BY gram)
+      |  WHERE d >= 2),
+      |removed AS (
+      |  SELECT DISTINCT sw.doc_id, sw.q + j.j AS p
+      |  FROM (SELECT DISTINCT doc_id, q FROM wins JOIN shared USING (gram)) sw
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) j),
+      |pos AS (
+      |  SELECT doc_id, i - 1 AS p, ws[i] AS word
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+      |kept AS (
+      |  SELECT pos.doc_id, pos.p, pos.word
+      |  FROM pos LEFT JOIN removed
+      |    ON removed.doc_id = pos.doc_id AND removed.p = pos.p
+      |  WHERE removed.p IS NULL),
+      |rebuilt AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(word, ' ' ORDER BY p) AS kept_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT w.doc_id AS doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+      |  CAST(len(w.ws) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(r.kept_text, '') AS kept_text
+      |FROM w LEFT JOIN rebuilt r ON r.doc_id = w.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2374,7 +2470,10 @@ object Pipeline {
     "p65_subtitle_cues" -> (p65SubtitleCues _),
     "p66_webdataset_shards" -> (p66WebdatasetShards _),
     "p67_mfcc" -> (p67Mfcc _),
-    "p68_audio_fingerprint" -> (p68AudioFingerprint _))
+    "p68_audio_fingerprint" -> (p68AudioFingerprint _),
+    "p69_csv_roundtrip" -> (p69CsvRoundtrip _),
+    "p70_jsonl_roundtrip" -> (p70JsonlRoundtrip _),
+    "p71_span_removal" -> (p71SpanRemoval _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2442,5 +2541,8 @@ object Pipeline {
     "p65_subtitle_cues" -> p65Oracle,
     "p66_webdataset_shards" -> p66Oracle,
     "p67_mfcc" -> p67Oracle,
-    "p68_audio_fingerprint" -> p68Oracle)
+    "p68_audio_fingerprint" -> p68Oracle,
+    "p69_csv_roundtrip" -> p69Oracle,
+    "p70_jsonl_roundtrip" -> p70Oracle,
+    "p71_span_removal" -> p71Oracle)
 }

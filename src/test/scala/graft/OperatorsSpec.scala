@@ -626,6 +626,38 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, 3L, 1L, 1.0 / 3), (2L, 3L, 1L, 1.0 / 3), (3L, 2L, 0L, 0.0)))
   }
 
+  test("removeDupSpans cuts exactly the cross-doc window positions and rebuilds") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d e f"), // shares 3-gram "a b c" with doc 2 -> cut a,b,c
+      (2L, "z a b c"),     // cut a,b,c; z kept
+      (3L, "q r s t"),     // shares nothing -> untouched
+      (4L, "a b c"),       // entirely boilerplate -> emptied, not dropped
+      (5L, "u v")).toDF("doc_id", "text") // shorter than a window -> untouched
+    val out = TextAnalysis.removeDupSpans(df, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 3L, "d e f"),
+      (2L, 4L, 3L, "z"),
+      (3L, 4L, 0L, "q r s t"),
+      (4L, 3L, 3L, ""),
+      (5L, 2L, 0L, "u v")))
+  }
+
+  test("removeDupSpans: overlapping shared windows cut the union of positions") {
+    import graft.operators.TextAnalysis
+    // docs share the 4-word run "a b c d": doc 1 has two overlapping shared
+    // 3-gram windows (a b c, b c d) -> positions 1..4 cut once, not twice
+    val df = Seq(
+      (1L, "x a b c d y"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDupSpans(df, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 6L, 4L, "x y"), (2L, 4L, 4L, "")))
+  }
+
   test("crossDocSpans counts a doc-internal repeat of a shared gram per position") {
     import graft.operators.TextAnalysis
     // "a b a b" has 2-grams [a b, b a, a b]: "a b" occurs twice in doc 1
