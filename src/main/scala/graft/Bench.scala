@@ -24,7 +24,9 @@ object Bench {
     "p06_cosine_topk",     // ANN brute-force baseline
     "p10_quality_score",   // text analysis scan
     "p37_dup_spans",       // cross-doc span dedup (gram-keyed join-back)
-    "p45_lm_score")        // n-gram LM train + score (r7)
+    "p45_lm_score",        // n-gram LM train + score (r7)
+    "p63_image_phash",     // image dHash + banded hamming join (r7)
+    "p71_span_removal")    // duplicate-span rewrite (r7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

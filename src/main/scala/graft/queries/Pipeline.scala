@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, Warc}
+import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, Id3, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, Warc, Zip}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -2400,6 +2400,89 @@ object Pipeline {
       |FROM w LEFT JOIN rebuilt r ON r.doc_id = w.doc_id
       |ORDER BY w.doc_id""".stripMargin
 
+  /** ID3 tag extraction ([[Id3]]): even docs carry ID3v2.3 headers, odd
+    * docs ID3v1 trailers (30-byte fixed fields — the oracle reproduces the
+    * byte-truncation + padding-strip semantics), in front of/behind a stub
+    * audio payload the prober never touches. All fields closed-form. */
+  def p72Id3Tags(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val title = text.trim.split("\\s+").take(3).mkString(" ")
+        val artist = s"author ${id % 11}"
+        val album = s"album ${id % 7}"
+        val audio = Array.tabulate[Byte](64)(i => ((id + i) % 251).toByte)
+        val payload =
+          if (id % 2 == 0) Id3.encodeV2(title, artist, album, audio)
+          else Id3.encodeV1(title, artist, album, audio)
+        Multimodal.MediaRow(id, "mp3", payload)
+      }
+    Id3.parseTags(media).toDF()
+      .select(col("media_id").as("doc_id"), col("version"), col("valid"),
+        col("title"), col("artist"), col("album"), col("n_frames"),
+        col("tag_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p72Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    array_to_string(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')[1:3], ' ') AS title,
+      |    'author ' || (doc_id % 11) AS artist,
+      |    'album ' || (doc_id % 7) AS album
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN '2.3' ELSE '1' END AS version,
+      |  TRUE AS valid,
+      |  CASE WHEN doc_id % 2 = 0 THEN title ELSE rtrim(substr(title, 1, 30)) END AS title,
+      |  CASE WHEN doc_id % 2 = 0 THEN artist ELSE rtrim(substr(artist, 1, 30)) END AS artist,
+      |  CASE WHEN doc_id % 2 = 0 THEN album ELSE rtrim(substr(album, 1, 30)) END AS album,
+      |  CAST(3 AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN 43 + len(title) + len(artist) + len(album)
+      |    ELSE 128 END AS BIGINT) AS tag_bytes
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  /** ZIP shard ingest ([[Zip]]): each doc becomes a 2-member archive —
+    * `doc.txt` DEFLATEd text plus `meta.bin` STOREd deterministic bytes —
+    * walked back out with CRC verification. Member identity, sizes and
+    * payload md5s are closed-form; compressed size is not exposed (it is
+    * a codec artifact, not a data property). */
+  def p73ZipIngest(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val meta = Array.tabulate[Byte]((12 + id % 5).toInt)(j =>
+          (32 + (id * 11 + j * 17) % 95).toByte)
+        Multimodal.MediaRow(id, "zip", Zip.encode(Seq(
+          ("doc.txt", text.getBytes("UTF-8"), true),
+          ("meta.bin", meta, false))))
+      }
+    Zip.parseZips(media).toDF()
+      .select(col("media_id").as("doc_id"), col("name"), col("method"),
+        col("uncomp_size"), col("crc_ok"), md5(col("payload")).as("payload_md5"))
+      .orderBy(col("doc_id"), col("name"))
+  }
+
+  val p73Oracle: String =
+    """WITH meta AS (
+      |  SELECT doc_id, CAST(12 + doc_id % 5 AS BIGINT) AS msize,
+      |    md5(string_agg(chr(CAST(32 + (doc_id*11 + j*17) % 95 AS INTEGER)), '' ORDER BY j)) AS mmd5
+      |  FROM (SELECT doc_id, unnest(generate_series(0, CAST(11 + doc_id % 5 AS INTEGER))) AS j
+      |        FROM documents)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, 'doc.txt' AS name, CAST(8 AS BIGINT) AS method,
+      |  CAST(octet_length(encode(d.text)) AS BIGINT) AS uncomp_size,
+      |  TRUE AS crc_ok, md5(d.text) AS payload_md5
+      |FROM documents d
+      |UNION ALL
+      |SELECT m.doc_id, 'meta.bin' AS name, CAST(0 AS BIGINT) AS method,
+      |  m.msize AS uncomp_size, TRUE AS crc_ok, m.mmd5 AS payload_md5
+      |FROM meta m
+      |ORDER BY doc_id, name""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2473,7 +2556,9 @@ object Pipeline {
     "p68_audio_fingerprint" -> (p68AudioFingerprint _),
     "p69_csv_roundtrip" -> (p69CsvRoundtrip _),
     "p70_jsonl_roundtrip" -> (p70JsonlRoundtrip _),
-    "p71_span_removal" -> (p71SpanRemoval _))
+    "p71_span_removal" -> (p71SpanRemoval _),
+    "p72_id3_tags" -> (p72Id3Tags _),
+    "p73_zip_ingest" -> (p73ZipIngest _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2544,5 +2629,7 @@ object Pipeline {
     "p68_audio_fingerprint" -> p68Oracle,
     "p69_csv_roundtrip" -> p69Oracle,
     "p70_jsonl_roundtrip" -> p70Oracle,
-    "p71_span_removal" -> p71Oracle)
+    "p71_span_removal" -> p71Oracle,
+    "p72_id3_tags" -> p72Oracle,
+    "p73_zip_ingest" -> p73Oracle)
 }
