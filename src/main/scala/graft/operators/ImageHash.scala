@@ -99,6 +99,46 @@ object ImageHash {
     }
   }
 
+  final case class FrameHash(media_id: Long, frame_idx: Long, dhash: Long)
+
+  /** Per-frame dHash over decoded AVI videos (every `stride`-th frame) —
+    * the video fingerprint: a re-cut or re-uploaded clip keeps its frames'
+    * hashes even when every container byte differs. Per-row decode behind
+    * the mapPartitions seam, rows out ∝ sampled frames. */
+  def videoFrameHashes(media: Dataset[Multimodal.MediaRow], stride: Int = 1)
+      (implicit spark: SparkSession): Dataset[FrameHash] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val (w, h, _, frames) = Multimodal.decodeAvi(m.payload)
+        frames.zipWithIndex.collect {
+          case (rgb, i) if i % stride == 0 =>
+            FrameHash(m.media_id, i.toLong, dHash64(w, h, rgb))
+        }
+      }
+    }
+  }
+
+  /** Video near-dup pairs: clips sharing >= `minShared` DISTINCT frame
+    * hashes — the overlap criterion that catches a re-cut (same footage,
+    * different in/out points) exactly. Equi-join on the frame hash with
+    * the usual bucket cap (a ubiquitous frame — black leader, color bars —
+    * must not square the join); never all-pairs. */
+  def videoNearDup(frameHashes: DataFrame, minShared: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val distinctFh = frameHashes.select(col("media_id"), col("dhash")).distinct()
+    val buckets = distinctFh
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("dhash")))
+      .filter(col("sz").between(2, maxBucket))
+      .drop("sz")
+    buckets.as("a").join(buckets.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Near-dup pairs within `maxHamming` bits of dHash, via exact-match joins
     * on 4 × 16-bit bands (pigeonhole: hamming<=3 ⇒ at least one band agrees).
     * `maxBucket` caps degenerate buckets — a corpus of near-blank thumbnails

@@ -2483,6 +2483,87 @@ object Pipeline {
       |FROM meta m
       |ORDER BY doc_id, name""".stripMargin
 
+  /** Video near-dup ([[ImageHash.videoFrameHashes]]/[[ImageHash.videoNearDup]]):
+    * the re-cut detection case — docs with id % 11 == 1 are CLIPS of id-1
+    * (frames 1..n-1 of the source plus two new frames, i.e. different
+    * in/out points and different container bytes throughout). Frames are
+    * 18×16 grayscale with md5-derived 2×2 cell values (luma(v,v,v) = v
+    * exactly, so each dHash is closed-form), encoded as real raw AVI,
+    * decoded and per-frame hashed; pairs share ≥ 4 distinct frame hashes.
+    * The oracle rebuilds every frame hash from the same md5 bytes. */
+  def p74VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    def frame(fseed: Long, f: Long): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val rgb = new Array[Byte](18 * 16 * 3)
+      for (r <- 0 until 8; c <- 0 until 9) {
+        val hex = md.digest(s"$fseed:$f:$r:$c".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val v = Integer.parseInt(hex.substring(0, 2), 16).toByte
+        for (dy <- 0 until 2; dx <- 0 until 2; ch <- 0 until 3)
+          rgb(((2 * r + dy) * 18 + 2 * c + dx) * 3 + ch) = v
+      }
+      rgb
+    }
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val refs: Seq[(Long, Long)] =
+        if (id % 11 == 1) {
+          val sd = id - 1
+          (1L until (6 + sd % 3)).map(f => (sd, f)) :+ ((id, 100L)) :+ ((id, 101L))
+        } else (0L until (6 + id % 3)).map(f => (id, f))
+      Multimodal.MediaRow(id, "avi",
+        Multimodal.encodeAvi(18, 16, 10, refs.map { case (fs, f) => frame(fs, f) }))
+    }
+    ImageHash.videoNearDup(
+        ImageHash.videoFrameHashes(media).toDF(), minShared = 4)
+      .select(col("id_a"), col("id_b"), col("n_shared").cast("long").as("n_shared"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val p74Oracle: String =
+    """WITH docs AS (SELECT doc_id FROM documents),
+      |refs AS (
+      |  SELECT d.doc_id, d.doc_id AS fseed, f.f
+      |  FROM docs d JOIN (SELECT unnest(generate_series(0, 8)) AS f) f
+      |    ON d.doc_id % 11 <> 1 AND f.f < 6 + d.doc_id % 3
+      |  UNION ALL
+      |  SELECT d.doc_id, d.doc_id - 1 AS fseed, f.f
+      |  FROM docs d JOIN (SELECT unnest(generate_series(1, 8)) AS f) f
+      |    ON d.doc_id % 11 = 1 AND f.f < 6 + (d.doc_id - 1) % 3
+      |  UNION ALL
+      |  SELECT doc_id, doc_id AS fseed, 100 AS f FROM docs WHERE doc_id % 11 = 1
+      |  UNION ALL
+      |  SELECT doc_id, doc_id AS fseed, 101 AS f FROM docs WHERE doc_id % 11 = 1),
+      |frames AS (SELECT DISTINCT fseed, f FROM refs),
+      |cells AS (
+      |  SELECT fr.fseed, fr.f, rc.r, rc.c,
+      |    strpos('0123456789abcdef', substr(md5(fr.fseed || ':' || fr.f || ':' || rc.r || ':' || rc.c), 1, 1)) * 16
+      |    + strpos('0123456789abcdef', substr(md5(fr.fseed || ':' || fr.f || ':' || rc.r || ':' || rc.c), 2, 1)) - 17 AS v
+      |  FROM frames fr
+      |  CROSS JOIN (SELECT r.r, c.c FROM (SELECT unnest(generate_series(0, 7)) AS r) r,
+      |              (SELECT unnest(generate_series(0, 8)) AS c) c) rc),
+      |bits AS (
+      |  SELECT a.fseed, a.f, a.r, a.c, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.fseed = b.fseed AND a.f = b.f AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8),
+      |dh AS (
+      |  SELECT fseed, f,
+      |    sum(CASE WHEN r*8+c < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(r*8+c AS INTEGER)) ELSE 0 END) AS lo,
+      |    sum(CASE WHEN r*8+c >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(r*8+c-32 AS INTEGER)) ELSE 0 END) AS hi
+      |  FROM bits GROUP BY fseed, f),
+      |vhash AS (
+      |  SELECT DISTINCT r.doc_id, d.lo, d.hi
+      |  FROM refs r JOIN dh d ON d.fseed = r.fseed AND d.f = r.f)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM vhash a JOIN vhash b
+      |  ON a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING COUNT(*) >= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2558,7 +2639,8 @@ object Pipeline {
     "p70_jsonl_roundtrip" -> (p70JsonlRoundtrip _),
     "p71_span_removal" -> (p71SpanRemoval _),
     "p72_id3_tags" -> (p72Id3Tags _),
-    "p73_zip_ingest" -> (p73ZipIngest _))
+    "p73_zip_ingest" -> (p73ZipIngest _),
+    "p74_video_neardup" -> (p74VideoNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2631,5 +2713,6 @@ object Pipeline {
     "p70_jsonl_roundtrip" -> p70Oracle,
     "p71_span_removal" -> p71Oracle,
     "p72_id3_tags" -> p72Oracle,
-    "p73_zip_ingest" -> p73Oracle)
+    "p73_zip_ingest" -> p73Oracle,
+    "p74_video_neardup" -> p74Oracle)
 }

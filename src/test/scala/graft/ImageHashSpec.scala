@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{ImageHash, Multimodal}
 
@@ -75,6 +76,29 @@ class ImageHashSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
     assert(pairs((0L, 1L)) <= 3)
     assert(pairs.keySet == Set((0L, 1L)))
+  }
+
+  test("video near-dup: a re-cut clip pairs with its source, unrelated clips don't") {
+    implicit val s = spark
+    def frame(seed: Long): Array[Byte] = fixturePixels(seed)
+    // source: frames 0..5; clip: frames 1..5 plus one new frame; unrelated
+    val src = (0L to 5L).map(frame)
+    val clip = (1L to 5L).map(frame) :+ frame(99L)
+    val other = (50L to 55L).map(frame)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "avi", Multimodal.encodeAvi(18, 16, 10, src)),
+      Multimodal.MediaRow(1L, "avi", Multimodal.encodeAvi(18, 16, 10, clip)),
+      Multimodal.MediaRow(2L, "avi", Multimodal.encodeAvi(18, 16, 10, other))).toDS()
+    val fh = ImageHash.videoFrameHashes(media).toDF()
+    // frame hashes through the AVI container equal the direct pixel hash
+    val direct = ImageHash.dHash64(18, 16, frame(3L))
+    val viaAvi = fh.filter(col("media_id") === 0L && col("frame_idx") === 3L)
+      .collect().head.getLong(2)
+    assert(viaAvi == direct)
+    val pairs = ImageHash.videoNearDup(fh, minShared = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.keySet == Set((0L, 1L)))
+    assert(pairs((0L, 1L)) == 5L) // frames 1..5 shared
   }
 
   test("banding loses no recall at hamming <= 3 (pigeonhole, randomized)") {
