@@ -99,6 +99,26 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Mutual-nearest-neighbor pairs across two embedding sets — simplified
+    * bitext mining (Artetxe & Schwenk 2019 mine with a margin score over
+    * k-NN neighborhoods; the mutual-top-1 criterion is its k=1 core): a
+    * pair (a, b) survives iff b is a's nearest neighbor in B AND a is b's
+    * nearest in A. Sims are rounded like [[bruteForceTopK]] so ranking is
+    * engine-stable; ties break on id. This brute-force form broadcasts
+    * each side as the query set of one direction — right at calibration
+    * scale; the 100 TB path swaps [[lshTopK]]/[[ivfTopK]] in per
+    * direction (the mutual join is unchanged). */
+  def mutualNearestPairs(a: DataFrame, b: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    val ab = bruteForceTopK(a, b, vecCol, idCol, 1)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("sim"))
+    val ba = bruteForceTopK(b, a, vecCol, idCol, 1)
+      .select(col("query_id").as("id_b"), col("neighbor_id").as("id_a"))
+    ab.join(ba, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** IVF-style ANN: centroids = a deterministic sample of the corpus
     * (ids ≡ 0 mod stride). Corpus rows route to their nearest centroid
     * (one broadcast pass); queries probe their `nprobe` nearest centroid

@@ -2564,6 +2564,44 @@ object Pipeline {
       |HAVING COUNT(*) >= 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Bitext-style mutual-NN mining ([[Similarity.mutualNearestPairs]]):
+    * the embedding table splits by vec_id parity into two "languages";
+    * pairs where each side is the other's cosine top-1 survive. The
+    * oracle mirrors both ranking directions exactly (rounded sims, id
+    * tie-break). */
+  def p75MutualNn(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.mutualNearestPairs(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "embedding", "vec_id")
+      .orderBy(col("id_a"))
+  }
+
+  val p75Oracle: String =
+    """WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0),
+      |b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1),
+      |ab AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY round(list_dot_product(a.v, b.v) /
+      |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+      |        b.vec_id) AS rk
+      |  FROM a CROSS JOIN b),
+      |ba AS (
+      |  SELECT b.vec_id AS id_b, a.vec_id AS id_a,
+      |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |      ORDER BY round(list_dot_product(a.v, b.v) /
+      |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+      |        a.vec_id) AS rk
+      |  FROM a CROSS JOIN b)
+      |SELECT ab.id_a, ab.id_b, ab.sim
+      |FROM ab JOIN ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b
+      |WHERE ab.rk = 1 AND ba.rk = 1
+      |ORDER BY ab.id_a""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2640,7 +2678,8 @@ object Pipeline {
     "p71_span_removal" -> (p71SpanRemoval _),
     "p72_id3_tags" -> (p72Id3Tags _),
     "p73_zip_ingest" -> (p73ZipIngest _),
-    "p74_video_neardup" -> (p74VideoNearDup _))
+    "p74_video_neardup" -> (p74VideoNearDup _),
+    "p75_mutual_nn" -> (p75MutualNn _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2714,5 +2753,6 @@ object Pipeline {
     "p71_span_removal" -> p71Oracle,
     "p72_id3_tags" -> p72Oracle,
     "p73_zip_ingest" -> p73Oracle,
-    "p74_video_neardup" -> p74Oracle)
+    "p74_video_neardup" -> p74Oracle,
+    "p75_mutual_nn" -> p75Oracle)
 }
