@@ -51,6 +51,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p63 lost its band-bucket equi-join:\n$plan")
   }
 
+  test("fingerprint near-dup joins stay equi-joins (audio, video, mutual-NN)") {
+    // p68/p74 pair on fingerprint equality; p75's only cross joins are the
+    // intentional broadcast query-set scans inherited from p06 — what must
+    // never appear is an unbroadcast CartesianProduct
+    Seq("p68_audio_fingerprint", "p74_video_neardup").foreach { name =>
+      val plan = formatted(name)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name lost its fingerprint equi-join:\n$plan")
+    }
+    assert(!formatted("p75_mutual_nn").contains("CartesianProduct"),
+      "p75 planned an unbroadcast cartesian")
+  }
+
   test("headline plans are cartesian-free") {
     Bench.headline.filter(SparkEntry.queries.contains).foreach { name =>
       val plan = formatted(name)
