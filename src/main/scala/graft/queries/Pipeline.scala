@@ -2602,6 +2602,60 @@ object Pipeline {
       |WHERE ab.rk = 1 AND ba.rk = 1
       |ORDER BY ab.id_a""".stripMargin
 
+  /** EPUB book ingest — a pure COMPOSITION of shipped codecs (EPUB is a
+    * ZIP of XHTML chapters): each doc becomes a structurally-real EPUB
+    * (stored `mimetype` first, container.xml, OPF manifest, two deflated
+    * XHTML chapters holding the halves of the text, entity-escaped), then
+    * one declarative plan unzips, extracts chapter text via
+    * [[TextAnalysis.htmlToText]] and reassembles the book in spine order.
+    * The oracle is the text round-trip closed-form. */
+  def p76EpubExtract(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    def esc(t: String): String =
+      t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val media = documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val ws = text.trim.split("\\s+").toSeq
+        val half = (ws.length + 1) / 2
+        def chap(i: Int, body: String) = (f"OEBPS/chap$i%03d.xhtml",
+          ("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" +
+            s"<html><body><p>${esc(body)}</p></body></html>")
+            .getBytes("UTF-8"), true)
+        Multimodal.MediaRow(id, "epub", Zip.encode(Seq(
+          ("mimetype", "application/epub+zip".getBytes("US-ASCII"), false),
+          ("META-INF/container.xml",
+            ("<?xml version=\"1.0\"?><container version=\"1.0\"><rootfiles>" +
+              "<rootfile full-path=\"OEBPS/content.opf\"/></rootfiles></container>")
+              .getBytes("UTF-8"), true),
+          ("OEBPS/content.opf",
+            "<package version=\"2.0\"><spine><itemref idref=\"c1\"/><itemref idref=\"c2\"/></spine></package>"
+              .getBytes("UTF-8"), true),
+          chap(1, ws.take(half).mkString(" ")),
+          chap(2, ws.drop(half).mkString(" ")))))
+      }
+    val chapters = Zip.parseZips(media).toDF()
+      .filter(col("name").startsWith("OEBPS/chap") && col("crc_ok"))
+      .select(col("media_id").as("doc_id"), col("name"),
+        TextAnalysis.htmlToText(col("payload").cast("string")).as("chap_text"))
+      .filter(length(col("chap_text")) > 0)
+    chapters.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chapters"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(name, chap_text))), x -> x.chap_text)"))
+          .as("book_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p76Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN len(string_split(norm, ' ')) > 1 THEN 2 ELSE 1 END AS BIGINT) AS n_chapters,
+      |  norm AS book_text
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2679,7 +2733,8 @@ object Pipeline {
     "p72_id3_tags" -> (p72Id3Tags _),
     "p73_zip_ingest" -> (p73ZipIngest _),
     "p74_video_neardup" -> (p74VideoNearDup _),
-    "p75_mutual_nn" -> (p75MutualNn _))
+    "p75_mutual_nn" -> (p75MutualNn _),
+    "p76_epub_extract" -> (p76EpubExtract _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2754,5 +2809,6 @@ object Pipeline {
     "p72_id3_tags" -> p72Oracle,
     "p73_zip_ingest" -> p73Oracle,
     "p74_video_neardup" -> p74Oracle,
-    "p75_mutual_nn" -> p75Oracle)
+    "p75_mutual_nn" -> p75Oracle,
+    "p76_epub_extract" -> p76Oracle)
 }
