@@ -233,6 +233,44 @@ object AudioFeatures {
       .filter(col("n_shared") >= minShared)
   }
 
+  final case class VadResult(media_id: Long, n_frames: Long, n_active: Long,
+    n_segments: Long, first_active: Long)
+
+  /** Energy-threshold voice-activity detection — the segment-before-ASR
+    * step of a speech pipeline: a frame is ACTIVE iff its RMS exceeds
+    * `threshold`; `n_segments` counts maximal runs of active frames,
+    * `first_active` is the first active frame index (-1 if silent).
+    * Frames are non-overlapping windows of `frameLen` samples (the plain
+    * energy gate real VADs start from before adding model-based
+    * refinement). Per-row decode + scan behind the mapPartitions seam,
+    * zero shuffle. */
+  def vad(media: Dataset[Multimodal.MediaRow], frameLen: Int,
+      threshold: Double)(implicit spark: SparkSession): Dataset[VadResult] = {
+    import spark.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val (_, _, samples) = Multimodal.decodeWav(r.payload)
+      val nFrames = samples.length / frameLen
+      var active = 0L; var segments = 0L; var first = -1L
+      var prev = false
+      var f = 0
+      while (f < nFrames) {
+        var sum = 0.0
+        var i = f * frameLen
+        val end = i + frameLen
+        while (i < end) { sum += samples(i).toDouble * samples(i); i += 1 }
+        val isActive = math.sqrt(sum / frameLen) > threshold
+        if (isActive) {
+          active += 1
+          if (first < 0) first = f
+          if (!prev) segments += 1
+        }
+        prev = isActive
+        f += 1
+      }
+      VadResult(r.media_id, nFrames.toLong, active, segments, first)
+    })
+  }
+
   final case class MelFeatures(media_id: Long, sample_rate: Long,
     n_frames: Long, n_mels: Long, dominant_bin: Long,
     mel: Seq[Seq[Double]])

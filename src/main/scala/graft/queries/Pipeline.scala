@@ -2656,6 +2656,54 @@ object Pipeline {
       |  norm AS book_text
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Voice-activity detection ([[AudioFeatures.vad]]): each doc is 8
+    * audio segments of 4 frames, active (tone) or silent by an md5 coin
+    * per segment; the energy gate must recover exactly the planted
+    * pattern — active frame counts, maximal run counts (adjacent active
+    * segments merge), and the first active frame — all closed-form. */
+  def p77AudioVad(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val rate = 16000
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val f = AudioFeatures.melCenterHz((id % 16).toInt, 16, rate)
+      val samples = new Array[Short](8 * 2048)
+      (0 until 8).foreach { k =>
+        val hex = md.digest(s"vad:$id:$k".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (Integer.parseInt(hex.substring(0, 1), 16) >= 8)
+          (0 until 2048).foreach { i =>
+            samples(k * 2048 + i) =
+              math.round(8000.0 * math.sin(2.0 * math.Pi * f * i / rate)).toShort
+          }
+      }
+      Multimodal.MediaRow(id, "wav", Multimodal.encodeWavPcm16(rate, samples))
+    }
+    AudioFeatures.vad(media, frameLen = 512, threshold = 100.0).toDF()
+      .select(col("media_id").as("doc_id"), col("n_frames"), col("n_active"),
+        col("n_segments"), col("first_active"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p77Oracle: String =
+    """WITH segs AS (
+      |  SELECT doc_id, k.k,
+      |    CASE WHEN strpos('0123456789abcdef',
+      |      substr(md5('vad:' || doc_id || ':' || k.k), 1, 1)) - 1 >= 8
+      |      THEN 1 ELSE 0 END AS act
+      |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) k),
+      |runs AS (
+      |  SELECT doc_id, k, act,
+      |    CASE WHEN act = 1 AND coalesce(lag(act)
+      |      OVER (PARTITION BY doc_id ORDER BY k), 0) = 0 THEN 1 ELSE 0 END AS sstart
+      |  FROM segs)
+      |SELECT doc_id, CAST(32 AS BIGINT) AS n_frames,
+      |  CAST(4 * sum(act) AS BIGINT) AS n_active,
+      |  CAST(sum(sstart) AS BIGINT) AS n_segments,
+      |  CAST(coalesce(min(CASE WHEN act = 1 THEN 4 * k END), -1) AS BIGINT) AS first_active
+      |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2734,7 +2782,8 @@ object Pipeline {
     "p73_zip_ingest" -> (p73ZipIngest _),
     "p74_video_neardup" -> (p74VideoNearDup _),
     "p75_mutual_nn" -> (p75MutualNn _),
-    "p76_epub_extract" -> (p76EpubExtract _))
+    "p76_epub_extract" -> (p76EpubExtract _),
+    "p77_audio_vad" -> (p77AudioVad _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2810,5 +2859,6 @@ object Pipeline {
     "p73_zip_ingest" -> p73Oracle,
     "p74_video_neardup" -> p74Oracle,
     "p75_mutual_nn" -> p75Oracle,
-    "p76_epub_extract" -> p76Oracle)
+    "p76_epub_extract" -> p76Oracle,
+    "p77_audio_vad" -> p77Oracle)
 }
