@@ -885,11 +885,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           val t = Option(targetRaw).map(x => unquote(x.split("\\.").last))
           writeQueues(db, branch).run(reindexCmd(db, branch, t))
           QueryResponse(input.id, Nil, Nil)
+        case explainQpRe(innerStmt) =>
+          explainQueryPlan(db, branch, input.copy(statement = innerStmt), key)
         case _ =>
           // the reference resolver executes unclassified statements through
           // SQLite (pkg/database/resolver.go) — WITH ... SELECT, VALUES and
           // parenthesized selects land here, so route them through the read
-          // path; genuinely malformed SQL surfaces as a parse error.
+          // path; genuinely malformed SQL surfaces as a parse error (bare
+          // EXPLAIN also lands here and resolves through Spark's native
+          // EXPLAIN statement).
           select(db, branch, input, key)
       }
     }
@@ -917,6 +921,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     """(?is)^\s*release\s+(savepoint\s+)?([\w"]+)\s*;?\s*$""".r
   private val rollbackToRe =
     """(?is)^\s*rollback\s+(transaction\s+)?to\s+(savepoint\s+)?([\w"]+)\s*;?\s*$""".r
+  private val explainQpRe = """(?is)^\s*explain\s+query\s+plan\s+(.+?)\s*;?\s*$""".r
   private val analyzeRe = """(?is)^\s*analyze(?:\s+([\w".]+))?\s*;?\s*$""".r
   private val reindexRe = """(?is)^\s*reindex(?:\s+([\w".]+))?\s*;?\s*$""".r
 
@@ -1756,6 +1761,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   private def select(db: String, branch: String, input0: QueryInput,
       key: AccessKey): QueryResponse = {
+    val (df, input) = readDataFrame(db, branch, input0, key)
+    collectResponse(df, input)
+  }
+
+  /** Build a read statement's DataFrame WITHOUT executing it — shared by
+    * [[select]] and EXPLAIN QUERY PLAN (which needs the planned query, not
+    * its rows). Returns the possibly-param-substituted input alongside. */
+  private def readDataFrame(db: String, branch: String, input0: QueryInput,
+      key: AccessKey): (DataFrame, QueryInput) = {
     // `fts MATCH ?` binds through SQLite's normal parameter path in the
     // reference; the MATCH rewrites here need the literal, so bind the
     // 5-type params into the text first (quote-aware) on MATCH statements
@@ -1775,7 +1789,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         result.createOrReplaceTempView("__fts_match")
         val df = sess.sql(s"SELECT $cols FROM __fts_match " +
           s"${Option(orderBy).getOrElse("")} ${Option(limitPart).getOrElse("")}")
-        collectResponse(df, input)
+        (df, input)
       case _ =>
         registerViews(db, branch, txn)
         // attached-database references (alias.t) rewrite onto their views;
@@ -1798,8 +1812,39 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           sess.sessionState.sqlParser.parsePlan(stmtM))
         val df = org.apache.spark.sql.GraftSqlBridge.ofRows(
           sess, plan, input.parameters.map(paramToJvm).toArray)
-        collectResponse(df, input)
+        (df, input)
     }
+  }
+
+  /** SQLite's `EXPLAIN QUERY PLAN <read stmt>` (lang_explain.html): rows of
+    * (id, parent, notused, detail) describing the access plan. SQLite
+    * emits its b-tree SCAN/SEARCH steps; here the detail strings are the
+    * PHYSICAL Spark plan nodes (scans carry pushed filters + read schema,
+    * joins name their strategy) in a preorder walk with real parent links —
+    * same shape, this engine's plan language (documented delta; bare
+    * `EXPLAIN` passes through to Spark's native formatted output). Only
+    * plans, never executes. */
+  private def explainQueryPlan(db: String, branch: String, input: QueryInput,
+      key: AccessKey): QueryResponse = {
+    // reads only: a DML/DDL inner statement must not reach the read path —
+    // Dataset construction EXECUTES commands eagerly, so "explaining" an
+    // INSERT would run it (SQLite explains writes; documented delta)
+    val kind = Classifier.kind(input.statement.trim)
+    if (kind != "dql" && kind != "other")
+      throw new IllegalArgumentException(
+        "EXPLAIN QUERY PLAN supports read statements only")
+    val (df, _) = readDataFrame(db, branch, input, key)
+    val rows = mutable.ArrayBuffer[Seq[SqlValue]]()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan, parent: Long): Unit = {
+      val id = rows.size.toLong
+      val detail = p.simpleString(10).replaceAll("\\s+", " ").trim.take(300)
+      rows += Seq(SqlValue.IntVal(id), SqlValue.IntVal(parent),
+        SqlValue.IntVal(0L), SqlValue.TextVal(detail))
+      p.children.foreach(walk(_, id))
+    }
+    walk(df.queryExecution.executedPlan, -1L)
+    QueryResponse(input.id, Seq("id", "parent", "notused", "detail"),
+      rows.toSeq, transactionId = input.transactionId)
   }
 
   /** Execute with chunked result delivery — the scale path for large

@@ -521,6 +521,38 @@ class EngineSpec extends AnyFunSuite {
     assert(s2.execute("db1", "main", q("SELECT * FROM t")).rows.length == 3)
   }
 
+  test("EXPLAIN QUERY PLAN returns the physical plan in SQLite's row shape") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE et (id INTEGER, v INTEGER)"))
+    s.execute("db1", "main", q("INSERT INTO et VALUES (1, 10), (2, 20), (3, 30)"))
+    val r = s.execute("db1", "main",
+      q("EXPLAIN QUERY PLAN SELECT v FROM et WHERE id = 2"))
+    assert(r.error.isEmpty, r.error)
+    assert(r.columns == Seq("id", "parent", "notused", "detail"))
+    assert(r.rows.nonEmpty)
+    // preorder ids with valid parent links; root's parent is -1
+    r.rows.zipWithIndex.foreach { case (row, i) =>
+      assert(row(0) == SqlValue.IntVal(i.toLong))
+      val parent = row(1).asInstanceOf[SqlValue.IntVal].v
+      assert(if (i == 0) parent == -1L else parent >= 0L && parent < i)
+    }
+    // the access path is visible: some node is a parquet scan of the table,
+    // and the pushed predicate reaches it
+    val details = r.rows.map(_(3).asInstanceOf[SqlValue.TextVal].v)
+    assert(details.exists(d => d.contains("Scan") && d.contains("parquet")),
+      details.mkString("\n"))
+    // bare EXPLAIN still resolves through Spark's native statement
+    val bare = s.execute("db1", "main", q("EXPLAIN SELECT v FROM et"))
+    assert(bare.error.isEmpty, bare.error)
+    assert(bare.rows.nonEmpty)
+    // writes are not explainable through the read path: loud error, no write
+    val w = s.execute("db1", "main",
+      q("EXPLAIN QUERY PLAN INSERT INTO et VALUES (9, 90)"))
+    assert(w.error.nonEmpty)
+    val cnt = s.execute("db1", "main", q("SELECT count(*) AS n FROM et"))
+    assert(cnt.rows.head.head == SqlValue.IntVal(3))
+  }
+
   test("compact folds a multi-file table into one file-set") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE c (id INTEGER)"))
