@@ -218,15 +218,20 @@ object Pdf {
         if (dataStart < latin.length && latin.charAt(dataStart) == '\r') dataStart += 1
         if (dataStart < latin.length && latin.charAt(dataStart) == '\n') dataStart += 1
         val lenRe = """/Length\s+(\d+)(?!\s+0\s+R)""".r
-        val end = lenRe.findFirstMatchIn(dict).map(m => dataStart + m.group(1).toInt)
-          .getOrElse(latin.indexOf("endstream", dataStart) match {
-            case -1 => latin.length
-            case e => e
-          })
+        val known = lenRe.findFirstMatchIn(dict).map(m => dataStart + m.group(1).toInt)
+        val end = known.getOrElse(latin.indexOf("endstream", dataStart) match {
+          case -1 => latin.length
+          case e => e
+        })
         if (dict.contains("/FlateDecode"))
-          res += inflate(java.util.Arrays.copyOfRange(bytes, dataStart,
+          // corrupt/truncated deflate data skips THIS stream, never throws
+          // (crawler-grade contract shared with Tar/Warc/Zip)
+          try res += inflate(java.util.Arrays.copyOfRange(bytes, dataStart,
             math.min(end, bytes.length)))
-        from = latin.indexOf("endstream", dataStart) match {
+          catch { case _: Exception => () }
+        // with a direct /Length, resume the scan AFTER the payload — the
+        // compressed bytes may legally contain the word "endstream"
+        from = latin.indexOf("endstream", math.min(end, latin.length)) match {
           case -1 => latin.length
           case e => e + 9
         }

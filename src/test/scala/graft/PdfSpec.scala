@@ -48,6 +48,18 @@ class PdfSpec extends AnyFunSuite {
     assert(doc.n_objects == 5)
   }
 
+  test("a corrupt stream is skipped; intact pages still extract, no throw") {
+    val lines = (1 to 60).map(i => s"line $i")
+    val bytes = Pdf.encodePdf(lines.mkString("\n"), linesPerPage = 50)
+    val latin = new String(bytes, "ISO-8859-1")
+    val firstData = latin.indexOf("stream\n") + 7
+    (0 until 8).foreach(i => bytes(firstData + i) = 0x55)
+    val doc = Pdf.extract(1L, bytes)
+    assert(doc.n_pages == 2)
+    // page 1's deflate is destroyed; page 2 survives byte-exact
+    assert(doc.extracted == lines.drop(50).mkString("\n"))
+  }
+
   test("string parser handles nested parens and octal escapes") {
     assert(Pdf.parseString("(a(b)c)", 0)._1 == "a(b)c")
     assert(Pdf.parseString("(\\101\\102)", 0)._1 == "AB")
