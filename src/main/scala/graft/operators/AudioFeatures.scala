@@ -271,6 +271,82 @@ object AudioFeatures {
     })
   }
 
+  /** Windowed-sinc sample-rate conversion (Smith's "Digital Audio
+    * Resampling" / Oppenheim & Schafer bandlimited interpolation): each
+    * output sample is the source convolved with a Hann-windowed sinc
+    * centered at its fractional source position. When downsampling, the
+    * sinc is widened by the rate ratio so its cutoff sits at the OUTPUT
+    * Nyquist — the anti-alias filter and the interpolator are the same
+    * kernel. `zeroCrossings` trades quality for cost (16 ≈ -44 dB+
+    * stopband with the Hann window — fine for speech-pipeline rate
+    * normalization to 16 kHz). Output length is exactly
+    * floor(nIn·dst/src). */
+  def resample(samples: Array[Short], srcRate: Int, dstRate: Int,
+      zeroCrossings: Int = 16): Array[Short] = {
+    require(srcRate > 0 && dstRate > 0, s"rates: $srcRate -> $dstRate")
+    if (srcRate == dstRate) return samples.clone()
+    val nIn = samples.length
+    val nOut = ((nIn.toLong * dstRate) / srcRate).toInt
+    val out = new Array[Short](nOut)
+    val scale = math.min(1.0, dstRate.toDouble / srcRate)
+    val halfWidth = zeroCrossings / scale // in input samples
+    val step = srcRate.toDouble / dstRate
+    var j = 0
+    while (j < nOut) {
+      val center = j * step
+      var i = math.max(0, math.ceil(center - halfWidth).toInt)
+      val iEnd = math.min(nIn - 1, math.floor(center + halfWidth).toInt)
+      var acc = 0.0
+      while (i <= iEnd) {
+        val d = i - center
+        val x = math.Pi * scale * d
+        val sinc = if (math.abs(x) < 1e-12) 1.0 else math.sin(x) / x
+        val win = 0.5 * (1.0 + math.cos(math.Pi * d / halfWidth))
+        acc += samples(i) * scale * sinc * win
+        i += 1
+      }
+      val v = math.round(acc)
+      out(j) = math.max(Short.MinValue.toLong,
+        math.min(Short.MaxValue.toLong, v)).toShort
+      j += 1
+    }
+    out
+  }
+
+  /** Dominant FFT bin over non-overlapping `frameLen` frames: argmax of
+    * the power summed across frames (ties to the lowest bin) — the
+    * integer summary an oracle can state in closed form for a pure tone
+    * (round(f·frameLen/rate)). -1 if the clip is shorter than a frame. */
+  def dominantFftBin(samples: Array[Short], frameLen: Int): Int = {
+    val frames = stftPower(samples, frameLen, frameLen)
+    if (frames.isEmpty) return -1
+    val nBins = frames.head.length
+    val sums = Array.tabulate(nBins)(k => frames.map(_(k)).sum)
+    var best = 0
+    var i = 1
+    while (i < nBins) { if (sums(i) > sums(best)) best = i; i += 1 }
+    best
+  }
+
+  final case class ResampleResult(media_id: Long, src_rate: Long,
+    dst_rate: Long, n_in: Long, n_out: Long, payload: Array[Byte])
+
+  /** Rate-normalize WAV clips to `dstRate` (decode → windowed-sinc →
+    * re-encode PCM16). Per-row mapPartitions, zero shuffle — the standard
+    * "everything to 16 kHz mono" step before featurization. */
+  def resampleWav(media: Dataset[Multimodal.MediaRow], dstRate: Int,
+      zeroCrossings: Int = 16)
+      (implicit spark: SparkSession): Dataset[ResampleResult] = {
+    import spark.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val (rate, _, samples) = Multimodal.decodeWav(r.payload)
+      val res = resample(samples, rate, dstRate, zeroCrossings)
+      ResampleResult(r.media_id, rate.toLong, dstRate.toLong,
+        samples.length.toLong, res.length.toLong,
+        Multimodal.encodeWavPcm16(dstRate, res))
+    })
+  }
+
   final case class MelFeatures(media_id: Long, sample_rate: Long,
     n_frames: Long, n_mels: Long, dominant_bin: Long,
     mel: Seq[Seq[Double]])

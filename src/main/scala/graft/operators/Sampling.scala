@@ -103,4 +103,53 @@ object Sampling {
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared_grams"))
   }
+
+  /** [[contamination]] for when the eval gram set is too big to broadcast
+    * as a hash relation but fits as a BLOOM FILTER (the mid-size regime:
+    * ~10M+ distinct eval grams ≈ GBs as strings, but ~1.2 MB per million
+    * items at 1% fpp as a bloom). Plan: build the bloom over eval grams
+    * (two bounded jobs on the SMALL side only), probe it map-side over the
+    * 100 TB training scan — ~99% of training grams die before any
+    * shuffle — then confirm survivors with an exact shuffle join, which
+    * also removes every bloom false positive. Result is therefore
+    * IDENTICAL to [[contamination]] (same oracle); only the physical plan
+    * differs. The probe is a Scala UDF by necessity (the sketch lives in
+    * spark-sketch, not in any codegen'd expression) — acceptable off the
+    * exactness path since FPs only cost a little extra join input. */
+  def contaminationBloom(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, n: Int = 13,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val tg = Dedup.wordShingles(train, textCol, idCol, n)
+      .withColumnRenamed("id", "train_id")
+    val eg = Dedup.wordShingles(eval, textCol, idCol, n)
+      .withColumnRenamed("id", "eval_id")
+    val egrams = eg.select(col("gram")).distinct()
+    // expectedNumItems from an exact count of the small side; a cluster
+    // job would use catalog stats instead of a count job
+    val nGrams = math.max(1L, egrams.count())
+    val bf = egrams.stat.bloomFilter("gram", nGrams, fpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bf.writeTo(b); b.toByteArray
+    }
+    // ship the serialized sketch once per executor, not per task closure
+    val bc = spark.sparkContext.broadcast(bytes)
+    val might = udf(new BloomProbe(bc))
+    tg.filter(might(col("gram")))
+      .join(eg, "gram") // exact confirm: kills bloom false positives
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+}
+
+/** Deserialize the broadcast sketch once per executor (transient lazy),
+  * not per row. */
+private final class BloomProbe(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+  extends (String => Boolean) with Serializable {
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bc.value))
+  def apply(g: String): Boolean = g != null && bf.mightContainString(g)
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.CRC32C
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TFRecord shard writer + parser — the de-facto training-shard format on
+  * the OUTPUT side of a curation pipeline (TensorFlow's tf.data readers,
+  * and most JAX/PyTorch loaders via `tfds`/`webdataset` bridges, consume
+  * it). Format is public (TensorFlow docs, `tensorflow/core/lib/io/
+  * record_writer.h` layout description): each record is
+  *
+  *   uint64 length (LE) | uint32 masked_crc32c(length bytes) (LE)
+  *   | data[length]     | uint32 masked_crc32c(data) (LE)
+  *
+  * with `mask(crc) = rotr15(crc) + 0xa282ead8` (mod 2^32). CRC32C
+  * (Castagnoli) ships in the JDK (`java.util.zip.CRC32C`).
+  *
+  * Parsing is crawler-grade defensive like [[Tar]]/[[Zip]]/[[Warc]]: a bad
+  * LENGTH crc stops the walk (the length field itself can't be trusted, so
+  * neither can any later offset), a bad DATA crc flags the record but keeps
+  * walking (framing is still intact), and a truncated tail drops the
+  * partial record — every complete valid prefix survives.
+  *
+  * Scale shape: shard assembly is the secondary-sort idiom — repartition on
+  * the shard key, sortWithinPartitions(shard, sort key), then one
+  * mapPartitions pass that builds each shard from its consecutive run of
+  * rows. No groupBy materialization, no driver collect; shard count (and
+  * so shard size) is the caller's knob, exactly how a 100 TB exporter
+  * controls file sizes. The reference (litebase) only moves binary data as
+  * opaque BLOB columns; shard export is pipeline surface beyond it.
+  */
+object TfRecord {
+
+  private val MaskDelta = 0xa282ead8L
+
+  /** TFRecord's masked CRC: rotate right 15 then add the mask constant. */
+  def maskCrc(crc: Long): Long =
+    (((crc >>> 15) | (crc << 17)) + MaskDelta) & 0xFFFFFFFFL
+
+  private def crc32c(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new CRC32C(); c.update(b, off, len); c.getValue
+  }
+
+  private def u64le(v: Long): Array[Byte] =
+    Array.tabulate[Byte](8)(i => ((v >>> (8 * i)) & 0xFF).toByte)
+  private def u32le(v: Long): Array[Byte] =
+    Array.tabulate[Byte](4)(i => ((v >>> (8 * i)) & 0xFF).toByte)
+  private def rd64le(b: Array[Byte], off: Int): Long =
+    (0 until 8).foldLeft(0L)((a, i) => a | ((b(off + i) & 0xFFL) << (8 * i)))
+  private def rd32le(b: Array[Byte], off: Int): Long =
+    (0 until 4).foldLeft(0L)((a, i) => a | ((b(off + i) & 0xFFL) << (8 * i)))
+
+  /** Append one record to `out`. */
+  def writeRecord(out: ByteArrayOutputStream, payload: Array[Byte]): Unit = {
+    val len = u64le(payload.length.toLong)
+    out.write(len)
+    out.write(u32le(maskCrc(crc32c(len, 0, 8))))
+    out.write(payload)
+    out.write(u32le(maskCrc(crc32c(payload, 0, payload.length))))
+  }
+
+  /** Encode payloads into one shard blob (iterator in, so a shard builds
+    * in one streaming pass without holding the inputs). */
+  def encode(payloads: Iterator[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    payloads.foreach(writeRecord(out, _))
+    out.toByteArray
+  }
+
+  final case class Rec(index: Int, offset: Long, length: Long,
+    len_crc_ok: Boolean, data_crc_ok: Boolean, payload: Array[Byte])
+
+  /** Walk a shard; every structurally-complete record in the valid prefix
+    * is returned (see class doc for the corruption contract). */
+  def parse(bytes: Array[Byte]): Seq[Rec] = {
+    val out = scala.collection.mutable.ArrayBuffer[Rec]()
+    var off = 0
+    var done = false
+    while (!done && off + 12 <= bytes.length) {
+      val lenOk = maskCrc(crc32c(bytes, off, 8)) == rd32le(bytes, off + 8)
+      if (!lenOk) done = true // length untrustworthy: no safe next offset
+      else {
+        val len = rd64le(bytes, off)
+        val dataStart = off + 12
+        if (len < 0 || dataStart + len + 4 > bytes.length) done = true
+        else {
+          val dataOk = maskCrc(crc32c(bytes, dataStart, len.toInt)) ==
+            rd32le(bytes, (dataStart + len).toInt)
+          out += Rec(out.length, off.toLong, len, lenOk, dataOk,
+            java.util.Arrays.copyOfRange(bytes, dataStart, (dataStart + len).toInt))
+          off = (dataStart + len + 4).toInt
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  final case class Shard(shard: Long, n_records: Long, bytes: Array[Byte])
+
+  /** Pack (shard, sortKey, payload) rows into one TFRecord blob per shard,
+    * each shard's records in sortKey order. Secondary-sort shape: shuffle
+    * once on the shard key, sort within partitions, stream consecutive
+    * runs — a partition holds whole shards but never more than one shard's
+    * blob in memory at a time beyond the one being built. */
+  def shardExport(rows: Dataset[(Long, Long, Array[Byte])])
+      (implicit spark: SparkSession): Dataset[Shard] = {
+    import spark.implicits._
+    rows.toDF("shard", "key", "payload")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "key")
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        new Iterator[Shard] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Shard = {
+            val shard = buf.head._1
+            val out = new ByteArrayOutputStream()
+            var n = 0L
+            while (buf.hasNext && buf.head._1 == shard) {
+              writeRecord(out, buf.next()._3); n += 1
+            }
+            Shard(shard, n, out.toByteArray)
+          }
+        }
+      }
+  }
+
+  final case class ShardRec(shard: Long, rec_index: Long, offset: Long,
+    length: Long, len_crc_ok: Boolean, data_crc_ok: Boolean,
+    payload: Array[Byte])
+
+  /** Re-ingest: explode each shard blob back into records (per-row walk,
+    * zero shuffle). */
+  def parseShards(shards: Dataset[Shard])
+      (implicit spark: SparkSession): Dataset[ShardRec] = {
+    import spark.implicits._
+    shards.mapPartitions(_.flatMap { s =>
+      parse(s.bytes).map(r => ShardRec(s.shard, r.index.toLong, r.offset,
+        r.length, r.len_crc_ok, r.data_crc_ok, r.payload))
+    })
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, Id3, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, Warc, Zip}
+import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, Id3, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, TfRecord, Warc, Zip}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -2704,6 +2704,115 @@ object Pipeline {
       |  CAST(coalesce(min(CASE WHEN act = 1 THEN 4 * k END), -1) AS BIGINT) AS first_active
       |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** TFRecord shard export + re-ingest ([[TfRecord]]): documents hash into
+    * 8 shards, pack in doc_id order into real TFRecord blobs (uint64-length
+    * + masked-CRC32C framing), re-parse, and report every record with its
+    * byte offset — so the oracle pins the whole binary layout closed-form
+    * (each record costs exactly 16 framing bytes + the payload). */
+  def p78TfrecordShards(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val rows = documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id % 8, id, text.getBytes("UTF-8")) }
+    TfRecord.parseShards(TfRecord.shardExport(rows)).toDF()
+      .select(col("shard"), col("rec_index"), col("offset"), col("length"),
+        col("len_crc_ok"), col("data_crc_ok"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("shard"), col("rec_index"))
+  }
+
+  val p78Oracle: String =
+    """SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+      |  CAST(row_number() OVER w - 1 AS BIGINT) AS rec_index,
+      |  CAST(coalesce(sum(octet_length(encode(text)) + 16)
+      |    OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+      |  TRUE AS len_crc_ok, TRUE AS data_crc_ok, md5(text) AS payload_md5
+      |FROM documents
+      |WINDOW w AS (PARTITION BY doc_id % 8 ORDER BY doc_id)
+      |ORDER BY shard, rec_index""".stripMargin
+
+  /** Sample-rate normalization ([[AudioFeatures.resample]]): even docs are
+    * 8 kHz tones upsampled to 16 kHz; odd docs are 16 kHz tones CARRYING A
+    * 6520 Hz out-of-band component downsampled to 8 kHz, so the windowed
+    * sinc must both interpolate and anti-alias. The oracle pins output
+    * length exactly (floor(n·dst/src)), the dominant FFT bin of the
+    * resampled audio closed-form (round(f·2048/dst) — a wrong rate ratio
+    * shifts it), and two measured booleans: RMS within 5% of the clean
+    * tone's 8000/√2 (the 6520 Hz energy must be GONE, not folded), and
+    * alias-bin power < 1% of the peak (6520 folds to 1480 Hz if
+    * unfiltered). */
+  def p79Resample(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val nIn = 8192
+    def tone(id: Long): Multimodal.MediaRow = {
+      val srcRate = if (id % 2 == 0) 8000 else 16000
+      val f = 200.0 * (1 + id % 10)
+      val samples = new Array[Short](nIn)
+      var i = 0
+      while (i < nIn) {
+        var v = 8000.0 * math.sin(2.0 * math.Pi * f * i / srcRate)
+        if (id % 2 != 0) // out-of-band component the downsampler must kill
+          v += 4000.0 * math.sin(2.0 * math.Pi * 6520.0 * i / srcRate)
+        samples(i) = math.round(v).toShort
+        i += 1
+      }
+      Multimodal.MediaRow(id, "wav", Multimodal.encodeWavPcm16(srcRate, samples))
+    }
+    val ids = documents(s, dir).select(col("doc_id")).as[Long]
+    val up = AudioFeatures.resampleWav(
+      ids.filter(_ % 2 == 0).map(tone), dstRate = 16000)
+    val down = AudioFeatures.resampleWav(
+      ids.filter(_ % 2 != 0).map(tone), dstRate = 8000)
+    up.union(down).map { r =>
+      val (rate, _, samples) = Multimodal.decodeWav(r.payload)
+      val dom = AudioFeatures.dominantFftBin(samples, 2048)
+      var sum = 0.0
+      samples.foreach(v => sum += v.toDouble * v)
+      val rms = math.sqrt(sum / samples.length)
+      val want = 8000.0 / math.sqrt(2.0)
+      val frames = AudioFeatures.stftPower(samples, 2048, 2048)
+      val power = Array.tabulate(2048 / 2 + 1)(k => frames.map(_(k)).sum)
+      val aliasBin = math.round(1480.0 * 2048 / rate).toInt
+      val aliasOk = r.media_id % 2 == 0 || // even docs carry no 6520 Hz tone
+        power(aliasBin) < 0.01 * power(dom)
+      (r.media_id, r.src_rate, r.dst_rate, r.n_in, r.n_out, dom.toLong,
+        math.abs(rms - want) / want < 0.05, aliasOk)
+    }.toDF("doc_id", "src_rate", "dst_rate", "n_in", "n_out", "dom_bin",
+        "rms_ok", "alias_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  val p79Oracle: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS BIGINT) AS src_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS BIGINT) AS dst_rate,
+      |  CAST(8192 AS BIGINT) AS n_in,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16384 ELSE 4096 END AS BIGINT) AS n_out,
+      |  CAST(round(200.0 * (1 + doc_id % 10) * 2048.0 /
+      |    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END) AS BIGINT) AS dom_bin,
+      |  TRUE AS rms_ok, TRUE AS alias_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Contamination via bloom prefilter ([[Sampling.contaminationBloom]]):
+    * same answer as p25 — the oracle is literally p25's — through the
+    * at-scale physical plan (map-side bloom probe kills ~all training
+    * grams before any shuffle; exact confirm join removes the bloom's
+    * false positives). Hash-matching p25's oracle proves the rewrite is
+    * result-identical. */
+  def p80ContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    Sampling.contaminationBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "text", "doc_id", n = 13)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val p80Oracle: String = p25Oracle
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2783,7 +2892,10 @@ object Pipeline {
     "p74_video_neardup" -> (p74VideoNearDup _),
     "p75_mutual_nn" -> (p75MutualNn _),
     "p76_epub_extract" -> (p76EpubExtract _),
-    "p77_audio_vad" -> (p77AudioVad _))
+    "p77_audio_vad" -> (p77AudioVad _),
+    "p78_tfrecord_shards" -> (p78TfrecordShards _),
+    "p79_resample" -> (p79Resample _),
+    "p80_contamination_bloom" -> (p80ContaminationBloom _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2860,5 +2972,8 @@ object Pipeline {
     "p74_video_neardup" -> p74Oracle,
     "p75_mutual_nn" -> p75Oracle,
     "p76_epub_extract" -> p76Oracle,
-    "p77_audio_vad" -> p77Oracle)
+    "p77_audio_vad" -> p77Oracle,
+    "p78_tfrecord_shards" -> p78Oracle,
+    "p79_resample" -> p79Oracle,
+    "p80_contamination_bloom" -> p80Oracle)
 }

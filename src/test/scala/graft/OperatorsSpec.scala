@@ -512,6 +512,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits == Set((10L, 90L, 2L), (12L, 91L, 1L)))
   }
 
+  test("bloom-prefiltered contamination is result-identical to broadcast") {
+    import graft.operators.Sampling
+    // sizable synthetic sets so the bloom actually filters something:
+    // 200 training docs, every 7th shares a 3-gram run with one eval doc
+    val train = (0 until 200).map { i =>
+      val extra = if (i % 7 == 0) s" shared run ${i % 3} marker" else ""
+      (i.toLong, s"train doc $i words w${i}a w${i}b w${i}c$extra")
+    }.toDF("doc_id", "text")
+    val eval = (0 until 3).map { k =>
+      (1000L + k, s"eval doc with shared run $k marker inside")
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = canon(Sampling.contamination(train, eval, "text", "doc_id", n = 3))
+    val bloom = canon(Sampling.contaminationBloom(train, eval, "text", "doc_id", n = 3))
+    assert(exact.nonEmpty && bloom == exact)
+    // and with a sloppy fpp the confirm join must still kill every FP
+    val sloppy = canon(Sampling.contaminationBloom(
+      train, eval, "text", "doc_id", n = 3, fpp = 0.5))
+    assert(sloppy == exact)
+  }
+
   test("recursive fixpoint: 200-level recursion keeps the plan flat") {
     // every round localCheckpoint()s the accumulated set, so iteration N's
     // plan must NOT embed the N-1 predecessors — on a 200-edge path graph

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TfRecord
+
+/** TFRecord framing exactness: known-answer CRC masking, roundtrip,
+  * the corruption contract (bad length-crc stops, bad data-crc flags and
+  * continues, truncation drops the tail), and the distributed
+  * secondary-sort shard export. */
+class TfRecordSpec extends AnyFunSuite {
+
+  private val payloads = Seq(
+    "first record".getBytes("UTF-8"),
+    Array.emptyByteArray,
+    Array.tabulate[Byte](1000)(i => (i * 7 % 251).toByte),
+    "tail".getBytes("UTF-8"))
+
+  test("masked crc32c matches the published check vector") {
+    // CRC32C("123456789") = 0xE3069283 is the standard Castagnoli check
+    // value; its TFRecord mask (rotr15 + 0xa282ead8) computed by hand.
+    val c = new java.util.zip.CRC32C()
+    c.update("123456789".getBytes("US-ASCII"))
+    assert(c.getValue == 0xE3069283L)
+    assert(TfRecord.maskCrc(0xE3069283L) == 0xC78AB0E5L)
+    assert(TfRecord.maskCrc(0L) == 0xA282EAD8L) // empty-input mask
+  }
+
+  test("roundtrip preserves payloads, offsets and lengths") {
+    val blob = TfRecord.encode(payloads.iterator)
+    assert(blob.length == payloads.map(_.length + 16).sum)
+    val recs = TfRecord.parse(blob)
+    assert(recs.length == payloads.length)
+    recs.zip(payloads).foreach { case (r, p) =>
+      assert(r.len_crc_ok && r.data_crc_ok)
+      assert(r.length == p.length.toLong)
+      assert(java.util.Arrays.equals(r.payload, p))
+    }
+    assert(recs.map(_.offset) ==
+      payloads.map(_.length + 16L).scanLeft(0L)(_ + _).init)
+  }
+
+  test("a corrupt payload byte flags that record but parsing continues") {
+    val blob = TfRecord.encode(payloads.iterator)
+    // flip a byte inside record 0's payload (starts at offset 12)
+    blob(14) = (blob(14) ^ 0x5A).toByte
+    val recs = TfRecord.parse(blob)
+    assert(recs.length == payloads.length)
+    assert(!recs.head.data_crc_ok)
+    assert(recs.tail.forall(_.data_crc_ok))
+  }
+
+  test("a corrupt length field stops the walk (no trustworthy offsets)") {
+    val blob = TfRecord.encode(payloads.iterator)
+    val secondOff = payloads.head.length + 16
+    blob(secondOff) = (blob(secondOff) ^ 0xFF).toByte // record 1's length
+    val recs = TfRecord.parse(blob)
+    assert(recs.length == 1) // record 0 intact, nothing after
+    assert(recs.head.data_crc_ok)
+  }
+
+  test("a truncated tail drops only the partial record") {
+    val blob = TfRecord.encode(payloads.iterator)
+    val cut = java.util.Arrays.copyOf(blob, blob.length - 3)
+    val recs = TfRecord.parse(cut)
+    assert(recs.length == payloads.length - 1)
+    assert(recs.forall(r => r.len_crc_ok && r.data_crc_ok))
+  }
+
+  test("shard export packs each shard in key order and re-ingests exactly") {
+    implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+    import spark.implicits._
+    // 40 rows over 4 shards, keys deliberately out of order
+    val rows = spark.createDataset((0 until 40).reverse.map { i =>
+      (i.toLong % 4, i.toLong, s"payload-$i".getBytes("UTF-8"))
+    })
+    val shards = TfRecord.shardExport(rows).collect()
+    assert(shards.length == 4)
+    assert(shards.forall(_.n_records == 10))
+    val recs = TfRecord.parseShards(
+      TfRecord.shardExport(rows)).collect()
+    assert(recs.length == 40)
+    assert(recs.forall(r => r.len_crc_ok && r.data_crc_ok))
+    // within each shard, records come back in ascending key order
+    (0 until 4).foreach { sh =>
+      val got = recs.filter(_.shard == sh).sortBy(_.rec_index)
+        .map(r => new String(r.payload, "UTF-8"))
+      val want = (0 until 40).filter(_ % 4 == sh).sorted
+        .map(i => s"payload-$i")
+      assert(got.toSeq == want)
+    }
+  }
+}
