@@ -65,6 +65,38 @@ class PlanShapeSpec extends AnyFunSuite {
       "p75 planned an unbroadcast cartesian")
   }
 
+  test("p78's shard export shuffles exactly once (secondary sort, no groupBy)") {
+    // shard assembly must stay repartition(shard) + sortWithinPartitions +
+    // one streaming pass; a groupBy/collect_list rewrite would add a
+    // second exchange and materialize whole shards as single rows
+    val df = SparkEntry.queries("p78_tfrecord_shards")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    // one exchange for the shard repartition + at most one for the final
+    // global orderBy of the report — never a third
+    assert(exchanges <= 2, s"p78 gained an extra shuffle ($exchanges):\n$plan")
+    assert(plan.contains("Sort"), "expected the within-partition shard sort")
+  }
+
+  test("p80's bloom probe filters BELOW the confirm join") {
+    // the whole point of the bloom plan: the UDF probe must sit on the
+    // training-side scan (map-side, pre-shuffle), not above the join —
+    // otherwise the full gram stream shuffles and the prefilter is theater
+    val lines = SparkEntry.queries("p80_contamination_bloom")(spark, dir)
+      .queryExecution.executedPlan.toString.linesIterator.toIndexedSeq
+    val joinAt = lines.indexWhere(_.contains("Join"))
+    val probeAt = lines.indexWhere(_.contains("Filter UDF("))
+    assert(joinAt >= 0, "expected the exact confirm join")
+    assert(probeAt > joinAt, // children print BELOW their parent join
+      s"bloom probe not below the join:\n${lines.mkString("\n")}")
+    // and the probe must sit on the scan side of the plan, i.e. between
+    // the join and its FileScan leaf — never above the aggregation
+    assert(lines.take(probeAt).exists(_.contains("Join")) &&
+      lines.drop(probeAt).exists(_.contains("FileScan")),
+      s"probe not on the scan side:\n${lines.mkString("\n")}")
+  }
+
   test("headline plans are cartesian-free") {
     Bench.headline.filter(SparkEntry.queries.contains).foreach { name =>
       val plan = formatted(name)

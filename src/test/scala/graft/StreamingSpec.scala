@@ -191,6 +191,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tfrecord shard export runs per micro-batch (foreachBatch sink twin)") {
+    // the export sink shape at scale: stream → foreachBatch → the SAME
+    // shardExport used in batch (sortWithinPartitions is legal there
+    // because each micro-batch is a plain DataFrame). Re-parsing every
+    // shard written across all batches must yield exactly the batch
+    // payload multiset, every record CRC-clean.
+    import graft.operators.TfRecord
+    import spark.implicits._
+    implicit val s = spark
+    val docsDir = Files.createTempDirectory("graft-stream-tfrec").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestSession.sfDir, "documents.parquet"),
+      java.nio.file.Paths.get(docsDir, "documents.parquet"))
+    val batchDocs = spark.read.parquet(docsDir)
+    def toRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id % 4, id, t.getBytes("UTF-8")) }
+    val streamed = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.schema(batchDocs.schema).parquet(docsDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        TfRecord.parseShards(TfRecord.shardExport(toRows(df)))
+          .collect().foreach { r =>
+            assert(r.len_crc_ok && r.data_crc_ok)
+            streamed.synchronized {
+              streamed += ((r.shard, new String(r.payload, "UTF-8"))) }
+          }
+      }.start()
+    try {
+      q.processAllAvailable()
+      val batch = TfRecord.parseShards(TfRecord.shardExport(toRows(batchDocs)))
+        .collect().map(r => (r.shard, new String(r.payload, "UTF-8")))
+      assert(streamed.nonEmpty)
+      assert(streamed.sorted.toSeq == batch.sorted.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch join pairs") {
     val src = EventStreams.source(spark, eventsDir)
     val q = EventStreams.clickAttribution(src, src)
