@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, Id3, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, TfRecord, Warc, Zip}
+import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, Id3, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, TfExample, TfRecord, Warc, Zip}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -2813,6 +2813,42 @@ object Pipeline {
 
   val p80Oracle: String = p25Oracle
 
+  /** tf.Example encoding ([[TfExample]]): each document becomes the
+    * standard 3-feature Example (text bytes, n_chars int64, a float
+    * quality stand-in), rides through real TFRecord framing, and is
+    * decoded back — the oracle pins the recovered features closed-form
+    * (md5 of the bytes feature, the int64 value, fixed feature count)
+    * and the float/CRC roundtrip as a measured boolean. */
+  def p81TfExample(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val q = (id % 100).toFloat / 100.0f
+        val ex = TfExample.encode(Seq(
+          "text" -> TfExample.BytesFeature(Seq(bytes)),
+          "n_chars" -> TfExample.Int64Feature(Seq(bytes.length.toLong)),
+          "quality" -> TfExample.FloatFeature(Seq(q))))
+        val rec = TfRecord.parse(TfRecord.encode(Iterator(ex))).head
+        val feats = TfExample.decode(rec.payload).toMap
+        val textBack = feats("text").asInstanceOf[TfExample.BytesFeature].v.head
+        val nChars = feats("n_chars").asInstanceOf[TfExample.Int64Feature].v.head
+        val qBack = feats("quality").asInstanceOf[TfExample.FloatFeature].v.head
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (id, feats.size.toLong,
+          md.digest(textBack).map("%02x".format(_)).mkString, nChars,
+          rec.len_crc_ok && rec.data_crc_ok && qBack == q)
+      }.toDF("doc_id", "n_features", "text_md5", "n_chars", "roundtrip_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  val p81Oracle: String =
+    """SELECT doc_id, CAST(3 AS BIGINT) AS n_features, md5(text) AS text_md5,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_chars,
+      |  TRUE AS roundtrip_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2895,7 +2931,8 @@ object Pipeline {
     "p77_audio_vad" -> (p77AudioVad _),
     "p78_tfrecord_shards" -> (p78TfrecordShards _),
     "p79_resample" -> (p79Resample _),
-    "p80_contamination_bloom" -> (p80ContaminationBloom _))
+    "p80_contamination_bloom" -> (p80ContaminationBloom _),
+    "p81_tfexample" -> (p81TfExample _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -2975,5 +3012,6 @@ object Pipeline {
     "p77_audio_vad" -> p77Oracle,
     "p78_tfrecord_shards" -> p78Oracle,
     "p79_resample" -> p79Oracle,
-    "p80_contamination_bloom" -> p80Oracle)
+    "p80_contamination_bloom" -> p80Oracle,
+    "p81_tfexample" -> p81Oracle)
 }
