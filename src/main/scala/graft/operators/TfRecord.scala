@@ -129,6 +129,37 @@ object TfRecord {
       }
   }
 
+  /** Size-balanced shard assignment: global rank by (size desc, id) →
+    * shard = rank % k, i.e. round-robin over the size-sorted corpus — the
+    * standard way to keep training-shard files near-equal when document
+    * sizes are skewed (hash-by-id spreads COUNTS, not BYTES).
+    *
+    * The global rank uses the `zipWithIndex` idiom, NOT a global window
+    * (`Window.orderBy` with no partition key pulls the corpus into ONE
+    * partition): range-partitioned sort stays parallel, and zipWithIndex
+    * adds exact global indexes with one extra per-partition count job
+    * over the SAME RDD — same lineage, same shuffle files, so both
+    * passes are guaranteed to see identical partition contents (two
+    * separate DataFrame actions would re-sample range boundaries and
+    * could disagree). The RDD hop is the textbook use-case Spark built
+    * zipWithIndex for; everything before and after stays columnar. */
+  def balancedShardAssign(df: DataFrame, sizeCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"shards: $k")
+    val spark = df.sparkSession
+    val sorted = df.sort(col(sizeCol).desc, col(idCol))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i :+ (i % k))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(indexed, schema)
+  }
+
   final case class ShardRec(shard: Long, rec_index: Long, offset: Long,
     length: Long, len_crc_ok: Boolean, data_crc_ok: Boolean,
     payload: Array[Byte])

@@ -2849,6 +2849,29 @@ object Pipeline {
       |  TRUE AS roundtrip_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Size-balanced shard assignment ([[TfRecord.balancedShardAssign]]):
+    * documents round-robin into 8 shards by descending byte size (global
+    * rank % 8), reported as per-shard doc counts and total bytes — the
+    * oracle states the same assignment with a window rank, pinning every
+    * shard's exact byte total. */
+  def p82BalancedShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("sz"))
+    TfRecord.balancedShardAssign(docs, "sz", "doc_id", k = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("total_bytes"))
+      .orderBy(col("shard"))
+  }
+
+  val p82Oracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS sz,
+      |    row_number() OVER (ORDER BY octet_length(encode(text)) DESC, doc_id) - 1 AS rnk
+      |  FROM documents)
+      |SELECT CAST(rnk % 8 AS BIGINT) AS shard, count(*) AS n_docs,
+      |  CAST(sum(sz) AS BIGINT) AS total_bytes
+      |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2932,7 +2955,8 @@ object Pipeline {
     "p78_tfrecord_shards" -> (p78TfrecordShards _),
     "p79_resample" -> (p79Resample _),
     "p80_contamination_bloom" -> (p80ContaminationBloom _),
-    "p81_tfexample" -> (p81TfExample _))
+    "p81_tfexample" -> (p81TfExample _),
+    "p82_balanced_shards" -> (p82BalancedShards _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3013,5 +3037,6 @@ object Pipeline {
     "p78_tfrecord_shards" -> p78Oracle,
     "p79_resample" -> p79Oracle,
     "p80_contamination_bloom" -> p80Oracle,
-    "p81_tfexample" -> p81Oracle)
+    "p81_tfexample" -> p81Oracle,
+    "p82_balanced_shards" -> p82Oracle)
 }

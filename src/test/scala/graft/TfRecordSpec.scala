@@ -66,6 +66,31 @@ class TfRecordSpec extends AnyFunSuite {
     assert(recs.forall(r => r.len_crc_ok && r.data_crc_ok))
   }
 
+  test("balanced shard assignment round-robins by descending size") {
+    implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+    import spark.implicits._
+    // heavily skewed sizes: doc 0 is 1000x bigger than the tail
+    val docs = (0 until 97).map(i =>
+      (i.toLong, if (i == 0) 100000L else (1000L - i))).toDF("doc_id", "sz")
+    val got = TfRecord.balancedShardAssign(docs, "sz", "doc_id", k = 4)
+      .select("doc_id", "rank", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rank must equal the driver-side sort position, shard = rank % 4
+    val want = (0 until 97).map(i =>
+      (i.toLong, if (i == 0) 100000L else (1000L - i)))
+      .sortBy { case (id, sz) => (-sz, id) }
+      .zipWithIndex.map { case ((id, _), r) => (id, r.toLong, r.toLong % 4) }
+    assert(got.sortBy(_._2).toSeq == want)
+    // byte totals stay near-equal despite the skew: every shard's total
+    // is within one max-document of the mean (round-robin desc property
+    // on this fixture)
+    val totals = TfRecord.balancedShardAssign(docs, "sz", "doc_id", k = 4)
+      .groupBy("shard").sum("sz").collect().map(_.getLong(1))
+    assert(totals.length == 4)
+    val tailMax = 999L
+    assert(totals.max - totals.min <= 100000L - tailMax + 3 * tailMax)
+  }
+
   test("shard export packs each shard in key order and re-ingests exactly") {
     implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
     import spark.implicits._
