@@ -26,7 +26,8 @@ object Bench {
     "p37_dup_spans",       // cross-doc span dedup (gram-keyed join-back)
     "p45_lm_score",        // n-gram LM train + score (r7)
     "p63_image_phash",     // image dHash + banded hamming join (r7)
-    "p71_span_removal")    // duplicate-span rewrite (r7)
+    "p71_span_removal",    // duplicate-span rewrite (r7)
+    "p78_tfrecord_shards") // training-shard export + re-ingest (r7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

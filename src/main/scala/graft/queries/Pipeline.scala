@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AudioFeatures, Bpe, Dedup, Exif, Flac, Fts, Id3, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, TfExample, TfRecord, Warc, Zip}
+import graft.operators.{AudioFeatures, Bpe, Dedup, DomainRank, Exif, Flac, Fts, Id3, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, TfExample, TfRecord, Warc, Zip}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -2872,6 +2872,23 @@ object Pipeline {
       |  CAST(sum(sz) AS BIGINT) AS total_bytes
       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** Domain authority ([[DomainRank.pageRank]]): a deterministic 17-host
+    * link graph synthesized from doc_ids, ranked by 10 damped power
+    * iterations. Float addition order is engine-dependent, so this is a
+    * rows-only driver entry; exactness (analytic fixed points + an
+    * independent reference recurrence at 1e-12) lives in DomainRankSpec. */
+  def p83DomainRank(s: SparkSession, dir: String): DataFrame = {
+    // dst folds a mod-23 residue into 17 hosts, so in-degrees skew
+    // (h0–h5 catch the fold-over) instead of degenerating to a uniform
+    // permutation cycle
+    val edges = documents(s, dir).select(
+      concat(lit("h"), col("doc_id") % 17).as("src"),
+      concat(lit("h"), (col("doc_id") % 23) % 17).as("dst"))
+    DomainRank.pageRank(edges, iterations = 10)
+      .select(col("node"), round(col("rank"), 6).as("rank6"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2956,7 +2973,8 @@ object Pipeline {
     "p79_resample" -> (p79Resample _),
     "p80_contamination_bloom" -> (p80ContaminationBloom _),
     "p81_tfexample" -> (p81TfExample _),
-    "p82_balanced_shards" -> (p82BalancedShards _))
+    "p82_balanced_shards" -> (p82BalancedShards _),
+    "p83_domain_rank" -> (p83DomainRank _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
