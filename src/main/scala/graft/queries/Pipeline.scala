@@ -2889,6 +2889,69 @@ object Pipeline {
       .orderBy(col("node"))
   }
 
+  /** End-to-end export funnel: documents → 64-word chunks → tf.Example
+    * per chunk (text + doc_id + chunk_idx features) → TFRecord shards
+    * (hash-assigned, packed in (doc_id, chunk_idx) order) → re-ingest →
+    * decode. The oracle rebuilds the whole thing closed-form: chunk
+    * content md5s (p29's arithmetic), shard assignment, and each
+    * record's position within its shard — so a fault anywhere in the
+    * chunker, the proto codec, the framing, or the shard order breaks
+    * the hash. */
+  def p84ExportFunnel(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val ws = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val chunks = documents(s, dir).select(col("doc_id"), ws.as("ws"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("ws")) - 1, lit(64))))
+      .select(col("doc_id"), expr("start div 64").as("chunk_idx"),
+        concat_ws(" ", slice(col("ws"), col("start") + 1, lit(64))).as("chunk"))
+      .as[(Long, Long, String)]
+      .map { case (id, ci, chunk) =>
+        val ex = TfExample.encode(Seq(
+          "text" -> TfExample.BytesFeature(Seq(chunk.getBytes("UTF-8"))),
+          "doc_id" -> TfExample.Int64Feature(Seq(id)),
+          "chunk_idx" -> TfExample.Int64Feature(Seq(ci))))
+        ((id * 31 + ci) % 8, id * 4096 + ci, ex) // (shard, order key, payload)
+      }
+    TfRecord.parseShards(TfRecord.shardExport(chunks))
+      .map { r =>
+        val feats = TfExample.decode(r.payload).toMap
+        val text = feats("text").asInstanceOf[TfExample.BytesFeature].v.head
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (r.shard, r.rec_index,
+          feats("doc_id").asInstanceOf[TfExample.Int64Feature].v.head,
+          feats("chunk_idx").asInstanceOf[TfExample.Int64Feature].v.head,
+          md.digest(text).map("%02x".format(_)).mkString,
+          r.len_crc_ok && r.data_crc_ok)
+      }
+      .toDF("shard", "rec_index", "doc_id", "chunk_idx", "chunk_md5", "ok")
+      .orderBy(col("shard"), col("rec_index"))
+  }
+
+  val p84Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, start // 64 AS chunk_idx,
+      |    list_aggregate(ws[start + 1 : start + 64], 'string_agg', ' ') AS chunk
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(0, len(ws) - 1, 64)) AS start
+      |        FROM w)),
+      |r AS (
+      |  SELECT doc_id, chunk_idx, chunk,
+      |    (doc_id * 31 + chunk_idx) % 8 AS shard,
+      |    row_number() OVER (PARTITION BY (doc_id * 31 + chunk_idx) % 8
+      |      ORDER BY doc_id, chunk_idx) - 1 AS rec_index
+      |  FROM c)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST(rec_index AS BIGINT) AS rec_index, doc_id,
+      |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  md5(chunk) AS chunk_md5, TRUE AS ok
+      |FROM r ORDER BY shard, rec_index""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -2974,7 +3037,8 @@ object Pipeline {
     "p80_contamination_bloom" -> (p80ContaminationBloom _),
     "p81_tfexample" -> (p81TfExample _),
     "p82_balanced_shards" -> (p82BalancedShards _),
-    "p83_domain_rank" -> (p83DomainRank _))
+    "p83_domain_rank" -> (p83DomainRank _),
+    "p84_export_funnel" -> (p84ExportFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3056,5 +3120,6 @@ object Pipeline {
     "p79_resample" -> p79Oracle,
     "p80_contamination_bloom" -> p80Oracle,
     "p81_tfexample" -> p81Oracle,
-    "p82_balanced_shards" -> p82Oracle)
+    "p82_balanced_shards" -> p82Oracle,
+    "p84_export_funnel" -> p84Oracle)
 }
