@@ -551,6 +551,60 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(peaks.toSeq == seqA.flatMap(b => Seq.fill(4)(b)))
   }
 
+  test("tfrecord parser survives arbitrary garbage and truncations") {
+    import graft.operators.TfRecord
+    val r = rnd
+    for (_ <- 1 to 200) {
+      val junk = Array.fill[Byte](r.nextInt(200))(r.nextInt(256).toByte)
+      TfRecord.parse(junk) // must terminate, never throw
+    }
+    // valid shards truncated at EVERY byte boundary: the intact prefix
+    // records always survive, nothing throws
+    val payloads = Seq("abc".getBytes("UTF-8"),
+      Array.fill[Byte](50)(r.nextInt(256).toByte))
+    val blob = TfRecord.encode(payloads.iterator)
+    for (cut <- 0 to blob.length) {
+      val recs = TfRecord.parse(java.util.Arrays.copyOf(blob, cut))
+      assert(recs.length <= payloads.length)
+      recs.zip(payloads).foreach { case (rec, p) =>
+        assert(rec.payload.toSeq == p.toSeq)
+      }
+    }
+  }
+
+  test("tf.example decoder terminates on arbitrary garbage") {
+    import graft.operators.TfExample
+    val r = rnd
+    for (_ <- 1 to 500) {
+      val junk = Array.fill[Byte](r.nextInt(120))(r.nextInt(256).toByte)
+      try TfExample.decode(junk)
+      catch { case _: Exception => () } // throw is fine; hang/OOM is not
+    }
+    // and every truncation of a real example either decodes a prefix or
+    // throws cleanly
+    val ex = TfExample.encode(Seq(
+      "a" -> TfExample.BytesFeature(Seq("payload".getBytes("UTF-8"))),
+      "b" -> TfExample.Int64Feature(Seq(1L, 2L, 3L))))
+    for (cut <- 0 to ex.length) {
+      try TfExample.decode(java.util.Arrays.copyOf(ex, cut))
+      catch { case _: Exception => () }
+    }
+  }
+
+  test("resampler handles degenerate clip lengths at any ratio") {
+    import graft.operators.AudioFeatures
+    val r = rnd
+    for (_ <- 1 to 50) {
+      val n = r.nextInt(40) // includes 0- and sub-kernel-length clips
+      val s = Array.fill[Short](n)(r.nextInt(65536).toShort)
+      for ((src, dst) <- Seq((8000, 16000), (16000, 8000), (44100, 16000),
+          (8000, 11025))) {
+        val out = AudioFeatures.resample(s, src, dst)
+        assert(out.length == (n.toLong * dst / src).toInt, s"$n $src->$dst")
+      }
+    }
+  }
+
   test("mfcc: c0 is the scaled frame mean of log-mel; silence gives flat cepstrum") {
     import graft.operators.AudioFeatures
     val rate = 16000.0
