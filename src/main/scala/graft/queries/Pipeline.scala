@@ -2952,6 +2952,31 @@ object Pipeline {
       |  md5(chunk) AS chunk_md5, TRUE AS ok
       |FROM r ORDER BY shard, rec_index""".stripMargin
 
+  /** Fuzzy title dedup ([[Dedup.editDistancePairs]]): synthetic catalog
+    * titles ("item <group> rev <n>") where revision variants sit at edit
+    * distance 1; the symmetric-delete blocking is complete for dist <= 1,
+    * so the oracle can state the FULL all-pairs levenshtein answer and
+    * the blocked plan must reproduce it exactly. */
+  def p85FuzzyTitles(s: SparkSession, dir: String): DataFrame = {
+    val titles = documents(s, dir).select(col("doc_id"),
+      concat(lit("item "), expr("doc_id div 7").cast("string"),
+        lit(" rev "), (col("doc_id") % 3).cast("string")).as("title"))
+    Dedup.editDistancePairs(titles, "title", "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val p85Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    'item ' || CAST(doc_id // 7 AS VARCHAR) ||
+      |    ' rev ' || CAST(doc_id % 3 AS VARCHAR) AS title
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.title, b.title) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3038,7 +3063,8 @@ object Pipeline {
     "p81_tfexample" -> (p81TfExample _),
     "p82_balanced_shards" -> (p82BalancedShards _),
     "p83_domain_rank" -> (p83DomainRank _),
-    "p84_export_funnel" -> (p84ExportFunnel _))
+    "p84_export_funnel" -> (p84ExportFunnel _),
+    "p85_fuzzy_titles" -> (p85FuzzyTitles _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3121,5 +3147,6 @@ object Pipeline {
     "p80_contamination_bloom" -> p80Oracle,
     "p81_tfexample" -> p81Oracle,
     "p82_balanced_shards" -> p82Oracle,
-    "p84_export_funnel" -> p84Oracle)
+    "p84_export_funnel" -> p84Oracle,
+    "p85_fuzzy_titles" -> p85Oracle)
 }

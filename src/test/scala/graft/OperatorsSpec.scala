@@ -512,6 +512,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits == Set((10L, 90L, 2L), (12L, 91L, 1L)))
   }
 
+  test("symmetric-delete blocking finds exactly the all-pairs ed<=1 set") {
+    import graft.operators.Dedup
+    // adversarial mix: identical pairs, substitution at every position,
+    // head/tail insert+delete, empty string, and pairs at distance 2
+    // that must NOT appear
+    val rows = Seq(
+      (1L, "spark"), (2L, "spark"),   // ed 0
+      (3L, "spork"),                  // ed 1 vs spark (middle subst)
+      (4L, "sparks"),                 // ed 1 vs spark (tail insert)
+      (5L, "park"),                   // ed 1 vs spark (head delete)
+      (6L, "spurk"),                  // ed 1 vs spark, ed 1 vs spork
+      (7L, "sp"),                     // far from everything
+      (8L, ""), (9L, "a"),            // empty vs 1-char: ed 1
+      (10L, "stork"))                 // ed 2 vs spark, 1 vs spork
+      .toDF("doc_id", "t")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strings = Seq(1L -> "spark", 2L -> "spark", 3L -> "spork",
+      4L -> "sparks", 5L -> "park", 6L -> "spurk", 7L -> "sp",
+      8L -> "", 9L -> "a", 10L -> "stork")
+    val want = (for {
+      (ia, sa) <- strings; (ib, sb) <- strings
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val got = Dedup.editDistancePairs(rows, "t", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.contains((3L, 10L, 1L)) && !want.exists {
+      case (a, b, _) => (a, b) == ((1L, 10L)) }) // sanity on the fixture
+  }
+
   test("bloom-prefiltered contamination is result-identical to broadcast") {
     import graft.operators.Sampling
     // sizable synthetic sets so the bloom actually filters something:
