@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AudioFeatures, Bpe, Dedup, DomainRank, Exif, Flac, Fts, Id3, ImageHash, Mp3, Mp4, Multimodal, Pdf, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, TfExample, TfRecord, Warc, Zip}
+import graft.operators.{AudioFeatures, Bpe, Dedup, DomainRank, Exif, Flac, Fts, Id3, ImageHash, Mp3, Mp4, Multimodal, Pdf, Profile, Quality, Robots, Sampling, Similarity, Srt, Tar, TextAnalysis, TfExample, TfRecord, Warc, Zip}
 import graft.queries.Q._
 
 /** Training-data pipeline operators as oracle-checked queries over the
@@ -2977,6 +2977,27 @@ object Pipeline {
       |WHERE levenshtein(a.title, b.title) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Column profiling ([[Profile.profile]]): the audit pass before a
+    * corpus ships to training — per column row/null/distinct counts,
+    * lexical min/max, total value length, all from ONE unpivoted
+    * aggregation. Exact-distinct mode, so every cell is closed-form. */
+  def p86Profile(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(documents(s, dir),
+        Seq("doc_id", "lang", "source", "text"))
+      .orderBy(col("col_name"))
+
+  val p86Oracle: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+         |  min(CAST($c AS VARCHAR)) AS min_str,
+         |  max(CAST($c AS VARCHAR)) AS max_str,
+         |  CAST(coalesce(sum(length(CAST($c AS VARCHAR))), 0) AS BIGINT) AS total_len
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "text").map(one)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3064,7 +3085,8 @@ object Pipeline {
     "p82_balanced_shards" -> (p82BalancedShards _),
     "p83_domain_rank" -> (p83DomainRank _),
     "p84_export_funnel" -> (p84ExportFunnel _),
-    "p85_fuzzy_titles" -> (p85FuzzyTitles _))
+    "p85_fuzzy_titles" -> (p85FuzzyTitles _),
+    "p86_profile" -> (p86Profile _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3148,5 +3170,6 @@ object Pipeline {
     "p81_tfexample" -> p81Oracle,
     "p82_balanced_shards" -> p82Oracle,
     "p84_export_funnel" -> p84Oracle,
-    "p85_fuzzy_titles" -> p85Oracle)
+    "p85_fuzzy_titles" -> p85Oracle,
+    "p86_profile" -> p86Oracle)
 }

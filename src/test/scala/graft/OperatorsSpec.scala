@@ -512,6 +512,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits == Set((10L, 90L, 2L), (12L, 91L, 1L)))
   }
 
+  test("column profiling counts nulls/distincts and casts canonically") {
+    import graft.operators.Profile
+    val rows = Seq(
+      (1L, Some("en"), 3.5), (2L, None, 3.5), (3L, Some("fr"), -1.0),
+      (4L, Some("en"), 0.0))
+      .toDF("id", "lang", "score")
+    val got = Profile.profile(rows, Seq("id", "lang", "score"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5), r.getLong(6)))).toMap
+    assert(got("id") == ((4L, 4L, 4L, "1", "4", 4L)))
+    assert(got("lang") == ((4L, 3L, 2L, "en", "fr", 6L)))
+    // doubles cast via Spark's canonical form ("3.5", "-1.0", "0.0")
+    assert(got("score") == ((4L, 4L, 3L, "-1.0", "3.5", 13L)))
+    // approx mode: same shape, distinct within HLL tolerance
+    val approx = Profile.profile(rows, Seq("lang"), exactDistinct = false)
+      .collect().head
+    assert(math.abs(approx.getLong(3) - 2L) <= 1)
+  }
+
   test("symmetric-delete blocking finds exactly the all-pairs ed<=1 set") {
     import graft.operators.Dedup
     // adversarial mix: identical pairs, substitution at every position,
