@@ -80,6 +80,32 @@ object ImageHash {
     bits
   }
 
+  /** 64-bit DCT perceptual hash (classic pHash): 32×32 luma thumbnail →
+    * separable 2D DCT-II (orthonormal, via [[AudioFeatures.dct2]] — row
+    * pass keeps 8 coefficients, column pass over those) → top-left 8×8
+    * low-frequency block → bit i set iff coeff(i) > median of the 63 AC
+    * coefficients (DC excluded from the median; odd count, so the median
+    * is an element — no averaging, fully deterministic). Invariant under
+    * global brightness scaling (all coefficients and the median scale
+    * together) and robust to local edits, where dHash's fixed-gradient
+    * bits flip more readily. */
+  def pHash64(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    val g = grayGrid(w, h, rgb, 32, 32)
+    // row-wise DCT (keep 8), then column-wise DCT over the 8 kept columns
+    val rows = Array.tabulate(32)(r =>
+      AudioFeatures.dct2(Array.tabulate(32)(c => g(r * 32 + c).toDouble), 8))
+    val block = Array.tabulate(8)(u =>
+      AudioFeatures.dct2(Array.tabulate(32)(r => rows(r)(u)), 8))
+    // block(u)(v): u = horizontal frequency, v = vertical; flatten 8x8
+    val v = Array.tabulate(64)(i => block(i % 8)(i / 8))
+    val ac = v.drop(1).sorted
+    val median = ac(31) // 32nd smallest of 63
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (v(i) > median) bits |= 1L << i; i += 1 }
+    bits
+  }
+
   final case class ImageSig(media_id: Long, dhash: Long)
 
   /** Decode + hash behind the mapPartitions codec seam: PPM via the hand
@@ -95,6 +121,23 @@ object ImageHash {
           case _ => Multimodal.decodeBmp(m.payload)
         }
         ImageSig(m.media_id, dHash64(w, h, rgb))
+      }
+    }
+  }
+
+  /** Decode + pHash behind the same codec seam as [[dHashImages]]; the
+    * output column is still named `dhash` so [[nearDupPairs]]' banded
+    * hamming join applies unchanged. */
+  def pHashImages(media: Dataset[Multimodal.MediaRow])
+      (implicit spark: SparkSession): Dataset[ImageSig] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, rgb) = m.kind match {
+          case "ppm" => Multimodal.decodePpm(m.payload)
+          case _ => Multimodal.decodeBmp(m.payload)
+        }
+        ImageSig(m.media_id, pHash64(w, h, rgb))
       }
     }
   }

@@ -2998,6 +2998,66 @@ object Pipeline {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
   }
 
+  /** Perceptual near-dup via DCT pHash ([[ImageHash.pHash64]]): doc pairs
+    * (2k, 2k+1) render the same natural-like pattern, the odd twin at
+    * ×0.8 brightness — a transform dHash's gradient signs also survive,
+    * but pHash additionally holds under (e.g.) gamma-ish shifts, which is
+    * why real pipelines run both. Rows-only entry (the DCT is float);
+    * exactness and the invariance/separation ordering live in
+    * ImageHashSpec. */
+  def p87PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val w = 64; val hh = 48
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      // md5-derived phases per base pattern: distinct bases decorrelate
+      // (linear-in-seed phases would plant thousands of partial
+      // alignments), twins differ only by the ×0.8 brightness
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = (md.digest(s"phash:${id / 2}".getBytes("UTF-8")) ++
+        md.digest(s"phash2:${id / 2}".getBytes("UTF-8")))
+        .map("%02x".format(_)).mkString
+      // 10 components with md5-derived low-band frequencies AND phases:
+      // a DENSE image-specific spectrum across the whole 8x8 block (a
+      // sparse fixture leaves most bits pinned by shared structure and
+      // every image within hamming 8 of every other)
+      val comps = Array.tabulate(8) { k =>
+        val n = Integer.parseInt(hex.substring(k * 6, k * 6 + 6), 16)
+        val fx = 1 + (n & 0x7)            // 1..8 cycles across width
+        val fy = 1 + ((n >> 3) & 0x7)     // 1..8 cycles across height
+        val phase = 2.0 * math.Pi * ((n >> 6) & 0xFFF) / 4096.0
+        (fx, fy, phase, 15.0 / (k + 1))
+      }
+      // md5-varied ramps + a bilinear term: a RAMP's DCT decays ~1/u^2
+      // but is nonzero at every order, so the whole 8x8 block carries
+      // image-specific energy and the AC median sits among solid
+      // magnitudes (rounding-stable bits) instead of at ~0
+      def slope(k: Int): Double =
+        0.4 + 0.5 * Integer.parseInt(hex.substring(48 + k * 3, 51 + k * 3), 16) / 4096.0
+      val (gx, gy, gxy) = (slope(0), slope(1), slope(2) - 0.65)
+      val px = Array.tabulate[Byte](w * hh * 3) { i =>
+        val p = i / 3; val x = p % w; val y = p / w
+        var v = 128.0 + gx * (x - w / 2) + gy * (y - hh / 2) +
+          gxy * (x - w / 2) * (y - hh / 2) / 24.0
+        comps.foreach { case (fx, fy, phase, amp) =>
+          v += amp * math.sin(
+            2.0 * math.Pi * (fx * x.toDouble / w + fy * y.toDouble / hh) + phase)
+        }
+        val vv = math.max(10, math.min(235, v.round.toInt))
+        // +15 offset twin: integer-EXACT through luma ((a+15000)/1000 =
+        // a/1000 + 15) and cell pooling, and a constant shifts only the
+        // DC coefficient — all 63 ACs and their median are untouched, so
+        // the twin's pHash is IDENTICAL (found at the banding-lossless
+        // hamming<=3 threshold with guaranteed recall)
+        (if (id % 2 == 1) vv + 15 else vv).toByte
+      }
+      Multimodal.MediaRow(id, "ppm", Multimodal.encodePpm(w, hh, px))
+    }
+    ImageHash.nearDupPairs(
+        ImageHash.pHashImages(media).toDF(), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3086,7 +3146,8 @@ object Pipeline {
     "p83_domain_rank" -> (p83DomainRank _),
     "p84_export_funnel" -> (p84ExportFunnel _),
     "p85_fuzzy_titles" -> (p85FuzzyTitles _),
-    "p86_profile" -> (p86Profile _))
+    "p86_profile" -> (p86Profile _),
+    "p87_image_phash_neardup" -> (p87PhashNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,

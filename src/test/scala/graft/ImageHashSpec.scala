@@ -78,6 +78,56 @@ class ImageHashSpec extends AnyFunSuite {
     assert(pairs.keySet == Set((0L, 1L)))
   }
 
+  test("pHash: brightness-scaling invariant, local edits near, unrelated far") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val w = 64; val h = 64
+    // natural-like fixture: gradient + several decaying frequencies, so
+    // the DCT block carries coefficients of varied magnitude (a pure
+    // noise or pure sinusoid image parks most ACs at the median, where
+    // comparisons are coin flips — outside pHash's design domain)
+    def natural(seed: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h * 3) { i =>
+        val p = i / 3; val x = p % w; val y = p / w
+        val s = seed.toDouble
+        val v = 100 + x * 0.6 + y * 0.4 +
+          45 * math.sin(2 * math.Pi * (x + 3 * s) / 40.0) +
+          28 * math.cos(2 * math.Pi * (y + 2 * s) / 24.0) +
+          18 * math.sin(2 * math.Pi * (x + y + s) / 15.0) +
+          9 * math.cos(2 * math.Pi * (x - y + 5 * s) / 9.0)
+        math.max(0, math.min(255, v.round.toInt)).toByte
+      }
+    val base = natural(0)
+    val pBase = ImageHash.pHash64(w, h, base)
+    // global brightness ×0.8 (no clipping downward): every coefficient
+    // and the AC median scale together — bits survive up to integer-luma
+    // rounding
+    val dim = ham(pBase, ImageHash.pHash64(w, h,
+      base.map(b => ((b & 0xFF) * 4 / 5).toByte)))
+    assert(dim <= 6, s"dim $dim")
+    // a blacked-out 8x8 corner is a REAL low-frequency edit — nearer
+    // than any unrelated image, farther than a brightness change
+    val edited = base.clone()
+    for (y <- 0 until 8; x <- 0 until 8; ch <- 0 until 3)
+      edited((y * w + x) * 3 + ch) = 0
+    val edit = ham(pBase, ImageHash.pHash64(w, h, edited))
+    // seeds chosen so no term's phase shift lands near a full period
+    // (e.g. seed 14 would put 3s=42 on the /40 term's period — a planted
+    // near-dup, which is exactly what pHash would — correctly — match)
+    val others = Seq(3, 7, 9).map(s => ham(pBase, ImageHash.pHash64(w, h, natural(s))))
+    assert(edit < others.min, s"edit $edit vs $others")
+    assert(others.forall(_ >= 26), s"unrelated too close: $others")
+    // and the distributed seam agrees with the direct computation
+    implicit val s = spark
+    val media = Seq(
+      Multimodal.MediaRow(1L, "ppm", Multimodal.encodePpm(w, h, base)),
+      Multimodal.MediaRow(2L, "ppm", Multimodal.encodePpm(w, h, edited)))
+      .toDS()
+    val got = ImageHash.pHashImages(media).collect()
+      .map(r => r.media_id -> r.dhash).toMap
+    assert(got(1L) == pBase)
+    assert(ham(got(1L), got(2L)) == edit)
+  }
+
   test("video near-dup: a re-cut clip pairs with its source, unrelated clips don't") {
     implicit val s = spark
     def frame(seed: Long): Array[Byte] = fixturePixels(seed)
