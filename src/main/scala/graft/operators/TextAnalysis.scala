@@ -136,14 +136,21 @@ object TextAnalysis {
     * polynomial rolling hash over the word sequence (order-sensitive, so
     * reordered copies get different prints while whitespace/case variants
     * collide). Pure integer arithmetic via a sequential fold; the modulus
-    * is 2^31-1 so acc*31 + word stays far below long overflow (ANSI-safe). */
+    * is 2^31-1 so acc*31 + word stays far below long overflow (ANSI-safe).
+    * The per-word value is the top 31 bits of md5(word) — md5 rather than
+    * xxhash64 so ANY engine can reproduce the prints bitwise (the p12
+    * oracle re-derives them in DuckDB via ('0x'||substr(md5(w),1,8)));
+    * both are uniform 31-bit word identities, the fingerprint semantics
+    * are unchanged. */
   def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     df.select(col(idCol), md5(norm).as("norm_md5"),
       aggregate(
         words(col(textCol)),
         lit(1125899907L),
-        (acc, w) => pmod(acc * 31L + xxhash64(w).bitwiseAND(lit(0x7FFFFFFFL)),
+        (acc, w) => pmod(
+          acc * 31L + conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+            .bitwiseAND(lit(0x7FFFFFFFL)),
           lit(2147483647L)))
         .as("rolling_hash"))
   }

@@ -107,9 +107,13 @@ object TfExample {
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 =>
+        if (pos + 8 > end) throw new IllegalStateException("truncated")
+        pos += 8
       case 2 => lenDelim()
-      case 5 => pos += 4
+      case 5 =>
+        if (pos + 4 > end) throw new IllegalStateException("truncated")
+        pos += 4
       case w => throw new IllegalStateException(s"wire type $w")
     }
   }
@@ -184,6 +188,7 @@ object TfExample {
                 vs += java.lang.Float.intBitsToFloat(bits); p += 4
               }
             } else if (vf == 1 && vw == 5) { // unpacked fixed32
+              if (list.pos + 4 > list.end) throw new IllegalStateException("truncated")
               var bits = 0
               (0 until 4).foreach(i => bits |= (bytes(list.pos + i) & 0xFF) << (8 * i))
               vs += java.lang.Float.intBitsToFloat(bits); list.pos += 4

@@ -374,12 +374,26 @@ object Pipeline {
       |  END AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Document fingerprints: normalized md5 (oracle-checked half) + rolling
-    * hash (covered by DedupSpec). */
+  /** Document fingerprints: normalized md5 + word-sequence rolling hash.
+    * Hash-matched oracle (r8): the rolling hash's per-word values are
+    * md5-derived (see [[TextAnalysis.fingerprints]]), so DuckDB replays
+    * the identical fold — list_reduce with the same seed, multiplier and
+    * modulus — and reproduces every print bitwise. */
   def p12Fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(documents(s, dir), "text", "doc_id")
       .select(col("doc_id"), col("norm_md5"), col("rolling_hash"))
       .orderBy(col("doc_id"))
+
+  val p12Oracle: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5,
+      |  list_reduce(
+      |    list_prepend(CAST(1125899907 AS BIGINT),
+      |      list_transform(
+      |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |        w -> ('0x' || substr(md5(w), 1, 8))::BIGINT & 2147483647)),
+      |    (acc, v) -> (acc * 31 + v) % 2147483647) AS rolling_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Multimodal metadata over binary payloads (text bytes stand in for
     * media payloads; the binary-column plumbing is what's exercised). */
@@ -1001,7 +1015,7 @@ object Pipeline {
       |             (d.doc_id + s.i) % 2 AS pad
       |      FROM d, unnest(generate_series(0, CAST(d.n - 1 AS BIGINT))) s(i)),
       |agg AS (SELECT f.doc_id, count(*) AS n_frames,
-      |               sum((144 * brt.kbps * 1000) // 44100 + f.pad) AS total_frame_bytes,
+      |               CAST(sum((144 * brt.kbps * 1000) // 44100 + f.pad) AS BIGINT) AS total_frame_bytes,
       |               sum(brt.kbps) AS kbps_sum,
       |               count(DISTINCT brt.kbps) AS n_distinct_br
       |        FROM f JOIN brt ON brt.idx = f.bidx GROUP BY f.doc_id)
@@ -2889,6 +2903,42 @@ object Pipeline {
       .orderBy(col("node"))
   }
 
+  /** Hash-matched oracle (r8): the power iteration unrolled as a 10-step
+    * CTE chain mirroring [[DomainRank.pageRank]]'s recurrence term by
+    * term, with the same operation order ((1-d)/n + (d*dm)/n, then
+    * + d*in_mass). On this fixture every host has out-edges, so the
+    * dangling mass is exactly 0.0 each round — one float-divergence
+    * source gone by construction. Cross-engine summation-order drift is
+    * ~1e-14 after 10 contractive iterations; the query's round(rank, 6)
+    * damper absorbs it (the repo's own float-noise idiom, cf. p06). The
+    * 1e-12 independent-recurrence spec in DomainRankSpec stays as the
+    * stronger numeric check. */
+  val p83Oracle: String = {
+    val n = 10
+    val steps = (1 to n).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS in_mass
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+         |r$i AS (SELECT nd.node,
+         |    ((1.0 - 0.85) / nn.n + (0.85 * 0.0) / nn.n) +
+         |      0.85 * coalesce(c$i.in_mass, 0.0) AS rank
+         |  FROM nodes nd LEFT JOIN c$i ON c$i.node = nd.node
+         |  CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT 'h' || CAST(doc_id % 17 AS VARCHAR) AS src,
+       |         'h' || CAST((doc_id % 23) % 17 AS VARCHAR) AS dst
+       |  FROM documents),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+       |           FROM e GROUP BY src),
+       |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node, round(rank, 6) AS rank6 FROM r$n ORDER BY node""".stripMargin
+  }
+
   /** End-to-end export funnel: documents → 64-word chunks → tf.Example
     * per chunk (text + doc_id + chunk_idx features) → TFRecord shards
     * (hash-assigned, packed in (doc_id, chunk_idx) order) → re-ingest →
@@ -2912,6 +2962,10 @@ object Pipeline {
           "text" -> TfExample.BytesFeature(Seq(chunk.getBytes("UTF-8"))),
           "doc_id" -> TfExample.Int64Feature(Seq(id)),
           "chunk_idx" -> TfExample.Int64Feature(Seq(ci))))
+        // order key packs (doc_id, chunk_idx) into one Long; the 4096
+        // chunk slots cover docs up to ~262k words — fail LOUDLY past
+        // that rather than silently interleaving doc boundaries
+        require(ci < 4096, s"doc $id has chunk_idx $ci >= 4096; widen the order-key packing")
         ((id * 31 + ci) % 8, id * 4096 + ci, ex) // (shard, order key, payload)
       }
     TfRecord.parseShards(TfRecord.shardExport(chunks))
@@ -2999,12 +3053,20 @@ object Pipeline {
   }
 
   /** Perceptual near-dup via DCT pHash ([[ImageHash.pHash64]]): doc pairs
-    * (2k, 2k+1) render the same natural-like pattern, the odd twin at
-    * ×0.8 brightness — a transform dHash's gradient signs also survive,
-    * but pHash additionally holds under (e.g.) gamma-ish shifts, which is
-    * why real pipelines run both. Rows-only entry (the DCT is float);
-    * exactness and the invariance/separation ordering live in
-    * ImageHashSpec. */
+    * (2k, 2k+1) render the same natural-like pattern, the odd twin at a
+    * +15 constant brightness offset — a transform dHash's gradient signs
+    * also survive, but pHash additionally holds under (e.g.) gamma-ish
+    * shifts, which is why real pipelines run both.
+    *
+    * Hash-matched STRUCTURAL oracle (r8, p67's pattern): the float DCT
+    * itself isn't reproduced in SQL, but its integer CONSEQUENCES on this
+    * fixture are closed-form — a constant +15 luma offset shifts only the
+    * DC coefficient (exactly, through the integer luma and cell pooling),
+    * so every twin's 64-bit pHash is bit-identical (hamming 0, proven in
+    * ImageHashSpec), every twin pair shares all 4 LSH bands, and the
+    * md5-decorrelated base patterns keep every NON-twin pair beyond the
+    * hamming-3 cut. The near-dup output is therefore exactly the twin
+    * pairs at hamming 0 — all integer facts the oracle states directly. */
   def p87PhashNearDup(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
@@ -3012,7 +3074,7 @@ object Pipeline {
     val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
       // md5-derived phases per base pattern: distinct bases decorrelate
       // (linear-in-seed phases would plant thousands of partial
-      // alignments), twins differ only by the ×0.8 brightness
+      // alignments), twins differ only by the +15 brightness offset
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = (md.digest(s"phash:${id / 2}".getBytes("UTF-8")) ++
         md.digest(s"phash2:${id / 2}".getBytes("UTF-8")))
@@ -3057,6 +3119,13 @@ object Pipeline {
         ImageHash.pHashImages(media).toDF(), maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  val p87Oracle: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(0 AS INT) AS hamming
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id % 2 = 0
+      |ORDER BY id_a""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
@@ -3232,5 +3301,8 @@ object Pipeline {
     "p82_balanced_shards" -> p82Oracle,
     "p84_export_funnel" -> p84Oracle,
     "p85_fuzzy_titles" -> p85Oracle,
-    "p86_profile" -> p86Oracle)
+    "p86_profile" -> p86Oracle,
+    "p87_image_phash_neardup" -> p87Oracle,
+    "p83_domain_rank" -> p83Oracle,
+    "p12_fingerprint" -> p12Oracle)
 }

@@ -6,26 +6,50 @@ by name, rows compared as multisets with exact value equality).
 
 Usage: python3 tools/check_oracles.py /tmp/verify_out /root/testdata/sf0.001
 """
-import sys, os, json, math
+import sys, os, json, math, decimal
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+def type_cat(t):
+    """Collapse an arrow type to the category the driver's hash is sensitive
+    to. Int widths are folded together (the driver's pandas coercion erases
+    them) but decimal vs int vs float vs string stay DISTINCT — DuckDB's
+    sum(BIGINT) -> HUGEINT -> decimal128(38,0) widening must be flagged here,
+    not first by the driver (the p43 lesson)."""
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t): return "float"
+    if pa.types.is_decimal(t): return "decimal"
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "bin"
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_cat(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(f"{f.name}:{type_cat(f.type)}" for f in t) + ">"
+    return str(t)
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
         return repr(v)  # full precision
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"  # never silently equal to an int/str of same digits
     if v is None: return "NULL"
     return str(v)
 
 def rows_of(table):
     cols = sorted(table.column_names)
     table = table.select(cols)
+    types = {c: type_cat(table.schema.field(c).type) for c in cols}
     data = table.to_pylist()
-    return cols, sorted("|".join(canon(r[c]) for c in cols) for r in data)
+    return cols, types, sorted("|".join(canon(r[c]) for c in cols) for r in data)
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -46,10 +70,15 @@ def main(outdir, sfdir):
             duck_t = con.sql(sql).arrow()
         except Exception as e:
             print(f"DUCK-FAIL {name}: {str(e)[:200]}"); n_bad += 1; continue
-        sc, sr = rows_of(spark_t)
-        dc, dr = rows_of(duck_t)
+        sc, st, sr = rows_of(spark_t)
+        dc, dt, dr = rows_of(duck_t)
         if sc != dc:
             print(f"SCHEMA-MISMATCH {name}: spark={sc} duck={dc}"); n_bad += 1; continue
+        tdiff = {c: (st[c], dt[c]) for c in sc if st[c] != dt[c]}
+        if tdiff:
+            print(f"TYPE-MISMATCH {name}: " +
+                  ", ".join(f"{c}: spark={a} duck={b}" for c, (a, b) in tdiff.items()))
+            n_bad += 1; continue
         if len(sr) != len(dr):
             print(f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}"); n_bad += 1; continue
         if sr != dr:
