@@ -70,7 +70,68 @@ object Bench {
       val times = (1 to runsPerQuery).map(_ => run(n, sfDir)).filter(_ >= 0)
       if (times.isEmpty) (-1.0, 0.0) else (times.min, times.max - times.min)
     }
-    val firstPass = names.map(n => n -> measure(n))
+    // B7/B8 API-layer line (r8): a 20k-row SELECT driven through the FULL
+    // binary stream protocol — frame decode -> engine executeStreamed
+    // (chunked batches) -> response encode with bounded flushes -> client
+    // frame decode — so encoder/protocol regressions are machine-caught
+    // like query regressions. The query-family bench never touches this
+    // path (it writes to the noop sink below the API).
+    val apiName = "b8_stream_roundtrip"
+    lazy val apiEngine: (graft.engine.GraftSession, Array[Byte]) = {
+      import graft.engine._
+      val eng = new GraftSession(spark,
+        java.nio.file.Files.createTempDirectory("graft-bench-api"))
+      eng.createDatabase("db")
+      eng.importParquet("db", "main", "lineitem", s"$sfDir/lineitem.parquet")
+      val msgs = new java.io.ByteArrayOutputStream()
+      QueryStream.writeMessage(msgs, QueryStream.Open, Array.emptyByteArray)
+      QueryStream.writeMessage(msgs, QueryStream.Frame, QueryStream.encodeFrame(Seq(
+        QueryInput("q", "SELECT l_orderkey, l_returnflag, l_quantity, " +
+          "l_extendedprice FROM lineitem LIMIT 20000"))))
+      QueryStream.writeMessage(msgs, QueryStream.Close, Array.emptyByteArray)
+      (eng, msgs.toByteArray)
+    }
+    def runApi(): Double = {
+      import graft.engine._
+      val (eng, reqBytes) = apiEngine
+      val t0 = System.nanoTime()
+      val out = new java.io.ByteArrayOutputStream()
+      try QueryStream.serveStreamed(new java.io.ByteArrayInputStream(reqBytes),
+        out, (q, emit) => eng.executeStreamed("db", "main", q)(emit))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $apiName failed: ${e.getMessage}")
+        return -1.0
+      }
+      // decode the reply to complete the round trip (the client's half of
+      // B7), and hold the protocol to its contract while we're here
+      val in = new java.io.ByteArrayInputStream(out.toByteArray)
+      var rows = 0L
+      var header = in.readNBytes(5)
+      while (header.length == 5) {
+        val len = java.nio.ByteBuffer.wrap(header, 1, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        val body = in.readNBytes(len)
+        if ((header(0) & 0xFF) == QueryStream.Frame)
+          QueryStream.decodeResponseFrame(body).foreach { case (isErr, b) =>
+            if (isErr) { System.err.println(s"[bench] $apiName entry error"); return -1.0 }
+            rows += Wire.decodeResponse(b).rows.length
+          }
+        header = in.readNBytes(5)
+      }
+      if (rows != 20000) {
+        System.err.println(s"[bench] $apiName returned $rows rows, want 20000")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def measureApi(): (Double, Double) = {
+      runApi() // warmup (JIT + page cache for the scan)
+      val times = (1 to runsPerQuery).map(_ => runApi()).filter(_ >= 0)
+      if (times.isEmpty) (-1.0, 0.0) else (times.min, times.max - times.min)
+    }
+    def measureKey(k: String): (Double, Double) =
+      if (k == apiName) measureApi() else measure(k)
+    val firstPass = names.map(n => n -> measure(n)) :+ (apiName -> measureApi())
 
     // Previous-round comparison: load the latest BENCH_r{N}.json (or
     // SPARK_GRAFT_BENCH_PREV) and flag any query whose min exceeds the
@@ -129,7 +190,7 @@ object Bench {
     val firstFlagged = regressionsOf(firstPass).toSet
     val retried = firstPass.collect {
       case (k, old @ (v, _)) if firstFlagged(k) =>
-        val again = measure(k)
+        val again = measureKey(k)
         k -> (if (again._1 >= 0 && again._1 < v) again else old)
     }.toMap
     val results = firstPass.map { case (k, r) => k -> retried.getOrElse(k, r) }

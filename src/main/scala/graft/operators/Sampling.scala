@@ -85,6 +85,40 @@ object Sampling {
     sourceMix(df, keyCol, sourceCol, temperatureRates(df, sourceCol, alpha),
       defaultRate = 1.0)
 
+  /** Token-budget data recipe (the Llama/DoReMi-style mixing step): given
+    * target mixture `weights` per source and a total training-token
+    * `budgetTokens`, report for each source its corpus token supply, the
+    * tokens the recipe wants from it (`target_tokens = weight · budget`),
+    * and `epochs = target / supply` — >1 means the source repeats
+    * (upsampling), <1 means it is subsampled, for which `sample_rate`
+    * gives the [[hashSample]]-ready keep rate (min(1, epochs)).
+    *
+    * Scale shape: ONE source-keyed aggregation over the corpus (map-side
+    * partial sums collapse per-source token counts before the exchange);
+    * the weight table is a literal CASE in the plan, not a join; the
+    * result is one row per SOURCE. All arithmetic is single IEEE ops on
+    * integer-valued inputs, so the report is bit-reproducible in any
+    * engine. Sources absent from `weights` get weight 0.0 (excluded by
+    * the recipe) but still report their supply. */
+  def mixPlan(df: DataFrame, textCol: String, sourceCol: String,
+      weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens: $budgetTokens")
+    val tokens = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    // the CASE runs on the post-agg "source" column (one row per source)
+    val weight = weights.toSeq.sortBy(_._1).foldLeft(
+      when(lit(false), lit(0.0))) { case (acc, (s, w)) =>
+        acc.when(col("source") === s, lit(w))
+      }.otherwise(lit(0.0))
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("src_tokens"))
+      .withColumn("weight", weight.as("weight"))
+      .withColumn("target_tokens",
+        col("weight") * lit(budgetTokens).cast("double"))
+      .withColumn("epochs",
+        col("target_tokens") / col("src_tokens").cast("double"))
+      .withColumn("sample_rate", least(lit(1.0), col("epochs")))
+  }
+
   /** Train/eval contamination check (the standard pre-training hygiene
     * pass): a training document is contaminated by an eval document when
     * they share at least one word n-gram — the 13-gram-overlap criterion

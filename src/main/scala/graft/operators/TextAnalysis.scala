@@ -132,6 +132,26 @@ object TextAnalysis {
           .otherwise(length(t).cast("double") / col("bpe_ish_tokens")))
   }
 
+  /** Rule-based sentence segmentation: a sentence is a maximal run of
+    * non-terminator characters plus its trailing `.`/`!`/`?` run
+    * (`[^.!?]+[.!?]*`) — greedy, anchor-free and alternation-free, so the
+    * Java (engine) and RE2 (oracle) regex engines match identically;
+    * lookaround is deliberately avoided (RE2 has none). Whitespace-only
+    * fragments are dropped AFTER indexing, so `sent_idx` is the stable
+    * position in the raw match stream. Per-row explode, zero shuffle —
+    * the sentence stream feeds per-sentence dedup/quality stages the same
+    * way [[dedupLines]] consumes lines. */
+  def sentences(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val matches = regexp_extract_all(col(textCol),
+      lit("[^.!?]+[.!?]*"), lit(0))
+    df.select(col(idCol), posexplode(matches).as(Seq("sent_idx", "raw")))
+      .select(col(idCol), col("sent_idx").cast("long").as("sent_idx"),
+        trim(col("raw")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+      .withColumn("n_words",
+        size(split(col("sentence"), "\\s+")).cast("long"))
+  }
+
   /** Content fingerprints: md5 of the normalized text plus a 31-bit
     * polynomial rolling hash over the word sequence (order-sensitive, so
     * reordered copies get different prints while whitespace/case variants

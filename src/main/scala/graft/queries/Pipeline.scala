@@ -3127,6 +3127,66 @@ object Pipeline {
       |WHERE a.doc_id % 2 = 0
       |ORDER BY id_a""".stripMargin
 
+  /** Sentence segmentation ([[TextAnalysis.sentences]]): the rule-based
+    * splitter over the corpus, with the oracle replaying the identical
+    * anchor-free regex in RE2 — both engines must agree on every match
+    * boundary, every dropped whitespace fragment, and every word count. */
+  def p88Sentences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sentences(documents(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"), col("sent_idx"))
+
+  val p88Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents
+      |  FROM documents)
+      |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+      |  trim(sents[i]) AS sentence,
+      |  CAST(len(string_split_regex(trim(sents[i]), '\s+')) AS BIGINT)
+      |    AS n_words
+      |FROM m, unnest(generate_series(1, CAST(len(sents) AS BIGINT))) t(i)
+      |WHERE length(trim(sents[i])) > 0
+      |ORDER BY doc_id, sent_idx""".stripMargin
+
+  /** Token-budget mix plan ([[Sampling.mixPlan]]): the 20 sources get
+    * ascending target weights (i+1)/210 (they sum to 1) against a 100M
+    * token budget; the oracle restates the recipe arithmetic closed-form.
+    * Single source of truth: the weight literals in the Spark plan and in
+    * the oracle CASE are rendered from the same Scala map. */
+  private val p89Weights: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> (i + 1) / 210.0)
+  private val p89Budget = 100000000L
+
+  def p89MixPlan(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixPlan(documents(s, dir), "text", "source",
+        p89Weights.toMap, p89Budget)
+      .orderBy(col("source"))
+
+  val p89Oracle: String = {
+    // weights are rendered as QUOTED strings: DuckDB parses a bare
+    // 17-digit decimal literal as DECIMAL first and the decimal->double
+    // hop is not correctly rounded; the string->double parse is
+    val cases = p89Weights.sortBy(_._1)
+      .map { case (s, w) => s"WHEN source = '$s' THEN CAST('$w' AS DOUBLE)" }
+      .mkString("\n    ")
+    s"""WITH agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(len(string_split_regex(trim(text), '\\s+'))) AS src_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT *, CASE
+       |    $cases
+       |    ELSE 0.0 END AS weight
+       |  FROM agg)
+       |SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
+       |  weight,
+       |  weight * CAST($p89Budget AS DOUBLE) AS target_tokens,
+       |  (weight * CAST($p89Budget AS DOUBLE)) / CAST(src_tokens AS DOUBLE)
+       |    AS epochs,
+       |  least(1.0, (weight * CAST($p89Budget AS DOUBLE))
+       |    / CAST(src_tokens AS DOUBLE)) AS sample_rate
+       |FROM w ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3216,7 +3276,9 @@ object Pipeline {
     "p84_export_funnel" -> (p84ExportFunnel _),
     "p85_fuzzy_titles" -> (p85FuzzyTitles _),
     "p86_profile" -> (p86Profile _),
-    "p87_image_phash_neardup" -> (p87PhashNearDup _))
+    "p87_image_phash_neardup" -> (p87PhashNearDup _),
+    "p88_sentences" -> (p88Sentences _),
+    "p89_mix_plan" -> (p89MixPlan _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3304,5 +3366,7 @@ object Pipeline {
     "p86_profile" -> p86Oracle,
     "p87_image_phash_neardup" -> p87Oracle,
     "p83_domain_rank" -> p83Oracle,
-    "p12_fingerprint" -> p12Oracle)
+    "p12_fingerprint" -> p12Oracle,
+    "p88_sentences" -> p88Oracle,
+    "p89_mix_plan" -> p89Oracle)
 }

@@ -1400,4 +1400,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(10L) == ((2L, true)) && !got(11L)._2)
     assert(got(20L) == ((1L, true)))
   }
+
+  test("sentences: boundaries, grouped terminators, indices, word counts") {
+    val rows = Seq(
+      (0L, "First one. Second one! Third... and a tail"),
+      (1L, "No terminator at all"),
+      (2L, "  . ! ?  "),          // delimiter/whitespace soup -> all dropped
+      (3L, ""),
+      (4L, "Dr. Smith arrived? Yes!!")) // naive split: abbreviation splits too
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(rows, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(got((0L, 0L)) == (("First one.", 2L)))
+    assert(got((0L, 1L)) == (("Second one!", 2L)))
+    // "Third..." keeps the WHOLE terminator run; the tail has no terminator
+    assert(got((0L, 2L)) == (("Third...", 1L)))
+    assert(got((0L, 3L)) == (("and a tail", 3L)))
+    assert(got((1L, 0L)) == (("No terminator at all", 4L)))
+    // doc 2: each whitespace run grabs its following terminator, so the
+    // soup yields punctuation-only "sentences" (deterministic, and the
+    // oracle agrees); only the trailing pure-whitespace fragment drops
+    assert(got((2L, 0L)) == ((".", 1L)))
+    assert(got((2L, 1L)) == (("!", 1L)))
+    assert(got((2L, 2L)) == (("?", 1L)))
+    assert(!got.contains((2L, 3L)) && !got.keySet.exists(_._1 == 3L))
+    // rule-based splitter splits on the abbreviation dot by design
+    assert(got((4L, 0L)) == (("Dr.", 1L)))
+    assert(got((4L, 1L)) == (("Smith arrived?", 2L)))
+    assert(got((4L, 2L)) == (("Yes!!", 1L)))
+  }
+
+  test("mixPlan: epochs/sample_rate arithmetic and zero-weight sources") {
+    import graft.operators.Sampling
+    val rows = Seq(
+      (0L, "a b c d", "web"),     // web: 2 docs x 4 tokens = 8
+      (1L, "e f g h", "web"),
+      (2L, "one two", "books"),   // books: 1 doc, 2 tokens
+      (3L, "x", "junk"))          // junk: not in the recipe -> weight 0
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.mixPlan(rows, "text", "source",
+        Map("web" -> 0.25, "books" -> 0.75), budgetTokens = 4L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // web: target 1.0 token of 8 -> epochs 0.125, subsample at 0.125
+    assert(got("web") == ((2L, 8L, 0.25, 1.0, 0.125, 0.125)))
+    // books: target 3.0 of 2 -> epochs 1.5 (repeats), rate clamps to 1
+    assert(got("books") == ((1L, 2L, 0.75, 3.0, 1.5, 1.0)))
+    // junk: supply reported, recipe takes nothing
+    assert(got("junk") == ((1L, 1L, 0.0, 0.0, 0.0, 0.0)))
+  }
 }
