@@ -132,6 +132,37 @@ object TextAnalysis {
           .otherwise(length(t).cast("double") / col("bpe_ish_tokens")))
   }
 
+  /** Unicode-script profile (the multilingual-curation companion to the
+    * stopword language-ID): per document, how many characters fall in
+    * each major script range — EXPLICIT codepoint intervals, not \p{...}
+    * script classes, because Java and RE2 draw script/block boundaries
+    * differently while literal ranges mean the same thing in every
+    * engine. `dominant_script` picks the largest count with a fixed
+    * first-listed-wins tie order. Per-row codegen'd regexp counts, zero
+    * shuffle; at 100 TB this is a scan-time annotation like lang-ID. */
+  def scriptProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pat: String): Column = regexp_count(t, lit(pat)).cast("long")
+    val classes = Seq(
+      "latin" -> cnt("[A-Za-z]"),
+      "cyrillic" -> cnt("[\u0400-\u04FF]"),
+      "greek" -> cnt("[\u0370-\u03FF]"),
+      "cjk" -> cnt("[\u4E00-\u9FFF]"),
+      "digit" -> cnt("[0-9]"))
+    val total = classes.map(_._2).reduce(_ + _)
+    // first-listed-wins argmax: a later class must STRICTLY exceed the
+    // running best to take over
+    val dominant = classes.tail.foldLeft(
+      (lit(classes.head._1), classes.head._2)) {
+        case ((bestName, bestCnt), (n, c)) =>
+          (when(c > bestCnt, lit(n)).otherwise(bestName), greatest(bestCnt, c))
+      }._1
+    df.select((col(idCol) +:
+      classes.map { case (n, c) => c.as(s"n_$n") }) ++ Seq(
+        (length(t).cast("long") - total).as("n_other"),
+        dominant.as("dominant_script")): _*)
+  }
+
   /** Rule-based sentence segmentation: a sentence is a maximal run of
     * non-terminator characters plus its trailing `.`/`!`/`?` run
     * (`[^.!?]+[.!?]*`) — greedy, anchor-free and alternation-free, so the

@@ -3187,6 +3187,96 @@ object Pipeline {
        |FROM w ORDER BY source""".stripMargin
   }
 
+  /** Unicode-script profiling ([[TextAnalysis.scriptProfile]]): each doc
+    * gets a synthesized multiscript string — position i draws its script
+    * class from a per-doc weighting of (doc_id + i) residues and its
+    * codepoint from the class's range — and the profiler must recover the
+    * per-class counts by actually regex-counting the characters; the
+    * oracle restates the counts from the residue arithmetic alone (p43's
+    * pattern: closed-form CONSEQUENCES, no text reproduction). All chars
+    * land in a profiled class, so n_other also pins the length-minus-total
+    * path at exactly 0. */
+  def p90ScriptProfile(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    // class ids: 0 latin, 1 cyrillic, 2 greek, 3 cjk, 4 digit; three
+    // per-doc weightings so dominant_script actually varies
+    val maps: Array[Array[Int]] = Array(
+      Array(0, 0, 0, 0, 1, 1, 2, 3, 3, 4),
+      Array(3, 3, 3, 3, 0, 0, 1, 4, 4, 2),
+      Array(1, 1, 1, 1, 2, 2, 4, 0, 0, 3))
+    val texts = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val n = 40 + (id % 7).toInt
+      val sb = new StringBuilder
+      (0 until n).foreach { i =>
+        val base = id + i
+        val cls = maps((id % 3).toInt)((base % 10).toInt)
+        val cp = cls match {
+          case 0 => 'a' + (base % 26).toInt
+          case 1 => 0x0410 + (base % 32).toInt
+          case 2 => 0x0391 + (base % 24).toInt
+          case 3 => 0x4E00 + (base % 100).toInt
+          case 4 => '0' + (base % 10).toInt
+        }
+        sb.appendAll(Character.toChars(cp))
+      }
+      (id, sb.toString)
+    }.toDF("doc_id", "text")
+    TextAnalysis.scriptProfile(texts, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val p90Oracle: String = {
+    // the same three weightings, rendered as CASE tables
+    val names = Array("latin", "cyrillic", "greek", "cjk", "digit")
+    val maps = Array(
+      Array(0, 0, 0, 0, 1, 1, 2, 3, 3, 4),
+      Array(3, 3, 3, 3, 0, 0, 1, 4, 4, 2),
+      Array(1, 1, 1, 1, 2, 2, 4, 0, 0, 3))
+    val caseTables = maps.zipWithIndex.map { case (m, v) =>
+      val whens = m.zipWithIndex
+        .map { case (cls, r) => s"WHEN $r THEN '${names(cls)}'" }
+        .mkString(" ")
+      s"WHEN $v THEN CASE r $whens END"
+    }.mkString("\n           ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, s.i, (doc_id + s.i) % 10 AS r, doc_id % 3 AS v
+       |  FROM documents,
+       |    unnest(generate_series(0, CAST(40 + doc_id % 7 - 1 AS BIGINT))) s(i)),
+       |cls AS (
+       |  SELECT doc_id, CASE v
+       |           $caseTables
+       |         END AS c
+       |  FROM pos),
+       |agg AS (
+       |  SELECT doc_id,
+       |    count(*) FILTER (c = 'latin') AS n_latin,
+       |    count(*) FILTER (c = 'cyrillic') AS n_cyrillic,
+       |    count(*) FILTER (c = 'greek') AS n_greek,
+       |    count(*) FILTER (c = 'cjk') AS n_cjk,
+       |    count(*) FILTER (c = 'digit') AS n_digit
+       |  FROM cls GROUP BY doc_id),
+       |dom AS (
+       |  SELECT *,
+       |    CASE WHEN n_cyrillic > n_latin THEN 'cyrillic' ELSE 'latin' END AS d2,
+       |    greatest(n_latin, n_cyrillic) AS b2
+       |  FROM agg),
+       |dom2 AS (
+       |  SELECT *,
+       |    CASE WHEN n_greek > b2 THEN 'greek' ELSE d2 END AS d3,
+       |    greatest(b2, n_greek) AS b3
+       |  FROM dom),
+       |dom3 AS (
+       |  SELECT *,
+       |    CASE WHEN n_cjk > b3 THEN 'cjk' ELSE d3 END AS d4,
+       |    greatest(b3, n_cjk) AS b4
+       |  FROM dom2)
+       |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_digit,
+       |  CAST(0 AS BIGINT) AS n_other,
+       |  CASE WHEN n_digit > b4 THEN 'digit' ELSE d4 END AS dominant_script
+       |FROM dom3 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3278,7 +3368,8 @@ object Pipeline {
     "p86_profile" -> (p86Profile _),
     "p87_image_phash_neardup" -> (p87PhashNearDup _),
     "p88_sentences" -> (p88Sentences _),
-    "p89_mix_plan" -> (p89MixPlan _))
+    "p89_mix_plan" -> (p89MixPlan _),
+    "p90_script_profile" -> (p90ScriptProfile _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3368,5 +3459,6 @@ object Pipeline {
     "p83_domain_rank" -> p83Oracle,
     "p12_fingerprint" -> p12Oracle,
     "p88_sentences" -> p88Oracle,
-    "p89_mix_plan" -> p89Oracle)
+    "p89_mix_plan" -> p89Oracle,
+    "p90_script_profile" -> p90Oracle)
 }

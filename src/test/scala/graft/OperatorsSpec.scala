@@ -1401,6 +1401,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(20L) == ((1L, true)))
   }
 
+  test("scriptProfile: range counts, n_other complement, argmax tie-break") {
+    val rows = Seq(
+      (0L, "Привет abc 123 你好 αβ!"),
+      (1L, "only latin words here"),
+      (2L, ""),                       // empty -> all zero, dominant = latin
+      (3L, "abАБ"))         // 2 latin vs 2 cyrillic tie -> first listed
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(rows, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 6).map(r.getLong).toList, r.getString(7))).toMap
+    // Привет=6 cyr, abc=3 latin, 123=3 digit, 你好=2 cjk, αβ=2 greek;
+    // other = 4 spaces + '!'
+    assert(got(0L) == ((List(3L, 6L, 2L, 2L, 3L, 5L), "cyrillic")))
+    assert(got(1L) == ((List(18L, 0L, 0L, 0L, 0L, 3L), "latin")))
+    assert(got(2L) == ((List(0L, 0L, 0L, 0L, 0L, 0L), "latin")))
+    assert(got(3L) == ((List(2L, 2L, 0L, 0L, 0L, 0L), "latin")))
+  }
+
   test("sentences: boundaries, grouped terminators, indices, word counts") {
     val rows = Seq(
       (0L, "First one. Second one! Third... and a tail"),

@@ -122,4 +122,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
       s"q01 reads columns it never uses: $read")
   }
+
+  test("p88's sentence explode is shuffle-free up to the report sort") {
+    // segmentation is a per-row explode; the ONLY exchange allowed is the
+    // final rangepartitioning for the deterministic report ORDER BY — a
+    // hash exchange would mean the operator grew a grouping it doesn't have
+    val plan = formatted("p88_sentences")
+    assert(!plan.contains("hashpartitioning("),
+      s"p88 gained a hash shuffle:\n$plan")
+  }
+
+  test("p89's mix plan aggregates with map-side partials, one hash shuffle") {
+    // the recipe must collapse per-source token counts BEFORE the
+    // exchange (partial HashAggregate under the shuffle) and carry one
+    // hash exchange total; the weight CASE lives in the plan, not a join
+    val plan = formatted("p89_mix_plan")
+    val hashEx = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashEx == 1, s"p89 expected exactly one hash exchange ($hashEx):\n$plan")
+    assert(!plan.contains("Join"), s"p89 planned a join for the weight table:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"p89 lost its partial aggregation:\n$plan")
+  }
 }
