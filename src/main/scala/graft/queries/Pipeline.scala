@@ -3277,6 +3277,37 @@ object Pipeline {
        |FROM dom3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Int8 embedding quantization ([[Similarity.quantizeInt8]]): codes,
+    * scale and the sequential-fold squared reconstruction error over the
+    * real embeddings table — every value a single-IEEE-op consequence of
+    * the float inputs, so DuckDB replays all of it bitwise (list_transform
+    * for the codes, list_reduce for the same left-fold error sum). */
+  def p91EmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(embeddings(s, dir), "embedding", "vec_id")
+      .orderBy(col("vec_id"))
+
+  val p91Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS max_abs
+      |  FROM v),
+      |c AS (
+      |  SELECT vec_id, v, max_abs / 127.0 AS scale,
+      |    CASE WHEN max_abs = 0.0 THEN list_transform(v, x -> 0)
+      |         ELSE list_transform(v,
+      |           x -> CAST(round(x * 127.0 / max_abs) AS INT)) END AS codes
+      |  FROM m)
+      |SELECT vec_id, codes, scale,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(generate_series(1, CAST(len(v) AS BIGINT)),
+      |      i -> (v[i] - codes[i] * scale) * (v[i] - codes[i] * scale))),
+      |    (a, e) -> a + e) AS err_sq
+      |FROM c ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3369,7 +3400,8 @@ object Pipeline {
     "p87_image_phash_neardup" -> (p87PhashNearDup _),
     "p88_sentences" -> (p88Sentences _),
     "p89_mix_plan" -> (p89MixPlan _),
-    "p90_script_profile" -> (p90ScriptProfile _))
+    "p90_script_profile" -> (p90ScriptProfile _),
+    "p91_embed_quantize" -> (p91EmbedQuantize _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3460,5 +3492,6 @@ object Pipeline {
     "p12_fingerprint" -> p12Oracle,
     "p88_sentences" -> p88Oracle,
     "p89_mix_plan" -> p89Oracle,
-    "p90_script_profile" -> p90Oracle)
+    "p90_script_profile" -> p90Oracle,
+    "p91_embed_quantize" -> p91Oracle)
 }

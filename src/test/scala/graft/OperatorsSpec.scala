@@ -1401,6 +1401,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(20L) == ((1L, true)))
   }
 
+  test("quantizeInt8: code bounds, per-element error bound, zero vector") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),          // all-zero
+      (2L, Array(3.0f, -3.0f, 1.5f, -0.75f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getDouble(2), r.getDouble(3))).toMap
+    // max|x| lands exactly on ±127; proportional values are exact halves
+    assert(got(0L)._1 == Seq(64, -127, 32, 0)) // 0.5/1*127 = 63.5 -> HALF_UP 64
+    assert(got(0L)._2 == 1.0 / 127.0)
+    assert(got(1L) == ((Seq(0, 0, 0, 0), 0.0, 0.0)))
+    assert(got(2L)._1 == Seq(127, -127, 64, -32)) // 63.5 -> 64, -31.75 -> -32
+    // per-element quantization error is bounded by scale/2 (+1 ulp slack),
+    // so err_sq <= dims * (scale/2)^2
+    got.foreach { case (_, (codes, scale, errSq)) =>
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(errSq <= codes.length * (scale / 2) * (scale / 2) + 1e-12)
+    }
+  }
+
   test("scriptProfile: range counts, n_other complement, argmax tie-break") {
     val rows = Seq(
       (0L, "Привет abc 123 你好 αβ!"),
