@@ -421,4 +421,38 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** ASYMMETRIC near-dup: n-gram containment c(A→B) = |A∩B| / |A| — the
+    * signal symmetric Jaccard structurally misses: a short document fully
+    * quoted inside a long one has tiny Jaccard (the union is huge) but
+    * containment 1.0. This is the standard test for quote/subset
+    * duplication and eval-set inclusion. Emits BOTH directions per
+    * candidate pair (cont_ab = contained-in-B fraction of A, cont_ba the
+    * reverse) filtered on max(cont); downstream keeps the superset doc or
+    * flags the contained one.
+    *
+    * Scale shape: identical to [[ngramJaccard]] — distinct shingles, a
+    * blocked gram-equality self-join (never all-pairs; `blockCols` carry
+    * the partition/language/source blocking), one (id_a, id_b) count
+    * aggregation, sizes joined back. The shuffle carries candidate PAIRS,
+    * not the corpus. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val grams = wordShingles(df, textCol, idCol, n)
+      .join(df.select((col(idCol).as("id") +: blockCols.map(col)): _*), Seq("id"))
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))(_ && _)
+    val inter = grams.as("a").join(grams.as("b"), joinCond)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (col("inter").cast("double") / col("sz_a")).as("cont_ab"),
+        (col("inter").cast("double") / col("sz_b")).as("cont_ba"))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+  }
 }

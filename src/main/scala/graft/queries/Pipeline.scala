@@ -3308,6 +3308,62 @@ object Pipeline {
       |    (a, e) -> a + e) AS err_sq
       |FROM c ORDER BY vec_id""".stripMargin
 
+  /** Asymmetric containment dedup ([[Dedup.containmentPairs]]): every doc
+    * with ≥12 words gets a synthetic "quote" sibling (id + 100000) holding
+    * just its first 12 words — tiny Jaccard against the parent (the union
+    * is the whole parent) but containment 1.0, exactly the subset/quote
+    * case the symmetric detector structurally misses. Exact integer gram
+    * arithmetic end-to-end; the oracle rebuilds quotes, grams and both
+    * containment directions in SQL. */
+  def p92ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("lang"),
+      col("source"), col("text"))
+    val ws = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val quotes = documents(s, dir)
+      .where(size(ws) >= 12)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("lang"),
+        col("source"), concat_ws(" ", slice(ws, 1, 12)).as("text"))
+    Dedup.containmentPairs(d.union(quotes), "text", "doc_id",
+        Seq("lang", "source"), n = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val p92Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang, source,
+      |    array_to_string(w[1:12], ' ') AS text
+      |  FROM (SELECT doc_id, lang, source,
+      |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 12),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, lang, source, g FROM (
+      |    SELECT doc_id, lang, source,
+      |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |    FROM (SELECT doc_id, lang, source,
+      |            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |          FROM base),
+      |         UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |    WHERE len(w) >= 3)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM grams a JOIN grams b
+      |    ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+      |  CAST(inter AS DOUBLE) / sa.sz AS cont_ab,
+      |  CAST(inter AS DOUBLE) / sb.sz AS cont_ba
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE greatest(CAST(inter AS DOUBLE) / sa.sz,
+      |               CAST(inter AS DOUBLE) / sb.sz) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3401,7 +3457,8 @@ object Pipeline {
     "p88_sentences" -> (p88Sentences _),
     "p89_mix_plan" -> (p89MixPlan _),
     "p90_script_profile" -> (p90ScriptProfile _),
-    "p91_embed_quantize" -> (p91EmbedQuantize _))
+    "p91_embed_quantize" -> (p91EmbedQuantize _),
+    "p92_containment_dedup" -> (p92ContainmentDedup _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3493,5 +3550,6 @@ object Pipeline {
     "p88_sentences" -> p88Oracle,
     "p89_mix_plan" -> p89Oracle,
     "p90_script_profile" -> p90Oracle,
-    "p91_embed_quantize" -> p91Oracle)
+    "p91_embed_quantize" -> p91Oracle,
+    "p92_containment_dedup" -> p92Oracle)
 }

@@ -1401,6 +1401,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(20L) == ((1L, true)))
   }
 
+  test("containmentPairs finds the quoted subset symmetric jaccard misses") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 12).map(i => s"w$i").mkString(" ")  // fully contained
+    val rows = Seq(
+      (1L, long, "en"), (2L, quote, "en"),
+      (3L, "totally different words entirely here now", "en"))
+      .toDF("doc_id", "text", "lang")
+    // symmetric jaccard at the SAME gram size: inter=10, union=58+10-10=58
+    val jac = Dedup.ngramJaccard(rows, "text", "doc_id", Seq("lang"),
+      n = 3, threshold = 0.8).collect()
+    assert(jac.isEmpty) // 10/58 = 0.17 — invisible at a dedup threshold
+    val got = Dedup.containmentPairs(rows, "text", "doc_id", Seq("lang"),
+      n = 3, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got.keySet == Set((1L, 2L)))
+    val (contAb, contBa) = got((1L, 2L))
+    assert(contBa == 1.0)            // the quote is fully inside the parent
+    assert(contAb == 10.0 / 58.0)    // the parent is NOT inside the quote
+  }
+
   test("quantizeInt8: code bounds, per-element error bound, zero vector") {
     val vecs = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
