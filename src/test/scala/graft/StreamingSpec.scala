@@ -469,4 +469,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(Set(0L, 1L, 4L).subsetOf(admitted), "novel docs must be admitted")
     } finally q.stop()
   }
+
+  test("streaming contamination gate matches the batch 13-gram twin") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.{Dedup, Sampling}
+    val evalText = (1 to 30).map(i => s"e$i").mkString(" ")
+    val evalDocs = Seq((500L, evalText)).toDF("doc_id", "text")
+    val clean = (1 to 30).map(i => s"c$i").mkString(" ")
+    // doc 1 embeds a full 13-word run of the eval doc -> contaminated;
+    // doc 2 shares only 12 consecutive words -> clean at n=13
+    val docs = Seq(
+      (0L, clean, "2024-01-01 00:00:00"),
+      (1L, "prefix words then " + (5 to 17).map(i => s"e$i").mkString(" ") +
+        " and a tail", "2024-01-01 00:01:00"),
+      (2L, "start " + (5 to 16).map(i => s"e$i").mkString(" ") + " end",
+        "2024-01-01 00:02:00"),
+      (3L, "too short", "2024-01-01 00:03:00")) // < 13 words: never emits
+      .map { case (id, t, ts) => (id, t, java.sql.Timestamp.valueOf(ts)) }
+    val evalGrams = Dedup.wordShingles(evalDocs, "text", "doc_id", 13)
+      .select(col("gram")).distinct()
+    val dir = Files.createTempDirectory("graft-contamstream").toString
+    val q = DocStreams.contaminationGate(
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .parquet(dir), evalGrams, "text", "doc_id", "ts")
+      .writeStream.format("memory").queryName("contamgate")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d =>
+        Seq(d).toDF("doc_id", "text", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      Seq((99L, (1 to 20).map(i => s"z$i").mkString(" "),
+          java.sql.Timestamp.valueOf("2024-01-01 04:00:00")))
+        .toDF("doc_id", "text", "ts").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT id, shared_grams, contaminated FROM contamgate WHERE id < 99")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+        .toMap
+      // batch twin: the pair-level operator names the same train docs
+      val batchPairs = Sampling.contamination(
+          docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), evalDocs,
+          "text", "doc_id", n = 13)
+        .collect().map(r => r.getLong(0)).toSet
+      assert(streamed.filter(_._2._2).keySet == batchPairs)
+      assert(streamed.keySet == Set(0L, 1L, 2L)) // doc 3 too short to emit
+      assert(streamed(1L) == ((1L, true)))  // exactly one shared 13-gram
+      assert(streamed(0L) == ((0L, false)) && streamed(2L) == ((0L, false)))
+    } finally q.stop()
+  }
 }
