@@ -57,18 +57,24 @@ object Similarity {
     * the same scan that writes the ANN index, and downstream IVF/LSH
     * probes read 1/4 the bytes. */
   def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val maxAbs = array_max(transform(v, x => abs(x)))
-    val codes = when(maxAbs === 0.0, transform(v, _ => lit(0)))
-      .otherwise(transform(v,
-        x => round(x * 127.0 / maxAbs).cast("int")))
-    val scale = maxAbs / 127.0
-    val errSq = aggregate(
-      zip_with(v, codes, (x, q) =>
-        (x - q.cast("double") * scale) * (x - q.cast("double") * scale)),
-      lit(0.0), (acc, e) => acc + e)
-    df.select(col(idCol), codes.as("codes"), scale.as("scale"),
-      errSq.as("err_sq"))
+    // staged projections: max_abs (an O(dims) array reduction) and codes
+    // must be MATERIALIZED columns, not inlined expression trees — a
+    // single fused projection re-evaluates the non-cheap subtree per
+    // array ELEMENT inside the lambdas (O(dims²) per row; the r8 bench
+    // caught it at 6.4 s for 2k×256 vectors, ~60× the scan cost).
+    // CollapseProject keeps multi-referenced non-cheap aliases staged.
+    val errTerm = transform(col("__d"), e => e * e)
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__maxabs", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn("scale", col("__maxabs") / 127.0)
+      .withColumn("codes", when(col("__maxabs") === 0.0,
+          transform(col("__v"), _ => lit(0)))
+        .otherwise(transform(col("__v"),
+          x => round(x * 127.0 / col("__maxabs")).cast("int"))))
+      .withColumn("__d", zip_with(col("__v"), col("codes"),
+        (x, q) => x - q.cast("double") * col("scale")))
+      .withColumn("err_sq", aggregate(errTerm, lit(0.0), (acc, e) => acc + e))
+      .select(col(idCol), col("codes"), col("scale"), col("err_sq"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):

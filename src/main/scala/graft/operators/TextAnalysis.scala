@@ -163,6 +163,39 @@ object TextAnalysis {
         dominant.as("dominant_script")): _*)
   }
 
+  /** Code-vs-prose routing signals (the StarCoder/pile-style corpus
+    * split): per document, the fraction of lines ending in statement
+    * terminators (`;{}:`;), the indented-line fraction, code-keyword hits
+    * and symbol density, combined into a linear score with a fixed 0.5
+    * cut. Every regex is RE2-compatible and whitespace classes are
+    * explicit (`[ \t\r]+$` rtrim, not engine `trim`, whose stripped-char
+    * set differs between JVM and DuckDB), so any engine reproduces the
+    * signals bitwise. Per-row codegen'd array/regex work, zero shuffle —
+    * a scan-time annotation like lang-ID. */
+  def codeSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    def fracOf(pred: String): Column =
+      size(expr(s"filter(split($textCol, '\\n'), l -> $pred)"))
+        .cast("double") / nLines.cast("double")
+    val termFrac = fracOf(
+      "regexp_like(regexp_replace(l, '[ \\t\\r]+$', ''), '[;{}:]$')")
+    val indentFrac = fracOf("regexp_like(l, '^(  |\\t)')")
+    val kwHits = regexp_count(t,
+      lit("\\b(def|class|import|return|function|const|var|while|for)\\b"))
+      .cast("long")
+    val symDensity = when(length(t) === 0, 0.0).otherwise(
+      (length(t) - length(translate(t, "{}();=<>", ""))).cast("double") /
+        length(t).cast("double"))
+    val score = termFrac * 0.45 + indentFrac * 0.35 +
+      least(lit(1.0), kwHits.cast("double") / nLines.cast("double")) * 0.2
+    df.select(col(idCol), nLines.as("n_lines"),
+      termFrac.as("term_line_frac"), indentFrac.as("indent_frac"),
+      kwHits.as("kw_hits"), symDensity.as("sym_density"),
+      score.as("code_score"), (score >= 0.5).as("is_code"))
+  }
+
   /** Rule-based sentence segmentation: a sentence is a maximal run of
     * non-terminator characters plus its trailing `.`/`!`/`?` run
     * (`[^.!?]+[.!?]*`) — greedy, anchor-free and alternation-free, so the

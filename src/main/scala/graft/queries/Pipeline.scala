@@ -3366,6 +3366,59 @@ object Pipeline {
       |               CAST(inter AS DOUBLE) / sb.sz) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Code-vs-prose routing ([[TextAnalysis.codeSignals]]): odd docs swap
+    * their text for deterministic generated "code" (def/return lines with
+    * statement terminators and indentation), even docs keep real prose —
+    * the detector must score BOTH populations and the oracle reruns the
+    * full metric pipeline (line splitting, explicit-class rtrim,
+    * terminator/indent regexes, keyword \b counts, translate-based symbol
+    * density, the linear score) in DuckDB on the identical texts. */
+  def p93CodeDetect(s: SparkSession, dir: String): DataFrame = {
+    val code = expr(
+      "array_join(transform(sequence(1, 4 + CAST(doc_id % 4 AS INT)), " +
+        "i -> concat('def f', i, '(x):\n  return x + ', i, ';')), '\n')")
+    val mixed = documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 2 === 1, code).otherwise(col("text")).as("text"))
+    TextAnalysis.codeSignals(mixed, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val p93Oracle: String =
+    """WITH mixed AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 1 THEN
+      |      list_aggregate(list_transform(
+      |        generate_series(1, 4 + CAST(doc_id % 4 AS INT)),
+      |        i -> 'def f' || i || '(x):' || chr(10) ||
+      |             '  return x + ' || i || ';'), 'string_agg', chr(10))
+      |    ELSE text END AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      |      FROM mixed),
+      |m AS (SELECT doc_id, text,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(lines, x ->
+      |      regexp_matches(regexp_replace(x, '[ \t\r]+$', ''), '[;{}:]$')))
+      |    AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS term_line_frac,
+      |  CAST(len(list_filter(lines, x -> regexp_matches(x, '^(  |\t)')))
+      |    AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS indent_frac,
+      |  CAST(len(regexp_extract_all(text,
+      |      '\b(def|class|import|return|function|const|var|while|for)\b'))
+      |    AS BIGINT) AS kw_hits,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE CAST(length(text) - length(translate(text, '{}();=<>', ''))
+      |         AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS sym_density
+      | FROM l)
+      |SELECT doc_id, n_lines, term_line_frac, indent_frac, kw_hits,
+      |  sym_density,
+      |  term_line_frac * 0.45 + indent_frac * 0.35 +
+      |    least(1.0, CAST(kw_hits AS DOUBLE) / CAST(n_lines AS DOUBLE)) * 0.2
+      |    AS code_score,
+      |  (term_line_frac * 0.45 + indent_frac * 0.35 +
+      |    least(1.0, CAST(kw_hits AS DOUBLE) / CAST(n_lines AS DOUBLE)) * 0.2)
+      |    >= 0.5 AS is_code
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3460,7 +3513,8 @@ object Pipeline {
     "p89_mix_plan" -> (p89MixPlan _),
     "p90_script_profile" -> (p90ScriptProfile _),
     "p91_embed_quantize" -> (p91EmbedQuantize _),
-    "p92_containment_dedup" -> (p92ContainmentDedup _))
+    "p92_containment_dedup" -> (p92ContainmentDedup _),
+    "p93_code_detect" -> (p93CodeDetect _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3553,5 +3607,6 @@ object Pipeline {
     "p89_mix_plan" -> p89Oracle,
     "p90_script_profile" -> p90Oracle,
     "p91_embed_quantize" -> p91Oracle,
-    "p92_containment_dedup" -> p92Oracle)
+    "p92_containment_dedup" -> p92Oracle,
+    "p93_code_detect" -> p93Oracle)
 }

@@ -1401,6 +1401,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(20L) == ((1L, true)))
   }
 
+  test("codeSignals separates code from prose with exact fractions") {
+    val code = "def add(a, b):\n  return a + b;\nclass Thing:\n  x = 1;"
+    val prose = "The weather was lovely today. We walked to the market " +
+      "and bought fresh bread for breakfast tomorrow."
+    val rows = Seq((0L, code), (1L, prose), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.codeSignals(rows, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getBoolean(7))).toMap
+    // code: 4 lines, ALL end with : or ; after rtrim; 2 indented;
+    // keywords def/return/class = 3
+    assert(got(0L) == ((4L, 1.0, 0.5, 3L, true)))
+    // prose: one line, no terminator endings, no indentation; the single
+    // keyword FP ("bread FOR breakfast") stays under the cut
+    assert(got(1L) == ((1L, 0.0, 0.0, 1L, false)))
+    // empty text: one empty line, all-zero signals, not code
+    assert(got(2L) == ((1L, 0.0, 0.0, 0L, false)))
+  }
+
   test("containmentPairs finds the quoted subset symmetric jaccard misses") {
     val long = (1 to 60).map(i => s"w$i").mkString(" ")
     val quote = (1 to 12).map(i => s"w$i").mkString(" ")  // fully contained
