@@ -422,6 +422,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-document n-gram NOVELTY against the whole corpus: the fraction
+    * of a doc's distinct grams whose FIRST occurrence (by id order) is in
+    * that doc — the freshness/diversity signal that drops boilerplate-
+    * heavy late arrivals and ranks sources by new-content yield. Three
+    * keyed aggregations, never all-pairs: distinct (id, gram) shingles →
+    * gram-keyed min(id) (map-side partials collapse repeats) → join back
+    * on gram → doc-keyed counts. At 100 TB the gram→first-id table is the
+    * only wide state and it shuffles once, keyed by gram. */
+  def gramNovelty(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = wordShingles(df, textCol, idCol, n)
+    val first = grams.groupBy(col("gram")).agg(min(col("id")).as("first_id"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .withColumn("novelty_frac",
+        col("novel_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** ASYMMETRIC near-dup: n-gram containment c(A→B) = |A∩B| / |A| — the
     * signal symmetric Jaccard structurally misses: a short document fully
     * quoted inside a long one has tiny Jaccard (the union is huge) but

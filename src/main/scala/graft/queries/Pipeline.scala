@@ -3419,6 +3419,34 @@ object Pipeline {
       |    >= 0.5 AS is_code
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Corpus n-gram novelty ([[Dedup.gramNovelty]]): pure integer
+    * first-occurrence arithmetic over word 3-grams, so the oracle
+    * restates the whole pipeline in SQL. */
+  def p94GramNovelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.gramNovelty(documents(s, dir), "text", "doc_id", n = 3)
+      .select(col("id").as("doc_id"), col("n_grams"), col("novel_grams"),
+        col("novelty_frac"))
+      .orderBy(col("doc_id"))
+
+  val p94Oracle: String =
+    """WITH grams AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |    FROM (SELECT doc_id,
+      |            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |          FROM documents),
+      |         UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |    WHERE len(w) >= 3)),
+      |first AS (SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g)
+      |SELECT grams.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN first.first_id = grams.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS novel_grams,
+      |  CAST(sum(CASE WHEN first.first_id = grams.doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_frac
+      |FROM grams JOIN first ON first.g = grams.g
+      |GROUP BY grams.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3514,7 +3542,8 @@ object Pipeline {
     "p90_script_profile" -> (p90ScriptProfile _),
     "p91_embed_quantize" -> (p91EmbedQuantize _),
     "p92_containment_dedup" -> (p92ContainmentDedup _),
-    "p93_code_detect" -> (p93CodeDetect _))
+    "p93_code_detect" -> (p93CodeDetect _),
+    "p94_gram_novelty" -> (p94GramNovelty _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3608,5 +3637,6 @@ object Pipeline {
     "p90_script_profile" -> p90Oracle,
     "p91_embed_quantize" -> p91Oracle,
     "p92_containment_dedup" -> p92Oracle,
-    "p93_code_detect" -> p93Oracle)
+    "p93_code_detect" -> p93Oracle,
+    "p94_gram_novelty" -> p94Oracle)
 }

@@ -1401,6 +1401,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(20L) == ((1L, true)))
   }
 
+  test("gramNovelty credits first occurrence by id order") {
+    val rows = Seq(
+      (1L, "a b c d e"),        // 3 grams, all first -> novelty 1
+      (2L, "a b c d e"),        // exact dup -> novelty 0
+      (3L, "a b c x y z"))      // shares gram "a b c" only
+      .toDF("doc_id", "text")
+    val got = Dedup.gramNovelty(rows, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((4L, 3L, 0.75))) // "a b c" first seen in doc 1
+  }
+
   test("codeSignals separates code from prose with exact fractions") {
     val code = "def add(a, b):\n  return a + b;\nclass Thing:\n  x = 1;"
     val prose = "The weather was lovely today. We walked to the market " +
