@@ -163,6 +163,29 @@ object TextAnalysis {
         dominant.as("dominant_script")): _*)
   }
 
+  /** Markdown → plain text (the cleanup pass markdown-heavy corpora get
+    * before quality scoring, mirroring what [[Warc]]'s HTML extractor does
+    * for web pages): code fences and their bodies drop, headers/bullets/
+    * numbered-list prefixes strip, images collapse to their alt text,
+    * links to their anchor text, emphasis markers and inline backticks
+    * vanish. One chain of codegen'd regexp_replace calls — every pattern
+    * RE2-compatible ((?m)/(?s) flags, no lookaround), so other engines
+    * replay it exactly (only the group-reference SYNTAX differs: Java `$1`
+    * vs RE2 `\1`). Per-row, zero shuffle. */
+  def markdownToText(c: Column): Column = {
+    val noFence = regexp_replace(c, "(?s)```.*?```", "")
+    val noHeader = regexp_replace(noFence, "(?m)^#{1,6} *", "")
+    val noBullet = regexp_replace(noHeader, "(?m)^ {0,3}[-*+] +", "")
+    val noNum = regexp_replace(noBullet, "(?m)^ {0,3}[0-9]+\\. +", "")
+    val noImg = regexp_replace(noNum, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noEmph = regexp_replace(noLink, "[*_`]", "")
+    // explicit-class trim (JVM trim strips all ctrl chars, DuckDB trim
+    // only spaces — same portability rule as codeSignals' rtrim)
+    val trimmed = regexp_replace(noEmph, "^[ \\t\\n\\r]+|[ \\t\\n\\r]+$", "")
+    regexp_replace(trimmed, "\n{3,}", "\n\n")
+  }
+
   /** Code-vs-prose routing signals (the StarCoder/pile-style corpus
     * split): per document, the fraction of lines ending in statement
     * terminators (`;{}:`;), the indented-line fraction, code-keyword hits

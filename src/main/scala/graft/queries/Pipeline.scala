@@ -3447,6 +3447,69 @@ object Pipeline {
       |GROUP BY grams.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Markdown cleanup ([[TextAnalysis.markdownToText]]): every doc gets a
+    * deterministic generated markdown page (header, emphasis, link, image,
+    * bullet + numbered lists, fenced code block, tail paragraph) built
+    * with the SAME SQL generation in the oracle; both engines then strip
+    * it and the md5/length/structure counts must agree exactly. */
+  def p95MarkdownStrip(s: SparkSession, dir: String): DataFrame = {
+    val md = expr(
+      "concat('# Title ', doc_id, '\n\nSome **bold** text with a [link ', " +
+        "doc_id, '](http://ex.com/', doc_id, ') and ![img ', doc_id, " +
+        "'](i.png) inline.\n\n- item one\n- item ', doc_id, " +
+        "'\n\n1. first\n2. second\n\n```\ncode block ', doc_id, " +
+        "'\n```\n\ntail paragraph.')")
+    val d = documents(s, dir).select(col("doc_id"), md.as("md"))
+    d.select(col("doc_id"),
+      md5(TextAnalysis.markdownToText(col("md"))).as("plain_md5"),
+      length(TextAnalysis.markdownToText(col("md"))).cast("long")
+        .as("plain_len"),
+      regexp_count(col("md"), lit("\\[[^\\]]*\\]\\([^)]*\\)")).cast("long")
+        .as("n_link_like"),
+      regexp_count(col("md"), lit("!\\[")).cast("long").as("n_images"),
+      regexp_count(col("md"), lit("(?m)^#{1,6} ")).cast("long")
+        .as("n_headers"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p95Oracle: String =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    '# Title ' || doc_id || e'\n\nSome **bold** text with a [link ' ||
+      |    doc_id || '](http://ex.com/' || doc_id || ') and ![img ' ||
+      |    doc_id || e'](i.png) inline.\n\n- item one\n- item ' || doc_id ||
+      |    e'\n\n1. first\n2. second\n\n```\ncode block ' || doc_id ||
+      |    e'\n```\n\ntail paragraph.' AS md
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id, md,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(
+      |                    regexp_replace(md, '(?s)```.*?```', '', 'g'),
+      |                    '(?m)^#{1,6} *', '', 'g'),
+      |                  '(?m)^ {0,3}[-*+] +', '', 'g'),
+      |                '(?m)^ {0,3}[0-9]+\. +', '', 'g'),
+      |              '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+      |            '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+      |          '[*_`]', '', 'g'),
+      |        e'^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
+      |      e'\n{3,}', e'\n\n', 'g') AS plain
+      |  FROM src)
+      |SELECT doc_id, md5(plain) AS plain_md5,
+      |  CAST(length(plain) AS BIGINT) AS plain_len,
+      |  CAST(len(regexp_extract_all(md, '\[[^\]]*\]\([^)]*\)')) AS BIGINT)
+      |    AS n_link_like,
+      |  CAST(len(regexp_extract_all(md, '!\[')) AS BIGINT) AS n_images,
+      |  CAST(len(regexp_extract_all(md, '(?m)^#{1,6} ')) AS BIGINT)
+      |    AS n_headers
+      |FROM stripped ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3543,7 +3606,8 @@ object Pipeline {
     "p91_embed_quantize" -> (p91EmbedQuantize _),
     "p92_containment_dedup" -> (p92ContainmentDedup _),
     "p93_code_detect" -> (p93CodeDetect _),
-    "p94_gram_novelty" -> (p94GramNovelty _))
+    "p94_gram_novelty" -> (p94GramNovelty _),
+    "p95_markdown_strip" -> (p95MarkdownStrip _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3638,5 +3702,6 @@ object Pipeline {
     "p91_embed_quantize" -> p91Oracle,
     "p92_containment_dedup" -> p92Oracle,
     "p93_code_detect" -> p93Oracle,
-    "p94_gram_novelty" -> p94Oracle)
+    "p94_gram_novelty" -> p94Oracle,
+    "p95_markdown_strip" -> p95Oracle)
 }

@@ -1401,6 +1401,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(20L) == ((1L, true)))
   }
 
+  test("markdownToText strips structure and keeps content") {
+    val md = "# Head\n\nSome **bold** and a [link](http://x.y) plus " +
+      "![alt text](img.png).\n\n- one\n- two\n\n1. first\n\n" +
+      "```\nsecret code\n```\n\ntail."
+    val got = Seq((0L, md)).toDF("doc_id", "text")
+      .select(TextAnalysis.markdownToText(col("text")).as("p"))
+      .head().getString(0)
+    assert(got == "Head\n\nSome bold and a link plus alt text.\n\n" +
+      "one\ntwo\n\nfirst\n\ntail.")
+  }
+
   test("gramNovelty credits first occurrence by id order") {
     val rows = Seq(
       (1L, "a b c d e"),        // 3 grams, all first -> novelty 1
