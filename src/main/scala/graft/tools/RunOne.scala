@@ -1,6 +1,12 @@
 package graft.tools
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
-/** Ad-hoc: dump selected SparkEntry queries for a local oracle check. */
+/** Ad-hoc: dump selected SparkEntry queries for a local oracle check.
+  * Also writes `oracle_sql.json` holding exactly the selected entries'
+  * COMPILED oracle strings, so the fast single-entry loop runs
+  * check_oracles.py against the real SQL — hand-copying oracle text into
+  * a scratch JSON is a drift channel (the local gate would silently test
+  * something other than what ships). */
 object RunOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
@@ -12,6 +18,19 @@ object RunOne {
     names.foreach { n =>
       graft.Verify.dumpOne(spark, n, graft.SparkEntry.queries(n), sfDir, outDir)
     }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.view
+      .filterKeys(names.contains).toMap
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }
