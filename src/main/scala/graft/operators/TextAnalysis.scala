@@ -163,6 +163,22 @@ object TextAnalysis {
         dominant.as("dominant_script")): _*)
   }
 
+  /** Corpus vocabulary: the top-k words by frequency with a total
+    * deterministic order (count desc, then word asc — ties can never
+    * reorder across engines or partitionings). The first step of any
+    * tokenizer/frequency-filter pipeline. Scale shape: one word-keyed
+    * aggregation with map-side partials, then a global top-k that Spark
+    * plans as TakeOrderedAndProject — per-partition heaps of k rows, no
+    * full sort, no single-partition window. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    df.select(explode(words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+  }
+
   /** Markdown → plain text (the cleanup pass markdown-heavy corpora get
     * before quality scoring, mirroring what [[Warc]]'s HTML extractor does
     * for web pages): code fences and their bodies drop, headers/bullets/

@@ -3510,6 +3510,32 @@ object Pipeline {
       |    AS n_headers
       |FROM stripped ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary ([[TextAnalysis.vocabulary]]): top-100 words with
+    * the deterministic (count desc, word asc) total order; `rank` is
+    * assigned AFTER the top-k (a window over 100 rows — bounded like a
+    * driver scalar, not a data-sized single partition) so the oracle
+    * checks the ORDER itself, not just the membership. */
+  def p96Vocabulary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    TextAnalysis.vocabulary(documents(s, dir), "text", 100)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("word"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  val p96Oracle: String =
+    """WITH v AS (
+      |  SELECT w AS word, count(*) AS n FROM (
+      |    SELECT unnest(string_split(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |    FROM documents)
+      |  WHERE length(w) > 0
+      |  GROUP BY w
+      |  ORDER BY n DESC, word LIMIT 100)
+      |SELECT word, n,
+      |  CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank
+      |FROM v ORDER BY rank""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3607,7 +3633,8 @@ object Pipeline {
     "p92_containment_dedup" -> (p92ContainmentDedup _),
     "p93_code_detect" -> (p93CodeDetect _),
     "p94_gram_novelty" -> (p94GramNovelty _),
-    "p95_markdown_strip" -> (p95MarkdownStrip _))
+    "p95_markdown_strip" -> (p95MarkdownStrip _),
+    "p96_vocabulary" -> (p96Vocabulary _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3703,5 +3730,6 @@ object Pipeline {
     "p92_containment_dedup" -> p92Oracle,
     "p93_code_detect" -> p93Oracle,
     "p94_gram_novelty" -> p94Oracle,
-    "p95_markdown_strip" -> p95Oracle)
+    "p95_markdown_strip" -> p95Oracle,
+    "p96_vocabulary" -> p96Oracle)
 }

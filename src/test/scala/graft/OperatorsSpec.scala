@@ -1412,6 +1412,31 @@ class OperatorsSpec extends AnyFunSuite {
       "one\ntwo\n\nfirst\n\ntail.")
   }
 
+  test("markdownToText edge cases: unterminated fence, nested brackets, empty") {
+    def strip(s: String): String =
+      Seq((0L, s)).toDF("doc_id", "text")
+        .select(TextAnalysis.markdownToText(col("text")).as("p"))
+        .head().getString(0)
+    // unterminated fence: no closing ``` -> the (?s) lazy pattern can't
+    // match, the fence text survives minus the backticks (deterministic,
+    // same in RE2)
+    assert(strip("before\n```\ndangling code") == "before\n\ndangling code")
+    // link text with no url part stays as-is minus emphasis chars
+    assert(strip("[text] without (url) parts") == "[text] without (url) parts")
+    // image inside a sentence collapses to alt text
+    assert(strip("see ![the chart](c.png) here") == "see the chart here")
+    assert(strip("") == "")
+    assert(strip("   \n\t  ") == "")
+  }
+
+  test("vocabulary: top-k with the (count desc, word asc) total order") {
+    val rows = Seq((0L, "b b b a a c"), (1L, "a  c\td")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(rows, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a=3, b=3 tie -> word asc puts a first; c=2 takes the last slot
+    assert(got.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("gramNovelty credits first occurrence by id order") {
     val rows = Seq(
       (1L, "a b c d e"),        // 3 grams, all first -> novelty 1
