@@ -255,6 +255,33 @@ object TextAnalysis {
         size(split(col("sentence"), "\\s+")).cast("long"))
   }
 
+  /** Corpus-wide sentence dedup + rebuild (the sentence-granularity
+    * sibling of [[dedupLines]], fed by [[sentences]]): a sentence
+    * survives iff its (doc_id, sent_idx) is the GLOBAL first occurrence
+    * of that exact sentence text, then each doc's text is rebuilt from
+    * its survivors in order. Three keyed stages: sentence-keyed
+    * min(struct(doc, idx)) (map-side partials), join back, one doc-keyed
+    * rebuild via sort_array over (idx, sentence) structs — deterministic
+    * at any partitioning, no data-sized windows. At 100 TB the wide
+    * state is the sentence→first-occurrence table, shuffled once, keyed
+    * by sentence. */
+  def dedupSentences(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val s = sentences(df, textCol, idCol)
+    val first = s.groupBy(col("sentence"))
+      .agg(min(struct(col(idCol), col("sent_idx"))).as("first"))
+    s.join(first, Seq("sentence"))
+      .withColumn("__keep",
+        col("first")(idCol) === col(idCol) &&
+          col("first.sent_idx") === col("sent_idx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_sents"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("sent_idx"), col("sentence"))))),
+          x => x("sentence"))).as("rebuilt"))
+  }
+
   /** Content fingerprints: md5 of the normalized text plus a 31-bit
     * polynomial rolling hash over the word sequence (order-sensitive, so
     * reordered copies get different prints while whitespace/case variants

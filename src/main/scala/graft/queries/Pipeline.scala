@@ -3536,6 +3536,41 @@ object Pipeline {
       |  CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank
       |FROM v ORDER BY rank""".stripMargin
 
+  /** Sentence-dedup funnel ([[TextAnalysis.dedupSentences]]):
+    * segmentation → global first-occurrence dedup → in-order rebuild,
+    * composed end-to-end; the oracle replays the same pipeline with a
+    * window rank + ordered string_agg. */
+  def p97SentenceDedup(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupSentences(documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("n_sents"), col("kept_sents"),
+        md5(col("rebuilt")).as("rebuilt_md5"),
+        length(col("rebuilt")).cast("long").as("rebuilt_len"))
+      .orderBy(col("doc_id"))
+
+  val p97Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+      |    trim(sents[i]) AS sentence
+      |  FROM m, unnest(generate_series(1, CAST(len(sents) AS BIGINT))) t(i)
+      |  WHERE length(trim(sents[i])) > 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY sentence ORDER BY doc_id, sent_idx) AS rn
+      |  FROM s),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_sents,
+      |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS kept_sents,
+      |    coalesce(string_agg(CASE WHEN rn = 1 THEN sentence END, ' '
+      |      ORDER BY sent_idx), '') AS rebuilt
+      |  FROM ranked GROUP BY doc_id)
+      |SELECT doc_id, n_sents, kept_sents, md5(rebuilt) AS rebuilt_md5,
+      |  CAST(length(rebuilt) AS BIGINT) AS rebuilt_len
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3634,7 +3669,8 @@ object Pipeline {
     "p93_code_detect" -> (p93CodeDetect _),
     "p94_gram_novelty" -> (p94GramNovelty _),
     "p95_markdown_strip" -> (p95MarkdownStrip _),
-    "p96_vocabulary" -> (p96Vocabulary _))
+    "p96_vocabulary" -> (p96Vocabulary _),
+    "p97_sentence_dedup" -> (p97SentenceDedup _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3731,5 +3767,6 @@ object Pipeline {
     "p93_code_detect" -> p93Oracle,
     "p94_gram_novelty" -> p94Oracle,
     "p95_markdown_strip" -> p95Oracle,
-    "p96_vocabulary" -> p96Oracle)
+    "p96_vocabulary" -> p96Oracle,
+    "p97_sentence_dedup" -> p97Oracle)
 }

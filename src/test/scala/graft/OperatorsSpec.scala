@@ -1437,6 +1437,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("dedupSentences keeps global first occurrences, rebuilds in order") {
+    val rows = Seq(
+      (1L, "Shared intro. Unique middle one. Shared outro."),
+      (2L, "Shared intro. Unique middle two. Shared outro."),
+      (3L, "Shared intro."))  // everything duplicated -> empty rebuild
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupSentences(rows, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((3L, 3L,
+      "Shared intro. Unique middle one. Shared outro.")))
+    assert(got(2L) == ((3L, 1L, "Unique middle two.")))
+    assert(got(3L) == ((1L, 0L, "")))
+  }
+
   test("gramNovelty credits first occurrence by id order") {
     val rows = Seq(
       (1L, "a b c d e"),        // 3 grams, all first -> novelty 1
