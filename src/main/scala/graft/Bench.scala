@@ -80,23 +80,34 @@ object Bench {
     // like query regressions. The query-family bench never touches this
     // path (it writes to the noop sink below the API).
     val apiName = "b8_stream_roundtrip"
-    lazy val apiEngine: (graft.engine.GraftSession, Array[Byte]) = {
+    // (engine, request bytes, expected rows) — expected adapts to SF dirs
+    // with fewer than 20k lineitem rows (importParquet returns the count)
+    lazy val apiEngine: (graft.engine.GraftSession, Array[Byte], Long) = {
       import graft.engine._
       val eng = new GraftSession(spark,
         java.nio.file.Files.createTempDirectory("graft-bench-api"))
       eng.createDatabase("db")
-      eng.importParquet("db", "main", "lineitem", s"$sfDir/lineitem.parquet")
+      val imported =
+        eng.importParquet("db", "main", "lineitem", s"$sfDir/lineitem.parquet")
       val msgs = new java.io.ByteArrayOutputStream()
       QueryStream.writeMessage(msgs, QueryStream.Open, Array.emptyByteArray)
       QueryStream.writeMessage(msgs, QueryStream.Frame, QueryStream.encodeFrame(Seq(
         QueryInput("q", "SELECT l_orderkey, l_returnflag, l_quantity, " +
           "l_extendedprice FROM lineitem LIMIT 20000"))))
       QueryStream.writeMessage(msgs, QueryStream.Close, Array.emptyByteArray)
-      (eng, msgs.toByteArray)
+      (eng, msgs.toByteArray, math.min(20000L, imported))
     }
     def runApi(): Double = {
       import graft.engine._
-      val (eng, reqBytes) = apiEngine
+      // init failure (missing parquet, import error) degrades to this ONE
+      // line reporting -1, like every per-query failure — never an abort
+      // that loses the other queries' already-measured results
+      val (eng, reqBytes, expectRows) =
+        try apiEngine
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $apiName init failed: ${e.getMessage}")
+          return -1.0
+        }
       val t0 = System.nanoTime()
       val out = new java.io.ByteArrayOutputStream()
       try QueryStream.serveStreamed(new java.io.ByteArrayInputStream(reqBytes),
@@ -121,8 +132,8 @@ object Bench {
           }
         header = in.readNBytes(5)
       }
-      if (rows != 20000) {
-        System.err.println(s"[bench] $apiName returned $rows rows, want 20000")
+      if (rows != expectRows) {
+        System.err.println(s"[bench] $apiName returned $rows rows, want $expectRows")
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9

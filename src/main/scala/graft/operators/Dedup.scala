@@ -85,14 +85,21 @@ object Dedup {
   /** Distinct word n-gram (shingle) table: (id, gram). The base for MinHash
     * and exact-Jaccard verification. array_distinct dedups within a doc
     * before the explode, so no post-explode shuffle is needed. */
-  def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
-    df.select(col(idCol).as("id"), words.as("words"))
+  /** Distinct word n-gram strings of a WORDS-array column. Pass a staged
+    * attribute, not an inline expression — lambda bodies get no CSE
+    * (SCALE.md's r8 lesson). The single source of the gram shape for
+    * batch dedup/contamination AND the streaming ingest gate
+    * ([[graft.streaming.DocStreams.contaminationGate]]), so the
+    * stream==batch equivalence can't drift. */
+  private[graft] def shinglesOf(words: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(0), size(words) - n),
+      i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+
+  def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.words(col(textCol)).as("words"))
       .filter(size(col("words")) >= n)
-      .select(col("id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(words)-$n), i -> concat_ws(' ', slice(words, i+1, $n)))")))
-        .as("gram"))
-  }
+      .select(col("id"), explode(shinglesOf(col("words"), n)).as("gram"))
 
   /** Distinct word n-gram HASHES: (id, gram64) with no gram string ever
     * materialized — each window's words feed one xxhash64 call directly

@@ -103,7 +103,7 @@ object Sampling {
   def mixPlan(df: DataFrame, textCol: String, sourceCol: String,
       weights: Map[String, Double], budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens: $budgetTokens")
-    val tokens = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val tokens = TextAnalysis.wsTokens(col(textCol))
     // the CASE runs on the post-agg "source" column (one row per source)
     val weight = weights.toSeq.sortBy(_._1).foldLeft(
       when(lit(false), lit(0.0))) { case (acc, (s, w)) =>

@@ -15,8 +15,14 @@ object TextAnalysis {
   /** Canonical whitespace pretokenizer shared by every text operator
     * (lower, trim, collapse runs) — Bpe reuses it so subword training and
     * the gram/TF-IDF operators agree on word boundaries. */
-  private[operators] def words(c: Column): Column =
+  private[graft] def words(c: Column): Column =
     split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
+
+  /** Canonical whitespace token count (shared by [[tokenCounts]] and
+    * [[Sampling.mixPlan]] — the recipe must budget against the SAME token
+    * definition the counter reports, or they silently diverge). */
+  private[graft] def wsTokens(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("long")
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small: the point is the operator shape
@@ -124,7 +130,7 @@ object TextAnalysis {
     * (letter runs / digit runs / single other chars). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("ws_tokens", size(split(trim(t), "\\s+")).cast("long"))
+    df.withColumn("ws_tokens", wsTokens(t))
       .withColumn("bpe_ish_tokens",
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
       .withColumn("chars_per_token",
@@ -212,15 +218,20 @@ object TextAnalysis {
     * signals bitwise. Per-row codegen'd array/regex work, zero shuffle —
     * a scan-time annotation like lang-ID. */
   def codeSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
-    val lines = split(t, "\n")
-    val nLines = size(lines).cast("long")
-    def fracOf(pred: String): Column =
-      size(expr(s"filter(split($textCol, '\\n'), l -> $pred)"))
-        .cast("double") / nLines.cast("double")
-    val termFrac = fracOf(
-      "regexp_like(regexp_replace(l, '[ \\t\\r]+$', ''), '[;{}:]$')")
-    val indentFrac = fracOf("regexp_like(l, '^(  |\\t)')")
+    // pure Column DSL (no SQL-string interpolation of the column name —
+    // a name needing backticks would break an expr() build), with the
+    // line array STAGED once and reused by both line-predicate fractions
+    val staged = df
+      .select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__lines", split(col("__t"), "\n"))
+      .withColumn("__n", size(col("__lines")).cast("long"))
+    val t = col("__t")
+    def lineFrac(pred: Column => Column): Column =
+      size(filter(col("__lines"), pred)).cast("double") /
+        col("__n").cast("double")
+    val termFrac = lineFrac(l =>
+      regexp_like(regexp_replace(l, "[ \\t\\r]+$", ""), lit("[;{}:]$")))
+    val indentFrac = lineFrac(l => regexp_like(l, lit("^(  |\\t)")))
     val kwHits = regexp_count(t,
       lit("\\b(def|class|import|return|function|const|var|while|for)\\b"))
       .cast("long")
@@ -228,8 +239,8 @@ object TextAnalysis {
       (length(t) - length(translate(t, "{}();=<>", ""))).cast("double") /
         length(t).cast("double"))
     val score = termFrac * 0.45 + indentFrac * 0.35 +
-      least(lit(1.0), kwHits.cast("double") / nLines.cast("double")) * 0.2
-    df.select(col(idCol), nLines.as("n_lines"),
+      least(lit(1.0), kwHits.cast("double") / col("__n").cast("double")) * 0.2
+    staged.select(col(idCol), col("__n").as("n_lines"),
       termFrac.as("term_line_frac"), indentFrac.as("indent_frac"),
       kwHits.as("kw_hits"), symDensity.as("sym_density"),
       score.as("code_score"), (score >= 0.5).as("is_code"))
@@ -247,9 +258,14 @@ object TextAnalysis {
   def sentences(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val matches = regexp_extract_all(col(textCol),
       lit("[^.!?]+[.!?]*"), lit(0))
+    // explicit-class trim: SQL trim strips only 0x20 spaces (in Spark AND
+    // DuckDB), so a fragment like "\nSecond line." would keep its leading
+    // newline — inflating n_words with a phantom empty token and, worse,
+    // making dedupSentences miss a cross-doc duplicate of "Second line."
     df.select(col(idCol), posexplode(matches).as(Seq("sent_idx", "raw")))
       .select(col(idCol), col("sent_idx").cast("long").as("sent_idx"),
-        trim(col("raw")).as("sentence"))
+        regexp_replace(col("raw"), "^[ \\t\\n\\r]+|[ \\t\\n\\r]+$", "")
+          .as("sentence"))
       .filter(length(col("sentence")) > 0)
       .withColumn("n_words",
         size(split(col("sentence"), "\\s+")).cast("long"))

@@ -3140,13 +3140,16 @@ object Pipeline {
   val p88Oracle: String =
     """WITH m AS (
       |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents
-      |  FROM documents)
-      |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
-      |  trim(sents[i]) AS sentence,
-      |  CAST(len(string_split_regex(trim(sents[i]), '\s+')) AS BIGINT)
-      |    AS n_words
-      |FROM m, unnest(generate_series(1, CAST(len(sents) AS BIGINT))) t(i)
-      |WHERE length(trim(sents[i])) > 0
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+      |    regexp_replace(sents[i], e'^[ \t\n\r]+|[ \t\n\r]+$', '', 'g')
+      |      AS sentence
+      |  FROM m, unnest(generate_series(1, CAST(len(sents) AS BIGINT))) t(i))
+      |SELECT doc_id, sent_idx, sentence,
+      |  CAST(len(string_split_regex(sentence, '\s+')) AS BIGINT) AS n_words
+      |FROM s
+      |WHERE length(sentence) > 0
       |ORDER BY doc_id, sent_idx""".stripMargin
 
   /** Token-budget mix plan ([[Sampling.mixPlan]]): the 20 sources get
@@ -3318,6 +3321,12 @@ object Pipeline {
     * arithmetic end-to-end; the oracle rebuilds quotes, grams and both
     * containment directions in SQL. */
   def p92ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    // quote siblings live at doc_id + 100000 — fail LOUDLY if a future SF
+    // dir ever reaches that range instead of silently merging quote grams
+    // into unrelated docs (the p84 order-key-guard pattern)
+    val maxId = documents(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 100000L,
+      s"doc_id $maxId collides with the +100000 quote-id range; widen the offset")
     val d = documents(s, dir).select(col("doc_id"), col("lang"),
       col("source"), col("text"))
     val ws = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
@@ -3551,11 +3560,12 @@ object Pipeline {
     """WITH m AS (
       |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents
       |  FROM documents),
-      |s AS (
+      |s0 AS (
       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
-      |    trim(sents[i]) AS sentence
-      |  FROM m, unnest(generate_series(1, CAST(len(sents) AS BIGINT))) t(i)
-      |  WHERE length(trim(sents[i])) > 0),
+      |    regexp_replace(sents[i], e'^[ \t\n\r]+|[ \t\n\r]+$', '', 'g')
+      |      AS sentence
+      |  FROM m, unnest(generate_series(1, CAST(len(sents) AS BIGINT))) t(i)),
+      |s AS (SELECT * FROM s0 WHERE length(sentence) > 0),
       |ranked AS (
       |  SELECT *, row_number() OVER
       |    (PARTITION BY sentence ORDER BY doc_id, sent_idx) AS rn

@@ -76,13 +76,15 @@ object DocStreams {
       textCol: String, idCol: String, tsCol: String, n: Int = 13,
       watermark: String = "2 hours",
       bucketWindow: String = "10 minutes"): DataFrame = {
-    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    // the SAME normalization + shingle expression as the batch twin
+    // (Dedup.wordShingles) — shared code, not a copied string, so a
+    // future change there can't silently break stream==batch
     val grams = docs
-      .select(col(idCol).as("id"), col(tsCol), words.as("words"))
+      .select(col(idCol).as("id"), col(tsCol),
+        graft.operators.TextAnalysis.words(col(textCol)).as("words"))
       .where(size(col("words")) >= n)
-      .select(col("id"), col(tsCol), explode(array_distinct(expr(
-        s"transform(sequence(0, size(words)-$n), i -> concat_ws(' ', slice(words, i+1, $n)))")))
-        .as("gram"))
+      .select(col("id"), col(tsCol),
+        explode(graft.operators.Dedup.shinglesOf(col("words"), n)).as("gram"))
     grams
       .join(broadcast(evalGrams.select(col("gram"), lit(1L).as("__hit"))),
         Seq("gram"), "left")

@@ -27,6 +27,16 @@ object RunOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // LOUDLY name any requested entry with no oracle: a typo'd oracles-map
+    // key would otherwise make check_oracles pass vacuously (it only
+    // value-checks names present in this JSON). Genuine rows-only entries
+    // (m03/p03/p04/p40) also land here — the warning says which case.
+    names.filterNot(graft.SparkEntry.oracleSql.contains).foreach { n =>
+      System.err.println(s"[runone] WARNING: '$n' has no oracleSql entry — " +
+        "check_oracles will report it ROWS-ONLY, not value-check it. " +
+        "If this entry is supposed to be hash-matched, the oracles-map key " +
+        "is missing or typo'd.")
+    }
     val json = graft.SparkEntry.oracleSql.view
       .filterKeys(names.contains).toMap
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

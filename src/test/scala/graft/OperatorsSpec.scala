@@ -1552,7 +1552,8 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, "No terminator at all"),
       (2L, "  . ! ?  "),          // delimiter/whitespace soup -> all dropped
       (3L, ""),
-      (4L, "Dr. Smith arrived? Yes!!")) // naive split: abbreviation splits too
+      (4L, "Dr. Smith arrived? Yes!!"), // naive split: abbreviation splits too
+      (5L, "A line.\nSecond line.\n"))  // newline whitespace trims fully
       .toDF("doc_id", "text")
     val got = TextAnalysis.sentences(rows, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
@@ -1574,6 +1575,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((4L, 0L)) == (("Dr.", 1L)))
     assert(got((4L, 1L)) == (("Smith arrived?", 2L)))
     assert(got((4L, 2L)) == (("Yes!!", 1L)))
+    // the explicit-class trim strips the leading newline (SQL trim would
+    // not), so the dedup key is the bare sentence and n_words has no
+    // phantom token; the trailing "\n" fragment trims to empty and drops
+    assert(got((5L, 0L)) == (("A line.", 2L)))
+    assert(got((5L, 1L)) == (("Second line.", 2L)))
+    assert(!got.contains((5L, 2L)))
   }
 
   test("mixPlan: epochs/sample_rate arithmetic and zero-weight sources") {
