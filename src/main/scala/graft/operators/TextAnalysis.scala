@@ -802,6 +802,18 @@ object TextAnalysis {
     "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in", "co.kr",
     "com.mx")
 
+  /** Absolute http(s) outlinks of an HTML column: every double-quoted
+    * `href` attribute value that carries an explicit scheme (relative
+    * links and mailto/javascript/... schemes are dropped — resolving
+    * relatives needs the page's base URL, which the caller can prepend
+    * before this filter if it has one). The crawl-side primitive that
+    * feeds host-graph construction ([[graft.operators.DomainRank]]) and
+    * frontier expansion. Per-row regexp_extract_all, zero shuffle;
+    * RE2-compatible pattern. */
+  def hrefs(html: Column): Column =
+    filter(regexp_extract_all(html, lit("<a[^>]*href=\"([^\"]*)\""), lit(1)),
+      x => x.rlike("(?i)^https?://"))
+
   /** Registered (pay-level) domain of a host column: last two labels, or
     * last three when the last two are a listed second-level suffix —
     * the grouping key for per-site dedup/quality stats (RefinedWeb-style

@@ -3581,6 +3581,48 @@ object Pipeline {
       |  CAST(length(rebuilt) AS BIGINT) AS rebuilt_len
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Web-graph construction ([[TextAnalysis.hrefs]] → host edges): each
+    * doc is a synthetic HTML page on host h(doc%17) with two absolute
+    * links (one SHOUTING-case with tracking params, one with a fragment)
+    * and a mailto that must be dropped; the extractor + host
+    * canonicalization must recover the edge list the oracle states from
+    * the generator arithmetic alone. This is the input side of the
+    * [[DomainRank]] pipeline (p83 ranks a host graph; p98 BUILDS one from
+    * markup). */
+  def p98OutlinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val html = expr(
+      "concat('<html><body><p>Intro text</p><a href=\"HTTP://H', " +
+        "CAST((doc_id + 1) % 17 AS STRING), " +
+        "'.Example.ORG/a/', doc_id, '?utm_source=x&id=', doc_id, " +
+        "'\">one</a><a class=\"x\" href=\"http://h', " +
+        "CAST((doc_id * 3 + 2) % 17 AS STRING), " +
+        "'.example.org/b/', doc_id, '#frag\">two</a>" +
+        "<a href=\"mailto:x@y.example\">mail</a></body></html>')")
+    val pages = documents(s, dir).select(col("doc_id"),
+      concat(lit("h"), col("doc_id") % 17, lit(".example.org")).as("src_host"),
+      html.as("html"))
+    pages
+      .select(col("src_host"),
+        explode(TextAnalysis.hrefs(col("html"))).as("href"))
+      .select(col("src_host"),
+        TextAnalysis.urlHost(col("href")).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+      .orderBy(col("src_host"), col("dst_host"))
+  }
+
+  val p98Oracle: String =
+    """WITH e AS (
+      |  SELECT 'h' || CAST(doc_id % 17 AS VARCHAR) || '.example.org' AS src_host,
+      |    unnest([
+      |      'h' || CAST((doc_id + 1) % 17 AS VARCHAR) || '.example.org',
+      |      'h' || CAST((doc_id * 3 + 2) % 17 AS VARCHAR) || '.example.org'
+      |    ]) AS dst_host
+      |  FROM documents)
+      |SELECT src_host, dst_host, count(*) AS n_links
+      |FROM e GROUP BY src_host, dst_host
+      |ORDER BY src_host, dst_host""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3680,7 +3722,8 @@ object Pipeline {
     "p94_gram_novelty" -> (p94GramNovelty _),
     "p95_markdown_strip" -> (p95MarkdownStrip _),
     "p96_vocabulary" -> (p96Vocabulary _),
-    "p97_sentence_dedup" -> (p97SentenceDedup _))
+    "p97_sentence_dedup" -> (p97SentenceDedup _),
+    "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   val oracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
@@ -3778,5 +3821,6 @@ object Pipeline {
     "p94_gram_novelty" -> p94Oracle,
     "p95_markdown_strip" -> p95Oracle,
     "p96_vocabulary" -> p96Oracle,
-    "p97_sentence_dedup" -> p97Oracle)
+    "p97_sentence_dedup" -> p97Oracle,
+    "p98_outlink_graph" -> p98Oracle)
 }

@@ -1452,6 +1452,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0L, "")))
   }
 
+  test("hrefs extracts absolute http(s) links, drops relative and mailto") {
+    val html = "<a href=\"https://A.example/x\">1</a> " +
+      "<a class=\"c\" href=\"HTTP://b.example/y?z=1\">2</a> " +
+      "<a href=\"/relative/path\">3</a> " +
+      "<a href=\"mailto:a@b.c\">4</a> " +
+      "<a href=\"javascript:void(0)\">5</a>"
+    val got = Seq((0L, html)).toDF("doc_id", "html")
+      .select(TextAnalysis.hrefs(col("html")).as("h"))
+      .head().getSeq[String](0)
+    assert(got == Seq("https://A.example/x", "HTTP://b.example/y?z=1"))
+  }
+
   test("gramNovelty credits first occurrence by id order") {
     val rows = Seq(
       (1L, "a b c d e"),        // 3 grams, all first -> novelty 1
