@@ -409,11 +409,26 @@ object Dedup {
 
   /** Exact word-n-gram Jaccard similarity for pairs inside a blocking key
     * (e.g. same lang+source): gram-level self-join, then |A∩B| /
-    * (|A|+|B|-|A∩B|) in exact integer arithmetic. */
+    * (|A|+|B|-|A∩B|) in exact integer arithmetic.
+    *
+    * `maxDf` caps gram DOCUMENT FREQUENCY inside each block before the
+    * self-join: a boilerplate gram shared by k docs fans out to k² pair
+    * rows, so with license-header boilerplate at corpus scale k is
+    * millions and the join is quadratic on that one key — blocking bounds
+    * WHICH pairs can meet, not this per-gram fan-out. Grams with
+    * df > maxDf are dropped from BOTH the intersection and the size
+    * denominators (see [[capGramDf]] for the skew-free build), so the
+    * result is the exact Jaccard over the df-capped gram set: a gram in
+    * >maxDf docs carries ~zero pair-discrimination signal (it is corpus
+    * boilerplate by definition) while keeping it makes the plan a
+    * scale-killer. Per-gram fan-out is now ≤ maxDf²/2 pairs. */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
-      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.15): DataFrame = {
-    val grams = wordShingles(df, textCol, idCol, n)
-      .join(df.select((col(idCol).as("id") +: blockCols.map(col)): _*), Seq("id"))
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.15,
+      maxDf: Int = 1000): DataFrame = {
+    val grams = capGramDf(
+      wordShingles(df, textCol, idCol, n)
+        .join(df.select((col(idCol).as("id") +: blockCols.map(col)): _*), Seq("id")),
+      blockCols, maxDf)
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))(_ && _)
@@ -427,6 +442,34 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Document-frequency guard for the exact gram self-joins: keep only
+    * grams appearing in ≤ maxDf docs within their block.
+    *
+    * NOT a window count (the [[minHashCandidates]] bucket guard): a
+    * window partitioned by (block, gram) puts all k rows of a hot gram on
+    * ONE task — the exchange that exists to kill quadratic fan-out would
+    * itself carry linear key skew, and the ≤2×-fair-share pin
+    * (OperatorsSpec "ngramJaccard/containmentPairs: df cap …") fails on
+    * it. Instead: a groupBy df count, whose map-side partial aggregation
+    * collapses the hot key to ≤ one row per map partition before the
+    * shuffle (no skew), filtered to ONLY the over-cap grams — a list
+    * small by construction (≤ gramRows/maxDf distinct keys, and in
+    * practice it IS the corpus-boilerplate set) — then an explicit
+    * broadcast anti-join, so the raw gram rows are never partitioned by
+    * bare gram while a hot gram still exists. The broadcast hint holds
+    * even with autoBroadcastJoinThreshold=-1. At corpus scale the hot
+    * list is snapshot-level metadata: build it once per corpus version
+    * and share it across every exact-dedup pass. */
+  private def capGramDf(grams: DataFrame, blockCols: Seq[String],
+      maxDf: Int): DataFrame = {
+    val key = blockCols :+ "gram"
+    val hot = grams.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(key.map(col): _*)
+    grams.join(broadcast(hot), key, "left_anti")
   }
 
   /** Per-document n-gram NOVELTY against the whole corpus: the fraction
@@ -463,12 +506,19 @@ object Dedup {
     * blocked gram-equality self-join (never all-pairs; `blockCols` carry
     * the partition/language/source blocking), one (id_a, id_b) count
     * aggregation, sizes joined back. The shuffle carries candidate PAIRS,
-    * not the corpus. */
+    * not the corpus — and `maxDf` (see [[ngramJaccard]]) caps the
+    * per-gram k² fan-out a corpus-boilerplate gram would otherwise
+    * inject. Containment over the df-capped gram set stays a sound
+    * quote/subset signal: a contained quote's grams are rare (they come
+    * from ONE parent) unless the quote itself is boilerplate, which is
+    * exactly what the cap is meant to not-count. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val grams = wordShingles(df, textCol, idCol, n)
-      .join(df.select((col(idCol).as("id") +: blockCols.map(col)): _*), Seq("id"))
+      threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    val grams = capGramDf(
+      wordShingles(df, textCol, idCol, n)
+        .join(df.select((col(idCol).as("id") +: blockCols.map(col)): _*), Seq("id")),
+      blockCols, maxDf)
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))(_ && _)

@@ -44,8 +44,11 @@ object Pipeline {
       Dedup.simHashSignatures(documents(s, dir), "text", "doc_id"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Exact word-3-gram Jaccard over (lang, source) blocks. Exact integer
-    * arithmetic end-to-end, so it oracle-checks against DuckDB. */
+  /** Exact word-3-gram Jaccard over (lang, source) blocks, over the
+    * df-capped gram set (maxDf=1000 — the oracle's `gcap` CTE replays the
+    * identical window-count cap, so the entry stays hash-matched while
+    * the plan stops being quadratic on boilerplate grams). Exact integer
+    * arithmetic end-to-end. */
   def p05NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(documents(s, dir), "text", "doc_id",
       Seq("lang", "source"), n = 3, threshold = 0.05)
@@ -62,10 +65,15 @@ object Pipeline {
       |          FROM documents),
       |         UNNEST(generate_series(1, len(w)-2)) AS t(i)
       |    WHERE len(w) >= 3)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+      |gcap AS (
+      |  SELECT doc_id, lang, source, g FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY lang, source, g) AS df
+      |    FROM grams)
+      |  WHERE df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM gcap GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |  FROM grams a JOIN grams b
+      |  FROM gcap a JOIN gcap b
       |    ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
       |   AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)
@@ -3282,13 +3290,22 @@ object Pipeline {
        |FROM dom3 ORDER BY doc_id""".stripMargin
   }
 
-  /** Int8 embedding quantization ([[Similarity.quantizeInt8]]): codes,
-    * scale and the sequential-fold squared reconstruction error over the
-    * real embeddings table — every value a single-IEEE-op consequence of
-    * the float inputs, so DuckDB replays all of it bitwise (list_transform
-    * for the codes, list_reduce for the same left-fold error sum). */
+  /** Int8 embedding quantization ([[Similarity.quantizeInt8]]): scale and
+    * the sequential-fold squared reconstruction error over the real
+    * embeddings table — every value a single-IEEE-op consequence of the
+    * float inputs, so DuckDB replays all of it bitwise (list_transform for
+    * the codes, list_reduce for the same left-fold error sum). The int
+    * codes array itself is emitted as `codes_md5` (md5 over the
+    * comma-joined decimal rendering, the p97 `rebuilt_md5` pattern) so the
+    * driver harness only ever sorts scalars — its pandas comparator
+    * crashes on list columns; raw-array exactness stays pinned in
+    * OperatorsSpec ("quantizeInt8: code bounds…"). */
   def p91EmbedQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(embeddings(s, dir), "embedding", "vec_id")
+      .select(col("vec_id"),
+        md5(array_join(transform(col("codes"), c => c.cast("string")), ","))
+          .as("codes_md5"),
+        col("scale"), col("err_sq"))
       .orderBy(col("vec_id"))
 
   val p91Oracle: String =
@@ -3306,7 +3323,8 @@ object Pipeline {
       |         ELSE list_transform(v,
       |           x -> CAST(round(x * 127.0 / max_abs) AS INT)) END AS codes
       |  FROM m)
-      |SELECT vec_id, codes, scale,
+      |SELECT vec_id,
+      |  md5(array_to_string(codes, ',')) AS codes_md5, scale,
       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |    list_transform(generate_series(1, CAST(len(v) AS BIGINT)),
       |      i -> (v[i] - codes[i] * scale) * (v[i] - codes[i] * scale))),
@@ -3358,10 +3376,15 @@ object Pipeline {
       |          FROM base),
       |         UNNEST(generate_series(1, len(w)-2)) AS t(i)
       |    WHERE len(w) >= 3)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+      |gcap AS (
+      |  SELECT doc_id, lang, source, g FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY lang, source, g) AS df
+      |    FROM grams)
+      |  WHERE df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM gcap GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |  FROM grams a JOIN grams b
+      |  FROM gcap a JOIN gcap b
       |    ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
       |   AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)

@@ -823,6 +823,72 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccard/containmentPairs: df cap drops boilerplate grams without a straggler") {
+    // synthetic skew: ONE trigram ("boiler plate gram") shared by every
+    // even doc — 2000 docs on a single (block, gram) key. Uncapped, the
+    // gram self-join fans that key out to ~2M pair rows (k²); capped, the
+    // hot gram is anti-joined away before any gram-keyed exchange exists,
+    // so no shuffle-reading stage may show a >2x-fair-share task. Docs 1
+    // and 3 are identical rare-gram texts — the pair the cap must KEEP.
+    val docs = spark.range(4000).selectExpr("id AS doc_id",
+      """CASE WHEN id IN (1, 3) THEN 'alpha beta gamma delta epsilon zeta'
+        |  WHEN id % 2 = 0
+        |  THEN concat('boiler plate gram u', id, 'a u', id, 'b u', id, 'c')
+        |  ELSE concat('x', id, 'a x', id, 'b x', id, 'c x', id, 'd')
+        |END AS text""".stripMargin)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val stageRead = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+    val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) {
+          val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
+          stageRead.computeIfAbsent(e.stageId, _ => new java.util.concurrent.atomic.LongAdder())
+            .add(recs)
+          taskMax.computeIfAbsent(e.stageId, _ => new java.util.concurrent.atomic.AtomicLong())
+            .accumulateAndGet(recs, math.max)
+        }
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // force every non-hinted join to shuffle (capGramDf's explicit
+      // broadcast() hint must survive this — that is part of the pin) and
+      // keep the partition layout observable (see the crossDocSpans pin)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val jac = Dedup.ngramJaccard(docs, "text", "doc_id",
+          Seq("lang", "source"), n = 3, threshold = 0.1, maxDf = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+      // the only surviving pair is the rare-gram duplicate; the 2000-doc
+      // boilerplate overlap is capped away (its gram IS the only overlap)
+      assert(jac.keySet == Set((1L, 3L)), s"pairs: ${jac.keySet}")
+      assert(jac((1L, 3L)) == 1.0)
+      val cont = Dedup.containmentPairs(docs, "text", "doc_id",
+          Seq("lang", "source"), n = 3, threshold = 0.8, maxDf = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(6)).toMap
+      assert(cont.keySet == Set((1L, 3L)), s"pairs: ${cont.keySet}")
+      assert(cont((1L, 3L)) == 1.0)
+      Thread.sleep(1000) // listener bus is async
+      import scala.jdk.CollectionConverters._
+      val fairShare =
+        1.0 / spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val checked = stageRead.asScala.filter(_._2.sum() > 4000)
+      assert(checked.nonEmpty, "expected at least one shuffle-heavy stage")
+      checked.foreach { case (stage, total) =>
+        val mx = taskMax.get(stage).get()
+        assert(mx.toDouble / total.sum() <= 2.0 * fairShare,
+          s"stage $stage: hottest task read $mx of ${total.sum()} " +
+            s"shuffle records (fair share $fairShare)")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("G.711 ulaw/alaw decode matches the JDK converters on all 256 codes") {
     import graft.operators.Multimodal
     val codes = Array.tabulate[Byte](256)(_.toByte)
