@@ -45,8 +45,15 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
 
   private val mapper = new ObjectMapper()
   private val startedAt = System.currentTimeMillis()
+  // single-node cluster identity (reference nodes carry an opaque ID plus
+  // their address; here both describe the one driver process)
+  private val nodeId = java.util.UUID.randomUUID().toString
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
+
+  private def selfAddress: String =
+    if (server == null) "127.0.0.1"
+    else s"127.0.0.1:${server.getAddress.getPort}"
 
   /** Start on 127.0.0.1:`port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
@@ -200,6 +207,43 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
     // --- events (single-node: accepted, nothing to propagate) -------------
     case ("POST", "events" :: Nil) =>
       reply(ex, 200, okJson("null"))
+
+    // --- cluster (single-node parity; reference routes.go:171-205) --------
+    // The reference's node-to-node internals (gob message streams, lease
+    // elections) are moot on a single-driver engine (SURVEY §7.5): these
+    // routes answer with the truthful single-node state — primary = self,
+    // members = [self], elections refused exactly the way the reference
+    // refuses them when the current node is the up-to-date primary — so a
+    // reference client never 404s. Same cluster:manage scope as key
+    // rotation (the Internal-middleware analog).
+    case ("POST", "cluster" :: "connection" :: Nil) =>
+      demandManage(key, "cluster:manage")
+      reply(ex, 200, okJson(s"""{"node":${jstr(nodeId)},""" +
+        s""""address":${jstr(selfAddress)},"primary":true}"""))
+    case ("POST", "cluster" :: "election" :: Nil) =>
+      demandManage(key, "cluster:manage")
+      val n = mapper.readTree(body)
+      if (!n.hasNonNull("candidate") || !n.hasNonNull("seed") ||
+          !n.hasNonNull("started_at"))
+        reply(ex, 400,
+          errorJson("candidate, seed and started_at are required"))
+      else
+        // cluster_election_controller.go:46-55: a primary with a fresh
+        // lease refuses elections — on a single node that is ALWAYS true
+        reply(ex, 400, errorJson(
+          "Cannot start election, current node is primary and lease is up to date"))
+    case ("POST", "cluster" :: "members" :: Nil) =>
+      demandManage(key, "cluster:manage")
+      reply(ex, 200, okJson(s"""[{"id":${jstr(nodeId)},""" +
+        s""""address":${jstr(selfAddress)},"membership":"primary"}]"""))
+    case ("DELETE", "cluster" :: "members" :: _ :: Nil) =>
+      demandManage(key, "cluster:manage")
+      reply(ex, 400,
+        errorJson("cannot remove the only node of a single-node cluster"))
+    case ("POST", "cluster" :: "primary" :: Nil) =>
+      demandManage(key, "cluster:manage")
+      reply(ex, 200,
+        okJson(s"""{"primary":${jstr(selfAddress)},"self":true}"""))
 
     // --- access keys -------------------------------------------------------
     case ("GET", "access-keys" :: Nil) =>

@@ -101,40 +101,73 @@ object Dedup {
       .filter(size(col("words")) >= n)
       .select(col("id"), explode(shinglesOf(col("words"), n)).as("gram"))
 
-  /** Distinct word n-gram HASHES: (id, gram64) with no gram string ever
-    * materialized — each window's words feed one xxhash64 call directly
-    * (order-sensitive), and array_distinct dedups 8-byte longs instead of
-    * strings. The map-side-cheap base for MinHash at corpus scale; use
-    * [[wordShingles]] when the gram text itself is needed (exact Jaccard,
-    * oracles). */
+  /** Modulus of the affine MinHash permutation family: 2^31 - 1 (prime).
+    * 31-bit values keep every a·g+b product under 2^62, so the whole
+    * family is overflow-free 64-bit integer arithmetic in ANY engine —
+    * Spark with ANSI checking on, and DuckDB replaying the oracle. */
+  private[graft] val MinHashMod = 2147483647L
+
+  /** Deterministic (a, b) coefficients for the k affine permutations
+    * h_i(g) = (a_i·g + b_i) mod (2^31-1) — the classic Broder/universal
+    * MinHash family. Driver-side xorshift from `seed`; the constants are
+    * rendered as LITERALS into both the Spark plan and the generated
+    * DuckDB oracle SQL, so the two engines agree by construction. */
+  private[graft] def affineCoeffs(k: Int, seed: Long): IndexedSeq[(Long, Long)] = {
+    var x = if (seed == 0L) 0x9E3779B97F4A7C15L else seed
+    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    (0 until k).map { _ =>
+      (math.floorMod(next(), MinHashMod - 1) + 1, math.floorMod(next(), MinHashMod))
+    }
+  }
+
+  /** SQL lambda body producing the 31-bit md5-derived gram hash for the
+    * n-gram starting at 0-based word index `i` of array `arr`: top 31
+    * bits of md5 over the space-joined gram text — md5 rather than
+    * xxhash64 so ANY engine reproduces the value bitwise (the p12
+    * fingerprint precedent; DuckDB replays it as
+    * ('0x'||substr(md5(g),1,8))::BIGINT & 2147483647). */
+  private def gram31Sql(arr: String, n: Int): String = {
+    val gram = (0 until n).map(j => s"element_at($arr, i+1+$j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    s"cast(conv(substring(md5($gram), 1, 8), 16, 10) as bigint) & 2147483647"
+  }
+
+  /** Distinct word n-gram HASHES: (id, g31) with the 31-bit md5-derived
+    * gram identity (see [[gram31Sql]]) and array_distinct dedup on 8-byte
+    * longs. One md5 per gram position — the k permutations downstream are
+    * pure integer mul-add-mods over this value, NOT k more hash calls.
+    * Use [[wordShingles]] when the gram text itself is needed (exact
+    * Jaccard, oracles). */
   def wordShingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
-    val gramHash = (0 until n).map(j => s"element_at(ws, i+1+$j)").mkString(", ")
     df.select(col(idCol).as("id"), words.as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(ws)-$n), i -> xxhash64($gramHash))")))
-        .as("gram64"))
+        s"transform(sequence(0, size(ws)-$n), i -> ${gram31Sql("ws", n)})")))
+        .as("g31"))
   }
 
-  /** MinHash signatures: k independent hash "permutations" of the shingle
-    * set, each a seeded xxhash64 (no arithmetic, so ANSI overflow checking
-    * never trips). One explode + one groupBy(id) with k min() aggregates
-    * (map-side partial aggregation keeps the shuffle at k longs per doc).
+  /** MinHash signatures: k affine "permutations" h_i(g) = (a_i·g + b_i)
+    * mod (2^31-1) over the md5-derived 31-bit gram identities — the
+    * textbook universal family, chosen over seeded xxhash64 because every
+    * value is replayable in a SQL oracle engine (md5 + integer
+    * arithmetic) while the map-side cost DROPS: one md5 per gram plus k
+    * mul-add-mods, instead of 1+k xxhash64 calls. One explode + one
+    * groupBy(id) with k min() aggregates (map-side partial aggregation
+    * keeps the shuffle at k longs per doc).
     *
-    * Accepts either a (id, gram) string shingle table or a (id, gram64)
-    * hash table from [[wordShingleHashes]]. A gram string is hashed
-    * exactly once; each of the k permutations then hashes only
-    * (seed+i, gram64) — 16 fixed-width bytes instead of re-walking the
-    * string k times, cutting the dominant map-side cost by ~k× on long
-    * shingles while staying minwise-independent (xxhash64 over a seeded
-    * 64-bit input is as uniform as over the string). */
+    * Accepts either a (id, gram) string shingle table or a (id, g31)
+    * hash table from [[wordShingleHashes]]. */
   def minHashSignatures(shingles: DataFrame, k: Int = 32, seed: Long = 42L): DataFrame = {
     val hashed =
-      if (shingles.columns.contains("gram64")) shingles
-      else shingles.withColumn("gram64", xxhash64(col("gram")))
+      if (shingles.columns.contains("g31")) shingles
+      else shingles.withColumn("g31",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x7FFFFFFFL)))
+    val co = affineCoeffs(k, seed)
     val sigs = (0 until k).map { i =>
-      min(xxhash64(lit(seed + i), col("gram64"))).as(s"mh$i")
+      val (a, b) = co(i)
+      min((col("g31") * a + b) % MinHashMod).as(s"mh$i")
     }
     hashed.groupBy(col("id")).agg(sigs.head, sigs.tail: _*)
   }
@@ -155,10 +188,10 @@ object Dedup {
       shingleLen: Int, k: Int = 32, seed: Long = 42L,
       carryCols: Seq[String] = Nil): DataFrame = {
     val n = shingleLen
-    val gramHash = (0 until n).map(j => s"element_at(__ws, i + 1 + $j)")
-      .mkString(", ")
+    val co = affineCoeffs(k, seed)
     val sigCols = (0 until k).map { i =>
-      expr(s"array_min(transform(__g64, g -> xxhash64(${seed + i}L, g)))")
+      val (a, b) = co(i)
+      expr(s"array_min(transform(__g31, g -> (g * ${a}L + ${b}L) % ${MinHashMod}L))")
         .as(s"mh$i")
     }
     val carried = carryCols.map(col)
@@ -166,9 +199,25 @@ object Dedup {
         split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
           .as("__ws") +: carried): _*)
       .filter(size(col("__ws")) >= n)
-      .withColumn("__g64", array_distinct(expr(
-        s"transform(sequence(0, size(__ws) - $n), i -> xxhash64($gramHash))")))
+      .withColumn("__g31", array_distinct(expr(
+        s"transform(sequence(0, size(__ws) - $n), i -> ${gram31Sql("__ws", n)})")))
       .select((col("id") +: (sigCols ++ carried)): _*)
+  }
+
+  /** Shared LSH band-key columns over mh0..mh(k-1): one struct per band
+    * holding (band, bh) where bh = md5 over the comma-joined band index +
+    * its `rowsPerBand` minhash values — an oracle-replayable bucket key
+    * (DuckDB computes the identical md5 of the identical decimal
+    * rendering), shared by the batch dedup paths, the streaming admission
+    * gate, and the StreamingSpec batch twin. */
+  private[graft] def bandKeyCols(k: Int, rowsPerBand: Int): Seq[Column] = {
+    val bands = k / rowsPerBand
+    (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        md5(concat_ws(",", (lit(j) +: (0 until rowsPerBand)
+            .map(r => col(s"mh${j * rowsPerBand + r}"))).map(_.cast("string")): _*))
+          .as("bh"))
+    }
   }
 
   /** LSH banding: candidate pairs whose signatures agree on at least one
@@ -177,12 +226,7 @@ object Dedup {
     * quadratically blow up under skew. */
   def minHashCandidates(signatures: DataFrame, k: Int = 32, rowsPerBand: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    val bands = k / rowsPerBand
-    val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64((lit(j) +: (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))): _*)
-          .as("bh"))
-    }
+    val bandCols = bandKeyCols(k, rowsPerBand)
     val buckets = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
@@ -238,13 +282,8 @@ object Dedup {
     // paying the (doc, gram) shuffle. minHashSignaturesPerDoc remains the
     // streaming-ingest path, where an aggregation would need state.
     val sigs = minHashSignatures(wordShingleHashes(df, textCol, idCol, shingleLen), k)
-    val bands = k / rowsPerBand
     val mhCols = (0 until k).map(i => col(s"mh$i"))
-    val bandCol = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64((lit(j) +: (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))): _*)
-          .as("bh"))
-    }
+    val bandCol = bandKeyCols(k, rowsPerBand)
     val exploded = sigs
       .select((col("id") +: explode(array(bandCol: _*)).as("b") +: mhCols): _*)
       .select((col("id") +: col("b.band").as("band") +: col("b.bh").as("bh") +: mhCols): _*)
@@ -356,14 +395,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: explode words, 64 signed bit-sums in one
-    * aggregation, reassembled into a long. */
+    * aggregation, reassembled into a long. The word feature hash is the
+    * md5-derived 64-bit value carried as two 32-bit halves (hi = first 8
+    * md5 hex chars, lo = next 8) — md5 rather than xxhash64 so a SQL
+    * oracle engine replays every bit (the p12 precedent), and the halves
+    * stay non-negative so the per-bit extraction is plain positive-long
+    * shift-and-mask in any engine. */
   def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
     val tokens = df.select(col(idCol).as("id"), explode(words).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("wh"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("whi"),
+        conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("wlo"))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("wh"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"bit$i")
+      val half = if (i < 32) shiftright(col("wlo"), i)
+        else shiftright(col("whi"), i - 32)
+      sum(when(half.bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit$i")
     }
     tokens.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),

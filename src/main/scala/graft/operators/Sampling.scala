@@ -99,7 +99,10 @@ object Sampling {
     * result is one row per SOURCE. All arithmetic is single IEEE ops on
     * integer-valued inputs, so the report is bit-reproducible in any
     * engine. Sources absent from `weights` get weight 0.0 (excluded by
-    * the recipe) but still report their supply. */
+    * the recipe) but still report their supply; a RECIPE source with no
+    * corpus supply (typo, or a feed that went dark) surfaces as a row
+    * with n_docs = 0 and epochs = Infinity — loud, never silently
+    * dropped (r8 advice). */
   def mixPlan(df: DataFrame, textCol: String, sourceCol: String,
       weights: Map[String, Double], budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens: $budgetTokens")
@@ -109,13 +112,38 @@ object Sampling {
       when(lit(false), lit(0.0))) { case (acc, (s, w)) =>
         acc.when(col("source") === s, lit(w))
       }.otherwise(lit(0.0))
-    df.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("src_tokens"))
+    // a weighted source with ZERO corpus supply must surface as a report
+    // row (epochs = Infinity is the loud signal a recipe author needs),
+    // never silently vanish — groupBy alone only yields rows for sources
+    // present in df (r8 advice). Sentinel zero-rows for every RECIPE
+    // source are unioned BEFORE the one aggregation (n_docs counts only
+    // real rows, via the flag), so the plan keeps exactly ONE map-side-
+    // combined hash exchange — no second corpus pass, no join (the
+    // PlanShapeSpec p89 pin). The recipe is human-written, so the
+    // sentinel side is a bounded literal relation.
+    val base = df.select(col(sourceCol).as("source"),
+      tokens.cast("long").as("__tok"), lit(1L).as("__doc"))
+    val withRecipe =
+      if (weights.isEmpty) base
+      else {
+        import df.sparkSession.implicits._
+        base.unionByName(weights.keys.toSeq.sorted.toDF("source")
+          .select(col("source"), lit(0L).as("__tok"), lit(0L).as("__doc")))
+      }
+    withRecipe
+      .groupBy(col("source"))
+      .agg(sum(col("__doc")).as("n_docs"), sum(col("__tok")).as("src_tokens"))
       .withColumn("weight", weight.as("weight"))
       .withColumn("target_tokens",
         col("weight") * lit(budgetTokens).cast("double"))
+      // explicit zero-supply branches: ANSI division throws on a zero
+      // divisor even for doubles, and Infinity IS the signal we want for
+      // a weighted source with no corpus supply
       .withColumn("epochs",
-        col("target_tokens") / col("src_tokens").cast("double"))
+        when(col("src_tokens") > 0,
+            col("target_tokens") / col("src_tokens").cast("double"))
+          .when(col("target_tokens") > 0, lit(Double.PositiveInfinity))
+          .otherwise(lit(0.0)))
       .withColumn("sample_rate", least(lit(1.0), col("epochs")))
   }
 

@@ -32,17 +32,122 @@ object Pipeline {
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
-  /** MinHash + LSH near-duplicate pairs (no SQL oracle — the driver records
-    * a rows-only check; exactness is covered by DedupSpec). */
+  /** MinHash + LSH near-duplicate pairs. Hash-matched since r9: the
+    * signature family is md5-derived 31-bit gram identities under k
+    * affine permutations (a_i·g + b_i mod 2^31-1) with md5 band-bucket
+    * keys, so the oracle below replays the ENTIRE pipeline — shingles,
+    * permutation minima, banding, the maxBucket window guard, and the
+    * agreement-fraction estimate — in DuckDB with the same rendered
+    * coefficient literals the Spark plan carries. */
   def p03DedupMinHash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashDedup(documents(s, dir), "text", "doc_id", threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-duplicate pairs within hamming distance 3. */
+  /** Generated MinHash oracle: the affine coefficients come from the SAME
+    * [[Dedup.affineCoeffs]] call the operator uses, rendered as literals,
+    * so Spark and DuckDB agree by construction (the SRP rendered-matrix
+    * pattern). */
+  val p03Oracle: String = {
+    val k = 32; val rowsPerBand = 4; val maxBucket = 1000
+    val m = Dedup.MinHashMod
+    val co = Dedup.affineCoeffs(k, 42L)
+    val minCols = co.zipWithIndex.map { case ((a, b), i) =>
+      s"    MIN((g31 * $a + $b) % $m) AS mh$i" }.mkString(",\n")
+    val bandSelects = (0 until k / rowsPerBand).map { j =>
+      val vals = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}")
+      val bh = vals.mkString(s"md5($j || ',' || ", " || ',' || ", ")")
+      val mhList = (0 until k).map(i => s"mh$i").mkString(", ")
+      s"  SELECT doc_id, $j AS band, $bh AS bh, $mhList FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x'||substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),1,8))::BIGINT
+       |      & 2147483647 AS g31
+       |  FROM w, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+       |  WHERE len(w) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |$minCols
+       |  FROM g GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |cap AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bh) AS sz FROM bands)
+       |  WHERE sz BETWEEN 2 AND $maxBucket)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST($agree AS DOUBLE) / $k AS est_jaccard
+       |FROM cap a JOIN cap b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |WHERE CAST($agree AS DOUBLE) / $k >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SimHash near-duplicate pairs within hamming distance 3. Hash-matched
+    * since r9: the word feature hash is the md5-derived 64-bit value (two
+    * 32-bit halves), so the oracle replays bit sums, sign assembly, the
+    * 16-bit band buckets with the maxBucket guard, and the hamming
+    * filter entirely in DuckDB integer arithmetic. */
   def p04DedupSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashCandidates(
       Dedup.simHashSignatures(documents(s, dir), "text", "doc_id"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Generated SimHash oracle: 64 bit-sum aggregates over the md5 word
+    * hash halves, unsigned HUGEINT assembly folded back to the signed
+    * BIGINT Spark emits, band values from the unsigned form. */
+  val p04Oracle: String = {
+    val maxBucket = 1000
+    val bitSums = (0 until 64).map { i =>
+      val sh = if (i < 32) s"(lo >> $i)" else s"(hi >> ${i - 32})"
+      s"    SUM(CASE WHEN ($sh & 1) = 1 THEN 1 ELSE -1 END) AS bit$i"
+    }.mkString(",\n")
+    val assemble = (0 until 64).map { i =>
+      s"CASE WHEN bit$i > 0 THEN ${BigInt(1) << i}::HUGEINT ELSE 0::HUGEINT END"
+    }.mkString(" + ")
+    val bandSelects = (0 until 4).map { j =>
+      val div = BigInt(1) << (16 * j)
+      s"  SELECT doc_id, simhash, $j AS band, CAST((uh // $div::HUGEINT) % 65536 AS BIGINT) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents),
+       |wh AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5(w),1,8))::BIGINT AS hi,
+       |    ('0x'||substr(md5(w),9,8))::BIGINT AS lo
+       |  FROM tok),
+       |bits AS (
+       |  SELECT doc_id,
+       |$bitSums
+       |  FROM wh GROUP BY doc_id),
+       |u AS (SELECT doc_id, $assemble AS uh FROM bits),
+       |sig AS (
+       |  SELECT doc_id, uh,
+       |    CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+       |      THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS simhash
+       |  FROM u),
+       |bands AS (
+       |$bandSelects),
+       |cap AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bh) AS sz FROM bands)
+       |  WHERE sz BETWEEN 2 AND $maxBucket)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM cap a JOIN cap b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Exact word-3-gram Jaccard over (lang, source) blocks, over the
     * df-capped gram set (maxDf=1000 — the oracle's `gcap` CTE replays the
@@ -2896,9 +3001,10 @@ object Pipeline {
 
   /** Domain authority ([[DomainRank.pageRank]]): a deterministic 17-host
     * link graph synthesized from doc_ids, ranked by 10 damped power
-    * iterations. Float addition order is engine-dependent, so this is a
-    * rows-only driver entry; exactness (analytic fixed points + an
-    * independent reference recurrence at 1e-12) lives in DomainRankSpec. */
+    * iterations. Hash-matched since r8 via [[p83Oracle]]'s unrolled-CTE
+    * replay (rank6 rounding absorbs float addition order on this 17-node
+    * graph); the analytic fixed points + an independent reference
+    * recurrence at 1e-12 stay in DomainRankSpec. */
   def p83DomainRank(s: SparkSession, dir: String): DataFrame = {
     // dst folds a mod-23 residue into 17 hosts, so in-degrees skew
     // (h0–h5 catch the fold-over) instead of degenerating to a uniform
@@ -3181,23 +3287,35 @@ object Pipeline {
     val cases = p89Weights.sortBy(_._1)
       .map { case (s, w) => s"WHEN source = '$s' THEN CAST('$w' AS DOUBLE)" }
       .mkString("\n    ")
-    s"""WITH agg AS (
+    val recipeVals = p89Weights.map(_._1).sorted
+      .map(s => s"('$s')").mkString(", ")
+    s"""WITH agg0 AS (
        |  SELECT source, count(*) AS n_docs,
        |    sum(len(string_split_regex(trim(text), '\\s+'))) AS src_tokens
        |  FROM documents GROUP BY source),
+       |agg AS (
+       |  SELECT * FROM agg0
+       |  UNION ALL
+       |  SELECT s AS source, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM (VALUES $recipeVals) t(s)
+       |  WHERE s NOT IN (SELECT source FROM agg0)),
        |w AS (
        |  SELECT *, CASE
        |    $cases
        |    ELSE 0.0 END AS weight
-       |  FROM agg)
+       |  FROM agg),
+       |e AS (
+       |  SELECT *, weight * CAST($p89Budget AS DOUBLE) AS target_tokens,
+       |    CASE WHEN src_tokens > 0
+       |        THEN (weight * CAST($p89Budget AS DOUBLE)) / CAST(src_tokens AS DOUBLE)
+       |      WHEN weight * CAST($p89Budget AS DOUBLE) > 0
+       |        THEN CAST('Infinity' AS DOUBLE)
+       |      ELSE 0.0 END AS epochs
+       |  FROM w)
        |SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
-       |  weight,
-       |  weight * CAST($p89Budget AS DOUBLE) AS target_tokens,
-       |  (weight * CAST($p89Budget AS DOUBLE)) / CAST(src_tokens AS DOUBLE)
-       |    AS epochs,
-       |  least(1.0, (weight * CAST($p89Budget AS DOUBLE))
-       |    / CAST(src_tokens AS DOUBLE)) AS sample_rate
-       |FROM w ORDER BY source""".stripMargin
+       |  weight, target_tokens, epochs,
+       |  least(1.0, epochs) AS sample_rate
+       |FROM e ORDER BY source""".stripMargin
   }
 
   /** Unicode-script profiling ([[TextAnalysis.scriptProfile]]): each doc
@@ -3761,6 +3879,8 @@ object Pipeline {
     "p16_fts_or_not" -> p16Oracle,
     "p01_dedup_exact" -> p01Oracle,
     "p02_dedup_normalized" -> p02Oracle,
+    "p03_dedup_minhash" -> p03Oracle,
+    "p04_dedup_simhash" -> p04Oracle,
     "p05_ngram_jaccard" -> p05Oracle,
     "p06_cosine_topk" -> p06Oracle,
     "p09_lang_id" -> p09Oracle,

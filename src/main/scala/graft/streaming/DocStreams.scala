@@ -44,11 +44,7 @@ object DocStreams {
     val bands = k / rowsPerBand
     val sigs = graft.operators.Dedup.minHashSignaturesPerDoc(
       docs, textCol, idCol, shingleLen, k, seed, carryCols = Seq(tsCol))
-    val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64((lit(j) +: (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))): _*)
-          .as("bh"))
-    }
+    val bandCols = graft.operators.Dedup.bandKeyCols(k, rowsPerBand)
     sigs
       .select(col("id"), col(tsCol), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col(tsCol), col("b.band").as("band"), col("b.bh").as("bh"))
@@ -86,8 +82,14 @@ object DocStreams {
       .select(col("id"), col(tsCol),
         explode(graft.operators.Dedup.shinglesOf(col("words"), n)).as("gram"))
     grams
-      .join(broadcast(evalGrams.select(col("gram"), lit(1L).as("__hit"))),
-        Seq("gram"), "left")
+      // distinct BEFORE the join: a caller passing raw wordShingles
+      // output (the same gram from several eval docs) would otherwise
+      // multiply stream rows and over-count shared_grams against the
+      // documented "distinct eval n-gram" semantics (r8 advice). The
+      // eval set is static and small, so the distinct costs one bounded
+      // batch-side pass, not stream state.
+      .join(broadcast(evalGrams.select(col("gram")).distinct()
+        .withColumn("__hit", lit(1L))), Seq("gram"), "left")
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), bucketWindow), col("id"))
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("shared_grams"),

@@ -370,4 +370,81 @@ class HttpApiSpec extends AnyFunSuite {
       .path("data")
     assert(none.isArray && none.size() == 0)
   }
+
+  test("cluster routes answer with single-node parity, never 404") {
+    // members = [self], primary = self, elections refused the way the
+    // reference refuses them on an up-to-date primary (routes.go:171-205)
+    val mem = post("/v1/cluster/members", """{"id":"n2","address":"10.0.0.2"}""")
+    assert(mem.statusCode() == 200, mem.body())
+    val memData = mapper.readTree(mem.body()).path("data")
+    assert(memData.isArray && memData.size() == 1)
+    assert(memData.get(0).path("membership").asText() == "primary")
+    val selfAddr = memData.get(0).path("address").asText()
+    assert(selfAddr.startsWith("127.0.0.1:"))
+
+    val pri = post("/v1/cluster/primary", "{}")
+    assert(pri.statusCode() == 200)
+    val priData = mapper.readTree(pri.body()).path("data")
+    assert(priData.path("primary").asText() == selfAddr)
+    assert(priData.path("self").asBoolean())
+
+    val conn = post("/v1/cluster/connection", "{}")
+    assert(conn.statusCode() == 200)
+    assert(mapper.readTree(conn.body()).path("data").path("primary").asBoolean())
+
+    // election: field validation first, then the primary-lease refusal
+    assert(post("/v1/cluster/election", "{}").statusCode() == 400)
+    val el = post("/v1/cluster/election",
+      """{"candidate":"n2","seed":7,"started_at":1}""")
+    assert(el.statusCode() == 400)
+    assert(mapper.readTree(el.body()).path("message").asText()
+      .contains("current node is primary"))
+
+    // the only member of a single-node cluster cannot be removed
+    val del = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/v1/cluster/members/10.0.0.2"))
+      .DELETE().build(), BodyHandlers.ofString())
+    assert(del.statusCode() == 400)
+  }
+
+  test("sql console drives DDL, INSERT and SELECT through the query API") {
+    assert(post("/v1/databases", """{"name":"dbrepl"}""").statusCode() == 201)
+    val script =
+      """CREATE TABLE repl_t (id INTEGER, name TEXT);
+        |INSERT INTO repl_t
+        |VALUES (1, 'ada'), (2, 'bob');
+        |SELECT id, name FROM repl_t ORDER BY id;
+        |SELECT 1 FROM repl_t WHERE id = 99;
+        |SELECT * FROM no_such_table;
+        |.history
+        |.quit
+        |""".stripMargin
+    val outBytes = new java.io.ByteArrayOutputStream()
+    val console = new graft.cli.SqlConsole(
+      new java.io.BufferedReader(new java.io.StringReader(script)),
+      new java.io.PrintStream(outBytes, true, "UTF-8"),
+      body => {
+        val r = post("/v1/databases/dbrepl/main/query", body)
+        (r.statusCode(), r.body())
+      })
+    console.run()
+    val out = outBytes.toString("UTF-8")
+    // DDL + DML render the changes summary with latency
+    assert(out.contains("OK: 0 changes ("), out)
+    assert(out.contains("OK: 2 changes"), out)
+    // SELECT renders the aligned table: header, rows, count, latency
+    assert(out.contains("id  name"), out)
+    assert(out.contains("1   ada"), out)
+    assert(out.contains("2   bob"), out)
+    assert(out.contains("2 rows"), out)
+    assert(out.contains("Results: ("), out)
+    assert(out.contains("0 rows"), out)       // empty SELECT still tabulates
+    // errors render loudly, without killing the session
+    assert(out.contains("Error:"), out)
+    // the multi-line INSERT got a continuation prompt before its terminator
+    assert(out.contains("   ... → "), out)
+    // .history lists every statement run
+    assert(out.contains("1  CREATE TABLE repl_t"), out)
+    assert(out.contains("bye"), out)
+  }
 }

@@ -1680,5 +1680,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("books") == ((1L, 2L, 0.75, 3.0, 1.5, 1.0)))
     // junk: supply reported, recipe takes nothing
     assert(got("junk") == ((1L, 1L, 0.0, 0.0, 0.0, 0.0)))
+    // a typo'd/absent recipe source surfaces LOUDLY as a zero-supply row
+    // with epochs = Infinity, never silently vanishes (r8 advice)
+    val withGhost = Sampling.mixPlan(rows, "text", "source",
+        Map("web" -> 0.25, "books" -> 0.5, "ghost" -> 0.25), budgetTokens = 4L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5))).toMap
+    assert(withGhost.contains("ghost"), "absent recipe source must be reported")
+    assert(withGhost("ghost")._1 == 0L && withGhost("ghost")._2 == 0L)
+    assert(withGhost("ghost")._3 == 0.25)
+    assert(withGhost("ghost")._4.isPosInfinity)
   }
 }

@@ -43,9 +43,15 @@ class QueriesSpec extends AnyFunSuite {
     joined.foreach { r =>
       val n = r.getAs[Long]("n")
       val (p50e, p50a) = (r.getAs[Double]("lat_p50"), r.getAs[Double]("a50"))
+      val (p90e, p90a) = (r.getAs[Double]("lat_p90"), r.getAs[Double]("a90"))
       val (p99e, p99a) = (r.getAs[Double]("lat_p99"), r.getAs[Double]("a99"))
       assert(math.abs(p50e - p50a) <= math.max(0.01, 0.05 * math.abs(p50e)),
         s"p50 off: exact=$p50e approx=$p50a n=$n")
+      // both columns target rank 0.95 (m01 reproduces the reference's
+      // p90@95 quirk; m03 queries the sketch at 0.95), so the same
+      // rank-tolerance bound applies (r8 verdict stretch ask)
+      assert(math.abs(p90e - p90a) <= math.max(0.01, 0.10 * math.abs(p90e)),
+        s"p90 off: exact=$p90e approx=$p90a n=$n")
       assert(math.abs(p99e - p99a) <= math.max(0.01, 0.10 * math.abs(p99e)),
         s"p99 off: exact=$p99e approx=$p99a n=$n")
     }

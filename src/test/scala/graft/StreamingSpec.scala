@@ -448,11 +448,7 @@ class StreamingSpec extends AnyFunSuite {
       val k = 32; val rowsPerBand = 4; val bands = k / rowsPerBand
       val sigs = graft.operators.Dedup.minHashSignaturesPerDoc(
         docs.toDF("doc_id", "text", "ts"), "text", "doc_id", 3, k, 42L, Seq("ts"))
-      val bandCols = (0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          xxhash64((lit(j) +: (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))): _*)
-            .as("bh"))
-      }
+      val bandCols = graft.operators.Dedup.bandKeyCols(k, rowsPerBand)
       val exploded = sigs
         .select(col("id"), col("ts"), explode(array(bandCols: _*)).as("b"))
         .select(col("id"), col("ts"), col("b.band").as("band"), col("b.bh").as("bh"))
