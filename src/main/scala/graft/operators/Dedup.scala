@@ -491,6 +491,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental dedup of an ingest BATCH against a historical corpus
+    * SNAPSHOT — the shape every continuously-crawled corpus needs: a
+    * re-crawled or mirrored page must be caught against petabytes of
+    * already-accepted documents without ever shuffling the snapshot.
+    *
+    * Semantics: normalized-content equality (the [[normalized]] md5 key —
+    * whitespace/case variants collide). Each batch doc reports
+    * `is_dup` and `dup_of` = the LOWEST snapshot id holding the same
+    * content (null when novel).
+    *
+    * Scale shape: the batch is the small side by construction, so its
+    * distinct hash set becomes a BLOOM FILTER probed map-side inside the
+    * snapshot scan — ~all of the 100 TB snapshot dies before any shuffle
+    * (the [[graft.operators.Sampling.contaminationBloom]] plan, direction
+    * flipped) — and only surviving snapshot rows reach the exact
+    * hash-equality confirm join, which also removes every bloom false
+    * positive. Result is therefore IDENTICAL to a plain left join on the
+    * hash (what the p100 oracle replays); only the physical plan
+    * differs. */
+  def againstSnapshot(batch: DataFrame, snapshot: DataFrame,
+      textCol: String, idCol: String, fpp: Double = 0.01): DataFrame = {
+    val spark = batch.sparkSession
+    val normHash = (c: Column) =>
+      md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val bh = batch.select(col(idCol).as("batch_id"),
+      normHash(col(textCol)).as("__h"))
+    val hashes = bh.select(col("__h")).distinct()
+    val nHashes = math.max(1L, hashes.count())
+    val bf = hashes.stat.bloomFilter("__h", nHashes, fpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bf.writeTo(b); b.toByteArray
+    }
+    val bc = spark.sparkContext.broadcast(bytes)
+    val might = udf(new SnapshotHashProbe(bc))
+    val survivors = snapshot
+      .select(col(idCol).as("snap_id"), normHash(col(textCol)).as("__h"))
+      .filter(might(col("__h")))
+    bh.join(survivors, Seq("__h"), "left")
+      .groupBy(col("batch_id"), col("__h"))
+      .agg(min(col("snap_id")).as("dup_of"))
+      .select(col("batch_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"))
+  }
+
   /** Document-frequency guard for the exact gram self-joins: keep only
     * grams appearing in ≤ maxDf docs within their block.
     *
@@ -580,4 +625,17 @@ object Dedup {
         (col("inter").cast("double") / col("sz_b")).as("cont_ba"))
       .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
   }
+}
+
+/** Deserialize the broadcast batch-hash sketch once per executor
+  * (transient lazy), not per row — the
+  * [[graft.operators.Sampling]] BloomProbe pattern for
+  * [[Dedup.againstSnapshot]]'s map-side snapshot prefilter. */
+private final class SnapshotHashProbe(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+  extends (String => Boolean) with Serializable {
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bc.value))
+  def apply(h: String): Boolean = h != null && bf.mightContainString(h)
 }

@@ -185,6 +185,90 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Lexical-diversity / concentration signals — the distribution-shape
+    * complement to [[repetitionSignals]]' gram coverage: keyboard-mash,
+    * tag soup and "spam spam spam" pages concentrate their character and
+    * word mass on a few symbols, clean prose spreads it.
+    *
+    * Per document: `ttr` (type-token ratio = distinct words / words),
+    * `simpson_char`/`simpson_word` (Simpson diversity 1 − Σ pᵢ², the
+    * probability two draws differ — chosen over Shannon entropy
+    * DELIBERATELY: log/log2 are not correctly-rounded IEEE ops, so two
+    * engines can disagree in the last ulp and break a hash oracle, while
+    * Simpson is divisions, multiplies and adds, bitwise-replayable), and
+    * `top_char_frac`/`top_word_frac` (largest single symbol's mass).
+    * The Σ pᵢ² fold runs over the SORTED distinct symbol list, so the
+    * float addition order is engine-independent. Characters are UTF-16
+    * units (identical to codepoints on BMP text; the synthetic corpus is
+    * ASCII — for full-Unicode profiling see [[scriptProfile]]).
+    *
+    * Per-row higher-order functions only — zero shuffle; cost is
+    * O(len · distinct) per row, linear in corpus size and embarrassingly
+    * parallel at 100 TB. */
+  def lexicalDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // the O(len · distinct) count arrays are MATERIALIZED columns, not
+    // inlined subtrees — each is referenced twice (Σp² fold + top mass)
+    // and lambda bodies get no CSE (the quantizeInt8 staging lesson)
+    def countsOf(arr: Column): Column =
+      transform(array_sort(array_distinct(arr)),
+        c => size(filter(arr, x => x === c)))
+    def sumSq(counts: Column, total: Column): Column =
+      aggregate(counts, lit(0.0),
+        (acc, n) => acc + (n.cast("double") / total) * (n.cast("double") / total))
+    // Spark's split carries Java's limit=-1 trailing "" — drop it (DuckDB
+    // string_split has no such artifact)
+    val chars = filter(split(col(textCol), ""), c => c =!= "")
+    val ws = filter(words(col(textCol)), w => length(w) > 0)
+    df.select(col(idCol), chars.as("__ch"), ws.as("__w"))
+      .withColumn("__chc", countsOf(col("__ch")))
+      .withColumn("__wc", countsOf(col("__w")))
+      .withColumn("__nch", size(col("__ch")).cast("double"))
+      .withColumn("__nw", size(col("__w")).cast("double"))
+      .select(col(idCol),
+        size(col("__ch")).cast("long").as("n_chars_d"),
+        size(col("__w")).cast("long").as("n_words"),
+        size(col("__wc")).cast("long").as("n_word_types"),
+        when(col("__nw") === 0.0, 0.0)
+          .otherwise(size(col("__wc")).cast("double") / col("__nw")).as("ttr"),
+        when(col("__nch") === 0.0, 0.0)
+          .otherwise(lit(1.0) - sumSq(col("__chc"), col("__nch")))
+          .as("simpson_char"),
+        when(col("__nw") === 0.0, 0.0)
+          .otherwise(lit(1.0) - sumSq(col("__wc"), col("__nw")))
+          .as("simpson_word"),
+        when(col("__nch") === 0.0, 0.0)
+          .otherwise(array_max(col("__chc")).cast("double") / col("__nch"))
+          .as("top_char_frac"),
+        when(col("__nw") === 0.0, 0.0)
+          .otherwise(array_max(col("__wc")).cast("double") / col("__nw"))
+          .as("top_word_frac"))
+  }
+
+  /** Per-document OOV rate against the corpus top-k [[vocabulary]] — the
+    * coverage check run before committing to a tokenizer/frequency
+    * cutoff: how much of each document (and, aggregated, of each source)
+    * falls outside the k most frequent words. High OOV flags encoding
+    * junk, boilerplate code, or a language the vocab under-serves.
+    *
+    * Scale shape: the vocabulary is k rows by construction → broadcast
+    * hash join against the exploded token stream; one doc-keyed count
+    * aggregation with map-side partials. The vocab build itself is one
+    * corpus scan (a model artifact, like the BPE dict — build once,
+    * reuse). Docs with zero words have no token rows and are absent from
+    * the report (nothing to cover). */
+  def oovRate(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val vocab = vocabulary(df, textCol, k)
+      .select(col("word"), lit(1L).as("__in"))
+    df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_frac",
+        col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Markdown → plain text (the cleanup pass markdown-heavy corpora get
     * before quality scoring, mirroring what [[Warc]]'s HTML extractor does
     * for web pages): code fences and their bodies drop, headers/bullets/

@@ -3764,6 +3764,139 @@ object Pipeline {
       |FROM e GROUP BY src_host, dst_host
       |ORDER BY src_host, dst_host""".stripMargin
 
+  /** Lexical diversity ([[TextAnalysis.lexicalDiversity]]): TTR, Simpson
+    * char/word concentration and top-symbol mass over the real documents
+    * table. Simpson (1 − Σp²) was chosen over Shannon entropy exactly so
+    * this CAN hash-match: divisions/multiplies/adds in a sorted-symbol
+    * fold are bitwise-replayable; log2 is not correctly rounded. */
+  def p99LexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(documents(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val p99Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ''), c -> c != '') AS ch,
+      |    list_filter(string_split(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |      w -> length(w) > 0) AS w
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, ch, w,
+      |    list_transform(list_sort(list_distinct(ch)),
+      |      c -> len(list_filter(ch, x -> x = c))) AS chc,
+      |    list_transform(list_sort(list_distinct(w)),
+      |      c -> len(list_filter(w, x -> x = c))) AS wc
+      |  FROM base),
+      |m AS (
+      |  SELECT doc_id, chc, wc,
+      |    CAST(len(ch) AS BIGINT) AS n_chars_d,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(len(wc) AS BIGINT) AS n_word_types,
+      |    CAST(len(ch) AS DOUBLE) AS nch,
+      |    CAST(len(w) AS DOUBLE) AS nw
+      |  FROM cnt)
+      |SELECT doc_id, n_chars_d, n_words, n_word_types,
+      |  CASE WHEN nw = 0 THEN 0.0
+      |    ELSE CAST(n_word_types AS DOUBLE) / nw END AS ttr,
+      |  CASE WHEN nch = 0 THEN 0.0
+      |    ELSE 1.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(chc,
+      |        n -> (CAST(n AS DOUBLE)/nch) * (CAST(n AS DOUBLE)/nch))),
+      |      (a, e) -> a + e) END AS simpson_char,
+      |  CASE WHEN nw = 0 THEN 0.0
+      |    ELSE 1.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(wc,
+      |        n -> (CAST(n AS DOUBLE)/nw) * (CAST(n AS DOUBLE)/nw))),
+      |      (a, e) -> a + e) END AS simpson_word,
+      |  CASE WHEN nch = 0 THEN 0.0
+      |    ELSE CAST(list_max(chc) AS DOUBLE) / nch END AS top_char_frac,
+      |  CASE WHEN nw = 0 THEN 0.0
+      |    ELSE CAST(list_max(wc) AS DOUBLE) / nw END AS top_word_frac
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Incremental snapshot dedup ([[Dedup.againstSnapshot]]): the corpus
+    * splits into a historical snapshot (first half of doc_ids) and an
+    * ingest batch (second half) where every 5th batch doc is a synthetic
+    * RE-CRAWL carrying its half-shifted predecessor's text verbatim. The
+    * operator's bloom-prefiltered plan must still produce the exact
+    * left-join result the oracle replays (bloom FPs die in the confirm
+    * join), flagging precisely the re-crawls plus any natural cross-half
+    * duplicate. */
+  def p100SnapshotDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val half = d.count() / 2
+    val old = d.filter(col("doc_id") < half)
+    val recrawl = old.select((col("doc_id") + half).as("doc_id"),
+      col("text").as("__oldtext"))
+    val batch = d.filter(col("doc_id") >= half)
+      .join(recrawl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0 && col("__oldtext").isNotNull,
+          col("__oldtext")).otherwise(col("text")).as("text"))
+    Dedup.againstSnapshot(batch, old, "text", "doc_id")
+      .orderBy(col("batch_id"))
+  }
+
+  val p100Oracle: String =
+    """WITH old AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id < (SELECT count(*) // 2 FROM documents)),
+      |batch AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 5 = 0 AND o.text IS NOT NULL
+      |      THEN o.text ELSE d.text END AS text
+      |  FROM documents d
+      |  LEFT JOIN old o
+      |    ON o.doc_id = d.doc_id - (SELECT count(*) // 2 FROM documents)
+      |  WHERE d.doc_id >= (SELECT count(*) // 2 FROM documents)),
+      |bh AS (
+      |  SELECT doc_id AS batch_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      |  FROM batch),
+      |oh AS (
+      |  SELECT doc_id AS snap_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      |  FROM old)
+      |SELECT batch_id, dup_of IS NOT NULL AS is_dup, dup_of
+      |FROM (
+      |  SELECT batch_id, MIN(snap_id) AS dup_of
+      |  FROM bh LEFT JOIN oh USING (h)
+      |  GROUP BY batch_id, h)
+      |ORDER BY batch_id""".stripMargin
+
+  /** Vocabulary-coverage / OOV rate ([[TextAnalysis.oovRate]]) against
+    * the corpus top-100 vocabulary — the [[p96Vocabulary]] artifact put
+    * to its actual use. Pure integer counts + one final division; the
+    * oracle rebuilds the identical (count desc, word asc)-ordered vocab,
+    * so the k-boundary tie never diverges. */
+  def p101OovRate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(documents(s, dir), "text", "doc_id", k = 100)
+      .orderBy(col("doc_id"))
+
+  val p101Oracle: String =
+    """WITH v AS (
+      |  SELECT w AS word FROM (
+      |    SELECT unnest(string_split(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |    FROM documents)
+      |  WHERE length(w) > 0
+      |  GROUP BY w
+      |  ORDER BY count(*) DESC, word LIMIT 100),
+      |tok AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |    FROM documents)
+      |  WHERE length(w) > 0)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS oov_tokens,
+      |  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS oov_frac
+      |FROM tok LEFT JOIN v ON tok.w = v.word
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -3864,6 +3997,9 @@ object Pipeline {
     "p95_markdown_strip" -> (p95MarkdownStrip _),
     "p96_vocabulary" -> (p96Vocabulary _),
     "p97_sentence_dedup" -> (p97SentenceDedup _),
+    "p99_lexical_diversity" -> (p99LexicalDiversity _),
+    "p100_snapshot_dedup" -> (p100SnapshotDedup _),
+    "p101_oov_rate" -> (p101OovRate _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   val oracles: Map[String, String] = Map(
@@ -3965,5 +4101,8 @@ object Pipeline {
     "p95_markdown_strip" -> p95Oracle,
     "p96_vocabulary" -> p96Oracle,
     "p97_sentence_dedup" -> p97Oracle,
+    "p99_lexical_diversity" -> p99Oracle,
+    "p100_snapshot_dedup" -> p100Oracle,
+    "p101_oov_rate" -> p101Oracle,
     "p98_outlink_graph" -> p98Oracle)
 }

@@ -889,6 +889,60 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("lexicalDiversity: exact simpson/ttr/top-mass values, empty and degenerate docs") {
+    val rows = Seq(
+      (0L, "aa bb aa"),  // chars [a,a,' ',b,b,' ',a,a]; words [aa,bb,aa]
+      (1L, ""),          // empty -> all zeros
+      (2L, "aaaa"))      // one symbol -> zero diversity
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(rows, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 3).map(r.getLong).toList, (4 to 8).map(r.getDouble).toList)).toMap
+    // doc 0: 8 chars {' ':2,a:4,b:2} -> simpson_char 1-(4+16+4)/64 = 0.625,
+    // top_char 0.5; 3 words, 2 types -> ttr 2/3, simpson_word 1-5/9 = 4/9,
+    // top_word 2/3
+    assert(got(0L)._1 == List(8L, 3L, 2L))
+    val d0 = got(0L)._2
+    assert(d0(0) == 2.0 / 3.0)           // ttr
+    assert(d0(1) == 0.625)               // simpson_char
+    assert(d0(2) == 1.0 - 5.0 / 9.0)     // simpson_word
+    assert(d0(3) == 0.5)                 // top_char_frac
+    assert(d0(4) == 2.0 / 3.0)           // top_word_frac
+    assert(got(1L) == ((List(0L, 0L, 0L), List(0.0, 0.0, 0.0, 0.0, 0.0))))
+    // "aaaa": 4 identical chars, 1 word -> zero diversity, full top mass
+    assert(got(2L)._1 == List(4L, 1L, 1L))
+    assert(got(2L)._2 == List(1.0, 0.0, 0.0, 1.0, 1.0))
+  }
+
+  test("againstSnapshot flags normalized dups with the lowest snapshot id") {
+    val snap = Seq(
+      (0L, "x y"), (1L, " X  y "),      // normalized dups of each other
+      (2L, "unique snapshot doc"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "X y"),                      // dup -> lowest match is 0
+      (11L, "novel text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.againstSnapshot(batch, snap, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got == Map(10L -> ((true, 0L)), 11L -> ((false, -1L))))
+  }
+
+  test("oovRate counts token occurrences outside the top-k vocabulary") {
+    val rows = Seq((0L, "a a b"), (1L, "a c"), (2L, "")).toDF("doc_id", "text")
+    // k=1: vocab = {a} (count 3). doc 0: 1 of 3 oov; doc 1: 1 of 2;
+    // doc 2 has no tokens and is absent from the report
+    val k1 = TextAnalysis.oovRate(rows, "text", "doc_id", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(k1 == Map(0L -> ((3L, 1L, 1.0 / 3.0)), 1L -> ((2L, 1L, 0.5))))
+    // k=2: the b/c tie at the boundary resolves (count desc, word asc)
+    // to b — doc 0 fully covered, doc 1 still has c oov
+    val k2 = TextAnalysis.oovRate(rows, "text", "doc_id", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(k2 == Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("G.711 ulaw/alaw decode matches the JDK converters on all 256 codes") {
     import graft.operators.Multimodal
     val codes = Array.tabulate[Byte](256)(_.toByte)

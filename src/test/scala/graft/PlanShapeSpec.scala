@@ -97,6 +97,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"probe not on the scan side:\n${lines.mkString("\n")}")
   }
 
+  test("p100's snapshot-side bloom probe filters BELOW the confirm join") {
+    // direction-flipped p80: the batch-hash bloom must prefilter the
+    // SNAPSHOT scan map-side, so the 100 TB side never shuffles more
+    // than candidate rows
+    val lines = SparkEntry.queries("p100_snapshot_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString.linesIterator.toIndexedSeq
+    val joinAt = lines.indexWhere(_.contains("Join"))
+    // the probe may merge into a compound Filter with the join-key
+    // null/equality predicates — match the Filter containing the UDF
+    val probeAt = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF("))
+    assert(joinAt >= 0, "expected the exact confirm join")
+    assert(probeAt > joinAt,
+      s"bloom probe not below the join:\n${lines.mkString("\n")}")
+    assert(lines.take(probeAt).exists(_.contains("Join")) &&
+      lines.drop(probeAt).exists(_.contains("FileScan")),
+      s"probe not on the scan side:\n${lines.mkString("\n")}")
+  }
+
   test("headline plans are cartesian-free") {
     Bench.headline.filter(SparkEntry.queries.contains).foreach { name =>
       val plan = formatted(name)
