@@ -510,6 +510,23 @@ object Dedup {
     * positive. Result is therefore IDENTICAL to a plain left join on the
     * hash (what the p100 oracle replays); only the physical plan
     * differs. */
+  /** The persisted artifact form of a corpus snapshot for incremental
+    * dedup: one row per DISTINCT normalized content hash with the lowest
+    * holder id (the canonical-owner policy [[againstSnapshot]] reports).
+    * Build once per snapshot version — one hash-keyed aggregation with
+    * map-side partials — persist bucketed by `content_hash`, and every
+    * later ingest (batch [[againstSnapshot]] or streaming
+    * [[graft.streaming.DocStreams.snapshotDedupGate]]) joins against it
+    * co-located, never re-reading the snapshot text. */
+  def snapshotHashIndex(snapshot: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    snapshot
+      .select(md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+          .as("content_hash"),
+        col(idCol).as("snap_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("snap_id")).as("snap_id"))
+
   def againstSnapshot(batch: DataFrame, snapshot: DataFrame,
       textCol: String, idCol: String, fpp: Double = 0.01): DataFrame = {
     val spark = batch.sparkSession

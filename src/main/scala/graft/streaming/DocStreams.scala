@@ -110,6 +110,33 @@ object DocStreams {
     * shuffles against it. Emits (id, ts, n_positions, lm_hits, hit_frac)
     * when the watermark closes the window — the same coverage columns as
     * the batch operator, proven equal in StreamingSpec. */
+  /** Streaming snapshot-dedup gate at ingest: each arriving document is
+    * checked against the historical corpus's
+    * [[graft.operators.Dedup.snapshotHashIndex]] (content_hash →
+    * lowest-holder snap_id) — the re-crawl/mirror catch running BEFORE a
+    * document reaches storage, the streaming twin of
+    * [[graft.operators.Dedup.againstSnapshot]] (equality proven in
+    * StreamingSpec).
+    *
+    * Completely STATELESS per row: the normalized md5 is a per-row
+    * projection and the index join needs no stream-side aggregation or
+    * watermark because the index is pre-collapsed to one row per hash.
+    * Scale shape: persist the index bucketed by content_hash so each
+    * micro-batch's join co-locates against it without shuffling the
+    * index; when the index outgrows comfortable join input, compact it to
+    * the bloom + exact-confirm form (the [[contaminationGate]] plan) —
+    * semantics unchanged. Emits (id, ts, is_dup, dup_of). */
+  def snapshotDedupGate(docs: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, tsCol: String): DataFrame = {
+    val h = md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+    docs
+      .select(col(idCol).as("id"), col(tsCol), h.as("content_hash"))
+      .join(index.select(col("content_hash"), col("snap_id").as("dup_of")),
+        Seq("content_hash"), "left")
+      .select(col("id"), col(tsCol),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
   def lmScoredStream(docs: DataFrame, gramCounts: DataFrame,
       textCol: String, idCol: String, tsCol: String,
       n: Int = 2, watermark: String = "2 hours",

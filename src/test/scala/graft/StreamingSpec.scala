@@ -516,4 +516,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(0L) == ((0L, false)) && streamed(2L) == ((0L, false)))
     } finally q.stop()
   }
+
+  test("streaming snapshot-dedup gate matches the batch againstSnapshot twin") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.Dedup
+    val snapshot = Seq(
+      (0L, "shared content one"), (1L, " SHARED  content ONE "), // dup of 0
+      (2L, "snapshot only text"))
+      .toDF("doc_id", "text")
+    val index = Dedup.snapshotHashIndex(snapshot, "text", "doc_id")
+    // the index collapses the normalized dup group to its lowest holder
+    assert(index.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap.values.toSet == Set(0L, 2L))
+    val docs = Seq(
+      (10L, "Shared Content One", "2024-01-01 00:00:00"),   // re-crawl -> 0
+      (11L, "a genuinely novel doc", "2024-01-01 00:01:00"),
+      (12L, "snapshot only text", "2024-01-01 00:02:00"))   // mirror -> 2
+      .map { case (id, t, ts) => (id, t, java.sql.Timestamp.valueOf(ts)) }
+    val dir = Files.createTempDirectory("graft-snapgate").toString
+    val q = DocStreams.snapshotDedupGate(
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .parquet(dir), index, "text", "doc_id", "ts")
+      .writeStream.format("memory").queryName("snapgate")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d =>
+        Seq(d).toDF("doc_id", "text", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT id, is_dup, dup_of FROM snapgate")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      // batch twin on the identical inputs
+      val batch = Dedup.againstSnapshot(
+          docs.map(d => (d._1, d._2)).toDF("doc_id", "text"),
+          snapshot, "text", "doc_id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed == Map(
+        10L -> ((true, 0L)), 11L -> ((false, -1L)), 12L -> ((true, 2L))))
+    } finally q.stop()
+  }
 }
