@@ -3897,6 +3897,77 @@ object Pipeline {
       |FROM tok LEFT JOIN v ON tok.w = v.word
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-source corpus report card — the "which sources deserve budget"
+    * dashboard a curation team reads before planning the next mix
+    * ([[p89MixPlan]] consumes what this reports): per source, document
+    * and token supply, corpus-wide exact-dup exposure, mean quality
+    * logit (the [[Quality.score]] chain, decimal-summed so the mean is
+    * order-independent) and the keep rate at logit 0. Composition of
+    * three proven pieces: the p61 quality chain, the p02 normalized
+    * hash, the p89 token definition.
+    *
+    * Scale shape: one hash-keyed aggregation for corpus-wide dup counts
+    * (map-side partials collapse dup groups; joined back hash-keyed),
+    * then ONE source-keyed aggregation; never a window over the corpus
+    * (a viral boilerplate page would put its whole dup group on one
+    * window task — the oracle may use the window, the plan may not). */
+  def p102SourceReport(s: SparkSession, dir: String): DataFrame = {
+    val scored = Quality.score(documents(s, dir), "text",
+      Seq(-2.0, 3.0, -4.0, 2.0, 0.1))
+    val withHash = scored.select(col("source"),
+      col("quality_logit"), col("keep"),
+      TextAnalysis.wsTokens(col("text")).as("__toks"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("__h"))
+    val dupCounts = withHash.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__grp"))
+    withHash.join(dupCounts, Seq("__h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("total_tokens"),
+        sum(when(col("__grp") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        (dsum(col("quality_logit"), 6) / count(lit(1))).as("avg_logit"),
+        sum(col("keep")).as("__keeps"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_frac"),
+        col("avg_logit"),
+        (col("__keeps").cast("double") / col("n_docs").cast("double"))
+          .as("keep_frac"))
+      .orderBy(col("source"))
+  }
+
+  val p102Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+      |    len(string_split_regex(trim(text), '\s+')) AS toks,
+      |    length(text) AS n_chars_m,
+      |    len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_words,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+      |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |        x -> x IN ('the','a','and','of','to','is','in'))) AS n_stop
+      |  FROM documents),
+      |z AS (SELECT source, content_hash, toks,
+      |    -2.0 + (CAST(n_alpha AS DOUBLE)/n_chars_m) * 3.0
+      |      + (CAST(n_punct AS DOUBLE)/n_chars_m) * -4.0
+      |      + (CAST(n_stop AS DOUBLE)/n_words) * 2.0
+      |      + (CAST(n_alpha AS DOUBLE)/n_words) * 0.1 AS logit
+      |  FROM base),
+      |d AS (SELECT *, COUNT(*) OVER (PARTITION BY content_hash) AS grp FROM z)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS dup_frac,
+      |  CAST(SUM(CAST(logit AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |    AS avg_logit,
+      |  CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS keep_frac
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -4000,6 +4071,7 @@ object Pipeline {
     "p99_lexical_diversity" -> (p99LexicalDiversity _),
     "p100_snapshot_dedup" -> (p100SnapshotDedup _),
     "p101_oov_rate" -> (p101OovRate _),
+    "p102_source_report" -> (p102SourceReport _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   val oracles: Map[String, String] = Map(
@@ -4104,5 +4176,6 @@ object Pipeline {
     "p99_lexical_diversity" -> p99Oracle,
     "p100_snapshot_dedup" -> p100Oracle,
     "p101_oov_rate" -> p101Oracle,
+    "p102_source_report" -> p102Oracle,
     "p98_outlink_graph" -> p98Oracle)
 }
