@@ -3968,6 +3968,95 @@ object Pipeline {
       |    AS keep_frac
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** Language-ID confusion matrix — the corpus-level accuracy report for
+    * the [[p09LangId]] heuristic: labeled vs predicted language counts
+    * plus the per-cell share of the labeled language's documents. The
+    * standard "is the cheap detector good enough to route on" check; one
+    * (labeled, predicted)-keyed aggregation over the per-row detector. */
+  def p103LangConfusion(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang").as("labeled_lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_frac", col("n_docs").cast("double") /
+        sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("labeled_lang"))
+          .cast("double"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+
+  val p103Oracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    len(list_intersect(w, ['the','a','and','of','to','is','in'])) AS s0,
+      |    len(list_intersect(w, ['el','la','de','que','y','en','los'])) AS s1,
+      |    len(list_intersect(w, ['le','la','et','les','des','un','du'])) AS s2,
+      |    len(list_intersect(w, ['der','die','und','das','ist','ein','mit'])) AS s3,
+      |    len(list_intersect(w, ['de5','shi4','le5','zai4','he2','you3','wo3'])) AS s4
+      |  FROM ws),
+      |pred AS (
+      |  SELECT lang AS labeled_lang,
+      |    CASE WHEN s0 > 0 AND s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 >= s4 THEN 'en'
+      |         WHEN s1 > 0 AND s1 > s0 AND s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 'es'
+      |         WHEN s2 > 0 AND s2 > s0 AND s2 > s1 AND s2 >= s3 AND s2 >= s4 THEN 'fr'
+      |         WHEN s3 > 0 AND s3 > s0 AND s3 > s1 AND s3 > s2 AND s3 >= s4 THEN 'de'
+      |         WHEN s4 > 0 AND s4 > s0 AND s4 > s1 AND s4 > s2 AND s4 > s3 THEN 'zh'
+      |         ELSE 'und' END AS predicted_lang
+      |  FROM sc),
+      |m AS (
+      |  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+      |  FROM pred GROUP BY labeled_lang, predicted_lang)
+      |SELECT labeled_lang, predicted_lang, n_docs,
+      |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER
+      |    (PARTITION BY labeled_lang) AS DOUBLE) AS row_frac
+      |FROM m ORDER BY labeled_lang, predicted_lang""".stripMargin
+
+  /** Token-length histogram + padding-waste report — the batch-sizing
+    * prep a training dataloader team runs before choosing a context
+    * length: docs bucketed by 64-token bands (capped at band 32), and per
+    * bucket the padding waste naive one-doc-per-row batching would pay at
+    * a 512-token context (`pad = ceil(toks/512)·512 − toks`, all exact
+    * integer arithmetic — compare [[p51]]'s packing, which drives this
+    * waste to ~0). */
+  def p104LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col("text"))
+    // Spark's Column./ is DOUBLE division — integer semantics need an
+    // explicit floor (exact: token counts are far below 2^53)
+    documents(s, dir)
+      .select(least(floor(toks / lit(64.0)).cast("long"), lit(32L))
+          .as("bucket"), toks.as("__t"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("tokens"),
+        sum(floor((col("__t") + lit(511.0)) / lit(512.0)).cast("long") * 512L
+          - col("__t")).as("pad_tokens"))
+      .withColumn("pad_frac", col("pad_tokens").cast("double") /
+        (col("tokens") + col("pad_tokens")).cast("double"))
+      .orderBy(col("bucket"))
+  }
+
+  val p104Oracle: String =
+    """WITH t AS (
+      |  SELECT len(string_split_regex(trim(text), '\s+')) AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT least(toks // 64, 32) AS bucket, toks,
+      |    ((toks + 511) // 512) * 512 - toks AS pad
+      |  FROM t),
+      |m AS (
+      |  SELECT bucket, COUNT(*) AS n_docs,
+      |    CAST(SUM(toks) AS BIGINT) AS tokens,
+      |    CAST(SUM(pad) AS BIGINT) AS pad_tokens
+      |  FROM b GROUP BY bucket)
+      |SELECT bucket, n_docs, tokens, pad_tokens,
+      |  CAST(pad_tokens AS DOUBLE) / CAST(tokens + pad_tokens AS DOUBLE)
+      |    AS pad_frac
+      |FROM m ORDER BY bucket""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -4072,6 +4161,8 @@ object Pipeline {
     "p100_snapshot_dedup" -> (p100SnapshotDedup _),
     "p101_oov_rate" -> (p101OovRate _),
     "p102_source_report" -> (p102SourceReport _),
+    "p103_lang_confusion" -> (p103LangConfusion _),
+    "p104_length_histogram" -> (p104LengthHistogram _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   val oracles: Map[String, String] = Map(
@@ -4177,5 +4268,7 @@ object Pipeline {
     "p100_snapshot_dedup" -> p100Oracle,
     "p101_oov_rate" -> p101Oracle,
     "p102_source_report" -> p102Oracle,
+    "p103_lang_confusion" -> p103Oracle,
+    "p104_length_histogram" -> p104Oracle,
     "p98_outlink_graph" -> p98Oracle)
 }
