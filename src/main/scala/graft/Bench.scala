@@ -30,7 +30,9 @@ object Bench {
     "p78_tfrecord_shards", // training-shard export + re-ingest (r7)
     "p88_sentences",       // sentence segmentation explode (r8)
     "p91_embed_quantize",  // int8 embedding quantization (r8)
-    "p92_containment_dedup") // asymmetric containment gram join (r8)
+    "p92_containment_dedup", // asymmetric containment gram join (r8)
+    "p99_lexical_diversity", // per-row HOF diversity fold (r9)
+    "p100_snapshot_dedup") // bloom-prefiltered snapshot dedup (r9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
