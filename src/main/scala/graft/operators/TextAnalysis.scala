@@ -206,12 +206,30 @@ object TextAnalysis {
     * O(len · distinct) per row, linear in corpus size and embarrassingly
     * parallel at 100 TB. */
   def lexicalDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // the O(len · distinct) count arrays are MATERIALIZED columns, not
-    // inlined subtrees — each is referenced twice (Σp² fold + top mass)
-    // and lambda bodies get no CSE (the quantizeInt8 staging lesson)
-    def countsOf(arr: Column): Column =
-      transform(array_sort(array_distinct(arr)),
-        c => size(filter(arr, x => x === c)))
+    // Symbol counts via RUN LENGTHS of the sorted array — O(L log L) per
+    // row. The first cut scanned the array once per DISTINCT symbol
+    // (O(L·D) inside interpreted lambda HOFs) and cost 6.1 s on the
+    // sf0.1 bench, 3× the heaviest real operator; runs of the sorted
+    // array are the same counts in the same sorted-symbol order, so the
+    // Σp² fold order — and the oracle — are unchanged. Every
+    // multi-referenced array (sorted symbols, run starts, counts) is a
+    // MATERIALIZED column: lambda bodies get no CSE (the quantizeInt8
+    // staging lesson), so an inlined subtree re-evaluates per element.
+    def startsOf(sortedCol: String): Column = {
+      val sc = col(sortedCol)
+      when(size(sc) === 0, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(1), size(sc)), i =>
+          (i === 1) || element_at(sc, i) =!=
+            element_at(sc, greatest(i - 1, lit(1)))))
+    }
+    def runsOf(startsCol: String, sortedCol: String): Column = {
+      val st = col(startsCol)
+      when(size(col(sortedCol)) === 0, array().cast("array<int>"))
+        .otherwise(zip_with(st,
+          concat(slice(st, lit(2), greatest(size(st) - 1, lit(0))),
+            array(size(col(sortedCol)) + 1)),
+          (s, e) => e - s))
+    }
     def sumSq(counts: Column, total: Column): Column =
       aggregate(counts, lit(0.0),
         (acc, n) => acc + (n.cast("double") / total) * (n.cast("double") / total))
@@ -220,8 +238,12 @@ object TextAnalysis {
     val chars = filter(split(col(textCol), ""), c => c =!= "")
     val ws = filter(words(col(textCol)), w => length(w) > 0)
     df.select(col(idCol), chars.as("__ch"), ws.as("__w"))
-      .withColumn("__chc", countsOf(col("__ch")))
-      .withColumn("__wc", countsOf(col("__w")))
+      .withColumn("__chs", array_sort(col("__ch")))
+      .withColumn("__wss", array_sort(col("__w")))
+      .withColumn("__chst", startsOf("__chs"))
+      .withColumn("__wst", startsOf("__wss"))
+      .withColumn("__chc", runsOf("__chst", "__chs"))
+      .withColumn("__wc", runsOf("__wst", "__wss"))
       .withColumn("__nch", size(col("__ch")).cast("double"))
       .withColumn("__nw", size(col("__w")).cast("double"))
       .select(col(idCol),
