@@ -3906,27 +3906,40 @@ object Pipeline {
     * three proven pieces: the p61 quality chain, the p02 normalized
     * hash, the p89 token definition.
     *
-    * Scale shape: one hash-keyed aggregation for corpus-wide dup counts
-    * (map-side partials collapse dup groups; joined back hash-keyed),
-    * then ONE source-keyed aggregation; never a window over the corpus
-    * (a viral boilerplate page would put its whole dup group on one
-    * window task — the oracle may use the window, the plan may not). */
+    * Scale shape — ONE corpus scan: exact dups share text, hence logit/
+    * tokens/keep, so the corpus first collapses to (hash, source) CELLS
+    * (map-side partials fold the dup mass), the corpus-wide group size
+    * is a window over ≤ #sources cells per hash (bounded — never the
+    * raw dup group, which a viral boilerplate page makes millions of
+    * rows on one task), and the report is one source-keyed aggregation
+    * of cell sums. The r9 first cut computed dup counts as a separate
+    * groupBy joined back, which planned a SECOND full text scan (the
+    * two branches prune differently, so AQE cannot reuse the stage). */
   def p102SourceReport(s: SparkSession, dir: String): DataFrame = {
     val scored = Quality.score(documents(s, dir), "text",
       Seq(-2.0, 3.0, -4.0, 2.0, 0.1))
-    val withHash = scored.select(col("source"),
-      col("quality_logit"), col("keep"),
-      TextAnalysis.wsTokens(col("text")).as("__toks"),
-      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("__h"))
-    val dupCounts = withHash.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__grp"))
-    withHash.join(dupCounts, Seq("__h"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("__toks")).as("total_tokens"),
-        sum(when(col("__grp") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
-        (dsum(col("quality_logit"), 6) / count(lit(1))).as("avg_logit"),
-        sum(col("keep")).as("__keeps"))
+    val cells = scored.select(col("source"),
+        col("quality_logit"), col("keep"),
+        TextAnalysis.wsTokens(col("text")).as("__toks"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("__h"))
+      .groupBy(col("__h"), col("source"))
+      .agg(count(lit(1)).as("__n"),
+        first(col("quality_logit")).as("__logit"),
+        first(col("keep")).as("__keep"),
+        first(col("__toks")).as("__tok1"))
+    val withGrp = cells.withColumn("__grp", sum(col("__n")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("__h")))
+    withGrp.groupBy(col("source"))
+      .agg(sum(col("__n")).as("n_docs"),
+        sum(col("__tok1") * col("__n")).as("total_tokens"),
+        sum(when(col("__grp") > 1, col("__n")).otherwise(0L)).as("n_dup_docs"),
+        // cell logit × cell count in DECIMAL equals the per-doc decimal
+        // sum exactly (decimal arithmetic; the oracle keeps the per-doc
+        // form), so the mean stays order-independent and hash-matched
+        (sum(col("__logit")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * col("__n"))
+          .cast("double") / sum(col("__n"))).as("avg_logit"),
+        sum(col("__keep") * col("__n")).as("__keeps"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         col("n_dup_docs"),
         (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
