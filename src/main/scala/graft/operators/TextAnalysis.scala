@@ -169,6 +169,28 @@ object TextAnalysis {
         dominant.as("dominant_script")): _*)
   }
 
+  /** Encoding-health signals — the mojibake/decoding-damage detector a
+    * web corpus runs right after charset decode: counts of U+FFFD
+    * replacement characters (the decoder already gave up), raw C1
+    * controls U+0080–U+009F (Latin-1/CP1252 bytes that survived into
+    * text), non-whitespace C0 controls, and the Â/Ã-plus-low-supplement
+    * bigram that is THE signature of UTF-8 read as Latin-1 ("é" → "Ã©").
+    * `clean` = all four zero. Literal codepoint ranges, not \p classes
+    * (the [[scriptProfile]] portability rule); per-row codegen'd
+    * regexp_count, zero shuffle — a scan-time annotation at 100 TB. */
+  def encodingHealth(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pat: String): Column = regexp_count(t, lit(pat)).cast("long")
+    val nRepl = cnt("[\uFFFD]")
+    val nC1 = cnt("[\u0080-\u009F]")
+    val nCtrl = cnt("[\u0001-\u0008\u000B\u000C\u000E-\u001F]")
+    val nDouble = cnt("[\u00C2\u00C3][\u0080-\u00BF]")
+    df.select(col(idCol),
+      nRepl.as("n_replacement"), nC1.as("n_c1"), nCtrl.as("n_ctrl"),
+      nDouble.as("n_double_enc"),
+      (nRepl + nC1 + nCtrl + nDouble === 0L).as("clean"))
+  }
+
   /** Corpus vocabulary: the top-k words by frequency with a total
     * deterministic order (count desc, then word asc — ties can never
     * reorder across engines or partitionings). The first step of any

@@ -4070,6 +4070,48 @@ object Pipeline {
       |    AS pad_frac
       |FROM m ORDER BY bucket""".stripMargin
 
+  /** Encoding health ([[TextAnalysis.encodingHealth]]): each doc gets a
+    * residue-selected corruption appended — U+FFFD, a raw C1 control, a
+    * C0 control pair, the "Ã©" UTF-8-as-Latin-1 signature, or "Â " —
+    * and the detector must count exactly what was injected (the ASCII
+    * corpus contributes zero background). Oracle rebuilds the same
+    * corrupted text with chr() and recounts with the same literal
+    * codepoint classes. */
+  def p105EncodingHealth(s: SparkSession, dir: String): DataFrame = {
+    val corrupted = documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 1, lit("\uFFFD"))
+          .when(col("doc_id") % 6 === 2, lit("\u0085"))
+          .when(col("doc_id") % 6 === 3, lit("\u0007\u0007"))
+          .when(col("doc_id") % 6 === 4, lit("\u00C3\u00A9"))
+          .when(col("doc_id") % 6 === 5, lit("\u00C2\u00A0"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.encodingHealth(corrupted, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val p105Oracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, text ||
+      |    CASE doc_id % 6
+      |      WHEN 1 THEN chr(65533)
+      |      WHEN 2 THEN chr(133)
+      |      WHEN 3 THEN chr(7) || chr(7)
+      |      WHEN 4 THEN chr(195) || chr(169)
+      |      WHEN 5 THEN chr(194) || chr(160)
+      |      ELSE '' END AS text
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[' || chr(65533) || ']')) AS BIGINT) AS n_replacement,
+      |    CAST(len(regexp_extract_all(text, '[' || chr(128) || '-' || chr(159) || ']')) AS BIGINT) AS n_c1,
+      |    CAST(len(regexp_extract_all(text, '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) || chr(14) || '-' || chr(31) || ']')) AS BIGINT) AS n_ctrl,
+      |    CAST(len(regexp_extract_all(text, '[' || chr(194) || chr(195) || '][' || chr(128) || '-' || chr(191) || ']')) AS BIGINT) AS n_double_enc
+      |  FROM c)
+      |SELECT doc_id, n_replacement, n_c1, n_ctrl, n_double_enc,
+      |  (n_replacement + n_c1 + n_ctrl + n_double_enc = 0) AS clean
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -4176,6 +4218,7 @@ object Pipeline {
     "p102_source_report" -> (p102SourceReport _),
     "p103_lang_confusion" -> (p103LangConfusion _),
     "p104_length_histogram" -> (p104LengthHistogram _),
+    "p105_encoding_health" -> (p105EncodingHealth _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   val oracles: Map[String, String] = Map(
@@ -4283,5 +4326,6 @@ object Pipeline {
     "p102_source_report" -> p102Oracle,
     "p103_lang_confusion" -> p103Oracle,
     "p104_length_histogram" -> p104Oracle,
+    "p105_encoding_health" -> p105Oracle,
     "p98_outlink_graph" -> p98Oracle)
 }

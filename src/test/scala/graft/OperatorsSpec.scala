@@ -943,6 +943,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(k2 == Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("encodingHealth counts mojibake signatures and nothing else") {
+    val rows = Seq(
+      (0L, "perfectly clean ascii text"),
+      (1L, "bad \uFFFD twice \uFFFD here"),
+      (2L, "c1 control \u0085 inside"),
+      (3L, "bell \u0007 and vt \u000B but tab\tand newline\n are fine"),
+      (4L, "caf\u00C3\u00A9 and \u00C2\u00A0 nbsp"),   // mojibake e-acute + A-hat nbsp
+      (5L, "plain École française"))          // real accents: clean
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.encodingHealth(rows, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 4).map(r.getLong).toList, r.getBoolean(5))).toMap
+    assert(got(0L) == ((List(0L, 0L, 0L, 0L), true)))
+    assert(got(1L) == ((List(2L, 0L, 0L, 0L), false)))
+    assert(got(2L) == ((List(0L, 1L, 0L, 0L), false)))
+    // tab/newline are NOT flagged; bell + vertical tab are
+    assert(got(3L) == ((List(0L, 0L, 2L, 0L), false)))
+    // the double-encoding bigrams also contain C1-range chars? no —
+    // U+00A9/U+00A0 are above U+009F, so n_c1 stays 0
+    assert(got(4L) == ((List(0L, 0L, 0L, 2L), false)))
+    // genuine Latin-1 accents (É, ç) trigger nothing
+    assert(got(5L) == ((List(0L, 0L, 0L, 0L), true)))
+  }
+
   test("G.711 ulaw/alaw decode matches the JDK converters on all 256 codes") {
     import graft.operators.Multimodal
     val codes = Array.tabulate[Byte](256)(_.toByte)
