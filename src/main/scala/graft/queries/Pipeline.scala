@@ -4112,6 +4112,66 @@ object Pipeline {
       |  (n_replacement + n_c1 + n_ctrl + n_double_enc = 0) AS clean
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Dedup-estimator evaluation — "measure, don't guess" for the LSH
+    * path: within (lang, source) blocks, exact 3-gram Jaccard pairs at
+    * ≥0.3 are ground truth, and the MinHash+LSH pipeline's candidate
+    * pairs (est ≥ 0.3) are the prediction; the report counts truth,
+    * predicted, their overlap, and recall/precision. Both sides are
+    * md5-replayable since r9, so the WHOLE evaluation — including the
+    * LSH banding's probabilistic misses — hash-matches in DuckDB. The
+    * restriction to intra-block pairs makes the two pair spaces
+    * comparable (exact Jaccard is only computed blocked; LSH pairs
+    * crossing blocks are excluded from precision's denominator). */
+  def p106DedupEval(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val blocks = d.select(col("doc_id").as("id"), col("lang"), col("source"))
+    val truth = Dedup.ngramJaccard(d, "text", "doc_id",
+        Seq("lang", "source"), n = 3, threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    val pred = Dedup.minHashDedup(d, "text", "doc_id", threshold = 0.3)
+      .join(blocks.select(col("id").as("id_a"),
+        col("lang").as("la"), col("source").as("sa")), Seq("id_a"))
+      .join(blocks.select(col("id").as("id_b"),
+        col("lang").as("lb"), col("source").as("sb")), Seq("id_b"))
+      .filter(col("la") === col("lb") && col("sa") === col("sb"))
+      .select(col("id_a"), col("id_b"))
+    val both = truth.intersect(pred)
+    val t = truth.count(); val p = pred.count(); val hit = both.count()
+    import s.implicits._
+    Seq((t, p, hit,
+      if (t == 0) 1.0 else hit.toDouble / t.toDouble,
+      if (p == 0) 1.0 else hit.toDouble / p.toDouble))
+      .toDF("n_truth", "n_predicted", "n_hit", "recall", "precision")
+  }
+
+  val p106Oracle: String = {
+    val truthSql = p05Oracle
+      .replace("ORDER BY id_a, id_b", "")
+      .replace(">= 0.05", ">= 0.3")
+    val predSql = p03Oracle.replace("ORDER BY id_a, id_b", "")
+    s"""WITH truth AS (
+       |  SELECT id_a, id_b FROM ($truthSql)),
+       |predb AS (
+       |  SELECT id_a, id_b FROM ($predSql)),
+       |blocks AS (SELECT doc_id AS id, lang, source FROM documents),
+       |pred AS (
+       |  SELECT p.id_a, p.id_b FROM predb p
+       |  JOIN blocks a ON a.id = p.id_a
+       |  JOIN blocks b ON b.id = p.id_b
+       |  WHERE a.lang = b.lang AND a.source = b.source),
+       |hit AS (SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM pred),
+       |m AS (
+       |  SELECT (SELECT count(*) FROM truth) AS n_truth,
+       |    (SELECT count(*) FROM pred) AS n_predicted,
+       |    (SELECT count(*) FROM hit) AS n_hit)
+       |SELECT n_truth, n_predicted, n_hit,
+       |  CASE WHEN n_truth = 0 THEN 1.0
+       |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall,
+       |  CASE WHEN n_predicted = 0 THEN 1.0
+       |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_predicted AS DOUBLE) END AS precision
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -4219,6 +4279,7 @@ object Pipeline {
     "p103_lang_confusion" -> (p103LangConfusion _),
     "p104_length_histogram" -> (p104LengthHistogram _),
     "p105_encoding_health" -> (p105EncodingHealth _),
+    "p106_dedup_eval" -> (p106DedupEval _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   val oracles: Map[String, String] = Map(
@@ -4327,5 +4388,6 @@ object Pipeline {
     "p103_lang_confusion" -> p103Oracle,
     "p104_length_histogram" -> p104Oracle,
     "p105_encoding_health" -> p105Oracle,
+    "p106_dedup_eval" -> p106Oracle,
     "p98_outlink_graph" -> p98Oracle)
 }
