@@ -4172,6 +4172,78 @@ object Pipeline {
        |FROM m""".stripMargin
   }
 
+  /** Quantized-ANN recall ([[Similarity.quantizeInt8]] put to its real
+    * use): brute-force cosine top-10 over the int8-DEQUANTIZED corpus vs
+    * the float top-10, reporting per-query overlap@10 — the measurement
+    * that justifies shipping the 4×-smaller index at 100 TB. Every step
+    * (quantize, dequantize, cosine, rank, intersect) is exact-replayable,
+    * so even the recall losses hash-match in DuckDB. */
+  def p107QuantizedAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val c = e.filter(col("vec_id") >= 5)
+    val cq = Similarity.quantizeInt8(c, "embedding", "vec_id")
+      .select(col("vec_id"),
+        transform(col("codes"), cd => cd.cast("double") * col("scale"))
+          .as("embedding"))
+    val topF = Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val topQ = Similarity.bruteForceTopK(q, cq, "embedding", "vec_id", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val ov = topF.intersect(topQ)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__ov"))
+    q.select(col("vec_id").as("query_id"))
+      .join(ov, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__ov"), lit(0L)).as("overlap_at_10"))
+      .orderBy(col("query_id"))
+  }
+
+  val p107Oracle: String =
+    """WITH qf AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |cf AS (
+      |  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |  FROM embeddings WHERE vec_id >= 5),
+      |mm AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs
+      |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings WHERE vec_id >= 5)),
+      |cq AS (
+      |  SELECT vec_id AS neighbor_id,
+      |    CASE WHEN max_abs = 0.0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+      |      ELSE list_transform(v,
+      |        x -> CAST(round(x * 127.0 / max_abs) AS INT) * (max_abs / 127.0))
+      |      END AS cv
+      |  FROM mm),
+      |topF AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY
+      |        round(list_dot_product(qv, cv) /
+      |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+      |        DESC, neighbor_id) AS rk
+      |    FROM cf CROSS JOIN qf)
+      |  WHERE rk <= 10),
+      |topQ AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY
+      |        round(list_dot_product(qv, cv) /
+      |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+      |        DESC, neighbor_id) AS rk
+      |    FROM cq CROSS JOIN qf)
+      |  WHERE rk <= 10),
+      |ov AS (
+      |  SELECT query_id, count(*) AS overlap_at_10 FROM (
+      |    SELECT query_id, neighbor_id FROM topF
+      |    INTERSECT SELECT query_id, neighbor_id FROM topQ)
+      |  GROUP BY query_id)
+      |SELECT q.query_id, COALESCE(ov.overlap_at_10, CAST(0 AS BIGINT)) AS overlap_at_10
+      |FROM (SELECT DISTINCT query_id FROM qf) q
+      |LEFT JOIN ov USING (query_id) ORDER BY query_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -4280,6 +4352,7 @@ object Pipeline {
     "p104_length_histogram" -> (p104LengthHistogram _),
     "p105_encoding_health" -> (p105EncodingHealth _),
     "p106_dedup_eval" -> (p106DedupEval _),
+    "p107_quantized_ann" -> (p107QuantizedAnn _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   val oracles: Map[String, String] = Map(
@@ -4389,5 +4462,6 @@ object Pipeline {
     "p104_length_histogram" -> p104Oracle,
     "p105_encoding_health" -> p105Oracle,
     "p106_dedup_eval" -> p106Oracle,
+    "p107_quantized_ann" -> p107Oracle,
     "p98_outlink_graph" -> p98Oracle)
 }
