@@ -82,6 +82,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("r9 per-row annotators (diversity/encoding-health) run unchanged in a stream") {
+    // lexicalDiversity and encodingHealth are shuffle-free per-row
+    // transforms, so the identical operator code annotates a live ingest
+    import graft.operators.TextAnalysis
+    val docsDir = Files.createTempDirectory("graft-stream-annot").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestSession.sfDir, "documents.parquet"),
+      java.nio.file.Paths.get(docsDir, "documents.parquet"))
+    val batchDocs = spark.read.parquet(docsDir)
+    val q1 = TextAnalysis.lexicalDiversity(
+        spark.readStream.schema(batchDocs.schema).parquet(docsDir),
+        "text", "doc_id")
+      .writeStream.format("memory").queryName("annotdiv")
+      .outputMode("append").start()
+    val q2 = TextAnalysis.encodingHealth(
+        spark.readStream.schema(batchDocs.schema).parquet(docsDir),
+        "text", "doc_id")
+      .writeStream.format("memory").queryName("annotenc")
+      .outputMode("append").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val sd = spark.sql(
+          "SELECT doc_id, n_word_types, ttr, simpson_char FROM annotdiv")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val bd = TextAnalysis.lexicalDiversity(batchDocs, "text", "doc_id")
+        .select(col("doc_id"), col("n_word_types"), col("ttr"), col("simpson_char"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(sd == bd && sd.nonEmpty)
+      val se = spark.sql("SELECT doc_id, clean FROM annotenc")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      val be = TextAnalysis.encodingHealth(batchDocs, "text", "doc_id")
+        .select(col("doc_id"), col("clean"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      assert(se == be && se.nonEmpty)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("web-curation ops (c4/html/url/quality) run unchanged in a stream") {
     // the r7 curation stages are stateless per-row chains, so the SAME
     // operator code filters a live ingest: C4 cleanup -> HTML of the
