@@ -943,6 +943,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(k2 == Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("lexicalDiversity matches a naive in-memory computation on random texts") {
+    val r = new scala.util.Random(0xD1CEL)
+    val texts = (0 until 60).map { i =>
+      val n = r.nextInt(30)
+      (i.toLong, Seq.fill(n)("w" + r.nextInt(8)).mkString(" "))
+    }
+    val got = TextAnalysis.lexicalDiversity(
+        texts.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r2 => r2.getLong(0) ->
+        (r2.getLong(3), r2.getDouble(4), r2.getDouble(5), r2.getDouble(6))).toMap
+    texts.foreach { case (id, t) =>
+      // replicate the operator's normalization and the SORTED fold order
+      // with the identical per-element op sequence (p/p then add)
+      val chars = t.split("").filter(_.nonEmpty)
+      val words = t.trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ").filter(_.nonEmpty)
+      def simpson(arr: Seq[String]): Double =
+        if (arr.isEmpty) 0.0
+        else 1.0 - arr.groupBy(identity).toSeq.sortBy(_._1)
+          .map(_._2.size).foldLeft(0.0) { (acc, n) =>
+            val p = n.toDouble / arr.size.toDouble; acc + p * p
+          }
+      val (types, ttr, simpC, simpW) = got(id)
+      assert(types == words.distinct.length.toLong, s"doc $id types")
+      val expTtr = if (words.isEmpty) 0.0
+        else words.distinct.length.toDouble / words.length.toDouble
+      assert(ttr == expTtr, s"doc $id ttr")
+      assert(simpC == simpson(chars.toSeq), s"doc $id simpson_char")
+      assert(simpW == simpson(words.toSeq), s"doc $id simpson_word")
+    }
+  }
+
   test("encodingHealth counts mojibake signatures and nothing else") {
     val rows = Seq(
       (0L, "perfectly clean ascii text"),
