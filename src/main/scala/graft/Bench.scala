@@ -229,7 +229,13 @@ object Bench {
         val pick =
           if (again._1 < 0) old
           else if (spreadFlagged(k) && again._2 < s &&
-            again._1 <= v + math.max(0.05, again._2)) again
+            again._1 <= v + math.max(0.05, again._2))
+            // tighter retry accepted — but the recorded min is the best
+            // observed THIS session: replacing a faster first-pass min
+            // with the retry's slightly-slower one could make the final
+            // strict-mode gate flag a regression the session's own first
+            // measurement disproves (r9 review catch)
+            (math.min(v, again._1), again._2)
           else if (again._1 < v) again
           else old
         k -> pick

@@ -222,8 +222,11 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
         s""""address":${jstr(selfAddress)},"primary":true}"""))
     case ("POST", "cluster" :: "election" :: Nil) =>
       demandManage(key, "cluster:manage")
-      val n = mapper.readTree(body)
-      if (!n.hasNonNull("candidate") || !n.hasNonNull("seed") ||
+      // an empty or malformed body is a VALIDATION failure (400), not an
+      // internal error — readTree throws on zero bytes / junk
+      val n = try mapper.readTree(body)
+        catch { case _: Throwable => null }
+      if (n == null || !n.hasNonNull("candidate") || !n.hasNonNull("seed") ||
           !n.hasNonNull("started_at"))
         reply(ex, 400,
           errorJson("candidate, seed and started_at are required"))

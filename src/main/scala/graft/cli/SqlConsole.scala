@@ -42,7 +42,9 @@ class SqlConsole(in: BufferedReader, out: PrintStream,
         out.print("graft → "); out.flush()
       } else {
         buf.append(line).append('\n')
-        if (trimmed.endsWith(";")) {
+        // the terminating ';' must sit OUTSIDE any SQL string literal —
+        // a line ending in "...;'" mid-string keeps accumulating
+        if (trimmed.endsWith(";") && !inOpenString(buf.toString)) {
           statementsOf(buf.toString).foreach(runStatement)
           buf.clear()
           out.print("graft → "); out.flush()
@@ -55,9 +57,47 @@ class SqlConsole(in: BufferedReader, out: PrintStream,
     }
   }
 
-  /** Split on `;`, trim, drop empties — frame.go:219-231. */
-  private[cli] def statementsOf(text: String): Seq[String] =
-    text.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+  /** Split on `;` OUTSIDE single-quoted SQL strings (`''` escapes a
+    * quote, SQLite literal rules), trim, drop empties. The reference
+    * console splits naively (frame.go:219-231); quote-awareness is the
+    * one deliberate improvement — a naive split corrupts any statement
+    * whose string literal contains a semicolon. */
+  private[cli] def statementsOf(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (inStr) {
+        cur.append(ch)
+        if (ch == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inStr = false
+        }
+      } else if (ch == '\'') { inStr = true; cur.append(ch) }
+      else if (ch == ';') { out += cur.toString; cur.clear() }
+      else cur.append(ch)
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** True when `text` ends inside an unclosed single-quoted literal. */
+  private[cli] def inOpenString(text: String): Boolean = {
+    var inStr = false
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '\'') {
+        if (inStr && i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
+        else inStr = !inStr
+      }
+      i += 1
+    }
+    inStr
+  }
 
   private def runStatement(stmt: String): Unit = {
     history += stmt

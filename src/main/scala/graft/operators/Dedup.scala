@@ -510,6 +510,16 @@ object Dedup {
     * positive. Result is therefore IDENTICAL to a plain left join on the
     * hash (what the p100 oracle replays); only the physical plan
     * differs. */
+  /** THE normalized-content identity: md5 over whitespace-collapsed
+    * lowercased text. One definition shared by [[normalized]] dedup, the
+    * snapshot index, [[againstSnapshot]], the streaming
+    * [[graft.streaming.DocStreams.snapshotDedupGate]] and the p102
+    * report — the stream gate's correctness depends on hashing
+    * bitwise-identically to the batch index built elsewhere, so the
+    * expression must not fork per call site. */
+  private[graft] def normalizedHash(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
   /** The persisted artifact form of a corpus snapshot for incremental
     * dedup: one row per DISTINCT normalized content hash with the lowest
     * holder id (the canonical-owner policy [[againstSnapshot]] reports).
@@ -521,8 +531,7 @@ object Dedup {
   def snapshotHashIndex(snapshot: DataFrame, textCol: String,
       idCol: String): DataFrame =
     snapshot
-      .select(md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
-          .as("content_hash"),
+      .select(normalizedHash(col(textCol)).as("content_hash"),
         col(idCol).as("snap_id"))
       .groupBy(col("content_hash"))
       .agg(min(col("snap_id")).as("snap_id"))
@@ -530,10 +539,8 @@ object Dedup {
   def againstSnapshot(batch: DataFrame, snapshot: DataFrame,
       textCol: String, idCol: String, fpp: Double = 0.01): DataFrame = {
     val spark = batch.sparkSession
-    val normHash = (c: Column) =>
-      md5(regexp_replace(lower(trim(c)), "\\s+", " "))
     val bh = batch.select(col(idCol).as("batch_id"),
-      normHash(col(textCol)).as("__h"))
+      normalizedHash(col(textCol)).as("__h"))
     val hashes = bh.select(col("__h")).distinct()
     val nHashes = math.max(1L, hashes.count())
     val bf = hashes.stat.bloomFilter("__h", nHashes, fpp)
@@ -544,7 +551,7 @@ object Dedup {
     val bc = spark.sparkContext.broadcast(bytes)
     val might = udf(new SnapshotHashProbe(bc))
     val survivors = snapshot
-      .select(col(idCol).as("snap_id"), normHash(col(textCol)).as("__h"))
+      .select(col(idCol).as("snap_id"), normalizedHash(col(textCol)).as("__h"))
       .filter(might(col("__h")))
     bh.join(survivors, Seq("__h"), "left")
       .groupBy(col("batch_id"), col("__h"))
@@ -572,13 +579,27 @@ object Dedup {
     * list is snapshot-level metadata: build it once per corpus version
     * and share it across every exact-dedup pass. */
   private def capGramDf(grams: DataFrame, blockCols: Seq[String],
-      maxDf: Int): DataFrame = {
+      maxDf: Int, maxHotGrams: Int = 2000000): DataFrame = {
     val key = blockCols :+ "gram"
     val hot = grams.groupBy(key.map(col): _*)
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
       .select(key.map(col): _*)
-    grams.join(broadcast(hot), key, "left_anti")
+    // the "small by construction" claim is an ASSUMPTION (bound is
+    // gramRows/maxDf — in principle billions): collect through a limit
+    // probe and fail LOUDLY if the boilerplate set overflows the
+    // broadcast budget, instead of letting the forced broadcast OOM the
+    // driver (r9 review catch). One execution of the df aggregation —
+    // a count()-then-broadcast would run it twice. Overflow remediation:
+    // raise maxDf, or split the corpus by block before dedup.
+    val spark = grams.sparkSession
+    val hotRows = hot.limit(maxHotGrams + 1).collect()
+    require(hotRows.length <= maxHotGrams,
+      s"over $maxHotGrams grams exceed maxDf=$maxDf — the boilerplate set " +
+        "no longer fits a broadcast; raise maxDf or pre-split by block")
+    val hotDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(hotRows.toIndexedSeq), hot.schema)
+    grams.join(broadcast(hotDf), key, "left_anti")
   }
 
   /** Per-document n-gram NOVELTY against the whole corpus: the fraction

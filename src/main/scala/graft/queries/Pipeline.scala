@@ -3918,28 +3918,32 @@ object Pipeline {
   def p102SourceReport(s: SparkSession, dir: String): DataFrame = {
     val scored = Quality.score(documents(s, dir), "text",
       Seq(-2.0, 3.0, -4.0, 2.0, 0.1))
+    // the cells aggregate per-doc SUMS, never first(...)×n: a NORMALIZED
+    // dup group can hold raw-text variants ('Hello  World' vs 'hello
+    // world') whose logits/token counts differ, so a representative-based
+    // fold would be wrong and partition-order-dependent (r9 review catch
+    // — latent here only because the shipped corpora's normalized dups
+    // happen to be byte-identical). Decimal cell sums equal the per-doc
+    // decimal sum exactly, keeping the mean order-independent.
     val cells = scored.select(col("source"),
         col("quality_logit"), col("keep"),
         TextAnalysis.wsTokens(col("text")).as("__toks"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("__h"))
+        Dedup.normalizedHash(col("text")).as("__h"))
       .groupBy(col("__h"), col("source"))
       .agg(count(lit(1)).as("__n"),
-        first(col("quality_logit")).as("__logit"),
-        first(col("keep")).as("__keep"),
-        first(col("__toks")).as("__tok1"))
+        sum(col("quality_logit")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__logitSum"),
+        sum(col("keep")).as("__keepSum"),
+        sum(col("__toks")).as("__tokSum"))
     val withGrp = cells.withColumn("__grp", sum(col("__n")).over(
       org.apache.spark.sql.expressions.Window.partitionBy("__h")))
     withGrp.groupBy(col("source"))
       .agg(sum(col("__n")).as("n_docs"),
-        sum(col("__tok1") * col("__n")).as("total_tokens"),
+        sum(col("__tokSum")).as("total_tokens"),
         sum(when(col("__grp") > 1, col("__n")).otherwise(0L)).as("n_dup_docs"),
-        // cell logit × cell count in DECIMAL equals the per-doc decimal
-        // sum exactly (decimal arithmetic; the oracle keeps the per-doc
-        // form), so the mean stays order-independent and hash-matched
-        (sum(col("__logit")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * col("__n"))
-          .cast("double") / sum(col("__n"))).as("avg_logit"),
-        sum(col("__keep") * col("__n")).as("__keeps"))
+        (sum(col("__logitSum")).cast("double") / sum(col("__n")))
+          .as("avg_logit"),
+        sum(col("__keepSum")).as("__keeps"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         col("n_dup_docs"),
         (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
@@ -4135,8 +4139,18 @@ object Pipeline {
         col("lang").as("lb"), col("source").as("sb")), Seq("id_b"))
       .filter(col("la") === col("lb") && col("sa") === col("sb"))
       .select(col("id_a"), col("id_b"))
-    val both = truth.intersect(pred)
-    val t = truth.count(); val p = pred.count(); val hit = both.count()
+    // ONE action: truth/pred are unique pair sets, so a full-outer join
+    // + three sums yields all counts without re-executing the two
+    // heaviest dedup pipelines per count() (r9 review catch)
+    val r = truth.withColumn("__t", lit(1L))
+      .join(pred.withColumn("__p", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("__t"), lit(0L))),
+        sum(coalesce(col("__p"), lit(0L))),
+        sum(when(col("__t").isNotNull && col("__p").isNotNull, 1L)
+          .otherwise(0L)))
+      .head()
+    def n(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val (t, p, hit) = (n(0), n(1), n(2))
     import s.implicits._
     Seq((t, p, hit,
       if (t == 0) 1.0 else hit.toDouble / t.toDouble,

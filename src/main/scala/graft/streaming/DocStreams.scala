@@ -98,18 +98,6 @@ object DocStreams {
         (col("shared_grams") > 0).as("contaminated"))
   }
 
-  /** Streaming LM scoring at ingest: documents flowing through a stream
-    * are scored against a PRE-TRAINED n-gram model held as two static
-    * DataFrames (gram → count, prefix → count — train them offline with
-    * [[graft.operators.TextAnalysis.lmScore]]'s shape and persist). The
-    * stream side stays stateless: per-row gram explode + doc-windowed
-    * collapse would need state, so scoring aggregates WITHIN each row via
-    * a static-stream join on the exploded grams and a per-(doc, window)
-    * aggregation bounded by the watermark. Catalyst broadcasts the
-    * (pruned, bounded) model to every micro-batch — the stream never
-    * shuffles against it. Emits (id, ts, n_positions, lm_hits, hit_frac)
-    * when the watermark closes the window — the same coverage columns as
-    * the batch operator, proven equal in StreamingSpec. */
   /** Streaming snapshot-dedup gate at ingest: each arriving document is
     * checked against the historical corpus's
     * [[graft.operators.Dedup.snapshotHashIndex]] (content_hash →
@@ -128,15 +116,27 @@ object DocStreams {
     * semantics unchanged. Emits (id, ts, is_dup, dup_of). */
   def snapshotDedupGate(docs: DataFrame, index: DataFrame,
       textCol: String, idCol: String, tsCol: String): DataFrame = {
-    val h = md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
     docs
-      .select(col(idCol).as("id"), col(tsCol), h.as("content_hash"))
+      .select(col(idCol).as("id"), col(tsCol),
+        graft.operators.Dedup.normalizedHash(col(textCol)).as("content_hash"))
       .join(index.select(col("content_hash"), col("snap_id").as("dup_of")),
         Seq("content_hash"), "left")
       .select(col("id"), col(tsCol),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
 
+  /** Streaming LM scoring at ingest: documents flowing through a stream
+    * are scored against a PRE-TRAINED n-gram model held as two static
+    * DataFrames (gram → count, prefix → count — train them offline with
+    * [[graft.operators.TextAnalysis.lmScore]]'s shape and persist). The
+    * stream side stays stateless: per-row gram explode + doc-windowed
+    * collapse would need state, so scoring aggregates WITHIN each row via
+    * a static-stream join on the exploded grams and a per-(doc, window)
+    * aggregation bounded by the watermark. Catalyst broadcasts the
+    * (pruned, bounded) model to every micro-batch — the stream never
+    * shuffles against it. Emits (id, ts, n_positions, lm_hits, hit_frac)
+    * when the watermark closes the window — the same coverage columns as
+    * the batch operator, proven equal in StreamingSpec. */
   def lmScoredStream(docs: DataFrame, gramCounts: DataFrame,
       textCol: String, idCol: String, tsCol: String,
       n: Int = 2, watermark: String = "2 hours",

@@ -392,8 +392,11 @@ class HttpApiSpec extends AnyFunSuite {
     assert(conn.statusCode() == 200)
     assert(mapper.readTree(conn.body()).path("data").path("primary").asBoolean())
 
-    // election: field validation first, then the primary-lease refusal
+    // election: field validation first, then the primary-lease refusal;
+    // an EMPTY or junk body is also a 400 validation error, never a 500
     assert(post("/v1/cluster/election", "{}").statusCode() == 400)
+    assert(post("/v1/cluster/election", "").statusCode() == 400)
+    assert(post("/v1/cluster/election", "not json").statusCode() == 400)
     val el = post("/v1/cluster/election",
       """{"candidate":"n2","seed":7,"started_at":1}""")
     assert(el.statusCode() == 400)
@@ -413,7 +416,9 @@ class HttpApiSpec extends AnyFunSuite {
       """CREATE TABLE repl_t (id INTEGER, name TEXT);
         |INSERT INTO repl_t
         |VALUES (1, 'ada'), (2, 'bob');
-        |SELECT id, name FROM repl_t ORDER BY id;
+        |INSERT INTO repl_t VALUES (3, 'semi;colon');
+        |SELECT name FROM repl_t WHERE id = 3;
+        |SELECT id, name FROM repl_t WHERE id < 3 ORDER BY id;
         |SELECT 1 FROM repl_t WHERE id = 99;
         |SELECT * FROM no_such_table;
         |.history
@@ -432,6 +437,8 @@ class HttpApiSpec extends AnyFunSuite {
     // DDL + DML render the changes summary with latency
     assert(out.contains("OK: 0 changes ("), out)
     assert(out.contains("OK: 2 changes"), out)
+    // a semicolon INSIDE a string literal must not split the statement
+    assert(out.contains("semi;colon"), out)
     // SELECT renders the aligned table: header, rows, count, latency
     assert(out.contains("id  name"), out)
     assert(out.contains("1   ada"), out)
