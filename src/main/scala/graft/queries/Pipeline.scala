@@ -4258,6 +4258,35 @@ object Pipeline {
       |FROM (SELECT DISTINCT query_id FROM qf) q
       |LEFT JOIN ov USING (query_id) ORDER BY query_id""".stripMargin
 
+  /** The ACTUAL dedup output of the LSH path: connected components over
+    * the MinHash near-dup pair graph ([[p03DedupMinHash]]'s pairs at
+    * est ≥ 0.5), every clustered doc labeled with its component's lowest
+    * id — the "keep one per near-dup cluster" decision. Both stages are
+    * replayable since r9 (md5/affine MinHash; star-contraction
+    * components = transitive closure), so the oracle rebuilds pairs AND
+    * closure in one recursive CTE (the p18 pattern over the p03 SQL). */
+  def p108MinhashClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+        Dedup.minHashDedup(documents(s, dir), "text", "doc_id",
+            threshold = 0.5)
+          .select(col("id_a"), col("id_b")))
+      .orderBy(col("id"))
+
+  val p108Oracle: String = {
+    val pairsSql = p03Oracle.replace("ORDER BY id_a, id_b", "")
+      .replace(">= 0.3", ">= 0.5")
+    s"""WITH RECURSIVE
+       |p AS (SELECT id_a, id_b FROM ($pairsSql)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION ALL SELECT id_b, id_a FROM p),
+       |walk(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.lab FROM edges e JOIN walk w ON e.dst = w.id)
+       |SELECT id, MIN(lab) AS cluster FROM walk GROUP BY id
+       |ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -4367,6 +4396,7 @@ object Pipeline {
     "p105_encoding_health" -> (p105EncodingHealth _),
     "p106_dedup_eval" -> (p106DedupEval _),
     "p107_quantized_ann" -> (p107QuantizedAnn _),
+    "p108_minhash_clusters" -> (p108MinhashClusters _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   val oracles: Map[String, String] = Map(
@@ -4477,5 +4507,6 @@ object Pipeline {
     "p105_encoding_health" -> p105Oracle,
     "p106_dedup_eval" -> p106Oracle,
     "p107_quantized_ann" -> p107Oracle,
+    "p108_minhash_clusters" -> p108Oracle,
     "p98_outlink_graph" -> p98Oracle)
 }
