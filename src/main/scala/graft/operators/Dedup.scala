@@ -243,6 +243,51 @@ object Dedup {
       .distinct()
   }
 
+  /** FUZZY cross-corpus near-dup pairs (big × small only, never
+    * within-either): the decontamination shape exact n-gram overlap
+    * ([[graft.operators.Sampling.contamination]]) misses — an eval
+    * document lightly paraphrased or extended inside a training page
+    * shares most shingles but not necessarily 13 consecutive words.
+    * Same md5/affine signature family and md5 band keys as
+    * [[minHashDedup]], so the whole cross pipeline is oracle-replayable.
+    *
+    * Scale shape: the small side's banded signatures BROADCAST (an eval
+    * suite is bounded by construction); the big side is one scan →
+    * signatures → band explode with the standard window bucket cap, and
+    * the join is broadcast-hash — the 100 TB side never shuffles at all.
+    * Emits (big_id, small_id, est_jaccard ≥ threshold) distinct. */
+  def crossMinHashPairs(big: DataFrame, small: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val mhCols = (0 until k).map(i => col(s"mh$i"))
+    def bandsOf(df: DataFrame): DataFrame = {
+      val sigs = minHashSignatures(
+        wordShingleHashes(df, textCol, idCol, shingleLen), k)
+      sigs
+        .select((col("id") +:
+          explode(array(bandKeyCols(k, rowsPerBand): _*)).as("b") +: mhCols): _*)
+        .select((col("id") +: col("b.band").as("band") +:
+          col("b.bh").as("bh") +: mhCols): _*)
+    }
+    val bigCapped = bandsOf(big)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("sz") <= maxBucket)
+      .drop("sz")
+    val smallB = {
+      val b = bandsOf(small)
+      b.toDF(b.columns.map(c => s"s_$c"): _*)
+    }
+    val agree = (0 until k)
+      .map(i => when(col(s"mh$i") === col(s"s_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    bigCapped.join(broadcast(smallB),
+        col("band") === col("s_band") && col("bh") === col("s_bh"))
+      .select(col("id").as("big_id"), col("s_id").as("small_id"),
+        (agree.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
   /** Estimated Jaccard for candidate pairs = fraction of agreeing minhash
     * positions. Two broadcast-or-shuffle hash joins against the signature
     * table; deterministic integer comparisons only. */

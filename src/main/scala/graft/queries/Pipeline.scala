@@ -4287,6 +4287,88 @@ object Pipeline {
        |ORDER BY id""".stripMargin
   }
 
+  /** Fuzzy decontamination ([[Dedup.crossMinHashPairs]]): every 97th doc
+    * spawns an "eval" twin (id + 200000) extended with a marker tail —
+    * high shingle overlap but NOT guaranteed 13 consecutive shared words
+    * at the edges, the paraphrase/extension case exact contamination
+    * (p25) structurally under-catches. The cross-LSH must pair each twin
+    * with its training source; the oracle replays both corpora's
+    * signatures, banding, the big-side bucket cap and the agreement
+    * estimate. */
+  def p109CrossContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 200000L,
+      s"doc_id $maxId collides with the +200000 eval-id range; widen the offset")
+    val eval = d.filter(col("doc_id") % 97 === 7)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" appended marker tail tokens")).as("text"))
+    Dedup.crossMinHashPairs(d, eval, "text", "doc_id", threshold = 0.5)
+      .orderBy(col("big_id"), col("small_id"))
+  }
+
+  val p109Oracle: String = {
+    val k = 32; val rpb = 4; val maxBucket = 1000
+    val m = Dedup.MinHashMod
+    val co = Dedup.affineCoeffs(k, 42L)
+    val minCols = co.zipWithIndex.map { case ((a, b), i) =>
+      s"    MIN((g31 * $a + $b) % $m) AS mh$i" }.mkString(",\n")
+    def bandSelects(sig: String) = (0 until k / rpb).map { j =>
+      val vals = (0 until rpb).map(r => s"mh${j * rpb + r}")
+      val bh = vals.mkString(s"md5($j || ',' || ", " || ',' || ", ")")
+      val mhList = (0 until k).map(i => s"mh$i").mkString(", ")
+      s"  SELECT doc_id, $j AS band, $bh AS bh, $mhList FROM $sig"
+    }.mkString("\n  UNION ALL\n")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT doc_id + 200000 AS doc_id,
+       |    text || ' appended marker tail tokens' AS text
+       |  FROM documents WHERE doc_id % 97 = 7),
+       |wt AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM documents),
+       |we AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM ev),
+       |gt AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x'||substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),1,8))::BIGINT
+       |      & 2147483647 AS g31
+       |  FROM wt, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+       |  WHERE len(w) >= 3),
+       |ge AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x'||substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),1,8))::BIGINT
+       |      & 2147483647 AS g31
+       |  FROM we, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+       |  WHERE len(w) >= 3),
+       |st AS (
+       |  SELECT doc_id,
+       |$minCols
+       |  FROM gt GROUP BY doc_id),
+       |se AS (
+       |  SELECT doc_id,
+       |$minCols
+       |  FROM ge GROUP BY doc_id),
+       |bt AS (
+       |${bandSelects("st")}),
+       |be AS (
+       |${bandSelects("se")}),
+       |btc AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bh) AS sz FROM bt)
+       |  WHERE sz <= $maxBucket)
+       |SELECT DISTINCT a.doc_id AS big_id, b.doc_id AS small_id,
+       |  CAST($agree AS DOUBLE) / $k AS est_jaccard
+       |FROM btc a JOIN be b ON a.band = b.band AND a.bh = b.bh
+       |WHERE CAST($agree AS DOUBLE) / $k >= 0.5
+       |ORDER BY big_id, small_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -4397,6 +4479,7 @@ object Pipeline {
     "p106_dedup_eval" -> (p106DedupEval _),
     "p107_quantized_ann" -> (p107QuantizedAnn _),
     "p108_minhash_clusters" -> (p108MinhashClusters _),
+    "p109_cross_contamination" -> (p109CrossContamination _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   val oracles: Map[String, String] = Map(
@@ -4508,5 +4591,6 @@ object Pipeline {
     "p106_dedup_eval" -> p106Oracle,
     "p107_quantized_ann" -> p107Oracle,
     "p108_minhash_clusters" -> p108Oracle,
+    "p109_cross_contamination" -> p109Oracle,
     "p98_outlink_graph" -> p98Oracle)
 }

@@ -975,6 +975,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("crossMinHashPairs pairs fuzzy twins across corpora, never within one") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest tonight"
+    val train = Seq(
+      (0L, base),
+      (1L, "a completely different training document about catalyst rules"),
+      (2L, base)) // within-train dup of 0 — must NOT appear in output
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, base + " with a small appended tail"),  // fuzzy twin of 0/2
+      (101L, "entirely unrelated evaluation text about parquet readers"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossMinHashPairs(train, eval, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 100L), (2L, 100L)), s"got $got")
+  }
+
   test("encodingHealth counts mojibake signatures and nothing else") {
     val rows = Seq(
       (0L, "perfectly clean ascii text"),
