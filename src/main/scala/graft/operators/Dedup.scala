@@ -256,19 +256,26 @@ object Dedup {
     * signatures → band explode with the standard window bucket cap, and
     * the join is broadcast-hash — the 100 TB side never shuffles at all.
     * Emits (big_id, small_id, est_jaccard ≥ threshold) distinct. */
+  /** Banded-signature table (id, band, bh, mh0..mh(k-1)) for a corpus —
+    * the reusable artifact the cross-corpus paths share: build it once
+    * for the SMALL side (an eval suite) and broadcast it into batch
+    * [[crossMinHashPairs]] or the streaming
+    * [[graft.streaming.DocStreams.fuzzyContaminationGate]]. */
+  def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val mhCols = (0 until k).map(i => col(s"mh$i"))
+    minHashSignatures(wordShingleHashes(df, textCol, idCol, shingleLen), k)
+      .select((col("id") +:
+        explode(array(bandKeyCols(k, rowsPerBand): _*)).as("b") +: mhCols): _*)
+      .select((col("id") +: col("b.band").as("band") +:
+        col("b.bh").as("bh") +: mhCols): _*)
+  }
+
   def crossMinHashPairs(big: DataFrame, small: DataFrame, textCol: String,
       idCol: String, shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val mhCols = (0 until k).map(i => col(s"mh$i"))
-    def bandsOf(df: DataFrame): DataFrame = {
-      val sigs = minHashSignatures(
-        wordShingleHashes(df, textCol, idCol, shingleLen), k)
-      sigs
-        .select((col("id") +:
-          explode(array(bandKeyCols(k, rowsPerBand): _*)).as("b") +: mhCols): _*)
-        .select((col("id") +: col("b.band").as("band") +:
-          col("b.bh").as("bh") +: mhCols): _*)
-    }
+    def bandsOf(df: DataFrame): DataFrame =
+      bandedSignatures(df, textCol, idCol, shingleLen, k, rowsPerBand)
     val bigCapped = bandsOf(big)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("band", "bh")))
       .filter(col("sz") <= maxBucket)

@@ -114,6 +114,60 @@ object DocStreams {
     * index; when the index outgrows comfortable join input, compact it to
     * the bloom + exact-confirm form (the [[contaminationGate]] plan) —
     * semantics unchanged. Emits (id, ts, is_dup, dup_of). */
+  /** FUZZY contamination gate at ingest: each arriving document's
+    * per-row MinHash signature is banded and probed against the static
+    * eval set's [[graft.operators.Dedup.bandedSignatures]] artifact
+    * (broadcast — bounded by construction), and the document is flagged
+    * when its best agreement estimate reaches `threshold` — the
+    * paraphrase/extension case [[contaminationGate]]'s exact 13-gram
+    * check structurally under-catches, running BEFORE storage like its
+    * exact sibling. Streaming twin of
+    * [[graft.operators.Dedup.crossMinHashPairs]] (StreamingSpec proves
+    * the flagged sets equal).
+    *
+    * NO big-side bucket cap here, deliberately: the cap exists to stop a
+    * batch self-join's k² fan-out, while this join's fan-out per doc is
+    * ≤ bands × |eval bucket| — bounded by the broadcast side. Per-row
+    * signatures are stateless; the only state is the watermark-bounded
+    * (doc, window) max aggregation. Emits (id, ts, n_band_hits,
+    * max_est, contaminated). */
+  def fuzzyContaminationGate(docs: DataFrame, evalBands: DataFrame,
+      textCol: String, idCol: String, tsCol: String,
+      shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, watermark: String = "2 hours",
+      bucketWindow: String = "10 minutes"): DataFrame = {
+    val mhCols = (0 until k).map(i => col(s"mh$i"))
+    val sigs = graft.operators.Dedup.minHashSignaturesPerDoc(
+      docs, textCol, idCol, shingleLen, k, carryCols = Seq(tsCol))
+    val bandCols = graft.operators.Dedup.bandKeyCols(k, rowsPerBand)
+    val exploded = sigs
+      .select((col("id") +: col(tsCol) +:
+        explode(array(bandCols: _*)).as("b") +: mhCols): _*)
+      .select((col("id") +: col(tsCol) +: col("b.band").as("band") +:
+        col("b.bh").as("bh") +: mhCols): _*)
+    val eb = {
+      val b = evalBands
+      b.toDF(b.columns.map(c => s"s_$c"): _*)
+    }
+    val agree = (0 until k)
+      .map(i => when(col(s"mh$i") === col(s"s_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    exploded
+      .join(broadcast(eb),
+        col("band") === col("s_band") && col("bh") === col("s_bh"), "left")
+      .select(col("id"), col(tsCol),
+        when(col("s_id").isNull, 0.0)
+          .otherwise(agree.cast("double") / k).as("__est"),
+        when(col("s_id").isNull, 0L).otherwise(1L).as("__hit"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), bucketWindow), col("id"))
+      .agg(sum(col("__hit")).as("n_band_hits"),
+        max(col("__est")).as("max_est"),
+        min(col(tsCol)).as("ts"))
+      .select(col("id"), col("ts"), col("n_band_hits"), col("max_est"),
+        (col("max_est") >= threshold).as("contaminated"))
+  }
+
   def snapshotDedupGate(docs: DataFrame, index: DataFrame,
       textCol: String, idCol: String, tsCol: String): DataFrame = {
     docs

@@ -554,6 +554,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fuzzy contamination gate matches the batch cross-LSH twin") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.Dedup
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val evalDocs = Seq((500L, base + " extended with a short tail"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, base, "2024-01-01 00:00:00"),                 // fuzzy twin -> flag
+      (1L, "a fully unrelated training document about shuffle partitions",
+        "2024-01-01 00:01:00"),
+      (2L, base.replace("alpha", "zulu"), "2024-01-01 00:02:00")) // near twin
+      .map { case (id, t, ts) => (id, t, java.sql.Timestamp.valueOf(ts)) }
+    val evalBands = Dedup.bandedSignatures(evalDocs, "text", "doc_id")
+    val dir = Files.createTempDirectory("graft-fuzzygate").toString
+    val q = DocStreams.fuzzyContaminationGate(
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .parquet(dir), evalBands, "text", "doc_id", "ts", threshold = 0.5)
+      .writeStream.format("memory").queryName("fuzzygate")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d =>
+        Seq(d).toDF("doc_id", "text", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      Seq((99L, (1 to 25).map(i => s"nv$i").mkString(" "),
+          java.sql.Timestamp.valueOf("2024-01-01 04:00:00")))
+        .toDF("doc_id", "text", "ts").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT id, max_est, contaminated FROM fuzzygate WHERE id < 99")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+        .toMap
+      // batch twin: per-doc max estimate over all cross-LSH candidates
+      val batchMax = Dedup.crossMinHashPairs(
+          docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), evalDocs,
+          "text", "doc_id", threshold = 0.0)
+        .groupBy(col("big_id")).agg(max(col("est_jaccard")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      docs.map(_._1).foreach { id =>
+        val sEst = streamed(id)._1
+        assert(sEst == batchMax.getOrElse(id, 0.0),
+          s"doc $id: stream est $sEst vs batch ${batchMax.get(id)}")
+      }
+      assert(streamed(0L)._2, "fuzzy twin must be flagged")
+      assert(!streamed(1L)._2, "unrelated doc must pass")
+    } finally q.stop()
+  }
+
   test("streaming snapshot-dedup gate matches the batch againstSnapshot twin") {
     import spark.implicits._
     import graft.streaming.DocStreams
