@@ -1068,7 +1068,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val live = effTableNames(db, branch, txn).toSet ++
       attached.map(_._1) ++ sqlViews.map(_._1)
     var anyChanged = false
-    (reg.keySet -- live).toSeq.foreach { v =>
+    reg.keySet.toSet.diff(live).toSeq.foreach { v =>
       s.catalog.dropTempView(v); reg -= v; anyChanged = true
     }
     (live -- attached.map(_._1) -- sqlViews.map(_._1)).foreach { t =>
@@ -3305,7 +3305,7 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         Window.partitionBy(up.cols.map(col): _*).orderBy(survivorOrder)))
       .filter(col("__rn") === 1 || anyNullKey).drop("__seq", "__rn")
     val exc = lastWins
-      .select(schema.fieldNames.map(f => col(f).as(s"__exc_$f")) :+
+      .select(schema.fieldNames.toIndexedSeq.map(f => col(f).as(s"__exc_$f")) :+
         lit(1).as("__exc_m"): _*)
     val ev = scratchView("__graft_excluded", exc)
     val joinCond = up.cols.map(c => s"t.`$c` = e.`__exc_$c`").mkString(" AND ")

@@ -21,7 +21,7 @@ class StatementCache[P](maxEntries: Int = 256,
 
   private val map = new java.util.LinkedHashMap[Key, Entry](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[Key, Entry]): Boolean =
-      size() > maxEntries
+      this.size() > maxEntries
   }
   var hits = 0L
   var misses = 0L

@@ -104,7 +104,7 @@ object JsonOps {
           case to: ObjectNode => to
           case _ => mapper.createObjectNode()
         }
-        po.fields().asScala.toSeq.foreach { e =>
+        po.properties().asScala.toSeq.foreach { e =>
           if (e.getValue.isNull) { base.remove(e.getKey); () }
           else if (e.getValue.isObject) {
             base.set(e.getKey, patchNodes(base.path(e.getKey), e.getValue)); ()

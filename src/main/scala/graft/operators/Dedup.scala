@@ -282,7 +282,7 @@ object Dedup {
       .drop("sz")
     val smallB = {
       val b = bandsOf(small)
-      b.toDF(b.columns.map(c => s"s_$c"): _*)
+      b.toDF(b.columns.toIndexedSeq.map(c => s"s_$c"): _*)
     }
     val agree = (0 until k)
       .map(i => when(col(s"mh$i") === col(s"s_mh$i"), 1).otherwise(0))
@@ -299,8 +299,8 @@ object Dedup {
     * positions. Two broadcast-or-shuffle hash joins against the signature
     * table; deterministic integer comparisons only. */
   def minHashVerify(candidates: DataFrame, signatures: DataFrame, k: Int = 32): DataFrame = {
-    val sigA = signatures.toDF(signatures.columns.map(c => s"a_$c"): _*)
-    val sigB = signatures.toDF(signatures.columns.map(c => s"b_$c"): _*)
+    val sigA = signatures.toDF(signatures.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val sigB = signatures.toDF(signatures.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     val agree = (0 until k)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
       .reduce(_ + _)
