@@ -178,17 +178,26 @@ object TextAnalysis {
     * `clean` = all four zero. Literal codepoint ranges, not \p classes
     * (the [[scriptProfile]] portability rule); per-row codegen'd
     * regexp_count, zero shuffle — a scan-time annotation at 100 TB. */
-  def encodingHealth(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The four damage counters — one definition shared by
+    * [[encodingHealth]] and the standalone [[encodingClean]] flag the
+    * streaming ingest dashboard uses, so the two can't drift. */
+  private def encodingCounts(t: Column): Seq[(String, Column)] = {
     def cnt(pat: String): Column = regexp_count(t, lit(pat)).cast("long")
-    val nRepl = cnt("[\uFFFD]")
-    val nC1 = cnt("[\u0080-\u009F]")
-    val nCtrl = cnt("[\u0001-\u0008\u000B\u000C\u000E-\u001F]")
-    val nDouble = cnt("[\u00C2\u00C3][\u0080-\u00BF]")
-    df.select(col(idCol),
-      nRepl.as("n_replacement"), nC1.as("n_c1"), nCtrl.as("n_ctrl"),
-      nDouble.as("n_double_enc"),
-      (nRepl + nC1 + nCtrl + nDouble === 0L).as("clean"))
+    Seq(
+      "n_replacement" -> cnt("[\uFFFD]"),
+      "n_c1" -> cnt("[\u0080-\u009F]"),
+      "n_ctrl" -> cnt("[\u0001-\u0008\u000B\u000C\u000E-\u001F]"),
+      "n_double_enc" -> cnt("[\u00C2\u00C3][\u0080-\u00BF]"))
+  }
+
+  /** Per-row composite: true iff no encoding damage at all. */
+  def encodingClean(c: Column): Column =
+    encodingCounts(c).map(_._2).reduce(_ + _) === 0L
+
+  def encodingHealth(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cs = encodingCounts(col(textCol))
+    df.select((col(idCol) +: cs.map { case (n, c) => c.as(n) }) :+
+      (cs.map(_._2).reduce(_ + _) === 0L).as("clean"): _*)
   }
 
   /** Corpus vocabulary: the top-k words by frequency with a total

@@ -168,6 +168,34 @@ object DocStreams {
         (col("max_est") >= threshold).as("contaminated"))
   }
 
+  /** Live ingest dashboard: per (event-time window, source) — document
+    * and token throughput plus the encoding-health pass rate
+    * ([[graft.operators.TextAnalysis.encodingHealth]]'s `clean` flag
+    * computed inline per row) — the monitoring a 100 TB/day feed runs so
+    * a source going bad (mojibake spike, token drought) pages someone
+    * within a watermark delay rather than surfacing in next week's
+    * corpus report (the batch [[graft.queries.Pipeline.p102SourceReport]]
+    * is the offline sibling). Stateless per row + ONE watermark-bounded
+    * (window, source) aggregation; cardinality = windows × sources,
+    * bounded. */
+  def ingestStats(docs: DataFrame, textCol: String, sourceCol: String,
+      tsCol: String, watermark: String = "2 hours",
+      bucketWindow: String = "10 minutes"): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"), col(tsCol),
+        graft.operators.TextAnalysis.wsTokens(col(textCol)).as("__toks"),
+        graft.operators.TextAnalysis.encodingClean(col(textCol))
+          .cast("long").as("__clean"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), bucketWindow), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("tokens"),
+        sum(col("__clean")).as("clean_docs"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("tokens"), col("clean_docs"),
+        (col("clean_docs").cast("double") / col("n_docs").cast("double"))
+          .as("clean_frac"))
+
   def snapshotDedupGate(docs: DataFrame, index: DataFrame,
       textCol: String, idCol: String, tsCol: String): DataFrame = {
     docs

@@ -605,6 +605,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest dashboard aggregates per (window, source) like batch") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val docs = Seq(
+      (0L, "five clean ascii words here", "web", "2024-01-01 00:01:00"),
+      (1L, "bad � doc", "web", "2024-01-01 00:02:00"),
+      (2L, "two tokens", "books", "2024-01-01 00:03:00"),
+      (3L, "late window doc arrives", "web", "2024-01-01 00:14:00"))
+      .map { case (id, t, s0, ts) => (id, t, s0, java.sql.Timestamp.valueOf(ts)) }
+    val dir = Files.createTempDirectory("graft-ingeststats").toString
+    val q = DocStreams.ingestStats(
+        spark.readStream
+          .schema("doc_id LONG, text STRING, source STRING, ts TIMESTAMP")
+          .parquet(dir), "text", "source", "ts")
+      .writeStream.format("memory").queryName("ingeststats")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d =>
+        Seq(d).toDF("doc_id", "text", "source", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      Seq((99L, "sentinel", "web",
+          java.sql.Timestamp.valueOf("2024-01-01 04:00:00")))
+        .toDF("doc_id", "text", "source", "ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.sql(
+          """SELECT source, n_docs, tokens, clean_docs, clean_frac
+            |FROM ingeststats WHERE window_start < '2024-01-01 01:00'""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      // 00:00-00:10 window: web has docs 0 (5 tokens, clean) + 1 (3
+      // tokens, dirty); books has doc 2. 00:10-00:20: web doc 3.
+      assert(got((("web", 2L))) == ((8L, 1L, 0.5)))
+      assert(got((("books", 1L))) == ((2L, 1L, 1.0)))
+      assert(got((("web", 1L))) == ((4L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("streaming snapshot-dedup gate matches the batch againstSnapshot twin") {
     import spark.implicits._
     import graft.streaming.DocStreams
