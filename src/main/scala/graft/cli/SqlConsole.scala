@@ -40,6 +40,17 @@ class SqlConsole(in: BufferedReader, out: PrintStream,
       } else if (buf.isEmpty && trimmed == ".history") {
         history.zipWithIndex.foreach { case (h, i) => out.println(s"${i + 1}  $h") }
         out.print("graft → "); out.flush()
+      } else if (buf.isEmpty && trimmed == ".help") {
+        out.println("statements end with ';' (multi-line input accumulates)")
+        out.println(".tables   list tables   .history  statements run so far")
+        out.println(".quit     exit          .exit     exit")
+        out.print("graft → "); out.flush()
+      } else if (buf.isEmpty && trimmed == ".tables") {
+        // sqlite_master is a real synthesized table in the engine, so the
+        // sqlite3-shell idiom works over the wire unchanged
+        runStatement(
+          "SELECT name FROM sqlite_master WHERE type = 'table' ORDER BY name")
+        out.print("graft → "); out.flush()
       } else {
         buf.append(line).append('\n')
         // the terminating ';' must sit OUTSIDE any SQL string literal —

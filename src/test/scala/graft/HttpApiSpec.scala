@@ -421,6 +421,7 @@ class HttpApiSpec extends AnyFunSuite {
         |SELECT id, name FROM repl_t WHERE id < 3 ORDER BY id;
         |SELECT 1 FROM repl_t WHERE id = 99;
         |SELECT * FROM no_such_table;
+        |.tables
         |.history
         |.quit
         |""".stripMargin
@@ -450,6 +451,8 @@ class HttpApiSpec extends AnyFunSuite {
     assert(out.contains("Error:"), out)
     // the multi-line INSERT got a continuation prompt before its terminator
     assert(out.contains("   ... → "), out)
+    // .tables runs the sqlite_master idiom through the same wire
+    assert(out.contains("repl_t"), out)
     // .history lists every statement run
     assert(out.contains("1  CREATE TABLE repl_t"), out)
     assert(out.contains("bye"), out)
