@@ -1057,6 +1057,53 @@ object TextAnalysis {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** SURGICAL decontamination: every word position covered by an n-gram
+    * window that appears in the eval set is cut and the document rebuilt
+    * from the surviving words — the span-level alternative to dropping a
+    * contaminated document wholesale ([[graft.operators.Sampling
+    * .contamination]] detects; this repairs). The removal machinery is
+    * [[removeDupSpans]]'s — position windows, covered-position expansion,
+    * ordered rebuild — with the cut driven by membership in the
+    * BROADCAST eval gram set (bounded by construction) instead of a
+    * corpus-wide gram doc-count, so the only shuffle left is the
+    * doc-keyed rebuild. Gram STRINGS (not hashes): the eval set arrives
+    * as text grams and the whole rewrite stays oracle-replayable.
+    *
+    * Returns (id, n_words, n_removed, kept_text); kept_text is the
+    * normalized-word rebuild (the [[words]] tokenization), docs shorter
+    * than one window pass through untouched, fully-contaminated docs
+    * come back empty — never dropped, the caller decides. */
+  def removeContaminatedSpans(df: DataFrame, evalGrams: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val gramStr = (0 until n).map(j => s"element_at(__ws, q + 1 + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val base = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    val wins = base
+      .where(size(col("__ws")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__ws) - $n), q -> struct(q AS q, $gramStr AS gram))"))
+        .as("__w"))
+      .select(col(idCol), col("__w.q").as("q"), col("__w.gram").as("gram"))
+    val removedPos = wins
+      .join(broadcast(evalGrams.select(col("gram")).distinct()),
+        Seq("gram"), "left_semi")
+      .select(col(idCol), explode(expr(s"sequence(q, q + ${n - 1})")).as("p"))
+      .distinct()
+    val allWords = base.select(col(idCol),
+      posexplode(col("__ws")).as(Seq("p", "__word")))
+    val rebuilt = allWords.join(removedPos, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(p, __word))), x -> x.__word)"))
+          .as("kept_text"))
+    base.select(col(idCol), size(col("__ws")).cast("long").as("n_words"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   def crossDocSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val grams = wordGramHashes(df, textCol, idCol, n)

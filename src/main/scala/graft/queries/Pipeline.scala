@@ -4369,6 +4369,65 @@ object Pipeline {
        |ORDER BY big_id, small_id""".stripMargin
   }
 
+  /** Surgical decontamination ([[TextAnalysis.removeContaminatedSpans]]):
+    * every 101st doc is declared an eval document; its 13-grams form the
+    * eval set, and the rewrite must excise exactly the covered spans
+    * corpus-wide — the eval docs themselves come back empty (total
+    * self-contamination), everything else keeps its words unless it
+    * genuinely shares a 13-gram. kept_text ships as md5 (driver-sortable
+    * scalars, the p97/p91 rule). */
+  def p110SurgicalDecon(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val evalGrams = Dedup.wordShingles(
+        d.filter(col("doc_id") % 101 === 3), "text", "doc_id", 13)
+      .select(col("gram")).distinct()
+    TextAnalysis.removeContaminatedSpans(d, evalGrams, "text", "doc_id", 13)
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        md5(col("kept_text")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p110Oracle: String =
+    """WITH evg AS (
+      |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |    w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+      |    w[i+7] || ' ' || w[i+8] || ' ' || w[i+9] || ' ' || w[i+10] || ' ' ||
+      |    w[i+11] || ' ' || w[i+12] AS g
+      |  FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |        FROM documents WHERE doc_id % 101 = 3),
+      |       UNNEST(generate_series(1, len(w)-12)) AS t(i)
+      |  WHERE len(w) >= 13),
+      |base AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i - 1 AS q,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' ||
+      |    w[i+8] || ' ' || w[i+9] || ' ' || w[i+10] || ' ' || w[i+11] || ' ' ||
+      |    w[i+12] AS g
+      |  FROM base, UNNEST(generate_series(1, len(w)-12)) AS t(i)
+      |  WHERE len(w) >= 13),
+      |rem AS (
+      |  SELECT DISTINCT doc_id, unnest(generate_series(q, q + 12)) AS p
+      |  FROM wins WHERE g IN (SELECT g FROM evg)),
+      |wrds AS (
+      |  SELECT doc_id, i - 1 AS p, w[i] AS word
+      |  FROM base, UNNEST(generate_series(1, len(w))) AS t(i)),
+      |kept AS (
+      |  SELECT wr.doc_id, COUNT(*) AS n_kept,
+      |    string_agg(wr.word, ' ' ORDER BY wr.p) AS kept_text
+      |  FROM wrds wr LEFT JOIN rem r
+      |    ON r.doc_id = wr.doc_id AND r.p = wr.p
+      |  WHERE r.p IS NULL
+      |  GROUP BY wr.doc_id)
+      |SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_words,
+      |  CAST(len(b.w) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+      |  md5(COALESCE(k.kept_text, '')) AS kept_md5
+      |FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -4480,6 +4539,7 @@ object Pipeline {
     "p107_quantized_ann" -> (p107QuantizedAnn _),
     "p108_minhash_clusters" -> (p108MinhashClusters _),
     "p109_cross_contamination" -> (p109CrossContamination _),
+    "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   val oracles: Map[String, String] = Map(
@@ -4592,5 +4652,6 @@ object Pipeline {
     "p107_quantized_ann" -> p107Oracle,
     "p108_minhash_clusters" -> p108Oracle,
     "p109_cross_contamination" -> p109Oracle,
+    "p110_surgical_decon" -> p110Oracle,
     "p98_outlink_graph" -> p98Oracle)
 }

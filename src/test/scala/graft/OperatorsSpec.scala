@@ -993,6 +993,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((0L, 100L), (2L, 100L)), s"got $got")
   }
 
+  test("removeContaminatedSpans excises exactly the covered spans") {
+    import spark.implicits._
+    val evalDoc = (1 to 20).map(i => s"e$i").mkString(" ")
+    val evalGrams = Dedup.wordShingles(
+      Seq((500L, evalDoc)).toDF("doc_id", "text"), "text", "doc_id", 13)
+      .select(col("gram"))
+    val docs = Seq(
+      // 13 eval words mid-text: positions 3..15 cut, flanks survive
+      (0L, "keep one two " + (4 to 16).map(i => s"e$i").mkString(" ") +
+        " tail alpha beta"),
+      (1L, "totally unrelated document with enough words to form windows " +
+        "but sharing nothing with the evaluation set at all"),
+      (2L, evalDoc),          // fully contaminated -> emptied
+      (3L, "short doc"))      // < 13 words -> untouched
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.removeContaminatedSpans(
+        docs, evalGrams, "text", "doc_id", 13)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(0L) == ((19L, 13L, "keep one two tail alpha beta")))
+    assert(got(1L)._2 == 0L)
+    assert(got(2L) == ((20L, 20L, "")))
+    assert(got(3L) == ((2L, 0L, "short doc")))
+  }
+
   test("encodingHealth counts mojibake signatures and nothing else") {
     val rows = Seq(
       (0L, "perfectly clean ascii text"),
