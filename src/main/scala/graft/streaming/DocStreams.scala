@@ -98,22 +98,6 @@ object DocStreams {
         (col("shared_grams") > 0).as("contaminated"))
   }
 
-  /** Streaming snapshot-dedup gate at ingest: each arriving document is
-    * checked against the historical corpus's
-    * [[graft.operators.Dedup.snapshotHashIndex]] (content_hash →
-    * lowest-holder snap_id) — the re-crawl/mirror catch running BEFORE a
-    * document reaches storage, the streaming twin of
-    * [[graft.operators.Dedup.againstSnapshot]] (equality proven in
-    * StreamingSpec).
-    *
-    * Completely STATELESS per row: the normalized md5 is a per-row
-    * projection and the index join needs no stream-side aggregation or
-    * watermark because the index is pre-collapsed to one row per hash.
-    * Scale shape: persist the index bucketed by content_hash so each
-    * micro-batch's join co-locates against it without shuffling the
-    * index; when the index outgrows comfortable join input, compact it to
-    * the bloom + exact-confirm form (the [[contaminationGate]] plan) —
-    * semantics unchanged. Emits (id, ts, is_dup, dup_of). */
   /** FUZZY contamination gate at ingest: each arriving document's
     * per-row MinHash signature is banded and probed against the static
     * eval set's [[graft.operators.Dedup.bandedSignatures]] artifact
@@ -196,6 +180,57 @@ object DocStreams {
         (col("clean_docs").cast("double") / col("n_docs").cast("double"))
           .as("clean_frac"))
 
+  /** Surgical decontamination AT INGEST: each arriving document is
+    * rebuilt with every eval-covered 13-gram span excised — repair, not
+    * just flagging, before the doc reaches storage. Streaming twin of
+    * [[graft.operators.TextAnalysis.removeContaminatedSpans]]
+    * (StreamingSpec proves identical rebuilds on identical data).
+    *
+    * Fully STATELESS per row: the batch operator's explode → semi-join →
+    * doc-keyed rebuild would need a streaming aggregation carrying every
+    * word, so the stream form probes an exact in-memory eval gram SET
+    * (bounded by construction — collected once with a loud size guard,
+    * shipped broadcast) inside one per-row UDF that marks covered
+    * positions and rebuilds. A UDF is the honest cost of row-locality
+    * here (the [[contaminationGate]] bloom precedent); the batch
+    * operator remains the UDF-free exact path. Emits (id, ts, n_words,
+    * n_removed, kept_text). */
+  def surgicalDeconGate(docs: DataFrame, evalGrams: DataFrame,
+      textCol: String, idCol: String, tsCol: String, n: Int = 13,
+      maxEvalGrams: Int = 5000000): DataFrame = {
+    val collected = evalGrams.select(col("gram")).distinct()
+      .limit(maxEvalGrams + 1).collect().map(_.getString(0))
+    require(collected.length <= maxEvalGrams,
+      s"eval gram set exceeds $maxEvalGrams — too large for a broadcast " +
+        "set; decontaminate in batch instead")
+    val bc = docs.sparkSession.sparkContext.broadcast(collected.toSet)
+    val repair = udf(new SpanRepair(bc, n))
+    docs
+      .select(col(idCol).as("id"), col(tsCol),
+        graft.operators.TextAnalysis.words(col(textCol)).as("__ws"))
+      .withColumn("__r", repair(col("__ws")))
+      .select(col("id"), col(tsCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        col("__r.n_removed").as("n_removed"),
+        col("__r.kept_text").as("kept_text"))
+  }
+
+  /** Streaming snapshot-dedup gate at ingest: each arriving document is
+    * checked against the historical corpus's
+    * [[graft.operators.Dedup.snapshotHashIndex]] (content_hash →
+    * lowest-holder snap_id) — the re-crawl/mirror catch running BEFORE a
+    * document reaches storage, the streaming twin of
+    * [[graft.operators.Dedup.againstSnapshot]] (equality proven in
+    * StreamingSpec).
+    *
+    * Completely STATELESS per row: the normalized md5 is a per-row
+    * projection and the index join needs no stream-side aggregation or
+    * watermark because the index is pre-collapsed to one row per hash.
+    * Scale shape: persist the index bucketed by content_hash so each
+    * micro-batch's join co-locates against it without shuffling the
+    * index; when the index outgrows comfortable join input, compact it to
+    * the bloom + exact-confirm form (the [[contaminationGate]] plan) —
+    * semantics unchanged. Emits (id, ts, is_dup, dup_of). */
   def snapshotDedupGate(docs: DataFrame, index: DataFrame,
       textCol: String, idCol: String, tsCol: String): DataFrame = {
     docs
@@ -245,5 +280,35 @@ object DocStreams {
         col("lm_hits").cast("double") / col("n_positions"))
       .select(col("id"), col("ts"), col("n_positions"), col("lm_hits"),
         col("hit_frac"))
+  }
+}
+
+/** Per-row span repair against the broadcast eval gram set: marks every
+  * word position covered by a matching n-gram window, rebuilds from the
+  * survivors. The set deserializes once per executor (broadcast), the
+  * marking is one O(len · n) pass per row — identical semantics to the
+  * batch [[graft.operators.TextAnalysis.removeContaminatedSpans]]
+  * rebuild (twin pinned in StreamingSpec). */
+private[streaming] case class RepairedDoc(n_removed: Long, kept_text: String)
+
+private final class SpanRepair(
+    bc: org.apache.spark.broadcast.Broadcast[Set[String]], n: Int)
+  extends (scala.collection.Seq[String] => RepairedDoc) with Serializable {
+  def apply(ws: scala.collection.Seq[String]): RepairedDoc = {
+    val words = if (ws == null) IndexedSeq.empty[String] else ws.toIndexedSeq
+    val len = words.length
+    if (len < n) return RepairedDoc(0L, words.mkString(" "))
+    val removed = new Array[Boolean](len)
+    val set = bc.value
+    var q = 0
+    while (q <= len - n) {
+      if (set.contains(words.slice(q, q + n).mkString(" "))) {
+        var p = q
+        while (p < q + n) { removed(p) = true; p += 1 }
+      }
+      q += 1
+    }
+    val kept = words.indices.filterNot(removed).map(words)
+    RepairedDoc((len - kept.length).toLong, kept.mkString(" "))
   }
 }

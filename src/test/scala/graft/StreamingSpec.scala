@@ -645,6 +645,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming surgical decon gate rebuilds identically to the batch operator") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.{Dedup, TextAnalysis}
+    val evalDoc = (1 to 20).map(i => s"e$i").mkString(" ")
+    val evalGrams = Dedup.wordShingles(
+      Seq((500L, evalDoc)).toDF("doc_id", "text"), "text", "doc_id", 13)
+      .select(col("gram"))
+    val docs = Seq(
+      (0L, "keep one two " + (4 to 16).map(i => s"e$i").mkString(" ") +
+        " tail alpha beta", "2024-01-01 00:00:00"),
+      (1L, "clean words only in this one nothing shared with the eval side " +
+        "and long enough for windows", "2024-01-01 00:01:00"),
+      (2L, evalDoc, "2024-01-01 00:02:00"),
+      (3L, "short doc", "2024-01-01 00:03:00"))
+      .map { case (id, t, ts) => (id, t, java.sql.Timestamp.valueOf(ts)) }
+    val dir = Files.createTempDirectory("graft-surgical").toString
+    val q = DocStreams.surgicalDeconGate(
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .parquet(dir), evalGrams, "text", "doc_id", "ts")
+      .writeStream.format("memory").queryName("surgical")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d =>
+        Seq(d).toDF("doc_id", "text", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+          "SELECT id, n_words, n_removed, kept_text FROM surgical")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      val batch = TextAnalysis.removeContaminatedSpans(
+          docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), evalGrams,
+          "text", "doc_id", 13)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed(0L)._3 == "keep one two tail alpha beta")
+      assert(streamed(2L)._3 == "")
+    } finally q.stop()
+  }
+
   test("streaming snapshot-dedup gate matches the batch againstSnapshot twin") {
     import spark.implicits._
     import graft.streaming.DocStreams
