@@ -20,7 +20,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *
   * Meta commands (the plain-readline stand-ins for the reference TUI's
   * key bindings): `.quit`/`.exit` end the session, `.history` lists the
-  * statements run so far.
+  * statements run so far, `.help` prints usage, and `.tables` runs the
+  * sqlite3-shell idiom (`SELECT name FROM sqlite_master WHERE
+  * type='table'`) through the same wire — so it also lands in
+  * `.history` like any statement.
   */
 class SqlConsole(in: BufferedReader, out: PrintStream,
     post: String => (Int, String)) {

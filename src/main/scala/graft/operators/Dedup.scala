@@ -243,6 +243,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded-signature table (id, band, bh, mh0..mh(k-1)) for a corpus —
+    * the reusable artifact the cross-corpus paths share: build it once
+    * for the SMALL side (an eval suite) and broadcast it into batch
+    * [[crossMinHashPairs]] or the streaming
+    * [[graft.streaming.DocStreams.fuzzyContaminationGate]]. */
+  def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val mhCols = (0 until k).map(i => col(s"mh$i"))
+    minHashSignatures(wordShingleHashes(df, textCol, idCol, shingleLen), k)
+      .select((col("id") +:
+        explode(array(bandKeyCols(k, rowsPerBand): _*)).as("b") +: mhCols): _*)
+      .select((col("id") +: col("b.band").as("band") +:
+        col("b.bh").as("bh") +: mhCols): _*)
+  }
+
   /** FUZZY cross-corpus near-dup pairs (big × small only, never
     * within-either): the decontamination shape exact n-gram overlap
     * ([[graft.operators.Sampling.contamination]]) misses — an eval
@@ -253,33 +270,19 @@ object Dedup {
     *
     * Scale shape: the small side's banded signatures BROADCAST (an eval
     * suite is bounded by construction); the big side is one scan →
-    * signatures → band explode with the standard window bucket cap, and
-    * the join is broadcast-hash — the 100 TB side never shuffles at all.
-    * Emits (big_id, small_id, est_jaccard ≥ threshold) distinct. */
-  /** Banded-signature table (id, band, bh, mh0..mh(k-1)) for a corpus —
-    * the reusable artifact the cross-corpus paths share: build it once
-    * for the SMALL side (an eval suite) and broadcast it into batch
-    * [[crossMinHashPairs]] or the streaming
-    * [[graft.streaming.DocStreams.fuzzyContaminationGate]]. */
-  def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    val mhCols = (0 until k).map(i => col(s"mh$i"))
-    minHashSignatures(wordShingleHashes(df, textCol, idCol, shingleLen), k)
-      .select((col("id") +:
-        explode(array(bandKeyCols(k, rowsPerBand): _*)).as("b") +: mhCols): _*)
-      .select((col("id") +: col("b.band").as("band") +:
-        col("b.bh").as("bh") +: mhCols): _*)
-  }
-
+    * signatures → band explode → broadcast-hash join — the 100 TB side
+    * never shuffles at all. Deliberately NO bucket cap (unlike the
+    * self-join paths): a cap exists to stop k² self-join fan-out, while
+    * this join's fan-out per big row is bounded by the broadcast side —
+    * and capping here would silently pass contaminated docs sharing a
+    * hot band, a recall loss a decontamination pass cannot afford (r9
+    * review catch; the streaming twin makes the same argument). Emits
+    * (big_id, small_id, est_jaccard ≥ threshold) distinct. */
   def crossMinHashPairs(big: DataFrame, small: DataFrame, textCol: String,
       idCol: String, shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.5): DataFrame = {
     def bandsOf(df: DataFrame): DataFrame =
       bandedSignatures(df, textCol, idCol, shingleLen, k, rowsPerBand)
-    val bigCapped = bandsOf(big)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("sz") <= maxBucket)
-      .drop("sz")
     val smallB = {
       val b = bandsOf(small)
       b.toDF(b.columns.toIndexedSeq.map(c => s"s_$c"): _*)
@@ -287,7 +290,7 @@ object Dedup {
     val agree = (0 until k)
       .map(i => when(col(s"mh$i") === col(s"s_mh$i"), 1).otherwise(0))
       .reduce(_ + _)
-    bigCapped.join(broadcast(smallB),
+    bandsOf(big).join(broadcast(smallB),
         col("band") === col("s_band") && col("bh") === col("s_bh"))
       .select(col("id").as("big_id"), col("s_id").as("small_id"),
         (agree.cast("double") / k).as("est_jaccard"))

@@ -1002,6 +1002,43 @@ object TextAnalysis {
     * per gram (shuffle keyed on gram, one row per distinct gram out) →
     * gram-keyed join back → per-doc aggregate. No all-pairs comparison
     * anywhere; integer counts with one final IEEE division. */
+  /** Shared core of the span-removal rewrites: position windows over the
+    * normalized word array, covered-position expansion for the windows
+    * `cutWindows` selects, ordered rebuild from the survivors. One
+    * definition for [[removeDupSpans]] and [[removeContaminatedSpans]] —
+    * a fix to the rebuild (tie behavior, null handling) lands once, not
+    * twice (r9 review). `winsOf` produces (id, q, gram); `cutWindows`
+    * maps it to the (id, q) rows whose spans must go. */
+  private def removeSpansCore(df: DataFrame, idCol: String, textCol: String,
+      n: Int, gramExpr: String,
+      cutWindows: DataFrame => DataFrame): DataFrame = {
+    val base = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    val wins = base
+      .where(size(col("__ws")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__ws) - $n), q -> struct(q AS q, $gramExpr AS gram))"))
+        .as("__w"))
+      .select(col(idCol), col("__w.q").as("q"), col("__w.gram").as("gram"))
+    val removedPos = cutWindows(wins)
+      .select(col(idCol), explode(expr(s"sequence(q, q + ${n - 1})")).as("p"))
+      .distinct()
+    val allWords = base.select(col(idCol),
+      posexplode(col("__ws")).as(Seq("p", "__word")))
+    val rebuilt = allWords.join(removedPos, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(p, __word))), x -> x.__word)"))
+          .as("kept_text"))
+    base.select(col(idCol), size(col("__ws")).cast("long").as("n_words"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+
+
   /** ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" — there a
     * suffix array over bytes; here the same policy at word-n-gram
@@ -1025,36 +1062,16 @@ object TextAnalysis {
   def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val gramHash = (0 until n).map(j => s"element_at(__ws, q + 1 + $j)")
-      .mkString(", ")
-    val base = df.select(col(idCol), words(col(textCol)).as("__ws"))
-    val wins = base
-      .where(size(col("__ws")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(__ws) - $n), q -> struct(q AS q, xxhash64($gramHash) AS gram))"))
-        .as("__w"))
-      .select(col(idCol), col("__w.q").as("q"), col("__w.gram").as("gram"))
-    // one row per (gram, doc) BEFORE the doc-count aggregation
-    val perDocGram = wins.select(col("gram"), col(idCol)).distinct()
-    val sharedGrams = perDocGram.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") >= 2)
-      .select(col("gram"))
-    val removedPos = wins.join(sharedGrams, Seq("gram"), "left_semi")
-      .select(col(idCol), explode(expr(s"sequence(q, q + ${n - 1})")).as("p"))
-      .distinct()
-    val allWords = base.select(col(idCol),
-        posexplode(col("__ws")).as(Seq("p", "__word")))
-    val rebuilt = allWords.join(removedPos, Seq(idCol, "p"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__kept"),
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(p, __word))), x -> x.__word)"))
-          .as("kept_text"))
-    base.select(col(idCol), size(col("__ws")).cast("long").as("n_words"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_words"),
-        (col("n_words") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .mkString("xxhash64(", ", ", ")")
+    removeSpansCore(df, idCol, textCol, n, gramHash, wins => {
+      // one row per (gram, doc) BEFORE the doc-count aggregation
+      val perDocGram = wins.select(col("gram"), col(idCol)).distinct()
+      val sharedGrams = perDocGram.groupBy(col("gram"))
+        .agg(count(lit(1)).as("__docs"))
+        .filter(col("__docs") >= 2)
+        .select(col("gram"))
+      wins.join(sharedGrams, Seq("gram"), "left_semi")
+    })
   }
 
   /** SURGICAL decontamination: every word position covered by an n-gram
@@ -1077,31 +1094,9 @@ object TextAnalysis {
       textCol: String, idCol: String, n: Int): DataFrame = {
     val gramStr = (0 until n).map(j => s"element_at(__ws, q + 1 + $j)")
       .mkString("concat_ws(' ', ", ", ", ")")
-    val base = df.select(col(idCol), words(col(textCol)).as("__ws"))
-    val wins = base
-      .where(size(col("__ws")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(__ws) - $n), q -> struct(q AS q, $gramStr AS gram))"))
-        .as("__w"))
-      .select(col(idCol), col("__w.q").as("q"), col("__w.gram").as("gram"))
-    val removedPos = wins
-      .join(broadcast(evalGrams.select(col("gram")).distinct()),
-        Seq("gram"), "left_semi")
-      .select(col(idCol), explode(expr(s"sequence(q, q + ${n - 1})")).as("p"))
-      .distinct()
-    val allWords = base.select(col(idCol),
-      posexplode(col("__ws")).as(Seq("p", "__word")))
-    val rebuilt = allWords.join(removedPos, Seq(idCol, "p"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__kept"),
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(p, __word))), x -> x.__word)"))
-          .as("kept_text"))
-    base.select(col(idCol), size(col("__ws")).cast("long").as("n_words"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_words"),
-        (col("n_words") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+    removeSpansCore(df, idCol, textCol, n, gramStr, wins =>
+      wins.join(broadcast(evalGrams.select(col("gram")).distinct()),
+        Seq("gram"), "left_semi"))
   }
 
   def crossDocSpans(df: DataFrame, textCol: String, idCol: String,

@@ -4293,7 +4293,8 @@ object Pipeline {
     * at the edges, the paraphrase/extension case exact contamination
     * (p25) structurally under-catches. The cross-LSH must pair each twin
     * with its training source; the oracle replays both corpora's
-    * signatures, banding, the big-side bucket cap and the agreement
+    * signatures, banding (no bucket cap — recall-critical, see the
+    * operator scaladoc) and the agreement
     * estimate. */
   def p109CrossContamination(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
@@ -4308,7 +4309,7 @@ object Pipeline {
   }
 
   val p109Oracle: String = {
-    val k = 32; val rpb = 4; val maxBucket = 1000
+    val k = 32; val rpb = 4
     val m = Dedup.MinHashMod
     val co = Dedup.affineCoeffs(k, 42L)
     val minCols = co.zipWithIndex.map { case ((a, b), i) =>
@@ -4357,14 +4358,10 @@ object Pipeline {
        |bt AS (
        |${bandSelects("st")}),
        |be AS (
-       |${bandSelects("se")}),
-       |btc AS (
-       |  SELECT * FROM (
-       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bh) AS sz FROM bt)
-       |  WHERE sz <= $maxBucket)
+       |${bandSelects("se")})
        |SELECT DISTINCT a.doc_id AS big_id, b.doc_id AS small_id,
        |  CAST($agree AS DOUBLE) / $k AS est_jaccard
-       |FROM btc a JOIN be b ON a.band = b.band AND a.bh = b.bh
+       |FROM bt a JOIN be b ON a.band = b.band AND a.bh = b.bh
        |WHERE CAST($agree AS DOUBLE) / $k >= 0.5
        |ORDER BY big_id, small_id""".stripMargin
   }

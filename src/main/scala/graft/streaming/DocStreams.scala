@@ -120,6 +120,19 @@ object DocStreams {
       shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.5, watermark: String = "2 hours",
       bucketWindow: String = "10 minutes"): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    // a k mismatch between this gate and the pre-built artifact would
+    // otherwise join NOTHING and silently mark every document clean —
+    // the worst failure mode a decontamination gate can have (r9 review
+    // catch). rowsPerBand skew inside the same k changes bh values, so
+    // the same silent-miss applies: both params must match the build.
+    val expectedCols =
+      (Seq("id", "band", "bh") ++ (0 until k).map(i => s"mh$i")).toSet
+    require(evalBands.columns.toSet == expectedCols,
+      s"evalBands columns ${evalBands.columns.sorted.mkString(",")} do not " +
+        s"match k=$k — build the artifact with Dedup.bandedSignatures " +
+        "using the SAME shingleLen/k/rowsPerBand as this gate")
     val mhCols = (0 until k).map(i => col(s"mh$i"))
     val sigs = graft.operators.Dedup.minHashSignaturesPerDoc(
       docs, textCol, idCol, shingleLen, k, carryCols = Seq(tsCol))
@@ -197,12 +210,22 @@ object DocStreams {
     * n_removed, kept_text). */
   def surgicalDeconGate(docs: DataFrame, evalGrams: DataFrame,
       textCol: String, idCol: String, tsCol: String, n: Int = 13,
-      maxEvalGrams: Int = 5000000): DataFrame = {
+      maxEvalGrams: Int = 1000000,
+      maxEvalBytes: Long = 256L << 20): DataFrame = {
     val collected = evalGrams.select(col("gram")).distinct()
       .limit(maxEvalGrams + 1).collect().map(_.getString(0))
     require(collected.length <= maxEvalGrams,
-      s"eval gram set exceeds $maxEvalGrams — too large for a broadcast " +
-        "set; decontaminate in batch instead")
+      s"eval gram set exceeds $maxEvalGrams grams — too large for a " +
+        "broadcast set; decontaminate in batch instead")
+    // the count cap alone does not bound MEMORY (13-gram strings are
+    // ~100 B each; r9 review catch): account heap bytes (2 B/char UTF-16
+    // + ~40 B object/Set-entry overhead) and refuse loudly before the
+    // broadcast can take down the driver
+    val approxBytes = collected.iterator
+      .map(g => g.length.toLong * 2 + 40).sum
+    require(approxBytes <= maxEvalBytes,
+      s"eval gram set ≈${approxBytes >> 20} MiB in memory (cap " +
+        s"${maxEvalBytes >> 20} MiB) — decontaminate in batch instead")
     val bc = docs.sparkSession.sparkContext.broadcast(collected.toSet)
     val repair = udf(new SpanRepair(bc, n))
     docs

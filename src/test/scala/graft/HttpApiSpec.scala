@@ -451,8 +451,12 @@ class HttpApiSpec extends AnyFunSuite {
     assert(out.contains("Error:"), out)
     // the multi-line INSERT got a continuation prompt before its terminator
     assert(out.contains("   ... → "), out)
-    // .tables runs the sqlite_master idiom through the same wire
-    assert(out.contains("repl_t"), out)
+    // .tables runs the sqlite_master idiom through the same wire; assert
+    // on output ONLY it can produce — its synthesized SELECT in the
+    // history listing plus its rendered single-column result row (the
+    // bare-name line), since "repl_t" alone also appears in .history
+    assert(out.contains("SELECT name FROM sqlite_master"), out)
+    assert(out.linesIterator.contains("repl_t"), out)
     // .history lists every statement run
     assert(out.contains("1  CREATE TABLE repl_t"), out)
     assert(out.contains("bye"), out)
