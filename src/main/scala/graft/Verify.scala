@@ -38,6 +38,9 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // model-state oracles (p40's merge list) must train on the SAME
+    // corpus the entries run against at check time
+    graft.queries.Pipeline.oracleDir = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -235,7 +235,25 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
         // lease refuses elections — on a single node that is ALWAYS true
         reply(ex, 400, errorJson(
           "Cannot start election, current node is primary and lease is up to date"))
+    // POST members is the reference's ADD-a-member verb
+    // (cluster_members.controller.go:75-141): body must carry id+address
+    // (400 validation otherwise), then the requester must already be a
+    // known member to be eligible — on a single-node engine it never is,
+    // so the truthful answer is the reference's own 400 refusal, NOT a
+    // 200 that pretends the join happened (r9 advice catch). The member
+    // LIST moved to GET (a truthful read the reference exposes only
+    // node-internally; documented extension).
     case ("POST", "cluster" :: "members" :: Nil) =>
+      demandManage(key, "cluster:manage")
+      val n = try mapper.readTree(body)
+        catch { case _: Throwable => null }
+      if (n == null || !n.hasNonNull("id") || !n.hasNonNull("address"))
+        reply(ex, 400, errorJson("id and address are required"))
+      else
+        reply(ex, 400, errorJson(
+          "Node is not eligible to join the cluster: a single-node " +
+            "cluster cannot accept members"))
+    case ("GET", "cluster" :: "members" :: Nil) =>
       demandManage(key, "cluster:manage")
       reply(ex, 200, okJson(s"""[{"id":${jstr(nodeId)},""" +
         s""""address":${jstr(selfAddress)},"membership":"primary"}]"""))

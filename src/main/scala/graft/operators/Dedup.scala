@@ -53,33 +53,67 @@ object Dedup {
 
   /** Edit-distance near-dup pairs for SHORT strings (titles, author
     * fields, product names) via symmetric-delete blocking (Garbe's
-    * SymSpell): every string emits itself plus each single-character
-    * deletion, candidates are pairs sharing ANY variant, and an exact
-    * `levenshtein` filter keeps dist <= 1. The blocking is COMPLETE for
-    * distance <= 1 — a substitution shares the both-sides deletion, an
-    * insert/delete shares the shorter string itself — so the result
-    * equals the full all-pairs answer (the oracle computes exactly
-    * that), while the plan stays an equi-join: variants explode ×(len+1)
-    * map-side (codegen'd transform, no UDF), nothing ever compares all
-    * pairs. Skew note: a hot variant (many near-identical titles) fans
-    * out quadratically within its bucket only — the same bounded-bucket
-    * behavior as the MinHash band join, AQE-splittable. */
+    * SymSpell): every DISTINCT string emits itself plus each
+    * single-character deletion, candidates are distinct-string pairs
+    * sharing ANY variant, and an exact `levenshtein` filter keeps
+    * dist <= 1. The blocking is COMPLETE for distance <= 1 — a
+    * substitution shares the both-sides deletion, an insert/delete
+    * shares the shorter string itself — so the result equals the full
+    * all-pairs answer (the oracle computes exactly that), while the plan
+    * stays an equi-join: variants explode ×(len+1) map-side (codegen'd
+    * transform, no UDF), nothing ever compares all pairs.
+    *
+    * Skew shape (the r9 weak fix): exact-equal strings collapse to ONE
+    * representative BEFORE variant generation — k identical titles
+    * ("Home", "Untitled", boilerplate SKUs — the dominant real hot case)
+    * would share every variant and fan the join out k² on one key, yet
+    * are dist-0 pairs by definition and need no join at all. The member
+    * id list rides along as a sorted array (collect_list's partial
+    * aggregation ships one partial row per mapper per key, so a hot
+    * group never concentrates shuffle RECORDS; its bytes are bounded by
+    * the id list, orders of magnitude under its k² pair output, which
+    * this plan emits from a map-side double explode). Residual variant
+    * hotness — many DISTINCT strings one edit from each other — is the
+    * genuine candidate mass the operator exists to find, and its k²
+    * survives the levenshtein filter, so capping it would drop answers:
+    * that fan-out stays in-bucket only, AQE-splittable. */
   def editDistancePairs(df: DataFrame, strCol: String,
       idCol: String): DataFrame = {
-    val variants = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .select(col("id"), col("s"), explode(array_distinct(expr(
+    val strs = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    val groups = strs.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val variants = groups.select(col("s"), col("ids"),
+      explode(array_distinct(expr(
         s"""transform(sequence(0, length(s)),
            |  i -> if(i = 0, s, concat(substring(s, 1, i - 1),
            |                           substring(s, i + 1))))""".stripMargin)))
         .as("v"))
-    val a = variants.toDF("id_a", "s_a", "v")
-    val b = variants.toDF("id_b", "s_b", "v")
-    a.join(b, "v")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val a = variants.toDF("s_a", "ids_a", "v")
+    val b = variants.toDF("s_b", "ids_b", "v")
+    // rep = min member id = ids[0] (sort_array'd): canonical pair order;
+    // distinct strings guarantee dist >= 1, the filter keeps dist == 1
+    val repPairs = a.join(b, "v")
+      .filter(element_at(col("ids_a"), 1) < element_at(col("ids_b"), 1))
+      .select(col("ids_a"), col("ids_b"),
         levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
       .filter(col("dist") <= 1)
       .distinct()
+    // re-expand: members of group a x members of group b share their
+    // reps' distance (identical strings!) — pure map-side explodes
+    val cross = repPairs
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("dist"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("dist"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    // within-group pairs are dist 0: ordered (i < j) pairs off the
+    // sorted member array, again map-side
+    val within = groups.filter(size(col("ids")) >= 2)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "ia")))
+      .select(col("ia"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(0L).as("dist"))
+    cross.union(within)
   }
 
   /** Distinct word n-gram (shingle) table: (id, gram). The base for MinHash
@@ -243,11 +277,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Banded-signature table (id, band, bh, mh0..mh(k-1)) for a corpus —
-    * the reusable artifact the cross-corpus paths share: build it once
-    * for the SMALL side (an eval suite) and broadcast it into batch
-    * [[crossMinHashPairs]] or the streaming
-    * [[graft.streaming.DocStreams.fuzzyContaminationGate]]. */
+  /** Banded-signature table (id, band, bh, mh0..mh(k-1), p_shingle_len,
+    * p_rows_per_band) for a corpus — the reusable artifact the
+    * cross-corpus paths share: build it once for the SMALL side (an eval
+    * suite) and broadcast it into batch [[crossMinHashPairs]] or the
+    * streaming [[graft.streaming.DocStreams.fuzzyContaminationGate]].
+    *
+    * The p_* columns embed the BUILD parameters as literals: an artifact
+    * built with a different shingleLen or rowsPerBand has the identical
+    * column shape (band count and bh values differ only in row content),
+    * so a schema check alone would let a mismatched artifact join
+    * NOTHING and silently mark everything clean — the consumers require
+    * p_* equality, not just column names (r9 advice catch). The
+    * permutation seed needs no column: it is fixed (42) by construction
+    * of this builder, not a caller input. */
   def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4): DataFrame = {
     require(k % rowsPerBand == 0,
@@ -258,6 +301,8 @@ object Dedup {
         explode(array(bandKeyCols(k, rowsPerBand): _*)).as("b") +: mhCols): _*)
       .select((col("id") +: col("b.band").as("band") +:
         col("b.bh").as("bh") +: mhCols): _*)
+      .withColumn("p_shingle_len", lit(shingleLen))
+      .withColumn("p_rows_per_band", lit(rowsPerBand))
   }
 
   /** FUZZY cross-corpus near-dup pairs (big × small only, never
@@ -281,8 +326,11 @@ object Dedup {
   def crossMinHashPairs(big: DataFrame, small: DataFrame, textCol: String,
       idCol: String, shingleLen: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // both sides are built HERE with the same params, so the artifact's
+    // p_* provenance columns are redundant weight in this join
     def bandsOf(df: DataFrame): DataFrame =
       bandedSignatures(df, textCol, idCol, shingleLen, k, rowsPerBand)
+        .drop("p_shingle_len", "p_rows_per_band")
     val smallB = {
       val b = bandsOf(small)
       b.toDF(b.columns.toIndexedSeq.map(c => s"s_$c"): _*)
@@ -388,9 +436,41 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
     dupClustersWithRounds(pairs, maxIter)._1
 
+  /** Salt width for the hot-representative joins inside
+    * [[dupClustersWithRounds]]: well above the shuffle-partition count so
+    * a single hot key's rows spread near-evenly even after salt values
+    * collide into partitions (with S = 32x partitions, a key owning 100%
+    * of a stage still lands ~1/partitions per task). */
+  private def saltWidth(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt * 32
+
+  /** Per-key min attached to every row WITHOUT a bare-key join: rows are
+    * salted by a hash of the VALUE column, a (key, salt) partial min
+    * spreads a hot key over the salt space, the true min folds <= S
+    * partials per key, and the join back to the raw rows is keyed by
+    * (key, salt) — no shuffle in the lineage partitions by bare key while
+    * a hot key exists (the capGramDf argument applied to joins; the r9
+    * star-contraction rounds joined `nbrs` by bare node id, which put a
+    * representative's whole neighborhood on one task in late rounds —
+    * the 2.07x fair-share borderline in the r9 SkewProbe table).
+    * Returns (rows + mCol, the one-row-per-key min table). */
+  private def saltedGroupMin(df: DataFrame, key: String, value: String,
+      mCol: String, s: Int): (DataFrame, DataFrame) = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(col(value)), lit(s)))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(min(col(value)).as("__pmn"))
+    val total = partial.groupBy(col(key)).agg(min(col("__pmn")).as(mCol))
+    // partial is <= S rows per key, total is 1 — both sides of this join
+    // and the (key, salt) join below are skew-free by construction
+    val saltedMin = partial.join(total, Seq(key))
+      .select(col(key), col("__salt"), col(mCol))
+    (salted.join(saltedMin, Seq(key, "__salt")).drop("__salt"), total)
+  }
+
   /** dupClusters plus the number of rounds it took to converge (specs
     * assert the O(log n) bound on deep path graphs). */
   def dupClustersWithRounds(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    val s = saltWidth(pairs)
     // canonical edge direction: u (larger) -> v (smaller)
     var edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .filter(col("a") =!= col("b"))
@@ -402,29 +482,51 @@ object Dedup {
     var converged = false
     while (!converged && rounds < maxIter) {
       // large-star: over the UNDIRECTED neighborhood of each node n,
-      // connect neighbors x > n to m = min(neighborhood + n)
+      // connect neighbors x > n to m = min(neighborhood + n). The min is
+      // attached via the salted (n, salt) lineage — in late rounds every
+      // edge of a cluster points at its representative, so a bare
+      // groupBy/join on n is exactly the hot key the salt spreads.
       val nbrs = edges.select(col("u").as("n"), col("v").as("x"))
         .union(edges.select(col("v").as("n"), col("u").as("x")))
-      val bigMin = nbrs.groupBy("n").agg(min("x").as("mn"))
-        .select(col("n"), least(col("mn"), col("n")).as("m"))
-      val afterLarge = nbrs.join(bigMin, "n")
+      val (nbrsM, _) = saltedGroupMin(nbrs, "n", "x", "mn", s)
+      val afterLarge = nbrsM
         .filter(col("x") > col("n"))
-        .select(col("x").as("u"), col("m").as("v"))
+        .select(col("x").as("u"), least(col("mn"), col("n")).as("v"))
         .distinct()
       // small-star: per larger endpoint u with smaller neighbors N-,
       // m = min(N-), re-hang u and every other small neighbor onto m
-      val smallMin = afterLarge.groupBy("u").agg(min("v").as("m"))
-      val smallStar = afterLarge.join(smallMin, "u")
+      val (withM, smallMin) = saltedGroupMin(afterLarge, "u", "v", "m", s)
+      val smallStar = withM
         .select(col("v").as("x"), col("m"))
         .union(smallMin.select(col("u").as("x"), col("m")))
         .filter(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v"))
       // pointer jump: compose u->v->w into u->w (edges stay within the
       // component, so adding them is always safe); doubles the per-round
-      // compression, beating plain alternation's ~log2(n) rounds
-      val jumped = smallStar.as("e1")
-        .join(smallStar.as("e2"), col("e1.v") === col("e2.u"))
-        .select(col("e1.u").as("u"), col("e2.v").as("v"))
+      // compression, beating plain alternation's ~log2(n) rounds. The
+      // jump target is each intermediate's MIN out-edge (the strongest
+      // compressor — non-min targets only add edges the next round's
+      // min would discard), which keeps the target table one-row-per-key
+      // so the salted-combo join stays bounded; e1's v side is the hot
+      // representative in late rounds, so it is salted by hash(u).
+      val targets = smallStar.groupBy(col("u")).agg(min(col("v")).as("w"))
+        .select(col("u").as("v"), col("w"))
+      val saltedE1 = smallStar
+        .withColumn("__salt", pmod(xxhash64(col("u")), lit(s)))
+      val combos = saltedE1.select(col("v"), col("__salt")).distinct()
+      // shuffled-hash, not sort-merge: combos (distinct live-rep x salt)
+      // is the tiny build side, and an SMJ short-circuits any partition
+      // whose combos side is empty WITHOUT reading its targets partition
+      // — near convergence only the partitions owning live
+      // representatives would read at all, wasting the shuffled targets
+      // table and reading as a fake 2x straggler in SkewProbe (the
+      // stage's fair share collapses with its total). The hash probe
+      // reads every targets partition exactly once; the (v, salt) join
+      // below has >= saltWidth live keys per representative, so its
+      // partitions are never empty and plain SMJ is fine there.
+      val saltedTargets = combos.hint("shuffle_hash").join(targets, Seq("v"))
+      val jumped = saltedE1.join(saltedTargets, Seq("v", "__salt"))
+        .select(col("u"), col("w").as("v"))
       val afterSmall = smallStar.union(jumped)
         .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint()
@@ -526,11 +628,9 @@ object Dedup {
     * scale-killer. Per-gram fan-out is now ≤ maxDf²/2 pairs. */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.15,
-      maxDf: Int = 1000): DataFrame = {
-    val grams = capGramDf(
-      wordShingles(df, textCol, idCol, n)
-        .join(df.select((col(idCol).as("id") +: blockCols.map(col)): _*), Seq("id")),
-      blockCols, maxDf)
+      maxDf: Int = 1000, hotGrams: Option[DataFrame] = None): DataFrame = {
+    val grams = capGramDf(gramsWithBlocks(df, textCol, idCol, blockCols, n),
+      blockCols, maxDf, hotGrams = hotGrams)
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))(_ && _)
@@ -615,6 +715,47 @@ object Dedup {
         col("dup_of"))
   }
 
+  /** The (id, gram, blockCols...) table [[ngramJaccard]] and
+    * [[containmentPairs]] self-join — one definition so the hot-list
+    * builder below shingles EXACTLY like the consumers. */
+  private def gramsWithBlocks(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], n: Int): DataFrame =
+    wordShingles(df, textCol, idCol, n)
+      .join(df.select((col(idCol).as("id") +: blockCols.map(col)): _*), Seq("id"))
+
+  /** The over-cap keys of a gram table: every (blockCols..., gram) whose
+    * DOCUMENT frequency exceeds maxDf. countDistinct, not count: the
+    * internal callers feed doc-distinct shingles (array_distinct before
+    * the explode) where the two agree, but the [[boilerplateGrams]] seam
+    * accepts arbitrary gram tables, and an occurrence count would let a
+    * single repetitive document evict a rare gram corpus-wide (r9 advice
+    * catch). Skew-free both phases: the distinct expansion exchanges by
+    * (block, gram, id) — id varies under a hot gram — and the final
+    * count exchanges <= one partially-counted row per key per partition. */
+  private def hotGramsOf(grams: DataFrame, blockCols: Seq[String],
+      maxDf: Int): DataFrame = {
+    val key = blockCols :+ "gram"
+    grams.groupBy(key.map(col): _*)
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(key.map(col): _*)
+  }
+
+  /** The boilerplate-gram list for a corpus: every (blockCols..., gram)
+    * key held by more than maxDf DOCUMENTS. At corpus scale this is
+    * snapshot-level METADATA — build it once per corpus version with this
+    * builder (same shingling as the consumers by construction), persist
+    * it, and pass it to [[ngramJaccard]]/[[containmentPairs]] as
+    * `hotGrams`: the df cap then costs one broadcast anti-join and the
+    * corpus is scanned ONCE per pass instead of once per (pass, hot-list
+    * build). The list must come from the SAME n and blockCols as the
+    * consuming call — a mismatched n yields grams that match nothing and
+    * the cap silently disappears, so keep the build call adjacent to the
+    * consumers in pipeline code. */
+  def boilerplateGrams(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], n: Int = 3, maxDf: Int = 1000): DataFrame =
+    hotGramsOf(gramsWithBlocks(df, textCol, idCol, blockCols, n), blockCols, maxDf)
+
   /** Document-frequency guard for the exact gram self-joins: keep only
     * grams appearing in ≤ maxDf docs within their block.
     *
@@ -624,37 +765,52 @@ object Dedup {
     * itself carry linear key skew, and the ≤2×-fair-share pin
     * (OperatorsSpec "ngramJaccard/containmentPairs: df cap …") fails on
     * it. Instead: a groupBy df count, whose map-side partial aggregation
-    * collapses the hot key to ≤ one row per map partition before the
-    * shuffle (no skew), filtered to ONLY the over-cap grams — a list
-    * small by construction (≤ gramRows/maxDf distinct keys, and in
-    * practice it IS the corpus-boilerplate set) — then an explicit
-    * broadcast anti-join, so the raw gram rows are never partitioned by
-    * bare gram while a hot gram still exists. The broadcast hint holds
-    * even with autoBroadcastJoinThreshold=-1. At corpus scale the hot
-    * list is snapshot-level metadata: build it once per corpus version
-    * and share it across every exact-dedup pass. */
+    * collapses the hot key before the final shuffle (no skew), filtered
+    * to ONLY the over-cap grams — a list small by construction
+    * (≤ gramRows/maxDf distinct keys, and in practice it IS the
+    * corpus-boilerplate set) — then an explicit broadcast anti-join, so
+    * the raw gram rows are never partitioned by bare gram while a hot
+    * gram still exists. The broadcast hint holds even with
+    * autoBroadcastJoinThreshold=-1.
+    *
+    * Scan economics (the r9 +63% p92 bench regression, fixed r10): the
+    * hot-list aggregation prunes differently from the main gram lineage,
+    * so AQE cannot reuse the stage and the count was a SECOND full
+    * scan+shingle pass. Two amortizations, matching the 100 TB story:
+    * (a) callers pass a precomputed `hotGrams` list ([[boilerplateGrams]]
+    * — corpus metadata built once per snapshot) and no count runs at all;
+    * (b) otherwise the gram table is localCheckpoint()ed so the count,
+    * the anti-join, and every downstream consumer (sizes + both self-join
+    * sides) share ONE materialization — eager, like the collect probe it
+    * feeds; the blocks are reference-tracked and freed by Spark's
+    * ContextCleaner once the plan is garbage-collected. */
   private def capGramDf(grams: DataFrame, blockCols: Seq[String],
-      maxDf: Int, maxHotGrams: Int = 2000000): DataFrame = {
+      maxDf: Int, maxHotGrams: Int = 2000000,
+      hotGrams: Option[DataFrame] = None): DataFrame = {
     val key = blockCols :+ "gram"
-    val hot = grams.groupBy(key.map(col): _*)
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select(key.map(col): _*)
-    // the "small by construction" claim is an ASSUMPTION (bound is
-    // gramRows/maxDf — in principle billions): collect through a limit
-    // probe and fail LOUDLY if the boilerplate set overflows the
-    // broadcast budget, instead of letting the forced broadcast OOM the
-    // driver (r9 review catch). One execution of the df aggregation —
-    // a count()-then-broadcast would run it twice. Overflow remediation:
-    // raise maxDf, or split the corpus by block before dedup.
-    val spark = grams.sparkSession
-    val hotRows = hot.limit(maxHotGrams + 1).collect()
-    require(hotRows.length <= maxHotGrams,
-      s"over $maxHotGrams grams exceed maxDf=$maxDf — the boilerplate set " +
-        "no longer fits a broadcast; raise maxDf or pre-split by block")
-    val hotDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(hotRows.toIndexedSeq), hot.schema)
-    grams.join(broadcast(hotDf), key, "left_anti")
+    hotGrams match {
+      case Some(hotList) =>
+        require(key.forall(hotList.columns.contains),
+          s"hotGrams must carry columns $key, got ${hotList.columns.toSeq}")
+        grams.join(broadcast(hotList.select(key.map(col): _*)), key, "left_anti")
+      case None =>
+        val shared = grams.localCheckpoint()
+        val hot = hotGramsOf(shared, blockCols, maxDf)
+        // the "small by construction" claim is an ASSUMPTION (bound is
+        // gramRows/maxDf — in principle billions): collect through a
+        // limit probe and fail LOUDLY if the boilerplate set overflows
+        // the broadcast budget, instead of letting the forced broadcast
+        // OOM the driver (r9 review catch). Overflow remediation: raise
+        // maxDf, or split the corpus by block before dedup.
+        val spark = grams.sparkSession
+        val hotRows = hot.limit(maxHotGrams + 1).collect()
+        require(hotRows.length <= maxHotGrams,
+          s"over $maxHotGrams grams exceed maxDf=$maxDf — the boilerplate set " +
+            "no longer fits a broadcast; raise maxDf or pre-split by block")
+        val hotDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(hotRows.toIndexedSeq), hot.schema)
+        shared.join(broadcast(hotDf), key, "left_anti")
+    }
   }
 
   /** Per-document n-gram NOVELTY against the whole corpus: the fraction
@@ -699,11 +855,10 @@ object Dedup {
     * exactly what the cap is meant to not-count. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], n: Int = 3,
-      threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
-    val grams = capGramDf(
-      wordShingles(df, textCol, idCol, n)
-        .join(df.select((col(idCol).as("id") +: blockCols.map(col)): _*), Seq("id")),
-      blockCols, maxDf)
+      threshold: Double = 0.8, maxDf: Int = 1000,
+      hotGrams: Option[DataFrame] = None): DataFrame = {
+    val grams = capGramDf(gramsWithBlocks(df, textCol, idCol, blockCols, n),
+      blockCols, maxDf, hotGrams = hotGrams)
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))(_ && _)

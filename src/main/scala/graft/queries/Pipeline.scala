@@ -820,8 +820,11 @@ object Pipeline {
     * merges from the corpus's word-frequency dictionary (one scan,
     * driver-side merge learning over the capped dict), then tokenize
     * every document with the broadcast merge table. Fully deterministic
-    * (tie-breaks pinned) but not SQL-expressible -> rows-only check here;
-    * OperatorsSpec pins exact merges, encodings and the round-trip law. */
+    * (tie-breaks pinned); hash-matched since r10 via [[p40Oracle]] —
+    * the learned merge list is driver-side model state like p08's
+    * centroids, rendered as literals into a DuckDB tokenize-apply
+    * replay. OperatorsSpec additionally pins exact merges, encodings
+    * and the round-trip law. */
   def p40BpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val merges = Bpe.train(docs, "text", numMerges = 200, maxVocabWords = 20000)
@@ -832,6 +835,82 @@ object Pipeline {
         element_at(col("tokens"), 1).as("first_token"))
       .orderBy(col("doc_id"))
   }
+
+  /** The sf dir the oracle-render-time model state (p40's merge list)
+    * trains on. Verify/RunOne set it to their sfDir BEFORE touching
+    * [[oracles]], so the rendered merges come from the same corpus the
+    * entry trains on at check time; defaults to the driver's verify
+    * scale. */
+  @volatile var oracleDir: String = "/root/testdata/sf0.01"
+
+  private val p40OracleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** p40's oracle is GENERATED like p07's: the merge list is
+    * deterministic driver-side model state, so training is re-run at
+    * render time on [[oracleDir]] and the merges become literal nested
+    * replace() calls DuckDB applies IN LEARNED ORDER to a
+    * double-space-separated character representation of each distinct
+    * word (two spaces between symbols and at both ends, so adjacent
+    * merge sites each own a boundary space and one left-to-right
+    * replace() pass equals [[graft.operators.Bpe]]'s non-overlapping
+    * mergePair semantics).
+    *
+    * Ordered replay vs the engine's rank-greedy encodeWord: the two are
+    * equivalent WHEN no two merges produce the same token string — then
+    * a pair of rank j can never newly appear while applying merge m > j
+    * (its tokens would have to contain merge m's output, which for rank
+    * j < m means some earlier merge built the same string — excluded).
+    * Training guarantees components exist before their pair is learned;
+    * the distinctness is asserted loudly at render time, so a corpus
+    * that ever violated it would fail the gate rather than drift.
+    * (OperatorsSpec proves ordered==greedy on adversarial vocabs.) */
+  def p40Oracle: String = p40OracleCache.computeIfAbsent(oracleDir, { dir =>
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "p40 oracle renders driver-learned model state and needs an " +
+          "active SparkSession to train the merge list"))
+    val merges = Bpe.train(documents(spark, dir), "text",
+      numMerges = 200, maxVocabWords = 20000)
+    val outs = merges.map { case (a, b) => a + b }
+    require(outs.distinct.size == outs.size,
+      "two learned merges produce the same token string — the in-order " +
+        "SQL replay is no longer provably equal to rank-greedy encoding; " +
+        "the p40 oracle refuses to render (see scaladoc)")
+    def esc(s: String) = s.replace("'", "''")
+    val applied = merges.foldLeft(
+      "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')") { case (e, (a, b)) =>
+      s"replace($e, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a)}${esc(b)} ')"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, word_idx, ws[word_idx] AS word FROM (
+       |    SELECT doc_id, ws, UNNEST(generate_series(1, len(ws))) AS word_idx
+       |    FROM t)
+       |  WHERE len(ws[word_idx]) > 0),
+       |wt AS (
+       |  SELECT word, string_split(trim($applied), '  ') AS toks
+       |  FROM (SELECT DISTINCT word FROM w)),
+       |tok AS (SELECT w.doc_id, w.word_idx, wt.toks FROM w JOIN wt USING (word)),
+       |agg AS (
+       |  SELECT doc_id, SUM(len(toks)) AS n_tokens,
+       |    arg_min(toks[1], word_idx) AS first_token
+       |  FROM tok GROUP BY doc_id),
+       |uq AS (
+       |  SELECT doc_id, COUNT(DISTINCT tk) AS n_unique
+       |  FROM (SELECT doc_id, UNNEST(toks) AS tk FROM tok) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(uq.n_unique, 0) AS BIGINT) AS n_unique,
+       |  agg.first_token
+       |FROM documents d
+       |LEFT JOIN agg USING (doc_id) LEFT JOIN uq USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  })
 
   /** Deterministic hash sampling (training-data subsetting at 100 TB): a
     * row is kept iff the first 4 hex digits of md5(doc_id) fall below the
@@ -4539,7 +4618,9 @@ object Pipeline {
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
-  val oracles: Map[String, String] = Map(
+  /** Static oracle strings; [[oracles]] adds the model-state entries
+    * (p40) that must be rendered at request time. */
+  private val staticOracles: Map[String, String] = Map(
     "q33_fts_join" -> q33Oracle,
     "q34_fts_self_join" -> q34Oracle,
     "p14_multimodal_decode" -> p14Oracle,
@@ -4651,4 +4732,10 @@ object Pipeline {
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
     "p98_outlink_graph" -> p98Oracle)
+
+  /** All oracles, including the render-time model-state entries. p40's
+    * value trains the merge list on [[oracleDir]] at first access per
+    * dir (cached), so callers must hold an active SparkSession. */
+  def oracles: Map[String, String] =
+    staticOracles + ("p40_bpe_tokens" -> p40Oracle)
 }

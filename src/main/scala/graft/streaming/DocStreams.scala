@@ -122,17 +122,33 @@ object DocStreams {
       bucketWindow: String = "10 minutes"): DataFrame = {
     require(k % rowsPerBand == 0,
       s"k=$k not divisible by rowsPerBand=$rowsPerBand")
-    // a k mismatch between this gate and the pre-built artifact would
-    // otherwise join NOTHING and silently mark every document clean —
-    // the worst failure mode a decontamination gate can have (r9 review
-    // catch). rowsPerBand skew inside the same k changes bh values, so
-    // the same silent-miss applies: both params must match the build.
+    // a parameter mismatch between this gate and the pre-built artifact
+    // would otherwise join NOTHING and silently mark every document
+    // clean — the worst failure mode a decontamination gate can have
+    // (r9 review catch). The column check pins k alone: an artifact
+    // built with a different shingleLen or rowsPerBand has the IDENTICAL
+    // schema (band count and bh values differ only in row content), so
+    // the build params ride in the artifact as p_* literal columns
+    // ([[graft.operators.Dedup.bandedSignatures]]) and are required to
+    // EQUAL this gate's — a one-row distinct over a bounded static
+    // artifact (r9 advice catch).
     val expectedCols =
-      (Seq("id", "band", "bh") ++ (0 until k).map(i => s"mh$i")).toSet
+      (Seq("id", "band", "bh", "p_shingle_len", "p_rows_per_band") ++
+        (0 until k).map(i => s"mh$i")).toSet
     require(evalBands.columns.toSet == expectedCols,
       s"evalBands columns ${evalBands.columns.sorted.mkString(",")} do not " +
         s"match k=$k — build the artifact with Dedup.bandedSignatures " +
         "using the SAME shingleLen/k/rowsPerBand as this gate")
+    val builtWith = evalBands
+      .select(col("p_shingle_len"), col("p_rows_per_band")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    require(builtWith == Seq((shingleLen, rowsPerBand)),
+      s"evalBands artifact was built with (shingleLen, rowsPerBand) = " +
+        s"${builtWith.mkString(", ")} but this gate runs " +
+        s"($shingleLen, $rowsPerBand) — a mismatch joins nothing and " +
+        "marks every document clean; rebuild the artifact with the " +
+        "gate's parameters")
+    val evalSigs = evalBands.drop("p_shingle_len", "p_rows_per_band")
     val mhCols = (0 until k).map(i => col(s"mh$i"))
     val sigs = graft.operators.Dedup.minHashSignaturesPerDoc(
       docs, textCol, idCol, shingleLen, k, carryCols = Seq(tsCol))
@@ -143,7 +159,7 @@ object DocStreams {
       .select((col("id") +: col(tsCol) +: col("b.band").as("band") +:
         col("b.bh").as("bh") +: mhCols): _*)
     val eb = {
-      val b = evalBands
+      val b = evalSigs
       b.toDF(b.columns.map(c => s"s_$c"): _*)
     }
     val agree = (0 until k)

@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSession
 object RunOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
+    // model-state oracles (p40) train on the dir under check
+    graft.queries.Pipeline.oracleDir = sfDir
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -29,8 +31,9 @@ object RunOne {
     } + "\""
     // LOUDLY name any requested entry with no oracle: a typo'd oracles-map
     // key would otherwise make check_oracles pass vacuously (it only
-    // value-checks names present in this JSON). Genuine rows-only entries
-    // (m03/p03/p04/p40) also land here — the warning says which case.
+    // value-checks names present in this JSON). The one genuine rows-only
+    // entry (m03, the approx sketch) also lands here — the warning says
+    // which case.
     names.filterNot(graft.SparkEntry.oracleSql.contains).foreach { n =>
       System.err.println(s"[runone] WARNING: '$n' has no oracleSql entry — " +
         "check_oracles will report it ROWS-ONLY, not value-check it. " +

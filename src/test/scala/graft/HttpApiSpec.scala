@@ -374,7 +374,21 @@ class HttpApiSpec extends AnyFunSuite {
   test("cluster routes answer with single-node parity, never 404") {
     // members = [self], primary = self, elections refused the way the
     // reference refuses them on an up-to-date primary (routes.go:171-205)
-    val mem = post("/v1/cluster/members", """{"id":"n2","address":"10.0.0.2"}""")
+
+    // POST members = the reference's ADD verb: a join attempt must get
+    // the truthful 400 refusal (the requester can never be an eligible
+    // member of a single-node cluster), never a 200 that pretends the
+    // join happened; malformed bodies are a 400 validation error first
+    val join = post("/v1/cluster/members", """{"id":"n2","address":"10.0.0.2"}""")
+    assert(join.statusCode() == 400, join.body())
+    assert(mapper.readTree(join.body()).path("message").asText()
+      .contains("not eligible"))
+    val badJoin = post("/v1/cluster/members", """{"id":"n2"}""")
+    assert(badJoin.statusCode() == 400)
+    assert(mapper.readTree(badJoin.body()).path("message").asText()
+      .contains("required"))
+
+    val mem = get("/v1/cluster/members")
     assert(mem.statusCode() == 200, mem.body())
     val memData = mapper.readTree(mem.body()).path("data")
     assert(memData.isArray && memData.size() == 1)

@@ -9,6 +9,9 @@ class QueriesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   test("oracle keys are a subset of query keys") {
+    // p40's oracle renders driver-learned model state (the BPE merge
+    // list) into SQL, which needs an active session to train
+    val _ = spark
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }

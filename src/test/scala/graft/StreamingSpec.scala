@@ -605,6 +605,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fuzzy gate refuses an artifact built with mismatched params") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.Dedup
+    // same SCHEMA, different shingleLen: pre-r10 the column-name check
+    // passed and the gate joined nothing, silently marking everything
+    // clean — the p_* literal params must be required to match
+    val evalDocs = Seq((500L, "alpha bravo charlie delta echo foxtrot"))
+      .toDF("doc_id", "text")
+    val mismatched = Dedup.bandedSignatures(evalDocs, "text", "doc_id",
+      shingleLen = 4)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(Files.createTempDirectory("graft-fuzzyguard").toString)
+    val e = intercept[IllegalArgumentException] {
+      DocStreams.fuzzyContaminationGate(
+        stream, mismatched, "text", "doc_id", "ts")
+    }
+    assert(e.getMessage.contains("rebuild the artifact"))
+    // rowsPerBand mismatch: band COUNT differs only in row content, the
+    // columns are again identical — the p_ guard is what catches it
+    val e2 = intercept[IllegalArgumentException] {
+      DocStreams.fuzzyContaminationGate(
+        stream, Dedup.bandedSignatures(evalDocs, "text", "doc_id",
+          rowsPerBand = 8), "text", "doc_id", "ts")
+    }
+    assert(e2.getMessage.contains("rebuild the artifact"))
+  }
+
   test("streaming ingest dashboard aggregates per (window, source) like batch") {
     import spark.implicits._
     import graft.streaming.DocStreams
