@@ -37,7 +37,11 @@ object Bench {
     // in CC rounds or the cross-LSH is machine-caught (r9 judge ask)
     "p108_minhash_clusters",   // connected-components dup resolution
     "p109_cross_contamination", // fuzzy cross-corpus LSH
-    "p110_surgical_decon")     // eval-span surgical removal
+    "p110_surgical_decon",     // eval-span surgical removal
+    // benched since r11 (judge ask): the r10 exact-collapse/re-expand
+    // rewrite made this the largest-output entry (11k pairs) with no
+    // bench line — a regression in the variant-join plan was invisible
+    "p85_fuzzy_titles")        // edit-distance (SymSpell) title dedup
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -172,36 +176,36 @@ object Bench {
     // the non-zero exit is opt-in (SPARK_GRAFT_BENCH_STRICT=1) so a
     // slower HOST doesn't turn the recording run itself into a failure.
     val benchFileRe = "BENCH_r(\\d+)\\.json".r
-    val prevFile = sys.env.get("SPARK_GRAFT_BENCH_PREV")
-      .map(new java.io.File(_))
-      .orElse(Option(new java.io.File(".").listFiles()).flatMap(_.toSeq
-        .flatMap(f => f.getName match {
-          case benchFileRe(n) => Some((n.toInt, f))
-          case _ => None
-        }).sortBy(-_._1).headOption.map(_._2)))
-      .filter(_.isFile)
-    val prevNode = prevFile.flatMap { f =>
-      try {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = om.readTree(f)
-        if (root.has("queries")) Some(root)
-        else {
-          // driver wrapper: our own JSON line is embedded in its "tail"
-          val tail = Option(root.get("tail")).map(_.asText()).getOrElse("")
-          val at = tail.lastIndexOf("{\"metric\"")
-          if (at < 0) None
-          else {
-            val line = tail.substring(at).takeWhile(_ != '\n')
-            try Some(om.readTree(line)) catch { case _: Throwable => None }
-          }
+    import BenchPrev.{comparable, nodeOf}
+    // Prev candidates, newest first: an explicit env override wins alone;
+    // otherwise the untruncated BENCH_LAST.json sidecar this main writes
+    // each run (immune to wrapper truncation by construction) competes
+    // with the latest driver-written BENCH_r{N}.json on mtime, and the
+    // first candidate that yields a comparable node is the prev.
+    val candidates: Seq[java.io.File] =
+      sys.env.get("SPARK_GRAFT_BENCH_PREV")
+        .map(p => Seq(new java.io.File(p)).filter(_.isFile))
+        .getOrElse {
+          val latestRound = Option(new java.io.File(".").listFiles())
+            .flatMap(_.toSeq.flatMap(f => f.getName match {
+              case benchFileRe(n) => Some((n.toInt, f))
+              case _ => None
+            }).sortBy(-_._1).headOption.map(_._2))
+          val sidecar = Some(new java.io.File("BENCH_LAST.json")).filter(_.isFile)
+          (sidecar.toSeq ++ latestRound.toSeq).sortBy(-_.lastModified())
         }
-      } catch { case _: Throwable => None }
-    }
-    // a prior round recorded at a DIFFERENT scale factor is not comparable
-    // — every min would differ by the scale ratio and the "regressions"
-    // list would be pure noise (worse, a strict run would exit non-zero)
-    val prevComparable = prevNode.filter(p =>
-      Option(p.get("sf")).map(_.asText()).contains(sfDir))
+    val prevPick = candidates.view
+      .map(f => f -> nodeOf(f).filter(comparable(_, sfDir)))
+      .collectFirst { case (f, Some(n)) => (f, n) }
+    val prevFile = prevPick.map(_._1).orElse(candidates.headOption)
+    val prevComparable = prevPick.map(_._2)
+    // silence is what hid the r10 blindness: a prev file that exists but
+    // contributes nothing must SAY so, loudly, in the captured stderr
+    if (candidates.nonEmpty && prevPick.isEmpty)
+      System.err.println("[bench] WARNING: prev bench file(s) " +
+        candidates.map(_.getName).mkString(", ") +
+        " exist but yielded no comparable queries (unrecoverable " +
+        "truncation or sf mismatch) — the regression gate is BLIND this run")
     def prevOf(section: String, k: String): Option[Double] =
       prevComparable.flatMap(p => Option(p.get(section)))
         .flatMap(n => Option(n.get(k))).map(_.asDouble)
@@ -276,7 +280,20 @@ object Bench {
         "\"" + k + "\":" + f"$b%.3f"
     }.mkString("{", ",", "}")
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runsPerQuery,"prev":$prevQs,"prev_file":$prevName,"regressions":$regs,"retried":$retr,"best_min":$best,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runsPerQuery,"prev":$prevQs,"prev_file":$prevName,"regressions":$regs,"retried":$retr,"best_min":$best,"sf":"$sfDir"}"""
+    println(line)
+    // untruncated sidecar of this run's own JSON line: the preferred prev
+    // for the NEXT run, so the regression gate never again depends on the
+    // driver wrapper's tail keeping our prefix intact. Opt out with
+    // SPARK_GRAFT_BENCH_SIDECAR=0 (ad-hoc adjudication runs on a dev box
+    // must not overwrite the round-over-round comparison base).
+    if (!sys.env.get("SPARK_GRAFT_BENCH_SIDECAR").contains("0"))
+      try {
+        val w = new java.io.PrintWriter("BENCH_LAST.json")
+        try w.println(line) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+      }
     spark.stop()
     if (regressions.nonEmpty &&
         sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
@@ -285,4 +302,87 @@ object Bench {
       sys.exit(3)
     }
   }
+}
+
+/** Previous-round bench parsing, factored out of [[Bench]] so the
+  * truncation-recovery path is unit-testable (BenchPrevSpec pins it
+  * against the REAL r09 artifact whose truncated tail blinded the r10
+  * regression gate).
+  *
+  * A prev file is either Bench's own JSON line (root has "queries") or
+  * the driver wrapper whose "tail" field embeds that line. The wrapper's
+  * tail capture keeps the END of the stream, so when truncation has eaten
+  * the `{"metric"` prefix the primary parse anchors on, the named
+  * `"queries":{...}`/`"spread":{...}` objects and the trailing
+  * `"sf":"..."` still survive — locate them directly and synthesize a
+  * comparable node instead of silently comparing against nothing (the
+  * r10 blindness). Brace-balance inside the objects is safe: both map
+  * query names to bare numbers, no nested strings or objects. */
+private[graft] object BenchPrev {
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The LAST balanced `"key":{...}` object embedded in `tail`. */
+  private[graft] def objAt(tail: String,
+      key: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val marker = "\"" + key + "\":{"
+    val at = tail.lastIndexOf(marker)
+    if (at < 0) None
+    else {
+      val start = at + marker.length - 1
+      var depth = 0; var i = start; var end = -1
+      while (i < tail.length && end < 0) {
+        tail.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) None
+      else try Some(om.readTree(tail.substring(start, end + 1)))
+      catch { case _: Throwable => None }
+    }
+  }
+
+  /** Synthesize a prev node from a tail whose `{"metric"` prefix is gone:
+    * queries (required), spread (optional) and the trailing sf string. */
+  private[graft] def reconstructFromTail(
+      tail: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    objAt(tail, "queries").map { qNode =>
+      val node = om.createObjectNode()
+      node.set[com.fasterxml.jackson.databind.node.ObjectNode]("queries", qNode)
+      objAt(tail, "spread").foreach(
+        node.set[com.fasterxml.jackson.databind.node.ObjectNode]("spread", _))
+      "\"sf\":\"([^\"]*)\"".r.findAllMatchIn(tail).toSeq.lastOption
+        .foreach(m => node.put("sf", m.group(1)))
+      node
+    }
+
+  /** Parse a candidate prev file: own line, wrapper-embedded whole line,
+    * or truncated-tail reconstruction — in that order. */
+  private[graft] def nodeOf(
+      f: java.io.File): Option[com.fasterxml.jackson.databind.JsonNode] =
+    try {
+      val root = om.readTree(f)
+      if (root.has("queries")) Some(root)
+      else {
+        val tail = Option(root.get("tail")).map(_.asText()).getOrElse("")
+        val at = tail.lastIndexOf("{\"metric\"")
+        val whole =
+          if (at < 0) None
+          else {
+            val line = tail.substring(at).takeWhile(_ != '\n')
+            try Option(om.readTree(line)).filter(_.has("queries"))
+            catch { case _: Throwable => None }
+          }
+        whole.orElse(reconstructFromTail(tail))
+      }
+    } catch { case _: Throwable => None }
+
+  /** A prev recorded at a DIFFERENT scale factor is not comparable —
+    * every min would differ by the scale ratio and the "regressions"
+    * list would be pure noise (worse, a strict run would exit non-zero). */
+  private[graft] def comparable(n: com.fasterxml.jackson.databind.JsonNode,
+      sfDir: String): Boolean =
+    Option(n.get("sf")).map(_.asText()).contains(sfDir)
 }

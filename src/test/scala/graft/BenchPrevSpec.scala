@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench regression gate's previous-round parsing — the gate ran
+  * BLIND in r10 because BENCH_r09.json's driver-side tail truncation cut
+  * off the `{"metric"` prefix the primary parse anchored on, `prevNode`
+  * silently resolved to None, and three real deltas (p78 9.2x among them)
+  * sailed through unflagged. These tests hold the recovery path to the
+  * REAL artifacts in the repo root, so any future change to the driver's
+  * truncation behavior that re-blinds the gate fails a test instead of
+  * failing silently. */
+class BenchPrevSpec extends AnyFunSuite {
+  private val sf01 = "/root/testdata/sf0.1"
+
+  test("recovers the r09 bench line from its truncated tail") {
+    val f = new java.io.File("BENCH_r09.json")
+    assume(f.isFile, "BENCH_r09.json not present")
+    // precondition that MAKES this the regression case: the primary
+    // anchor is truncated away
+    val raw = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    assume(!raw.contains("{\\\"metric\\\""),
+      "r09 tail regained its prefix — test fixture drifted")
+    val node = BenchPrev.nodeOf(f)
+    assert(node.isDefined, "truncated r09 tail must reconstruct")
+    val n = node.get
+    assert(BenchPrev.comparable(n, sf01))
+    // spot-check values against the known r9 numbers
+    assert(n.get("queries").get("p78_tfrecord_shards").asDouble() == 0.217)
+    assert(n.get("queries").get("p71_span_removal").asDouble() == 1.994)
+    assert(n.get("spread").get("p78_tfrecord_shards").asDouble() == 0.013)
+    assert(n.get("queries").size() >= 20)
+  }
+
+  test("parses the r10 bench line via the whole-line path") {
+    val f = new java.io.File("BENCH_r10.json")
+    assume(f.isFile, "BENCH_r10.json not present")
+    val node = BenchPrev.nodeOf(f)
+    assert(node.isDefined)
+    assert(BenchPrev.comparable(node.get, sf01))
+    assert(node.get.get("queries").get("p78_tfrecord_shards").asDouble() == 1.995)
+  }
+
+  test("own-line sidecar, sf mismatch, and garbage inputs") {
+    def tmpWith(content: String): java.io.File = {
+      val f = java.io.File.createTempFile("benchprev", ".json")
+      f.deleteOnExit()
+      java.nio.file.Files.write(f.toPath, content.getBytes)
+      f
+    }
+    // a BENCH_LAST.json sidecar is Bench's own line at the root
+    val own = tmpWith(
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q01":0.5},"spread":{"q01":0.1},"sf":"/root/testdata/sf0.1"}""")
+    val n = BenchPrev.nodeOf(own)
+    assert(n.isDefined && BenchPrev.comparable(n.get, sf01))
+    assert(n.get.get("queries").get("q01").asDouble() == 0.5)
+    // a different scale factor is recoverable but NOT comparable
+    val otherSf = tmpWith(
+      """{"tail":"...,\"queries\":{\"q01\":0.5},\"spread\":{\"q01\":0.1},\"sf\":\"/root/testdata/sf0.01\"}"}""")
+    val o = BenchPrev.nodeOf(otherSf)
+    assert(o.isDefined && !BenchPrev.comparable(o.get, sf01))
+    // a tail with no recoverable queries object yields None, not a throw
+    assert(BenchPrev.nodeOf(tmpWith("""{"tail":"no json here"}""")).isEmpty)
+    assert(BenchPrev.nodeOf(tmpWith("not json at all")).isEmpty)
+    assert(BenchPrev.nodeOf(new java.io.File("/nonexistent")).isEmpty)
+    // unbalanced truncation INSIDE the queries object: refuse, don't guess
+    assert(BenchPrev.nodeOf(
+      tmpWith("""{"tail":"...,\"queries\":{\"q01\":0.5,\"q02\":"}""")).isEmpty)
+  }
+}

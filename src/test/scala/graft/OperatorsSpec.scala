@@ -293,6 +293,28 @@ class OperatorsSpec extends AnyFunSuite {
       20L -> 20L))
   }
 
+  test("dupClusters frees superseded checkpoint blocks as rounds advance") {
+    import graft.operators.Dedup
+    // each round localCheckpoint()s the new edge set; without the
+    // explicit unpersist of the PREVIOUS round's blocks, a multi-round
+    // run leaves every round resident until the ContextCleaner happens to
+    // GC the superseded plans — storage that competes with whatever runs
+    // next in the session (the r10 bench-session suspect). Only the FINAL
+    // edge set may stay persisted (the returned labels frame still reads
+    // it), so the persistent-RDD delta must be O(1), not O(rounds).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (0L until 512L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.dupClustersWithRounds(pairs, maxIter = 25)
+    assert(labels.count() == 513)
+    assert(rounds >= 3, s"path graph converged in $rounds rounds — too " +
+      "shallow to exercise the per-round unpersist")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    val leaked = (after -- before).size
+    assert(leaked <= 2,
+      s"$leaked persistent RDDs remain after $rounds rounds — superseded " +
+        "checkpoint blocks are not being freed")
+  }
+
   test("PPM and BMP codecs round-trip pixels exactly and agree on stats") {
     import graft.operators.Multimodal
     implicit val s = spark
@@ -887,6 +909,45 @@ class OperatorsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
       spark.sparkContext.removeSparkListener(listener)
     }
+  }
+
+  test("boilerplateGrams artifact: param-pinned reuse, loud mismatch") {
+    // the corpus-metadata seam: a hot-gram list built ONCE with
+    // boilerplateGrams must cap exactly like the inline build, and an
+    // artifact built with different params must be REFUSED — a
+    // mismatched n yields gram strings that match nothing, so the
+    // anti-join would silently disable the cap (the bandedSignatures
+    // failure class, closed the same way: p_* literals + required
+    // equality).
+    val docs = spark.range(400).selectExpr("id AS doc_id",
+      """CASE WHEN id IN (1, 3) THEN 'alpha beta gamma delta epsilon zeta'
+        |  WHEN id % 2 = 0
+        |  THEN concat('boiler plate gram u', id, 'a u', id, 'b u', id, 'c')
+        |  ELSE concat('x', id, 'a x', id, 'b x', id, 'c x', id, 'd')
+        |END AS text""".stripMargin)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val hot = Dedup.boilerplateGrams(docs, "text", "doc_id",
+      Seq("lang", "source"), n = 3, maxDf = 50)
+    assert(hot.columns.toSet ==
+      Set("lang", "source", "gram", "p_n", "p_max_df"))
+    def pairsOf(hg: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.ngramJaccard(docs, "text", "doc_id", Seq("lang", "source"),
+          n = 3, threshold = 0.1, maxDf = 50, hotGrams = hg)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // artifact-capped == inline-capped, and the hot gram is capped away
+    assert(pairsOf(Some(hot)) == Set((1L, 3L)))
+    assert(pairsOf(Some(hot)) == pairsOf(None))
+    // an artifact built with a different n is refused, loudly
+    val wrongN = Dedup.boilerplateGrams(docs, "text", "doc_id",
+      Seq("lang", "source"), n = 2, maxDf = 50)
+    val ex = intercept[IllegalArgumentException] { pairsOf(Some(wrongN)) }
+    assert(ex.getMessage.contains("rebuild the artifact"))
+    // as is one missing the provenance columns (or wrong blockCols —
+    // the exact column-set check covers both)
+    val ex2 = intercept[IllegalArgumentException] {
+      pairsOf(Some(hot.drop("p_n")))
+    }
+    assert(ex2.getMessage.contains("boilerplateGrams"))
   }
 
   test("lexicalDiversity: exact simpson/ttr/top-mass values, empty and degenerate docs") {
