@@ -505,7 +505,10 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
       demandBranch(key, db, branch, "database:query")
       metricsJson(ex, db, branch, windowRequired = false)
 
-    case _ => reply(ex, 404, errorJson("not found"))
+    // distinct from a resource-miss "not found": the OpenAPI parity walk
+    // (HttpApiSpec) drives every documented (method, path) and must be
+    // able to tell "this route doesn't exist" from "this id doesn't"
+    case _ => reply(ex, 404, errorJson("route not found"))
   }
 
   /** Distinct committed version timestamps (newest first) — the branch's
@@ -628,4 +631,62 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
     ex.sendResponseHeaders(code, b.length)
     ex.getResponseBody.write(b)
   }
+}
+
+object HttpApi {
+  /** The canonical route surface, one (method, path template) per `case`
+    * in [[HttpApi]]'s dispatch above — keep the two adjacent and in the
+    * same order so a route added to one without the other is caught in
+    * review, and mechanically: HttpApiSpec asserts this list equals the
+    * paths documented in `openapi.yml`, then drives every entry against
+    * a live server and fails on the dispatcher's distinct
+    * "route not found" answer. Templates use the same parameter names as
+    * the OpenAPI document. */
+  val routes: Seq[(String, String)] = Seq(
+    "GET" -> "/v1/health",
+    "GET" -> "/v1/status",
+    "POST" -> "/v1/events",
+    "POST" -> "/v1/cluster/connection",
+    "POST" -> "/v1/cluster/election",
+    "POST" -> "/v1/cluster/members",
+    "GET" -> "/v1/cluster/members",
+    "DELETE" -> "/v1/cluster/members/{address}",
+    "POST" -> "/v1/cluster/primary",
+    "GET" -> "/v1/access-keys",
+    "POST" -> "/v1/access-keys",
+    "GET" -> "/v1/access-keys/{accessKeyId}",
+    "PUT" -> "/v1/access-keys/{accessKeyId}",
+    "DELETE" -> "/v1/access-keys/{accessKeyId}",
+    "POST" -> "/v1/keys",
+    "POST" -> "/v1/keys/activate",
+    "GET" -> "/v1/users",
+    "POST" -> "/v1/users",
+    "GET" -> "/v1/users/{username}",
+    "PUT" -> "/v1/users/{username}",
+    "DELETE" -> "/v1/users/{username}",
+    "POST" -> "/v1/databases",
+    "GET" -> "/v1/databases",
+    "GET" -> "/v1/databases/{databaseName}",
+    "DELETE" -> "/v1/databases/{databaseName}",
+    "GET" -> "/v1/databases/{databaseName}/branches",
+    "POST" -> "/v1/databases/{databaseName}/branches",
+    "DELETE" -> "/v1/databases/{databaseName}/branches/{branchName}",
+    "GET" -> "/v1/databases/{databaseName}/{branchName}",
+    "DELETE" -> "/v1/databases/{databaseName}/{branchName}",
+    "POST" -> "/v1/databases/{databaseName}/{branchName}/query",
+    "POST" -> "/v1/databases/{databaseName}/{branchName}/query/stream",
+    "POST" -> "/v1/databases/{databaseName}/{branchName}/transactions",
+    "POST" -> "/v1/databases/{databaseName}/{branchName}/transactions/{id}/commit",
+    "POST" -> "/v1/databases/{databaseName}/{branchName}/transactions/{id}/rollback",
+    "DELETE" -> "/v1/databases/{databaseName}/{branchName}/transactions/{id}",
+    "POST" -> "/v1/databases/{databaseName}/{branchName}/backups",
+    "GET" -> "/v1/databases/{databaseName}/{branchName}/backups",
+    "GET" -> "/v1/databases/{databaseName}/{branchName}/backups/{backupId}",
+    "DELETE" -> "/v1/databases/{databaseName}/{branchName}/backups/{backupId}",
+    "POST" -> "/v1/databases/{databaseName}/{branchName}/backups/{backupId}/restore",
+    "POST" -> "/v1/databases/{databaseName}/{branchName}/restore",
+    "GET" -> "/v1/databases/{databaseName}/{branchName}/snapshots",
+    "GET" -> "/v1/databases/{databaseName}/{branchName}/snapshots/{timestamp}",
+    "GET" -> "/v1/databases/{databaseName}/{branchName}/metrics/query",
+    "GET" -> "/v1/databases/{databaseName}/{branchName}/logs/query")
 }

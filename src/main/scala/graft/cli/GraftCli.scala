@@ -1,0 +1,520 @@
+package graft.cli
+
+import java.io.PrintStream
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Management-verb CLI — the analog of the reference's cobra command tree
+  * (`pkg/cli/cmd/root.go:26-34` wires access-key / database / sql /
+  * status / user; every verb there is a thin client over a `/v1` route).
+  * This is the same shape in plain Scala: one dispatch, one HTTP call per
+  * verb, aligned-table or key/value-card rendering, exit code 0/1/2 for
+  * ok / API-or-transport error / usage error.
+  *
+  * Reference verb → route provenance (each file renders the
+  * corresponding controller's response):
+  *  - `database create|list|show|delete`  — database_create.go:26 POST
+  *    /v1/databases; database_list.go:20 GET; database_show.go GET
+  *    /v1/databases/{name}; database_delete.go:20 DELETE.
+  *  - `backup create|list|show|delete|restore` —
+  *    database_backup_create.go:25 POST
+  *    /v1/databases/{db}/{branch}/backups (the `<db/branch>` path arg is
+  *    the reference's splitDatabasePath convention), siblings for
+  *    list/show/delete, restore → POST .../backups/{id}/restore.
+  *  - `access-key create|list|show|update|delete` — access_key_*.go;
+  *    create defaults to one allow-all statement exactly like
+  *    AccessKeyInput's default (access_key_create.go:37-45), and the
+  *    secret is printed ONCE, on creation, because the API never returns
+  *    it again.
+  *  - `user create|list|show|update|delete` — user_*.go; create's
+  *    default statement grants cluster:manage (user_create.go:38-46).
+  *  - `status` — status.go:20 GET /v1/status.
+  *
+  * The transport is injected (`http`: (method, path, body) → (status,
+  * body)) so CliSpec drives every verb end-to-end against an in-process
+  * [[graft.api.HttpApi]] over real HTTP — the same seam
+  * [[SqlConsole]] uses. [[GraftCli.main]] wires a JDK HttpClient from
+  * GRAFT_API_URL (+ optional GRAFT_ACCESS_KEY_ID header auth).
+  */
+class GraftCli(out: PrintStream, err: PrintStream,
+    http: (String, String, String) => (Int, String),
+    store: ProfileStore = new ProfileStore(ProfileStore.defaultPath)) {
+
+  private val mapper = new ObjectMapper()
+
+  def run(args: Seq[String]): Int = args.toList match {
+    case "status" :: Nil => status()
+    case "database" :: rest => database(rest)
+    case "backup" :: rest => backup(rest)
+    case "access-key" :: rest => accessKey(rest)
+    case "user" :: rest => user(rest)
+    case "profile" :: rest => profile(rest)
+    // `serve` never reaches this client: main() intercepts it before a
+    // transport exists (it starts the server, graft.api.Serve) — an
+    // embedded caller landing here gets pointed the right way
+    case "serve" :: _ =>
+      err.println("serve starts the in-process server; launch it via " +
+        "graft.cli.GraftCli.main or graft.api.Serve")
+      2
+    case Nil | "help" :: _ => usage(); 0
+    case other =>
+      err.println(s"unknown command: ${other.mkString(" ")}"); usage(); 2
+  }
+
+  private def usage(): Unit = {
+    out.println("usage: graft <command> <subcommand> [flags]")
+    out.println("  status")
+    out.println("  database  create <name> | list | show <name> | delete <name> |")
+    out.println("            query <db[/branch]> <sql> | " +
+      "restore <db[/branch]> --timestamp TS | query-logs <db[/branch]>")
+    out.println("  backup    create|list <db[/branch]> | " +
+      "show|delete|restore <db[/branch]> <id>")
+    out.println("  access-key create [--description D] [--statements JSON] | " +
+      "list | show <id> |")
+    out.println("             update <id> [--description D] [--statements JSON] " +
+      "| delete <id>")
+    out.println("  user      create --username U --password P " +
+      "[--statements JSON] | list | show <name> |")
+    out.println("             update <name> [--password P] [--statements JSON] " +
+      "| delete <name>")
+    out.println("  profile   create --name N --cluster URL --type " +
+      "access_key|basic_auth <credential flags> |")
+    out.println("            list | current | switch <name> | delete <name>")
+    out.println("  serve     [--port P] [--data-path DIR] " +
+      "[--anonymous-root] [--allow-unsigned-keys]")
+  }
+
+  // --- plumbing ------------------------------------------------------------
+
+  /** `--flag value` pairs anywhere after the subcommand; everything else
+    * is positional. Unknown flags are usage errors (cobra behavior). */
+  private def parseArgs(rest: List[String], allowed: Set[String])
+      : Either[String, (List[String], Map[String, String])] = {
+    @annotation.tailrec
+    def go(xs: List[String], pos: List[String],
+        flags: Map[String, String]): Either[String, (List[String], Map[String, String])] =
+      xs match {
+        case Nil => Right((pos.reverse, flags))
+        case f :: _ if f.startsWith("--") && !allowed(f.drop(2)) =>
+          Left(s"unknown flag: $f")
+        case f :: v :: t if f.startsWith("--") => go(t, pos, flags + (f.drop(2) -> v))
+        case f :: Nil if f.startsWith("--") => Left(s"flag $f needs a value")
+        case x :: t => go(t, x :: pos, flags)
+      }
+    go(rest, Nil, Map.empty)
+  }
+
+  /** One API call: 2xx → Right(data node), else Left(server message). */
+  private def call(method: String, path: String,
+      body: String = ""): Either[String, JsonNode] = {
+    val (status, respBody) =
+      try http(method, path, body)
+      catch { case e: Throwable => return Left(s"transport: ${e.getMessage}") }
+    val root = try mapper.readTree(respBody) catch { case _: Throwable => null }
+    if (status >= 200 && status < 300)
+      Right(if (root == null) mapper.nullNode else root.path("data"))
+    else Left(Option(root).map(_.path("message").asText(s"HTTP $status"))
+      .getOrElse(s"HTTP $status"))
+  }
+
+  /** Render a Right as `render(data)` + exit 0, a Left as an error line +
+    * exit 1 — every verb funnels through here so failure text is uniform. */
+  private def render[A](r: Either[String, A])(f: A => Unit): Int =
+    r match {
+      case Right(n) => f(n); 0
+      case Left(msg) => err.println(s"Error: $msg"); 1
+    }
+
+  /** Like [[call]] but keeps the envelope's `meta` node alongside `data`
+    * (the query-log listing's column keys live there). */
+  private def callWithMeta(method: String,
+      path: String): Either[String, (JsonNode, JsonNode)] = {
+    val (status, respBody) =
+      try http(method, path, "")
+      catch { case e: Throwable => return Left(s"transport: ${e.getMessage}") }
+    val root = try mapper.readTree(respBody) catch { case _: Throwable => null }
+    if (status >= 200 && status < 300 && root != null)
+      Right((root.path("meta"), root.path("data")))
+    else Left(Option(root).map(_.path("message").asText(s"HTTP $status"))
+      .getOrElse(s"HTTP $status"))
+  }
+
+  private def table(cols: Seq[String], rows: Seq[Seq[String]]): Unit = {
+    val widths = cols.indices.map { j =>
+      (cols(j).length +: rows.map(_.apply(j).length)).max
+    }
+    def fmt(vals: Seq[String]): String =
+      vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("  ")
+    out.println(fmt(cols))
+    out.println(widths.map("-" * _).mkString("  "))
+    rows.foreach(r => out.println(fmt(r)))
+  }
+
+  private def card(rows: Seq[(String, String)]): Unit = {
+    val w = (0 +: rows.map(_._1.length)).max
+    rows.foreach { case (k, v) => out.println(s"${k.padTo(w, ' ')}  $v") }
+  }
+
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder; graft.engine.Json.string(s, sb); sb.toString
+  }
+
+  /** `db[/branch]` → (db, branch), branch defaulting to main — the
+    * reference's splitDatabasePath path convention for backup verbs. */
+  private def dbPath(arg: String): (String, String) = arg.split("/", 2) match {
+    case Array(db, br) => (db, br)
+    case Array(db) => (db, "main")
+  }
+
+  /** A --statements value must be a JSON array — validate CLIENT-side so
+    * a typo'd shape fails with a usage error, not a server 500. */
+  private def statementsOf(flags: Map[String, String],
+      default: String): Either[String, String] =
+    flags.get("statements") match {
+      case None => Right(default)
+      case Some(s) =>
+        val n = try mapper.readTree(s) catch { case _: Throwable => null }
+        if (n != null && n.isArray) Right(s)
+        else Left("--statements must be a JSON array of " +
+          """{"effect","resource","actions"} objects""")
+    }
+
+  private def usageError(msg: String): Int = { err.println(msg); usage(); 2 }
+
+  private def items(n: JsonNode): Seq[JsonNode] =
+    (0 until n.size()).map(n.get)
+
+  // --- verbs ---------------------------------------------------------------
+
+  private def status(): Int =
+    render(call("GET", "/v1/status")) { d =>
+      card(Seq(
+        "Status" -> "ok",
+        "Uptime (ms)" -> d.path("uptime_ms").asText(),
+        "Databases" -> d.path("databases").asText()))
+    }
+
+  private def database(rest: List[String]): Int = rest match {
+    case "create" :: name :: Nil =>
+      render(call("POST", "/v1/databases", s"""{"name":${jstr(name)}}""")) {
+        _ => out.println(s"Database created"); card(Seq("Name" -> name))
+      }
+    case "list" :: Nil =>
+      render(call("GET", "/v1/databases")) { d =>
+        table(Seq("Name"), items(d).map(n => Seq(n.path("name").asText())))
+      }
+    case "show" :: name :: Nil =>
+      render(call("GET", s"/v1/databases/$name")) { d =>
+        card(Seq(
+          "Name" -> d.path("name").asText(),
+          "Created At" -> d.path("created_at").asText(),
+          "Branches" -> items(d.path("branches")).map(_.asText()).mkString(", ")))
+      }
+    case "delete" :: name :: Nil =>
+      render(call("DELETE", s"/v1/databases/$name")) {
+        _ => out.println("Database deleted")
+      }
+    // one-shot query (database_query.go:12-28; unlike the interactive
+    // `sql` console this renders ONE statement and exits with its status)
+    case "query" :: path :: sql :: Nil =>
+      val (db, br) = dbPath(path)
+      render(call("POST", s"/v1/databases/$db/$br/query",
+        s"""{"queries":[{"id":"cli","statement":${jstr(sql)}}]}""")
+        // a per-statement failure arrives as HTTP 200 with an error entry;
+        // surface it as the command's failure, exit 1 like any API error
+        .flatMap { d =>
+          val e = d.path(0).path("error").asText("")
+          if (e.nonEmpty) Left(e) else Right(d)
+        }) { d =>
+        val r = d.path(0)
+        val cols = (0 until r.path("columns").size())
+          .map(r.path("columns").get(_).asText())
+        if (cols.nonEmpty) {
+          table(cols, items(r.path("rows"))
+            .map(row => (0 until row.size()).map(row.get(_).asText())))
+          out.println(s"${r.path("row_count").asInt()} rows")
+        } else out.println(s"OK: ${r.path("changes").asLong()} changes")
+      }
+    // PITR to a snapshot timestamp (database_restore.go; the reference's
+    // restore verb posts the target state the same way)
+    case "restore" :: path :: flagArgs =>
+      parseArgs(flagArgs, Set("timestamp")) match {
+        case Right((Nil, flags)) if flags.get("timestamp")
+            .exists(_.toLongOption.isDefined) =>
+          val (db, br) = dbPath(path)
+          render(call("POST", s"/v1/databases/$db/$br/restore",
+            s"""{"timestamp":${flags("timestamp").toLong}}""")) {
+            _ => out.println(s"Database restored: $path @ ${flags("timestamp")}")
+          }
+        case _ =>
+          usageError("database restore <db[/branch]> --timestamp <unix-ts>")
+      }
+    // query-log listing (database_query_logs.go → GET logs/query); the
+    // positional metric arrays are keyed by the response's meta.keys, so
+    // render headers FROM the response instead of hardcoding them
+    case "query-logs" :: path :: Nil =>
+      val (db, br) = dbPath(path)
+      render(callWithMeta("GET", s"/v1/databases/$db/$br/logs/query")) {
+        case (meta, d) =>
+          val keys = (0 until meta.path("keys").size())
+            .map(meta.path("keys").get(_).asText())
+          table(keys, items(d).map(row =>
+            (0 until row.size()).map(row.get(_).asText())))
+      }
+    case _ =>
+      usageError("usage: database create|list|show|delete|query|restore|query-logs")
+  }
+
+  private def backup(rest: List[String]): Int = rest match {
+    case "create" :: path :: Nil =>
+      val (db, br) = dbPath(path)
+      render(call("POST", s"/v1/databases/$db/$br/backups", "{}")) { d =>
+        out.println("Backup created")
+        card(Seq("Name" -> s"$db/$br",
+          "Backup ID" -> d.path("backup_id").asText()))
+      }
+    case "list" :: path :: Nil =>
+      val (db, br) = dbPath(path)
+      render(call("GET", s"/v1/databases/$db/$br/backups")) { d =>
+        table(Seq("Backup ID", "Created At"), items(d).map(n =>
+          Seq(n.path("backup_id").asText(), n.path("created_at").asText())))
+      }
+    case "show" :: path :: id :: Nil =>
+      val (db, br) = dbPath(path)
+      render(call("GET", s"/v1/databases/$db/$br/backups/$id")) { d =>
+        card(Seq("Backup ID" -> d.path("backup_id").asText(),
+          "Created At" -> d.path("created_at").asText()))
+      }
+    case "delete" :: path :: id :: Nil =>
+      val (db, br) = dbPath(path)
+      render(call("DELETE", s"/v1/databases/$db/$br/backups/$id")) {
+        _ => out.println("Backup deleted")
+      }
+    case "restore" :: path :: id :: Nil =>
+      val (db, br) = dbPath(path)
+      render(call("POST", s"/v1/databases/$db/$br/backups/$id/restore", "{}")) {
+        _ => out.println(s"Backup restored: $path")
+      }
+    case _ => usageError("usage: backup create|list|show|delete|restore")
+  }
+
+  private def accessKey(rest: List[String]): Int = rest match {
+    case "create" :: flagArgs =>
+      parseArgs(flagArgs, Set("description", "statements")) match {
+        case Left(m) => usageError(m)
+        case Right((Nil, flags)) =>
+          statementsOf(flags,
+            """[{"effect":"allow","resource":"*","actions":["*"]}]""") match {
+            case Left(m) => usageError(m)
+            case Right(sts) =>
+              val desc = flags.getOrElse("description", "")
+              render(call("POST", "/v1/access-keys",
+                s"""{"description":${jstr(desc)},"statements":$sts}""")) { d =>
+                out.println("Access key created " +
+                  "(the secret is shown ONCE — store it now)")
+                card(Seq(
+                  "Access Key ID" -> d.path("access_key_id").asText(),
+                  "Secret" -> d.path("access_key_secret").asText(),
+                  "Description" -> d.path("description").asText()))
+              }
+          }
+        case Right(_) => usageError("access-key create takes no positional args")
+      }
+    case "list" :: Nil =>
+      render(call("GET", "/v1/access-keys")) { d =>
+        table(Seq("Access Key ID", "Description"), items(d).map(n =>
+          Seq(n.path("access_key_id").asText(), n.path("description").asText())))
+      }
+    case "show" :: id :: Nil =>
+      render(call("GET", s"/v1/access-keys/$id")) { d =>
+        card(Seq(
+          "Access Key ID" -> d.path("access_key_id").asText(),
+          "Description" -> d.path("description").asText(),
+          "Created At" -> d.path("created_at").asText(),
+          "Statements" -> d.path("statements").toString))
+      }
+    case "update" :: id :: flagArgs =>
+      parseArgs(flagArgs, Set("description", "statements")) match {
+        case Left(m) => usageError(m)
+        case Right((Nil, flags)) if flags.nonEmpty =>
+          statementsOf(flags, null) match {
+            case Left(m) => usageError(m)
+            case Right(sts) =>
+              val fields = flags.get("description")
+                .map(d => s""""description":${jstr(d)}""").toSeq ++
+                Option(sts).map(s => s""""statements":$s""").toSeq
+              render(call("PUT", s"/v1/access-keys/$id",
+                fields.mkString("{", ",", "}"))) {
+                _ => out.println("Access key updated")
+              }
+          }
+        case Right(_) =>
+          usageError("access-key update needs --description or --statements")
+      }
+    case "delete" :: id :: Nil =>
+      render(call("DELETE", s"/v1/access-keys/$id")) {
+        _ => out.println("Access key deleted")
+      }
+    case _ => usageError("usage: access-key create|list|show|update|delete")
+  }
+
+  private def user(rest: List[String]): Int = rest match {
+    case "create" :: flagArgs =>
+      parseArgs(flagArgs, Set("username", "password", "statements")) match {
+        case Left(m) => usageError(m)
+        case Right((Nil, flags))
+            if flags.contains("username") && flags.contains("password") =>
+          statementsOf(flags,
+            // user_create.go:38-46 defaults a new user to cluster:manage
+            """[{"effect":"allow","resource":"*","actions":["cluster:manage"]}]""") match {
+            case Left(m) => usageError(m)
+            case Right(sts) =>
+              render(call("POST", "/v1/users",
+                s"""{"username":${jstr(flags("username"))},""" +
+                  s""""password":${jstr(flags("password"))},""" +
+                  s""""statements":$sts}""")) { d =>
+                out.println("User created")
+                card(Seq("Username" -> d.path("username").asText()))
+              }
+          }
+        case Right(_) =>
+          usageError("user create needs --username and --password")
+      }
+    case "list" :: Nil =>
+      render(call("GET", "/v1/users")) { d =>
+        table(Seq("Username", "Created At"), items(d).map(n =>
+          Seq(n.path("username").asText(), n.path("created_at").asText())))
+      }
+    case "show" :: name :: Nil =>
+      render(call("GET", s"/v1/users/$name")) { d =>
+        card(Seq(
+          "Username" -> d.path("username").asText(),
+          "Created At" -> d.path("created_at").asText(),
+          "Statements" -> d.path("statements").toString))
+      }
+    case "update" :: name :: flagArgs =>
+      parseArgs(flagArgs, Set("password", "statements")) match {
+        case Left(m) => usageError(m)
+        case Right((Nil, flags)) if flags.nonEmpty =>
+          statementsOf(flags, null) match {
+            case Left(m) => usageError(m)
+            case Right(sts) =>
+              val fields = flags.get("password")
+                .map(p => s""""password":${jstr(p)}""").toSeq ++
+                Option(sts).map(s => s""""statements":$s""").toSeq
+              render(call("PUT", s"/v1/users/$name",
+                fields.mkString("{", ",", "}"))) {
+                _ => out.println("User updated")
+              }
+          }
+        case Right(_) =>
+          usageError("user update needs --password or --statements")
+      }
+    case "delete" :: name :: Nil =>
+      render(call("DELETE", s"/v1/users/$name")) {
+        _ => out.println("User deleted")
+      }
+    case _ => usageError("usage: user create|list|show|update|delete")
+  }
+
+  /** Client-side profile management (no HTTP): the reference's
+    * `profile create|current|delete|list|switch` verbs
+    * (pkg/cli/cmd/profile.go:8-23) over [[ProfileStore]]. Creation
+    * validates exactly what profile_create.go's interactive form
+    * enforces (:41-137): unique non-empty name, non-empty cluster, a
+    * known type, and the type's credential pair — but from flags, since
+    * this CLI has no interactive mode. Secrets are never echoed back. */
+  private def profile(rest: List[String]): Int = rest match {
+    case "create" :: flagArgs =>
+      parseArgs(flagArgs, Set("name", "cluster", "type", "username",
+        "password", "access-key-id", "access-key-secret")) match {
+        case Left(m) => usageError(m)
+        case Right((Nil, flags)) =>
+          val tpe = flags.getOrElse("type", "")
+          val missing =
+            (if (flags.getOrElse("name", "").isEmpty) Seq("--name") else Nil) ++
+            (if (flags.getOrElse("cluster", "").isEmpty) Seq("--cluster") else Nil)
+          if (missing.nonEmpty)
+            usageError(s"profile create needs ${missing.mkString(" and ")}")
+          else if (!ProfileStore.validTypes(tpe))
+            usageError("--type must be access_key or basic_auth")
+          else if (tpe == "basic_auth" &&
+              (!flags.contains("username") || !flags.contains("password")))
+            usageError("basic_auth profiles need --username and --password")
+          else if (tpe == "access_key" && (!flags.contains("access-key-id") ||
+              !flags.contains("access-key-secret")))
+            usageError("access_key profiles need --access-key-id and " +
+              "--access-key-secret")
+          else render(store.add(Profile(flags("name"), flags("cluster"), tpe,
+            flags.getOrElse("username", ""), flags.getOrElse("password", ""),
+            flags.getOrElse("access-key-id", ""),
+            flags.getOrElse("access-key-secret", "")))) { _ =>
+            out.println("Profile created")
+            card(Seq("Name" -> flags("name"), "Cluster" -> flags("cluster"),
+              "Type" -> tpe))
+          }
+        case Right(_) => usageError("profile create takes no positional args")
+      }
+    case "list" :: Nil =>
+      val cur = store.current.map(_.name).getOrElse("")
+      table(Seq("Current", "Name", "Cluster", "Type"), store.profiles.map(p =>
+        Seq(if (p.name == cur) "*" else "", p.name, p.cluster, p.tpe)))
+      0
+    case "current" :: Nil => store.current match {
+      case Some(p) =>
+        card(Seq("Name" -> p.name, "Cluster" -> p.cluster, "Type" -> p.tpe)); 0
+      case None => err.println("Error: no profiles configured"); 1
+    }
+    case "switch" :: name :: Nil =>
+      render(store.switch(name))(_ => out.println(s"Switched to profile $name"))
+    case "delete" :: name :: Nil =>
+      render(store.delete(name))(_ => out.println("Profile deleted"))
+    case _ => usageError("usage: profile create|list|current|switch|delete")
+  }
+}
+
+object GraftCli {
+  /** `runMain graft.cli.GraftCli <command> ...`. `serve` starts the
+    * in-process server ([[graft.api.Serve]]) and never returns; every
+    * other verb is an HTTP client call. Connection resolution: explicit
+    * GRAFT_API_URL wins, else the CURRENT profile's cluster URL, else
+    * http://127.0.0.1:8080. Auth likewise: GRAFT_ACCESS_KEY_ID (the
+    * dev-mode unsigned-key header; production callers sign requests),
+    * else the current profile's credentials — an access_key profile
+    * sends the key-id header, a basic_auth profile an
+    * `Authorization: Basic` pair (the two header schemes
+    * [[graft.api.HttpApi]] resolves, mirroring the reference's profile
+    * types, pkg/cli/config/profile.go:10-15). */
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("serve")) {
+      graft.api.Serve.main(args.drop(1)); return
+    }
+    val store = new ProfileStore(ProfileStore.defaultPath)
+    val prof = store.current
+    val url = sys.env.get("GRAFT_API_URL")
+      .orElse(prof.map(_.cluster).filter(_.nonEmpty))
+      .getOrElse("http://127.0.0.1:8080").stripSuffix("/")
+    val client = java.net.http.HttpClient.newHttpClient()
+    val cli = new GraftCli(System.out, System.err, (method, path, body) => {
+      val b = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"$url$path"))
+        .method(method, if (body.isEmpty)
+          java.net.http.HttpRequest.BodyPublishers.noBody()
+        else java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      sys.env.get("GRAFT_ACCESS_KEY_ID") match {
+        case Some(id) => b.header("X-Access-Key-Id", id)
+        case None => prof.foreach { p =>
+          if (p.tpe == "access_key" && p.accessKeyId.nonEmpty)
+            b.header("X-Access-Key-Id", p.accessKeyId)
+          else if (p.tpe == "basic_auth" && p.username.nonEmpty)
+            b.header("Authorization", "Basic " + java.util.Base64.getEncoder
+              .encodeToString(s"${p.username}:${p.password}"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+      val resp = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }, store)
+    sys.exit(cli.run(args.toIndexedSeq))
+  }
+}

@@ -22,7 +22,16 @@ object SkewProbe {
       "p71_span_removal", "p92_containment_dedup", "p97_sentence_dedup")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_SKEW_AQE=0 probes the STATIC plan: AQE's runtime
+      // broadcast conversion rewrites small late-iteration joins into
+      // local shuffle reads whose per-task accounting (each task reads
+      // whole map outputs, half the tasks read nothing) fakes a ~2x
+      // "skew" that is not a key-distribution property (the r11 p108
+      // adjudication); at real scale those exchanges are far above the
+      // broadcast threshold and the static shape is what executes.
+      .config("spark.sql.adaptive.enabled",
+        if (sys.env.get("SPARK_GRAFT_SKEW_AQE").contains("0")) "false"
+        else "true")
       // what we probe is the KEY distribution: tiny-exchange coalescing
       // would fold everything into one task and read as fake skew
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
@@ -30,24 +39,23 @@ object SkewProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val stageRead = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
-    val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    // keyed by (stageId, attempt): a re-submitted stage otherwise merges
+    // two attempts' reads under one id and halves the apparent ratio
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val taskReads = new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null) {
-          val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
-          stageRead.computeIfAbsent(e.stageId, _ => new java.util.concurrent.atomic.LongAdder())
-            .add(recs)
-          taskMax.computeIfAbsent(e.stageId, _ => new java.util.concurrent.atomic.AtomicLong())
-            .accumulateAndGet(recs, math.max)
-        }
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = ()
+        if (e.taskMetrics != null)
+          taskReads.computeIfAbsent((e.stageId, e.stageAttemptId),
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(e.taskMetrics.shuffleReadMetrics.recordsRead)
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stageName.put(e.stageInfo.stageId, e.stageInfo.name.takeWhile(_ != '\n'))
     }
     spark.sparkContext.addSparkListener(listener)
-    val fairShare = 1.0 / cpus.toInt
 
     names.foreach { n =>
-      stageRead.clear(); taskMax.clear()
+      taskReads.clear()
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
       // expensive projection out of the plan (the Bench lesson)
@@ -56,14 +64,49 @@ object SkewProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500) // listener bus is async
       import scala.jdk.CollectionConverters._
-      val heavy = stageRead.asScala.filter(_._2.sum() > 10000)
-      val worst = heavy.map { case (stage, total) =>
-        taskMax.get(stage).get().toDouble / total.sum() / fairShare
+      // The ratio is MAKESPAN INFLATION: ideal stage wall spreads `total`
+      // evenly over the cores (total/cpus per core); actual wall is
+      // bounded below by the hottest task, so max*cpus/total says how much
+      // that one task stretches the final execution wave. It is immune to
+      // stage shapes that faked skew under per-task-count fair share
+      // (r11): a union-of-branches stage runs branch-partitions that read
+      // nothing by STRUCTURE (96 tasks, 64 zeros, one flat 32-task
+      // carrying branch reads 1.0x), and a flat plateau wider than the
+      // core count is a balanced workload whatever the task count.
+      // Stages whose CARRYING (nonzero) tasks number fewer than the cores
+      // are reported separately as FUNNELS — concentration by design
+      // (bounded limit+collect probes) where the ratio formula would say
+      // `cpus` but the wall impact is nil while the total stays bounded
+      // metadata; the reader judges boundedness, the ratio can't.
+      val judged = taskReads.asScala.toSeq.collect {
+        case ((stage, att), q) if q.asScala.sum > 10000 =>
+          val reads = q.asScala.toSeq
+          val total = reads.sum
+          val carrying = reads.count(_ > 0)
+          (stage, att, total, reads.max.toDouble * cpus.toInt / total,
+            carrying, reads)
       }
-      val worstStr = if (worst.isEmpty) "n/a (no heavy shuffle)"
-        else f"${worst.max}%.2f"
+      val keyed = judged.filter(_._5 >= cpus.toInt)
+      val funnels = judged.filter(_._5 < cpus.toInt)
+      val worstStr = if (keyed.isEmpty) "n/a (no heavy shuffle)"
+        else f"${math.max(1.0, keyed.map(_._4).max)}%.2f"
+      val funnelStr = if (funnels.isEmpty) ""
+        else s" funnel_stages=${funnels.size}(maxTotal=${funnels.map(_._3).max})"
       println(f"SKEW $n%-24s wall=${secs}%7.2fs " +
-        f"heavy_stages=${heavy.size}%-3d worst_task_over_fair=$worstStr")
+        f"heavy_stages=${judged.size}%-3d worst_task_over_fair=$worstStr" +
+        funnelStr)
+      // SPARK_GRAFT_SKEW_DETAIL=1: per-stage breakdown, hottest first, so
+      // a borderline worst-ratio is attributable to a NAMED stage instead
+      // of an anonymous max over dozens (the r11 p108-at-10x question)
+      if (sys.env.get("SPARK_GRAFT_SKEW_DETAIL").contains("1"))
+        judged.sortBy(-_._4).take(8).foreach {
+          case (stage, att, t, ratio, carrying, reads) =>
+            val sorted = reads.sorted(Ordering[Long].reverse)
+            println(f"  STAGE $stage%-5d ratio=$ratio%.2f total=$t%-10d " +
+              f"tasks=${reads.size}(carrying=$carrying) " +
+              f"top=${sorted.take(5).mkString(",")} " +
+              stageName.getOrDefault(stage, "?").take(60))
+        }
     }
     spark.stop()
   }
