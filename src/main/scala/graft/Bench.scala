@@ -41,7 +41,8 @@ object Bench {
     // benched since r11 (judge ask): the r10 exact-collapse/re-expand
     // rewrite made this the largest-output entry (11k pairs) with no
     // bench line — a regression in the variant-join plan was invisible
-    "p85_fuzzy_titles")        // edit-distance (SymSpell) title dedup
+    "p85_fuzzy_titles",        // edit-distance (SymSpell) title dedup
+    "s05_asof_join")           // bucketed as-of join (r11)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

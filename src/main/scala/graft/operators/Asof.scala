@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: attach to each probe row the single newest build row with
+  * `build.ts <= probe.ts` under the same key (ties on ts broken by the
+  * largest build id, so results are deterministic). The canonical
+  * time-series alignment primitive — trades/quotes, feature-at-event-time
+  * lookup, attribution — that Spark has no native operator for and an
+  * all-pairs `JOIN ... ON b.ts <= p.ts` + rank emulation explodes
+  * quadratically on active keys.
+  *
+  * Two plans, result-identical (OperatorsSpec pins equality on an
+  * adversarial hot-key corpus; the DuckDB oracle checks s05 end-to-end):
+  *
+  * [[Asof.join]] — ONE wide shuffle: union both sides tagged, one window
+  * `partitionBy(key).orderBy(ts, side, id)` carrying
+  * `last(build-struct, ignoreNulls)` down the timeline, keep probe rows.
+  * Build rows sort BEFORE probes at equal ts (side 0 < 1), so an
+  * equal-timestamp build row is visible to the probe — the `<=`
+  * semantics. Work is linear in rows, but one window partition = one
+  * task per KEY: a hot key (a bot user with millions of events)
+  * serializes into a single straggler.
+  *
+  * [[Asof.joinBucketed]] — the 100 TB shape under key skew: the same
+  * scan parallelized by (key, time-bucket). Within each (key, bucket)
+  * the window carries the in-bucket prefix; the cross-bucket carry is a
+  * SECOND, tiny window over one row per (key, bucket) — each bucket's
+  * best build row, laggged one bucket back down the key's bucket
+  * sequence cumulatively (`last(ignoreNulls) over rows unbounded
+  * preceding .. -1`). `coalesce(in-bucket, carried)` finishes the join.
+  * The hottest key now bounds a task at one BUCKET of its rows, and the
+  * carry table is |distinct (key,bucket)| rows — shuffle-light. Same
+  * O(rows) total work, two exchanges instead of one.
+  */
+object Asof {
+
+  /** `probe` and `build` must share `keyCol`; `idCol` must be unique
+    * within `build` per (key, ts) for deterministic tie-breaks. Returns
+    * every probe row + `asof_<c>` for each carried build column
+    * (null when no build row is at-or-before the probe). */
+  def join(probe: DataFrame, build: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, carry: Seq[String]): DataFrame = {
+    val tagged = taggedUnion(probe, build, keyCol, tsCol, idCol, carry)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__bid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("__hit", last(col("__build"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__bid", "__build")
+      .withColumns(carry.map(c => s"asof_$c" -> col(s"__hit.$c")).toMap)
+      .drop("__hit")
+  }
+
+  /** Skew-robust variant; `bucket` is the time-bucket width in seconds.
+    * Result-identical to [[join]] for any width (width only moves the
+    * parallelism/carry-table-size trade-off: hot-task bound is one key's
+    * rows per bucket; carry table is one row per (key, bucket)). */
+  def joinBucketed(probe: DataFrame, build: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, carry: Seq[String],
+      bucket: Long = 86400L): DataFrame = {
+    val tagged = taggedUnion(probe, build, keyCol, tsCol, idCol, carry)
+      .withColumn("__bk", floor(unix_timestamp(col(tsCol)) / bucket))
+    // pass 1: the in-bucket prefix, parallel over (key, bucket)
+    val wIn = Window.partitionBy(col(keyCol), col("__bk"))
+      .orderBy(col(tsCol), col("__side"), col("__bid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = tagged
+      .withColumn("__hit", last(col("__build"), ignoreNulls = true).over(wIn))
+    // pass 2: per (key, bucket) best build row — max over a
+    // (ts, id, build) struct, map-side combinable, null for build-free
+    // buckets — then carried one-bucket-back cumulatively down each
+    // key's bucket sequence (a window over the SMALL table). The group
+    // runs over BOTH sides so probe-only buckets get a carry row too
+    // (a probe hundreds of empty buckets past the last build must still
+    // see it).
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = tagged
+      .groupBy(col(keyCol), col("__bk"))
+      .agg(max(when(col("__side") === 0,
+        struct(col(tsCol), col("__bid"), col("__build")))).as("__best"))
+      .withColumn("__carried",
+        last(col("__best"), ignoreNulls = true).over(wCarry))
+      .select(col(keyCol), col("__bk"),
+        col("__carried.__build").as("__carried"))
+    // the join back is keyed by (key, bucket) — even keys by construction
+    inBucket.join(carried, Seq(keyCol, "__bk"), "left")
+      .filter(col("__side") === 1)
+      .withColumn("__hit", coalesce(col("__hit"), col("__carried")))
+      .drop("__side", "__bid", "__build", "__bk", "__carried")
+      .withColumns(carry.map(c => s"asof_$c" -> col(s"__hit.$c")).toMap)
+      .drop("__hit")
+  }
+
+  /** Build rows become (key, ts, side=0, build-struct, nulled probe
+    * columns); probe rows (…, side=1, null struct, their columns). */
+  private def taggedUnion(probe: DataFrame, build: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, carry: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.filter(c => c != keyCol && c != tsCol)
+    val buildStruct = struct(carry.map(col): _*)
+    val buildSide = build.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        col(idCol).as("__bid"), buildStruct.as("__build")) ++
+        probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val probeSide = probe.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(build.schema(idCol).dataType).as("__bid"),
+        lit(null).cast(buildSide.schema("__build").dataType).as("__build")) ++
+        probeCols.map(col(_)): _*)
+    buildSide.unionByName(probeSide)
+  }
+}

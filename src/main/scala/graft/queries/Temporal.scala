@@ -187,11 +187,56 @@ object Temporal {
       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** As-of join (last-touch attribution): each purchase joined to the
+    * single NEWEST click at-or-before it for the same user — the
+    * time-series alignment primitive Spark lacks natively
+    * ([[graft.operators.Asof]]; s04 is the windowed MANY-match
+    * attribution, this is the 1-match as-of). Runs the skew-robust
+    * bucketed plan so the 100 TB shape is what the oracle checks;
+    * OperatorsSpec separately pins bucketed == plain on an adversarial
+    * hot-key corpus. */
+  def s05AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    graft.operators.Asof.joinBucketed(purchases, clicks, "user_id", "ts",
+        "event_id", carry = Seq("event_id", "ts"), bucket = 3600L)
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        col("asof_event_id").as("click_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Independent formulation: all-pairs join + rank-1 (fine at oracle
+    * scale, quadratic at real scale — exactly why the operator exists).
+    * Ties on click ts break to the larger event_id on both sides. */
+  val s05Oracle: String =
+    """WITH c AS (SELECT user_id, ts, event_id FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+      |      WHERE event_type = 'purchase'),
+      |ranked AS (
+      |  SELECT p.purchase_id, p.user_id, p.ts AS pts,
+      |    c.event_id AS click_id, c.ts AS cts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+      |SELECT purchase_id, user_id,
+      |  strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  click_id,
+      |  strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM ranked WHERE rn = 1
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "s01_tumbling_window" -> (s01Tumbling _),
     "s02_sliding_window" -> (s02Sliding _),
     "s03_session_window" -> (s03Session _),
     "s04_interval_join" -> (s04IntervalJoin _),
+    "s05_asof_join" -> (s05AsofJoin _),
     "m01_query_metrics" -> (m01QueryMetrics _),
     "m02_query_counts" -> (m02QueryCounts _),
     "m03_query_metrics_approx" -> (m03QueryMetricsApprox _))
@@ -201,6 +246,7 @@ object Temporal {
     "s02_sliding_window" -> s02Oracle,
     "s03_session_window" -> s03Oracle,
     "s04_interval_join" -> s04Oracle,
+    "s05_asof_join" -> s05Oracle,
     "m01_query_metrics" -> m01Oracle,
     "m02_query_counts" -> m02Oracle)
 }

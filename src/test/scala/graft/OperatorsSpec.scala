@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Asof, Dedup, Similarity, TextAnalysis}
 
 /** Correctness of the pipeline operators that have no SQL oracle:
   * MinHash estimates vs exact Jaccard, SimHash distance properties,
@@ -2041,5 +2041,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(totalRead < 2000000L,
       s"variant-join fan-out: $totalRead shuffle records read — the " +
         "exact-dup collapse is not holding")
+  }
+
+  test("asofJoin: <= semantics, id tie-break, empty-bucket carry; bucketed == plain at any width") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val build = Seq(
+      (1L, ts(100), 10L),
+      (1L, ts(100), 11L),  // same-ts tie: the larger id must win
+      (1L, ts(500), 12L),
+      (2L, ts(50), 20L)
+    ).toDF("user_id", "ts", "event_id")
+    val probe = Seq(
+      (1L, ts(99), 900L),     // before any build → null
+      (1L, ts(100), 901L),    // equal ts matches (<= semantics) → 11
+      (1L, ts(300), 902L),    // between builds → 11
+      (1L, ts(100000), 903L), // hundreds of EMPTY buckets back → 12
+      (2L, ts(60), 904L),     // other key → 20
+      (3L, ts(10), 905L)      // key with no builds at all → null
+    ).toDF("user_id", "ts", "purchase_id")
+    def resultOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("purchase_id", "asof_event_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val expected = Map(900L -> -1L, 901L -> 11L, 902L -> 11L,
+      903L -> 12L, 904L -> 20L, 905L -> -1L)
+    assert(resultOf(Asof.join(probe, build, "user_id", "ts", "event_id",
+      Seq("event_id"))) == expected)
+    // bucket width must be purely a parallelism knob, never a semantic:
+    // 1 s puts every row in its own bucket (all matches cross-bucket),
+    // 86400 s puts probe 903 hundreds of empty buckets past its match
+    for (b <- Seq(1L, 60L, 86400L))
+      assert(resultOf(Asof.joinBucketed(probe, build, "user_id", "ts",
+        "event_id", Seq("event_id"), bucket = b)) == expected, s"bucket=$b")
+  }
+
+  test("asofJoin bucketed: one hot key spreads across time buckets without a straggler") {
+    // THE case the bucketed plan exists for: a single key owning every
+    // row (a bot user at production volume). The plain plan's window
+    // partitions by bare key — one task would read all 72k rows — while
+    // the bucketed plan's heavy stages key by (key, time-bucket) and
+    // must stay under the 2x fair-share pin. Build ts = id seconds, so
+    // the newest build at-or-before probe ts 5i+1 is id 5i+1 exactly.
+    val build = spark.range(60000).selectExpr("1L AS user_id",
+      "timestamp_seconds(id) AS ts", "id AS event_id")
+    val probe = spark.range(12000).selectExpr("1L AS user_id",
+      "timestamp_seconds(id * 5 + 1) AS ts", "id AS purchase_id")
+    val expectedSum = (0L until 12000L).map(5 * _ + 1).sum
+    val (got, _) = assertNoStraggler(10000L) {
+      Asof.joinBucketed(probe, build, "user_id", "ts", "event_id",
+          Seq("event_id"), bucket = 60L)
+        .agg(sum("asof_event_id")).head().getLong(0)
+    }
+    assert(got == expectedSum)
+    // and the plain plan agrees (outside the straggler pin — its bare-key
+    // window intentionally serializes this corpus; that is the trade-off)
+    assert(Asof.join(probe, build, "user_id", "ts", "event_id",
+      Seq("event_id")).agg(sum("asof_event_id")).head().getLong(0) == expectedSum)
   }
 }
