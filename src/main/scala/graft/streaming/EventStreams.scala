@@ -131,6 +131,102 @@ object EventStreams {
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+  case class AsofClick(ts_ms: Long, id: Long)
+  case class AsofPending(purchase_id: Long, ts_ms: Long)
+  case class AsofState(clicks: Seq[AsofClick], pending: Seq[AsofPending])
+  case class AsofMatch(purchase_id: Long, user_id: Long,
+    purchase_ts: java.sql.Timestamp, click_id: Option[Long],
+    click_ts: Option[java.sql.Timestamp])
+
+  /** Streaming as-of enrichment: each purchase emitted ONCE with the
+    * newest same-user click at-or-before it (ties to the larger click
+    * id) — the 1-match last-touch twin of [[clickAttribution]]'s
+    * every-match interval join, and the streaming twin of the batch
+    * [[graft.operators.Asof]] operator (StreamingSpec proves
+    * stream == `Asof.join` on the same events).
+    *
+    * Correctness under out-of-order arrival: a purchase is HELD until
+    * the watermark passes its event time — only then can no admissible
+    * click (click_ts <= purchase_ts) still arrive (later ones are
+    * watermark-late and dropped) — then finalized and emitted
+    * (append-mode, exactly once per purchase).
+    *
+    * State is bounded the way the batch bucketed plan bounds its carry:
+    * per user, every click at-or-before the watermark collapses to the
+    * single newest one (the only one any FUTURE purchase can match —
+    * future purchases have ts > watermark), so state holds one carry
+    * click + the watermark-deep in-flight tail + unfinalized purchases.
+    * A user idle past `idleTtlMs` is dropped entirely (the
+    * [[runningUserTotals]] TTL argument: lifetime user cardinality must
+    * not accumulate). Batch runs see everything in one group pass —
+    * same matches, no state. */
+  def asofAttribution(spark: SparkSession, events: DataFrame,
+      watermark: String = "12 hours",
+      idleTtlMs: Long = 24 * 3600 * 1000L): Dataset[AsofMatch] = {
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.where(col("event_type").isin("click", "purchase")).as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (user: Long, rows: Iterator[EventRow], state: GroupState[AsofState]) => {
+          val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var clicks = prev.clicks
+          var pending = prev.pending
+          rows.foreach { r =>
+            if (r.event_type == "click")
+              clicks = clicks :+ AsofClick(r.ts.getTime, r.event_id)
+            else pending = pending :+ AsofPending(r.event_id, r.ts.getTime)
+          }
+          // batch has no watermark: everything finalizes in the one pass
+          val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val (fin, still) = pending.partition(_.ts_ms <= wm)
+          val out = fin.sortBy(p => (p.ts_ms, p.purchase_id)).map { p =>
+            val best = clicks.filter(_.ts_ms <= p.ts_ms) match {
+              case Seq() => None
+              case cs => Some(cs.maxBy(c => (c.ts_ms, c.id)))
+            }
+            AsofMatch(p.purchase_id, user, new java.sql.Timestamp(p.ts_ms),
+              best.map(_.id), best.map(c => new java.sql.Timestamp(c.ts_ms)))
+          }
+          // carry-collapse: of the clicks at-or-before the watermark only
+          // the newest can ever match again
+          val (sealed_, inflight) = clicks.partition(_.ts_ms <= wm)
+          val kept =
+            (if (sealed_.isEmpty) Nil
+             else Seq(sealed_.maxBy(c => (c.ts_ms, c.id)))) ++ inflight
+          if (!streaming) out.iterator // batch: one stateless group pass
+          else if (still.nonEmpty) {
+            state.update(AsofState(kept, still))
+            // wake exactly when the earliest held purchase finalizes
+            // (strictly > wm by the partition above)
+            state.setTimeoutTimestamp(still.map(_.ts_ms).min)
+            out.iterator
+          } else if (kept.nonEmpty &&
+              !(state.hasTimedOut && fin.isEmpty)) {
+            // every purchase finalized (some possibly via this very
+            // finalize-wakeup — hasTimedOut with fin nonEmpty): the carry
+            // click MUST survive for purchases that haven't arrived yet,
+            // GC'd only by the idle TTL. (Dropping it on any timeout was
+            // the wave-boundary bug: the finalize-wakeup between two
+            // waves discarded the carry, and the next wave's first
+            // purchase saw no clicks at all.)
+            state.update(AsofState(kept, Nil))
+            state.setTimeoutTimestamp(
+              math.max(kept.map(_.ts_ms).max, wm + 1) + idleTtlMs)
+            out.iterator
+          } else {
+            // idle TTL fired (a timeout that finalized nothing), or
+            // nothing worth carrying
+            state.remove()
+            out.iterator
+          }
+        })
+  }
+
   /** Custom stateful aggregation: running per-user totals via
     * flatMapGroupsWithState (the KeyValueGroupedDataset state API).
     *

@@ -283,6 +283,102 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of attribution: held purchases, late clicks, tie-break, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000L
+    def ev(id: Long, tsMs: Long, user: Long, tpe: String) =
+      EventStreams.EventRow(id, new java.sql.Timestamp(tsMs), user, tpe, 1.0, "{}")
+    val wave1 = Seq(
+      ev(10, 1 * H, 1, "click"),
+      ev(100, 3 * H, 1, "purchase"),   // held: wm after wave1 is 2h < 3h
+      ev(200, 1 * H, 2, "purchase"),   // no click ever -> None
+      ev(20, H / 2, 3, "click"),
+      ev(21, H / 2, 3, "click"),       // same-ts tie: 21 must win
+      ev(300, 1 * H, 3, "purchase"))
+    val wave2 = Seq(
+      // arrives AFTER purchase 100 but precedes it in event time and is
+      // inside the watermark: the held purchase must match THIS click,
+      // not wave 1's — emit-on-arrival would get this wrong
+      ev(11, 5 * H / 2, 1, "click"),
+      ev(999, 100 * H, 999, "click"))  // sentinel: flushes every hold
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.asofAttribution(spark, ms.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("asof_attrib")
+      .outputMode("append").start()
+    try {
+      ms.addData(wave1); q.processAllAvailable()
+      ms.addData(wave2); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT purchase_id, click_id FROM asof_attrib").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(streamed == Map(100L -> 11L, 200L -> -1L, 300L -> 21L))
+      // exactly-once: one output row per purchase
+      assert(spark.sql("SELECT count(*) FROM asof_attrib").head().getLong(0) == 3)
+      // the batch twin (the s05 operator) agrees on the same rows
+      val all = (wave1 ++ wave2).toDF()
+      val batch = graft.operators.Asof.join(
+          all.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
+          all.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", "event_id", Seq("event_id"))
+        .collect()
+        .map(r => r.getAs[Long]("purchase_id") ->
+          (if (r.isNullAt(r.fieldIndex("asof_event_id"))) -1L
+           else r.getAs[Long]("asof_event_id"))).toMap
+      assert(streamed == batch)
+      // bounded state: every finalized user collapses to at most one
+      // carry click and zero pending purchases
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 4, s"as-of state not collapsing: $stateRows rows")
+    } finally q.stop()
+  }
+
+  test("streaming as-of attribution converges to the batch twin on the full events table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the real events table fed as two ts-ordered waves + a far-future
+    // sentinel (watermark semantics need multiple batches to mean
+    // anything; the sentinel flushes the final holds deterministically)
+    val ev = Tables.load(spark, SparkTestSession.sfDir, "events")
+    val rows = ev.orderBy("ts", "event_id").as[EventStreams.EventRow].collect()
+    // split at a ts CHANGE so no event time straddles the watermark edge
+    // (equal-to-watermark rows have engine-version-dependent lateness)
+    val splitTs = rows(rows.length / 2 - 1).ts.getTime
+    val (waveA, waveB) = rows.partition(_.ts.getTime <= splitTs)
+    val sentinel = EventStreams.EventRow(-1L,
+      new java.sql.Timestamp(rows.last.ts.getTime + 365L * 86400000L),
+      -1L, "click", 0.0, "{}")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.asofAttribution(spark, ms.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("asof_full")
+      .outputMode("append").start()
+    try {
+      ms.addData(waveA.toSeq); q.processAllAvailable()
+      ms.addData(waveB.toSeq); q.processAllAvailable()
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT purchase_id, click_id FROM asof_full").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val batch = graft.operators.Asof.joinBucketed(
+          ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
+          ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", "event_id", Seq("event_id"), bucket = 3600L)
+        .collect()
+        .map(r => r.getAs[Long]("purchase_id") ->
+          (if (r.isNullAt(r.fieldIndex("asof_event_id"))) -1L
+           else r.getAs[Long]("asof_event_id"))).toMap
+      assert(streamed.size == batch.size,
+        s"${batch.size} batch vs ${streamed.size} streamed")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful running totals: final per-user state matches batch totals") {
     val q = EventStreams.runningUserTotals(spark,
         EventStreams.source(spark, eventsDir))
