@@ -2559,6 +2559,42 @@ object Pipeline {
       |  CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words
       |FROM documents ORDER BY orig_id""".stripMargin
 
+  /** ORC round-trip — the OTHER columnar file format (Spark-native
+    * source/sink, the format a warehouse-adjacent corpus often arrives
+    * in): write the documents table as ORC, read it back, prove the
+    * values survived losslessly against the identity oracle. Exercises
+    * the real file codec path (writer → stripe layout → reader), not an
+    * in-plan expression. */
+  def p111OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    documents(s, dir).select("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("doc_id")
+  }
+
+  val p111Oracle: String =
+    "SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"
+
+  /** Hive-style partitioned layout + partition-pruned read — THE 100 TB
+    * storage idiom: write the corpus partitioned by `lang`
+    * (`partitionBy` → one directory per value), then read back ONE
+    * language. The filter must resolve at PLANNING time from directory
+    * names (PartitionFilters), so the scan never opens the other
+    * partitions' files — PlanShapeSpec pins that shape; this entry pins
+    * the values against the WHERE-filtered identity oracle. */
+  def p112PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    documents(s, dir).select("doc_id", "text", "lang", "source")
+      .write.partitionBy("lang").mode("overwrite").parquet(out)
+    s.read.parquet(out).filter(col("lang") === "en")
+      .select("doc_id", "text", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val p112Oracle: String =
+    """SELECT doc_id, text, lang, source FROM documents
+      |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+
   /** Duplicate-span removal ([[TextAnalysis.removeDupSpans]], the Lee
     * et al. 2022 rewrite step at word-5-gram granularity): positions
     * covered by any cross-document window are cut and the text rebuilt.
@@ -4616,6 +4652,8 @@ object Pipeline {
     "p108_minhash_clusters" -> (p108MinhashClusters _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
+    "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
+    "p112_partition_pruning" -> (p112PartitionPruning _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   /** Static oracle strings; [[oracles]] adds the model-state entries
@@ -4731,6 +4769,8 @@ object Pipeline {
     "p108_minhash_clusters" -> p108Oracle,
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
+    "p111_orc_roundtrip" -> p111Oracle,
+    "p112_partition_pruning" -> p112Oracle,
     "p98_outlink_graph" -> p98Oracle)
 
   /** All oracles, including the render-time model-state entries. p40's

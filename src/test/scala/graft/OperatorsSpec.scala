@@ -2076,6 +2076,33 @@ class OperatorsSpec extends AnyFunSuite {
         "event_id", Seq("event_id"), bucket = b)) == expected, s"bucket=$b")
   }
 
+  test("asofJoin: both plans equal an in-memory brute force on randomized corpora") {
+    // seeded-random adversary: clustered keys, heavy ts collisions
+    // (ts drawn from a SMALL range so same-ts ties are common), builds
+    // and probes interleaved; the reference is per-probe brute force
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 3) {
+      val builds = Seq.tabulate(300)(i =>
+        (rnd.nextInt(8).toLong, new java.sql.Timestamp(rnd.nextInt(50) * 1000L), i.toLong))
+      val probes = Seq.tabulate(200)(i =>
+        (rnd.nextInt(10).toLong, new java.sql.Timestamp(rnd.nextInt(60) * 1000L), (1000 + i).toLong))
+      val expected = probes.map { case (k, ts, pid) =>
+        pid -> builds.filter(b => b._1 == k && !b._2.after(ts))
+          .sortBy(b => (b._2.getTime, b._3)).lastOption.map(_._3).getOrElse(-1L)
+      }.toMap
+      val bDf = builds.toDF("user_id", "ts", "event_id")
+      val pDf = probes.toDF("user_id", "ts", "purchase_id")
+      def resultOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.select("purchase_id", "asof_event_id").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+          .toMap
+      assert(resultOf(Asof.join(pDf, bDf, "user_id", "ts", "event_id",
+        Seq("event_id"))) == expected, s"plain, round $round")
+      assert(resultOf(Asof.joinBucketed(pDf, bDf, "user_id", "ts", "event_id",
+        Seq("event_id"), bucket = 7L)) == expected, s"bucketed, round $round")
+    }
+  }
+
   test("asofJoin bucketed: one hot key spreads across time buckets without a straggler") {
     // THE case the bucketed plan exists for: a single key owning every
     // row (a bot user at production volume). The plain plan's window

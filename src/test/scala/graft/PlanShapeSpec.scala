@@ -161,4 +161,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"p89 lost its partial aggregation:\n$plan")
   }
+
+  test("p112's lang filter resolves as a partition filter, pruning at planning time") {
+    // the filter must land in PartitionFilters (directory pruning — at
+    // 100 TB this is the difference between listing one lang directory
+    // and scanning the corpus), NOT in PushedFilters/a post-scan Filter;
+    // the lang=en scan reads one of five partitions
+    val plan = formatted("p112_partition_pruning")
+    val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters line:\n$plan"))
+    assert(pf.contains("lang") && (pf.contains("= en") || pf.contains("en)")),
+      s"lang filter not partition-pruned: $pf")
+    // and the data filter must NOT degrade to reading text/source of
+    // other partitions: ReadSchema carries only the 3 data columns
+    val read = plan.linesIterator.find(_.trim.startsWith("ReadSchema"))
+      .getOrElse(fail("no ReadSchema line"))
+    assert(!read.contains("lang"),
+      s"lang must come from the directory, not the file: $read")
+  }
 }
