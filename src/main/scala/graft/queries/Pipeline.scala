@@ -2595,6 +2595,40 @@ object Pipeline {
     """SELECT doc_id, text, lang, source FROM documents
       |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
 
+  /** Bucketed tables + co-located join — the OTHER 100 TB storage idiom
+    * (pre-shuffling at WRITE time): both sides saved `bucketBy(8,
+    * doc_id)`, so the sort-merge join consumes the on-disk bucketing and
+    * plans ZERO exchanges on either side (PlanShapeSpec pins it — the
+    * join is hinted merge so the pin can't be satisfied vacuously by a
+    * broadcast). At corpus scale this is how a fact table repeatedly
+    * joined on the same key amortizes its shuffle across every
+    * downstream job. */
+  def p113BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    // external tables at a fresh location: a MANAGED bucketed table's
+    // warehouse directory outlives the in-memory catalog, so a second
+    // JVM's overwrite dies on LOCATION_ALREADY_EXISTS
+    val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    s.sql("DROP TABLE IF EXISTS graft_p113_docs")
+    s.sql("DROP TABLE IF EXISTS graft_p113_words")
+    docs.select("doc_id", "lang", "source")
+      .write.mode("overwrite").option("path", s"$base/docs")
+      .bucketBy(8, "doc_id").saveAsTable("graft_p113_docs")
+    docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+      .write.mode("overwrite").option("path", s"$base/words")
+      .bucketBy(8, "doc_id").saveAsTable("graft_p113_words")
+    s.table("graft_p113_docs")
+      .join(s.table("graft_p113_words").hint("merge"), Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_words")
+      .orderBy("doc_id")
+  }
+
+  val p113Oracle: String =
+    """SELECT doc_id, lang, source,
+      |  CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Duplicate-span removal ([[TextAnalysis.removeDupSpans]], the Lee
     * et al. 2022 rewrite step at word-5-gram granularity): positions
     * covered by any cross-document window are cut and the text rebuilt.
@@ -4654,6 +4688,7 @@ object Pipeline {
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
     "p112_partition_pruning" -> (p112PartitionPruning _),
+    "p113_bucketed_join" -> (p113BucketedJoin _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   /** Static oracle strings; [[oracles]] adds the model-state entries
@@ -4771,6 +4806,7 @@ object Pipeline {
     "p110_surgical_decon" -> p110Oracle,
     "p111_orc_roundtrip" -> p111Oracle,
     "p112_partition_pruning" -> p112Oracle,
+    "p113_bucketed_join" -> p113Oracle,
     "p98_outlink_graph" -> p98Oracle)
 
   /** All oracles, including the render-time model-state entries. p40's

@@ -162,6 +162,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p89 lost its partial aggregation:\n$plan")
   }
 
+  test("p113's bucketed join plans zero exchanges (co-located sort-merge)") {
+    // both sides are bucketBy(8, doc_id) tables and the join is hinted
+    // merge: the SMJ must consume the on-disk bucketing directly — any
+    // hashpartitioning exchange means the write-time shuffle was wasted
+    val df = SparkEntry.queries("p113_bucketed_join")(spark, dir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("SortMergeJoin"), s"p113 lost its SMJ:\n$plan")
+    assert(!plan.contains("hashpartitioning("),
+      s"p113 shuffled a bucketed side:\n$plan")
+  }
+
   test("p112's lang filter resolves as a partition filter, pruning at planning time") {
     // the filter must land in PartitionFilters (directory pruning — at
     // 100 TB this is the difference between listing one lang directory
