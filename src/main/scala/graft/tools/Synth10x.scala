@@ -60,6 +60,20 @@ object Synth10x {
       .select("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"SYNTH10X wrote ${spark.read.parquet(s"$out/embeddings.parquet").count()} vecs to $out")
+
+    // events too (r11, for the s05 as-of probe): 10x replication keeping
+    // USER IDS UNCHANGED — 10x events per user, the hot-timeline shape an
+    // as-of/sessionization operator must survive — with ids shifted
+    // compactly and each copy's timestamps offset by its copy index
+    // seconds so sort order interleaves rather than duplicating instants
+    val evs = graft.Tables.load(spark, src, "events")
+    val evShift = evs.agg(max("event_id")).head().getLong(0) + 1L
+    evs.crossJoin(copies)
+      .withColumn("event_id", col("event_id") + col("copy") * evShift)
+      .withColumn("ts", col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, copy)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"SYNTH10X wrote ${spark.read.parquet(s"$out/events.parquet").count()} events to $out")
     spark.stop()
   }
 }
