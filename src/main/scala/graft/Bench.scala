@@ -183,8 +183,9 @@ object Bench {
     // each run (immune to wrapper truncation by construction) competes
     // with the latest driver-written BENCH_r{N}.json on mtime, and the
     // first candidate that yields a comparable node is the prev.
+    val envPrev = sys.env.get("SPARK_GRAFT_BENCH_PREV")
     val candidates: Seq[java.io.File] =
-      sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      envPrev
         .map(p => Seq(new java.io.File(p)).filter(_.isFile))
         .getOrElse {
           val latestRound = Option(new java.io.File(".").listFiles())
@@ -200,13 +201,18 @@ object Bench {
       .collectFirst { case (f, Some(n)) => (f, n) }
     val prevFile = prevPick.map(_._1).orElse(candidates.headOption)
     val prevComparable = prevPick.map(_._2)
-    // silence is what hid the r10 blindness: a prev file that exists but
-    // contributes nothing must SAY so, loudly, in the captured stderr
-    if (candidates.nonEmpty && prevPick.isEmpty)
-      System.err.println("[bench] WARNING: prev bench file(s) " +
-        candidates.map(_.getName).mkString(", ") +
-        " exist but yielded no comparable queries (unrecoverable " +
-        "truncation or sf mismatch) — the regression gate is BLIND this run")
+    // silence is what hid the r10 blindness: a prev that exists but
+    // contributes nothing must SAY so, loudly, in the captured stderr —
+    // including a TYPO'D env override, whose empty candidate list would
+    // otherwise skip the warning entirely (r11 review)
+    if ((envPrev.nonEmpty || candidates.nonEmpty) && prevPick.isEmpty)
+      System.err.println("[bench] WARNING: prev bench " +
+        (if (candidates.isEmpty)
+          s"override ${envPrev.get} does not exist or is not a file"
+        else s"file(s) ${candidates.map(_.getName).mkString(", ")} exist " +
+          "but yielded no comparable queries (unrecoverable truncation " +
+          "or sf mismatch)") +
+        " — the regression gate is BLIND this run")
     def prevOf(section: String, k: String): Option[Double] =
       prevComparable.flatMap(p => Option(p.get(section)))
         .flatMap(n => Option(n.get(k))).map(_.asDouble)

@@ -433,15 +433,15 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
       demandBranch(key, db, branch, "database:transaction")
       val id = session.beginTransaction(db, branch)
       reply(ex, 201, okJson(s"""{"transaction_id":${jstr(id)}}"""))
-    case ("POST", _ :: db :: branch :: "transactions" :: id :: "commit" :: Nil) =>
+    case ("POST", "databases" :: db :: branch :: "transactions" :: id :: "commit" :: Nil) =>
       demandBranch(key, db, branch, "database:transaction")
       demandOwnTxn(db, branch, id)
       session.commitTransaction(id); reply(ex, 200, okJson("null"))
-    case ("POST", _ :: db :: branch :: "transactions" :: id :: "rollback" :: Nil) =>
+    case ("POST", "databases" :: db :: branch :: "transactions" :: id :: "rollback" :: Nil) =>
       demandBranch(key, db, branch, "database:transaction")
       demandOwnTxn(db, branch, id)
       session.rollbackTransaction(id); reply(ex, 200, okJson("null"))
-    case ("DELETE", _ :: db :: branch :: "transactions" :: id :: Nil) =>
+    case ("DELETE", "databases" :: db :: branch :: "transactions" :: id :: Nil) =>
       // reference TransactionControllerDestroy (routes.go:291): rollback alias
       demandBranch(key, db, branch, "database:transaction")
       demandOwnTxn(db, branch, id)
@@ -467,7 +467,7 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
       demandOwnBackup(db, branch, id)
       if (session.catalog.deleteBackup(id)) reply(ex, 200, okJson("null"))
       else reply(ex, 404, errorJson("not found"))
-    case ("POST", _ :: db :: branch :: "backups" :: id :: "restore" :: Nil) =>
+    case ("POST", "databases" :: db :: branch :: "backups" :: id :: "restore" :: Nil) =>
       demandBranch(key, db, branch, "database:restore")
       demandOwnBackup(db, branch, id)
       session.catalog.restoreBackup(id); reply(ex, 200, okJson("null"))

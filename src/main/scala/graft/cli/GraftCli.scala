@@ -96,8 +96,12 @@ class GraftCli(out: PrintStream, err: PrintStream,
         case Nil => Right((pos.reverse, flags))
         case f :: _ if f.startsWith("--") && !allowed(f.drop(2)) =>
           Left(s"unknown flag: $f")
-        case f :: v :: t if f.startsWith("--") => go(t, pos, flags + (f.drop(2) -> v))
-        case f :: Nil if f.startsWith("--") => Left(s"flag $f needs a value")
+        // a following --token is the NEXT flag, not this one's value —
+        // `user update ada --password --statements` must be a usage
+        // error, not a user whose password is literally "--statements"
+        case f :: v :: t if f.startsWith("--") && !v.startsWith("--") =>
+          go(t, pos, flags + (f.drop(2) -> v))
+        case f :: _ if f.startsWith("--") => Left(s"flag $f needs a value")
         case x :: t => go(t, x :: pos, flags)
       }
     go(rest, Nil, Map.empty)

@@ -60,11 +60,26 @@ class ProfileStore(path: Path) {
       n.put("type", p.tpe)
     }
     if (path.getParent != null) Files.createDirectories(path.getParent)
-    Files.writeString(path,
+    // the document carries secrets: write owner-only from the FIRST byte
+    // (never 0644-then-chmod — that leaves a world-readable window) and
+    // replace atomically so a crash mid-write can't truncate the config
+    // every later invocation parses (r11 review)
+    val dir = Option(path.getParent).getOrElse(java.nio.file.Path.of("."))
+    val tmp =
+      try Files.createTempFile(dir, ".config", ".tmp",
+        java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+          java.nio.file.attribute.PosixFilePermissions.fromString("rw-------")))
+      catch { case _: UnsupportedOperationException =>
+        Files.createTempFile(dir, ".config", ".tmp")
+      }
+    Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    try Files.setPosixFilePermissions(path,
-      java.nio.file.attribute.PosixFilePermissions.fromString("rw-------"))
-    catch { case _: UnsupportedOperationException => () }
+    try Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   def profiles: Vector[Profile] = load()._2

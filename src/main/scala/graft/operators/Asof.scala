@@ -87,9 +87,12 @@ object Asof {
         last(col("__best"), ignoreNulls = true).over(wCarry))
       .select(col(keyCol), col("__bk"),
         col("__carried.__build").as("__carried"))
-    // the join back is keyed by (key, bucket) — even keys by construction
-    inBucket.join(carried, Seq(keyCol, "__bk"), "left")
-      .filter(col("__side") === 1)
+    // the join back is keyed by (key, bucket) — even keys by
+    // construction. Only PROBE rows need the carry: dropping the build
+    // side here (it can't be dropped below the window, which needs both)
+    // halves the join input when the sides are comparably sized.
+    inBucket.filter(col("__side") === 1)
+      .join(carried, Seq(keyCol, "__bk"), "left")
       .withColumn("__hit", coalesce(col("__hit"), col("__carried")))
       .drop("__side", "__bid", "__build", "__bk", "__carried")
       .withColumns(carry.map(c => s"asof_$c" -> col(s"__hit.$c")).toMap)

@@ -2566,7 +2566,10 @@ object Pipeline {
     * the real file codec path (writer → stripe layout → reader), not an
     * in-plan expression. */
   def p111OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    // FIXED scratch location + overwrite: repeated validation/bench runs
+    // reuse one directory instead of leaking a corpus copy per call
+    val out = java.nio.file.Path.of(
+      sys.props("java.io.tmpdir"), "graft-p111-orc").toString
     documents(s, dir).select("doc_id", "text", "lang", "source")
       .write.mode("overwrite").orc(out)
     s.read.orc(out).orderBy("doc_id")
@@ -2583,7 +2586,8 @@ object Pipeline {
     * partitions' files — PlanShapeSpec pins that shape; this entry pins
     * the values against the WHERE-filtered identity oracle. */
   def p112PartitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val out = java.nio.file.Path.of(
+      sys.props("java.io.tmpdir"), "graft-p112-part").toString
     documents(s, dir).select("doc_id", "text", "lang", "source")
       .write.partitionBy("lang").mode("overwrite").parquet(out)
     s.read.parquet(out).filter(col("lang") === "en")
@@ -2605,10 +2609,13 @@ object Pipeline {
     * downstream job. */
   def p113BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    // external tables at a fresh location: a MANAGED bucketed table's
-    // warehouse directory outlives the in-memory catalog, so a second
-    // JVM's overwrite dies on LOCATION_ALREADY_EXISTS
-    val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    // EXTERNAL tables at a fixed scratch location: a MANAGED bucketed
+    // table's warehouse directory outlives the in-memory catalog, so a
+    // second JVM's overwrite dies on LOCATION_ALREADY_EXISTS (external
+    // locations are exempt from that check, and the fixed path keeps
+    // repeated runs from leaking a corpus copy per call)
+    val base = java.nio.file.Path.of(
+      sys.props("java.io.tmpdir"), "graft-p113-bucket").toString
     s.sql("DROP TABLE IF EXISTS graft_p113_docs")
     s.sql("DROP TABLE IF EXISTS graft_p113_words")
     docs.select("doc_id", "lang", "source")

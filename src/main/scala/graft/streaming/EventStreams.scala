@@ -131,12 +131,24 @@ object EventStreams {
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
-  case class AsofClick(ts_ms: Long, id: Long)
-  case class AsofPending(purchase_id: Long, ts_ms: Long)
+  // event times carried as epoch MICROSECONDS: events.ts is
+  // timestamp_ntz(µs) and the batch Asof operator compares at full
+  // precision — truncating to ms here would admit a click up to 999 µs
+  // AFTER its purchase and break the stream==batch claim on µs data
+  case class AsofClick(ts_us: Long, id: Long)
+  case class AsofPending(purchase_id: Long, ts_us: Long)
   case class AsofState(clicks: Seq[AsofClick], pending: Seq[AsofPending])
   case class AsofMatch(purchase_id: Long, user_id: Long,
     purchase_ts: java.sql.Timestamp, click_id: Option[Long],
     click_ts: Option[java.sql.Timestamp])
+
+  private def microsOf(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Streaming as-of enrichment: each purchase emitted ONCE with the
     * newest same-user click at-or-before it (ties to the larger click
@@ -178,32 +190,40 @@ object EventStreams {
           var pending = prev.pending
           rows.foreach { r =>
             if (r.event_type == "click")
-              clicks = clicks :+ AsofClick(r.ts.getTime, r.event_id)
-            else pending = pending :+ AsofPending(r.event_id, r.ts.getTime)
+              clicks = clicks :+ AsofClick(microsOf(r.ts), r.event_id)
+            else pending = pending :+ AsofPending(r.event_id, microsOf(r.ts))
           }
-          // batch has no watermark: everything finalizes in the one pass
-          val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
-          val (fin, still) = pending.partition(_.ts_ms <= wm)
-          val out = fin.sortBy(p => (p.ts_ms, p.purchase_id)).map { p =>
-            val best = clicks.filter(_.ts_ms <= p.ts_ms) match {
+          // batch has no watermark: everything finalizes in the one pass.
+          // The engine watermark is MILLIS; scale it to the µs domain the
+          // state lives in (a purchase at wm·1000 + 500 µs stays held —
+          // conservative and correct).
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L
+            else Long.MaxValue
+          val (fin, still) = pending.partition(_.ts_us <= wmUs)
+          val out = fin.sortBy(p => (p.ts_us, p.purchase_id)).map { p =>
+            val best = clicks.filter(_.ts_us <= p.ts_us) match {
               case Seq() => None
-              case cs => Some(cs.maxBy(c => (c.ts_ms, c.id)))
+              case cs => Some(cs.maxBy(c => (c.ts_us, c.id)))
             }
-            AsofMatch(p.purchase_id, user, new java.sql.Timestamp(p.ts_ms),
-              best.map(_.id), best.map(c => new java.sql.Timestamp(c.ts_ms)))
+            AsofMatch(p.purchase_id, user, tsOfMicros(p.ts_us),
+              best.map(_.id), best.map(c => tsOfMicros(c.ts_us)))
           }
           // carry-collapse: of the clicks at-or-before the watermark only
           // the newest can ever match again
-          val (sealed_, inflight) = clicks.partition(_.ts_ms <= wm)
+          val (sealed_, inflight) = clicks.partition(_.ts_us <= wmUs)
           val kept =
             (if (sealed_.isEmpty) Nil
-             else Seq(sealed_.maxBy(c => (c.ts_ms, c.id)))) ++ inflight
+             else Seq(sealed_.maxBy(c => (c.ts_us, c.id)))) ++ inflight
+          // setTimeoutTimestamp is millis and must be STRICTLY past the
+          // watermark: ceil-divide a µs instant that is > wmUs
+          def ceilMs(us: Long): Long = Math.floorDiv(us + 999L, 1000L)
           if (!streaming) out.iterator // batch: one stateless group pass
           else if (still.nonEmpty) {
             state.update(AsofState(kept, still))
             // wake exactly when the earliest held purchase finalizes
-            // (strictly > wm by the partition above)
-            state.setTimeoutTimestamp(still.map(_.ts_ms).min)
+            // (strictly > wm by the partition above + ceil)
+            state.setTimeoutTimestamp(ceilMs(still.map(_.ts_us).min))
             out.iterator
           } else if (kept.nonEmpty &&
               !(state.hasTimedOut && fin.isEmpty)) {
@@ -216,7 +236,8 @@ object EventStreams {
             // purchase saw no clicks at all.)
             state.update(AsofState(kept, Nil))
             state.setTimeoutTimestamp(
-              math.max(kept.map(_.ts_ms).max, wm + 1) + idleTtlMs)
+              math.max(ceilMs(kept.map(_.ts_us).max),
+                state.getCurrentWatermarkMs() + 1) + idleTtlMs)
             out.iterator
           } else {
             // idle TTL fired (a timeout that finalized nothing), or

@@ -77,7 +77,14 @@ object SkewProbe {
       // are reported separately as FUNNELS — concentration by design
       // (bounded limit+collect probes) where the ratio formula would say
       // `cpus` but the wall impact is nil while the total stays bounded
-      // metadata; the reader judges boundedness, the ratio can't.
+      // metadata. Boundedness is ENFORCED, not left to the reader (r11
+      // review): a funnel moving more than FUNNEL_BOUND records is a real
+      // straggler wearing a funnel shape (few-key data after a filter,
+      // one hot key owning a stage) and joins the headline ratio — else
+      // a probe whose ONLY heavy stage was genuinely skewed would print
+      // "n/a (no heavy shuffle)" while a straggler ran.
+      val funnelBound = sys.env.get("SPARK_GRAFT_SKEW_FUNNEL_BOUND")
+        .flatMap(_.toLongOption).getOrElse(5000000L)
       val judged = taskReads.asScala.toSeq.collect {
         case ((stage, att), q) if q.asScala.sum > 10000 =>
           val reads = q.asScala.toSeq
@@ -86,12 +93,15 @@ object SkewProbe {
           (stage, att, total, reads.max.toDouble * cpus.toInt / total,
             carrying, reads)
       }
-      val keyed = judged.filter(_._5 >= cpus.toInt)
-      val funnels = judged.filter(_._5 < cpus.toInt)
+      val (narrow, wide) = judged.partition(_._5 < cpus.toInt)
+      val (funnels, suspects) = narrow.partition(_._3 <= funnelBound)
+      val keyed = wide ++ suspects
       val worstStr = if (keyed.isEmpty) "n/a (no heavy shuffle)"
         else f"${math.max(1.0, keyed.map(_._4).max)}%.2f"
-      val funnelStr = if (funnels.isEmpty) ""
-        else s" funnel_stages=${funnels.size}(maxTotal=${funnels.map(_._3).max})"
+      val funnelStr = (if (funnels.isEmpty) ""
+        else s" funnel_stages=${funnels.size}(maxTotal=${funnels.map(_._3).max})") +
+        (if (suspects.isEmpty) ""
+         else s" OVERSIZED_FUNNELS=${suspects.size}(maxTotal=${suspects.map(_._3).max})")
       println(f"SKEW $n%-24s wall=${secs}%7.2fs " +
         f"heavy_stages=${judged.size}%-3d worst_task_over_fair=$worstStr" +
         funnelStr)

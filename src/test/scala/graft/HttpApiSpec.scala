@@ -532,5 +532,14 @@ class HttpApiSpec extends AnyFunSuite {
       URI.create(s"http://127.0.0.1:$port/v1/no-such-surface")).GET().build(),
       BodyHandlers.ofString())
     assert(bogus.statusCode() == 404 && bogus.body().contains("route not found"))
+    // and an ALIAS of a real route under a wrong head segment must fall
+    // through too — the dispatcher once matched `_ :: db :: branch ::
+    // "transactions" :: ...`, silently accepting any first segment
+    // (r11 review); the documented surface is exact, aliases included
+    val alias = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/v1/bogus/db/main/transactions/42/commit"))
+      .POST(BodyPublishers.ofString("{}")).build(), BodyHandlers.ofString())
+    assert(alias.statusCode() == 404 && alias.body().contains("route not found"),
+      alias.body())
   }
 }

@@ -948,6 +948,27 @@ class OperatorsSpec extends AnyFunSuite {
       pairsOf(Some(hot.drop("p_n")))
     }
     assert(ex2.getMessage.contains("boilerplateGrams"))
+    // a corpus with NO hot gram yields an "empty" artifact whose params
+    // must STILL validate (the null-gram sentinel) — and a wrong-params
+    // empty artifact must STILL be refused, not fail open (r11 review:
+    // an empty frame's literal columns carry no values to check)
+    val calm = spark.range(6).selectExpr("id AS doc_id",
+      "concat('q', id, 'a q', id, 'b q', id, 'c q', id, 'd') AS text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val emptyHot = Dedup.boilerplateGrams(calm, "text", "doc_id",
+      Seq("lang", "source"), n = 3, maxDf = 50)
+    assert(emptyHot.where(col("gram").isNotNull).count() == 0)
+    def calmPairs(hg: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.ngramJaccard(calm, "text", "doc_id", Seq("lang", "source"),
+          n = 3, threshold = 0.1, maxDf = 50, hotGrams = hg)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(calmPairs(Some(emptyHot)) == calmPairs(None)) // caps nothing, works
+    val emptyWrongN = Dedup.boilerplateGrams(calm, "text", "doc_id",
+      Seq("lang", "source"), n = 2, maxDf = 50)
+    val ex3 = intercept[IllegalArgumentException] {
+      calmPairs(Some(emptyWrongN))
+    }
+    assert(ex3.getMessage.contains("rebuild the artifact"))
   }
 
   test("lexicalDiversity: exact simpson/ttr/top-mass values, empty and degenerate docs") {

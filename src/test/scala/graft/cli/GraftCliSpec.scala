@@ -241,5 +241,11 @@ class GraftCliSpec extends AnyFunSuite {
     assert(cli("database", "create")._1 == 2)
     val (rcF, _, errF) = cli("access-key", "create", "--bogus", "x")
     assert(rcF == 2 && errF.contains("unknown flag"))
+    // a flag followed by another flag is a MISSING VALUE, never a value:
+    // without this, `user update ada --password --statements` would set
+    // the password to the literal string "--statements" and exit 0
+    val (rcV, _, errV) = cli("user", "update", "ada",
+      "--password", "--statements")
+    assert(rcV == 2 && errV.contains("needs a value"), errV)
   }
 }
