@@ -2636,6 +2636,35 @@ object Pipeline {
       |  CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Schema-evolution read (`mergeSchema`) — how a lake survives a
+    * pipeline adding columns mid-corpus: two batches written with
+    * DIFFERENT schemas (an early doc_id+text batch, a later batch that
+    * gained lang+n_chars), read back as ONE table whose schema is the
+    * union, absent columns null-padded per batch. The oracle rebuilds
+    * the same union with explicit typed NULLs. */
+  def p114SchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Path.of(
+      sys.props("java.io.tmpdir"), "graft-p114-merge").toString
+    val docs = documents(s, dir)
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/batch1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/batch2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$out/batch1", s"$out/batch2")
+      .orderBy("doc_id")
+  }
+
+  val p114Oracle: String =
+    """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang,
+      |  CAST(NULL AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, CAST(NULL AS VARCHAR) AS text, lang, n_chars
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** Duplicate-span removal ([[TextAnalysis.removeDupSpans]], the Lee
     * et al. 2022 rewrite step at word-5-gram granularity): positions
     * covered by any cross-document window are cut and the text rebuilt.
@@ -4696,6 +4725,7 @@ object Pipeline {
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
     "p112_partition_pruning" -> (p112PartitionPruning _),
     "p113_bucketed_join" -> (p113BucketedJoin _),
+    "p114_schema_merge" -> (p114SchemaMerge _),
     "p98_outlink_graph" -> (p98OutlinkGraph _))
 
   /** Static oracle strings; [[oracles]] adds the model-state entries
@@ -4814,6 +4844,7 @@ object Pipeline {
     "p111_orc_roundtrip" -> p111Oracle,
     "p112_partition_pruning" -> p112Oracle,
     "p113_bucketed_join" -> p113Oracle,
+    "p114_schema_merge" -> p114Oracle,
     "p98_outlink_graph" -> p98Oracle)
 
   /** All oracles, including the render-time model-state entries. p40's
