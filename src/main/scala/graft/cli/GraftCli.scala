@@ -162,6 +162,15 @@ class GraftCli(out: PrintStream, err: PrintStream,
     val sb = new StringBuilder; graft.engine.Json.string(s, sb); sb.toString
   }
 
+  /** Percent-encode one URL path segment: a database/user/key name with a
+    * space, '?', '#', '/' or non-ASCII must reach the server as THAT
+    * segment — not make URI.create throw (an opaque `transport:` error)
+    * or silently change which route matches. URLEncoder is form-encoding,
+    * so its '+'-for-space needs the path-encoding fixup. */
+  private def seg(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("+", "%20")
+
   /** `db[/branch]` → (db, branch), branch defaulting to main — the
     * reference's splitDatabasePath path convention for backup verbs. */
   private def dbPath(arg: String): (String, String) = arg.split("/", 2) match {
@@ -207,21 +216,21 @@ class GraftCli(out: PrintStream, err: PrintStream,
         table(Seq("Name"), items(d).map(n => Seq(n.path("name").asText())))
       }
     case "show" :: name :: Nil =>
-      render(call("GET", s"/v1/databases/$name")) { d =>
+      render(call("GET", s"/v1/databases/${seg(name)}")) { d =>
         card(Seq(
           "Name" -> d.path("name").asText(),
           "Created At" -> d.path("created_at").asText(),
           "Branches" -> items(d.path("branches")).map(_.asText()).mkString(", ")))
       }
     case "delete" :: name :: Nil =>
-      render(call("DELETE", s"/v1/databases/$name")) {
+      render(call("DELETE", s"/v1/databases/${seg(name)}")) {
         _ => out.println("Database deleted")
       }
     // one-shot query (database_query.go:12-28; unlike the interactive
     // `sql` console this renders ONE statement and exits with its status)
     case "query" :: path :: sql :: Nil =>
       val (db, br) = dbPath(path)
-      render(call("POST", s"/v1/databases/$db/$br/query",
+      render(call("POST", s"/v1/databases/${seg(db)}/${seg(br)}/query",
         s"""{"queries":[{"id":"cli","statement":${jstr(sql)}}]}""")
         // a per-statement failure arrives as HTTP 200 with an error entry;
         // surface it as the command's failure, exit 1 like any API error
@@ -245,7 +254,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
         case Right((Nil, flags)) if flags.get("timestamp")
             .exists(_.toLongOption.isDefined) =>
           val (db, br) = dbPath(path)
-          render(call("POST", s"/v1/databases/$db/$br/restore",
+          render(call("POST", s"/v1/databases/${seg(db)}/${seg(br)}/restore",
             s"""{"timestamp":${flags("timestamp").toLong}}""")) {
             _ => out.println(s"Database restored: $path @ ${flags("timestamp")}")
           }
@@ -257,7 +266,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
     // render headers FROM the response instead of hardcoding them
     case "query-logs" :: path :: Nil =>
       val (db, br) = dbPath(path)
-      render(callWithMeta("GET", s"/v1/databases/$db/$br/logs/query")) {
+      render(callWithMeta("GET", s"/v1/databases/${seg(db)}/${seg(br)}/logs/query")) {
         case (meta, d) =>
           val keys = (0 until meta.path("keys").size())
             .map(meta.path("keys").get(_).asText())
@@ -271,31 +280,31 @@ class GraftCli(out: PrintStream, err: PrintStream,
   private def backup(rest: List[String]): Int = rest match {
     case "create" :: path :: Nil =>
       val (db, br) = dbPath(path)
-      render(call("POST", s"/v1/databases/$db/$br/backups", "{}")) { d =>
+      render(call("POST", s"/v1/databases/${seg(db)}/${seg(br)}/backups", "{}")) { d =>
         out.println("Backup created")
         card(Seq("Name" -> s"$db/$br",
           "Backup ID" -> d.path("backup_id").asText()))
       }
     case "list" :: path :: Nil =>
       val (db, br) = dbPath(path)
-      render(call("GET", s"/v1/databases/$db/$br/backups")) { d =>
+      render(call("GET", s"/v1/databases/${seg(db)}/${seg(br)}/backups")) { d =>
         table(Seq("Backup ID", "Created At"), items(d).map(n =>
           Seq(n.path("backup_id").asText(), n.path("created_at").asText())))
       }
     case "show" :: path :: id :: Nil =>
       val (db, br) = dbPath(path)
-      render(call("GET", s"/v1/databases/$db/$br/backups/$id")) { d =>
+      render(call("GET", s"/v1/databases/${seg(db)}/${seg(br)}/backups/${seg(id)}")) { d =>
         card(Seq("Backup ID" -> d.path("backup_id").asText(),
           "Created At" -> d.path("created_at").asText()))
       }
     case "delete" :: path :: id :: Nil =>
       val (db, br) = dbPath(path)
-      render(call("DELETE", s"/v1/databases/$db/$br/backups/$id")) {
+      render(call("DELETE", s"/v1/databases/${seg(db)}/${seg(br)}/backups/${seg(id)}")) {
         _ => out.println("Backup deleted")
       }
     case "restore" :: path :: id :: Nil =>
       val (db, br) = dbPath(path)
-      render(call("POST", s"/v1/databases/$db/$br/backups/$id/restore", "{}")) {
+      render(call("POST", s"/v1/databases/${seg(db)}/${seg(br)}/backups/${seg(id)}/restore", "{}")) {
         _ => out.println(s"Backup restored: $path")
       }
     case _ => usageError("usage: backup create|list|show|delete|restore")
@@ -329,7 +338,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
           Seq(n.path("access_key_id").asText(), n.path("description").asText())))
       }
     case "show" :: id :: Nil =>
-      render(call("GET", s"/v1/access-keys/$id")) { d =>
+      render(call("GET", s"/v1/access-keys/${seg(id)}")) { d =>
         card(Seq(
           "Access Key ID" -> d.path("access_key_id").asText(),
           "Description" -> d.path("description").asText(),
@@ -346,7 +355,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
               val fields = flags.get("description")
                 .map(d => s""""description":${jstr(d)}""").toSeq ++
                 Option(sts).map(s => s""""statements":$s""").toSeq
-              render(call("PUT", s"/v1/access-keys/$id",
+              render(call("PUT", s"/v1/access-keys/${seg(id)}",
                 fields.mkString("{", ",", "}"))) {
                 _ => out.println("Access key updated")
               }
@@ -355,7 +364,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
           usageError("access-key update needs --description or --statements")
       }
     case "delete" :: id :: Nil =>
-      render(call("DELETE", s"/v1/access-keys/$id")) {
+      render(call("DELETE", s"/v1/access-keys/${seg(id)}")) {
         _ => out.println("Access key deleted")
       }
     case _ => usageError("usage: access-key create|list|show|update|delete")
@@ -389,7 +398,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
           Seq(n.path("username").asText(), n.path("created_at").asText())))
       }
     case "show" :: name :: Nil =>
-      render(call("GET", s"/v1/users/$name")) { d =>
+      render(call("GET", s"/v1/users/${seg(name)}")) { d =>
         card(Seq(
           "Username" -> d.path("username").asText(),
           "Created At" -> d.path("created_at").asText(),
@@ -405,7 +414,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
               val fields = flags.get("password")
                 .map(p => s""""password":${jstr(p)}""").toSeq ++
                 Option(sts).map(s => s""""statements":$s""").toSeq
-              render(call("PUT", s"/v1/users/$name",
+              render(call("PUT", s"/v1/users/${seg(name)}",
                 fields.mkString("{", ",", "}"))) {
                 _ => out.println("User updated")
               }
@@ -414,7 +423,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
           usageError("user update needs --password or --statements")
       }
     case "delete" :: name :: Nil =>
-      render(call("DELETE", s"/v1/users/$name")) {
+      render(call("DELETE", s"/v1/users/${seg(name)}")) {
         _ => out.println("User deleted")
       }
     case _ => usageError("usage: user create|list|show|update|delete")

@@ -70,23 +70,26 @@ object Asof {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBucket = tagged
       .withColumn("__hit", last(col("__build"), ignoreNulls = true).over(wIn))
-    // pass 2: per (key, bucket) best build row — max over a
-    // (ts, id, build) struct, map-side combinable, null for build-free
-    // buckets — then carried one-bucket-back cumulatively down each
-    // key's bucket sequence (a window over the SMALL table). The group
-    // runs over BOTH sides so probe-only buckets get a carry row too
-    // (a probe hundreds of empty buckets past the last build must still
-    // see it).
+    // pass 2: per (key, bucket) best build row — max_by over the
+    // (ts, id) ordering key only, map-side combinable, null for
+    // build-free buckets (max_by skips null ordering keys, and the
+    // ordering is total given the documented idCol uniqueness). The
+    // carry struct rides as the VALUE and never participates in the
+    // comparison, so a non-orderable carry column type (MapType) that
+    // the plain [[join]] accepts analyzes here too. Carried
+    // one-bucket-back cumulatively down each key's bucket sequence
+    // (a window over the SMALL table). The group runs over BOTH sides
+    // so probe-only buckets get a carry row too (a probe hundreds of
+    // empty buckets past the last build must still see it).
     val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__bk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carried = tagged
       .groupBy(col(keyCol), col("__bk"))
-      .agg(max(when(col("__side") === 0,
-        struct(col(tsCol), col("__bid"), col("__build")))).as("__best"))
+      .agg(max_by(col("__build"), when(col("__side") === 0,
+        struct(col(tsCol), col("__bid")))).as("__best"))
       .withColumn("__carried",
         last(col("__best"), ignoreNulls = true).over(wCarry))
-      .select(col(keyCol), col("__bk"),
-        col("__carried.__build").as("__carried"))
+      .select(col(keyCol), col("__bk"), col("__carried"))
     // the join back is keyed by (key, bucket) — even keys by
     // construction. Only PROBE rows need the carry: dropping the build
     // side here (it can't be dropped below the window, which needs both)

@@ -2559,6 +2559,32 @@ object Pipeline {
       |  CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words
       |FROM documents ORDER BY orig_id""".stripMargin
 
+  /** Scratch directory for the storage-layout entries (p111–p114),
+    * stable WITHIN a JVM per (tag, source dir) — repeated bench/verify
+    * runs in one process reuse and overwrite a single directory — but
+    * isolated ACROSS processes (pid suffix) and across source dirs
+    * (dir-hash suffix), so a bench run and a concurrent test suite on
+    * the same host can never overwrite each other's files mid-read.
+    * Each distinct path registers one shutdown hook that deletes it
+    * recursively, so the per-process isolation doesn't leak a corpus
+    * copy per run. */
+  private val scratchHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def scratchDir(tag: String, srcDir: String): String = {
+    val p = java.nio.file.Path.of(sys.props("java.io.tmpdir"),
+      f"graft-$tag-${srcDir.hashCode}%08x-${ProcessHandle.current().pid()}")
+    if (scratchHooked.add(p.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }))
+    p.toString
+  }
+
   /** ORC round-trip — the OTHER columnar file format (Spark-native
     * source/sink, the format a warehouse-adjacent corpus often arrives
     * in): write the documents table as ORC, read it back, prove the
@@ -2566,10 +2592,7 @@ object Pipeline {
     * the real file codec path (writer → stripe layout → reader), not an
     * in-plan expression. */
   def p111OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    // FIXED scratch location + overwrite: repeated validation/bench runs
-    // reuse one directory instead of leaking a corpus copy per call
-    val out = java.nio.file.Path.of(
-      sys.props("java.io.tmpdir"), "graft-p111-orc").toString
+    val out = scratchDir("p111-orc", dir)
     documents(s, dir).select("doc_id", "text", "lang", "source")
       .write.mode("overwrite").orc(out)
     s.read.orc(out).orderBy("doc_id")
@@ -2586,8 +2609,7 @@ object Pipeline {
     * partitions' files — PlanShapeSpec pins that shape; this entry pins
     * the values against the WHERE-filtered identity oracle. */
   def p112PartitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Path.of(
-      sys.props("java.io.tmpdir"), "graft-p112-part").toString
+    val out = scratchDir("p112-part", dir)
     documents(s, dir).select("doc_id", "text", "lang", "source")
       .write.partitionBy("lang").mode("overwrite").parquet(out)
     s.read.parquet(out).filter(col("lang") === "en")
@@ -2609,13 +2631,12 @@ object Pipeline {
     * downstream job. */
   def p113BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    // EXTERNAL tables at a fixed scratch location: a MANAGED bucketed
+    // EXTERNAL tables at the scratch location: a MANAGED bucketed
     // table's warehouse directory outlives the in-memory catalog, so a
     // second JVM's overwrite dies on LOCATION_ALREADY_EXISTS (external
-    // locations are exempt from that check, and the fixed path keeps
-    // repeated runs from leaking a corpus copy per call)
-    val base = java.nio.file.Path.of(
-      sys.props("java.io.tmpdir"), "graft-p113-bucket").toString
+    // locations are exempt from that check; the pid-suffixed scratch
+    // path is cleaned at exit so per-process isolation doesn't leak)
+    val base = scratchDir("p113-bucket", dir)
     s.sql("DROP TABLE IF EXISTS graft_p113_docs")
     s.sql("DROP TABLE IF EXISTS graft_p113_words")
     docs.select("doc_id", "lang", "source")
@@ -2643,8 +2664,7 @@ object Pipeline {
     * union, absent columns null-padded per batch. The oracle rebuilds
     * the same union with explicit typed NULLs. */
   def p114SchemaMerge(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Path.of(
-      sys.props("java.io.tmpdir"), "graft-p114-merge").toString
+    val out = scratchDir("p114-merge", dir)
     val docs = documents(s, dir)
     docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
       .write.mode("overwrite").parquet(s"$out/batch1")

@@ -60,6 +60,21 @@ class GraftCliSpec extends AnyFunSuite {
     assert(rcGone == 1 && errGone.contains("Error"))
   }
 
+  test("path segments are percent-encoded: URL-meaningful names round-trip") {
+    // a space would make URI.create throw (opaque transport error); a '#'
+    // would silently truncate the path at the fragment; '?' would turn
+    // the tail into a query string — each must reach the server as the
+    // NAME instead (r11 advice)
+    val name = "my db #2?x"
+    val (rc, outS, errS) = cli("database", "create", name)
+    assert(rc == 0, outS + errS)
+    val (rcS, showS, errShow) = cli("database", "show", name)
+    assert(rcS == 0, showS + errShow)
+    assert(showS.contains(name) && showS.contains("main"))
+    assert(cli("database", "delete", name)._1 == 0)
+    assert(!cli("database", "list")._2.contains(name))
+  }
+
   test("backup create / list / show / restore / delete against real data") {
     assert(cli("database", "create", "bdb")._1 == 0)
     val q = """{"queries":[{"id":"q1","statement":

@@ -64,12 +64,16 @@ def main() -> int:
                 text = path.read_text(errors="replace")
             except OSError:
                 continue
+            lines = text.splitlines()
             for name, rx in DETECTORS.items():
                 for m in rx.finditer(text):
-                    line_no = text.count("\n", 0, m.start()) + 1
-                    line = text.splitlines()[line_no - 1].strip()
-                    if ALLOW.search(line):
+                    # allowlist the MATCHED SUBSTRING, not its whole line:
+                    # a real leak sharing a line with an RFC-2606 fixture
+                    # string must still be reported
+                    if ALLOW.search(m.group(0)):
                         continue
+                    line_no = text.count("\n", 0, m.start()) + 1
+                    line = lines[line_no - 1].strip()
                     rel = path.relative_to(ROOT)
                     hits[name].append(f"{rel}:{line_no}: {line[:120]}")
     commit = subprocess.run(
