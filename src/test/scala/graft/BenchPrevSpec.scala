@@ -67,4 +67,62 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(BenchPrev.nodeOf(
       tmpWith("""{"tail":"...,\"queries\":{\"q01\":0.5,\"q02\":"}""")).isEmpty)
   }
+
+  test("unjudgeable declarations survive tail reconstruction") {
+    // a truncated prev must still say which of its bands were vacuous —
+    // otherwise the NEXT run would trust a band the prev itself disowned
+    val tail = """...,"queries":{"q01":0.5,"p03":3.345},""" +
+      """"spread":{"q01":0.1,"p03":2.248},"unjudgeable":["p03"],""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    val n = BenchPrev.reconstructFromTail(tail)
+    assert(n.isDefined)
+    assert(n.get.get("unjudgeable").get(0).asText() == "p03")
+    // absent array: reconstruct still succeeds, field simply missing
+    val bare = BenchPrev.reconstructFromTail(
+      """...,"queries":{"q01":0.5},"sf":"/root/testdata/sf0.1"}""")
+    assert(bare.isDefined && bare.get.get("unjudgeable") == null)
+    // truncation inside the array: the field is dropped, queries survive
+    val cut = BenchPrev.reconstructFromTail(
+      """...,"queries":{"q01":0.5},"unjudgeable":["p03""")
+    assert(cut.isDefined && cut.get.get("unjudgeable") == null)
+  }
+
+  test("unjudgeable threshold: vacuous bands flagged, wobble floored") {
+    // the r11 disease case: p03 published 3.345 with spread 2.248
+    assert(Bench.unjudgeable(3.345, 2.248))
+    // the r10 disease case: p71 spread 11.2 on a ~3.6 s line
+    assert(Bench.unjudgeable(3.6, 11.2))
+    // a healthy band: spread well under half the min
+    assert(!Bench.unjudgeable(3.345, 0.4))
+    // sub-100ms wobble on a constant-folded probe is NOT blindness —
+    // the 0.2 s absolute floor keeps tiny lines judgeable
+    assert(!Bench.unjudgeable(0.13, 0.07))
+    assert(Bench.unjudgeable(0.13, 0.25))
+    // failed measurements are never unjudgeable (they are already -1)
+    assert(!Bench.unjudgeable(-1.0, 0.0))
+  }
+
+  test("isolation child output parsing and command shape") {
+    // the LAST parseable line carrying the key wins; logging noise,
+    // partial lines, and other-key lines are skipped
+    val out =
+      """some spark INFO noise
+        |{"metric":"total","queries":{"other":9.9},"spread":{"other":0.1}}
+        |{"metric":"total","value":0.5,"unit":"sec","queries":{"p03":0.444},"spread":{"p03":0.021},"sf":"x"}
+        |trailing noise""".stripMargin
+    assert(BenchIsolate.parseChildLine(out, "p03").contains((0.444, 0.021)))
+    // a missing spread defaults to 0, value still parsed
+    assert(BenchIsolate.parseChildLine(
+      """{"queries":{"p03":1.5}}""", "p03").contains((1.5, 0.0)))
+    // no line carries the key → None, not a throw
+    assert(BenchIsolate.parseChildLine(out, "p45").isEmpty)
+    assert(BenchIsolate.parseChildLine("garbage", "p03").isEmpty)
+    // command: same JVM, same flags, same classpath, Bench main
+    val cmd = BenchIsolate.childCommand("/jvm", Seq("--add-opens", "x=y",
+      "-Xmx8g"), "/cp/classes:/cp/spark.jar")
+    assert(cmd.head == "/jvm/bin/java")
+    assert(cmd.containsSlice(Seq("--add-opens", "x=y")))
+    assert(cmd.containsSlice(Seq("-cp", "/cp/classes:/cp/spark.jar")))
+    assert(cmd.last == "graft.Bench")
+  }
 }
