@@ -388,8 +388,28 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
         case Some(ts) =>
           val brs = session.catalog.listBranches(db)
           reply(ex, 200, okJson(s"""{"name":${jstr(db)},"created_at":$ts,""" +
-            s""""branches":${brs.map(jstr).mkString("[", ",", "]")}}"""))
+            s""""branches":${brs.map(jstr).mkString("[", ",", "]")},""" +
+            s""""settings":${settingsJson(db)}}"""))
         case None => reply(ex, 404, errorJson("not found"))
+      }
+    // settings update — the reference Database model's mutable surface
+    // (settings.backups, database_settings.go:9-44); its own `database
+    // update` CLI verb is an empty stub with no route
+    // (database_update.go:13-16), so this PUT is a documented superset.
+    // Partial body: absent flags keep their value, like PUT /users.
+    case ("PUT", "databases" :: db :: Nil) =>
+      demandDb(key, db, "database:manage")
+      if (session.catalog.databaseCreatedAt(db).isEmpty)
+        reply(ex, 404, errorJson("not found"))
+      else {
+        val bk = mapper.readTree(body).path("settings").path("backups")
+        def flag(n: com.fasterxml.jackson.databind.JsonNode): Option[Boolean] =
+          if (n.isBoolean) Some(n.asBoolean) else None
+        session.catalog.updateDatabaseSettings(db,
+          flag(bk.path("enabled")),
+          flag(bk.path("incremental").path("enabled")))
+        reply(ex, 200, okJson(s"""{"name":${jstr(db)},""" +
+          s""""settings":${settingsJson(db)}}"""))
       }
     case ("DELETE", "databases" :: db :: Nil) =>
       demandDb(key, db, "database:manage")
@@ -620,6 +640,11 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
   private def jstr(s: String): String = {
     val sb = new StringBuilder; Json.string(s, sb); sb.toString
   }
+  /** The reference DatabaseSettings JSON shape (database_settings.go). */
+  private def settingsJson(db: String): String = {
+    val (bk, inc) = session.catalog.databaseSettings(db).getOrElse((true, true))
+    s"""{"backups":{"enabled":$bk,"incremental":{"enabled":$inc}}}"""
+  }
   private def okJson(data: String): String =
     s"""{"status":"success","data":$data}"""
   private def errorJson(msg: String): String =
@@ -667,6 +692,7 @@ object HttpApi {
     "POST" -> "/v1/databases",
     "GET" -> "/v1/databases",
     "GET" -> "/v1/databases/{databaseName}",
+    "PUT" -> "/v1/databases/{databaseName}",
     "DELETE" -> "/v1/databases/{databaseName}",
     "GET" -> "/v1/databases/{databaseName}/branches",
     "POST" -> "/v1/databases/{databaseName}/branches",

@@ -64,6 +64,8 @@ class GraftCli(out: PrintStream, err: PrintStream,
     out.println("usage: graft <command> <subcommand> [flags]")
     out.println("  status")
     out.println("  database  create <name> | list | show <name> | delete <name> |")
+    out.println("            update <name> [--backups-enabled B] " +
+      "[--incremental-backups B] |")
     out.println("            query <db[/branch]> <sql> | " +
       "restore <db[/branch]> --timestamp TS | query-logs <db[/branch]>")
     out.println("  backup    create|list <db[/branch]> | " +
@@ -225,6 +227,35 @@ class GraftCli(out: PrintStream, err: PrintStream,
     case "delete" :: name :: Nil =>
       render(call("DELETE", s"/v1/databases/${seg(name)}")) {
         _ => out.println("Database deleted")
+      }
+    // settings update — the reference's `database update` is an empty
+    // stub (database_update.go:13-16); this is the documented superset
+    // over PUT /v1/databases/{name} (see COVERAGE.md §B20)
+    case "update" :: name :: rest2 =>
+      parseArgs(rest2,
+        Set("backups-enabled", "incremental-backups")) match {
+        case Left(msg) => usageError(msg)
+        case Right((Nil, flags)) if flags.nonEmpty =>
+          flags.find { case (_, v) => v != "true" && v != "false" } match {
+            case Some((k, v)) =>
+              usageError(s"--$k must be true or false, got: $v")
+            case None =>
+              val fields =
+                flags.get("backups-enabled").map(v => s""""enabled":$v""").toSeq ++
+                flags.get("incremental-backups")
+                  .map(v => s""""incremental":{"enabled":$v}""").toSeq
+              render(call("PUT", s"/v1/databases/${seg(name)}",
+                s"""{"settings":{"backups":{${fields.mkString(",")}}}}""")) { d =>
+                out.println("Database updated")
+                val bk = d.path("settings").path("backups")
+                card(Seq(
+                  "Name" -> d.path("name").asText(),
+                  "Backups" -> bk.path("enabled").asText(),
+                  "Incremental" -> bk.path("incremental").path("enabled").asText()))
+              }
+          }
+        case Right(_) => usageError(
+          "database update needs --backups-enabled or --incremental-backups")
       }
     // one-shot query (database_query.go:12-28; unlike the interactive
     // `sql` console this renders ONE statement and exits with its status)

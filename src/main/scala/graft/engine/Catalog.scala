@@ -105,6 +105,14 @@ class Catalog(val root: Path) {
   case class BranchState(tables: mutable.Map[String, mutable.ArrayBuffer[TableVersion]])
 
   private val databases = mutable.LinkedHashMap[String, Long]() // name -> createdAt
+  // per-database mutable settings — the reference Database model's
+  // `settings.backups` shape (pkg/database/database_settings.go:9-44,
+  // created enabled+incremental per pkg/database/database.go:46-53). The
+  // reference's own `database update` verb is an empty stub
+  // (pkg/cli/cmd/database_update.go:13-16) with no PUT route; the PUT
+  // /v1/databases/{name} + CLI verb here is the documented superset that
+  // makes it real. name -> (backupsEnabled, incrementalEnabled)
+  private val dbSettings = mutable.LinkedHashMap[String, (Boolean, Boolean)]()
   private val branches = mutable.LinkedHashMap[(String, String), BranchState]()
   private val ftsDefs = mutable.LinkedHashMap[(String, String, String), FtsIndexDef]()
   private val indexDefs = mutable.LinkedHashMap[(String, String, String), ClusterIndexDef]()
@@ -303,6 +311,11 @@ class Catalog(val root: Path) {
     val rootNode = om.createObjectNode()
     val dbs = rootNode.putObject("databases")
     databases.foreach { case (n, ts) => dbs.put(n, ts) }
+    val sets = rootNode.putObject("settings")
+    dbSettings.foreach { case (n, (bk, inc)) =>
+      val s = sets.putObject(n)
+      s.put("backups", bk); s.put("incremental", inc)
+    }
     val brs = rootNode.putArray("branches")
     branches.keys.foreach { case (db, br) =>
       val b = brs.addObject(); b.put("db", db); b.put("branch", br)
@@ -326,6 +339,12 @@ class Catalog(val root: Path) {
     val rootNode = om.readTree(Files.readAllBytes(catalogPath))
     rootNode.path("databases").properties().asScala.foreach { e =>
       databases(e.getKey) = e.getValue.asLong()
+    }
+    // settings absent (pre-r12 catalog file) → create defaults via the
+    // databaseSettings getter's getOrElse; only persisted values load
+    rootNode.path("settings").properties().asScala.foreach { e =>
+      dbSettings(e.getKey) = (e.getValue.path("backups").asBoolean(true),
+        e.getValue.path("incremental").asBoolean(true))
     }
     rootNode.path("branches").elements().asScala.foreach { b =>
       val db = b.path("db").asText(); val br = b.path("branch").asText()
@@ -425,6 +444,7 @@ class Catalog(val root: Path) {
   def createDatabase(name: String): Unit = synchronized {
     require(!databases.contains(name), s"database $name already exists")
     databases(name) = System.currentTimeMillis()
+    dbSettings(name) = (true, true) // reference create defaults (database.go:46-53)
     branches((name, "main")) = BranchState(mutable.Map())
     reviveBranchManifest(name, "main")
     snapshotBranch(name, "main")()
@@ -436,12 +456,32 @@ class Catalog(val root: Path) {
   def databaseCreatedAt(name: String): Option[Long] =
     synchronized(databases.get(name))
 
+  /** (backupsEnabled, incrementalBackupsEnabled); databases created
+    * before the settings field existed read as the create defaults. */
+  def databaseSettings(name: String): Option[(Boolean, Boolean)] =
+    synchronized {
+      if (databases.contains(name)) Some(dbSettings.getOrElse(name, (true, true)))
+      else None
+    }
+
+  /** Partial update (None = keep): the PUT /v1/databases/{name} body may
+    * carry either flag alone, like the reference's other update verbs. */
+  def updateDatabaseSettings(name: String, backups: Option[Boolean],
+      incremental: Option[Boolean]): Unit = synchronized {
+    require(databases.contains(name), s"database $name not found")
+    val cur = dbSettings.getOrElse(name, (true, true))
+    dbSettings(name) =
+      (backups.getOrElse(cur._1), incremental.getOrElse(cur._2))
+    persistCatalog()
+  }
+
   /** Drop a database and all of its branches (reference
     * DatabaseDestroyController + system-table CASCADE). Data dirs stay
     * until a vacuum pass finds them unreachable. */
   def dropDatabase(name: String): Unit = synchronized {
     require(databases.contains(name), s"database $name not found")
     databases.remove(name)
+    dbSettings.remove(name)
     val dead = branches.keys.toSeq.filter(_._1 == name)
     dead.foreach(branches.remove)
     ftsDefs.keys.toSeq.filter(_._1 == name).foreach(ftsDefs.remove)

@@ -501,6 +501,31 @@ class EngineSpec extends AnyFunSuite {
     assert(s.execute("db1", "main", q("SELECT * FROM g WHERE id = 10")).rows.length == 1)
   }
 
+  test("database settings: create defaults, partial update, restart survival") {
+    val dir = Files.createTempDirectory("graft-settings")
+    val s1 = new GraftSession(spark, dir)
+    s1.createDatabase("db1")
+    // reference create defaults (database.go:46-53): both enabled
+    assert(s1.catalog.databaseSettings("db1").contains((true, true)))
+    assert(s1.catalog.databaseSettings("ghost").isEmpty)
+    // partial update: None keeps the other flag
+    s1.catalog.updateDatabaseSettings("db1", Some(false), None)
+    assert(s1.catalog.databaseSettings("db1").contains((false, true)))
+    s1.catalog.updateDatabaseSettings("db1", None, Some(false))
+    assert(s1.catalog.databaseSettings("db1").contains((false, false)))
+    intercept[IllegalArgumentException] {
+      s1.catalog.updateDatabaseSettings("ghost", Some(true), None)
+    }
+    // persisted: a new session over the same root reads them back
+    val s2 = new GraftSession(spark, dir)
+    assert(s2.catalog.databaseSettings("db1").contains((false, false)))
+    // drop clears them; recreate restarts at the defaults
+    s2.catalog.dropDatabase("db1")
+    assert(s2.catalog.databaseSettings("db1").isEmpty)
+    s2.createDatabase("db1")
+    assert(s2.catalog.databaseSettings("db1").contains((true, true)))
+  }
+
   test("catalog manifest survives a session restart") {
     val dir = Files.createTempDirectory("graft-restart")
     val s1 = new GraftSession(spark, dir)

@@ -60,6 +60,34 @@ class GraftCliSpec extends AnyFunSuite {
     assert(rcGone == 1 && errGone.contains("Error"))
   }
 
+  test("database update round-trips settings over PUT") {
+    assert(cli("database", "create", "udb")._1 == 0)
+    // show carries the reference DatabaseSettings shape with create
+    // defaults (both enabled)
+    val (rcS, showS, _) = cli("database", "show", "udb")
+    assert(rcS == 0, showS)
+    val (rc, outS, errS) = cli("database", "update", "udb",
+      "--backups-enabled", "false")
+    assert(rc == 0, outS + errS)
+    assert(outS.contains("Database updated"), outS)
+    assert(outS.contains("Backups") && outS.contains("false"), outS)
+    // partial update kept incremental at its default
+    assert(outS.contains("Incremental"), outS)
+    val (rc2, out2, _) = cli("database", "update", "udb",
+      "--incremental-backups", "false")
+    assert(rc2 == 0 && out2.contains("false"), out2)
+    // a non-boolean value is a CLIENT-side usage error, never sent
+    val (rcBad, _, errBad) = cli("database", "update", "udb",
+      "--backups-enabled", "maybe")
+    assert(rcBad == 2 && errBad.contains("true or false"), errBad)
+    // no flags at all is a usage error too
+    assert(cli("database", "update", "udb")._1 == 2)
+    // unknown database is an API error (exit 1)
+    assert(cli("database", "update", "ghost",
+      "--backups-enabled", "true")._1 == 1)
+    assert(cli("database", "delete", "udb")._1 == 0)
+  }
+
   test("path segments are percent-encoded: URL-meaningful names round-trip") {
     // a space would make URI.create throw (opaque transport error); a '#'
     // would silently truncate the path at the fragment; '?' would turn
