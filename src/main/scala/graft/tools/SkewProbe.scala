@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Dev utility: run named SparkEntry queries at a given SF dir and report,
   * per query, the wall time and the WORST hottest-task/fair-share ratio
@@ -12,38 +12,49 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf1 runMain graft.tools.SkewProbe \
   *   p03_dedup_minhash p05_ngram_jaccard ...
+  *
+  * The measurement machinery lives in [[SkewProbe.Probe]] so sibling
+  * tools (AsofSweep's width sweep, the 100x probes) reuse the exact same
+  * listener/ratio/funnel methodology instead of reimplementing a
+  * subtly-different one.
   */
 object SkewProbe {
-  def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val names = if (args.nonEmpty) args.toSeq else Seq(
-      "p03_dedup_minhash", "p05_ngram_jaccard", "p37_dup_spans",
-      "p71_span_removal", "p92_containment_dedup", "p97_sentence_dedup")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+
+  /** Session config shared by every probing tool: SPARK_GRAFT_SKEW_AQE=0
+    * probes the STATIC plan — AQE's runtime broadcast conversion rewrites
+    * small late-iteration joins into local shuffle reads whose per-task
+    * accounting (each task reads whole map outputs, half the tasks read
+    * nothing) fakes a ~2x "skew" that is not a key-distribution property
+    * (the r11 p108 adjudication); at real scale those exchanges are far
+    * above the broadcast threshold and the static shape is what executes.
+    * Tiny-exchange coalescing is always off: what we probe is the KEY
+    * distribution, and folding everything into one task reads as fake
+    * skew. */
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // SPARK_GRAFT_SKEW_AQE=0 probes the STATIC plan: AQE's runtime
-      // broadcast conversion rewrites small late-iteration joins into
-      // local shuffle reads whose per-task accounting (each task reads
-      // whole map outputs, half the tasks read nothing) fakes a ~2x
-      // "skew" that is not a key-distribution property (the r11 p108
-      // adjudication); at real scale those exchanges are far above the
-      // broadcast threshold and the static shape is what executes.
       .config("spark.sql.adaptive.enabled",
         if (sys.env.get("SPARK_GRAFT_SKEW_AQE").contains("0")) "false"
         else "true")
-      // what we probe is the KEY distribution: tiny-exchange coalescing
-      // would fold everything into one task and read as fake skew
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
+  /** One registered listener + the ratio/funnel report, reusable across
+    * queries: `run(label, df)` executes the plan against the noop sink
+    * (count() would let Catalyst prune every expensive projection — the
+    * Bench lesson) and prints one SKEW line. */
+  final class Probe(spark: SparkSession, cpus: Int) {
     // keyed by (stageId, attempt): a re-submitted stage otherwise merges
     // two attempts' reads under one id and halves the apparent ratio
-    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-    val taskReads = new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.util.concurrent.ConcurrentLinkedQueue[Long]]()
-    val listener = new SparkListener {
+    private val stageName =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    private val taskReads = new java.util.concurrent.ConcurrentHashMap[
+      (Int, Int), java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         if (e.taskMetrics != null)
           taskReads.computeIfAbsent((e.stageId, e.stageAttemptId),
@@ -51,15 +62,11 @@ object SkewProbe {
             .add(e.taskMetrics.shuffleReadMetrics.recordsRead)
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         stageName.put(e.stageInfo.stageId, e.stageInfo.name.takeWhile(_ != '\n'))
-    }
-    spark.sparkContext.addSparkListener(listener)
+    })
 
-    names.foreach { n =>
+    def run(label: String, df: => DataFrame): Unit = {
       taskReads.clear()
       val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune every
-      // expensive projection out of the plan (the Bench lesson)
-      val df = graft.SparkEntry.queries(n)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500) // listener bus is async
@@ -90,10 +97,10 @@ object SkewProbe {
           val reads = q.asScala.toSeq
           val total = reads.sum
           val carrying = reads.count(_ > 0)
-          (stage, att, total, reads.max.toDouble * cpus.toInt / total,
+          (stage, att, total, reads.max.toDouble * cpus / total,
             carrying, reads)
       }
-      val (narrow, wide) = judged.partition(_._5 < cpus.toInt)
+      val (narrow, wide) = judged.partition(_._5 < cpus)
       val (funnels, suspects) = narrow.partition(_._3 <= funnelBound)
       val keyed = wide ++ suspects
       val worstStr = if (keyed.isEmpty) "n/a (no heavy shuffle)"
@@ -102,7 +109,7 @@ object SkewProbe {
         else s" funnel_stages=${funnels.size}(maxTotal=${funnels.map(_._3).max})") +
         (if (suspects.isEmpty) ""
          else s" OVERSIZED_FUNNELS=${suspects.size}(maxTotal=${suspects.map(_._3).max})")
-      println(f"SKEW $n%-24s wall=${secs}%7.2fs " +
+      println(f"SKEW $label%-24s wall=${secs}%7.2fs " +
         f"heavy_stages=${judged.size}%-3d worst_task_over_fair=$worstStr" +
         funnelStr)
       // SPARK_GRAFT_SKEW_DETAIL=1: per-stage breakdown, hottest first, so
@@ -118,6 +125,17 @@ object SkewProbe {
               stageName.getOrDefault(stage, "?").take(60))
         }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "p03_dedup_minhash", "p05_ngram_jaccard", "p37_dup_spans",
+      "p71_span_removal", "p92_containment_dedup", "p97_sentence_dedup")
+    val spark = session(cpus)
+    val probe = new Probe(spark, cpus.toInt)
+    names.foreach(n => probe.run(n, graft.SparkEntry.queries(n)(spark, dir)))
     spark.stop()
   }
 }
