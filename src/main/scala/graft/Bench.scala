@@ -73,8 +73,11 @@ object Bench {
     val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
     // the isolating PARENT never touches Spark — every measurement runs in
     // a child JVM, and an idle parent session would be exactly the kind of
-    // resident state the mode exists to exclude
+    // resident state the mode exists to exclude (a child whose ONLY filter
+    // matches nothing also never builds one — stop() must not force it)
+    var sparkStarted = false
     lazy val spark = {
+      sparkStarted = true
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .appName("graft-bench")
@@ -357,7 +360,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
       }
-    if (!isolate) spark.stop()
+    if (sparkStarted) spark.stop()
     if (regressions.nonEmpty &&
         sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
       System.err.println(s"[bench] regressions outside noise band: " +
@@ -409,8 +412,10 @@ private[graft] object BenchIsolate {
   /** Fork one child for `k` and parse its line; any failure (spawn,
     * non-zero exit, unparseable output) degrades to (-1, 0) like every
     * in-process per-query failure — never an abort that loses the other
-    * queries' results. */
-  def measure(k: String, runs: Int): (Double, Double) = {
+    * queries' results. `extraEnv` overlays the inherited environment
+    * (BenchPrevSpec's end-to-end fork pin points the child at sf0.001). */
+  def measure(k: String, runs: Int,
+      extraEnv: Map[String, String] = Map.empty): (Double, Double) = {
     import scala.jdk.CollectionConverters._
     try {
       val cmd = childCommand(sys.props("java.home"),
@@ -419,6 +424,7 @@ private[graft] object BenchIsolate {
         sys.props("java.class.path"))
       val pb = new ProcessBuilder(cmd.asJava)
       val env = pb.environment()
+      extraEnv.foreach { case (k2, v) => env.put(k2, v) }
       env.put("SPARK_GRAFT_BENCH_ONLY", k)
       env.put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
       // a child never recurses, never writes the sidecar, never turns a

@@ -102,6 +102,26 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(!Bench.unjudgeable(-1.0, 0.0))
   }
 
+  test("isolation fork end-to-end: a real child JVM measures one query") {
+    // the pure pins below cover parsing and command shape; this covers
+    // the ProcessBuilder plumbing itself — env overlay, classpath
+    // inheritance from the forked test JVM, stdout capture — with ONE
+    // cheap query at sf0.001 so the fork costs seconds, not minutes
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "testdata not present")
+    val (v, s) = BenchIsolate.measure("q02_filter_agg", 1, Map(
+      "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_CPUS" -> "8"))
+    assert(v > 0, s"isolated child returned $v")
+    assert(v < 60, s"q02 at sf0.001 took $v s — fork plumbing suspect")
+    assert(s >= 0)
+    // an unknown query name yields the degrade-to-(-1) path, not a throw
+    val (bad, _) = BenchIsolate.measure("no_such_query", 1, Map(
+      "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_CPUS" -> "8"))
+    assert(bad == -1.0)
+  }
+
   test("isolation child output parsing and command shape") {
     // the LAST parseable line carrying the key wins; logging noise,
     // partial lines, and other-key lines are skipped
