@@ -487,12 +487,30 @@ object Dedup {
     * assert the O(log n) bound on deep path graphs). */
   def dupClustersWithRounds(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val s = saltWidth(pairs)
+    // ONE execution of the (potentially expensive) pairs lineage. The
+    // loop seeds `edges` from it and the final labels' isolated-node
+    // anti-join references it twice more — without this checkpoint each
+    // of those references re-executes the whole upstream plan (for
+    // p18/p108 that is the full LSH pair generation; the r12 100x probe
+    // measured the re-runs at ~670 s of p108's 2,040 s static wall, and
+    // the bench line paid pair-gen up to 3x per evaluation). The pair
+    // rows are freed as soon as the two small derivatives below have
+    // materialized from them.
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     // canonical edge direction: u (larger) -> v (smaller)
-    var edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("u"),
-        least(col("a"), col("b")).as("v"))
+    var edges = p0
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
       .distinct().localCheckpoint()
+    // every id the pair set mentions (self-pairs included) — the labels
+    // step needs it for isolated nodes; |distinct ids| << |pairs|, so
+    // checkpointing it and freeing the pair rows keeps the loop's
+    // resident footprint at edges + this id list
+    val allIds = p0.select(col("id_a").as("id"))
+      .union(p0.select(col("id_b").as("id")))
+      .distinct().localCheckpoint()
+    unpersistCheckpoint(p0)
     var fingerprint = (-1L, 0L)
     var rounds = 0
     var converged = false
@@ -567,8 +585,7 @@ object Dedup {
     // themselves
     val labels = edges.select(col("u").as("id"), col("v").as("cluster"))
       .union(edges.select(col("v").as("id"), col("v").as("cluster")))
-      .union(pairs.select(col("id_a").as("id")) // isolated self-pairs
-        .union(pairs.select(col("id_b").as("id"))).distinct()
+      .union(allIds // isolated self-pairs
         .join(edges.select(col("u").as("id"))
           .union(edges.select(col("v").as("id"))).distinct(), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("cluster")))
