@@ -42,7 +42,8 @@ object Bench {
     // rewrite made this the largest-output entry (11k pairs) with no
     // bench line — a regression in the variant-join plan was invisible
     "p85_fuzzy_titles",        // edit-distance (SymSpell) title dedup
-    "s05_asof_join")           // bucketed as-of join (r11)
+    "s05_asof_join",           // bucketed as-of join (r11)
+    "s06_range_join")          // binned keyless range join (r12)
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the

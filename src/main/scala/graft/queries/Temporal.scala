@@ -231,12 +231,46 @@ object Temporal {
       |FROM ranked WHERE rn = 1
       |ORDER BY purchase_id""".stripMargin
 
+  /** Keyless range join ([[graft.operators.RangeJoin]]): every purchase
+    * tagged with the error-storm windows `[error.ts, error.ts + 10 min)`
+    * it falls into — NO shared key between the sides, the join Catalyst
+    * would otherwise plan as a nested-loop/cartesian. Runs the binned
+    * equi-join plan (10-minute buckets) so the 100 TB shape is what the
+    * oracle checks; PlanShapeSpec pins the plan nested-loop-free and
+    * OperatorsSpec pins bucketed == naive across widths. */
+  def s06RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    graft.operators.RangeJoin.pointInInterval(purchases, windows,
+        "p_ts", "w_start", "w_end", bucket = 600L)
+      .select(col("purchase_id"), col("error_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("w_start"))
+      .orderBy(col("purchase_id"), col("error_id"))
+  }
+
+  /** Independent formulation: the plain inequality join (fine at oracle
+    * scale; the quadratic shape the operator exists to avoid). */
+  val s06Oracle: String =
+    """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS w_start
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON e.ts <= p.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+      |ORDER BY purchase_id, error_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "s01_tumbling_window" -> (s01Tumbling _),
     "s02_sliding_window" -> (s02Sliding _),
     "s03_session_window" -> (s03Session _),
     "s04_interval_join" -> (s04IntervalJoin _),
     "s05_asof_join" -> (s05AsofJoin _),
+    "s06_range_join" -> (s06RangeJoin _),
     "m01_query_metrics" -> (m01QueryMetrics _),
     "m02_query_counts" -> (m02QueryCounts _),
     "m03_query_metrics_approx" -> (m03QueryMetricsApprox _))
@@ -247,6 +281,7 @@ object Temporal {
     "s03_session_window" -> s03Oracle,
     "s04_interval_join" -> s04Oracle,
     "s05_asof_join" -> s05Oracle,
+    "s06_range_join" -> s06Oracle,
     "m01_query_metrics" -> m01Oracle,
     "m02_query_counts" -> m02Oracle)
 }
