@@ -264,6 +264,41 @@ object Temporal {
       |  ON e.ts <= p.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
       |ORDER BY purchase_id, error_id""".stripMargin
 
+  /** Interval-overlap variant of [[graft.operators.RangeJoin]]: every
+    * error-storm window `[error.ts, +10 min)` paired with every signup
+    * window `[signup.ts, +15 min)` it overlaps — still keyless, and the
+    * variant with the duplicate hazard (a pair shares every bucket its
+    * overlap covers); the operator emits each pair only from the bucket
+    * owning `greatest(start_a, start_b)`, so a hash mismatch here would
+    * catch BOTH a missed pair and a double-emitted one. */
+  def s07IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("e_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("e_end"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts").as("s_start"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("s_end"))
+    graft.operators.RangeJoin.intervalOverlap(errors, signups,
+        "e_start", "e_end", "s_start", "s_end", bucket = 600L)
+      .select(col("error_id"), col("signup_id"),
+        date_format(col("e_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("error_ts"),
+        date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_ts"))
+      .orderBy(col("error_id"), col("signup_id"))
+  }
+
+  /** Independent formulation: plain inequality join on the half-open
+    * overlap predicate, no binning, no owner-bucket dedup. */
+  val s07Oracle: String =
+    """SELECT e.event_id AS error_id, s.event_id AS signup_id,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+      |  strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON e.ts < s.ts + INTERVAL 15 MINUTE
+      | AND s.ts < e.ts + INTERVAL 10 MINUTE
+      |ORDER BY error_id, signup_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "s01_tumbling_window" -> (s01Tumbling _),
     "s02_sliding_window" -> (s02Sliding _),
@@ -271,6 +306,7 @@ object Temporal {
     "s04_interval_join" -> (s04IntervalJoin _),
     "s05_asof_join" -> (s05AsofJoin _),
     "s06_range_join" -> (s06RangeJoin _),
+    "s07_interval_overlap" -> (s07IntervalOverlap _),
     "m01_query_metrics" -> (m01QueryMetrics _),
     "m02_query_counts" -> (m02QueryCounts _),
     "m03_query_metrics_approx" -> (m03QueryMetricsApprox _))
@@ -282,6 +318,7 @@ object Temporal {
     "s04_interval_join" -> s04Oracle,
     "s05_asof_join" -> s05Oracle,
     "s06_range_join" -> s06Oracle,
+    "s07_interval_overlap" -> s07Oracle,
     "m01_query_metrics" -> m01Oracle,
     "m02_query_counts" -> m02Oracle)
 }
