@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-analysis hot path. The HOF
+  * formulations in [[graft.operators.TextAnalysis]] are correct and
+  * oracle-replayable, but interpreted lambda bodies pay per-element
+  * closure dispatch and get no common-subexpression elimination — the
+  * sf0.1 lexical-diversity entry spent ~3 s almost entirely inside
+  * them. A single static kernel does the same sort + run-length walk in
+  * one pass per row and stays inside whole-stage codegen (same pattern
+  * as [[JsonExpressions]]/[[StringExpressions]]).
+  *
+  * Bitwise compatibility is the design constraint, not a side effect:
+  * the DuckDB oracle hash-compares every double, so the kernel
+  * reproduces the HOF's exact float-op sequence — Σp² folds run over
+  * run lengths in SORTED symbol order (code-point order == UTF-8 byte
+  * order == Spark's binary string sort), each term computed as
+  * (n/total)*(n/total) and added left-to-right from a 0.0 seed.
+  * OperatorsSpec pins kernel == HOF on real documents and random
+  * adversaries.
+  */
+object TextExpressions {
+
+  /** Per-document lexical-diversity bundle over a text column: char and
+    * word counts, type-token ratio, Simpson (1 − Σp²) concentration for
+    * chars and words, and top-symbol mass — the whole
+    * [[graft.operators.TextAnalysis.lexicalDiversity]] row in ONE pass.
+    * Chars are code points of the raw text; words are the canonical
+    * normalization (trim spaces, lowercase, collapse \s+, split on
+    * ' ', drop empties). */
+  case class LexicalDiversity(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LexicalDiversity.schema
+    override def nullable: Boolean = true
+    override def prettyName: String = "lexical_diversity"
+
+    override protected def nullSafeEval(x: Any): Any =
+      TextOps.lexicalDiversity(x.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        x => s"graft.functions.TextOps.lexicalDiversity($x)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object LexicalDiversity {
+    val schema: StructType = StructType(Seq(
+      StructField("n_chars_d", LongType, nullable = false),
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_word_types", LongType, nullable = false),
+      StructField("ttr", DoubleType, nullable = false),
+      StructField("simpson_char", DoubleType, nullable = false),
+      StructField("simpson_word", DoubleType, nullable = false),
+      StructField("top_char_frac", DoubleType, nullable = false),
+      StructField("top_word_frac", DoubleType, nullable = false)))
+  }
+}
+
+/** Static kernels called from generated code (top-level object with
+  * JVM-static methods, for janino). */
+object TextOps {
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Code-point order on strings — identical to UTF-8 byte order, i.e.
+    * to Spark's `array_sort` on StringType (UTF8String binary compare)
+    * and DuckDB's default `list_sort`. Java's String.compareTo is
+    * UTF-16-unit order, which DIFFERS above the BMP — not used. */
+  private val cpOrder: java.util.Comparator[String] =
+    new java.util.Comparator[String] {
+      override def compare(a: String, b: String): Int = {
+        var i = 0
+        var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i)
+          val cb = b.codePointAt(j)
+          if (ca != cb) return Integer.compare(ca, cb)
+          i += Character.charCount(ca)
+          j += Character.charCount(cb)
+        }
+        Integer.compare(a.length - i, b.length - j)
+      }
+    }
+
+  /** (types, 1 − Σp², maxRun/total) over runs of a sorted sequence,
+    * folding in run (= sorted-symbol) order with the HOF's exact op
+    * sequence. `eq(i, j)` compares positions of the sorted sequence. */
+  private def runStats(n: Int, eq: (Int, Int) => Boolean): (Long, Double, Double) = {
+    if (n == 0) return (0L, 0.0, 0.0)
+    val total = n.toDouble
+    var acc = 0.0
+    var types = 0L
+    var maxRun = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && eq(i, j)) j += 1
+      val run = j - i
+      val p = run.toDouble / total
+      acc += p * p
+      if (run > maxRun) maxRun = run
+      types += 1L
+      i = j
+    }
+    (types, 1.0 - acc, maxRun.toDouble / total)
+  }
+
+  def lexicalDiversity(text: UTF8String): InternalRow = {
+    // chars: code points of the RAW text, sorted (int sort == the
+    // HOF's array_sort over single-code-point strings)
+    val s = text.toString
+    var nCp = 0
+    var i = 0
+    while (i < s.length) { i += Character.charCount(s.codePointAt(i)); nCp += 1 }
+    val cps = new Array[Int](nCp)
+    i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps)
+    val (_, simpsonChar, topCharFrac) = runStats(nCp, (a, b) => cps(a) == cps(b))
+
+    // words: UTF8String.trim/toLowerCase are EXACTLY Spark's
+    // trim()/lower(); then the canonical \s+ collapse and space split
+    // with Java's limit=-1 trailing-empty behavior, empties dropped
+    val lowered = text.trim().toLowerCase.toString
+    val parts = WS.matcher(lowered).replaceAll(" ").split(" ", -1)
+    var nW = 0
+    var pi = 0
+    while (pi < parts.length) { if (parts(pi).length > 0) nW += 1; pi += 1 }
+    val words = new Array[String](nW)
+    pi = 0
+    k = 0
+    while (pi < parts.length) {
+      if (parts(pi).length > 0) { words(k) = parts(pi); k += 1 }
+      pi += 1
+    }
+    java.util.Arrays.sort(words, cpOrder)
+    val (wordTypes, simpsonWord, topWordFrac) =
+      runStats(nW, (a, b) => words(a) == words(b))
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nCp.toLong, nW.toLong, wordTypes,
+        if (nW == 0) 0.0 else wordTypes.toDouble / nW.toDouble,
+        if (nCp == 0) 0.0 else simpsonChar,
+        if (nW == 0) 0.0 else simpsonWord,
+        if (nCp == 0) 0.0 else topCharFrac,
+        if (nW == 0) 0.0 else topWordFrac))
+  }
+}

@@ -237,6 +237,24 @@ object TextAnalysis {
     * O(len · distinct) per row, linear in corpus size and embarrassingly
     * parallel at 100 TB. */
   def lexicalDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // One-pass native kernel ([[graft.functions.TextExpressions.LexicalDiversity]]);
+    // `inline(array(...))` evaluates the expression ONCE per row and
+    // spreads the struct into columns — eight top-level GetStructField
+    // projections would rely on codegen CSE to avoid 8 evaluations,
+    // inline makes the single evaluation structural. The HOF
+    // formulation below stays as the spec's independent twin.
+    val ld = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TextExpressions.LexicalDiversity(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol))))
+    df.select(col(idCol), inline(array(ld)))
+  }
+
+  /** The original higher-order-function formulation of
+    * [[lexicalDiversity]] — same columns, same float-op order, built
+    * from Spark built-ins only. Kept as the independent equivalence twin
+    * the spec pins the native kernel against (and as the reference for
+    * WHY the fold order is what it is). */
+  private[graft] def lexicalDiversityHof(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // Symbol counts via RUN LENGTHS of the sorted array — O(L log L) per
     // row. The first cut scanned the array once per DISTINCT symbol
     // (O(L·D) inside interpreted lambda HOFs) and cost 6.1 s on the

@@ -1025,6 +1025,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(k2 == Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("lexicalDiversity native kernel == HOF twin, bitwise, on hostile texts") {
+    // the kernel replaces the HOF formulation in the oracle-gated p99
+    // path; every double must be BITWISE equal, not approximately —
+    // that is the property the DuckDB hash-compare relies on
+    val r = new scala.util.Random(0xBEEF)
+    val hostile = Seq(
+      "", " ", "   \t\n  ", "a", "  mixed   CASE  wOrds  a a  A ",
+      "tabs\there\tand\nnewlines\r\nmixed", "ünïcödé tëxt æøå ünïcödé",
+      "日本語のテキスト 日本語 テキスト", "emoji 😀 pair 😀😁",
+      "punct!!! ... ??? (parens) [brackets] {braces}",
+      "a".repeat(500), ("xy " * 200).trim) ++
+      (0 until 40).map { _ =>
+        val syms = Seq("word", "Word", "WORD", "a", "bb", "ccc", "!", "123",
+          "\t", "  ", "ü", "é́")
+        Seq.fill(r.nextInt(40))(syms(r.nextInt(syms.length))).mkString(" ")
+      }
+    val df = hostile.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def dump(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(row => row.getLong(0) ->
+        ((1 to 3).map(row.getLong).toList,
+         (4 to 8).map(i => java.lang.Double.doubleToRawLongBits(row.getDouble(i))).toList)).toMap
+    val fast = dump(TextAnalysis.lexicalDiversity(df, "text", "doc_id"))
+    val hof = dump(TextAnalysis.lexicalDiversityHof(df, "text", "doc_id"))
+    assert(fast.keySet == hof.keySet)
+    fast.foreach { case (id, v) => assert(v == hof(id), s"doc $id: $v vs ${hof(id)}") }
+  }
+
   test("lexicalDiversity matches a naive in-memory computation on random texts") {
     val r = new scala.util.Random(0xD1CEL)
     val texts = (0 until 60).map { i =>
