@@ -1037,22 +1037,32 @@ object TextAnalysis {
         s"transform(sequence(0, size(__ws) - $n), q -> struct(q AS q, $gramExpr AS gram))"))
         .as("__w"))
       .select(col(idCol), col("__w.q").as("q"), col("__w.gram").as("gram"))
-    val removedPos = cutWindows(wins)
+    // One row per AFFECTED doc carrying its removed-position set —
+    // |removed positions| rows into the aggregation, not |corpus words|.
+    // The first cut pos-exploded EVERY word of EVERY doc through a
+    // word-level shuffle and re-collected each doc (collect_list +
+    // array_sort); at 100 TB that re-shuffles the whole corpus to excise
+    // a sparse set of spans. Here the only aggregation is over removed
+    // positions, the join back is doc-level (broadcastable exactly when
+    // removals are sparse — the normal decontamination case; AQE makes
+    // that call at runtime), and the rebuild is a per-row walk of the
+    // doc's own word array: array_except(positions, removed) keeps
+    // first-array order, so the survivors come out in document order
+    // with no sort and its hash-set build makes the walk O(L + |rm|).
+    val removedSets = cutWindows(wins)
       .select(col(idCol), explode(expr(s"sequence(q, q + ${n - 1})")).as("p"))
-      .distinct()
-    val allWords = base.select(col(idCol),
-      posexplode(col("__ws")).as(Seq("p", "__word")))
-    val rebuilt = allWords.join(removedPos, Seq(idCol, "p"), "left_anti")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__kept"),
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(p, __word))), x -> x.__word)"))
+      .agg(collect_set(col("p")).as("__rm"))
+    base.join(removedSets, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        when(col("__rm").isNull, lit(0L))
+          .otherwise(size(col("__rm")).cast("long")).as("n_removed"),
+        when(col("__rm").isNull, concat_ws(" ", col("__ws")))
+          .otherwise(concat_ws(" ", expr(
+            "transform(array_except(sequence(0, size(__ws) - 1), __rm)," +
+              " p -> element_at(__ws, p + 1))")))
           .as("kept_text"))
-    base.select(col(idCol), size(col("__ws")).cast("long").as("n_words"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_words"),
-        (col("n_words") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
 
