@@ -162,6 +162,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p89 lost its partial aggregation:\n$plan")
   }
 
+  test("span-removal rebuild never pos-explodes the corpus words (p71, p110)") {
+    // the r12 rewrite: the only Generate nodes explode WINDOWS (gram
+    // positions) and removed-position sequences; the rebuild itself is a
+    // per-row array_except walk after a doc-level join. A posexplode of
+    // __ws (one output row per corpus WORD, then re-collected) is the
+    // shape that re-shuffles the whole corpus to excise sparse spans —
+    // pin it out of both span-removal plans
+    Seq("p71_span_removal", "p110_surgical_decon").foreach { q =>
+      val plan = formatted(q)
+      assert(!plan.contains("posexplode"),
+        s"$q rebuilds via a word-level posexplode again:\n" +
+          plan.linesIterator.filter(_.contains("Generate")).mkString("\n"))
+      assert(plan.contains("array_except"),
+        s"$q lost the per-row array_except rebuild")
+    }
+  }
+
   test("p113's bucketed join plans zero exchanges (co-located sort-merge)") {
     // both sides are bucketBy(8, doc_id) tables and the join is hinted
     // merge: the SMJ must consume the on-disk bucketing directly — any
