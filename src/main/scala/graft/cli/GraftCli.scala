@@ -41,7 +41,13 @@ class GraftCli(out: PrintStream, err: PrintStream,
 
   private val mapper = new ObjectMapper()
 
-  def run(args: Seq[String]): Int = args.toList match {
+  def run(args: Seq[String]): Int =
+    try dispatch(args)
+    catch { // seg() rejects names with '/' before any request is built
+      case e: IllegalArgumentException => err.println(e.getMessage); 2
+    }
+
+  private def dispatch(args: Seq[String]): Int = args.toList match {
     case "status" :: Nil => status()
     case "database" :: rest => database(rest)
     case "backup" :: rest => backup(rest)
@@ -165,13 +171,24 @@ class GraftCli(out: PrintStream, err: PrintStream,
   }
 
   /** Percent-encode one URL path segment: a database/user/key name with a
-    * space, '?', '#', '/' or non-ASCII must reach the server as THAT
-    * segment — not make URI.create throw (an opaque `transport:` error)
-    * or silently change which route matches. URLEncoder is form-encoding,
-    * so its '+'-for-space needs the path-encoding fixup. */
+    * space, '?', '#' or non-ASCII must reach the server as THAT segment —
+    * not make URI.create throw (an opaque `transport:` error) or silently
+    * change which route matches. NOTE '/' is NOT protected: the server
+    * routes on URI.getPath, which decodes %2F back to '/' before segment
+    * splitting (HttpApi.scala), so a name containing '/' still splits into
+    * extra segments — we reject those client-side below. URLEncoder is
+    * form-encoding, so its '+'-for-space needs the path-encoding fixup. */
   private def seg(s: String): String =
-    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    java.net.URLEncoder.encode(noSlash(s), java.nio.charset.StandardCharsets.UTF_8)
       .replace("+", "%20")
+
+  private def noSlash(s: String): String = {
+    if (s.contains("/"))
+      throw new IllegalArgumentException(
+        s"name may not contain '/': $s (the server decodes %2F before " +
+          "routing, so it cannot survive as one path segment)")
+    s
+  }
 
   /** `db[/branch]` → (db, branch), branch defaulting to main — the
     * reference's splitDatabasePath path convention for backup verbs. */
@@ -209,8 +226,10 @@ class GraftCli(out: PrintStream, err: PrintStream,
     }
 
   private def database(rest: List[String]): Int = rest match {
+    // reject '/' at create too: a body-created name containing '/' could
+    // never be addressed again by the path verbs (seg rejects it there)
     case "create" :: name :: Nil =>
-      render(call("POST", "/v1/databases", s"""{"name":${jstr(name)}}""")) {
+      render(call("POST", "/v1/databases", s"""{"name":${jstr(noSlash(name))}}""")) {
         _ => out.println(s"Database created"); card(Seq("Name" -> name))
       }
     case "list" :: Nil =>

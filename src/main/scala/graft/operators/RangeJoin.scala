@@ -109,7 +109,7 @@ object RangeJoin {
     intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__guard", assert_true(be - bs < lit(max.toLong),
-        concat(lit(s"range-join interval spans >= $max buckets of width " +
+        concat(lit(s"range-join interval spans > $max buckets of width " +
           s"$bucket (raise the width or maxBucketsPerInterval): start="),
           col(startCol).cast("string"), lit(" end="),
           col(endCol).cast("string"))))

@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * `copies` scales the replication (r12: copies=100 builds the ~500k-doc
   * corpus the 100x p03/p108 probes run on — same dup-group shape, every
-  * 7th seed doc now a 100-member exact-dup group). CAVEAT at copies>2:
+  * 7th seed doc now a 100-member exact-dup group). CAVEAT when
+  * copies * shift > 100000 (shift ≈ 5k at sf0.1, so roughly copies>20):
   * the id space grows past 100000, which collides with p92's synthesized
   * quote-doc ids (doc_id + 100000, behind its loud collision guard) — a
-  * >10x corpus is for the dedup/CC probes, not for p92. `tables` is a
+  * 100x corpus is for the dedup/CC probes, not for p92. `tables` is a
   * comma list (default all) so a documents-only 100x build doesn't pay
   * for 10M events.
   */

@@ -103,6 +103,19 @@ class GraftCliSpec extends AnyFunSuite {
     assert(!cli("database", "list")._2.contains(name))
   }
 
+  test("names containing '/' are rejected client-side (usage error)") {
+    // percent-encoding cannot protect '/': the server routes on
+    // URI.getPath, which decodes %2F back to '/' before segment
+    // splitting — so the CLI refuses before any request is built
+    val (rc, _, errS) = cli("database", "create", "a/b")
+    assert(rc == 2, errS)
+    assert(errS.contains("may not contain '/'"), errS)
+    // `db/branch` positional args still split fine (dbPath runs first)
+    assert(cli("database", "create", "slashdb")._1 == 0)
+    assert(cli("backup", "list", "slashdb/main")._1 == 0)
+    assert(cli("database", "delete", "slashdb")._1 == 0)
+  }
+
   test("backup create / list / show / restore / delete against real data") {
     assert(cli("database", "create", "bdb")._1 == 0)
     val q = """{"queries":[{"id":"q1","statement":

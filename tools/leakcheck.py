@@ -74,6 +74,12 @@ def main() -> int:
                         continue
                     line_no = text.count("\n", 0, m.start()) + 1
                     line = lines[line_no - 1].strip()
+                    # explicit per-line opt-out for fixtures that cannot
+                    # embed an RFC-2606 marker inside the matched text
+                    # (r12 advice); the annotation itself stays visible
+                    # in the file for audit
+                    if "leakcheck: allow" in line:
+                        continue
                     rel = path.relative_to(ROOT)
                     hits[name].append(f"{rel}:{line_no}: {line[:120]}")
     commit = subprocess.run(
