@@ -145,4 +145,23 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(cmd.containsSlice(Seq("-cp", "/cp/classes:/cp/spark.jar")))
     assert(cmd.last == "graft.Bench")
   }
+
+  test("instruments never cross-gate: latestRoundFile picks per mode") {
+    def f(n: String) = new java.io.File(n)
+    val files = Seq(f("BENCH_r11.json"), f("BENCH_r12.json"),
+      f("BENCH_ISOLATED_r12.json"), f("BENCH_ISOLATED_r12b.json"),
+      f("BENCH_LAST.json"), f("CORRECTNESS_r12.json"), f("notes.md"))
+    // in-process mode sees only BENCH_r{N}, newest round
+    assert(BenchPrev.latestRoundFile(files, isolate = false)
+      .map(_.getName).contains("BENCH_r12.json"))
+    // isolate mode sees only BENCH_ISOLATED_*, and the same-round
+    // re-measure suffix (r12b) supersedes the base artifact (r12)
+    assert(BenchPrev.latestRoundFile(files, isolate = true)
+      .map(_.getName).contains("BENCH_ISOLATED_r12b.json"))
+    // a newer round beats any suffix of an older one
+    assert(BenchPrev.latestRoundFile(
+      files :+ f("BENCH_ISOLATED_r13.json"), isolate = true)
+      .map(_.getName).contains("BENCH_ISOLATED_r13.json"))
+    assert(BenchPrev.latestRoundFile(Nil, isolate = true).isEmpty)
+  }
 }
