@@ -29,7 +29,12 @@ import org.apache.spark.sql.types.{DataType, NumericType, TimestampNTZType, Time
   * (the same dial [[Asof.joinBucketed]] exposes). A pathological
   * interval spanning the whole corpus would replicate into every bucket
   * — [[maxBucketsPerInterval]] fails that loudly inside the executors
-  * rather than silently materializing it.
+  * rather than silently materializing it. A genuinely skewed bucket (a
+  * burst concentrating ~10x+ a fair task share in one bucket) is AQE
+  * skew-join territory, demonstrated — not assumed — by
+  * [[graft.tools.SkewSplitProbe]]: the final adaptive plan rewrites to
+  * `SortMergeJoin(skew=true)` and splits the straggler partition
+  * (SCALE.md "r13 probe: AQE skew-split on s07" has the numbers).
   *
   * The interval-overlap variant needs one more idea: a pair of
   * intervals shares EVERY bucket their overlap covers, so a naive

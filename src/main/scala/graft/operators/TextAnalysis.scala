@@ -1045,7 +1045,10 @@ object TextAnalysis {
     // a sparse set of spans. Here the only aggregation is over removed
     // positions, the join back is doc-level (broadcastable exactly when
     // removals are sparse — the normal decontamination case; AQE makes
-    // that call at runtime), and the rebuild is a per-row walk of the
+    // that call at runtime, and the DENSE adversary is probed, not
+    // assumed: at 40% contaminated docs the fallback is a doc-keyed
+    // SortMergeJoin at worst-task ~1.05 — density moves volume, not
+    // skew; tools/DenseSpanProbe + SCALE.md r13), and the rebuild is a per-row walk of the
     // doc's own word array: array_except(positions, removed) keeps
     // first-array order, so the survivors come out in document order
     // with no sort and its hash-set build makes the walk O(L + |rm|).

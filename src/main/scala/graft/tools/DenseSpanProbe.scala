@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev utility: probe the span-removal rebuild's NON-sparse adversary
+  * (r12 judge ask #4). The r12 doc-level rebuild argues its removed-sets
+  * join is "broadcastable exactly when removals are sparse — AQE makes
+  * that call at runtime"; this probes what actually happens when
+  * removals are DENSE: 30–50% of docs carry removals, the realistic
+  * contamination disaster where a boilerplate span that quotes eval data
+  * sits in much of the corpus (the eval SET stays tiny — that invariant
+  * is real: eval benchmarks are small — it is the corpus-side HIT RATE
+  * that explodes).
+  *
+  * Construction, on the Synth10x corpus: a fixed 13-word boilerplate
+  * sentence is spliced into `densityPct`% of docs (start, middle and end,
+  * so each affected doc's removed set is ~3 windows' worth of positions);
+  * the eval set is that one sentence. For each density (sparse control
+  * 1%, then the dense points) and each join regime:
+  *
+  *   - AQE natural: what Spark actually picks for the removed-sets join
+  *     at probe bytes (expect broadcast while the set fits, and the
+  *     printed final-plan join lines SHOW the choice);
+  *   - broadcast OFF: the 100 TB shape where the removed-sets table has
+  *     outgrown any broadcast budget — the fallback is a plain doc-keyed
+  *     shuffled join, and the SKEW line shows whether that shuffle is
+  *     sane (doc_id is a well-distributed key, so it should sit at ~1.0x).
+  *
+  * Printed per run: affected-doc count/fraction, removed-position total
+  * (the removed-sets table's two size axes), the final adaptive plan's
+  * join lines for the rebuild, and the shared [[SkewProbe.Probe]] SKEW
+  * line.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf1_synth \
+  *   runMain graft.tools.DenseSpanProbe [densityPct...]  (default 1 40)
+  */
+object DenseSpanProbe {
+  private val boiler = "this dataset is provided under the synthetic " +
+    "probe licence and must retain this exact notice text"
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1_synth")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val densities = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 40)
+    val spark = SkewProbe.session(cpus)
+    val probe = new SkewProbe.Probe(spark, cpus.toInt)
+
+    val lastPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = lastPlan.set(qe.executedPlan.toString)
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
+
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    import spark.implicits._
+    val evalGrams = Seq(boiler).toDF("text")
+      .select(lit(0L).as("doc_id"), col("text"))
+    val evalShingles = graft.operators.Dedup
+      .wordShingles(evalGrams, "text", "doc_id", 13)
+      .select(col("gram")).distinct()
+
+    densities.foreach { pct =>
+      // splice the boilerplate at start, middle and end of each marked doc
+      val marked = col("doc_id") % 100 < pct
+      val ws = split(col("text"), " ")
+      val corpus = docs.withColumn("text",
+        when(marked, concat_ws(" ",
+          lit(boiler),
+          concat_ws(" ", slice(ws, lit(1), (size(ws) / 2).cast("int"))),
+          lit(boiler),
+          concat_ws(" ", expr("slice(split(text, ' '), " +
+            "cast(size(split(text, ' ')) / 2 + 1 as int), 1000000)")),
+          lit(boiler)))
+          .otherwise(col("text")))
+
+      def removal = graft.operators.TextAnalysis.removeContaminatedSpans(
+        corpus, evalShingles, "text", "doc_id", 13)
+
+      // size axes of the removed-sets table, outside the timing
+      val affected = removal.filter(col("n_removed") > 0)
+        .agg(count(lit(1)).as("docs"), sum(col("n_removed")).as("pos"))
+        .head()
+      println(f"DENSE pct=$pct%-3d affected_docs=${affected.getLong(0)} " +
+        f"(${affected.getLong(0) * 100.0 / nDocs}%.1f%% of $nDocs) " +
+        s"removed_positions=${affected.getLong(1)}")
+
+      def joinLines(): Unit = lastPlan.get().linesIterator
+        .filter(l => l.contains("Join") && !l.contains("reused"))
+        .take(4).foreach(l => println(s"  PLAN | ${l.trim.take(110)}"))
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      removal.write.format("noop").mode("overwrite").save() // warmup
+      probe.run(s"dense${pct}_aqe", removal)
+      joinLines()
+
+      // the 100 TB regime: removed-sets outgrew every broadcast budget
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      removal.write.format("noop").mode("overwrite").save()
+      probe.run(s"dense${pct}_shuffle", removal)
+      joinLines()
+    }
+    spark.stop()
+  }
+}
