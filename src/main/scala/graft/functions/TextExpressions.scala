@@ -60,6 +60,69 @@ object TextExpressions {
       StructField("top_char_frac", DoubleType, nullable = false),
       StructField("top_word_frac", DoubleType, nullable = false)))
   }
+
+  /** xxhash64 of every n-word window of a word array, as one
+    * Array[Long] — the shingle generator under p34/p37/p45 and friends,
+    * which the r13 StageProfile showed spending 43–74% of those lines'
+    * CPU inside the interpreted `transform(sequence(...), i ->
+    * xxhash64(element_at...))` lambda (per-element closure dispatch, no
+    * CSE). Bitwise-identical to Spark's `xxhash64(w_i, ..., w_{i+n-1})`
+    * BY CONSTRUCTION: that expression folds seed 42 through
+    * XXH64.hashUTF8String word by word, and this kernel runs the same
+    * fold in compiled bytecode ([[TextOps.gramHashes]]); the HOF twin
+    * stays in [[graft.operators.TextAnalysis]] and OperatorsSpec pins
+    * kernel == HOF on hostile inputs. */
+  case class WordGramHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"need n >= 1: $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "word_gram_hashes"
+
+    override protected def nullSafeEval(x: Any): Any =
+      TextOps.gramHashes(
+        x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        x => s"graft.functions.TextOps.gramHashes($x, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Per n-word window: struct(gram = xxhash64 of all n words, prefix =
+    * xxhash64 of the first n−1) — the n-gram LM shape. The sequential
+    * xxhash64 fold makes the prefix hash an INTERMEDIATE of the gram
+    * hash, so the kernel computes both in one pass at half the HOF
+    * twin's hash work, bitwise-equal to evaluating the two xxhash64
+    * calls separately (hash(w_1..w_n) = step(hash(w_1..w_{n-1}), w_n)
+    * is the fold's definition, not an approximation). */
+  case class WordGramPrefixHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 2, s"need n >= 2 for a conditional LM: $n")
+    override def dataType: DataType =
+      ArrayType(WordGramPrefixHashes.elem, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "word_gram_prefix_hashes"
+
+    override protected def nullSafeEval(x: Any): Any =
+      TextOps.gramPrefixHashes(
+        x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        x => s"graft.functions.TextOps.gramPrefixHashes($x, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object WordGramPrefixHashes {
+    val elem: StructType = StructType(Seq(
+      StructField("gram", LongType, nullable = false),
+      StructField("prefix", LongType, nullable = false)))
+  }
 }
 
 /** Static kernels called from generated code (top-level object with
@@ -67,6 +130,64 @@ object TextExpressions {
 object TextOps {
 
   private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  // the expressions' children are `words(text)` arrays (split output):
+  // elements are never null in practice, but Spark's xxhash64 SKIPS a
+  // null input (hash unchanged) — match that exactly rather than NPE
+  private def step(h: Long, w: UTF8String): Long =
+    if (w == null) h
+    else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(w, h)
+
+  /** xxhash64(w_i, ..., w_{i+n-1}) for every window start i; empty when
+    * the array holds fewer than n words (explode then drops the row,
+    * matching the HOF lineage's `where(size >= n)`). */
+  def gramHashes(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = words.numElements()
+    val m = len - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val ws = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { ws(i) = words.getUTF8String(i); i += 1 }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 42L // xxhash64's default seed
+      var j = 0
+      while (j < n) { h = step(h, ws(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** struct(gram, prefix) hashes per window — one fold yields both. */
+  def gramPrefixHashes(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = words.numElements()
+    val m = len - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val ws = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { ws(i) = words.getUTF8String(i); i += 1 }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < n - 1) { h = step(h, ws(i + j)); j += 1 }
+      val prefix = h
+      val gram = step(h, ws(i + n - 1))
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](gram, prefix))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Code-point order on strings — identical to UTF-8 byte order, i.e.
     * to Spark's `array_sort` on StringType (UTF8String binary compare)

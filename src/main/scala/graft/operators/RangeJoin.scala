@@ -95,7 +95,7 @@ object RangeJoin {
     * land outside `[bucket(start), bucket(end)]`. Numerics go through
     * `floor(x / w)` in doubles (exact for |x| < 2^53; epoch seconds are
     * ~2^31). */
-  private def bucketOf(dt: DataType, c: Column, w: Long): Column = dt match {
+  private[graft] def bucketOf(dt: DataType, c: Column, w: Long): Column = dt match {
     case TimestampType | TimestampNTZType =>
       floor(unix_timestamp(c.cast(TimestampType)) / w).cast("long")
     case _: NumericType => floor(c.cast("double") / w).cast("long")
@@ -106,7 +106,7 @@ object RangeJoin {
   /** One row per (interval, covered bucket). Empty intervals drop;
     * an interval covering more than `max` buckets raises in-executor
     * (assert_true) instead of silently replicating corpus-wide. */
-  private def exploded(intervals: DataFrame, startCol: String,
+  private[graft] def exploded(intervals: DataFrame, startCol: String,
       endCol: String, bucket: Long, max: Int): DataFrame = {
     val dt = intervals.schema(startCol).dataType
     val bs = bucketOf(dt, col(startCol), bucket)
@@ -123,7 +123,7 @@ object RangeJoin {
       .drop("__guard")
   }
 
-  private def requireDisjoint(a: DataFrame, b: DataFrame): Unit = {
+  private[graft] def requireDisjoint(a: DataFrame, b: DataFrame): Unit = {
     val shared = a.columns.toSet.intersect(b.columns.toSet)
     require(shared.isEmpty,
       s"range-join sides must have disjoint columns; shared: " +

@@ -499,8 +499,23 @@ object TextAnalysis {
     * become likely; even at 10^12 distinct grams the expected number of
     * colliding PAIRS is ~3·10^4 — a relative error of ~10^-8 on dup
     * counts, far below the sampling noise of any corpus-quality signal. */
-  private def wordGramHashes(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def wordGramHashes(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1: $n")
+    // native kernel (r13): the interpreted transform/xxhash64 lambda was
+    // 43–74% of p37/p45's CPU (StageProfile); the kernel runs the same
+    // seed-42 fold in compiled bytecode and OperatorsSpec pins it
+    // bitwise against [[wordGramHashesHof]] below
+    val arr = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TextExpressions.WordGramHashes(
+        org.apache.spark.sql.GraftSqlBridge.expression(words(col(textCol))), n))
+    df.select(col(idCol), explode(arr).as("gram"))
+  }
+
+  /** The HOF formulation of [[wordGramHashes]] — the independent
+    * equivalence twin OperatorsSpec pins the native kernel against. */
+  private[graft] def wordGramHashesHof(df: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1: $n")
     val gramHash = (0 until n).map(j => s"element_at(__ws, i + 1 + $j)")
       .mkString(", ")
@@ -584,7 +599,24 @@ object TextAnalysis {
     * [[wordGramHashes]]): the shape an n-gram language model needs —
     * `gram` keys the joint count, `prefix` keys the context count, and
     * conditional probability is their ratio. */
-  private def wordGramPrefixHashes(df: DataFrame, textCol: String,
+  private[graft] def wordGramPrefixHashes(df: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"need n >= 2 for a conditional LM: $n")
+    // native kernel (r13): one seed-42 fold yields BOTH hashes (the
+    // prefix hash is an intermediate of the gram hash), half the HOF
+    // twin's hash work and no interpreted lambda; bitwise pin in
+    // OperatorsSpec against [[wordGramPrefixHashesHof]]
+    val arr = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TextExpressions.WordGramPrefixHashes(
+        org.apache.spark.sql.GraftSqlBridge.expression(words(col(textCol))), n))
+    df.select(col(idCol), explode(arr).as("__g"))
+      .select(col(idCol), col("__g.gram").as("gram"),
+        col("__g.prefix").as("prefix"))
+  }
+
+  /** The HOF formulation of [[wordGramPrefixHashes]] — the independent
+    * equivalence twin OperatorsSpec pins the native kernel against. */
+  private[graft] def wordGramPrefixHashesHof(df: DataFrame, textCol: String,
       idCol: String, n: Int): DataFrame = {
     require(n >= 2, s"need n >= 2 for a conditional LM: $n")
     val gramHash = (0 until n).map(j => s"element_at(__ws, i + 1 + $j)")

@@ -127,6 +127,59 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming twin of the batch keyless range join
+    * ([[graft.operators.RangeJoin.pointInInterval]], s06): tag each
+    * point event at INGEST with every active interval containing it —
+    * "which incident windows was this purchase inside?" answered as the
+    * events arrive instead of in a nightly batch.
+    *
+    * Same plan as the batch operator, streamified: intervals explode
+    * STATELESSLY into the buckets they cover (identical binning code —
+    * [[graft.operators.RangeJoin.exploded]], including the loud
+    * in-executor guard on corpus-spanning intervals), points hash to one
+    * bucket, and the stream-stream join is an ordinary EQUI-join on the
+    * bucket id plus the exact containment predicate — so the symmetric
+    * hash join's state is partitioned by the same time-uniform bucket
+    * ids that spread the batch shuffle.
+    *
+    * State is bounded on BOTH sides by construction: the containment
+    * predicate lower-bounds the point against the interval's
+    * watermarked start (`start <= pt`), and the exploded() guard upper-
+    * bounds interval length at (maxBucketsPerInterval + 1) * bucket
+    * seconds, which the join condition states explicitly
+    * (`pt < start + that`) — implied by `pt < end`, so it drops no
+    * real match, but it gives the engine the two-sided event-time
+    * range it needs to expire interval state at the watermark and
+    * point state symmetrically. Each side's store holds only its
+    * watermark-deep tail; an interval's footprint is its ≤ max+1
+    * bucket copies, exactly the batch replication factor.
+    *
+    * Batch DataFrames run the same code unwatermarked (Catalyst plans
+    * the plain equi-join); StreamingSpec proves stream == batch ==
+    * RangeJoin.pointInInterval on wave-boundary adversaries. Timestamp
+    * columns only — a stream needs event time. */
+  def rangeTagging(points: DataFrame, intervals: DataFrame,
+      ptCol: String, startCol: String, endCol: String,
+      bucket: Long = 600L, maxBucketsPerInterval: Int = 64,
+      watermark: String = "12 hours"): DataFrame = {
+    import graft.operators.RangeJoin
+    RangeJoin.requireDisjoint(points, intervals)
+    val p0 = if (points.isStreaming) points.withWatermark(ptCol, watermark)
+      else points
+    val iv0 = if (intervals.isStreaming)
+      intervals.withWatermark(startCol, watermark) else intervals
+    val pts = p0.withColumn("__bk",
+      RangeJoin.bucketOf(p0.schema(ptCol).dataType, col(ptCol), bucket))
+    val ivs = RangeJoin.exploded(iv0, startCol, endCol, bucket,
+      maxBucketsPerInterval)
+    val lenBound = (maxBucketsPerInterval.toLong + 1L) * bucket
+    pts.join(ivs,
+        pts("__bk") === ivs("__bk") &&
+          col(startCol) <= col(ptCol) && col(ptCol) < col(endCol) &&
+          col(ptCol) < col(startCol) + expr(s"INTERVAL $lenBound SECONDS"))
+      .drop("__bk")
+  }
+
   case class UserAgg(user_id: Long, events: Long, total: Double)
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)

@@ -1053,6 +1053,59 @@ class OperatorsSpec extends AnyFunSuite {
     fast.foreach { case (id, v) => assert(v == hof(id), s"doc $id: $v vs ${hof(id)}") }
   }
 
+  test("wordGramHashes native kernels == HOF twins, bitwise, on hostile texts") {
+    // the kernels replace the interpreted transform/xxhash64 shingle
+    // under p34/p37/p45 (and the LM family); every long must equal the
+    // HOF's exactly — same seed-42 fold, same row multiset (the kernel
+    // emits an empty array where the HOF's where(size >= n) drops the
+    // row, so explode converges to the same rows)
+    val r = new scala.util.Random(0xA11CE)
+    val hostile = Seq(
+      "", " ", "one", "one two", "one two three",
+      "  mixed   CASE  wOrds  a a  A ",
+      "tabs\there\tand\nnewlines\r\nmixed",
+      "ünïcödé tëxt æøå ünïcödé tëxt", "日本語 の テキスト 日本語 の",
+      "emoji 😀 pair 😀😁 emoji 😀", "a a a a a a a a",
+      ("xy " * 50).trim) ++
+      (0 until 40).map { _ =>
+        val syms = Seq("word", "Word", "WORD", "a", "bb", "ccc", "!", "123",
+          "ü", "é́", "😀")
+        Seq.fill(r.nextInt(30))(syms(r.nextInt(syms.length))).mkString(" ")
+      }
+    val df = hostile.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      def dumpG(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(x => (x.getLong(0), x.getLong(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      assert(dumpG(TextAnalysis.wordGramHashes(df, "text", "doc_id", n)) ==
+        dumpG(TextAnalysis.wordGramHashesHof(df, "text", "doc_id", n)),
+        s"gram hashes diverge at n=$n")
+    }
+    for (n <- Seq(2, 3, 5)) {
+      def dumpP(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      assert(dumpP(TextAnalysis.wordGramPrefixHashes(df, "text", "doc_id", n)) ==
+        dumpP(TextAnalysis.wordGramPrefixHashesHof(df, "text", "doc_id", n)),
+        s"gram/prefix hashes diverge at n=$n")
+    }
+    // a null text drops its row in both lineages
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, "a b c"),
+        org.apache.spark.sql.Row(1L, null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    assert(TextAnalysis.wordGramHashes(withNull, "text", "doc_id", 2)
+      .collect().map(_.getLong(0)).toSet == Set(0L))
+    assert(TextAnalysis.wordGramPrefixHashes(withNull, "text", "doc_id", 2)
+      .collect().map(_.getLong(0)).toSet == Set(0L))
+  }
+
   test("lexicalDiversity matches a naive in-memory computation on random texts") {
     val r = new scala.util.Random(0xD1CEL)
     val texts = (0 until 60).map { i =>

@@ -265,6 +265,93 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming range tagging == batch RangeJoin on wave-boundary adversaries") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val M = 60000L
+    def ev(id: Long, tsMs: Long, tpe: String) =
+      EventStreams.EventRow(id, new java.sql.Timestamp(tsMs), id, tpe, 1.0, "{}")
+    // error -> 10-minute incident window [ts, ts+10m); purchase -> point
+    val wave1 = Seq(
+      ev(1, 60 * M, "error"),        // window [60m, 70m)
+      ev(100, 65 * M, "purchase"),   // inside, same wave
+      ev(101, 120 * M, "purchase"),  // matched by wave 2's error window
+      ev(102, 300 * M, "purchase"))  // never inside any window
+    val wave2 = Seq(
+      // late-but-inside-watermark point against wave 1's INTERVAL state
+      ev(103, 62 * M, "purchase"),
+      // late interval whose window contains wave 1's POINT 101
+      ev(2, 118 * M, "error"),       // window [118m, 128m)
+      ev(999, 10000 * M, "click"))   // watermark push
+    def pointsOf(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    def winsOf(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.rangeTagging(pointsOf(ms.toDF()), winsOf(ms.toDF()),
+        "p_ts", "w_start", "w_end", bucket = 600L, watermark = "1 hour")
+      .writeStream.format("memory").queryName("range_tags")
+      .outputMode("append").start()
+    try {
+      ms.addData(wave1); q.processAllAvailable()
+      ms.addData(wave2); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT purchase_id, error_id FROM range_tags").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((100L, 1L), (103L, 1L), (101L, 2L)))
+      // the batch operator (s06) agrees on the same rows — and so does
+      // the twin run in BATCH mode (one code path, two engines)
+      val all = (wave1 ++ wave2).toDF()
+      val batch = graft.operators.RangeJoin.pointInInterval(
+          pointsOf(all), winsOf(all), "p_ts", "w_start", "w_end",
+          bucket = 600L)
+        .select("purchase_id", "error_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      val twinBatch = EventStreams.rangeTagging(pointsOf(all), winsOf(all),
+          "p_ts", "w_start", "w_end", bucket = 600L)
+        .select("purchase_id", "error_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == twinBatch)
+      // bounded state: watermark (10000m - 60m) is far past every real
+      // event, so both sides' stores must have expired the early rows —
+      // only the watermark-deep tail (the sentinel era) may remain
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 8, s"range-tagging state not expiring: $stateRows rows")
+    } finally q.stop()
+  }
+
+  test("streaming range tagging converges to the batch twin on the full events table") {
+    val src = EventStreams.source(spark, eventsDir)
+    def pointsOf(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    def winsOf(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val q = EventStreams.rangeTagging(pointsOf(src), winsOf(src),
+        "p_ts", "w_start", "w_end", bucket = 600L)
+      .writeStream.format("memory").queryName("range_tags_full")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT purchase_id, error_id FROM range_tags_full").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = Tables.load(spark, SparkTestSession.sfDir, "events")
+      val batch = graft.operators.RangeJoin.pointInInterval(
+          pointsOf(ev), winsOf(ev), "p_ts", "w_start", "w_end", bucket = 600L)
+        .select("purchase_id", "error_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch join pairs") {
     val src = EventStreams.source(spark, eventsDir)
     val q = EventStreams.clickAttribution(src, src)
