@@ -299,9 +299,14 @@ object Bench {
     // so the recorded noise band is useless for NEXT round's gate. For
     // those, prefer the re-measure when it is TIGHTER and its min is not
     // a genuine regression on the first pass; regression-flagged lines
-    // keep the plain better-min rule (contention self-heal).
+    // keep the plain better-min rule (contention self-heal). r13 widens
+    // the trigger from s > v to the [[unjudgeable]] predicate itself:
+    // the r12b isolated window published 8 vacuous bands (short lines
+    // whose child-JVM JIT tail spreads 0.3-0.9 s on a sub-1.5 s min) that
+    // s > v never retried — in isolate mode a retry is a SECOND fresh
+    // JVM sample, and the tighter of the two bands is the honest one.
     val spreadFlagged = firstPass.collect {
-      case (k, (v, s)) if v >= 0 && s > v => k
+      case (k, (v, s)) if v >= 0 && unjudgeable(v, s) => k
     }.toSet
     val retriedPairs = firstPass.collect {
       case (k, old @ (v, s)) if firstFlagged(k) || spreadFlagged(k) =>

@@ -180,6 +180,50 @@ object EventStreams {
       .drop("__bk")
   }
 
+  /** Streaming twin of the batch interval-overlap join
+    * ([[graft.operators.RangeJoin.intervalOverlap]], s07): emit each
+    * (left, right) interval pair that overlaps, duplicate-free, as the
+    * intervals arrive — "which signup windows overlapped this incident?"
+    * at ingest. Both sides explode statelessly into their covered
+    * buckets; the stream-stream equi-join on bucket ids plus the exact
+    * overlap predicate pairs candidates; the owner-bucket filter
+    * (`__bk == bucket(greatest(ls, rs))` — both sides provably cover
+    * that bucket, exactly one bucket owns it) keeps the output exact
+    * WITHOUT a dedup exchange, in a stream where a `dropDuplicates`
+    * would itself be more state. State eviction needs the two-sided
+    * event-time range stated explicitly: the exploded() guard bounds
+    * every interval at (max+1)*bucket seconds, so `rs < ls + bound` and
+    * `ls < rs + bound` are implied by the overlap predicate and drop no
+    * real pair, while giving the symmetric hash join the watermark
+    * bounds to expire both stores. */
+  def overlapTagging(left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucket: Long = 600L, maxBucketsPerInterval: Int = 64,
+      watermark: String = "12 hours"): DataFrame = {
+    import graft.operators.RangeJoin
+    RangeJoin.requireDisjoint(left, right)
+    val dt = left.schema(leftStart).dataType
+    val l0 = if (left.isStreaming) left.withWatermark(leftStart, watermark)
+      else left
+    val r0 = if (right.isStreaming) right.withWatermark(rightStart, watermark)
+      else right
+    val l = RangeJoin.exploded(l0, leftStart, leftEnd, bucket,
+      maxBucketsPerInterval)
+    val r = RangeJoin.exploded(r0, rightStart, rightEnd, bucket,
+      maxBucketsPerInterval)
+    val lenBound = (maxBucketsPerInterval.toLong + 1L) * bucket
+    val bound = expr(s"INTERVAL $lenBound SECONDS")
+    l.join(r,
+        l("__bk") === r("__bk") &&
+          col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&
+          col(rightStart) < col(leftStart) + bound &&
+          col(leftStart) < col(rightStart) + bound)
+      .filter(l("__bk") ===
+        RangeJoin.bucketOf(dt, greatest(col(leftStart), col(rightStart)), bucket))
+      .drop("__bk")
+  }
+
   case class UserAgg(user_id: Long, events: Long, total: Double)
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)

@@ -282,7 +282,10 @@ class StreamingSpec extends AnyFunSuite {
       ev(103, 62 * M, "purchase"),
       // late interval whose window contains wave 1's POINT 101
       ev(2, 118 * M, "error"),       // window [118m, 128m)
-      ev(999, 10000 * M, "click"))   // watermark push
+      // per-SIDE watermark sentinels (each side only sees its own type);
+      // the sentinel point sits outside the sentinel window
+      ev(998, 10000 * M, "error"),     // window [10000m, 10010m)
+      ev(999, 10020 * M, "purchase"))  // matches nothing
     def pointsOf(df: org.apache.spark.sql.DataFrame) =
       df.where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
@@ -291,8 +294,11 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("event_id").as("error_id"), col("ts").as("w_start"),
           (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventRow]
+    // maxBucketsPerInterval = 4: the state-eviction length bound is 50 min
+    // instead of the default's 650, so wave-1 state is evictable in-test
     val q = EventStreams.rangeTagging(pointsOf(ms.toDF()), winsOf(ms.toDF()),
-        "p_ts", "w_start", "w_end", bucket = 600L, watermark = "1 hour")
+        "p_ts", "w_start", "w_end", bucket = 600L,
+        maxBucketsPerInterval = 4, watermark = "1 hour")
       .writeStream.format("memory").queryName("range_tags")
       .outputMode("append").start()
     try {
@@ -316,11 +322,79 @@ class StreamingSpec extends AnyFunSuite {
         .select("purchase_id", "error_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(streamed == twinBatch)
-      // bounded state: watermark (10000m - 60m) is far past every real
-      // event, so both sides' stores must have expired the early rows —
-      // only the watermark-deep tail (the sentinel era) may remain
+      // REAL expiry: the sentinel watermark (≈9940m) is far past every
+      // wave-1/2 row + the 50 min length bound, so only the sentinel
+      // era's rows (1 point + ≤ 2 window buckets) may remain
       val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
-      assert(stateRows <= 8, s"range-tagging state not expiring: $stateRows rows")
+      assert(stateRows <= 4, s"range-tagging state not expiring: $stateRows rows")
+    } finally q.stop()
+  }
+
+  test("streaming overlap tagging == batch RangeJoin.intervalOverlap, duplicate-free") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val M = 60000L
+    def ev(id: Long, tsMs: Long, tpe: String) =
+      EventStreams.EventRow(id, new java.sql.Timestamp(tsMs), id, tpe, 1.0, "{}")
+    // error -> 10m window, signup -> 15m window; overlaps span bucket
+    // boundaries (600 s buckets) so the owner-bucket dedup is exercised
+    val wave1 = Seq(
+      ev(1, 60 * M, "error"),     // [60m, 70m)
+      ev(500, 55 * M, "signup"),  // [55m, 70m) — overlaps 1 across 2 buckets
+      ev(501, 200 * M, "signup")) // [200m, 215m) — matched by wave 2's error
+    val wave2 = Seq(
+      ev(2, 62 * M, "error"),     // late: [62m, 72m) overlaps 500 AND 1's era
+      ev(3, 210 * M, "error"),    // [210m, 220m) overlaps held 501
+      // per-SIDE watermark sentinels (the join's watermark is the min
+      // across both inputs, and each side only sees its own type);
+      // disjoint windows so the sentinels pair with nothing
+      ev(998, 10000 * M, "error"),    // [10000m, 10010m)
+      ev(999, 10020 * M, "signup"))   // [10020m, 10035m)
+    def errsOf(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    def signupsOf(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("ts").as("s_start"),
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("s_end"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventRow]
+    // maxBucketsPerInterval = 4 keeps the state-eviction length bound at
+    // 50 min (not the default 64 -> 650 min), so the wave-1 rows are
+    // actually evictable inside this test's horizon
+    val q = EventStreams.overlapTagging(errsOf(ms.toDF()), signupsOf(ms.toDF()),
+        "w_start", "w_end", "s_start", "s_end", bucket = 600L,
+        maxBucketsPerInterval = 4, watermark = "1 hour")
+      .writeStream.format("memory").queryName("overlap_tags")
+      .outputMode("append").start()
+    try {
+      ms.addData(wave1); q.processAllAvailable()
+      ms.addData(wave2); q.processAllAvailable()
+      // duplicate-free: collect as a LIST and assert no pair repeats
+      val streamedList = spark.sql(
+        "SELECT error_id, signup_id FROM overlap_tags").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(streamedList.distinct.size == streamedList.size,
+        s"owner-bucket dedup failed in-stream: $streamedList")
+      val streamed = streamedList.toSet
+      assert(streamed == Set((1L, 500L), (2L, 500L), (3L, 501L)))
+      val all = (wave1 ++ wave2).toDF()
+      val batch = graft.operators.RangeJoin.intervalOverlap(
+          errsOf(all), signupsOf(all), "w_start", "w_end",
+          "s_start", "s_end", bucket = 600L)
+        .select("error_id", "signup_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      val twinBatch = EventStreams.overlapTagging(errsOf(all), signupsOf(all),
+          "w_start", "w_end", "s_start", "s_end", bucket = 600L)
+        .select("error_id", "signup_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == twinBatch)
+      // REAL expiry: the sentinel watermark (≈9940m) is far past every
+      // wave-1/2 window + the 50 min length bound, so only the sentinel
+      // era's exploded rows (≤ 2 + 3 buckets) may remain in the stores
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 5, s"overlap-tagging state not expiring: $stateRows rows")
     } finally q.stop()
   }
 
