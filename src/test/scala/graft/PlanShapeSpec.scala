@@ -179,6 +179,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("gram shingles run in the native kernel, not interpreted HOFs (p34, p37, p45)") {
+    // the r13 port: the scan-stage shingle must be the codegen'd
+    // word_gram_hashes / word_gram_prefix_hashes expression — an
+    // interpreted transform(sequence(...), i -> xxhash64(...)) lambda
+    // in these plans is the 43-74%-of-CPU shape StageProfile measured
+    // and the kernel exists to remove
+    Seq("p34_repetition" -> "word_gram_hashes",
+        "p37_dup_spans" -> "word_gram_hashes",
+        "p45_lm_score" -> "word_gram_prefix_hashes").foreach {
+      case (q, kernel) =>
+        val plan = formatted(q)
+        assert(plan.contains(kernel), s"$q lost the $kernel kernel")
+        assert(!plan.contains("transform(sequence"),
+          s"$q shingles via an interpreted HOF lambda again:\n" +
+            plan.linesIterator.filter(_.contains("transform"))
+              .mkString("\n"))
+    }
+  }
+
   test("p113's bucketed join plans zero exchanges (co-located sort-merge)") {
     // both sides are bucketBy(8, doc_id) tables and the join is hinted
     // merge: the SMJ must consume the on-disk bucketing directly — any
