@@ -123,6 +123,113 @@ object TextExpressions {
       StructField("gram", LongType, nullable = false),
       StructField("prefix", LongType, nullable = false)))
   }
+
+  /** DISTINCT n-word shingle strings of a word array, first-occurrence
+    * order — the kernel form of [[graft.operators.Dedup.shinglesOf]]'s
+    * `array_distinct(transform(sequence, i -> concat_ws(' ', slice)))`.
+    * Strings are built by `UTF8String.concatWs` (the same routine the
+    * concat_ws expression calls), so equality is byte-exact. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"need n >= 1: $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "word_shingles"
+
+    override protected def nullSafeEval(x: Any): Any =
+      TextOps.shingles(
+        x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"graft.functions.TextOps.shingles($x, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Every n-word window WITH its start position: struct(q, gram) where
+    * gram is the xxhash64 of the window — the span-removal family's
+    * detection shape ([[graft.operators.TextAnalysis]] removeDupSpans). */
+  case class WordGramHashesWithPos(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"need n >= 1: $n")
+    override def dataType: DataType =
+      ArrayType(WordGramHashesWithPos.elem, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "word_gram_hashes_with_pos"
+
+    override protected def nullSafeEval(x: Any): Any =
+      TextOps.gramHashesWithPos(
+        x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        x => s"graft.functions.TextOps.gramHashesWithPos($x, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object WordGramHashesWithPos {
+    val elem: StructType = StructType(Seq(
+      StructField("q", IntegerType, nullable = false),
+      StructField("gram", LongType, nullable = false)))
+  }
+
+  /** struct(q, gram) with the gram as the concat_ws-joined STRING —
+    * the contamination variant (the removed windows must byte-match
+    * eval shingles built by [[WordShingles]]). */
+  case class WordGramStringsWithPos(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"need n >= 1: $n")
+    override def dataType: DataType =
+      ArrayType(WordGramStringsWithPos.elem, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "word_gram_strings_with_pos"
+
+    override protected def nullSafeEval(x: Any): Any =
+      TextOps.gramStringsWithPos(
+        x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        x => s"graft.functions.TextOps.gramStringsWithPos($x, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object WordGramStringsWithPos {
+    val elem: StructType = StructType(Seq(
+      StructField("q", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false)))
+  }
+
+  /** Rebuild a document from the words NOT at a removed position, in
+    * document order — the kernel form of the span-removal rebuild's
+    * `concat_ws(' ', transform(array_except(sequence(0, size-1), __rm),
+    * p -> element_at(__ws, p+1)))`. The removed set builds one hash set
+    * and the walk is O(L + |rm|), same as array_except's — minus three
+    * interpreted lambda layers and two intermediate arrays. */
+  case class RebuildText(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "rebuild_text"
+
+    override protected def nullSafeEval(ws: Any, rm: Any): Any =
+      TextOps.rebuildText(
+        ws.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        rm.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (ws, rm) => s"graft.functions.TextOps.rebuildText($ws, $rm)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
 }
 
 /** Static kernels called from generated code (top-level object with
@@ -161,6 +268,97 @@ object TextOps {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** DISTINCT window strings, first-occurrence order (array_distinct's
+    * order over the transform output). UTF8String equality/hashCode are
+    * byte-exact, so the set dedups exactly like array_distinct. */
+  def shingles(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = words.numElements()
+    val m = len - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val ws = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { ws(i) = words.getUTF8String(i); i += 1 }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val buf = new Array[UTF8String](n)
+    i = 0
+    while (i < m) {
+      System.arraycopy(ws, i, buf, 0, n)
+      seen.add(UTF8String.concatWs(SPACE, buf: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(Array.empty[AnyRef]))
+  }
+
+  /** (q, xxhash64 window) per window start. */
+  def gramHashesWithPos(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = words.numElements()
+    val m = len - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val ws = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { ws(i) = words.getUTF8String(i); i += 1 }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = step(h, ws(i + j)); j += 1 }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i, h))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** (q, concat_ws-joined window string) per window start. */
+  def gramStringsWithPos(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = words.numElements()
+    val m = len - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val ws = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { ws(i) = words.getUTF8String(i); i += 1 }
+    val out = new Array[Any](m)
+    val buf = new Array[UTF8String](n)
+    i = 0
+    while (i < m) {
+      System.arraycopy(ws, i, buf, 0, n)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i, UTF8String.concatWs(SPACE, buf: _*)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Words at positions NOT in `removed`, joined with single spaces in
+    * document order — array_except(sequence, rm) + element_at walk. */
+  def rebuildText(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      removed: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val len = words.numElements()
+    val rm = new java.util.HashSet[Integer]()
+    var i = 0
+    while (i < removed.numElements()) { rm.add(removed.getInt(i)); i += 1 }
+    val kept = new java.util.ArrayList[UTF8String](len)
+    i = 0
+    while (i < len) {
+      if (!rm.contains(i)) kept.add(words.getUTF8String(i))
+      i += 1
+    }
+    UTF8String.concatWs(SPACE, kept.toArray(Array.empty[UTF8String]): _*)
   }
 
   /** struct(gram, prefix) hashes per window — one fold yields both. */

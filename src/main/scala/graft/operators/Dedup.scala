@@ -126,6 +126,20 @@ object Dedup {
     * ([[graft.streaming.DocStreams.contaminationGate]]), so the
     * stream==batch equivalence can't drift. */
   private[graft] def shinglesOf(words: Column, n: Int): Column =
+    // native kernel (r13): the interpreted transform/concat_ws/slice
+    // lambda was the dominant scan cost of every gram consumer
+    // (StageProfile p92a: 44% of CPU in the two shingle scans); same
+    // distinct set, first-occurrence order, byte-exact strings —
+    // OperatorsSpec pins kernel == [[shinglesOfHof]] bitwise
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TextExpressions.WordShingles(
+        org.apache.spark.sql.GraftSqlBridge.expression(words), n))
+
+  /** The HOF formulation of [[shinglesOf]] — the spec's independent
+    * equivalence twin. Unlike the kernel it ERRORS on a words array
+    * shorter than n (descending sequence); callers always filter
+    * `size >= n` first. */
+  private[graft] def shinglesOfHof(words: Column, n: Int): Column =
     array_distinct(transform(sequence(lit(0), size(words) - n),
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
 

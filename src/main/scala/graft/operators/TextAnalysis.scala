@@ -1060,14 +1060,23 @@ object TextAnalysis {
     * twice (r9 review). `winsOf` produces (id, q, gram); `cutWindows`
     * maps it to the (id, q) rows whose spans must go. */
   private def removeSpansCore(df: DataFrame, idCol: String, textCol: String,
-      n: Int, gramExpr: String,
+      n: Int, hashedGrams: Boolean,
       cutWindows: DataFrame => DataFrame): DataFrame = {
     val base = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    // native window kernels (r13): the interpreted transform-struct
+    // lambda dominated p71/p110's scan stages (StageProfile 57%/69%);
+    // hashed windows for the dup detector, byte-exact concat_ws strings
+    // for the contamination variant (they must match WordShingles-built
+    // eval grams); OperatorsSpec pins both == the HOF formulation
+    val winsArr = org.apache.spark.sql.GraftSqlBridge.column(
+      if (hashedGrams)
+        graft.functions.TextExpressions.WordGramHashesWithPos(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("__ws")), n)
+      else
+        graft.functions.TextExpressions.WordGramStringsWithPos(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("__ws")), n))
     val wins = base
-      .where(size(col("__ws")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(__ws) - $n), q -> struct(q AS q, $gramExpr AS gram))"))
-        .as("__w"))
+      .select(col(idCol), explode(winsArr).as("__w"))
       .select(col(idCol), col("__w.q").as("q"), col("__w.gram").as("gram"))
     // One row per AFFECTED doc carrying its removed-position set —
     // |removed positions| rows into the aggregation, not |corpus words|.
@@ -1088,15 +1097,20 @@ object TextAnalysis {
       .select(col(idCol), explode(expr(s"sequence(q, q + ${n - 1})")).as("p"))
       .groupBy(col(idCol))
       .agg(collect_set(col("p")).as("__rm"))
+    // rebuild kernel (r13): same O(L + |rm|) hash-set walk as
+    // array_except's, minus three interpreted lambda layers; untouched
+    // docs (null __rm) take the plain codegen'd concat_ws branch
+    val rebuilt = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TextExpressions.RebuildText(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__ws")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__rm"))))
     base.join(removedSets, Seq(idCol), "left")
       .select(col(idCol),
         size(col("__ws")).cast("long").as("n_words"),
         when(col("__rm").isNull, lit(0L))
           .otherwise(size(col("__rm")).cast("long")).as("n_removed"),
         when(col("__rm").isNull, concat_ws(" ", col("__ws")))
-          .otherwise(concat_ws(" ", expr(
-            "transform(array_except(sequence(0, size(__ws) - 1), __rm)," +
-              " p -> element_at(__ws, p + 1))")))
+          .otherwise(rebuilt)
           .as("kept_text"))
   }
 
@@ -1124,9 +1138,7 @@ object TextAnalysis {
     * bounded by a document's own words. */
   def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
-    val gramHash = (0 until n).map(j => s"element_at(__ws, q + 1 + $j)")
-      .mkString("xxhash64(", ", ", ")")
-    removeSpansCore(df, idCol, textCol, n, gramHash, wins => {
+    removeSpansCore(df, idCol, textCol, n, hashedGrams = true, wins => {
       // one row per (gram, doc) BEFORE the doc-count aggregation
       val perDocGram = wins.select(col("gram"), col(idCol)).distinct()
       val sharedGrams = perDocGram.groupBy(col("gram"))
@@ -1154,13 +1166,10 @@ object TextAnalysis {
     * than one window pass through untouched, fully-contaminated docs
     * come back empty — never dropped, the caller decides. */
   def removeContaminatedSpans(df: DataFrame, evalGrams: DataFrame,
-      textCol: String, idCol: String, n: Int): DataFrame = {
-    val gramStr = (0 until n).map(j => s"element_at(__ws, q + 1 + $j)")
-      .mkString("concat_ws(' ', ", ", ", ")")
-    removeSpansCore(df, idCol, textCol, n, gramStr, wins =>
+      textCol: String, idCol: String, n: Int): DataFrame =
+    removeSpansCore(df, idCol, textCol, n, hashedGrams = false, wins =>
       wins.join(broadcast(evalGrams.select(col("gram")).distinct()),
         Seq("gram"), "left_semi"))
-  }
 
   def crossDocSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {

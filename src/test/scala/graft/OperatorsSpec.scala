@@ -1104,6 +1104,60 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(0L))
     assert(TextAnalysis.wordGramPrefixHashes(withNull, "text", "doc_id", 2)
       .collect().map(_.getLong(0)).toSet == Set(0L))
+
+    // string-side kernels on the same hostile corpus: distinct shingles
+    // (WordShingles vs the HOF twin, ORDER included — array_distinct
+    // keeps first occurrence), the position-window variants (both gram
+    // representations vs the HOF struct-transform the r12 code used),
+    // and the rebuild walk (vs array_except + element_at)
+    val wsDf = df.select(col("doc_id"),
+      expr("split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')")
+        .as("__ws"))
+      .withColumn("__ws", expr("filter(__ws, w -> w != '')"))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val nonDegenerate = wsDf.where(size(col("__ws")) >= n)
+      def rows(c: org.apache.spark.sql.Column) =
+        nonDegenerate.select(col("doc_id"), c.as("out"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      assert(rows(Dedup.shinglesOf(col("__ws"), n)) ==
+        rows(Dedup.shinglesOfHof(col("__ws"), n)),
+        s"shingle kernel diverges at n=$n")
+      val gramHash = (0 until n).map(j => s"element_at(__ws, q + 1 + $j)")
+        .mkString("xxhash64(", ", ", ")")
+      val gramStr = (0 until n).map(j => s"element_at(__ws, q + 1 + $j)")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      def hof(g: String) = expr(
+        s"transform(sequence(0, size(__ws) - $n), q -> struct(q AS q, $g AS gram))")
+      def kern(hashed: Boolean) = org.apache.spark.sql.GraftSqlBridge.column(
+        if (hashed) graft.functions.TextExpressions.WordGramHashesWithPos(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("__ws")), n)
+        else graft.functions.TextExpressions.WordGramStringsWithPos(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("__ws")), n))
+      def posRows(c: org.apache.spark.sql.Column) =
+        nonDegenerate.select(col("doc_id"), explode(c).as("w"))
+          .select(col("doc_id"), col("w.q"), col("w.gram"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSet
+      assert(posRows(kern(true)) == posRows(hof(gramHash)),
+        s"hashed window kernel diverges at n=$n")
+      assert(posRows(kern(false)) == posRows(hof(gramStr)),
+        s"string window kernel diverges at n=$n")
+    }
+    // rebuild: every-third-position removed sets (incl. empty docs)
+    val rmDf = wsDf.where(size(col("__ws")) >= 1)
+      .withColumn("__rm", expr(
+        "filter(transform(sequence(0, size(__ws) - 1), p -> " +
+          "IF(p % 3 = 0, p, -1)), p -> p >= 0)"))
+    def rebuilt(c: org.apache.spark.sql.Column) =
+      rmDf.select(col("doc_id"), c.as("kept"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kernReb = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TextExpressions.RebuildText(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__ws")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__rm"))))
+    val hofReb = concat_ws(" ", expr(
+      "transform(array_except(sequence(0, size(__ws) - 1), __rm)," +
+        " p -> element_at(__ws, p + 1))"))
+    assert(rebuilt(kernReb) == rebuilt(hofReb), "rebuild kernel diverges")
   }
 
   test("lexicalDiversity matches a naive in-memory computation on random texts") {

@@ -174,8 +174,15 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("posexplode"),
         s"$q rebuilds via a word-level posexplode again:\n" +
           plan.linesIterator.filter(_.contains("Generate")).mkString("\n"))
-      assert(plan.contains("array_except"),
-        s"$q lost the per-row array_except rebuild")
+      // r13: the per-row walk is the rebuild_text kernel (same
+      // array_except semantics, compiled); the windows come from the
+      // with-pos kernels instead of an interpreted struct-transform
+      assert(plan.contains("rebuild_text"),
+        s"$q lost the per-row rebuild kernel")
+      assert(plan.contains("_with_pos"),
+        s"$q lost the window kernel")
+      assert(!plan.contains("transform(sequence"),
+        s"$q shingles via an interpreted HOF lambda again")
     }
   }
 
