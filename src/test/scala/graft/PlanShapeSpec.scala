@@ -194,7 +194,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // and the kernel exists to remove
     Seq("p34_repetition" -> "word_gram_hashes",
         "p37_dup_spans" -> "word_gram_hashes",
-        "p45_lm_score" -> "word_gram_prefix_hashes").foreach {
+        "p45_lm_score" -> "word_gram_prefix_hashes",
+        // NOT p05: its gram table localCheckpoints at construction, so
+        // the formatted plan shows a LogicalRDD with the shingle already
+        // materialized inside it — nothing to pin
+        "p94_gram_novelty" -> "word_shingles",
+        "p92a_boilerplate_grams" -> "word_shingles").foreach {
       case (q, kernel) =>
         val plan = formatted(q)
         assert(plan.contains(kernel), s"$q lost the $kernel kernel")
