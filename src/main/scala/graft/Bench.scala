@@ -245,7 +245,7 @@ object Bench {
           (sidecar.toSeq ++ latestRound.toSeq).sortBy(-_.lastModified())
         }
     val prevPick = candidates.view
-      .map(f => f -> nodeOf(f).filter(comparable(_, sfDir)))
+      .map(f => f -> nodeOf(f).filter(comparable(_, sfDir, isolate)))
       .collectFirst { case (f, Some(n)) => (f, n) }
     val prevFile = prevPick.map(_._1).orElse(candidates.headOption)
     val prevComparable = prevPick.map(_._2)
@@ -557,6 +557,10 @@ private[graft] object BenchPrev {
         node.set[com.fasterxml.jackson.databind.node.ObjectNode]("unjudgeable", _))
       "\"sf\":\"([^\"]*)\"".r.findAllMatchIn(tail).toSeq.lastOption
         .foreach(m => node.put("sf", m.group(1)))
+      // instrument label survives truncation too, so a reconstructed
+      // isolated artifact stays usable by an isolated gate
+      "\"isolate\":(true|false)".r.findAllMatchIn(tail).toSeq.lastOption
+        .foreach(m => node.put("isolate", m.group(1).toBoolean))
       node
     }
 
@@ -583,8 +587,20 @@ private[graft] object BenchPrev {
 
   /** A prev recorded at a DIFFERENT scale factor is not comparable —
     * every min would differ by the scale ratio and the "regressions"
-    * list would be pure noise (worse, a strict run would exit non-zero). */
+    * list would be pure noise (worse, a strict run would exit non-zero).
+    * Neither is a prev from the OTHER instrument (r13): the filename
+    * rule keeps the candidate lists apart, but a legacy
+    * isolated-written BENCH_LAST.json or an explicit PREV override
+    * could still cross the streams — so when the node carries its own
+    * "isolate" field it must match the current mode. A node WITHOUT
+    * the field (pre-r12 artifacts, truncated-tail reconstructions) is
+    * accepted only by an in-process run: every unlabeled artifact in
+    * history is in-process, and an isolated gate must never trust one. */
   private[graft] def comparable(n: com.fasterxml.jackson.databind.JsonNode,
-      sfDir: String): Boolean =
-    Option(n.get("sf")).map(_.asText()).contains(sfDir)
+      sfDir: String, isolate: Boolean): Boolean =
+    Option(n.get("sf")).map(_.asText()).contains(sfDir) &&
+      (Option(n.get("isolate")).map(_.asBoolean()) match {
+        case Some(prevIso) => prevIso == isolate
+        case None => !isolate
+      })
 }

@@ -43,8 +43,10 @@ class GraftCli(out: PrintStream, err: PrintStream,
 
   def run(args: Seq[String]): Int =
     try dispatch(args)
-    catch { // seg() rejects names with '/' before any request is built
-      case e: IllegalArgumentException => err.println(e.getMessage); 2
+    catch { // ONLY noSlash()'s rejection — a dedicated type, so unrelated
+      // IllegalArgumentExceptions (incl. NumberFormatException) keep
+      // their stack traces instead of masquerading as usage errors
+      case e: GraftCli.InvalidNameException => err.println(e.getMessage); 2
     }
 
   private def dispatch(args: Seq[String]): Int = args.toList match {
@@ -184,7 +186,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
 
   private def noSlash(s: String): String = {
     if (s.contains("/"))
-      throw new IllegalArgumentException(
+      throw new GraftCli.InvalidNameException(
         s"name may not contain '/': $s (the server decodes %2F before " +
           "routing, so it cannot survive as one path segment)")
     s
@@ -431,8 +433,11 @@ class GraftCli(out: PrintStream, err: PrintStream,
             """[{"effect":"allow","resource":"*","actions":["cluster:manage"]}]""") match {
             case Left(m) => usageError(m)
             case Right(sts) =>
+              // same '/' rejection as database create: a body-created
+              // username with '/' could never be addressed by the path
+              // verbs (show/update/delete seg() it)
               render(call("POST", "/v1/users",
-                s"""{"username":${jstr(flags("username"))},""" +
+                s"""{"username":${jstr(noSlash(flags("username")))},""" +
                   s""""password":${jstr(flags("password"))},""" +
                   s""""statements":$sts}""")) { d =>
                 out.println("User created")
@@ -536,6 +541,11 @@ class GraftCli(out: PrintStream, err: PrintStream,
 }
 
 object GraftCli {
+  /** noSlash()'s rejection — its own type so run()'s catch cannot
+    * swallow unrelated IllegalArgumentExceptions. */
+  private[cli] final class InvalidNameException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** `runMain graft.cli.GraftCli <command> ...`. `serve` starts the
     * in-process server ([[graft.api.Serve]]) and never returns; every
     * other verb is an HTTP client call. Connection resolution: explicit

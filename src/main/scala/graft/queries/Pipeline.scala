@@ -3731,7 +3731,12 @@ object Pipeline {
     String, (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
 
   private def p92HotGrams(s: SparkSession, dir: String): DataFrame = {
-    val (rows, schema) = p92HotMemo.computeIfAbsent(dir, _ => {
+    // key carries the corpus file's mtime: a dir REGENERATED in the same
+    // JVM must rebuild the artifact — a stale hot list would silently
+    // disable the df cap for the new data, the failure mode capGramDf's
+    // params check exists to prevent (r13 review catch)
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified
+    val (rows, schema) = p92HotMemo.computeIfAbsent(s"$dir@$mtime", _ => {
       val hot = Dedup.boilerplateGrams(p92Corpus(s, dir), "text", "doc_id",
         Seq("lang", "source"), n = 3, maxDf = 1000)
       val probed = hot.limit(2000001).collect()

@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * is real: eval benchmarks are small — it is the corpus-side HIT RATE
   * that explodes).
   *
-  * Construction, on the Synth10x corpus: a fixed 13-word boilerplate
-  * sentence is spliced into `densityPct`% of docs (start, middle and end,
-  * so each affected doc's removed set is ~3 windows' worth of positions);
-  * the eval set is that one sentence. For each density (sparse control
+  * Construction, on the Synth10x corpus: a fixed 16-word boilerplate
+  * sentence (4 distinct 13-gram windows) is spliced into `densityPct`%
+  * of docs at start, middle and end — each affected doc's removed set
+  * is ~12 matched windows' worth of positions; the eval set is that one
+  * sentence. For each density (sparse control
   * 1%, then the dense points) and each join regime:
   *
   *   - AQE natural: what Spark actually picks for the removed-sets join
@@ -46,16 +47,7 @@ object DenseSpanProbe {
     val spark = SkewProbe.session(cpus)
     val probe = new SkewProbe.Probe(spark, cpus.toInt)
 
-    val lastPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
-    spark.listenerManager.register(
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(fn: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            ns: Long): Unit = lastPlan.set(qe.executedPlan.toString)
-        override def onFailure(fn: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            e: Exception): Unit = ()
-      })
+    val lastPlan = SkewProbe.lastPlanRef(spark)
 
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))

@@ -43,6 +43,26 @@ object SkewProbe {
     s
   }
 
+  /** FINAL-adaptive-plan capture: registers a QueryExecutionListener on
+    * the session and returns the ref holding the last completed query's
+    * executed-plan string — the only place a runtime AQE decision (skew
+    * split, join strategy change) is visible. Shared by SkewSplitProbe
+    * and DenseSpanProbe so the two capture blocks cannot drift. */
+  def lastPlanRef(spark: SparkSession)
+      : java.util.concurrent.atomic.AtomicReference[String] = {
+    val ref = new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = ref.set(qe.executedPlan.toString)
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
+    ref
+  }
+
   /** One registered listener + the ratio/funnel report, reusable across
     * queries: `run(label, df)` executes the plan against the noop sink
     * (count() would let Catalyst prune every expensive projection — the

@@ -56,18 +56,7 @@ object SkewSplitProbe {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val probe = new SkewProbe.Probe(spark, cpus.toInt)
 
-    // final-adaptive-plan capture: the write's own QueryExecution, after
-    // AQE has re-optimized — the only place a runtime skew split is visible
-    val lastPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
-    spark.listenerManager.register(
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(fn: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            ns: Long): Unit = lastPlan.set(qe.executedPlan.toString)
-        override def onFailure(fn: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            e: Exception): Unit = ()
-      })
+    val lastPlan = SkewProbe.lastPlanRef(spark)
 
     val ev = graft.Tables.load(spark, dir, "events")
     val errWins = ev.filter(col("event_type") === "error")

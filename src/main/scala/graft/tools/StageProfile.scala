@@ -56,6 +56,8 @@ object StageProfile {
     names.foreach { name =>
       def df = graft.SparkEntry.queries(name)(spark, dir)
       df.write.format("noop").mode("overwrite").save() // warmup, untimed
+      Thread.sleep(1500) // drain the async bus BEFORE clearing, or the
+      // warmup's late task-end events pollute the timed profile
       stages.clear(); stageName.clear()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()

@@ -24,7 +24,10 @@ class BenchPrevSpec extends AnyFunSuite {
     val node = BenchPrev.nodeOf(f)
     assert(node.isDefined, "truncated r09 tail must reconstruct")
     val n = node.get
-    assert(BenchPrev.comparable(n, sf01))
+    assert(BenchPrev.comparable(n, sf01, isolate = false))
+    // unlabeled (pre-r12) artifacts are in-process by history — an
+    // isolated gate must never trust one
+    assert(!BenchPrev.comparable(n, sf01, isolate = true))
     // spot-check values against the known r9 numbers
     assert(n.get("queries").get("p78_tfrecord_shards").asDouble() == 0.217)
     assert(n.get("queries").get("p71_span_removal").asDouble() == 1.994)
@@ -37,7 +40,7 @@ class BenchPrevSpec extends AnyFunSuite {
     assume(f.isFile, "BENCH_r10.json not present")
     val node = BenchPrev.nodeOf(f)
     assert(node.isDefined)
-    assert(BenchPrev.comparable(node.get, sf01))
+    assert(BenchPrev.comparable(node.get, sf01, isolate = false))
     assert(node.get.get("queries").get("p78_tfrecord_shards").asDouble() == 1.995)
   }
 
@@ -52,13 +55,13 @@ class BenchPrevSpec extends AnyFunSuite {
     val own = tmpWith(
       """{"metric":"total","value":1.0,"unit":"sec","queries":{"q01":0.5},"spread":{"q01":0.1},"sf":"/root/testdata/sf0.1"}""")
     val n = BenchPrev.nodeOf(own)
-    assert(n.isDefined && BenchPrev.comparable(n.get, sf01))
+    assert(n.isDefined && BenchPrev.comparable(n.get, sf01, isolate = false))
     assert(n.get.get("queries").get("q01").asDouble() == 0.5)
     // a different scale factor is recoverable but NOT comparable
     val otherSf = tmpWith(
       """{"tail":"...,\"queries\":{\"q01\":0.5},\"spread\":{\"q01\":0.1},\"sf\":\"/root/testdata/sf0.01\"}"}""")
     val o = BenchPrev.nodeOf(otherSf)
-    assert(o.isDefined && !BenchPrev.comparable(o.get, sf01))
+    assert(o.isDefined && !BenchPrev.comparable(o.get, sf01, isolate = false))
     // a tail with no recoverable queries object yields None, not a throw
     assert(BenchPrev.nodeOf(tmpWith("""{"tail":"no json here"}""")).isEmpty)
     assert(BenchPrev.nodeOf(tmpWith("not json at all")).isEmpty)
@@ -85,6 +88,20 @@ class BenchPrevSpec extends AnyFunSuite {
     val cut = BenchPrev.reconstructFromTail(
       """...,"queries":{"q01":0.5},"unjudgeable":["p03""")
     assert(cut.isDefined && cut.get.get("unjudgeable") == null)
+  }
+
+  test("instrument label gates comparability, incl. through reconstruction") {
+    val sf = "/root/testdata/sf0.1"
+    // a labeled isolated artifact is comparable ONLY to an isolated run
+    val iso = BenchPrev.reconstructFromTail(
+      s"""...,"queries":{"q01":0.5},"isolate":true,"sf":"$sf"}""").get
+    assert(BenchPrev.comparable(iso, sf, isolate = true))
+    assert(!BenchPrev.comparable(iso, sf, isolate = false))
+    // labeled in-process: only to an in-process run
+    val inp = BenchPrev.reconstructFromTail(
+      s"""...,"queries":{"q01":0.5},"isolate":false,"sf":"$sf"}""").get
+    assert(!BenchPrev.comparable(inp, sf, isolate = true))
+    assert(BenchPrev.comparable(inp, sf, isolate = false))
   }
 
   test("unjudgeable threshold: vacuous bands flagged, wobble floored") {

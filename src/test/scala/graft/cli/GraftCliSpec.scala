@@ -114,6 +114,11 @@ class GraftCliSpec extends AnyFunSuite {
     assert(cli("database", "create", "slashdb")._1 == 0)
     assert(cli("backup", "list", "slashdb/main")._1 == 0)
     assert(cli("database", "delete", "slashdb")._1 == 0)
+    // user create rejects too — a body-created slash user could never be
+    // shown/updated/deleted through the path verbs (r13 review catch)
+    val (rcU, _, errU) =
+      cli("user", "create", "--username", "a/b", "--password", "p")
+    assert(rcU == 2 && errU.contains("may not contain '/'"), errU)
   }
 
   test("backup create / list / show / restore / delete against real data") {
