@@ -164,6 +164,14 @@ object EventStreams {
       watermark: String = "12 hours"): DataFrame = {
     import graft.operators.RangeJoin
     RangeJoin.requireDisjoint(points, intervals)
+    // timestamps only (unlike the batch operator's numeric mode): a
+    // stream needs event time, and the INTERVAL eviction bound below
+    // only type-checks against timestamps — fail with a clear message
+    // instead of an analysis error about interval arithmetic
+    for ((df, c) <- Seq(points -> ptCol, intervals -> startCol))
+      require(df.schema(c).dataType.typeName.startsWith("timestamp"),
+        s"rangeTagging needs timestamp columns, got " +
+          s"${df.schema(c).dataType.simpleString} for $c")
     val p0 = if (points.isStreaming) points.withWatermark(ptCol, watermark)
       else points
     val iv0 = if (intervals.isStreaming)
@@ -203,6 +211,11 @@ object EventStreams {
       watermark: String = "12 hours"): DataFrame = {
     import graft.operators.RangeJoin
     RangeJoin.requireDisjoint(left, right)
+    // timestamps only — same argument as [[rangeTagging]]
+    for ((df, c) <- Seq(left -> leftStart, right -> rightStart))
+      require(df.schema(c).dataType.typeName.startsWith("timestamp"),
+        s"overlapTagging needs timestamp columns, got " +
+          s"${df.schema(c).dataType.simpleString} for $c")
     val dt = left.schema(leftStart).dataType
     val l0 = if (left.isStreaming) left.withWatermark(leftStart, watermark)
       else left
