@@ -168,7 +168,11 @@ object EventStreams {
     // stream needs event time, and the INTERVAL eviction bound below
     // only type-checks against timestamps — fail with a clear message
     // instead of an analysis error about interval arithmetic
-    for ((df, c) <- Seq(points -> ptCol, intervals -> startCol))
+    // ALL event-time columns used in the join condition, not just the
+    // watermarked starts: a numeric/date END column passes a start-only
+    // guard and then dies in opaque interval arithmetic (r13 advice)
+    for ((df, c) <- Seq(points -> ptCol, intervals -> startCol,
+        intervals -> endCol))
       require(df.schema(c).dataType.typeName.startsWith("timestamp"),
         s"rangeTagging needs timestamp columns, got " +
           s"${df.schema(c).dataType.simpleString} for $c")
@@ -211,8 +215,10 @@ object EventStreams {
       watermark: String = "12 hours"): DataFrame = {
     import graft.operators.RangeJoin
     RangeJoin.requireDisjoint(left, right)
-    // timestamps only — same argument as [[rangeTagging]]
-    for ((df, c) <- Seq(left -> leftStart, right -> rightStart))
+    // timestamps only — same argument as [[rangeTagging]], and the
+    // guard covers every event-time column in the join condition
+    for ((df, c) <- Seq(left -> leftStart, left -> leftEnd,
+        right -> rightStart, right -> rightEnd))
       require(df.schema(c).dataType.typeName.startsWith("timestamp"),
         s"overlapTagging needs timestamp columns, got " +
           s"${df.schema(c).dataType.simpleString} for $c")

@@ -77,6 +77,11 @@ object SkewSplitProbe {
       .select(floor(unix_timestamp(col("s_start")) / width).as("bk"))
       .groupBy("bk").count().orderBy(col("bk"))
       .select(col("bk"), col("count")).collect()
+    // a dev probe must fail loudly, not with an opaque index error
+    // on an events corpus that happens to carry no signups (r13 advice)
+    require(bkCounts.nonEmpty,
+      s"no signup events in $dir/events.parquet — the burst adversary " +
+        "needs at least one signup bucket to replicate")
     val (medianBk, medianCnt) = {
       val r = bkCounts(bkCounts.length / 2)
       (r.getLong(0), r.getLong(1))

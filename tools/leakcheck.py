@@ -76,9 +76,11 @@ def main() -> int:
                     line = lines[line_no - 1].strip()
                     # explicit per-line opt-out for fixtures that cannot
                     # embed an RFC-2606 marker inside the matched text
-                    # (r12 advice); the annotation itself stays visible
-                    # in the file for audit
-                    if "leakcheck: allow" in line:
+                    # (r12 advice); the annotation must NAME the detector
+                    # it suppresses (r13 advice) so an opt-out added for
+                    # one fixture class cannot mask a different leak on
+                    # the same line; it stays visible in the file for audit
+                    if f"leakcheck: allow {name}" in line:
                         continue
                     rel = path.relative_to(ROOT)
                     hits[name].append(f"{rel}:{line_no}: {line[:120]}")
