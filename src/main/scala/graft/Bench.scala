@@ -49,7 +49,8 @@ object Bench {
     "p85_fuzzy_titles",        // edit-distance (SymSpell) title dedup
     "s05_asof_join",           // bucketed as-of join (r11)
     "s06_range_join",          // binned keyless range join (r12)
-    "s07_interval_overlap")    // owner-bucket overlap variant (r12)
+    "s07_interval_overlap",    // owner-bucket overlap variant (r12)
+    "p115_leakage_split")      // cluster-atomic split assignment (r14)
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the

@@ -38,6 +38,54 @@ object Sampling {
     if (rate >= 1.0) df
     else df.filter(sampleKey(col(keyCol)) < lit(thresholdHex(rate)))
 
+  /** Leakage-safe train/val/test SPLIT assignment: every member of a
+    * dup/near-dup cluster lands in the SAME split — the standard guard
+    * against eval leakage through near-duplicates, which survives
+    * doc-level dedup (keep-one-per-cluster dedups the corpus, but a
+    * random per-DOC split would still put a kept doc in test while its
+    * near-twin from another feed lands in train).
+    *
+    * Composition of two already-proven pieces: [[Dedup.dupClusters]]
+    * labels every id mentioned in the near-dup `pairs` table with its
+    * connected component's minimum id (the p108 machinery — large-star/
+    * small-star + pointer jump, salted, O(log n) rounds), and the split
+    * is the deterministic md5 assignment of [[hashSample]] hashed on the
+    * CLUSTER REPRESENTATIVE (singletons — docs in no pair — on their own
+    * id). Cluster-atomicity is then structural: members share a split
+    * key, so they share a split; and the assignment is a pure function
+    * of the key, so it is reproducible across runs, engines, and corpus
+    * orderings (the md5/4-hex-digit scheme of [[sampleKey]]).
+    *
+    * `skey < hex(testFrac)` → test, `< hex(testFrac + valFrac)` → val,
+    * else train — fractions apply at KEY granularity, so realized doc
+    * fractions drift with cluster sizes (a 50-doc cluster moves as one
+    * unit; that is the point).
+    *
+    * Scale shape: the CC runs over the PAIR table (≪ corpus — p108's
+    * 10×/100× probes), the label join back to the corpus is keyed by
+    * doc id (uniform, AQE-broadcastable when the clustered set is
+    * small), and the assignment itself is one codegen'd md5 projection —
+    * no shuffle beyond the one id-keyed join. Returns
+    * (idCol, split_key, split). */
+  def leakageSafeSplits(docs: DataFrame, pairs: DataFrame, idCol: String,
+      valFrac: Double, testFrac: Double): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      s"need 0 <= valFrac, testFrac and valFrac + testFrac < 1: " +
+        s"val=$valFrac test=$testFrac")
+    require(!docs.columns.contains("cluster"),
+      "docs already carries a 'cluster' column — rename it; " +
+        "leakageSafeSplits joins the dup-cluster labels under that name")
+    val labels = Dedup.dupClusters(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    val key = coalesce(col("cluster"), col(idCol))
+    val skey = sampleKey(key)
+    docs.join(labels, Seq(idCol), "left")
+      .select(col(idCol), key.as("split_key"),
+        when(skey < lit(thresholdHex(testFrac)), lit("test"))
+          .when(skey < lit(thresholdHex(testFrac + valFrac)), lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** Mixture construction: per-source sampling rates (training-data
     * recipes like "20% of crawl, all of books"). One scan, one map-side
     * CASE over the rate table — the rate map is tiny and lives in the
