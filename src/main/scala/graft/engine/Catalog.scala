@@ -675,12 +675,7 @@ class Catalog(val root: Path) {
 
   /** Depth-first recursive delete, shared by vacuum and the engine's
     * transaction-dir cleanup. Missing paths are a no-op. */
-  private[engine] def deleteTree(p: Path): Unit = {
-    if (!Files.exists(p)) return
-    val walked = Files.walk(p)
-    try walked.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    finally walked.close()
-  }
+  private[engine] def deleteTree(p: Path): Unit = Fs.deleteTree(p)
 
   /** Data directory for a new version's files. */
   def newVersionDir(db: String, branch: String, table: String, ts: Long): Path = {

@@ -1,0 +1,29 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+/** Shared recursive delete — ONE implementation per package (r14 review:
+  * [[GramArtifactStore]] had re-grown a private copy of [[Catalog]]'s
+  * that silently swallowed every exception and never closed the
+  * `Files.walk` stream).
+  *
+  * `bestEffort = false` fails loudly on the first undeletable entry (the
+  * [[Catalog]] GC semantics — a failed delete is a real finding there);
+  * `bestEffort = true` skips undeletable entries and keeps going (the
+  * artifact-store eviction semantics — a live reader may hold the files,
+  * and the next sweep retries whatever survived). The walk stream is
+  * closed on every path. */
+private[engine] object Fs {
+  def deleteTree(p: Path, bestEffort: Boolean = false): Unit = {
+    if (!Files.exists(p)) return
+    val walked = Files.walk(p)
+    try walked.iterator().asScala.toSeq.reverse.foreach { f =>
+      if (bestEffort)
+        try Files.deleteIfExists(f)
+        catch { case _: java.io.IOException => () }
+      else Files.delete(f)
+    } finally walked.close()
+  }
+}

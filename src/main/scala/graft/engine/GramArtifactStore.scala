@@ -42,13 +42,28 @@ import graft.operators.Dedup
   * Mismatches fail loudly with the stored vs expected values; they never
   * fail open.
   *
-  * Concurrency/atomicity: each build writes a fresh versioned data dir
-  * (`<name>/v<ts>/`), then flips the manifest (temp + atomic rename, the
-  * [[Catalog]] pattern) and best-effort deletes superseded dirs — so a
-  * reader never sees a half-written artifact, rebuilding a name evicts
-  * its predecessor (no unbounded growth across corpus regenerations),
-  * and a crash between data write and manifest flip leaves the OLD
-  * artifact intact. All manifest mutation is `synchronized` per store.
+  * Concurrency/atomicity (hardened r14 review): each build writes a
+  * fresh UNIQUELY-NAMED data dir (`<name>/v<ts>-<pid>-<seq>/` — two
+  * builds of one name in the same millisecond cannot collide), then
+  * flips the manifest (temp + atomic rename, the [[Catalog]] pattern).
+  * Manifest read-modify-write is serialized per ROOT, not per store
+  * instance — a JVM-global lock keyed on the normalized root path (two
+  * `GramArtifactStore` objects over one root share it) plus a
+  * `FileChannel` lock on `_artifacts.lock` for writers in OTHER
+  * processes — so concurrent commits/drops can't lose each other's
+  * entries. Readers need no lock: the atomic rename means they see the
+  * old manifest or the new one, never a torn write.
+  *
+  * Eviction runs with ONE GENERATION of grace: committing a rebuild
+  * sweeps every version dir of that name EXCEPT the new one and the
+  * immediately-superseded one, so an in-flight reader of the superseded
+  * artifact (a Spark scan is lazy — its tasks open files long after the
+  * consume call returned) gets a full build cycle before its files go;
+  * disk holds at most two versions per name, and the sweep also collects
+  * dirs orphaned by a crash between data write and manifest flip (such a
+  * crash leaves the OLD artifact intact and live). The row bound is
+  * probed BEFORE the data write, so an oversized build refuses without
+  * first materializing the un-broadcastable artifact onto disk.
   */
 class GramArtifactStore(val root: Path) {
 
@@ -67,13 +82,29 @@ class GramArtifactStore(val root: Path) {
 
   Files.createDirectories(root)
 
+  // per-ROOT serialization: the JVM lock covers every store instance
+  // over this root; the file lock covers writers in other processes.
+  // Held across the whole read-modify-write of a mutation.
+  private val rootLock = GramArtifactStore.lockFor(root)
+
+  private def withManifestLock[T](body: => T): T = rootLock.synchronized {
+    val ch = java.nio.channels.FileChannel.open(
+      root.resolve("_artifacts.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val fl = ch.lock()
+      try body finally fl.release()
+    } finally ch.close()
+  }
+
   private def requireName(name: String): Unit =
     require(name.nonEmpty && name.forall(c =>
         c.isLetterOrDigit || c == '_' || c == '-'),
       s"artifact name must be [A-Za-z0-9_-]+, got '$name' — it becomes " +
         "a directory component")
 
-  private def readManifest(): Map[String, ArtifactMeta] = synchronized {
+  private def readManifest(): Map[String, ArtifactMeta] = {
     if (!Files.exists(manifestPath)) Map.empty
     else {
       val node = om.readTree(Files.readAllBytes(manifestPath))
@@ -93,7 +124,7 @@ class GramArtifactStore(val root: Path) {
     }
   }
 
-  private def writeManifest(m: Map[String, ArtifactMeta]): Unit = synchronized {
+  private def writeManifest(m: Map[String, ArtifactMeta]): Unit = {
     val node = om.createObjectNode()
     m.toSeq.sortBy(_._1).foreach { case (name, a) =>
       val an = node.putObject(name)
@@ -115,48 +146,57 @@ class GramArtifactStore(val root: Path) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Write `df` as the artifact's versioned data dir, flip the manifest,
-    * evict the predecessor's data. The row-count probe bounds the
-    * artifact loudly at build time (every consumer broadcasts it). */
+  /** Probe the row bound, write `df` as the artifact's uniquely-named
+    * versioned data dir, flip the manifest, sweep all but the new and
+    * immediately-superseded versions (see the class scaladoc's grace
+    * rule). The bound is probed BEFORE the write — the refusal path for
+    * an artifact its consumers cannot broadcast must not first fill the
+    * store's filesystem with it (r14 review); the probe pass is paid
+    * once per corpus snapshot, and when it passes its count is exact
+    * (the limit never bit), so no post-write re-count is needed. */
   private def commit(name: String, kind: String, corpusVersion: String,
       blockCols: Seq[String], n: Int, maxDf: Int, df: DataFrame,
       maxRows: Long): ArtifactMeta = {
     requireName(name)
     require(corpusVersion.nonEmpty, "corpusVersion must be non-empty")
-    val ts = System.currentTimeMillis()
-    val dataDir = root.resolve(name).resolve(s"v$ts")
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val rows = df.sparkSession.read.parquet(dataDir.toString).count()
-    if (rows > maxRows) {
-      // refuse to publish an artifact its consumers cannot broadcast —
-      // and remove the oversized data so a half-published build can't
-      // be mistaken for a live artifact (the manifest never saw it)
-      deleteTree(dataDir)
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"maxRows must be in (0, Int.MaxValue): $maxRows")
+    val rows = df.limit(maxRows.toInt + 1).count()
+    if (rows > maxRows)
       throw new IllegalArgumentException(
-        s"artifact '$name' has $rows rows > $maxRows — raise maxDf / " +
+        s"artifact '$name' has > $maxRows rows — raise maxDf / " +
           "shrink the eval suite, or pre-split the corpus by block")
-    }
+    val ts = System.currentTimeMillis()
+    val dataDir = root.resolve(name).resolve(
+      s"v$ts-${ProcessHandle.current().pid()}-" +
+        s"${GramArtifactStore.dirSeq.incrementAndGet()}")
+    df.write.mode("overwrite").parquet(dataDir.toString)
     val meta = ArtifactMeta(name, kind, corpusVersion, blockCols, n, maxDf,
       rows, ts, dataDir.toString)
-    synchronized {
+    withManifestLock {
       val prev = readManifest()
       writeManifest(prev + (name -> meta))
-      // evict the superseded version's data (best-effort: a concurrent
-      // reader holding the old manifest may still be scanning it; the
-      // next build sweeps again)
-      prev.get(name).foreach(old =>
-        if (old.dataDir != meta.dataDir)
-          deleteTree(java.nio.file.Paths.get(old.dataDir)))
+      // sweep every version of this name EXCEPT the new one and the
+      // immediately-superseded one (grace for in-flight readers; also
+      // collects crash-orphaned dirs the manifest never referenced)
+      val keep = Set(dataDir.toString) ++ prev.get(name).map(_.dataDir)
+      sweepVersions(name, keep)
     }
     meta
   }
 
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
+  /** Best-effort delete of every version dir of `name` not in `keep`. */
+  private def sweepVersions(name: String, keep: Set[String]): Unit = {
+    val nameDir = root.resolve(name)
+    if (Files.isDirectory(nameDir)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+      val kids = Files.list(nameDir)
+      try kids.iterator().asScala.toSeq
+        .filterNot(d => keep.contains(d.toString))
+        .foreach(Fs.deleteTree(_, bestEffort = true))
+      finally kids.close()
     }
+  }
 
   /** Build-or-refresh the BOILERPLATE artifact for `corpusVersion`: the
     * over-`maxDf` hot-gram list of [[Dedup.boilerplateGrams]] (including
@@ -200,15 +240,16 @@ class GramArtifactStore(val root: Path) {
       a.corpusVersion == corpusVersion && a.blockCols == blockCols &&
       a.n == n && a.maxDf == maxDf)
 
-  /** Drop `name`: manifest entry + data. Returns whether it existed. */
-  def drop(name: String): Boolean = synchronized {
+  /** Drop `name`: manifest entry + every on-disk version (no grace — a
+    * drop is an explicit operator decision). Returns whether it
+    * existed. */
+  def drop(name: String): Boolean = withManifestLock {
     val m = readManifest()
     m.get(name) match {
       case None => false
-      case Some(a) =>
+      case Some(_) =>
         writeManifest(m - name)
-        deleteTree(java.nio.file.Paths.get(a.dataDir))
-        deleteTree(root.resolve(name))
+        Fs.deleteTree(root.resolve(name), bestEffort = true)
         true
     }
   }
@@ -268,6 +309,19 @@ class GramArtifactStore(val root: Path) {
 object GramArtifactStore {
   val KindBoilerplate = "boilerplate"
   val KindEvalGrams = "eval_grams"
+
+  // one mutation lock per normalized root path — every store instance in
+  // this JVM over the same root serializes through it (the r14 review
+  // race: Pipeline constructs a fresh instance per call, so an
+  // instance-level `synchronized` protected nothing)
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: Path): Object =
+    rootLocks.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString, _ => new Object)
+
+  // uniquifier for same-millisecond builds of one name in one process
+  private val dirSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Corpus-version string for a parquet file/dir on a local filesystem:
     * `<table>@<mtime>`. Fails LOUDLY when the path is missing or carries

@@ -3736,8 +3736,42 @@ object Pipeline {
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString))
 
+  /** Derivation-code token folded into the p92 artifact version: the
+    * store persists ACROSS JVM runs, so a version keyed on corpus mtime
+    * alone would keep serving an artifact built by OLD code after the
+    * quote synthesis in [[p92Corpus]] or [[Dedup.boilerplateGrams]]
+    * changes (the testdata mount is read-only — its mtime never moves).
+    * The token is the builder classes' classfile mtimes, so any
+    * recompile invalidates (over-invalidation is the safe direction: the
+    * rebuild is one bounded pass per snapshot). When the class bytes
+    * can't be located as a file/jar, fall back to the JVM start time —
+    * degrading to the pre-store one-JVM memo semantics, never to a
+    * silently stale artifact (r14 review). */
+  private lazy val p92DerivationVersion: String = {
+    def tok(c: Class[_]): Long = {
+      val res = c.getName.replace('.', '/') + ".class"
+      Option(c.getClassLoader.getResource(res)).flatMap { u =>
+        u.getProtocol match {
+          case "file" => Some(new java.io.File(u.toURI).lastModified)
+          case "jar" =>
+            val p = u.getPath
+            val bang = p.indexOf('!')
+            if (bang > 0 && p.startsWith("file:"))
+              Some(new java.io.File(
+                java.net.URI.create(p.substring(0, bang))).lastModified)
+            else None
+          case _ => None
+        }
+      }.filter(_ != 0L).getOrElse(
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
+    }
+    s"deriv@${tok(Pipeline.getClass)}-${tok(Dedup.getClass)}"
+  }
+
   private def p92HotGrams(s: SparkSession, dir: String): DataFrame = {
-    val version = graft.engine.GramArtifactStore.corpusVersion(dir, "documents")
+    val version =
+      graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
+        "#" + p92DerivationVersion
     val store = p92Store(dir)
     val name = "p92-boilerplate"
     val kind = graft.engine.GramArtifactStore.KindBoilerplate

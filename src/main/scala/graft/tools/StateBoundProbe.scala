@@ -65,10 +65,17 @@ object StateBoundProbe {
     require(rows.nonEmpty, s"no events in $dir")
     println(s"PROBE dir=$dir rows=${rows.length} waves=$nWaves")
 
+    // SINGLE source for every duration: each constant below builds BOTH
+    // the operator argument (watermark string / INTERVAL expression) and
+    // the analytic bound, so editing one side cannot silently desync the
+    // instrument from the operators it measures (r14 review)
     val bucket = 600L
     val maxB = 4
     val lenBound = (maxB.toLong + 1L) * bucket // the stated eviction range
     val wmDelaySec = 2 * 3600L
+    val wmDelay = s"$wmDelaySec seconds"
+    val errWinSec = 600L
+    val signupWinSec = 900L
     val idleTtlMs = 6 * 3600 * 1000L
 
     def tsSec(r: EventStreams.EventRow): Long = r.ts.getTime / 1000L
@@ -154,11 +161,11 @@ object StateBoundProbe {
     def errWinsOf(df: org.apache.spark.sql.DataFrame) =
       df.where(col("event_type") === "error")
         .select(col("event_id").as("error_id"), col("ts").as("w_start"),
-          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+          (col("ts") + expr(s"INTERVAL $errWinSec SECONDS")).as("w_end"))
     def signupWinsOf(df: org.apache.spark.sql.DataFrame) =
       df.where(col("event_type") === "signup")
         .select(col("event_id").as("signup_id"), col("ts").as("s_start"),
-          (col("ts") + expr("INTERVAL 15 MINUTES")).as("s_end"))
+          (col("ts") + expr(s"INTERVAL $signupWinSec SECONDS")).as("s_end"))
 
     val slack = bucket // one bucket over the <=/< boundary
 
@@ -170,7 +177,7 @@ object StateBoundProbe {
         replay("rangeTagging", mode, waves,
           df => EventStreams.rangeTagging(pointsOf(df), errWinsOf(df),
             "p_ts", "w_start", "w_end", bucket = bucket,
-            maxBucketsPerInterval = maxB, watermark = "2 hours"),
+            maxBucketsPerInterval = maxB, watermark = wmDelay),
           (wmPrev, fed) => {
             // a point can still match intervals starting (pt-len, pt];
             // future intervals start >= wmPrev, so pt >= wmPrev retained
@@ -180,7 +187,7 @@ object StateBoundProbe {
             // start in (pt-len, pt] => retained while start >= wmPrev-len
             val ivs = fed.filter(r => r.event_type == "error" &&
                 tsSec(r) >= wmPrev - lenBound - slack)
-              .map(r => copies(tsSec(r), tsSec(r) + 600L)).sum
+              .map(r => copies(tsSec(r), tsSec(r) + errWinSec)).sum
             pts + ivs
           })
 
@@ -188,21 +195,21 @@ object StateBoundProbe {
         replay("overlapTagging", mode, waves,
           df => EventStreams.overlapTagging(errWinsOf(df), signupWinsOf(df),
             "w_start", "w_end", "s_start", "s_end", bucket = bucket,
-            maxBucketsPerInterval = maxB, watermark = "2 hours"),
+            maxBucketsPerInterval = maxB, watermark = wmDelay),
           (wmPrev, fed) => {
             val l = fed.filter(r => r.event_type == "error" &&
                 tsSec(r) >= wmPrev - lenBound - slack)
-              .map(r => copies(tsSec(r), tsSec(r) + 600L)).sum
+              .map(r => copies(tsSec(r), tsSec(r) + errWinSec)).sum
             val rr = fed.filter(r => r.event_type == "signup" &&
                 tsSec(r) >= wmPrev - lenBound - slack)
-              .map(r => copies(tsSec(r), tsSec(r) + 900L)).sum
+              .map(r => copies(tsSec(r), tsSec(r) + signupWinSec)).sum
             l + rr
           })
 
       if (twins.contains("asof"))
         replay("asofAttribution", mode, waves,
           df => EventStreams.asofAttribution(spark, df,
-            watermark = "2 hours", idleTtlMs = idleTtlMs).toDF(),
+            watermark = wmDelay, idleTtlMs = idleTtlMs).toDF(),
           (wmPrev, fed) => {
             // a user key lives until wm passes (its last write's anchor
             // + ttl); the anchor is max(last event, wm-at-write) and the

@@ -102,31 +102,59 @@ class GramArtifactStoreSpec extends AnyFunSuite {
     assert(eU.getMessage.contains("no artifact named"))
   }
 
-  test("rebuild evicts the predecessor's data dir; drop removes everything") {
+  test("rebuild evicts with one generation of grace; drop removes everything") {
     val store = freshStore()
     val m1 = store.buildBoilerplate("hot", corpus, "text", "doc_id",
       Seq("lang"), 3, 2, corpusVersion = "docs@1")
-    // corpus regenerated: the same name rebuilds under the new version
-    // and the old version's data is evicted (the r13-advice leak: the
-    // in-JVM memo retained every superseded 2M-row Seq)
+    // corpus regenerated: the same name rebuilds under the new version;
+    // the superseded version's data survives ONE build cycle (an
+    // in-flight reader's lazy scan may still open its files) ...
     val m2 = store.buildBoilerplate("hot", corpus, "text", "doc_id",
       Seq("lang"), 3, 2, corpusVersion = "docs@2")
     assert(m2.corpusVersion == "docs@2")
-    assert(!Files.exists(java.nio.file.Paths.get(m1.dataDir)),
-      "superseded artifact data must be evicted on rebuild")
+    assert(Files.exists(java.nio.file.Paths.get(m1.dataDir)),
+      "immediately-superseded data must get a grace cycle for live readers")
     assert(Files.exists(java.nio.file.Paths.get(m2.dataDir)))
+    // ... and the NEXT rebuild sweeps it — disk never holds more than
+    // two versions per name (the r13-advice leak: the in-JVM memo
+    // retained every superseded 2M-row Seq)
+    val m3 = store.buildBoilerplate("hot", corpus, "text", "doc_id",
+      Seq("lang"), 3, 2, corpusVersion = "docs@3")
+    assert(!Files.exists(java.nio.file.Paths.get(m1.dataDir)),
+      "twice-superseded artifact data must be swept")
+    assert(Files.exists(java.nio.file.Paths.get(m2.dataDir)))
+    assert(Files.exists(java.nio.file.Paths.get(m3.dataDir)))
+    // the manifest always points at the newest, whatever lingers on disk
+    assert(store.meta("hot").get.dataDir == m3.dataDir)
     // isFresh drives build-skip
     assert(store.isFresh("hot", GramArtifactStore.KindBoilerplate,
-      "docs@2", Seq("lang"), 3, 2))
+      "docs@3", Seq("lang"), 3, 2))
     assert(!store.isFresh("hot", GramArtifactStore.KindBoilerplate,
       "docs@1", Seq("lang"), 3, 2))
     assert(store.drop("hot"))
     assert(store.meta("hot").isEmpty)
+    assert(!Files.exists(store.root.resolve("hot")),
+      "drop removes every on-disk version, grace included")
     assert(!store.drop("hot"))
     assert(store.list().isEmpty)
   }
 
-  test("build refuses past maxRows and publishes nothing") {
+  test("a crash-orphaned version dir is swept by the next successful build") {
+    val store = freshStore()
+    store.buildBoilerplate("hot", corpus, "text", "doc_id",
+      Seq("lang"), 3, 2, corpusVersion = "docs@1")
+    // simulate a build that wrote data but died before the manifest flip
+    val orphan = store.root.resolve("hot").resolve("v0-dead-0")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-orphan.parquet"), Array[Byte](1, 2, 3))
+    val m2 = store.buildBoilerplate("hot", corpus, "text", "doc_id",
+      Seq("lang"), 3, 2, corpusVersion = "docs@2")
+    assert(!Files.exists(orphan),
+      "unreferenced version dirs must not accumulate across crashes")
+    assert(Files.exists(java.nio.file.Paths.get(m2.dataDir)))
+  }
+
+  test("build refuses past maxRows BEFORE writing, and publishes nothing") {
     import spark.implicits._
     val store = freshStore()
     val eval = Seq((1L, (1 to 50).map(i => s"w$i").mkString(" ")))
@@ -136,6 +164,34 @@ class GramArtifactStoreSpec extends AnyFunSuite {
         corpusVersion = "v1", maxRows = 10))
     assert(e.getMessage.contains("> 10"))
     assert(store.meta("big").isEmpty, "oversized build must not publish")
+    // probe-before-write: the refusal path must not first materialize
+    // the un-broadcastable artifact onto the store's filesystem
+    assert(!Files.exists(store.root.resolve("big")),
+      "oversized build must refuse before writing any data")
+  }
+
+  test("concurrent builds through separate store instances lose nothing") {
+    // the r14 review race: Pipeline constructs a fresh store per call,
+    // so instance-level synchronization protected nothing — the manifest
+    // read-modify-write is now serialized per ROOT
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = Files.createTempDirectory("graft-artifact-race")
+    val names = (0 until 6).map(i => s"n$i")
+    val builds = names.map { nm =>
+      Future {
+        new GramArtifactStore(root).buildEvalGrams(nm, corpus, "text",
+          "doc_id", n = 3, corpusVersion = "v1")
+      }
+    }
+    Await.result(Future.sequence(builds), 120.seconds)
+    val store = new GramArtifactStore(root)
+    assert(store.list().map(_.name).toSet == names.toSet,
+      "a concurrent commit must not erase another name's manifest entry")
+    // and every artifact is readable
+    names.foreach(nm =>
+      assert(store.evalGrams(spark, nm, "v1", 3).count() > 0))
   }
 
   test("corpusVersion helper fails loudly on a missing corpus file") {
