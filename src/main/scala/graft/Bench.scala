@@ -50,7 +50,13 @@ object Bench {
     "s05_asof_join",           // bucketed as-of join (r11)
     "s06_range_join",          // binned keyless range join (r12)
     "s07_interval_overlap",    // owner-bucket overlap variant (r12)
-    "p115_leakage_split")      // cluster-atomic split assignment (r14)
+    "p115_leakage_split",      // cluster-atomic split assignment (r14)
+    "p116_split_artifact")     // the same split CONSUMING the persisted
+                               // cluster artifact (r14): the warmup pass
+                               // builds it once per dir@mtime, so the
+                               // timed runs measure what a deployment
+                               // re-pays per split pass — one id-keyed
+                               // label join + the md5 projection
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the

@@ -12,8 +12,8 @@ import graft.operators.Dedup
   * name across passes (r13 judge ask #3: "promote the boilerplate/
   * eval-gram artifact from bench-harness memo to engine surface").
   *
-  * Two artifact kinds, covering every bounded-gram-set consumer in the
-  * repo:
+  * Three artifact kinds, covering every derived-corpus-metadata consumer
+  * in the repo:
   *   - `boilerplate`: the over-`maxDf` (blockCols..., gram) hot list of
   *     [[Dedup.boilerplateGrams]] — consumed as the `hotGrams` df cap by
   *     p92-style containment/Jaccard passes ([[Dedup.containmentPairs]],
@@ -22,7 +22,17 @@ import graft.operators.Dedup
   *     consumed by decontamination (batch
   *     [[graft.operators.TextAnalysis.removeContaminatedSpans]],
   *     [[graft.operators.Sampling.contamination]]'s gram side, and the
-  *     streaming gates in [[graft.streaming.DocStreams]]).
+  *     streaming gates in [[graft.streaming.DocStreams]]);
+  *   - `dup_clusters`: the connected-component labels of
+  *     [[Dedup.dupClusters]] over a near-dup pair table — consumed by
+  *     id-keyed JOIN (never broadcast, so no row bound) by
+  *     [[graft.operators.Sampling.leakageSafeSplitsFromLabels]] and any
+  *     keep-one-per-cluster pass. This is the "build clusters once per
+  *     snapshot, every split/dedup pass pays only the join" deployment
+  *     the p115 scale adjudication assumes; the artifact's `params` map
+  *     records the pair derivation (threshold, signature size, ...) so a
+  *     consumer expecting different pairs refuses instead of silently
+  *     splitting on the wrong cluster granularity.
   *
   * Precedent: the reference keeps derived/system metadata in a dedicated
   * system database keyed by name (pkg/database/system_database.go:96-130
@@ -72,10 +82,13 @@ class GramArtifactStore(val root: Path) {
     * snapshot the artifact derives from (see
     * [[GramArtifactStore.corpusVersion]] for the file-mtime helper local
     * deployments use; a catalog deployment would use the table-version
-    * ts). */
+    * ts). `params` carries kind-specific derivation parameters beyond
+    * the gram fields (empty for the gram kinds; the pair derivation for
+    * `dup_clusters`) — validated at consume exactly like the rest. */
   case class ArtifactMeta(name: String, kind: String, corpusVersion: String,
       blockCols: Seq[String], n: Int, maxDf: Int, rows: Long,
-      builtAt: Long, dataDir: String)
+      builtAt: Long, dataDir: String,
+      params: Map[String, String] = Map.empty)
 
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
   private def manifestPath = root.resolve("_artifacts.json")
@@ -115,10 +128,18 @@ class GramArtifactStore(val root: Path) {
         val v = e.getValue
         val bc = (0 until v.get("blockCols").size())
           .map(v.get("blockCols").get(_).asText())
+        val params = Option(v.get("params")).map { pn =>
+          val pit = pn.fields()
+          val pb = Map.newBuilder[String, String]
+          while (pit.hasNext) {
+            val pe = pit.next(); pb += pe.getKey -> pe.getValue.asText()
+          }
+          pb.result()
+        }.getOrElse(Map.empty[String, String])
         b += e.getKey -> ArtifactMeta(e.getKey, v.get("kind").asText(),
           v.get("corpusVersion").asText(), bc, v.get("n").asInt(),
           v.get("maxDf").asInt(), v.get("rows").asLong(),
-          v.get("builtAt").asLong(), v.get("dataDir").asText())
+          v.get("builtAt").asLong(), v.get("dataDir").asText(), params)
       }
       b.result()
     }
@@ -137,6 +158,8 @@ class GramArtifactStore(val root: Path) {
       an.put("rows", a.rows)
       an.put("builtAt", a.builtAt)
       an.put("dataDir", a.dataDir)
+      val pn = an.putObject("params")
+      a.params.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     }
     val tmp = root.resolve(s"_artifacts.json.tmp${System.nanoTime()}")
     Files.write(tmp, om.writerWithDefaultPrettyPrinter()
@@ -146,33 +169,42 @@ class GramArtifactStore(val root: Path) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Probe the row bound, write `df` as the artifact's uniquely-named
-    * versioned data dir, flip the manifest, sweep all but the new and
-    * immediately-superseded versions (see the class scaladoc's grace
-    * rule). The bound is probed BEFORE the write — the refusal path for
-    * an artifact its consumers cannot broadcast must not first fill the
-    * store's filesystem with it (r14 review); the probe pass is paid
-    * once per corpus snapshot, and when it passes its count is exact
-    * (the limit never bit), so no post-write re-count is needed. */
+  /** Probe the row bound (when one applies), write `df` as the
+    * artifact's uniquely-named versioned data dir, flip the manifest,
+    * sweep all but the new and immediately-superseded versions (see the
+    * class scaladoc's grace rule). A bound is probed BEFORE the write —
+    * the refusal path for an artifact its consumers cannot broadcast
+    * must not first fill the store's filesystem with it (r14 review);
+    * the probe pass is paid once per corpus snapshot, and when it passes
+    * its count is exact (the limit never bit), so no post-write re-count
+    * is needed. `maxRows = None` (join-consumed kinds, never broadcast)
+    * skips the probe and takes the row count from the written parquet's
+    * footers — a metadata-only read. */
   private def commit(name: String, kind: String, corpusVersion: String,
       blockCols: Seq[String], n: Int, maxDf: Int, df: DataFrame,
-      maxRows: Long): ArtifactMeta = {
+      maxRows: Option[Long],
+      params: Map[String, String] = Map.empty): ArtifactMeta = {
     requireName(name)
     require(corpusVersion.nonEmpty, "corpusVersion must be non-empty")
-    require(maxRows > 0 && maxRows < Int.MaxValue,
-      s"maxRows must be in (0, Int.MaxValue): $maxRows")
-    val rows = df.limit(maxRows.toInt + 1).count()
-    if (rows > maxRows)
-      throw new IllegalArgumentException(
-        s"artifact '$name' has > $maxRows rows — raise maxDf / " +
-          "shrink the eval suite, or pre-split the corpus by block")
+    val probed = maxRows.map { mr =>
+      require(mr > 0 && mr < Int.MaxValue,
+        s"maxRows must be in (0, Int.MaxValue): $mr")
+      val rows = df.limit(mr.toInt + 1).count()
+      if (rows > mr)
+        throw new IllegalArgumentException(
+          s"artifact '$name' has > $mr rows — raise maxDf / " +
+            "shrink the eval suite, or pre-split the corpus by block")
+      rows
+    }
     val ts = System.currentTimeMillis()
     val dataDir = root.resolve(name).resolve(
       s"v$ts-${ProcessHandle.current().pid()}-" +
         s"${GramArtifactStore.dirSeq.incrementAndGet()}")
     df.write.mode("overwrite").parquet(dataDir.toString)
+    val rows = probed.getOrElse(
+      df.sparkSession.read.parquet(dataDir.toString).count())
     val meta = ArtifactMeta(name, kind, corpusVersion, blockCols, n, maxDf,
-      rows, ts, dataDir.toString)
+      rows, ts, dataDir.toString, params)
     withManifestLock {
       val prev = readManifest()
       writeManifest(prev + (name -> meta))
@@ -210,7 +242,7 @@ class GramArtifactStore(val root: Path) {
     commit(name, GramArtifactStore.KindBoilerplate, corpusVersion, blockCols,
       n, maxDf,
       Dedup.boilerplateGrams(corpus, textCol, idCol, blockCols, n, maxDf),
-      maxRows)
+      Some(maxRows))
 
   /** Build-or-refresh the EVAL-GRAM artifact: the distinct word n-grams
     * of the eval suite (the [[Dedup.wordShingles]] tokenization — the
@@ -222,7 +254,28 @@ class GramArtifactStore(val root: Path) {
     commit(name, GramArtifactStore.KindEvalGrams, corpusVersion, Nil, n,
       maxDf = 0,
       Dedup.wordShingles(eval, textCol, idCol, n).select(col("gram")).distinct(),
-      maxRows)
+      Some(maxRows))
+
+  /** Build-or-refresh the DUP-CLUSTERS artifact: the connected-component
+    * labels of [[Dedup.dupClusters]] over `pairs` ((id_a, id_b) near-dup
+    * edges — typically [[Dedup.minHashDedup]] output), persisted as
+    * (id, cluster) under `name`. `params` MUST describe how the pairs
+    * were derived (threshold, signature size, ...) — it is the staleness
+    * key consumers validate against, the same role (n, maxDf) play for
+    * the gram kinds. No row bound: every consumer joins the labels by id
+    * (shuffled, AQE-broadcastable when small), never collects or
+    * broadcasts them unconditionally, so an artifact as large as the
+    * clustered set is legitimate. */
+  def buildDupClusters(name: String, pairs: DataFrame,
+      corpusVersion: String, params: Map[String, String]): ArtifactMeta = {
+    require(params.nonEmpty,
+      "dup_clusters needs derivation params (how were the pairs built?) " +
+        "— an unparameterized artifact cannot be validated for staleness")
+    commit(name, GramArtifactStore.KindDupClusters, corpusVersion, Nil,
+      n = 0, maxDf = 0,
+      Dedup.dupClusters(pairs).select(col("id"), col("cluster")),
+      maxRows = None, params = params)
+  }
 
   /** The manifest entry for `name`, if any. */
   def meta(name: String): Option[ArtifactMeta] = readManifest().get(name)
@@ -235,10 +288,11 @@ class GramArtifactStore(val root: Path) {
     * build-skip predicate ("already built for this snapshot with these
     * params"). */
   def isFresh(name: String, kind: String, corpusVersion: String,
-      blockCols: Seq[String], n: Int, maxDf: Int): Boolean =
+      blockCols: Seq[String], n: Int, maxDf: Int,
+      params: Map[String, String] = Map.empty): Boolean =
     meta(name).exists(a => a.kind == kind &&
       a.corpusVersion == corpusVersion && a.blockCols == blockCols &&
-      a.n == n && a.maxDf == maxDf)
+      a.n == n && a.maxDf == maxDf && a.params == params)
 
   /** Drop `name`: manifest entry + every on-disk version (no grace — a
     * drop is an explicit operator decision). Returns whether it
@@ -255,10 +309,11 @@ class GramArtifactStore(val root: Path) {
   }
 
   private def validated(name: String, kind: String, corpusVersion: String,
-      blockCols: Seq[String], n: Int, maxDf: Int): ArtifactMeta = {
+      blockCols: Seq[String], n: Int, maxDf: Int,
+      params: Map[String, String] = Map.empty): ArtifactMeta = {
     val a = meta(name).getOrElse(throw new IllegalArgumentException(
       s"no artifact named '$name' in $root — build it first " +
-        "(buildBoilerplate/buildEvalGrams)"))
+        "(buildBoilerplate/buildEvalGrams/buildDupClusters)"))
     require(a.kind == kind,
       s"artifact '$name' is kind '${a.kind}', consumer expects '$kind'")
     // a stale artifact (older corpus snapshot, different params) must
@@ -276,6 +331,11 @@ class GramArtifactStore(val root: Path) {
         s"(blockCols=$blockCols, n=$n, maxDf=$maxDf) — a mismatch " +
         "matches nothing and fails open; rebuild with the consumer's " +
         "parameters")
+    require(a.params == params,
+      s"artifact '$name' was built with params=${a.params.toSeq.sorted} " +
+        s"but the consumer expects params=${params.toSeq.sorted} — a " +
+        "different pair derivation means different clusters; rebuild " +
+        "with the consumer's parameters")
     a
   }
 
@@ -304,11 +364,24 @@ class GramArtifactStore(val root: Path) {
       Nil, n, 0)
     spark.read.parquet(a.dataDir).select(col("gram"))
   }
+
+  /** Consume the dup-clusters artifact BY NAME, validated against the
+    * consumer's (corpusVersion, params): (id, cluster) labels ready for
+    * [[graft.operators.Sampling.leakageSafeSplitsFromLabels]] or a
+    * keep-one-per-cluster filter. Consumed via id-keyed join — the
+    * artifact is never collected or broadcast unconditionally. */
+  def dupClusterLabels(spark: SparkSession, name: String,
+      corpusVersion: String, params: Map[String, String]): DataFrame = {
+    val a = validated(name, GramArtifactStore.KindDupClusters, corpusVersion,
+      Nil, 0, 0, params)
+    spark.read.parquet(a.dataDir).select(col("id"), col("cluster"))
+  }
 }
 
 object GramArtifactStore {
   val KindBoilerplate = "boilerplate"
   val KindEvalGrams = "eval_grams"
+  val KindDupClusters = "dup_clusters"
 
   // one mutation lock per normalized root path — every store instance in
   // this JVM over the same root serializes through it (the r14 review

@@ -69,21 +69,43 @@ object Sampling {
     * (idCol, split_key, split). */
   def leakageSafeSplits(docs: DataFrame, pairs: DataFrame, idCol: String,
       valFrac: Double, testFrac: Double): DataFrame = {
+    // validate BEFORE the CC pass: dupClusters is eager (localCheckpoint
+    // + O(log n) rounds), so a bad fraction must not cost the full
+    // cluster computation before its IllegalArgumentException fires
+    validateSplitArgs(docs, valFrac, testFrac)
+    leakageSafeSplitsFromLabels(docs,
+      Dedup.dupClusters(pairs).select(col("id"), col("cluster")),
+      idCol, valFrac, testFrac)
+  }
+
+  /** [[leakageSafeSplits]] from PREBUILT cluster labels — the deployment
+    * path: the CC pass runs once per corpus snapshot (persisted as a
+    * `dup_clusters` artifact in [[graft.engine.GramArtifactStore]]) and
+    * every split pass pays only this one id-keyed join + the codegen'd
+    * md5 projection. `labels` is (id, cluster) — exactly what
+    * [[Dedup.dupClusters]] emits and
+    * [[graft.engine.GramArtifactStore.dupClusterLabels]] returns. */
+  def leakageSafeSplitsFromLabels(docs: DataFrame, labels: DataFrame,
+      idCol: String, valFrac: Double, testFrac: Double): DataFrame = {
+    validateSplitArgs(docs, valFrac, testFrac)
+    val lbl = labels.select(col("id").as(idCol), col("cluster"))
+    val key = coalesce(col("cluster"), col(idCol))
+    val skey = sampleKey(key)
+    docs.join(lbl, Seq(idCol), "left")
+      .select(col(idCol), key.as("split_key"),
+        when(skey < lit(thresholdHex(testFrac)), lit("test"))
+          .when(skey < lit(thresholdHex(testFrac + valFrac)), lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
+  private def validateSplitArgs(docs: DataFrame, valFrac: Double,
+      testFrac: Double): Unit = {
     require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
       s"need 0 <= valFrac, testFrac and valFrac + testFrac < 1: " +
         s"val=$valFrac test=$testFrac")
     require(!docs.columns.contains("cluster"),
       "docs already carries a 'cluster' column — rename it; " +
         "leakageSafeSplits joins the dup-cluster labels under that name")
-    val labels = Dedup.dupClusters(pairs)
-      .select(col("id").as(idCol), col("cluster"))
-    val key = coalesce(col("cluster"), col(idCol))
-    val skey = sampleKey(key)
-    docs.join(labels, Seq(idCol), "left")
-      .select(col(idCol), key.as("split_key"),
-        when(skey < lit(thresholdHex(testFrac)), lit("test"))
-          .when(skey < lit(thresholdHex(testFrac + valFrac)), lit("val"))
-          .otherwise(lit("train")).as("split"))
   }
 
   /** Mixture construction: per-source sampling rates (training-data

@@ -3747,7 +3747,7 @@ object Pipeline {
     * can't be located as a file/jar, fall back to the JVM start time —
     * degrading to the pre-store one-JVM memo semantics, never to a
     * silently stale artifact (r14 review). */
-  private lazy val p92DerivationVersion: String = {
+  private def derivationToken(cs: Class[_]*): String = {
     def tok(c: Class[_]): Long = {
       val res = c.getName.replace('.', '/') + ".class"
       Option(c.getClassLoader.getResource(res)).flatMap { u =>
@@ -3765,8 +3765,11 @@ object Pipeline {
       }.filter(_ != 0L).getOrElse(
         java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
     }
-    s"deriv@${tok(Pipeline.getClass)}-${tok(Dedup.getClass)}"
+    cs.map(tok).mkString("deriv@", "-", "")
   }
+
+  private lazy val p92DerivationVersion: String =
+    derivationToken(Pipeline.getClass, Dedup.getClass)
 
   private def p92HotGrams(s: SparkSession, dir: String): DataFrame = {
     val version =
@@ -4637,6 +4640,53 @@ object Pipeline {
        |FROM asg ORDER BY doc_id""".stripMargin
   }
 
+  /** The p115 split through the CATALOG-PERSISTED cluster artifact — the
+    * deployment path the p115 scale adjudication assumes: the CC pass
+    * over the near-dup pair graph runs ONCE per corpus snapshot (a
+    * `dup_clusters` artifact in [[graft.engine.GramArtifactStore]],
+    * versioned `documents@mtime` + derivation-code token, pair-derivation
+    * params validated at consume), and each split pass pays only one
+    * id-keyed label join + the codegen'd md5 projection. Same oracle as
+    * p115 — the artifact path must produce the IDENTICAL assignment, and
+    * the oracle check proves it does. */
+  def p116SplitFromArtifact(s: SparkSession, dir: String): DataFrame = {
+    val version =
+      graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
+        "#" + p116DerivationVersion
+    val store = p92Store(dir)
+    val name = "p116-dup-clusters"
+    val kind = graft.engine.GramArtifactStore.KindDupClusters
+    if (!store.isFresh(name, kind, version, Nil, 0, 0, p116ClusterParams))
+      store.buildDupClusters(name,
+        Dedup.minHashDedup(documents(s, dir), "text", "doc_id",
+            threshold = 0.5)
+          .select(col("id_a"), col("id_b")),
+        version, p116ClusterParams)
+    Sampling.leakageSafeSplitsFromLabels(
+        documents(s, dir).select(col("doc_id")),
+        store.dupClusterLabels(s, name, version, p116ClusterParams),
+        "doc_id", valFrac = 0.1, testFrac = 0.1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The pair-derivation recorded in (and validated against) the p116
+    * cluster artifact: [[Dedup.minHashDedup]]'s defaults + the 0.5
+    * threshold the split clusters on. A consumer expecting different
+    * pairs (different threshold ⇒ different clusters) refuses at the
+    * named surface instead of silently splitting on the wrong
+    * granularity. */
+  private val p116ClusterParams: Map[String, String] = Map(
+    "pairs" -> "minHashDedup", "shingleLen" -> "3", "k" -> "32",
+    "rowsPerBand" -> "4", "threshold" -> "0.5", "maxBucket" -> "1000")
+
+  private lazy val p116DerivationVersion: String =
+    derivationToken(Pipeline.getClass, Dedup.getClass, Sampling.getClass)
+
+  // p116 must replay the IDENTICAL assignment as p115 — consuming the
+  // persisted cluster artifact instead of recomputing CC is a pure
+  // caching decision, and sharing the oracle makes the checker prove it
+  val p116Oracle: String = p115Oracle
+
   /** Fuzzy decontamination ([[Dedup.crossMinHashPairs]]): every 97th doc
     * spawns an "eval" twin (id + 200000) extended with a marker tail —
     * high shingle overlap but NOT guaranteed 13 consecutive shared words
@@ -4887,6 +4937,7 @@ object Pipeline {
     "p107_quantized_ann" -> (p107QuantizedAnn _),
     "p108_minhash_clusters" -> (p108MinhashClusters _),
     "p115_leakage_split" -> (p115LeakageSplit _),
+    "p116_split_artifact" -> (p116SplitFromArtifact _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
@@ -5008,6 +5059,7 @@ object Pipeline {
     "p107_quantized_ann" -> p107Oracle,
     "p108_minhash_clusters" -> p108Oracle,
     "p115_leakage_split" -> p115Oracle,
+    "p116_split_artifact" -> p116Oracle,
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
     "p111_orc_roundtrip" -> p111Oracle,

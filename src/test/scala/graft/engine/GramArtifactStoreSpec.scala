@@ -75,6 +75,52 @@ class GramArtifactStoreSpec extends AnyFunSuite {
     assert(got(1L) == "")
   }
 
+  test("dup-clusters artifact: build, consume, feed leakage-safe splits") {
+    import spark.implicits._
+    val store = freshStore()
+    // an adversarial CHAIN component (0-1, 1-2, 2-3) plus a separate
+    // pair and two singletons — the shapes the split must keep atomic
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val params = Map("pairs" -> "test-chain", "threshold" -> "0.5")
+    val meta = store.buildDupClusters("cc", pairs, "docs@1", params)
+    assert(meta.kind == GramArtifactStore.KindDupClusters)
+    assert(meta.rows == 6) // 4 chain members + 2 pair members labeled
+    val labels = store.dupClusterLabels(spark, "cc", "docs@1", params)
+    assert(labels.columns.toSeq == Seq("id", "cluster"))
+    // identical labels to the direct CC
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Dedup.dupClusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // and the artifact path yields the IDENTICAL split assignment as the
+    // recompute path, with every cluster member in one split
+    val docs = Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val fromArtifact = graft.operators.Sampling
+      .leakageSafeSplitsFromLabels(docs, labels, "doc_id", 0.25, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val direct = graft.operators.Sampling
+      .leakageSafeSplits(docs, pairs, "doc_id", 0.25, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(fromArtifact.toSet == direct.toSet)
+    assert(fromArtifact.filter(_._1 <= 3L).map(_._3).toSet.size == 1,
+      "chain component must land in ONE split")
+    // stale params refuse loudly: different pair derivation means
+    // different clusters — never silently split on the wrong granularity
+    val eP = intercept[IllegalArgumentException](
+      store.dupClusterLabels(spark, "cc", "docs@1",
+        Map("pairs" -> "test-chain", "threshold" -> "0.8")))
+    assert(eP.getMessage.contains("params"))
+    // params survive the manifest round-trip across store instances
+    val store2 = new GramArtifactStore(store.root)
+    assert(store2.isFresh("cc", GramArtifactStore.KindDupClusters,
+      "docs@1", Nil, 0, 0, params))
+    assert(!store2.isFresh("cc", GramArtifactStore.KindDupClusters,
+      "docs@1", Nil, 0, 0, params + ("threshold" -> "0.8")))
+    // an unparameterized clusters build refuses — nothing to validate
+    intercept[IllegalArgumentException](
+      store.buildDupClusters("cc2", pairs, "docs@1", Map.empty))
+  }
+
   test("stale params and stale corpus version refuse loudly, never fail open") {
     val store = freshStore()
     store.buildBoilerplate("hot", corpus, "text", "doc_id", Seq("lang"),
