@@ -370,6 +370,33 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
       if (session.users.remove(username)) reply(ex, 200, okJson("null"))
       else reply(ex, 404, errorJson("not found"))
 
+    // --- artifacts (graft extension) ----------------------------------------
+    // Derived-corpus-metadata artifacts ([[graft.engine.GramArtifactStore]]:
+    // boilerplate gram lists, eval-gram sets, dup-cluster labels) are
+    // BUILT through the documented library API (a build needs a
+    // SparkSession and a corpus frame, not an HTTP body); the management
+    // plane lists, inspects, and drops them — the same split the
+    // reference applies to its system database's derived metadata
+    // (pkg/database/system_database.go:96-130: written by the engine,
+    // surfaced read-only + delete through management verbs). Authz is
+    // management-plane: "*" / "artifact:*" / "artifact:<name>".
+    case ("GET", "artifacts" :: Nil) =>
+      demandManage(key, "artifact:list", Seq("*", "artifact:*"))
+      reply(ex, 200, okJson(session.artifacts.list()
+        .map(artifactJson).mkString("[", ",", "]")))
+    case ("GET", "artifacts" :: name :: Nil) =>
+      demandManage(key, "artifact:list",
+        Seq("*", "artifact:*", s"artifact:$name"))
+      session.artifacts.meta(name) match {
+        case Some(a) => reply(ex, 200, okJson(artifactJson(a)))
+        case None => reply(ex, 404, errorJson("not found"))
+      }
+    case ("DELETE", "artifacts" :: name :: Nil) =>
+      demandManage(key, "artifact:manage",
+        Seq("*", "artifact:*", s"artifact:$name"))
+      if (session.artifacts.drop(name)) reply(ex, 200, okJson("null"))
+      else reply(ex, 404, errorJson("not found"))
+
     // --- databases ---------------------------------------------------------
     case ("POST", "databases" :: Nil) =>
       val name = mapper.readTree(body).path("name").asText("")
@@ -549,6 +576,19 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
         sn.path("actions").elements().asScala.map(_.asText()).toSeq)
     }.toSeq
 
+  /** Artifact response shape: provenance only — the on-disk data dir is
+    * engine-internal (the consume path validates and resolves it), so it
+    * is not surfaced. */
+  private def artifactJson(a: session.artifacts.ArtifactMeta): String = {
+    val bc = a.blockCols.map(jstr).mkString("[", ",", "]")
+    val ps = a.params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    s"""{"name":${jstr(a.name)},"kind":${jstr(a.kind)},""" +
+      s""""corpus_version":${jstr(a.corpusVersion)},"block_cols":$bc,""" +
+      s""""n":${a.n},"max_df":${a.maxDf},"rows":${a.rows},""" +
+      s""""built_at":${a.builtAt},"params":$ps}"""
+  }
+
   /** User response shape (reference UserResponse: never the password). */
   private def userJson(u: User): String = {
     val sts = u.statements.map { st =>
@@ -689,6 +729,9 @@ object HttpApi {
     "GET" -> "/v1/users/{username}",
     "PUT" -> "/v1/users/{username}",
     "DELETE" -> "/v1/users/{username}",
+    "GET" -> "/v1/artifacts",
+    "GET" -> "/v1/artifacts/{artifactName}",
+    "DELETE" -> "/v1/artifacts/{artifactName}",
     "POST" -> "/v1/databases",
     "GET" -> "/v1/databases",
     "GET" -> "/v1/databases/{databaseName}",

@@ -56,6 +56,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
     case "access-key" :: rest => accessKey(rest)
     case "user" :: rest => user(rest)
     case "profile" :: rest => profile(rest)
+    case "artifacts" :: rest => artifacts(rest)
     // `serve` never reaches this client: main() intercepts it before a
     // transport exists (it starts the server, graft.api.Serve) — an
     // embedded caller landing here gets pointed the right way
@@ -89,6 +90,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
     out.println("  profile   create --name N --cluster URL --type " +
       "access_key|basic_auth <credential flags> |")
     out.println("            list | current | switch <name> | delete <name>")
+    out.println("  artifacts list | show <name> | delete <name>")
     out.println("  serve     [--port P] [--data-path DIR] " +
       "[--anonymous-root] [--allow-unsigned-keys]")
   }
@@ -482,6 +484,39 @@ class GraftCli(out: PrintStream, err: PrintStream,
         _ => out.println("User deleted")
       }
     case _ => usageError("usage: user create|list|show|update|delete")
+  }
+
+  /** Derived-corpus-metadata artifacts (graft extension over the
+    * reference CLI — the server's [[graft.engine.GramArtifactStore]]):
+    * list/show/delete only, because a BUILD needs a SparkSession and a
+    * corpus frame, which is the library API's job, not an HTTP body's.
+    * Same thin-client shape as every other verb. */
+  private def artifacts(rest: List[String]): Int = rest match {
+    case "list" :: Nil =>
+      render(call("GET", "/v1/artifacts")) { d =>
+        table(Seq("Name", "Kind", "Corpus Version", "Rows", "Built At"),
+          items(d).map(n => Seq(n.path("name").asText(),
+            n.path("kind").asText(), n.path("corpus_version").asText(),
+            n.path("rows").asText(), n.path("built_at").asText())))
+      }
+    case "show" :: name :: Nil =>
+      render(call("GET", s"/v1/artifacts/${seg(name)}")) { d =>
+        card(Seq(
+          "Name" -> d.path("name").asText(),
+          "Kind" -> d.path("kind").asText(),
+          "Corpus Version" -> d.path("corpus_version").asText(),
+          "Block Cols" -> d.path("block_cols").toString,
+          "N" -> d.path("n").asText(),
+          "Max DF" -> d.path("max_df").asText(),
+          "Rows" -> d.path("rows").asText(),
+          "Built At" -> d.path("built_at").asText(),
+          "Params" -> d.path("params").toString))
+      }
+    case "delete" :: name :: Nil =>
+      render(call("DELETE", s"/v1/artifacts/${seg(name)}")) {
+        _ => out.println("Artifact deleted")
+      }
+    case _ => usageError("usage: artifacts list|show|delete")
   }
 
   /** Client-side profile management (no HTTP): the reference's

@@ -46,6 +46,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
 
   val keyManager = new KeyManager(rootDir, encryptionKey)
   val catalog = new Catalog(rootDir)
+  /** Derived-corpus-metadata artifacts (boilerplate grams, eval grams,
+    * dup-cluster labels), rooted inside this session's data dir — the
+    * engine-level handle library callers build/consume through and the
+    * management surface (HTTP `/v1/artifacts`, CLI `artifacts`) lists
+    * and drops. Lazy: purely analytical deployments that never touch
+    * artifacts don't create the directory. */
+  lazy val artifacts = new GramArtifactStore(rootDir.resolve("artifacts"))
   val accessKeys = new AccessKeyStore(rootDir, Some(keyManager))
   val users = new UserStore(rootDir, Some(keyManager))
   val writeQueues = new WriteQueueManager

@@ -18,7 +18,7 @@ class HttpApiSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
   private val client = HttpClient.newHttpClient()
 
-  private lazy val (api, port) = {
+  private lazy val (api, port, engine) = {
     val session = new GraftSession(spark, Files.createTempDirectory("graft-http"))
     session.accessKeys.put(AccessKey("ro-key", statements = Seq(
       AccessKeyStatement("allow", "*",
@@ -26,7 +26,7 @@ class HttpApiSpec extends AnyFunSuite {
     // dev mode: anonymous root + unsigned key ids are EXPLICIT opt-ins
     // (the default is 401 / HMAC-only)
     val a = new HttpApi(session, anonymousRoot = true, allowUnsignedKeys = true)
-    (a, a.start())
+    (a, a.start(), session)
   }
 
   private def post(path: String, body: String, headers: (String, String)*): HttpResponse[String] = {
@@ -192,6 +192,37 @@ class HttpApiSpec extends AnyFunSuite {
     assert(ok.statusCode() == 200)
     assert(post("/v1/databases/db4/main/query",
       """{"queries":[]}""", "X-Access-Key-Id" -> "nope").statusCode() == 401)
+  }
+
+  test("artifact endpoints: list, show, delete, and management-plane denial") {
+    import spark.implicits._
+    port // force server start (engine is the session the api serves)
+    engine.artifacts.buildEvalGrams("http-suite",
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "text", "doc_id",
+      n = 3, corpusVersion = "eval@9")
+    val listed = mapper.readTree(get("/v1/artifacts").body()).path("data")
+    val names = (0 until listed.size()).map(i => listed.get(i).path("name").asText())
+    assert(names.contains("http-suite"))
+    val shown = mapper.readTree(get("/v1/artifacts/http-suite").body()).path("data")
+    assert(shown.path("kind").asText() == "eval_grams")
+    assert(shown.path("corpus_version").asText() == "eval@9")
+    assert(shown.path("n").asInt() == 3)
+    assert(shown.path("rows").asLong() == 3L) // 5 words -> 3 distinct 3-grams
+    assert(!shown.has("data_dir") && shown.path("dataDir").isMissingNode,
+      "on-disk path is engine-internal and must not be surfaced")
+    assert(get("/v1/artifacts/no-such").statusCode() == 404)
+    // a data-plane key must not manage artifacts (management scope only)
+    val deniedReq = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/v1/artifacts"))
+      .header("X-Access-Key-Id", "ro-key").GET().build()
+    assert(client.send(deniedReq, BodyHandlers.ofString()).statusCode() == 403)
+    // drop through the route: gone from the store AND from disk
+    val del = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/v1/artifacts/http-suite"))
+      .DELETE().build(), BodyHandlers.ofString())
+    assert(del.statusCode() == 200)
+    assert(engine.artifacts.meta("http-suite").isEmpty)
+    assert(get("/v1/artifacts/http-suite").statusCode() == 404)
   }
 
   test("backup endpoints: create, list, restore") {
@@ -509,6 +540,7 @@ class HttpApiSpec extends AnyFunSuite {
     val params = Map(
       "address" -> "198.51.100.7:7002", "accessKeyId" -> "walk-no-such-key",
       "username" -> "walk-no-such-user", "databaseName" -> "walk-no-such-db",
+      "artifactName" -> "walk-no-such-artifact",
       "branchName" -> "main", "id" -> "walk-no-such-txn",
       "backupId" -> "walk-no-such-backup", "timestamp" -> "123")
     HttpApi.routes.foreach { case (method, template) =>

@@ -18,9 +18,10 @@ class GraftCliSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val client = HttpClient.newHttpClient()
 
-  private lazy val port = {
+  private lazy val (port, engine) = {
     val session = new GraftSession(spark, Files.createTempDirectory("graft-cli"))
-    new HttpApi(session, anonymousRoot = true, allowUnsignedKeys = true).start()
+    (new HttpApi(session, anonymousRoot = true, allowUnsignedKeys = true).start(),
+      session)
   }
 
   // profile verbs must never read the real ~/.graft — one temp config
@@ -219,6 +220,32 @@ class GraftCliSpec extends AnyFunSuite {
     // the table survived restoring to a post-write timestamp
     assert(cli("database", "query", "qdb", "SELECT count(*) AS n FROM kv")
       ._2.contains("1 row"))
+  }
+
+  test("artifacts list / show / delete over the wire") {
+    import spark.implicits._
+    port // server up; engine is the session behind it
+    engine.artifacts.buildDupClusters("cli-cc",
+      Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b"), "docs@3",
+      Map("pairs" -> "spec", "threshold" -> "0.5"))
+    val (rcL, listS, _) = cli("artifacts", "list")
+    assert(rcL == 0, listS)
+    assert(listS.contains("cli-cc") && listS.contains("dup_clusters") &&
+      listS.contains("docs@3"))
+    val (rcS, showS, _) = cli("artifacts", "show", "cli-cc")
+    assert(rcS == 0, showS)
+    assert(showS.contains("dup_clusters") && showS.contains("docs@3") &&
+      showS.contains("threshold"))
+    assert(cli("artifacts", "delete", "cli-cc")._1 == 0)
+    assert(engine.artifacts.meta("cli-cc").isEmpty,
+      "CLI delete must reach the store")
+    val (rcGone, _, errGone) = cli("artifacts", "show", "cli-cc")
+    assert(rcGone == 1 && errGone.contains("Error"))
+    // '/' in an artifact name is the same client-side usage error as
+    // everywhere else (it cannot survive as one path segment)
+    assert(cli("artifacts", "show", "a/b")._1 == 2)
+    // and a bad subcommand is a usage error
+    assert(cli("artifacts", "build")._1 == 2)
   }
 
   test("status renders the unauthenticated ops endpoint") {
