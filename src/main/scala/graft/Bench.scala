@@ -51,12 +51,16 @@ object Bench {
     "s06_range_join",          // binned keyless range join (r12)
     "s07_interval_overlap",    // owner-bucket overlap variant (r12)
     "p115_leakage_split",      // cluster-atomic split assignment (r14)
-    "p116_split_artifact")     // the same split CONSUMING the persisted
+    "p116_split_artifact",     // the same split CONSUMING the persisted
                                // cluster artifact (r14): the warmup pass
                                // builds it once per dir@mtime, so the
                                // timed runs measure what a deployment
                                // re-pays per split pass — one id-keyed
                                // label join + the md5 projection
+    "p117_decon_artifact")     // p110's decon CONSUMING the persisted
+                               // eval-gram artifact (r14): timed runs
+                               // pay span detection + rebuild only,
+                               // never the eval shingle pass
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the

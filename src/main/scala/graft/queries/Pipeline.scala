@@ -4825,6 +4825,42 @@ object Pipeline {
       |FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  /** The p110 surgical decon through the CATALOG-PERSISTED eval-gram
+    * artifact — the deployment the p110-at-100× adjudication assumes
+    * (SCALE.md: "real deployments pass a persisted eval-gram artifact"):
+    * the eval suite's 13-grams are built ONCE per corpus snapshot as an
+    * `eval_grams` artifact ([[graft.engine.GramArtifactStore]]) and
+    * every decon pass consumes them by name (stale-version/stale-n
+    * rejected loudly), paying only the span detection + rebuild. Same
+    * oracle as p110 — the artifact path must excise the IDENTICAL
+    * spans, and the oracle check proves it does. */
+  def p117DeconArtifact(s: SparkSession, dir: String): DataFrame = {
+    val version =
+      graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
+        "#" + p117DerivationVersion
+    val store = p92Store(dir)
+    val name = "p117-eval-grams"
+    val kind = graft.engine.GramArtifactStore.KindEvalGrams
+    val d = documents(s, dir)
+    if (!store.isFresh(name, kind, version, Nil, 13, 0))
+      store.buildEvalGrams(name, d.filter(col("doc_id") % 101 === 3),
+        "text", "doc_id", n = 13, version)
+    TextAnalysis.removeContaminatedSpans(d,
+        store.evalGrams(s, name, version, 13), "text", "doc_id", 13)
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        md5(col("kept_text")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val p117DerivationVersion: String =
+    derivationToken(Pipeline.getClass, Dedup.getClass,
+      TextAnalysis.getClass)
+
+  // p117 must excise the IDENTICAL spans as p110 — consuming the
+  // persisted eval-gram artifact is a pure caching decision, and
+  // sharing the oracle makes the checker prove it
+  val p117Oracle: String = p110Oracle
+
   val queries: Map[String, QueryFn] = Map(
     "q33_fts_join" -> (q33FtsJoin _),
     "q34_fts_self_join" -> (q34FtsSelfJoin _),
@@ -4938,6 +4974,7 @@ object Pipeline {
     "p108_minhash_clusters" -> (p108MinhashClusters _),
     "p115_leakage_split" -> (p115LeakageSplit _),
     "p116_split_artifact" -> (p116SplitFromArtifact _),
+    "p117_decon_artifact" -> (p117DeconArtifact _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
@@ -5060,6 +5097,7 @@ object Pipeline {
     "p108_minhash_clusters" -> p108Oracle,
     "p115_leakage_split" -> p115Oracle,
     "p116_split_artifact" -> p116Oracle,
+    "p117_decon_artifact" -> p117Oracle,
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
     "p111_orc_roundtrip" -> p111Oracle,
