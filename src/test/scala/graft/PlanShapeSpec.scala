@@ -231,6 +231,43 @@ class PlanShapeSpec extends AnyFunSuite {
       "p110 lost the sparse-regime broadcast semi-join")
   }
 
+  test("artifact consumers read the store, never recompute (p116, p117)") {
+    // the whole point of the artifact entries is that the expensive
+    // derivation ran at BUILD time — a refactor that quietly reattaches
+    // the recompute path would keep results identical (shared oracles)
+    // while re-paying the CC pass on every call. The tell: p116's labels
+    // must be a parquet scan of the store (the recompute path is a
+    // localCheckpointed DataFrame, which plans as an ExistingRDD scan —
+    // exactly what p115 shows, asserted below so the tell can't rot).
+    val p116 = formatted("p116_split_artifact")
+    assert(p116.contains("graft-artifacts"),
+      s"p116 stopped scanning the persisted cluster artifact:\n$p116")
+    assert(!p116.contains("ExistingRDD"),
+      s"p116 recomputes the CC labels (checkpointed-RDD scan):\n$p116")
+    val p115 = formatted("p115_leakage_split")
+    assert(p115.contains("ExistingRDD"),
+      "the recompute-path tell changed shape; re-derive p116's pin")
+    // p117 has no plan-level tell: removeContaminatedSpans cap-probes +
+    // localCheckpoints its gram side, so BOTH the store scan and an
+    // inline recompute plan as ExistingRDD. Pin the store participation
+    // instead: building the entry must leave a fresh eval_grams artifact
+    // under the entry's name (the consume call validates version/n and
+    // THROWS on mismatch, so the shared p110 oracle passing already
+    // proves the grams came from this artifact). And the sparse-regime
+    // broadcast must hold like p110's.
+    val p117 = formatted("p117_decon_artifact")
+    assert(p117.contains("BroadcastHashJoin"),
+      "p117 lost the sparse-regime broadcast semi-join")
+    val store = new graft.engine.GramArtifactStore(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-artifacts",
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString))
+    val a = store.meta("p117-eval-grams").getOrElse(
+      fail("p117 did not publish its eval-gram artifact"))
+    assert(a.kind == graft.engine.GramArtifactStore.KindEvalGrams &&
+      a.n == 13 && a.corpusVersion.startsWith("documents@"))
+  }
+
   test("gram shingles run in the native kernel, not interpreted HOFs (p34, p37, p45)") {
     // the r13 port: the scan-stage shingle must be the codegen'd
     // word_gram_hashes / word_gram_prefix_hashes expression — an
