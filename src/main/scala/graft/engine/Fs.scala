@@ -18,12 +18,25 @@ import scala.jdk.CollectionConverters._
 private[engine] object Fs {
   def deleteTree(p: Path, bestEffort: Boolean = false): Unit = {
     if (!Files.exists(p)) return
-    val walked = Files.walk(p)
-    try walked.iterator().asScala.toSeq.reverse.foreach { f =>
-      if (bestEffort)
-        try Files.deleteIfExists(f)
-        catch { case _: java.io.IOException => () }
-      else Files.delete(f)
-    } finally walked.close()
+    // best-effort covers the WALK too, not just per-file deletes: a
+    // concurrent sweep can remove entries mid-traversal, surfacing as
+    // NoSuchFileException from Files.walk or UncheckedIOException from
+    // the iterator — neither is IOException, and escaping here would
+    // fail a commit AFTER its manifest already flipped (r14 review)
+    def walk(): Unit = {
+      val walked = Files.walk(p)
+      try walked.iterator().asScala.toSeq.reverse.foreach { f =>
+        if (bestEffort)
+          try Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () }
+        else Files.delete(f)
+      } finally walked.close()
+    }
+    if (bestEffort)
+      try walk()
+      catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      }
+    else walk()
   }
 }

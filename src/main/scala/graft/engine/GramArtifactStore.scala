@@ -177,9 +177,16 @@ class GramArtifactStore(val root: Path) {
     * must not first fill the store's filesystem with it (r14 review);
     * the probe pass is paid once per corpus snapshot, and when it passes
     * its count is exact (the limit never bit), so no post-write re-count
-    * is needed. `maxRows = None` (join-consumed kinds, never broadcast)
-    * skips the probe and takes the row count from the written parquet's
-    * footers — a metadata-only read. */
+    * is needed. The probe + write DO run the derivation twice (a limit
+    * over an aggregation still pays the full agg); the considered
+    * alternative — localCheckpoint once and share — was rejected because
+    * it fully materializes the over-cap result set on exactly the
+    * refusal path this bound exists for (a misconfigured maxDf can make
+    * that set corpus-sized), while the limit probe never holds more than
+    * maxRows+1 rows. Twice a once-per-snapshot build is the cheaper
+    * failure mode. `maxRows = None` (join-consumed kinds, never
+    * broadcast) skips the probe and takes the row count from the written
+    * parquet's footers — a metadata-only read. */
   private def commit(name: String, kind: String, corpusVersion: String,
       blockCols: Seq[String], n: Int, maxDf: Int, df: DataFrame,
       maxRows: Option[Long],
@@ -200,12 +207,27 @@ class GramArtifactStore(val root: Path) {
     val dataDir = root.resolve(name).resolve(
       s"v$ts-${ProcessHandle.current().pid()}-" +
         s"${GramArtifactStore.dirSeq.incrementAndGet()}")
+    // in-flight sentinel: the data write happens OUTSIDE the manifest
+    // lock (it can be a minutes-long corpus scan — holding the per-root
+    // lock across it would serialize every name's builds), so a
+    // concurrent same-name commit's sweep must be able to tell this
+    // unpublished dir from a crash orphan. The sentinel is a sibling
+    // file (not inside dataDir — parquet's overwrite clears the target)
+    // naming the builder pid; sweeps skip dirs whose sentinel pid is
+    // alive and collect the rest, so a crash leaves nothing protected
+    // (r14 review: the race otherwise published a manifest entry whose
+    // data a contemporary's sweep had just deleted).
+    Files.createDirectories(dataDir.getParent)
+    val sentinel = inflightSentinel(dataDir)
+    Files.write(sentinel,
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
     df.write.mode("overwrite").parquet(dataDir.toString)
     val rows = probed.getOrElse(
       df.sparkSession.read.parquet(dataDir.toString).count())
     val meta = ArtifactMeta(name, kind, corpusVersion, blockCols, n, maxDf,
       rows, ts, dataDir.toString, params)
     withManifestLock {
+      Files.deleteIfExists(sentinel)
       val prev = readManifest()
       writeManifest(prev + (name -> meta))
       // sweep every version of this name EXCEPT the new one and the
@@ -217,16 +239,50 @@ class GramArtifactStore(val root: Path) {
     meta
   }
 
-  /** Best-effort delete of every version dir of `name` not in `keep`. */
+  private def inflightSentinel(dataDir: Path): Path =
+    dataDir.resolveSibling(dataDir.getFileName.toString + ".inflight")
+
+  /** Whether `dir` is a live build's unpublished data: its sibling
+    * sentinel names a pid that is still running. A dead or unparsable
+    * pid reads as NOT in flight — a crashed build's dir must be
+    * collectable. */
+  private def inFlight(dir: Path): Boolean = {
+    val s = inflightSentinel(dir)
+    Files.exists(s) && (try {
+      ProcessHandle.of(
+        new String(Files.readAllBytes(s), "UTF-8").trim.toLong)
+        .isPresent
+    } catch { case _: Exception => false })
+  }
+
+  /** Best-effort delete of every version dir of `name` not in `keep`,
+    * skipping live in-flight builds (and their sentinels); a swept dir's
+    * dead sentinel goes with it. */
   private def sweepVersions(name: String, keep: Set[String]): Unit = {
     val nameDir = root.resolve(name)
     if (Files.isDirectory(nameDir)) {
       import scala.jdk.CollectionConverters._
       val kids = Files.list(nameDir)
-      try kids.iterator().asScala.toSeq
-        .filterNot(d => keep.contains(d.toString))
-        .foreach(Fs.deleteTree(_, bestEffort = true))
-      finally kids.close()
+      val all =
+        try kids.iterator().asScala.toSeq
+        finally kids.close()
+      val (sentinels, dirs) = all.partition(
+        _.getFileName.toString.endsWith(".inflight"))
+      dirs.filterNot(d => keep.contains(d.toString) || inFlight(d))
+        .foreach { d =>
+          Fs.deleteTree(d, bestEffort = true)
+          try Files.deleteIfExists(inflightSentinel(d))
+          catch { case _: java.io.IOException => () }
+        }
+      // stray sentinels whose dir never materialized (crash between
+      // sentinel write and parquet write): collectable once the pid dies
+      sentinels.filter { s =>
+        val owner = s.resolveSibling(
+          s.getFileName.toString.stripSuffix(".inflight"))
+        !Files.exists(owner) && !inFlight(owner)
+      }.foreach(s =>
+        try Files.deleteIfExists(s)
+        catch { case _: java.io.IOException => () })
     }
   }
 
@@ -268,6 +324,12 @@ class GramArtifactStore(val root: Path) {
     * clustered set is legitimate. */
   def buildDupClusters(name: String, pairs: DataFrame,
       corpusVersion: String, params: Map[String, String]): ArtifactMeta = {
+    // validate BEFORE the CC pass: unlike the gram builders' lazy frames,
+    // Dedup.dupClusters is EAGER (localCheckpoint + O(log n) rounds), so
+    // a bad name/version must not cost the full cluster computation
+    // before commit's own checks throw (r14 review)
+    requireName(name)
+    require(corpusVersion.nonEmpty, "corpusVersion must be non-empty")
     require(params.nonEmpty,
       "dup_clusters needs derivation params (how were the pairs built?) " +
         "— an unparameterized artifact cannot be validated for staleness")
@@ -292,18 +354,31 @@ class GramArtifactStore(val root: Path) {
       params: Map[String, String] = Map.empty): Boolean =
     meta(name).exists(a => a.kind == kind &&
       a.corpusVersion == corpusVersion && a.blockCols == blockCols &&
-      a.n == n && a.maxDf == maxDf && a.params == params)
+      a.n == n && a.maxDf == maxDf && a.params == params &&
+      // a manifest that outlived its data (a tmp reaper took the old
+      // parquet dir but the fresher manifest file survived) must read
+      // as stale so the build-skip consumers SELF-HEAL by rebuilding,
+      // instead of skipping the build and then failing the read forever
+      Files.exists(java.nio.file.Paths.get(a.dataDir)))
 
   /** Drop `name`: manifest entry + every on-disk version (no grace — a
-    * drop is an explicit operator decision). Returns whether it
-    * existed. */
+    * drop is an explicit operator decision). A LIVE in-flight build's
+    * unpublished dir survives the drop and will republish the name when
+    * it commits (last-writer-wins, like two concurrent builds). Returns
+    * whether it existed. */
   def drop(name: String): Boolean = withManifestLock {
     val m = readManifest()
     m.get(name) match {
       case None => false
       case Some(_) =>
         writeManifest(m - name)
-        Fs.deleteTree(root.resolve(name), bestEffort = true)
+        sweepVersions(name, keep = Set.empty)
+        val nameDir = root.resolve(name)
+        try {
+          val kids = Files.list(nameDir)
+          val empty = try !kids.iterator().hasNext finally kids.close()
+          if (empty) Files.deleteIfExists(nameDir)
+        } catch { case _: java.io.IOException => () }
         true
     }
   }
@@ -336,6 +411,11 @@ class GramArtifactStore(val root: Path) {
         s"but the consumer expects params=${params.toSeq.sorted} — a " +
         "different pair derivation means different clusters; rebuild " +
         "with the consumer's parameters")
+    require(Files.exists(java.nio.file.Paths.get(a.dataDir)),
+      s"artifact '$name' has a manifest entry but its data dir " +
+        s"${a.dataDir} is gone (external cleanup?) — rebuild it; " +
+        "isFresh() now reports this name stale, so build-skip callers " +
+        "self-heal on the next pass")
     a
   }
 

@@ -88,7 +88,19 @@ object Sampling {
   def leakageSafeSplitsFromLabels(docs: DataFrame, labels: DataFrame,
       idCol: String, valFrac: Double, testFrac: Double): DataFrame = {
     validateSplitArgs(docs, valFrac, testFrac)
-    val lbl = labels.select(col("id").as(idCol), col("cluster"))
+    // loud in-executor guard (the RangeJoin pattern): a labels frame
+    // with two rows for one id would fan the left join out — the doc
+    // appears in TWO splits and every realized fraction double-counts,
+    // silently. dupClusters/the artifact store emit one row per id, so
+    // the window costs one exchange over the SMALL labels side and the
+    // raise fires only on a malformed caller-built frame (r14 review).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val lbl = labels
+      .withColumn("__n", count(lit(1)).over(w))
+      .select(col("id").as(idCol),
+        when(col("__n") === 1, col("cluster")).otherwise(raise_error(
+          concat(lit("leakageSafeSplitsFromLabels: duplicate label rows " +
+            "for id "), col("id").cast("string")))).as("cluster"))
     val key = coalesce(col("cluster"), col(idCol))
     val skey = sampleKey(key)
     docs.join(lbl, Seq(idCol), "left")

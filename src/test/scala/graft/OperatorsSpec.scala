@@ -515,6 +515,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._3).toSet == Set("train", "val", "test"))
     // reruns assign identically (pure function of the key)
     assert(run().toSet == got.toSet, "determinism across runs")
+    // bad fractions refuse BEFORE the eager CC pass could run
+    intercept[IllegalArgumentException](
+      Sampling.leakageSafeSplits(docs, pairs, "doc_id", 0.6, 0.6))
+    // a malformed labels frame (two rows for one id) fails LOUDLY at
+    // execution instead of fanning the doc into two splits
+    val dupLabels = Seq((0L, 0L), (0L, 7L)).toDF("id", "cluster")
+    val e = intercept[Exception](
+      Sampling.leakageSafeSplitsFromLabels(docs, dupLabels, "doc_id",
+        0.3, 0.3).collect())
+    assert(e.getMessage.contains("duplicate label rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate label rows")),
+      s"expected the duplicate-labels raise, got: ${e.getMessage}")
   }
 
   test("normalizeText: NFC/NFKC/strip/casefold unicode semantics") {

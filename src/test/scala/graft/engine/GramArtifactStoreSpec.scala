@@ -190,14 +190,72 @@ class GramArtifactStoreSpec extends AnyFunSuite {
     store.buildBoilerplate("hot", corpus, "text", "doc_id",
       Seq("lang"), 3, 2, corpusVersion = "docs@1")
     // simulate a build that wrote data but died before the manifest flip
+    // — including one that died holding a sentinel (the pid is dead, so
+    // the sentinel protects nothing) and a stray sentinel whose data
+    // write never started
     val orphan = store.root.resolve("hot").resolve("v0-dead-0")
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("part-orphan.parquet"), Array[Byte](1, 2, 3))
+    Files.write(store.root.resolve("hot").resolve("v0-dead-0.inflight"),
+      "999999999".getBytes("UTF-8"))
+    Files.write(store.root.resolve("hot").resolve("v0-dead-1.inflight"),
+      "999999999".getBytes("UTF-8"))
     val m2 = store.buildBoilerplate("hot", corpus, "text", "doc_id",
       Seq("lang"), 3, 2, corpusVersion = "docs@2")
     assert(!Files.exists(orphan),
       "unreferenced version dirs must not accumulate across crashes")
+    assert(!Files.exists(store.root.resolve("hot").resolve("v0-dead-0.inflight")) &&
+      !Files.exists(store.root.resolve("hot").resolve("v0-dead-1.inflight")),
+      "dead-pid sentinels must be collected")
     assert(Files.exists(java.nio.file.Paths.get(m2.dataDir)))
+  }
+
+  test("a live in-flight build's dir survives concurrent sweeps and drops") {
+    // the r14 review race: the data write runs OUTSIDE the manifest
+    // lock, so a concurrent same-name commit's sweep (or a drop) must
+    // not collect a dir whose builder is still alive — its sentinel
+    // names THIS live jvm's pid
+    val store = freshStore()
+    store.buildBoilerplate("hot", corpus, "text", "doc_id",
+      Seq("lang"), 3, 2, corpusVersion = "docs@1")
+    val inflight = store.root.resolve("hot").resolve("v9-live-9")
+    Files.createDirectories(inflight)
+    Files.write(inflight.resolve("part-0.parquet"), Array[Byte](9))
+    Files.write(store.root.resolve("hot").resolve("v9-live-9.inflight"),
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    // two rebuilds sweep everything past grace — except the live build
+    store.buildBoilerplate("hot", corpus, "text", "doc_id",
+      Seq("lang"), 3, 2, corpusVersion = "docs@2")
+    store.buildBoilerplate("hot", corpus, "text", "doc_id",
+      Seq("lang"), 3, 2, corpusVersion = "docs@3")
+    assert(Files.exists(inflight),
+      "a live builder's unpublished dir must survive concurrent sweeps")
+    // drop removes the name but leaves the live build to republish
+    assert(store.drop("hot"))
+    assert(Files.exists(inflight),
+      "drop must not collect a live build's unpublished dir")
+    assert(store.meta("hot").isEmpty)
+  }
+
+  test("a manifest entry whose data dir was externally removed reads stale and rebuilds") {
+    val store = freshStore()
+    val m1 = store.buildBoilerplate("hot", corpus, "text", "doc_id",
+      Seq("lang"), 3, 2, corpusVersion = "docs@1")
+    assert(store.isFresh("hot", GramArtifactStore.KindBoilerplate,
+      "docs@1", Seq("lang"), 3, 2))
+    // a tmp reaper takes the old data dir but the manifest survives
+    Fs.deleteTree(java.nio.file.Paths.get(m1.dataDir))
+    assert(!store.isFresh("hot", GramArtifactStore.KindBoilerplate,
+        "docs@1", Seq("lang"), 3, 2),
+      "missing data must read as stale so build-skip callers self-heal")
+    val eC = intercept[IllegalArgumentException](
+      store.boilerplateGrams(spark, "hot", "docs@1", Seq("lang"), 3, 2))
+    assert(eC.getMessage.contains("data dir"))
+    // and the standard build-or-consume sequence heals it
+    val m2 = store.buildBoilerplate("hot", corpus, "text", "doc_id",
+      Seq("lang"), 3, 2, corpusVersion = "docs@1")
+    assert(store.boilerplateGrams(spark, "hot", "docs@1",
+      Seq("lang"), 3, 2).count() == m2.rows)
   }
 
   test("build refuses past maxRows BEFORE writing, and publishes nothing") {
