@@ -4239,16 +4239,22 @@ object Pipeline {
     // world') whose logits/token counts differ, so a representative-based
     // fold would be wrong and partition-order-dependent (r9 review catch
     // — latent here only because the shipped corpora's normalized dups
-    // happen to be byte-identical). Decimal cell sums equal the per-doc
-    // decimal sum exactly, keeping the mean order-independent.
+    // happen to be byte-identical). The logit is quantized to exact
+    // integer MICROS via floor(x*1e6) before summing: the per-doc logit
+    // double is bit-identical across engines (same IEEE ops, same
+    // order), so floor of it is too, whereas a double→DECIMAL cast
+    // rounds through the engine's own repr (Spark: shortest-string
+    // HALF_UP; DuckDB: exact binary) and a boundary doc flips the last
+    // decimal — observed at sf0.1, 3 sources off by exactly one 1e-6
+    // unit (r14). Long sums are exact and order-free.
     val cells = scored.select(col("source"),
         col("quality_logit"), col("keep"),
         TextAnalysis.wsTokens(col("text")).as("__toks"),
         Dedup.normalizedHash(col("text")).as("__h"))
       .groupBy(col("__h"), col("source"))
       .agg(count(lit(1)).as("__n"),
-        sum(col("quality_logit")
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__logitSum"),
+        sum(floor(col("quality_logit") * lit(1e6)).cast("long"))
+          .as("__logitSum"),
         sum(col("keep")).as("__keepSum"),
         sum(col("__toks")).as("__tokSum"))
     val withGrp = cells.withColumn("__grp", sum(col("__n")).over(
@@ -4257,7 +4263,7 @@ object Pipeline {
       .agg(sum(col("__n")).as("n_docs"),
         sum(col("__tokSum")).as("total_tokens"),
         sum(when(col("__grp") > 1, col("__n")).otherwise(0L)).as("n_dup_docs"),
-        (sum(col("__logitSum")).cast("double") / sum(col("__n")))
+        (sum(col("__logitSum")).cast("double") / lit(1e6) / sum(col("__n")))
           .as("avg_logit"),
         sum(col("__keepSum")).as("__keeps"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
@@ -4295,7 +4301,8 @@ object Pipeline {
       |  CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
       |  CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
       |    AS dup_frac,
-      |  CAST(SUM(CAST(logit AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |  CAST(SUM(CAST(FLOOR(logit * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / 1000000.0 / COUNT(*)
       |    AS avg_logit,
       |  CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
       |    AS keep_frac
