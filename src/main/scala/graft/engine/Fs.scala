@@ -19,10 +19,11 @@ private[engine] object Fs {
   def deleteTree(p: Path, bestEffort: Boolean = false): Unit = {
     if (!Files.exists(p)) return
     // best-effort covers the WALK too, not just per-file deletes: a
-    // concurrent sweep can remove entries mid-traversal, surfacing as
-    // NoSuchFileException from Files.walk or UncheckedIOException from
-    // the iterator — neither is IOException, and escaping here would
-    // fail a commit AFTER its manifest already flipped (r14 review)
+    // concurrent sweep can remove entries mid-traversal, surfacing as an
+    // IOException from the Files.walk OPEN (outside the per-file catch)
+    // or an UncheckedIOException from the iterator (not an IOException
+    // at all) — either escaping would fail a commit AFTER its manifest
+    // already flipped (r14 review)
     def walk(): Unit = {
       val walked = Files.walk(p)
       try walked.iterator().asScala.toSeq.reverse.foreach { f =>

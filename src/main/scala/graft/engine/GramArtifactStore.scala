@@ -219,11 +219,23 @@ class GramArtifactStore(val root: Path) {
     // data a contemporary's sweep had just deleted).
     Files.createDirectories(dataDir.getParent)
     val sentinel = inflightSentinel(dataDir)
-    Files.write(sentinel,
-      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val rows = probed.getOrElse(
-      df.sparkSession.read.parquet(dataDir.toString).count())
+    Files.write(sentinel, GramArtifactStore.pidToken.getBytes("UTF-8"))
+    // failure cleanup is mandatory: an aborted write would otherwise
+    // leave a sentinel naming THIS live pid, protecting the partial dir
+    // from every sweep for the process lifetime — each failed+retried
+    // build leaking one corpus-scale parquet dir (r14 review)
+    val rows =
+      try {
+        df.write.mode("overwrite").parquet(dataDir.toString)
+        probed.getOrElse(
+          df.sparkSession.read.parquet(dataDir.toString).count())
+      } catch {
+        case e: Throwable =>
+          Fs.deleteTree(dataDir, bestEffort = true)
+          try Files.deleteIfExists(sentinel)
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
     val meta = ArtifactMeta(name, kind, corpusVersion, blockCols, n, maxDf,
       rows, ts, dataDir.toString, params)
     withManifestLock {
@@ -243,15 +255,29 @@ class GramArtifactStore(val root: Path) {
     dataDir.resolveSibling(dataDir.getFileName.toString + ".inflight")
 
   /** Whether `dir` is a live build's unpublished data: its sibling
-    * sentinel names a pid that is still running. A dead or unparsable
-    * pid reads as NOT in flight — a crashed build's dir must be
-    * collectable. */
+    * sentinel names a `pid@startMillis` token matching a process that is
+    * still running ON THIS HOST with that exact start time — the start
+    * time closes pid recycling (a reused pid would otherwise protect a
+    * crashed build's dir for the stranger process's lifetime). A dead,
+    * recycled, or unparsable token reads as NOT in flight — a crashed
+    * build's dir must be collectable. Liveness is host-local by nature;
+    * a multi-host shared root gets mutation ordering from the
+    * `_artifacts.lock` file lock, but in-flight protection only against
+    * same-host contemporaries — the same single-writer-per-host scope
+    * the rest of the store assumes. */
   private def inFlight(dir: Path): Boolean = {
     val s = inflightSentinel(dir)
     Files.exists(s) && (try {
-      ProcessHandle.of(
-        new String(Files.readAllBytes(s), "UTF-8").trim.toLong)
-        .isPresent
+      val Array(pid, started) =
+        new String(Files.readAllBytes(s), "UTF-8").trim.split("@")
+      // started == 0 (writer JVM had no startInstant) or an absent
+      // reader-side startInstant both degrade to pid-only liveness —
+      // erring toward protecting a possibly-live build
+      ProcessHandle.of(pid.toLong).map[Boolean](h =>
+        if (started.toLong == 0L) true
+        else h.info().startInstant().map[Boolean](
+          _.toEpochMilli == started.toLong).orElse(true))
+        .orElse(false)
     } catch { case _: Exception => false })
   }
 
@@ -268,7 +294,13 @@ class GramArtifactStore(val root: Path) {
         finally kids.close()
       val (sentinels, dirs) = all.partition(
         _.getFileName.toString.endsWith(".inflight"))
-      dirs.filterNot(d => keep.contains(d.toString) || inFlight(d))
+      // compare NORMALIZED paths: the manifest records dataDir in the
+      // writer's spelling of the root (relative segments, trailing
+      // dots), and a raw string mismatch would defeat the grace keep
+      // (r14 review)
+      def norm(p: Path) = p.toAbsolutePath.normalize.toString
+      val keepNorm = keep.map(k => norm(java.nio.file.Paths.get(k)))
+      dirs.filterNot(d => keepNorm.contains(norm(d)) || inFlight(d))
         .foreach { d =>
           Fs.deleteTree(d, bestEffort = true)
           try Files.deleteIfExists(inflightSentinel(d))
@@ -475,6 +507,17 @@ object GramArtifactStore {
 
   // uniquifier for same-millisecond builds of one name in one process
   private val dirSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  // in-flight sentinel token: pid@startMillis (the start time closes pid
+  // recycling — see inFlight). startInstant can be absent on exotic
+  // JVMs; 0 then matches a comparer that also reads absent as "assume
+  // live", erring toward protection
+  private def pidToken: String = {
+    val h = ProcessHandle.current()
+    val started = h.info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(0L)
+    s"${h.pid()}@$started"
+  }
 
   /** Corpus-version string for a parquet file/dir on a local filesystem:
     * `<table>@<mtime>`. Fails LOUDLY when the path is missing or carries

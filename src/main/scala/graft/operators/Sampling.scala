@@ -71,9 +71,12 @@ object Sampling {
       valFrac: Double, testFrac: Double): DataFrame = {
     // validate BEFORE the CC pass: dupClusters is eager (localCheckpoint
     // + O(log n) rounds), so a bad fraction must not cost the full
-    // cluster computation before its IllegalArgumentException fires
+    // cluster computation before its IllegalArgumentException fires.
+    // dupClusters emits ONE row per id structurally, so this trusted
+    // path skips FromLabels' duplicate guard and keeps the documented
+    // shuffle budget (one id-keyed join, nothing else)
     validateSplitArgs(docs, valFrac, testFrac)
-    leakageSafeSplitsFromLabels(docs,
+    splitAssign(docs,
       Dedup.dupClusters(pairs).select(col("id"), col("cluster")),
       idCol, valFrac, testFrac)
   }
@@ -91,16 +94,26 @@ object Sampling {
     // loud in-executor guard (the RangeJoin pattern): a labels frame
     // with two rows for one id would fan the left join out — the doc
     // appears in TWO splits and every realized fraction double-counts,
-    // silently. dupClusters/the artifact store emit one row per id, so
-    // the window costs one exchange over the SMALL labels side and the
-    // raise fires only on a malformed caller-built frame (r14 review).
+    // silently. This public entry takes ARBITRARY caller-built frames
+    // (unioned artifact generations, unreduced pair tables), so it pays
+    // one window exchange over the SMALL labels side for the check; the
+    // trusted recompute path ([[leakageSafeSplits]] over dupClusters
+    // output, structurally one row per id) skips it and keeps its
+    // documented one-join shuffle budget (r14 review).
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    val lbl = labels
+    val guarded = labels
       .withColumn("__n", count(lit(1)).over(w))
-      .select(col("id").as(idCol),
+      .select(col("id"),
         when(col("__n") === 1, col("cluster")).otherwise(raise_error(
           concat(lit("leakageSafeSplitsFromLabels: duplicate label rows " +
             "for id "), col("id").cast("string")))).as("cluster"))
+    splitAssign(docs, guarded, idCol, valFrac, testFrac)
+  }
+
+  /** The shared join + md5 assignment over VETTED (id, cluster) labels. */
+  private def splitAssign(docs: DataFrame, labels: DataFrame,
+      idCol: String, valFrac: Double, testFrac: Double): DataFrame = {
+    val lbl = labels.select(col("id").as(idCol), col("cluster"))
     val key = coalesce(col("cluster"), col(idCol))
     val skey = sampleKey(key)
     docs.join(lbl, Seq(idCol), "left")

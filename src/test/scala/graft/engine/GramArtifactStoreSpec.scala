@@ -196,8 +196,10 @@ class GramArtifactStoreSpec extends AnyFunSuite {
     val orphan = store.root.resolve("hot").resolve("v0-dead-0")
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("part-orphan.parquet"), Array[Byte](1, 2, 3))
+    // one well-formed dead-pid token, one unparsable legacy token —
+    // both must read as not-in-flight and be collected
     Files.write(store.root.resolve("hot").resolve("v0-dead-0.inflight"),
-      "999999999".getBytes("UTF-8"))
+      "999999999@123".getBytes("UTF-8"))
     Files.write(store.root.resolve("hot").resolve("v0-dead-1.inflight"),
       "999999999".getBytes("UTF-8"))
     val m2 = store.buildBoilerplate("hot", corpus, "text", "doc_id",
@@ -221,8 +223,17 @@ class GramArtifactStoreSpec extends AnyFunSuite {
     val inflight = store.root.resolve("hot").resolve("v9-live-9")
     Files.createDirectories(inflight)
     Files.write(inflight.resolve("part-0.parquet"), Array[Byte](9))
+    val self = ProcessHandle.current()
+    val token = s"${self.pid()}@${self.info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(0L)}"
     Files.write(store.root.resolve("hot").resolve("v9-live-9.inflight"),
-      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+      token.getBytes("UTF-8"))
+    // a RECYCLED pid (live pid, wrong start time) must NOT protect
+    val recycled = store.root.resolve("hot").resolve("v8-recycled-8")
+    Files.createDirectories(recycled)
+    Files.write(recycled.resolve("part-0.parquet"), Array[Byte](8))
+    Files.write(store.root.resolve("hot").resolve("v8-recycled-8.inflight"),
+      s"${self.pid()}@1".getBytes("UTF-8"))
     // two rebuilds sweep everything past grace — except the live build
     store.buildBoilerplate("hot", corpus, "text", "doc_id",
       Seq("lang"), 3, 2, corpusVersion = "docs@2")
@@ -230,6 +241,8 @@ class GramArtifactStoreSpec extends AnyFunSuite {
       Seq("lang"), 3, 2, corpusVersion = "docs@3")
     assert(Files.exists(inflight),
       "a live builder's unpublished dir must survive concurrent sweeps")
+    assert(!Files.exists(recycled),
+      "a recycled pid (start time mismatch) must not protect a dead dir")
     // drop removes the name but leaves the live build to republish
     assert(store.drop("hot"))
     assert(Files.exists(inflight),
