@@ -81,25 +81,30 @@ object Sampling {
       idCol, valFrac, testFrac)
   }
 
-  /** [[leakageSafeSplits]] from PREBUILT cluster labels — the deployment
-    * path: the CC pass runs once per corpus snapshot (persisted as a
-    * `dup_clusters` artifact in [[graft.engine.GramArtifactStore]]) and
-    * every split pass pays only this one id-keyed join + the codegen'd
-    * md5 projection. `labels` is (id, cluster) — exactly what
-    * [[Dedup.dupClusters]] emits and
-    * [[graft.engine.GramArtifactStore.dupClusterLabels]] returns. */
+  /** [[leakageSafeSplits]] from PREBUILT cluster labels. `labels` is
+    * (id, cluster) — the shape [[Dedup.dupClusters]] emits and
+    * [[graft.engine.GramArtifactStore.dupClusterLabels]] returns.
+    *
+    * This public entry takes ARBITRARY caller-built frames (unioned
+    * artifact generations, unreduced pair tables), so on top of the
+    * id-keyed join + md5 projection it pays ONE WINDOW EXCHANGE over the
+    * (small) labels side for the duplicate-label guard below — callers
+    * measuring the per-pass split cost should count that exchange in
+    * (r14 advice: the earlier scaladoc claimed the one-join budget and
+    * understated it). Labels whose provenance the engine itself
+    * validated — a store-consumed `dup_clusters` artifact — take
+    * [[leakageSafeSplitsFromVettedLabels]] instead, which skips the
+    * guard and keeps the true one-join budget. */
   def leakageSafeSplitsFromLabels(docs: DataFrame, labels: DataFrame,
       idCol: String, valFrac: Double, testFrac: Double): DataFrame = {
     validateSplitArgs(docs, valFrac, testFrac)
     // loud in-executor guard (the RangeJoin pattern): a labels frame
     // with two rows for one id would fan the left join out — the doc
     // appears in TWO splits and every realized fraction double-counts,
-    // silently. This public entry takes ARBITRARY caller-built frames
-    // (unioned artifact generations, unreduced pair tables), so it pays
-    // one window exchange over the SMALL labels side for the check; the
-    // trusted recompute path ([[leakageSafeSplits]] over dupClusters
-    // output, structurally one row per id) skips it and keeps its
-    // documented one-join shuffle budget (r14 review).
+    // silently. The trusted paths ([[leakageSafeSplits]] over
+    // dupClusters output — structurally one row per id — and
+    // [[leakageSafeSplitsFromVettedLabels]] for store-validated
+    // artifacts) skip it and keep the documented one-join budget.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
     val guarded = labels
       .withColumn("__n", count(lit(1)).over(w))
@@ -110,20 +115,54 @@ object Sampling {
     splitAssign(docs, guarded, idCol, valFrac, testFrac)
   }
 
+  /** [[leakageSafeSplitsFromLabels]] WITHOUT the duplicate-label window
+    * guard — the deployment split path for labels whose one-row-per-id
+    * provenance the ENGINE already vouches for (r15 decision on the r14
+    * "p116 guard question": store-sourced labels get the trusted
+    * one-join path, because the store's build side writes
+    * [[Dedup.dupClusters]] output — structurally one row per id — and
+    * its consume side validates name/version/params before returning the
+    * frame; the store is the provenance authority the window guard
+    * substitutes for). The CC pass runs once per corpus snapshot
+    * (persisted as a `dup_clusters` artifact in
+    * [[graft.engine.GramArtifactStore]]) and every split pass pays only
+    * the one id-keyed label join + the codegen'd md5 projection — no
+    * window exchange (plan pinned in PlanShapeSpec).
+    *
+    * TRUST CONTRACT: pass ONLY frames read back from an engine-built
+    * artifact ([[graft.engine.GramArtifactStore.dupClusterLabels]]) or
+    * [[Dedup.dupClusters]] output. A hand-edited parquet that smuggles a
+    * duplicate id in fans the left join out silently — exactly the
+    * failure the guarded entry refuses loudly; when provenance is in any
+    * doubt, use [[leakageSafeSplitsFromLabels]]. */
+  def leakageSafeSplitsFromVettedLabels(docs: DataFrame, labels: DataFrame,
+      idCol: String, valFrac: Double, testFrac: Double): DataFrame = {
+    validateSplitArgs(docs, valFrac, testFrac)
+    splitAssign(docs, labels.select(col("id"), col("cluster")),
+      idCol, valFrac, testFrac)
+  }
+
+  /** The split CASE over a 4-hex-digit sample key — ONE definition
+    * shared by the batch assignment and the streaming split gate
+    * ([[graft.streaming.DocStreams.splitGate]]), so stream and batch
+    * cannot drift on what "test"/"val"/"train" mean. */
+  private[graft] def splitOf(skey: Column, valFrac: Double,
+      testFrac: Double): Column =
+    when(skey < lit(thresholdHex(testFrac)), lit("test"))
+      .when(skey < lit(thresholdHex(testFrac + valFrac)), lit("val"))
+      .otherwise(lit("train"))
+
   /** The shared join + md5 assignment over VETTED (id, cluster) labels. */
   private def splitAssign(docs: DataFrame, labels: DataFrame,
       idCol: String, valFrac: Double, testFrac: Double): DataFrame = {
     val lbl = labels.select(col("id").as(idCol), col("cluster"))
     val key = coalesce(col("cluster"), col(idCol))
-    val skey = sampleKey(key)
     docs.join(lbl, Seq(idCol), "left")
       .select(col(idCol), key.as("split_key"),
-        when(skey < lit(thresholdHex(testFrac)), lit("test"))
-          .when(skey < lit(thresholdHex(testFrac + valFrac)), lit("val"))
-          .otherwise(lit("train")).as("split"))
+        splitOf(sampleKey(key), valFrac, testFrac).as("split"))
   }
 
-  private def validateSplitArgs(docs: DataFrame, valFrac: Double,
+  private[graft] def validateSplitArgs(docs: DataFrame, valFrac: Double,
       testFrac: Double): Unit = {
     require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
       s"need 0 <= valFrac, testFrac and valFrac + testFrac < 1: " +

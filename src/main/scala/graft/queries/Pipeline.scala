@@ -4653,9 +4653,12 @@ object Pipeline {
     * `dup_clusters` artifact in [[graft.engine.GramArtifactStore]],
     * versioned `documents@mtime` + derivation-code token, pair-derivation
     * params validated at consume), and each split pass pays only one
-    * id-keyed label join + the codegen'd md5 projection. Same oracle as
-    * p115 — the artifact path must produce the IDENTICAL assignment, and
-    * the oracle check proves it does. */
+    * id-keyed label join + the codegen'd md5 projection — the VETTED
+    * entry, no duplicate-label window exchange, because the store's
+    * build+consume validation is the provenance the guard substitutes
+    * for (r15 decision; plan pinned window-free in PlanShapeSpec). Same
+    * oracle as p115 — the artifact path must produce the IDENTICAL
+    * assignment, and the oracle check proves it does. */
   def p116SplitFromArtifact(s: SparkSession, dir: String): DataFrame = {
     val version =
       graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
@@ -4669,7 +4672,7 @@ object Pipeline {
             threshold = 0.5)
           .select(col("id_a"), col("id_b")),
         version, p116ClusterParams)
-    Sampling.leakageSafeSplitsFromLabels(
+    Sampling.leakageSafeSplitsFromVettedLabels(
         documents(s, dir).select(col("doc_id")),
         store.dupClusterLabels(s, name, version, p116ClusterParams),
         "doc_id", valFrac = 0.1, testFrac = 0.1)

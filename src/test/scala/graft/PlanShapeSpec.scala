@@ -244,6 +244,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p116 stopped scanning the persisted cluster artifact:\n$p116")
     assert(!p116.contains("ExistingRDD"),
       s"p116 recomputes the CC labels (checkpointed-RDD scan):\n$p116")
+    // r15 decision on the r14 guard question: store-sourced labels take
+    // the VETTED one-join path — the store's build (dupClusters output,
+    // structurally one row per id) + consume (name/version/params)
+    // validation is the provenance the duplicate-label window guard
+    // substitutes for, so the per-pass split plan must carry NO window
+    // exchange over the labels side
+    assert(!p116.contains("Window"),
+      s"p116 re-grew the duplicate-label window guard — store-sourced " +
+        s"labels are vetted and take the one-join path:\n$p116")
     val p115 = formatted("p115_leakage_split")
     assert(p115.contains("ExistingRDD"),
       "the recompute-path tell changed shape; re-derive p116's pin")
