@@ -974,6 +974,98 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming split gate assigns the batch twin's splits, cluster-atomically") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.{Dedup, Sampling}
+    // an adversarial CHAIN component (0-1-2-3) + a pair + singletons —
+    // the graph shapes the batch split's atomicity pins use
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(pairs).select(col("id"), col("cluster"))
+      .localCheckpoint()
+    val docs = (Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L, 21L).zipWithIndex).map {
+      case (id, i) =>
+        (id, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$i:00"))
+    }
+    val dir = Files.createTempDirectory("graft-splitgate").toString
+    val q = DocStreams.splitGate(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP").parquet(dir),
+        labels, "doc_id", "ts", valFrac = 0.25, testFrac = 0.25)
+      .writeStream.format("memory").queryName("splitgate")
+      .outputMode("append").start()
+    try {
+      // arrival order scrambled across micro-batches: assignment is a
+      // pure function of the key, so order cannot matter
+      docs.grouped(3).foreach { batch =>
+        batch.toDF("doc_id", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT id, split_key, split FROM splitgate")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // the batch twin (the vetted one-join path p116 ships) on the
+      // identical docs + labels
+      val batch = Sampling.leakageSafeSplitsFromVettedLabels(
+          docs.map(_._1).toDF("doc_id"), labels, "doc_id", 0.25, 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(streamed.toSet == batch.toSet,
+        s"stream=${streamed.toSet} batch=${batch.toSet}")
+      assert(streamed.length == docs.length, "one assignment per doc")
+      // cluster atomicity holds in the stream: the whole chain lands in
+      // ONE split, keyed on the component min id
+      val chain = streamed.filter(_._1 <= 3L)
+      assert(chain.map(_._2).toSet == Set(0L) &&
+        chain.map(_._3).toSet.size == 1,
+        s"chain component split apart in the stream: $chain")
+      // singletons hash on their own id
+      assert(streamed.filter(t => t._1 >= 20L).forall(t => t._2 == t._1))
+    } finally q.stop()
+  }
+
+  test("split gate refuses a stale dup-clusters artifact before the stream starts") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val store = new graft.engine.GramArtifactStore(
+      Files.createTempDirectory("graft-splitgate-store"))
+    val params = Map("pairs" -> "spec", "threshold" -> "0.5")
+    store.buildDupClusters("gate-cc",
+      Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b"), "docs@1", params)
+    val streamDocs = spark.readStream.schema("doc_id LONG, ts TIMESTAMP")
+      .parquet(Files.createTempDirectory("graft-splitgate-empty").toString)
+    // wrong pair-derivation params: different clusters — refuse loudly,
+    // never assign splits on the wrong granularity
+    val eP = intercept[IllegalArgumentException](
+      DocStreams.splitGateFromArtifact(streamDocs, store, "gate-cc",
+        "docs@1", params + ("threshold" -> "0.9"), "doc_id", "ts",
+        0.25, 0.25))
+    assert(eP.getMessage.contains("params"))
+    // stale corpus snapshot: same refusal
+    val eV = intercept[IllegalArgumentException](
+      DocStreams.splitGateFromArtifact(streamDocs, store, "gate-cc",
+        "docs@2", params, "doc_id", "ts", 0.25, 0.25))
+    assert(eV.getMessage.contains("docs@1") && eV.getMessage.contains("docs@2"))
+    // and the matching consume WORKS end-to-end through the artifact
+    val dir = Files.createTempDirectory("graft-splitgate-art").toString
+    val q = DocStreams.splitGateFromArtifact(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP").parquet(dir),
+        store, "gate-cc", "docs@1", params, "doc_id", "ts", 0.25, 0.25)
+      .writeStream.format("memory").queryName("splitgate_art")
+      .outputMode("append").start()
+    try {
+      Seq((0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+          (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00")),
+          (9L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00")))
+        .toDF("doc_id", "ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, split_key FROM splitgate_art")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // 0 and 2 share the chain's min-id key; 9 is a singleton
+      assert(got == Map(0L -> 0L, 2L -> 0L, 9L -> 9L), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming snapshot-dedup gate matches the batch againstSnapshot twin") {
     import spark.implicits._
     import graft.streaming.DocStreams
