@@ -1023,6 +1023,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming split gate converges to the batch twin on the full documents table") {
+    import graft.streaming.DocStreams
+    import graft.operators.{Dedup, Sampling}
+    // the REAL corpus end-to-end: labels from the p116 pair derivation
+    // (minHashDedup at 0.5 -> dupClusters), docs streamed by file source
+    val docsBatch = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val labels = Dedup.dupClusters(
+        Dedup.minHashDedup(docsBatch, "text", "doc_id", threshold = 0.5)
+          .select(col("id_a"), col("id_b")))
+      .select(col("id"), col("cluster")).localCheckpoint()
+    val dir = Files.createTempDirectory("graft-splitgate-full").toString
+    docsBatch.select(col("doc_id"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+      .write.mode("append").parquet(dir)
+    val q = DocStreams.splitGate(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP").parquet(dir),
+        labels, "doc_id", "ts", valFrac = 0.1, testFrac = 0.1)
+      .writeStream.format("memory").queryName("splitgate_full")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT id, split_key, split FROM splitgate_full").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = Sampling.leakageSafeSplitsFromVettedLabels(
+          docsBatch.select(col("doc_id")), labels, "doc_id", 0.1, 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.map(_._3).contains("train"))
+      // and some real near-dup cluster exists and moved as one unit
+      val clustered = streamed.filter(t => t._1 != t._2)
+      assert(clustered.nonEmpty, "corpus should contain near-dup clusters")
+    } finally q.stop()
+  }
+
   test("split gate refuses a stale dup-clusters artifact before the stream starts") {
     import spark.implicits._
     import graft.streaming.DocStreams
