@@ -283,9 +283,14 @@ class GramArtifactStore(val root: Path) {
           // collect every version of this name EXCEPT the new one and
           // the immediately-superseded one (grace for in-flight readers;
           // also collects crash-orphaned dirs the manifest never
-          // referenced) — the DELETES run after the lock releases
+          // referenced) — the DELETES run after the lock releases. The
+          // manifest entry is durable at this point, so a listing
+          // failure must not fail the commit (the sweep is best-effort
+          // end to end; the next rebuild retries whatever survived)
           val keep = Set(dataDir.toString) ++ prev.get(name).map(_.dataDir)
-          doomedVersions(name, keep)
+          try doomedVersions(name, keep)
+          catch { case _: java.io.IOException |
+                       _: java.io.UncheckedIOException => Nil }
         }
         reap(doomed)
         m
@@ -465,7 +470,11 @@ class GramArtifactStore(val root: Path) {
         case None => None
         case Some(_) =>
           writeManifest(m - name)
-          Some(doomedVersions(name, keep = Set.empty))
+          // entry durably removed; a listing failure degrades the drop
+          // to manifest-only (best-effort on-disk cleanup, like commit)
+          Some(try doomedVersions(name, keep = Set.empty)
+            catch { case _: java.io.IOException |
+                         _: java.io.UncheckedIOException => Nil })
       }
     }
     doomed.foreach { d =>
