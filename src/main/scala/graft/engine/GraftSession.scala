@@ -71,10 +71,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     *
     * Kind-specific inputs: `boilerplate` needs (textCol, idCol, n,
     * maxDf) and optional blockCols; `eval_grams` needs (textCol, idCol,
-    * n); `dup_clusters` reads `table` as the near-dup PAIR table
-    * ((id_a, id_b) edges) and requires derivation `params`. Column and
-    * argument mismatches refuse with IllegalArgumentException BEFORE any
-    * scan.
+    * n). `dup_clusters` has two source shapes: WITHOUT textCol/idCol the
+    * `table` is a pre-materialized near-dup PAIR table ((id_a, id_b)
+    * edges) and arbitrary derivation `params` are required verbatim;
+    * WITH textCol/idCol the `table` is the DOCUMENTS table and the
+    * engine derives the pairs itself with [[graft.operators.Dedup.minHashDedup]]
+    * (params `shingleLen`/`k`/`rowsPerBand`/`threshold`/`maxBucket`
+    * override its defaults; no other keys allowed, since the recorded
+    * params ARE the staleness key consumers validate) — the whole
+    * build-clusters-once-per-snapshot loop of the p116 deployment story
+    * becomes nameable, with the artifact recording the EFFECTIVE
+    * derivation values. Column and argument mismatches refuse with
+    * IllegalArgumentException BEFORE any scan.
     *
     * `ifStale = true` makes the verb IDEMPOTENT per snapshot (the
     * "build once per corpus version" deployment loop, through the
@@ -99,7 +107,10 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val (expBlockCols, expN, expMaxDf, expParams) = kind match {
       case GramArtifactStore.KindBoilerplate => (blockCols, n, maxDf, Map.empty[String, String])
       case GramArtifactStore.KindEvalGrams => (Nil, n, 0, Map.empty[String, String])
-      case GramArtifactStore.KindDupClusters => (Nil, 0, 0, params)
+      case GramArtifactStore.KindDupClusters =>
+        (Nil, 0, 0,
+          if (textCol.isEmpty && idCol.isEmpty) params
+          else GraftSession.minHashDerivationParams(params))
       case other =>
         throw new IllegalArgumentException(
           s"unknown artifact kind '$other' — one of " +
@@ -131,6 +142,23 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         requireCols("textCol + idCol", Seq(textCol, idCol))
         require(n > 0, s"eval_grams builds need n > 0, got n=$n")
         artifacts.buildEvalGrams(name, frame, textCol, idCol, n, corpusVersion)
+      case GramArtifactStore.KindDupClusters
+          if textCol.nonEmpty || idCol.nonEmpty =>
+        // documents-table shape: derive the near-dup pairs engine-side
+        // with the SAME operator the p116 derivation uses; the EFFECTIVE
+        // minhash values (defaults filled in) are what the artifact
+        // records, so a consumer with different expectations refuses at
+        // the named surface
+        requireCols("textCol + idCol", Seq(textCol, idCol))
+        val pp = expParams
+        artifacts.buildDupClusters(name,
+          graft.operators.Dedup.minHashDedup(frame, textCol, idCol,
+              shingleLen = pp("shingleLen").toInt, k = pp("k").toInt,
+              rowsPerBand = pp("rowsPerBand").toInt,
+              threshold = pp("threshold").toDouble,
+              maxBucket = pp("maxBucket").toInt)
+            .select("id_a", "id_b"),
+          corpusVersion, pp)
       case GramArtifactStore.KindDupClusters =>
         requireCols("the (id_a, id_b) pair columns", Seq("id_a", "id_b"))
         artifacts.buildDupClusters(name,
@@ -4646,5 +4674,35 @@ object Sql {
       "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     case SqlValue.BlobVal(v) => "X'" + v.map("%02X".format(_)).mkString + "'"
     case SqlValue.NullVal => "NULL"
+  }
+}
+
+object GraftSession {
+  /** Effective minhash derivation params for a documents-table
+    * `dup_clusters` build ([[GraftSession.buildArtifact]]): caller
+    * overrides validated and defaults filled in, so the artifact records
+    * the values that actually ran — they are the staleness key its
+    * consumers validate. Unknown keys refuse: a typo'd key would ride
+    * into the recorded params and make every correctly-spelled consumer
+    * expectation mismatch forever. */
+  private[engine] def minHashDerivationParams(
+      params: Map[String, String]): Map[String, String] = {
+    val intDefaults = Seq("shingleLen" -> 3, "k" -> 32,
+      "rowsPerBand" -> 4, "maxBucket" -> 1000)
+    val allowed = intDefaults.map(_._1).toSet + "threshold"
+    val unknown = params.keySet -- allowed
+    require(unknown.isEmpty,
+      "derived dup_clusters builds accept only params " +
+        s"${allowed.toSeq.sorted.mkString(", ")} (they become the " +
+        s"artifact's staleness key); unknown: ${unknown.toSeq.sorted.mkString(", ")}")
+    val ints = intDefaults.map { case (key, dflt) =>
+      key -> params.get(key).map(s => s.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"param $key must be an integer: $s"))).getOrElse(dflt).toString
+    }.toMap
+    val thr = params.get("threshold").map(s => s.toDoubleOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"param threshold must be a number: $s"))).getOrElse(0.5)
+    ints + ("threshold" -> thr.toString) + ("pairs" -> "minHashDedup")
   }
 }

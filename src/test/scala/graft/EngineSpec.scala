@@ -80,6 +80,50 @@ class EngineSpec extends AnyFunSuite {
     assert(s.artifacts.meta("x").isEmpty, "refused builds publish nothing")
   }
 
+  test("buildArtifact derives dup-cluster pairs from a documents table") {
+    // the documents-table shape: the engine runs the p116 pair
+    // derivation (minHashDedup) itself, so the whole
+    // build-clusters-once-per-snapshot loop is nameable from the
+    // management plane — no pre-materialized pair table needed
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE d2 (doc_id INTEGER, body TEXT)"))
+    s.execute("db1", "main", q("INSERT INTO d2 VALUES " +
+      "(1, 'the quick brown fox jumps over the lazy dog today'), " +
+      "(2, 'the quick brown fox jumps over the lazy dog today'), " +
+      "(3, 'completely different text about catalyst and tungsten engines')"))
+    val (m, built) = s.buildArtifact("eng-cc", "dup_clusters", "db1",
+      "main", "d2", textCol = "body", idCol = "doc_id",
+      params = Map("threshold" -> "0.5"))
+    assert(built && m.rows == 2L)
+    // the artifact records the EFFECTIVE derivation (defaults filled
+    // in) — the staleness key consumers validate
+    assert(m.params == Map("pairs" -> "minHashDedup", "shingleLen" -> "3",
+      "k" -> "32", "rowsPerBand" -> "4", "maxBucket" -> "1000",
+      "threshold" -> "0.5"))
+    val labels = s.artifacts
+      .dupClusterLabels(spark, "eng-cc", m.corpusVersion, m.params)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels == Set((1L, 1L), (2L, 1L)),
+      "identical docs must cluster on the min id; the distinct doc stays out")
+    // ifStale matches through the effective expansion of the same
+    // caller params, so the loop is idempotent per snapshot here too
+    val (m2, built2) = s.buildArtifact("eng-cc", "dup_clusters", "db1",
+      "main", "d2", textCol = "body", idCol = "doc_id",
+      params = Map("threshold" -> "0.5"), ifStale = true)
+    assert(!built2 && m2.builtAt == m.builtAt)
+    // unknown param keys refuse BEFORE any scan: a typo'd key would ride
+    // into the recorded staleness key and mismatch every consumer forever
+    val e = intercept[IllegalArgumentException](s.buildArtifact("x",
+      "dup_clusters", "db1", "main", "d2", textCol = "body",
+      idCol = "doc_id", params = Map("treshold" -> "0.5")))
+    assert(e.getMessage.contains("treshold"))
+    // malformed values refuse too
+    intercept[IllegalArgumentException](s.buildArtifact("x",
+      "dup_clusters", "db1", "main", "d2", textCol = "body",
+      idCol = "doc_id", params = Map("k" -> "thirty-two")))
+    assert(s.artifacts.meta("x").isEmpty)
+  }
+
   test("dynamic 5-type values: blob, null, float survive the round trip") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE vals (i INTEGER, f REAL, t TEXT, b BLOB)"))
