@@ -426,6 +426,11 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
         } catch {
           case e: IllegalArgumentException =>
             reply(ex, 400, errorJson(e.getMessage))
+          // a source column of the wrong shape for the derivation (an
+          // unresolvable cast, a non-text textCol) is the caller's
+          // input, not an engine fault
+          case e: org.apache.spark.sql.AnalysisException =>
+            reply(ex, 400, errorJson(e.getMessage))
         }
       }
     case ("GET", "artifacts" :: Nil) =>

@@ -124,7 +124,12 @@ class GramArtifactStoreProcessSpec extends AnyFunSuite {
       val childDir = sentinel.resolveSibling(
         sentinel.getFileName.toString.stripSuffix(".inflight"))
       // 1) while the child is ALIVE mid-write, a parent commit of the
-      //    SAME name must sweep around the unpublished live dir
+      //    SAME name must sweep around the unpublished live dir. Capture
+      //    whether the child's dir existed BEFORE the parent's sweep ran
+      //    (the sentinel goes up before the parquet write creates the
+      //    dir), so the post-sweep assert is about SURVIVAL, not a
+      //    same-instant tautology
+      val dirUpBeforeSweep = Files.exists(childDir)
       val parentStore = new GramArtifactStore(root)
       parentStore.buildEvalGrams("hot", corpus("p1"), "text", "doc_id",
         n = 3, corpusVersion = "pv1")
@@ -133,9 +138,7 @@ class GramArtifactStoreProcessSpec extends AnyFunSuite {
           s"log:\n${childLog(out)}")
       assert(Files.exists(sentinel),
         "a live build's sentinel must survive a concurrent same-name commit")
-      // the data dir may not exist yet (sentinel goes up before the
-      // parquet write creates it) but once present it must survive
-      if (Files.exists(childDir))
+      if (dirUpBeforeSweep)
         assert(Files.exists(childDir),
           "a live build's unpublished dir must survive concurrent sweeps")
       // 2) kill -9: the sentinel now names a DEAD pid, so the next
