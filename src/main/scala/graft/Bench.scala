@@ -57,10 +57,17 @@ object Bench {
                                // timed runs measure what a deployment
                                // re-pays per split pass — one id-keyed
                                // label join + the md5 projection
-    "p117_decon_artifact")     // p110's decon CONSUMING the persisted
+    "p117_decon_artifact",     // p110's decon CONSUMING the persisted
                                // eval-gram artifact (r14): timed runs
                                // pay span detection + rebuild only,
                                // never the eval shingle pass
+    "p118_split_buildverb")    // the split through the OPERATIONAL
+                               // loop (r15): catalog import + the
+                               // management-plane build verb run once
+                               // in the warmup (ifStale), so the timed
+                               // runs measure what a deployment re-pays
+                               // per pass — catalog open + validated
+                               // artifact consume + the one label join
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the
