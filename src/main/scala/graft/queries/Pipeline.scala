@@ -4721,9 +4721,28 @@ object Pipeline {
         graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
         "#" + p116DerivationVersion).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val session = new graft.engine.GraftSession(s,
-      java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-p118", rootKey))
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-p118")
+    // a regen/recompile keys a FRESH root (staleness safety), so the
+    // superseded siblings are dead weight — sweep them best-effort, the
+    // same no-accumulation rule the store applies to its own versions
+    if (java.nio.file.Files.isDirectory(base)) {
+      val kids = java.nio.file.Files.list(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        kids.iterator().asScala.filterNot(_.getFileName.toString == rootKey)
+          .foreach { d =>
+            try {
+              val walked = java.nio.file.Files.walk(d)
+              try walked.iterator().asScala.toSeq.reverse
+                .foreach(f => java.nio.file.Files.deleteIfExists(f))
+              finally walked.close()
+            } catch { case _: java.io.IOException |
+                           _: java.io.UncheckedIOException => () }
+          }
+      } finally kids.close()
+    }
+    val session = new graft.engine.GraftSession(s, base.resolve(rootKey))
     // database check BEFORE the table probe: currentVersion on a
     // nonexistent database throws rather than answering None
     if (!session.catalog.listDatabases().contains("corpus"))
