@@ -385,15 +385,20 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
     // artifact:manage scope alone must not exfiltrate gram content from
     // a data plane the key cannot read.
     case ("POST", "artifacts" :: Nil) =>
-      val nd = mapper.readTree(body)
-      val name = nd.path("name").asText("")
-      val kind = nd.path("kind").asText("")
-      val db = nd.path("database").asText("")
-      val branch = nd.path("branch").asText("main")
-      val table = nd.path("table").asText("")
+      // an empty or malformed body is a VALIDATION failure (400), not an
+      // internal error — the same rule the cluster endpoints apply
+      val nd = try mapper.readTree(body)
+        catch { case _: Throwable => null }
+      val name = if (nd == null) "" else nd.path("name").asText("")
       demandManage(key, "artifact:manage",
         Seq("*", "artifact:*") ++ (if (name.nonEmpty) Seq(s"artifact:$name") else Nil))
-      if (name.isEmpty || kind.isEmpty || db.isEmpty || table.isEmpty)
+      val kind = if (nd == null) "" else nd.path("kind").asText("")
+      val db = if (nd == null) "" else nd.path("database").asText("")
+      val branch = if (nd == null) "main" else nd.path("branch").asText("main")
+      val table = if (nd == null) "" else nd.path("table").asText("")
+      if (nd == null)
+        reply(ex, 400, errorJson("request body must be JSON"))
+      else if (name.isEmpty || kind.isEmpty || db.isEmpty || table.isEmpty)
         reply(ex, 400, errorJson("name, kind, database and table are required"))
       else {
         demandBranch(key, db, branch, "database:read")

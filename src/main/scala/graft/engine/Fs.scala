@@ -15,7 +15,7 @@ import scala.jdk.CollectionConverters._
   * artifact-store eviction semantics — a live reader may hold the files,
   * and the next sweep retries whatever survived). The walk stream is
   * closed on every path. */
-private[engine] object Fs {
+private[graft] object Fs {
   def deleteTree(p: Path, bestEffort: Boolean = false): Unit = {
     if (!Files.exists(p)) return
     // best-effort covers the WALK too, not just per-file deletes: a

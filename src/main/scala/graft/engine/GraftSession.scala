@@ -101,7 +101,14 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val ver = catalog.currentVersion(db, branch, table).getOrElse(
       throw new IllegalArgumentException(
         s"no such table: $db/$branch/$table"))
-    val corpusVersion = s"$db/$branch/$table@${ver.ts}"
+    // the SOURCE BINDING (which columns fed the derivation) is part of
+    // the snapshot identity: without it, a rebuild of the same table
+    // version over a DIFFERENT column would read as fresh under
+    // ifStale, and every consumer would silently get grams/clusters
+    // derived from the wrong column (r15 review)
+    val srcCols = (Seq(textCol, idCol).filter(_.nonEmpty) ++ blockCols)
+    val corpusVersion = s"$db/$branch/$table@${ver.ts}" +
+      (if (srcCols.isEmpty) "" else s"#src=${srcCols.mkString(",")}")
     // the store-side expectation tuple per kind — EXACTLY what the named
     // consume validates, so fresh-skip and consume can never disagree
     val (expBlockCols, expN, expMaxDf, expParams) = kind match {
@@ -118,10 +125,20 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             s"${GramArtifactStore.KindEvalGrams}, " +
             s"${GramArtifactStore.KindDupClusters}")
     }
-    if (ifStale && artifacts.isFresh(name, kind, corpusVersion, expBlockCols,
-        expN, expMaxDf, expParams))
-      return (artifacts.meta(name).get, false)
-    val frame = readTable(db, branch, table)
+    if (ifStale) {
+      // ONE manifest read answers the skip (freshMeta), so a concurrent
+      // drop between a fresh-check and a meta read can't surface as an
+      // engine fault (r15 review)
+      val fresh = artifacts.freshMeta(name, kind, corpusVersion,
+        expBlockCols, expN, expMaxDf, expParams)
+      if (fresh.isDefined) return (fresh.get, false)
+    }
+    // read the version PINNED above, never re-resolve: a concurrent
+    // write committing between the ts capture and the scan would
+    // otherwise publish newer-snapshot content under the older
+    // version label — the silent-staleness class the key exists to
+    // refuse (r15 review)
+    val frame = readVersion(ver)
     def requireCols(what: String, cols: Seq[String]): Unit = {
       require(cols.forall(_.nonEmpty), s"$kind builds need $what")
       val missing = cols.filterNot(frame.columns.contains)

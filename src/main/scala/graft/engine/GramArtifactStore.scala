@@ -441,13 +441,14 @@ class GramArtifactStore(val root: Path) {
   def list(): Seq[ArtifactMeta] =
     readManifest().values.toSeq.sortBy(_.name)
 
-  /** Whether `name` exists AND matches every expectation — the
-    * build-skip predicate ("already built for this snapshot with these
-    * params"). */
-  def isFresh(name: String, kind: String, corpusVersion: String,
+  /** The manifest entry for `name` IF it matches every expectation —
+    * the build-skip read ("already built for this snapshot with these
+    * params"), answered from ONE manifest read so a skip-then-consume
+    * caller doesn't race a concurrent drop between two reads. */
+  def freshMeta(name: String, kind: String, corpusVersion: String,
       blockCols: Seq[String], n: Int, maxDf: Int,
-      params: Map[String, String] = Map.empty): Boolean =
-    meta(name).exists(a => a.kind == kind &&
+      params: Map[String, String] = Map.empty): Option[ArtifactMeta] =
+    meta(name).filter(a => a.kind == kind &&
       a.corpusVersion == corpusVersion && a.blockCols == blockCols &&
       a.n == n && a.maxDf == maxDf && a.params == params &&
       // a manifest that outlived its data (a tmp reaper took the old
@@ -455,6 +456,13 @@ class GramArtifactStore(val root: Path) {
       // as stale so the build-skip consumers SELF-HEAL by rebuilding,
       // instead of skipping the build and then failing the read forever
       Files.exists(java.nio.file.Paths.get(a.dataDir)))
+
+  /** Whether `name` exists AND matches every expectation — the boolean
+    * form of [[freshMeta]]. */
+  def isFresh(name: String, kind: String, corpusVersion: String,
+      blockCols: Seq[String], n: Int, maxDf: Int,
+      params: Map[String, String] = Map.empty): Boolean =
+    freshMeta(name, kind, corpusVersion, blockCols, n, maxDf, params).isDefined
 
   /** Drop `name`: manifest entry + every on-disk version (no grace — a
     * drop is an explicit operator decision). A LIVE in-flight build's

@@ -138,8 +138,9 @@ object Sampling {
   def leakageSafeSplitsFromVettedLabels(docs: DataFrame, labels: DataFrame,
       idCol: String, valFrac: Double, testFrac: Double): DataFrame = {
     validateSplitArgs(docs, valFrac, testFrac)
-    splitAssign(docs, labels.select(col("id"), col("cluster")),
-      idCol, valFrac, testFrac)
+    // splitAssign's own first projection selects (id, cluster) — no
+    // pre-select needed here
+    splitAssign(docs, labels, idCol, valFrac, testFrac)
   }
 
   /** The split CASE over a 4-hex-digit sample key — ONE definition

@@ -4725,21 +4725,21 @@ object Pipeline {
       sys.props("java.io.tmpdir"), "graft-p118")
     // a regen/recompile keys a FRESH root (staleness safety), so the
     // superseded siblings are dead weight — sweep them best-effort, the
-    // same no-accumulation rule the store applies to its own versions
+    // same no-accumulation rule the store applies to its own versions.
+    // A 6 h mtime grace stands in for the store's liveness sentinels: a
+    // CONCURRENT process driving p118 against another snapshot has a
+    // recently-touched root, and this sweep must not destroy a live
+    // session out from under it (r15 review); truly dead roots age past
+    // the window and go on a later run
     if (java.nio.file.Files.isDirectory(base)) {
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
       val kids = java.nio.file.Files.list(base)
       try {
         import scala.jdk.CollectionConverters._
-        kids.iterator().asScala.filterNot(_.getFileName.toString == rootKey)
-          .foreach { d =>
-            try {
-              val walked = java.nio.file.Files.walk(d)
-              try walked.iterator().asScala.toSeq.reverse
-                .foreach(f => java.nio.file.Files.deleteIfExists(f))
-              finally walked.close()
-            } catch { case _: java.io.IOException |
-                           _: java.io.UncheckedIOException => () }
-          }
+        kids.iterator().asScala
+          .filterNot(_.getFileName.toString == rootKey)
+          .filter(_.toFile.lastModified < cutoff)
+          .foreach(d => graft.engine.Fs.deleteTree(d, bestEffort = true))
       } finally kids.close()
     }
     val session = new graft.engine.GraftSession(s, base.resolve(rootKey))
