@@ -253,6 +253,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p116.contains("Window"),
       s"p116 re-grew the duplicate-label window guard — store-sourced " +
         s"labels are vetted and take the one-join path:\n$p116")
+    // p118 (the operational loop) must keep the same consume shape: the
+    // labels come from the session store's parquet (rooted under
+    // graft-p118), never a recomputed CC (ExistingRDD) and never through
+    // the window guard — it ships the vetted path like p116
+    val p118 = formatted("p118_split_buildverb")
+    assert(p118.contains("graft-p118"),
+      s"p118 stopped scanning the session store's cluster artifact:\n$p118")
+    assert(!p118.contains("ExistingRDD"),
+      s"p118 recomputes the CC labels (checkpointed-RDD scan):\n$p118")
+    assert(!p118.contains("Window"),
+      s"p118 lost the vetted one-join path:\n$p118")
     val p115 = formatted("p115_leakage_split")
     assert(p115.contains("ExistingRDD"),
       "the recompute-path tell changed shape; re-derive p116's pin")
