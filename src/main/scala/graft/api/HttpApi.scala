@@ -159,6 +159,19 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
     if (!Authorizer.canOnBranch(key, db, branch, action))
       throw new DeniedException(s"access key lacks $action")
 
+  /** Table-scoped check, matching the query path's per-relation rule
+    * ([[Authorizer.canOnTable]], GraftSession's read walk) and the
+    * reference's per-table SQLITE_READ authorizer
+    * (pkg/database/database_connection.go:608-690). Branch-level probes
+    * are NOT a substitute: deny precedence is most-specific-first, so a
+    * branch-wide allow plus a table-specific deny passes canOnBranch while
+    * the same key's SELECT on that table is refused — and a key allowed on
+    * exactly one table fails canOnBranch while its SELECT succeeds. */
+  private def demandTable(key: AccessKey, db: String, branch: String,
+      table: String, action: String): Unit =
+    if (!Authorizer.canOnTable(key, db, branch, table, action))
+      throw new DeniedException(s"access key lacks $action")
+
   /** Transaction and backup ids are global; acting on one through another
     * database's URL would turn a privilege on db A into an action on db B. */
   private def demandOwnTxn(db: String, branch: String, id: String): Unit =
@@ -381,7 +394,8 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
     // mirrors the reference's engine-written system metadata being
     // management-reachable, pkg/database/system_database.go:96-130).
     // Authz is management-plane: "*" / "artifact:*" / "artifact:<name>";
-    // a build ADDITIONALLY demands database:read on the source branch —
+    // a build ADDITIONALLY demands database:read on the SOURCE TABLE
+    // (table-granular, like the query path's per-relation rule) —
     // artifact:manage scope alone must not exfiltrate gram content from
     // a data plane the key cannot read.
     case ("POST", "artifacts" :: Nil) =>
@@ -401,7 +415,7 @@ class HttpApi(session: GraftSession, anonymousRoot: Boolean = false,
       else if (name.isEmpty || kind.isEmpty || db.isEmpty || table.isEmpty)
         reply(ex, 400, errorJson("name, kind, database and table are required"))
       else {
-        demandBranch(key, db, branch, "database:read")
+        demandTable(key, db, branch, table, "database:read")
         val blockCols = {
           val bn = nd.path("block_cols")
           if (!bn.isArray) Nil

@@ -62,29 +62,63 @@ object Authorizer {
     allowFound
   }
 
-  /** Branch-scoped check: probe the resource ladder like the reference's
-    * authorizedForBranch (access_key_statements.go:42-70). */
-  def canOnBranch(key: AccessKey, db: String, branch: String, action: String): Boolean =
-    Seq("*", "database:*", s"database:$db", s"database:$db:*",
-      s"database:$db:branch:*", s"database:$db:branch:$branch:*",
-      s"database:$db:branch:$branch")
-      .exists(r => authorized(key.statements, r, action))
+  /** True when an explicit deny statement matches the resource and action.
+    * Used to give denies LADDER-WIDE precedence in the can* checks: the
+    * reference's probe ladder (access_key_statements.go:42+) ORs the
+    * levels, so an allow matching a COARSE probe short-circuits before a
+    * finer probe where a table-specific deny would bite — e.g. allow
+    * `database:d:branch:main:*` + deny `…:table:secret` reads `secret` in
+    * the reference, because the deny never matches the `branch:main:*`
+    * probe the allow wins at. We instead veto when a deny matches ANY
+    * probed level: strictly fail-closed, and it makes the natural
+    * "whole branch except this table" policy shape actually enforceable.
+    * Pinned in AuthSpec. */
+  private def explicitDeny(statements: Seq[AccessKeyStatement],
+      resource: String, action: String): Boolean =
+    statements.exists(st => st.effect.equalsIgnoreCase("deny") &&
+      resourceMatches(st.resource, resource) &&
+      (st.actions.contains("*") || st.actions.contains(action)))
 
-  /** Table-scoped check (authorizedForTable, access_key_statements.go:118+). */
+  private def ladder(key: AccessKey, probes: Seq[String], action: String): Boolean =
+    !probes.exists(r => explicitDeny(key.statements, r, action)) &&
+      probes.exists(r => authorized(key.statements, r, action))
+
+  /** Branch-scoped check: probe the resource ladder like the reference's
+    * authorizedForBranch (access_key_statements.go:42-70), with
+    * ladder-wide deny precedence (see [[explicitDeny]]). */
+  def canOnBranch(key: AccessKey, db: String, branch: String, action: String): Boolean =
+    ladder(key, Seq("*", "database:*", s"database:$db", s"database:$db:*",
+      s"database:$db:branch:*", s"database:$db:branch:$branch:*",
+      s"database:$db:branch:$branch"), action)
+
+  /** Table-scoped check (authorizedForTable, access_key_statements.go:118+).
+    *
+    * Deliberately STRICTER than the reference's probe ladder: the
+    * reference also probes the branch-exact resource
+    * (`database:<db>:branch:<br>`), which lets a branch-exact allow grant
+    * every table read even when the key carries a table-specific DENY —
+    * the deny statement never matches the branch-level probe, so the
+    * branch allow wins and the table deny is dead. We omit the
+    * branch-exact (and `branch:*`) probes so a branch-exact allow grants
+    * branch OPERATIONS ([[canOnBranch]]) but not table reads — grant
+    * `database:<db>:branch:<br>:*` for that. Combined with ladder-wide
+    * deny precedence ([[explicitDeny]]), a table-specific deny is
+    * enforced no matter how coarse the allow. Fail-closed divergences,
+    * pinned in AuthSpec. */
   def canOnTable(key: AccessKey, db: String, branch: String, table: String,
       action: String): Boolean =
-    Seq("*", "database:*", s"database:$db:*", s"database:$db:branch:$branch:*",
+    ladder(key, Seq("*", "database:*", s"database:$db:*",
+      s"database:$db:branch:$branch:*",
       s"database:$db:branch:$branch:table:*",
       s"database:$db:branch:$branch:table:$table:*",
-      s"database:$db:branch:$branch:table:$table")
-      .exists(r => authorized(key.statements, r, action))
+      s"database:$db:branch:$branch:table:$table"), action)
 
   /** Database-scoped check (authorizedForDatabase) — the `database:<db>:*`
     * probe keeps a key scoped "everything under db" consistent between
     * database- and branch-level actions. */
   def canOnDatabase(key: AccessKey, db: String, action: String): Boolean =
-    Seq("*", "database:*", s"database:$db", s"database:$db:*")
-      .exists(r => authorized(key.statements, r, action))
+    ladder(key, Seq("*", "database:*", s"database:$db", s"database:$db:*"),
+      action)
 
   /** Branch-level privileges demanded by a statement kind (subset of
     * database_privileges.go relevant to our engine). Comment-stripped: a

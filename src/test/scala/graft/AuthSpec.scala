@@ -56,6 +56,41 @@ class AuthSpec extends AnyFunSuite {
     client.send(req.build(), BodyHandlers.ofString())
   }
 
+  test("canOnTable probe ladder: table denies bite, branch-exact allows don't leak") {
+    // Pins the deliberate fail-closed divergence from the reference's
+    // authorizedForTable (access_key_statements.go:118+): no branch-exact
+    // probe, so a branch-wide allow + table-specific deny is REFUSED at
+    // table granularity (the shape behind the r15 build-verb defect)
+    // while canOnBranch still passes it for branch operations.
+    val denyTbl = AccessKey("k", statements = Seq(
+      AccessKeyStatement("allow", "database:d:branch:main", Seq("database:read")),
+      AccessKeyStatement("deny", "database:d:branch:main:table:secret",
+        Seq("database:read"))))
+    assert(Authorizer.canOnBranch(denyTbl, "d", "main", "database:read"))
+    assert(!Authorizer.canOnTable(denyTbl, "d", "main", "secret", "database:read"))
+    // ... and even tables WITHOUT a deny need a statement that can see
+    // table-level denies — branch-exact allows don't reach tables
+    assert(!Authorizer.canOnTable(denyTbl, "d", "main", "open", "database:read"))
+    // the branch-star grant is the supported "whole branch" table shape,
+    // and the table deny still wins even though the allow matches a
+    // coarser probe first — denies have LADDER-WIDE precedence here
+    // (Authorizer.explicitDeny), unlike the reference's OR-of-probes
+    // where this deny would be dead
+    val starTbl = AccessKey("k2", statements = Seq(
+      AccessKeyStatement("allow", "database:d:branch:main:*", Seq("database:read")),
+      AccessKeyStatement("deny", "database:d:branch:main:table:secret",
+        Seq("database:read"))))
+    assert(Authorizer.canOnTable(starTbl, "d", "main", "open", "database:read"))
+    assert(!Authorizer.canOnTable(starTbl, "d", "main", "secret", "database:read"))
+    // a key allowed on exactly one table reads it — and only it
+    val oneTbl = AccessKey("k3", statements = Seq(
+      AccessKeyStatement("allow", "database:d:branch:main:table:docs",
+        Seq("database:read"))))
+    assert(Authorizer.canOnTable(oneTbl, "d", "main", "docs", "database:read"))
+    assert(!Authorizer.canOnTable(oneTbl, "d", "main", "other", "database:read"))
+    assert(!Authorizer.canOnBranch(oneTbl, "d", "main", "database:read"))
+  }
+
   test("bare X-Access-Key-Id is rejected unless unsigned keys are enabled") {
     assert(admin.id == "admin-key")
     // key ids are public identifiers; resolving one without a signature
