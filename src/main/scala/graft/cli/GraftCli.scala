@@ -98,12 +98,16 @@ class GraftCli(out: PrintStream, err: PrintStream,
   // --- plumbing ------------------------------------------------------------
 
   /** `--flag value` pairs anywhere after the subcommand; everything else
-    * is positional. Unknown flags are usage errors (cobra behavior). */
-  private def parseArgs(rest: List[String], allowed: Set[String])
-      : Either[String, (List[String], Map[String, String])] = {
+    * is positional. Unknown flags are usage errors (cobra behavior).
+    * Collects EVERY occurrence of a repeated flag in order — verbs that
+    * accept a repeatable flag (artifacts build --param) read the full
+    * list; everything else goes through [[parseArgs]]'s last-wins view. */
+  private def parseArgsAll(rest: List[String], allowed: Set[String])
+      : Either[String, (List[String], Map[String, List[String]])] = {
     @annotation.tailrec
     def go(xs: List[String], pos: List[String],
-        flags: Map[String, String]): Either[String, (List[String], Map[String, String])] =
+        flags: Map[String, List[String]])
+        : Either[String, (List[String], Map[String, List[String]])] =
       xs match {
         case Nil => Right((pos.reverse, flags))
         case f :: _ if f.startsWith("--") && !allowed(f.drop(2)) =>
@@ -112,25 +116,38 @@ class GraftCli(out: PrintStream, err: PrintStream,
         // `user update ada --password --statements` must be a usage
         // error, not a user whose password is literally "--statements"
         case f :: v :: t if f.startsWith("--") && !v.startsWith("--") =>
-          go(t, pos, flags + (f.drop(2) -> v))
+          val k = f.drop(2)
+          go(t, pos, flags.updated(k, flags.getOrElse(k, Nil) :+ v))
         case f :: _ if f.startsWith("--") => Left(s"flag $f needs a value")
         case x :: t => go(t, x :: pos, flags)
       }
     go(rest, Nil, Map.empty)
   }
 
-  /** One API call: 2xx → Right(data node), else Left(server message). */
-  private def call(method: String, path: String,
-      body: String = ""): Either[String, JsonNode] = {
+  private def parseArgs(rest: List[String], allowed: Set[String])
+      : Either[String, (List[String], Map[String, String])] =
+    parseArgsAll(rest, allowed).map { case (pos, flags) =>
+      (pos, flags.view.mapValues(_.last).toMap)
+    }
+
+  /** One API call: 2xx → Right(status, data node), else Left(server
+    * message). The status matters where the API encodes a signal in it
+    * (artifacts build: 201 built vs 200 fresh-skip under if_stale). */
+  private def callStatus(method: String, path: String,
+      body: String = ""): Either[String, (Int, JsonNode)] = {
     val (status, respBody) =
       try http(method, path, body)
       catch { case e: Throwable => return Left(s"transport: ${e.getMessage}") }
     val root = try mapper.readTree(respBody) catch { case _: Throwable => null }
     if (status >= 200 && status < 300)
-      Right(if (root == null) mapper.nullNode else root.path("data"))
+      Right((status, if (root == null) mapper.nullNode else root.path("data")))
     else Left(Option(root).map(_.path("message").asText(s"HTTP $status"))
       .getOrElse(s"HTTP $status"))
   }
+
+  private def call(method: String, path: String,
+      body: String = ""): Either[String, JsonNode] =
+    callStatus(method, path, body).map(_._2)
 
   /** Render a Right as `render(data)` + exit 0, a Left as an error line +
     * exit 1 — every verb funnels through here so failure text is uniform. */
@@ -495,13 +512,14 @@ class GraftCli(out: PrintStream, err: PrintStream,
     * job). Same thin-client shape as every other verb. */
   private def artifacts(rest: List[String]): Int = rest match {
     case "build" :: name :: flagArgs =>
-      parseArgs(flagArgs, Set("kind", "database", "branch", "table",
+      parseArgsAll(flagArgs, Set("kind", "database", "branch", "table",
         "text-col", "id-col", "block-cols", "n", "max-df", "param",
         "if-stale")) match {
         case Left(m) => usageError(m)
-        case Right((Nil, flags))
-            if flags.contains("kind") && flags.contains("database") &&
-              flags.contains("table") =>
+        case Right((Nil, all))
+            if all.contains("kind") && all.contains("database") &&
+              all.contains("table") =>
+          val flags = all.view.mapValues(_.last).toMap
           if (name.contains("/"))
             usageError("artifact names cannot contain '/'")
           else if (flags.get("n").exists(_.toIntOption.isEmpty) ||
@@ -510,14 +528,21 @@ class GraftCli(out: PrintStream, err: PrintStream,
           else if (flags.get("if-stale").exists(v => v != "true" && v != "false"))
             usageError("--if-stale takes true|false")
           else {
-            // --param k=v, comma-separable and repeat-tolerant via one
-            // flag value ("a=1,b=2") — parseArgs keeps the LAST
-            // occurrence of a repeated flag, so commas are the way to
-            // pass several
-            val paramPairs = flags.get("param").toSeq
-              .flatMap(_.split(",").toSeq).filter(_.nonEmpty)
-            if (paramPairs.exists(!_.contains("=")))
-              usageError("--param takes k=v[,k=v...]")
+            // --param is REPEATABLE: each occurrence is one k=v pair, so
+            // values may contain commas (the HTTP body never had that
+            // limit). A single occurrence whose chunks ALL look like
+            // pairs keeps the legacy comma-separated form ("a=1,b=2");
+            // otherwise the value is taken whole ("sep=," is k=sep,v=",").
+            val paramPairs = all.getOrElse("param", Nil).flatMap { v =>
+              val chunks = v.split(",", -1).toSeq
+              if (chunks.length > 1 && chunks.forall(_.indexOf('=') > 0))
+                chunks
+              else Seq(v)
+            }
+            // an empty key ('=x') is rejected here, not sent to the server
+            if (paramPairs.exists(_.indexOf('=') <= 0))
+              usageError("--param takes k=v with a non-empty key " +
+                "(repeat --param to pass several)")
             else {
               val ps = paramPairs.map { kv =>
                 val Array(k, v) = kv.split("=", 2)
@@ -538,10 +563,12 @@ class GraftCli(out: PrintStream, err: PrintStream,
                 flags.get("max-df").map(v => s""""max_df":$v""") ++
                 flags.get("if-stale").map(v => s""""if_stale":$v""") ++
                 Seq(s""""block_cols":$bc""", s""""params":$ps""")
-              render(call("POST", "/v1/artifacts",
-                fields.mkString("{", ",", "}"))) { d =>
-                out.println(if (flags.get("if-stale").contains("true"))
-                  "Artifact ready" else "Artifact built")
+              render(callStatus("POST", "/v1/artifacts",
+                fields.mkString("{", ",", "}"))) { case (status, d) =>
+                // the API encodes built-vs-skipped in 201-vs-200; report
+                // the SERVER's answer, not the flag we sent
+                out.println(if (status == 201) "Artifact built"
+                  else "Artifact ready")
                 card(Seq(
                   "Name" -> d.path("name").asText(),
                   "Kind" -> d.path("kind").asText(),
@@ -554,7 +581,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
           "usage: artifacts build <name> --kind boilerplate|eval_grams|" +
             "dup_clusters --database <db> [--branch <b>] --table <t> " +
             "[--text-col c] [--id-col c] [--block-cols a,b] [--n N] " +
-            "[--max-df N] [--param k=v,k=v] [--if-stale true]")
+            "[--max-df N] [--param k=v]... [--if-stale true]")
       }
     case "list" :: Nil =>
       render(call("GET", "/v1/artifacts")) { d =>

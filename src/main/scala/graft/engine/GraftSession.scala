@@ -101,20 +101,25 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     val ver = catalog.currentVersion(db, branch, table).getOrElse(
       throw new IllegalArgumentException(
         s"no such table: $db/$branch/$table"))
-    // the SOURCE BINDING (which columns fed the derivation) is part of
-    // the snapshot identity: without it, a rebuild of the same table
-    // version over a DIFFERENT column would read as fresh under
-    // ifStale, and every consumer would silently get grams/clusters
-    // derived from the wrong column (r15 review)
-    val srcCols = (Seq(textCol, idCol).filter(_.nonEmpty) ++ blockCols)
-    val corpusVersion = s"$db/$branch/$table@${ver.ts}" +
-      (if (srcCols.isEmpty) "" else s"#src=${srcCols.mkString(",")}")
     // the store-side expectation tuple per kind — EXACTLY what the named
-    // consume validates, so fresh-skip and consume can never disagree
+    // consume validates, so fresh-skip and consume can never disagree.
+    // Kind-IRRELEVANT arguments are refused up front (like unknown
+    // dup_clusters derivation params): a field the derivation never
+    // reads must not ride into the corpus version's source binding, or
+    // two identical builds differing only in an ignored --block-cols get
+    // distinct versions and ifStale rebuilds for nothing (r15 advice)
     val (expBlockCols, expN, expMaxDf, expParams) = kind match {
-      case GramArtifactStore.KindBoilerplate => (blockCols, n, maxDf, Map.empty[String, String])
-      case GramArtifactStore.KindEvalGrams => (Nil, n, 0, Map.empty[String, String])
+      case GramArtifactStore.KindBoilerplate =>
+        require(params.isEmpty, "boilerplate builds take no params")
+        (blockCols, n, maxDf, Map.empty[String, String])
+      case GramArtifactStore.KindEvalGrams =>
+        require(blockCols.isEmpty, "eval_grams builds take no blockCols")
+        require(maxDf == 0, "eval_grams builds take no maxDf")
+        require(params.isEmpty, "eval_grams builds take no params")
+        (Nil, n, 0, Map.empty[String, String])
       case GramArtifactStore.KindDupClusters =>
+        require(blockCols.isEmpty && n == 0 && maxDf == 0,
+          "dup_clusters builds take no blockCols, n or maxDf")
         (Nil, 0, 0,
           if (textCol.isEmpty && idCol.isEmpty) params
           else GraftSession.minHashDerivationParams(params))
@@ -125,6 +130,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             s"${GramArtifactStore.KindEvalGrams}, " +
             s"${GramArtifactStore.KindDupClusters}")
     }
+    // the SOURCE BINDING (which columns fed the derivation) is part of
+    // the snapshot identity: without it, a rebuild of the same table
+    // version over a DIFFERENT column would read as fresh under
+    // ifStale, and every consumer would silently get grams/clusters
+    // derived from the wrong column (r15 review). With kind-irrelevant
+    // fields refused above, the raw arguments ARE the read columns.
+    val srcCols = (Seq(textCol, idCol).filter(_.nonEmpty) ++ blockCols)
+    val corpusVersion = s"$db/$branch/$table@${ver.ts}" +
+      (if (srcCols.isEmpty) "" else s"#src=${srcCols.mkString(",")}")
     if (ifStale) {
       // ONE manifest read answers the skip (freshMeta), so a concurrent
       // drop between a fresh-check and a meta read can't surface as an

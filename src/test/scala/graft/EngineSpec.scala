@@ -77,6 +77,20 @@ class EngineSpec extends AnyFunSuite {
       "db1", "main", "docs", textCol = "ghost", idCol = "doc_id", n = 3))
     intercept[IllegalArgumentException](s.buildArtifact("x", "eval_grams",
       "db1", "main", "docs", textCol = "body", idCol = "doc_id", n = 0))
+    // kind-IRRELEVANT fields are refused, not silently dropped: an
+    // ignored --block-cols would still ride into the corpus version's
+    // source binding, so two identical eval_grams builds differing only
+    // in it would get distinct versions and ifStale would rebuild — and
+    // the recorded binding would name columns the derivation never read
+    intercept[IllegalArgumentException](s.buildArtifact("x", "eval_grams",
+      "db1", "main", "docs", textCol = "body", idCol = "doc_id", n = 3,
+      blockCols = Seq("doc_id")))
+    intercept[IllegalArgumentException](s.buildArtifact("x", "eval_grams",
+      "db1", "main", "docs", textCol = "body", idCol = "doc_id", n = 3,
+      maxDf = 5))
+    intercept[IllegalArgumentException](s.buildArtifact("x", "dup_clusters",
+      "db1", "main", "docs", textCol = "body", idCol = "doc_id",
+      n = 3, params = Map("threshold" -> "0.5")))
     assert(s.artifacts.meta("x").isEmpty, "refused builds publish nothing")
   }
 

@@ -278,6 +278,51 @@ class GraftCliSpec extends AnyFunSuite {
     assert(cli("artifacts", "delete", "cli-built")._1 == 0)
   }
 
+  test("artifacts build: repeated --param, comma values, built-vs-ready by status") {
+    cli("database", "create", "artclidb2")
+    cli("database", "query", "artclidb2",
+      "CREATE TABLE prs (id_a INTEGER, id_b INTEGER)")
+    cli("database", "query", "artclidb2",
+      "INSERT INTO prs VALUES (1, 2)")
+    // repeated --param flags: values may contain commas (the single-flag
+    // comma form split them); an all-pairs comma value still splits
+    val (rc, outS, errS) = cli("artifacts", "build", "cli-multi",
+      "--kind", "dup_clusters", "--database", "artclidb2",
+      "--table", "prs", "--if-stale", "true",
+      "--param", "pairs=spec", "--param", "threshold=0.5")
+    assert(rc == 0, s"out=$outS err=$errS")
+    // an ACTUAL build under --if-stale must report "built" (201), not
+    // parrot the flag back as "ready"
+    assert(outS.contains("Artifact built"), outS)
+    val meta = engine.artifacts.meta("cli-multi").getOrElse(
+      fail("CLI build must reach the store"))
+    assert(meta.params == Map("pairs" -> "spec", "threshold" -> "0.5"))
+    // the fresh-skip (200) is the one reported "ready"
+    val (rc2, out2, _) = cli("artifacts", "build", "cli-multi",
+      "--kind", "dup_clusters", "--database", "artclidb2",
+      "--table", "prs", "--if-stale", "true",
+      "--param", "pairs=spec", "--param", "threshold=0.5")
+    assert(rc2 == 0 && out2.contains("Artifact ready") &&
+      !out2.contains("Artifact built"), out2)
+    // a value containing a comma survives whole when its chunks are not
+    // all k=v pairs (the pair-table dup_clusters shape records params
+    // verbatim, so the stored meta proves what reached the server)
+    val (rc3, _, err3) = cli("artifacts", "build", "cli-comma",
+      "--kind", "dup_clusters", "--database", "artclidb2",
+      "--table", "prs", "--param", "pairs=spec",
+      "--param", "threshold=0.5", "--param", "listy=a,b")
+    assert(rc3 == 0, s"err=$err3")
+    assert(engine.artifacts.meta("cli-comma")
+      .exists(_.params.get("listy").contains("a,b")),
+      "comma value must reach the server intact")
+    assert(cli("artifacts", "delete", "cli-comma")._1 == 0)
+    // empty keys are client-side usage errors, never sent
+    assert(cli("artifacts", "build", "x", "--kind", "dup_clusters",
+      "--database", "artclidb2", "--table", "prs",
+      "--param", "=oops")._1 == 2)
+    assert(cli("artifacts", "delete", "cli-multi")._1 == 0)
+  }
+
   test("status renders the unauthenticated ops endpoint") {
     val (rc, outS, _) = cli("status")
     assert(rc == 0, outS)
