@@ -4730,7 +4730,12 @@ object Pipeline {
     // CONCURRENT process driving p118 against another snapshot has a
     // recently-touched root, and this sweep must not destroy a live
     // session out from under it (r15 review); truly dead roots age past
-    // the window and go on a later run
+    // the window and go on a later run. The root is explicitly touched
+    // on EVERY invocation below, because on Linux a directory's own
+    // mtime moves only when a DIRECT child is created or removed — a
+    // long-lived session whose writes all land deep inside
+    // (artifacts/<name>/v*/) would otherwise age past the window while
+    // alive (r15 advice)
     if (java.nio.file.Files.isDirectory(base)) {
       val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
       val kids = java.nio.file.Files.list(base)
@@ -4743,6 +4748,12 @@ object Pipeline {
       } finally kids.close()
     }
     val session = new graft.engine.GraftSession(s, base.resolve(rootKey))
+    // keep the liveness proxy honest: deep writes don't move the root's
+    // own mtime, so stamp it per invocation (best-effort — a failed
+    // touch only narrows the sibling sweep's grace, never correctness)
+    try java.nio.file.Files.setLastModifiedTime(base.resolve(rootKey),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
     // database check BEFORE the table probe: currentVersion on a
     // nonexistent database throws rather than answering None
     if (!session.catalog.listDatabases().contains("corpus"))

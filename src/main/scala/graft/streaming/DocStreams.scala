@@ -323,7 +323,26 @@ object DocStreams {
     * version / different pair-derivation params) loudly BEFORE the
     * stream starts, exactly like the fuzzy gate's p_* param check — a
     * mismatched artifact would silently assign splits on the wrong
-    * cluster granularity, the worst failure a leakage guard can have. */
+    * cluster granularity, the worst failure a leakage guard can have.
+    *
+    * DEPLOYMENT RULE — restart the gate per corpus snapshot. Staleness
+    * is validated ONCE, here, at stream construction: the returned plan
+    * binds the artifact's parquet files, so a REBUILD of the artifact
+    * mid-stream (new corpus snapshot, new version dir) is invisible to
+    * the running query — it keeps assigning on the labels it validated
+    * at start. That is the correct behavior for the split family, not a
+    * gap: a split assignment must be STABLE for the lifetime of the
+    * snapshot it guards (flipping docs between train and test mid-run
+    * is itself leakage), and split-at-ingest is inherently paired with
+    * the snapshot cadence — when the corpus snapshot rolls and the CC
+    * pass rebuilds the artifact, restart the gate against the new
+    * version; the construction-time check then refuses a forgotten
+    * rebuild loudly. A stream left running across MANY rebuilds
+    * eventually fails loudly, not wrongly: the store keeps one
+    * superseded generation per artifact, so the files a long-lived plan
+    * bound are swept one more rebuild later and the micro-batch read
+    * errors (StreamingSpec pins the invisibility + the stale-restart
+    * refusal; COVERAGE.md documents the rule). */
   def splitGateFromArtifact(docs: DataFrame,
       store: graft.engine.GramArtifactStore, name: String,
       corpusVersion: String, params: Map[String, String], idCol: String,

@@ -1102,6 +1102,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("split gate: mid-stream artifact rebuild is invisible; the restart refuses it") {
+    // Pins the documented deployment rule (splitGateFromArtifact
+    // scaladoc, COVERAGE.md): staleness is validated ONCE at stream
+    // construction, so a rebuild of the artifact mid-stream does NOT
+    // change a running gate's assignments — split stability for the
+    // snapshot's lifetime is the leakage guard working, not a gap — and
+    // the per-snapshot RESTART is where the new corpus version takes
+    // effect, with a forgotten rebuild refused loudly.
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val store = new graft.engine.GramArtifactStore(
+      Files.createTempDirectory("graft-splitgate-rebuild"))
+    val params = Map("pairs" -> "spec", "threshold" -> "0.5")
+    store.buildDupClusters("roll-cc",
+      Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b"), "docs@1", params)
+    val dir = Files.createTempDirectory("graft-splitgate-roll").toString
+    val q = DocStreams.splitGateFromArtifact(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP").parquet(dir),
+        store, "roll-cc", "docs@1", params, "doc_id", "ts", 0.25, 0.25)
+      .writeStream.format("memory").queryName("splitgate_roll")
+      .outputMode("append").start()
+    try {
+      def feed(ids: Long*): Unit = {
+        ids.toSeq.map(i => (i,
+            java.sql.Timestamp.valueOf(s"2024-01-01 00:0$i:00")))
+          .toDF("doc_id", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      feed(0L, 2L)
+      // corpus snapshot rolls: the CC pass rebuilds the SAME artifact
+      // name for docs@2 with different chains ({2,9} instead of {0,1,2})
+      store.buildDupClusters("roll-cc",
+        Seq((2L, 9L)).toDF("id_a", "id_b"), "docs@2", params)
+      feed(9L)
+      val running = spark.sql("SELECT id, split_key FROM splitgate_roll")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the RUNNING gate still assigns on the labels it validated at
+      // start: 0 and 2 keep the old chain's key, 9 stays a singleton
+      // (under docs@2's labels it would key on 2)
+      assert(running == Map(0L -> 0L, 2L -> 0L, 9L -> 9L), running.toString)
+      // a restart that forgot the rebuild refuses before starting ...
+      val e = intercept[IllegalArgumentException](
+        DocStreams.splitGateFromArtifact(
+          spark.readStream.schema("doc_id LONG, ts TIMESTAMP").parquet(dir),
+          store, "roll-cc", "docs@1", params, "doc_id", "ts", 0.25, 0.25))
+      assert(e.getMessage.contains("docs@2"))
+    } finally q.stop()
+    // ... and the per-snapshot restart against docs@2 picks up the new
+    // cluster granularity for the same doc ids
+    val dir2 = Files.createTempDirectory("graft-splitgate-roll2").toString
+    val q2 = DocStreams.splitGateFromArtifact(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP").parquet(dir2),
+        store, "roll-cc", "docs@2", params, "doc_id", "ts", 0.25, 0.25)
+      .writeStream.format("memory").queryName("splitgate_roll2")
+      .outputMode("append").start()
+    try {
+      Seq((2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00")),
+          (9L, java.sql.Timestamp.valueOf("2024-01-01 00:09:00")))
+        .toDF("doc_id", "ts")
+        .coalesce(1).write.mode("append").parquet(dir2)
+      q2.processAllAvailable()
+      val restarted = spark.sql("SELECT id, split_key FROM splitgate_roll2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(restarted == Map(2L -> 2L, 9L -> 2L), restarted.toString)
+    } finally q2.stop()
+  }
+
   test("streaming snapshot-dedup gate matches the batch againstSnapshot twin") {
     import spark.implicits._
     import graft.streaming.DocStreams
