@@ -61,13 +61,20 @@ object Bench {
                                // eval-gram artifact (r14): timed runs
                                // pay span detection + rebuild only,
                                // never the eval shingle pass
-    "p118_split_buildverb")    // the split through the OPERATIONAL
+    "p118_split_buildverb",    // the split through the OPERATIONAL
                                // loop (r15): catalog import + the
                                // management-plane build verb run once
                                // in the warmup (ifStale), so the timed
                                // runs measure what a deployment re-pays
                                // per pass — catalog open + validated
                                // artifact consume + the one label join
+    "p119_split_export")       // the split family's terminal leg (r16):
+                               // artifact-consumed splits -> per-split
+                               // byte-balanced TFRecord shards ->
+                               // re-ingest + decode; the cluster
+                               // artifact builds once in the warmup,
+                               // so timed runs measure the export
+                               // deployment re-pays per pass
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the

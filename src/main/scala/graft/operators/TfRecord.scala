@@ -160,6 +160,54 @@ object TfRecord {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** Per-GROUP size-balanced shard assignment: within each value of
+    * `groupCol` (a train/val/test split, a language, a source), rank
+    * rows by (size desc, id) and deal them round-robin over k shards —
+    * so every group's shard files stay near-equal in bytes WITHOUT
+    * mixing groups in one file (a training loader must never read val
+    * docs out of a train shard).
+    *
+    * Scale shape: the obvious `row_number() OVER (PARTITION BY group
+    * ORDER BY size DESC)` pulls each group into ONE partition — with 3
+    * splits that is the whole corpus in 3 tasks, the global-window
+    * anti-pattern [[balancedShardAssign]] exists to avoid. Instead the
+    * global idiom runs ONCE over the corpus sorted by (group, size
+    * desc, id): the range-partitioned sort stays parallel, zipWithIndex
+    * adds exact global ranks on the same lineage, and each group's rank
+    * OFFSET (its minimum global rank) is a #groups-row aggregate joined
+    * back broadcast. Because the sort is grouped-first, within-group
+    * rank = global rank − group offset, identical to the per-group
+    * row_number. Adds (rank, shard); `rank` is the WITHIN-GROUP rank. */
+  def balancedShardAssignPerGroup(df: DataFrame, groupCol: String,
+      sizeCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"shards: $k")
+    val spark = df.sparkSession
+    val sorted = df.sort(col(groupCol), col(sizeCol).desc, col(idCol))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("__grank",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(indexed, schema)
+    // each group's offset = rows in groups sorting before it — an
+    // exclusive prefix sum over the GROUP COUNTS, so it costs one cheap
+    // map-side-partial count scan, never a second run of the sort. The
+    // unpartitioned window is bounded by GROUP CARDINALITY (#splits,
+    // #languages — a recipe-table-sized frame), the same boundedness
+    // class as the #sources collects elsewhere, not a corpus window.
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(groupCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        coalesce(sum(col("__n")).over(w), lit(0L)).as("__g0"))
+    ranked.join(broadcast(offsets), Seq(groupCol))
+      .withColumn("rank", col("__grank") - col("__g0"))
+      .withColumn("shard", col("rank") % k)
+      .drop("__grank", "__g0")
+  }
+
   final case class ShardRec(shard: Long, rec_index: Long, offset: Long,
     length: Long, len_crc_ok: Boolean, data_crc_ok: Boolean,
     payload: Array[Byte])

@@ -4659,7 +4659,16 @@ object Pipeline {
     * for (r15 decision; plan pinned window-free in PlanShapeSpec). Same
     * oracle as p115 — the artifact path must produce the IDENTICAL
     * assignment, and the oracle check proves it does. */
-  def p116SplitFromArtifact(s: SparkSession, dir: String): DataFrame = {
+  def p116SplitFromArtifact(s: SparkSession, dir: String): DataFrame =
+    p116SplitAssignment(s, dir).orderBy(col("doc_id"))
+
+  /** The shared build-once-per-snapshot split assignment (doc_id,
+    * split_key, split) behind the deployment split family: builds the
+    * `dup_clusters` artifact iff stale, then takes the vetted one-join
+    * consume. p116 orders it for the oracle; p119 shards per split on
+    * top of it — one cluster artifact, many consumers, exactly the
+    * deployment shape the store exists for. */
+  private def p116SplitAssignment(s: SparkSession, dir: String): DataFrame = {
     val version =
       graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
         "#" + p116DerivationVersion
@@ -4676,7 +4685,6 @@ object Pipeline {
         documents(s, dir).select(col("doc_id")),
         store.dupClusterLabels(s, name, version, p116ClusterParams),
         "doc_id", valFrac = 0.1, testFrac = 0.1)
-      .orderBy(col("doc_id"))
   }
 
   /** The pair-derivation recorded in (and validated against) the p116
@@ -4778,6 +4786,106 @@ object Pipeline {
   // pure plumbing around the same derivation, and sharing the oracle
   // makes the checker prove it end to end
   val p118Oracle: String = p115Oracle
+
+  /** SPLIT-AWARE EXPORT FUNNEL (r16): the terminal leg of the split
+    * family — leakage-safe splits to per-split training shards in one
+    * oracle-checked line, composing the way p58/p84 compose their
+    * families. The assignment comes from the SHARED p116 cluster
+    * artifact ([[p116SplitAssignment]]: built iff stale, consumed
+    * through the vetted one-join path — one cluster artifact, many
+    * consumers), then [[TfRecord.balancedShardAssignPerGroup]] deals
+    * each split's docs round-robin over k=4 shards by (byte size desc,
+    * id) so per-split files stay byte-balanced WITHOUT mixing splits in
+    * one file (a loader must never read val docs out of a train shard),
+    * each doc becomes a tf.Example (text + doc_id + split features),
+    * shards pack via the secondary-sort [[TfRecord.shardExport]] in
+    * doc_id order, and the funnel re-ingests and decodes its own output
+    * — a fault in the split consume, the per-group balancing, the proto
+    * codec, the CRC framing, or the shard order breaks the hash.
+    *
+    * Scale: the split consume is the p116 budget (one id-keyed join +
+    * md5 CASE), the per-group balance is one parallel range-sort +
+    * zipWithIndex with a #splits-row broadcast offset join (no
+    * per-split window — 3 splits would mean 3 partitions), and the
+    * export is p78's one-shuffle secondary sort. The `split` feature
+    * read back from each decoded payload (not joined back on) proves
+    * every record landed in a shard of ITS OWN split. */
+  def p119SplitExport(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val docs = documents(s, dir).select(col("doc_id"), col("text"),
+      octet_length(col("text")).cast("long").as("sz"))
+    val assigned = TfRecord.balancedShardAssignPerGroup(
+      docs.join(p116SplitAssignment(s, dir).select(col("doc_id"),
+        col("split")), Seq("doc_id")),
+      "split", "sz", "doc_id", k = 4)
+    // pack key: splits occupy disjoint shard-id ranges (test 0-3,
+    // val 4-7, train 8-11); records within a shard in doc_id order
+    val si = when(col("split") === "test", 0L)
+      .when(col("split") === "val", 1L).otherwise(2L)
+    val rows = assigned
+      .select((si * 4 + col("shard")).as("packed"), col("doc_id"),
+        col("split"), col("text"))
+      .as[(Long, Long, String, String)]
+      .map { case (packed, id, split, text) =>
+        val ex = TfExample.encode(Seq(
+          "text" -> TfExample.BytesFeature(Seq(text.getBytes("UTF-8"))),
+          "doc_id" -> TfExample.Int64Feature(Seq(id)),
+          "split" -> TfExample.BytesFeature(Seq(split.getBytes("UTF-8")))))
+        (packed, id, ex)
+      }
+    TfRecord.parseShards(TfRecord.shardExport(rows))
+      .map { r =>
+        val feats = TfExample.decode(r.payload).toMap
+        val text = feats("text").asInstanceOf[TfExample.BytesFeature].v.head
+        val split = new String(
+          feats("split").asInstanceOf[TfExample.BytesFeature].v.head, "UTF-8")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (split, r.shard % 4, r.rec_index,
+          feats("doc_id").asInstanceOf[TfExample.Int64Feature].v.head,
+          md.digest(text).map("%02x".format(_)).mkString,
+          r.len_crc_ok && r.data_crc_ok)
+      }
+      .toDF("split", "shard", "rec_index", "doc_id", "text_md5", "ok")
+      .orderBy(col("split"), col("shard"), col("rec_index"))
+  }
+
+  /** Closed-form replay: p115's split CTE (clusters + md5 CASE, the
+    * compiled [[Sampling.thresholdHex]] values) feeding the per-split
+    * round-robin-by-size rank and each record's position within its
+    * shard — the engine's parallel rank plus broadcast group offsets
+    * must equal the straightforward per-split row_number. */
+  val p119Oracle: String = {
+    val clustersSql = p108Oracle.replace("\nORDER BY id", "")
+    val t = Sampling.thresholdHex(0.1)
+    val v = Sampling.thresholdHex(0.1 + 0.1)
+    s"""WITH clusters AS ($clustersSql),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$t'
+       |           THEN 'test'
+       |         WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$v'
+       |           THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM asg),
+       |sz AS (
+       |  SELECT s.doc_id, s.split,
+       |    octet_length(encode(d.text)) AS sz, md5(d.text) AS text_md5
+       |  FROM sp s JOIN documents d ON s.doc_id = d.doc_id),
+       |sh AS (
+       |  SELECT doc_id, split, text_md5,
+       |    (row_number() OVER (PARTITION BY split ORDER BY sz DESC, doc_id)
+       |      - 1) % 4 AS shard
+       |  FROM sz)
+       |SELECT split, CAST(shard AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY split, shard
+       |    ORDER BY doc_id) - 1 AS BIGINT) AS rec_index,
+       |  doc_id, text_md5, TRUE AS ok
+       |FROM sh ORDER BY split, shard, rec_index""".stripMargin
+  }
 
   /** Fuzzy decontamination ([[Dedup.crossMinHashPairs]]): every 97th doc
     * spawns an "eval" twin (id + 200000) extended with a marker tail —
@@ -5068,6 +5176,7 @@ object Pipeline {
     "p116_split_artifact" -> (p116SplitFromArtifact _),
     "p117_decon_artifact" -> (p117DeconArtifact _),
     "p118_split_buildverb" -> (p118SplitFromBuildVerb _),
+    "p119_split_export" -> (p119SplitExport _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
@@ -5192,6 +5301,7 @@ object Pipeline {
     "p116_split_artifact" -> p116Oracle,
     "p117_decon_artifact" -> p117Oracle,
     "p118_split_buildverb" -> p118Oracle,
+    "p119_split_export" -> p119Oracle,
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
     "p111_orc_roundtrip" -> p111Oracle,

@@ -267,6 +267,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val p115 = formatted("p115_leakage_split")
     assert(p115.contains("ExistingRDD"),
       "the recompute-path tell changed shape; re-derive p116's pin")
+    // p119 (the export funnel) consumes the SAME artifact and balances
+    // per split without a corpus window: no row_number anywhere (the
+    // naive PARTITION BY split ORDER BY sz window would pull each split
+    // into one partition), and the only Window is the #splits-row
+    // group-offset prefix sum over the count column
+    val p119 = formatted("p119_split_export")
+    assert(p119.contains("graft-artifacts"),
+      s"p119 stopped consuming the shared cluster artifact:\n$p119")
+    assert(!p119.contains("row_number"),
+      s"p119 re-grew a per-split corpus window:\n$p119")
+    assert(p119.contains("sum(__n"),
+      s"p119's group offsets are no longer the tiny count prefix sum:\n$p119")
     // p117 has no plan-level tell: removeContaminatedSpans cap-probes +
     // localCheckpoints its gram side, so BOTH the store scan and an
     // inline recompute plan as ExistingRDD. Pin the store participation

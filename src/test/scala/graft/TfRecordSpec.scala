@@ -91,6 +91,44 @@ class TfRecordSpec extends AnyFunSuite {
     assert(totals.max - totals.min <= 100000L - tailMax + 3 * tailMax)
   }
 
+  test("per-group balanced assignment equals the per-group row_number dealing") {
+    implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+    import spark.implicits._
+    // three uneven groups with skewed sizes and a cross-group size tie
+    // (doc 50 in "b" and doc 51 in "c" share sz) — the grouped-first
+    // global-rank + broadcast-offset trick must still equal the plain
+    // per-group row_number
+    val docs = (0 until 97).map { i =>
+      val g = if (i % 7 == 0) "a" else if (i % 3 == 0) "b" else "c"
+      val sz = if (i == 50 || i == 51) 500L
+        else if (i == 0) 100000L else (1000L - i)
+      (i.toLong, g, sz)
+    }.toDF("doc_id", "grp", "sz").repartition(7)
+    val got = TfRecord
+      .balancedShardAssignPerGroup(docs, "grp", "sz", "doc_id", k = 4)
+      .select("doc_id", "grp", "rank", "shard")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val want = (0 until 97).map { i =>
+      val g = if (i % 7 == 0) "a" else if (i % 3 == 0) "b" else "c"
+      val sz = if (i == 50 || i == 51) 500L
+        else if (i == 0) 100000L else (1000L - i)
+      (i.toLong, g, sz)
+    }.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      rows.sortBy { case (id, _, sz) => (-sz, id) }
+        .zipWithIndex.map { case ((id, _, _), r) =>
+          (id, g, r.toLong, r.toLong % 4) }
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // rank is the WITHIN-group rank: each group restarts at 0 and every
+    // group's shards stay populated round-robin
+    val byGroup = got.groupBy(_._2)
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"group $g ranks must be a dense 0..n-1")
+    }
+  }
+
   test("shard export packs each shard in key order and re-ingests exactly") {
     implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
     import spark.implicits._
