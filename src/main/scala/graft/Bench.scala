@@ -68,13 +68,20 @@ object Bench {
                                // runs measure what a deployment re-pays
                                // per pass — catalog open + validated
                                // artifact consume + the one label join
-    "p119_split_export")       // the split family's terminal leg (r16):
+    "p119_split_export",       // the split family's terminal leg (r16):
                                // artifact-consumed splits -> per-split
                                // byte-balanced TFRecord shards ->
                                // re-ingest + decode; the cluster
                                // artifact builds once in the warmup,
                                // so timed runs measure the export
                                // deployment re-pays per pass
+    "p120_lm_artifact")        // p45's scoring CONSUMING the persisted
+                               // lm_model artifact (r16): the model
+                               // trains once in the warmup, so the
+                               // timed runs measure the per-pass
+                               // deployment price beside p45's
+                               // train+score line — the p115/p116
+                               // pairing for the model-shaped kinds
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the

@@ -579,7 +579,8 @@ class GraftCli(out: PrintStream, err: PrintStream,
           }
         case Right(_) => usageError(
           "usage: artifacts build <name> --kind boilerplate|eval_grams|" +
-            "dup_clusters --database <db> [--branch <b>] --table <t> " +
+            "dup_clusters|lm_model|bpe_merges --database <db> " +
+            "[--branch <b>] --table <t> " +
             "[--text-col c] [--id-col c] [--block-cols a,b] [--n N] " +
             "[--max-df N] [--param k=v]... [--if-stale true]")
       }

@@ -81,8 +81,12 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     * params ARE the staleness key consumers validate) — the whole
     * build-clusters-once-per-snapshot loop of the p116 deployment story
     * becomes nameable, with the artifact recording the EFFECTIVE
-    * derivation values. Column and argument mismatches refuse with
-    * IllegalArgumentException BEFORE any scan.
+    * derivation values. `lm_model` (r16) needs (textCol, idCol, n >= 2)
+    * with optional param `minCount` (default 2); `bpe_merges` (r16)
+    * needs textCol with params `numMerges` (required) and
+    * `maxVocabWords` (default 50000) — both record the effective values
+    * like the derived dup_clusters shape. Column and argument mismatches
+    * refuse with IllegalArgumentException BEFORE any scan.
     *
     * `ifStale = true` makes the verb IDEMPOTENT per snapshot (the
     * "build once per corpus version" deployment loop, through the
@@ -123,12 +127,23 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         (Nil, 0, 0,
           if (textCol.isEmpty && idCol.isEmpty) params
           else GraftSession.minHashDerivationParams(params))
+      case GramArtifactStore.KindLmModel =>
+        require(blockCols.isEmpty, "lm_model builds take no blockCols")
+        require(maxDf == 0, "lm_model builds take no maxDf")
+        (Nil, n, 0, GraftSession.lmModelParams(params))
+      case GramArtifactStore.KindBpeMerges =>
+        require(blockCols.isEmpty && n == 0 && maxDf == 0,
+          "bpe_merges builds take no blockCols, n or maxDf")
+        require(idCol.isEmpty, "bpe_merges builds take no idCol")
+        (Nil, 0, 0, GraftSession.bpeMergesParams(params))
       case other =>
         throw new IllegalArgumentException(
           s"unknown artifact kind '$other' — one of " +
             s"${GramArtifactStore.KindBoilerplate}, " +
             s"${GramArtifactStore.KindEvalGrams}, " +
-            s"${GramArtifactStore.KindDupClusters}")
+            s"${GramArtifactStore.KindDupClusters}, " +
+            s"${GramArtifactStore.KindLmModel}, " +
+            s"${GramArtifactStore.KindBpeMerges}")
     }
     // the SOURCE BINDING (which columns fed the derivation) is part of
     // the snapshot identity: without it, a rebuild of the same table
@@ -195,6 +210,16 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         artifacts.buildDupClusters(name,
           frame.select(frame.col("id_a"), frame.col("id_b")),
           corpusVersion, params)
+      case GramArtifactStore.KindLmModel =>
+        requireCols("textCol + idCol", Seq(textCol, idCol))
+        require(n >= 2, s"lm_model builds need n >= 2, got n=$n")
+        artifacts.buildLmModel(name, frame, textCol, idCol, n,
+          expParams("minCount").toLong, corpusVersion)
+      case GramArtifactStore.KindBpeMerges =>
+        requireCols("textCol", Seq(textCol))
+        artifacts.buildBpeMerges(name, frame, textCol,
+          expParams("numMerges").toInt, expParams("maxVocabWords").toInt,
+          corpusVersion)
     }
     (meta, true)
   }
@@ -4735,5 +4760,44 @@ object GraftSession {
       throw new IllegalArgumentException(
         s"param threshold must be a number: $s"))).getOrElse(0.5)
     ints + ("threshold" -> thr.toString) + ("pairs" -> "minHashDedup")
+  }
+
+  /** Effective `lm_model` params: only `minCount` (default 2), validated
+    * as a positive integer — the recorded value is the staleness key
+    * [[GramArtifactStore.lmModel]] consumers validate. */
+  private[engine] def lmModelParams(
+      params: Map[String, String]): Map[String, String] = {
+    val unknown = params.keySet - "minCount"
+    require(unknown.isEmpty,
+      "lm_model builds accept only param minCount (it becomes the " +
+        s"artifact's staleness key); unknown: ${unknown.toSeq.sorted.mkString(", ")}")
+    val mc = params.get("minCount").map(s => s.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"param minCount must be an integer: $s"))).getOrElse(2L)
+    require(mc >= 1L, s"param minCount must be >= 1: $mc")
+    Map("minCount" -> mc.toString)
+  }
+
+  /** Effective `bpe_merges` params: `numMerges` (required — there is no
+    * sensible default vocabulary size) and `maxVocabWords` (default
+    * 50000, [[graft.operators.Bpe.train]]'s own default). */
+  private[engine] def bpeMergesParams(
+      params: Map[String, String]): Map[String, String] = {
+    val unknown = params.keySet -- Set("numMerges", "maxVocabWords")
+    require(unknown.isEmpty,
+      "bpe_merges builds accept only params numMerges, maxVocabWords " +
+        s"(they become the artifact's staleness key); unknown: " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
+    def intOf(key: String, dflt: Option[Int]): Int =
+      params.get(key).map(s => s.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"param $key must be an integer: $s")))
+        .orElse(dflt).getOrElse(throw new IllegalArgumentException(
+          s"bpe_merges builds need param $key"))
+    val nm = intOf("numMerges", None)
+    require(nm >= 0, s"param numMerges must be >= 0: $nm")
+    val mv = intOf("maxVocabWords", Some(50000))
+    require(mv >= 1, s"param maxVocabWords must be >= 1: $mv")
+    Map("numMerges" -> nm.toString, "maxVocabWords" -> mv.toString)
   }
 }

@@ -12,7 +12,7 @@ import graft.operators.Dedup
   * name across passes (r13 judge ask #3: "promote the boilerplate/
   * eval-gram artifact from bench-harness memo to engine surface").
   *
-  * Three artifact kinds, covering every derived-corpus-metadata consumer
+  * Five artifact kinds, covering every derived-corpus-metadata consumer
   * in the repo:
   *   - `boilerplate`: the over-`maxDf` (blockCols..., gram) hot list of
   *     [[Dedup.boilerplateGrams]] — consumed as the `hotGrams` df cap by
@@ -32,7 +32,15 @@ import graft.operators.Dedup
   *     the p115 scale adjudication assumes; the artifact's `params` map
   *     records the pair derivation (threshold, signature size, ...) so a
   *     consumer expecting different pairs refuses instead of silently
-  *     splitting on the wrong cluster granularity.
+  *     splitting on the wrong cluster granularity;
+  *   - `lm_model` (r16): the pruned conditional n-gram count tables of
+  *     [[graft.operators.TextAnalysis.lmTrain]] — consumed by
+  *     [[graft.operators.TextAnalysis.lmScoreWithModel]] and the
+  *     streaming [[graft.streaming.DocStreams.lmScoredStream]] gate;
+  *   - `bpe_merges` (r16): the ordered merge table of
+  *     [[graft.operators.Bpe.train]] — the learned tokenizer vocabulary
+  *     [[graft.operators.Bpe.encode]] broadcasts, so token counts stay
+  *     comparable across passes and engines.
   *
   * Precedent: the reference keeps derived/system metadata in a dedicated
   * system database keyed by name (pkg/database/system_database.go:96-130
@@ -434,6 +442,60 @@ class GramArtifactStore(val root: Path) {
       maxRows = None, params = params)
   }
 
+  /** Build-or-refresh the LM-MODEL artifact: the pruned conditional
+    * n-gram count tables of [[graft.operators.TextAnalysis.lmTrain]]
+    * over the reference corpus, persisted as ONE parquet with a `part`
+    * discriminator (('gram', hash, count) ∪ ('prefix', hash, count)) —
+    * train once per reference snapshot, score every corpus/stream pass
+    * by name. `minCount` is the pruning threshold and rides in `params`
+    * as the staleness key (a model pruned differently keeps different
+    * grams — scoring against it silently shifts every hit_frac). No row
+    * bound: consumers JOIN on the hash columns (Catalyst broadcasts a
+    * moderate model by stats; a giant one degrades to a shuffled join),
+    * never collect. */
+  def buildLmModel(name: String, ref: DataFrame, textCol: String,
+      idCol: String, n: Int, minCount: Long,
+      corpusVersion: String): ArtifactMeta = {
+    val (g, p) = graft.operators.TextAnalysis.lmTrain(
+      ref, textCol, idCol, n, minCount)
+    commit(name, GramArtifactStore.KindLmModel, corpusVersion, Nil, n,
+      maxDf = 0,
+      g.select(lit("gram").as("part"), col("gram").as("key"),
+          col("__cg").as("cnt"))
+        .unionAll(p.select(lit("prefix").as("part"),
+          col("prefix").as("key"), col("__cp").as("cnt"))),
+      maxRows = None, params = Map("minCount" -> minCount.toString))
+  }
+
+  /** Build-or-refresh the BPE-MERGES artifact: the ordered merge table
+    * of [[graft.operators.Bpe.train]] — the learned vocabulary, persisted
+    * as (rank, left, right) so every tokenization pass (and every other
+    * engine) replays the identical greedy encoding. `numMerges` and
+    * `maxVocabWords` are the staleness key: a vocabulary learned with a
+    * different cap is a DIFFERENT tokenizer, and token counts stop being
+    * comparable across passes — the exact drift this store refuses. */
+  def buildBpeMerges(name: String, corpus: DataFrame, textCol: String,
+      numMerges: Int, maxVocabWords: Int,
+      corpusVersion: String): ArtifactMeta = {
+    // train() collects the capped word dict and learns driver-side (the
+    // classic formulation); validate name/version BEFORE paying that
+    // scan, like buildDupClusters does for its eager CC pass
+    requireName(name)
+    require(corpusVersion.nonEmpty, "corpusVersion must be non-empty")
+    val merges = graft.operators.Bpe.train(
+      corpus, textCol, numMerges, maxVocabWords)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    commit(name, GramArtifactStore.KindBpeMerges, corpusVersion, Nil,
+      n = 0, maxDf = 0,
+      merges.zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "left", "right"),
+      maxRows = None,
+      params = Map("numMerges" -> numMerges.toString,
+        "maxVocabWords" -> maxVocabWords.toString))
+  }
+
   /** The manifest entry for `name`, if any. */
   def meta(name: String): Option[ArtifactMeta] = readManifest().get(name)
 
@@ -502,7 +564,8 @@ class GramArtifactStore(val root: Path) {
       params: Map[String, String] = Map.empty): ArtifactMeta = {
     val a = meta(name).getOrElse(throw new IllegalArgumentException(
       s"no artifact named '$name' in $root — build it first " +
-        "(buildBoilerplate/buildEvalGrams/buildDupClusters)"))
+        "(buildBoilerplate/buildEvalGrams/buildDupClusters/" +
+        "buildLmModel/buildBpeMerges)"))
     require(a.kind == kind,
       s"artifact '$name' is kind '${a.kind}', consumer expects '$kind'")
     // a stale artifact (older corpus snapshot, different params) must
@@ -570,12 +633,45 @@ class GramArtifactStore(val root: Path) {
       Nil, 0, 0, params)
     spark.read.parquet(a.dataDir).select(col("id"), col("cluster"))
   }
+
+  /** Consume the LM-MODEL artifact BY NAME, validated against the
+    * consumer's (corpusVersion, n, minCount): returns (gramCounts,
+    * prefixCounts) in [[graft.operators.TextAnalysis.lmTrain]]'s exact
+    * shapes, ready for [[graft.operators.TextAnalysis.lmScoreWithModel]]
+    * and [[graft.streaming.DocStreams.lmScoredStream]]. */
+  def lmModel(spark: SparkSession, name: String, corpusVersion: String,
+      n: Int, minCount: Long): (DataFrame, DataFrame) = {
+    val a = validated(name, GramArtifactStore.KindLmModel, corpusVersion,
+      Nil, n, 0, Map("minCount" -> minCount.toString))
+    val d = spark.read.parquet(a.dataDir)
+    (d.filter(col("part") === "gram")
+       .select(col("key").as("gram"), col("cnt").as("__cg")),
+     d.filter(col("part") === "prefix")
+       .select(col("key").as("prefix"), col("cnt").as("__cp")))
+  }
+
+  /** Consume the BPE-MERGES artifact BY NAME, validated against the
+    * consumer's (corpusVersion, numMerges, maxVocabWords): the ordered
+    * merge table [[graft.operators.Bpe.encode]] broadcasts. The collect
+    * is bounded by numMerges — a vocabulary-recipe table, the same
+    * boundedness class as the #centroids/#sources collects. */
+  def bpeMerges(spark: SparkSession, name: String, corpusVersion: String,
+      numMerges: Int, maxVocabWords: Int): Seq[(String, String)] = {
+    val a = validated(name, GramArtifactStore.KindBpeMerges, corpusVersion,
+      Nil, 0, 0, Map("numMerges" -> numMerges.toString,
+        "maxVocabWords" -> maxVocabWords.toString))
+    spark.read.parquet(a.dataDir).orderBy(col("rank"))
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
 }
 
 object GramArtifactStore {
   val KindBoilerplate = "boilerplate"
   val KindEvalGrams = "eval_grams"
   val KindDupClusters = "dup_clusters"
+  val KindLmModel = "lm_model"
+  val KindBpeMerges = "bpe_merges"
 
   // one mutation lock per PHYSICAL root path — every store instance in
   // this JVM over the same root serializes through it (the r14 review

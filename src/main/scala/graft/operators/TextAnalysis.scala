@@ -669,6 +669,19 @@ object TextAnalysis {
   def lmScore(docs: DataFrame, ref: DataFrame, textCol: String,
       idCol: String, n: Int = 2, minCount: Long = 2L,
       oovNll: Double = 20.0): DataFrame = {
+    val (gramCounts, prefixCounts) = lmTrain(ref, textCol, idCol, n, minCount)
+    lmScoreWithModel(docs, gramCounts, prefixCounts, textCol, idCol, n, oovNll)
+  }
+
+  /** The TRAINING half of [[lmScore]], exposed so the model tables can
+    * be persisted (as an `lm_model` artifact in
+    * [[graft.engine.GramArtifactStore]]) and consumed across passes —
+    * train once per reference snapshot, score many corpora. Returns
+    * (gramCounts (gram, __cg), prefixCounts (prefix, __cp)) — exactly
+    * what [[lmScoreWithModel]] and
+    * [[graft.streaming.DocStreams.lmScoredStream]] take. */
+  def lmTrain(ref: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, minCount: Long = 2L): (DataFrame, DataFrame) = {
     require(minCount >= 1L, s"need minCount >= 1: $minCount")
     // ONE full-corpus shuffle: count (gram, prefix) pairs — a gram
     // determines its prefix, so this is the gram-count table — then roll
@@ -682,6 +695,15 @@ object TextAnalysis {
       .select(col("gram"), col("__cg"))
     val prefixCounts = gp.groupBy(col("prefix"))
       .agg(sum(col("__cg")).as("__cp")).filter(col("__cp") >= minCount)
+    (gramCounts, prefixCounts)
+  }
+
+  /** The SCORING half of [[lmScore]] against a pre-trained model —
+    * `gramCounts`/`prefixCounts` in [[lmTrain]]'s shapes, whether fresh
+    * or read back from a persisted `lm_model` artifact. */
+  def lmScoreWithModel(docs: DataFrame, gramCounts: DataFrame,
+      prefixCounts: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, oovNll: Double = 20.0): DataFrame = {
     val perDoc = wordGramPrefixHashes(docs, textCol, idCol, n)
       .groupBy(col(idCol), col("gram"), col("prefix"))
       .agg(count(lit(1)).as("__occ"))
@@ -713,13 +735,29 @@ object TextAnalysis {
     * scoring joins) plus one doc-keyed join. */
   def dsirScores(docs: DataFrame, target: DataFrame, raw: DataFrame,
       textCol: String, idCol: String, n: Int = 2, minCount: Long = 2L,
+      oovNll: Double = 20.0): DataFrame =
+    dsirScoresWithModels(docs, lmTrain(target, textCol, idCol, n, minCount),
+      lmTrain(raw, textCol, idCol, n, minCount), textCol, idCol, n, oovNll)
+
+  /** [[dsirScores]] against PRE-TRAINED models — the two (gramCounts,
+    * prefixCounts) pairs in [[lmTrain]]'s shapes, whether fresh or read
+    * back from persisted `lm_model` artifacts
+    * ([[graft.engine.GramArtifactStore.lmModel]]): train the target and
+    * raw models once per snapshot, re-weight every corpus pass by name —
+    * the same build-once/score-many loop the lm_model kind gives plain
+    * LM scoring. */
+  def dsirScoresWithModels(docs: DataFrame,
+      targetModel: (DataFrame, DataFrame), rawModel: (DataFrame, DataFrame),
+      textCol: String, idCol: String, n: Int = 2,
       oovNll: Double = 20.0): DataFrame = {
-    val t = lmScore(docs, target, textCol, idCol, n, minCount, oovNll)
+    val t = lmScoreWithModel(docs, targetModel._1, targetModel._2,
+        textCol, idCol, n, oovNll)
       .select(col(idCol), col("n_positions"),
         col("lm_hits").as("hits_target"),
         col("hit_frac").as("hit_frac_target"),
         col("avg_nll").as("avg_nll_target"))
-    val r = lmScore(docs, raw, textCol, idCol, n, minCount, oovNll)
+    val r = lmScoreWithModel(docs, rawModel._1, rawModel._2,
+        textCol, idCol, n, oovNll)
       .select(col(idCol), col("lm_hits").as("hits_raw"),
         col("hit_frac").as("hit_frac_raw"),
         col("avg_nll").as("avg_nll_raw"))

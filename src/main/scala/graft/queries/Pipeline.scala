@@ -4887,6 +4887,74 @@ object Pipeline {
        |FROM sh ORDER BY split, shard, rec_index""".stripMargin
   }
 
+  /** p45's LM scoring CONSUMING the persisted `lm_model` artifact (r16):
+    * the reference-corpus count tables train once per snapshot
+    * ([[graft.engine.GramArtifactStore.buildLmModel]], keyed
+    * corpus@mtime + derivation token, minCount validated at consume)
+    * and each scoring pass pays only the per-doc gram collapse + the
+    * model joins — the same build-once/consume-by-name loop p116/p117
+    * gave the cluster and eval-gram kinds, now for the model-shaped
+    * metadata. Shares p45's oracle: consuming the persisted model is a
+    * pure caching decision, and the checker proves the scores are
+    * IDENTICAL. */
+  def p120LmArtifact(s: SparkSession, dir: String): DataFrame = {
+    val version =
+      graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
+        "#" + p120DerivationVersion
+    val store = p92Store(dir)
+    val name = "p120-lm-model"
+    if (!store.isFresh(name, graft.engine.GramArtifactStore.KindLmModel,
+        version, Nil, 2, 0, Map("minCount" -> "2")))
+      store.buildLmModel(name, documents(s, dir), "text", "doc_id",
+        n = 2, minCount = 2L, version)
+    val (gramCounts, prefixCounts) = store.lmModel(s, name, version, 2, 2L)
+    TextAnalysis.lmScoreWithModel(documents(s, dir), gramCounts,
+        prefixCounts, "text", "doc_id", n = 2)
+      .select(col("doc_id"), col("n_positions"), col("lm_hits"),
+        col("hit_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val p120DerivationVersion: String =
+    derivationToken(Pipeline.getClass, TextAnalysis.getClass)
+
+  // p120 must replay the IDENTICAL scores as p45 — the artifact is a
+  // cache of the model tables, and sharing the oracle proves it
+  val p120Oracle: String = p45Oracle
+
+  /** p40's BPE tokenization CONSUMING the persisted `bpe_merges`
+    * artifact (r16): the vocabulary trains once per corpus snapshot
+    * ([[graft.engine.GramArtifactStore.buildBpeMerges]] — the capped
+    * dict scan + driver-side merge learning) and every tokenization
+    * pass reads the ordered merge table back (a numMerges-bounded
+    * recipe collect) and broadcasts it into the per-row encoder. A
+    * DIFFERENT vocabulary is a different tokenizer — token counts stop
+    * being comparable — so numMerges/maxVocabWords are the validated
+    * staleness key. Shares p40's generated oracle: the artifact path
+    * must tokenize IDENTICALLY to training in-line. */
+  def p121BpeArtifact(s: SparkSession, dir: String): DataFrame = {
+    val version =
+      graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
+        "#" + p121DerivationVersion
+    val store = p92Store(dir)
+    val name = "p121-bpe-merges"
+    val params = Map("numMerges" -> "200", "maxVocabWords" -> "20000")
+    if (!store.isFresh(name, graft.engine.GramArtifactStore.KindBpeMerges,
+        version, Nil, 0, 0, params))
+      store.buildBpeMerges(name, documents(s, dir), "text",
+        numMerges = 200, maxVocabWords = 20000, version)
+    val merges = store.bpeMerges(s, name, version, 200, 20000)
+    Bpe.encode(documents(s, dir), "text", "doc_id", merges)
+      .select(col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_unique"),
+        element_at(col("tokens"), 1).as("first_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val p121DerivationVersion: String =
+    derivationToken(Pipeline.getClass, Bpe.getClass)
+
   /** Fuzzy decontamination ([[Dedup.crossMinHashPairs]]): every 97th doc
     * spawns an "eval" twin (id + 200000) extended with a marker tail —
     * high shingle overlap but NOT guaranteed 13 consecutive shared words
@@ -5177,6 +5245,8 @@ object Pipeline {
     "p117_decon_artifact" -> (p117DeconArtifact _),
     "p118_split_buildverb" -> (p118SplitFromBuildVerb _),
     "p119_split_export" -> (p119SplitExport _),
+    "p120_lm_artifact" -> (p120LmArtifact _),
+    "p121_bpe_artifact" -> (p121BpeArtifact _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
@@ -5302,6 +5372,7 @@ object Pipeline {
     "p117_decon_artifact" -> p117Oracle,
     "p118_split_buildverb" -> p118Oracle,
     "p119_split_export" -> p119Oracle,
+    "p120_lm_artifact" -> p120Oracle,
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
     "p111_orc_roundtrip" -> p111Oracle,
@@ -5314,5 +5385,6 @@ object Pipeline {
     * value trains the merge list on [[oracleDir]] at first access per
     * dir (cached), so callers must hold an active SparkSession. */
   def oracles: Map[String, String] =
-    staticOracles + ("p40_bpe_tokens" -> p40Oracle)
+    staticOracles + ("p40_bpe_tokens" -> p40Oracle) +
+      ("p121_bpe_artifact" -> p40Oracle)
 }

@@ -390,6 +390,26 @@ object DocStreams {
       .select(col("id"), col("ts"), col("n_positions"), col("lm_hits"),
         col("hit_frac"))
   }
+
+  /** [[lmScoredStream]] consuming the persisted `lm_model` artifact BY
+    * NAME — the deployment shape: train once per reference snapshot
+    * ([[graft.engine.GramArtifactStore.buildLmModel]]), score every
+    * ingest stream against it, with a stale model (older reference
+    * snapshot, different n/minCount) refused loudly BEFORE the stream
+    * starts. Same artifact-refresh deployment rule as
+    * [[splitGateFromArtifact]]: staleness validates once at
+    * construction, so restart the gate when the reference snapshot
+    * rolls. */
+  def lmScoredStreamFromArtifact(docs: DataFrame,
+      store: graft.engine.GramArtifactStore, name: String,
+      corpusVersion: String, n: Int, minCount: Long, textCol: String,
+      idCol: String, tsCol: String, watermark: String = "2 hours",
+      bucketWindow: String = "10 minutes"): DataFrame = {
+    val (gramCounts, _) =
+      store.lmModel(docs.sparkSession, name, corpusVersion, n, minCount)
+    lmScoredStream(docs, gramCounts, textCol, idCol, tsCol, n,
+      watermark, bucketWindow)
+  }
 }
 
 /** Per-row span repair against the broadcast eval gram set: marks every

@@ -138,6 +138,48 @@ class EngineSpec extends AnyFunSuite {
     assert(s.artifacts.meta("x").isEmpty)
   }
 
+  test("buildArtifact: lm_model and bpe_merges kinds through the management seam") {
+    val s = newSession()
+    s.execute("db1", "main", q("CREATE TABLE ref (doc_id INTEGER, body TEXT)"))
+    s.execute("db1", "main", q("INSERT INTO ref VALUES " +
+      "(1, 'the cat sat on the mat while the dog ran on the mat'), " +
+      "(2, 'a cat ran on a mat and the dog sat on the mat')"))
+    // lm_model: effective minCount recorded (default filled in), tables
+    // consumable and identical to inline training on the same frame
+    val (lm, builtLm) = s.buildArtifact("eng-lm", "lm_model", "db1",
+      "main", "ref", textCol = "body", idCol = "doc_id", n = 2)
+    assert(builtLm && lm.params == Map("minCount" -> "2") && lm.n == 2)
+    val (g, p) = s.artifacts.lmModel(spark, "eng-lm", lm.corpusVersion, 2, 2L)
+    assert(g.count() > 0 && p.count() > 0)
+    // bpe_merges: numMerges is REQUIRED, maxVocabWords defaults, order
+    // preserved through the store
+    val (bpe, builtBpe) = s.buildArtifact("eng-bpe", "bpe_merges", "db1",
+      "main", "ref", textCol = "body",
+      params = Map("numMerges" -> "10"))
+    assert(builtBpe && bpe.params ==
+      Map("numMerges" -> "10", "maxVocabWords" -> "50000"))
+    assert(s.artifacts.bpeMerges(spark, "eng-bpe", bpe.corpusVersion,
+      10, 50000).length == 10)
+    // ifStale: both kinds idempotent per snapshot through their
+    // effective params
+    val (lm2, built2) = s.buildArtifact("eng-lm", "lm_model", "db1",
+      "main", "ref", textCol = "body", idCol = "doc_id", n = 2,
+      ifStale = true)
+    assert(!built2 && lm2.builtAt == lm.builtAt)
+    // refusals: numMerges missing, unknown param, kind-irrelevant args
+    intercept[IllegalArgumentException](s.buildArtifact("x", "bpe_merges",
+      "db1", "main", "ref", textCol = "body"))
+    intercept[IllegalArgumentException](s.buildArtifact("x", "lm_model",
+      "db1", "main", "ref", textCol = "body", idCol = "doc_id", n = 2,
+      params = Map("mincount" -> "2")))
+    intercept[IllegalArgumentException](s.buildArtifact("x", "lm_model",
+      "db1", "main", "ref", textCol = "body", idCol = "doc_id", n = 1))
+    intercept[IllegalArgumentException](s.buildArtifact("x", "bpe_merges",
+      "db1", "main", "ref", textCol = "body", idCol = "doc_id",
+      params = Map("numMerges" -> "10")))
+    assert(s.artifacts.meta("x").isEmpty, "refused builds publish nothing")
+  }
+
   test("dynamic 5-type values: blob, null, float survive the round trip") {
     val s = newSession()
     s.execute("db1", "main", q("CREATE TABLE vals (i INTEGER, f REAL, t TEXT, b BLOB)"))

@@ -286,6 +286,24 @@ class HttpApiSpec extends AnyFunSuite {
     assert(mapper.readTree(rebuilt.body()).path("data")
       .path("corpus_version").asText() != ver,
       "a superseded snapshot must rebuild under if_stale")
+    // the r16 kinds flow through the same route: an lm_model build with
+    // the effective minCount recorded, and a bpe_merges build whose
+    // numMerges is required
+    val lmB = post("/v1/artifacts",
+      """{"name":"art-lm","kind":"lm_model","database":"artdb",
+        |"table":"docs","text_col":"body","id_col":"doc_id","n":2}""".stripMargin)
+    assert(lmB.statusCode() == 201, lmB.body())
+    assert(mapper.readTree(lmB.body()).path("data")
+      .path("params").path("minCount").asText() == "2")
+    val bpeB = post("/v1/artifacts",
+      """{"name":"art-bpe","kind":"bpe_merges","database":"artdb",
+        |"table":"docs","text_col":"body",
+        |"params":{"numMerges":"5"}}""".stripMargin)
+    assert(bpeB.statusCode() == 201, bpeB.body())
+    assert(post("/v1/artifacts",
+      """{"name":"bad","kind":"bpe_merges","database":"artdb",
+        |"table":"docs","text_col":"body"}""".stripMargin)
+      .statusCode() == 400, "numMerges is required")
     // refusals: unknown kind / missing table / missing column -> 400
     assert(post("/v1/artifacts",
       """{"name":"bad","kind":"nope","database":"artdb","table":"docs"}""")
@@ -349,6 +367,7 @@ class HttpApiSpec extends AnyFunSuite {
     // cleanup so the list test's expectations elsewhere stay stable
     engine.artifacts.drop("art-eval"); engine.artifacts.drop("art-cc")
     engine.artifacts.drop("art-one-tbl")
+    engine.artifacts.drop("art-lm"); engine.artifacts.drop("art-bpe")
     engine.accessKeys.delete("deny-tbl-key")
     engine.accessKeys.delete("one-tbl-key")
   }

@@ -699,6 +699,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM gate consumes the persisted lm_model artifact; stale model refused") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.TextAnalysis
+    val ref = Seq(
+      (100L, "the cat sat on the mat while the dog ran on the mat"),
+      (101L, "a cat ran on a mat and the dog sat on the mat"))
+      .toDF("doc_id", "text")
+    val store = new graft.engine.GramArtifactStore(
+      Files.createTempDirectory("graft-lmgate-store"))
+    store.buildLmModel("gate-lm", ref, "text", "doc_id",
+      n = 2, minCount = 2L, corpusVersion = "ref@1")
+    val docs = Seq(
+      (0L, "the cat sat on the mat", "2024-01-01 00:00:00"),
+      (1L, "quantum kazoo ensembles juggle", "2024-01-01 00:01:00"))
+      .map { case (id, t, ts) => (id, t, java.sql.Timestamp.valueOf(ts)) }
+    // a stale model (older reference snapshot / different pruning)
+    // refuses BEFORE the stream starts — scoring against the wrong
+    // model silently shifts every hit_frac
+    val empty = Files.createTempDirectory("graft-lmgate-empty").toString
+    val streamEmpty = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(empty)
+    val eV = intercept[IllegalArgumentException](
+      DocStreams.lmScoredStreamFromArtifact(streamEmpty, store, "gate-lm",
+        "ref@2", 2, 2L, "text", "doc_id", "ts"))
+    assert(eV.getMessage.contains("ref@1") && eV.getMessage.contains("ref@2"))
+    val eP = intercept[IllegalArgumentException](
+      DocStreams.lmScoredStreamFromArtifact(streamEmpty, store, "gate-lm",
+        "ref@1", 2, 5L, "text", "doc_id", "ts"))
+    assert(eP.getMessage.contains("minCount"))
+    // the matching consume scores the stream IDENTICALLY to the batch
+    // operator trained inline on the same reference
+    val dir = Files.createTempDirectory("graft-lmgate").toString
+    val q = DocStreams.lmScoredStreamFromArtifact(
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .parquet(dir),
+        store, "gate-lm", "ref@1", 2, 2L, "text", "doc_id", "ts")
+      .writeStream.format("memory").queryName("lmgate_art")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d =>
+        Seq(d).toDF("doc_id", "text", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      Seq((99L, "late late sentinel",
+          java.sql.Timestamp.valueOf("2024-01-01 04:00:00")))
+        .toDF("doc_id", "text", "ts").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT id, n_positions, lm_hits, hit_frac FROM lmgate_art WHERE id < 99")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val batch = TextAnalysis.lmScore(
+          docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), ref,
+          "text", "doc_id", n = 2, minCount = 2L)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed == batch)
+      assert(streamed(1L)._2 == 0L) // all-OOV doc scores zero hits
+    } finally q.stop()
+  }
+
   test("streaming near-dup admission matches the batch first-in-every-bucket twin") {
     import spark.implicits._
     import graft.streaming.DocStreams

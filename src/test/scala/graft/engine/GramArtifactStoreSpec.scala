@@ -129,6 +129,75 @@ class GramArtifactStoreSpec extends AnyFunSuite {
       store.buildDupClusters("cc2", pairs, "docs@1", Map.empty))
   }
 
+  test("lm-model artifact: build, consume, score identically to inline training") {
+    val store = freshStore()
+    val meta = store.buildLmModel("lm", corpus, "text", "doc_id",
+      n = 2, minCount = 2L, corpusVersion = "docs@3")
+    assert(meta.kind == GramArtifactStore.KindLmModel && meta.n == 2 &&
+      meta.params == Map("minCount" -> "2"))
+    // the persisted union carries both parts, and the consume returns
+    // exactly lmTrain's tables
+    val (g, p) = store.lmModel(spark, "lm", "docs@3", 2, 2L)
+    assert(g.columns.toSeq == Seq("gram", "__cg") &&
+      p.columns.toSeq == Seq("prefix", "__cp"))
+    val (gd, pd) = TextAnalysis.lmTrain(corpus, "text", "doc_id", 2, 2L)
+    assert(g.collect().map(_.toSeq).toSet == gd.collect().map(_.toSeq).toSet)
+    assert(p.collect().map(_.toSeq).toSet == pd.collect().map(_.toSeq).toSet)
+    // scoring THROUGH the artifact == the one-shot lmScore
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(scores(TextAnalysis.lmScoreWithModel(corpus, g, p,
+        "text", "doc_id", 2).select("doc_id", "n_positions", "lm_hits")) ==
+      scores(TextAnalysis.lmScore(corpus, corpus, "text", "doc_id", 2, 2L)
+        .select("doc_id", "n_positions", "lm_hits")))
+    // a different minCount is a DIFFERENT model — refuse, never fail open
+    val e = intercept[IllegalArgumentException](
+      store.lmModel(spark, "lm", "docs@3", 2, 5L))
+    assert(e.getMessage.contains("minCount"))
+    // DSIR consumes the same kind: two persisted models (here the same
+    // one as both target and raw — log_weight must be exactly 0) score
+    // identically to inline training
+    val viaArtifacts = TextAnalysis.dsirScoresWithModels(corpus,
+        (g, p), (g, p), "text", "doc_id", 2)
+      .select(col("doc_id"), col("n_positions"), col("hits_target"),
+        col("hits_raw"), col("log_weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val inline = TextAnalysis.dsirScores(corpus, corpus, corpus,
+        "text", "doc_id", 2, 2L)
+      .select(col("doc_id"), col("n_positions"), col("hits_target"),
+        col("hits_raw"), col("log_weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(viaArtifacts == inline)
+    assert(viaArtifacts.forall(_._5 == 0.0),
+      "identical target and raw models must weight every doc log 0")
+  }
+
+  test("bpe-merges artifact: build, consume, tokenize identically to inline training") {
+    import spark.implicits._
+    val store = freshStore()
+    val meta = store.buildBpeMerges("vocab", corpus, "text",
+      numMerges = 30, maxVocabWords = 100, corpusVersion = "docs@4")
+    assert(meta.kind == GramArtifactStore.KindBpeMerges &&
+      meta.params == Map("numMerges" -> "30", "maxVocabWords" -> "100"))
+    val loaded = store.bpeMerges(spark, "vocab", "docs@4", 30, 100)
+    val direct = graft.operators.Bpe.train(corpus, "text", 30, 100)
+    // ORDER matters: the merge list is rank-ordered, and a reordered
+    // vocabulary is a different tokenizer
+    assert(loaded == direct)
+    assert(meta.rows == direct.length.toLong)
+    val viaArtifact = graft.operators.Bpe.encode(corpus, "text", "doc_id",
+      loaded).collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val inline = graft.operators.Bpe.encode(corpus, "text", "doc_id",
+      direct).collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaArtifact == inline)
+    // different cap params refuse loudly
+    val e = intercept[IllegalArgumentException](
+      store.bpeMerges(spark, "vocab", "docs@4", 30, 200))
+    assert(e.getMessage.contains("maxVocabWords"))
+  }
+
   test("stale params and stale corpus version refuse loudly, never fail open") {
     val store = freshStore()
     store.buildBoilerplate("hot", corpus, "text", "doc_id", Seq("lang"),
