@@ -462,7 +462,7 @@ class GramArtifactStore(val root: Path) {
       maxDf = 0,
       g.select(lit("gram").as("part"), col("gram").as("key"),
           col("__cg").as("cnt"))
-        .unionAll(p.select(lit("prefix").as("part"),
+        .union(p.select(lit("prefix").as("part"),
           col("prefix").as("key"), col("__cp").as("cnt"))),
       maxRows = None, params = Map("minCount" -> minCount.toString))
   }

@@ -1233,6 +1233,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("split-at-ingest feeds per-split shard export; no record crosses splits") {
+    // the two deployment legs composed IN A STREAM (the streaming shape
+    // of p119's batch funnel): splitGateFromArtifact assigns each
+    // arriving doc its leakage-safe split, foreachBatch packs every
+    // micro-batch into split-disjoint TFRecord shards with p119's
+    // packed-id scheme (test 0-3, val 4-7, train 8-11). Re-parsing all
+    // shards across batches must (a) keep every record inside its own
+    // split's shard range and (b) reproduce the batch assignment.
+    import graft.operators.{TfRecord, Sampling}
+    import graft.streaming.DocStreams
+    import spark.implicits._
+    implicit val s = spark
+    val store = new graft.engine.GramArtifactStore(
+      Files.createTempDirectory("graft-splitexp-store"))
+    val params = Map("pairs" -> "spec", "threshold" -> "0.5")
+    store.buildDupClusters("exp-cc",
+      Seq((0L, 1L), (1L, 2L), (7L, 9L)).toDF("id_a", "id_b"),
+      "docs@1", params)
+    val dir = Files.createTempDirectory("graft-splitexp").toString
+    val packed = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = DocStreams.splitGateFromArtifact(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP").parquet(dir),
+        store, "exp-cc", "docs@1", params, "doc_id", "ts", 0.25, 0.25)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val si = when(col("split") === "test", 0L)
+          .when(col("split") === "val", 1L).otherwise(2L)
+        val rows = df.select((si * 4 + pmod(col("id"), lit(4))).as("packed"),
+            col("id"), col("split"))
+          .as[(Long, Long, String)]
+          .map { case (p, id, sp) =>
+            (p, id, s"$id|$sp".getBytes("UTF-8")) }
+        TfRecord.parseShards(TfRecord.shardExport(rows))
+          .collect().foreach { r =>
+            assert(r.len_crc_ok && r.data_crc_ok)
+            val Array(id, sp) = new String(r.payload, "UTF-8").split("\\|")
+            packed.synchronized { packed += ((r.shard, id.toLong, sp)) }
+          }
+      }.start()
+    try {
+      def feed(ids: Long*): Unit = {
+        ids.toSeq.map(i => (i, java.sql.Timestamp.valueOf(
+            s"2024-01-01 00:${10 + i}:00")))
+          .toDF("doc_id", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      feed(0L, 1L, 2L); feed(7L, 9L, 42L)
+      val bySplit = Map("test" -> 0L, "val" -> 1L, "train" -> 2L)
+      // (a) shard ranges are split-disjoint
+      packed.foreach { case (shard, id, sp) =>
+        assert(shard / 4 == bySplit(sp),
+          s"doc $id ($sp) landed in shard $shard outside its split range")
+      }
+      // (b) the streamed assignment IS the batch assignment
+      val batch = Sampling.leakageSafeSplitsFromVettedLabels(
+          Seq(0L, 1L, 2L, 7L, 9L, 42L).toDF("doc_id"),
+          store.dupClusterLabels(spark, "exp-cc", "docs@1", params),
+          "doc_id", 0.25, 0.25)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(packed.map(p => p._2 -> p._3).toMap == batch)
+    } finally q.stop()
+  }
+
   test("streaming snapshot-dedup gate matches the batch againstSnapshot twin") {
     import spark.implicits._
     import graft.streaming.DocStreams
