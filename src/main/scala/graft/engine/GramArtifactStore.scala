@@ -12,7 +12,7 @@ import graft.operators.Dedup
   * name across passes (r13 judge ask #3: "promote the boilerplate/
   * eval-gram artifact from bench-harness memo to engine surface").
   *
-  * Five artifact kinds, covering every derived-corpus-metadata consumer
+  * Six artifact kinds, covering every derived-corpus-metadata consumer
   * in the repo:
   *   - `boilerplate`: the over-`maxDf` (blockCols..., gram) hot list of
   *     [[Dedup.boilerplateGrams]] — consumed as the `hotGrams` df cap by
@@ -40,7 +40,12 @@ import graft.operators.Dedup
   *   - `bpe_merges` (r16): the ordered merge table of
   *     [[graft.operators.Bpe.train]] — the learned tokenizer vocabulary
   *     [[graft.operators.Bpe.encode]] broadcasts, so token counts stay
-  *     comparable across passes and engines.
+  *     comparable across passes and engines;
+  *   - `ivf_index` (r16): the centroid matrix + full-corpus routing
+  *     labels of [[graft.operators.Similarity.ivfBuild]] — the ANN
+  *     index [[graft.operators.Similarity.ivfTopKWithIndex]] probes, so
+  *     the corpus-scale routing scan runs once per snapshot
+  *     (library-API-only: the catalog's 5-type model holds no vectors).
   *
   * Precedent: the reference keeps derived/system metadata in a dedicated
   * system database keyed by name (pkg/database/system_database.go:96-130
@@ -496,6 +501,44 @@ class GramArtifactStore(val root: Path) {
         "maxVocabWords" -> maxVocabWords.toString))
   }
 
+  /** Build-or-refresh the IVF-INDEX artifact: the bounded centroid
+    * matrix + the full-corpus nearest-centroid routing labels of
+    * [[graft.operators.Similarity.ivfBuild]], persisted as one parquet
+    * with a `part` discriminator (('centroid', cid, cid, vector) ∪
+    * ('route', doc id, cid, null)). The routing scan — the expensive
+    * half of IVF ANN at corpus scale — runs once per snapshot; every
+    * query batch consumes the labels by id-keyed join
+    * ([[graft.operators.Similarity.ivfTopKWithIndex]]). Routing labels
+    * are two longs per corpus row, so no row bound (the dup_clusters
+    * rule: consumed by join, never broadcast unconditionally); only the
+    * nCentroids-bounded centroid part is ever collected. This kind is
+    * LIBRARY-API-ONLY: the catalog's 5-type model has no vector column,
+    * so there is no catalog table a build verb could name. */
+  def buildIvfIndex(name: String, corpus: DataFrame, vecCol: String,
+      idCol: String, nCentroids: Int,
+      corpusVersion: String): ArtifactMeta = {
+    // validate BEFORE the centroid collect + routing scan (the eager
+    // dup_clusters rule)
+    requireName(name)
+    require(corpusVersion.nonEmpty, "corpusVersion must be non-empty")
+    require(nCentroids >= 1, s"need nCentroids >= 1: $nCentroids")
+    val (centMat, routed) = graft.operators.Similarity.ivfBuild(
+      corpus, vecCol, idCol, nCentroids)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centRows = centMat.zipWithIndex.map { case (v, i) =>
+      ("centroid", (i + 1).toLong, i + 1, Some(v)) }
+      .toDF("part", "id", "centroid_id", "vec")
+    commit(name, GramArtifactStore.KindIvfIndex, corpusVersion, Nil,
+      n = 0, maxDf = 0,
+      centRows.union(routed.select(lit("route").as("part"), col("id"),
+        col("centroid_id"),
+        lit(null).cast("array<double>").as("vec"))),
+      maxRows = None,
+      params = Map("nCentroids" -> nCentroids.toString,
+        "init" -> "lowest-id"))
+  }
+
   /** The manifest entry for `name`, if any. */
   def meta(name: String): Option[ArtifactMeta] = readManifest().get(name)
 
@@ -650,6 +693,24 @@ class GramArtifactStore(val root: Path) {
        .select(col("key").as("prefix"), col("cnt").as("__cp")))
   }
 
+  /** Consume the IVF-INDEX artifact BY NAME, validated against the
+    * consumer's (corpusVersion, nCentroids): (centroid matrix, routing
+    * labels) in [[graft.operators.Similarity.ivfBuild]]'s shapes, ready
+    * for [[graft.operators.Similarity.ivfTopKWithIndex]]. The collect
+    * is bounded by nCentroids; the routing frame is consumed by join. */
+  def ivfIndex(spark: SparkSession, name: String, corpusVersion: String,
+      nCentroids: Int): (Seq[Seq[Double]], DataFrame) = {
+    val a = validated(name, GramArtifactStore.KindIvfIndex, corpusVersion,
+      Nil, 0, 0, Map("nCentroids" -> nCentroids.toString,
+        "init" -> "lowest-id"))
+    val d = spark.read.parquet(a.dataDir)
+    val cents = d.filter(col("part") === "centroid")
+      .orderBy(col("id")).select(col("vec"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    (cents, d.filter(col("part") === "route")
+      .select(col("id"), col("centroid_id")))
+  }
+
   /** Consume the BPE-MERGES artifact BY NAME, validated against the
     * consumer's (corpusVersion, numMerges, maxVocabWords): the ordered
     * merge table [[graft.operators.Bpe.encode]] broadcasts. The collect
@@ -672,6 +733,7 @@ object GramArtifactStore {
   val KindDupClusters = "dup_clusters"
   val KindLmModel = "lm_model"
   val KindBpeMerges = "bpe_merges"
+  val KindIvfIndex = "ivf_index"
 
   // one mutation lock per PHYSICAL root path — every store instance in
   // this JVM over the same root serializes through it (the r14 review

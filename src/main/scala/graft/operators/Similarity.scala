@@ -150,32 +150,48 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
-  /** IVF-style ANN: centroids = a deterministic sample of the corpus
-    * (ids ≡ 0 mod stride). Corpus rows route to their nearest centroid
-    * (one broadcast pass); queries probe their `nprobe` nearest centroid
-    * cells. Replaces global search with per-cell search. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
-      idCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    // the centroid table is the bounded IVF model (nCentroids×dims):
-    // lowest-id rows via orderBy+limit = TakeOrderedAndProject, collected
-    // once and shipped into the plan as ONE literal matrix
-    val centMat: Seq[Seq[Double]] = c.orderBy(col("neighbor_id"))
-      .limit(nCentroids).collect().map(_.getSeq[Double](1).toSeq).toSeq
+  /** The per-row nearest-centroid argmax fold over a literal centroid
+    * matrix — zero shuffle, no per-row window; ties keep the first
+    * (lowest) centroid id, matching the (csim desc, centroid_id asc)
+    * ordering it replaces. Shared by the inline route and the index
+    * build so the persisted routing can never drift from the ad-hoc
+    * one. */
+  private def nearestCentroid(centMat: Seq[Seq[Double]],
+      vec: String): Column = {
     val m = typedLit(centMat)
-    // corpus routing is a PER-ROW argmax fold over the matrix — zero
-    // shuffle, no per-row window; ties keep the first (lowest) centroid
-    // id, matching the (csim desc, centroid_id asc) ordering it replaces
-    def nearestCentroid(vec: String): Column =
-      aggregate(
-        sequence(lit(1), lit(centMat.length)),
-        struct(lit(-2.0).as("csim"), lit(0).as("cid")),
-        (b, i) => {
-          val s = cosine(col(vec), element_at(m, i))
-          when(s > b.getField("csim"),
-            struct(s.as("csim"), i.cast("int").as("cid"))).otherwise(b)
-        }).getField("cid")
-    val routedC = c.withColumn("centroid_id", nearestCentroid("cv"))
+    aggregate(
+      sequence(lit(1), lit(centMat.length)),
+      struct(lit(-2.0).as("csim"), lit(0).as("cid")),
+      (b, i) => {
+        val s = cosine(col(vec), element_at(m, i))
+        when(s > b.getField("csim"),
+          struct(s.as("csim"), i.cast("int").as("cid"))).otherwise(b)
+      }).getField("cid")
+  }
+
+  /** Build the IVF index over a corpus: the bounded centroid matrix
+    * (nCentroids lowest-id vectors — the same deterministic init
+    * [[ivfTopK]] uses) plus every corpus row's nearest-centroid routing
+    * label (id, centroid_id). This is the EXPENSIVE half at scale — the
+    * routing is a full-corpus argmax scan — and exactly what a
+    * deployment persists once per corpus snapshot (the `ivf_index`
+    * artifact kind in [[graft.engine.GramArtifactStore]]) while every
+    * query batch pays only [[ivfTopKWithIndex]]'s probe joins. */
+  def ivfBuild(corpus: DataFrame, vecCol: String, idCol: String,
+      nCentroids: Int = 16): (Seq[Seq[Double]], DataFrame) = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("cv"))
+    val centMat: Seq[Seq[Double]] = c.orderBy(col("id"))
+      .limit(nCentroids).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    (centMat,
+      c.select(col("id"), nearestCentroid(centMat, "cv").as("centroid_id")))
+  }
+
+  /** The probe+score half of [[ivfTopK]] over an ALREADY-ROUTED corpus
+    * (`routedC`: neighbor_id, cv, centroid_id). */
+  private def ivfProbe(queries: DataFrame, routedC: DataFrame,
+      centMat: Seq[Seq[Double]], vecCol: String, idCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val m = typedLit(centMat)
     // queries probe their nprobe nearest cells: the query set is small,
     // so the top-nprobe cut stays a per-query window over an exploded
     // (query × centroid) frame — |Q|×k rows, never corpus-sized
@@ -199,6 +215,40 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF-style ANN: centroids = a deterministic sample of the corpus
+    * (ids ≡ 0 mod stride). Corpus rows route to their nearest centroid
+    * (one broadcast pass); queries probe their `nprobe` nearest centroid
+    * cells. Replaces global search with per-cell search. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    // the centroid table is the bounded IVF model (nCentroids×dims):
+    // lowest-id rows via orderBy+limit = TakeOrderedAndProject, collected
+    // once and shipped into the plan as ONE literal matrix
+    val centMat: Seq[Seq[Double]] = c.orderBy(col("neighbor_id"))
+      .limit(nCentroids).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    // inline route: the argmax column directly on the scan — no join,
+    // the ad-hoc one-shot plan
+    val routedC = c.withColumn("centroid_id", nearestCentroid(centMat, "cv"))
+    ivfProbe(queries, routedC, centMat, vecCol, idCol, k, nprobe)
+  }
+
+  /** [[ivfTopK]] against a PERSISTED index — `centroids`/`routed` in
+    * [[ivfBuild]]'s shapes, typically read back from an `ivf_index`
+    * artifact ([[graft.engine.GramArtifactStore.ivfIndex]]): the corpus
+    * joins its routing labels by id (one equi-join, AQE-broadcastable —
+    * the labels are two longs per row) instead of re-running the
+    * full-corpus argmax scan, then the probe is identical. Build the
+    * index once per corpus snapshot; every query batch pays only this. */
+  def ivfTopKWithIndex(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int,
+      centroids: Seq[Seq[Double]], routed: DataFrame): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val routedC = c.join(routed.select(col("id").as("neighbor_id"),
+      col("centroid_id")), Seq("neighbor_id"))
+    ivfProbe(queries, routedC, centroids, vecCol, idCol, k, nprobe)
   }
 
   /** Exact embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs

@@ -4955,6 +4955,41 @@ object Pipeline {
   private lazy val p121DerivationVersion: String =
     derivationToken(Pipeline.getClass, Bpe.getClass)
 
+  /** p08's IVF ANN CONSUMING the persisted `ivf_index` artifact (r16):
+    * the centroid matrix + full-corpus routing labels build once per
+    * embeddings snapshot ([[graft.engine.GramArtifactStore.buildIvfIndex]])
+    * and each query batch pays only the probe — the corpus joins its
+    * routing labels by id instead of re-running the argmax scan, which
+    * is the half that grows with the corpus. Shares p08's oracle: the
+    * persisted routing must reproduce the inline routing exactly, and
+    * the checker proves the top-k lists are IDENTICAL. */
+  def p122IvfArtifact(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val version =
+      graft.engine.GramArtifactStore.corpusVersion(dir, "embeddings") +
+        "#" + p122DerivationVersion
+    val store = p92Store(dir)
+    val name = "p122-ivf-index"
+    val params = Map("nCentroids" -> "16", "init" -> "lowest-id")
+    if (!store.isFresh(name, graft.engine.GramArtifactStore.KindIvfIndex,
+        version, Nil, 0, 0, params))
+      store.buildIvfIndex(name, corpus, "embedding", "vec_id",
+        nCentroids = 16, version)
+    val (cents, routed) = store.ivfIndex(s, name, version, 16)
+    Similarity.ivfTopKWithIndex(e.filter(col("vec_id") < 5), corpus,
+        "embedding", "vec_id", k = 10, nprobe = 4, cents, routed)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private lazy val p122DerivationVersion: String =
+    derivationToken(Pipeline.getClass, Similarity.getClass)
+
+  // p122 must return the IDENTICAL top-k lists as p08 — the index is a
+  // cache of the routing scan, and sharing the oracle proves it
+  val p122Oracle: String = p08Oracle
+
   /** Fuzzy decontamination ([[Dedup.crossMinHashPairs]]): every 97th doc
     * spawns an "eval" twin (id + 200000) extended with a marker tail —
     * high shingle overlap but NOT guaranteed 13 consecutive shared words
@@ -5247,6 +5282,7 @@ object Pipeline {
     "p119_split_export" -> (p119SplitExport _),
     "p120_lm_artifact" -> (p120LmArtifact _),
     "p121_bpe_artifact" -> (p121BpeArtifact _),
+    "p122_ivf_artifact" -> (p122IvfArtifact _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
@@ -5373,6 +5409,7 @@ object Pipeline {
     "p118_split_buildverb" -> p118Oracle,
     "p119_split_export" -> p119Oracle,
     "p120_lm_artifact" -> p120Oracle,
+    "p122_ivf_artifact" -> p122Oracle,
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
     "p111_orc_roundtrip" -> p111Oracle,

@@ -198,6 +198,43 @@ class GramArtifactStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxVocabWords"))
   }
 
+  test("ivf-index artifact: build, consume, search identically to inline routing") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val store = freshStore()
+    // 20 deterministic 4-d vectors, ids 0..19; queries = ids 0..2
+    def vec(i: Long) = Seq((i % 5).toDouble + 0.1, ((i * 3) % 7).toDouble,
+      ((i * 5) % 11).toDouble, 1.0)
+    val emb = (0L until 20L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val meta = store.buildIvfIndex("ivf", corpus, "embedding", "vec_id",
+      nCentroids = 4, corpusVersion = "emb@1")
+    assert(meta.kind == GramArtifactStore.KindIvfIndex &&
+      meta.params == Map("nCentroids" -> "4", "init" -> "lowest-id"))
+    // consume returns ivfBuild's exact shapes: same centroid matrix,
+    // same routing labels
+    val (cents, routed) = store.ivfIndex(spark, "ivf", "emb@1", 4)
+    val (centsD, routedD) = Similarity.ivfBuild(corpus, "embedding",
+      "vec_id", 4)
+    assert(cents == centsD)
+    assert(routed.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      routedD.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // searching THROUGH the artifact == the inline ivfTopK
+    def lists(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rk", "neighbor_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val queries = emb.filter(col("vec_id") < 3)
+    assert(lists(Similarity.ivfTopKWithIndex(queries, corpus, "embedding",
+        "vec_id", k = 5, nprobe = 2, cents, routed)) ==
+      lists(Similarity.ivfTopK(queries, corpus, "embedding", "vec_id",
+        k = 5, nCentroids = 4, nprobe = 2)))
+    // a different centroid count is a DIFFERENT index — refuse
+    val e = intercept[IllegalArgumentException](
+      store.ivfIndex(spark, "ivf", "emb@1", 8))
+    assert(e.getMessage.contains("nCentroids"))
+  }
+
   test("stale params and stale corpus version refuse loudly, never fail open") {
     val store = freshStore()
     store.buildBoilerplate("hot", corpus, "text", "doc_id", Seq("lang"),
