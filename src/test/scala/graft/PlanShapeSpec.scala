@@ -279,6 +279,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p119 re-grew a per-split corpus window:\n$p119")
     assert(p119.contains("sum(__n"),
       s"p119's group offsets are no longer the tiny count prefix sum:\n$p119")
+    // p122 (IVF through the persisted index) must SCAN the artifact's
+    // routing labels — the whole point is not re-running the per-row
+    // argmax routing fold over the corpus
+    val p122 = formatted("p122_ivf_artifact")
+    assert(p122.contains("graft-artifacts"),
+      s"p122 stopped consuming the persisted ivf_index:\n$p122")
     // p117 has no plan-level tell: removeContaminatedSpans cap-probes +
     // localCheckpoints its gram side, so BOTH the store scan and an
     // inline recompute plan as ExistingRDD. Pin the store participation
