@@ -450,6 +450,26 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
     dupClustersWithRounds(pairs, maxIter)._1
 
+  /** Keep-one-per-near-dup-cluster corpus dedup from (id, cluster)
+    * labels — the OTHER consumer of the `dup_clusters` artifact beside
+    * leakage-safe splits (the
+    * [[graft.engine.GramArtifactStore.dupClusterLabels]] scaladoc's
+    * "any keep-one-per-cluster pass"): a doc survives iff it is in no
+    * cluster (unlabeled singleton) or IS its cluster's representative —
+    * and because [[dupClusters]] labels every member with the
+    * component's MINIMUM id, "is the representative" is just
+    * `id == cluster`, no argmin recomputation. One id-keyed left join +
+    * a codegen'd predicate; the labels are ≪ corpus (only clustered
+    * docs appear), so AQE broadcasts them when small. Deterministic:
+    * same labels → same survivors on any partitioning. */
+  def keepClusterRepresentatives(docs: DataFrame, labels: DataFrame,
+      idCol: String): DataFrame =
+    docs
+      .join(labels.select(col("id").as(idCol), col("cluster")),
+        Seq(idCol), "left")
+      .filter(col("cluster").isNull || col(idCol) === col("cluster"))
+      .drop("cluster")
+
   /** Salt width for the hot-representative joins inside
     * [[dupClustersWithRounds]]: well above the shuffle-partition count so
     * a single hot key's rows spread near-evenly even after salt values

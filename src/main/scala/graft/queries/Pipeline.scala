@@ -4668,7 +4668,17 @@ object Pipeline {
     * consume. p116 orders it for the oracle; p119 shards per split on
     * top of it — one cluster artifact, many consumers, exactly the
     * deployment shape the store exists for. */
-  private def p116SplitAssignment(s: SparkSession, dir: String): DataFrame = {
+  private def p116SplitAssignment(s: SparkSession, dir: String): DataFrame =
+    Sampling.leakageSafeSplitsFromVettedLabels(
+      documents(s, dir).select(col("doc_id")),
+      p116ClusterLabels(s, dir),
+      "doc_id", valFrac = 0.1, testFrac = 0.1)
+
+  /** The shared cluster-label consume behind every dup_clusters-fed
+    * entry: build the artifact iff stale for this snapshot, return the
+    * validated (id, cluster) frame. p116/p119 assign splits on it; p123
+    * dedups the corpus with it — one artifact, every consumer. */
+  private def p116ClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val version =
       graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
         "#" + p116DerivationVersion
@@ -4681,10 +4691,7 @@ object Pipeline {
             threshold = 0.5)
           .select(col("id_a"), col("id_b")),
         version, p116ClusterParams)
-    Sampling.leakageSafeSplitsFromVettedLabels(
-        documents(s, dir).select(col("doc_id")),
-        store.dupClusterLabels(s, name, version, p116ClusterParams),
-        "doc_id", valFrac = 0.1, testFrac = 0.1)
+    store.dupClusterLabels(s, name, version, p116ClusterParams)
   }
 
   /** The pair-derivation recorded in (and validated against) the p116
@@ -4990,6 +4997,30 @@ object Pipeline {
   // cache of the routing scan, and sharing the oracle proves it
   val p122Oracle: String = p08Oracle
 
+  /** Keep-one-per-cluster corpus dedup CONSUMING the shared
+    * `dup_clusters` artifact (r16): the second consumer the store
+    * scaladoc promises beside leakage-safe splits —
+    * [[Dedup.keepClusterRepresentatives]] drops every clustered doc
+    * except its component's min-id representative, paying one id-keyed
+    * label join against the SAME artifact p116/p119 consume (one
+    * cluster pass per snapshot, N consumers). Oracle restates the
+    * survivor rule over p108's cluster CTE closed-form. */
+  def p123ClusterDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepClusterRepresentatives(
+        documents(s, dir).select(col("doc_id"), col("text")),
+        p116ClusterLabels(s, dir), "doc_id")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy(col("doc_id"))
+
+  val p123Oracle: String = {
+    val clustersSql = p108Oracle.replace("\nORDER BY id", "")
+    s"""WITH clusters AS ($clustersSql)
+       |SELECT d.doc_id, md5(d.text) AS text_md5
+       |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+       |WHERE c.id IS NULL OR c.cluster = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Fuzzy decontamination ([[Dedup.crossMinHashPairs]]): every 97th doc
     * spawns an "eval" twin (id + 200000) extended with a marker tail —
     * high shingle overlap but NOT guaranteed 13 consecutive shared words
@@ -5283,6 +5314,7 @@ object Pipeline {
     "p120_lm_artifact" -> (p120LmArtifact _),
     "p121_bpe_artifact" -> (p121BpeArtifact _),
     "p122_ivf_artifact" -> (p122IvfArtifact _),
+    "p123_cluster_dedup" -> (p123ClusterDedup _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
@@ -5410,6 +5442,7 @@ object Pipeline {
     "p119_split_export" -> p119Oracle,
     "p120_lm_artifact" -> p120Oracle,
     "p122_ivf_artifact" -> p122Oracle,
+    "p123_cluster_dedup" -> p123Oracle,
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
     "p111_orc_roundtrip" -> p111Oracle,

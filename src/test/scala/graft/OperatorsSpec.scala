@@ -201,6 +201,20 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("keepClusterRepresentatives keeps min-id reps and every singleton") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(pairs)
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"),
+      (11L, "e"), (42L, "lonely")).toDF("doc_id", "text")
+    val kept = Dedup.keepClusterRepresentatives(docs, labels, "doc_id")
+    // the representative IS the min-id label, so id==cluster survives;
+    // unlabeled docs (never in any pair) survive untouched
+    assert(kept.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (10L, "d"), (42L, "lonely")))
+    // schema passthrough: the label column does not leak into the output
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("json mutation functions follow SQLite JSON1 semantics") {
     import graft.functions.JsonFunctions._
     val df = Seq(("""{"a":2,"c":4}""", """[0,1,2,3,4]""")).toDF("obj", "arr")
