@@ -321,6 +321,24 @@ class GraftCliSpec extends AnyFunSuite {
       "--database", "artclidb2", "--table", "prs",
       "--param", "=oops")._1 == 2)
     assert(cli("artifacts", "delete", "cli-multi")._1 == 0)
+    // the r16 kinds flow through the same verb: a bpe_merges build with
+    // its required numMerges param, effective maxVocabWords recorded
+    cli("database", "query", "artclidb2",
+      "CREATE TABLE txt (doc_id INTEGER, body TEXT)")
+    cli("database", "query", "artclidb2",
+      "INSERT INTO txt VALUES (1, 'low lower lowest'), (2, 'new newer newest')")
+    val (rcB, outB, errB) = cli("artifacts", "build", "cli-vocab",
+      "--kind", "bpe_merges", "--database", "artclidb2", "--table", "txt",
+      "--text-col", "body", "--param", "numMerges=8")
+    assert(rcB == 0, s"out=$outB err=$errB")
+    assert(outB.contains("Artifact built") && outB.contains("bpe_merges"))
+    assert(engine.artifacts.meta("cli-vocab").exists(_.params ==
+      Map("numMerges" -> "8", "maxVocabWords" -> "50000")))
+    // numMerges missing is a server-side refusal (400 -> exit 1)
+    assert(cli("artifacts", "build", "x", "--kind", "bpe_merges",
+      "--database", "artclidb2", "--table", "txt",
+      "--text-col", "body")._1 == 1)
+    assert(cli("artifacts", "delete", "cli-vocab")._1 == 0)
   }
 
   test("status renders the unauthenticated ops endpoint") {
