@@ -89,6 +89,15 @@ class AuthSpec extends AnyFunSuite {
     assert(Authorizer.canOnTable(oneTbl, "d", "main", "docs", "database:read"))
     assert(!Authorizer.canOnTable(oneTbl, "d", "main", "other", "database:read"))
     assert(!Authorizer.canOnBranch(oneTbl, "d", "main", "database:read"))
+    // the veto holds at every ladder: a database-level deny beats even a
+    // root allow for that database's ops — and only that database's —
+    // and it is ACTION-scoped (the deny's actions must cover the probe)
+    val dbDeny = AccessKey("k4", statements = Seq(
+      AccessKeyStatement("allow", "*", Seq("*")),
+      AccessKeyStatement("deny", "database:d", Seq("database:delete"))))
+    assert(!Authorizer.canOnDatabase(dbDeny, "d", "database:delete"))
+    assert(Authorizer.canOnDatabase(dbDeny, "d", "database:read"))
+    assert(Authorizer.canOnDatabase(dbDeny, "other", "database:delete"))
   }
 
   test("bare X-Access-Key-Id is rejected unless unsigned keys are enabled") {
