@@ -530,15 +530,22 @@ class GraftCli(out: PrintStream, err: PrintStream,
           else {
             // --param is REPEATABLE: each occurrence is one k=v pair, so
             // values may contain commas (the HTTP body never had that
-            // limit). A single occurrence whose chunks ALL look like
-            // pairs keeps the legacy comma-separated form ("a=1,b=2");
-            // otherwise the value is taken whole ("sep=," is k=sep,v=",").
-            val paramPairs = all.getOrElse("param", Nil).flatMap { v =>
-              val chunks = v.split(",", -1).toSeq
-              if (chunks.length > 1 && chunks.forall(_.indexOf('=') > 0))
-                chunks
-              else Seq(v)
-            }
+            // limit). The legacy comma-separated form ("a=1,b=2") applies
+            // ONLY when --param occurs exactly once AND every chunk looks
+            // like a pair; a repeated --param's values are always taken
+            // WHOLE (r16 advice: the heuristic must never corrupt a
+            // repeated-form value like note=a,b=2). The single-occurrence
+            // form stays inherently ambiguous for values containing
+            // ',<k>=' — such values must use the repeated form, which the
+            // usage text says out loud.
+            val occurrences = all.getOrElse("param", Nil)
+            val paramPairs =
+              if (occurrences.length == 1) {
+                val chunks = occurrences.head.split(",", -1).toSeq
+                if (chunks.length > 1 && chunks.forall(_.indexOf('=') > 0))
+                  chunks
+                else occurrences
+              } else occurrences
             // an empty key ('=x') is rejected here, not sent to the server
             if (paramPairs.exists(_.indexOf('=') <= 0))
               usageError("--param takes k=v with a non-empty key " +
@@ -582,7 +589,10 @@ class GraftCli(out: PrintStream, err: PrintStream,
             "dup_clusters|lm_model|bpe_merges --database <db> " +
             "[--branch <b>] --table <t> " +
             "[--text-col c] [--id-col c] [--block-cols a,b] [--n N] " +
-            "[--max-df N] [--param k=v]... [--if-stale true]")
+            "[--max-df N] [--param k=v]... [--if-stale true]\n" +
+            "  (--param values containing a comma require the repeated " +
+            "form — one --param per pair; a single --param a=1,b=2 is " +
+            "split on commas for backward compatibility)")
       }
     case "list" :: Nil =>
       render(call("GET", "/v1/artifacts")) { d =>

@@ -79,8 +79,16 @@ object Authorizer {
       resourceMatches(st.resource, resource) &&
       (st.actions.contains("*") || st.actions.contains(action)))
 
-  private def ladder(key: AccessKey, probes: Seq[String], action: String): Boolean =
-    !probes.exists(r => explicitDeny(key.statements, r, action)) &&
+  /** `denyProbes` widens the VETO scan beyond the allow ladder: a check
+    * that deliberately omits ancestor-exact resources from its allow
+    * probes (see [[canOnTable]]) must still let a deny written at those
+    * ancestors veto — otherwise "deny enforced no matter how coarse the
+    * allow" would hold only for fine denies vs coarse allows, not the
+    * converse (a db-exact read deny + a `database:d:*` allow would read
+    * tables). The veto set is allow probes ∪ denyProbes. */
+  private def ladder(key: AccessKey, probes: Seq[String], action: String,
+      denyProbes: Seq[String] = Nil): Boolean =
+    !(probes ++ denyProbes).exists(r => explicitDeny(key.statements, r, action)) &&
       probes.exists(r => authorized(key.statements, r, action))
 
   /** Branch-scoped check: probe the resource ladder like the reference's
@@ -103,15 +111,20 @@ object Authorizer {
     * branch OPERATIONS ([[canOnBranch]]) but not table reads — grant
     * `database:<db>:branch:<br>:*` for that. Combined with ladder-wide
     * deny precedence ([[explicitDeny]]), a table-specific deny is
-    * enforced no matter how coarse the allow. Fail-closed divergences,
-    * pinned in AuthSpec. */
+    * enforced no matter how coarse the allow. The omitted ancestor-exact
+    * resources still ride in the DENY probes (r17): a deny written
+    * db-exact or branch-exact must veto table reads too, or the coarse
+    * direction of "deny wins regardless of granularity" breaks — e.g. a
+    * `database:d` read deny beside a `database:d:*` allow would still
+    * read every table. Fail-closed divergences, pinned in AuthSpec. */
   def canOnTable(key: AccessKey, db: String, branch: String, table: String,
       action: String): Boolean =
     ladder(key, Seq("*", "database:*", s"database:$db:*",
       s"database:$db:branch:$branch:*",
       s"database:$db:branch:$branch:table:*",
       s"database:$db:branch:$branch:table:$table:*",
-      s"database:$db:branch:$branch:table:$table"), action)
+      s"database:$db:branch:$branch:table:$table"), action,
+      denyProbes = Seq(s"database:$db", s"database:$db:branch:$branch"))
 
   /** Database-scoped check (authorizedForDatabase) — the `database:<db>:*`
     * probe keeps a key scoped "everything under db" consistent between

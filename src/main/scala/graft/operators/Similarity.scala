@@ -246,8 +246,24 @@ object Similarity {
       vecCol: String, idCol: String, k: Int, nprobe: Int,
       centroids: Seq[Seq[Double]], routed: DataFrame): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    // LEFT join + loud failure on uncovered ids (r16 advice): an inner
+    // join would silently DROP corpus rows the index doesn't know (corpus
+    // drifted past the snapshot the index was built on) — unanswerable
+    // vectors vanishing from the candidate set is exactly the fail-open
+    // shape the store's corpusVersion validation exists to prevent, and
+    // this operator is public API callable WITHOUT the store. The
+    // raise_error rides the routing column itself, so it can never be
+    // pruned out of the plan; coverage costs nothing extra — the join was
+    // already id-keyed.
     val routedC = c.join(routed.select(col("id").as("neighbor_id"),
-      col("centroid_id")), Seq("neighbor_id"))
+        col("centroid_id")), Seq("neighbor_id"), "left")
+      .withColumn("centroid_id", coalesce(col("centroid_id"),
+        raise_error(concat(
+          lit("ivf_index routing labels do not cover corpus id "),
+          col("neighbor_id").cast("string"),
+          lit(" — the corpus has rows the index was not built on; " +
+            "rebuild the ivf_index artifact for this snapshot")))
+          .cast("int")))
     ivfProbe(queries, routedC, centroids, vecCol, idCol, k, nprobe)
   }
 

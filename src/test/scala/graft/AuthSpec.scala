@@ -98,6 +98,32 @@ class AuthSpec extends AnyFunSuite {
     assert(!Authorizer.canOnDatabase(dbDeny, "d", "database:delete"))
     assert(Authorizer.canOnDatabase(dbDeny, "d", "database:read"))
     assert(Authorizer.canOnDatabase(dbDeny, "other", "database:delete"))
+    // the CONVERSE coarse shape (r16 advice): a deny written at an
+    // ancestor-exact resource the table ladder's allow probes omit
+    // (database:<db>, database:<db>:branch:<br>) must still veto table
+    // reads — otherwise a db-exact read deny beside a `database:d:*`
+    // allow reads every table (and, via the build verb's demandTable,
+    // builds artifacts from them)
+    val coarseDbDeny = AccessKey("k5", statements = Seq(
+      AccessKeyStatement("allow", "database:d:*", Seq("database:read")),
+      AccessKeyStatement("deny", "database:d", Seq("database:read"))))
+    assert(!Authorizer.canOnTable(coarseDbDeny, "d", "main", "docs",
+      "database:read"))
+    assert(!Authorizer.canOnBranch(coarseDbDeny, "d", "main", "database:read"))
+    val coarseBrDeny = AccessKey("k6", statements = Seq(
+      AccessKeyStatement("allow", "database:d:*", Seq("database:read")),
+      AccessKeyStatement("deny", "database:d:branch:main", Seq("database:read"))))
+    assert(!Authorizer.canOnTable(coarseBrDeny, "d", "main", "docs",
+      "database:read"))
+    // ... and only that branch's tables: a sibling branch still reads
+    assert(Authorizer.canOnTable(coarseBrDeny, "d", "dev", "docs",
+      "database:read"))
+    // the widened veto stays ACTION-scoped like every other deny
+    val coarseOtherAction = AccessKey("k7", statements = Seq(
+      AccessKeyStatement("allow", "database:d:*", Seq("database:read")),
+      AccessKeyStatement("deny", "database:d", Seq("database:delete"))))
+    assert(Authorizer.canOnTable(coarseOtherAction, "d", "main", "docs",
+      "database:read"))
   }
 
   test("bare X-Access-Key-Id is rejected unless unsigned keys are enabled") {

@@ -330,6 +330,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("p45's lm score is plan-identical through the lmTrain/lmScoreWithModel split") {
+    // r16 judge ask 2: 836befd split lmScore into lmTrain+lmScoreWithModel
+    // as a claimed pure refactor, and p45's isolated timings drifted
+    // monotonically across the r16 windows. Pin the identity: lmScore IS
+    // the composition, so the two paths' OPTIMIZED plans must be the same
+    // plan (sameResult canonicalizes ids) — any future divergence (an
+    // extra exchange, a lost partial aggregate on either path) fails here
+    // instead of surfacing as unattributable bench drift.
+    import graft.operators.TextAnalysis
+    val d = graft.queries.Q.documents(spark, dir)
+    val viaScore = TextAnalysis.lmScore(d, d, "text", "doc_id",
+      n = 2, minCount = 2L)
+    val (g, p) = TextAnalysis.lmTrain(d, "text", "doc_id", 2, 2L)
+    val composed = TextAnalysis.lmScoreWithModel(d, g, p, "text", "doc_id", 2)
+    assert(viaScore.queryExecution.optimizedPlan.sameResult(
+      composed.queryExecution.optimizedPlan),
+      "lmScore no longer plans as lmTrain ∘ lmScoreWithModel:\n" +
+        s"${viaScore.queryExecution.optimizedPlan}\nvs\n" +
+        s"${composed.queryExecution.optimizedPlan}")
+  }
+
   test("p113's bucketed join plans zero exchanges (co-located sort-merge)") {
     // both sides are bucketBy(8, doc_id) tables and the join is hinted
     // merge: the SMJ must consume the on-disk bucketing directly — any

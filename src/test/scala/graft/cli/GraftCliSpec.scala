@@ -316,6 +316,30 @@ class GraftCliSpec extends AnyFunSuite {
       .exists(_.params.get("listy").contains("a,b")),
       "comma value must reach the server intact")
     assert(cli("artifacts", "delete", "cli-comma")._1 == 0)
+    // r16 advice: the legacy comma-split applies ONLY to the
+    // single-occurrence form — a REPEATED --param's value is always
+    // taken whole, even when its post-comma chunks all look like k=v
+    // pairs (previously note=a,b=2 silently became two params)
+    val (rc4, _, err4) = cli("artifacts", "build", "cli-whole",
+      "--kind", "dup_clusters", "--database", "artclidb2",
+      "--table", "prs", "--param", "pairs=spec",
+      "--param", "note=a,b=2")
+    assert(rc4 == 0, s"err=$err4")
+    assert(engine.artifacts.meta("cli-whole").exists(_.params ==
+      Map("pairs" -> "spec", "note" -> "a,b=2")),
+      "repeated-form value with pair-shaped comma chunks must stay whole")
+    assert(cli("artifacts", "delete", "cli-whole")._1 == 0)
+    // the single-occurrence legacy form keeps its documented ambiguity:
+    // sep=a=1,b=2 (intending value "a=1,b=2") splits into two pairs —
+    // values with commas require the repeated form, per the usage text
+    val (rc5, _, _) = cli("artifacts", "build", "cli-legacy",
+      "--kind", "dup_clusters", "--database", "artclidb2",
+      "--table", "prs", "--param", "sep=a=1,b=2")
+    assert(rc5 == 0)
+    assert(engine.artifacts.meta("cli-legacy").exists(_.params ==
+      Map("sep" -> "a=1", "b" -> "2")),
+      "legacy single-occurrence comma form still splits (documented)")
+    assert(cli("artifacts", "delete", "cli-legacy")._1 == 0)
     // empty keys are client-side usage errors, never sent
     assert(cli("artifacts", "build", "x", "--kind", "dup_clusters",
       "--database", "artclidb2", "--table", "prs",

@@ -233,6 +233,19 @@ class GramArtifactStoreSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       store.ivfIndex(spark, "ivf", "emb@1", 8))
     assert(e.getMessage.contains("nCentroids"))
+    // r16 advice: a corpus row the routing labels don't cover (corpus
+    // drifted past the index's snapshot) must FAIL LOUDLY, never
+    // silently vanish from the candidate set — the operator is public
+    // API callable without the store's corpusVersion guard
+    val drifted = corpus.union(Seq((99L, vec(99L))).toDF("vec_id", "embedding"))
+    val eDrift = intercept[Exception](
+      Similarity.ivfTopKWithIndex(queries, drifted, "embedding",
+        "vec_id", k = 5, nprobe = 2, cents, routed).collect())
+    val msgs = Iterator.iterate[Throwable](eDrift)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("do not cover corpus id 99"),
+      s"expected the uncovered id in the failure:\n$msgs")
   }
 
   test("stale params and stale corpus version refuse loudly, never fail open") {
