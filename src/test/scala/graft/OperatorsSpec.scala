@@ -215,6 +215,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("keepBestPerCluster keeps the highest-score member, min id on ties") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(pairs)
+    val docs = Seq((1L, "a", 0.2), (2L, "b", 0.9), (3L, "c", 0.5),
+      (10L, "d", 0.7), (11L, "e", 0.7), (42L, "lonely", 0.0))
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.keepBestPerCluster(docs, labels, "doc_id", "score")
+    // cluster {1,2,3}: 2 wins on score; cluster {10,11}: tie -> lower id;
+    // unlabeled singletons survive regardless of score
+    assert(kept.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "b"), (10L, "d"), (42L, "lonely")))
+    // helper columns never leak; input schema passes through
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "score"))
+  }
+
   test("json mutation functions follow SQLite JSON1 semantics") {
     import graft.functions.JsonFunctions._
     val df = Seq(("""{"a":2,"c":4}""", """[0,1,2,3,4]""")).toDF("obj", "arr")

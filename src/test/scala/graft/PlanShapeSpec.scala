@@ -285,6 +285,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val p122 = formatted("p122_ivf_artifact")
     assert(p122.contains("graft-artifacts"),
       s"p122 stopped consuming the persisted ivf_index:\n$p122")
+    // p124 (keep-best-per-cluster) consumes the same artifact and picks
+    // winners with a cluster-keyed max-of-struct over the LABELS — never
+    // a window over the corpus (PARTITION BY cluster would be harmless on
+    // the label side but a row_number over docs is the one-partition
+    // anti-pattern), never a recomputed CC
+    val p124 = formatted("p124_cluster_best_dedup")
+    assert(p124.contains("graft-artifacts"),
+      s"p124 stopped consuming the shared cluster artifact:\n$p124")
+    assert(!p124.contains("ExistingRDD"),
+      s"p124 recomputes the CC labels:\n$p124")
+    assert(!p124.contains("Window") && !p124.contains("row_number"),
+      s"p124 grew a window where a keyed reduction belongs:\n$p124")
     // p117 has no plan-level tell: removeContaminatedSpans cap-probes +
     // localCheckpoints its gram side, so BOTH the store scan and an
     // inline recompute plan as ExistingRDD. Pin the store participation
