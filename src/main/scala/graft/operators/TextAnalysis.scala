@@ -807,6 +807,53 @@ object TextAnalysis {
         col("end_token"), col("first_seq"), col("last_seq"), col("n_seqs"))
   }
 
+  /** Per-GROUP [[packSequences]]: pack each group's documents (a
+    * train/val/test split, a language) into its OWN fixed-length
+    * sequence stream — token position 0 restarts per group and no
+    * sequence ever crosses a group boundary (a training loader must
+    * never find val tokens inside a train sequence).
+    *
+    * Scale shape: the same cumulative-offset idiom as the global pack,
+    * run ONCE over the corpus sorted by (group, id). The naive
+    * `sum(n) OVER (PARTITION BY group ORDER BY id)` pulls each group
+    * into one partition — 3 splits would pack the corpus in 3 tasks —
+    * while here the range-sort stays parallel: partial token sums are
+    * per (partition, group), and each group's cross-partition offsets
+    * come from a #partitions×#groups-row prefix-sum frame joined back
+    * broadcast. Carries every input column through (callers usually
+    * pack the same frame they export), adding start_token/end_token/
+    * first_seq/last_seq/n_seqs with [[packSequences]]'s semantics, all
+    * group-relative. */
+  def packSequencesPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      nTokensCol: String, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"need seqLen >= 1: $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val sorted = df.withColumn("__n", col(nTokensCol).cast("long"))
+      .orderBy(col(groupCol), col(idCol))
+      .withColumn("__p", spark_partition_id())
+    val wIn = Window.partitionBy(col("__p"), col(groupCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-(partition, group) totals -> per-group exclusive prefix sums;
+    // this window runs over #partitions×#groups rows, never data rows
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__p"), col(groupCol))
+      .agg(sum(col("__n")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+      .select(col("__p"), col(groupCol), col("__off"))
+    sorted.withColumn("__cum", sum(col("__n")).over(wIn))
+      .join(broadcast(offsets), Seq("__p", groupCol))
+      .withColumn("end_token", col("__cum") + col("__off"))
+      .withColumn("start_token", col("end_token") - col("__n"))
+      .withColumn("first_seq", expr(s"start_token div $seqLen"))
+      .withColumn("last_seq", when(col("__n") === 0, col("first_seq"))
+        .otherwise(expr(s"(end_token - 1) div $seqLen")))
+      .withColumn("n_seqs", when(col("__n") === 0, lit(0L))
+        .otherwise(col("last_seq") - col("first_seq") + 1))
+      .drop("__n", "__p", "__cum", "__off")
+  }
+
   /** C4-style page cleanup (Raffel et al. 2020, "Exploring the Limits of
     * Transfer Learning...", §2.2): line-level filtering — keep only lines
     * that end in a terminal punctuation mark, have at least `minWords`

@@ -129,6 +129,52 @@ object TfRecord {
       }
   }
 
+  /** [[shardExport]] for records ASSEMBLED from multiple input rows:
+    * `(shard, recKey, fragKey, fragment)` rows shuffle ONCE on the shard
+    * key and secondary-sort by (shard, recKey, fragKey); the partition
+    * walk hands each record's consecutive fragment run (fragKey order)
+    * to `assemble` and frames the returned payload. A record whose bytes
+    * come from many rows — a packed token sequence spanning document
+    * boundaries — pays the SAME single exchange as single-row export;
+    * the alternative (groupBy recKey + collect_list, then shardExport)
+    * adds a second corpus-sized exchange and materializes whole records
+    * as rows. `assemble` sees (shard, recKey, fragments) and must return
+    * the record payload; an unconsumed tail of the fragment iterator is
+    * drained for it. */
+  def shardExportAssembled[F](rows: Dataset[(Long, Long, Long, F)],
+      assemble: (Long, Long, Iterator[F]) => Array[Byte])
+      (implicit spark: SparkSession): Dataset[Shard] = {
+    import spark.implicits._
+    // a typed Dataset keeps its SOURCE column names (not _1.._4) — key
+    // the exchange and sort positionally
+    val Array(shardCol, recCol, fragCol, _) = rows.columns
+    rows.repartition(col(shardCol))
+      .sortWithinPartitions(shardCol, recCol, fragCol)
+      .mapPartitions { it =>
+        new Iterator[Shard] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Shard = {
+            val shard = buf.head._1
+            val out = new ByteArrayOutputStream()
+            var n = 0L
+            while (buf.hasNext && buf.head._1 == shard) {
+              val rec = buf.head._2
+              val frags = new Iterator[F] {
+                def hasNext: Boolean = buf.hasNext &&
+                  buf.head._1 == shard && buf.head._2 == rec
+                def next(): F = buf.next()._4
+              }
+              writeRecord(out, assemble(shard, rec, frags))
+              while (frags.hasNext) frags.next() // assemble may not drain
+              n += 1
+            }
+            Shard(shard, n, out.toByteArray)
+          }
+        }
+      }
+  }
+
   /** Size-balanced shard assignment: global rank by (size desc, id) →
     * shard = rank % k, i.e. round-robin over the size-sorted corpus — the
     * standard way to keep training-shard files near-equal when document

@@ -1794,6 +1794,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(9L)._3 == counts.map(_._2).sum)
   }
 
+  test("packSequencesPerGroup: each group packs as its own stream, columns pass through") {
+    // three groups of uneven size with zero-token docs and boundary
+    // landings; scrambled order + many partitions so cross-partition
+    // offsets and the (partition, group) partials are actually exercised
+    val rows = Seq(
+      ("train", 0L, 3L), ("train", 1L, 25L), ("train", 2L, 0L),
+      ("train", 3L, 10L), ("train", 8L, 40L),
+      ("val", 4L, 2L), ("val", 5L, 10L),
+      ("test", 6L, 1L), ("test", 7L, 9L), ("test", 9L, 5L))
+    val seqLen = 10
+    val df = scala.util.Random.shuffle(rows)
+      .toDF("grp", "doc_id", "n").repartition(7)
+      .withColumn("extra", col("doc_id") * 2)
+    val out = TextAnalysis.packSequencesPerGroup(df, "grp", "doc_id", "n",
+      seqLen)
+    // input columns (incl. ones the pack never touches) pass through
+    assert(out.columns.toSet == Set("grp", "doc_id", "n", "extra",
+      "start_token", "end_token", "first_seq", "last_seq", "n_seqs"))
+    val got = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("grp"), r.getAs[Long]("start_token"),
+        r.getAs[Long]("end_token"), r.getAs[Long]("first_seq"),
+        r.getAs[Long]("last_seq"), r.getAs[Long]("n_seqs"),
+        r.getAs[Long]("extra"))).toMap
+    // scalar replay: per group, docs in id order, position 0 restarts
+    rows.groupBy(_._1).foreach { case (g, members) =>
+      var acc = 0L
+      members.sortBy(_._2).foreach { case (_, id, n) =>
+        val (start, end) = (acc, acc + n); acc = end
+        val firstSeq = start / seqLen
+        val lastSeq = if (n == 0) firstSeq else (end - 1) / seqLen
+        val nSeqs = if (n == 0) 0L else lastSeq - firstSeq + 1
+        assert(got(id) == ((g, start, end, firstSeq, lastSeq, nSeqs, id * 2)),
+          s"group $g doc $id: ${got(id)}")
+      }
+    }
+    // and the per-group result equals running the GLOBAL pack on each
+    // group's subset — the one-sort grouped idiom is a pure optimization
+    rows.map(_._1).distinct.foreach { g =>
+      val sub = TextAnalysis.packSequences(
+          df.filter(col("grp") === g).select(col("doc_id"), col("n")),
+          "doc_id", "n", seqLen)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      sub.foreach { case (id, (start, end)) =>
+        assert((got(id)._2, got(id)._3) == ((start, end)),
+          s"group $g doc $id diverges from the global pack")
+      }
+    }
+  }
+
   test("c4Clean applies the line and page rules exactly") {
     val pages = Seq(
       // mixed lines: punctuation rule, min-words rule, javascript rule

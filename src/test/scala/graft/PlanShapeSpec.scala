@@ -297,6 +297,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p124 recomputes the CC labels:\n$p124")
     assert(!p124.contains("Window") && !p124.contains("row_number"),
       s"p124 grew a window where a keyed reduction belongs:\n$p124")
+    // p125 (tokenize→pack→shard funnel) consumes BOTH artifacts (merges
+    // + clusters) and must keep p119's window discipline: no row_number
+    // anywhere (per-split packing uses the grouped prefix-sum idiom, the
+    // shard record order comes from the export's secondary sort), and
+    // sequence assembly must NOT grow a collect_list groupBy — the
+    // fragments ride the export exchange itself
+    val p125 = formatted("p125_token_pack_shards")
+    assert(p125.contains("graft-artifacts"),
+      s"p125 stopped consuming the persisted artifacts:\n$p125")
+    assert(!p125.contains("row_number"),
+      s"p125 re-grew a per-split corpus window:\n$p125")
+    assert(!p125.contains("collect_list"),
+      s"p125 materializes sequences via groupBy instead of riding the " +
+        s"export exchange:\n$p125")
     // p117 has no plan-level tell: removeContaminatedSpans cap-probes +
     // localCheckpoints its gram side, so BOTH the store scan and an
     // inline recompute plan as ExistingRDD. Pin the store participation

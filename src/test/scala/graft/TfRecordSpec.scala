@@ -152,4 +152,41 @@ class TfRecordSpec extends AnyFunSuite {
       assert(got.toSeq == want)
     }
   }
+
+  test("assembled shard export merges each record's fragment run in order") {
+    implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+    import spark.implicits._
+    // records 0..11 over 3 shards (rec % 3); record r has r % 4 + 1
+    // fragments "r:f"; rows shuffled and over-partitioned so the single
+    // export exchange does ALL the co-location and ordering work
+    val flat = for {
+      rec <- 0 until 12
+      frag <- 0 to rec % 4
+    } yield (rec.toLong % 3, rec.toLong, frag.toLong, s"$rec:$frag")
+    val rows = spark.createDataset(scala.util.Random.shuffle(flat))
+      .repartition(7)
+    val shards = TfRecord.shardExportAssembled[String](rows,
+      (shard, rec, frags) =>
+        s"s$shard r$rec [${frags.mkString(",")}]".getBytes("UTF-8"))
+    val recs = TfRecord.parseShards(shards).collect()
+    assert(recs.length == 12)
+    assert(recs.forall(r => r.len_crc_ok && r.data_crc_ok))
+    recs.foreach { r =>
+      val rec = r.shard + 3 * r.rec_index // shard round-robin by rec % 3
+      val want = s"s${r.shard} r$rec [" +
+        (0 to rec.toInt % 4).map(f => s"$rec:$f").mkString(",") + "]"
+      assert(new String(r.payload, "UTF-8") == want,
+        s"shard ${r.shard} rec_index ${r.rec_index}")
+    }
+    // an assemble that does NOT drain its fragments must still advance
+    // to the next record (the export drains the tail for it)
+    val lazyShards = TfRecord.shardExportAssembled[String](rows,
+      (shard, rec, frags) => s"s$shard r$rec ${frags.next()}".getBytes("UTF-8"))
+    val lazyRecs = TfRecord.parseShards(lazyShards).collect()
+    assert(lazyRecs.length == 12)
+    lazyRecs.foreach { r =>
+      val rec = r.shard + 3 * r.rec_index
+      assert(new String(r.payload, "UTF-8") == s"s${r.shard} r$rec $rec:0")
+    }
+  }
 }
