@@ -102,10 +102,14 @@ object Bench {
     // r16 curation lag
     "p124_cluster_best_dedup", // keep-BEST-per-cluster: label join +
                                // cluster-keyed max-of-struct reduction
-    "p125_token_pack_shards")  // tokenize→pack→shard terminal funnel:
+    "p125_token_pack_shards",  // tokenize→pack→shard terminal funnel:
                                // both artifacts consume in the warmup,
                                // timed runs pay encode + grouped pack +
                                // assembled export + re-ingest
+    "p126_quality_artifact")   // quality scoring through the persisted
+                               // trained-weights artifact (train in
+                               // warmup; timed runs broadcast k+1
+                               // doubles into the codegen'd logit scan)
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the

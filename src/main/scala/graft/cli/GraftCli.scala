@@ -586,7 +586,7 @@ class GraftCli(out: PrintStream, err: PrintStream,
           }
         case Right(_) => usageError(
           "usage: artifacts build <name> --kind boilerplate|eval_grams|" +
-            "dup_clusters|lm_model|bpe_merges --database <db> " +
+            "dup_clusters|lm_model|bpe_merges|quality_model --database <db> " +
             "[--branch <b>] --table <t> " +
             "[--text-col c] [--id-col c] [--block-cols a,b] [--n N] " +
             "[--max-df N] [--param k=v]... [--if-stale true]\n" +

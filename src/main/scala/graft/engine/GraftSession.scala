@@ -136,6 +136,11 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
           "bpe_merges builds take no blockCols, n or maxDf")
         require(idCol.isEmpty, "bpe_merges builds take no idCol")
         (Nil, 0, 0, GraftSession.bpeMergesParams(params))
+      case GramArtifactStore.KindQualityModel =>
+        require(blockCols.isEmpty && n == 0 && maxDf == 0,
+          "quality_model builds take no blockCols, n or maxDf")
+        require(idCol.isEmpty, "quality_model builds take no idCol")
+        (Nil, 0, 0, GraftSession.qualityModelBuildParams(params))
       case other =>
         throw new IllegalArgumentException(
           s"unknown artifact kind '$other' — one of " +
@@ -143,15 +148,18 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
             s"${GramArtifactStore.KindEvalGrams}, " +
             s"${GramArtifactStore.KindDupClusters}, " +
             s"${GramArtifactStore.KindLmModel}, " +
-            s"${GramArtifactStore.KindBpeMerges}")
+            s"${GramArtifactStore.KindBpeMerges}, " +
+            s"${GramArtifactStore.KindQualityModel}")
     }
     // the SOURCE BINDING (which columns fed the derivation) is part of
     // the snapshot identity: without it, a rebuild of the same table
     // version over a DIFFERENT column would read as fresh under
     // ifStale, and every consumer would silently get grams/clusters
     // derived from the wrong column (r15 review). With kind-irrelevant
-    // fields refused above, the raw arguments ARE the read columns.
-    val srcCols = (Seq(textCol, idCol).filter(_.nonEmpty) ++ blockCols)
+    // fields refused above, the raw arguments ARE the read columns —
+    // plus quality_model's labelCol param, its third read column.
+    val srcCols = (Seq(textCol, idCol).filter(_.nonEmpty) ++ blockCols ++
+      expParams.get("labelCol").toSeq)
     val corpusVersion = s"$db/$branch/$table@${ver.ts}" +
       (if (srcCols.isEmpty) "" else s"#src=${srcCols.mkString(",")}")
     if (ifStale) {
@@ -219,6 +227,13 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
         requireCols("textCol", Seq(textCol))
         artifacts.buildBpeMerges(name, frame, textCol,
           expParams("numMerges").toInt, expParams("maxVocabWords").toInt,
+          corpusVersion)
+      case GramArtifactStore.KindQualityModel =>
+        requireCols("textCol + the labelCol param",
+          Seq(textCol, expParams("labelCol")))
+        artifacts.buildQualityModel(name, frame, textCol,
+          expParams("labelCol"), expParams("iters").toInt,
+          expParams("step").toDouble, expParams("l2").toDouble,
           corpusVersion)
     }
     (meta, true)
@@ -4799,5 +4814,36 @@ object GraftSession {
     val mv = intOf("maxVocabWords", Some(50000))
     require(mv >= 1, s"param maxVocabWords must be >= 1: $mv")
     Map("numMerges" -> nm.toString, "maxVocabWords" -> mv.toString)
+  }
+
+  /** Effective `quality_model` params: `labelCol` (required — the 0/1
+    * label column the classifier trains against; it is also a READ
+    * column, so it joins the corpus version's source binding) plus the
+    * training recipe `iters` (default 50), `step` (default 1.0) and `l2`
+    * (default 1e-3). The EFFECTIVE doubles are recorded via one shared
+    * renderer ([[GramArtifactStore.qualityModelParams]]) so build and
+    * consume can never disagree on formatting. */
+  private[engine] def qualityModelBuildParams(
+      params: Map[String, String]): Map[String, String] = {
+    val allowed = Set("labelCol", "iters", "step", "l2")
+    val unknown = params.keySet -- allowed
+    require(unknown.isEmpty,
+      "quality_model builds accept only params labelCol, iters, step, " +
+        "l2 (they become the artifact's staleness key); unknown: " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
+    val label = params.getOrElse("labelCol",
+      throw new IllegalArgumentException(
+        "quality_model builds need param labelCol (the 0/1 label column)"))
+    require(label.nonEmpty, "param labelCol must be non-empty")
+    val iters = params.get("iters").map(s => s.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"param iters must be an integer: $s"))).getOrElse(50)
+    require(iters >= 1, s"param iters must be >= 1: $iters")
+    def dblOf(key: String, dflt: Double): Double =
+      params.get(key).map(s => s.toDoubleOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"param $key must be a number: $s"))).getOrElse(dflt)
+    GramArtifactStore.qualityModelParams(label, iters,
+      dblOf("step", 1.0), dblOf("l2", 1e-3))
   }
 }

@@ -501,6 +501,38 @@ class GramArtifactStore(val root: Path) {
         "maxVocabWords" -> maxVocabWords.toString))
   }
 
+  /** Build-or-refresh the QUALITY-MODEL artifact: the logistic-regression
+    * weight vector of [[graft.operators.Quality.trainLogistic]] over the
+    * fixed p10 feature ratios — the GPT-3-style "classifier trained on a
+    * trusted corpus, applied to the crawl" model, persisted once per
+    * labeled snapshot so every scoring pass is a broadcast-weights scan.
+    * Trained weights inherit float reduction-order noise in their last
+    * ulps (Quality's scaladoc) — which is exactly WHY they belong in the
+    * store: two passes that each retrain could disagree on boundary keep
+    * decisions, while the artifact makes ONE training run the shared
+    * truth every consumer (and the oracle) scores with bitwise. The
+    * training recipe (labelCol, iters, step, l2) is the staleness key: a
+    * different recipe is a different classifier. */
+  def buildQualityModel(name: String, labeled: DataFrame, textCol: String,
+      labelCol: String, iters: Int, step: Double, l2: Double,
+      corpusVersion: String): ArtifactMeta = {
+    // validate BEFORE the iterative training scan (the dup_clusters rule)
+    requireName(name)
+    require(corpusVersion.nonEmpty, "corpusVersion must be non-empty")
+    require(iters >= 1, s"need iters >= 1: $iters")
+    val w = graft.operators.Quality.trainLogistic(
+      labeled, textCol, labelCol, iters, step, l2)
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    commit(name, GramArtifactStore.KindQualityModel, corpusVersion, Nil,
+      n = 0, maxDf = 0,
+      w.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("idx", "weight"),
+      maxRows = None,
+      params = GramArtifactStore.qualityModelParams(labelCol, iters,
+        step, l2))
+  }
+
   /** Build-or-refresh the IVF-INDEX artifact: the bounded centroid
     * matrix + the full-corpus nearest-centroid routing labels of
     * [[graft.operators.Similarity.ivfBuild]], persisted as one parquet
@@ -608,7 +640,7 @@ class GramArtifactStore(val root: Path) {
     val a = meta(name).getOrElse(throw new IllegalArgumentException(
       s"no artifact named '$name' in $root — build it first " +
         "(buildBoilerplate/buildEvalGrams/buildDupClusters/" +
-        "buildLmModel/buildBpeMerges)"))
+        "buildLmModel/buildBpeMerges/buildIvfIndex/buildQualityModel)"))
     require(a.kind == kind,
       s"artifact '$name' is kind '${a.kind}', consumer expects '$kind'")
     // a stale artifact (older corpus snapshot, different params) must
@@ -725,6 +757,20 @@ class GramArtifactStore(val root: Path) {
       .select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   }
+
+  /** Consume the QUALITY-MODEL artifact BY NAME, validated against the
+    * consumer's (corpusVersion, training recipe): the weight vector in
+    * [[graft.operators.Quality.score]]'s shape (intercept first). The
+    * collect is k+1 doubles — recipe-sized, like the merge table. */
+  def qualityModel(spark: SparkSession, name: String, corpusVersion: String,
+      labelCol: String, iters: Int, step: Double,
+      l2: Double): Seq[Double] = {
+    val a = validated(name, GramArtifactStore.KindQualityModel,
+      corpusVersion, Nil, 0, 0,
+      GramArtifactStore.qualityModelParams(labelCol, iters, step, l2))
+    spark.read.parquet(a.dataDir).orderBy(col("idx"))
+      .select(col("weight")).collect().map(_.getDouble(0)).toSeq
+  }
 }
 
 object GramArtifactStore {
@@ -734,6 +780,14 @@ object GramArtifactStore {
   val KindLmModel = "lm_model"
   val KindBpeMerges = "bpe_merges"
   val KindIvfIndex = "ivf_index"
+  val KindQualityModel = "quality_model"
+
+  /** The quality_model staleness-key params, rendered ONE way so build
+    * and consume can never disagree on double formatting. */
+  def qualityModelParams(labelCol: String, iters: Int, step: Double,
+      l2: Double): Map[String, String] =
+    Map("labelCol" -> labelCol, "iters" -> iters.toString,
+      "step" -> step.toString, "l2" -> l2.toString)
 
   // one mutation lock per PHYSICAL root path — every store instance in
   // this JVM over the same root serializes through it (the r14 review

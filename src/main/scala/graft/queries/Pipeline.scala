@@ -5179,6 +5179,91 @@ object Pipeline {
       .orderBy(col("split"), col("shard"), col("rec_index"))
   }
 
+  /** p49's model-based quality filtering with TRAINED weights CONSUMING
+    * the persisted `quality_model` artifact (r17, completing the "every
+    * broadcast-shaped model is an artifact" story: grams p92a, clusters
+    * p116, LM counts p120, BPE vocabulary p121, IVF routing p122 — and
+    * now the classifier weights): the logistic model trains once per
+    * labeled snapshot ([[graft.engine.GramArtifactStore.buildQualityModel]],
+    * recipe-keyed) and every scoring pass broadcasts k+1 doubles into
+    * the codegen'd fixed-order logit — zero shuffle, scan speed. The
+    * label is `lang == 'en'`, a real "trusted subset" proxy the p10
+    * feature ratios genuinely separate (the stopword feature IS an
+    * English-stopword ratio). Trained weights carry float
+    * reduction-order noise, which is exactly why p49 pins FIXED weights
+    * — persisting the trained vector is what makes a trained classifier
+    * oracle-checkable at all: the oracle renders the PERSISTED weights
+    * as literals (Double.toString round-trips bitwise) into p49's
+    * fixed-order replay, so entry and oracle provably score with the
+    * same model. */
+  def p126QualityArtifact(s: SparkSession, dir: String): DataFrame =
+    Quality.score(documents(s, dir), "text", p126Weights(s, dir))
+      .select(col("doc_id"), col("quality_logit"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** The shared build-once-per-snapshot `quality_model` consume behind
+    * p126 and its oracle render: build iff stale, return the validated
+    * weight vector — so exactly ONE training run per snapshot is the
+    * truth both sides score with. */
+  private def p126Weights(s: SparkSession, dir: String): Seq[Double] = {
+    val version =
+      graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
+        "#" + p126DerivationVersion
+    val store = p92Store(dir)
+    val name = "p126-quality-model"
+    val params = graft.engine.GramArtifactStore.qualityModelParams(
+      "is_en", 50, 1.0, 1e-3)
+    if (!store.isFresh(name,
+        graft.engine.GramArtifactStore.KindQualityModel,
+        version, Nil, 0, 0, params))
+      store.buildQualityModel(name,
+        documents(s, dir).withColumn("is_en",
+          (col("lang") === "en").cast("double")),
+        "text", "is_en", iters = 50, step = 1.0, l2 = 1e-3, version)
+    store.qualityModel(s, name, version, "is_en", 50, 1.0, 1e-3)
+  }
+
+  private lazy val p126DerivationVersion: String =
+    derivationToken(Pipeline.getClass, Quality.getClass,
+      TextAnalysis.getClass)
+
+  private val p126OracleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** p49's oracle shape with the PERSISTED weights rendered as literals
+    * at request time — the artifact is the model truth, so the replay
+    * proves the consume path scores bitwise with it. */
+  def p126Oracle: String = p126OracleCache.computeIfAbsent(oracleDir, { dir =>
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "the p126 oracle renders persisted model state and needs an " +
+          "active SparkSession to consume the quality_model artifact"))
+    val w = p126Weights(spark, dir)
+    val logit = s"${w(0)} + alpha_ratio * ${w(1)} + punct_ratio * ${w(2)}" +
+      s" + stop_ratio * ${w(3)} + avg_word_len * ${w(4)}"
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_chars_m,
+       |    len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_words,
+       |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+       |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |        x -> x IN ('the','a','and','of','to','is','in'))) AS n_stop
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |  CASE WHEN n_chars_m = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_chars_m END AS alpha_ratio,
+       |  CASE WHEN n_chars_m = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/n_chars_m END AS punct_ratio,
+       |  CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE)/n_words END AS stop_ratio,
+       |  CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_words END AS avg_word_len
+       |  FROM base)
+       |SELECT doc_id,
+       |  $logit AS quality_logit,
+       |  CAST(CASE WHEN $logit > 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  })
+
   private val p125OracleCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -5527,6 +5612,7 @@ object Pipeline {
     "p123_cluster_dedup" -> (p123ClusterDedup _),
     "p124_cluster_best_dedup" -> (p124ClusterBestDedup _),
     "p125_token_pack_shards" -> (p125TokenPackShards _),
+    "p126_quality_artifact" -> (p126QualityArtifact _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
@@ -5670,5 +5756,6 @@ object Pipeline {
   def oracles: Map[String, String] =
     staticOracles + ("p40_bpe_tokens" -> p40Oracle) +
       ("p121_bpe_artifact" -> p40Oracle) +
-      ("p125_token_pack_shards" -> p125Oracle)
+      ("p125_token_pack_shards" -> p125Oracle) +
+      ("p126_quality_artifact" -> p126Oracle)
 }

@@ -363,6 +363,32 @@ class GraftCliSpec extends AnyFunSuite {
       "--database", "artclidb2", "--table", "txt",
       "--text-col", "body")._1 == 1)
     assert(cli("artifacts", "delete", "cli-vocab")._1 == 0)
+    // the r17 kind: a quality_model build with its required labelCol
+    // param; effective recipe defaults recorded, labelCol joins the
+    // source binding (it is a read column)
+    cli("database", "query", "artclidb2",
+      "CREATE TABLE lbl (doc_id INTEGER, body TEXT, good INTEGER)")
+    cli("database", "query", "artclidb2",
+      "INSERT INTO lbl VALUES (1, 'the quick brown fox and the dog.', 1), " +
+        "(2, '!!! ??? ### $$$', 0), (3, 'a fine page of words is here.', 1)")
+    val (rcQ, outQ, errQ) = cli("artifacts", "build", "cli-qm",
+      "--kind", "quality_model", "--database", "artclidb2",
+      "--table", "lbl", "--text-col", "body",
+      "--param", "labelCol=good", "--param", "iters=5")
+    assert(rcQ == 0, s"out=$outQ err=$errQ")
+    assert(outQ.contains("Artifact built") && outQ.contains("quality_model"))
+    val qm = engine.artifacts.meta("cli-qm").getOrElse(
+      fail("CLI quality_model build must reach the store"))
+    assert(qm.params == Map("labelCol" -> "good", "iters" -> "5",
+      "step" -> "1.0", "l2" -> "0.001"))
+    assert(qm.corpusVersion.contains("#src=body,good"),
+      s"labelCol must join the source binding: ${qm.corpusVersion}")
+    assert(qm.rows == 5L) // intercept + 4 feature weights
+    // labelCol missing is a server-side refusal (400 -> exit 1)
+    assert(cli("artifacts", "build", "x", "--kind", "quality_model",
+      "--database", "artclidb2", "--table", "lbl",
+      "--text-col", "body")._1 == 1)
+    assert(cli("artifacts", "delete", "cli-qm")._1 == 0)
   }
 
   test("status renders the unauthenticated ops endpoint") {

@@ -198,6 +198,39 @@ class GramArtifactStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxVocabWords"))
   }
 
+  test("quality-model artifact: build, consume, score with the persisted weights") {
+    import graft.operators.Quality
+    val store = freshStore()
+    // label: doc 4 (the "unrelated" page) is the negative class
+    val labeled = corpus.withColumn("label",
+      (col("doc_id") < 4).cast("double"))
+    val meta = store.buildQualityModel("qm", labeled, "text", "label",
+      iters = 20, step = 1.0, l2 = 1e-3, corpusVersion = "docs@5")
+    assert(meta.kind == GramArtifactStore.KindQualityModel &&
+      meta.params == Map("labelCol" -> "label", "iters" -> "20",
+        "step" -> "1.0", "l2" -> "0.001"))
+    val w = store.qualityModel(spark, "qm", "docs@5", "label", 20, 1.0, 1e-3)
+    // the weight vector is intercept + one weight per feature, in order
+    assert(w.length == Quality.featureNames.length + 1)
+    assert(meta.rows == w.length.toLong)
+    // scoring THROUGH the artifact == scoring with the in-memory vector
+    // the same training run returned — the persisted doubles round-trip
+    // bitwise (parquet stores the exact bits)
+    def scores(ws: Seq[Double]) = Quality.score(corpus, "text", ws)
+      .select(col("doc_id"), col("quality_logit"), col("keep"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val direct = Quality.trainLogistic(labeled, "text", "label",
+      iters = 20, step = 1.0, l2 = 1e-3)
+    assert(scores(w) == scores(direct.toSeq))
+    // a different training recipe is a DIFFERENT classifier — refuse
+    val eIt = intercept[IllegalArgumentException](
+      store.qualityModel(spark, "qm", "docs@5", "label", 50, 1.0, 1e-3))
+    assert(eIt.getMessage.contains("iters"))
+    val eLb = intercept[IllegalArgumentException](
+      store.qualityModel(spark, "qm", "docs@5", "other", 20, 1.0, 1e-3))
+    assert(eLb.getMessage.contains("labelCol"))
+  }
+
   test("ivf-index artifact: build, consume, search identically to inline routing") {
     import spark.implicits._
     import graft.operators.Similarity
