@@ -410,6 +410,38 @@ object DocStreams {
     lmScoredStream(docs, gramCounts, textCol, idCol, tsCol, n,
       watermark, bucketWindow)
   }
+
+  /** Streaming quality gate at ingest: score every document with a
+    * PRE-TRAINED quality classifier — the fixed-order logit over the p10
+    * feature ratios ([[graft.operators.Quality.score]]) with the weight
+    * vector trained offline. Completely STATELESS: every column is a
+    * per-row projection (no watermark, no state store, no join), so the
+    * stream applies literally the batch operator's expressions and
+    * stream==batch equality is structural. Emits (id, ts, quality_logit,
+    * keep); callers drop with `.filter(col("keep") === 1)` so the
+    * decision stays auditable, like the batch path. */
+  def qualityGate(docs: DataFrame, weights: Seq[Double], textCol: String,
+      idCol: String, tsCol: String): DataFrame =
+    graft.operators.Quality.score(docs, textCol, weights)
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        col("quality_logit"), col("keep"))
+
+  /** [[qualityGate]] consuming the persisted `quality_model` artifact BY
+    * NAME — the deployment shape: train once per labeled snapshot
+    * ([[graft.engine.GramArtifactStore.buildQualityModel]]), gate every
+    * ingest stream with it, with a stale model (older snapshot,
+    * different training recipe) refused loudly BEFORE the stream starts.
+    * Same artifact-refresh deployment rule as [[splitGateFromArtifact]]:
+    * staleness validates once at construction, so restart the gate when
+    * the trusted-corpus snapshot rolls. */
+  def qualityGateFromArtifact(docs: DataFrame,
+      store: graft.engine.GramArtifactStore, name: String,
+      corpusVersion: String, labelCol: String, iters: Int, step: Double,
+      l2: Double, textCol: String, idCol: String, tsCol: String): DataFrame =
+    qualityGate(docs,
+      store.qualityModel(docs.sparkSession, name, corpusVersion, labelCol,
+        iters, step, l2),
+      textCol, idCol, tsCol)
 }
 
 /** Per-row span repair against the broadcast eval gram set: marks every

@@ -762,6 +762,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate consumes the persisted quality_model artifact; stale recipe refused") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.Quality
+    // trusted (labeled) corpus: clean prose positive, symbol soup negative
+    val labeled = Seq(
+      (100L, "the quick brown fox and the dog run over a clean page.", 1.0),
+      (101L, "a fine sentence of plain words is right here to read.", 1.0),
+      (102L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", 0.0),
+      (103L, "@@@@ #### $$$$ %%%% 1234 5678 !!!! ????", 0.0))
+      .toDF("doc_id", "text", "label")
+    val store = new graft.engine.GramArtifactStore(
+      Files.createTempDirectory("graft-qgate-store"))
+    store.buildQualityModel("gate-qm", labeled, "text", "label",
+      iters = 20, step = 1.0, l2 = 1e-3, corpusVersion = "trusted@1")
+    // a stale recipe / snapshot refuses BEFORE the stream starts —
+    // gating with the wrong classifier silently shifts every decision
+    val empty = Files.createTempDirectory("graft-qgate-empty").toString
+    val streamEmpty = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(empty)
+    val eV = intercept[IllegalArgumentException](
+      DocStreams.qualityGateFromArtifact(streamEmpty, store, "gate-qm",
+        "trusted@2", "label", 20, 1.0, 1e-3, "text", "doc_id", "ts"))
+    assert(eV.getMessage.contains("trusted@1") &&
+      eV.getMessage.contains("trusted@2"))
+    val eR = intercept[IllegalArgumentException](
+      DocStreams.qualityGateFromArtifact(streamEmpty, store, "gate-qm",
+        "trusted@1", "label", 50, 1.0, 1e-3, "text", "doc_id", "ts"))
+    assert(eR.getMessage.contains("iters"))
+    // the matching consume scores the stream IDENTICALLY to the batch
+    // operator with the same persisted weights (stateless gate: every
+    // row emits immediately, no watermark to push)
+    val docs = Seq(
+      (0L, "a perfectly ordinary document with the usual words.",
+        "2024-01-01 00:00:00"),
+      (1L, "%%% ### !!! 000 111 222 ???", "2024-01-01 00:01:00"))
+      .map { case (id, t, ts) => (id, t, java.sql.Timestamp.valueOf(ts)) }
+    val dir = Files.createTempDirectory("graft-qgate").toString
+    val q = DocStreams.qualityGateFromArtifact(
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .parquet(dir),
+        store, "gate-qm", "trusted@1", "label", 20, 1.0, 1e-3,
+        "text", "doc_id", "ts")
+      .writeStream.format("memory").queryName("qgate_art")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d =>
+        Seq(d).toDF("doc_id", "text", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+          "SELECT id, quality_logit, keep FROM qgate_art")
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      val w = store.qualityModel(spark, "gate-qm", "trusted@1", "label",
+        20, 1.0, 1e-3)
+      val batch = Quality.score(
+          docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), "text", w)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("quality_logit"), r.getAs[Long]("keep"))).toMap
+      assert(streamed == batch)
+      // the classifier actually separates: prose kept, symbol soup not
+      assert(streamed(0L)._2 == 1L && streamed(1L)._2 == 0L)
+    } finally q.stop()
+  }
+
   test("streaming near-dup admission matches the batch first-in-every-bucket twin") {
     import spark.implicits._
     import graft.streaming.DocStreams
