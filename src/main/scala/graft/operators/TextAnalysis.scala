@@ -823,12 +823,26 @@ object TextAnalysis {
     * broadcast. Carries every input column through (callers usually
     * pack the same frame they export), adding start_token/end_token/
     * first_seq/last_seq/n_seqs with [[packSequences]]'s semantics, all
-    * group-relative. */
+    * group-relative.
+    *
+    * The spans compute on the PRUNED (group, id, count) projection —
+    * exactly [[packSequences]]' shape — and join back to the input by
+    * (group, id). This is load-bearing, not style: the per-(partition,
+    * group) totals and the running sum both consume the range-sorted
+    * frame, and with identical pruning they share ONE canonical subtree
+    * so the exchange plans once and is reused. Sorting the WIDE frame
+    * instead (payload columns riding along) makes the two consumers
+    * prune differently, the sort executes twice with independently
+    * sampled range boundaries, and `spark_partition_id()` stops being
+    * consistent between them — mis-keyed offsets that silently corrupt
+    * the spans (caught at sf0.1 as half of p125's sequences collapsing;
+    * the r5 double-execution disease). */
   def packSequencesPerGroup(df: DataFrame, groupCol: String, idCol: String,
       nTokensCol: String, seqLen: Int): DataFrame = {
     require(seqLen >= 1, s"need seqLen >= 1: $seqLen")
     import org.apache.spark.sql.expressions.Window
-    val sorted = df.withColumn("__n", col(nTokensCol).cast("long"))
+    val sorted = df
+      .select(col(groupCol), col(idCol), col(nTokensCol).cast("long").as("__n"))
       .orderBy(col(groupCol), col(idCol))
       .withColumn("__p", spark_partition_id())
     val wIn = Window.partitionBy(col("__p"), col(groupCol))
@@ -842,7 +856,7 @@ object TextAnalysis {
       .agg(sum(col("__n")).as("__pt"))
       .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
       .select(col("__p"), col(groupCol), col("__off"))
-    sorted.withColumn("__cum", sum(col("__n")).over(wIn))
+    val spans = sorted.withColumn("__cum", sum(col("__n")).over(wIn))
       .join(broadcast(offsets), Seq("__p", groupCol))
       .withColumn("end_token", col("__cum") + col("__off"))
       .withColumn("start_token", col("end_token") - col("__n"))
@@ -851,7 +865,9 @@ object TextAnalysis {
         .otherwise(expr(s"(end_token - 1) div $seqLen")))
       .withColumn("n_seqs", when(col("__n") === 0, lit(0L))
         .otherwise(col("last_seq") - col("first_seq") + 1))
-      .drop("__n", "__p", "__cum", "__off")
+      .select(col(groupCol), col(idCol), col("start_token"),
+        col("end_token"), col("first_seq"), col("last_seq"), col("n_seqs"))
+    df.join(spans, Seq(groupCol, idCol))
   }
 
   /** C4-style page cleanup (Raffel et al. 2020, "Exploring the Limits of

@@ -5240,8 +5240,18 @@ object Pipeline {
         "the p126 oracle renders persisted model state and needs an " +
           "active SparkSession to consume the quality_model artifact"))
     val w = p126Weights(spark, dir)
-    val logit = s"${w(0)} + alpha_ratio * ${w(1)} + punct_ratio * ${w(2)}" +
-      s" + stop_ratio * ${w(3)} + avg_word_len * ${w(4)}"
+    // E-suffixed literals parse DIRECTLY as DOUBLE. A bare 17-digit
+    // literal parses as DECIMAL(17,17) whose integer part exceeds 2^53,
+    // and DuckDB's decimal→double cast is then off by one ulp (caught at
+    // sf0.1: 130 boundary logits one ulp apart) — the plain-decimal form
+    // only happens to work for shorter reprs.
+    def dlit(v: Double): String = {
+      val s = v.toString
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
+    val logit = s"${dlit(w(0))} + alpha_ratio * ${dlit(w(1))}" +
+      s" + punct_ratio * ${dlit(w(2))} + stop_ratio * ${dlit(w(3))}" +
+      s" + avg_word_len * ${dlit(w(4))}"
     s"""WITH base AS (
        |  SELECT doc_id,
        |    length(text) AS n_chars_m,

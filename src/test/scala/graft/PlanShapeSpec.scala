@@ -311,6 +311,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p125.contains("collect_list"),
       s"p125 materializes sequences via groupBy instead of riding the " +
         s"export exchange:\n$p125")
+    // and the pack's range exchange must be REUSED between its two
+    // consumers (the per-(partition, group) totals and the running sum):
+    // without reuse the sort executes twice with independently sampled
+    // boundaries and spark_partition_id() mis-keys the offsets — the
+    // sf0.1 half-the-sequences corruption this pin exists to catch.
+    // Reuse is an AQE runtime decision, so execute and read the final
+    // adaptive plan (the p03 idiom).
+    val p125df = SparkEntry.queries("p125_token_pack_shards")(spark, dir)
+    p125df.queryExecution.toRdd.foreach(_ => ())
+    val p125Final = p125df.queryExecution.executedPlan.toString
+    assert(p125Final.contains("ReusedExchange"),
+      s"p125's pack sort is no longer planned once:\n$p125Final")
     // p117 has no plan-level tell: removeContaminatedSpans cap-probes +
     // localCheckpoints its gram side, so BOTH the store scan and an
     // inline recompute plan as ExistingRDD. Pin the store participation
