@@ -106,10 +106,15 @@ object Bench {
                                // both artifacts consume in the warmup,
                                // timed runs pay encode + grouped pack +
                                // assembled export + re-ingest
-    "p126_quality_artifact")   // quality scoring through the persisted
+    "p126_quality_artifact",   // quality scoring through the persisted
                                // trained-weights artifact (train in
                                // warmup; timed runs broadcast k+1
                                // doubles into the codegen'd logit scan)
+    "p127_dsir_artifacts")     // DSIR re-weighting through TWO persisted
+                               // lm_model artifacts (raw = p120's own;
+                               // both train in the warmup, timed runs
+                               // pay the per-doc collapse + two model
+                               // joins)
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the

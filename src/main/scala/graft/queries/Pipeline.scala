@@ -4915,21 +4915,36 @@ object Pipeline {
     * pure caching decision, and the checker proves the scores are
     * IDENTICAL. */
   def p120LmArtifact(s: SparkSession, dir: String): DataFrame = {
-    val version =
-      graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
-        "#" + p120DerivationVersion
-    val store = p92Store(dir)
-    val name = "p120-lm-model"
-    if (!store.isFresh(name, graft.engine.GramArtifactStore.KindLmModel,
-        version, Nil, 2, 0, Map("minCount" -> "2")))
-      store.buildLmModel(name, documents(s, dir), "text", "doc_id",
-        n = 2, minCount = 2L, version)
-    val (gramCounts, prefixCounts) = store.lmModel(s, name, version, 2, 2L)
+    val (gramCounts, prefixCounts) = p120Model(s, dir)
     TextAnalysis.lmScoreWithModel(documents(s, dir), gramCounts,
         prefixCounts, "text", "doc_id", n = 2)
       .select(col("doc_id"), col("n_positions"), col("lm_hits"),
         col("hit_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The shared build-once-per-snapshot `lm_model` consume behind p120
+    * and p127's RAW side — one full-corpus model artifact, every LM
+    * consumer. `subset` carves a named sub-corpus model (p127's
+    * en-subset TARGET) under its own name + version marker, so a
+    * consumer expecting the subset model refuses a full-corpus one. */
+  private def p120Model(s: SparkSession, dir: String,
+      subset: Option[String] = None): (DataFrame, DataFrame) = {
+    val version =
+      graft.engine.GramArtifactStore.corpusVersion(dir, "documents") +
+        "#" + p120DerivationVersion +
+        subset.map(v => s"#subset=$v").getOrElse("")
+    val store = p92Store(dir)
+    val name = subset.map(v => s"p127-lm-$v").getOrElse("p120-lm-model")
+    if (!store.isFresh(name, graft.engine.GramArtifactStore.KindLmModel,
+        version, Nil, 2, 0, Map("minCount" -> "2"))) {
+      val frame = subset.map(v =>
+        documents(s, dir).filter(col("lang") === v))
+        .getOrElse(documents(s, dir))
+      store.buildLmModel(name, frame, "text", "doc_id",
+        n = 2, minCount = 2L, version)
+    }
+    store.lmModel(s, name, version, 2, 2L)
   }
 
   private lazy val p120DerivationVersion: String =
@@ -4938,6 +4953,29 @@ object Pipeline {
   // p120 must replay the IDENTICAL scores as p45 — the artifact is a
   // cache of the model tables, and sharing the oracle proves it
   val p120Oracle: String = p45Oracle
+
+  /** p50's DSIR re-weighting with BOTH models consumed from persisted
+    * `lm_model` artifacts (r17): the raw side is p120's OWN full-corpus
+    * model (one artifact, every LM consumer — the dup_clusters
+    * one-build/N-consumers rule applied to the model kinds), the target
+    * side is the en-subset model under its own name and a
+    * `#subset=en` version marker, so a consumer expecting the subset
+    * refuses a full-corpus build. At scale this is DSIR's real
+    * deployment shape: the two training shuffles run once per snapshot,
+    * and every corpus re-weighting pass pays only the per-doc collapse
+    * + two model joins. Shares p50's oracle — consuming persisted
+    * models must re-weight IDENTICALLY to inline training. */
+  def p127DsirArtifacts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirScoresWithModels(documents(s, dir),
+        p120Model(s, dir, subset = Some("en")), p120Model(s, dir),
+        "text", "doc_id", n = 2)
+      .select(col("doc_id"), col("n_positions"), col("hits_target"),
+        col("hit_frac_target"), col("hits_raw"), col("hit_frac_raw"))
+      .orderBy(col("doc_id"))
+
+  // p127 must replay p50's importance weights exactly — two persisted
+  // models are pure caches of the two training passes
+  val p127Oracle: String = p50Oracle
 
   /** p40's BPE tokenization CONSUMING the persisted `bpe_merges`
     * artifact (r16): the vocabulary trains once per corpus snapshot
@@ -5623,6 +5661,7 @@ object Pipeline {
     "p124_cluster_best_dedup" -> (p124ClusterBestDedup _),
     "p125_token_pack_shards" -> (p125TokenPackShards _),
     "p126_quality_artifact" -> (p126QualityArtifact _),
+    "p127_dsir_artifacts" -> (p127DsirArtifacts _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
@@ -5752,6 +5791,7 @@ object Pipeline {
     "p122_ivf_artifact" -> p122Oracle,
     "p123_cluster_dedup" -> p123Oracle,
     "p124_cluster_best_dedup" -> p124Oracle,
+    "p127_dsir_artifacts" -> p127Oracle,
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
     "p111_orc_roundtrip" -> p111Oracle,
