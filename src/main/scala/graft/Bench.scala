@@ -110,11 +110,16 @@ object Bench {
                                // trained-weights artifact (train in
                                // warmup; timed runs broadcast k+1
                                // doubles into the codegen'd logit scan)
-    "p127_dsir_artifacts")     // DSIR re-weighting through TWO persisted
+    "p127_dsir_artifacts",     // DSIR re-weighting through TWO persisted
                                // lm_model artifacts (raw = p120's own;
                                // both train in the warmup, timed runs
                                // pay the per-doc collapse + two model
                                // joins)
+    "p128_split_webdataset")   // per-split WebDataset tar export:
+                               // cluster artifact consumed in warmup,
+                               // timed runs pay the split join + the
+                               // one-shuffle tar shard write +
+                               // re-ingest member walk
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the

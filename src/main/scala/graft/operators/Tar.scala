@@ -35,36 +35,79 @@ object Tar {
     padded.getBytes("US-ASCII")
   }
 
-  /** Encode regular-file members as a ustar archive (mode 0644, epoch
-    * mtime, root ownership — deterministic bytes for a given input). */
+  /** ONE member's bytes written to `out` — ustar header + payload +
+    * block padding, NO archive terminator (mode 0644, epoch mtime, root
+    * ownership — deterministic bytes for a given input). An archive is a
+    * concatenation of these plus [[terminator]]; exposing the entry walk
+    * lets a distributed shard writer stream members one at a time
+    * ([[shardExport]]) instead of materializing whole archives as rows. */
+  private def writeEntry(out: ByteArrayOutputStream, name: String,
+      data: Array[Byte]): Unit = {
+    val h = new Array[Byte](512)
+    def put(off: Int, bytes: Array[Byte]): Unit =
+      System.arraycopy(bytes, 0, h, off, bytes.length)
+    val nameBytes = name.getBytes("US-ASCII")
+    require(nameBytes.length <= 100, s"name too long for ustar name field: $name")
+    put(0, nameBytes)
+    put(100, octal(420, 8)) // 0644
+    put(108, octal(0, 8)); put(116, octal(0, 8))
+    put(124, octal(data.length.toLong, 12))
+    put(136, octal(0, 12))
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum = spaces while summing
+    h(156) = '0' // regular file
+    put(257, "ustar\u000000".getBytes("US-ASCII"))
+    put(265, "root".getBytes("US-ASCII")); put(297, "root".getBytes("US-ASCII"))
+    var sum = 0
+    h.foreach(b => sum += b & 0xFF)
+    val chk = java.lang.Long.toOctalString(sum.toLong)
+    put(148, (("0" * (6 - chk.length)) + chk + "\u0000 ").getBytes("US-ASCII"))
+    out.write(h)
+    out.write(data)
+    val pad = (512 - data.length % 512) % 512
+    out.write(new Array[Byte](pad))
+  }
+
+  /** The two zero blocks ending every archive. */
+  def terminator: Array[Byte] = new Array[Byte](1024)
+
+  /** Encode regular-file members as a ustar archive (deterministic bytes
+    * for a given input — see [[writeEntry]]). */
   def encode(members: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    members.foreach { case (name, data) =>
-      val h = new Array[Byte](512)
-      def put(off: Int, bytes: Array[Byte]): Unit =
-        System.arraycopy(bytes, 0, h, off, bytes.length)
-      val nameBytes = name.getBytes("US-ASCII")
-      require(nameBytes.length <= 100, s"name too long for ustar name field: $name")
-      put(0, nameBytes)
-      put(100, octal(420, 8)) // 0644
-      put(108, octal(0, 8)); put(116, octal(0, 8))
-      put(124, octal(data.length.toLong, 12))
-      put(136, octal(0, 12))
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum = spaces while summing
-      h(156) = '0' // regular file
-      put(257, "ustar\u000000".getBytes("US-ASCII"))
-      put(265, "root".getBytes("US-ASCII")); put(297, "root".getBytes("US-ASCII"))
-      var sum = 0
-      h.foreach(b => sum += b & 0xFF)
-      val chk = java.lang.Long.toOctalString(sum.toLong)
-      put(148, (("0" * (6 - chk.length)) + chk + "\u0000 ").getBytes("US-ASCII"))
-      out.write(h)
-      out.write(data)
-      val pad = (512 - data.length % 512) % 512
-      out.write(new Array[Byte](pad))
-    }
-    out.write(new Array[Byte](1024)) // two terminator blocks
+    members.foreach { case (name, data) => writeEntry(out, name, data) }
+    out.write(terminator)
     out.toByteArray
+  }
+
+  /** Pack (shard, sortKey, memberName, payload) rows into ONE ustar /
+    * WebDataset archive per shard, members in sortKey order — the tar
+    * twin of [[TfRecord.shardExport]]'s secondary-sort idiom: shuffle
+    * once on the shard key, sort within partitions, stream each shard's
+    * consecutive run through the entry writer and close it with the
+    * terminator. No groupBy materialization; shard count is the caller's
+    * file-size knob, exactly how WebDataset exporters size their tars. */
+  def shardExport(rows: Dataset[(Long, Long, String, Array[Byte])])
+      (implicit spark: SparkSession): Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    val Array(shardCol, keyCol, _, _) = rows.columns
+    rows.repartition(org.apache.spark.sql.functions.col(shardCol))
+      .sortWithinPartitions(shardCol, keyCol)
+      .mapPartitions { it =>
+        new Iterator[Multimodal.MediaRow] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Multimodal.MediaRow = {
+            val shard = buf.head._1
+            val out = new ByteArrayOutputStream()
+            while (buf.hasNext && buf.head._1 == shard) {
+              val (_, _, name, data) = buf.next()
+              writeEntry(out, name, data)
+            }
+            out.write(terminator)
+            Multimodal.MediaRow(shard, "tar", out.toByteArray)
+          }
+        }
+      }
   }
 
   private def parseOctal(b: Array[Byte], off: Int, len: Int): Option[Long] = {

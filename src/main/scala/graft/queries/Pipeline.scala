@@ -4977,6 +4977,84 @@ object Pipeline {
   // models are pure caches of the two training passes
   val p127Oracle: String = p50Oracle
 
+  /** Per-split WebDataset export (r17): p119's split-disjoint shard rule
+    * applied to the OTHER training-shard format real pipelines ship
+    * (LAION-style tar shards a PyTorch WebDataset loader streams). The
+    * shared cluster artifact assigns splits, each doc becomes two sample
+    * members (`sampleNNNNNN.txt` + `.json` carrying id AND split, so a
+    * decoded record proves its own split), shards occupy split-disjoint
+    * id ranges (test 0-3, val 4-7, train 8-11; members hash round-robin
+    * by doc id within a split), [[Tar.shardExport]] packs each shard as
+    * ONE ustar archive in p78's secondary-sort shape (single exchange,
+    * streaming entry writer, no groupBy materialization), and the funnel
+    * re-ingests its own tars through the [[Tar.webdatasetMembers]] walk
+    * — a fault in the split join, the shard dealing, the ustar framing
+    * (header checksums, block padding) or the member walk breaks the
+    * hash. */
+  def p128SplitWebdataset(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val withSplit = documents(s, dir).select(col("doc_id"), col("text"))
+      .join(p116SplitAssignment(s, dir).select(col("doc_id"), col("split")),
+        Seq("doc_id"))
+    val si = when(col("split") === "test", 0L)
+      .when(col("split") === "val", 1L).otherwise(2L)
+    val entries = withSplit
+      .select((si * 4 + pmod(col("doc_id"), lit(4))).as("shard"),
+        col("doc_id"), col("split"), col("text"))
+      .as[(Long, Long, String, String)]
+      .flatMap { case (shard, id, split, text) =>
+        val key = f"sample$id%06d"
+        Seq((shard, id * 2, s"$key.json",
+            s"""{"id":$id,"split":"$split"}""".getBytes("UTF-8")),
+          (shard, id * 2 + 1, s"$key.txt", text.getBytes("UTF-8")))
+      }
+    Tar.webdatasetMembers(Tar.shardExport(entries)).toDF()
+      .select(
+        element_at(typedLit(Vector("test", "val", "train")),
+          expr("CAST(media_id DIV 4 AS INT)") + 1).as("split"),
+        pmod(col("media_id"), lit(4)).as("shard"),
+        col("key"), col("ext"), col("member_size"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("split"), col("shard"), col("key"), col("ext"))
+  }
+
+  /** Closed-form replay: the split CASE over p108's clusters, the
+    * round-robin shard deal, and both members' sizes/hashes restated
+    * directly — the tar framing itself must round-trip byte-faithfully
+    * for the member payload hashes to survive the re-ingest. */
+  val p128Oracle: String = {
+    val clustersSql = p108Oracle.replace("\nORDER BY id", "")
+    val t = Sampling.thresholdHex(0.1)
+    val v = Sampling.thresholdHex(0.1 + 0.1)
+    s"""WITH clusters AS ($clustersSql),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$t'
+       |           THEN 'test'
+       |         WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$v'
+       |           THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM asg),
+       |base AS (
+       |  SELECT d.doc_id, sp.split, d.text,
+       |    'sample' || lpad(CAST(d.doc_id AS VARCHAR), 6, '0') AS key,
+       |    '{"id":' || d.doc_id || ',"split":"' || sp.split || '"}' AS js
+       |  FROM documents d JOIN sp ON d.doc_id = sp.doc_id)
+       |SELECT split, CAST(doc_id % 4 AS BIGINT) AS shard, key,
+       |  'json' AS ext, CAST(len(js) AS BIGINT) AS member_size,
+       |  md5(js) AS payload_md5
+       |FROM base
+       |UNION ALL
+       |SELECT split, CAST(doc_id % 4 AS BIGINT), key, 'txt',
+       |  CAST(octet_length(encode(text)) AS BIGINT), md5(text)
+       |FROM base
+       |ORDER BY split, shard, key, ext""".stripMargin
+  }
+
   /** p40's BPE tokenization CONSUMING the persisted `bpe_merges`
     * artifact (r16): the vocabulary trains once per corpus snapshot
     * ([[graft.engine.GramArtifactStore.buildBpeMerges]] — the capped
@@ -5662,6 +5740,7 @@ object Pipeline {
     "p125_token_pack_shards" -> (p125TokenPackShards _),
     "p126_quality_artifact" -> (p126QualityArtifact _),
     "p127_dsir_artifacts" -> (p127DsirArtifacts _),
+    "p128_split_webdataset" -> (p128SplitWebdataset _),
     "p109_cross_contamination" -> (p109CrossContamination _),
     "p110_surgical_decon" -> (p110SurgicalDecon _),
     "p111_orc_roundtrip" -> (p111OrcRoundtrip _),
@@ -5792,6 +5871,7 @@ object Pipeline {
     "p123_cluster_dedup" -> p123Oracle,
     "p124_cluster_best_dedup" -> p124Oracle,
     "p127_dsir_artifacts" -> p127Oracle,
+    "p128_split_webdataset" -> p128Oracle,
     "p109_cross_contamination" -> p109Oracle,
     "p110_surgical_decon" -> p110Oracle,
     "p111_orc_roundtrip" -> p111Oracle,

@@ -311,6 +311,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p125.contains("collect_list"),
       s"p125 materializes sequences via groupBy instead of riding the " +
         s"export exchange:\n$p125")
+    // p128 (per-split WebDataset tars) consumes the same cluster
+    // artifact and must keep the export one-shuffle: no row_number, no
+    // collect_list — the tar members stream through the secondary-sort
+    // entry writer exactly like p78's records
+    val p128 = formatted("p128_split_webdataset")
+    assert(p128.contains("graft-artifacts"),
+      s"p128 stopped consuming the shared cluster artifact:\n$p128")
+    assert(!p128.contains("row_number") && !p128.contains("collect_list"),
+      s"p128 lost the streaming shard write:\n$p128")
     // and the pack's range exchange must be REUSED between its two
     // consumers (the per-(partition, group) totals and the running sum):
     // without reuse the sort executes twice with independently sampled
