@@ -1364,6 +1364,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("split-at-ingest feeds per-split WebDataset tars; members stay split-disjoint") {
+    // p128's streaming shape: the split gate assigns each arriving doc
+    // its leakage-safe split, foreachBatch packs every micro-batch into
+    // split-disjoint ustar tar shards with Tar.shardExport (legal there —
+    // each micro-batch is a plain DataFrame), and re-parsing every tar
+    // written across batches must keep each member inside its own
+    // split's shard block and reproduce the batch assignment.
+    import graft.operators.{Tar, Sampling}
+    import graft.streaming.DocStreams
+    import spark.implicits._
+    implicit val s = spark
+    val store = new graft.engine.GramArtifactStore(
+      Files.createTempDirectory("graft-wdsexp-store"))
+    val params = Map("pairs" -> "spec", "threshold" -> "0.5")
+    store.buildDupClusters("wds-cc",
+      Seq((0L, 1L), (7L, 9L)).toDF("id_a", "id_b"), "docs@1", params)
+    val dir = Files.createTempDirectory("graft-wdsexp").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = DocStreams.splitGateFromArtifact(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP").parquet(dir),
+        store, "wds-cc", "docs@1", params, "doc_id", "ts", 0.25, 0.25)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val si = when(col("split") === "test", 0L)
+          .when(col("split") === "val", 1L).otherwise(2L)
+        val rows = df.select((si * 4 + pmod(col("id"), lit(4))).as("shard"),
+            col("id"), col("split"))
+          .as[(Long, Long, String)]
+          .map { case (sh, id, sp) =>
+            (sh, id, f"sample$id%06d.json",
+              s"""{"id":$id,"split":"$sp"}""".getBytes("UTF-8")) }
+        Tar.webdatasetMembers(Tar.shardExport(rows))
+          .collect().foreach { m =>
+            val js = new String(m.payload, "UTF-8")
+            val sp = js.split("\\\"split\\\":\\\"")(1).takeWhile(_ != '"')
+            seen.synchronized { seen += ((m.media_id, m.key.drop(6).toLong, sp)) }
+          }
+      }.start()
+    try {
+      def feed(ids: Long*): Unit = {
+        ids.toSeq.map(i => (i, java.sql.Timestamp.valueOf(
+            s"2024-01-01 00:${10 + i}:00")))
+          .toDF("doc_id", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      feed(0L, 1L, 7L); feed(9L, 23L)
+      val bySplit = Map("test" -> 0L, "val" -> 1L, "train" -> 2L)
+      seen.foreach { case (shard, id, sp) =>
+        assert(shard / 4 == bySplit(sp),
+          s"doc $id ($sp) landed in tar shard $shard outside its split block")
+      }
+      val batch = Sampling.leakageSafeSplitsFromVettedLabels(
+          Seq(0L, 1L, 7L, 9L, 23L).toDF("doc_id"),
+          store.dupClusterLabels(spark, "wds-cc", "docs@1", params),
+          "doc_id", 0.25, 0.25)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(seen.map(t => t._2 -> t._3).toMap == batch)
+    } finally q.stop()
+  }
+
   test("streaming snapshot-dedup gate matches the batch againstSnapshot twin") {
     import spark.implicits._
     import graft.streaming.DocStreams
