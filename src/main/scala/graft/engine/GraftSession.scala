@@ -157,9 +157,15 @@ class GraftSession(val spark: SparkSession, rootDir: Path,
     // ifStale, and every consumer would silently get grams/clusters
     // derived from the wrong column (r15 review). With kind-irrelevant
     // fields refused above, the raw arguments ARE the read columns —
-    // plus quality_model's labelCol param, its third read column.
+    // plus quality_model's labelCol param, its third read column. The
+    // labelCol append is SCOPED to that kind: the pair-table dup_clusters
+    // shape records free-form provenance params verbatim, and a param
+    // that merely happens to be named labelCol there must not inject a
+    // never-read column into the source binding (r17 review).
     val srcCols = (Seq(textCol, idCol).filter(_.nonEmpty) ++ blockCols ++
-      expParams.get("labelCol").toSeq)
+      (if (kind == GramArtifactStore.KindQualityModel)
+        expParams.get("labelCol").toSeq
+      else Nil))
     val corpusVersion = s"$db/$branch/$table@${ver.ts}" +
       (if (srcCols.isEmpty) "" else s"#src=${srcCols.mkString(",")}")
     if (ifStale) {
@@ -4843,7 +4849,16 @@ object GraftSession {
       params.get(key).map(s => s.toDoubleOption.getOrElse(
         throw new IllegalArgumentException(
           s"param $key must be a number: $s"))).getOrElse(dflt)
-    GramArtifactStore.qualityModelParams(label, iters,
-      dblOf("step", 1.0), dblOf("l2", 1e-3))
+    // toDoubleOption parses "NaN"/"Infinity" — a non-finite or
+    // non-positive recipe would train (and PERSIST) a garbage weight
+    // vector as the snapshot's shared truth, with every consumer then
+    // scoring NaN logits silently (r17 review)
+    val step = dblOf("step", 1.0)
+    require(java.lang.Double.isFinite(step) && step > 0,
+      s"param step must be a finite positive number: $step")
+    val l2 = dblOf("l2", 1e-3)
+    require(java.lang.Double.isFinite(l2) && l2 >= 0,
+      s"param l2 must be a finite non-negative number: $l2")
+    GramArtifactStore.qualityModelParams(label, iters, step, l2)
   }
 }

@@ -520,8 +520,18 @@ class GramArtifactStore(val root: Path) {
     requireName(name)
     require(corpusVersion.nonEmpty, "corpusVersion must be non-empty")
     require(iters >= 1, s"need iters >= 1: $iters")
+    require(java.lang.Double.isFinite(step) && step > 0,
+      s"need a finite positive step: $step")
+    require(java.lang.Double.isFinite(l2) && l2 >= 0,
+      s"need a finite non-negative l2: $l2")
     val w = graft.operators.Quality.trainLogistic(
       labeled, textCol, labelCol, iters, step, l2)
+    // a diverged run (step too large for the data) must fail HERE, never
+    // persist: non-finite weights would become the snapshot's shared
+    // truth and every consumer would score NaN logits silently
+    require(w.forall(java.lang.Double.isFinite),
+      "training produced non-finite weights (diverged — lower step or " +
+        "raise l2); refusing to persist the model")
     val spark = labeled.sparkSession
     import spark.implicits._
     commit(name, GramArtifactStore.KindQualityModel, corpusVersion, Nil,

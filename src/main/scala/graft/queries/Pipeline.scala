@@ -4804,6 +4804,40 @@ object Pipeline {
   // makes the checker prove it end to end
   val p118Oracle: String = p115Oracle
 
+  /** The split-block shard-id scheme shared by every per-split export
+    * (k=4: test 0–3, val 4–7, train 8–11): [[splitBlockIndex]] is the
+    * CASE the entries compile, [[splitBlockNames]] its inverse. ONE
+    * rendering, so the contract can never drift between the TFRecord
+    * (p119/p125) and WebDataset (p128) funnels (r17 review). */
+  private val splitBlockNames: Vector[String] = Vector("test", "val", "train")
+  private def splitBlockIndex(split: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(split === "test", 0L).when(split === "val", 1L).otherwise(2L)
+
+  /** The shared clusters→assignment→split oracle CTE preamble (p108's
+    * closure, the COALESCE singleton fallback, and the compiled md5
+    * threshold CASE) behind every split-consuming replay — one rendering
+    * so the split rule can never diverge between the p119/p125/p128
+    * oracles (r17 review). Thresholds compile from
+    * [[Sampling.thresholdHex]], never hand-copied hex (the r8 rule). */
+  private def splitCtes(valFrac: Double, testFrac: Double): String = {
+    val clustersSql = p108Oracle.replace("\nORDER BY id", "")
+    val t = Sampling.thresholdHex(testFrac)
+    val v = Sampling.thresholdHex(testFrac + valFrac)
+    s"""clusters AS ($clustersSql),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$t'
+       |           THEN 'test'
+       |         WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$v'
+       |           THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM asg)""".stripMargin
+  }
+
   /** SPLIT-AWARE EXPORT FUNNEL (r16): the terminal leg of the split
     * family — leakage-safe splits to per-split training shards in one
     * oracle-checked line, composing the way p58/p84 compose their
@@ -4838,8 +4872,7 @@ object Pipeline {
       "split", "sz", "doc_id", k = 4)
     // pack key: splits occupy disjoint shard-id ranges (test 0-3,
     // val 4-7, train 8-11); records within a shard in doc_id order
-    val si = when(col("split") === "test", 0L)
-      .when(col("split") === "val", 1L).otherwise(2L)
+    val si = splitBlockIndex(col("split"))
     val rows = assigned
       .select((si * 4 + col("shard")).as("packed"), col("doc_id"),
         col("split"), col("text"))
@@ -4873,21 +4906,7 @@ object Pipeline {
     * shard — the engine's parallel rank plus broadcast group offsets
     * must equal the straightforward per-split row_number. */
   val p119Oracle: String = {
-    val clustersSql = p108Oracle.replace("\nORDER BY id", "")
-    val t = Sampling.thresholdHex(0.1)
-    val v = Sampling.thresholdHex(0.1 + 0.1)
-    s"""WITH clusters AS ($clustersSql),
-       |asg AS (
-       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS split_key
-       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
-       |sp AS (
-       |  SELECT doc_id,
-       |    CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$t'
-       |           THEN 'test'
-       |         WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$v'
-       |           THEN 'val'
-       |         ELSE 'train' END AS split
-       |  FROM asg),
+    s"""WITH ${splitCtes(0.1, 0.1)},
        |sz AS (
        |  SELECT s.doc_id, s.split,
        |    octet_length(encode(d.text)) AS sz, md5(d.text) AS text_md5
@@ -4997,8 +5016,7 @@ object Pipeline {
     val withSplit = documents(s, dir).select(col("doc_id"), col("text"))
       .join(p116SplitAssignment(s, dir).select(col("doc_id"), col("split")),
         Seq("doc_id"))
-    val si = when(col("split") === "test", 0L)
-      .when(col("split") === "val", 1L).otherwise(2L)
+    val si = splitBlockIndex(col("split"))
     val entries = withSplit
       .select((si * 4 + pmod(col("doc_id"), lit(4))).as("shard"),
         col("doc_id"), col("split"), col("text"))
@@ -5011,7 +5029,7 @@ object Pipeline {
       }
     Tar.webdatasetMembers(Tar.shardExport(entries)).toDF()
       .select(
-        element_at(typedLit(Vector("test", "val", "train")),
+        element_at(typedLit(splitBlockNames),
           expr("CAST(media_id DIV 4 AS INT)") + 1).as("split"),
         pmod(col("media_id"), lit(4)).as("shard"),
         col("key"), col("ext"), col("member_size"),
@@ -5024,21 +5042,7 @@ object Pipeline {
     * directly — the tar framing itself must round-trip byte-faithfully
     * for the member payload hashes to survive the re-ingest. */
   val p128Oracle: String = {
-    val clustersSql = p108Oracle.replace("\nORDER BY id", "")
-    val t = Sampling.thresholdHex(0.1)
-    val v = Sampling.thresholdHex(0.1 + 0.1)
-    s"""WITH clusters AS ($clustersSql),
-       |asg AS (
-       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS split_key
-       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
-       |sp AS (
-       |  SELECT doc_id,
-       |    CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$t'
-       |           THEN 'test'
-       |         WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$v'
-       |           THEN 'val'
-       |         ELSE 'train' END AS split
-       |  FROM asg),
+    s"""WITH ${splitCtes(0.1, 0.1)},
        |base AS (
        |  SELECT d.doc_id, sp.split, d.text,
        |    'sample' || lpad(CAST(d.doc_id AS VARCHAR), 6, '0') AS key,
@@ -5260,13 +5264,12 @@ object Pipeline {
         (col("start_token") + col("f.fa") - col("f.seq") * seqLen).as("off"),
         expr("slice(tokens, CAST(f.fa + 1 AS INT), CAST(f.fb - f.fa AS INT))")
           .as("ftoks"))
-    val si = when(col("split") === "test", 0L)
-      .when(col("split") === "val", 1L).otherwise(2L)
+    val si = splitBlockIndex(col("split"))
     val rows = frags
       .select((si * 4 + pmod(col("seq"), lit(4))).as("shard"),
         col("seq"), col("off"), col("ftoks"))
       .as[(Long, Long, Long, Seq[String])]
-    val splitNames = Vector("test", "val", "train")
+    val splitNames = splitBlockNames
     val shards = TfRecord.shardExportAssembled[Seq[String]](rows,
       (shard, seq, fr) => {
       val seqToks = fr.flatten.toVector
@@ -5399,25 +5402,11 @@ object Pipeline {
     * global position, sequences are pos÷64 groups (tokens joined in pos
     * order), and shard/rec_index restate the split-block round-robin. */
   def p125Oracle: String = p125OracleCache.computeIfAbsent(oracleDir, { dir =>
-    val clustersSql = p108Oracle.replace("\nORDER BY id", "")
-    val t = Sampling.thresholdHex(0.1)
-    val v = Sampling.thresholdHex(0.1 + 0.1)
     s"""WITH ${bpeTokCtes(dir)},
        |dt AS (
        |  SELECT doc_id, flatten(list(toks ORDER BY word_idx)) AS toks
        |  FROM tok GROUP BY doc_id),
-       |clusters AS ($clustersSql),
-       |asg AS (
-       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS split_key
-       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
-       |sp AS (
-       |  SELECT doc_id,
-       |    CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$t'
-       |           THEN 'test'
-       |         WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 4) < '$v'
-       |           THEN 'val'
-       |         ELSE 'train' END AS split
-       |  FROM asg),
+       |${splitCtes(0.1, 0.1)},
        |dd AS (
        |  SELECT sp.doc_id, sp.split, COALESCE(dt.toks, []) AS toks
        |  FROM sp LEFT JOIN dt ON sp.doc_id = dt.doc_id),

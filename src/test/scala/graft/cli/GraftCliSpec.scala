@@ -388,7 +388,28 @@ class GraftCliSpec extends AnyFunSuite {
     assert(cli("artifacts", "build", "x", "--kind", "quality_model",
       "--database", "artclidb2", "--table", "lbl",
       "--text-col", "body")._1 == 1)
+    // toDoubleOption parses "NaN"/"Infinity" — a non-finite recipe must
+    // refuse up front, never train-and-persist a garbage weight vector
+    // (r17 review)
+    assert(cli("artifacts", "build", "x", "--kind", "quality_model",
+      "--database", "artclidb2", "--table", "lbl", "--text-col", "body",
+      "--param", "labelCol=good", "--param", "step=NaN")._1 == 1)
+    assert(cli("artifacts", "build", "x", "--kind", "quality_model",
+      "--database", "artclidb2", "--table", "lbl", "--text-col", "body",
+      "--param", "labelCol=good", "--param", "l2=-1")._1 == 1)
     assert(cli("artifacts", "delete", "cli-qm")._1 == 0)
+    // a pair-table dup_clusters param that merely HAPPENS to be named
+    // labelCol is free-form provenance, not a read column — it must not
+    // ride into the source binding (r17 review)
+    val (rcP, _, errP) = cli("artifacts", "build", "cli-lblprov",
+      "--kind", "dup_clusters", "--database", "artclidb2",
+      "--table", "prs", "--param", "labelCol=vetter")
+    assert(rcP == 0, s"err=$errP")
+    assert(engine.artifacts.meta("cli-lblprov").exists(m =>
+      !m.corpusVersion.contains("#src=") &&
+        m.params == Map("labelCol" -> "vetter")),
+      "free-form dup_clusters params must not inject a source binding")
+    assert(cli("artifacts", "delete", "cli-lblprov")._1 == 0)
   }
 
   test("status renders the unauthenticated ops endpoint") {
