@@ -115,11 +115,27 @@ object Bench {
                                // both train in the warmup, timed runs
                                // pay the per-doc collapse + two model
                                // joins)
-    "p128_split_webdataset")   // per-split WebDataset tar export:
+    "p128_split_webdataset",   // per-split WebDataset tar export:
                                // cluster artifact consumed in warmup,
                                // timed runs pay the split join + the
                                // one-shuffle tar shard write +
                                // re-ingest member walk
+    "p129_dsir_resample",      // DSIR terminal: Gumbel-key importance
+                               // resample over the two lm_model
+                               // consumes (models from warmup; timed
+                               // runs pay the per-doc collapse + two
+                               // model joins + the scan-speed filter)
+    "p130_multimodal_webdataset", // (image, caption, json) tar export
+                               // at multi-block member sizes + the
+                               // byte-equality re-ingest join
+    "p131_incremental_clusters",  // incremental dup_clusters consume
+                               // (prior + incremental build in warmup;
+                               // timed runs read the labels artifact)
+    "p132_mixture_export")     // recipe-driven mixture -> per-source
+                               // pack -> TFRecord shards -> re-ingest:
+                               // one mix aggregation + scan-speed
+                               // selection + the pack sort + the one
+                               // export exchange
 
   /** A line whose noise band can no longer gate: after the retry rules
     * below, a published spread above HALF the published min means the

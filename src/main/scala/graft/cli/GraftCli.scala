@@ -546,6 +546,21 @@ class GraftCli(out: PrintStream, err: PrintStream,
                   chunks
                 else occurrences
               } else occurrences
+            // a REPEATED --param whose value still looks like the legacy
+            // comma-separated form ("a=1,b=2") is taken WHOLE — flag it on
+            // stderr so a script written against the old expansion learns
+            // here, not later from a staleness-key consume refusal (or
+            // never, if nothing consumes by recipe; r17 advice)
+            if (occurrences.length > 1)
+              occurrences.filter { v =>
+                val chunks = v.split(",", -1).toSeq
+                chunks.length > 1 && chunks.forall(_.indexOf('=') > 0)
+              }.foreach { v =>
+                err.println(s"note: repeated --param value '$v' " +
+                  "contains comma-separated k=v chunks; it is ONE param " +
+                  "value (the legacy comma expansion applies only when " +
+                  "--param occurs exactly once)")
+              }
             // an empty key ('=x') is rejected here, not sent to the server
             if (paramPairs.exists(_.indexOf('=') <= 0))
               usageError("--param takes k=v with a non-empty key " +

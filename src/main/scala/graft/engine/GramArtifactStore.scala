@@ -447,6 +447,47 @@ class GramArtifactStore(val root: Path) {
       maxRows = None, params = params)
   }
 
+  /** INCREMENTALLY refresh the dup-clusters artifact under `name`: seed
+    * [[Dedup.dupClustersIncremental]] with the PRIOR snapshot's
+    * persisted labels plus ONLY the delta's new pairs, and commit the
+    * result under the new `corpusVersion` — so a daily-ingest pipeline
+    * never re-runs pair generation or CC over the historical corpus
+    * (label-equivalence to the full recompute is exact: the prior
+    * labels are a star contraction of the old pair graph — see the
+    * operator's scaladoc; pinned in OperatorsSpec and proven end to end
+    * by the p131 oracle, the full-pair-set closure).
+    *
+    * KEYED ON THE PRIOR VERSION: the consume of the prior labels
+    * validates (kind, `prevCorpusVersion`, `params`) exactly like any
+    * consumer — an absent prior, a prior built for a different snapshot
+    * than the caller says, or a prior built under a DIFFERENT pair
+    * derivation refuses loudly before any work (an incremental build
+    * seeded from the wrong labels would publish silently wrong
+    * clusters; `params` must match because old and new pairs must come
+    * from the same derivation for the union graph to mean anything).
+    * The prior labels are read — and the CC pass over them completes —
+    * BEFORE commit flips the manifest, and commit's one-generation
+    * grace keeps the superseded data dir on disk regardless. */
+  def rebuildDupClustersIncremental(spark: SparkSession, name: String,
+      newPairs: DataFrame, prevCorpusVersion: String, corpusVersion: String,
+      params: Map[String, String]): ArtifactMeta = {
+    requireName(name)
+    require(corpusVersion.nonEmpty, "corpusVersion must be non-empty")
+    require(corpusVersion != prevCorpusVersion,
+      s"incremental rebuild of '$name' must move to a NEW corpus " +
+        s"version (both sides are '$corpusVersion') — rebuilding the " +
+        "same snapshot incrementally over itself double-counts the delta")
+    require(params.nonEmpty,
+      "dup_clusters needs derivation params (how were the pairs built?) " +
+        "— an unparameterized artifact cannot be validated for staleness")
+    val prev = dupClusterLabels(spark, name, prevCorpusVersion, params)
+    commit(name, GramArtifactStore.KindDupClusters, corpusVersion, Nil,
+      n = 0, maxDf = 0,
+      Dedup.dupClustersIncremental(prev, newPairs)
+        .select(col("id"), col("cluster")),
+      maxRows = None, params = params)
+  }
+
   /** Build-or-refresh the LM-MODEL artifact: the pruned conditional
     * n-gram count tables of [[graft.operators.TextAnalysis.lmTrain]]
     * over the reference corpus, persisted as ONE parquet with a `part`

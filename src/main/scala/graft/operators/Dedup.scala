@@ -450,6 +450,42 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
     dupClustersWithRounds(pairs, maxIter)._1
 
+  /** INCREMENTAL [[dupClusters]]: re-cluster after a corpus delta
+    * without re-running CC over the historical pair set — the shape a
+    * daily-ingest 100 TB pipeline needs, where each snapshot adds a
+    * sliver of new near-dup pairs to clusters already computed.
+    *
+    * `prevLabels` is the prior snapshot's (id, cluster) labels —
+    * [[dupClusters]] output, fresh or read back from a persisted
+    * `dup_clusters` artifact
+    * ([[graft.engine.GramArtifactStore.rebuildDupClustersIncremental]]);
+    * `newPairs` are ONLY the pairs the delta introduced (new-doc ×
+    * corpus candidates from the banding join — an old×old pair that
+    * was already clustered adds nothing).
+    *
+    * Why seeding with the LABELS is exact, not approximate: the labels
+    * are a star CONTRACTION of the old pair graph — every member points
+    * at its component's minimum id, singletons at themselves — so as an
+    * edge set they have exactly the old graph's connected components,
+    * and re-running CC over (label edges ∪ new pairs) yields the same
+    * components as over (old pairs ∪ new pairs). Minimum-id labeling is
+    * preserved too: the old minimum rides in as the star center, and a
+    * smaller NEW id wins the min exactly as it would in the full
+    * recompute. OperatorsSpec pins label-equivalence against the full
+    * recompute on adversarial deltas (cluster merges through a new
+    * bridge edge, a new global minimum adopted as representative).
+    *
+    * Cost: the CC iteration runs over |prior labels| + |new pairs|
+    * edges — and the prior side is already star-shaped, so rounds
+    * contract it immediately; the historical pair GENERATION (the
+    * expensive shingle+band join over old×old) is never repeated. */
+  def dupClustersIncremental(prevLabels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 25): DataFrame =
+    dupClusters(
+      prevLabels.select(col("id").as("id_a"), col("cluster").as("id_b"))
+        .unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      maxIter)
+
   /** Keep-one-per-near-dup-cluster corpus dedup from (id, cluster)
     * labels — the OTHER consumer of the `dup_clusters` artifact beside
     * leakage-safe splits (the
@@ -486,13 +522,25 @@ object Dedup {
     * AQE-broadcastable — plus a codegen'd keep predicate; no window
     * anywhere, no per-cluster argmin recompute over unclustered rows.
     * Deterministic: max(struct(score, -id)) breaks score ties on the
-    * smaller id regardless of partitioning. */
+    * smaller id regardless of partitioning.
+    *
+    * Score semantics: a NaN or NULL score NEVER wins its cluster — both
+    * coalesce to -Infinity before the max (Spark orders NaN ABOVE every
+    * double, so an unguarded max would crown a NaN member; a NULL would
+    * silently lose — neither is what "keep the best-scoring doc" means
+    * for a garbage score). A cluster whose EVERY member scores NaN/NULL
+    * still keeps exactly one doc: all candidates carry -Infinity and the
+    * id tie-break picks the smallest id. `idCol` must be NUMERIC — the
+    * tie-break negates it (string ids need a keyed argmin variant, which
+    * no current caller wants). */
   def keepBestPerCluster(docs: DataFrame, labels: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
     val lab = labels.select(col("id").as(idCol), col("cluster"))
+    val guarded = coalesce(
+      nanvl(col(scoreCol).cast("double"), lit(Double.NegativeInfinity)),
+      lit(Double.NegativeInfinity))
     val best = lab
-      .join(docs.select(col(idCol), col(scoreCol).cast("double").as("__score")),
-        Seq(idCol))
+      .join(docs.select(col(idCol), guarded.as("__score")), Seq(idCol))
       .groupBy(col("cluster"))
       .agg(max(struct(col("__score"), (-col(idCol)).as("__negid")))
         .as("__best"))

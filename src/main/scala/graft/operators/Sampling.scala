@@ -282,6 +282,71 @@ object Sampling {
       .withColumn("sample_rate", least(lit(1.0), col("epochs")))
   }
 
+  /** Deterministic Gumbel sampling key for importance RESAMPLING — the
+    * deployment step of DSIR (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling": sample the corpus
+    * ∝ exp(log-weight) by perturbing each log-weight with an independent
+    * Gumbel and keeping the largest — the Gumbel-max trick; equivalently
+    * the weighted-reservoir keys of Efraimidis & Spirakis 2006). The
+    * perturbation is NOT random: u = (h + 0.5) / 2^48 from the first 12
+    * hex digits of md5(id) — [[sampleKey]]'s assignment at 48-bit
+    * resolution — so key = logWeight - ln(-ln(u)) is a pure function of
+    * (id, weight): a doc draws the SAME Gumbel across runs, engines,
+    * partitionings and resumed jobs, which is what makes the resample
+    * reproducible and oracle-replayable, exactly like [[hashSample]]'s
+    * thresholds. The +0.5 keeps u strictly interior to (0,1): an all-f
+    * hash would otherwise hit u = 1 and ln(0), which Spark NULLs and
+    * other engines take to -inf — an engine-divergent edge this
+    * arithmetic never reaches. h + 0.5 and the power-of-two division
+    * are exact IEEE, so u is bit-identical in any engine; the only libm
+    * ops are the two lns, applied to identical inputs everywhere — their
+    * RESULTS may differ in the last ulp across libms (even across JVM
+    * call sites: HotSpot's log intrinsic vs the StrictMath fallback),
+    * which is why consumers compare keys at round(6) and select against
+    * generic thresholds a 1-ulp nudge cannot cross. */
+  def gumbelKey(id: Column, logWeight: Column): Column = {
+    val h = conv(substring(md5(id.cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    logWeight - log(-log(u))
+  }
+
+  /** Importance resampling by computed per-source THRESHOLD: keep row i
+    * iff [[gumbelKey]](id_i, lw_i) > ln(n_s / k), n_s the source's pool
+    * size — the threshold form of Gumbel sampling (the top-k form needs
+    * per-source selection state; the threshold form is one codegen'd
+    * predicate). Inclusion is independent per doc and monotone in the
+    * weight: P(keep) = 1 - exp(-exp(lw_i) · k/n_s) ≈ exp(lw_i) · k/n_s
+    * in the sparse regime — a deterministic Poisson resample expecting
+    * ~k · mean(exp(lw)) survivors per source, so k is the per-source
+    * volume knob the way `rate` is [[hashSample]]'s.
+    *
+    * Scale shape: ONE tiny per-source count aggregation (map-side
+    * partials, #sources rows) broadcast-joined back, then a scan-speed
+    * filter — no corpus-wide window, no top-k selection state, no
+    * shuffle of the corpus itself; the kept set is stable under
+    * re-partitioning and incremental re-runs because every term of the
+    * key is a pure function of the row.
+    *
+    * Determinism caveat the caller owns: the key inherits `lwCol`'s
+    * reproducibility. A log-weight built from single IEEE ops on
+    * integer-valued inputs (counts, hit fractions) replays bitwise in
+    * any engine; the full avg_nll-based DSIR log-weight sums libm logs
+    * in reduction order and is NOT cross-engine replayable — fine for
+    * deployment, not for a hash-compared oracle (the
+    * [[graft.operators.TextAnalysis.lmScore]] avg_nll rule). Adds
+    * `gumbel_key`; keeps every input column. */
+  def importanceResample(df: DataFrame, idCol: String, lwCol: String,
+      sourceCol: String, targetPerSource: Int): DataFrame = {
+    require(targetPerSource >= 1, s"targetPerSource: $targetPerSource")
+    val ns = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__ns"))
+    df.withColumn("gumbel_key", gumbelKey(col(idCol), col(lwCol)))
+      .join(broadcast(ns), Seq(sourceCol))
+      .filter(col("gumbel_key") >
+        log(col("__ns").cast("double") / lit(targetPerSource.toDouble)))
+      .drop("__ns")
+  }
+
   /** Train/eval contamination check (the standard pre-training hygiene
     * pass): a training document is contaminated by an eval document when
     * they share at least one word n-gram — the 13-gram-overlap criterion

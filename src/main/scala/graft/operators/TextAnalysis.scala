@@ -777,7 +777,20 @@ object TextAnalysis {
     * aggregate (the zipWithIndex pattern the engine's rowid assignment
     * uses) joined back by broadcast. Shuffles carry 16-byte rows — the
     * doc-count table, never the corpus. Deterministic at any
-    * partitioning: integer sums over a total order. */
+    * partitioning: integer sums over a total order.
+    *
+    * The sorted (id, count, partition) projection is localCheckpoint()ed
+    * before fanning out to its two consumers (the offsets aggregate and
+    * the running-sum window), so the partition ids both key on are
+    * FROZEN DATA from one materialization — correct by construction at
+    * any Spark version/config, not by trusting the planner to reuse one
+    * range exchange (AQE off, a version that plans the branches
+    * separately, or a skew-triggered replan would otherwise let the two
+    * consumers sample INDEPENDENT range boundaries and silently mis-key
+    * the offsets; r17 advice). The checkpoint materializes 20-byte rows
+    * — the doc-count projection, never the corpus — and the
+    * ContextCleaner frees its blocks when the returned frame is
+    * unreferenced. */
   def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen >= 1, s"need seqLen >= 1: $seqLen")
@@ -785,6 +798,7 @@ object TextAnalysis {
     val sorted = df.select(col(idCol), col(nTokensCol).cast("long").as("__n"))
       .orderBy(col(idCol))
       .withColumn("__p", spark_partition_id())
+      .localCheckpoint()
     val wIn = Window.partitionBy(col("__p")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // per-partition totals -> cumulative offsets; this window runs over
@@ -826,17 +840,22 @@ object TextAnalysis {
     * group-relative.
     *
     * The spans compute on the PRUNED (group, id, count) projection —
-    * exactly [[packSequences]]' shape — and join back to the input by
-    * (group, id). This is load-bearing, not style: the per-(partition,
-    * group) totals and the running sum both consume the range-sorted
-    * frame, and with identical pruning they share ONE canonical subtree
-    * so the exchange plans once and is reused. Sorting the WIDE frame
-    * instead (payload columns riding along) makes the two consumers
-    * prune differently, the sort executes twice with independently
-    * sampled range boundaries, and `spark_partition_id()` stops being
-    * consistent between them — mis-keyed offsets that silently corrupt
-    * the spans (caught at sf0.1 as half of p125's sequences collapsing;
-    * the r5 double-execution disease). */
+    * exactly [[packSequences]]' shape — range-sorted ONCE, then
+    * localCheckpoint()ed before fanning out to the two consumers (the
+    * per-(partition, group) totals and the running-sum window), and
+    * joined back to the input by (group, id). The checkpoint is
+    * load-bearing, not style: both consumers key on
+    * `spark_partition_id()`, and materializing the sorted projection
+    * makes those ids FROZEN DATA from one physical sort — consistent by
+    * construction. Trusting plan reuse instead (the pre-r18 shape: one
+    * canonical subtree that AQE's stage reuse executes once) holds only
+    * while the planner cooperates — AQE off, a Spark version that plans
+    * the branches separately, or a skew-triggered replan would let the
+    * two consumers sample INDEPENDENT range boundaries and silently
+    * mis-key the offsets, corrupting spans exactly where no oracle runs
+    * (caught at sf0.1 as half of p125's sequences collapsing when the
+    * wide frame was sorted per-branch; the r5 double-execution disease,
+    * closed structurally per the r17 advice). */
   def packSequencesPerGroup(df: DataFrame, groupCol: String, idCol: String,
       nTokensCol: String, seqLen: Int): DataFrame = {
     require(seqLen >= 1, s"need seqLen >= 1: $seqLen")
@@ -845,6 +864,7 @@ object TextAnalysis {
       .select(col(groupCol), col(idCol), col(nTokensCol).cast("long").as("__n"))
       .orderBy(col(groupCol), col(idCol))
       .withColumn("__p", spark_partition_id())
+      .localCheckpoint()
     val wIn = Window.partitionBy(col("__p"), col(groupCol))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

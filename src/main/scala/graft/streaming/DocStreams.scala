@@ -442,6 +442,31 @@ object DocStreams {
       store.qualityModel(docs.sparkSession, name, corpusVersion, labelCol,
         iters, step, l2),
       textCol, idCol, tsCol)
+
+  /** Streaming importance-resample gate at ingest: keep a document iff
+    * its deterministic Gumbel key
+    * ([[graft.operators.Sampling.gumbelKey]] — a pure function of
+    * (id, weight), the same md5-seeded arithmetic as the batch
+    * [[graft.operators.Sampling.importanceResample]]) clears
+    * `threshold`. Completely STATELESS: one codegen'd projection + a
+    * per-row predicate — no watermark, no state store, no join — so
+    * stream==batch equality is structural and a doc admitted at ingest
+    * is exactly the doc a batch resample of the same frame would keep.
+    *
+    * The batch operator COMPUTES its per-source threshold ln(n_s / k)
+    * from the pool's source counts — a stream cannot know its final
+    * counts, so the caller passes the threshold (computed once from the
+    * reference snapshot's counts, or set as a quota knob) and restarts
+    * the gate when the snapshot rolls, the [[splitGateFromArtifact]]
+    * refresh rule. Emits (id, ts, lw, gumbel_key, keep); callers drop
+    * with `.filter(col("keep"))` so the decision stays auditable. */
+  def resampleGate(docs: DataFrame, lwCol: String, idCol: String,
+      tsCol: String, threshold: Double): DataFrame =
+    docs.select(col(idCol).as("id"), col(tsCol).as("ts"),
+        col(lwCol).cast("double").as("lw"),
+        graft.operators.Sampling.gumbelKey(col(idCol), col(lwCol))
+          .as("gumbel_key"))
+      .withColumn("keep", col("gumbel_key") > lit(threshold))
 }
 
 /** Per-row span repair against the broadcast eval gram set: marks every

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Asof, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Asof, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Correctness of the pipeline operators that have no SQL oracle:
   * MinHash estimates vs exact Jaccard, SimHash distance properties,
@@ -228,6 +228,78 @@ class OperatorsSpec extends AnyFunSuite {
       Set((2L, "b"), (10L, "d"), (42L, "lonely")))
     // helper columns never leak; input schema passes through
     assert(kept.columns.toSeq == Seq("doc_id", "text", "score"))
+  }
+
+  test("keepBestPerCluster: NaN and NULL scores never win a cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(pairs)
+    // Spark orders NaN ABOVE every double, so an unguarded max-of-struct
+    // would crown doc 1; the nanvl/coalesce guard must hand the cluster
+    // to the best FINITE score instead. A cluster whose every member
+    // scores NaN/NULL still keeps exactly one doc (min id).
+    val docs = Seq(
+      (1L, "a", Some(Double.NaN)),
+      (2L, "b", Some(0.4)),
+      (3L, "c", None),
+      (10L, "d", Some(Double.NaN)),
+      (11L, "e", None))
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.keepBestPerCluster(docs, labels, "doc_id", "score")
+    assert(kept.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "b"), (10L, "d")))
+  }
+
+  test("dupClustersIncremental: label-equivalent to the full recompute") {
+    // old graph: {1,2,3} (center 1), {10,11}, singleton via self-pair 30
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 30L))
+      .toDF("id_a", "id_b")
+    val prior = Dedup.dupClusters(oldPairs)
+    // adversarial delta: a bridge MERGING the two old clusters (3-10), a
+    // brand-new cluster {40,41}, and a new GLOBAL MINIMUM 0 joining the
+    // merged component — the new min must displace the old centers
+    val newPairs = Seq((3L, 10L), (40L, 41L), (0L, 11L)).toDF("id_a", "id_b")
+    val inc = Dedup.dupClustersIncremental(prior, newPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.dupClusters(oldPairs.unionByName(newPairs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    assert(inc(1L) == 0L && inc(11L) == 0L && inc(3L) == 0L)
+    assert(inc(30L) == 30L && inc(40L) == 40L && inc(41L) == 40L)
+  }
+
+  test("importanceResample: keys and selection match a scalar replay") {
+    val rows = (0L until 200L).map(i =>
+      (i, s"s${i % 4}", (i % 10).toDouble / 10.0 - 0.5))
+    val df = rows.toDF("doc_id", "source", "lw")
+    val got = Sampling
+      .importanceResample(df, "doc_id", "lw", "source", targetPerSource = 5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("gumbel_key"))
+      .toMap
+    def key(id: Long, lw: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      lw - math.log(-math.log(u))
+    }
+    val ns = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val expect = rows.filter { case (id, src, lw) =>
+      key(id, lw) > math.log(ns(src).toDouble / 5.0)
+    }
+    assert(got.keySet == expect.map(_._1).toSet)
+    assert(expect.nonEmpty && expect.size < rows.size,
+      "fixture must exercise both kept and dropped rows")
+    // every NON-log term is exact IEEE, so engine and replay agree to
+    // within log's own rounding: Math.log may round differently per
+    // call site (HotSpot intrinsic vs StrictMath fallback — observed 1
+    // ulp here), which the oracle's round(6) and generic thresholds
+    // absorb; 4 ulps bounds the two stacked logs with margin
+    expect.foreach { case (id, _, lw) =>
+      val k = key(id, lw)
+      assert(math.abs(got(id) - k) <= 4 * math.ulp(k),
+        s"key for id=$id drifted past libm rounding: ${got(id)} vs $k")
+    }
   }
 
   test("json mutation functions follow SQLite JSON1 semantics") {

@@ -320,18 +320,50 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p128 stopped consuming the shared cluster artifact:\n$p128")
     assert(!p128.contains("row_number") && !p128.contains("collect_list"),
       s"p128 lost the streaming shard write:\n$p128")
-    // and the pack's range exchange must be REUSED between its two
-    // consumers (the per-(partition, group) totals and the running sum):
-    // without reuse the sort executes twice with independently sampled
-    // boundaries and spark_partition_id() mis-keys the offsets — the
-    // sf0.1 half-the-sequences corruption this pin exists to catch.
-    // Reuse is an AQE runtime decision, so execute and read the final
-    // adaptive plan (the p03 idiom).
-    val p125df = SparkEntry.queries("p125_token_pack_shards")(spark, dir)
-    p125df.queryExecution.toRdd.foreach(_ => ())
-    val p125Final = p125df.queryExecution.executedPlan.toString
-    assert(p125Final.contains("ReusedExchange"),
-      s"p125's pack sort is no longer planned once:\n$p125Final")
+    // p129 (DSIR resample) consumes the two lm_model artifacts and
+    // selects with a scan-speed threshold filter — the per-source count
+    // is a tiny aggregate broadcast back, NEVER a corpus window or a
+    // top-k selection structure
+    val p129 = formatted("p129_dsir_resample")
+    assert(p129.contains("graft-artifacts"),
+      s"p129 stopped consuming the persisted lm_model artifacts:\n$p129")
+    assert(!p129.contains("Window") && !p129.contains("row_number"),
+      s"p129 grew a window where a threshold filter belongs:\n$p129")
+    // p130 (multimodal WebDataset) must keep the single-exchange
+    // streaming tar write — binary members change nothing about the
+    // export shape
+    val p130 = formatted("p130_multimodal_webdataset")
+    assert(!p130.contains("row_number") && !p130.contains("collect_list"),
+      s"p130 lost the streaming shard write:\n$p130")
+    // p131 (incremental clusters) consumes the committed labels — the
+    // steady-state plan is an artifact scan, with no CC iteration, no
+    // pair generation, no window in the lineage
+    val p131 = formatted("p131_incremental_clusters")
+    assert(p131.contains("graft-artifacts"),
+      s"p131 stopped consuming the committed cluster artifact:\n$p131")
+    assert(!p131.contains("Window") && !p131.contains("xxhash64"),
+      s"p131's consume path re-grew cluster computation:\n$p131")
+    // p132 (mixture-export funnel) must keep p125's discipline: the
+    // selection is a codegen'd filter (no per-source window), packing is
+    // the checkpoint-frozen grouped prefix sum, records ride the single
+    // export exchange (record order comes from the secondary sort, so
+    // no row_number; assembly is per-record, so no collect_list)
+    val p132 = formatted("p132_mixture_export")
+    assert(!p132.contains("row_number") && !p132.contains("collect_list"),
+      s"p132 lost the single-exchange export shape:\n$p132")
+    assert(p132.contains("ExistingRDD"),
+      s"p132's pack projection is no longer checkpoint-materialized:\n$p132")
+    // and the pack's sorted (group, id, count, partition) projection
+    // must be a CHECKPOINTED scan (ExistingRDD) feeding both consumers
+    // (the per-(partition, group) totals and the running sum): frozen
+    // partition ids from one materialization are what make the offsets
+    // key correctly by construction (r18; previously this relied on AQE
+    // reusing one range exchange — a planner courtesy, not a guarantee
+    // — and losing it mis-keys the offsets: the sf0.1
+    // half-the-sequences corruption this pin exists to catch).
+    assert(p125.contains("ExistingRDD"),
+      s"p125's pack projection is no longer checkpoint-materialized " +
+        s"(partition ids must be frozen data, not plan-reuse luck):\n$p125")
     // p117 has no plan-level tell: removeContaminatedSpans cap-probes +
     // localCheckpoints its gram side, so BOTH the store scan and an
     // inline recompute plan as ExistingRDD. Pin the store participation

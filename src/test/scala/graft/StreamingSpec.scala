@@ -829,6 +829,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming resample gate admits exactly the batch Gumbel keys over threshold") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.Sampling
+    // weights spread around 0 so the fixed threshold keeps SOME rows of
+    // each batch but not all — both branches of the gate exercised
+    val docs = (0L until 40L).map(i =>
+      (i, (i % 7).toDouble / 7.0 - 0.5,
+        java.sql.Timestamp.valueOf(s"2024-01-01 00:${(i % 60) / 10}${i % 10}:00")))
+    val dir = Files.createTempDirectory("graft-rgate").toString
+    val q = DocStreams.resampleGate(
+        spark.readStream.schema("doc_id LONG, lw DOUBLE, ts TIMESTAMP")
+          .parquet(dir),
+        "lw", "doc_id", "ts", threshold = 0.7)
+      .writeStream.format("memory").queryName("rgate")
+      .outputMode("append").start()
+    try {
+      docs.grouped(20).foreach { batch =>
+        batch.toDF("doc_id", "lw", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT id, gumbel_key, keep FROM rgate")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+        .toMap
+      // the batch twin: the same key expression + the same threshold
+      // (the stateless gate IS the batch filter, row for row)
+      val batch = docs.toDF("doc_id", "lw", "ts")
+        .select(col("doc_id"),
+          Sampling.gumbelKey(col("doc_id"), col("lw")).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, (k, keep)) =>
+        assert(k == batch(id) && keep == (k > 0.7))
+      }
+      val kept = streamed.count(_._2._2)
+      assert(kept > 0 && kept < docs.size,
+        "fixture must exercise both admitted and dropped rows")
+    } finally q.stop()
+  }
+
   test("streaming near-dup admission matches the batch first-in-every-bucket twin") {
     import spark.implicits._
     import graft.streaming.DocStreams

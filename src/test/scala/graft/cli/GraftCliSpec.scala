@@ -328,6 +328,12 @@ class GraftCliSpec extends AnyFunSuite {
     assert(engine.artifacts.meta("cli-whole").exists(_.params ==
       Map("pairs" -> "spec", "note" -> "a,b=2")),
       "repeated-form value with pair-shaped comma chunks must stay whole")
+    // r17 advice: a script written against the OLD expansion learns on
+    // stderr that its pair-shaped value was taken whole — here, not from
+    // a downstream consume refusal (and the non-pair-shaped repeated
+    // values above must stay silent)
+    assert(err4.contains("note: repeated --param value 'note=a,b=2'"),
+      s"expected the taken-whole stderr note, got: $err4")
     assert(cli("artifacts", "delete", "cli-whole")._1 == 0)
     // the single-occurrence legacy form keeps its documented ambiguity:
     // sep=a=1,b=2 (intending value "a=1,b=2") splits into two pairs —

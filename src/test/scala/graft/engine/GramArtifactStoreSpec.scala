@@ -308,6 +308,43 @@ class GramArtifactStoreSpec extends AnyFunSuite {
     assert(eU.getMessage.contains("no artifact named"))
   }
 
+  test("incremental dup-clusters rebuild: seeds the prior version, refuses wrong priors") {
+    import spark.implicits._
+    val store = freshStore()
+    val params = Map("pairs" -> "fixture", "threshold" -> "0.5")
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    store.buildDupClusters("cc", oldPairs, "docs@1", params)
+    val newPairs = Seq((3L, 10L), (0L, 11L), (40L, 41L)).toDF("id_a", "id_b")
+    // a prior the caller mis-states (absent snapshot) refuses before work
+    val ePrev = intercept[IllegalArgumentException](
+      store.rebuildDupClustersIncremental(spark, "cc", newPairs,
+        "docs@0", "docs@2", params))
+    assert(ePrev.getMessage.contains("docs@0"))
+    // a prior built under a DIFFERENT pair derivation refuses — old and
+    // new pairs must share a derivation for the union graph to mean
+    // anything
+    intercept[IllegalArgumentException](
+      store.rebuildDupClustersIncremental(spark, "cc", newPairs,
+        "docs@1", "docs@2", params + ("threshold" -> "0.9")))
+    // rebuilding a snapshot incrementally over ITSELF refuses
+    val eSame = intercept[IllegalArgumentException](
+      store.rebuildDupClustersIncremental(spark, "cc", newPairs,
+        "docs@1", "docs@1", params))
+    assert(eSame.getMessage.contains("NEW corpus"))
+    // the happy path: labels equal the full recompute over old ∪ new
+    store.rebuildDupClustersIncremental(spark, "cc", newPairs,
+      "docs@1", "docs@2", params)
+    val labels = store.dupClusterLabels(spark, "cc", "docs@2", params)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = graft.operators.Dedup
+      .dupClusters(oldPairs.unionByName(newPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == full && labels(1L) == 0L && labels(40L) == 40L)
+    // one manifest entry per name: the superseded version now refuses
+    intercept[IllegalArgumentException](
+      store.dupClusterLabels(spark, "cc", "docs@1", params))
+  }
+
   test("rebuild evicts with one generation of grace; drop removes everything") {
     val store = freshStore()
     val m1 = store.buildBoilerplate("hot", corpus, "text", "doc_id",
