@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for large-scale training-data pipelines.
   *
   * All algorithms are expressed as shuffle-on-key DataFrame transforms with
-  * no driver-side materialization: exact dedup is one hash aggregation;
-  * MinHash/SimHash candidate generation is an explode -> aggregate ->
-  * bucket-self-join pipeline whose cost is O(docs x shingles) map side and
-  * O(bucket^2) only within LSH buckets (with an explicit bucket-size cap to
-  * survive skew at 100 TB).
+  * no unbounded driver-side materialization: exact dedup is one hash
+  * aggregation; MinHash/SimHash candidate generation is an explode ->
+  * aggregate -> bucket-self-join pipeline whose cost is O(docs x shingles)
+  * map side and O(bucket^2) only within LSH buckets (with an explicit
+  * bucket-size cap to survive skew at 100 TB). The one size-GATED driver
+  * step is [[dupClustersWithRounds]]'s local union-find fast path, which
+  * collects the pair table only below an explicit threshold (broadcast-
+  * relation-sized) and falls back to the distributed rounds above it.
   */
 object Dedup {
 
@@ -599,8 +602,80 @@ object Dedup {
     (salted.join(saltedMin, Seq(key, "__salt")).drop("__salt"), total)
   }
 
+  /** Pair count below which [[dupClustersWithRounds]] solves the
+    * components ON THE DRIVER instead of running the distributed
+    * star-contraction rounds — the same runtime size-adaptivity as a
+    * broadcast join, for the same reason: the near-dup pair graph is
+    * ≪ corpus by construction (only near-dups pair up), and at small
+    * sizes the iterative loop's cost is pure fixed overhead (~15
+    * exchanges x O(log n) rounds of stage latency for a graph a single
+    * union-find pass solves in milliseconds). 2M pairs collect to
+    * roughly 150 MB of transient driver rows plus a ~4M-entry hash map
+    * — the same order a default broadcast relation already budgets for
+    * the driver. Override per session with `spark.graft.cc.localMaxPairs`
+    * (0 forces the distributed path; the scale specs pin the salted
+    * distributed rounds that way). */
+  private val LocalMaxPairsKey = "spark.graft.cc.localMaxPairs"
+  private val LocalMaxPairsDefault = 2000000L
+
+  /** Driver-side union-find over a collected pair table: labels every id
+    * mentioned in `p0` with its component's MINIMUM id — bit-identical
+    * to the distributed rounds' output (min-id labeling is unique, so
+    * the two paths cannot disagree). Union-by-min (the smaller root
+    * absorbs) makes every root its component's minimum by construction;
+    * path compression keeps finds amortized near-constant. Self-pairs
+    * register their id, so isolated nodes label themselves, exactly like
+    * the distributed path's `allIds` anti-join. */
+  private def localClusterLabels(p0: DataFrame): DataFrame = {
+    val spark = p0.sparkSession
+    // the collect reads the already-materialized checkpoint blocks, cast
+    // to long for primitive-friendly driver work; the output casts back
+    // to the exact type the distributed path would emit
+    val idType = p0.select(greatest(col("id_a"), col("id_b")))
+      .schema.head.dataType
+    val rows = p0.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    def find(a: Long): Long = {
+      var r = a
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = a
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    var i = 0
+    while (i < rows.length) {
+      val a = rows(i).getLong(0); val b = rows(i).getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val out = parent.keySet().asScala.toArray.sorted
+      .map(id => org.apache.spark.sql.Row(id, find(id)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    // RDD-backed (never a plan-embedded LocalRelation): label sets can
+    // reach millions of rows at the threshold, and consumers join them
+    // against the corpus like any other distributed frame
+    val slices = math.max(1, math.min(out.length / 100000 + 1,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, slices), schema)
+      .select(col("id").cast(idType).as("id"),
+        col("cluster").cast(idType).as("cluster"))
+  }
+
   /** dupClusters plus the number of rounds it took to converge (specs
-    * assert the O(log n) bound on deep path graphs). */
+    * assert the O(log n) bound on deep path graphs; the driver-local
+    * fast path reports 0 rounds). */
   def dupClustersWithRounds(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val s = saltWidth(pairs)
     // ONE execution of the (potentially expensive) pairs lineage. The
@@ -613,6 +688,28 @@ object Dedup {
     // rows are freed as soon as the two small derivatives below have
     // materialized from them.
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // scale-adaptive algorithm choice (r18, guide §1.2 "the distributed
+    // algorithm"): count the materialized pairs (one cheap scan of the
+    // checkpoint blocks) and solve small graphs on the driver — at bench
+    // scale the pair graph is tens-to-hundreds of rows and the rounds
+    // below are ~6 x ~15 exchanges of pure stage latency; at 100 TB the
+    // pair table exceeds the threshold and the salted rounds run
+    // unchanged. Integral id types only (the union-find works on longs);
+    // anything else takes the distributed path.
+    val localMax = pairs.sparkSession.conf
+      .get(LocalMaxPairsKey, LocalMaxPairsDefault.toString).toLong
+    val integralIds = p0.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (integralIds && localMax > 0 && p0.count() <= localMax) {
+      val labels = localClusterLabels(p0)
+      unpersistCheckpoint(p0)
+      return (labels, 0)
+    }
     // canonical edge direction: u (larger) -> v (smaller)
     var edges = p0
       .filter(col("id_a") =!= col("id_b"))

@@ -376,12 +376,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(id(0).payload.toSeq == Seq[Byte](0, 2, 4, 6, 8, 10))
   }
 
+  /** Run `body` with the dup-clusters driver-local fast path disabled,
+    * so the pins on the DISTRIBUTED star-contraction rounds (round
+    * bounds, per-round checkpoint hygiene, salted-lineage skew) keep
+    * testing the code path a 100 TB pair table takes — a bench-scale
+    * graph would otherwise solve on the driver and hollow the pin out. */
+  private def forceDistributedCc[A](body: => A): A = {
+    spark.conf.set("spark.graft.cc.localMaxPairs", "0")
+    try body finally spark.conf.unset("spark.graft.cc.localMaxPairs")
+  }
+
+  test("dupClusters: driver-local fast path labels identically to the distributed rounds") {
+    import graft.operators.Dedup
+    // chain + star + triangle + self-pair singleton + a merge bridge —
+    // every shape the labeling contract covers, solved both ways
+    val pairs = ((0L until 200L).map(i => (i, i + 1)) ++
+      (1L to 50L).map(i => (5000L + i, 5000L)) ++
+      Seq((7000L, 7001L), (7001L, 7002L), (7000L, 7002L), (9000L, 9000L),
+        (200L, 5000L))).toDF("id_a", "id_b")
+    val (localLabels, localRounds) = Dedup.dupClustersWithRounds(pairs)
+    assert(localRounds == 0, "bench-scale graph must take the local path")
+    val local = localLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (distLabels, distRounds) =
+      forceDistributedCc(Dedup.dupClustersWithRounds(pairs))
+    assert(distRounds > 0, "forced path must run the distributed rounds")
+    val dist = distLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(localLabels.schema == distLabels.schema)
+  }
+
   test("dupClusters converges in O(log n) rounds on a deep path graph") {
     import graft.operators.Dedup
     // a 1000-node chain: diameter 999 — min-label propagation would need
     // ~999 rounds; large-star/small-star must label it in under 10
     val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.dupClustersWithRounds(pairs, maxIter = 25)
+    val (labels, rounds) =
+      forceDistributedCc(Dedup.dupClustersWithRounds(pairs, maxIter = 25))
     assert(rounds < 10, s"took $rounds rounds")
     val rows = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(rows.length == 1000)
@@ -405,7 +435,8 @@ class OperatorsSpec extends AnyFunSuite {
     // it), so the persistent-RDD delta must be O(1), not O(rounds).
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = (0L until 512L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.dupClustersWithRounds(pairs, maxIter = 25)
+    val (labels, rounds) =
+      forceDistributedCc(Dedup.dupClustersWithRounds(pairs, maxIter = 25))
     assert(labels.count() == 513)
     assert(rounds >= 3, s"path graph converged in $rounds rounds — too " +
       "shallow to exercise the per-round unpersist")
@@ -2380,8 +2411,10 @@ class OperatorsSpec extends AnyFunSuite {
     val chain = (0L until 8000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val star = (1L to 8000L).map(i => (50000L + i, 50000L)).toDF("id_a", "id_b")
     val ((labels, rounds), _) = assertNoStraggler(10000L) {
-      val (l, r) = Dedup.dupClustersWithRounds(chain.union(star), maxIter = 25)
-      (l.collect().map(x => x.getLong(0) -> x.getLong(1)), r)
+      forceDistributedCc {
+        val (l, r) = Dedup.dupClustersWithRounds(chain.union(star), maxIter = 25)
+        (l.collect().map(x => x.getLong(0) -> x.getLong(1)), r)
+      }
     }
     assert(rounds < 10, s"took $rounds rounds")
     assert(labels.length == 8001 + 8001)
