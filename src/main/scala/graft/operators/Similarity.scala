@@ -150,23 +150,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
-  /** The per-row nearest-centroid argmax fold over a literal centroid
-    * matrix — zero shuffle, no per-row window; ties keep the first
-    * (lowest) centroid id, matching the (csim desc, centroid_id asc)
-    * ordering it replaces. Shared by the inline route and the index
-    * build so the persisted routing can never drift from the ad-hoc
-    * one. */
-  private def nearestCentroid(centMat: Seq[Seq[Double]],
-      vec: String): Column = {
-    val m = typedLit(centMat)
-    aggregate(
-      sequence(lit(1), lit(centMat.length)),
-      struct(lit(-2.0).as("csim"), lit(0).as("cid")),
-      (b, i) => {
-        val s = cosine(col(vec), element_at(m, i))
+  /** Attach the per-row nearest-centroid argmax over a literal centroid
+    * matrix as `outCol` — zero shuffle, no per-row window; ties keep the
+    * first (lowest) centroid id, matching the (csim desc, centroid_id
+    * asc) ordering it replaces. Shared by the inline route, the index
+    * build, and [[semDeDup]]'s Lloyd assignment so persisted and ad-hoc
+    * routings can never drift.
+    *
+    * Kernel shape (r18, guide §1.2 step 2 "per-task work"): the old
+    * per-(row, centroid) `cosine(v, element_at(m, i))` re-reduced BOTH
+    * norms inside the lambda — the row norm k times per row, and the
+    * centroid norm (pure literal data, but hidden from constant folding
+    * behind the lambda-indexed element_at) k x dims times per row. Here
+    * the row norm is hoisted to one per-row projection and each centroid
+    * norm is folded on the DRIVER with the identical left-to-right IEEE
+    * fold, so per row only the k dot products remain: 3 x fewer array
+    * reductions, identical doubles by construction. `roundDigits >= 0`
+    * rounds each similarity before the comparison (semDeDup's round-9
+    * damper); negative means raw. */
+  private def withNearestCentroid(df: DataFrame, vecCol: String,
+      outCol: String, centMat: Seq[Seq[Double]],
+      roundDigits: Int = -1): DataFrame = {
+    if (centMat.isEmpty) return df.withColumn(outCol, lit(0).cast("int"))
+    // the row vector's norm, hoisted to ONE per-row computation in its
+    // own projection (CollapseProject never inlines a non-cheap alias
+    // referenced k times) — the old per-centroid cosine re-folded it k
+    // times per row
+    val staged = df.withColumn("__cna", norm(col(vecCol)))
+    // each centroid's norm is DRIVER data: the same left-to-right IEEE
+    // fold the executor ran per (row, centroid) — the lambda-indexed
+    // element_at(m, i) form defeated constant folding, so the old plan
+    // re-reduced a literal vector k x dims times per row
+    val sims: Seq[Column] = centMat.map { c =>
+      val nb = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      val raw = dot(col(vecCol), typedLit(c)) / (col("__cna") * lit(nb))
+      if (roundDigits >= 0) round(raw, roundDigits) else raw
+    }
+    // argmax over the sims ARRAY as the aggregate's input, so the array
+    // is evaluated once per row no matter how projections collapse; the
+    // lambda binds (state, sim) as variables — identical comparison
+    // semantics to the per-centroid fold this replaces (s > csim only:
+    // ties keep the FIRST = lowest centroid id, NaN/null never win,
+    // all-null keeps the seed cid 0)
+    val best = aggregate(
+      array(sims: _*),
+      struct(lit(-2.0).as("csim"), lit(0).as("cid"), lit(0).as("i")),
+      (b, s) => {
+        val i = b.getField("i") + lit(1)
         when(s > b.getField("csim"),
-          struct(s.as("csim"), i.cast("int").as("cid"))).otherwise(b)
-      }).getField("cid")
+          struct(s.as("csim"), i.cast("int").as("cid"), i.as("i")))
+          .otherwise(struct(b.getField("csim").as("csim"),
+            b.getField("cid").as("cid"), i.as("i")))
+      },
+      b => b.getField("cid"))
+    staged.withColumn(outCol, best).drop("__cna")
   }
 
   /** Build the IVF index over a corpus: the bounded centroid matrix
@@ -183,7 +220,8 @@ object Similarity {
     val centMat: Seq[Seq[Double]] = c.orderBy(col("id"))
       .limit(nCentroids).collect().map(_.getSeq[Double](1).toSeq).toSeq
     (centMat,
-      c.select(col("id"), nearestCentroid(centMat, "cv").as("centroid_id")))
+      withNearestCentroid(c, "cv", "centroid_id", centMat)
+        .select(col("id"), col("centroid_id")))
   }
 
   /** The probe+score half of [[ivfTopK]] over an ALREADY-ROUTED corpus
@@ -231,7 +269,7 @@ object Similarity {
       .limit(nCentroids).collect().map(_.getSeq[Double](1).toSeq).toSeq
     // inline route: the argmax column directly on the scan — no join,
     // the ad-hoc one-shot plan
-    val routedC = c.withColumn("centroid_id", nearestCentroid(centMat, "cv"))
+    val routedC = withNearestCentroid(c, "cv", "centroid_id", centMat)
     ivfProbe(queries, routedC, centMat, vecCol, idCol, k, nprobe)
   }
 
@@ -322,22 +360,12 @@ object Similarity {
     // can't save a window-based formulation).
     var cent: Seq[Seq[Double]] = t.orderBy(col("id")).limit(nClusters)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    def assignCol(c: Seq[Seq[Double]]): Column = {
-      val m = typedLit(c)
-      // fold keeps the FIRST best on ties -> lowest centroid id, like the
-      // (csim desc, centroid_id asc) ordering it replaces
-      val best = aggregate(
-        sequence(lit(1), lit(c.length)),
-        struct(lit(-2.0).as("csim"), lit(0).as("cid")),
-        (b, i) => {
-          val s = round(cosine(col("v"), element_at(m, i)), 9)
-          when(s > b.getField("csim"),
-            struct(s.as("csim"), i.cast("int").as("cid"))).otherwise(b)
-        })
-      best.getField("cid")
-    }
+    // fold keeps the FIRST best on ties -> lowest centroid id, like the
+    // (csim desc, centroid_id asc) ordering it replaces; the shared
+    // hoisted-norm argmax (see withNearestCentroid) with semDeDup's
+    // round-9 float-noise damper applied before each comparison
     def assign(c: Seq[Seq[Double]]): DataFrame =
-      t.withColumn("cluster", assignCol(c))
+      withNearestCentroid(t, "v", "cluster", c, roundDigits = 9)
     for (_ <- 0 until iters) {
       cent = assign(cent)
         .select(col("cluster").as("centroid_id"),
