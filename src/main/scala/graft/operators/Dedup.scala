@@ -975,8 +975,18 @@ object Dedup {
     * builder below shingles EXACTLY like the consumers. */
   private def gramsWithBlocks(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], n: Int): DataFrame =
-    wordShingles(df, textCol, idCol, n)
-      .join(df.select((col(idCol).as("id") +: blockCols.map(col)): _*), Seq("id"))
+    // blockCols ride THROUGH the shingle explode instead of joining back
+    // by id afterwards (r18, guide §2.4): the join-back formulation paid
+    // a second scan of `df` plus a join per gram pass for columns the
+    // scan already had in hand — and on single-file bench inputs every
+    // scan is a serialized task. Same rows, same (id, gram, blocks...)
+    // column order; the per-gram block strings only exist between the
+    // explode and the first aggregation, which keyed on them anyway.
+    df.select((col(idCol).as("id") +:
+        TextAnalysis.words(col(textCol)).as("words") +: blockCols.map(col)): _*)
+      .filter(size(col("words")) >= n)
+      .select((col("id") +: explode(shinglesOf(col("words"), n)).as("gram") +:
+        blockCols.map(col)): _*)
 
   /** The over-cap keys of a gram table: every (blockCols..., gram) whose
     * DOCUMENT frequency exceeds maxDf. countDistinct, not count: the
@@ -1093,7 +1103,17 @@ object Dedup {
             s"${builtWith.mkString(", ")} but this call runs ($n, $maxDf) " +
             "— a mismatch matches nothing and silently disables the df " +
             "cap; rebuild the artifact with the consumer's parameters")
-        grams.join(broadcast(hotList.select(key.map(col): _*)), key, "left_anti")
+        // ONE materialization for the capped gram table (r18): the
+        // consumers downstream (sizes + both self-join sides) would each
+        // re-execute the whole scan+shingle lineage — the old join-back
+        // in gramsWithBlocks happened to leave an id-keyed exchange the
+        // runtime could reuse across them; with blocks riding the explode
+        // there is no exchange to share, so share the checkpoint instead
+        // (the None path below has always done exactly this). At 100 TB
+        // this trades three corpus scans per pass for one scan + one
+        // bounded materialized read, the same trade the None path made.
+        grams.join(broadcast(hotList.select(key.map(col): _*)), key,
+          "left_anti").localCheckpoint()
       case None =>
         val shared = grams.localCheckpoint()
         val hot = hotGramsOf(shared, blockCols, maxDf)
