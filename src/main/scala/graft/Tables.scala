@@ -45,11 +45,73 @@ object Tables {
     }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = loadRaw(spark, dir, name)
+    if (kernelTables(name))
+      parallelizeSmallScan(spark, df, s"$dir/$name.parquet")
+    else df
+  }
+
+  /** [[load]] without the scan-spread exchange — for the measured
+    * exceptions whose pipelines are exchange-bound rather than
+    * scan-CPU-bound (the as-of/session-window operators, whose tagged
+    * lineage re-executes per consumer, and the typed-codec image path):
+    * there the extra exchange is pure overhead (s05 +0.4 s, s03 +0.1 s,
+    * p63 +0.3..1.3 s measured at sf0.1) while every scan-kernel consumer
+    * wins. At production scale both loaders behave identically — the
+    * spread condition never fires past the byte threshold. */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
       if (name == "events") loadEvents(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet")
     checkSchema(name, df)
     df
+  }
+
+  /** Tables whose consumers run expensive per-row kernels (shingling +
+    * md5 per word position, JSON parsing, 64-lane vector folds) — the
+    * scans where one unsplittable row group serializes real CPU on one
+    * core. The relational tables stay as-read: their queries are
+    * codegen'd filter/agg pipelines that are bandwidth-bound at the scan,
+    * and an extra exchange there is pure overhead (measured: q17
+    * +0.9 s from a lineitem round-robin vs p03 −0.7 s from this one). */
+  private val kernelTables = Set("documents", "events", "embeddings")
+
+  /** Scale-adaptive scan parallelization (optimization guide §2.5, "input
+    * skew: one huge unsplittable file ... repartition immediately after the
+    * read"). Parquet splits at row-group boundaries, so a table written as
+    * one row group scans as ONE task no matter how many cores the session
+    * has — at bench scale every corpus table is exactly that, and the
+    * per-row kernels (shingling, md5, JSON parse) serialize on a single
+    * core while 31 idle. When the table's on-disk footprint cannot yield
+    * at least `defaultParallelism` natural splits AND is small enough that
+    * one extra round-robin exchange is provably cheap (below
+    * `spark.graft.scan.parallelizeMaxBytes`, default 1 GB), append a
+    * repartition to the session's default parallelism. At production scale
+    * this is a structural no-op: any table worth shuffling has thousands
+    * of natural splits and trips neither condition. Deterministic
+    * predicates and column pruning still reach the parquet scan below the
+    * exchange (PlanShapeSpec pins PushedFilters/ReadSchema on q01/q02).
+    * Tables under 64 KB (broadcast dims) are left alone — for them the
+    * exchange is pure latency. Set parallelizeMaxBytes=0 to disable. */
+  private def parallelizeSmallScan(spark: SparkSession, df: DataFrame,
+      path: String): DataFrame = {
+    val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.graft.scan.parallelizeMaxBytes", "1g"))
+    val f = new java.io.File(path)
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+          .getOrElse(0L)
+      else f.length()
+    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val cores = spark.sparkContext.defaultParallelism
+    val naturalSplits = (bytes + splitBytes - 1) / math.max(1L, splitBytes)
+    val target = spark.conf.get("spark.graft.scan.parallelizePartitions",
+      math.max(8, cores / 4).toString).toInt
+    if (bytes >= 65536L && bytes < maxBytes && naturalSplits < target)
+      df.repartition(target)
+    else df
   }
 
   /** Normalize `events.ts` to TIMESTAMP_NTZ microseconds regardless of the

@@ -275,7 +275,16 @@ class GramArtifactStore(val root: Path) {
     var published = false
     val meta =
       try {
-        df.write.mode("overwrite").parquet(dataDir.toString)
+        // REBALANCE before the write (optimization guide §6, output file
+        // sizing): without it the file count is whatever partitioning the
+        // build plan ended with — 32 near-empty files for a 89-row merge
+        // table, and every consumer pays one scan task per file forever.
+        // With AQE the rebalance coalesces small outputs toward the
+        // advisory partition size (tiny artifacts → one file) and splits
+        // skewed ones, so file sizes track data volume at any scale; the
+        // one extra exchange is paid once per snapshot build, not per
+        // consume.
+        df.hint("rebalance").write.mode("overwrite").parquet(dataDir.toString)
         // meta.rows from the WRITTEN data's parquet footers (metadata-
         // only), with the bound re-checked — see the method scaladoc
         val rows = df.sparkSession.read.parquet(dataDir.toString).count()

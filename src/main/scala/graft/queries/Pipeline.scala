@@ -536,7 +536,7 @@ object Pipeline {
   def p14MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 8 + (id % 9).toInt
       val h = 6 + (id % 5).toInt
       val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
@@ -574,7 +574,7 @@ object Pipeline {
   def p31PngGifDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 8 + (id % 9).toInt
       val h = 6 + (id % 5).toInt
       if (id % 2 == 0) {
@@ -614,7 +614,7 @@ object Pipeline {
   def p32MjpegDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 8 + (id % 9).toInt
       val h = 6 + (id % 5).toInt
       val nf = 2 + (id % 4).toInt
@@ -642,7 +642,7 @@ object Pipeline {
   def p33AdpcmDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val rate = 8000 + (id % 3).toInt * 4000
       val n = 600 + (id % 200).toInt // spans a full + a partial ADPCM block
       val samples = Array.tabulate[Short](n)(i =>
@@ -738,7 +738,7 @@ object Pipeline {
   def p38G711Decode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val n = 400 + (id % 100).toInt
       val codes = Array.tabulate[Byte](n)(i => ((id * 7 + i.toLong * 11) % 256).toByte)
       Multimodal.MediaRow(id, "wav",
@@ -1075,7 +1075,7 @@ object Pipeline {
   def p22AudioDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val rate = 8000 + (id % 3).toInt * 4000
       val n = 256 + (id % 128).toInt
       val samples = Array.tabulate[Short](n)(i =>
@@ -1116,7 +1116,7 @@ object Pipeline {
   def p41FlacDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val rate = 16000 + (id % 2).toInt * 16000
       val n = 300 + (id % 200).toInt
       val samples = Array.tabulate[Short](n)(i =>
@@ -1158,7 +1158,7 @@ object Pipeline {
   def p42TiffDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 8 + (id % 9).toInt
       val h = 6 + (id % 5).toInt
       val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
@@ -1193,7 +1193,7 @@ object Pipeline {
   def p43Mp3Probe(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val n = 3 + (id % 4).toInt
       val brIdx = (0 until n).map(i => 1 + ((id + i) % 14).toInt)
       val pads = (0 until n).map(i => ((id + i) % 2).toInt)
@@ -1235,7 +1235,7 @@ object Pipeline {
   def p44Mp4Probe(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 160 + (id % 8).toInt * 16
       val h = 120 + (id % 5).toInt * 24
       val tracks = Seq(("vide", "avc1", w, h)) ++
@@ -1486,7 +1486,7 @@ object Pipeline {
   def p53ExifProbe(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val base = Multimodal.encodeJpeg(4, 3,
         Array.tabulate[Byte](36)(i => ((id + i) % 256).toByte))
       Multimodal.MediaRow(id, "jpg", Exif.encodeJpegWithExif(
@@ -1573,7 +1573,7 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val rate = 16000
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val n = 2048 + (id % 3).toInt * 512
       val f = AudioFeatures.melCenterHz((id % 16).toInt, 16, rate)
       val samples = Array.tabulate[Short](n)(i =>
@@ -1639,7 +1639,7 @@ object Pipeline {
     val star = "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
       "Disallow: /*.zip$\n"
     val named = star + "\nUser-agent: graftbot\nDisallow: /tmp/\n"
-    val pages = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val pages = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val robots = if (id % 2 == 0) star else named
       val path = (id % 4) match {
         case 0 => s"/private/f$id"
@@ -1804,7 +1804,7 @@ object Pipeline {
   def p60MediaFunnel(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 4 + (id % 5).toInt
       val h = 3 + (id % 4).toInt
       val base = Multimodal.encodeJpeg(w, h,
@@ -1969,7 +1969,7 @@ object Pipeline {
   def p27VideoDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 8 + (id % 9).toInt
       val h = 6 + (id % 5).toInt
       val nf = 2 + (id % 4).toInt
@@ -2006,7 +2006,7 @@ object Pipeline {
   def p28ImageResize(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 8 + (id % 9).toInt
       val h = 6 + (id % 5).toInt
       val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
@@ -2242,7 +2242,7 @@ object Pipeline {
   def p63ImagePhash(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val seed = if (id % 7 == 1) id - 1 else id
       val delta = if (id % 7 == 1) (60 + (id % 3) * 60).toInt else 0
       val px = Array.tabulate[Byte](18 * 16 * 3) { i =>
@@ -2425,7 +2425,7 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val rate = 16000
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val n = 2048 + (id % 3).toInt * 512
       val f = AudioFeatures.melCenterHz((id % 16).toInt, 16, rate)
       val samples = Array.tabulate[Short](n)(i =>
@@ -2460,7 +2460,7 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val rate = 16000
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val seed = if (id % 9 == 1) id - 1 else id
       val amp = if (id % 9 == 1) 6000.0 else 8000.0
       val nSegs = (7 + id % 3).toInt
@@ -2848,7 +2848,7 @@ object Pipeline {
       }
       rgb
     }
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val refs: Seq[(Long, Long)] =
         if (id % 11 == 1) {
           val sd = id - 1
@@ -3007,7 +3007,7 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val rate = 16000
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val f = AudioFeatures.melCenterHz((id % 16).toInt, 16, rate)
       val samples = new Array[Short](8 * 2048)
@@ -3104,7 +3104,7 @@ object Pipeline {
       }
       Multimodal.MediaRow(id, "wav", Multimodal.encodeWavPcm16(srcRate, samples))
     }
-    val ids = documents(s, dir).select(col("doc_id")).as[Long]
+    val ids = documentsRaw(s, dir).select(col("doc_id")).as[Long]
     val up = AudioFeatures.resampleWav(
       ids.filter(_ % 2 == 0).map(tone), dstRate = 16000)
     val down = AudioFeatures.resampleWav(
@@ -3402,7 +3402,7 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val w = 64; val hh = 48
-    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       // md5-derived phases per base pattern: distinct bases decorrelate
       // (linear-in-seed phases would plant thousands of partial
       // alignments), twins differ only by the +15 brightness offset
@@ -3551,7 +3551,7 @@ object Pipeline {
       Array(0, 0, 0, 0, 1, 1, 2, 3, 3, 4),
       Array(3, 3, 3, 3, 0, 0, 1, 4, 4, 2),
       Array(1, 1, 1, 1, 2, 2, 4, 0, 0, 3))
-    val texts = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val texts = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
       val n = 40 + (id % 7).toInt
       val sb = new StringBuilder
       (0 until n).foreach { i =>

@@ -40,6 +40,15 @@ object Q {
   def part(s: SparkSession, dir: String): DataFrame = t(s, dir, "part")
   def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+
+  /** Un-spread loaders for the measured exceptions — see
+    * [[graft.Tables.loadRaw]]: pipelines whose cost is exchanges, not
+    * scan-side CPU, where the adaptive scan-spread exchange only adds
+    * latency. */
+  def eventsRaw(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.loadRaw(s, dir, "events")
+  def documentsRaw(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.loadRaw(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
   /** Run a SQL query with the corpus tables it references registered as

@@ -50,7 +50,7 @@ object Temporal {
     * classic gaps-and-islands rewrite, which matches Spark's session_window
     * semantics (a session ends when the next event is >= gap away). */
   def s03Session(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    eventsRaw(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .select(col("user_id"),
@@ -169,7 +169,7 @@ object Temporal {
     * [[graft.streaming.EventStreams.clickAttribution]] (same code path;
     * StreamingSpec proves stream==batch). */
   def s04IntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
+    val ev = eventsRaw(s, dir)
     graft.streaming.EventStreams.clickAttribution(ev, ev)
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
@@ -196,7 +196,7 @@ object Temporal {
     * OperatorsSpec separately pins bucketed == plain on an adversarial
     * hot-key corpus. */
   def s05AsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
+    val ev = eventsRaw(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
