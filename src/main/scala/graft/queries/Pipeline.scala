@@ -5301,8 +5301,14 @@ object Pipeline {
       .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
     val mixed = Sampling.sourceMix(d, "doc_id", "source", rates,
       defaultRate = 0.0)
+    // localCheckpoint for the same reason as p125's encode: the pack
+    // consumes this frame twice (pruned span projection + join-back),
+    // and each execution would re-pay the mixture thresholds and the
+    // wsTokens regex over the corpus; the materialized table is three
+    // scalar columns over the SELECTED docs only.
     val toks = mixed.select(col("doc_id"), col("source"),
       TextAnalysis.wsTokens(col("text")).cast("long").as("n_tok"))
+      .localCheckpoint()
     val packed = TextAnalysis.packSequencesPerGroup(
       toks, "source", "doc_id", "n_tok", seqLen = 64)
     val rows = packed
@@ -5578,7 +5584,17 @@ object Pipeline {
     import s.implicits._
     val seqLen = 64
     val merges = p121Merges(s, dir)
+    // localCheckpoint the ENCODE output (r18 optimization): the packed
+    // frame is consumed twice — packSequencesPerGroup derives its spans
+    // from the pruned (split, doc_id, n_tokens) projection and then
+    // joins them back to the full frame — and n_tokens = size(tokens)
+    // means BOTH branches re-ran the BPE merge loop over the corpus
+    // (StageProfile: two ~1 s encode stages per run). Materializing the
+    // (doc_id, tokens) table once costs exactly the token volume the
+    // export exchange moves anyway; the split-artifact join stays in
+    // the live plan (the PlanShapeSpec artifact-consume pin reads it).
     val toks = Bpe.encode(documents(s, dir), "text", "doc_id", merges)
+      .localCheckpoint()
     val withSplit = toks
       .join(p116SplitAssignment(s, dir).select(col("doc_id"), col("split")),
         Seq("doc_id"))
