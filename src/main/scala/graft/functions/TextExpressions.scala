@@ -124,6 +124,37 @@ object TextExpressions {
       StructField("prefix", LongType, nullable = false)))
   }
 
+  /** DISTINCT 31-bit md5-derived gram hashes of a word array,
+    * first-occurrence order — the kernel form of
+    * [[graft.operators.Dedup.wordShingleHashes]]'s
+    * `array_distinct(transform(sequence, i ->
+    * conv(substring(md5(concat_ws(' ', window)), 1, 8), 16, 10) &
+    * 2147483647))` (r18 optimization: that interpreted lambda — one hex
+    * string materialized and re-parsed per window — was 52% of p03's
+    * CPU after the scan spread). Bitwise-identical by construction: the
+    * first 8 hex chars of an md5 ARE its first four digest bytes
+    * big-endian, so the kernel masks the raw digest instead of printing
+    * and parsing hex; OperatorsSpec pins kernel == HOF on real and
+    * adversarial inputs. */
+  case class WordGram31Hashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"need n >= 1: $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "word_gram31_hashes"
+
+    override protected def nullSafeEval(x: Any): Any =
+      TextOps.gram31Hashes(
+        x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        x => s"graft.functions.TextOps.gram31Hashes($x, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** DISTINCT n-word shingle strings of a word array, first-occurrence
     * order — the kernel form of [[graft.operators.Dedup.shinglesOf]]'s
     * `array_distinct(transform(sequence, i -> concat_ws(' ', slice)))`.
@@ -295,6 +326,45 @@ object TextOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       seen.toArray(Array.empty[AnyRef]))
+  }
+
+  private val MD5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** DISTINCT 31-bit md5-derived gram identities, first-occurrence
+    * order. Value = the md5 digest's first four bytes big-endian masked
+    * to 31 bits — exactly `conv(substring(md5(gram), 1, 8), 16, 10) &
+    * 2147483647` without the hex round-trip (the first 8 hex chars ARE
+    * the first 4 digest bytes). The digest input is the window's words
+    * joined with single spaces in UTF-8, which is what Spark's
+    * md5(string) hashes. */
+  def gram31Hashes(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = words.numElements()
+    val m = len - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val ws = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { ws(i) = words.getUTF8String(i); i += 1 }
+    val md = MD5.get()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val buf = new Array[UTF8String](n)
+    i = 0
+    while (i < m) {
+      System.arraycopy(ws, i, buf, 0, n)
+      md.reset()
+      val d = md.digest(UTF8String.concatWs(SPACE, buf: _*).getBytes)
+      seen.add(((d(0) & 0xFFL) << 24 | (d(1) & 0xFFL) << 16 |
+        (d(2) & 0xFFL) << 8 | (d(3) & 0xFFL)) & 0x7FFFFFFFL)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** (q, xxhash64 window) per window start. */

@@ -193,10 +193,25 @@ object Dedup {
     val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
     df.select(col(idCol).as("id"), words.as("ws"))
       .filter(size(col("ws")) >= n)
-      .select(col("id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(ws)-$n), i -> ${gram31Sql("ws", n)})")))
-        .as("g31"))
+      .select(col("id"), explode(g31Kernel(col("ws"), n)).as("g31"))
   }
+
+  /** Native kernel for the distinct 31-bit md5 gram identities — the
+    * compiled form of [[g31Hof]] (r18: the interpreted transform lambda
+    * with a per-window hex md5 round-trip was the dominant CPU of every
+    * minhash signature stage); OperatorsSpec pins kernel == HOF
+    * bitwise. */
+  private[graft] def g31Kernel(words: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TextExpressions.WordGram31Hashes(
+        org.apache.spark.sql.GraftSqlBridge.expression(words), n))
+
+  /** The HOF formulation of [[g31Kernel]] — the spec's independent
+    * equivalence twin, and the exact shape every oracle replays
+    * (md5 hex prefix → conv → mask). */
+  private[graft] def g31Hof(arr: String, n: Int): Column =
+    array_distinct(expr(
+      s"transform(sequence(0, size($arr)-$n), i -> ${gram31Sql(arr, n)})"))
 
   /** MinHash signatures: k affine "permutations" h_i(g) = (a_i·g + b_i)
     * mod (2^31-1) over the md5-derived 31-bit gram identities — the
@@ -250,8 +265,7 @@ object Dedup {
         split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
           .as("__ws") +: carried): _*)
       .filter(size(col("__ws")) >= n)
-      .withColumn("__g31", array_distinct(expr(
-        s"transform(sequence(0, size(__ws) - $n), i -> ${gram31Sql("__ws", n)})")))
+      .withColumn("__g31", g31Kernel(col("__ws"), n))
       .select((col("id") +: (sigCols ++ carried)): _*)
   }
 

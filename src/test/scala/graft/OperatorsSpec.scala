@@ -1293,6 +1293,13 @@ class OperatorsSpec extends AnyFunSuite {
       assert(rows(Dedup.shinglesOf(col("__ws"), n)) ==
         rows(Dedup.shinglesOfHof(col("__ws"), n)),
         s"shingle kernel diverges at n=$n")
+      // 31-bit md5 gram identities (r18 kernel): the digest-byte mask
+      // must equal the hex-prefix/conv HOF bitwise, ORDER included
+      // (array_distinct keeps first occurrence; the signature min-aggs
+      // downstream don't care, but the pin is strict anyway)
+      assert(rows(Dedup.g31Kernel(col("__ws"), n)) ==
+        rows(Dedup.g31Hof("__ws", n)),
+        s"g31 kernel diverges at n=$n")
       val gramHash = (0 until n).map(j => s"element_at(__ws, q + 1 + $j)")
         .mkString("xxhash64(", ", ", ")")
       val gramStr = (0 until n).map(j => s"element_at(__ws, q + 1 + $j)")
