@@ -703,10 +703,25 @@ object TextAnalysis {
     * or read back from a persisted `lm_model` artifact. */
   def lmScoreWithModel(docs: DataFrame, gramCounts: DataFrame,
       prefixCounts: DataFrame, textCol: String, idCol: String,
-      n: Int = 2, oovNll: Double = 20.0): DataFrame = {
-    val perDoc = wordGramPrefixHashes(docs, textCol, idCol, n)
+      n: Int = 2, oovNll: Double = 20.0): DataFrame =
+    scorePerDocGrams(perDocGramTable(docs, textCol, idCol, n),
+      gramCounts, prefixCounts, idCol, oovNll)
+
+  /** The corpus half of [[lmScoreWithModel]]: one (id, gram, prefix)
+    * occurrence table — the only corpus-sized computation of the scoring
+    * pass, factored out so a MULTI-model scorer ([[dsirScoresWithModels]])
+    * computes it once and joins every model against it instead of
+    * re-scanning the corpus per model (r18 optimization). */
+  private def perDocGramTable(docs: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame =
+    wordGramPrefixHashes(docs, textCol, idCol, n)
       .groupBy(col(idCol), col("gram"), col("prefix"))
       .agg(count(lit(1)).as("__occ"))
+
+  /** The model half of [[lmScoreWithModel]]: broadcast-shaped count
+    * joins + the per-doc aggregation over the shared gram table. */
+  private def scorePerDocGrams(perDoc: DataFrame, gramCounts: DataFrame,
+      prefixCounts: DataFrame, idCol: String, oovNll: Double): DataFrame = {
     val nll = when(col("__cg").isNotNull,
       -log(col("__cg").cast("double") / col("__cp"))).otherwise(lit(oovNll))
     perDoc.join(gramCounts, Seq("gram"), "left")
@@ -750,14 +765,22 @@ object TextAnalysis {
       targetModel: (DataFrame, DataFrame), rawModel: (DataFrame, DataFrame),
       textCol: String, idCol: String, n: Int = 2,
       oovNll: Double = 20.0): DataFrame = {
-    val t = lmScoreWithModel(docs, targetModel._1, targetModel._2,
-        textCol, idCol, n, oovNll)
+    // ONE corpus collapse shared by both model legs (r18): the per-doc
+    // (id, gram, prefix, occ) table is the only corpus-sized work of a
+    // scoring pass, and both legs consume it with IDENTICAL pruning —
+    // the same canonical subtree, so the aggregation exchange plans and
+    // executes once (the minHashDedup window-guard precedent); the model
+    // joins above it are broadcast-shaped either way. Before this the
+    // scorer re-ran the scan + gram kernel + corpus shuffle per model.
+    val perDoc = perDocGramTable(docs, textCol, idCol, n)
+    val t = scorePerDocGrams(perDoc, targetModel._1, targetModel._2,
+        idCol, oovNll)
       .select(col(idCol), col("n_positions"),
         col("lm_hits").as("hits_target"),
         col("hit_frac").as("hit_frac_target"),
         col("avg_nll").as("avg_nll_target"))
-    val r = lmScoreWithModel(docs, rawModel._1, rawModel._2,
-        textCol, idCol, n, oovNll)
+    val r = scorePerDocGrams(perDoc, rawModel._1, rawModel._2,
+        idCol, oovNll)
       .select(col(idCol), col("lm_hits").as("hits_raw"),
         col("hit_frac").as("hit_frac_raw"),
         col("avg_nll").as("avg_nll_raw"))
