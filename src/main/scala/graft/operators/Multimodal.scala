@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every encode/decode with a TEMP
+  // FILE — one disk create/write/delete round-trip per image, serialized
+  // on the cache directory under partition-parallel codec work (r18:
+  // p32's MJPEG pass inflated 6.4 → 130 s of CPU at 8-way parallelism
+  // before this). All payloads here are small in-memory images; the
+  // memory-backed stream is strictly better.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
     sha256: String, histogram: Array[Double], mean_byte: Double)

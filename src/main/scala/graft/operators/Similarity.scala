@@ -24,8 +24,21 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine(a, b) = dot / (|a| * |b|). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cosine(a, b) = dot / (|a| * |b|) — native kernel (r18): one compiled
+    * loop replacing three interpreted per-element folds per pair, same
+    * IEEE op order and the same zip_with/aggregate null-poisoning
+    * semantics ([[graft.functions.VecOps.cosine]]); [[cosineHof]] is the
+    * spec's independent equivalence twin. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.VecExpressions.CosineSim(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** The HOF formulation of [[cosine]] — kept as the bitwise twin the
+    * spec pins the kernel against (and the shape oracle SQL replays). */
+  private[graft] def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 

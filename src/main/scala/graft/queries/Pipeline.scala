@@ -574,7 +574,7 @@ object Pipeline {
   def p31PngGifDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 8 + (id % 9).toInt
       val h = 6 + (id % 5).toInt
       if (id % 2 == 0) {
@@ -614,7 +614,7 @@ object Pipeline {
   def p32MjpegDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 8 + (id % 9).toInt
       val h = 6 + (id % 5).toInt
       val nf = 2 + (id % 4).toInt
@@ -1701,7 +1701,12 @@ object Pipeline {
             "2024-03-02T00:00:01Z", s"<urn:uuid:$id>", html.getBytes("UTF-8"))
           Multimodal.MediaRow(id, "warc", Warc.gzipMembers(Seq(robots, page)))
       }
-    val recs = Warc.parseWarcs(media).toDF()
+    // localCheckpoint (r18): the parsed record table feeds FOUR lineage
+    // branches (robots, pages, and their joins compound downstream), and
+    // each branch otherwise re-runs the synthesis + gzip + WARC parse —
+    // StageProfile measured 118 s of CPU for one sf0.1 pass, ~6× the
+    // single-pass cost. One materialization, every consumer reads it.
+    val recs = Warc.parseWarcs(media).toDF().localCheckpoint()
     val robots = recs.filter(col("warc_type") === "resource")
       .select(col("media_id"), col("payload").cast("string").as("robots"))
     val pages = recs.filter(col("warc_type") === "response")
@@ -1715,8 +1720,12 @@ object Pipeline {
           .select(col("media_id"), col("robots"), col("path"))
           .as[Robots.PageFetch], "graftbot/1.0")
       .toDF().filter(col("allowed")).select(col("media_id"))
+    // pruned projection checkpointed: c4Clean and the url_norm join-back
+    // would otherwise each re-run the html→text extraction
     val extracted = pages.join(gated, Seq("media_id"))
-      .withColumn("page_text", TextAnalysis.htmlToText(col("html")))
+      .select(col("media_id"), col("url_norm"),
+        TextAnalysis.htmlToText(col("html")).as("page_text"))
+      .localCheckpoint()
     val cleaned = TextAnalysis.c4Clean(
         extracted.select(col("media_id"), col("page_text")),
         "page_text", "media_id", minWords = 3, minLines = 2)
@@ -1819,9 +1828,13 @@ object Pipeline {
         s"<urn:uuid:img-$id>", jpg)
       Multimodal.MediaRow(id, "warc", Warc.gzipMembers(Seq(rec)))
     }
+    // localCheckpoint (r18): the exif probe and the decode join are two
+    // lineage branches that each re-ran the synthesis + gzip + WARC
+    // parse (StageProfile: 19 s CPU per sf0.1 pass)
     val payloads = Warc.parseWarcs(media).toDF()
       .filter(col("valid") && col("warc_type") === "response")
       .select(col("media_id"), col("target_uri"), col("payload"))
+      .localCheckpoint()
     val probed = Exif.probeExif(
         payloads.select(col("media_id"), lit("jpg").as("kind"),
           col("payload")).as[Multimodal.MediaRow])
@@ -2006,7 +2019,7 @@ object Pipeline {
   def p28ImageResize(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
       val w = 8 + (id % 9).toInt
       val h = 6 + (id % 5).toInt
       val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
@@ -2840,9 +2853,10 @@ object Pipeline {
       val md = java.security.MessageDigest.getInstance("MD5")
       val rgb = new Array[Byte](18 * 16 * 3)
       for (r <- 0 until 8; c <- 0 until 9) {
-        val hex = md.digest(s"$fseed:$f:$r:$c".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        val v = Integer.parseInt(hex.substring(0, 2), 16).toByte
+        // first digest byte == Integer.parseInt(hex.take(2), 16).toByte —
+        // the hex render/re-parse was ~90% of this fixture's CPU (r18;
+        // 2.5M String.format calls per corpus pass)
+        val v = md.digest(s"$fseed:$f:$r:$c".getBytes("UTF-8"))(0)
         for (dy <- 0 until 2; dx <- 0 until 2; ch <- 0 until 3)
           rgb(((2 * r + dy) * 18 + 2 * c + dx) * 3 + ch) = v
       }

@@ -67,6 +67,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.contains((0L, 1L)) && got((0L, 1L)) == 1.0)
   }
 
+  test("cosine native kernel == HOF twin, bitwise, incl. null poisoning") {
+    // real embeddings plus the adversaries the zip_with/aggregate HOF
+    // defines semantics for: length mismatch (zip_with pads null →
+    // aggregate poisons to NULL), null elements, empties (0/0 = NaN),
+    // NaN/Inf propagation — the r18 kernel must reproduce ALL of it
+    import spark.implicits._
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+      .limit(50)
+      .select(expr("transform(embedding, x -> cast(x as double))").as("a"),
+        expr("reverse(transform(embedding, x -> cast(x as double)))").as("b"))
+    val adversaries = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),           // length mismatch
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      (Seq[Double](), Seq[Double]()),                 // empty: 0/(0*0)=NaN
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),                 // zero norm
+      (Seq(Double.NaN, 1.0), Seq(1.0, 1.0)),          // NaN propagation
+      (Seq(Double.PositiveInfinity, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val withNulls = spark.sql(
+      "SELECT array(1.0d, cast(null as double)) AS a, array(1.0d, 2.0d) AS b")
+    // the HOF twin evaluates under non-ANSI arithmetic for the zero-norm
+    // adversaries: ANSI turns the 0.0 divisor into DIVIDE_BY_ZERO while
+    // the kernel (like the DuckDB oracle replay) gives IEEE NaN — the
+    // kernel's documented deviation; everywhere the HOF yields a value,
+    // the kernel must match it bitwise
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try for (df <- Seq(emb, adversaries, withNulls)) {
+      val rows = df.select(
+          Similarity.cosine(col("a"), col("b")).as("k"),
+          Similarity.cosineHof(col("a"), col("b")).as("h"))
+        .collect()
+      rows.foreach { r =>
+        val k = if (r.isNullAt(0)) null
+          else java.lang.Double.valueOf(r.getDouble(0))
+        val h = if (r.isNullAt(1)) null
+          else java.lang.Double.valueOf(r.getDouble(1))
+        assert((k == null && h == null) ||
+          (k != null && h != null &&
+            java.lang.Double.doubleToRawLongBits(k) ==
+              java.lang.Double.doubleToRawLongBits(h)),
+          s"cosine kernel diverges: kernel=$k hof=$h")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("brute-force cosine topk matches a naive driver-side computation") {
     val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 2)
