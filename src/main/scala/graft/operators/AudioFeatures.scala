@@ -133,13 +133,32 @@ object AudioFeatures {
     * (Davis & Mermelstein 1980; the HTK/librosa `dct(..., norm='ortho')`
     * convention: c_u = s(u) · Σ_j x_j · cos(π(2j+1)u / 2N), with
     * s(0)=√(1/N), s(u>0)=√(2/N)). */
+  // cos basis cache for [[dct2]] (r18): the transform re-evaluated
+  // math.cos per (coefficient, sample) term — 10k cos calls per pHash,
+  // 50M per image-corpus pass — for a basis that depends only on
+  // (n, nCoeffs). The cached values are the exact doubles the inline
+  // expression produced (same argument arithmetic), so the fold is
+  // bitwise unchanged. ThreadLocal: no synchronization on the hot path.
+  private val dctBasis =
+    ThreadLocal.withInitial[java.util.HashMap[Long, Array[Array[Double]]]](
+      () => new java.util.HashMap[Long, Array[Array[Double]]]())
+
   def dct2(x: Array[Double], nCoeffs: Int): Array[Double] = {
     val n = x.length
-    Array.tabulate(math.min(nCoeffs, n)) { u =>
+    val m = math.min(nCoeffs, n)
+    val key = n.toLong << 32 | m.toLong
+    var basis = dctBasis.get().get(key)
+    if (basis == null) {
+      basis = Array.tabulate(m)(u => Array.tabulate(n)(j =>
+        math.cos(math.Pi * (2 * j + 1) * u / (2.0 * n))))
+      dctBasis.get().put(key, basis)
+    }
+    Array.tabulate(m) { u =>
+      val row = basis(u)
       var acc = 0.0
       var j = 0
       while (j < n) {
-        acc += x(j) * math.cos(math.Pi * (2 * j + 1) * u / (2.0 * n))
+        acc += x(j) * row(j)
         j += 1
       }
       acc * (if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n))
@@ -291,6 +310,16 @@ object AudioFeatures {
     val scale = math.min(1.0, dstRate.toDouble / srcRate)
     val halfWidth = zeroCrossings / scale // in input samples
     val step = srcRate.toDouble / dstRate
+    // sinc/window memo keyed on the EXACT bits of d (r18): for any
+    // rational rate pair the fractional phase of `center` cycles, so the
+    // distinct d values number ~taps×phases, while the loop evaluates
+    // sin/cos per (output, tap) — ~1M transcendentals per 8k-sample clip
+    // (p79 measured 170 s of CPU at sf0.1). Keying on the double's raw
+    // bits reproduces the original arithmetic bitwise at ANY rate — a
+    // memo hit returns exactly the values the expressions would have
+    // produced for that d. Bounded: degenerate irrational phases stop
+    // memoizing at 8192 entries and compute directly.
+    val memo = new java.util.HashMap[java.lang.Long, Array[Double]]()
     var j = 0
     while (j < nOut) {
       val center = j * step
@@ -299,10 +328,16 @@ object AudioFeatures {
       var acc = 0.0
       while (i <= iEnd) {
         val d = i - center
-        val x = math.Pi * scale * d
-        val sinc = if (math.abs(x) < 1e-12) 1.0 else math.sin(x) / x
-        val win = 0.5 * (1.0 + math.cos(math.Pi * d / halfWidth))
-        acc += samples(i) * scale * sinc * win
+        val bits = java.lang.Double.doubleToRawLongBits(d)
+        var sw = memo.get(bits)
+        if (sw == null) {
+          val x = math.Pi * scale * d
+          val sinc = if (math.abs(x) < 1e-12) 1.0 else math.sin(x) / x
+          val win = 0.5 * (1.0 + math.cos(math.Pi * d / halfWidth))
+          sw = Array(sinc, win)
+          if (memo.size < 8192) memo.put(bits, sw)
+        }
+        acc += samples(i) * scale * sw(0) * sw(1)
         i += 1
       }
       val v = math.round(acc)

@@ -1573,7 +1573,7 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val rate = 16000
-    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
       val n = 2048 + (id % 3).toInt * 512
       val f = AudioFeatures.melCenterHz((id % 16).toInt, 16, rate)
       val samples = Array.tabulate[Short](n)(i =>
@@ -2438,7 +2438,7 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val rate = 16000
-    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
       val n = 2048 + (id % 3).toInt * 512
       val f = AudioFeatures.melCenterHz((id % 16).toInt, 16, rate)
       val samples = Array.tabulate[Short](n)(i =>
@@ -2473,7 +2473,7 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val rate = 16000
-    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
       val seed = if (id % 9 == 1) id - 1 else id
       val amp = if (id % 9 == 1) 6000.0 else 8000.0
       val nSegs = (7 + id % 3).toInt
@@ -3021,7 +3021,7 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val rate = 16000
-    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val f = AudioFeatures.melCenterHz((id % 16).toInt, 16, rate)
       val samples = new Array[Short](8 * 2048)
@@ -3118,7 +3118,7 @@ object Pipeline {
       }
       Multimodal.MediaRow(id, "wav", Multimodal.encodeWavPcm16(srcRate, samples))
     }
-    val ids = documentsRaw(s, dir).select(col("doc_id")).as[Long]
+    val ids = documents(s, dir).select(col("doc_id")).as[Long]
     val up = AudioFeatures.resampleWav(
       ids.filter(_ % 2 == 0).map(tone), dstRate = 16000)
     val down = AudioFeatures.resampleWav(
@@ -3416,7 +3416,7 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val w = 64; val hh = 48
-    val media = documentsRaw(s, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
       // md5-derived phases per base pattern: distinct bases decorrelate
       // (linear-in-seed phases would plant thousands of partial
       // alignments), twins differ only by the +15 brightness offset
