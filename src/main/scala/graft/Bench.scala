@@ -149,6 +149,14 @@ object Bench {
   private[graft] def unjudgeable(value: Double, spread: Double): Boolean =
     value >= 0 && spread > math.max(0.2, value / 2)
 
+  /** The stdout contract line for a full-set run: everything the driver's
+    * comparison needs (metric/value/unit/queries/sf) plus runs/isolate,
+    * and nothing else — it must survive a 2000-char tail capture whole
+    * (BenchPrevSpec pins the budget against the real headline set). */
+  private[graft] def compactLine(total: Double, qs: String, runs: Int,
+      isolate: Boolean, sfDir: String): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"isolate":$isolate,"sf":"$sfDir"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -446,7 +454,22 @@ object Bench {
     }.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runsPerQuery,"isolate":$isolate,"prev":$prevQs,"prev_file":$prevName,"regressions":$regs,"retried":$retr,"best_min":$best,"unjudgeable":$unjudg,"blind_prev":$blindPrev,"sf":"$sfDir"}"""
-    println(line)
+    // r19 (verdict ask #1): the FULL record above grew to ~4.5 KB — the
+    // driver's tail capture keeps 2000 chars, so for three rounds its
+    // parse saw only the line's tail and PERF_r{16..18}.json carried
+    // "parsed": null. The stdout contract line for a FULL-SET run is now
+    // the COMPACT form (metric/value/unit/queries/runs/isolate/sf —
+    // ~1.6 KB for 51 lines, and sf/isolate at the END so even a clipped
+    // head still reconstructs): same methodology, same values, nothing
+    // renamed or removed from "queries". The full record still exists,
+    // untruncated, in the sidecar (the repo's own regression-gate prev)
+    // and on stderr for the session log. A SUBSET run (BENCH_ONLY —
+    // isolation children, ad-hoc adjudication) keeps printing the full
+    // record: its line is small, and the isolating parent parses the
+    // child's "spread" from it.
+    println(if (only.isEmpty) compactLine(total, qs, runsPerQuery, isolate, sfDir)
+      else line)
+    if (only.isEmpty) System.err.println(line)
     // untruncated sidecar of this run's own JSON line: the preferred prev
     // for the NEXT run, so the regression gate never again depends on the
     // driver wrapper's tail keeping our prefix intact. An isolated run

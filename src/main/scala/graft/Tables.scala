@@ -97,7 +97,8 @@ object Tables {
     * at least `defaultParallelism` natural splits AND is small enough that
     * one extra round-robin exchange is provably cheap (below
     * `spark.graft.scan.parallelizeMaxBytes`, default 1 GB), append a
-    * repartition to the session's default parallelism. At production scale
+    * repartition to a data-derived target (bytes / bytesPerTask, clamped
+    * to [max(8, cores/4), cores]). At production scale
     * this is a structural no-op: any table worth shuffling has thousands
     * of natural splits and trips neither condition. Deterministic
     * predicates and column pruning still reach the parquet scan below the
@@ -109,17 +110,38 @@ object Tables {
     val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.graft.scan.parallelizeMaxBytes", "1g"))
     val f = new java.io.File(path)
-    val bytes =
+    val dataFiles =
       if (f.isDirectory)
-        Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
-          .getOrElse(0L)
-      else f.length()
+        Option(f.listFiles()).map(_.filter(x =>
+          x.isFile && !x.getName.startsWith("_")).toSeq).getOrElse(Nil)
+      else Seq(f)
+    val bytes = dataFiles.map(_.length()).sum
     val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     val cores = spark.sparkContext.defaultParallelism
-    val naturalSplits = (bytes + splitBytes - 1) / math.max(1L, splitBytes)
+    // each file is at least one split, so a directory of many small parts
+    // already scans in parallel (r19: the bytes/splitBytes estimate alone
+    // undercounted splits for multi-file dirs and fired a useless exchange)
+    val naturalSplits = math.max(dataFiles.size.toLong,
+      (bytes + splitBytes - 1) / math.max(1L, splitBytes))
+    // r19 (verdict ask #4): the target is DATA-derived, not a core
+    // fraction — max(8, cores/4) capped kernel stages at 8 tasks on a
+    // 32-core session no matter how much data there was. Now: enough
+    // bytes per task that task overhead stays amortized (kernel tables
+    // ~1 MB compressed ≈ a few hundred ms of shingle/JSON/vector CPU;
+    // fact tables 4 MB — their consumers are codegen'd scans where the
+    // spread only buys decode+partial-agg parallelism), floored at the
+    // old max(8, cores/4) so small inputs keep yesterday's shape (every
+    // sf0.1 table still lands exactly on 8 — the driver's bench stays
+    // comparable, q02's documented cost unchanged), and clamped at the
+    // session's cores. At sf1+ a 32-core session now actually uses >8
+    // lanes (measured in OPTIMIZATION_r19.md §4); past parallelizeMaxBytes
+    // the whole spread stays a structural no-op as before.
+    val perTask = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.graft.scan.bytesPerTask",
+        if (hashKey.isDefined) "4m" else "1m"))
     val target = spark.conf.get("spark.graft.scan.parallelizePartitions",
-      math.max(8, cores / 4).toString).toInt
+      spreadTarget(bytes, perTask, cores).toString).toInt
     if (bytes >= 65536L && bytes < maxBytes && naturalSplits < target)
       hashKey match {
         case Some(k) =>
@@ -127,6 +149,16 @@ object Tables {
         case None => df.repartition(target)
       }
     else df
+  }
+
+  /** The data-derived spread width: one task per `perTask` bytes, clamped
+    * to [max(8, cores/4), max(floor, cores)] — the floor keeps small
+    * inputs on the r18 shape (every sf0.1 table lands on exactly 8), the
+    * cap keeps the width at the session's real parallelism. */
+  private[graft] def spreadTarget(bytes: Long, perTask: Long, cores: Int): Int = {
+    val floor = math.max(8, cores / 4)
+    val byData = ((bytes + perTask - 1) / math.max(1L, perTask)).toInt
+    math.min(math.max(floor, byData), math.max(floor, cores))
   }
 
   /** Normalize `events.ts` to TIMESTAMP_NTZ microseconds regardless of the

@@ -62,8 +62,19 @@ object Asof {
   def joinBucketed(probe: DataFrame, build: DataFrame, keyCol: String,
       tsCol: String, idCol: String, carry: Seq[String],
       bucket: Long = 86400L): DataFrame = {
+    // r19 (verdict ask #3): the bucketed plan's TWO consumers — the
+    // in-bucket window and the carry groupBy — used to re-execute the
+    // tagged-union lineage independently (asymmetric pruning: the carry
+    // leg re-scanned both inputs narrow). That is 2 corpus scans per
+    // side at 100 TB, the last corpus-sized redundancy the r18 verdict
+    // flagged. localCheckpoint materializes the union ONCE (bounded by
+    // probe+build rows — data that is about to cross the window exchange
+    // anyway) and both passes read it; the capGramDf/p58 precedent.
+    // Measured (OPTIMIZATION_r19.md §3): sf0.1 bench and a 10x synth
+    // probe both prefer the single materialization.
     val tagged = taggedUnion(probe, build, keyCol, tsCol, idCol, carry)
       .withColumn("__bk", floor(unix_timestamp(col(tsCol)) / bucket))
+      .localCheckpoint()
     // pass 1: the in-bucket prefix, parallel over (key, bucket)
     val wIn = Window.partitionBy(col(keyCol), col("__bk"))
       .orderBy(col(tsCol), col("__side"), col("__bid"))

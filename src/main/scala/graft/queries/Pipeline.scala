@@ -3104,41 +3104,64 @@ object Pipeline {
     implicit val spark: SparkSession = s
     import s.implicits._
     val nIn = 8192
-    def tone(id: Long): Multimodal.MediaRow = {
-      val srcRate = if (id % 2 == 0) 8000 else 16000
-      val f = 200.0 * (1 + id % 10)
+    // r19 exact-collapse (the r10 p85 precedent, guide §8 "decide with
+    // small rows"): a doc's tone — and therefore its entire
+    // synth→resample→verify pipeline — depends on doc_id ONLY through
+    // (doc_id % 2, doc_id % 10): 20 distinct configurations for the
+    // whole corpus. The per-doc formulation recomputed one of those 20
+    // identical pipelines per row (StageProfile: 25 s CPU at sf0.1,
+    // ~100% of the operator). Collapse to the distinct configs, run the
+    // UNCHANGED operator pipeline (tone → WAV encode → resampleWav →
+    // verify decode/STFT) once per config, and re-expand with a
+    // broadcast join on the residues — bit-identical by construction
+    // because every per-row value is a pure function of the config.
+    // cfg id = parity + 2*fIdx, so cfg%2 keeps the parity the verify
+    // leg's alias check reads off media_id.
+    def tone(cfg: Long): Multimodal.MediaRow = {
+      val srcRate = if (cfg % 2 == 0) 8000 else 16000
+      val f = 200.0 * (1 + cfg / 2) // fIdx = doc_id % 10
       val samples = new Array[Short](nIn)
       var i = 0
       while (i < nIn) {
         var v = 8000.0 * math.sin(2.0 * math.Pi * f * i / srcRate)
-        if (id % 2 != 0) // out-of-band component the downsampler must kill
+        if (cfg % 2 != 0) // out-of-band component the downsampler must kill
           v += 4000.0 * math.sin(2.0 * math.Pi * 6520.0 * i / srcRate)
         samples(i) = math.round(v).toShort
         i += 1
       }
-      Multimodal.MediaRow(id, "wav", Multimodal.encodeWavPcm16(srcRate, samples))
+      Multimodal.MediaRow(cfg, "wav", Multimodal.encodeWavPcm16(srcRate, samples))
     }
-    val ids = documents(s, dir).select(col("doc_id")).as[Long]
+    val ids = documents(s, dir).select(col("doc_id"))
+    val cfgs = ids.as[Long].map(id => id % 2 + 2 * (id % 10)).distinct()
     val up = AudioFeatures.resampleWav(
-      ids.filter(_ % 2 == 0).map(tone), dstRate = 16000)
+      cfgs.filter(_ % 2 == 0).map(tone), dstRate = 16000)
     val down = AudioFeatures.resampleWav(
-      ids.filter(_ % 2 != 0).map(tone), dstRate = 8000)
-    up.union(down).map { r =>
+      cfgs.filter(_ % 2 != 0).map(tone), dstRate = 8000)
+    val summaries = up.union(down).map { r =>
       val (rate, _, samples) = Multimodal.decodeWav(r.payload)
-      val dom = AudioFeatures.dominantFftBin(samples, 2048)
       var sum = 0.0
       samples.foreach(v => sum += v.toDouble * v)
       val rms = math.sqrt(sum / samples.length)
       val want = 8000.0 / math.sqrt(2.0)
+      // ONE stft + ONE power summation for both verify signals (r19) —
+      // dominantFftBin re-ran the identical stftPower and re-summed the
+      // identical bins; dominantBinOfPower is the same argmax on the
+      // same sums, so dom_bin is bit-identical.
       val frames = AudioFeatures.stftPower(samples, 2048, 2048)
       val power = Array.tabulate(2048 / 2 + 1)(k => frames.map(_(k)).sum)
+      val dom = if (frames.isEmpty) -1
+        else AudioFeatures.dominantBinOfPower(power)
       val aliasBin = math.round(1480.0 * 2048 / rate).toInt
       val aliasOk = r.media_id % 2 == 0 || // even docs carry no 6520 Hz tone
         power(aliasBin) < 0.01 * power(dom)
       (r.media_id, r.src_rate, r.dst_rate, r.n_in, r.n_out, dom.toLong,
         math.abs(rms - want) / want < 0.05, aliasOk)
-    }.toDF("doc_id", "src_rate", "dst_rate", "n_in", "n_out", "dom_bin",
+    }.toDF("cfg", "src_rate", "dst_rate", "n_in", "n_out", "dom_bin",
         "rms_ok", "alias_ok")
+    ids.withColumn("cfg", col("doc_id") % 2 + lit(2) * (col("doc_id") % 10))
+      .join(broadcast(summaries), Seq("cfg"))
+      .select(col("doc_id"), col("src_rate"), col("dst_rate"), col("n_in"),
+        col("n_out"), col("dom_bin"), col("rms_ok"), col("alias_ok"))
       .orderBy(col("doc_id"))
   }
 

@@ -163,6 +163,33 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(cmd.last == "graft.Bench")
   }
 
+  test("compact stdout line fits the driver's 2000-char tail capture") {
+    // r19 (verdict ask #1): PERF_r{16..18}.json carried "parsed": null
+    // because the full bench record outgrew the driver's tail window.
+    // The full-set stdout line is now the compact form — pin its budget
+    // against the REAL headline set (plus b8), with worst-case 7-char
+    // values, leaving ~100 chars of headroom for sbt's epilogue inside
+    // a 2000-char tail.
+    val keys = Bench.headline :+ "b8_stream_roundtrip"
+    val qs = keys.map("\"" + _ + "\":" + "999.999").mkString("{", ",", "}")
+    val line = Bench.compactLine(9999.999, qs, 5, isolate = false,
+      "/root/testdata/sf0.1")
+    assert(line.length <= 1850, s"compact line is ${line.length} chars")
+    // and it must parse as a comparable prev on its own (the driver's
+    // BENCH_r{N}.json wrapper embeds exactly this line in its tail)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(line)
+    assert(n.get("metric").asText() == "total")
+    assert(n.get("unit").asText() == "sec")
+    assert(n.get("value").isNumber)
+    assert(n.get("queries").size() == keys.size)
+    assert(BenchPrev.comparable(n, "/root/testdata/sf0.1", isolate = false))
+    // tail reconstruction (the driver wrapper path) keeps sf + isolate
+    val rec = BenchPrev.reconstructFromTail(line)
+    assert(rec.isDefined && BenchPrev.comparable(rec.get,
+      "/root/testdata/sf0.1", isolate = false))
+  }
+
   test("instruments never cross-gate: latestRoundFile picks per mode") {
     def f(n: String) = new java.io.File(n)
     val files = Seq(f("BENCH_r11.json"), f("BENCH_r12.json"),
